@@ -1,0 +1,296 @@
+"""Feature-plane base blocks (reference: geometry/base.py).
+
+A GeometryBlock is a lazy **Spark DataFrame of features**: arbitrary
+property columns plus optional geometry carried as typed columns (point
+``x``/``y`` doubles, axis-aligned box ``xmin/ymin/xmax/ymax``, or a ``wkt``
+string for parity).  A SeriesBlock is the block equivalent of a single
+column — in Spark terms, a lazily composed ``Column`` expression over its
+root GeometryBlock, so chains of field operations compile to a single
+projection (no shuffle, whole-stage codegen).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dask_geomodeling_spark.core.blocks import Block, BuildContext
+
+__all__ = ["GeometryBlock", "SeriesBlock", "GetSeriesBlock",
+           "SetSeriesBlock", "BaseSingle", "BaseSingleSeries"]
+
+GEOMETRY_COLUMNS = ("x", "y", "xmin", "ymin", "xmax", "ymax", "wkt")
+
+
+def _parse_filters(filters):
+    """Django-ORM-style filters → list of Spark Column predicates
+    (reference: geometry/sources.py GeometryFileSource.process applies
+    ``id=598``-style filters)."""
+    out = []
+    ops = {
+        "eq": lambda c, v: c == v,
+        "ne": lambda c, v: c != v,
+        "gt": lambda c, v: c > v,
+        "gte": lambda c, v: c >= v,
+        "lt": lambda c, v: c < v,
+        "lte": lambda c, v: c <= v,
+        "in": lambda c, v: c.isin(list(v)),
+        "isnull": lambda c, v: c.isNull() if v else c.isNotNull(),
+        "contains": lambda c, v: c.contains(v),
+        "startswith": lambda c, v: c.startswith(v),
+        "endswith": lambda c, v: c.endswith(v),
+    }
+    for key, value in (filters or {}).items():
+        field, _, op = key.partition("__")
+        if not op:
+            op = "eq"
+        if op not in ops:
+            raise ValueError("Unsupported filter operator '{}'".format(op))
+        out.append(ops[op](F.col(field), value))
+    return out
+
+
+def apply_feature_request(df, request, time_column=None):
+    """Translate the reference's pull-based geometry request
+    (geometry/base.py:10 docstring: mode/geometry/filters/limit/start/stop)
+    into relational predicates on the feature frame.  Filters land in the
+    WHERE clause so Catalyst pushes them into the parquet scan."""
+    for pred in _parse_filters(request.get("filters")):
+        df = df.filter(pred)
+
+    start, stop = request.get("start"), request.get("stop")
+    if time_column and (start or stop):
+        if start:
+            df = df.filter(F.col(time_column) >= F.lit(start))
+        if stop:
+            df = df.filter(F.col(time_column) <= F.lit(stop))
+
+    geometry = request.get("geometry")  # (xmin, ymin, xmax, ymax) bbox
+    if geometry is not None:
+        x1, y1, x2, y2 = geometry
+        cols = set(df.columns)
+        mode = request.get("mode", "intersects")
+        if {"x", "y"} <= cols:
+            df = df.filter((F.col("x") >= x1) & (F.col("x") <= x2)
+                           & (F.col("y") >= y1) & (F.col("y") <= y2))
+        elif {"xmin", "ymin", "xmax", "ymax"} <= cols:
+            if mode == "centroid":
+                cx = (F.col("xmin") + F.col("xmax")) / 2
+                cy = (F.col("ymin") + F.col("ymax")) / 2
+                df = df.filter((cx >= x1) & (cx <= x2)
+                               & (cy >= y1) & (cy <= y2))
+            else:
+                df = df.filter((F.col("xmin") <= x2) & (F.col("xmax") >= x1)
+                               & (F.col("ymin") <= y2) & (F.col("ymax") >= y1))
+
+    min_size = request.get("min_size")
+    if min_size and {"xmin", "ymin", "xmax", "ymax"} <= set(df.columns):
+        df = df.filter(((F.col("xmax") - F.col("xmin")) >= min_size)
+                       | ((F.col("ymax") - F.col("ymin")) >= min_size))
+
+    if request.get("limit"):
+        df = df.limit(int(request["limit"]))
+    return df
+
+
+class GeometryBlock(Block):
+    """Base feature-plane block (reference: geometry/base.py:10).
+
+    Subclasses expose ``columns`` (set of expected column names) and an
+    ``index_column`` used for cross-lineage alignment (the Spark analogue
+    of the reference's pandas index).
+    """
+
+    @property
+    def columns(self):
+        raise NotImplementedError
+
+    @property
+    def index_column(self):
+        # first source block's index by default
+        for arg in self.args:
+            if isinstance(arg, GeometryBlock):
+                return arg.index_column
+        return "id"
+
+    def __getitem__(self, name):
+        return GetSeriesBlock(self, name)
+
+    def __setitem__(self, *args, **kwargs):
+        raise NotImplementedError("Please use block.set to set a column.")
+
+    def set(self, *args):
+        return SetSeriesBlock(self, *args)
+
+    def get_data(self, spark=None, **request):
+        """Reference response contract (geometry/base.py:33): a dict with
+        ``features`` (here: a lazy Spark DataFrame) and ``projection``;
+        ``mode="extent"`` returns the bbox of matching features."""
+        df = self.plan(spark, **request)
+        projection = request.get("projection", "EPSG:4326")
+        if request.get("mode") == "extent":
+            cols = set(df.columns)
+            if {"x", "y"} <= cols:
+                row = df.agg(F.min("x"), F.min("y"),
+                             F.max("x"), F.max("y")).first()
+            elif {"xmin", "ymin", "xmax", "ymax"} <= cols:
+                row = df.agg(F.min("xmin"), F.min("ymin"),
+                             F.max("xmax"), F.max("ymax")).first()
+            else:
+                row = (None, None, None, None)
+            return {"extent": tuple(row), "projection": projection}
+        return {"features": df, "projection": projection}
+
+    def to_file(self, *args, **kwargs):
+        from dask_geomodeling_spark.geometry.sinks import to_file
+        return to_file(self, *args, **kwargs)
+
+
+class SeriesBlock(Block):
+    """One column of a GeometryBlock (reference: geometry/base.py:99).
+
+    Compiles to a Spark ``Column`` over the root frame: ``_root()`` names
+    the GeometryBlock the series is anchored to, ``_column(df)`` produces
+    the expression against that frame.  Same-root operations therefore fuse
+    into one projection — the hot path stays inside whole-stage codegen.
+    """
+
+    def _root(self):
+        for arg in self.args:
+            if isinstance(arg, SeriesBlock):
+                return arg._root()
+            if isinstance(arg, GeometryBlock):
+                return arg
+        raise NotImplementedError
+
+    def _column(self, df):
+        raise NotImplementedError
+
+    # operator sugar mirroring the reference's SeriesBlock.__add__ etc.
+    def __add__(self, other):
+        from dask_geomodeling_spark.geometry.field_operations import Add
+        return Add(self, other)
+
+    def __sub__(self, other):
+        from dask_geomodeling_spark.geometry.field_operations import Subtract
+        return Subtract(self, other)
+
+    def __mul__(self, other):
+        from dask_geomodeling_spark.geometry.field_operations import Multiply
+        return Multiply(self, other)
+
+    def __truediv__(self, other):
+        from dask_geomodeling_spark.geometry.field_operations import Divide
+        return Divide(self, other)
+
+    def _build(self, ctx: BuildContext):
+        """A series materializes as (index, value) over its root frame."""
+        root = self._root()
+        df = root._build(ctx)
+        return df.select(F.col(root.index_column),
+                         self._column(df).alias("value"))
+
+
+def series_column(obj, df):
+    """Column for a SeriesBlock or literal constant."""
+    if isinstance(obj, SeriesBlock):
+        return obj._column(df)
+    return F.lit(obj)
+
+
+class GetSeriesBlock(SeriesBlock):
+    """Select a column (reference: geometry/base.py:202)."""
+
+    def __init__(self, source, name):
+        if not isinstance(source, GeometryBlock):
+            raise TypeError("'{}' object is not allowed".format(type(source)))
+        if not isinstance(name, str):
+            raise TypeError("'{}' object is not allowed".format(type(name)))
+        if source.columns and name not in source.columns:
+            raise KeyError("Column '{}' is not available".format(name))
+        super().__init__(source, name)
+
+    def _root(self):
+        return self.args[0]
+
+    def _column(self, df):
+        return F.col(self.args[1])
+
+
+class SetSeriesBlock(GeometryBlock):
+    """Attach computed series as columns (reference: geometry/base.py:240).
+
+    ``SetSeriesBlock(source, "a", series_a, "b", series_b, ...)``.
+    Series anchored on the same root fuse into one projection; series from
+    a different lineage are aligned with a join on the index column
+    (broadcast when the other side is small — Catalyst/AQE decides).
+    """
+
+    def __init__(self, source, *args):
+        if not isinstance(source, GeometryBlock):
+            raise TypeError("'{}' object is not allowed".format(type(source)))
+        if len(args) % 2 != 0:
+            raise ValueError("Please provide a value for each column")
+        for name in args[::2]:
+            if not isinstance(name, str):
+                raise TypeError("Column names must be strings")
+        super().__init__(source, *args)
+
+    @property
+    def source(self):
+        return self.args[0]
+
+    @property
+    def columns(self):
+        return set(self.source.columns) | set(self.args[1::2])
+
+    def _build(self, ctx):
+        source = self.source
+        df = source._build(ctx)
+        for name, value in zip(self.args[1::2], self.args[2::2]):
+            if isinstance(value, SeriesBlock):
+                root = value._root()
+                if root.token == source.token or root is source:
+                    df = df.withColumn(name, value._column(df))
+                else:
+                    idx = root.index_column
+                    other = root._build(ctx)
+                    other = other.select(
+                        F.col(idx),
+                        value._column(other).alias(name))
+                    df = df.join(other, on=idx, how="left")
+            else:
+                df = df.withColumn(name, F.lit(value))
+        return df
+
+
+class BaseSingle(GeometryBlock):
+    """Single-source passthrough base (reference: geometry/base.py:303)."""
+
+    def __init__(self, source, *args):
+        if not isinstance(source, GeometryBlock):
+            raise TypeError("'{}' object is not allowed".format(type(source)))
+        super().__init__(source, *args)
+
+    @property
+    def source(self):
+        return self.args[0]
+
+    @property
+    def columns(self):
+        return self.source.columns
+
+
+class BaseSingleSeries(SeriesBlock):
+    """Single-series base (reference: geometry/base.py:320)."""
+
+    def __init__(self, source, *args):
+        if not isinstance(source, SeriesBlock):
+            raise TypeError("'{}' object is not allowed".format(type(source)))
+        super().__init__(source, *args)
+
+    @property
+    def source(self):
+        return self.args[0]
+
+    def _root(self):
+        return self.source._root()

@@ -1,0 +1,88 @@
+"""Constructive geometry operations (reference: geometry/constructive.py).
+
+Native algebra over point/box geometry columns — pure column math, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dask_geomodeling_spark.geometry.base import BaseSingle
+
+__all__ = ["Buffer", "Simplify", "Centroid"]
+
+
+class Buffer(BaseSingle):
+    """Expand geometries by a distance (reference:
+    geometry/constructive.py:13).  Points become boxes (the circular
+    buffer's bounding box — exact circles need polygon geometry, which
+    requires GDAL in the reference); boxes expand on all sides.
+    ``resolution`` is accepted for API parity."""
+
+    def __init__(self, source, distance, projection="EPSG:4326",
+                 resolution=4):
+        distance = float(distance)
+        super().__init__(source, distance, projection, resolution)
+
+    @property
+    def distance(self):
+        return self.args[1]
+
+    @property
+    def columns(self):
+        return set(self.source.columns) | {"xmin", "ymin", "xmax", "ymax"}
+
+    def _build(self, ctx):
+        df = self.source._build(ctx)
+        d = F.lit(self.distance)
+        cols = set(df.columns)
+        if {"xmin", "ymin", "xmax", "ymax"} <= cols:
+            return (df.withColumn("xmin", F.col("xmin") - d)
+                      .withColumn("ymin", F.col("ymin") - d)
+                      .withColumn("xmax", F.col("xmax") + d)
+                      .withColumn("ymax", F.col("ymax") + d))
+        if {"x", "y"} <= cols:
+            return (df.withColumn("xmin", F.col("x") - d)
+                      .withColumn("ymin", F.col("y") - d)
+                      .withColumn("xmax", F.col("x") + d)
+                      .withColumn("ymax", F.col("y") + d))
+        raise ValueError("Buffer requires point or box geometry columns")
+
+
+class Simplify(BaseSingle):
+    """Simplify geometries (reference: geometry/constructive.py:92).
+    Points/boxes are already minimal; a positive tolerance snaps
+    coordinates to a tolerance grid (the box analogue of topology-
+    preserving simplification)."""
+
+    def __init__(self, source, tolerance=None, preserve_topology=True):
+        if tolerance is not None:
+            tolerance = float(tolerance)
+        super().__init__(source, tolerance, preserve_topology)
+
+    @property
+    def tolerance(self):
+        return self.args[1]
+
+    def _build(self, ctx):
+        df = self.source._build(ctx)
+        tol = self.tolerance
+        if not tol:
+            return df
+        snap = lambda c: (F.round(F.col(c) / tol) * tol)  # noqa: E731
+        for c in ("x", "y", "xmin", "ymin", "xmax", "ymax"):
+            if c in df.columns:
+                df = df.withColumn(c, snap(c))
+        return df
+
+
+class Centroid(BaseSingle):
+    """Reduce box geometry to its centroid point — companion of the
+    reference's ``mode="centroid"`` request handling."""
+
+    def _build(self, ctx):
+        df = self.source._build(ctx)
+        if {"xmin", "ymin", "xmax", "ymax"} <= set(df.columns):
+            df = (df.withColumn("x", (F.col("xmin") + F.col("xmax")) / 2)
+                    .withColumn("y", (F.col("ymin") + F.col("ymax")) / 2))
+        return df

@@ -1,0 +1,78 @@
+"""Feature sinks (reference: geometry/sinks.py).
+
+``GeometryFileSink`` (reference :46) writes per-tile shapefiles/geojson via
+fiona; the Spark-first sink is a distributed write — parquet (default),
+csv or json — optionally partitioned by columns.  Tiling = partitioning;
+each task writes its own file, exactly the reference's tile-merge model
+but handled by the Spark committer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dask_geomodeling_spark.geometry.base import BaseSingle, GeometryBlock
+
+__all__ = ["GeometryFileSink", "to_file"]
+
+
+class GeometryFileSink(BaseSingle):
+    """Write features to files (reference: geometry/sinks.py:46).
+
+    Args:
+      source: GeometryBlock to write.
+      url: output directory.
+      extension: parquet | csv | json (reference supports shp/gpkg/
+        geojson via fiona — columnar parquet is the cluster-native
+        default here).
+      fields: optional ``{output_name: source_column}`` mapping.
+      partition_by: optional list of columns for a partitioned layout.
+    """
+
+    supported_extensions = ("parquet", "csv", "json")
+
+    def __init__(self, source, url, extension="parquet", fields=None,
+                 partition_by=None):
+        if extension not in self.supported_extensions:
+            raise ValueError("Format '{}' is unsupported".format(extension))
+        if fields is not None and not isinstance(fields, dict):
+            raise TypeError("'{}' object is not allowed".format(type(fields)))
+        super().__init__(source, url, extension, fields,
+                         list(partition_by or []))
+
+    def _build(self, ctx):
+        df = self.source._build(ctx)
+        fields = self.args[3]
+        if fields:
+            df = df.select(*[F.col(src).alias(dst)
+                             for dst, src in fields.items()])
+        return df
+
+    def write(self, spark=None, mode="overwrite", **request):
+        df = self.plan(spark, **request)
+        url, extension, partition_by = self.args[1], self.args[2], self.args[4]
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        getattr(writer, "parquet" if extension == "parquet" else extension)(url)
+        return url
+
+
+def to_file(source, url, fields=None, tile_size=None, dry_run=False,
+            spark=None, **request):
+    """Export a GeometryBlock to a file (reference: geometry/sinks.py:224).
+
+    ``tile_size`` maps to a spatial repartitioning before the write (the
+    reference's tile loop); ``dry_run`` only validates the plan."""
+    from dask_geomodeling_spark.geometry.parallelize import GeometryTiler
+
+    if not isinstance(source, GeometryBlock):
+        raise TypeError("'{}' object is not allowed".format(type(source)))
+    extension = url.rsplit(".", 1)[-1] if "." in url else "parquet"
+    if tile_size:
+        source = GeometryTiler(source, tile_size)
+    sink = GeometryFileSink(source, url, extension=extension, fields=fields)
+    if dry_run:
+        sink.plan(spark, **request).schema  # force analysis only
+        return None
+    return sink.write(spark, **request)

@@ -1,0 +1,136 @@
+"""Feature-plane sources (reference: geometry/sources.py).
+
+``GeometryFileSource`` (sources.py:18) reads geospatial files via GDAL/
+fiona; the Spark-first equivalent is a parquet scan — columnar, splittable,
+predicate-pushdown-capable.  Request filters become WHERE clauses that
+Catalyst pushes into the scan (check ``PushedFilters`` in the plan).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from dask_geomodeling_spark.geometry.base import (GeometryBlock,
+                                                  apply_feature_request)
+
+__all__ = ["ParquetGeometrySource", "LiteralGeometrySource",
+           "TableSource", "parse_point_or_box_wkt"]
+
+_POINT_RE = re.compile(r"^\s*POINT\s*\(\s*([-\d.eE+]+)\s+([-\d.eE+]+)\s*\)\s*$")
+_BOX_RE = re.compile(
+    r"^\s*POLYGON\s*\(\(\s*(.*?)\s*\)\)\s*$", re.S)
+
+
+def parse_point_or_box_wkt(wkt):
+    """Parse POINT/axis-aligned POLYGON WKT into typed geometry fields.
+
+    No GDAL/shapely in this environment (reference links GDAL at import,
+    __init__.py:1); points and axis-aligned boxes cover the engine's native
+    geometry algebra, everything else raises.
+    """
+    m = _POINT_RE.match(wkt)
+    if m:
+        return {"x": float(m.group(1)), "y": float(m.group(2))}
+    m = _BOX_RE.match(wkt)
+    if m:
+        pts = [tuple(float(v) for v in p.split())
+               for p in m.group(1).split(",")]
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        return {"xmin": min(xs), "ymin": min(ys),
+                "xmax": max(xs), "ymax": max(ys)}
+    raise ValueError("Only POINT and axis-aligned POLYGON WKT are supported")
+
+
+class ParquetGeometrySource(GeometryBlock):
+    """Read features from parquet (reference: GeometryFileSource,
+    geometry/sources.py:18).
+
+    Args:
+      url: parquet path (file/dir; any Hadoop-compatible FS at scale).
+      id_field: index column for cross-lineage alignment (reference uses
+        the GDAL feature id; default "id").
+      time_column: optional event-time column the request's start/stop
+        bind to.
+      columns: optional projection (column pruning at the scan).
+    """
+
+    def __init__(self, url, id_field="id", time_column=None, columns=None):
+        if not isinstance(url, str):
+            raise TypeError("'{}' object is not allowed".format(type(url)))
+        super().__init__(url, id_field, time_column, columns)
+
+    @property
+    def url(self):
+        return self.args[0]
+
+    @property
+    def id_field(self):
+        return self.args[1]
+
+    @property
+    def index_column(self):
+        return self.args[1]
+
+    @property
+    def time_column(self):
+        return self.args[2]
+
+    @property
+    def columns(self):
+        return set(self.args[3]) if self.args[3] else set()
+
+    def _build(self, ctx):
+        df = ctx.spark.read.parquet(self.url)
+        if self.args[3]:
+            df = df.select(*self.args[3])
+        return apply_feature_request(df, ctx.request,
+                                     time_column=self.time_column)
+
+
+class TableSource(GeometryBlock):
+    """Feature source over a registered Spark table/view — lets any
+    DataFrame participate as a GeometryBlock lineage."""
+
+    def __init__(self, table, id_field="id", time_column=None):
+        super().__init__(table, id_field, time_column)
+
+    @property
+    def index_column(self):
+        return self.args[1]
+
+    @property
+    def columns(self):
+        return set()
+
+    def _build(self, ctx):
+        df = ctx.spark.table(self.args[0])
+        return apply_feature_request(df, ctx.request,
+                                     time_column=self.args[2])
+
+
+class LiteralGeometrySource(GeometryBlock):
+    """Inline features (reference: GeometryWKTSource, geometry/sources.py:162
+    — a single WKT geometry with an id).  Accepts a WKT string + id, or a
+    list of dict rows."""
+
+    def __init__(self, wkt_or_rows, id=1, projection="EPSG:4326"):
+        super().__init__(wkt_or_rows, id, projection)
+
+    @property
+    def columns(self):
+        if isinstance(self.args[0], str):
+            return {"id", "x", "y", "xmin", "ymin", "xmax", "ymax"}
+        return set(self.args[0][0].keys()) if self.args[0] else set()
+
+    def _build(self, ctx):
+        spec = self.args[0]
+        if isinstance(spec, str):
+            fields = parse_point_or_box_wkt(spec)
+            rows = [dict({"id": self.args[1]}, **fields)]
+        else:
+            rows = [dict(r) for r in spec]
+        df = ctx.spark.createDataFrame(rows)
+        return apply_feature_request(df, ctx.request)

@@ -1,0 +1,224 @@
+"""Temporal raster operations (reference: raster/temporal.py).
+
+All temporal ops stay on the cell table: ``TemporalAggregate`` is a
+grouped aggregation over ``window(time, freq)`` (map-side partial
+aggregation + one shuffle on (y, x, window)); ``Cumulative`` is a running
+window per cell; ``Snap`` builds a tiny time-mapping table (distinct
+timestamps are small) and broadcast-joins it onto the cells.
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import timedelta
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dask_geomodeling_spark.functions import (parse_percentile_statistic,
+                                              statistic_expr)
+from dask_geomodeling_spark.raster.base import BaseSingle, RasterBlock
+
+__all__ = ["Snap", "Shift", "TemporalAggregate", "TemporalSum",
+           "Cumulative", "Resample", "normalize_frequency"]
+
+_FREQ_RE = re.compile(r"^(\d*)\s*([a-zA-Z]+)$")
+_UNIT = {
+    "s": "seconds", "sec": "seconds", "second": "seconds",
+    "t": "minutes", "min": "minutes", "minute": "minutes",
+    "h": "hours", "hour": "hours",
+    "d": "days", "day": "days",
+    "w": "weeks", "week": "weeks",
+}
+
+
+def normalize_frequency(frequency):
+    """pandas offset alias ('5T', 'H', '2D', ...) → Spark window duration
+    ('5 minutes', '1 hours', '2 days')."""
+    m = _FREQ_RE.match(frequency.strip())
+    if not m:
+        raise ValueError(
+            "Unsupported frequency '{}'".format(frequency))
+    n = int(m.group(1) or 1)
+    unit = _UNIT.get(m.group(2).lower())
+    if unit is None:
+        raise ValueError(
+            "Unsupported frequency unit '{}'".format(m.group(2)))
+    return "{} {}".format(n, unit)
+
+
+class Snap(RasterBlock):
+    """Take cell values from ``store`` with the time structure of ``index``
+    (reference: raster/temporal.py:42 — each index timestamp maps to the
+    closest store timestamp).
+
+    The distinct-time mapping table is tiny (time dimension), so the final
+    join onto the cell table is a broadcast join — no large-side shuffle.
+    """
+
+    def __init__(self, store, index):
+        for x in (store, index):
+            if not isinstance(x, RasterBlock):
+                raise TypeError("'{}' object is not allowed".format(type(x)))
+        super().__init__(store, index)
+
+    @property
+    def store(self):
+        return self.args[0]
+
+    @property
+    def index(self):
+        return self.args[1]
+
+    def _build(self, ctx):
+        store = self.store._build(ctx)
+        index_times = (self.index._build(ctx)
+                       .select(F.col("time").alias("_itime")).distinct())
+        store_times = store.select("time").distinct()
+        pairs = index_times.crossJoin(store_times).withColumn(
+            "_diff", F.abs(F.col("_itime").cast("double")
+                           - F.col("time").cast("double")))
+        w = Window.partitionBy("_itime").orderBy(F.col("_diff").asc(),
+                                                 F.col("time").asc())
+        mapping = (pairs.withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") == 1).select("_itime", "time"))
+        out = store.join(F.broadcast(mapping), "time")
+        return out.select(F.col("_itime").alias("time"), "y", "x", "value")
+
+
+class Shift(BaseSingle):
+    """Shift a temporal raster by a timedelta (reference:
+    raster/temporal.py:185; positive = into the future).  Accepts a
+    ``timedelta`` or milliseconds (the reference's unit)."""
+
+    def __init__(self, store, time):
+        if isinstance(time, timedelta):
+            time = int(time.total_seconds() * 1000)
+        if not isinstance(time, int):
+            raise TypeError("'{}' object is not allowed".format(type(time)))
+        super().__init__(store, time)
+
+    @property
+    def time(self):
+        return self.args[1]
+
+    def _build(self, ctx):
+        df = self.store._build(ctx)
+        shifted = (F.col("time").cast("double")
+                   + F.lit(self.time / 1000.0)).cast("timestamp")
+        return df.select(shifted.alias("time"), "y", "x", "value")
+
+
+class TemporalAggregate(BaseSingle):
+    """Aggregate a raster in time (reference: raster/temporal.py:480).
+
+    frequency None → one statistic over the whole period per cell, stamped
+    at the end of the raster period.  Otherwise cells group by
+    ``window(time, frequency)``; ``label`` picks the left (default) or
+    right window edge.  Statistics: sum count min max mean median std var
+    p<percentile> — NULL-skipping by construction.
+    """
+
+    STATISTICS = ("sum", "count", "min", "max", "mean", "median", "std",
+                  "var")
+
+    def __init__(self, source, frequency, statistic="sum", closed=None,
+                 label=None, timezone="UTC"):
+        if frequency is not None:
+            if not isinstance(frequency, str):
+                raise TypeError(
+                    "'{}' object is not allowed".format(type(frequency)))
+            frequency = normalize_frequency(frequency)
+            if closed not in (None, "left", "right"):
+                raise ValueError("closed must be None, 'left', or 'right'.")
+            if label not in (None, "left", "right"):
+                raise ValueError("label must be None, 'left', or 'right'.")
+        else:
+            closed = label = None
+        statistic = statistic.lower()
+        if (statistic not in self.STATISTICS
+                and parse_percentile_statistic(statistic) is None):
+            raise ValueError("Unknown statistic '{}'".format(statistic))
+        super().__init__(source, frequency, statistic, closed, label,
+                         timezone)
+
+    @property
+    def frequency(self):
+        return self.args[1]
+
+    @property
+    def statistic(self):
+        return self.args[2]
+
+    def _build(self, ctx):
+        df = self.store._build(ctx)
+        stat = statistic_expr(self.statistic)
+        if self.frequency is None:
+            per_cell = df.groupBy("y", "x").agg(stat.alias("value"))
+            end = df.agg(F.max("time").alias("time"))
+            return (per_cell.crossJoin(F.broadcast(end))
+                    .select("time", "y", "x", "value"))
+        if self.args[3] == "right":
+            raise NotImplementedError(
+                "closed='right' intervals are not supported")
+        win = F.window("time", self.frequency)
+        label = F.col("_w.end") if self.args[4] == "right" else \
+            F.col("_w.start")
+        return (df.groupBy(win.alias("_w"), "y", "x")
+                .agg(stat.alias("value"))
+                .select(label.alias("time"), "y", "x", "value"))
+
+
+class TemporalSum(TemporalAggregate):
+    """Deprecated alias (reference: raster/temporal.py:239)."""
+
+    def __init__(self, source, frequency=None, timezone="UTC"):
+        super().__init__(source, frequency, "sum", None, None, timezone)
+
+
+class Cumulative(BaseSingle):
+    """Running statistic over time per cell (reference:
+    raster/temporal.py:775); ``frequency`` restarts the accumulation each
+    period.  A per-cell ordered window — partitioned by (y, x, period), so
+    it scales with the grid."""
+
+    STATISTICS = ("sum", "count")
+
+    def __init__(self, source, statistic="sum", frequency=None,
+                 timezone="UTC"):
+        if statistic not in self.STATISTICS:
+            raise ValueError("Unknown statistic '{}'".format(statistic))
+        if frequency is not None:
+            frequency = normalize_frequency(frequency)
+        super().__init__(source, statistic, frequency, timezone)
+
+    @property
+    def statistic(self):
+        return self.args[1]
+
+    @property
+    def frequency(self):
+        return self.args[2]
+
+    def _build(self, ctx):
+        df = self.store._build(ctx)
+        keys = ["y", "x"]
+        if self.frequency is not None:
+            df = df.withColumn("_w", F.window("time", self.frequency))
+            keys = keys + ["_w"]
+        w = (Window.partitionBy(*keys).orderBy("time")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        agg = F.sum("value") if self.statistic == "sum" else F.count("value")
+        out = df.withColumn("value", agg.over(w))
+        return out.select("time", "y", "x", "value")
+
+
+class Resample(TemporalAggregate):
+    """Resample a raster in time (reference: raster/temporal.py:1008) —
+    the aggregation machinery of TemporalAggregate with resampling
+    defaults."""
+
+    def __init__(self, source, frequency, statistic="mean", closed=None,
+                 label=None, timezone="UTC"):
+        super().__init__(source, frequency, statistic, closed, label,
+                         timezone)

@@ -1,0 +1,55 @@
+"""Core Block machinery tests (modeled on reference tests/test_core.py)."""
+
+import json
+
+from dask_geomodeling_spark import Block, construct
+from dask_geomodeling_spark.geometry.field_operations import Add, Classify
+from dask_geomodeling_spark.geometry.sources import LiteralGeometrySource
+
+
+def make_view():
+    src = LiteralGeometrySource([{"id": 1, "v": 2.0}, {"id": 2, "v": 7.0}])
+    return src.set("w", Add(src["v"], 1.0))
+
+
+def test_token_deterministic():
+    a = make_view()
+    b = make_view()
+    assert a.token == b.token
+
+
+def test_token_changes_with_args():
+    src = LiteralGeometrySource([{"id": 1, "v": 2.0}])
+    assert Add(src["v"], 1.0).token != Add(src["v"], 2.0).token
+
+
+def test_graph_roundtrip(spark):
+    view = make_view()
+    js = view.to_json()
+    back = Block.from_json(js)
+    assert back.token == view.token
+    rows = sorted((r.id, r.w) for r in back.plan(spark).collect())
+    assert rows == [(1, 3.0), (2, 8.0)]
+
+
+def test_graph_serialize_import_paths():
+    view = make_view()
+    graph = json.loads(view.to_json())["graph"]
+    heads = {v[0] for v in graph.values()}
+    assert any("geometry" in h for h in heads)
+
+
+def test_construct_validates():
+    view = make_view()
+    data = view.serialize()
+    restored = construct(data["graph"], data["name"])
+    assert restored.token == view.token
+
+
+def test_classify_validation():
+    src = LiteralGeometrySource([{"id": 1, "v": 2.0}])
+    try:
+        Classify(src["v"], [3.0, 1.0], ["a", "b", "c"])
+        raise AssertionError("should have raised")
+    except ValueError:
+        pass

@@ -1,0 +1,152 @@
+"""Raster-plane tests (modeled on reference tests/test_raster_*.py)."""
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from dask_geomodeling_spark.raster import combine, elemwise, misc
+from dask_geomodeling_spark.raster import reduction, spatial, temporal
+from dask_geomodeling_spark.raster.sources import MemorySource
+
+
+def cells(spark, block, **request):
+    rows = block.plan(spark, **request).collect()
+    return {(r.time, r.y, r.x): r.value for r in rows}
+
+
+def grid(spark, block, **request):
+    """(y, x) -> value ignoring time (single-band helpers)."""
+    rows = block.plan(spark, **request).collect()
+    return {(r.y, r.x): r.value for r in rows}
+
+
+@pytest.fixture(scope="module")
+def a():
+    return MemorySource([[1.0, 2.0], [3.0, None]])
+
+
+@pytest.fixture(scope="module")
+def b():
+    return MemorySource([[10.0, None], [30.0, 40.0]])
+
+
+def test_elemwise_math(spark, a, b):
+    assert grid(spark, elemwise.Add(a, b)) == {
+        (0, 0): 11.0, (0, 1): None, (1, 0): 33.0, (1, 1): None}
+    assert grid(spark, elemwise.Multiply(a, 2)) == {
+        (0, 0): 2.0, (0, 1): 4.0, (1, 0): 6.0, (1, 1): None}
+    assert grid(spark, elemwise.Subtract(10, a))[(0, 0)] == 9.0
+
+
+def test_elemwise_comparison(spark, a):
+    got = grid(spark, elemwise.Greater(a, 1.5))
+    assert got == {(0, 0): False, (0, 1): True, (1, 0): True, (1, 1): None}
+
+
+def test_is_data(spark, a):
+    assert grid(spark, elemwise.IsData(a))[(1, 1)] is False
+    assert grid(spark, elemwise.IsNoData(a))[(1, 1)] is True
+
+
+def test_fill_nodata(spark, a, b):
+    assert grid(spark, elemwise.FillNoData(a, b)) == {
+        (0, 0): 1.0, (0, 1): 2.0, (1, 0): 3.0, (1, 1): 40.0}
+
+
+def test_group_last_wins(spark, a, b):
+    assert grid(spark, combine.Group(a, b)) == {
+        (0, 0): 10.0, (0, 1): 2.0, (1, 0): 30.0, (1, 1): 40.0}
+
+
+def test_clip_mask_step(spark, a, b):
+    clipped = grid(spark, misc.Clip(a, elemwise.Greater(b, 15)))
+    assert clipped == {(1, 0): 3.0, (1, 1): None}
+    masked = grid(spark, misc.Mask(a, 8.0))
+    assert masked == {(0, 0): 8.0, (0, 1): 8.0, (1, 0): 8.0, (1, 1): None}
+    below = grid(spark, misc.MaskBelow(a, 2.0))
+    assert below == {(0, 0): None, (0, 1): 2.0, (1, 0): 3.0, (1, 1): None}
+    stepped = grid(spark, misc.Step(a, left=0, right=1, value=2.0, at=5))
+    assert stepped == {(0, 0): 0.0, (0, 1): 5.0, (1, 0): 1.0, (1, 1): None}
+
+
+def test_classify_reclassify(spark, a):
+    classified = grid(spark, misc.Classify(a, [2.0]))
+    # np.digitize right=False: v >= 2 -> 1
+    assert classified == {(0, 0): 0.0, (0, 1): 1.0, (1, 0): 1.0, (1, 1): None}
+    re = grid(spark, misc.Reclassify(a, [[1.0, 100.0], [3.0, 300.0]]))
+    assert re == {(0, 0): 100.0, (0, 1): 2.0, (1, 0): 300.0, (1, 1): None}
+    sel = grid(spark, misc.Reclassify(a, [[1.0, 100.0]], select=True))
+    assert sel == {(0, 0): 100.0, (0, 1): None, (1, 0): None, (1, 1): None}
+
+
+def test_reduction(spark, a, b):
+    assert grid(spark, reduction.Max(a, b)) == {
+        (0, 0): 10.0, (0, 1): 2.0, (1, 0): 30.0, (1, 1): 40.0}
+    assert grid(spark, reduction.Mean(a, b)) == {
+        (0, 0): 5.5, (0, 1): 2.0, (1, 0): 16.5, (1, 1): 40.0}
+    assert grid(spark, reduction.Count(a, b))[(0, 1)] == 1
+
+
+def test_temporal_aggregate(spark):
+    src = MemorySource([[[1.0]], [[2.0]], [[5.0]]],
+                       time_first=datetime(2024, 1, 1),
+                       time_delta=timedelta(hours=1))
+    agg = temporal.TemporalAggregate(src, "1D", "sum")
+    got = cells(spark, agg)
+    assert got == {(datetime(2024, 1, 1), 0, 0): 8.0}
+    full = temporal.TemporalAggregate(src, None, "mean")
+    got = cells(spark, full)
+    assert got == {(datetime(2024, 1, 1, 2), 0, 0): 8.0 / 3}
+
+
+def test_temporal_shift_snap(spark):
+    src = MemorySource([[[1.0]], [[2.0]]],
+                       time_first=datetime(2024, 1, 1),
+                       time_delta=timedelta(hours=2))
+    shifted = temporal.Shift(src, timedelta(hours=1))
+    assert (datetime(2024, 1, 1, 1), 0, 0) in cells(spark, shifted)
+
+    index = MemorySource([[[0.0]], [[0.0]]],
+                         time_first=datetime(2024, 1, 1, 0, 30),
+                         time_delta=timedelta(hours=2))
+    snapped = cells(spark, temporal.Snap(src, index))
+    assert snapped == {(datetime(2024, 1, 1, 0, 30), 0, 0): 1.0,
+                       (datetime(2024, 1, 1, 2, 30), 0, 0): 2.0}
+
+
+def test_cumulative(spark):
+    src = MemorySource([[[1.0]], [[2.0]], [[5.0]]],
+                       time_first=datetime(2024, 1, 1),
+                       time_delta=timedelta(hours=1))
+    got = cells(spark, temporal.Cumulative(src, "sum"))
+    assert got[(datetime(2024, 1, 1, 2), 0, 0)] == 8.0
+
+
+def test_moving_max(spark):
+    src = MemorySource([[1.0, None, None], [None, None, None],
+                        [None, None, 9.0]])
+    got = grid(spark, spatial.MovingMax(src, 3))
+    assert got[(0, 1)] == 1.0
+    assert got[(1, 2)] == 9.0
+
+
+def test_dilate(spark):
+    src = MemorySource([[1.0, 0.0, 0.0], [0.0, 0.0, 0.0], [0.0, 0.0, 0.0]])
+    got = grid(spark, spatial.Dilate(src, [1.0]))
+    assert got[(1, 1)] == 1.0
+    assert got[(2, 2)] == 0.0
+
+
+def test_rasterize(spark):
+    from dask_geomodeling_spark.geometry.sources import LiteralGeometrySource
+    from dask_geomodeling_spark.raster.misc import Rasterize
+    src = LiteralGeometrySource([
+        {"id": 1, "xmin": 0.0, "ymin": 0.0, "xmax": 1.0, "ymax": 1.0,
+         "v": 7.0}])
+    got = grid(spark, Rasterize(src, column_name="v"))
+    assert got == {(0, 0): 7.0, (0, 1): 7.0, (1, 0): 7.0, (1, 1): 7.0}
+
+
+def test_request_pushdown(spark, a):
+    got = grid(spark, elemwise.Add(a, 0), bbox=(0, 0, 0, 0))
+    assert set(got) == {(0, 0)}
