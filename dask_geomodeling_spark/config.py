@@ -20,7 +20,33 @@ DEFAULTS = {
         "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
+    # driver testdata writes TIMESTAMP(NANOS) parquet which the Spark
+    # reader rejects by default; read as long and convert (see
+    # read_events_parquet)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
+
+
+def read_nanos_parquet(spark, url, time_column="ts"):
+    """Read parquet whose time column is TIMESTAMP(NANOS) — Spark has no
+    nanos timestamp type, so read nanos-as-long and convert to
+    microsecond timestamps.  Runtime-settable, so it also works on an
+    externally provided SparkSession."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(url)
+    if time_column in df.columns and isinstance(
+            df.schema[time_column].dataType, T.LongType):
+        df = df.withColumn(
+            time_column,
+            F.timestamp_micros((F.col(time_column) / 1000).cast("bigint")))
+    return df
 
 
 def set_spark(spark):

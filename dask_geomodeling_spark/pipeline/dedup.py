@@ -1,0 +1,311 @@
+"""Deduplication operators (SURVEY.md §2 'LLM-data-pipeline extensions').
+
+Scale design: every method avoids driver-side pair enumeration.  Exact
+dedup is one hash aggregation; MinHash/SimHash build signatures **per row
+with higher-order functions** (no shuffle, no UDF) and find candidates by
+band-bucket self-join — the classic LSH plan whose join keys are uniform
+by construction; n-gram Jaccard uses an inverted-index join.  All hashes
+are pure integer arithmetic (deterministic across engines and runs).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from dask_geomodeling_spark.geometry.base import BaseSingle
+
+__all__ = ["ExactDedup", "MinHashLSH", "SimHash", "NgramJaccard",
+           "EmbeddingDedup"]
+
+# 31-bit Mersenne prime: (a*h + b) stays < 2^62 under ANSI overflow checks
+MERSENNE = (1 << 31) - 1
+
+
+def _perm_constants(num_perm, seed=42):
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MERSENNE), rng.randrange(0, MERSENNE))
+            for _ in range(num_perm)]
+
+
+class ExactDedup(BaseSingle):
+    """Exact deduplication by content hash — one aggregation.
+
+    Returns one surviving row per distinct key (lowest id wins) with the
+    duplicate-group size.  Output columns: ``<id_column>``, ``dup_count``.
+    """
+
+    def __init__(self, source, columns=("text",), id_column="doc_id"):
+        super().__init__(source, list(columns), id_column)
+
+    @property
+    def columns(self):
+        return {self.args[2], "dup_count"}
+
+    def _build(self, ctx):
+        df = self.source._build(ctx)
+        keys = [F.col(c) for c in self.args[1]]
+        idc = self.args[2]
+        return (df.groupBy(*keys)
+                .agg(F.min(idc).alias(idc),
+                     F.count(F.lit(1)).alias("dup_count"))
+                .select(idc, "dup_count"))
+
+
+class MinHashLSH(BaseSingle):
+    """MinHash + banded LSH near-duplicate candidate pairs.
+
+    Pipeline (all JVM-side):
+      1. per row: distinct word ``shingle_size``-grams via higher-order
+         functions (map-side, no shuffle);
+      2. per row: ``num_perm`` minhashes — min over shingles of
+         ``(a_i * h + b_i) mod M`` where ``h = xxhash64(shingle)``;
+      3. signatures split into ``bands``; candidates = pairs sharing any
+         (band_id, band_signature) bucket → ONE self-join on uniform keys;
+      4. optional exact-Jaccard verification of candidates via
+         ``array_intersect`` on the shingle arrays.
+
+    Output: ``id_a``, ``id_b`` (id_a < id_b) distinct candidate pairs,
+    with ``jaccard`` when ``verify=True``.
+    """
+
+    def __init__(self, source, text_column="text", id_column="doc_id",
+                 num_perm=32, bands=8, shingle_size=3, verify=True,
+                 threshold=0.0):
+        if num_perm % bands != 0:
+            raise ValueError("num_perm must be divisible by bands")
+        super().__init__(source, text_column, id_column, num_perm, bands,
+                         shingle_size, verify, float(threshold))
+
+    @property
+    def columns(self):
+        return {"id_a", "id_b", "jaccard"} if self.args[6] else \
+            {"id_a", "id_b"}
+
+    def _signatures(self, ctx):
+        (_, text_column, id_column, num_perm, bands, shingle_size,
+         _, _) = self.args
+        df = self.source._build(ctx)
+        df = df.withColumn("_tokens",
+                           F.split(F.trim(F.lower(F.col(text_column))),
+                                   r"\s+"))
+        if shingle_size <= 1:
+            sh = F.array_distinct(F.col("_tokens"))
+        else:
+            sh = F.array_distinct(F.expr(
+                "transform(sequence(1, greatest(size(_tokens) - {n} + 1, 1))"
+                ", i -> concat_ws(' ', slice(_tokens, i, {n})))"
+                .format(n=shingle_size)))
+        df = df.withColumn("_shingles", sh).drop("_tokens")
+        df = df.withColumn(
+            "_hashes",
+            F.expr("transform(_shingles, s -> pmod(xxhash64(s), {m}))"
+                   .format(m=MERSENNE)))
+        sig_cols = []
+        for i, (a, b) in enumerate(_perm_constants(num_perm)):
+            sig_cols.append(F.expr(
+                "aggregate(_hashes, cast({m} as bigint), (acc, h) -> "
+                "least(acc, pmod({a} * h + {b}, {m})))"
+                .format(a=a, b=b, m=MERSENNE)).alias("_s{}".format(i)))
+        return df.select(F.col(id_column).alias("_id"), "_shingles",
+                         *sig_cols), num_perm, bands
+
+    def _build(self, ctx):
+        sigs, num_perm, bands = self._signatures(ctx)
+        rows_per_band = num_perm // bands
+        band_structs = []
+        for b in range(bands):
+            cols = [F.col("_s{}".format(b * rows_per_band + r))
+                    for r in range(rows_per_band)]
+            band_structs.append(F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*cols).alias("sig")))
+        buckets = sigs.select(
+            "_id", "_shingles",
+            F.explode(F.array(*band_structs)).alias("_b"))
+        left = buckets.select(F.col("_id").alias("id_a"),
+                              F.col("_shingles").alias("_sh_a"),
+                              F.col("_b").alias("_ba"))
+        right = buckets.select(F.col("_id").alias("id_b"),
+                               F.col("_shingles").alias("_sh_b"),
+                               F.col("_b").alias("_bb"))
+        pairs = (left.join(right,
+                           (left["_ba"] == right["_bb"])
+                           & (left["id_a"] < right["id_b"]))
+                 .select("id_a", "id_b", "_sh_a", "_sh_b"))
+        if not self.args[6]:
+            return pairs.select("id_a", "id_b").distinct()
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+        inter = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
+        union = (F.size("_sh_a") + F.size("_sh_b")
+                 - F.size(F.array_intersect("_sh_a", "_sh_b")))
+        jac = (inter / union).alias("jaccard")
+        out = pairs.select("id_a", "id_b", jac)
+        if self.args[7] > 0:
+            out = out.filter(F.col("jaccard") >= self.args[7])
+        return out
+
+
+class SimHash(BaseSingle):
+    """64-bit SimHash signatures + near-duplicate pairs.
+
+    The signature is computed per row with higher-order functions: each
+    token votes ±1 on each bit of ``xxhash64(token)``; the sign of the
+    tally sets the output bit.  Near-dup candidates share one of 4
+    16-bit bands (pigeonhole: hamming distance ≤ 3 guarantees a shared
+    band).  Output: ``id_a``, ``id_b``, ``hamming``.
+    """
+
+    def __init__(self, source, text_column="text", id_column="doc_id",
+                 max_hamming=3):
+        super().__init__(source, text_column, id_column, int(max_hamming))
+
+    @property
+    def columns(self):
+        return {"id_a", "id_b", "hamming"}
+
+    def signatures(self, ctx):
+        _, text_column, id_column, _ = self.args
+        df = self.source._build(ctx)
+        tokens = F.array_distinct(
+            F.split(F.trim(F.lower(F.col(text_column))), r"\s+"))
+        df = df.select(F.col(id_column).alias("_id"),
+                       tokens.alias("_tokens"))
+        # tally per bit: aggregate tokens into a 64-length vote array
+        votes = F.expr(
+            "aggregate(_tokens, "
+            " transform(sequence(0, 63), b -> cast(0 as bigint)), "
+            " (acc, t) -> zip_with(acc, "
+            "   transform(sequence(0, 63), b -> "
+            "     case when (shiftright(xxhash64(t), b) & 1) = 1 "
+            "          then cast(1 as bigint) else cast(-1 as bigint) end), "
+            "   (u, v) -> u + v))")
+        sig = F.expr(
+            "aggregate(transform(sequence(0, 63), b -> "
+            "  case when element_at(_votes, b + 1) > 0 "
+            "       then shiftleft(cast(1 as bigint), b) "
+            "       else cast(0 as bigint) end), "
+            " cast(0 as bigint), (acc, v) -> acc | v)")
+        return (df.withColumn("_votes", votes)
+                .withColumn("simhash", sig)
+                .select("_id", "simhash"))
+
+    def _build(self, ctx):
+        sigs = self.signatures(ctx)
+        bands = []
+        for b in range(4):
+            bands.append(F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * 16)
+                .bitwiseAND(F.lit(0xFFFF)).alias("sig")))
+        buckets = sigs.select("_id", "simhash",
+                              F.explode(F.array(*bands)).alias("_b"))
+        left = buckets.select(F.col("_id").alias("id_a"),
+                              F.col("simhash").alias("_ha"),
+                              F.col("_b").alias("_ba"))
+        right = buckets.select(F.col("_id").alias("id_b"),
+                               F.col("simhash").alias("_hb"),
+                               F.col("_b").alias("_bb"))
+        pairs = (left.join(right, (left["_ba"] == right["_bb"])
+                           & (left["id_a"] < right["id_b"]))
+                 .dropDuplicates(["id_a", "id_b"]))
+        hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+        return (pairs.select("id_a", "id_b", hamming.alias("hamming"))
+                .filter(F.col("hamming") <= self.args[3]))
+
+
+class NgramJaccard(BaseSingle):
+    """Exact n-gram Jaccard similarity for candidate pairs sharing at
+    least one n-gram (inverted-index join — never a full cross join).
+
+    jaccard = |A∩B| / (|A| + |B| − |A∩B|) over distinct word n-grams.
+    Output: ``id_a``, ``id_b``, ``jaccard`` (≥ ``threshold``).
+    """
+
+    def __init__(self, source, text_column="text", id_column="doc_id",
+                 n=3, threshold=0.5):
+        super().__init__(source, text_column, id_column, int(n),
+                         float(threshold))
+
+    @property
+    def columns(self):
+        return {"id_a", "id_b", "jaccard"}
+
+    def _build(self, ctx):
+        _, text_column, id_column, n, threshold = self.args
+        df = self.source._build(ctx)
+        df = df.withColumn("_tokens",
+                           F.split(F.trim(F.lower(F.col(text_column))),
+                                   r"\s+"))
+        if n <= 1:
+            sh = F.array_distinct(F.col("_tokens"))
+        else:
+            sh = F.array_distinct(F.expr(
+                "transform(sequence(1, greatest(size(_tokens) - {n} + 1, 1))"
+                ", i -> concat_ws(' ', slice(_tokens, i, {n})))".format(n=n)))
+        docs = df.select(F.col(id_column).alias("_id"), sh.alias("_sh"))
+        docs = docs.withColumn("_n", F.size("_sh"))
+        inv = docs.select("_id", "_n", F.explode("_sh").alias("_g"))
+        a = inv.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"),
+                       "_g")
+        b = inv.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"),
+                       "_g")
+        common = (a.join(b, ["_g"])
+                  .filter(F.col("id_a") < F.col("id_b"))
+                  .groupBy("id_a", "id_b", "_na", "_nb")
+                  .agg(F.count(F.lit(1)).alias("_common")))
+        jac = (F.col("_common")
+               / (F.col("_na") + F.col("_nb") - F.col("_common")))
+        return (common.select("id_a", "id_b", jac.alias("jaccard"))
+                .filter(F.col("jaccard") >= threshold))
+
+
+class EmbeddingDedup(BaseSingle):
+    """Embedding-cosine near-duplicate pairs.
+
+    ``exact=True``: brute-force all-pairs cosine (the oracle-able
+    baseline).  ``exact=False``: random-hyperplane LSH prefilter — only
+    pairs agreeing on all ``n_planes`` sign bits are compared (the scale
+    path; hyperplane constants are deterministic literals so the result
+    is reproducible anywhere).
+
+    Output: ``id_a``, ``id_b``, ``cosine`` (≥ ``threshold``).
+    """
+
+    def __init__(self, source, vec_column="embedding", id_column="vec_id",
+                 threshold=0.95, exact=True, n_planes=8, dim=None):
+        super().__init__(source, vec_column, id_column, float(threshold),
+                         bool(exact), int(n_planes), dim)
+
+    @property
+    def columns(self):
+        return {"id_a", "id_b", "cosine"}
+
+    def _build(self, ctx):
+        from dask_geomodeling_spark.pipeline.similarity import (
+            cosine_expr, hyperplane_bucket)
+        _, vec_column, id_column, threshold, exact, n_planes, dim = self.args
+        df = self.source._build(ctx)
+        docs = df.select(F.col(id_column).alias("_id"),
+                         F.col(vec_column).alias("_v"))
+        a = docs.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+        b = docs.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+        if exact:
+            pairs = a.join(b, a["id_a"] < b["id_b"])
+        else:
+            if dim is None:
+                raise ValueError("n_planes prefilter requires dim")
+            bucket = hyperplane_bucket("_v", dim, n_planes)
+            ab = docs.withColumn("_bk", bucket)
+            a = ab.select(F.col("_id").alias("id_a"),
+                          F.col("_v").alias("_va"),
+                          F.col("_bk").alias("_bka"))
+            b = ab.select(F.col("_id").alias("id_b"),
+                          F.col("_v").alias("_vb"),
+                          F.col("_bk").alias("_bkb"))
+            pairs = a.join(b, (a["_bka"] == b["_bkb"])
+                           & (a["id_a"] < b["id_b"]))
+        cos = cosine_expr("_va", "_vb")
+        return (pairs.select("id_a", "id_b", cos.alias("cosine"))
+                .filter(F.col("cosine") >= threshold))

@@ -1,0 +1,153 @@
+"""Text-analysis operators over a documents table (SURVEY.md §2,
+'LLM-data-pipeline extensions').
+
+All operators are GeometryBlock-compatible feature blocks whose
+expressions are built from JVM-side ``pyspark.sql.functions`` only — no
+Python UDFs in the hot path, so a 100 TB documents scan stays inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dask_geomodeling_spark.geometry.base import BaseSingle
+
+__all__ = ["TokenCount", "QualityScore", "LanguageID", "Fingerprint"]
+
+# tiny per-language stopword marker sets for the n-gram/stopword heuristic
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "que"],
+    "es": ["el", "la", "que", "de", "los", "es", "una", "por"],
+    "nl": ["de", "het", "een", "en", "van", "is", "dat", "niet"],
+}
+
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+class TokenCount(BaseSingle):
+    """Token counting: whitespace tokens plus a BPE-ish regex token count
+    (letters runs / digit runs / punctuation marks).
+
+    Adds ``ws_tokens`` and ``bpe_tokens`` columns."""
+
+    def __init__(self, source, column="text"):
+        super().__init__(source, column)
+
+    @property
+    def columns(self):
+        return set(self.source.columns) | {"ws_tokens", "bpe_tokens"}
+
+    def _build(self, ctx):
+        df = self.source._build(ctx)
+        c = F.col(self.args[1])
+        trimmed = F.trim(c)
+        ws = F.when(F.length(trimmed) == 0, 0).otherwise(
+            F.size(F.split(trimmed, r"\s+")))
+        bpe = F.size(F.regexp_extract_all(c, F.lit(_BPE_ISH), 0))
+        return (df.withColumn("ws_tokens", ws.cast("bigint"))
+                  .withColumn("bpe_tokens", bpe.cast("bigint")))
+
+
+class QualityScore(BaseSingle):
+    """Heuristic document quality: length, punctuation ratio, stopword
+    ratio, mean word length → [0, 1] score (Gopher/C4-style filters).
+
+    Adds ``punct_ratio``, ``stopword_ratio``, ``mean_word_len`` and
+    ``quality`` columns."""
+
+    def __init__(self, source, column="text"):
+        super().__init__(source, column)
+
+    @property
+    def columns(self):
+        return set(self.source.columns) | {
+            "punct_ratio", "stopword_ratio", "mean_word_len", "quality"}
+
+    def _build(self, ctx):
+        df = self.source._build(ctx)
+        c = F.col(self.args[1])
+        n = F.length(c)
+        letters = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+        punct = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()]", ""))
+        words = F.split(F.trim(F.lower(c)), r"\s+")
+        n_words = F.when(F.length(F.trim(c)) == 0, 0).otherwise(F.size(words))
+        stop = F.size(F.filter(
+            words, lambda w: w.isin(_LANG_MARKERS["en"])))
+        punct_ratio = F.when(n > 0, punct / n).otherwise(0.0)
+        stop_ratio = F.when(n_words > 0, stop / n_words).otherwise(0.0)
+        mean_wl = F.when(n_words > 0, letters / n_words).otherwise(0.0)
+        quality = (
+            F.when((n >= 50) & (n <= 100000), 0.25).otherwise(0.0)
+            + F.when((punct_ratio > 0.0) & (punct_ratio < 0.2), 0.25)
+            .otherwise(0.0)
+            + F.when(stop_ratio > 0.01, 0.25).otherwise(0.0)
+            + F.when((mean_wl >= 3.0) & (mean_wl <= 12.0), 0.25)
+            .otherwise(0.0))
+        return (df.withColumn("punct_ratio", punct_ratio)
+                  .withColumn("stopword_ratio", stop_ratio)
+                  .withColumn("mean_word_len", mean_wl)
+                  .withColumn("quality", quality))
+
+
+class LanguageID(BaseSingle):
+    """Language identification via stopword-marker voting (n-gram
+    heuristic): the language whose marker words hit most wins; ties and
+    zero hits fall back to 'und'.  Adds ``lang_pred``."""
+
+    def __init__(self, source, column="text"):
+        super().__init__(source, column)
+
+    @property
+    def columns(self):
+        return set(self.source.columns) | {"lang_pred"}
+
+    def _build(self, ctx):
+        df = self.source._build(ctx)
+        words = F.split(F.trim(F.lower(F.col(self.args[1]))), r"\s+")
+        scores = []
+        for lang, markers in _LANG_MARKERS.items():
+            hits = F.size(F.filter(words, lambda w: w.isin(markers)))
+            scores.append(F.struct(hits.alias("hits"),
+                                   F.lit(lang).alias("lang")))
+        best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+        pred = F.when(best["hits"] > 0, best["lang"]).otherwise("und")
+        return df.withColumn("lang_pred", pred)
+
+
+class Fingerprint(BaseSingle):
+    """Deterministic document fingerprint: a rolling polynomial hash over
+    the normalized text, computed JVM-side with ``aggregate`` over the
+    character codes — identical across runs and engines (pure integer
+    arithmetic).  Two independent 31-bit Mersenne rolling hashes combine
+    into one 62-bit fingerprint (each step stays < 2^40, safe under ANSI
+    overflow checking).  Adds ``fingerprint``."""
+
+    MOD = (1 << 31) - 1
+
+    def __init__(self, source, column="text"):
+        super().__init__(source, column)
+
+    @property
+    def columns(self):
+        return set(self.source.columns) | {"fingerprint"}
+
+    def _build(self, ctx):
+        df = self.source._build(ctx)
+        normalized = F.regexp_replace(F.lower(F.col(self.args[1])),
+                                      r"\s+", " ")
+
+        def rolling(base):
+            return F.expr(
+                "aggregate(transform(split({col}, ''), ch -> ascii(ch)), "
+                "cast(0 as bigint), "
+                "(acc, code) -> pmod(acc * {base} + code, {mod}))"
+                .format(col="_norm", base=base, mod=self.MOD))
+
+        fingerprint = (rolling(257) * F.lit(self.MOD).cast("bigint")
+                       + rolling(131))
+        return (df.withColumn("_norm", normalized)
+                  .withColumn("fingerprint", fingerprint)
+                  .drop("_norm"))

@@ -1,0 +1,89 @@
+"""Structured Streaming operators (SURVEY.md §2).
+
+The reference is a batch pull-model; its temporal aggregations map to
+Structured Streaming with event-time windows + watermarks.  The blocks
+here run in BOTH modes: given a batch frame they produce the identical
+windowed aggregation (that batch-parity is what the correctness gate
+checks); given a streaming frame (``spark.readStream``) the same plan
+runs incrementally with late-data handling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dask_geomodeling_spark.core.blocks import Block
+from dask_geomodeling_spark.functions import statistic_expr
+
+__all__ = ["EventSource", "EventAggregate", "SessionizeEvents"]
+
+
+class EventSource(Block):
+    """Event stream source: parquet path (batch) or a readStream when
+    ``streaming=True`` — same schema, same downstream plan."""
+
+    def __init__(self, url, streaming=False, watermark="10 minutes",
+                 time_column="ts"):
+        super().__init__(url, streaming, watermark, time_column)
+
+    def _build(self, ctx):
+        from dask_geomodeling_spark.config import read_nanos_parquet
+        url, streaming, watermark, time_column = self.args
+        if streaming:
+            df = (ctx.spark.readStream.format("parquet")
+                  .schema(ctx.spark.read.parquet(url).schema)
+                  .load(url))
+            return df.withWatermark(time_column, watermark)
+        return read_nanos_parquet(ctx.spark, url, time_column)
+
+
+class EventAggregate(Block):
+    """Windowed event aggregation — event-time window + keys + statistic.
+    On a stream this is an incremental stateful aggregation with
+    watermark-bounded state; on a batch frame it is the same groupBy
+    (batch parity = the oracle check)."""
+
+    def __init__(self, source, frequency="1 hour", keys=("event_type",),
+                 value_column="value", statistic="sum"):
+        if not isinstance(source, Block):
+            raise TypeError("'{}' object is not allowed".format(type(source)))
+        super().__init__(source, frequency, list(keys), value_column,
+                         statistic)
+
+    def _build(self, ctx):
+        source, frequency, keys, value_column, statistic = self.args
+        df = source._build(ctx)
+        win = F.window("ts", frequency)
+        agg = statistic_expr(statistic, value_column)
+        return (df.groupBy(win.alias("_w"), *keys)
+                .agg(agg.alias("value"))
+                .select(F.col("_w.start").alias("window_start"), *keys,
+                        "value"))
+
+    def start(self, spark=None, path=None, checkpoint=None, **request):
+        """Run as a streaming query writing to parquet (scale path)."""
+        df = self.plan(spark, **request)
+        if not df.isStreaming:
+            raise ValueError("source is not streaming")
+        return (df.writeStream.outputMode("append")
+                .option("checkpointLocation", checkpoint)
+                .start(path))
+
+
+class SessionizeEvents(Block):
+    """Session windows per user (gap-based) — the custom stateful
+    pattern; batch mode uses ``session_window``, streams use the same
+    plan with watermarking."""
+
+    def __init__(self, source, gap="30 minutes", user_column="user_id"):
+        super().__init__(source, gap, user_column)
+
+    def _build(self, ctx):
+        source, gap, user_column = self.args
+        df = source._build(ctx)
+        win = F.session_window("ts", gap)
+        return (df.groupBy(win.alias("_w"), user_column)
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.sum("value").alias("total_value"))
+                .select(F.col("_w.start").alias("session_start"),
+                        user_column, "n_events", "total_value"))
