@@ -1,0 +1,892 @@
+"""Demonstration catalog: one entry per operator from SURVEY.md §2.
+
+Each demo binds a reference operator to the driver's TPC-H-ish tables
+(TESTDATA.md) and pairs the Spark block pipeline with an equivalent ANSI
+SQL oracle that DuckDB runs on the same parquet (the driver's t2 gate).
+
+Cross-engine determinism rules used throughout:
+- double aggregation goes through DECIMAL so the result is exact and
+  identical regardless of summation order (``dsum`` helpers below);
+- per-row double arithmetic is IEEE-deterministic and needs no rounding;
+- percentile/std outputs are rounded on BOTH sides;
+- every computed column is aliased identically on both sides (the
+  driver's compare sorts columns by name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dask_geomodeling_spark.config import read_nanos_parquet
+from dask_geomodeling_spark.geometry.sources import (DataFrameSource,
+                                                     ParquetGeometrySource)
+
+QUERIES = {}
+ORACLES = {}
+
+
+def demo(name, oracle=None):
+    def register(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return register
+
+
+def _pq(sf_dir, table):
+    return "{}/{}.parquet".format(sf_dir, table)
+
+
+def lineitem_src(sf_dir):
+    return ParquetGeometrySource(_pq(sf_dir, "lineitem"),
+                                 id_field="l_orderkey")
+
+
+def dsum(col, scale=2):
+    """Order-independent double sum: sum in decimal, emit double."""
+    return F.sum(col.cast("decimal(28,{})".format(scale))).cast("double")
+
+
+DSUM = "CAST(SUM(CAST({col} AS DECIMAL(28,{scale}))) AS DOUBLE)"
+
+
+# --------------------------------------------------------------------------
+# flagship: pricing summary through SeriesBlock math (SURVEY §2 field ops)
+# --------------------------------------------------------------------------
+
+@demo("q1_pricing_summary", oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
+           AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+           AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+           AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-style summary; the row-level expressions are reference
+    field operations (Add/Subtract/Multiply — field_operations.py:272+)
+    composed as SeriesBlocks, fused into one projection."""
+    from dask_geomodeling_spark.geometry.field_operations import (Add,
+                                                                  Multiply,
+                                                                  Subtract)
+    src = lineitem_src(sf_dir)
+    disc_price = Multiply(src["l_extendedprice"],
+                          Subtract(src["l_discount"], 1.0) * -1.0)
+    charge = Multiply(disc_price, Add(src["l_tax"], 1.0))
+    view = src.set("disc_price", disc_price, "charge", charge)
+    df = view.plan(spark)
+    return (df.groupBy("l_returnflag", "l_linestatus")
+            .agg(dsum(F.col("l_quantity")).alias("sum_qty"),
+                 dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+                 dsum(F.col("disc_price"), 6).alias("sum_disc_price"),
+                 dsum(F.col("charge"), 6).alias("sum_charge"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+# --------------------------------------------------------------------------
+# feature plane: field operations
+# --------------------------------------------------------------------------
+
+@demo("field_ops_arithmetic", oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS net,
+       l_quantity + 5.0 AS qty_plus,
+       FLOOR(l_quantity / 7.0) AS qty_div,
+       POWER(l_discount, 2.0) AS disc_sq,
+       l_quantity - FLOOR(l_quantity / 3.0) * 3.0 AS qty_mod
+FROM lineitem
+""")
+def field_ops_arithmetic(spark, sf_dir):
+    """Add/Subtract/Multiply/Divide/FloorDivide/Power/Modulo
+    (field_operations.py:272-399) fused into one projection."""
+    from dask_geomodeling_spark.geometry import field_operations as fo
+    src = lineitem_src(sf_dir)
+    net = fo.Multiply(src["l_extendedprice"],
+                      fo.Multiply(fo.Subtract(src["l_discount"], 1.0), -1.0))
+    view = src.set(
+        "net", net,
+        "qty_plus", fo.Add(src["l_quantity"], 5.0),
+        "qty_div", fo.FloorDivide(src["l_quantity"], 7.0),
+        "disc_sq", fo.Power(src["l_discount"], 2.0),
+        "qty_mod", fo.Modulo(src["l_quantity"], 3.0),
+    )
+    return view.plan(spark).select("l_orderkey", "l_linenumber", "net",
+                                   "qty_plus", "qty_div", "disc_sq",
+                                   "qty_mod")
+
+
+@demo("field_ops_compare_logic", oracle="""
+SELECT l_orderkey, l_linenumber,
+       (l_quantity > 25.0) AND (l_discount <= 0.05) AS bulk_cheap,
+       (l_returnflag = 'R') <> (l_linestatus = 'F') AS flag_xor,
+       NOT (l_quantity >= 10.0) AS small
+FROM lineitem
+""")
+def field_ops_compare_logic(spark, sf_dir):
+    """Greater/LessEqual/Equal + And/Xor/Invert
+    (field_operations.py:400-576)."""
+    from dask_geomodeling_spark.geometry import field_operations as fo
+    src = lineitem_src(sf_dir)
+    view = src.set(
+        "bulk_cheap", fo.And(fo.Greater(src["l_quantity"], 25.0),
+                             fo.LessEqual(src["l_discount"], 0.05)),
+        "flag_xor", fo.Xor(fo.Equal(src["l_returnflag"], "R"),
+                           fo.Equal(src["l_linestatus"], "F")),
+        "small", fo.Invert(fo.GreaterEqual(src["l_quantity"], 10.0)),
+    )
+    return view.plan(spark).select("l_orderkey", "l_linenumber",
+                                   "bulk_cheap", "flag_xor", "small")
+
+
+@demo("classify", oracle="""
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_quantity IS NULL THEN NULL
+            WHEN l_quantity <= 10.0 THEN 'small'
+            WHEN l_quantity <= 25.0 THEN 'medium'
+            WHEN l_quantity <= 40.0 THEN 'large'
+            ELSE 'bulk' END AS qty_class
+FROM lineitem
+""")
+def classify(spark, sf_dir):
+    """Classify with open bounds (field_operations.py:48)."""
+    from dask_geomodeling_spark.geometry.field_operations import Classify
+    src = lineitem_src(sf_dir)
+    view = src.set("qty_class", Classify(
+        src["l_quantity"], [10.0, 25.0, 40.0],
+        ["small", "medium", "large", "bulk"]))
+    return view.plan(spark).select("l_orderkey", "l_linenumber", "qty_class")
+
+
+@demo("classify_from_columns", oracle="""
+SELECT p_partkey,
+       CASE WHEN p_retailprice IS NULL THEN NULL
+            WHEN (CASE WHEN p_retailprice > p_size * 40.0 THEN 1 ELSE 0 END
+                + CASE WHEN p_retailprice > p_size * 40.0 + 500.0
+                       THEN 1 ELSE 0 END) = 0 THEN 'low'
+            WHEN (CASE WHEN p_retailprice > p_size * 40.0 THEN 1 ELSE 0 END
+                + CASE WHEN p_retailprice > p_size * 40.0 + 500.0
+                       THEN 1 ELSE 0 END) = 1 THEN 'mid'
+            ELSE 'high' END AS price_class
+FROM part
+""")
+def classify_from_columns(spark, sf_dir):
+    """ClassifyFromColumns — per-row bin edges from other columns
+    (field_operations.py:142)."""
+    from dask_geomodeling_spark.geometry.field_operations import (
+        ClassifyFromColumns)
+    src = DataFrameSource(
+        read_nanos_parquet(spark, _pq(sf_dir, "part"))
+        .withColumn("bin_lo", F.col("p_size") * 40.0)
+        .withColumn("bin_hi", F.col("p_size") * 40.0 + 500.0),
+        index_column="p_partkey")
+    view = src.set("price_class", ClassifyFromColumns(
+        src, "p_retailprice", ["bin_lo", "bin_hi"], ["low", "mid", "high"]))
+    return view.plan(spark).select("p_partkey", "price_class")
+
+
+@demo("where_mask_round", oracle="""
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_quantity > 25.0
+            THEN ROUND(l_discount * 100.0, 0)
+            ELSE -1.0 END AS wh,
+       CASE WHEN l_returnflag = 'R' THEN 0.0 ELSE l_quantity END AS mk
+FROM lineitem
+""")
+def where_mask_round(spark, sf_dir):
+    """Where (field_operations.py:577), Mask (:622), Round (:667).
+
+    The rounded quantity (discount as a percentage) is integral up to
+    fp-epsilon — rounding doubles that sit exactly on a .5 boundary is
+    NOT portable across engines (half-even in Spark/numpy vs half-away
+    in DuckDB), so portable demos round only away from boundaries."""
+    from dask_geomodeling_spark.geometry import field_operations as fo
+    src = lineitem_src(sf_dir)
+    pct = fo.Multiply(src["l_discount"], 100.0)
+    view = src.set(
+        "wh", fo.Where(fo.Round(pct, 0),
+                       fo.Greater(src["l_quantity"], 25.0), -1.0),
+        "mk", fo.Mask(src["l_quantity"],
+                      fo.Equal(src["l_returnflag"], "R"), 0.0),
+    )
+    return view.plan(spark).select("l_orderkey", "l_linenumber", "wh", "mk")
+
+
+@demo("interp", oracle="""
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_quantity IS NULL THEN NULL
+            WHEN l_quantity < 0.0 THEN 0.0
+            WHEN l_quantity <= 25.0
+              THEN 0.0 + (l_quantity - 0.0) / 25.0 * 50.0
+            WHEN l_quantity <= 50.0
+              THEN 50.0 + (l_quantity - 25.0) / 25.0 * 50.0
+            ELSE 100.0 END AS qty_pct
+FROM lineitem
+""")
+def interp(spark, sf_dir):
+    """Interp — piecewise linear (field_operations.py:690)."""
+    from dask_geomodeling_spark.geometry.field_operations import Interp
+    src = lineitem_src(sf_dir)
+    view = src.set("qty_pct", Interp(src["l_quantity"],
+                                     [0.0, 25.0, 50.0],
+                                     [0.0, 50.0, 100.0]))
+    return view.plan(spark).select("l_orderkey", "l_linenumber", "qty_pct")
+
+
+@demo("choose", oracle="""
+SELECT l_orderkey, l_linenumber,
+       CASE CAST(l_linenumber % 3 AS INT)
+            WHEN 0 THEN l_quantity
+            WHEN 1 THEN l_extendedprice
+            WHEN 2 THEN l_discount END AS chosen
+FROM lineitem
+""")
+def choose(spark, sf_dir):
+    """Choose — per-row series selection (field_operations.py:726)."""
+    from dask_geomodeling_spark.geometry.field_operations import (Choose,
+                                                                  Modulo)
+    src = lineitem_src(sf_dir)
+    view = src.set("chosen", Choose(Modulo(src["l_linenumber"], 3),
+                                    src["l_quantity"],
+                                    src["l_extendedprice"],
+                                    src["l_discount"]))
+    return view.plan(spark).select("l_orderkey", "l_linenumber", "chosen")
+
+
+# --------------------------------------------------------------------------
+# feature plane: merge / text / set ops / constructive / measurements
+# --------------------------------------------------------------------------
+
+@demo("merge_blocks", oracle="""
+SELECT o.o_custkey AS idx, o.o_orderkey, o.o_totalprice,
+       c.c_name, c.c_acctbal
+FROM orders o INNER JOIN customer c ON o.o_custkey = c.c_custkey
+""")
+def merge_blocks(spark, sf_dir):
+    """MergeGeometryBlocks — index-aligned join (merge.py:12); Catalyst
+    broadcasts the customer side automatically."""
+    from dask_geomodeling_spark.geometry.merge import MergeGeometryBlocks
+    orders = ParquetGeometrySource(_pq(sf_dir, "orders"),
+                                   id_field="o_custkey")
+    customer = ParquetGeometrySource(_pq(sf_dir, "customer"),
+                                     id_field="c_custkey")
+    merged = MergeGeometryBlocks(orders, customer, how="inner")
+    return (merged.plan(spark)
+            .select(F.col("o_custkey").alias("idx"), "o_orderkey",
+                    "o_totalprice", "c_name", "c_acctbal"))
+
+
+@demo("parse_text", oracle="""
+WITH t AS (
+  SELECT event_id,
+         'type=' || event_type || ' val=' || CAST(CAST(TRUNC(value) AS INT) AS VARCHAR)
+             AS txt
+  FROM events
+)
+SELECT event_id,
+       NULLIF(regexp_extract(txt, 'type\\s*=\\s*([^,;\\s]*)', 1), '')
+           AS etype,
+       CAST(NULLIF(regexp_extract(txt, 'val\\s*=\\s*([^,;\\s]*)', 1), '')
+           AS DOUBLE) AS val
+FROM t
+""")
+def parse_text(spark, sf_dir):
+    """ParseTextColumn — key=value extraction (text.py:35)."""
+    from dask_geomodeling_spark.geometry.text import ParseTextColumn
+    events = read_nanos_parquet(spark, _pq(sf_dir, "events"))
+    txt = F.concat(F.lit("type="), F.col("event_type"), F.lit(" val="),
+                   F.col("value").cast("int").cast("string"))
+    src = DataFrameSource(events.withColumn("txt", txt),
+                          index_column="event_id")
+    parsed = ParseTextColumn(src, "txt",
+                             {"type": "etype", "val": "val"},
+                             types={"val": "double"})
+    return parsed.plan(spark).select("event_id", "etype", "val")
+
+
+@demo("parse_json", oracle="""
+SELECT event_id,
+       CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k
+FROM events
+""")
+def parse_json(spark, sf_dir):
+    """ParseJsonColumn — Spark-first JSON sibling of ParseTextColumn."""
+    from dask_geomodeling_spark.geometry.text import ParseJsonColumn
+    events = read_nanos_parquet(spark, _pq(sf_dir, "events"))
+    src = DataFrameSource(events, index_column="event_id")
+    parsed = ParseJsonColumn(src, "props", {"k": "k"}, "k bigint")
+    return parsed.plan(spark).select("event_id", "k")
+
+
+@demo("buffer_area", oracle="""
+WITH pts AS (
+  SELECT s_suppkey,
+         CAST(s_suppkey % 100 AS DOUBLE) AS x,
+         CAST((s_suppkey * 7) % 100 AS DOUBLE) AS y
+  FROM supplier
+)
+SELECT s_suppkey,
+       x - 2.5 AS xmin, y - 2.5 AS ymin, x + 2.5 AS xmax, y + 2.5 AS ymax,
+       (x + 2.5 - (x - 2.5)) * (y + 2.5 - (y - 2.5)) AS area
+FROM pts
+""")
+def buffer_area(spark, sf_dir):
+    """Buffer (constructive.py:13) + Area (geom_operations.py:15) on
+    supplier points derived deterministically from keys."""
+    from dask_geomodeling_spark.geometry.constructive import Buffer
+    from dask_geomodeling_spark.geometry.geom_operations import Area
+    supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    pts = supplier.select(
+        "s_suppkey",
+        (F.col("s_suppkey") % 100).cast("double").alias("x"),
+        ((F.col("s_suppkey") * 7) % 100).cast("double").alias("y"))
+    src = DataFrameSource(pts, index_column="s_suppkey")
+    buffered = Buffer(src, 2.5)
+    view = buffered.set("area", Area(buffered))
+    return view.plan(spark).select("s_suppkey", "xmin", "ymin",
+                                   "xmax", "ymax", "area")
+
+
+@demo("set_difference", oracle="""
+WITH pts AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 50 AS DOUBLE) AS x,
+         CAST((c_custkey * 3) % 50 AS DOUBLE) AS y
+  FROM customer
+), boxes AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 50 AS DOUBLE) - 1.0 AS oxmin,
+         CAST((c_custkey * 3) % 50 AS DOUBLE) - 1.0 AS oymin,
+         CAST(c_custkey % 50 AS DOUBLE) + 1.0 AS oxmax,
+         CAST((c_custkey * 3) % 50 AS DOUBLE) + 1.0 AS oymax
+  FROM customer WHERE c_custkey % 2 = 0
+)
+SELECT p.c_custkey,
+       CASE WHEN b.c_custkey IS NOT NULL AND p.x BETWEEN b.oxmin AND b.oxmax
+                 AND p.y BETWEEN b.oymin AND b.oymax
+            THEN NULL ELSE p.x END AS x,
+       CASE WHEN b.c_custkey IS NOT NULL AND p.x BETWEEN b.oxmin AND b.oxmax
+                 AND p.y BETWEEN b.oymin AND b.oymax
+            THEN NULL ELSE p.y END AS y
+FROM pts p LEFT JOIN boxes b USING (c_custkey)
+""")
+def set_difference(spark, sf_dir):
+    """Difference (set_operations.py:12): customer points minus boxes of
+    even-keyed features."""
+    from dask_geomodeling_spark.geometry.set_operations import Difference
+    customer = read_nanos_parquet(spark, _pq(sf_dir, "customer"))
+    pts = customer.select(
+        "c_custkey",
+        (F.col("c_custkey") % 50).cast("double").alias("x"),
+        ((F.col("c_custkey") * 3) % 50).cast("double").alias("y"))
+    boxes = (pts.filter(F.col("c_custkey") % 2 == 0)
+             .select("c_custkey",
+                     (F.col("x") - 1.0).alias("xmin"),
+                     (F.col("y") - 1.0).alias("ymin"),
+                     (F.col("x") + 1.0).alias("xmax"),
+                     (F.col("y") + 1.0).alias("ymax")))
+    diff = Difference(DataFrameSource(pts, index_column="c_custkey"),
+                      DataFrameSource(boxes, index_column="c_custkey"))
+    return diff.plan(spark).select("c_custkey", "x", "y")
+
+
+@demo("geometry_tiler", oracle="""
+SELECT s_suppkey,
+       CAST(FLOOR(CAST(s_suppkey % 100 AS DOUBLE) / 10.0) AS BIGINT)
+           AS tile_x,
+       CAST(FLOOR(CAST((s_suppkey * 7) % 100 AS DOUBLE) / 10.0) AS BIGINT)
+           AS tile_y
+FROM supplier
+""")
+def geometry_tiler(spark, sf_dir):
+    """GeometryTiler — spatial tile partitioning (parallelize.py:18);
+    on Spark the tile key drives repartitioning."""
+    from dask_geomodeling_spark.geometry.parallelize import GeometryTiler
+    supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    pts = supplier.select(
+        "s_suppkey",
+        (F.col("s_suppkey") % 100).cast("double").alias("x"),
+        ((F.col("s_suppkey") * 7) % 100).cast("double").alias("y"))
+    tiled = GeometryTiler(DataFrameSource(pts, index_column="s_suppkey"), 10)
+    return tiled.plan(spark).select("s_suppkey", "tile_x", "tile_y")
+
+
+# --------------------------------------------------------------------------
+# raster plane — grids derived deterministically from the tables, so every
+# raster operator is SQL-oracle-able (SURVEY.md §3)
+# --------------------------------------------------------------------------
+
+GRID_SQL = """
+  SELECT CAST(DATE_TRUNC('month', l_shipdate) AS TIMESTAMP) AS time,
+         l_suppkey % 32 AS y, l_partkey % 64 AS x,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS value
+  FROM lineitem {where}
+  GROUP BY 1, 2, 3
+"""
+
+
+def lineitem_grid(spark, sf_dir, flag=None):
+    """Deterministic raster: monthly (y=suppkey%32, x=partkey%64) quantity
+    sums.  The decimal-sum makes cell values exact, so downstream raster
+    math is engine-independent."""
+    from dask_geomodeling_spark.raster.sources import DataFrameRasterSource
+    li = read_nanos_parquet(spark, _pq(sf_dir, "lineitem"))
+    if flag:
+        li = li.filter(F.col("l_returnflag") == flag)
+    df = (li.groupBy(
+            F.date_trunc("month", F.col("l_shipdate"))
+            .cast("timestamp").alias("time"),
+            (F.col("l_suppkey") % 32).alias("y"),
+            (F.col("l_partkey") % 64).alias("x"))
+          .agg(dsum(F.col("l_quantity")).alias("value")))
+    return DataFrameRasterSource(df)
+
+
+def _grid_sql(flag=None):
+    where = "WHERE l_returnflag = '{}'".format(flag) if flag else ""
+    return GRID_SQL.format(where=where)
+
+
+@demo("raster_elemwise_math", oracle="""
+WITH grid AS ({grid})
+SELECT time, y, x,
+       (value + (value * 2.0)) / 2.0 - 1.0 AS value
+FROM grid
+""".format(grid=_grid_sql()))
+def raster_elemwise_math(spark, sf_dir):
+    """Raster Add/Multiply/Divide/Subtract (elemwise.py:302+): two
+    same-lineage rasters aligned on (time,y,x), then scalar math."""
+    from dask_geomodeling_spark.raster import elemwise as ew
+    a = lineitem_grid(spark, sf_dir)
+    b = ew.Multiply(a, 2.0)
+    return ew.Subtract(ew.Divide(ew.Add(a, b), 2.0), 1.0).plan(spark)
+
+
+@demo("raster_elemwise_compare", oracle="""
+WITH grid AS ({grid})
+SELECT time, y, x,
+       (value > 100.0) AND NOT (value >= 500.0) AS value
+FROM grid
+""".format(grid=_grid_sql()))
+def raster_elemwise_compare(spark, sf_dir):
+    """Greater/GreaterEqual/Invert/And (elemwise.py:409+)."""
+    from dask_geomodeling_spark.raster import elemwise as ew
+    g = lineitem_grid(spark, sf_dir)
+    return ew.And(ew.Greater(g, 100.0),
+                  ew.Invert(ew.GreaterEqual(g, 500.0))).plan(spark)
+
+
+@demo("raster_fill_nodata", oracle="""
+WITH grid AS ({grid}),
+a AS (SELECT * FROM grid WHERE y < 16),
+b AS (SELECT time, y, x, value * 2.0 AS value FROM grid WHERE x < 32)
+SELECT time, y, x, COALESCE(a.value, b.value) AS value
+FROM a FULL OUTER JOIN b USING (time, y, x)
+""".format(grid=_grid_sql()))
+def raster_fill_nodata(spark, sf_dir):
+    """FillNoData (elemwise.py:700): first-non-null across partial
+    rasters — union + single grouped min_by, one shuffle."""
+    from dask_geomodeling_spark.raster import elemwise as ew
+    from dask_geomodeling_spark.raster.sources import DataFrameRasterSource
+    g = lineitem_grid(spark, sf_dir)
+    base = g._df
+    a = DataFrameRasterSource(base.filter(F.col("y") < 16))
+    b = DataFrameRasterSource(
+        base.filter(F.col("x") < 32)
+        .withColumn("value", F.col("value") * 2.0))
+    return ew.FillNoData(a, b).plan(spark)
+
+
+@demo("raster_group", oracle="""
+WITH grid AS ({grid}),
+a AS (SELECT * FROM grid WHERE y < 16),
+b AS (SELECT time, y, x, value * 2.0 AS value FROM grid WHERE x < 32)
+SELECT time, y, x, COALESCE(b.value, a.value) AS value
+FROM a FULL OUTER JOIN b USING (time, y, x)
+""".format(grid=_grid_sql()))
+def raster_group(spark, sf_dir):
+    """Group (combine.py:143): last raster wins on overlap."""
+    from dask_geomodeling_spark.raster.combine import Group
+    from dask_geomodeling_spark.raster.sources import DataFrameRasterSource
+    g = lineitem_grid(spark, sf_dir)
+    base = g._df
+    a = DataFrameRasterSource(base.filter(F.col("y") < 16))
+    b = DataFrameRasterSource(
+        base.filter(F.col("x") < 32)
+        .withColumn("value", F.col("value") * 2.0))
+    return Group(a, b).plan(spark)
+
+
+@demo("raster_clip", oracle="""
+WITH grid AS ({grid})
+SELECT g.time, g.y, g.x, g.value
+FROM grid g
+WHERE g.value > 50.0
+""".format(grid=_grid_sql()))
+def raster_clip(spark, sf_dir):
+    """Clip (misc.py:30): keep cells where the mask raster has data and
+    is truthy (here: same grid thresholded)."""
+    from dask_geomodeling_spark.raster import elemwise as ew
+    from dask_geomodeling_spark.raster.misc import Clip
+    g = lineitem_grid(spark, sf_dir)
+    return Clip(g, ew.Greater(g, 50.0)).plan(spark)
+
+
+@demo("raster_mask_step_classify", oracle="""
+WITH grid AS ({grid})
+SELECT time, y, x,
+       CASE WHEN value IS NULL THEN NULL ELSE 1.0 END AS mask_value,
+       CASE WHEN value < 100.0 THEN 0.0
+            WHEN value = 100.0 THEN 0.5
+            WHEN value > 100.0 THEN 1.0 END AS step_value,
+       CASE WHEN value IS NULL THEN NULL
+            ELSE CAST(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END
+               + CASE WHEN value >= 200.0 THEN 1 ELSE 0 END
+               + CASE WHEN value >= 500.0 THEN 1 ELSE 0 END AS DOUBLE)
+            END AS class_value,
+       CASE WHEN value < 100.0 THEN NULL ELSE value END AS maskbelow_value
+FROM grid
+""".format(grid=_grid_sql()))
+def raster_mask_step_classify(spark, sf_dir):
+    """Mask (misc.py:169), Step (:254), Classify/np.digitize (:331),
+    MaskBelow (:225) — all pure projections, joined for one comparison."""
+    from dask_geomodeling_spark.raster.misc import (Classify, Mask,
+                                                    MaskBelow, Step)
+    g = lineitem_grid(spark, sf_dir)
+    parts = {
+        "mask_value": Mask(g, 1.0),
+        "step_value": Step(g, left=0.0, right=1.0, value=100.0),
+        "class_value": Classify(g, [50.0, 200.0, 500.0]),
+        "maskbelow_value": MaskBelow(g, 100.0),
+    }
+    out = None
+    for name, block in parts.items():
+        df = block.plan(spark).withColumnRenamed("value", name)
+        out = df if out is None else out.join(df, ["time", "y", "x"], "full")
+    return out
+
+
+@demo("raster_reclassify", oracle="""
+WITH grid AS ({grid}),
+c AS (SELECT time, y, x,
+             CASE WHEN value IS NULL THEN NULL
+                  ELSE CAST(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END
+                     + CASE WHEN value >= 300.0 THEN 1 ELSE 0 END AS DOUBLE)
+                  END AS value
+      FROM grid)
+SELECT time, y, x,
+       CASE WHEN value IS NULL THEN NULL
+            WHEN value = 0.0 THEN 10.0
+            WHEN value = 1.0 THEN 20.0
+            WHEN value = 2.0 THEN 30.0
+            ELSE value END AS value
+FROM c
+""".format(grid=_grid_sql()))
+def raster_reclassify(spark, sf_dir):
+    """Reclassify (misc.py:402) of a classified raster."""
+    from dask_geomodeling_spark.raster.misc import Classify, Reclassify
+    g = lineitem_grid(spark, sf_dir)
+    classified = Classify(g, [100.0, 300.0])
+    return Reclassify(classified,
+                      [[0.0, 10.0], [1.0, 20.0], [2.0, 30.0]]).plan(spark)
+
+
+@demo("raster_exp_log", oracle="""
+WITH grid AS ({grid})
+SELECT time, y, x,
+       ROUND(LN(value), 6) AS log_value,
+       ROUND(LOG10(value), 6) AS log10_value
+FROM grid
+""".format(grid=_grid_sql()))
+def raster_exp_log(spark, sf_dir):
+    """Log/Log10 (elemwise.py:801/818).  Values are strictly positive
+    (quantity sums); rounded to 6 decimals on both sides because libm
+    implementations may differ in the last ulp."""
+    from dask_geomodeling_spark.raster.elemwise import Log, Log10
+    g = lineitem_grid(spark, sf_dir)
+    lg = Log(g).plan(spark).withColumn("value", F.round("value", 6)) \
+        .withColumnRenamed("value", "log_value")
+    l10 = Log10(g).plan(spark).withColumn("value", F.round("value", 6)) \
+        .withColumnRenamed("value", "log10_value")
+    return lg.join(l10, ["time", "y", "x"], "full")
+
+
+@demo("raster_reduction", oracle="""
+WITH a AS ({ga}), b AS ({gb}), c AS ({gc}),
+u AS (SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c)
+SELECT time, y, x, MAX(value) AS max_value, MIN(value) AS min_value,
+       COUNT(value) AS count_value
+FROM u WHERE value IS NOT NULL
+GROUP BY time, y, x
+""".format(ga=_grid_sql("R"), gb=_grid_sql("A"), gc=_grid_sql("N")))
+def raster_reduction(spark, sf_dir):
+    """reduce_rasters Max/Min/Count (reduction.py:38): one union + one
+    grouped aggregation regardless of stack depth."""
+    from dask_geomodeling_spark.raster import reduction
+    stacks = [lineitem_grid(spark, sf_dir, flag) for flag in "RAN"]
+    mx = reduction.Max(*stacks).plan(spark).withColumnRenamed(
+        "value", "max_value")
+    mn = reduction.Min(*stacks).plan(spark).withColumnRenamed(
+        "value", "min_value")
+    ct = reduction.Count(*stacks).plan(spark).withColumnRenamed(
+        "value", "count_value")
+    return mx.join(mn, ["time", "y", "x"]).join(ct, ["time", "y", "x"])
+
+
+EVENT_GRID_SQL = """
+  SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS time,
+         user_id % 16 AS y, event_id % 64 AS x,
+         MAX(value) AS value
+  FROM events
+  GROUP BY 1, 2, 3
+"""
+
+
+def event_grid(spark, sf_dir):
+    """Hourly event raster (y=user%16, x=event%64, value=max) — max is
+    order-independent, so cells are engine-exact."""
+    from dask_geomodeling_spark.raster.sources import DataFrameRasterSource
+    ev = read_nanos_parquet(spark, _pq(sf_dir, "events"))
+    df = (ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("timestamp").alias("time"),
+            (F.col("user_id") % 16).alias("y"),
+            (F.col("event_id") % 64).alias("x"))
+          .agg(F.max("value").alias("value")))
+    return DataFrameRasterSource(df)
+
+
+@demo("raster_temporal_aggregate", oracle="""
+WITH grid AS ({grid})
+SELECT CAST(DATE_TRUNC('day', time) AS TIMESTAMP) AS time, y, x,
+       MAX(value) AS value
+FROM grid
+GROUP BY 1, y, x
+""".format(grid=EVENT_GRID_SQL))
+def raster_temporal_aggregate(spark, sf_dir):
+    """TemporalAggregate (temporal.py:480): hourly grid → daily max via
+    window(time, '1 day').  Hour/day/minute windows align to midnight in
+    both Spark and DuckDB; week windows do NOT (Spark aligns to the epoch
+    Thursday, DuckDB to Monday) — portable demos stick to day multiples."""
+    from dask_geomodeling_spark.raster.temporal import TemporalAggregate
+    return TemporalAggregate(event_grid(spark, sf_dir), "1D", "max").plan(spark)
+
+
+@demo("raster_cumulative", oracle="""
+WITH grid AS ({grid})
+SELECT time, y, x,
+       SUM(value) OVER (PARTITION BY y, x ORDER BY time
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS value
+FROM grid
+""".format(grid=EVENT_GRID_SQL))
+def raster_cumulative(spark, sf_dir):
+    """Cumulative (temporal.py:775): running per-cell sum over time.
+    The accumulation order is fixed by ORDER BY time, so double sums are
+    bit-identical across engines."""
+    from dask_geomodeling_spark.raster.temporal import Cumulative
+    return Cumulative(event_grid(spark, sf_dir), "sum").plan(spark)
+
+
+@demo("raster_shift", oracle="""
+WITH grid AS ({grid})
+SELECT time + INTERVAL 1 HOUR AS time, y, x, value
+FROM grid
+""".format(grid=EVENT_GRID_SQL))
+def raster_shift(spark, sf_dir):
+    """Shift (temporal.py:185)."""
+    from datetime import timedelta
+
+    from dask_geomodeling_spark.raster.temporal import Shift
+    return Shift(event_grid(spark, sf_dir), timedelta(hours=1)).plan(spark)
+
+
+@demo("raster_snap", oracle="""
+WITH store AS ({grid}),
+index_times AS (
+  SELECT DISTINCT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP)
+      + INTERVAL 10 HOUR AS itime
+  FROM events
+),
+store_times AS (SELECT DISTINCT time FROM store),
+mapping AS (
+  SELECT itime, time
+  FROM index_times CROSS JOIN store_times
+  QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY itime
+      ORDER BY ABS(EPOCH(itime) - EPOCH(time)), time) = 1
+)
+SELECT m.itime AS time, s.y, s.x, s.value
+FROM store s JOIN mapping m USING (time)
+""".format(grid=EVENT_GRID_SQL))
+def raster_snap(spark, sf_dir):
+    """Snap (temporal.py:42): take store cell values with the time
+    structure of an index raster (here: the same grid shifted +10h)."""
+    from datetime import timedelta
+
+    from dask_geomodeling_spark.raster.temporal import Shift, Snap
+    store = event_grid(spark, sf_dir)
+    index = Shift(store, timedelta(hours=10))
+    return Snap(store, index).plan(spark)
+
+
+@demo("raster_moving_max", oracle="""
+WITH grid AS ({grid}),
+offs(dy, dx) AS (VALUES (0,0), (0,1), (0,-1), (1,0), (-1,0))
+SELECT g.time, g.y + o.dy AS y, g.x + o.dx AS x, MAX(g.value) AS value
+FROM grid g CROSS JOIN offs o
+WHERE g.value IS NOT NULL
+GROUP BY g.time, g.y + o.dy, g.x + o.dx
+""".format(grid=_grid_sql("R")))
+def raster_moving_max(spark, sf_dir):
+    """MovingMax (spatial.py:158): circular footprint (size 3 → radius 1)
+    via neighbor-offset explode + one grouped max."""
+    from dask_geomodeling_spark.raster.spatial import MovingMax
+    return MovingMax(lineitem_grid(spark, sf_dir, "R"), 3).plan(spark)
+
+
+@demo("raster_dilate", oracle="""
+WITH grid AS ({grid}),
+s AS (SELECT time, y, x,
+             CASE WHEN value < 100.0 THEN 0.0
+                  WHEN value = 100.0 THEN 0.5
+                  ELSE 1.0 END AS value
+      FROM grid),
+offs(dy, dx) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                        (1,-1),(1,0),(1,1)),
+u AS (
+  SELECT time, y, x, value, -1 AS prio FROM s
+  UNION ALL
+  SELECT s.time, s.y + o.dy, s.x + o.dx, 1.0, 0
+  FROM s CROSS JOIN offs o WHERE s.value = 1.0
+)
+SELECT time, y, x, ARG_MAX(value, prio) AS value
+FROM u GROUP BY time, y, x
+""".format(grid=_grid_sql("R")))
+def raster_dilate(spark, sf_dir):
+    """Dilate (spatial.py:111): 8-connected dilation of value 1.0 over a
+    stepped raster."""
+    from dask_geomodeling_spark.raster.misc import Step
+    from dask_geomodeling_spark.raster.spatial import Dilate
+    stepped = Step(lineitem_grid(spark, sf_dir, "R"),
+                   left=0.0, right=1.0, value=100.0)
+    return Dilate(stepped, [1.0]).plan(spark)
+
+
+@demo("raster_rasterize", oracle="""
+WITH boxes AS (
+  SELECT n_nationkey,
+         CAST(n_nationkey % 5 AS DOUBLE) * 4.0 AS xmin,
+         CAST(n_regionkey AS DOUBLE) * 4.0 AS ymin,
+         CAST(n_nationkey % 5 AS DOUBLE) * 4.0 + 2.0 AS xmax,
+         CAST(n_regionkey AS DOUBLE) * 4.0 + 2.0 AS ymax
+  FROM nation
+)
+SELECT TIMESTAMP '1970-01-01 00:00:00' AS time, yy.y, xx.x,
+       MAX(CAST(b.n_nationkey AS DOUBLE)) AS value
+FROM boxes b,
+     LATERAL (SELECT UNNEST(RANGE(CAST(FLOOR(b.ymin) AS BIGINT),
+                                  CAST(FLOOR(b.ymax) AS BIGINT) + 1)) AS y)
+         AS yy,
+     LATERAL (SELECT UNNEST(RANGE(CAST(FLOOR(b.xmin) AS BIGINT),
+                                  CAST(FLOOR(b.xmax) AS BIGINT) + 1)) AS x)
+         AS xx
+GROUP BY yy.y, xx.x
+""")
+def raster_rasterize(spark, sf_dir):
+    """Rasterize (misc.py:518): nation boxes → covered cells, burning the
+    nation key; overlaps take the max."""
+    from dask_geomodeling_spark.raster.misc import Rasterize
+    nation = read_nanos_parquet(spark, _pq(sf_dir, "nation"))
+    boxes = nation.select(
+        "n_nationkey",
+        ((F.col("n_nationkey") % 5).cast("double") * 4.0).alias("xmin"),
+        (F.col("n_regionkey").cast("double") * 4.0).alias("ymin"),
+        ((F.col("n_nationkey") % 5).cast("double") * 4.0 + 2.0).alias("xmax"),
+        (F.col("n_regionkey").cast("double") * 4.0 + 2.0).alias("ymax"),
+        F.col("n_nationkey").cast("double").alias("burn"))
+    src = DataFrameSource(boxes, index_column="n_nationkey")
+    return Rasterize(src, column_name="burn").plan(spark)
+
+
+@demo("aggregate_raster", oracle="""
+WITH grid AS ({grid}),
+boxes AS (
+  SELECT n_nationkey,
+         CAST((n_nationkey % 5) * 12 AS BIGINT) AS xmin,
+         CAST(n_regionkey * 6 AS BIGINT) AS ymin,
+         CAST((n_nationkey % 5) * 12 + 11 AS BIGINT) AS xmax,
+         CAST(n_regionkey * 6 + 5 AS BIGINT) AS ymax
+  FROM nation
+)
+SELECT b.n_nationkey, b.xmin, b.ymin, b.xmax, b.ymax,
+       MAX(g.value) AS agg_max,
+       COUNT(g.value) AS agg_count
+FROM boxes b LEFT JOIN grid g
+  ON g.x BETWEEN b.xmin AND b.xmax AND g.y BETWEEN b.ymin AND b.ymax
+GROUP BY b.n_nationkey, b.xmin, b.ymin, b.xmax, b.ymax
+""".format(grid=_grid_sql()))
+def aggregate_raster(spark, sf_dir):
+    """AggregateRaster (aggregate.py:255): zonal max+count of the
+    lineitem grid inside nation boxes — range join with the small
+    feature side broadcast, then one grouped aggregation."""
+    from dask_geomodeling_spark.geometry.aggregate import AggregateRaster
+    nation = read_nanos_parquet(spark, _pq(sf_dir, "nation"))
+    boxes = nation.select(
+        "n_nationkey",
+        ((F.col("n_nationkey") % 5) * 12).cast("bigint").alias("xmin"),
+        (F.col("n_regionkey") * 6).cast("bigint").alias("ymin"),
+        ((F.col("n_nationkey") % 5) * 12 + 11).cast("bigint").alias("xmax"),
+        (F.col("n_regionkey") * 6 + 5).cast("bigint").alias("ymax"))
+    src = DataFrameSource(boxes, index_column="n_nationkey")
+    grid = lineitem_grid(spark, sf_dir)
+    mx = AggregateRaster(src, grid, statistic="max", column_name="agg_max")
+    both = AggregateRaster(mx, grid, statistic="count",
+                           column_name="agg_count")
+    df = both.plan(spark)
+    return df.select("n_nationkey", "xmin", "ymin", "xmax", "ymax",
+                     "agg_max", F.coalesce("agg_count", F.lit(0))
+                     .alias("agg_count"))
+
+
+@demo("aggregate_raster_threshold", oracle="""
+WITH grid AS ({grid}),
+boxes AS (
+  SELECT n_nationkey,
+         CAST((n_nationkey % 5) * 12 AS BIGINT) AS xmin,
+         CAST(n_regionkey * 6 AS BIGINT) AS ymin,
+         CAST((n_nationkey % 5) * 12 + 11 AS BIGINT) AS xmax,
+         CAST(n_regionkey * 6 + 5 AS BIGINT) AS ymax,
+         CAST(50.0 + n_nationkey * 10.0 AS DOUBLE) AS thr
+  FROM nation
+)
+SELECT b.n_nationkey,
+       COUNT(g.value) AS agg_count
+FROM boxes b LEFT JOIN grid g
+  ON g.x BETWEEN b.xmin AND b.xmax AND g.y BETWEEN b.ymin AND b.ymax
+ AND g.value >= b.thr
+GROUP BY b.n_nationkey
+""".format(grid=_grid_sql()))
+def aggregate_raster_threshold(spark, sf_dir):
+    """AggregateRasterAboveThreshold (aggregate.py:590): per-feature
+    threshold column filters cells before the statistic."""
+    from dask_geomodeling_spark.geometry.aggregate import (
+        AggregateRasterAboveThreshold)
+    nation = read_nanos_parquet(spark, _pq(sf_dir, "nation"))
+    boxes = nation.select(
+        "n_nationkey",
+        ((F.col("n_nationkey") % 5) * 12).cast("bigint").alias("xmin"),
+        (F.col("n_regionkey") * 6).cast("bigint").alias("ymin"),
+        ((F.col("n_nationkey") % 5) * 12 + 11).cast("bigint").alias("xmax"),
+        (F.col("n_regionkey") * 6 + 5).cast("bigint").alias("ymax"),
+        (50.0 + F.col("n_nationkey") * 10.0).alias("thr"))
+    src = DataFrameSource(boxes, index_column="n_nationkey")
+    agg = AggregateRasterAboveThreshold(
+        src, lineitem_grid(spark, sf_dir), statistic="count",
+        column_name="agg_count", threshold_name="thr")
+    return agg.plan(spark).select(
+        "n_nationkey", F.coalesce("agg_count", F.lit(0)).alias("agg_count"))

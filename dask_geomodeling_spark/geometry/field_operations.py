@@ -162,7 +162,9 @@ class BaseFieldOperation(BaseSingleSeries):
     geometry/field_operations.py:255)."""
 
     def __init__(self, source, other):
-        if not isinstance(other, (SeriesBlock, int, float, bool)):
+        # superset of the reference: string constants are allowed so
+        # comparisons against categorical columns work
+        if not isinstance(other, (SeriesBlock, int, float, bool, str)):
             raise TypeError("'{}' object is not allowed".format(type(other)))
         super().__init__(source, other)
 

@@ -64,16 +64,18 @@ class Difference(BaseSingle):
                        & (F.col("y") >= F.col("_oymin"))
                        & (F.col("y") <= F.col("_oymax")))
             covered = F.coalesce(covered, F.lit(False))
-            df = (df.withColumn("x", F.when(~covered, F.col("x")))
-                    .withColumn("y", F.when(~covered, F.col("y"))))
+            # evaluate the predicate once against the ORIGINAL coords
+            df = df.withColumns({
+                "x": F.when(~covered, F.col("x")),
+                "y": F.when(~covered, F.col("y"))})
         else:
             overlap = ((F.col("xmin") <= F.col("_oxmax"))
                        & (F.col("xmax") >= F.col("_oxmin"))
                        & (F.col("ymin") <= F.col("_oymax"))
                        & (F.col("ymax") >= F.col("_oymin")))
             overlap = F.coalesce(overlap, F.lit(False))
-            for c in ("xmin", "ymin", "xmax", "ymax"):
-                df = df.withColumn(c, F.when(~overlap, F.col(c)))
+            df = df.withColumns({c: F.when(~overlap, F.col(c))
+                                 for c in ("xmin", "ymin", "xmax", "ymax")})
         return df.drop("_oxmin", "_oymin", "_oxmax", "_oymax")
 
 

@@ -16,7 +16,7 @@ from dask_geomodeling_spark.geometry.base import (GeometryBlock,
                                                   apply_feature_request)
 
 __all__ = ["ParquetGeometrySource", "LiteralGeometrySource",
-           "TableSource", "parse_point_or_box_wkt"]
+           "TableSource", "DataFrameSource", "parse_point_or_box_wkt"]
 
 _POINT_RE = re.compile(r"^\s*POINT\s*\(\s*([-\d.eE+]+)\s+([-\d.eE+]+)\s*\)\s*$")
 _BOX_RE = re.compile(
@@ -109,6 +109,28 @@ class TableSource(GeometryBlock):
         df = ctx.spark.table(self.args[0])
         return apply_feature_request(df, ctx.request,
                                      time_column=self.args[2])
+
+
+class DataFrameSource(GeometryBlock):
+    """Wrap an existing Spark DataFrame as a GeometryBlock lineage —
+    the escape hatch that lets arbitrary DataFrame pipelines feed block
+    views.  Not serializable to a JSON graph (the frame is live state);
+    use ParquetGeometrySource/TableSource for persistent views."""
+
+    def __init__(self, df, index_column="id"):
+        self._df = df
+        super().__init__("dataframe-{}".format(id(df)), index_column)
+
+    @property
+    def index_column(self):
+        return self.args[1]
+
+    @property
+    def columns(self):
+        return set(self._df.columns)
+
+    def _build(self, ctx):
+        return apply_feature_request(self._df, ctx.request)
 
 
 class LiteralGeometrySource(GeometryBlock):

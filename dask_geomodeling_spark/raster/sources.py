@@ -18,7 +18,25 @@ from pyspark.sql import functions as F
 from dask_geomodeling_spark.raster.base import (EPOCH, RasterBlock,
                                                 apply_raster_request)
 
-__all__ = ["MemorySource", "RasterParquetSource", "TableRasterSource"]
+__all__ = ["MemorySource", "RasterParquetSource", "TableRasterSource",
+           "DataFrameRasterSource"]
+
+
+class DataFrameRasterSource(RasterBlock):
+    """Wrap an existing DataFrame with (time, y, x, value) columns as a
+    RasterBlock — the adapter that binds any tabular lineage to the
+    raster plane without copying data."""
+
+    def __init__(self, df):
+        self._df = df
+        super().__init__("dataframe-{}".format(id(df)))
+
+    def _build(self, ctx):
+        df = self._df.select(F.col("time").cast("timestamp"),
+                             F.col("y").cast("bigint"),
+                             F.col("x").cast("bigint"),
+                             F.col("value").cast("double"))
+        return apply_raster_request(df, ctx.request)
 
 
 class MemorySource(RasterBlock):

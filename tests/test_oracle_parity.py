@@ -1,0 +1,81 @@
+"""Mirror of the driver's t2 gate: run every demo query on Spark AND its
+DuckDB oracle on the same sf0.001 parquet, compare row counts, column
+names, and (order-insensitively) values."""
+
+import math
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+@pytest.fixture(scope="module")
+def con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute("CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'"
+                    .format(t=t, d=SF_DIR))
+    return con
+
+
+def normalize(df):
+    """Sort columns by name, round floats, sort rows — order-insensitive
+    canonical form."""
+    import pandas as pd
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == "float64":
+            df[c] = df[c].round(6)
+        elif str(df[c].dtype).startswith("datetime64"):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        elif df[c].dtype == "object":
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def assert_parity(spark, con, name):
+    from dask_geomodeling_spark.demos import ORACLES, QUERIES
+    mine = QUERIES[name](spark, SF_DIR).toPandas()
+    oracle = con.execute(ORACLES[name]).df()
+    assert len(mine) == len(oracle), (
+        "{}: row count {} != oracle {}".format(name, len(mine), len(oracle)))
+    assert sorted(mine.columns) == sorted(oracle.columns), (
+        "{}: columns {} != {}".format(name, sorted(mine.columns),
+                                      sorted(oracle.columns)))
+    a, b = normalize(mine), normalize(oracle)
+    for c in a.columns:
+        av, bv = a[c].tolist(), b[c].tolist()
+        for i, (x, y) in enumerate(zip(av, bv)):
+            if isinstance(x, float) and isinstance(y, float):
+                if math.isnan(x) and math.isnan(y):
+                    continue
+                assert abs(x - y) < 1e-6, (
+                    "{}.{}[{}]: {} != {}".format(name, c, i, x, y))
+            else:
+                assert (x == y) or (x is None and y is None) or (
+                    x != x and y != y), (
+                    "{}.{}[{}]: {!r} != {!r}".format(name, c, i, x, y))
+
+
+def all_oracle_names():
+    from dask_geomodeling_spark.demos import ORACLES
+    return sorted(ORACLES)
+
+
+@pytest.mark.parametrize("name", all_oracle_names())
+def test_parity(spark, con, name):
+    assert_parity(spark, con, name)
+
+
+def test_all_queries_run(spark):
+    """Queries without oracles still must execute and return rows."""
+    from dask_geomodeling_spark.demos import ORACLES, QUERIES
+    for name, fn in QUERIES.items():
+        if name in ORACLES:
+            continue
+        assert fn(spark, SF_DIR).count() >= 0, name
