@@ -1,0 +1,73 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with a noop datasource write — the full plan
+executes on the executors, nothing funnels through the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+
+    from dask_geomodeling_spark.config import get_spark
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from dask_geomodeling_spark import demos
+
+    headline = [
+        "q1_pricing_summary",       # fused field-op projections + agg
+        "field_ops_arithmetic",     # row-level SeriesBlock math
+        "classify",                 # CASE classification
+        "merge_blocks",             # broadcast join
+        "parse_text",               # regex extraction
+        "raster_elemwise_math",     # raster scalar math
+        "raster_fill_nodata",       # raster⋈raster full-outer align
+        "raster_temporal_aggregate",  # windowed temporal agg
+        "raster_moving_max",        # spatial kernel (explode+regroup)
+        "aggregate_raster",         # zonal stats range join
+    ]
+    for extra in ("exact_dedup", "minhash_lsh", "ngram_jaccard",
+                  "cosine_topk", "token_count", "quality_score",
+                  "language_id", "fingerprint", "event_aggregate"):
+        if extra in demos.QUERIES:
+            headline.append(extra)
+
+    # warm the JVM + parquet footers once so timings measure the queries
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings = {}
+    for name in headline:
+        fn = demos.QUERIES[name]
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    sf = None
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    if tail.startswith("sf"):
+        try:
+            sf = float(tail[2:])
+        except ValueError:
+            pass
+
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
