@@ -43,9 +43,13 @@ def read_nanos_parquet(spark, url, time_column="ts"):
     df = spark.read.parquet(url)
     if time_column in df.columns and isinstance(
             df.schema[time_column].dataType, T.LongType):
+        # integer division: float division would round-trip the nanos
+        # through double (53-bit mantissa) and drift ±1 µs vs engines
+        # that truncate exactly
         df = df.withColumn(
             time_column,
-            F.timestamp_micros((F.col(time_column) / 1000).cast("bigint")))
+            F.timestamp_micros(F.expr(
+                "`{c}` div 1000".format(c=time_column))))
     return df
 
 

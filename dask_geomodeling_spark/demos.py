@@ -890,3 +890,430 @@ def aggregate_raster_threshold(spark, sf_dir):
         column_name="agg_count", threshold_name="thr")
     return agg.plan(spark).select(
         "n_nationkey", F.coalesce("agg_count", F.lit(0)).alias("agg_count"))
+
+
+# --------------------------------------------------------------------------
+# LLM-data-pipeline extensions (SURVEY.md §2): dedup, similarity, text
+# analysis, multimodal plumbing, streaming.  The arithmetic-hash variants
+# of MinHash/SimHash make the FULL LSH pipelines oracle-able in ANSI SQL;
+# the oracle strings below are generated from the SAME constants the Spark
+# operators use.
+# --------------------------------------------------------------------------
+
+# DuckDB snippet: rolling polynomial hash of a string expression — the
+# exact arithmetic of pipeline.dedup.poly_hash_expr
+_DD_POLY = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(regexp_extract_all({col}, '.'), "
+            "ch -> CAST(ascii(ch) AS BIGINT))), "
+            "(acc, c) -> (acc * {base} + c) % 2147483647)")
+
+# DuckDB snippet: distinct word n-gram shingles of `text`
+_DD_SHINGLES = (
+    "list_distinct([array_to_string(w[i:i+{nm1}], ' ') "
+    "FOR i IN range(1, greatest(len(w) - {n} + 1, 1) + 1)])")
+
+
+def _dd_shingles(n):
+    return _DD_SHINGLES.format(n=n, nm1=n - 1)
+
+
+def documents_src(sf_dir):
+    return ParquetGeometrySource(_pq(sf_dir, "documents"), id_field="doc_id")
+
+
+def embeddings_src(sf_dir):
+    return ParquetGeometrySource(_pq(sf_dir, "embeddings"), id_field="vec_id")
+
+
+@demo("exact_dedup", oracle="""
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+FROM documents GROUP BY text
+""")
+def exact_dedup(spark, sf_dir):
+    """ExactDedup: one hash aggregation, survivor = lowest id."""
+    from dask_geomodeling_spark.pipeline.dedup import ExactDedup
+    return ExactDedup(documents_src(sf_dir), columns=["text"],
+                      id_column="doc_id").plan(spark)
+
+
+def _minhash_oracle(num_perm=8, bands=4, n=2):
+    from dask_geomodeling_spark.pipeline.dedup import _perm_constants
+    perms = _perm_constants(num_perm)
+    sig_cols = ",\n  ".join(
+        "list_min(list_transform(h, x -> ({a} * x + {b}) % 2147483647)) "
+        "AS s{i}".format(a=a, b=b, i=i) for i, (a, b) in enumerate(perms))
+    rpb = num_perm // bands
+    band_preds = " OR ".join(
+        "(" + " AND ".join(
+            "a.s{j} = b.s{j}".format(j=bb * rpb + r) for r in range(rpb))
+        + ")" for bb in range(bands))
+    return """
+WITH docs AS (
+  SELECT doc_id, {sh} AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+        FROM documents)),
+hs AS (SELECT doc_id, sh, list_transform(sh, s -> {poly}) AS h FROM docs),
+sigs AS (SELECT doc_id, sh, {sigs} FROM hs),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ({preds}))
+SELECT c.id_a, c.id_b,
+       CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+       / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+           AS jaccard
+FROM cand c
+JOIN sigs x ON x.doc_id = c.id_a
+JOIN sigs y ON y.doc_id = c.id_b
+""".format(sh=_dd_shingles(n), poly=_DD_POLY.format(col="s", base=257),
+           sigs=sig_cols, preds=band_preds)
+
+
+@demo("minhash_lsh", oracle=_minhash_oracle())
+def minhash_lsh(spark, sf_dir):
+    """MinHashLSH near-dup candidates (poly hash → the whole
+    shingle→minhash→band→bucket-join pipeline is engine-exact)."""
+    from dask_geomodeling_spark.pipeline.dedup import MinHashLSH
+    return MinHashLSH(documents_src(sf_dir), num_perm=8, bands=4,
+                      shingle_size=2, verify=True, hash_fn="poly"
+                      ).plan(spark)
+
+
+def _simhash_oracle(max_hamming=3):
+    h62 = ("({h1} * CAST(2147483647 AS BIGINT) + {h2})"
+           .format(h1=_DD_POLY.format(col="t", base=257),
+                   h2=_DD_POLY.format(col="t", base=131)))
+    bands = " OR ".join(
+        "((a.s >> {o}) & 65535) = ((b.s >> {o}) & 65535)".format(o=o)
+        for o in (0, 16, 32, 48))
+    return """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(string_split_regex(trim(lower(text)),
+                                                 '\\s+'))) AS t
+  FROM documents),
+th AS (SELECT doc_id, {h62} AS h FROM tok),
+bits AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS tally
+  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
+  GROUP BY doc_id, b),
+sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN tally > 0 THEN (CAST(1 AS BIGINT) << b)
+                  ELSE CAST(0 AS BIGINT) END) AS s
+  FROM bits GROUP BY doc_id)
+SELECT id_a, id_b, hamming FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({bands}))
+WHERE hamming <= {mh}
+""".format(h62=h62, bands=bands, mh=max_hamming)
+
+
+@demo("simhash", oracle=_simhash_oracle())
+def simhash(spark, sf_dir):
+    """SimHash near-dup pairs (62-bit arithmetic hash variant)."""
+    from dask_geomodeling_spark.pipeline.dedup import SimHash
+    return SimHash(documents_src(sf_dir), max_hamming=3,
+                   hash_fn="poly").plan(spark)
+
+
+@demo("ngram_jaccard", oracle="""
+WITH docs AS (
+  SELECT doc_id, {sh} AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+        FROM documents)),
+e AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS g FROM docs),
+c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             any_value(a.nsh) AS na, any_value(b.nsh) AS nb,
+             count(*) AS common
+      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+         CAST(common AS DOUBLE) / (na + nb - common) AS jaccard FROM c)
+WHERE jaccard >= 0.5
+""".format(sh=_dd_shingles(2)))
+def ngram_jaccard(spark, sf_dir):
+    """NgramJaccard: exact n-gram Jaccard via inverted-index join."""
+    from dask_geomodeling_spark.pipeline.dedup import NgramJaccard
+    return NgramJaccard(documents_src(sf_dir), n=2, threshold=0.5
+                        ).plan(spark)
+
+
+# DuckDB snippet: sequential-fold dot product of two DOUBLE-cast arrays —
+# the exact summation order of pipeline.similarity.cosine_expr
+_DD_DOT = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+           "list_transform(range(1, {dimp1}), i -> "
+           "CAST({a}[i] AS DOUBLE) * {b}[i])), (acc, v) -> acc + v)")
+
+
+def _dd_cosine(a, b, dim=64):
+    dot = _DD_DOT.format(a=a, b=b, dimp1=dim + 1)
+    na = _DD_DOT.format(a=a, b=a, dimp1=dim + 1)
+    nb = _DD_DOT.format(a=b, b=b, dimp1=dim + 1)
+    return ("({dot}) / nullif(sqrt({na}) * sqrt({nb}), 0.0)"
+            .format(dot=dot, na=na, nb=nb))
+
+
+@demo("embedding_dedup", oracle="""
+WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0)
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {cos} AS cosine
+  FROM s a JOIN s b ON a.vec_id < b.vec_id)
+WHERE cosine >= 0.35
+""".format(cos=_dd_cosine("a.embedding", "b.embedding")))
+def embedding_dedup(spark, sf_dir):
+    """EmbeddingDedup exact all-pairs cosine over a keyed subset."""
+    from dask_geomodeling_spark.pipeline.dedup import EmbeddingDedup
+    emb = read_nanos_parquet(spark, _pq(sf_dir, "embeddings"))
+    sub = DataFrameSource(emb.filter(F.col("vec_id") % 10 == 0),
+                          index_column="vec_id")
+    return EmbeddingDedup(sub, threshold=0.35, exact=True).plan(spark)
+
+
+@demo("cosine_topk", oracle="""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({cos}, 6) AS cosine
+  FROM embeddings c CROSS JOIN q WHERE q.vec_id <> c.vec_id)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id
+      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored)
+WHERE rank <= 10
+""".format(cos=_dd_cosine("q.embedding", "c.embedding")))
+def cosine_topk(spark, sf_dir):
+    """CosineTopK: exact brute-force top-k, broadcast query side,
+    round-then-rank for cross-engine-stable ordering."""
+    from dask_geomodeling_spark.pipeline.similarity import CosineTopK
+    emb = read_nanos_parquet(spark, _pq(sf_dir, "embeddings"))
+    queries = DataFrameSource(emb.filter(F.col("vec_id") < 5),
+                              index_column="vec_id")
+    return CosineTopK(embeddings_src(sf_dir), queries, k=10,
+                      precision=6).plan(spark)
+
+
+def _bucketed_ann_oracle(n_planes=4, dim=64, k=10):
+    from dask_geomodeling_spark.pipeline.similarity import hyperplanes
+    planes = hyperplanes(dim, n_planes)
+    terms = []
+    for i, plane in enumerate(planes):
+        arr = "[" + ",".join("CAST({!r} AS DOUBLE)".format(w)
+                             for w in plane) + "]"
+        dot = _DD_DOT.format(a="{v}", b=arr, dimp1=dim + 1)
+        terms.append(
+            "CASE WHEN ({dot}) >= 0 THEN CAST({p} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END".format(dot=dot, p=1 << i))
+    bucket = "(" + " + ".join(terms) + ")"
+    return """
+WITH c AS (SELECT vec_id, embedding, {cb} AS bk FROM embeddings),
+q AS (SELECT vec_id, embedding, bk FROM c WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({cos}, 6) AS cosine
+  FROM c JOIN q ON c.bk = q.bk AND q.vec_id <> c.vec_id)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id
+      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored)
+WHERE rank <= {k}
+""".format(cb=bucket.format(v="embedding"),
+           cos=_dd_cosine("q.embedding", "c.embedding"), k=k)
+
+
+@demo("bucketed_ann", oracle=_bucketed_ann_oracle())
+def bucketed_ann(spark, sf_dir):
+    """BucketedANN: hyperplane-bucketed approximate top-k (the
+    deterministic plane constants make even the *approximation*
+    engine-exact)."""
+    from dask_geomodeling_spark.pipeline.similarity import BucketedANN
+    emb = read_nanos_parquet(spark, _pq(sf_dir, "embeddings"))
+    queries = DataFrameSource(emb.filter(F.col("vec_id") < 5),
+                              index_column="vec_id")
+    return BucketedANN(embeddings_src(sf_dir), queries, k=10,
+                       n_planes=4, dim=64, precision=6).plan(spark)
+
+
+@demo("token_count", oracle="""
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END
+            AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+           AS bpe_tokens
+FROM documents
+""")
+def token_count(spark, sf_dir):
+    """TokenCount: whitespace + BPE-ish regex token counts."""
+    from dask_geomodeling_spark.pipeline.text import TokenCount
+    return (TokenCount(documents_src(sf_dir)).plan(spark)
+            .select("doc_id", "ws_tokens", "bpe_tokens"))
+
+
+@demo("quality_score", oracle="""
+WITH q AS (
+ SELECT doc_id, length(text) AS n,
+   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS letters,
+   length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS punct,
+   CASE WHEN length(trim(text)) = 0 THEN 0
+        ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END
+       AS n_words,
+   len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       w -> list_contains(['the','and','of','to','is','in','that','it'],
+                          w))) AS stop
+ FROM documents),
+r AS (SELECT doc_id, n,
+   CASE WHEN n > 0 THEN punct / CAST(n AS DOUBLE) ELSE 0.0 END
+       AS punct_ratio,
+   CASE WHEN n_words > 0 THEN stop / CAST(n_words AS DOUBLE) ELSE 0.0 END
+       AS stopword_ratio,
+   CASE WHEN n_words > 0 THEN letters / CAST(n_words AS DOUBLE)
+        ELSE 0.0 END AS mean_word_len
+ FROM q)
+SELECT doc_id, punct_ratio, stopword_ratio, mean_word_len,
+  (CASE WHEN n >= 50 AND n <= 100000 THEN 0.25 ELSE 0.0 END
+ + CASE WHEN punct_ratio > 0.0 AND punct_ratio < 0.2 THEN 0.25
+        ELSE 0.0 END
+ + CASE WHEN stopword_ratio > 0.01 THEN 0.25 ELSE 0.0 END
+ + CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 12.0 THEN 0.25
+        ELSE 0.0 END) AS quality
+FROM r
+""")
+def quality_score(spark, sf_dir):
+    """QualityScore: Gopher/C4-style heuristic quality components."""
+    from dask_geomodeling_spark.pipeline.text import QualityScore
+    return (QualityScore(documents_src(sf_dir)).plan(spark)
+            .select("doc_id", "punct_ratio", "stopword_ratio",
+                    "mean_word_len", "quality"))
+
+
+def _language_id_oracle():
+    from dask_geomodeling_spark.pipeline.text import _LANG_MARKERS
+    structs = ", ".join(
+        "{{'hits': len(list_filter(ws, x -> list_contains([{m}], x))), "
+        "'lang': '{lang}'}}".format(
+            m=",".join("'{}'".format(w) for w in markers), lang=lang)
+        for lang, markers in _LANG_MARKERS.items())
+    return """
+WITH w AS (SELECT doc_id,
+                  string_split_regex(trim(lower(text)), '\\s+') AS ws
+           FROM documents),
+g AS (SELECT doc_id, list_max([{structs}]) AS b FROM w)
+SELECT doc_id,
+       CASE WHEN b.hits > 0 THEN b.lang ELSE 'und' END AS lang_pred
+FROM g
+""".format(structs=structs)
+
+
+@demo("language_id", oracle=_language_id_oracle())
+def language_id(spark, sf_dir):
+    """LanguageID: stopword-marker voting with struct-max tie-break."""
+    from dask_geomodeling_spark.pipeline.text import LanguageID
+    return (LanguageID(documents_src(sf_dir)).plan(spark)
+            .select("doc_id", "lang_pred"))
+
+
+@demo("fingerprint", oracle="""
+WITH n AS (SELECT doc_id,
+                  regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+           FROM documents)
+SELECT doc_id,
+       {h1} * CAST(2147483647 AS BIGINT) + {h2} AS fingerprint
+FROM n
+""".format(h1=_DD_POLY.format(col="norm", base=257),
+           h2=_DD_POLY.format(col="norm", base=131)))
+def fingerprint(spark, sf_dir):
+    """Fingerprint: 62-bit rolling polynomial document hash."""
+    from dask_geomodeling_spark.pipeline.text import Fingerprint
+    return (Fingerprint(documents_src(sf_dir)).plan(spark)
+            .select("doc_id", "fingerprint"))
+
+
+@demo("attach_binary", oracle="""
+SELECT doc_id, 'text/plain' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+FROM documents
+""")
+def attach_binary(spark, sf_dir):
+    """AttachBinaryMetadata: multimodal payload + typed metadata."""
+    from dask_geomodeling_spark.pipeline.multimodal import (
+        AttachBinaryMetadata)
+    block = AttachBinaryMetadata(documents_src(sf_dir), "text",
+                                 "text/plain")
+    return block.plan(spark).select(
+        "doc_id", F.col("meta.mime").alias("mime"),
+        F.col("meta.duration_ms").alias("payload_bytes"))
+
+
+@demo("frame_sample", oracle="""
+SELECT doc_id AS media_id, CAST(unnest(range(0, 3)) AS BIGINT) AS frame_no
+FROM documents
+""")
+def frame_sample(spark, sf_dir):
+    """FrameSample: per-payload frame fan-out (JVM-side explode)."""
+    from dask_geomodeling_spark.pipeline.multimodal import FrameSample
+    block = FrameSample(documents_src(sf_dir), id_column="doc_id",
+                        n_frames=3)
+    return block.plan(spark).select(
+        F.col("doc_id").alias("media_id"),
+        F.col("frame_no").cast("bigint").alias("frame_no"))
+
+
+@demo("extract_features")  # rows-only: md5-chain features not SQL-able
+def extract_features(spark, sf_dir):
+    """ExtractImageFeatures: Arrow-batched mapInPandas feature stub —
+    the distributed plumbing (schema, batching) is real; the codec is
+    a deterministic fake."""
+    from dask_geomodeling_spark.pipeline.multimodal import (
+        AttachBinaryMetadata, ExtractImageFeatures)
+    attached = AttachBinaryMetadata(documents_src(sf_dir), "text",
+                                    "text/plain")
+    feats = ExtractImageFeatures(attached, dim=16)
+    return feats.plan(spark).select(
+        "doc_id", F.size("features").alias("fdim"),
+        F.round(F.element_at("features", 1), 6).alias("f0"))
+
+
+@demo("event_aggregate", oracle="""
+SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type, MAX(value) AS value
+FROM events GROUP BY 1, 2
+""")
+def event_aggregate(spark, sf_dir):
+    """EventAggregate: event-time windowed aggregation (batch parity of
+    the Structured Streaming plan)."""
+    from dask_geomodeling_spark.streaming.events import (EventAggregate,
+                                                         EventSource)
+    src = EventSource(_pq(sf_dir, "events"))
+    return EventAggregate(src, "1 hour", ["event_type"], "value",
+                          "max").plan(spark)
+
+
+@demo("sessionize", oracle="""
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM o)
+SELECT MIN(ts) AS session_start, user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM s GROUP BY user_id, sess
+""")
+def sessionize(spark, sf_dir):
+    """SessionizeEvents: gap-based session windows per user."""
+    from dask_geomodeling_spark.streaming.events import (EventSource,
+                                                         SessionizeEvents)
+    src = EventSource(_pq(sf_dir, "events"))
+    return SessionizeEvents(src, gap="30 minutes").plan(spark)

@@ -29,6 +29,16 @@ def _perm_constants(num_perm, seed=42):
             for _ in range(num_perm)]
 
 
+def poly_hash_expr(col_sql, base=257, mod=MERSENNE):
+    """Rolling polynomial hash of a string column (SQL snippet) — pure
+    integer arithmetic, so any ANSI-SQL engine reproduces it exactly
+    (each step stays < 2^40, safe under ANSI overflow checks)."""
+    return ("aggregate(transform(split({col}, ''), ch -> "
+            "cast(ascii(ch) as bigint)), cast(0 as bigint), "
+            "(acc, code) -> pmod(acc * {base} + code, {mod}))"
+            .format(col=col_sql, base=base, mod=mod))
+
+
 class ExactDedup(BaseSingle):
     """Exact deduplication by content hash — one aggregation.
 
@@ -72,11 +82,13 @@ class MinHashLSH(BaseSingle):
 
     def __init__(self, source, text_column="text", id_column="doc_id",
                  num_perm=32, bands=8, shingle_size=3, verify=True,
-                 threshold=0.0):
+                 threshold=0.0, hash_fn="xxhash64"):
         if num_perm % bands != 0:
             raise ValueError("num_perm must be divisible by bands")
+        if hash_fn not in ("xxhash64", "poly"):
+            raise ValueError("hash_fn must be 'xxhash64' or 'poly'")
         super().__init__(source, text_column, id_column, num_perm, bands,
-                         shingle_size, verify, float(threshold))
+                         shingle_size, verify, float(threshold), hash_fn)
 
     @property
     def columns(self):
@@ -85,7 +97,7 @@ class MinHashLSH(BaseSingle):
 
     def _signatures(self, ctx):
         (_, text_column, id_column, num_perm, bands, shingle_size,
-         _, _) = self.args
+         _, _, hash_fn) = self.args
         df = self.source._build(ctx)
         df = df.withColumn("_tokens",
                            F.split(F.trim(F.lower(F.col(text_column))),
@@ -98,10 +110,15 @@ class MinHashLSH(BaseSingle):
                 ", i -> concat_ws(' ', slice(_tokens, i, {n})))"
                 .format(n=shingle_size)))
         df = df.withColumn("_shingles", sh).drop("_tokens")
-        df = df.withColumn(
-            "_hashes",
-            F.expr("transform(_shingles, s -> pmod(xxhash64(s), {m}))"
-                   .format(m=MERSENNE)))
+        if hash_fn == "xxhash64":
+            hash_sql = "transform(_shingles, s -> pmod(xxhash64(s), {m}))" \
+                .format(m=MERSENNE)
+        else:
+            # arithmetic rolling hash: slower but reproducible on ANY
+            # ANSI-SQL engine (the cross-engine correctness oracle uses it)
+            hash_sql = "transform(_shingles, s -> {h})".format(
+                h=poly_hash_expr("s"))
+        df = df.withColumn("_hashes", F.expr(hash_sql))
         sig_cols = []
         for i, (a, b) in enumerate(_perm_constants(num_perm)):
             sig_cols.append(F.expr(
@@ -118,9 +135,11 @@ class MinHashLSH(BaseSingle):
         for b in range(bands):
             cols = [F.col("_s{}".format(b * rows_per_band + r))
                     for r in range(rows_per_band)]
+            # the bucket key is the raw signature slice (no re-hash):
+            # collision-free and engine-independent
             band_structs.append(F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(*cols).alias("sig")))
+                F.array(*cols).alias("sig")))
         buckets = sigs.select(
             "_id", "_shingles",
             F.explode(F.array(*band_structs)).alias("_b"))
@@ -158,29 +177,40 @@ class SimHash(BaseSingle):
     """
 
     def __init__(self, source, text_column="text", id_column="doc_id",
-                 max_hamming=3):
-        super().__init__(source, text_column, id_column, int(max_hamming))
+                 max_hamming=3, hash_fn="xxhash64"):
+        if hash_fn not in ("xxhash64", "poly"):
+            raise ValueError("hash_fn must be 'xxhash64' or 'poly'")
+        super().__init__(source, text_column, id_column, int(max_hamming),
+                         hash_fn)
 
     @property
     def columns(self):
         return {"id_a", "id_b", "hamming"}
 
     def signatures(self, ctx):
-        _, text_column, id_column, _ = self.args
+        _, text_column, id_column, _, hash_fn = self.args
         df = self.source._build(ctx)
         tokens = F.array_distinct(
             F.split(F.trim(F.lower(F.col(text_column))), r"\s+"))
         df = df.select(F.col(id_column).alias("_id"),
                        tokens.alias("_tokens"))
+        if hash_fn == "xxhash64":
+            token_hash = "xxhash64(t)"
+        else:
+            # 62-bit arithmetic hash: two independent 31-bit rolling
+            # hashes combined — reproducible on any ANSI-SQL engine
+            token_hash = "({h1} * cast({m} as bigint) + {h2})".format(
+                h1=poly_hash_expr("t"), h2=poly_hash_expr("t", base=131),
+                m=MERSENNE)
         # tally per bit: aggregate tokens into a 64-length vote array
         votes = F.expr(
             "aggregate(_tokens, "
             " transform(sequence(0, 63), b -> cast(0 as bigint)), "
             " (acc, t) -> zip_with(acc, "
             "   transform(sequence(0, 63), b -> "
-            "     case when (shiftright(xxhash64(t), b) & 1) = 1 "
+            "     case when (shiftright({th}, b) & 1) = 1 "
             "          then cast(1 as bigint) else cast(-1 as bigint) end), "
-            "   (u, v) -> u + v))")
+            "   (u, v) -> u + v))".format(th=token_hash))
         sig = F.expr(
             "aggregate(transform(sequence(0, 63), b -> "
             "  case when element_at(_votes, b + 1) > 0 "
@@ -212,7 +242,8 @@ class SimHash(BaseSingle):
                  .dropDuplicates(["id_a", "id_b"]))
         hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
         return (pairs.select("id_a", "id_b", hamming.alias("hamming"))
-                .filter(F.col("hamming") <= self.args[3]))
+                .filter(F.col("hamming") <= self.args[3])
+                .withColumn("hamming", F.col("hamming").cast("bigint")))
 
 
 class NgramJaccard(BaseSingle):

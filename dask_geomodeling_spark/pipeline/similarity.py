@@ -70,15 +70,16 @@ class CosineTopK(BaseSingle):
     """
 
     def __init__(self, source, queries, k=10, vec_column="embedding",
-                 id_column="vec_id"):
-        super().__init__(source, queries, int(k), vec_column, id_column)
+                 id_column="vec_id", precision=None):
+        super().__init__(source, queries, int(k), vec_column, id_column,
+                         precision)
 
     @property
     def columns(self):
         return {"query_id", "neighbor_id", "cosine", "rank"}
 
     def _build(self, ctx):
-        _, queries, k, vec_column, id_column = self.args
+        _, queries, k, vec_column, id_column, precision = self.args
         corpus = self.source._build(ctx).select(
             F.col(id_column).alias("neighbor_id"),
             F.col(vec_column).alias("_cv"))
@@ -87,9 +88,13 @@ class CosineTopK(BaseSingle):
             F.col(vec_column).alias("_qv"))
         joined = corpus.join(F.broadcast(qs),
                              F.col("query_id") != F.col("neighbor_id"))
-        scored = joined.select(
-            "query_id", "neighbor_id",
-            cosine_expr("_qv", "_cv").alias("cosine"))
+        cos = cosine_expr("_qv", "_cv")
+        if precision is not None:
+            # round-then-rank: ranking ties broken by neighbor_id become
+            # deterministic across engines/runs (last-ulp-stable)
+            cos = F.round(cos, int(precision))
+        scored = joined.select("query_id", "neighbor_id",
+                               cos.alias("cosine"))
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), F.col("neighbor_id").asc())
         return (scored.withColumn("rank", F.row_number().over(w))
@@ -103,18 +108,19 @@ class BucketedANN(BaseSingle):
     replaces the cross product — candidates shrink by ~2^n_planes."""
 
     def __init__(self, source, queries, k=10, vec_column="embedding",
-                 id_column="vec_id", n_planes=4, dim=None):
+                 id_column="vec_id", n_planes=4, dim=None, precision=None):
         if dim is None:
             raise ValueError("dim (embedding dimension) is required")
         super().__init__(source, queries, int(k), vec_column, id_column,
-                         int(n_planes), int(dim))
+                         int(n_planes), int(dim), precision)
 
     @property
     def columns(self):
         return {"query_id", "neighbor_id", "cosine", "rank"}
 
     def _build(self, ctx):
-        _, queries, k, vec_column, id_column, n_planes, dim = self.args
+        (_, queries, k, vec_column, id_column, n_planes, dim,
+         precision) = self.args
         bucket = hyperplane_bucket("_cv", dim, n_planes)
         corpus = (self.source._build(ctx)
                   .select(F.col(id_column).alias("neighbor_id"),
@@ -128,9 +134,11 @@ class BucketedANN(BaseSingle):
         joined = corpus.join(F.broadcast(qs),
                              (F.col("_bk") == F.col("_qbk"))
                              & (F.col("query_id") != F.col("neighbor_id")))
-        scored = joined.select(
-            "query_id", "neighbor_id",
-            cosine_expr("_qv", "_cv").alias("cosine"))
+        cos = cosine_expr("_qv", "_cv")
+        if precision is not None:
+            cos = F.round(cos, int(precision))
+        scored = joined.select("query_id", "neighbor_id",
+                               cos.alias("cosine"))
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), F.col("neighbor_id").asc())
         return (scored.withColumn("rank", F.row_number().over(w))

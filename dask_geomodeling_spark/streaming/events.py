@@ -82,8 +82,11 @@ class SessionizeEvents(Block):
         source, gap, user_column = self.args
         df = source._build(ctx)
         win = F.session_window("ts", gap)
+        # decimal accumulation: the session total is exact and identical
+        # regardless of per-partition summation order
         return (df.groupBy(win.alias("_w"), user_column)
                 .agg(F.count(F.lit(1)).alias("n_events"),
-                     F.sum("value").alias("total_value"))
+                     F.sum(F.col("value").cast("decimal(28,6)"))
+                     .cast("double").alias("total_value"))
                 .select(F.col("_w.start").alias("session_start"),
                         user_column, "n_events", "total_value"))
