@@ -1317,3 +1317,277 @@ def sessionize(spark, sf_dir):
                                                          SessionizeEvents)
     src = EventSource(_pq(sf_dir, "events"))
     return SessionizeEvents(src, gap="30 minutes").plan(spark)
+
+
+# --------------------------------------------------------------------------
+# coverage batch 2: spatial kernels, temporal resampling, constructive,
+# WKT rasterize, in-memory sources, sink roundtrips
+# --------------------------------------------------------------------------
+
+@demo("simplify", oracle="""
+WITH pts AS (
+  SELECT s_suppkey,
+         CAST(s_suppkey % 100 AS DOUBLE) AS x,
+         CAST((s_suppkey * 7) % 100 AS DOUBLE) AS y
+  FROM supplier
+)
+SELECT s_suppkey, ROUND(x / 2.5) * 2.5 AS x, ROUND(y / 2.5) * 2.5 AS y
+FROM pts
+""")
+def simplify(spark, sf_dir):
+    """Simplify (constructive.py:92): tolerance-grid vertex snap.
+    Integer-valued coordinates never sit on a .5 rounding boundary of
+    the 2.5 grid, so half-up vs half-even rounding cannot diverge."""
+    from dask_geomodeling_spark.geometry.constructive import Simplify
+    supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    pts = supplier.select(
+        "s_suppkey",
+        (F.col("s_suppkey") % 100).cast("double").alias("x"),
+        ((F.col("s_suppkey") * 7) % 100).cast("double").alias("y"))
+    block = Simplify(DataFrameSource(pts, index_column="s_suppkey"), 2.5)
+    return block.plan(spark).select("s_suppkey", "x", "y")
+
+
+def _smooth_oracle(size=1.0, fill=0.0):
+    import math as _m
+    sigma = max(size / 3.0, 1e-9)
+    radius = max(int(_m.ceil(2 * sigma)), 1)
+    offs = [(dy, dx,
+             _m.exp(-(dy * dy + dx * dx) / (2 * sigma * sigma)))
+            for dy in range(-radius, radius + 1)
+            for dx in range(-radius, radius + 1)]
+    total_w = sum(w for _, _, w in offs)
+    values = ", ".join(
+        "({}, {}, CAST({!r} AS DOUBLE))".format(dy, dx, w)
+        for dy, dx, w in offs)
+    return """
+WITH grid AS ({grid}),
+offs(dy, dx, w) AS (VALUES {values}),
+scattered AS (
+  SELECT g.time, g.y + o.dy AS y, g.x + o.dx AS x,
+         g.value * o.w AS wv, o.w AS w
+  FROM grid g CROSS JOIN offs o WHERE g.value IS NOT NULL),
+sums AS (SELECT time, y, x, SUM(wv) AS swv, SUM(w) AS sw
+         FROM scattered GROUP BY time, y, x)
+SELECT s.time, s.y, s.x,
+       ROUND((s.swv + {fill!r} * ({W!r} - s.sw)) / {W!r}, 6) AS value
+FROM sums s
+JOIN (SELECT time, y, x FROM grid WHERE value IS NOT NULL) g
+  USING (time, y, x)
+""".format(grid=_grid_sql("R"), values=values, fill=float(fill),
+           W=total_w)
+
+
+@demo("raster_smooth", oracle=_smooth_oracle())
+def raster_smooth(spark, sf_dir):
+    """Smooth (spatial.py:216): truncated-Gaussian scatter + one
+    re-group; constant-fill padding at data edges.  Double sums are
+    order-dependent → rounded to 6 decimals on both sides."""
+    from dask_geomodeling_spark.raster.spatial import Smooth
+    block = Smooth(lineitem_grid(spark, sf_dir, "R"), 1.0, fill=0.0)
+    return (block.plan(spark)
+            .withColumn("value", F.round("value", 6)))
+
+
+def _hillshade_oracle(altitude=45.0, azimuth=315.0):
+    import math as _m
+    alt, az = _m.radians(altitude), _m.radians(azimuth)
+    cells = []
+    for ky in (-1, 0, 1):
+        for kx in (-1, 0, 1):
+            cells.append(
+                "MAX(CASE WHEN ky = {ky} AND kx = {kx} THEN value END)"
+                " AS c{a}{b}".format(ky=ky, kx=kx, a=ky + 1, b=kx + 1))
+
+    def cc(ky, kx):
+        return "COALESCE(c{a}{b}, c11)".format(a=ky + 1, b=kx + 1)
+
+    gx = ("(({p1}) - ({p2})) / 8.0".format(
+        p1=" + ".join([cc(-1, 1), "2*" + cc(0, 1), cc(1, 1)]),
+        p2=" + ".join([cc(-1, -1), "2*" + cc(0, -1), cc(1, -1)])))
+    gy = ("(({p1}) - ({p2})) / 8.0".format(
+        p1=" + ".join([cc(1, -1), "2*" + cc(1, 0), cc(1, 1)]),
+        p2=" + ".join([cc(-1, -1), "2*" + cc(-1, 0), cc(-1, 1)])))
+    return """
+WITH grid AS ({grid}),
+cells AS (SELECT time, y, x, value FROM grid WHERE value IS NOT NULL),
+offs(dy, dx) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                        (1,-1),(1,0),(1,1)),
+n AS (SELECT c.time, c.y + o.dy AS y, c.x + o.dx AS x,
+             -o.dy AS ky, -o.dx AS kx, c.value
+      FROM cells c CROSS JOIN offs o),
+g AS (SELECT time, y, x, {cells} FROM n GROUP BY time, y, x),
+calc AS (
+  SELECT time, y, x, c11, {gx} AS gx, {gy} AS gy FROM g),
+shade AS (
+  SELECT time, y, x, c11,
+         ({sin_alt} - {cos_alt} * sqrt(gx*gx + gy*gy)
+          * sin(atan2(gy, gx) - {az!r}))
+         / sqrt(1 + gx*gx + gy*gy) AS cang
+  FROM calc)
+SELECT s.time, s.y, s.x,
+       ROUND(CASE WHEN cang <= 0 THEN 0.0 ELSE 255.0 * cang END, 6)
+           AS value
+FROM shade s
+JOIN (SELECT time, y, x FROM cells) c USING (time, y, x)
+WHERE c11 IS NOT NULL
+""".format(grid=_grid_sql("R"), cells=", ".join(cells), gx=gx, gy=gy,
+           sin_alt=repr(_m.sin(alt)), cos_alt=repr(_m.cos(alt)),
+           az=az)
+
+
+@demo("raster_hillshade", oracle=_hillshade_oracle())
+def raster_hillshade(spark, sf_dir):
+    """HillShade (spatial.py:310): Horn gradient via conditional
+    aggregation of the scattered 3x3 neighborhood; libm trig rounded to
+    6 decimals on both sides."""
+    from dask_geomodeling_spark.raster.spatial import HillShade
+    block = HillShade(lineitem_grid(spark, sf_dir, "R"))
+    return (block.plan(spark)
+            .withColumn("value", F.round("value", 6)))
+
+
+_PLACE_COORDS = [(0.0, 0.0), (100.0, 50.0), (100.0, 50.0)]
+
+
+@demo("raster_place", oracle="""
+WITH grid AS ({grid}),
+coords(prio, dx, dy) AS (VALUES {values}),
+placed AS (
+  SELECT g.time, g.y + c.dy AS y, g.x + c.dx AS x, g.value, c.prio
+  FROM grid g CROSS JOIN coords c WHERE g.value IS NOT NULL)
+SELECT time, y, x, ARG_MAX(value, prio) AS value
+FROM placed GROUP BY time, y, x
+""".format(grid=_grid_sql("R"), values=", ".join(
+    "({}, {}, {})".format(i, int(round(cx - 0.0)), int(round(cy - 0.0)))
+    for i, (cx, cy) in enumerate(_PLACE_COORDS))))
+def raster_place(spark, sf_dir):
+    """Place (spatial.py:441): translate copies to anchor-relative
+    coordinates; overlaps resolved by statistic='last' (highest
+    coordinate index wins)."""
+    from dask_geomodeling_spark.raster.spatial import Place
+    block = Place(lineitem_grid(spark, sf_dir, "R"), "EPSG:4326",
+                  anchor=(0.0, 0.0), coordinates=_PLACE_COORDS,
+                  statistic="last")
+    return block.plan(spark)
+
+
+@demo("raster_resample", oracle="""
+WITH grid AS ({grid})
+SELECT time_bucket(INTERVAL 2 DAY, time, TIMESTAMP '1970-01-01') AS time,
+       y, x, ROUND(AVG(value), 6) AS value
+FROM grid GROUP BY 1, y, x
+""".format(grid=EVENT_GRID_SQL))
+def raster_resample(spark, sf_dir):
+    """Resample (temporal.py:1008): 2-day mean; Spark window() buckets
+    align to the epoch, so the oracle passes the same origin to
+    time_bucket."""
+    from dask_geomodeling_spark.raster.temporal import Resample
+    block = Resample(event_grid(spark, sf_dir), "2D", "mean")
+    return block.plan(spark).withColumn("value", F.round("value", 6))
+
+
+@demo("raster_temporal_sum", oracle="""
+WITH grid AS ({grid})
+SELECT (SELECT MAX(time) FROM grid) AS time, y, x,
+       ROUND(SUM(value), 6) AS value
+FROM grid GROUP BY y, x
+""".format(grid=EVENT_GRID_SQL))
+def raster_temporal_sum(spark, sf_dir):
+    """TemporalSum (temporal.py:239, deprecated alias): frequency=None
+    → one whole-period statistic per cell stamped at the period end."""
+    from dask_geomodeling_spark.raster.temporal import TemporalSum
+    block = TemporalSum(event_grid(spark, sf_dir))
+    return block.plan(spark).withColumn("value", F.round("value", 6))
+
+
+@demo("raster_percentile", oracle="""
+WITH a AS ({ga}), b AS ({gb}), c AS ({gc}),
+u AS (SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c)
+SELECT time, y, x, ROUND(quantile_cont(value, 0.75), 6) AS value
+FROM u WHERE value IS NOT NULL
+GROUP BY time, y, x
+""".format(ga=_grid_sql("R"), gb=_grid_sql("A"), gc=_grid_sql("N")))
+def raster_percentile(spark, sf_dir):
+    """reduce_rasters p75 (reduction.py Percentile): linear-interpolated
+    percentile across the stack per cell."""
+    from dask_geomodeling_spark.raster.reduction import Percentile
+    stacks = [lineitem_grid(spark, sf_dir, flag) for flag in "RAN"]
+    block = Percentile(75.0, *stacks)
+    return block.plan(spark).withColumn("value", F.round("value", 6))
+
+
+@demo("rasterize_wkt", oracle="""
+SELECT TIMESTAMP '1970-01-01 00:00:00' AS time, yy.y, xx.x, 1.0 AS value
+FROM (SELECT UNNEST(RANGE(3, 9)) AS y) yy,
+     (SELECT UNNEST(RANGE(2, 11)) AS x) xx
+""")
+def rasterize_wkt(spark, sf_dir):
+    """RasterizeWKT (misc.py:712): axis-aligned POLYGON → covered cells
+    (floor(ymin)..floor(ymax) × floor(xmin)..floor(xmax))."""
+    from dask_geomodeling_spark.raster.misc import RasterizeWKT
+    wkt = "POLYGON ((2 3, 10.5 3, 10.5 8.2, 2 8.2, 2 3))"
+    return RasterizeWKT(wkt).plan(spark)
+
+
+@demo("memory_source", oracle="""
+WITH cells(time, y, x, value) AS (VALUES
+  (TIMESTAMP '1970-01-01', 0, 0, 1.0), (TIMESTAMP '1970-01-01', 0, 1, 2.0),
+  (TIMESTAMP '1970-01-01', 1, 0, CAST(NULL AS DOUBLE)),
+  (TIMESTAMP '1970-01-01', 1, 1, 4.0),
+  (TIMESTAMP '1970-01-02', 0, 0, 5.0), (TIMESTAMP '1970-01-02', 0, 1, 6.0),
+  (TIMESTAMP '1970-01-02', 1, 0, 7.0),
+  (TIMESTAMP '1970-01-02', 1, 1, CAST(NULL AS DOUBLE)))
+SELECT time, CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x,
+       value * 10.0 AS value
+FROM cells
+""")
+def memory_source(spark, sf_dir):
+    """MemorySource (sources.py:157): nested lists → cell table, no-data
+    → NULL; two bands a day apart, piped through elemwise math."""
+    from datetime import timedelta
+
+    from dask_geomodeling_spark.raster import elemwise as ew
+    from dask_geomodeling_spark.raster.sources import MemorySource
+    src = MemorySource(
+        [[[1, 2], [-9, 4]], [[5, 6], [7, -9]]], no_data_value=-9,
+        time_delta=timedelta(days=1))
+    return ew.Multiply(src, 10.0).plan(spark)
+
+
+@demo("geometry_sink_roundtrip", oracle="""
+SELECT c_custkey AS idx, c_name, c_acctbal
+FROM customer WHERE c_acctbal > 0
+""")
+def geometry_sink_roundtrip(spark, sf_dir):
+    """GeometryFileSink + to_file (sinks.py:46): write the filtered view
+    to parquet, read it back — the written artifact is the check."""
+    import tempfile
+
+    from dask_geomodeling_spark.geometry.sinks import GeometryFileSink
+    customer = read_nanos_parquet(spark, _pq(sf_dir, "customer"))
+    src = DataFrameSource(customer.filter(F.col("c_acctbal") > 0),
+                          index_column="c_custkey")
+    url = tempfile.mkdtemp(prefix="dgs_sink_geom_") + "/out"
+    sink = GeometryFileSink(src, url, extension="parquet",
+                            fields={"idx": "c_custkey", "c_name": "c_name",
+                                    "c_acctbal": "c_acctbal"})
+    sink.write(spark)
+    return spark.read.parquet(url)
+
+
+@demo("raster_sink_roundtrip", oracle="""
+WITH grid AS ({grid})
+SELECT time, y, x, value FROM grid
+""".format(grid=_grid_sql("R")))
+def raster_sink_roundtrip(spark, sf_dir):
+    """RasterFileSink (raster/sinks.py:18): date-partitioned parquet
+    write + read-back (partition pruning on time at scale)."""
+    import tempfile
+
+    from dask_geomodeling_spark.raster.sinks import RasterFileSink
+    url = tempfile.mkdtemp(prefix="dgs_sink_raster_") + "/out"
+    sink = RasterFileSink(lineitem_grid(spark, sf_dir, "R"), url)
+    sink.write(spark)
+    return (spark.read.parquet(url)
+            .select("time", "y", "x", "value"))
