@@ -1033,11 +1033,12 @@ SELECT id_a, id_b, jaccard FROM (
   SELECT id_a, id_b,
          CAST(common AS DOUBLE) / (na + nb - common) AS jaccard FROM c)
 WHERE jaccard >= 0.5
-""".format(sh=_dd_shingles(2)))
+""".format(sh=_dd_shingles(3)))
 def ngram_jaccard(spark, sf_dir):
-    """NgramJaccard: exact n-gram Jaccard via inverted-index join."""
+    """NgramJaccard: exact n-gram Jaccard via prefix-filtered
+    inverted-index join (PPJoin-style prefix + length filters)."""
     from dask_geomodeling_spark.pipeline.dedup import NgramJaccard
-    return NgramJaccard(documents_src(sf_dir), n=2, threshold=0.5
+    return NgramJaccard(documents_src(sf_dir), n=3, threshold=0.5
                         ).plan(spark)
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import random
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dask_geomodeling_spark.geometry.base import BaseSingle
@@ -247,8 +248,15 @@ class SimHash(BaseSingle):
 
 
 class NgramJaccard(BaseSingle):
-    """Exact n-gram Jaccard similarity for candidate pairs sharing at
-    least one n-gram (inverted-index join — never a full cross join).
+    """Exact n-gram Jaccard similarity via **prefix filtering**
+    (PPJoin-style): for jaccard ≥ t, two docs must share a gram within
+    the first ``|A| − ⌈t·|A|⌉ + 1`` grams when grams are globally
+    ordered rarest-first — so only those prefix grams enter the
+    inverted-index join.  That bounds the candidate blow-up that plain
+    gram joins suffer on frequent grams (stopword n-grams join k² pairs
+    each) while keeping the result EXACTLY equal to the brute-force
+    all-pairs answer.  Candidates then verify with one
+    ``array_intersect`` on the full shingle sets.
 
     jaccard = |A∩B| / (|A| + |B| − |A∩B|) over distinct word n-grams.
     Output: ``id_a``, ``id_b``, ``jaccard`` (≥ ``threshold``).
@@ -278,17 +286,40 @@ class NgramJaccard(BaseSingle):
         docs = df.select(F.col(id_column).alias("_id"), sh.alias("_sh"))
         docs = docs.withColumn("_n", F.size("_sh"))
         inv = docs.select("_id", "_n", F.explode("_sh").alias("_g"))
-        a = inv.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"),
-                       "_g")
-        b = inv.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"),
-                       "_g")
-        common = (a.join(b, ["_g"])
-                  .filter(F.col("id_a") < F.col("id_b"))
-                  .groupBy("id_a", "id_b", "_na", "_nb")
-                  .agg(F.count(F.lit(1)).alias("_common")))
-        jac = (F.col("_common")
-               / (F.col("_na") + F.col("_nb") - F.col("_common")))
-        return (common.select("id_a", "id_b", jac.alias("jaccard"))
+        if threshold > 0:
+            # global document frequency per gram (small: one row per
+            # distinct gram), broadcast back onto the inverted index
+            freq = inv.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+            ranked = inv.join(F.broadcast(freq), "_g")
+            w = Window.partitionBy("_id").orderBy(
+                F.col("_df").asc(), F.col("_g").asc())
+            prefix_len = (F.col("_n")
+                          - F.ceil(F.col("_n") * threshold) + 1)
+            inv = (ranked.withColumn("_rk", F.row_number().over(w))
+                   .filter(F.col("_rk") <= prefix_len)
+                   .select("_id", "_n", "_g"))
+        a = inv.select(F.col("_id").alias("id_a"),
+                       F.col("_n").alias("_la"), "_g")
+        b = inv.select(F.col("_id").alias("id_b"),
+                       F.col("_n").alias("_lb"), "_g")
+        # length filter (exact): jaccard >= t forces t*|A| <= |B| <= |A|/t
+        length_ok = ((F.col("_lb") >= threshold * F.col("_la"))
+                     & (F.col("_la") >= threshold * F.col("_lb"))) \
+            if threshold > 0 else F.lit(True)
+        cand = (a.join(b, ["_g"])
+                .filter((F.col("id_a") < F.col("id_b")) & length_ok)
+                .select("id_a", "id_b").distinct())
+        x = docs.select(F.col("_id").alias("id_a"),
+                        F.col("_sh").alias("_sha"),
+                        F.col("_n").alias("_na"))
+        y = docs.select(F.col("_id").alias("id_b"),
+                        F.col("_sh").alias("_shb"),
+                        F.col("_n").alias("_nb"))
+        pairs = cand.join(x, "id_a").join(y, "id_b")
+        inter = F.size(F.array_intersect("_sha", "_shb"))
+        jac = (inter.cast("double")
+               / (F.col("_na") + F.col("_nb") - inter))
+        return (pairs.select("id_a", "id_b", jac.alias("jaccard"))
                 .filter(F.col("jaccard") >= threshold))
 
 
@@ -315,13 +346,19 @@ class EmbeddingDedup(BaseSingle):
 
     def _build(self, ctx):
         from dask_geomodeling_spark.pipeline.similarity import (
-            cosine_expr, hyperplane_bucket)
+            dot_expr, hyperplane_bucket, norm_expr)
         _, vec_column, id_column, threshold, exact, n_planes, dim = self.args
         df = self.source._build(ctx)
+        # norm hoisted: one fold per vector, not three per pair
         docs = df.select(F.col(id_column).alias("_id"),
-                         F.col(vec_column).alias("_v"))
-        a = docs.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
-        b = docs.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+                         F.col(vec_column).alias("_v"),
+                         norm_expr(vec_column).alias("_nm"))
+        a = docs.select(F.col("_id").alias("id_a"),
+                        F.col("_v").alias("_va"),
+                        F.col("_nm").alias("_na"))
+        b = docs.select(F.col("_id").alias("id_b"),
+                        F.col("_v").alias("_vb"),
+                        F.col("_nm").alias("_nb"))
         if exact:
             pairs = a.join(b, a["id_a"] < b["id_b"])
         else:
@@ -331,12 +368,15 @@ class EmbeddingDedup(BaseSingle):
             ab = docs.withColumn("_bk", bucket)
             a = ab.select(F.col("_id").alias("id_a"),
                           F.col("_v").alias("_va"),
+                          F.col("_nm").alias("_na"),
                           F.col("_bk").alias("_bka"))
             b = ab.select(F.col("_id").alias("id_b"),
                           F.col("_v").alias("_vb"),
+                          F.col("_nm").alias("_nb"),
                           F.col("_bk").alias("_bkb"))
             pairs = a.join(b, (a["_bka"] == b["_bkb"])
                            & (a["id_a"] < b["id_b"]))
-        cos = cosine_expr("_va", "_vb")
+        cos = dot_expr("_va", "_vb") / F.nullif(
+            F.col("_na") * F.col("_nb"), F.lit(0.0))
         return (pairs.select("id_a", "id_b", cos.alias("cosine"))
                 .filter(F.col("cosine") >= threshold))

@@ -22,17 +22,27 @@ __all__ = ["CosineTopK", "BucketedANN", "cosine_expr", "hyperplane_bucket",
            "hyperplanes"]
 
 
+def dot_expr(a, b):
+    """Sequential-fold dot product of two array<float> columns — inside
+    codegen, deterministic summation order."""
+    return F.expr(
+        "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * y), "
+        "cast(0.0 as double), (acc, v) -> acc + v)".format(a=a, b=b))
+
+
+def norm_expr(a):
+    """Euclidean norm of an array<float> column (same fold order as the
+    corresponding dot product)."""
+    return F.expr(
+        "sqrt(aggregate({a}, cast(0.0 as double), "
+        "(acc, v) -> acc + cast(v as double) * v))".format(a=a))
+
+
 def cosine_expr(a, b):
     """Exact cosine similarity of two array<float> columns — zip_with dot
     product + norms, all inside codegen."""
-    dot = ("aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * y), "
-           "cast(0.0 as double), (acc, v) -> acc + v)").format(a=a, b=b)
-    na = ("sqrt(aggregate({a}, cast(0.0 as double), "
-          "(acc, v) -> acc + cast(v as double) * v))").format(a=a)
-    nb = ("sqrt(aggregate({b}, cast(0.0 as double), "
-          "(acc, v) -> acc + cast(v as double) * v))").format(b=b)
-    return F.expr("({d}) / nullif(({na}) * ({nb}), 0.0)".format(
-        d=dot, na=na, nb=nb))
+    return dot_expr(a, b) / F.nullif(norm_expr(a) * norm_expr(b),
+                                     F.lit(0.0))
 
 
 def hyperplanes(dim, n_planes, seed=7):
@@ -80,15 +90,19 @@ class CosineTopK(BaseSingle):
 
     def _build(self, ctx):
         _, queries, k, vec_column, id_column, precision = self.args
+        # norms hoisted: one fold per VECTOR, not three folds per PAIR
         corpus = self.source._build(ctx).select(
             F.col(id_column).alias("neighbor_id"),
-            F.col(vec_column).alias("_cv"))
+            F.col(vec_column).alias("_cv"),
+            norm_expr(vec_column).alias("_cn"))
         qs = queries._build(ctx).select(
             F.col(id_column).alias("query_id"),
-            F.col(vec_column).alias("_qv"))
+            F.col(vec_column).alias("_qv"),
+            norm_expr(vec_column).alias("_qn"))
         joined = corpus.join(F.broadcast(qs),
                              F.col("query_id") != F.col("neighbor_id"))
-        cos = cosine_expr("_qv", "_cv")
+        cos = dot_expr("_qv", "_cv") / F.nullif(
+            F.col("_qn") * F.col("_cn"), F.lit(0.0))
         if precision is not None:
             # round-then-rank: ranking ties broken by neighbor_id become
             # deterministic across engines/runs (last-ulp-stable)
@@ -124,17 +138,20 @@ class BucketedANN(BaseSingle):
         bucket = hyperplane_bucket("_cv", dim, n_planes)
         corpus = (self.source._build(ctx)
                   .select(F.col(id_column).alias("neighbor_id"),
-                          F.col(vec_column).alias("_cv"))
+                          F.col(vec_column).alias("_cv"),
+                          norm_expr(vec_column).alias("_cn"))
                   .withColumn("_bk", bucket))
         qbucket = hyperplane_bucket("_qv", dim, n_planes)
         qs = (queries._build(ctx)
               .select(F.col(id_column).alias("query_id"),
-                      F.col(vec_column).alias("_qv"))
+                      F.col(vec_column).alias("_qv"),
+                      norm_expr(vec_column).alias("_qn"))
               .withColumn("_qbk", qbucket))
         joined = corpus.join(F.broadcast(qs),
                              (F.col("_bk") == F.col("_qbk"))
                              & (F.col("query_id") != F.col("neighbor_id")))
-        cos = cosine_expr("_qv", "_cv")
+        cos = dot_expr("_qv", "_cv") / F.nullif(
+            F.col("_qn") * F.col("_cn"), F.lit(0.0))
         if precision is not None:
             cos = F.round(cos, int(precision))
         scored = joined.select("query_id", "neighbor_id",

@@ -69,27 +69,42 @@ class QualityScore(BaseSingle):
     def _build(self, ctx):
         df = self.source._build(ctx)
         c = F.col(self.args[1])
-        n = F.length(c)
-        letters = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
-        punct = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()]", ""))
         words = F.split(F.trim(F.lower(c)), r"\s+")
-        n_words = F.when(F.length(F.trim(c)) == 0, 0).otherwise(F.size(words))
-        stop = F.size(F.filter(
-            words, lambda w: w.isin(_LANG_MARKERS["en"])))
-        punct_ratio = F.when(n > 0, punct / n).otherwise(0.0)
-        stop_ratio = F.when(n_words > 0, stop / n_words).otherwise(0.0)
-        mean_wl = F.when(n_words > 0, letters / n_words).otherwise(0.0)
+        # materialize each regex/split ONCE — quality references every
+        # ratio twice, and un-materialized the scan would re-run the
+        # regexes per reference (projection CSE does not cross
+        # when-branches)
+        df = df.withColumns({
+            "_n": F.length(c),
+            "_letters": F.length(F.regexp_replace(c, r"[^A-Za-z]", "")),
+            "_punct": F.length(F.regexp_replace(c, r"[^.,;:!?'\"()]", "")),
+            "_n_words": F.when(F.length(F.trim(c)) == 0, 0)
+            .otherwise(F.size(words)),
+            "_stop": F.size(F.filter(
+                words, lambda w: w.isin(_LANG_MARKERS["en"]))),
+        })
+        df = df.withColumns({
+            "punct_ratio": F.when(F.col("_n") > 0,
+                                  F.col("_punct") / F.col("_n"))
+            .otherwise(0.0),
+            "stopword_ratio": F.when(F.col("_n_words") > 0,
+                                     F.col("_stop") / F.col("_n_words"))
+            .otherwise(0.0),
+            "mean_word_len": F.when(F.col("_n_words") > 0,
+                                    F.col("_letters") / F.col("_n_words"))
+            .otherwise(0.0),
+        })
         quality = (
-            F.when((n >= 50) & (n <= 100000), 0.25).otherwise(0.0)
-            + F.when((punct_ratio > 0.0) & (punct_ratio < 0.2), 0.25)
+            F.when((F.col("_n") >= 50) & (F.col("_n") <= 100000), 0.25)
             .otherwise(0.0)
-            + F.when(stop_ratio > 0.01, 0.25).otherwise(0.0)
-            + F.when((mean_wl >= 3.0) & (mean_wl <= 12.0), 0.25)
+            + F.when((F.col("punct_ratio") > 0.0)
+                     & (F.col("punct_ratio") < 0.2), 0.25).otherwise(0.0)
+            + F.when(F.col("stopword_ratio") > 0.01, 0.25).otherwise(0.0)
+            + F.when((F.col("mean_word_len") >= 3.0)
+                     & (F.col("mean_word_len") <= 12.0), 0.25)
             .otherwise(0.0))
-        return (df.withColumn("punct_ratio", punct_ratio)
-                  .withColumn("stopword_ratio", stop_ratio)
-                  .withColumn("mean_word_len", mean_wl)
-                  .withColumn("quality", quality))
+        return (df.withColumn("quality", quality)
+                .drop("_n", "_letters", "_punct", "_n_words", "_stop"))
 
 
 class LanguageID(BaseSingle):
