@@ -940,7 +940,7 @@ def _minhash_oracle(num_perm=8, bands=4, n=2):
     from dask_geomodeling_spark.pipeline.dedup import _perm_constants
     perms = _perm_constants(num_perm)
     sig_cols = ",\n  ".join(
-        "list_min(list_transform(h, x -> ({a} * x + {b}) % 2147483647)) "
+        "list_min(list_transform(sh, x -> ({a} * x + {b}) % 2147483647)) "
         "AS s{i}".format(a=a, b=b, i=i) for i, (a, b) in enumerate(perms))
     rpb = num_perm // bands
     band_preds = " OR ".join(
@@ -949,10 +949,15 @@ def _minhash_oracle(num_perm=8, bands=4, n=2):
         + ")" for bb in range(bands))
     return """
 WITH docs AS (
-  SELECT doc_id, {sh} AS sh
-  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
-        FROM documents)),
-hs AS (SELECT doc_id, sh, list_transform(sh, s -> {poly}) AS h FROM docs),
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents),
+th AS (SELECT doc_id, list_transform(w, t -> {poly}) AS h FROM docs),
+hs AS (SELECT doc_id,
+  list_distinct([
+    list_reduce(list_prepend(CAST(0 AS BIGINT), h[i:i+{nm1}]),
+                (acc, x) -> (acc * 8191 + x) % 2147483647)
+    FOR i IN range(1, greatest(len(h) - {n} + 1, 1) + 1)]) AS sh
+  FROM th),
 sigs AS (SELECT doc_id, sh, {sigs} FROM hs),
 cand AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -964,7 +969,7 @@ SELECT c.id_a, c.id_b,
 FROM cand c
 JOIN sigs x ON x.doc_id = c.id_a
 JOIN sigs y ON y.doc_id = c.id_b
-""".format(sh=_dd_shingles(n), poly=_DD_POLY.format(col="s", base=257),
+""".format(poly=_DD_POLY.format(col="t", base=257), n=n, nm1=n - 1,
            sigs=sig_cols, preds=band_preds)
 
 

@@ -103,22 +103,33 @@ class MinHashLSH(BaseSingle):
         df = df.withColumn("_tokens",
                            F.split(F.trim(F.lower(F.col(text_column))),
                                    r"\s+"))
-        if shingle_size <= 1:
-            sh = F.array_distinct(F.col("_tokens"))
-        else:
-            sh = F.array_distinct(F.expr(
-                "transform(sequence(1, greatest(size(_tokens) - {n} + 1, 1))"
-                ", i -> concat_ws(' ', slice(_tokens, i, {n})))"
-                .format(n=shingle_size)))
-        df = df.withColumn("_shingles", sh).drop("_tokens")
         if hash_fn == "xxhash64":
-            hash_sql = "transform(_shingles, s -> pmod(xxhash64(s), {m}))" \
-                .format(m=MERSENNE)
+            if shingle_size <= 1:
+                sh = "array_distinct(_tokens)"
+            else:
+                sh = ("array_distinct(transform("
+                      "sequence(1, greatest(size(_tokens) - {n} + 1, 1)), "
+                      "i -> concat_ws(' ', slice(_tokens, i, {n}))))"
+                      .format(n=shingle_size))
+            hash_sql = ("transform({sh}, s -> pmod(xxhash64(s), {m}))"
+                        .format(sh=sh, m=MERSENNE))
         else:
-            # arithmetic rolling hash: slower but reproducible on ANY
-            # ANSI-SQL engine (the cross-engine correctness oracle uses it)
-            hash_sql = "transform(_shingles, s -> {h})".format(
-                h=poly_hash_expr("s"))
+            # arithmetic scheme, reproducible on ANY ANSI-SQL engine:
+            # 1. each token hashed ONCE by rolling char hash;
+            # 2. a shingle hash folds its n token hashes with base 8191
+            # — no shingle strings are ever built, and the downstream
+            # jaccard intersects int arrays instead of strings
+            th = "transform(_tokens, t -> {h})".format(h=poly_hash_expr("t"))
+            df = df.withColumn("_th", F.expr(th))
+            if shingle_size <= 1:
+                hash_sql = "array_distinct(_th)"
+            else:
+                hash_sql = (
+                    "array_distinct(transform("
+                    "sequence(1, greatest(size(_th) - {n} + 1, 1)), "
+                    "i -> aggregate(slice(_th, i, {n}), cast(0 as bigint), "
+                    "(acc, h) -> pmod(acc * 8191 + h, {m}))))"
+                    .format(n=shingle_size, m=MERSENNE))
         df = df.withColumn("_hashes", F.expr(hash_sql))
         sig_cols = []
         for i, (a, b) in enumerate(_perm_constants(num_perm)):
@@ -126,7 +137,8 @@ class MinHashLSH(BaseSingle):
                 "aggregate(_hashes, cast({m} as bigint), (acc, h) -> "
                 "least(acc, pmod({a} * h + {b}, {m})))"
                 .format(a=a, b=b, m=MERSENNE)).alias("_s{}".format(i)))
-        return df.select(F.col(id_column).alias("_id"), "_shingles",
+        return df.select(F.col(id_column).alias("_id"),
+                         F.col("_hashes").alias("_shingles"),
                          *sig_cols), num_perm, bands
 
     def _build(self, ctx):
@@ -141,22 +153,25 @@ class MinHashLSH(BaseSingle):
             band_structs.append(F.struct(
                 F.lit(b).alias("band"),
                 F.array(*cols).alias("sig")))
+        # the bucket join carries only (id, band-key); the (wide) shingle
+        # arrays are joined back AFTER pair dedup — smaller shuffles
         buckets = sigs.select(
-            "_id", "_shingles",
-            F.explode(F.array(*band_structs)).alias("_b"))
+            "_id", F.explode(F.array(*band_structs)).alias("_b"))
         left = buckets.select(F.col("_id").alias("id_a"),
-                              F.col("_shingles").alias("_sh_a"),
                               F.col("_b").alias("_ba"))
         right = buckets.select(F.col("_id").alias("id_b"),
-                               F.col("_shingles").alias("_sh_b"),
                                F.col("_b").alias("_bb"))
         pairs = (left.join(right,
                            (left["_ba"] == right["_bb"])
                            & (left["id_a"] < right["id_b"]))
-                 .select("id_a", "id_b", "_sh_a", "_sh_b"))
+                 .select("id_a", "id_b").distinct())
         if not self.args[6]:
-            return pairs.select("id_a", "id_b").distinct()
-        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+            return pairs
+        sh_a = sigs.select(F.col("_id").alias("id_a"),
+                           F.col("_shingles").alias("_sh_a"))
+        sh_b = sigs.select(F.col("_id").alias("id_b"),
+                           F.col("_shingles").alias("_sh_b"))
+        pairs = pairs.join(sh_a, "id_a").join(sh_b, "id_b")
         inter = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
         union = (F.size("_sh_a") + F.size("_sh_b")
                  - F.size(F.array_intersect("_sh_a", "_sh_b")))
@@ -193,8 +208,11 @@ class SimHash(BaseSingle):
         df = self.source._build(ctx)
         tokens = F.array_distinct(
             F.split(F.trim(F.lower(F.col(text_column))), r"\s+"))
-        df = df.select(F.col(id_column).alias("_id"),
-                       tokens.alias("_tokens"))
+        # explode + conditional aggregation: the whole tally stays in
+        # whole-stage codegen (a nested higher-order fold over 64 bits
+        # per token is interpreted and ~20x slower)
+        tok = df.select(F.col(id_column).alias("_id"),
+                        F.explode(tokens).alias("t"))
         if hash_fn == "xxhash64":
             token_hash = "xxhash64(t)"
         else:
@@ -203,24 +221,23 @@ class SimHash(BaseSingle):
             token_hash = "({h1} * cast({m} as bigint) + {h2})".format(
                 h1=poly_hash_expr("t"), h2=poly_hash_expr("t", base=131),
                 m=MERSENNE)
-        # tally per bit: aggregate tokens into a 64-length vote array
-        votes = F.expr(
-            "aggregate(_tokens, "
-            " transform(sequence(0, 63), b -> cast(0 as bigint)), "
-            " (acc, t) -> zip_with(acc, "
-            "   transform(sequence(0, 63), b -> "
-            "     case when (shiftright({th}, b) & 1) = 1 "
-            "          then cast(1 as bigint) else cast(-1 as bigint) end), "
-            "   (u, v) -> u + v))".format(th=token_hash))
-        sig = F.expr(
-            "aggregate(transform(sequence(0, 63), b -> "
-            "  case when element_at(_votes, b + 1) > 0 "
-            "       then shiftleft(cast(1 as bigint), b) "
-            "       else cast(0 as bigint) end), "
-            " cast(0 as bigint), (acc, v) -> acc | v)")
-        return (df.withColumn("_votes", votes)
-                .withColumn("simhash", sig)
-                .select("_id", "simhash"))
+        tok = tok.withColumn("_h", F.expr(token_hash))
+        votes = [
+            F.sum(F.when(
+                F.expr("(shiftright(_h, {b}) & 1) = 1".format(b=b)),
+                F.lit(1)).otherwise(F.lit(-1))).alias("_v{}".format(b))
+            for b in range(64)]
+        g = tok.groupBy("_id").agg(*votes)
+        sig = None
+        for b in range(64):
+            # shiftleft wraps bit 63 into the sign bit (two's complement);
+            # summing distinct powers is carry-free, so sum == bitwise OR
+            bit = F.when(F.col("_v{}".format(b)) > 0,
+                         F.expr("shiftleft(cast(1 as bigint), {b})"
+                                .format(b=b))) \
+                .otherwise(F.lit(0).cast("bigint"))
+            sig = bit if sig is None else sig + bit
+        return g.select("_id", sig.alias("simhash"))
 
     def _build(self, ctx):
         sigs = self.signatures(ctx)
