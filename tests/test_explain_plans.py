@@ -1,0 +1,104 @@
+"""Explain-plan audit (SURVEY.md §6): the scale rules are asserted, not
+assumed — filters reach the parquet scan, projections prune the read
+schema, dimension joins broadcast, scalar math never shuffles, and the
+hot path stays out of row-at-a-time Python.
+"""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode="formatted"):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from dask_geomodeling_spark.geometry.sources import ParquetGeometrySource
+    src = ParquetGeometrySource(SF_DIR + "/lineitem.parquet",
+                                id_field="l_orderkey")
+    df = src.plan(spark, filters={"l_quantity__gte": 30.0,
+                                  "l_returnflag": "R"})
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_quantity,30.0)" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_projection_prunes_read_schema(spark):
+    from dask_geomodeling_spark.geometry.sources import ParquetGeometrySource
+    src = ParquetGeometrySource(SF_DIR + "/lineitem.parquet",
+                                id_field="l_orderkey")
+    df = src.plan(spark).select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "l_quantity" in scan
+    assert "l_extendedprice" not in scan  # untouched column not read
+
+
+def test_time_filter_pushdown(spark):
+    import datetime
+
+    from dask_geomodeling_spark.geometry.sources import ParquetGeometrySource
+    src = ParquetGeometrySource(SF_DIR + "/orders.parquet",
+                                id_field="o_orderkey",
+                                time_column="o_orderdate")
+    df = src.plan(spark, start=datetime.datetime(1995, 1, 1))
+    assert "GreaterThanOrEqual(o_orderdate" in plan_of(df)
+
+
+def test_dimension_join_broadcasts(spark):
+    from dask_geomodeling_spark import demos
+    df = demos.QUERIES["merge_blocks"](spark, SF_DIR)
+    assert "BroadcastHashJoin" in plan_of(df)
+
+
+def test_scalar_elemwise_does_not_shuffle(spark, tmp_path):
+    from dask_geomodeling_spark.raster import elemwise as ew
+    from dask_geomodeling_spark.raster.sources import RasterParquetSource
+    url = str(tmp_path / "cells")
+    spark.createDataFrame(
+        [(0, 0, 1.0)], "y bigint, x bigint, value double") \
+        .withColumn("time", F.lit("1970-01-01").cast("timestamp")) \
+        .write.parquet(url)
+    block = ew.Add(ew.Multiply(RasterParquetSource(url), 2.0), 1.0)
+    plan = plan_of(block.plan(spark), "simple")
+    assert "Exchange" not in plan  # pure projection over the scan
+
+
+def test_field_op_chain_fuses_without_python(spark):
+    from dask_geomodeling_spark import demos
+    plan = plan_of(demos.QUERIES["field_ops_arithmetic"](spark, SF_DIR),
+                   "simple")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    assert "*(" in plan  # whole-stage codegen spans the projection
+
+
+def test_text_pipeline_stays_jvm_side(spark):
+    from dask_geomodeling_spark import demos
+    for name in ("token_count", "quality_score", "language_id",
+                 "fingerprint", "minhash_lsh"):
+        plan = plan_of(demos.QUERIES[name](spark, SF_DIR), "simple")
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    from dask_geomodeling_spark import demos
+    plan = plan_of(demos.QUERIES["cosine_topk"](spark, SF_DIR), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_aggregate_partial_before_shuffle(spark):
+    """Temporal aggregate must partial-aggregate map-side (one final
+    shuffle on the group keys)."""
+    from dask_geomodeling_spark import demos
+    plan = plan_of(
+        demos.QUERIES["raster_temporal_aggregate"](spark, SF_DIR), "simple")
+    assert plan.count("HashAggregate") >= 2  # partial + final
