@@ -125,12 +125,14 @@ def field_ops_arithmetic(spark, sf_dir):
 SELECT l_orderkey, l_linenumber,
        (l_quantity > 25.0) AND (l_discount <= 0.05) AS bulk_cheap,
        (l_returnflag = 'R') <> (l_linestatus = 'F') AS flag_xor,
-       NOT (l_quantity >= 10.0) AS small
+       NOT (l_quantity >= 10.0) AS small,
+       (l_returnflag <> 'N') OR (l_quantity < 2.0) AS returned_or_tiny,
+       l_quantity >= 49.0 AS near_max
 FROM lineitem
 """)
 def field_ops_compare_logic(spark, sf_dir):
-    """Greater/LessEqual/Equal + And/Xor/Invert
-    (field_operations.py:400-576)."""
+    """Greater/GreaterEqual/Less/LessEqual/Equal/NotEqual +
+    And/Or/Xor/Invert (field_operations.py:400-576)."""
     from dask_geomodeling_spark.geometry import field_operations as fo
     src = lineitem_src(sf_dir)
     view = src.set(
@@ -139,9 +141,13 @@ def field_ops_compare_logic(spark, sf_dir):
         "flag_xor", fo.Xor(fo.Equal(src["l_returnflag"], "R"),
                            fo.Equal(src["l_linestatus"], "F")),
         "small", fo.Invert(fo.GreaterEqual(src["l_quantity"], 10.0)),
+        "returned_or_tiny", fo.Or(fo.NotEqual(src["l_returnflag"], "N"),
+                                  fo.Less(src["l_quantity"], 2.0)),
+        "near_max", fo.GreaterEqual(src["l_quantity"], 49.0),
     )
     return view.plan(spark).select("l_orderkey", "l_linenumber",
-                                   "bulk_cheap", "flag_xor", "small")
+                                   "bulk_cheap", "flag_xor", "small",
+                                   "returned_or_tiny", "near_max")
 
 
 @demo("classify", oracle="""
@@ -468,17 +474,40 @@ def raster_elemwise_math(spark, sf_dir):
 
 
 @demo("raster_elemwise_compare", oracle="""
-WITH grid AS ({grid})
+WITH grid AS ({grid}),
+a AS (SELECT time, y, x, value FROM grid WHERE y < 16),
+j AS (SELECT g.time, g.y, g.x, g.value, a.value AS avalue
+      FROM grid g LEFT JOIN a USING (time, y, x))
 SELECT time, y, x,
-       (value > 100.0) AND NOT (value >= 500.0) AS value
-FROM grid
+       (value > 100.0) AND NOT (value >= 500.0) AS value,
+       (value < 50.0) OR (value <= 10.0) OR (value <> 77.0) AS lo,
+       avalue IS NOT NULL AS isdata,
+       avalue IS NULL AS isnodata
+FROM j
 """.format(grid=_grid_sql()))
 def raster_elemwise_compare(spark, sf_dir):
-    """Greater/GreaterEqual/Invert/And (elemwise.py:409+)."""
+    """Greater/GreaterEqual/Less/LessEqual/NotEqual + And/Or/Invert +
+    IsData/IsNoData (elemwise.py:409-699)."""
     from dask_geomodeling_spark.raster import elemwise as ew
+    from dask_geomodeling_spark.raster.sources import DataFrameRasterSource
     g = lineitem_grid(spark, sf_dir)
-    return ew.And(ew.Greater(g, 100.0),
+    partial = DataFrameRasterSource(g._df.filter(F.col("y") < 16))
+    main = ew.And(ew.Greater(g, 100.0),
                   ew.Invert(ew.GreaterEqual(g, 500.0))).plan(spark)
+    lo = (ew.Or(ew.Or(ew.Less(g, 50.0), ew.LessEqual(g, 10.0)),
+                ew.NotEqual(g, 77.0)).plan(spark)
+          .withColumnRenamed("value", "lo"))
+    # IsData/IsNoData over a partial raster aligned to the full grid
+    isd = (ew.IsData(partial).plan(spark)
+           .withColumnRenamed("value", "isdata"))
+    isnd = (ew.IsNoData(partial).plan(spark)
+            .withColumnRenamed("value", "isnodata"))
+    out = (main.join(lo, ["time", "y", "x"], "full")
+           .join(isd, ["time", "y", "x"], "left")
+           .join(isnd, ["time", "y", "x"], "left"))
+    return out.withColumns({
+        "isdata": F.coalesce("isdata", F.lit(False)),
+        "isnodata": F.coalesce("isnodata", F.lit(True))})
 
 
 @demo("raster_fill_nodata", oracle="""
@@ -600,20 +629,25 @@ def raster_reclassify(spark, sf_dir):
 WITH grid AS ({grid})
 SELECT time, y, x,
        ROUND(LN(value), 6) AS log_value,
-       ROUND(LOG10(value), 6) AS log10_value
+       ROUND(LOG10(value), 6) AS log10_value,
+       ROUND(EXP(LN(value)), 6) AS exp_value
 FROM grid
 """.format(grid=_grid_sql()))
 def raster_exp_log(spark, sf_dir):
-    """Log/Log10 (elemwise.py:801/818).  Values are strictly positive
-    (quantity sums); rounded to 6 decimals on both sides because libm
-    implementations may differ in the last ulp."""
-    from dask_geomodeling_spark.raster.elemwise import Log, Log10
+    """Exp/Log/Log10 (elemwise.py:784/801/818).  Values are strictly
+    positive (quantity sums); rounded to 6 decimals on both sides because
+    libm implementations may differ in the last ulp."""
+    from dask_geomodeling_spark.raster.elemwise import Exp, Log, Log10
     g = lineitem_grid(spark, sf_dir)
     lg = Log(g).plan(spark).withColumn("value", F.round("value", 6)) \
         .withColumnRenamed("value", "log_value")
     l10 = Log10(g).plan(spark).withColumn("value", F.round("value", 6)) \
         .withColumnRenamed("value", "log10_value")
-    return lg.join(l10, ["time", "y", "x"], "full")
+    ex = Exp(Log(g)).plan(spark) \
+        .withColumn("value", F.round("value", 6)) \
+        .withColumnRenamed("value", "exp_value")
+    return (lg.join(l10, ["time", "y", "x"], "full")
+            .join(ex, ["time", "y", "x"], "full"))
 
 
 @demo("raster_reduction", oracle="""
@@ -1597,3 +1631,126 @@ def raster_sink_roundtrip(spark, sf_dir):
     sink.write(spark)
     return (spark.read.parquet(url)
             .select("time", "y", "x", "value"))
+
+
+# --------------------------------------------------------------------------
+# coverage batch 3: labeled measurements, request-clip intersection,
+# literal sources, raster tiling, JSON graph roundtrip
+# --------------------------------------------------------------------------
+
+@demo("percentile_over_labels", oracle="""
+WITH grid AS ({grid}),
+labels AS (
+  SELECT time, y, x,
+         CASE WHEN value IS NULL THEN NULL
+              ELSE CAST(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END
+                 + CASE WHEN value >= 300.0 THEN 1 ELSE 0 END AS BIGINT)
+              END AS label
+  FROM grid)
+SELECT l.label, ROUND(quantile_cont(g.value, 0.75), 6) AS value
+FROM grid g JOIN labels l USING (time, y, x)
+WHERE g.value IS NOT NULL AND l.label IN (1, 2)
+GROUP BY l.label
+""".format(grid=_grid_sql()))
+def percentile_over_labels(spark, sf_dir):
+    """measurements.percentile (measurements.py:18): per-label p75 of
+    the grid, labels from a classified copy of the same grid."""
+    from dask_geomodeling_spark.functions.measurements import percentile
+    from dask_geomodeling_spark.raster.misc import Classify
+    g = lineitem_grid(spark, sf_dir)
+    labels = Classify(g, [100.0, 300.0])
+    block = percentile(g, 75.0, labels=labels, index=[1, 2])
+    return block.plan(spark).withColumn("value", F.round("value", 6))
+
+
+@demo("intersection", oracle="""
+WITH pts AS (
+  SELECT s_suppkey,
+         CAST(s_suppkey % 100 AS DOUBLE) AS x,
+         CAST((s_suppkey * 7) % 100 AS DOUBLE) AS y
+  FROM supplier
+), boxes AS (
+  SELECT s_suppkey, x - 2.5 AS xmin, y - 2.5 AS ymin,
+         x + 2.5 AS xmax, y + 2.5 AS ymax
+  FROM pts
+)
+SELECT s_suppkey,
+       GREATEST(xmin, 10.0) AS xmin, GREATEST(ymin, 10.0) AS ymin,
+       LEAST(xmax, 60.0) AS xmax, LEAST(ymax, 60.0) AS ymax
+FROM boxes
+WHERE xmin <= 60.0 AND xmax >= 10.0 AND ymin <= 60.0 AND ymax >= 10.0
+""")
+def intersection(spark, sf_dir):
+    """Intersection (set_operations.py:84): request-geometry clip — the
+    bbox predicate pushes into the scan, the clamp is a projection."""
+    from dask_geomodeling_spark.geometry.constructive import Buffer
+    from dask_geomodeling_spark.geometry.set_operations import Intersection
+    supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    pts = supplier.select(
+        "s_suppkey",
+        (F.col("s_suppkey") % 100).cast("double").alias("x"),
+        ((F.col("s_suppkey") * 7) % 100).cast("double").alias("y"))
+    boxes = Buffer(DataFrameSource(pts, index_column="s_suppkey"), 2.5)
+    clipped = Intersection(boxes)
+    return (clipped.plan(spark, geometry=(10.0, 10.0, 60.0, 60.0))
+            .select("s_suppkey", "xmin", "ymin", "xmax", "ymax"))
+
+
+@demo("literal_source", oracle="""
+WITH f(id, x, y) AS (VALUES (1, 3.5, 4.5)),
+b AS (SELECT id, x - 1.0 AS xmin, y - 1.0 AS ymin,
+             x + 1.0 AS xmax, y + 1.0 AS ymax
+      FROM f)
+SELECT id, xmin, ymin, xmax, ymax,
+       (xmax - xmin) * (ymax - ymin) AS area
+FROM b
+""")
+def literal_source(spark, sf_dir):
+    """LiteralGeometrySource (reference GeometryWKTSource,
+    sources.py:162): a single WKT point, buffered to a box + area."""
+    from dask_geomodeling_spark.geometry.constructive import Buffer
+    from dask_geomodeling_spark.geometry.geom_operations import Area
+    from dask_geomodeling_spark.geometry.sources import (
+        LiteralGeometrySource)
+    src = LiteralGeometrySource("POINT (3.5 4.5)", id=1)
+    buffered = Buffer(src, 1.0)
+    view = buffered.set("area", Area(buffered))
+    return view.plan(spark).select("id", "xmin", "ymin", "xmax", "ymax",
+                                   "area")
+
+
+@demo("raster_tiler", oracle="""
+WITH grid AS ({grid})
+SELECT time, y, x, value FROM grid
+""".format(grid=_grid_sql("R")))
+def raster_tiler(spark, sf_dir):
+    """RasterTiler (raster/parallelize.py:13): spatial-tile
+    repartitioning — contents unchanged, physical layout co-locates each
+    16x16 tile for downstream kernels."""
+    from dask_geomodeling_spark.raster.parallelize import RasterTiler
+    return RasterTiler(lineitem_grid(spark, sf_dir, "R"), 16).plan(spark)
+
+
+@demo("json_graph_roundtrip", oracle="""
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_quantity IS NULL THEN NULL
+            WHEN l_quantity <= 10.0 THEN 'small'
+            WHEN l_quantity <= 25.0 THEN 'medium'
+            WHEN l_quantity <= 40.0 THEN 'large'
+            ELSE 'bulk' END AS qty_class
+FROM lineitem
+""")
+def json_graph_roundtrip(spark, sf_dir):
+    """Block.to_json → from_json → run (core/graphs.py serialization
+    contract): the view survives a full serialization roundtrip and
+    produces identical results."""
+    from dask_geomodeling_spark.core.blocks import Block
+    from dask_geomodeling_spark.geometry.field_operations import Classify
+    src = lineitem_src(sf_dir)
+    view = src.set("qty_class", Classify(
+        src["l_quantity"], [10.0, 25.0, 40.0],
+        ["small", "medium", "large", "bulk"]))
+    revived = Block.from_json(view.to_json())
+    assert revived.token == view.token
+    return revived.plan(spark).select("l_orderkey", "l_linenumber",
+                                      "qty_class")

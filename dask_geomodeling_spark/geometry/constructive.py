@@ -33,20 +33,45 @@ class Buffer(BaseSingle):
         return set(self.source.columns) | {"xmin", "ymin", "xmax", "ymax"}
 
     def _build(self, ctx):
-        df = self.source._build(ctx)
+        # the source request expands by the buffer distance (reference:
+        # constructive.py:13 get_sources_and_requests buffers the request
+        # geometry) — a feature outside the bbox may buffer INTO it
+        geometry = ctx.request.get("geometry")
+        child_ctx = ctx
+        if geometry is not None:
+            x1, y1, x2, y2 = geometry
+            r = self.distance
+            child_ctx = ctx.child(
+                geometry=(x1 - r, y1 - r, x2 + r, y2 + r))
+        df = self.source._build(child_ctx)
         d = F.lit(self.distance)
         cols = set(df.columns)
         if {"xmin", "ymin", "xmax", "ymax"} <= cols:
-            return (df.withColumn("xmin", F.col("xmin") - d)
-                      .withColumn("ymin", F.col("ymin") - d)
-                      .withColumn("xmax", F.col("xmax") + d)
-                      .withColumn("ymax", F.col("ymax") + d))
-        if {"x", "y"} <= cols:
-            return (df.withColumn("xmin", F.col("x") - d)
-                      .withColumn("ymin", F.col("y") - d)
-                      .withColumn("xmax", F.col("x") + d)
-                      .withColumn("ymax", F.col("y") + d))
-        raise ValueError("Buffer requires point or box geometry columns")
+            out = (df.withColumn("xmin", F.col("xmin") - d)
+                   .withColumn("ymin", F.col("ymin") - d)
+                   .withColumn("xmax", F.col("xmax") + d)
+                   .withColumn("ymax", F.col("ymax") + d))
+        elif {"x", "y"} <= cols:
+            out = (df.withColumn("xmin", F.col("x") - d)
+                   .withColumn("ymin", F.col("y") - d)
+                   .withColumn("xmax", F.col("x") + d)
+                   .withColumn("ymax", F.col("y") + d))
+        else:
+            raise ValueError(
+                "Buffer requires point or box geometry columns")
+        if geometry is not None:
+            # the request bbox applies to the BUFFERED geometry
+            x1, y1, x2, y2 = geometry
+            if ctx.request.get("mode") == "centroid":
+                cx = (F.col("xmin") + F.col("xmax")) / 2
+                cy = (F.col("ymin") + F.col("ymax")) / 2
+                out = out.filter((cx >= x1) & (cx <= x2)
+                                 & (cy >= y1) & (cy <= y2))
+            else:
+                out = out.filter(
+                    (F.col("xmin") <= x2) & (F.col("xmax") >= x1)
+                    & (F.col("ymin") <= y2) & (F.col("ymax") >= y1))
+        return out
 
 
 class Simplify(BaseSingle):
