@@ -40,6 +40,21 @@ def apply_raster_request(df, request):
         x1, y1, x2, y2 = bbox
         df = df.filter((F.col("x") >= x1) & (F.col("x") <= x2)
                        & (F.col("y") >= y1) & (F.col("y") <= y2))
+        # width/height request a coarser resolution than the native grid
+        # (reference raster/base.py:9: the response is a width x height
+        # array over the bbox): nearest-cell striding keeps every
+        # stride-th cell — a pure scan predicate, no resample shuffle
+        width, height = request.get("width"), request.get("height")
+        if width:
+            sx = max(int((x2 - x1 + 1) // int(width)), 1)
+            if sx > 1:
+                df = df.filter(F.pmod(F.col("x") - F.lit(int(x1)),
+                                      F.lit(sx)) == 0)
+        if height:
+            sy = max(int((y2 - y1 + 1) // int(height)), 1)
+            if sy > 1:
+                df = df.filter(F.pmod(F.col("y") - F.lit(int(y1)),
+                                      F.lit(sy)) == 0)
     start, stop = request.get("start"), request.get("stop")
     if start is not None:
         df = df.filter(F.col("time") >= F.lit(start))

@@ -1,0 +1,110 @@
+"""Property tests (SURVEY.md §5): hypothesis-generated edge cases for
+the value-mapping field operations, checked against a pure-python model
+of the reference semantics (numpy digitize / interp / choose)."""
+
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dask_geomodeling_spark.geometry.sources import DataFrameSource
+
+finite = st.floats(allow_nan=False, allow_infinity=False,
+                   min_value=-1e6, max_value=1e6)
+
+
+def frame(spark, values):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id bigint, v double")
+    return DataFrameSource(df, index_column="id")
+
+
+def collected(block, spark, col):
+    rows = block.plan(spark).select("id", col).collect()
+    return [r[col] for r in sorted(rows, key=lambda r: r["id"])]
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(finite | st.none(), min_size=1, max_size=8),
+       st.lists(finite, min_size=1, max_size=4, unique=True))
+def test_classify_matches_digitize(spark_prop, values, bins):
+    """Classify = np.digitize into right-open bins, NULL-preserving
+    (reference field_operations.py:48)."""
+    from dask_geomodeling_spark.geometry.field_operations import Classify
+    bins = sorted(bins)
+    labels = list(range(len(bins) + 1))
+    src = frame(spark_prop, values)
+    got = collected(src.set("c", Classify(src["v"], bins, labels)),
+                    spark_prop, "c")
+    for v, g in zip(values, got):
+        if v is None:
+            assert g is None
+        else:
+            expected = sum(1 for b in bins if v > b)  # right-closed bins
+            assert g == labels[expected], (v, bins, g)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(finite | st.none(), min_size=1, max_size=8))
+def test_interp_matches_numpy(spark_prop, values):
+    """Interp = np.interp with edge clamping (reference :690)."""
+    from dask_geomodeling_spark.geometry.field_operations import Interp
+    xp, fp = [0.0, 10.0, 20.0], [1.0, 5.0, 2.0]
+    src = frame(spark_prop, values)
+    got = collected(src.set("c", Interp(src["v"], xp, fp)),
+                    spark_prop, "c")
+    for v, g in zip(values, got):
+        if v is None:
+            assert g is None
+            continue
+        if v <= xp[0]:
+            expected = fp[0]
+        elif v >= xp[-1]:
+            expected = fp[-1]
+        else:
+            for i in range(len(xp) - 1):
+                if xp[i] <= v <= xp[i + 1]:
+                    t = (v - xp[i]) / (xp[i + 1] - xp[i])
+                    expected = fp[i] + t * (fp[i + 1] - fp[i])
+                    break
+        assert math.isclose(g, expected, rel_tol=1e-9, abs_tol=1e-9), (
+            v, g, expected)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.integers(min_value=-1, max_value=3), min_size=1,
+                max_size=8))
+def test_choose_matches_numpy(spark_prop, selectors):
+    """Choose picks the k-th series per row; out-of-range → NULL
+    (reference :726)."""
+    from dask_geomodeling_spark.geometry.field_operations import Choose
+    choices = [10.0, 20.0, 30.0]
+    src = frame(spark_prop, [float(s) for s in selectors])
+    block = src.set("c", Choose(src["v"],
+                                *[src["v"] * 0 + c for c in choices]))
+    got = collected(block, spark_prop, "c")
+    for s, g in zip(selectors, got):
+        if 0 <= s < len(choices):
+            assert g == choices[s]
+        else:
+            assert g is None
+
+
+def test_raster_request_striding(spark_prop):
+    """width/height below the native bbox resolution keep every
+    stride-th cell."""
+    from dask_geomodeling_spark.raster.sources import MemorySource
+    grid = [[float(10 * y + x) for x in range(8)] for y in range(8)]
+    src = MemorySource(grid)
+    rows = src.plan(spark_prop, bbox=(0, 0, 7, 7), width=4,
+                    height=2).collect()
+    xs = sorted({r["x"] for r in rows})
+    ys = sorted({r["y"] for r in rows})
+    assert xs == [0, 2, 4, 6]
+    assert ys == [0, 4]
+
+
+@pytest.fixture(scope="session")
+def spark_prop(spark):
+    return spark
