@@ -60,14 +60,19 @@ class EventAggregate(Block):
                 .select(F.col("_w.start").alias("window_start"), *keys,
                         "value"))
 
-    def start(self, spark=None, path=None, checkpoint=None, **request):
-        """Run as a streaming query writing to parquet (scale path)."""
+    def start(self, spark=None, path=None, checkpoint=None,
+              available_now=False, **request):
+        """Run as a streaming query writing to parquet (scale path).
+        ``available_now=True`` drains everything currently available and
+        stops — the batch-backfill trigger."""
         df = self.plan(spark, **request)
         if not df.isStreaming:
             raise ValueError("source is not streaming")
-        return (df.writeStream.outputMode("append")
-                .option("checkpointLocation", checkpoint)
-                .start(path))
+        writer = (df.writeStream.outputMode("append")
+                  .option("checkpointLocation", checkpoint))
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start(path)
 
 
 class SessionizeEvents(Block):
