@@ -143,6 +143,11 @@ class MinHashLSH(BaseSingle):
 
     def _build(self, ctx):
         sigs, num_perm, bands = self._signatures(ctx)
+        # the signature table feeds the band join twice and the verify
+        # join twice — persist it (MEMORY_AND_DISK) instead of
+        # recomputing the shingle+hash scan per use; at 100 TB this is
+        # the standard "materialize the signature table" step
+        sigs = sigs.persist()
         rows_per_band = num_perm // bands
         band_structs = []
         for b in range(bands):
@@ -240,7 +245,8 @@ class SimHash(BaseSingle):
         return g.select("_id", sig.alias("simhash"))
 
     def _build(self, ctx):
-        sigs = self.signatures(ctx)
+        # both sides of the band self-join read the signatures
+        sigs = self.signatures(ctx).persist()
         bands = []
         for b in range(4):
             bands.append(F.struct(
@@ -302,6 +308,10 @@ class NgramJaccard(BaseSingle):
                 ", i -> concat_ws(' ', slice(_tokens, i, {n})))".format(n=n)))
         docs = df.select(F.col(id_column).alias("_id"), sh.alias("_sh"))
         docs = docs.withColumn("_n", F.size("_sh"))
+        # the shingled corpus feeds the inverted index AND both sides of
+        # the verify join — persist beats recomputing the shingle scan
+        # 3-4x (at scale: materialize the shingle table once)
+        docs = docs.persist()
         inv = docs.select("_id", "_n", F.explode("_sh").alias("_g"))
         if threshold > 0:
             # global document frequency per gram (small: one row per
