@@ -1754,3 +1754,72 @@ def json_graph_roundtrip(spark, sf_dir):
     assert revived.token == view.token
     return revived.plan(spark).select("l_orderkey", "l_linenumber",
                                       "qty_class")
+
+
+# --------------------------------------------------------------------------
+# coverage batch 4: zonal percentile/mean stats, request property filters
+# --------------------------------------------------------------------------
+
+@demo("aggregate_raster_stats", oracle="""
+WITH grid AS ({grid}),
+boxes AS (
+  SELECT n_nationkey,
+         CAST((n_nationkey % 5) * 12 AS BIGINT) AS xmin,
+         CAST(n_regionkey * 6 AS BIGINT) AS ymin,
+         CAST((n_nationkey % 5) * 12 + 11 AS BIGINT) AS xmax,
+         CAST(n_regionkey * 6 + 5 AS BIGINT) AS ymax
+  FROM nation
+)
+SELECT b.n_nationkey,
+       ROUND(AVG(g.value), 6) AS agg_mean,
+       ROUND(quantile_cont(g.value, 0.75), 6) AS agg_p75,
+       ROUND(MEDIAN(g.value), 6) AS agg_median
+FROM boxes b LEFT JOIN grid g
+  ON g.x BETWEEN b.xmin AND b.xmax AND g.y BETWEEN b.ymin AND b.ymax
+ AND g.value IS NOT NULL
+GROUP BY b.n_nationkey
+""".format(grid=_grid_sql()))
+def aggregate_raster_stats(spark, sf_dir):
+    """AggregateRaster mean/p75/median (aggregate.py:255 statistics
+    table): one range join feeds three stacked statistics."""
+    from dask_geomodeling_spark.geometry.aggregate import AggregateRaster
+    nation = read_nanos_parquet(spark, _pq(sf_dir, "nation"))
+    boxes = nation.select(
+        "n_nationkey",
+        ((F.col("n_nationkey") % 5) * 12).cast("bigint").alias("xmin"),
+        (F.col("n_regionkey") * 6).cast("bigint").alias("ymin"),
+        ((F.col("n_nationkey") % 5) * 12 + 11).cast("bigint").alias("xmax"),
+        (F.col("n_regionkey") * 6 + 5).cast("bigint").alias("ymax"))
+    src = DataFrameSource(boxes, index_column="n_nationkey")
+    grid = lineitem_grid(spark, sf_dir)
+    block = AggregateRaster(
+        AggregateRaster(
+            AggregateRaster(src, grid, statistic="mean",
+                            column_name="agg_mean"),
+            grid, statistic="p75", column_name="agg_p75"),
+        grid, statistic="median", column_name="agg_median")
+    return block.plan(spark).select(
+        "n_nationkey",
+        F.round("agg_mean", 6).alias("agg_mean"),
+        F.round("agg_p75", 6).alias("agg_p75"),
+        F.round("agg_median", 6).alias("agg_median"))
+
+
+@demo("request_filters", oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice >= 100000.0
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+""")
+def request_filters(spark, sf_dir):
+    """Django-style request filters + time bounds (geometry/base.py:10
+    request contract) — every predicate lands in PushedFilters."""
+    import datetime
+    src = ParquetGeometrySource(_pq(sf_dir, "orders"),
+                                id_field="o_orderkey",
+                                time_column="o_orderdate")
+    df = src.plan(spark,
+                  filters={"o_orderstatus": "F",
+                           "o_totalprice__gte": 100000.0},
+                  start=datetime.datetime(1995, 1, 1))
+    return df.select("o_orderkey", "o_custkey", "o_totalprice")
