@@ -105,6 +105,16 @@ class RasterParquetSource(RasterBlock):
 
     def _build(self, ctx):
         df = ctx.spark.read.parquet(self.args[0])
+        # a RasterFileSink layout carries a `date` partition column:
+        # derive partition predicates from the time request so the scan
+        # prunes whole date directories (PartitionFilters), not just
+        # row groups
+        if "date" in df.columns:
+            start, stop = ctx.request.get("start"), ctx.request.get("stop")
+            if start is not None:
+                df = df.filter(F.col("date") >= F.to_date(F.lit(start)))
+            if stop is not None:
+                df = df.filter(F.col("date") <= F.to_date(F.lit(stop)))
         return apply_raster_request(df.select("time", "y", "x", "value"),
                                     ctx.request)
 

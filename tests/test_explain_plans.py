@@ -102,3 +102,36 @@ def test_aggregate_partial_before_shuffle(spark):
     plan = plan_of(
         demos.QUERIES["raster_temporal_aggregate"](spark, SF_DIR), "simple")
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_date_partition_pruning(spark, tmp_path):
+    """A RasterFileSink layout + a time request must prune date
+    partition directories at the scan."""
+    import datetime
+
+    from dask_geomodeling_spark.raster.sinks import RasterFileSink
+    from dask_geomodeling_spark.raster.sources import (DataFrameRasterSource,
+                                                       RasterParquetSource)
+    cells = spark.createDataFrame(
+        [("2024-01-0{} 12:00:00".format(d), 0, 0, float(d))
+         for d in range(1, 8)],
+        "time string, y bigint, x bigint, value double") \
+        .withColumn("time", F.col("time").cast("timestamp"))
+    url = str(tmp_path / "raster")
+    RasterFileSink(DataFrameRasterSource(cells), url).write(spark)
+
+    src = RasterParquetSource(url)
+    df = src.plan(spark, start=datetime.datetime(2024, 1, 3),
+                  stop=datetime.datetime(2024, 1, 5, 23, 59))
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan
+    assert "isnotnull(date" in plan or "date" in plan[
+        plan.index("PartitionFilters"):].splitlines()[0]
+    assert sorted(r["value"] for r in df.collect()) == [3.0, 4.0, 5.0]
+
+
+def test_aggregate_raster_broadcasts_features(spark):
+    from dask_geomodeling_spark import demos
+    plan = plan_of(demos.QUERIES["aggregate_raster"](spark, SF_DIR),
+                   "simple")
+    assert "Broadcast" in plan  # feature boxes are the small side
