@@ -1823,3 +1823,43 @@ def request_filters(spark, sf_dir):
                            "o_totalprice__gte": 100000.0},
                   start=datetime.datetime(1995, 1, 1))
     return df.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@demo("reproject", oracle="""
+WITH pts AS (
+  SELECT s_suppkey,
+         CAST(s_suppkey % 100 AS DOUBLE) - 50.0 AS lon,
+         CAST((s_suppkey * 7) % 100 AS DOUBLE) - 50.0 AS lat
+  FROM supplier
+)
+SELECT s_suppkey,
+       ROUND(6378137.0 * radians(lon), 6) AS x,
+       ROUND(6378137.0 * ln(tan(pi() / 4.0 + radians(lat) / 2.0)), 6)
+           AS y
+FROM pts
+""")
+def reproject(spark, sf_dir):
+    """Reproject (reference: utils shapely_transform/get_sr):
+    EPSG:4326 → EPSG:3857 in closed form on the geometry columns."""
+    from dask_geomodeling_spark.geometry.proj import Reproject
+    supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    pts = supplier.select(
+        "s_suppkey",
+        ((F.col("s_suppkey") % 100).cast("double") - 50.0).alias("x"),
+        (((F.col("s_suppkey") * 7) % 100).cast("double") - 50.0).alias("y"))
+    block = Reproject(DataFrameSource(pts, index_column="s_suppkey"),
+                      "EPSG:4326", "EPSG:3857")
+    return block.plan(spark).select(
+        "s_suppkey", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"))
+
+
+@demo("raster_time_request", oracle="""
+WITH grid AS ({grid})
+SELECT DISTINCT time FROM grid
+""".format(grid=EVENT_GRID_SQL))
+def raster_time_request(spark, sf_dir):
+    """The reference's time request (mode='time'): the distinct band
+    timestamps of a raster.  (``get_data(mode='time')`` wraps this same
+    plan into the reference's dict response.)"""
+    g = event_grid(spark, sf_dir)
+    return g.plan(spark).select("time").distinct()
