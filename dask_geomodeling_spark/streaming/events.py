@@ -15,7 +15,8 @@ from pyspark.sql import functions as F
 from dask_geomodeling_spark.core.blocks import Block
 from dask_geomodeling_spark.functions import statistic_expr
 
-__all__ = ["EventSource", "EventAggregate", "SessionizeEvents"]
+__all__ = ["EventSource", "EventAggregate", "SessionizeEvents",
+           "StreamingDedup"]
 
 
 class EventSource(Block):
@@ -95,3 +96,23 @@ class SessionizeEvents(Block):
                      .cast("double").alias("total_value"))
                 .select(F.col("_w.start").alias("session_start"),
                         user_column, "n_events", "total_value"))
+
+
+class StreamingDedup(Block):
+    """Streaming ingest deduplication: drop rows whose keys were already
+    seen, with state bounded by the source watermark
+    (``dropDuplicatesWithinWatermark``).  On a batch frame the same
+    block is an exact ``dropDuplicates`` — identical keys semantics,
+    unbounded lookback."""
+
+    def __init__(self, source, keys=("event_id",)):
+        if not isinstance(source, Block):
+            raise TypeError("'{}' object is not allowed".format(type(source)))
+        super().__init__(source, list(keys))
+
+    def _build(self, ctx):
+        source, keys = self.args
+        df = source._build(ctx)
+        if df.isStreaming:
+            return df.dropDuplicatesWithinWatermark(keys)
+        return df.dropDuplicates(keys)

@@ -64,3 +64,30 @@ def test_sessionize_streaming_runs(spark, tmp_path):
          .trigger(availableNow=True).start(out))
     q.awaitTermination(120)
     assert spark.read.parquet(out).count() > 0
+
+
+def test_streaming_dedup(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.streaming.events import (EventSource,
+                                                         StreamingDedup)
+    restaged = str(tmp_path / "events")
+    base = EventSource(SF_DIR + "/events.parquet").plan(spark)
+    # duplicate every event, then dedup on event_id while streaming
+    base.unionByName(base).write.parquet(restaged)
+    block = StreamingDedup(
+        EventSource(restaged, streaming=True, watermark="2 hours"),
+        keys=["event_id"])
+    df = block.plan(spark)
+    assert df.isStreaming
+    out = str(tmp_path / "out")
+    q = (df.writeStream.outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start(out))
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    n_unique = base.select("event_id").distinct().count()
+    assert got.select("event_id").distinct().count() == got.count()
+    # batch mode: exact dedup
+    batch = StreamingDedup(EventSource(restaged), keys=["event_id"])
+    assert batch.plan(spark).count() == n_unique
