@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from dask_geomodeling_spark.raster.base import BaseSingle
 
-__all__ = ["RasterFileSink", "to_file"]
+__all__ = ["RasterFileSink", "RasterTableSink", "to_file"]
 
 
 class RasterFileSink(BaseSingle):
@@ -51,3 +51,33 @@ def to_file(source, url, tile_size=None, spark=None, **request):
     if tile_size:
         source = RasterTiler(source, tile_size)
     return RasterFileSink(source, url).write(spark, **request)
+
+
+class RasterTableSink(BaseSingle):
+    """Write a raster cell table as a (y, x)-bucketed saved table — the
+    co-location layout for shuffle-free raster⋈raster joins at scale
+    (SURVEY.md §6 rule 2): two rasters bucketed with the same spec
+    sort-merge-join on (time, y, x) with NO Exchange on either side.
+
+    Args:
+      source: RasterBlock.
+      table: metastore table name.
+      buckets: bucket count — match it across co-joined rasters.
+    """
+
+    def __init__(self, source, table, buckets=64):
+        if not isinstance(table, str):
+            raise TypeError("'{}' object is not allowed".format(type(table)))
+        super().__init__(source, table, int(buckets))
+
+    def _build(self, ctx):
+        return self.store._build(ctx)
+
+    def write(self, spark=None, mode="overwrite", **request):
+        df = self.plan(spark, **request)
+        (df.write.mode(mode)
+         .bucketBy(self.args[2], "y", "x")
+         .sortBy("y", "x")
+         .format("parquet")
+         .saveAsTable(self.args[1]))
+        return self.args[1]

@@ -135,3 +135,40 @@ def test_aggregate_raster_broadcasts_features(spark):
     plan = plan_of(demos.QUERIES["aggregate_raster"](spark, SF_DIR),
                    "simple")
     assert "Broadcast" in plan  # feature boxes are the small side
+
+
+def test_bucketed_raster_join_is_shuffle_free(spark, tmp_path):
+    """SURVEY §6 rule 2: rasters written bucketed by (y, x) with the
+    same spec join on (time, y, x) without shuffling either side."""
+    from dask_geomodeling_spark.raster import elemwise as ew
+    from dask_geomodeling_spark.raster.sinks import RasterTableSink
+    from dask_geomodeling_spark.raster.sources import (DataFrameRasterSource,
+                                                       TableRasterSource)
+    cells = spark.createDataFrame(
+        [(y, x, float(y * 10 + x)) for y in range(8) for x in range(8)],
+        "y bigint, x bigint, value double") \
+        .withColumn("time", F.lit("2024-01-01").cast("timestamp"))
+    src = DataFrameRasterSource(cells)
+    RasterTableSink(src, "cells_a", buckets=4).write(spark)
+    RasterTableSink(src, "cells_b", buckets=4).write(spark)
+
+    a = TableRasterSource("SELECT time, y, x, value FROM cells_a")
+    b = TableRasterSource("SELECT time, y, x, value * 2 AS value "
+                          "FROM cells_b")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # bucket cols (y, x) are a SUBSET of the join keys (time, y, x) —
+    # same (y, x) implies co-location, so subset co-partitioning is safe
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition",
+                   "false")
+    try:
+        df = ew.Add(a, b).plan(spark)
+        plan = plan_of(df, "simple")
+        assert "Exchange" not in plan, plan
+        assert df.count() == 64
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition",
+                       "true")
+        spark.sql("DROP TABLE IF EXISTS cells_a")
+        spark.sql("DROP TABLE IF EXISTS cells_b")
