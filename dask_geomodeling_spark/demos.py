@@ -436,21 +436,29 @@ GRID_SQL = """
 """
 
 
+_GRID_CACHE = {}
+
+
 def lineitem_grid(spark, sf_dir, flag=None):
     """Deterministic raster: monthly (y=suppkey%32, x=partkey%64) quantity
     sums.  The decimal-sum makes cell values exact, so downstream raster
-    math is engine-independent."""
+    math is engine-independent.  The grid is the shared INPUT of many
+    raster demos, so it is built once per (session, sf, flag) and
+    persisted — the demo-table analogue of a materialized source."""
     from dask_geomodeling_spark.raster.sources import DataFrameRasterSource
-    li = read_nanos_parquet(spark, _pq(sf_dir, "lineitem"))
-    if flag:
-        li = li.filter(F.col("l_returnflag") == flag)
-    df = (li.groupBy(
-            F.date_trunc("month", F.col("l_shipdate"))
-            .cast("timestamp").alias("time"),
-            (F.col("l_suppkey") % 32).alias("y"),
-            (F.col("l_partkey") % 64).alias("x"))
-          .agg(dsum(F.col("l_quantity")).alias("value")))
-    return DataFrameRasterSource(df)
+    key = (id(spark), sf_dir, flag)
+    if key not in _GRID_CACHE:
+        li = read_nanos_parquet(spark, _pq(sf_dir, "lineitem"))
+        if flag:
+            li = li.filter(F.col("l_returnflag") == flag)
+        df = (li.groupBy(
+                F.date_trunc("month", F.col("l_shipdate"))
+                .cast("timestamp").alias("time"),
+                (F.col("l_suppkey") % 32).alias("y"),
+                (F.col("l_partkey") % 64).alias("x"))
+              .agg(dsum(F.col("l_quantity")).alias("value")))
+        _GRID_CACHE[key] = df.persist()
+    return DataFrameRasterSource(_GRID_CACHE[key])
 
 
 def _grid_sql(flag=None):
@@ -683,15 +691,20 @@ EVENT_GRID_SQL = """
 
 def event_grid(spark, sf_dir):
     """Hourly event raster (y=user%16, x=event%64, value=max) — max is
-    order-independent, so cells are engine-exact."""
+    order-independent, so cells are engine-exact.  Cached + persisted
+    like lineitem_grid (shared input of the temporal demos)."""
     from dask_geomodeling_spark.raster.sources import DataFrameRasterSource
-    ev = read_nanos_parquet(spark, _pq(sf_dir, "events"))
-    df = (ev.groupBy(
-            F.date_trunc("hour", F.col("ts")).cast("timestamp").alias("time"),
-            (F.col("user_id") % 16).alias("y"),
-            (F.col("event_id") % 64).alias("x"))
-          .agg(F.max("value").alias("value")))
-    return DataFrameRasterSource(df)
+    key = (id(spark), sf_dir, "events")
+    if key not in _GRID_CACHE:
+        ev = read_nanos_parquet(spark, _pq(sf_dir, "events"))
+        df = (ev.groupBy(
+                F.date_trunc("hour", F.col("ts"))
+                .cast("timestamp").alias("time"),
+                (F.col("user_id") % 16).alias("y"),
+                (F.col("event_id") % 64).alias("x"))
+              .agg(F.max("value").alias("value")))
+        _GRID_CACHE[key] = df.persist()
+    return DataFrameRasterSource(_GRID_CACHE[key])
 
 
 @demo("raster_temporal_aggregate", oracle="""
@@ -1863,3 +1876,40 @@ def raster_time_request(spark, sf_dir):
     plan into the reference's dict response.)"""
     g = event_grid(spark, sf_dir)
     return g.plan(spark).select("time").distinct()
+
+
+@demo("resize_image", oracle="""
+SELECT doc_id, 32 AS w, 32 AS h,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+FROM documents
+""")
+def resize_image(spark, sf_dir):
+    """ResizeImage: mapInPandas metadata-updating resize stub — the
+    Arrow plumbing is exercised end-to-end, the codec is stubbed."""
+    from dask_geomodeling_spark.pipeline.multimodal import (
+        AttachBinaryMetadata, ResizeImage)
+    attached = AttachBinaryMetadata(documents_src(sf_dir), "text",
+                                    "image/png")
+    resized = ResizeImage(attached, 32, 32)
+    return resized.plan(spark).select(
+        "doc_id",
+        F.col("meta.width").alias("w").cast("int").alias("w"),
+        F.col("meta.height").cast("int").alias("h"),
+        F.length("payload").cast("bigint").alias("payload_bytes"))
+
+
+@demo("raster_cumulative_periods", oracle="""
+WITH grid AS ({grid})
+SELECT time, y, x,
+       SUM(value) OVER (
+           PARTITION BY y, x, CAST(DATE_TRUNC('day', time) AS TIMESTAMP)
+           ORDER BY time
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+FROM grid
+""".format(grid=EVENT_GRID_SQL))
+def raster_cumulative_periods(spark, sf_dir):
+    """Cumulative with frequency (temporal.py:775): the running per-cell
+    sum restarts each day."""
+    from dask_geomodeling_spark.raster.temporal import Cumulative
+    return Cumulative(event_grid(spark, sf_dir), "sum",
+                      frequency="1D").plan(spark)

@@ -20,7 +20,7 @@ from pyspark.sql import types as T
 from dask_geomodeling_spark.geometry.base import BaseSingle
 
 __all__ = ["AttachBinaryMetadata", "ExtractImageFeatures", "FrameSample",
-           "MEDIA_SCHEMA"]
+           "ResizeImage", "MEDIA_SCHEMA"]
 
 #: canonical multimodal column bundle
 MEDIA_SCHEMA = T.StructType([
@@ -121,3 +121,42 @@ class FrameSample(BaseSingle):
             F.col(self.args[1]),
             F.explode(F.sequence(F.lit(0), F.lit(self.args[2] - 1)))
             .alias("frame_no"))
+
+
+class ResizeImage(BaseSingle):
+    """Image resize stub over Arrow-batched ``mapInPandas`` — the
+    distributed plumbing (schema with width/height metadata update,
+    bounded batches) is real; the pixel work is stubbed.
+
+    decode="fake": passes the payload through and stamps the target
+    dimensions into the metadata struct (deterministic, testable).
+    decode="strict": raises NotImplementedError where PIL would run.
+    """
+
+    def __init__(self, source, width, height, payload_column="payload",
+                 decode="fake"):
+        if decode not in ("fake", "strict"):
+            raise ValueError("decode must be 'fake' or 'strict'")
+        super().__init__(source, int(width), int(height), payload_column,
+                         decode)
+
+    def _build(self, ctx):
+        df = self.source._build(ctx)
+        width, height, payload_column, decode = self.args[1:5]
+        schema = df.schema
+
+        def resize(batches):
+            for pdf in batches:
+                if decode == "strict":
+                    raise NotImplementedError(
+                        "real image resize requires PIL; not available "
+                        "in this container")
+                pdf = pdf.copy()
+                pdf["meta"] = [
+                    {**(m if isinstance(m, dict) else m.asDict()),
+                     "width": width, "height": height}
+                    if m is not None else None
+                    for m in pdf["meta"]]
+                yield pdf
+
+        return df.mapInPandas(resize, schema=schema)
