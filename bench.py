@@ -26,6 +26,7 @@ def main():
 
     headline = [
         "q1_pricing_summary",       # fused field-op projections + agg
+        "q3_shipping_priority",     # multi-join view (broadcast + shuffle)
         "field_ops_arithmetic",     # row-level SeriesBlock math
         "classify",                 # CASE classification
         "merge_blocks",             # broadcast join

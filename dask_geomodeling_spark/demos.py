@@ -1913,3 +1913,84 @@ def raster_cumulative_periods(spark, sf_dir):
     from dask_geomodeling_spark.raster.temporal import Cumulative
     return Cumulative(event_grid(spark, sf_dir), "sum",
                       frequency="1D").plan(spark)
+
+
+@demo("centroid_mode", oracle="""
+WITH pts AS (
+  SELECT s_suppkey,
+         CAST(s_suppkey % 100 AS DOUBLE) AS x,
+         CAST((s_suppkey * 7) % 100 AS DOUBLE) AS y
+  FROM supplier
+), boxes AS (
+  SELECT s_suppkey, x - 30.0 AS xmin, y - 30.0 AS ymin,
+         x + 30.0 AS xmax, y + 30.0 AS ymax
+  FROM pts
+)
+SELECT s_suppkey,
+       (xmin + xmax) / 2 AS cx, (ymin + ymax) / 2 AS cy
+FROM boxes
+WHERE (xmin + xmax) / 2 BETWEEN 20.0 AND 80.0
+  AND (ymin + ymax) / 2 BETWEEN 20.0 AND 80.0
+""")
+def centroid_mode(spark, sf_dir):
+    """mode='centroid' request (base.py request contract) + Centroid
+    block: boxes selected by centroid-in-bbox, then reduced to points."""
+    from dask_geomodeling_spark.geometry.constructive import Buffer, Centroid
+    supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    pts = supplier.select(
+        "s_suppkey",
+        (F.col("s_suppkey") % 100).cast("double").alias("x"),
+        ((F.col("s_suppkey") * 7) % 100).cast("double").alias("y"))
+    boxes = Buffer(DataFrameSource(pts.drop("x", "y")
+                                   .join(pts, "s_suppkey"),
+                                   index_column="s_suppkey"), 30.0)
+    cent = Centroid(boxes)
+    df = cent.plan(spark, geometry=(20.0, 20.0, 80.0, 80.0),
+                   mode="centroid")
+    return df.select("s_suppkey", F.col("x").alias("cx"),
+                     F.col("y").alias("cy"))
+
+
+@demo("q3_shipping_priority", oracle="""
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+           AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+""")
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H-Q3-style multi-join view: customer filter pushed to scan,
+    broadcast dim join, shuffle join on orderkey, decimal revenue."""
+    from dask_geomodeling_spark.geometry.field_operations import (Multiply,
+                                                                  Subtract)
+    from dask_geomodeling_spark.geometry.merge import MergeGeometryBlocks
+    customer = ParquetGeometrySource(_pq(sf_dir, "customer"),
+                                     id_field="c_custkey")
+    orders = ParquetGeometrySource(_pq(sf_dir, "orders"),
+                                   id_field="o_custkey",
+                                   time_column="o_orderdate")
+    li = ParquetGeometrySource(_pq(sf_dir, "lineitem"),
+                               id_field="l_orderkey")
+    co = MergeGeometryBlocks(orders, customer, how="inner")
+    rev = Multiply(li["l_extendedprice"],
+                   Multiply(Subtract(li["l_discount"], 1.0), -1.0))
+    liv = li.set("rev", rev)
+    import datetime
+    cut = datetime.datetime(1995, 3, 15)
+    co_df = (co.plan(spark, filters={"c_mktsegment": "BUILDING"},
+                     stop=datetime.datetime(1995, 3, 14, 23, 59, 59))
+             .select("o_orderkey", "o_orderdate", "o_orderpriority"))
+    li_df = (liv.plan(spark, filters={"l_shipdate__gt": cut})
+             .select("l_orderkey", "rev"))
+    return (li_df.join(co_df,
+                       li_df["l_orderkey"] == co_df["o_orderkey"])
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(dsum(F.col("rev"), 6).alias("revenue"))
+            .select("l_orderkey", "revenue", "o_orderdate",
+                    "o_orderpriority"))

@@ -53,9 +53,18 @@ def apply_feature_request(df, request, time_column=None):
     """Translate the reference's pull-based geometry request
     (geometry/base.py:10 docstring: mode/geometry/filters/limit/start/stop)
     into relational predicates on the feature frame.  Filters land in the
-    WHERE clause so Catalyst pushes them into the parquet scan."""
-    for pred in _parse_filters(request.get("filters")):
-        df = df.filter(pred)
+    WHERE clause so Catalyst pushes them into the parquet scan.
+
+    A filter references the source that OWNS the column (the reference
+    applies filters per-source, pre-merge — sources.py:18); in a
+    multi-source view each source applies its own columns' predicates
+    and ignores the rest."""
+    cols = set(df.columns)
+    for key, pred in zip((request.get("filters") or {}),
+                         _parse_filters(request.get("filters"))):
+        field = key.partition("__")[0]
+        if field in cols:
+            df = df.filter(pred)
 
     start, stop = request.get("start"), request.get("stop")
     if time_column and (start or stop):
