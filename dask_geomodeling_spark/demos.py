@@ -1994,3 +1994,154 @@ def q3_shipping_priority(spark, sf_dir):
             .agg(dsum(F.col("rev"), 6).alias("revenue"))
             .select("l_orderkey", "revenue", "o_orderdate",
                     "o_orderpriority"))
+
+
+@demo("q5_local_supplier_volume", oracle="""
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+           AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'
+GROUP BY n.n_name
+""")
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H-Q5-style 6-way join: three broadcast dims (supplier, nation,
+    region — small at any SF), two shuffle joins on the facts.  The dim
+    chain is pre-joined driver-free and broadcast so the big
+    lineitem-side join adds no shuffle for the dims; the local-supplier
+    predicate (c_nationkey = s_nationkey) rides the broadcast join."""
+    from dask_geomodeling_spark.geometry.field_operations import (Multiply,
+                                                                  Subtract)
+    from dask_geomodeling_spark.geometry.merge import MergeGeometryBlocks
+    import datetime
+    customer = ParquetGeometrySource(_pq(sf_dir, "customer"),
+                                     id_field="c_custkey")
+    orders = ParquetGeometrySource(_pq(sf_dir, "orders"),
+                                   id_field="o_custkey",
+                                   time_column="o_orderdate")
+    li = ParquetGeometrySource(_pq(sf_dir, "lineitem"),
+                               id_field="l_orderkey")
+    rev = Multiply(li["l_extendedprice"],
+                   Multiply(Subtract(li["l_discount"], 1.0), -1.0))
+    liv = li.set("rev", rev)
+
+    co = MergeGeometryBlocks(orders, customer, how="inner")
+    co_df = (co.plan(spark,
+                     start=datetime.datetime(1996, 1, 1),
+                     stop=datetime.datetime(1996, 12, 31, 23, 59, 59))
+             .select("o_orderkey", "c_nationkey"))
+
+    sup = (ParquetGeometrySource(_pq(sf_dir, "supplier"),
+                                 id_field="s_suppkey").plan(spark)
+           .select("s_suppkey", "s_nationkey"))
+    nat = (ParquetGeometrySource(_pq(sf_dir, "nation"),
+                                 id_field="n_nationkey").plan(spark)
+           .select("n_nationkey", "n_name", "n_regionkey"))
+    reg = (ParquetGeometrySource(_pq(sf_dir, "region"),
+                                 id_field="r_regionkey")
+           .plan(spark, filters={"r_name": "ASIA"})
+           .select("r_regionkey"))
+    dims = (sup.join(F.broadcast(nat),
+                     sup["s_nationkey"] == nat["n_nationkey"])
+            .join(F.broadcast(reg),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("s_suppkey", "s_nationkey", "n_name"))
+
+    li_df = liv.plan(spark).select("l_orderkey", "l_suppkey", "rev")
+    return (li_df
+            .join(F.broadcast(dims),
+                  li_df["l_suppkey"] == dims["s_suppkey"])
+            .join(co_df,
+                  (li_df["l_orderkey"] == co_df["o_orderkey"])
+                  & (dims["s_nationkey"] == co_df["c_nationkey"]))
+            .groupBy("n_name")
+            .agg(dsum(F.col("rev"), 6).alias("revenue")))
+
+
+@demo("q10_returned_items", oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+           AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <= TIMESTAMP '1996-03-31 23:59:59'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+""")
+def q10_returned_items(spark, sf_dir):
+    """TPC-H-Q10-style returned-item report: per-customer lost revenue in
+    a quarter.  Return-flag filter is pushed into the lineitem scan
+    (PushedFilters), order-date window into the orders scan; nation is a
+    broadcast dim on the customer side."""
+    from dask_geomodeling_spark.geometry.field_operations import (Multiply,
+                                                                  Subtract)
+    from dask_geomodeling_spark.geometry.merge import MergeGeometryBlocks
+    import datetime
+    customer = ParquetGeometrySource(_pq(sf_dir, "customer"),
+                                     id_field="c_custkey")
+    orders = ParquetGeometrySource(_pq(sf_dir, "orders"),
+                                   id_field="o_custkey",
+                                   time_column="o_orderdate")
+    li = ParquetGeometrySource(_pq(sf_dir, "lineitem"),
+                               id_field="l_orderkey")
+    rev = Multiply(li["l_extendedprice"],
+                   Multiply(Subtract(li["l_discount"], 1.0), -1.0))
+    liv = li.set("rev", rev)
+
+    co = MergeGeometryBlocks(orders, customer, how="inner")
+    co_df = (co.plan(spark,
+                     start=datetime.datetime(1996, 1, 1),
+                     stop=datetime.datetime(1996, 3, 31, 23, 59, 59))
+             .select("o_orderkey", F.col("o_custkey").alias("c_custkey"),
+                     "c_name", "c_nationkey"))
+    nat = (ParquetGeometrySource(_pq(sf_dir, "nation"),
+                                 id_field="n_nationkey").plan(spark)
+           .select("n_nationkey", "n_name"))
+    li_df = (liv.plan(spark, filters={"l_returnflag": "R"})
+             .select("l_orderkey", "rev"))
+    return (li_df.join(co_df, li_df["l_orderkey"] == co_df["o_orderkey"])
+            .join(F.broadcast(nat),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(dsum(F.col("rev"), 6).alias("revenue")))
+
+
+@demo("extent_mode", oracle="""
+WITH pts AS (
+  SELECT CAST(s_suppkey % 100 AS DOUBLE) AS x,
+         CAST((s_suppkey * 7) % 100 AS DOUBLE) AS y
+  FROM supplier
+)
+SELECT MIN(x) AS xmin, MIN(y) AS ymin, MAX(x) AS xmax, MAX(y) AS ymax
+FROM pts
+WHERE x BETWEEN 0.0 AND 60.0 AND y BETWEEN 0.0 AND 60.0
+""")
+def extent_mode(spark, sf_dir):
+    """mode='extent' request through the real get_data surface
+    (reference geometry/base.py:33 response contract: {'extent':
+    (xmin,ymin,xmax,ymax), 'projection': ...}); the extent agg runs as a
+    4-way min/max over the filtered scan, one reduce — no collect of
+    features."""
+    supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    pts = supplier.select(
+        "s_suppkey",
+        (F.col("s_suppkey") % 100).cast("double").alias("x"),
+        ((F.col("s_suppkey") * 7) % 100).cast("double").alias("y"))
+    src = DataFrameSource(pts, index_column="s_suppkey")
+    out = src.get_data(spark, geometry=(0.0, 0.0, 60.0, 60.0),
+                       mode="extent")
+    ext = [None if v is None else float(v) for v in out["extent"]]
+    return spark.createDataFrame(
+        [tuple(ext)],
+        "xmin double, ymin double, xmax double, ymax double")
