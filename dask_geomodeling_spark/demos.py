@@ -2145,3 +2145,35 @@ def extent_mode(spark, sf_dir):
     return spark.createDataFrame(
         [tuple(ext)],
         "xmin double, ymin double, xmax double, ymax double")
+
+
+@demo("salted_skew_join", oracle="""
+WITH dim AS (
+  SELECT DISTINCT event_type, CAST(LENGTH(event_type) AS DOUBLE) AS weight
+  FROM events
+)
+SELECT e.event_type,
+       CAST(SUM(CAST(e.value * d.weight AS DECIMAL(28,6))) AS DOUBLE)
+           AS weighted_value,
+       COUNT(*) AS n
+FROM events e
+JOIN dim d ON e.event_type = d.event_type
+GROUP BY e.event_type
+""")
+def salted_skew_join(spark, sf_dir):
+    """Hot-key join via functions.skew.salted_join: event_type has ~5
+    distinct values, so a plain shuffle join funnels each key through
+    ONE reducer regardless of cluster size; the salted join shuffles on
+    (key, salt) — salt× reducers per hot key.  Result is identical to
+    the plain join (the oracle IS the plain join)."""
+    from dask_geomodeling_spark.functions.skew import salted_join
+    events = read_nanos_parquet(spark, _pq(sf_dir, "events"))
+    dim = (events.select("event_type").distinct()
+           .withColumn("weight",
+                       F.length("event_type").cast("double")))
+    joined = salted_join(events, dim, on="event_type",
+                         salt_by=["event_id"], salt=8)
+    return (joined.groupBy("event_type")
+            .agg(dsum(F.col("value") * F.col("weight"), 6)
+                 .alias("weighted_value"),
+                 F.count(F.lit(1)).alias("n")))

@@ -172,3 +172,29 @@ def test_bucketed_raster_join_is_shuffle_free(spark, tmp_path):
                        "true")
         spark.sql("DROP TABLE IF EXISTS cells_a")
         spark.sql("DROP TABLE IF EXISTS cells_b")
+
+
+def test_salted_join_shuffles_on_salt(spark):
+    """SURVEY §6 skew rule: the salted join's exchange clusters on
+    (key, salt) — a hot key spreads over `salt` reducers instead of one.
+    Broadcast is disabled to force the shuffle path the utility targets."""
+    from dask_geomodeling_spark.config import read_nanos_parquet
+    from dask_geomodeling_spark.functions.skew import salted_join
+    events = read_nanos_parquet(spark, SF_DIR + "/events.parquet")
+    dim = (events.select("event_type").distinct()
+           .withColumn("weight", F.length("event_type").cast("double")))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = events.join(dim, "event_type")
+        salted = salted_join(events, dim, on="event_type",
+                             salt_by=["event_id"], salt=8)
+        plan = plan_of(salted, "simple")
+        assert "__dgs_salt" in plan, plan
+        assert "hashpartitioning(event_type" in plan, plan
+        # identical result set
+        assert salted.count() == plain.count()
+        ds = F.sum(F.col("value").cast("decimal(28,6)"))
+        assert salted.select(ds).first()[0] == plain.select(ds).first()[0]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
