@@ -2177,3 +2177,30 @@ def salted_skew_join(spark, sf_dir):
             .agg(dsum(F.col("value") * F.col("weight"), 6)
                  .alias("weighted_value"),
                  F.count(F.lit(1)).alias("n")))
+
+
+@demo("running_aggregate", oracle="""
+SELECT user_id, ts, event_id, value,
+       COUNT(*) OVER w AS running_n,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+           AS running_sum
+FROM events
+WHERE user_id % 20 = 3
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""")
+def running_aggregate(spark, sf_dir):
+    """Custom stateful operator (streaming.stateful.RunningAggregate):
+    per-user running count/sum in event-time order.  Batch path shown
+    here (cumulative window frame, oracled); the SAME block on a
+    readStream runs applyInPandasWithState with checkpointed per-key
+    state (tests/test_streaming.py asserts stream==batch)."""
+    from dask_geomodeling_spark.streaming.events import EventSource
+    from dask_geomodeling_spark.streaming.stateful import RunningAggregate
+
+    class Filtered(EventSource):
+        def _build(self, ctx):
+            df = EventSource._build(self, ctx)
+            return df.filter(F.col("user_id") % 20 == 3)
+
+    return RunningAggregate(Filtered(_pq(sf_dir, "events"))).plan(spark)

@@ -91,3 +91,47 @@ def test_streaming_dedup(spark, tmp_path):
     # batch mode: exact dedup
     batch = StreamingDedup(EventSource(restaged), keys=["event_id"])
     assert batch.plan(spark).count() == n_unique
+
+
+def test_running_aggregate_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState path must emit, across micro-batches, the
+    exact per-event running totals the batch window produces — state
+    carries between batches, and the decimal fold matches bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.streaming.events import EventSource
+    from dask_geomodeling_spark.streaming.stateful import RunningAggregate
+
+    url = SF_DIR + "/events.parquet"
+    base = EventSource(url).plan(spark).filter("user_id % 10 = 1")
+    batch = {
+        (r["user_id"], r["event_id"]): (r["running_n"], r["running_sum"])
+        for r in RunningAggregate(
+            DataFrameSource(base, "event_id")).plan(spark).collect()}
+
+    # stream the same rows in TWO time-ordered files so per-key state
+    # must carry across micro-batches (early half first, late half next)
+    cut = base.selectExpr("percentile(unix_micros(ts), 0.5)").first()[0]
+    restaged = str(tmp_path / "events")
+    base.filter(F.unix_micros("ts") < cut).coalesce(1) \
+        .write.mode("append").parquet(restaged)
+    base.filter(F.unix_micros("ts") >= cut).coalesce(1) \
+        .write.mode("append").parquet(restaged)
+
+    stream = RunningAggregate(
+        EventSource(restaged, streaming=True, watermark="1 hour"))
+    df = stream.plan(spark)
+    assert df.isStreaming
+    out = str(tmp_path / "out")
+    q = (df.writeStream.outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .option("maxFilesPerTrigger", 1)
+         .trigger(availableNow=True).start(out))
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out).collect()
+    assert len(got) == len(batch)
+    for r in got:
+        assert (r["running_n"], r["running_sum"]) == \
+            batch[(r["user_id"], r["event_id"])], r
