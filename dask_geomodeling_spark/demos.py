@@ -2204,3 +2204,75 @@ def running_aggregate(spark, sf_dir):
             return df.filter(F.col("user_id") % 20 == 3)
 
     return RunningAggregate(Filtered(_pq(sf_dir, "events"))).plan(spark)
+
+
+def _kmeans_ivf_oracle(k=5, clusters=4, iters=2, dim=64, nq=3, scale=8):
+    """Pure-SQL mirror of pipeline.similarity.KMeansIVF: the ENTIRE
+    k-means fit (init, argmin assignment, decimal-mean update, empty-
+    cluster carry) unrolled as one CTE chain per iteration."""
+    dist = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            "list_transform(range(1, {dimp1}), i -> "
+            "(CAST({{e}}[i] AS DOUBLE) - {{c}}[i]) * "
+            "(CAST({{e}}[i] AS DOUBLE) - {{c}}[i]))), "
+            "(acc, x) -> acc + x)").format(dimp1=dim + 1)
+
+    def assign(src, cents, out):
+        return ("""{out} AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT {src}.vec_id, {src}.e, {cents}.cid,
+           ROW_NUMBER() OVER (PARTITION BY {src}.vec_id
+               ORDER BY {d}, {cents}.cid) AS rn
+    FROM {src} CROSS JOIN {cents})
+  WHERE rn = 1)""").format(
+            out=out, src=src, cents=cents,
+            d=dist.format(e="{}.e".format(src), c="{}.v".format(cents)))
+
+    parts = ["""emb AS (SELECT vec_id, embedding AS e FROM embeddings)""",
+             """c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         list_transform(e, x -> CAST(x AS DOUBLE)) AS v
+  FROM (SELECT * FROM emb ORDER BY vec_id LIMIT {}))""".format(clusters)]
+    for n in range(iters):
+        parts.append(assign("emb", "c{}".format(n), "a{}".format(n)))
+        parts.append("""m{n1} AS (
+  SELECT cid, pos,
+         CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(28,{s})))
+              AS DOUBLE) / COUNT(*) AS m
+  FROM (SELECT cid, generate_subscripts(e, 1) AS pos, unnest(e) AS val
+        FROM a{n})
+  GROUP BY cid, pos)""".format(n=n, n1=n + 1, s=scale))
+        parts.append("""c{n1} AS (
+  SELECT c{n}.cid, COALESCE(mv.v, c{n}.v) AS v
+  FROM c{n} LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS v
+                       FROM m{n1} GROUP BY cid) mv
+    ON c{n}.cid = mv.cid)""".format(n=n, n1=n + 1))
+    parts.append(assign("emb", "c{}".format(iters), "asg"))
+    parts.append(
+        "q AS (SELECT vec_id, e, cid FROM asg WHERE vec_id < {})".format(nq))
+    parts.append("""scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({cos}, 6) AS cosine
+  FROM asg c JOIN q ON c.cid = q.cid AND q.vec_id <> c.vec_id)"""
+                 .format(cos=_dd_cosine("q.e", "c.e")))
+    return """WITH {cte}
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id
+      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored)
+WHERE rank <= {k}""".format(cte=",\n".join(parts), k=k)
+
+
+@demo("kmeans_ivf_ann", oracle=_kmeans_ivf_oracle())
+def kmeans_ivf_ann(spark, sf_dir):
+    """KMeansIVF: IVF index with LEARNED centroids — 2 distributed
+    Lloyd iterations (decimal-mean updates, driver sees only the k×dim
+    model), probe-1 exact-cosine search within the query's cluster.
+    The DuckDB oracle re-derives the whole fit in SQL and must agree
+    bit-for-bit."""
+    from dask_geomodeling_spark.pipeline.similarity import KMeansIVF
+    emb = read_nanos_parquet(spark, _pq(sf_dir, "embeddings"))
+    queries = DataFrameSource(emb.filter(F.col("vec_id") < 3),
+                              index_column="vec_id")
+    return KMeansIVF(embeddings_src(sf_dir), queries, k=5, clusters=4,
+                     iters=2, precision=6).plan(spark)

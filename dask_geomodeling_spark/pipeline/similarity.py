@@ -18,7 +18,8 @@ from pyspark.sql import functions as F
 
 from dask_geomodeling_spark.geometry.base import BaseSingle
 
-__all__ = ["CosineTopK", "BucketedANN", "cosine_expr", "hyperplane_bucket",
+__all__ = ["CosineTopK", "BucketedANN", "KMeansIVF", "cosine_expr",
+           "hyperplane_bucket", "learn_centroids", "nearest_centroid_expr",
            "hyperplanes"]
 
 
@@ -150,6 +151,127 @@ class BucketedANN(BaseSingle):
         joined = corpus.join(F.broadcast(qs),
                              (F.col("_bk") == F.col("_qbk"))
                              & (F.col("query_id") != F.col("neighbor_id")))
+        cos = dot_expr("_qv", "_cv") / F.nullif(
+            F.col("_qn") * F.col("_cn"), F.lit(0.0))
+        if precision is not None:
+            cos = F.round(cos, int(precision))
+        scored = joined.select("query_id", "neighbor_id",
+                               cos.alias("cosine"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc())
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k))
+
+
+def _lit_vec(values):
+    """array<double> literal from python floats (repr round-trips)."""
+    return "array({})".format(
+        ",".join("cast({!r} as double)".format(float(x)) for x in values))
+
+
+def _sqdist_expr(vec_col, centroid):
+    """Squared L2 distance of an array<float> column to a python-list
+    centroid — sequential fold, (a-b)*(a-b) (no pow: multiplication is
+    the form DuckDB reproduces bit-for-bit)."""
+    return F.expr(
+        "aggregate(zip_with({v}, {c}, (x, y) -> "
+        "(cast(x as double) - y) * (cast(x as double) - y)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+        .format(v=vec_col, c=_lit_vec(centroid)))
+
+
+def nearest_centroid_expr(vec_col, centroids):
+    """Cluster id of the nearest centroid (ties → smallest id): struct
+    array-min over (distance, id) — all JVM-side, broadcastable model."""
+    structs = [F.struct(_sqdist_expr(vec_col, c).alias("d"),
+                        F.lit(cid).alias("c"))
+               for cid, c in enumerate(centroids)]
+    return F.array_min(F.array(*structs))["c"]
+
+
+def learn_centroids(df, k, iters, vec_column="embedding",
+                    id_column="vec_id", scale=8):
+    """Lloyd's k-means with deterministic everything: init = the
+    embeddings of the ``k`` smallest ids, assignment = argmin squared
+    L2 (ties → smallest cluster id), update = per-dimension DECIMAL
+    mean (order-exact), empty cluster keeps its previous centroid.
+
+    MLlib-shaped execution: each iteration is one distributed job
+    (posexplode → (cluster, dim) partial sums combine map-side); only
+    the k×dim centroid matrix ever reaches the driver, and it returns
+    as plain python lists — a literal, broadcast-by-construction model.
+    At 100 TB run the same loop on a sample; the assignment pass stays
+    full-scale and shuffle-free (centroids ride the closure).
+    """
+    rows = (df.orderBy(id_column).limit(int(k))
+            .select(vec_column).collect())
+    cents = [[float(x) for x in r[0]] for r in rows]
+    dec = "decimal(28,{})".format(int(scale))
+    for _ in range(int(iters)):
+        cid = nearest_centroid_expr(vec_column, cents)
+        means = (df.select(cid.alias("_cid"), F.col(vec_column))
+                 .select("_cid", F.posexplode(F.col(vec_column))
+                         .alias("_pos", "_val"))
+                 .groupBy("_cid", "_pos")
+                 .agg((F.sum(F.col("_val").cast("double").cast(dec))
+                       .cast("double") / F.count(F.lit(1))).alias("_m"))
+                 .collect())
+        by_cid = {}
+        for r in means:
+            by_cid.setdefault(r["_cid"], {})[r["_pos"]] = r["_m"]
+        cents = [
+            [by_cid[c][p] for p in range(len(cents[c]))]
+            if c in by_cid else cents[c]
+            for c in range(len(cents))]
+    return cents
+
+
+class KMeansIVF(BaseSingle):
+    """IVF index with LEARNED centroids (k-means) + probe-1 search.
+
+    Build: ``learn_centroids`` fits ``clusters`` centroids in ``iters``
+    Lloyd iterations; corpus and queries are assigned to their nearest
+    centroid (the inverted-file key).  Search: candidates are the
+    query's own cluster only (nprobe=1), exact cosine top-k within —
+    same output shape as CosineTopK/BucketedANN.
+
+    Scale path (SURVEY §6): the corpus assignment is a narrow
+    projection (centroid literals ride the task closure — no join, no
+    shuffle); writing the index bucketed by cluster id makes the probe
+    a partition-pruned scan; queries shuffle nothing (broadcast).
+    """
+
+    def __init__(self, source, queries, k=5, clusters=4, iters=2,
+                 vec_column="embedding", id_column="vec_id",
+                 precision=None):
+        super().__init__(source, queries, int(k), int(clusters),
+                         int(iters), vec_column, id_column, precision)
+
+    @property
+    def columns(self):
+        return {"query_id", "neighbor_id", "cosine", "rank"}
+
+    def _build(self, ctx):
+        (_, queries, k, clusters, iters, vec_column, id_column,
+         precision) = self.args
+        base = self.source._build(ctx).select(id_column, vec_column)
+        cents = learn_centroids(base, clusters, iters, vec_column,
+                                id_column)
+        cid = nearest_centroid_expr(vec_column, cents)
+        corpus = base.select(
+            F.col(id_column).alias("neighbor_id"),
+            F.col(vec_column).alias("_cv"),
+            norm_expr(vec_column).alias("_cn"),
+            cid.alias("_cid"))
+        qs = queries._build(ctx).select(
+            F.col(id_column).alias("query_id"),
+            F.col(vec_column).alias("_qv"),
+            norm_expr(vec_column).alias("_qn"),
+            cid.alias("_qcid"))
+        joined = corpus.join(
+            F.broadcast(qs),
+            (F.col("_cid") == F.col("_qcid"))
+            & (F.col("query_id") != F.col("neighbor_id")))
         cos = dot_expr("_qv", "_cv") / F.nullif(
             F.col("_qn") * F.col("_cn"), F.lit(0.0))
         if precision is not None:
