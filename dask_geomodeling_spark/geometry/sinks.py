@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from dask_geomodeling_spark.geometry.base import BaseSingle, GeometryBlock
 
-__all__ = ["GeometryFileSink", "to_file"]
+__all__ = ["GeometryFileSink", "GeometryTableSink", "to_file"]
 
 
 class GeometryFileSink(BaseSingle):
@@ -76,3 +76,41 @@ def to_file(source, url, fields=None, tile_size=None, dry_run=False,
         sink.plan(spark, **request).schema  # force analysis only
         return None
     return sink.write(spark, **request)
+
+
+class GeometryTableSink(BaseSingle):
+    """Write features as a saved table BUCKETED by the index column —
+    the co-location layout for shuffle-free feature merges at scale
+    (SURVEY.md §6 rule 2).  Two tables bucketed with the same spec on
+    their join key sort-merge-join (MergeGeometryBlocks, set ops,
+    aggregations on the key) with NO Exchange on either side — at
+    100 TB that deletes the dominant cost of every index-aligned merge.
+
+    Args:
+      source: GeometryBlock to save.
+      table: metastore table name.
+      buckets: bucket count — match it across co-merged tables.
+      bucket_by: bucket column(s); defaults to the source's index.
+    """
+
+    def __init__(self, source, table, buckets=64, bucket_by=None):
+        if not isinstance(table, str):
+            raise TypeError("'{}' object is not allowed".format(type(table)))
+        if bucket_by is None:
+            bucket_by = [source.index_column]
+        elif isinstance(bucket_by, str):
+            bucket_by = [bucket_by]
+        super().__init__(source, table, int(buckets), list(bucket_by))
+
+    def _build(self, ctx):
+        return self.source._build(ctx)
+
+    def write(self, spark=None, mode="overwrite", **request):
+        df = self.plan(spark, **request)
+        table, buckets, bucket_by = self.args[1], self.args[2], self.args[3]
+        (df.write.mode(mode)
+         .bucketBy(buckets, *bucket_by)
+         .sortBy(*bucket_by)
+         .format("parquet")
+         .saveAsTable(table))
+        return table

@@ -16,7 +16,8 @@ from dask_geomodeling_spark.geometry.base import (GeometryBlock,
                                                   apply_feature_request)
 
 __all__ = ["ParquetGeometrySource", "LiteralGeometrySource",
-           "TableSource", "DataFrameSource", "parse_point_or_box_wkt"]
+           "TableSource", "TableGeometrySource", "DataFrameSource",
+           "parse_point_or_box_wkt"]
 
 _POINT_RE = re.compile(r"^\s*POINT\s*\(\s*([-\d.eE+]+)\s+([-\d.eE+]+)\s*\)\s*$")
 _BOX_RE = re.compile(
@@ -156,3 +157,36 @@ class LiteralGeometrySource(GeometryBlock):
             rows = [dict(r) for r in spec]
         df = ctx.spark.createDataFrame(rows)
         return apply_feature_request(df, ctx.request)
+
+
+class TableGeometrySource(GeometryBlock):
+    """Features from a saved/registered table or SQL over one — the
+    read side of ``GeometryTableSink``: a table bucketed on the index
+    column joins other same-spec tables with no Exchange.
+
+    Args:
+      sql: table name or full SELECT over registered tables.
+      id_field: index column.
+      time_column: optional event-time column for start/stop requests.
+    """
+
+    def __init__(self, sql, id_field="id", time_column=None):
+        if not isinstance(sql, str):
+            raise TypeError("'{}' object is not allowed".format(type(sql)))
+        super().__init__(sql, id_field, time_column)
+
+    @property
+    def index_column(self):
+        return self.args[1]
+
+    @property
+    def columns(self):
+        return set()
+
+    def _build(self, ctx):
+        sql = self.args[0]
+        if not sql.lstrip().lower().startswith(("select", "with")):
+            sql = "SELECT * FROM {}".format(sql)
+        df = ctx.spark.sql(sql)
+        return apply_feature_request(df, ctx.request,
+                                     time_column=self.args[2])

@@ -198,3 +198,36 @@ def test_salted_join_shuffles_on_salt(spark):
         assert salted.select(ds).first()[0] == plain.select(ds).first()[0]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_geometry_merge_is_shuffle_free(spark, tmp_path):
+    """SURVEY §6 rule 2 (feature plane): two tables saved by
+    GeometryTableSink with the same bucket spec on the index column
+    merge (MergeGeometryBlocks) without shuffling either side."""
+    from dask_geomodeling_spark.geometry.merge import MergeGeometryBlocks
+    from dask_geomodeling_spark.geometry.sinks import GeometryTableSink
+    from dask_geomodeling_spark.geometry.sources import (
+        ParquetGeometrySource, TableGeometrySource)
+
+    orders = ParquetGeometrySource(SF_DIR + "/orders.parquet",
+                                   id_field="o_orderkey")
+    GeometryTableSink(orders, "orders_keys", buckets=4).write(spark)
+    GeometryTableSink(orders, "orders_price", buckets=4).write(spark)
+
+    a = TableGeometrySource(
+        "SELECT o_orderkey, o_orderstatus FROM orders_keys",
+        id_field="o_orderkey")
+    b = TableGeometrySource(
+        "SELECT o_orderkey AS k, o_totalprice FROM orders_price",
+        id_field="k")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = MergeGeometryBlocks(a, b, how="inner").plan(spark)
+        plan = plan_of(df, "simple")
+        assert "Exchange" not in plan, plan
+        assert df.count() == orders.plan(spark).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS orders_keys")
+        spark.sql("DROP TABLE IF EXISTS orders_price")
