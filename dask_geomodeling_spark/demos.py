@@ -2276,3 +2276,39 @@ def kmeans_ivf_ann(spark, sf_dir):
                               index_column="vec_id")
     return KMeansIVF(embeddings_src(sf_dir), queries, k=5, clusters=4,
                      iters=2, precision=6).plan(spark)
+
+
+@demo("interval_join", oracle="""
+SELECT a.user_id,
+       a.event_id AS event_id_l, b.event_id AS event_id_r,
+       a.ts AS ts_l, b.ts AS ts_r,
+       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM events a
+JOIN events b ON a.user_id = b.user_id
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+""")
+def interval_join(spark, sf_dir):
+    """streaming.IntervalJoin (batch path): purchases within 1h after a
+    click, per user.  The streaming run of the SAME block is a
+    watermarked stream-stream join with time-bounded state
+    (tests/test_streaming.py)."""
+    from dask_geomodeling_spark.streaming.events import (EventSource,
+                                                         IntervalJoin)
+
+    class Typed(EventSource):
+        def __init__(self, url, etype):
+            EventSource.__init__(self, url)
+            self._etype = etype
+
+        def _build(self, ctx):
+            df = EventSource._build(self, ctx)
+            return (df.filter(F.col("event_type") == self._etype)
+                    .select("user_id", "ts", "event_id"))
+
+    url = _pq(sf_dir, "events")
+    out = IntervalJoin(Typed(url, "click"), Typed(url, "purchase"),
+                       key="user_id", within="1 hour").plan(spark)
+    return out.select(
+        "user_id", "event_id_l", "event_id_r", "ts_l", "ts_r",
+        (F.unix_micros("ts_r") - F.unix_micros("ts_l")).alias("gap_us"))

@@ -16,7 +16,7 @@ from dask_geomodeling_spark.core.blocks import Block
 from dask_geomodeling_spark.functions import statistic_expr
 
 __all__ = ["EventSource", "EventAggregate", "SessionizeEvents",
-           "StreamingDedup"]
+           "StreamingDedup", "IntervalJoin"]
 
 
 class EventSource(Block):
@@ -116,3 +116,41 @@ class StreamingDedup(Block):
         if df.isStreaming:
             return df.dropDuplicatesWithinWatermark(keys)
         return df.dropDuplicates(keys)
+
+
+class IntervalJoin(Block):
+    """Stream-stream interval join: for each left event, the right
+    events of the same key within ``[ts, ts + within]``.
+
+    Streaming: a watermarked stream-stream inner join — the time-bound
+    join condition lets Spark expire buffered state (left rows older
+    than watermark + within are dropped), so state stays bounded at any
+    throughput.  Batch: the identical join predicate (the oracle form).
+
+    Output: key, left's columns suffixed ``_l``, right's suffixed
+    ``_r`` (ts included on both sides).
+    """
+
+    def __init__(self, left, right, key="user_id", within="1 hour",
+                 time_column="ts"):
+        if not isinstance(left, Block) or not isinstance(right, Block):
+            raise TypeError("left/right must be Blocks")
+        super().__init__(left, right, key, within, time_column)
+
+    def _build(self, ctx):
+        left, right, key, within, time_column = self.args
+        l = left._build(ctx)
+        r = right._build(ctx)
+        for c in l.columns:
+            if c != key:
+                l = l.withColumnRenamed(c, c + "_l")
+        for c in r.columns:
+            if c != key:
+                r = r.withColumnRenamed(c, c + "_r")
+        r = r.withColumnRenamed(key, "__rk")
+        lt, rt = time_column + "_l", time_column + "_r"
+        cond = ((l[key] == r["__rk"])
+                & (F.col(rt) >= F.col(lt))
+                & (F.col(rt) <= F.col(lt)
+                   + F.expr("INTERVAL {}".format(within))))
+        return l.join(r, cond).drop("__rk")

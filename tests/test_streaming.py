@@ -135,3 +135,46 @@ def test_running_aggregate_stream_matches_batch(spark, tmp_path):
     for r in got:
         assert (r["running_n"], r["running_sum"]) == \
             batch[(r["user_id"], r["event_id"])], r
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """The watermarked stream-stream interval join must emit exactly
+    the batch join's pairs (watermark generous enough that nothing is
+    dropped for lateness)."""
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.streaming.events import (EventSource,
+                                                         IntervalJoin)
+
+    class Typed(EventSource):
+        def __init__(self, url, etype, streaming=False):
+            EventSource.__init__(self, url, streaming=streaming,
+                                 watermark="4 hours")
+            self._etype = etype
+
+        def _build(self, ctx):
+            df = EventSource._build(self, ctx)
+            return (df.filter(F.col("event_type") == self._etype)
+                    .select("user_id", "ts", "event_id"))
+
+    url = SF_DIR + "/events.parquet"
+    batch = IntervalJoin(Typed(url, "click"), Typed(url, "purchase"),
+                         within="1 hour").plan(spark)
+    expected = {(r["user_id"], r["event_id_l"], r["event_id_r"])
+                for r in batch.collect()}
+
+    restaged = str(tmp_path / "events")
+    EventSource(url).plan(spark).write.parquet(restaged)
+    stream = IntervalJoin(Typed(restaged, "click", streaming=True),
+                          Typed(restaged, "purchase", streaming=True),
+                          within="1 hour")
+    df = stream.plan(spark)
+    assert df.isStreaming
+    out = str(tmp_path / "out")
+    q = (df.writeStream.outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start(out))
+    q.awaitTermination(180)
+    got = {(r["user_id"], r["event_id_l"], r["event_id_r"])
+           for r in spark.read.parquet(out).collect()}
+    assert got == expected
