@@ -324,18 +324,38 @@ class NgramJaccard(BaseSingle):
                           - F.ceil(F.col("_n") * threshold) + 1)
             inv = (ranked.withColumn("_rk", F.row_number().over(w))
                    .filter(F.col("_rk") <= prefix_len)
-                   .select("_id", "_n", "_g"))
+                   .select("_id", "_n", "_g", "_rk"))
+        else:
+            inv = inv.withColumn("_rk", F.lit(1))
         a = inv.select(F.col("_id").alias("id_a"),
-                       F.col("_n").alias("_la"), "_g")
+                       F.col("_n").alias("_la"),
+                       F.col("_rk").alias("_pa"), "_g")
         b = inv.select(F.col("_id").alias("id_b"),
-                       F.col("_n").alias("_lb"), "_g")
+                       F.col("_n").alias("_lb"),
+                       F.col("_rk").alias("_pb"), "_g")
         # length filter (exact): jaccard >= t forces t*|A| <= |B| <= |A|/t
         length_ok = ((F.col("_lb") >= threshold * F.col("_la"))
                      & (F.col("_la") >= threshold * F.col("_lb"))) \
             if threshold > 0 else F.lit(True)
-        cand = (a.join(b, ["_g"])
-                .filter((F.col("id_a") < F.col("id_b")) & length_ok)
-                .select("id_a", "id_b").distinct())
+        matches = (a.join(b, ["_g"])
+                   .filter((F.col("id_a") < F.col("id_b")) & length_ok)
+                   .groupBy("id_a", "id_b")
+                   .agg(F.min(F.struct("_pa", "_pb")).alias("_m"),
+                        F.first("_la").alias("_la"),
+                        F.first("_lb").alias("_lb")))
+        if threshold > 0:
+            # PPJoin positional filter (exact): at the pair's FIRST
+            # common gram (global rarest-first order) no earlier common
+            # gram exists, so |A∩B| <= 1 + min(la - pa, lb - pb); prune
+            # pairs that cannot reach the minimum intersection
+            # ceil(t/(1+t)*(la+lb)) (epsilon guards float-boundary ceil)
+            alpha = F.ceil(
+                F.lit(threshold / (1.0 + threshold))
+                * (F.col("_la") + F.col("_lb")) - F.lit(1e-9))
+            ubound = 1 + F.least(F.col("_la") - F.col("_m._pa"),
+                                 F.col("_lb") - F.col("_m._pb"))
+            matches = matches.filter(ubound >= alpha)
+        cand = matches.select("id_a", "id_b")
         x = docs.select(F.col("_id").alias("id_a"),
                         F.col("_sh").alias("_sha"),
                         F.col("_n").alias("_na"))
