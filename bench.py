@@ -28,6 +28,7 @@ def main():
         "q1_pricing_summary",       # fused field-op projections + agg
         "q3_shipping_priority",     # multi-join view (broadcast + shuffle)
         "q5_local_supplier_volume", # 6-way join, broadcast dim chain
+        "q9_product_profit",        # fact join + 3 broadcast dims
         "field_ops_arithmetic",     # row-level SeriesBlock math
         "classify",                 # CASE classification
         "merge_blocks",             # broadcast join

@@ -2312,3 +2312,55 @@ def interval_join(spark, sf_dir):
     return out.select(
         "user_id", "event_id_l", "event_id_r", "ts_l", "ts_r",
         (F.unix_micros("ts_r") - F.unix_micros("ts_l")).alias("gap_us"))
+
+
+@demo("q9_product_profit", oracle="""
+SELECT n.n_name AS nation, CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+           AS DECIMAL(28,6))) AS DOUBLE) AS profit
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY nation, o_year
+""")
+def q9_product_profit(spark, sf_dir):
+    """TPC-H-Q9-style product profit by nation and year: the part-name
+    predicate is pushed into the part scan (StringContains), part +
+    supplier⋈nation are broadcast dims, the only shuffles are the
+    lineitem⋈orders fact join and the final aggregation."""
+    from dask_geomodeling_spark.geometry.field_operations import (Multiply,
+                                                                  Subtract)
+    li = ParquetGeometrySource(_pq(sf_dir, "lineitem"),
+                               id_field="l_orderkey")
+    rev = Multiply(li["l_extendedprice"],
+                   Multiply(Subtract(li["l_discount"], 1.0), -1.0))
+    li_df = (li.set("rev", rev).plan(spark)
+             .select("l_orderkey", "l_partkey", "l_suppkey", "rev"))
+
+    parts = (ParquetGeometrySource(_pq(sf_dir, "part"),
+                                   id_field="p_partkey")
+             .plan(spark, filters={"p_name__contains": "red"})
+             .select("p_partkey"))
+    sup = (ParquetGeometrySource(_pq(sf_dir, "supplier"),
+                                 id_field="s_suppkey").plan(spark)
+           .select("s_suppkey", "s_nationkey"))
+    nat = (ParquetGeometrySource(_pq(sf_dir, "nation"),
+                                 id_field="n_nationkey").plan(spark)
+           .select("n_nationkey", F.col("n_name").alias("nation")))
+    sn = sup.join(F.broadcast(nat),
+                  sup["s_nationkey"] == nat["n_nationkey"])
+    orders = (ParquetGeometrySource(_pq(sf_dir, "orders"),
+                                    id_field="o_orderkey").plan(spark)
+              .select("o_orderkey",
+                      F.year("o_orderdate").cast("int").alias("o_year")))
+    return (li_df
+            .join(F.broadcast(parts),
+                  li_df["l_partkey"] == parts["p_partkey"])
+            .join(F.broadcast(sn),
+                  li_df["l_suppkey"] == sn["s_suppkey"])
+            .join(orders, li_df["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("nation", "o_year")
+            .agg(dsum(F.col("rev"), 6).alias("profit")))
