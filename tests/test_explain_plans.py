@@ -231,3 +231,14 @@ def test_bucketed_geometry_merge_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS orders_keys")
         spark.sql("DROP TABLE IF EXISTS orders_price")
+
+
+def test_tpch_views_broadcast_dims(spark):
+    """The multi-join views must broadcast every dimension side — the
+    only shuffles left are fact joins/aggregations."""
+    from dask_geomodeling_spark import demos
+    for name in ("q5_local_supplier_volume", "q9_product_profit",
+                 "q10_returned_items"):
+        plan = plan_of(demos.QUERIES[name](spark, SF_DIR), "simple")
+        assert "BroadcastHashJoin" in plan, name
+        assert "BatchEvalPython" not in plan, name
