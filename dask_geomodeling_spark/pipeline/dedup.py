@@ -15,10 +15,11 @@ import random
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from dask_geomodeling_spark.core.blocks import Block
 from dask_geomodeling_spark.geometry.base import BaseSingle
 
 __all__ = ["ExactDedup", "MinHashLSH", "SimHash", "NgramJaccard",
-           "EmbeddingDedup"]
+           "EmbeddingDedup", "DedupClusters"]
 
 # 31-bit Mersenne prime: (a*h + b) stays < 2^62 under ANSI overflow checks
 MERSENNE = (1 << 31) - 1
@@ -427,3 +428,69 @@ class EmbeddingDedup(BaseSingle):
             F.col("_na") * F.col("_nb"), F.lit(0.0))
         return (pairs.select("id_a", "id_b", cos.alias("cosine"))
                 .filter(F.col("cosine") >= threshold))
+
+
+class DedupClusters(Block):
+    """Connected components over near-duplicate pairs: every document
+    gets a ``cluster_id`` = the smallest doc id reachable through the
+    pair graph (singletons cluster with themselves), plus
+    ``is_canonical`` — the keep-one-per-cluster flag a training-data
+    pipeline filters on after MinHashLSH / NgramJaccard / SimHash.
+
+    Execution: iterative min-label propagation — each round joins the
+    (undirected) edge list to the current labels and takes the min
+    label over self + neighbors; convergence in <= component-diameter
+    rounds (near-dup components are shallow — a handful of rounds).
+    Each round is one shuffle join + one aggregation; labels persist
+    round-over-round and lineage is cut by localCheckpoint to keep the
+    plan bounded.  At trillion-edge scale swap the loop body for the
+    large-star/small-star step (Kiveris et al.) — same fixpoint, fewer
+    rounds; the driver only ever sees the converged-or-not count.
+
+    Args:
+      source: block of all documents (id column = its index).
+      pairs: block producing near-dup pairs with ``id_a``/``id_b``.
+      max_iter: propagation-round bound.
+    """
+
+    def __init__(self, source, pairs, id_column=None, max_iter=10):
+        if not isinstance(source, Block) or not isinstance(pairs, Block):
+            raise TypeError("source/pairs must be Blocks")
+        if id_column is None:
+            id_column = source.index_column
+        super().__init__(source, pairs, id_column, int(max_iter))
+
+    @property
+    def columns(self):
+        return {"doc_id", "cluster_id", "is_canonical"}
+
+    def _build(self, ctx):
+        source, pairs, id_column, max_iter = self.args
+        nodes = (source._build(ctx)
+                 .select(F.col(id_column).alias("_id")).distinct())
+        p = pairs._build(ctx).select("id_a", "id_b")
+        edges = (p.select(F.col("id_a").alias("_src"),
+                          F.col("id_b").alias("_dst"))
+                 .union(p.select(F.col("id_b").alias("_src"),
+                                 F.col("id_a").alias("_dst")))
+                 .distinct().persist())
+        labels = nodes.select("_id", F.col("_id").alias("_lbl")).persist()
+        for _ in range(max_iter):
+            prop = (edges.join(labels.withColumnRenamed("_id", "_dst"),
+                               "_dst")
+                    .select(F.col("_src").alias("_id"), "_lbl"))
+            new = (labels.union(prop).groupBy("_id")
+                   .agg(F.min("_lbl").alias("_lbl"))
+                   .localCheckpoint(eager=True))
+            changed = (new.withColumnRenamed("_lbl", "_new")
+                       .join(labels, "_id")
+                       .filter(F.col("_new") != F.col("_lbl")).count())
+            labels.unpersist()
+            labels = new
+            if changed == 0:
+                break
+        edges.unpersist()
+        return labels.select(
+            F.col("_id").alias("doc_id"),
+            F.col("_lbl").alias("cluster_id"),
+            (F.col("_id") == F.col("_lbl")).alias("is_canonical"))
