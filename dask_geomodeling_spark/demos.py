@@ -2401,3 +2401,50 @@ def dedup_clusters(spark, sf_dir):
     docs = documents_src(sf_dir)
     pairs = NgramJaccard(docs, n=3, threshold=0.5)
     return DedupClusters(docs, pairs).plan(spark)
+
+
+@demo("hash_split", oracle="""
+SELECT doc_id,
+       CASE WHEN (doc_id * 2654435761) % 10000 < 9000 THEN 'train'
+            WHEN (doc_id * 2654435761) % 10000 < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""")
+def hash_split(spark, sf_dir):
+    """HashSplit: stable train/val/test labels from pure id arithmetic
+    — no RNG, identical at any parallelism/engine, rows never migrate
+    between splits as data grows."""
+    from dask_geomodeling_spark.pipeline.sample import HashSplit
+    return HashSplit(documents_src(sf_dir),
+                     {"train": 0.9, "val": 0.05, "test": 0.05}).plan(spark)
+
+
+@demo("pack_sequences", oracle="""
+WITH RECURSIVE t AS (
+  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END
+              AS BIGINT) AS tokens,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 8
+                            ORDER BY doc_id) AS rn
+  FROM documents),
+pack(shard, rn, doc_id, tokens, bin, fill) AS (
+  SELECT shard, rn, doc_id, tokens, CAST(0 AS BIGINT), tokens
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.rn, t.doc_id, t.tokens,
+         CASE WHEN p.fill + t.tokens > 256
+              THEN p.bin + 1 ELSE p.bin END,
+         CASE WHEN p.fill + t.tokens > 256
+              THEN t.tokens ELSE p.fill + t.tokens END
+  FROM pack p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1)
+SELECT doc_id, shard, tokens, bin FROM pack
+""")
+def pack_sequences(spark, sf_dir):
+    """PackSequences: greedy contiguous packing of docs into 256-token
+    bins, 8 independent shards — per-shard sequential logic runs as
+    one applyInPandas scan per shard; the oracle replays the same
+    greedy fold with a recursive CTE."""
+    from dask_geomodeling_spark.pipeline.sample import PackSequences
+    return PackSequences(documents_src(sf_dir), budget=256,
+                         shards=8).plan(spark)

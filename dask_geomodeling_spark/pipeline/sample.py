@@ -1,0 +1,134 @@
+"""Dataset assembly operators: deterministic splits and sequence
+packing (SURVEY.md §2 'LLM-data-pipeline extensions').
+
+``HashSplit`` assigns stable train/val/test labels from pure modular
+arithmetic on the id — no RNG state, so any engine (and any rerun, at
+any parallelism) produces the identical split.  ``PackSequences`` is
+the sample-packing step before tokenization: greedy contiguous bin
+packing of documents into a token budget, distributed by hashing docs
+into shards (each shard packs independently and sequentially — the
+per-shard scan is `applyInPandas`, the canonical Spark home for
+order-dependent logic that SQL windows cannot express).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from dask_geomodeling_spark.core.blocks import Block
+from dask_geomodeling_spark.geometry.base import BaseSingle
+
+__all__ = ["HashSplit", "PackSequences"]
+
+# split-hash constants: any odd multiplier modulo 2^31-1 works; these
+# are fixed so the split is part of the dataset's identity
+_SPLIT_PRIME = 2654435761
+_SPLIT_MOD = 10000
+
+
+class HashSplit(BaseSingle):
+    """Deterministic dataset split by id arithmetic.
+
+    ``buckets = (id * PRIME) mod 10000``; label thresholds come from
+    the ``weights`` dict in insertion order.  Adding data never moves
+    an existing row between splits (the label is a pure function of
+    the id) — the property training reproducibility depends on.
+
+    Output: source id column + ``split``.
+    """
+
+    def __init__(self, source, weights=None, id_column=None):
+        if id_column is None:
+            id_column = source.index_column
+        weights = dict(weights or
+                       {"train": 0.9, "val": 0.05, "test": 0.05})
+        if abs(sum(weights.values()) - 1.0) > 1e-9:
+            raise ValueError("weights must sum to 1")
+        super().__init__(source, weights, id_column)
+
+    @property
+    def columns(self):
+        return {self.args[2], "split"}
+
+    def _build(self, ctx):
+        _, weights, id_column = self.args
+        df = self.source._build(ctx)
+        bucket = F.pmod(F.col(id_column).cast("bigint") * _SPLIT_PRIME,
+                        F.lit(_SPLIT_MOD))
+        expr = None
+        hi = 0
+        items = list(weights.items())
+        for name, w in items[:-1]:
+            hi += int(round(w * _SPLIT_MOD))
+            cond = bucket < hi
+            expr = F.when(cond, name) if expr is None else \
+                expr.when(cond, name)
+        last = items[-1][0]
+        expr = F.lit(last) if expr is None else expr.otherwise(last)
+        return df.select(F.col(id_column), expr.alias("split"))
+
+
+def _pack_shard(budget):
+    """Per-shard greedy packer: docs arrive sorted by id; a doc that
+    would overflow the open bin starts the next bin."""
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id", ignore_index=True)
+        bins, fills = [], 0
+        bin_id, fill = 0, 0
+        first = True
+        for t in pdf["tokens"]:
+            t = int(t)
+            if not first and fill + t > budget:
+                bin_id += 1
+                fill = t
+            else:
+                fill += t
+            first = False
+            bins.append(bin_id)
+        out = pdf[["doc_id", "shard", "tokens"]].copy()
+        out["bin"] = pd.Series(bins, dtype="int64")
+        return out
+
+    return pack
+
+
+class PackSequences(BaseSingle):
+    """Greedy contiguous sequence packing into a token budget.
+
+    Docs hash into ``shards`` independent shards (`pmod(id, shards)`);
+    within a shard, docs in id order fill bins of ``budget`` tokens —
+    overflow opens the next bin (a doc longer than the budget gets its
+    own bin).  Token count = whitespace tokens of ``text_column``.
+
+    Scale: shards are the parallelism unit — each is one Arrow-batched
+    `applyInPandas` group doing a linear scan, so 100 TB packs as
+    `shards` independent streams; the shuffle is one hash partition by
+    shard.  Output: ``doc_id``, ``shard``, ``tokens``, ``bin``.
+    """
+
+    def __init__(self, source, budget=256, shards=8, text_column="text",
+                 id_column="doc_id"):
+        super().__init__(source, int(budget), int(shards), text_column,
+                         id_column)
+
+    @property
+    def columns(self):
+        return {"doc_id", "shard", "tokens", "bin"}
+
+    def _build(self, ctx):
+        _, budget, shards, text_column, id_column = self.args
+        df = self.source._build(ctx)
+        toks = F.when(
+            F.length(F.trim(F.col(text_column))) == 0, F.lit(0)
+        ).otherwise(F.size(F.split(F.trim(F.col(text_column)), r"\s+")))
+        base = df.select(
+            F.col(id_column).cast("bigint").alias("doc_id"),
+            F.pmod(F.col(id_column).cast("bigint"), F.lit(shards))
+             .cast("int").alias("shard"),
+            toks.cast("bigint").alias("tokens"))
+        return base.groupBy("shard").applyInPandas(
+            _pack_shard(budget),
+            "doc_id bigint, shard int, tokens bigint, bin bigint")
