@@ -53,3 +53,38 @@ def test_classify_validation():
         raise AssertionError("should have raised")
     except ValueError:
         pass
+
+
+def test_new_blocks_serialize_roundtrip(spark):
+    """Every parquet-rooted block lineage must survive
+    to_json/from_json with an identical token and an executable plan —
+    including the round-2 additions (IVF, clusters, splits, packing,
+    streaming joins)."""
+    from dask_geomodeling_spark.geometry.sources import ParquetGeometrySource
+    from dask_geomodeling_spark.pipeline.dedup import (DedupClusters,
+                                                       NgramJaccard)
+    from dask_geomodeling_spark.pipeline.sample import (HashSplit,
+                                                        PackSequences)
+    from dask_geomodeling_spark.pipeline.similarity import KMeansIVF
+    from dask_geomodeling_spark.streaming.events import (EventSource,
+                                                         IntervalJoin)
+    from dask_geomodeling_spark.streaming.stateful import RunningAggregate
+
+    sf = "/root/testdata/sf0.001"
+    docs = ParquetGeometrySource(sf + "/documents.parquet",
+                                 id_field="doc_id")
+    emb = ParquetGeometrySource(sf + "/embeddings.parquet",
+                                id_field="vec_id")
+    ev = EventSource(sf + "/events.parquet")
+    blocks = [
+        HashSplit(docs),
+        PackSequences(docs, budget=128, shards=4),
+        DedupClusters(docs, NgramJaccard(docs, n=3, threshold=0.5)),
+        KMeansIVF(emb, emb, k=3, clusters=2, iters=1, precision=6),
+        IntervalJoin(ev, ev, within="30 minutes"),
+        RunningAggregate(ev),
+    ]
+    for blk in blocks:
+        back = Block.from_json(blk.to_json())
+        assert back.token == blk.token, type(blk).__name__
+        assert back.plan(spark).count() >= 0, type(blk).__name__
