@@ -2448,3 +2448,203 @@ def pack_sequences(spark, sf_dir):
     from dask_geomodeling_spark.pipeline.sample import PackSequences
     return PackSequences(documents_src(sf_dir), budget=256,
                          shards=8).plan(spark)
+
+
+# --------------------------------------------------------------------------
+# corpus filtering: repetition, decontamination, PII (pipeline.filter)
+# --------------------------------------------------------------------------
+
+@demo("repetition_filter", oracle="""
+WITH w AS (SELECT doc_id,
+                  string_split_regex(trim(lower(text)), '\\s+') AS ws,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(lower(text)),
+                                                   '\\s+')) END AS n
+           FROM documents),
+g AS (SELECT doc_id, ws, n,
+             CASE WHEN n >= 2
+                  THEN [array_to_string(ws[i:i+1], ' ')
+                        FOR i IN range(1, n)]
+                  ELSE [] END AS grams
+      FROM w),
+e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM e GROUP BY doc_id, gram),
+m AS (SELECT doc_id, MAX(cnt) AS top FROM c GROUP BY doc_id),
+r AS (SELECT g.doc_id,
+             CAST(n AS BIGINT) AS n_words,
+             CASE WHEN n > 0
+                  THEN 1.0 - len(list_distinct(ws)) / CAST(n AS DOUBLE)
+                  ELSE 0.0 END AS dup_word_ratio,
+             CASE WHEN n >= 2
+                  THEN COALESCE(top, 0) / CAST(n - 1 AS DOUBLE)
+                  ELSE 0.0 END AS top_bigram_frac
+      FROM g LEFT JOIN m ON g.doc_id = m.doc_id)
+SELECT doc_id, n_words, dup_word_ratio, top_bigram_frac,
+       dup_word_ratio > 0.5 OR top_bigram_frac > 0.2 AS repetitive
+FROM r
+""")
+def repetition_filter(spark, sf_dir):
+    """RepetitionFilter: Gopher-style repetition metrics — duplicate
+    word fraction is pure array math (no shuffle); the top-bigram
+    fraction is explode + two keyed aggregations."""
+    from dask_geomodeling_spark.pipeline.filter import RepetitionFilter
+    return (RepetitionFilter(documents_src(sf_dir)).plan(spark)
+            .select("doc_id", "n_words", "dup_word_ratio",
+                    "top_bigram_frac", "repetitive"))
+
+
+@demo("decontaminate", oracle="""
+WITH t AS (SELECT doc_id,
+                  string_split_regex(trim(lower(text)), '\\s+') AS w
+           FROM documents),
+s AS (SELECT doc_id, {grams} AS grams FROM t),
+tr AS (SELECT doc_id, grams FROM s WHERE doc_id % 97 <> 0),
+ev AS (SELECT DISTINCT unnest(grams) AS gram FROM s
+       WHERE doc_id % 97 = 0),
+tg AS (SELECT doc_id, unnest(grams) AS gram FROM tr),
+sh AS (SELECT tg.doc_id, COUNT(*) AS shared
+       FROM tg JOIN ev USING (gram) GROUP BY tg.doc_id)
+SELECT tr.doc_id,
+       CAST(COALESCE(sh.shared, 0) AS BIGINT) AS shared_ngrams,
+       COALESCE(sh.shared, 0) > 0 AS contaminated
+FROM tr LEFT JOIN sh ON tr.doc_id = sh.doc_id
+""".format(grams=_dd_shingles(6)))
+def decontaminate(spark, sf_dir):
+    """Decontaminate: flag train docs sharing any word 6-gram with the
+    eval split (doc_id % 97 == 0).  Distinct per-doc grams explode
+    map-side; the eval gram set joins by gram string (AQE broadcasts
+    the small eval side); one count per train doc."""
+    from dask_geomodeling_spark.pipeline.filter import Decontaminate
+    docs = read_nanos_parquet(spark, _pq(sf_dir, "documents"))
+    train = DataFrameSource(docs.filter(F.col("doc_id") % 97 != 0),
+                            index_column="doc_id")
+    holdout = DataFrameSource(docs.filter(F.col("doc_id") % 97 == 0),
+                              index_column="doc_id")
+    return (Decontaminate(train, holdout, n=6).plan(spark)
+            .select("doc_id", "shared_ngrams", "contaminated"))
+
+
+_PII_ORACLE = """
+WITH inj AS (SELECT doc_id,
+  text
+  || CASE WHEN doc_id % 3 = 0
+          THEN ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@mail.example.com' ELSE '' END
+  || CASE WHEN doc_id % 4 = 0
+          THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.25'
+          ELSE '' END
+  || CASE WHEN doc_id % 5 = 0
+          THEN ' call +3161234' || CAST(doc_id % 1000 + 100 AS VARCHAR)
+          ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '<EMAIL>')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '<IPV4>')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(t, '<PHONE>')) AS BIGINT) AS n_phones,
+  regexp_replace(regexp_replace(regexp_replace(t,
+      '<EMAIL>', '[EMAIL]', 'g'),
+      '<IPV4>', '[IP]', 'g'),
+      '<PHONE>', '[PHONE]', 'g') AS text_redacted
+FROM inj
+"""
+
+
+def _pii_oracle():
+    from dask_geomodeling_spark.pipeline.filter import (_EMAIL, _IPV4,
+                                                        _PHONE)
+    return (_PII_ORACLE.replace("<EMAIL>", _EMAIL)
+            .replace("<IPV4>", _IPV4).replace("<PHONE>", _PHONE))
+
+
+@demo("pii_redact", oracle=_pii_oracle())
+def pii_redact(spark, sf_dir):
+    """PIIRedact: count + redact emails/IPv4/phones — per-row regex
+    projection, no shuffle, codegen.  The demo deterministically
+    injects synthetic PII (the corpus has none) on BOTH sides."""
+    from dask_geomodeling_spark.pipeline.filter import PIIRedact
+    docs = read_nanos_parquet(spark, _pq(sf_dir, "documents"))
+    injected = docs.withColumn("text_pii", F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@mail.example.com"))).otherwise(""),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit(" from 10.0."),
+                        (F.col("doc_id") % 256).cast("string"),
+                        F.lit(".25"))).otherwise(""),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(" call +3161234"),
+                        (F.col("doc_id") % 1000 + 100).cast("string")))
+        .otherwise("")))
+    src = DataFrameSource(injected, index_column="doc_id")
+    return (PIIRedact(src, column="text_pii").plan(spark)
+            .select("doc_id", "n_emails", "n_ips", "n_phones",
+                    "text_redacted"))
+
+
+@demo("tfidf_keywords", oracle="""
+WITH tok AS (SELECT doc_id,
+                    unnest(string_split_regex(trim(lower(text)),
+                                              '\\s+')) AS token
+             FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+       WHERE token <> '' GROUP BY doc_id, token),
+dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+             ROUND(tf.tf * ln((n.n + 1.0) / (dfq.df + 1.0)), 6) AS score
+      FROM tf JOIN dfq USING (token) CROSS JOIN n)
+SELECT doc_id, CAST(rnk AS BIGINT) AS "rank", token,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, token ASC)
+          AS rnk FROM s)
+WHERE rnk <= 5
+""")
+def tfidf_keywords(spark, sf_dir):
+    """TFIDF: top-5 keywords per doc — two keyed aggregations, a
+    single-row broadcast for N, round-then-rank for a cross-engine
+    stable order."""
+    from dask_geomodeling_spark.pipeline.text import TFIDF
+    return TFIDF(documents_src(sf_dir), k=5).plan(spark)
+
+
+@demo("chunk_text", oracle="""
+WITH w AS (SELECT doc_id,
+                  string_split_regex(trim(lower(text)), '\\s+') AS w
+           FROM documents),
+st AS (SELECT doc_id, w,
+              unnest(range(1, greatest(len(w), 1) + 1, 24)) AS s
+       FROM w)
+SELECT doc_id,
+       CAST((s - 1) // 24 AS BIGINT) AS chunk_id,
+       array_to_string(w[s:s+31], ' ') AS chunk_text,
+       CAST(least(32, len(w) - s + 1) AS BIGINT) AS chunk_tokens
+FROM st
+""")
+def chunk_text(spark, sf_dir):
+    """ChunkText: overlapping 32-token context windows, stride 24 —
+    pure array math + posexplode, map-side only (no shuffle)."""
+    from dask_geomodeling_spark.pipeline.text import ChunkText
+    return ChunkText(documents_src(sf_dir), chunk=32, overlap=8) \
+        .plan(spark)
+
+
+@demo("stratified_sample", oracle="""
+SELECT doc_id, lang, CAST(rnk AS BIGINT) AS sample_rank
+FROM (SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+                 PARTITION BY lang
+                 ORDER BY (doc_id * 2654435761) % 2147483647, doc_id)
+                 AS rnk
+      FROM documents)
+WHERE rnk <= 30
+""")
+def stratified_sample(spark, sf_dir):
+    """StratifiedSample: exactly 30 docs per language, chosen by an
+    arithmetic hash rank — reservoir semantics with zero RNG state."""
+    from dask_geomodeling_spark.pipeline.sample import StratifiedSample
+    return (StratifiedSample(documents_src(sf_dir), strata="lang",
+                             n=30).plan(spark)
+            .select("doc_id", "lang", "sample_rank"))

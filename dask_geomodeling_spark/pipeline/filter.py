@@ -1,0 +1,190 @@
+"""Corpus-filtering operators for LLM training-data pipelines
+(SURVEY.md §2, 'LLM-data-pipeline extensions').
+
+Gopher/C4-style repetition filtering, benchmark decontamination and PII
+redaction — the standard pre-training corpus hygiene passes.  All hot
+paths are JVM-side ``pyspark.sql.functions`` expressions (no Python
+UDFs); the only shuffles are the per-document n-gram aggregations,
+which are keyed on (doc, gram) — uniform by construction, skew-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dask_geomodeling_spark.geometry.base import BaseSingle, GeometryBlock
+
+__all__ = ["RepetitionFilter", "Decontaminate", "PIIRedact"]
+
+# word n-gram array over a pre-split token array column (mirrors
+# dedup.py's shingle expression, but keeps the gram STRINGS — the
+# decontamination join matches grams exactly, no hashing)
+_GRAMS = ("transform(sequence(1, greatest(size({w}) - {n} + 1, 1)), "
+          "i -> concat_ws(' ', slice({w}, i, {n})))")
+
+
+def _words(column):
+    return F.split(F.trim(F.lower(F.col(column))), r"\s+")
+
+
+class RepetitionFilter(BaseSingle):
+    """Gopher-style repetition metrics per document.
+
+    - ``dup_word_ratio`` — fraction of word occurrences that are repeats
+      of an earlier word: pure array math (``array_distinct``), stays in
+      the projection, NO shuffle.
+    - ``top_bigram_frac`` — share of word-bigram slots taken by the most
+      frequent bigram: explode (map-side) + count per (doc, bigram) +
+      max per doc — two keyed aggregations, partial-aggregated map-side
+      by Catalyst.
+    - ``repetitive`` — boolean flag at the given thresholds.
+
+    Scale: the (doc, bigram) key is near-unique per doc so the shuffle
+    is uniform; no driver-side state.  Documents with fewer than two
+    words get ``top_bigram_frac = 0.0``.
+    """
+
+    def __init__(self, source, column="text", max_dup_ratio=0.5,
+                 max_bigram_frac=0.2, id_column=None):
+        if id_column is None:
+            id_column = source.index_column
+        super().__init__(source, column, float(max_dup_ratio),
+                         float(max_bigram_frac), id_column)
+
+    @property
+    def columns(self):
+        return set(self.source.columns) | {
+            "n_words", "dup_word_ratio", "top_bigram_frac", "repetitive"}
+
+    def _build(self, ctx):
+        _, column, max_dup, max_big, idc = self.args
+        df = self.source._build(ctx)
+        df = df.withColumn("_w", _words(column))
+        n = F.when(F.length(F.trim(F.col(column))) == 0, 0) \
+            .otherwise(F.size("_w")).cast("bigint")
+        df = df.withColumn("n_words", n)
+        dup = F.when(
+            F.col("n_words") > 0,
+            1.0 - F.size(F.array_distinct("_w"))
+            / F.col("n_words").cast("double")).otherwise(0.0)
+        df = df.withColumn("dup_word_ratio", dup)
+
+        grams = F.when(F.col("n_words") >= 2, F.expr(
+            _GRAMS.format(w="_w", n=2))).otherwise(F.array())
+        exploded = (df.select(F.col(idc), F.explode(grams).alias("_g"))
+                    .groupBy(idc, "_g").count()
+                    .groupBy(idc).agg(F.max("count").alias("_top")))
+        df = df.join(exploded, on=idc, how="left")
+        frac = F.when(
+            F.col("n_words") >= 2,
+            F.coalesce(F.col("_top"), F.lit(0))
+            / (F.col("n_words") - 1).cast("double")).otherwise(0.0)
+        df = df.withColumn("top_bigram_frac", frac)
+        rep = (F.col("dup_word_ratio") > max_dup) \
+            | (F.col("top_bigram_frac") > max_big)
+        return df.withColumn("repetitive", rep).drop("_w", "_top")
+
+
+class Decontaminate(GeometryBlock):
+    """Benchmark decontamination: flag training documents that share any
+    word ``n``-gram with an evaluation corpus.
+
+    Plan shape (the standard corpus-scale design):
+      1. explode DISTINCT per-doc n-grams of the train side (map-side);
+      2. distinct n-grams of the (much smaller) eval side;
+      3. equi-join on the gram string, count matches per train doc;
+      4. left-join the counts back onto the train frame.
+    The gram join key is a uniform string — no skew; the eval side is
+    tiny in practice and AQE broadcast-joins it.  Documents shorter than
+    ``n`` words contribute their whole text as one gram (same convention
+    as dedup.py shingles).
+
+    Adds ``shared_ngrams`` (distinct shared grams) and ``contaminated``.
+    """
+
+    def __init__(self, source, eval_source, column="text", n=6,
+                 id_column=None):
+        if not isinstance(source, GeometryBlock) \
+                or not isinstance(eval_source, GeometryBlock):
+            raise TypeError("sources must be GeometryBlocks")
+        if id_column is None:
+            id_column = source.index_column
+        super().__init__(source, eval_source, column, int(n), id_column)
+
+    @property
+    def source(self):
+        return self.args[0]
+
+    @property
+    def columns(self):
+        return set(self.source.columns) | {"shared_ngrams", "contaminated"}
+
+    def _build(self, ctx):
+        train_b, eval_b, column, n, idc = self.args
+        grams = F.array_distinct(F.expr(_GRAMS.format(w="_w", n=n)))
+
+        def with_grams(df):
+            return (df.withColumn("_w", _words(column))
+                    .withColumn("_grams", grams))
+
+        train = with_grams(train_b._build(ctx))
+        eval_grams = (with_grams(eval_b._build(ctx))
+                      .select(F.explode("_grams").alias("_g")).distinct())
+        train_grams = train.select(
+            F.col(idc), F.explode("_grams").alias("_g"))
+        shared = (train_grams.join(eval_grams, "_g")
+                  .groupBy(idc)
+                  .agg(F.count(F.lit(1)).alias("_shared")))
+        out = train.drop("_w", "_grams").join(shared, on=idc, how="left")
+        return (out.withColumn(
+            "shared_ngrams",
+            F.coalesce(F.col("_shared"), F.lit(0)).cast("bigint"))
+            .withColumn("contaminated", F.col("shared_ngrams") > 0)
+            .drop("_shared"))
+
+
+# regexes restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): literal classes, \d, \b, bounded repeats
+_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PHONE = r"\+\d{7,15}"
+
+
+class PIIRedact(BaseSingle):
+    """PII scrubbing: count and redact e-mail addresses, IPv4 addresses
+    and international phone numbers (``+<7-15 digits>``).
+
+    Pure per-row regex work — one projection, no shuffle, whole-stage
+    codegen; the patterns use only the regex subset that behaves
+    identically in Java regex and RE2.  Replacement order is e-mail →
+    IPv4 → phone so one match is never double-redacted.
+
+    Adds ``n_emails``, ``n_ips``, ``n_phones`` and ``text_redacted``.
+    """
+
+    def __init__(self, source, column="text"):
+        super().__init__(source, column)
+
+    @property
+    def columns(self):
+        return set(self.source.columns) | {
+            "n_emails", "n_ips", "n_phones", "text_redacted"}
+
+    def _build(self, ctx):
+        column = self.args[1]
+        df = self.source._build(ctx)
+        c = F.col(column)
+        redacted = F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(c, _EMAIL, "[EMAIL]"),
+                _IPV4, "[IP]"),
+            _PHONE, "[PHONE]")
+        return df.withColumns({
+            "n_emails": F.size(F.regexp_extract_all(
+                c, F.lit(_EMAIL), 0)).cast("bigint"),
+            "n_ips": F.size(F.regexp_extract_all(
+                c, F.lit(_IPV4), 0)).cast("bigint"),
+            "n_phones": F.size(F.regexp_extract_all(
+                c, F.lit(_PHONE), 0)).cast("bigint"),
+            "text_redacted": redacted,
+        })

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from dask_geomodeling_spark.core.blocks import Block
 from dask_geomodeling_spark.geometry.base import BaseSingle
 
-__all__ = ["HashSplit", "PackSequences"]
+__all__ = ["HashSplit", "PackSequences", "StratifiedSample"]
 
 # split-hash constants: any odd multiplier modulo 2^31-1 works; these
 # are fixed so the split is part of the dataset's identity
@@ -68,6 +68,47 @@ class HashSplit(BaseSingle):
         last = items[-1][0]
         expr = F.lit(last) if expr is None else expr.otherwise(last)
         return df.select(F.col(id_column), expr.alias("split"))
+
+
+class StratifiedSample(BaseSingle):
+    """Deterministic stratified sampling: exactly ``n`` rows per stratum
+    (fewer if the stratum is smaller), chosen by ranking a pure
+    arithmetic hash of the id — reservoir-sampling semantics with zero
+    RNG state, so every engine, rerun, and parallelism level draws the
+    identical sample.
+
+    Plan: one window (``row_number`` over partition-by-stratum ordered
+    by ``(id * PRIME) mod M, id``) + filter.  The shuffle is keyed on
+    the stratum; with many strata it is uniform, with few large strata
+    the window is the textbook skew case — at 100 TB pre-aggregate per
+    (stratum, hash-prefix) or use the salted-join utility instead.
+
+    Output: source columns + ``sample_rank`` (1-based within stratum).
+    """
+
+    _PRIME = 2654435761
+    _MOD = (1 << 31) - 1
+
+    def __init__(self, source, strata, n=100, id_column=None):
+        if id_column is None:
+            id_column = source.index_column
+        super().__init__(source, strata, int(n), id_column)
+
+    @property
+    def columns(self):
+        return set(self.source.columns) | {"sample_rank"}
+
+    def _build(self, ctx):
+        from pyspark.sql import Window
+        _, strata, n, id_column = self.args
+        df = self.source._build(ctx)
+        key = F.pmod(F.col(id_column).cast("bigint") * self._PRIME,
+                     F.lit(self._MOD))
+        w = (Window.partitionBy(strata)
+             .orderBy(key.asc(), F.col(id_column).asc()))
+        return (df.withColumn("sample_rank",
+                              F.row_number().over(w).cast("bigint"))
+                .filter(F.col("sample_rank") <= n))
 
 
 def _pack_shard(budget):

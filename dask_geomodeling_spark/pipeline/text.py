@@ -13,7 +13,8 @@ from pyspark.sql import functions as F
 
 from dask_geomodeling_spark.geometry.base import BaseSingle
 
-__all__ = ["TokenCount", "QualityScore", "LanguageID", "Fingerprint"]
+__all__ = ["TokenCount", "QualityScore", "LanguageID", "Fingerprint",
+           "TFIDF", "ChunkText"]
 
 # tiny per-language stopword marker sets for the n-gram/stopword heuristic
 _LANG_MARKERS = {
@@ -130,6 +131,106 @@ class LanguageID(BaseSingle):
         best = F.greatest(*scores) if len(scores) > 1 else scores[0]
         pred = F.when(best["hits"] > 0, best["lang"]).otherwise("und")
         return df.withColumn("lang_pred", pred)
+
+
+class TFIDF(BaseSingle):
+    """Top-``k`` keywords per document by TF-IDF.
+
+    Plan shape (two keyed aggregations + one single-row broadcast):
+      1. explode words → count per (doc, token)   [term frequency]
+      2. count docs per token over that table     [document frequency]
+      3. total doc count N = 1-row aggregate, broadcast via cross join
+      4. score = round(tf * ln((N+1)/(df+1)), 6); row_number per doc
+         ordered by (score desc, token asc), keep rank <= k.
+    All shuffles are keyed on doc or token — uniform; the N broadcast
+    is a single row.  Rounding BEFORE ranking makes the order (and the
+    emitted score) stable across engines' libm (round-then-rank).
+
+    Output: ``<id>``, ``rank``, ``token``, ``tf``, ``df``, ``score``.
+    """
+
+    def __init__(self, source, column="text", k=5, id_column=None):
+        if id_column is None:
+            id_column = source.index_column
+        super().__init__(source, column, int(k), id_column)
+
+    @property
+    def columns(self):
+        return {self.args[3], "rank", "token", "tf", "df", "score"}
+
+    def _build(self, ctx):
+        from pyspark.sql import Window
+        _, column, k, idc = self.args
+        df = self.source._build(ctx)
+        words = F.split(F.trim(F.lower(F.col(column))), r"\s+")
+        toks = (df.select(F.col(idc), F.explode(words).alias("token"))
+                .filter(F.col("token") != "")
+                .groupBy(idc, "token")
+                .agg(F.count(F.lit(1)).alias("tf")))
+        # the (doc, token) table feeds both the df-aggregation and the
+        # scoring join — persist it instead of re-running the corpus
+        # explode (the 100 TB analogue: materialize the term table)
+        toks = toks.persist()
+        dfreq = (toks.groupBy("token")
+                 .agg(F.count(F.lit(1)).alias("df")))
+        total = df.agg(F.count(F.lit(1)).alias("_n"))
+        scored = (toks.join(dfreq, "token")
+                  .crossJoin(F.broadcast(total))
+                  .withColumn("score", F.round(
+                      F.col("tf") * F.log((F.col("_n") + 1.0)
+                                          / (F.col("df") + 1.0)), 6)))
+        w = (Window.partitionBy(idc)
+             .orderBy(F.col("score").desc(), F.col("token").asc()))
+        return (scored
+                .withColumn("rank", F.row_number().over(w).cast("bigint"))
+                .filter(F.col("rank") <= k)
+                .select(idc, "rank", "token", "tf", "df", "score"))
+
+
+class ChunkText(BaseSingle):
+    """Context-window chunking: split each document into overlapping
+    token chunks of ``chunk`` words with ``overlap`` words of overlap
+    (stride = chunk - overlap).
+
+    Pure array math per row — build the chunk structs with
+    ``transform`` over a ``sequence`` of start offsets, then
+    ``posexplode``.  Map-side only: NO shuffle; output size is
+    input_tokens / stride rows.  The tail chunk may be shorter.
+
+    Output: ``<id>``, ``chunk_id``, ``chunk_text``, ``chunk_tokens``.
+    """
+
+    def __init__(self, source, column="text", chunk=64, overlap=16,
+                 id_column=None):
+        chunk, overlap = int(chunk), int(overlap)
+        if not 0 <= overlap < chunk:
+            raise ValueError("need 0 <= overlap < chunk")
+        if id_column is None:
+            id_column = source.index_column
+        super().__init__(source, column, chunk, overlap, id_column)
+
+    @property
+    def columns(self):
+        return {self.args[4], "chunk_id", "chunk_text", "chunk_tokens"}
+
+    def _build(self, ctx):
+        _, column, chunk, overlap, idc = self.args
+        step = chunk - overlap
+        df = self.source._build(ctx)
+        df = df.withColumn("_w", F.split(
+            F.trim(F.lower(F.col(column))), r"\s+"))
+        chunks = F.expr(
+            "transform(sequence(1, greatest(size(_w), 1), {step}), "
+            "s -> struct(concat_ws(' ', slice(_w, s, {chunk})) AS txt, "
+            "least({chunk}, size(_w) - s + 1) AS ntok))"
+            .format(step=step, chunk=chunk))
+        return (df.select(F.col(idc),
+                          F.posexplode(chunks).alias("chunk_id", "_c"))
+                .select(idc,
+                        F.col("chunk_id").cast("bigint"),
+                        F.col("_c.txt").alias("chunk_text"),
+                        F.col("_c.ntok").cast("bigint")
+                        .alias("chunk_tokens")))
 
 
 class Fingerprint(BaseSingle):

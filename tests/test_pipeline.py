@@ -123,3 +123,96 @@ def test_extract_strict_raises(spark):
     feats = ExtractImageFeatures(media, decode="strict")
     with pytest.raises(Exception):
         feats.plan(spark).collect()
+
+
+def test_repetition_filter(spark):
+    from dask_geomodeling_spark.pipeline.filter import RepetitionFilter
+    src = LiteralGeometrySource([
+        {"doc_id": 1, "text": "spam spam spam spam"},
+        {"doc_id": 2,
+         "text": "each of these ten words appears exactly once right now"},
+        {"doc_id": 3, "text": "one"},
+    ])
+    rows = {r.doc_id: r for r in
+            RepetitionFilter(src, id_column="doc_id").plan(spark).collect()}
+    assert rows[1].dup_word_ratio == 0.75
+    assert rows[1].top_bigram_frac == 1.0  # "spam spam" fills all slots
+    assert rows[1].repetitive
+    assert rows[2].dup_word_ratio == 0.0 and not rows[2].repetitive
+    assert rows[3].top_bigram_frac == 0.0  # < 2 words
+
+
+def test_decontaminate(spark):
+    from dask_geomodeling_spark.pipeline.filter import Decontaminate
+    train = LiteralGeometrySource([
+        {"doc_id": 1, "text": "a b c d e f g h"},   # shares 6-grams
+        {"doc_id": 2, "text": "z y x w v u t s"},   # disjoint
+    ])
+    holdout = LiteralGeometrySource([
+        {"doc_id": 9, "text": "a b c d e f"},
+    ])
+    rows = {r.doc_id: r for r in
+            Decontaminate(train, holdout, n=6, id_column="doc_id").plan(spark).collect()}
+    assert rows[1].contaminated and rows[1].shared_ngrams == 1
+    assert not rows[2].contaminated and rows[2].shared_ngrams == 0
+
+
+def test_pii_redact(spark):
+    from dask_geomodeling_spark.pipeline.filter import PIIRedact
+    src = LiteralGeometrySource([
+        {"doc_id": 1,
+         "text": "mail bob@x.org or call +31612345678 from 10.0.0.1"},
+        {"doc_id": 2, "text": "clean text"},
+    ])
+    rows = {r.doc_id: r for r in PIIRedact(src).plan(spark).collect()}
+    assert (rows[1].n_emails, rows[1].n_ips, rows[1].n_phones) == (1, 1, 1)
+    assert rows[1].text_redacted == "mail [EMAIL] or call [PHONE] from [IP]"
+    assert rows[2].text_redacted == "clean text"
+
+
+def test_tfidf(spark):
+    from dask_geomodeling_spark.pipeline.text import TFIDF
+    src = LiteralGeometrySource([
+        {"doc_id": 1, "text": "apple apple banana"},
+        {"doc_id": 2, "text": "banana cherry"},
+    ])
+    rows = TFIDF(src, k=2, id_column="doc_id").plan(spark).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    top1 = {d: sorted(v, key=lambda r: r.rank)[0] for d, v in
+            by_doc.items()}
+    # 'apple' (tf=2, df=1) out-scores 'banana' (df=2) for doc 1
+    assert top1[1].token == "apple" and top1[1].tf == 2
+    assert all(r.df == 2 for r in rows if r.token == "banana")
+
+
+def test_chunk_text(spark):
+    from dask_geomodeling_spark.pipeline.text import ChunkText
+    src = LiteralGeometrySource([
+        {"doc_id": 1, "text": "w0 w1 w2 w3 w4 w5 w6"},
+    ])
+    rows = sorted(ChunkText(src, chunk=4, overlap=2, id_column="doc_id").plan(spark).collect(),
+                  key=lambda r: r.chunk_id)
+    # stride 2: starts at words 0, 2, 4, 6
+    assert [r.chunk_text for r in rows] == [
+        "w0 w1 w2 w3", "w2 w3 w4 w5", "w4 w5 w6", "w6"]
+    assert [r.chunk_tokens for r in rows] == [4, 4, 3, 1]
+
+
+def test_stratified_sample(spark):
+    from dask_geomodeling_spark.pipeline.sample import StratifiedSample
+    src = LiteralGeometrySource([
+        {"doc_id": i, "lang": "en" if i % 2 else "de"}
+        for i in range(1, 21)])
+    rows = StratifiedSample(src, strata="lang", n=3,
+                            id_column="doc_id").plan(spark).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.sample_rank)
+    assert sorted(by_lang["en"]) == [1, 2, 3]
+    assert sorted(by_lang["de"]) == [1, 2, 3]
+    again = StratifiedSample(src, strata="lang", n=3,
+                             id_column="doc_id").plan(spark).collect()
+    assert {(r.doc_id, r.sample_rank) for r in again} == \
+        {(r.doc_id, r.sample_rank) for r in rows}
