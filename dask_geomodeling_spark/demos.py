@@ -2648,3 +2648,186 @@ def stratified_sample(spark, sf_dir):
     return (StratifiedSample(documents_src(sf_dir), strata="lang",
                              n=30).plan(spark)
             .select("doc_id", "lang", "sample_rank"))
+
+
+# --------------------------------------------------------------------------
+# more TPC-H-style plan shapes: semi/anti joins, scalar broadcasts,
+# outer-join distributions, conditional aggregates
+# --------------------------------------------------------------------------
+
+@demo("q4_order_priority", oracle="""
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o.o_orderpriority
+""")
+def q4_order_priority(spark, sf_dir):
+    """TPC-H-Q4-style: EXISTS → LEFT SEMI join.  The orders date filter
+    is pushed to the scan; the semi-join keeps only the (orderkey)
+    probe columns so the shuffle carries no payload."""
+    orders = read_nanos_parquet(spark, _pq(sf_dir, "orders")).filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01"))
+    li = read_nanos_parquet(spark, _pq(sf_dir, "lineitem")) \
+        .select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li, (li["l_orderkey"] == orders["o_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"]
+           + F.expr("INTERVAL 60 DAYS")), "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+@demo("q6_revenue_forecast", oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24.0
+""")
+def q6_revenue_forecast(spark, sf_dir):
+    """TPC-H-Q6-style: pure scan + filter + single agg — every
+    predicate reaches the parquet scan (PushedFilters), zero joins,
+    one exchange for the final 1-row aggregate."""
+    li = read_nanos_parquet(spark, _pq(sf_dir, "lineitem"))
+    return (li.filter((F.col("l_shipdate") >= "1997-01-01")
+                      & (F.col("l_shipdate") < "1998-01-01")
+                      & (F.col("l_discount") >= 0.05)
+                      & (F.col("l_discount") <= 0.07)
+                      & (F.col("l_quantity") < 24.0))
+            .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), 6)
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+@demo("q13_customer_distribution", oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                         AND o.o_orderstatus <> 'F'
+      GROUP BY c.c_custkey) t
+GROUP BY c_count
+""")
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H-Q13-style: outer join with a join-side predicate, then a
+    two-level aggregation (orders per customer → customers per count).
+    The second agg's key space is tiny, so the plan is one real
+    shuffle + one near-free one."""
+    cust = read_nanos_parquet(spark, _pq(sf_dir, "customer")) \
+        .select("c_custkey")
+    orders = read_nanos_parquet(spark, _pq(sf_dir, "orders")) \
+        .filter(F.col("o_orderstatus") != "F") \
+        .select("o_custkey", "o_orderkey")
+    per_cust = (cust.join(orders,
+                          cust["c_custkey"] == orders["o_custkey"],
+                          "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+@demo("q14_promo_revenue", oracle="""
+SELECT CAST(100 AS DOUBLE)
+       * CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+                            THEN l.l_extendedprice * (1 - l.l_discount)
+                            ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE)
+       / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(28,6))) AS DOUBLE) AS promo_revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l.l_shipdate < TIMESTAMP '1997-10-01'
+""")
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H-Q14-style: conditional aggregate over a broadcast dim
+    join — part is a dimension, so the only exchange is the final
+    1-row aggregate."""
+    li = read_nanos_parquet(spark, _pq(sf_dir, "lineitem")).filter(
+        (F.col("l_shipdate") >= "1997-09-01")
+        & (F.col("l_shipdate") < "1997-10-01"))
+    part = read_nanos_parquet(spark, _pq(sf_dir, "part")) \
+        .select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+    joined = li.join(F.broadcast(part),
+                     li["l_partkey"] == part["p_partkey"])
+    return joined.agg(
+        (F.lit(100.0).cast("double") * dsum(promo, 6)
+         / dsum(rev, 6)).alias("promo_revenue"))
+
+
+@demo("q18_large_orders", oracle="""
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice, big.total_qty
+FROM (SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+                 AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(28,2))) > 250) big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""")
+def q18_large_orders(spark, sf_dir):
+    """TPC-H-Q18-style large-volume orders.  Spark-first shape: ONE
+    lineitem aggregation (not the reference's agg + IN-subquery re-agg)
+    — the filtered per-order sums join orders, then the customer dim
+    broadcasts."""
+    li = read_nanos_parquet(spark, _pq(sf_dir, "lineitem"))
+    big = (li.groupBy("l_orderkey")
+           .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+           .filter(F.col("total_qty") > 250.0))
+    orders = read_nanos_parquet(spark, _pq(sf_dir, "orders")) \
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    cust = read_nanos_parquet(spark, _pq(sf_dir, "customer")) \
+        .select("c_custkey", "c_name")
+    return (big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+            .join(F.broadcast(cust),
+                  orders["o_custkey"] == cust["c_custkey"])
+            .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                    "o_totalprice", "total_qty"))
+
+
+@demo("q22_idle_customers", oracle="""
+WITH thr AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE)
+         / COUNT(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0)
+SELECT c.c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,2))) AS DOUBLE)
+           AS totacctbal
+FROM customer c, thr
+WHERE c.c_acctbal > thr.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c.c_nationkey
+""")
+def q22_idle_customers(spark, sf_dir):
+    """TPC-H-Q22-style: scalar-subquery threshold (1-row broadcast via
+    cross join, decimal-sum average so the threshold is
+    order-independent), NOT EXISTS → LEFT ANTI join against the
+    date-filtered orders scan, then a small keyed aggregate."""
+    cust = read_nanos_parquet(spark, _pq(sf_dir, "customer"))
+    thr = (cust.filter(F.col("c_acctbal") > 0.0)
+           .agg((dsum(F.col("c_acctbal"))
+                 / F.count(F.lit(1))).alias("avg_bal")))
+    orders = (read_nanos_parquet(spark, _pq(sf_dir, "orders"))
+              .filter(F.col("o_orderdate") >= "2000-01-01")
+              .select("o_custkey"))
+    rich = (cust.crossJoin(F.broadcast(thr))
+            .filter(F.col("c_acctbal") > F.col("avg_bal")))
+    idle = rich.join(orders,
+                     rich["c_custkey"] == orders["o_custkey"],
+                     "left_anti")
+    return (idle.groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 dsum(F.col("c_acctbal")).alias("totacctbal")))
