@@ -76,6 +76,11 @@ def test_new_blocks_serialize_roundtrip(spark):
     emb = ParquetGeometrySource(sf + "/embeddings.parquet",
                                 id_field="vec_id")
     ev = EventSource(sf + "/events.parquet")
+    from dask_geomodeling_spark.pipeline.filter import (Decontaminate,
+                                                        PIIRedact,
+                                                        RepetitionFilter)
+    from dask_geomodeling_spark.pipeline.sample import StratifiedSample
+    from dask_geomodeling_spark.pipeline.text import TFIDF, ChunkText
     blocks = [
         HashSplit(docs),
         PackSequences(docs, budget=128, shards=4),
@@ -83,6 +88,12 @@ def test_new_blocks_serialize_roundtrip(spark):
         KMeansIVF(emb, emb, k=3, clusters=2, iters=1, precision=6),
         IntervalJoin(ev, ev, within="30 minutes"),
         RunningAggregate(ev),
+        RepetitionFilter(docs),
+        Decontaminate(docs, docs, n=6),
+        PIIRedact(docs),
+        TFIDF(docs, k=3),
+        ChunkText(docs, chunk=16, overlap=4),
+        StratifiedSample(docs, strata="lang", n=5),
     ]
     for blk in blocks:
         back = Block.from_json(blk.to_json())
