@@ -242,3 +242,52 @@ def test_tpch_views_broadcast_dims(spark):
         plan = plan_of(demos.QUERIES[name](spark, SF_DIR), "simple")
         assert "BroadcastHashJoin" in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_corpus_hygiene_stays_jvm_side(spark):
+    """Repetition / decontamination / PII / TF-IDF / chunking never
+    drop to row-at-a-time Python — the 100 TB scans stay in codegen."""
+    from dask_geomodeling_spark import demos
+    for name in ("repetition_filter", "decontaminate", "pii_redact",
+                 "tfidf_keywords", "chunk_text", "stratified_sample"):
+        plan = plan_of(demos.QUERIES[name](spark, SF_DIR), "simple")
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_chunk_and_pii_do_not_shuffle(spark):
+    """Chunking and PII redaction are map-side only: posexplode /
+    regex projections over the scan, zero Exchange."""
+    from dask_geomodeling_spark import demos
+    for name in ("chunk_text", "pii_redact"):
+        plan = plan_of(demos.QUERIES[name](spark, SF_DIR), "simple")
+        assert "Exchange" not in plan, name
+
+
+def test_q6_predicates_reach_scan(spark):
+    from dask_geomodeling_spark import demos
+    plan = plan_of(demos.QUERIES["q6_revenue_forecast"](spark, SF_DIR))
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+
+
+def test_q4_uses_semi_join(spark):
+    from dask_geomodeling_spark import demos
+    plan = plan_of(demos.QUERIES["q4_order_priority"](spark, SF_DIR),
+                   "simple")
+    assert "LeftSemi" in plan
+
+
+def test_q22_uses_anti_join_and_broadcast_threshold(spark):
+    from dask_geomodeling_spark import demos
+    plan = plan_of(demos.QUERIES["q22_idle_customers"](spark, SF_DIR),
+                   "simple")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q14_q18_broadcast_dims(spark):
+    from dask_geomodeling_spark import demos
+    for name in ("q14_promo_revenue", "q18_large_orders"):
+        plan = plan_of(demos.QUERIES[name](spark, SF_DIR), "simple")
+        assert "BroadcastHashJoin" in plan, name
