@@ -2831,3 +2831,54 @@ def q22_idle_customers(spark, sf_dir):
     return (idle.groupBy("c_nationkey")
             .agg(F.count(F.lit(1)).alias("numcust"),
                  dsum(F.col("c_acctbal")).alias("totacctbal")))
+
+
+@demo("csv_source_roundtrip", oracle="""
+SELECT c_custkey AS idx, c_name, c_acctbal
+FROM customer WHERE c_acctbal > 0
+""")
+def csv_source_roundtrip(spark, sf_dir):
+    """GeometryFileSink(csv) + FileGeometrySource(csv): text formats
+    round-trip through the same sink/source pair as parquet; the read
+    side takes an explicit DDL schema (no inference pass).  Doubles
+    survive exactly — Spark writes shortest-round-trip decimal
+    representations."""
+    import tempfile
+
+    from dask_geomodeling_spark.geometry.sinks import GeometryFileSink
+    from dask_geomodeling_spark.geometry.sources import FileGeometrySource
+    customer = read_nanos_parquet(spark, _pq(sf_dir, "customer"))
+    src = DataFrameSource(customer.filter(F.col("c_acctbal") > 0),
+                          index_column="c_custkey")
+    url = tempfile.mkdtemp(prefix="dgs_sink_csv_") + "/out"
+    GeometryFileSink(src, url, extension="csv",
+                     fields={"idx": "c_custkey", "c_name": "c_name",
+                             "c_acctbal": "c_acctbal"}).write(spark)
+    return FileGeometrySource(
+        url, format="csv", id_field="idx",
+        schema="idx bigint, c_name string, c_acctbal double") \
+        .plan(spark)
+
+
+@demo("json_source_roundtrip", oracle="""
+SELECT c_custkey AS idx, c_name, c_acctbal
+FROM customer WHERE c_acctbal > 0
+""")
+def json_source_roundtrip(spark, sf_dir):
+    """GeometryFileSink(json) + FileGeometrySource(json) with explicit
+    DDL schema — JSON-lines round-trip."""
+    import tempfile
+
+    from dask_geomodeling_spark.geometry.sinks import GeometryFileSink
+    from dask_geomodeling_spark.geometry.sources import FileGeometrySource
+    customer = read_nanos_parquet(spark, _pq(sf_dir, "customer"))
+    src = DataFrameSource(customer.filter(F.col("c_acctbal") > 0),
+                          index_column="c_custkey")
+    url = tempfile.mkdtemp(prefix="dgs_sink_json_") + "/out"
+    GeometryFileSink(src, url, extension="json",
+                     fields={"idx": "c_custkey", "c_name": "c_name",
+                             "c_acctbal": "c_acctbal"}).write(spark)
+    return FileGeometrySource(
+        url, format="json", id_field="idx",
+        schema="idx bigint, c_name string, c_acctbal double") \
+        .plan(spark)

@@ -52,6 +52,10 @@ class GeometryFileSink(BaseSingle):
         df = self.plan(spark, **request)
         url, extension, partition_by = self.args[1], self.args[2], self.args[4]
         writer = df.write.mode(mode)
+        if extension == "csv":
+            # headers make the files self-describing and are what the
+            # csv read side (FileGeometrySource) expects to skip
+            writer = writer.option("header", True)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         getattr(writer, "parquet" if extension == "parquet" else extension)(url)

@@ -15,9 +15,9 @@ from pyspark.sql import functions as F
 from dask_geomodeling_spark.geometry.base import (GeometryBlock,
                                                   apply_feature_request)
 
-__all__ = ["ParquetGeometrySource", "LiteralGeometrySource",
-           "TableSource", "TableGeometrySource", "DataFrameSource",
-           "parse_point_or_box_wkt"]
+__all__ = ["ParquetGeometrySource", "FileGeometrySource",
+           "LiteralGeometrySource", "TableSource", "TableGeometrySource",
+           "DataFrameSource", "parse_point_or_box_wkt"]
 
 _POINT_RE = re.compile(r"^\s*POINT\s*\(\s*([-\d.eE+]+)\s+([-\d.eE+]+)\s*\)\s*$")
 _BOX_RE = re.compile(
@@ -89,6 +89,55 @@ class ParquetGeometrySource(GeometryBlock):
             df = df.select(*self.args[3])
         return apply_feature_request(df, ctx.request,
                                      time_column=self.time_column)
+
+
+class FileGeometrySource(GeometryBlock):
+    """Format-aware feature source: parquet | csv | json (reference:
+    GeometryFileSource, geometry/sources.py:18, which reads any
+    fiona-supported format — here the cluster-native text/columnar
+    trio, the read side of ``GeometryFileSink``).
+
+    CSV/JSON require an explicit DDL ``schema`` string: schema
+    inference would add a full extra pass over the data and lets types
+    drift between runs — at 100 TB the schema is part of the dataset
+    contract, not something to sniff.  CSV expects the header line
+    ``GeometryFileSink`` writes.
+    """
+
+    formats = ("parquet", "csv", "json")
+
+    def __init__(self, url, format="parquet", id_field="id",
+                 time_column=None, schema=None):
+        if format not in self.formats:
+            raise ValueError("Format '{}' is unsupported".format(format))
+        if format != "parquet" and not schema:
+            raise ValueError("csv/json sources need an explicit DDL "
+                             "schema")
+        super().__init__(url, format, id_field, time_column, schema)
+
+    @property
+    def index_column(self):
+        return self.args[2]
+
+    @property
+    def time_column(self):
+        return self.args[3]
+
+    @property
+    def columns(self):
+        return set()
+
+    def _build(self, ctx):
+        url, fmt, _, time_column, schema = self.args
+        reader = ctx.spark.read
+        if fmt == "parquet":
+            df = reader.parquet(url)
+        elif fmt == "csv":
+            df = reader.schema(schema).option("header", True).csv(url)
+        else:
+            df = reader.schema(schema).json(url)
+        return apply_feature_request(df, ctx.request,
+                                     time_column=time_column)
 
 
 class TableSource(GeometryBlock):

@@ -99,3 +99,16 @@ def test_new_blocks_serialize_roundtrip(spark):
         back = Block.from_json(blk.to_json())
         assert back.token == blk.token, type(blk).__name__
         assert back.plan(spark).count() >= 0, type(blk).__name__
+
+
+def test_file_geometry_source_validates():
+    from dask_geomodeling_spark.geometry.sources import FileGeometrySource
+    import pytest
+    with pytest.raises(ValueError):
+        FileGeometrySource("/tmp/x", format="xml", schema="a int")
+    with pytest.raises(ValueError):
+        FileGeometrySource("/tmp/x", format="csv")  # schema required
+    blk = FileGeometrySource("/tmp/x", format="csv", id_field="a",
+                             schema="a bigint, b string")
+    from dask_geomodeling_spark import Block
+    assert Block.from_json(blk.to_json()).token == blk.token
