@@ -2882,3 +2882,107 @@ def json_source_roundtrip(spark, sf_dir):
         url, format="json", id_field="idx",
         schema="idx bigint, c_name string, c_acctbal double") \
         .plan(spark)
+
+
+def _pq_ann_oracle(k=5, m=4, codes=4, dim=64, nq=3, scale=8):
+    """Pure-SQL mirror of pipeline.similarity.ProductQuantizerANN:
+    per-subspace k-means fit (init, argmin assign, decimal-mean update,
+    empty-cluster carry — one Lloyd iteration) + ADC scoring, unrolled
+    as a CTE chain per subspace."""
+    d = dim // m
+    dist = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            "list_transform(range(1, {dp1}), i -> "
+            "({{e}}[i] - {{c}}[i]) * ({{e}}[i] - {{c}}[i]))), "
+            "(acc, x) -> acc + x)").format(dp1=d + 1)
+    parts = []
+    for s in range(m):
+        st, en = s * d + 1, s * d + d
+        parts.append(
+            "emb{s} AS (SELECT vec_id, list_transform("
+            "embedding[{st}:{en}], x -> CAST(x AS DOUBLE)) AS e "
+            "FROM embeddings)".format(s=s, st=st, en=en))
+        parts.append(
+            "c{s}_0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id)"
+            " - 1 AS INT) AS cid, e AS v "
+            "FROM (SELECT * FROM emb{s} ORDER BY vec_id LIMIT {codes}))"
+            .format(s=s, codes=codes))
+        parts.append("""a{s}_0 AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT emb{s}.vec_id, emb{s}.e, c{s}_0.cid,
+           ROW_NUMBER() OVER (PARTITION BY emb{s}.vec_id
+               ORDER BY {dd}, c{s}_0.cid) AS rn
+    FROM emb{s} CROSS JOIN c{s}_0)
+  WHERE rn = 1)""".format(
+            s=s, dd=dist.format(e="emb{}.e".format(s),
+                                c="c{}_0.v".format(s))))
+        parts.append("""m{s}_1 AS (
+  SELECT cid, pos,
+         CAST(SUM(CAST(val AS DECIMAL(28,{sc}))) AS DOUBLE) / COUNT(*)
+             AS mv
+  FROM (SELECT cid, generate_subscripts(e, 1) AS pos, unnest(e) AS val
+        FROM a{s}_0)
+  GROUP BY cid, pos)""".format(s=s, sc=scale))
+        parts.append("""c{s}_1 AS (
+  SELECT c{s}_0.cid, COALESCE(mv.v, c{s}_0.v) AS v
+  FROM c{s}_0 LEFT JOIN (SELECT cid, list(mv ORDER BY pos) AS v
+                         FROM m{s}_1 GROUP BY cid) mv
+    ON c{s}_0.cid = mv.cid)""".format(s=s))
+        parts.append("""a{s}_f AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT emb{s}.vec_id, emb{s}.e, c{s}_1.cid,
+           ROW_NUMBER() OVER (PARTITION BY emb{s}.vec_id
+               ORDER BY {dd}, c{s}_1.cid) AS rn
+    FROM emb{s} CROSS JOIN c{s}_1)
+  WHERE rn = 1)""".format(
+            s=s, dd=dist.format(e="emb{}.e".format(s),
+                                c="c{}_1.v".format(s))))
+        parts.append(
+            "cent{s} AS (SELECT a.vec_id, c.v "
+            "FROM a{s}_f a JOIN c{s}_1 c USING (cid))".format(s=s))
+    parts.append(
+        "call AS (SELECT cent0.vec_id, {vs} FROM cent0 {joins})".format(
+            vs=", ".join("cent{s}.v AS v{s}".format(s=s)
+                         for s in range(m)),
+            joins=" ".join(
+                "JOIN cent{s} ON cent{s}.vec_id = cent0.vec_id"
+                .format(s=s) for s in range(1, m))))
+    parts.append(
+        "qall AS (SELECT emb0.vec_id, {es} FROM emb0 {joins} "
+        "WHERE emb0.vec_id < {nq})".format(
+            es=", ".join("emb{s}.e AS e{s}".format(s=s)
+                         for s in range(m)),
+            joins=" ".join(
+                "JOIN emb{s} ON emb{s}.vec_id = emb0.vec_id"
+                .format(s=s) for s in range(1, m)),
+            nq=nq))
+    adc = " + ".join(
+        dist.format(e="qall.e{}".format(s), c="call.v{}".format(s))
+        for s in range(m))
+    parts.append("""scored AS (
+  SELECT qall.vec_id AS query_id, call.vec_id AS neighbor_id,
+         ROUND({adc}, 6) AS approx_dist
+  FROM call CROSS JOIN qall
+  WHERE qall.vec_id <> call.vec_id)""".format(adc=adc))
+    return """WITH {cte}
+SELECT query_id, neighbor_id, approx_dist, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id
+      ORDER BY approx_dist, neighbor_id) AS INT) AS rank
+  FROM scored)
+WHERE rank <= {k}""".format(cte=",\n".join(parts), k=k)
+
+
+@demo("pq_ann", oracle=_pq_ann_oracle())
+def pq_ann(spark, sf_dir):
+    """ProductQuantizerANN: 4 subspaces x 4 codes over the 64-d
+    embeddings (one Lloyd iteration per sub-codebook), asymmetric-
+    distance top-5.  The oracle re-derives all four sub-codebook fits
+    in SQL and must agree bit-for-bit."""
+    from dask_geomodeling_spark.pipeline.similarity import (
+        ProductQuantizerANN)
+    emb = read_nanos_parquet(spark, _pq(sf_dir, "embeddings"))
+    queries = DataFrameSource(emb.filter(F.col("vec_id") < 3),
+                              index_column="vec_id")
+    return ProductQuantizerANN(embeddings_src(sf_dir), queries, k=5,
+                               m=4, codes=4, iters=1, dim=64,
+                               precision=6).plan(spark)

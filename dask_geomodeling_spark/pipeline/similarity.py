@@ -18,9 +18,9 @@ from pyspark.sql import functions as F
 
 from dask_geomodeling_spark.geometry.base import BaseSingle
 
-__all__ = ["CosineTopK", "BucketedANN", "KMeansIVF", "cosine_expr",
-           "hyperplane_bucket", "learn_centroids", "nearest_centroid_expr",
-           "hyperplanes"]
+__all__ = ["CosineTopK", "BucketedANN", "KMeansIVF",
+           "ProductQuantizerANN", "cosine_expr", "hyperplane_bucket",
+           "learn_centroids", "nearest_centroid_expr", "hyperplanes"]
 
 
 def dot_expr(a, b):
@@ -280,5 +280,92 @@ class KMeansIVF(BaseSingle):
                                cos.alias("cosine"))
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), F.col("neighbor_id").asc())
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k))
+
+
+def _codebook_literal(cents):
+    """array<array<double>> literal for a subspace codebook."""
+    return "array({})".format(",".join(_lit_vec(c) for c in cents))
+
+
+class ProductQuantizerANN(BaseSingle):
+    """Product-quantization ANN (IVF-PQ's compression half): split the
+    ``dim``-dimensional embedding into ``m`` subspaces, k-means a
+    ``codes``-entry codebook per subspace (same deterministic Lloyd
+    fit as KMeansIVF), encode every corpus vector as ``m`` small ints,
+    and rank neighbours by the asymmetric distance (ADC): the sum over
+    subspaces of the squared L2 distance from the query's sub-vector
+    to the code's sub-centroid.
+
+    Scale path: the index stores m bytes per vector instead of dim
+    floats (64-d float → 4 codes here = 64x smaller); encoding is a
+    narrow projection (codebooks ride the task closure — no join, no
+    shuffle); search scans codes, not vectors, and the codebook lookup
+    is ``element_at`` over an m×codes literal.  Output: ``query_id``,
+    ``neighbor_id``, ``approx_dist``, ``rank`` (ascending distance).
+    """
+
+    def __init__(self, source, queries, k=5, m=4, codes=4, iters=1,
+                 dim=None, vec_column="embedding", id_column="vec_id",
+                 precision=None):
+        if dim is None:
+            raise ValueError("dim (embedding dimension) is required")
+        if dim % m != 0:
+            raise ValueError("m must divide dim")
+        super().__init__(source, queries, int(k), int(m), int(codes),
+                         int(iters), int(dim), vec_column, id_column,
+                         precision)
+
+    @property
+    def columns(self):
+        return {"query_id", "neighbor_id", "approx_dist", "rank"}
+
+    def _sub(self, vec_column, s, d):
+        return F.expr(
+            "transform(slice({v}, {start}, {d}), x -> cast(x as double))"
+            .format(v=vec_column, start=s * d + 1, d=d))
+
+    def _build(self, ctx):
+        (_, queries, k, m, codes, iters, dim, vec_column, id_column,
+         precision) = self.args
+        d = dim // m
+        base = self.source._build(ctx).select(id_column, vec_column)
+        codebooks = []
+        for s in range(m):
+            sub_df = base.select(
+                F.col(id_column),
+                self._sub(vec_column, s, d).alias("_sub"))
+            codebooks.append(learn_centroids(sub_df, codes, iters,
+                                             "_sub", id_column))
+        code_cols = [
+            nearest_centroid_expr(
+                "transform(slice({v}, {start}, {d}), "
+                "x -> cast(x as double))".format(
+                    v=vec_column, start=s * d + 1, d=d),
+                codebooks[s]).alias("_code{}".format(s))
+            for s in range(m)]
+        corpus = base.select(F.col(id_column).alias("neighbor_id"),
+                             *code_cols)
+        qs = queries._build(ctx).select(
+            F.col(id_column).alias("query_id"),
+            *[self._sub(vec_column, s, d).alias("_q{}".format(s))
+              for s in range(m)])
+        joined = corpus.join(F.broadcast(qs),
+                             F.col("query_id") != F.col("neighbor_id"))
+        adc = None
+        for s in range(m):
+            term = F.expr(
+                "aggregate(zip_with(_q{s}, element_at({cb}, "
+                "_code{s} + 1), (x, y) -> (x - y) * (x - y)), "
+                "cast(0.0 as double), (acc, v) -> acc + v)"
+                .format(s=s, cb=_codebook_literal(codebooks[s])))
+            adc = term if adc is None else adc + term
+        if precision is not None:
+            adc = F.round(adc, int(precision))
+        scored = joined.select("query_id", "neighbor_id",
+                               adc.alias("approx_dist"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("approx_dist").asc(), F.col("neighbor_id").asc())
         return (scored.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k))

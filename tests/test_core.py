@@ -65,7 +65,8 @@ def test_new_blocks_serialize_roundtrip(spark):
                                                        NgramJaccard)
     from dask_geomodeling_spark.pipeline.sample import (HashSplit,
                                                         PackSequences)
-    from dask_geomodeling_spark.pipeline.similarity import KMeansIVF
+    from dask_geomodeling_spark.pipeline.similarity import (KMeansIVF,
+                                                            ProductQuantizerANN)
     from dask_geomodeling_spark.streaming.events import (EventSource,
                                                          IntervalJoin)
     from dask_geomodeling_spark.streaming.stateful import RunningAggregate
@@ -86,6 +87,8 @@ def test_new_blocks_serialize_roundtrip(spark):
         PackSequences(docs, budget=128, shards=4),
         DedupClusters(docs, NgramJaccard(docs, n=3, threshold=0.5)),
         KMeansIVF(emb, emb, k=3, clusters=2, iters=1, precision=6),
+        ProductQuantizerANN(emb, emb, k=3, m=4, codes=2, iters=1,
+                            dim=64, precision=6),
         IntervalJoin(ev, ev, within="30 minutes"),
         RunningAggregate(ev),
         RepetitionFilter(docs),

@@ -216,3 +216,24 @@ def test_stratified_sample(spark):
                              id_column="doc_id").plan(spark).collect()
     assert {(r.doc_id, r.sample_rank) for r in again} == \
         {(r.doc_id, r.sample_rank) for r in rows}
+
+
+def test_pq_ann_prefers_same_direction(spark):
+    from dask_geomodeling_spark.pipeline.similarity import (
+        ProductQuantizerANN)
+    emb = LiteralGeometrySource([
+        {"vec_id": i, "embedding": [float(i == j or (i - 4 == j))
+                                    for j in range(8)]}
+        for i in range(8)])
+    qs = LiteralGeometrySource([
+        {"vec_id": 0, "embedding": [1.0] + [0.0] * 7}])
+    rows = ProductQuantizerANN(emb, qs, k=3, m=2, codes=2, iters=1,
+                               dim=8, precision=6).plan(spark).collect()
+    assert len(rows) == 3
+    assert all(r.query_id == 0 and r.neighbor_id != 0 for r in rows)
+    ranks = sorted(r.rank for r in rows)
+    assert ranks == [1, 2, 3]
+    # distances ascend with rank
+    by_rank = sorted(rows, key=lambda r: r.rank)
+    assert all(by_rank[i].approx_dist <= by_rank[i + 1].approx_dist
+               for i in range(len(by_rank) - 1))
