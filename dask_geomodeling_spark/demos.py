@@ -2986,3 +2986,114 @@ def pq_ann(spark, sf_dir):
     return ProductQuantizerANN(embeddings_src(sf_dir), queries, k=5,
                                m=4, codes=4, iters=1, dim=64,
                                precision=6).plan(spark)
+
+
+@demo("asof_join", oracle="""
+WITH l AS (SELECT event_id, ts, user_id FROM events
+           WHERE event_type = 'purchase'),
+r AS (SELECT event_id, ts, user_id FROM events
+      WHERE event_type = 'click')
+SELECT user_id, l_id, l_ts, r_id, r_ts, gap_us FROM (
+  SELECT l.user_id, l.event_id AS l_id, l.ts AS l_ts,
+         r.event_id AS r_id, r.ts AS r_ts,
+         epoch_us(l.ts) - epoch_us(r.ts) AS gap_us,
+         ROW_NUMBER() OVER (PARTITION BY l.event_id
+                            ORDER BY r.ts DESC, r.event_id DESC) AS rn
+  FROM l JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts)
+WHERE rn = 1 AND r_ts >= l_ts - INTERVAL 2 HOUR
+""")
+def asof_join(spark, sf_dir):
+    """AsofJoin: each purchase picks the same user's most recent click
+    within 2 hours.  Spark plan is union + one per-key window (merge-
+    sorted-streams) — no equi-join candidate blowup; the oracle is the
+    classic join + top-1 QUALIFY, which must agree exactly."""
+    from dask_geomodeling_spark.streaming.events import AsofJoin
+
+    ev = _pq(sf_dir, "events")
+    purchases = DataFrameSource(
+        read_nanos_parquet(spark, ev).filter(
+            F.col("event_type") == "purchase"))
+    clicks = DataFrameSource(
+        read_nanos_parquet(spark, ev).filter(
+            F.col("event_type") == "click"))
+    return AsofJoin(purchases, clicks, key="user_id",
+                    horizon="2 HOURS").plan(spark)
+
+
+@demo("rollup_revenue", oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+            AS BIGINT) AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def rollup_revenue(spark, sf_dir):
+    """Hierarchical ROLLUP totals (flag, flag+status, grand total) in
+    ONE pass — Catalyst expands the grouping sets map-side; the
+    grouping id disambiguates NULL-as-total from NULL-as-value."""
+    li = read_nanos_parquet(spark, _pq(sf_dir, "lineitem"))
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(dsum(F.col("l_quantity")).alias("sum_qty"),
+                 F.count(F.lit(1)).alias("n"),
+                 F.grouping_id().cast("bigint").alias("gid")))
+
+
+@demo("pivot_returnflag", oracle="""
+SELECT l_linestatus,
+       CAST(SUM(CAST(CASE WHEN l_returnflag = 'A' THEN l_quantity
+                          ELSE 0.0 END AS DECIMAL(28,2))) AS DOUBLE)
+           AS qty_a,
+       CAST(SUM(CAST(CASE WHEN l_returnflag = 'N' THEN l_quantity
+                          ELSE 0.0 END AS DECIMAL(28,2))) AS DOUBLE)
+           AS qty_n,
+       CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity
+                          ELSE 0.0 END AS DECIMAL(28,2))) AS DOUBLE)
+           AS qty_r
+FROM lineitem
+GROUP BY l_linestatus
+""")
+def pivot_returnflag(spark, sf_dir):
+    """Pivot with an EXPLICIT value list: wide per-flag quantity
+    columns in one aggregation.  Explicit values matter at scale —
+    implicit pivot needs an extra distinct pass over 100 TB to learn
+    the columns."""
+    li = read_nanos_parquet(spark, _pq(sf_dir, "lineitem"))
+    piv = (li.groupBy("l_linestatus")
+           .pivot("l_returnflag", ["A", "N", "R"])
+           .agg(dsum(F.coalesce(F.col("l_quantity"), F.lit(0.0)))))
+    return piv.select(
+        "l_linestatus",
+        F.coalesce("A", F.lit(0.0)).alias("qty_a"),
+        F.coalesce("N", F.lit(0.0)).alias("qty_n"),
+        F.coalesce("R", F.lit(0.0)).alias("qty_r"))
+
+
+@demo("running_order_total", oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS DOUBLE) AS running_total,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq
+FROM orders
+""")
+def running_order_total(spark, sf_dir):
+    """Per-customer running spend: one window (single shuffle on the
+    customer key), decimal accumulation for order-independent sums,
+    deterministic (date, key) ordering."""
+    from pyspark.sql import Window
+    orders = read_nanos_parquet(spark, _pq(sf_dir, "orders"))
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey"))
+    return orders.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+         .over(w.rowsBetween(Window.unboundedPreceding,
+                             Window.currentRow))
+         .cast("double").alias("running_total"),
+        F.row_number().over(w).cast("bigint").alias("order_seq"))

@@ -16,7 +16,7 @@ from dask_geomodeling_spark.core.blocks import Block
 from dask_geomodeling_spark.functions import statistic_expr
 
 __all__ = ["EventSource", "EventAggregate", "SessionizeEvents",
-           "StreamingDedup", "IntervalJoin"]
+           "StreamingDedup", "IntervalJoin", "AsofJoin"]
 
 
 class EventSource(Block):
@@ -154,3 +154,68 @@ class IntervalJoin(Block):
                 & (F.col(rt) <= F.col(lt)
                    + F.expr("INTERVAL {}".format(within))))
         return l.join(r, cond).drop("__rk")
+
+
+class AsofJoin(Block):
+    """As-of join between two event sets: for each left event, attach
+    the most recent right event with the same key at-or-before the
+    left event's time, optionally bounded by ``horizon``.
+
+    Spark-first shape: NOT a join.  Both sides union into one frame
+    tagged by side; one window per key (ordered by ts, side, id)
+    carries the last-seen right event forward with
+    ``last(..., ignorenulls=True)``.  A per-key sort replaces the
+    equi-join + per-left-row top-1 — one shuffle on the key, state
+    O(1) per row, no candidate blowup when a user has thousands of
+    right events (ties on ts resolve right-before-left, then larger
+    right id).  At 100 TB this is the merge-sorted-streams plan.
+
+    Output: left id/ts (``l_id``/``l_ts``) + carried ``r_id``/``r_ts``
+    + ``gap_us`` (microseconds between the two).  Left rows with no
+    match (or none inside the horizon) are dropped (inner as-of).
+    """
+
+    def __init__(self, left, right, key="user_id", time_column="ts",
+                 id_column="event_id", horizon=None):
+        if not isinstance(left, Block) or not isinstance(right, Block):
+            raise TypeError("sources must be Blocks")
+        super().__init__(left, right, key, time_column, id_column,
+                         horizon)
+
+    def _build(self, ctx):
+        from pyspark.sql import Window
+        left_b, right_b, key, tc, idc, horizon = self.args
+        left = left_b._build(ctx).select(
+            F.col(key), F.col(tc).alias("_ts"),
+            F.col(idc).alias("_l_id"), F.lit(1).alias("_side"),
+            F.lit(None).cast("bigint").alias("_r_id"))
+        right = right_b._build(ctx).select(
+            F.col(key), F.col(tc).alias("_ts"),
+            F.lit(None).cast("bigint").alias("_l_id"),
+            F.lit(0).alias("_side"),
+            F.col(idc).cast("bigint").alias("_r_id"))
+        u = left.unionByName(right)
+        w = (Window.partitionBy(key)
+             .orderBy(F.col("_ts").asc(), F.col("_side").asc(),
+                      F.coalesce("_r_id", "_l_id").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        carried = (u.withColumn("_last_r_id",
+                                F.last("_r_id", ignorenulls=True).over(w))
+                   .withColumn("_last_r_ts",
+                               F.last(F.when(F.col("_side") == 0,
+                                             F.col("_ts")),
+                                      ignorenulls=True).over(w)))
+        out = (carried.filter((F.col("_side") == 1)
+                              & F.col("_last_r_id").isNotNull())
+               .select(F.col(key),
+                       F.col("_l_id").alias("l_id"),
+                       F.col("_ts").alias("l_ts"),
+                       F.col("_last_r_id").alias("r_id"),
+                       F.col("_last_r_ts").alias("r_ts"),
+                       (F.unix_micros("_ts")
+                        - F.unix_micros("_last_r_ts")).alias("gap_us")))
+        if horizon is not None:
+            out = out.filter(
+                F.col("r_ts") >= F.col("l_ts") - F.expr(
+                    "INTERVAL {}".format(horizon)))
+        return out

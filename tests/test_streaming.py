@@ -178,3 +178,31 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
     got = {(r["user_id"], r["event_id_l"], r["event_id_r"])
            for r in spark.read.parquet(out).collect()}
     assert got == expected
+
+
+def test_asof_join_batch(spark):
+    import datetime
+
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.streaming.events import AsofJoin
+
+    def t(m):
+        return datetime.datetime(2024, 1, 1, 0, m)
+
+    rows = [(1, t(0), 7, "click"), (2, t(5), 7, "click"),
+            (3, t(5), 7, "purchase"),   # tie: click at same ts matches
+            (4, t(30), 7, "purchase"),  # matches click id 2
+            (5, t(10), 8, "purchase"),  # user 8 has no clicks -> dropped
+            (6, t(0), 9, "click"),
+            (7, t(50), 9, "purchase")]  # click too old for 30m horizon
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string")
+    left = DataFrameSource(ev.filter("event_type = 'purchase'"))
+    right = DataFrameSource(ev.filter("event_type = 'click'"))
+    got = {r.l_id: r for r in
+           AsofJoin(left, right, key="user_id",
+                    horizon="30 MINUTES").plan(spark).collect()}
+    assert got[3].r_id == 2 and got[3].gap_us == 0
+    assert got[4].r_id == 2 and got[4].gap_us == 25 * 60 * 1000000
+    assert 5 not in got and 7 not in got
