@@ -41,7 +41,10 @@ def main():
     ]
     for extra in ("exact_dedup", "minhash_lsh", "ngram_jaccard",
                   "cosine_topk", "token_count", "quality_score",
-                  "language_id", "fingerprint", "event_aggregate"):
+                  "language_id", "fingerprint", "event_aggregate",
+                  "q6_revenue_forecast", "q18_large_orders",
+                  "rollup_revenue", "tfidf_keywords", "decontaminate",
+                  "pq_ann", "asof_join"):
         if extra in demos.QUERIES:
             headline.append(extra)
 
