@@ -2512,8 +2512,10 @@ FROM tr LEFT JOIN sh ON tr.doc_id = sh.doc_id
 def decontaminate(spark, sf_dir):
     """Decontaminate: flag train docs sharing any word 6-gram with the
     eval split (doc_id % 97 == 0).  Distinct per-doc grams explode
-    map-side; the eval gram set joins by gram string (AQE broadcasts
-    the small eval side); one count per train doc."""
+    map-side; the eval gram set joins by gram (AQE broadcasts the
+    small eval side); one count per train doc.  (``hashed=True``
+    swaps the join key for 31-bit gram hashes — the network-bound
+    cluster trade; see pipeline/filter.py.)"""
     from dask_geomodeling_spark.pipeline.filter import Decontaminate
     docs = read_nanos_parquet(spark, _pq(sf_dir, "documents"))
     train = DataFrameSource(docs.filter(F.col("doc_id") % 97 != 0),

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from dask_geomodeling_spark.geometry.base import BaseSingle, GeometryBlock
+from dask_geomodeling_spark.pipeline.dedup import MERSENNE, poly_hash_expr
 
 __all__ = ["RepetitionFilter", "Decontaminate", "PIIRedact"]
 
@@ -92,24 +93,34 @@ class Decontaminate(GeometryBlock):
     Plan shape (the standard corpus-scale design):
       1. explode DISTINCT per-doc n-grams of the train side (map-side);
       2. distinct n-grams of the (much smaller) eval side;
-      3. equi-join on the gram string, count matches per train doc;
+      3. equi-join on the gram, count matches per train doc;
       4. left-join the counts back onto the train frame.
-    The gram join key is a uniform string — no skew; the eval side is
-    tiny in practice and AQE broadcast-joins it.  Documents shorter than
-    ``n`` words contribute their whole text as one gram (same convention
-    as dedup.py shingles).
+    The gram join key is uniform — no skew; the eval side is tiny in
+    practice and AQE broadcast-joins it.  Documents shorter than ``n``
+    words contribute their whole text as one gram (same convention as
+    dedup.py shingles).
+
+    ``hashed=True`` switches the join key to 31-bit arithmetic gram
+    hashes (the same token-hash + base-8191 fold as MinHashLSH's
+    arithmetic scheme): the explode+join shuffles 8-byte ints instead
+    of gram strings.  That is the right trade on a network-bound
+    cluster (shuffle volume drops ~5x); the default stays ``False``
+    because the char-level hash fold is an interpreted higher-order
+    function — on a CPU-bound single node exact strings are ~4x
+    faster, and the string join is collision-free.
 
     Adds ``shared_ngrams`` (distinct shared grams) and ``contaminated``.
     """
 
     def __init__(self, source, eval_source, column="text", n=6,
-                 id_column=None):
+                 id_column=None, hashed=False):
         if not isinstance(source, GeometryBlock) \
                 or not isinstance(eval_source, GeometryBlock):
             raise TypeError("sources must be GeometryBlocks")
         if id_column is None:
             id_column = source.index_column
-        super().__init__(source, eval_source, column, int(n), id_column)
+        super().__init__(source, eval_source, column, int(n), id_column,
+                         bool(hashed))
 
     @property
     def source(self):
@@ -120,12 +131,23 @@ class Decontaminate(GeometryBlock):
         return set(self.source.columns) | {"shared_ngrams", "contaminated"}
 
     def _build(self, ctx):
-        train_b, eval_b, column, n, idc = self.args
-        grams = F.array_distinct(F.expr(_GRAMS.format(w="_w", n=n)))
+        train_b, eval_b, column, n, idc, hashed = self.args
+        if hashed:
+            grams = F.array_distinct(F.expr(
+                "transform(sequence(1, greatest(size(_th) - {n} + 1, 1)),"
+                " i -> aggregate(slice(_th, i, {n}), cast(0 as bigint), "
+                "(acc, h) -> pmod(acc * 8191 + h, {m})))"
+                .format(n=n, m=MERSENNE)))
+        else:
+            grams = F.array_distinct(F.expr(_GRAMS.format(w="_w", n=n)))
 
         def with_grams(df):
-            return (df.withColumn("_w", _words(column))
-                    .withColumn("_grams", grams))
+            df = df.withColumn("_w", _words(column))
+            if hashed:
+                df = df.withColumn("_th", F.expr(
+                    "transform(_w, t -> {h})".format(
+                        h=poly_hash_expr("t"))))
+            return df.withColumn("_grams", grams)
 
         train = with_grams(train_b._build(ctx))
         eval_grams = (with_grams(eval_b._build(ctx))
@@ -135,7 +157,8 @@ class Decontaminate(GeometryBlock):
         shared = (train_grams.join(eval_grams, "_g")
                   .groupBy(idc)
                   .agg(F.count(F.lit(1)).alias("_shared")))
-        out = train.drop("_w", "_grams").join(shared, on=idc, how="left")
+        drop = ["_w", "_th", "_grams"] if hashed else ["_w", "_grams"]
+        out = train.drop(*drop).join(shared, on=idc, how="left")
         return (out.withColumn(
             "shared_ngrams",
             F.coalesce(F.col("_shared"), F.lit(0)).cast("bigint"))

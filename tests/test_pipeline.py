@@ -155,6 +155,12 @@ def test_decontaminate(spark):
             Decontaminate(train, holdout, n=6, id_column="doc_id").plan(spark).collect()}
     assert rows[1].contaminated and rows[1].shared_ngrams == 1
     assert not rows[2].contaminated and rows[2].shared_ngrams == 0
+    # hashed (31-bit gram-hash join) mode agrees with exact strings
+    rows = {r.doc_id: r for r in
+            Decontaminate(train, holdout, n=6, id_column="doc_id",
+                          hashed=True).plan(spark).collect()}
+    assert rows[1].contaminated and rows[1].shared_ngrams == 1
+    assert not rows[2].contaminated and rows[2].shared_ngrams == 0
 
 
 def test_pii_redact(spark):
