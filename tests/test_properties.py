@@ -108,3 +108,84 @@ def test_raster_request_striding(spark_prop):
 @pytest.fixture(scope="session")
 def spark_prop(spark):
     return spark
+
+
+words_text = st.lists(
+    st.text(alphabet="abcde", min_size=1, max_size=3),
+    min_size=1, max_size=20).map(" ".join)
+
+
+def docs_frame(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id bigint, text string")
+    return DataFrameSource(df, index_column="doc_id")
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(words_text, min_size=1, max_size=5),
+       st.integers(min_value=2, max_value=8),
+       st.integers(min_value=0, max_value=3))
+def test_chunk_text_covers_every_token(spark_prop, texts, chunk, overlap):
+    """Chunking is lossless: concatenating chunks at stride offsets
+    reproduces the token stream, tail chunk included."""
+    from dask_geomodeling_spark.pipeline.text import ChunkText
+    if overlap >= chunk:
+        overlap = chunk - 1
+    step = chunk - overlap
+    src = docs_frame(spark_prop, texts)
+    rows = ChunkText(src, chunk=chunk, overlap=overlap,
+                     id_column="doc_id").plan(spark_prop).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in enumerate(texts):
+        toks = t.lower().split()
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_id)
+        rebuilt = []
+        for j, c in enumerate(chunks):
+            got = c.chunk_text.split(" ") if c.chunk_text else []
+            assert got == toks[j * step:j * step + chunk]
+            assert c.chunk_tokens == len(got)
+            rebuilt.extend(got if j == 0 else got[overlap:]
+                           if j * step + overlap <= len(toks) else [])
+        # every token position is covered by some chunk
+        covered = set()
+        for j, c in enumerate(chunks):
+            covered.update(range(j * step,
+                                 min(j * step + chunk, len(toks))))
+        assert covered == set(range(len(toks)))
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(words_text, min_size=1, max_size=6))
+def test_repetition_metrics_bounded(spark_prop, texts):
+    """Ratios live in [0, 1]; all-distinct docs have dup ratio 0."""
+    from dask_geomodeling_spark.pipeline.filter import RepetitionFilter
+    src = docs_frame(spark_prop, texts)
+    rows = RepetitionFilter(src, id_column="doc_id") \
+        .plan(spark_prop).collect()
+    for r in rows:
+        assert 0.0 <= r.dup_word_ratio <= 1.0
+        assert 0.0 <= r.top_bigram_frac <= 1.0
+        toks = texts[r.doc_id].lower().split()
+        if len(set(toks)) == len(toks):
+            assert r.dup_word_ratio == 0.0
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.text(alphabet="xyz @+.0", min_size=0, max_size=30),
+                min_size=1, max_size=4))
+def test_pii_redact_idempotent(spark_prop, texts):
+    """Redacting already-redacted text changes nothing: the
+    replacement tokens contain no redactable patterns."""
+    from dask_geomodeling_spark.pipeline.filter import PIIRedact
+    src = docs_frame(spark_prop, texts)
+    once = {r.doc_id: r.text_redacted for r in
+            PIIRedact(src).plan(spark_prop).collect()}
+    df2 = spark_prop.createDataFrame(
+        [(i, t) for i, t in once.items()], "doc_id bigint, text string")
+    twice = {r.doc_id: r.text_redacted for r in
+             PIIRedact(DataFrameSource(df2, index_column="doc_id"))
+             .plan(spark_prop).collect()}
+    assert once == twice
