@@ -182,6 +182,64 @@ class AsofJoin(Block):
         super().__init__(left, right, key, time_column, id_column,
                          horizon)
 
+    _UNIT_US = {"SECOND": 10**6, "SECONDS": 10**6,
+                "MINUTE": 60 * 10**6, "MINUTES": 60 * 10**6,
+                "HOUR": 3600 * 10**6, "HOURS": 3600 * 10**6,
+                "DAY": 86400 * 10**6, "DAYS": 86400 * 10**6}
+
+    @classmethod
+    def _horizon_us(cls, horizon):
+        n, unit = horizon.split()
+        return int(n) * cls._UNIT_US[unit.upper()]
+
+    def _streaming(self, u, key, horizon):
+        """Streaming path: per-key state carries the newest right event
+        (id, ts) across micro-batches; each batch is processed in
+        event-time order, so with ordered arrival (or a single
+        availableNow batch) the emitted matches equal the batch plan.
+        A left event that arrives in an earlier micro-batch than an
+        older right event can miss it — the documented best-effort
+        bound of stateful as-of on out-of-order streams."""
+        from pyspark.sql.streaming.state import GroupStateTimeout
+        hz = self._horizon_us(horizon) if horizon else None
+
+        def update(key_tuple, pdf_iter, state):
+            import pandas as pd
+            last = state.get if state.exists else None
+            rows = pd.concat(list(pdf_iter), ignore_index=True)
+            rows["_eid"] = rows["_r_id"].where(
+                rows["_side"] == 0, rows["_l_id"])
+            rows = rows.sort_values(["_ts", "_side", "_eid"],
+                                    ignore_index=True)
+            out = []
+            for side, l_id, r_id, ts in zip(
+                    rows["_side"], rows["_l_id"], rows["_r_id"],
+                    rows["_ts"]):
+                ts_us = ts.value // 1000
+                if side == 0:
+                    last = (int(r_id), ts_us)
+                elif last is not None:
+                    gap = ts_us - last[1]
+                    if hz is None or gap <= hz:
+                        out.append((key_tuple[0], int(l_id), ts,
+                                    last[0],
+                                    pd.Timestamp(last[1] * 1000),
+                                    gap))
+            if last is not None:
+                state.update(last)
+            yield pd.DataFrame(
+                out, columns=[self.args[2], "l_id", "l_ts", "r_id",
+                              "r_ts", "gap_us"])
+
+        schema = ("{k} bigint, l_id bigint, l_ts timestamp, "
+                  "r_id bigint, r_ts timestamp, gap_us bigint"
+                  .format(k=key))
+        return u.groupBy(key).applyInPandasWithState(
+            update, outputStructType=schema,
+            stateStructType="r_id long, r_ts_us long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout)
+
     def _build(self, ctx):
         from pyspark.sql import Window
         left_b, right_b, key, tc, idc, horizon = self.args
@@ -195,6 +253,8 @@ class AsofJoin(Block):
             F.lit(0).alias("_side"),
             F.col(idc).cast("bigint").alias("_r_id"))
         u = left.unionByName(right)
+        if u.isStreaming:
+            return self._streaming(u, key, horizon)
         w = (Window.partitionBy(key)
              .orderBy(F.col("_ts").asc(), F.col("_side").asc(),
                       F.coalesce("_r_id", "_l_id").asc())

@@ -206,3 +206,46 @@ def test_asof_join_batch(spark):
     assert got[3].r_id == 2 and got[3].gap_us == 0
     assert got[4].r_id == 2 and got[4].gap_us == 25 * 60 * 1000000
     assert 5 not in got and 7 not in got
+
+
+def test_asof_join_stream_matches_batch(spark, tmp_path):
+    """Streaming as-of (stateful last-right carry) must emit exactly
+    the batch plan's matches when data arrives in one ordered batch."""
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.streaming.events import (AsofJoin,
+                                                         EventSource)
+
+    class Typed(EventSource):
+        def __init__(self, url, etype, streaming=False):
+            EventSource.__init__(self, url, streaming=streaming,
+                                 watermark="4 hours")
+            self._etype = etype
+
+        def _build(self, ctx):
+            df = EventSource._build(self, ctx)
+            return (df.filter(F.col("event_type") == self._etype)
+                    .select("user_id", "ts", "event_id"))
+
+    url = SF_DIR + "/events.parquet"
+    batch = AsofJoin(Typed(url, "purchase"), Typed(url, "click"),
+                     key="user_id", horizon="2 HOURS").plan(spark)
+    expected = {(r["user_id"], r["l_id"], r["r_id"], r["gap_us"])
+                for r in batch.collect()}
+    assert expected  # non-trivial fixture
+
+    restaged = str(tmp_path / "events")
+    EventSource(url).plan(spark).write.parquet(restaged)
+    stream = AsofJoin(Typed(restaged, "purchase", streaming=True),
+                      Typed(restaged, "click", streaming=True),
+                      key="user_id", horizon="2 HOURS")
+    df = stream.plan(spark)
+    assert df.isStreaming
+    out = str(tmp_path / "out")
+    q = (df.writeStream.outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start(out))
+    q.awaitTermination(180)
+    got = {(r["user_id"], r["l_id"], r["r_id"], r["gap_us"])
+           for r in spark.read.parquet(out).collect()}
+    assert got == expected
