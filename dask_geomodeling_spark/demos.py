@@ -2206,7 +2206,8 @@ def running_aggregate(spark, sf_dir):
     return RunningAggregate(Filtered(_pq(sf_dir, "events"))).plan(spark)
 
 
-def _kmeans_ivf_oracle(k=5, clusters=4, iters=2, dim=64, nq=3, scale=8):
+def _kmeans_ivf_oracle(k=5, clusters=4, iters=2, dim=64, nq=3, scale=8,
+                       nprobe=1):
     """Pure-SQL mirror of pipeline.similarity.KMeansIVF: the ENTIRE
     k-means fit (init, argmin assignment, decimal-mean update, empty-
     cluster carry) unrolled as one CTE chain per iteration."""
@@ -2216,15 +2217,15 @@ def _kmeans_ivf_oracle(k=5, clusters=4, iters=2, dim=64, nq=3, scale=8):
             "(CAST({{e}}[i] AS DOUBLE) - {{c}}[i]))), "
             "(acc, x) -> acc + x)").format(dimp1=dim + 1)
 
-    def assign(src, cents, out):
+    def assign(src, cents, out, topn=1):
         return ("""{out} AS (
   SELECT vec_id, e, cid FROM (
     SELECT {src}.vec_id, {src}.e, {cents}.cid,
            ROW_NUMBER() OVER (PARTITION BY {src}.vec_id
                ORDER BY {d}, {cents}.cid) AS rn
     FROM {src} CROSS JOIN {cents})
-  WHERE rn = 1)""").format(
-            out=out, src=src, cents=cents,
+  WHERE rn <= {topn})""").format(
+            out=out, src=src, cents=cents, topn=topn,
             d=dist.format(e="{}.e".format(src), c="{}.v".format(cents)))
 
     parts = ["""emb AS (SELECT vec_id, embedding AS e FROM embeddings)""",
@@ -2248,7 +2249,8 @@ def _kmeans_ivf_oracle(k=5, clusters=4, iters=2, dim=64, nq=3, scale=8):
     ON c{n}.cid = mv.cid)""".format(n=n, n1=n + 1))
     parts.append(assign("emb", "c{}".format(iters), "asg"))
     parts.append(
-        "q AS (SELECT vec_id, e, cid FROM asg WHERE vec_id < {})".format(nq))
+        "qe AS (SELECT vec_id, e FROM emb WHERE vec_id < {})".format(nq))
+    parts.append(assign("qe", "c{}".format(iters), "q", topn=nprobe))
     parts.append("""scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          ROUND({cos}, 6) AS cosine
@@ -2276,6 +2278,20 @@ def kmeans_ivf_ann(spark, sf_dir):
                               index_column="vec_id")
     return KMeansIVF(embeddings_src(sf_dir), queries, k=5, clusters=4,
                      iters=2, precision=6).plan(spark)
+
+
+@demo("kmeans_ivf_probe2", oracle=_kmeans_ivf_oracle(nprobe=2))
+def kmeans_ivf_probe2(spark, sf_dir):
+    """KMeansIVF with nprobe=2: each query searches its TWO nearest
+    clusters — the recall knob of an IVF index; candidates double,
+    the plan shape is unchanged (explode the probe list, same
+    cluster-key join).  Oracle re-derives fit + multi-probe in SQL."""
+    from dask_geomodeling_spark.pipeline.similarity import KMeansIVF
+    emb = read_nanos_parquet(spark, _pq(sf_dir, "embeddings"))
+    queries = DataFrameSource(emb.filter(F.col("vec_id") < 3),
+                              index_column="vec_id")
+    return KMeansIVF(embeddings_src(sf_dir), queries, k=5, clusters=4,
+                     iters=2, precision=6, nprobe=2).plan(spark)
 
 
 @demo("interval_join", oracle="""
@@ -3099,3 +3115,39 @@ def running_order_total(spark, sf_dir):
                              Window.currentRow))
          .cast("double").alias("running_total"),
         F.row_number().over(w).cast("bigint").alias("order_seq"))
+
+
+@demo("cube_quantity", oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+            AS BIGINT) AS gid
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""")
+def cube_quantity(spark, sf_dir):
+    """CUBE over (flag, status): all four grouping sets in one pass —
+    Catalyst expands map-side, one shuffle."""
+    li = read_nanos_parquet(spark, _pq(sf_dir, "lineitem"))
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(dsum(F.col("l_quantity")).alias("sum_qty"),
+                 F.grouping_id().cast("bigint").alias("gid")))
+
+
+@demo("ntile_deciles", oracle="""
+SELECT o_orderkey,
+       CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey)
+            AS BIGINT) AS decile
+FROM orders
+""")
+def ntile_deciles(spark, sf_dir):
+    """Global spend deciles via NTILE — deterministic tie-break on the
+    key.  A single global window is the one shape that does NOT scale
+    (one ordered partition); at 100 TB approximate quantile cuts +
+    width_bucket replace it — kept here for SQL-surface parity."""
+    from pyspark.sql import Window
+    orders = read_nanos_parquet(spark, _pq(sf_dir, "orders"))
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.ntile(10).over(w).cast("bigint").alias("decile"))

@@ -20,7 +20,8 @@ from dask_geomodeling_spark.geometry.base import BaseSingle
 
 __all__ = ["CosineTopK", "BucketedANN", "KMeansIVF",
            "ProductQuantizerANN", "cosine_expr", "hyperplane_bucket",
-           "learn_centroids", "nearest_centroid_expr", "hyperplanes"]
+           "learn_centroids", "nearest_centroid_expr",
+           "probe_centroids_expr", "hyperplanes"]
 
 
 def dot_expr(a, b):
@@ -189,6 +190,17 @@ def nearest_centroid_expr(vec_col, centroids):
     return F.array_min(F.array(*structs))["c"]
 
 
+def probe_centroids_expr(vec_col, centroids, nprobe):
+    """Ids of the ``nprobe`` nearest centroids (distance then id order)
+    — array-sort over (distance, id) structs, sliced; the multi-probe
+    generalization of ``nearest_centroid_expr``."""
+    structs = [F.struct(_sqdist_expr(vec_col, c).alias("d"),
+                        F.lit(cid).alias("c"))
+               for cid, c in enumerate(centroids)]
+    ranked = F.slice(F.array_sort(F.array(*structs)), 1, int(nprobe))
+    return F.transform(ranked, lambda s: s["c"])
+
+
 def learn_centroids(df, k, iters, vec_column="embedding",
                     id_column="vec_id", scale=8):
     """Lloyd's k-means with deterministic everything: init = the
@@ -230,9 +242,10 @@ class KMeansIVF(BaseSingle):
     """IVF index with LEARNED centroids (k-means) + probe-1 search.
 
     Build: ``learn_centroids`` fits ``clusters`` centroids in ``iters``
-    Lloyd iterations; corpus and queries are assigned to their nearest
-    centroid (the inverted-file key).  Search: candidates are the
-    query's own cluster only (nprobe=1), exact cosine top-k within —
+    Lloyd iterations; corpus rows are assigned to their nearest
+    centroid (the inverted-file key).  Search: each query probes its
+    ``nprobe`` nearest clusters (recall grows with nprobe, candidate
+    count stays clusters/nprobe-bounded), exact cosine top-k within —
     same output shape as CosineTopK/BucketedANN.
 
     Scale path (SURVEY §6): the corpus assignment is a narrow
@@ -243,9 +256,10 @@ class KMeansIVF(BaseSingle):
 
     def __init__(self, source, queries, k=5, clusters=4, iters=2,
                  vec_column="embedding", id_column="vec_id",
-                 precision=None):
+                 precision=None, nprobe=1):
         super().__init__(source, queries, int(k), int(clusters),
-                         int(iters), vec_column, id_column, precision)
+                         int(iters), vec_column, id_column, precision,
+                         int(nprobe))
 
     @property
     def columns(self):
@@ -253,7 +267,7 @@ class KMeansIVF(BaseSingle):
 
     def _build(self, ctx):
         (_, queries, k, clusters, iters, vec_column, id_column,
-         precision) = self.args
+         precision, nprobe) = self.args
         base = self.source._build(ctx).select(id_column, vec_column)
         cents = learn_centroids(base, clusters, iters, vec_column,
                                 id_column)
@@ -267,7 +281,8 @@ class KMeansIVF(BaseSingle):
             F.col(id_column).alias("query_id"),
             F.col(vec_column).alias("_qv"),
             norm_expr(vec_column).alias("_qn"),
-            cid.alias("_qcid"))
+            F.explode(probe_centroids_expr(vec_column, cents, nprobe))
+             .alias("_qcid"))
         joined = corpus.join(
             F.broadcast(qs),
             (F.col("_cid") == F.col("_qcid"))
