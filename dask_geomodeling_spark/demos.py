@@ -3151,3 +3151,124 @@ def ntile_deciles(spark, sf_dir):
     return orders.select(
         "o_orderkey",
         F.ntile(10).over(w).cast("bigint").alias("decile"))
+
+
+@demo("corpus_prep", oracle="""
+WITH RECURSIVE
+w AS (SELECT doc_id, text,
+             string_split_regex(trim(lower(text)), '\\s+') AS w,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)),
+                                              '\\s+')) END AS n
+      FROM documents),
+q AS (SELECT doc_id, length(text) AS nch,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                 AS letters,
+             length(regexp_replace(text, '[^.,;:!?''\"()]', '', 'g'))
+                 AS punct,
+             n AS n_words,
+             len(list_filter(w, x -> list_contains(
+                 ['the','and','of','to','is','in','that','it'], x)))
+                 AS stop
+      FROM w),
+qq AS (SELECT doc_id,
+        (CASE WHEN nch >= 50 AND nch <= 100000 THEN 0.25 ELSE 0.0 END
+       + CASE WHEN punct / CAST(nch AS DOUBLE) > 0.0
+              AND punct / CAST(nch AS DOUBLE) < 0.2 THEN 0.25
+              ELSE 0.0 END
+       + CASE WHEN n_words > 0
+              AND stop / CAST(n_words AS DOUBLE) > 0.01 THEN 0.25
+              ELSE 0.0 END
+       + CASE WHEN n_words > 0
+              AND letters / CAST(n_words AS DOUBLE) >= 3.0
+              AND letters / CAST(n_words AS DOUBLE) <= 12.0 THEN 0.25
+              ELSE 0.0 END) AS quality
+       FROM q),
+bg AS (SELECT doc_id, unnest(CASE WHEN n >= 2
+                  THEN [array_to_string(w[i:i+1], ' ')
+                        FOR i IN range(1, n)] ELSE [] END) AS gram
+       FROM w),
+bgc AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM bg
+        GROUP BY doc_id, gram),
+bgt AS (SELECT doc_id, MAX(cnt) AS top FROM bgc GROUP BY doc_id),
+rep AS (SELECT w.doc_id,
+               CASE WHEN n > 0 THEN 1.0 - len(list_distinct(w))
+                    / CAST(n AS DOUBLE) ELSE 0.0 END AS dupr,
+               CASE WHEN n >= 2 THEN COALESCE(top, 0)
+                    / CAST(n - 1 AS DOUBLE) ELSE 0.0 END AS topf
+        FROM w LEFT JOIN bgt ON w.doc_id = bgt.doc_id),
+s6 AS (SELECT doc_id, {sh6} AS grams FROM w),
+ev AS (SELECT DISTINCT unnest(grams) AS gram FROM s6
+       WHERE doc_id % 97 = 0),
+tg AS (SELECT doc_id, unnest(grams) AS gram FROM s6
+       WHERE doc_id % 97 <> 0),
+shd AS (SELECT tg.doc_id, COUNT(*) AS shared FROM tg
+        JOIN ev USING (gram) GROUP BY tg.doc_id),
+d3 AS (SELECT doc_id, {sh3} AS sh FROM w),
+e3 AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS g FROM d3),
+c3 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              any_value(a.nsh) AS na, any_value(b.nsh) AS nb,
+              count(*) AS common
+       FROM e3 a JOIN e3 b ON a.g = b.g AND a.doc_id < b.doc_id
+       GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b FROM c3
+          WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(src, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+clus AS (SELECT src AS doc_id, MIN(node) AS cluster_id,
+                src = MIN(node) AS canon
+         FROM reach GROUP BY src)
+SELECT w.doc_id, qq.quality, clus.cluster_id,
+       CASE WHEN (w.doc_id * 2654435761) % 10000 < 9000 THEN 'train'
+            WHEN (w.doc_id * 2654435761) % 10000 < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM w
+JOIN qq ON qq.doc_id = w.doc_id
+JOIN rep ON rep.doc_id = w.doc_id
+JOIN clus ON clus.doc_id = w.doc_id
+LEFT JOIN shd ON shd.doc_id = w.doc_id
+WHERE w.doc_id % 97 <> 0
+  AND qq.quality >= 0.5
+  AND NOT (rep.dupr > 0.7 OR rep.topf > 0.2)
+  AND COALESCE(shd.shared, 0) = 0
+  AND clus.canon
+""".format(sh6=_dd_shingles(6), sh3=_dd_shingles(3)))
+def corpus_prep(spark, sf_dir):
+    """END-TO-END training-corpus preparation in ONE composed plan:
+    quality scoring + repetition filtering + benchmark decontamination
+    + near-dup clustering (keep-one) + deterministic split — the whole
+    pre-training data pipeline as a single declarative view.  Each
+    stage is the already-oracled operator; the composition is joins on
+    doc_id, so Catalyst schedules the n-gram aggregations of the three
+    text passes independently."""
+    from dask_geomodeling_spark.pipeline.dedup import (DedupClusters,
+                                                       NgramJaccard)
+    from dask_geomodeling_spark.pipeline.filter import (Decontaminate,
+                                                        RepetitionFilter)
+    from dask_geomodeling_spark.pipeline.text import QualityScore
+
+    docs = documents_src(sf_dir)
+    metrics = RepetitionFilter(QualityScore(docs), max_dup_ratio=0.7,
+                               max_bigram_frac=0.2).plan(spark)
+    raw = read_nanos_parquet(spark, _pq(sf_dir, "documents"))
+    train = DataFrameSource(
+        metrics.filter(F.col("doc_id") % 97 != 0), index_column="doc_id")
+    holdout = DataFrameSource(
+        raw.filter(F.col("doc_id") % 97 == 0), index_column="doc_id")
+    decon = Decontaminate(train, holdout, n=6).plan(spark)
+    clusters = DedupClusters(
+        docs, NgramJaccard(docs, n=3, threshold=0.5)).plan(spark)
+    bucket = F.pmod(F.col("doc_id") * 2654435761, F.lit(10000))
+    split = (F.when(bucket < 9000, "train")
+             .when(bucket < 9500, "val").otherwise("test"))
+    return (decon.join(clusters, "doc_id")
+            .filter((F.col("quality") >= 0.5)
+                    & ~F.col("repetitive")
+                    & ~F.col("contaminated")
+                    & F.col("is_canonical"))
+            .select("doc_id", "quality", "cluster_id",
+                    split.alias("split")))
