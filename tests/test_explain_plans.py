@@ -291,3 +291,14 @@ def test_q14_q18_broadcast_dims(spark):
     for name in ("q14_promo_revenue", "q18_large_orders"):
         plan = plan_of(demos.QUERIES[name](spark, SF_DIR), "simple")
         assert "BroadcastHashJoin" in plan, name
+
+
+def test_ann_family_stays_jvm_side(spark):
+    """All four ANN paths (exact, hyperplane, IVF probe-2, PQ) encode
+    model literals into the plan — no Python eval, no extra scan for
+    the model."""
+    from dask_geomodeling_spark import demos
+    for name in ("cosine_topk", "bucketed_ann", "kmeans_ivf_probe2",
+                 "pq_ann"):
+        plan = plan_of(demos.QUERIES[name](spark, SF_DIR), "simple")
+        assert "BatchEvalPython" not in plan, name
