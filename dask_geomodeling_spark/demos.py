@@ -3272,3 +3272,34 @@ def corpus_prep(spark, sf_dir):
                     & F.col("is_canonical"))
             .select("doc_id", "quality", "cluster_id",
                     split.alias("split")))
+
+
+@demo("quantile_cut_deciles", oracle="""
+WITH cuts AS (
+  SELECT list_transform(
+      quantile_cont(o_totalprice,
+                    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+      c -> ROUND(c, 6)) AS qs
+  FROM orders)
+SELECT o_orderkey,
+       CAST(1 + len(list_filter(qs, c -> o_totalprice > c))
+            AS BIGINT) AS decile
+FROM orders CROSS JOIN cuts
+""")
+def quantile_cut_deciles(spark, sf_dir):
+    """The SCALABLE decile assignment (vs the single-partition NTILE
+    demo): one 9-value percentile aggregate broadcasts as cut points,
+    assignment is a pure projection (count of cuts below the value) —
+    two narrow jobs, no global sort.  Cuts round to 6 dp on both
+    engines before comparing (interpolated quantiles are the only
+    libm-ish values here)."""
+    orders = read_nanos_parquet(spark, _pq(sf_dir, "orders"))
+    ps = ",".join("0.{}D".format(i) for i in range(1, 10))
+    cuts = orders.agg(F.expr(
+        "transform(percentile(o_totalprice, array({})), "
+        "c -> round(c, 6))".format(ps)).alias("qs"))
+    return (orders.crossJoin(F.broadcast(cuts))
+            .select("o_orderkey",
+                    (F.lit(1) + F.size(F.filter(
+                        "qs", lambda c: F.col("o_totalprice") > c)))
+                    .cast("bigint").alias("decile")))

@@ -249,3 +249,38 @@ def test_asof_join_stream_matches_batch(spark, tmp_path):
     got = {(r["user_id"], r["l_id"], r["r_id"], r["gap_us"])
            for r in spark.read.parquet(out).collect()}
     assert got == expected
+
+
+def test_quality_pipeline_runs_on_stream(spark, tmp_path):
+    """The stateless text passes (quality, PII) are streaming-safe as
+    plain projections: the same block plan over readStream emits
+    exactly the batch rows."""
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.filter import PIIRedact
+    from dask_geomodeling_spark.pipeline.text import QualityScore
+
+    url = str(tmp_path / "docs")
+    spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").write.parquet(url)
+    batch_df = spark.read.parquet(url)
+
+    def pipeline(df):
+        block = PIIRedact(QualityScore(
+            DataFrameSource(df, index_column="doc_id")))
+        return block.plan(spark).select(
+            "doc_id", "quality", "n_emails",
+            F.length("text_redacted").alias("n_red"))
+
+    expected = {tuple(r) for r in pipeline(batch_df).collect()}
+
+    stream_df = (spark.readStream.format("parquet")
+                 .schema(batch_df.schema).load(url))
+    out = str(tmp_path / "out")
+    q = (pipeline(stream_df).writeStream.outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start(out))
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got == expected
