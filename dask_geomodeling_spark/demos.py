@@ -3303,3 +3303,49 @@ def quantile_cut_deciles(spark, sf_dir):
                     (F.lit(1) + F.size(F.filter(
                         "qs", lambda c: F.col("o_totalprice") > c)))
                     .cast("bigint").alias("decile")))
+
+
+def _bucketed_multiprobe_oracle(n_planes=4, dim=64, k=10, probes=4):
+    from dask_geomodeling_spark.pipeline.similarity import hyperplanes
+    planes = hyperplanes(dim, n_planes)
+    terms = []
+    for i, plane in enumerate(planes):
+        arr = "[" + ",".join("CAST({!r} AS DOUBLE)".format(w)
+                             for w in plane) + "]"
+        dot = _DD_DOT.format(a="{v}", b=arr, dimp1=dim + 1)
+        terms.append(
+            "CASE WHEN ({dot}) >= 0 THEN CAST({p} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END".format(dot=dot, p=1 << i))
+    bucket = "(" + " + ".join(terms) + ")"
+    probe_list = "[bk, {}]".format(
+        ", ".join("xor(bk, {})".format(1 << b) for b in range(probes)))
+    return """
+WITH c AS (SELECT vec_id, embedding, {cb} AS bk FROM embeddings),
+q AS (SELECT vec_id, embedding, bk FROM c WHERE vec_id < 5),
+qp AS (SELECT vec_id, embedding, unnest({pl}) AS pbk FROM q),
+scored AS (
+  SELECT qp.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({cos}, 6) AS cosine
+  FROM c JOIN qp ON c.bk = qp.pbk AND qp.vec_id <> c.vec_id)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id
+      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored)
+WHERE rank <= {k}
+""".format(cb=bucket.format(v="embedding"), pl=probe_list,
+           cos=_dd_cosine("qp.embedding", "c.embedding"), k=k)
+
+
+@demo("bucketed_ann_multiprobe", oracle=_bucketed_multiprobe_oracle())
+def bucketed_ann_multiprobe(spark, sf_dir):
+    """BucketedANN with multi-probe LSH: each query also searches the
+    four buckets one sign-bit away — recall rises ~(1+probes)x with
+    the corpus untouched; the probe list explodes map-side."""
+    from dask_geomodeling_spark.pipeline.similarity import BucketedANN
+    emb = read_nanos_parquet(spark, _pq(sf_dir, "embeddings"))
+    queries = DataFrameSource(emb.filter(F.col("vec_id") < 5),
+                              index_column="vec_id")
+    return BucketedANN(embeddings_src(sf_dir), queries, k=10,
+                       n_planes=4, dim=64, precision=6,
+                       probes=4).plan(spark)

@@ -120,15 +120,21 @@ class CosineTopK(BaseSingle):
 class BucketedANN(BaseSingle):
     """Approximate top-k: candidates restricted to the query's
     hyperplane bucket (IVF/LSH-style).  Same output shape as CosineTopK;
-    recall trades off with ``n_planes``.  At 100 TB the bucket join key
-    replaces the cross product — candidates shrink by ~2^n_planes."""
+    recall trades off with ``n_planes``.  ``probes`` > 0 additionally
+    searches the buckets at Hamming distance 1 on that many sign bits
+    (multi-probe LSH): recall rises without re-hashing the corpus.  At
+    100 TB the bucket join key replaces the cross product — candidates
+    shrink by ~2^n_planes / (1 + probes)."""
 
     def __init__(self, source, queries, k=10, vec_column="embedding",
-                 id_column="vec_id", n_planes=4, dim=None, precision=None):
+                 id_column="vec_id", n_planes=4, dim=None, precision=None,
+                 probes=0):
         if dim is None:
             raise ValueError("dim (embedding dimension) is required")
+        if not 0 <= int(probes) <= int(n_planes):
+            raise ValueError("probes must be in [0, n_planes]")
         super().__init__(source, queries, int(k), vec_column, id_column,
-                         int(n_planes), int(dim), precision)
+                         int(n_planes), int(dim), precision, int(probes))
 
     @property
     def columns(self):
@@ -136,7 +142,7 @@ class BucketedANN(BaseSingle):
 
     def _build(self, ctx):
         (_, queries, k, vec_column, id_column, n_planes, dim,
-         precision) = self.args
+         precision, probes) = self.args
         bucket = hyperplane_bucket("_cv", dim, n_planes)
         corpus = (self.source._build(ctx)
                   .select(F.col(id_column).alias("neighbor_id"),
@@ -148,7 +154,14 @@ class BucketedANN(BaseSingle):
               .select(F.col(id_column).alias("query_id"),
                       F.col(vec_column).alias("_qv"),
                       norm_expr(vec_column).alias("_qn"))
-              .withColumn("_qbk", qbucket))
+              .withColumn("_qbk0", qbucket))
+        # multi-probe: also search every bucket at Hamming distance 1
+        # on the first `probes` sign bits — the LSH recall knob; the
+        # probe list explodes map-side, the join key stays the bucket
+        probe_cols = [F.col("_qbk0")] + [
+            F.expr("_qbk0 ^ {}".format(1 << b)) for b in range(probes)]
+        qs = (qs.withColumn("_qbk", F.explode(F.array(*probe_cols)))
+              .drop("_qbk0"))
         joined = corpus.join(F.broadcast(qs),
                              (F.col("_bk") == F.col("_qbk"))
                              & (F.col("query_id") != F.col("neighbor_id")))
