@@ -3349,3 +3349,120 @@ def bucketed_ann_multiprobe(spark, sf_dir):
     return BucketedANN(embeddings_src(sf_dir), queries, k=10,
                        n_planes=4, dim=64, precision=6,
                        probes=4).plan(spark)
+
+
+def _ivfpq_oracle(k=5, clusters=2, m=2, codes=2, dim=64, nq=3, scale=8):
+    """Pure-SQL mirror of pipeline.similarity.IVFPQ: coarse k-means fit
+    (one Lloyd iteration), residuals vs the coarse centroid, a PQ
+    sub-codebook fit per subspace ON the residuals, ADC scoring within
+    the query's coarse cluster."""
+    d = dim // m
+
+    def dist(dims):
+        return ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                "list_transform(range(1, {dp1}), i -> "
+                "({{e}}[i] - {{c}}[i]) * ({{e}}[i] - {{c}}[i]))), "
+                "(acc, x) -> acc + x)").format(dp1=dims + 1)
+
+    def fit(src, vcol, n_cents, tag, dims):
+        """CTE chain: init from smallest ids, one assign + decimal-mean
+        update + carry, final assignment."""
+        dd = dist(dims)
+        return [
+            "{t}c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id)"
+            " - 1 AS INT) AS cid, {v} AS v FROM (SELECT * FROM {s} "
+            "ORDER BY vec_id LIMIT {n}))".format(
+                t=tag, v=vcol, s=src, n=n_cents),
+            """{t}a0 AS (
+  SELECT vec_id, {v} AS e, cid FROM (
+    SELECT {s}.vec_id, {s}.{v}, {t}c0.cid,
+           ROW_NUMBER() OVER (PARTITION BY {s}.vec_id
+               ORDER BY {dd}, {t}c0.cid) AS rn
+    FROM {s} CROSS JOIN {t}c0)
+  WHERE rn = 1)""".format(
+                t=tag, v=vcol, s=src,
+                dd=dd.format(e="{}.{}".format(src, vcol),
+                             c="{}c0.v".format(tag))),
+            """{t}m1 AS (
+  SELECT cid, pos,
+         CAST(SUM(CAST(val AS DECIMAL(28,{sc}))) AS DOUBLE) / COUNT(*)
+             AS mv
+  FROM (SELECT cid, generate_subscripts(e, 1) AS pos, unnest(e) AS val
+        FROM {t}a0)
+  GROUP BY cid, pos)""".format(t=tag, sc=scale),
+            """{t}c1 AS (
+  SELECT {t}c0.cid, COALESCE(mv.v, {t}c0.v) AS v
+  FROM {t}c0 LEFT JOIN (SELECT cid, list(mv ORDER BY pos) AS v
+                        FROM {t}m1 GROUP BY cid) mv
+    ON {t}c0.cid = mv.cid)""".format(t=tag),
+            """{t}asg AS (
+  SELECT vec_id, {v} AS e, cid FROM (
+    SELECT {s}.vec_id, {s}.{v}, {t}c1.cid,
+           ROW_NUMBER() OVER (PARTITION BY {s}.vec_id
+               ORDER BY {dd}, {t}c1.cid) AS rn
+    FROM {s} CROSS JOIN {t}c1)
+  WHERE rn = 1)""".format(
+                t=tag, v=vcol, s=src,
+                dd=dd.format(e="{}.{}".format(src, vcol),
+                             c="{}c1.v".format(tag))),
+        ]
+
+    parts = ["emb AS (SELECT vec_id, list_transform(embedding, "
+             "x -> CAST(x AS DOUBLE)) AS e FROM embeddings)"]
+    parts += fit("emb", "e", clusters, "co", dim)
+    parts.append(
+        "res AS (SELECT a.vec_id, a.cid, list_transform(range(1, {dp1}),"
+        " i -> a.e[i] - c.v[i]) AS r "
+        "FROM coasg a JOIN coc1 c USING (cid))".format(dp1=dim + 1))
+    for s in range(m):
+        st, en = s * d + 1, s * d + d
+        parts.append(
+            "rs{s} AS (SELECT vec_id, cid, r[{st}:{en}] AS rs "
+            "FROM res)".format(s=s, st=st, en=en))
+        parts += fit("rs{}".format(s), "rs", codes, "p{}".format(s), d)
+        parts.append(
+            "pcent{s} AS (SELECT a.vec_id, c.v FROM p{s}asg a "
+            "JOIN p{s}c1 c USING (cid))".format(s=s))
+    parts.append(
+        "cand AS (SELECT res.vec_id, res.cid, {vs} FROM res {joins})"
+        .format(vs=", ".join("pcent{s}.v AS pv{s}".format(s=s)
+                             for s in range(m)),
+                joins=" ".join(
+                    "JOIN pcent{s} ON pcent{s}.vec_id = res.vec_id"
+                    .format(s=s) for s in range(m))))
+    parts.append(
+        "qall AS (SELECT vec_id, cid, {rs} FROM res WHERE vec_id < {nq})"
+        .format(rs=", ".join(
+            "r[{st}:{en}] AS qr{s}".format(
+                st=s * d + 1, en=s * d + d, s=s) for s in range(m)),
+            nq=nq))
+    adc = " + ".join(
+        dist(d).format(e="qall.qr{}".format(s), c="cand.pv{}".format(s))
+        for s in range(m))
+    parts.append("""scored AS (
+  SELECT qall.vec_id AS query_id, cand.vec_id AS neighbor_id,
+         ROUND({adc}, 6) AS approx_dist
+  FROM cand JOIN qall ON cand.cid = qall.cid
+                     AND qall.vec_id <> cand.vec_id)""".format(adc=adc))
+    return """WITH {cte}
+SELECT query_id, neighbor_id, approx_dist, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id
+      ORDER BY approx_dist, neighbor_id) AS INT) AS rank
+  FROM scored)
+WHERE rank <= {k}""".format(cte=",\n".join(parts), k=k)
+
+
+@demo("ivfpq_ann", oracle=_ivfpq_oracle())
+def ivfpq_ann(spark, sf_dir):
+    """IVFPQ: coarse 2-cluster inverted file + 2x2 product-quantized
+    RESIDUAL codebooks, ADC search within the query's coarse cluster —
+    the FAISS-style composite index, every fit deterministic.  The
+    oracle re-derives coarse fit, residuals, and both sub-codebook
+    fits in SQL, bit-exactly."""
+    from dask_geomodeling_spark.pipeline.similarity import IVFPQ
+    emb = read_nanos_parquet(spark, _pq(sf_dir, "embeddings"))
+    queries = DataFrameSource(emb.filter(F.col("vec_id") < 3),
+                              index_column="vec_id")
+    return IVFPQ(embeddings_src(sf_dir), queries, k=5, clusters=2,
+                 iters=1, m=2, codes=2, dim=64, precision=6).plan(spark)

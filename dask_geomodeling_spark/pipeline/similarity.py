@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from dask_geomodeling_spark.geometry.base import BaseSingle
 
-__all__ = ["CosineTopK", "BucketedANN", "KMeansIVF",
+__all__ = ["CosineTopK", "BucketedANN", "KMeansIVF", "IVFPQ",
            "ProductQuantizerANN", "cosine_expr", "hyperplane_bucket",
            "learn_centroids", "nearest_centroid_expr",
            "probe_centroids_expr", "hyperplanes"]
@@ -381,6 +381,100 @@ class ProductQuantizerANN(BaseSingle):
               for s in range(m)])
         joined = corpus.join(F.broadcast(qs),
                              F.col("query_id") != F.col("neighbor_id"))
+        adc = None
+        for s in range(m):
+            term = F.expr(
+                "aggregate(zip_with(_q{s}, element_at({cb}, "
+                "_code{s} + 1), (x, y) -> (x - y) * (x - y)), "
+                "cast(0.0 as double), (acc, v) -> acc + v)"
+                .format(s=s, cb=_codebook_literal(codebooks[s])))
+            adc = term if adc is None else adc + term
+        if precision is not None:
+            adc = F.round(adc, int(precision))
+        scored = joined.select("query_id", "neighbor_id",
+                               adc.alias("approx_dist"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("approx_dist").asc(), F.col("neighbor_id").asc())
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k))
+
+
+class IVFPQ(BaseSingle):
+    """IVF-PQ: the FAISS-style composite index — a coarse k-means
+    inverted file (KMeansIVF's fit) plus product quantization of the
+    RESIDUALS (vector minus its coarse centroid), searched with the
+    asymmetric distance within the query's coarse cluster.
+
+    Scale path: the index stores (coarse id + m codes) per vector;
+    both assignments are literal-projection narrow maps (no joins);
+    search = probe the coarse cluster, rank by codebook lookups.  All
+    fits share ``learn_centroids``' deterministic Lloyd loop, so the
+    whole index is reproducible bit-for-bit from the data.
+
+    Output: ``query_id``, ``neighbor_id``, ``approx_dist``, ``rank``.
+    """
+
+    def __init__(self, source, queries, k=5, clusters=2, iters=1, m=2,
+                 codes=2, dim=None, vec_column="embedding",
+                 id_column="vec_id", precision=None):
+        if dim is None:
+            raise ValueError("dim (embedding dimension) is required")
+        if dim % m != 0:
+            raise ValueError("m must divide dim")
+        super().__init__(source, queries, int(k), int(clusters),
+                         int(iters), int(m), int(codes), int(dim),
+                         vec_column, id_column, precision)
+
+    @property
+    def columns(self):
+        return {"query_id", "neighbor_id", "approx_dist", "rank"}
+
+    def _build(self, ctx):
+        (_, queries, k, clusters, iters, m, codes, dim, vec_column,
+         id_column, precision) = self.args
+        d = dim // m
+        base = self.source._build(ctx).select(id_column, vec_column)
+        coarse = learn_centroids(base, clusters, iters, vec_column,
+                                 id_column)
+        coarse_lit = "array({})".format(
+            ",".join(_lit_vec(c) for c in coarse))
+        cid = nearest_centroid_expr(vec_column, coarse)
+        residual = (
+            "zip_with({v}, element_at({cl}, _cid + 1), "
+            "(x, y) -> cast(x as double) - y)"
+            .format(v=vec_column, cl=coarse_lit))
+
+        def with_residual(df):
+            return (df.withColumn("_cid", cid)
+                    .withColumn("_res", F.expr(residual)))
+
+        encoded = with_residual(base)
+        codebooks = []
+        for s in range(m):
+            sub = encoded.select(
+                F.col(id_column),
+                F.expr("slice(_res, {st}, {d})".format(
+                    st=s * d + 1, d=d)).alias("_sub"))
+            codebooks.append(learn_centroids(sub, codes, iters, "_sub",
+                                             id_column))
+        code_cols = [
+            nearest_centroid_expr(
+                "slice(_res, {st}, {d})".format(st=s * d + 1, d=d),
+                codebooks[s]).alias("_code{}".format(s))
+            for s in range(m)]
+        corpus = encoded.select(F.col(id_column).alias("neighbor_id"),
+                                F.col("_cid"), *code_cols)
+        qs = with_residual(queries._build(ctx)
+                           .select(id_column, vec_column)).select(
+            F.col(id_column).alias("query_id"),
+            F.col("_cid").alias("_qcid"),
+            *[F.expr("slice(_res, {st}, {d})".format(
+                st=s * d + 1, d=d)).alias("_q{}".format(s))
+              for s in range(m)])
+        joined = corpus.join(
+            F.broadcast(qs),
+            (F.col("_cid") == F.col("_qcid"))
+            & (F.col("query_id") != F.col("neighbor_id")))
         adc = None
         for s in range(m):
             term = F.expr(

@@ -65,8 +65,8 @@ def test_new_blocks_serialize_roundtrip(spark):
                                                        NgramJaccard)
     from dask_geomodeling_spark.pipeline.sample import (HashSplit,
                                                         PackSequences)
-    from dask_geomodeling_spark.pipeline.similarity import (KMeansIVF,
-                                                            ProductQuantizerANN)
+    from dask_geomodeling_spark.pipeline.similarity import (
+        IVFPQ, KMeansIVF, ProductQuantizerANN)
     from dask_geomodeling_spark.streaming.events import (EventSource,
                                                          IntervalJoin)
     from dask_geomodeling_spark.streaming.stateful import RunningAggregate
@@ -89,6 +89,8 @@ def test_new_blocks_serialize_roundtrip(spark):
         KMeansIVF(emb, emb, k=3, clusters=2, iters=1, precision=6),
         ProductQuantizerANN(emb, emb, k=3, m=4, codes=2, iters=1,
                             dim=64, precision=6),
+        IVFPQ(emb, emb, k=3, clusters=2, iters=1, m=2, codes=2,
+              dim=64, precision=6),
         IntervalJoin(ev, ev, within="30 minutes"),
         RunningAggregate(ev),
         RepetitionFilter(docs),

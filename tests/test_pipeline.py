@@ -243,3 +243,20 @@ def test_pq_ann_prefers_same_direction(spark):
     by_rank = sorted(rows, key=lambda r: r.rank)
     assert all(by_rank[i].approx_dist <= by_rank[i + 1].approx_dist
                for i in range(len(by_rank) - 1))
+
+
+def test_ivfpq_ranks_by_residual_distance(spark):
+    from dask_geomodeling_spark.pipeline.similarity import IVFPQ
+    emb = LiteralGeometrySource([
+        {"vec_id": i,
+         "embedding": [1.0 * (j == i % 4) for j in range(8)]}
+        for i in range(8)])
+    qs = LiteralGeometrySource([
+        {"vec_id": 0, "embedding": [1.0] + [0.0] * 7}])
+    rows = IVFPQ(emb, qs, k=2, clusters=2, iters=1, m=2, codes=2,
+                 dim=8, precision=6).plan(spark).collect()
+    assert rows and all(r.query_id == 0 and r.neighbor_id != 0
+                        for r in rows)
+    by_rank = sorted(rows, key=lambda r: r.rank)
+    assert all(by_rank[i].approx_dist <= by_rank[i + 1].approx_dist
+               for i in range(len(by_rank) - 1))
