@@ -1,4 +1,11 @@
 """LLM-training-data pipeline operators — first-class extensions beyond
 the reference's surface (see SURVEY.md §2 'LLM-data-pipeline
-extensions'): deduplication, similarity search, text analysis, and
-multimodal column plumbing, all designed for 100 TB inputs."""
+extensions'): deduplication, similarity search, text analysis, corpus
+hygiene filters, sampling/packing, and multimodal column plumbing, all
+designed for 100 TB inputs."""
+
+from dask_geomodeling_spark.pipeline import (dedup, filter, multimodal,
+                                             sample, similarity, text)
+
+__all__ = ["dedup", "filter", "multimodal", "sample", "similarity",
+           "text"]
