@@ -3466,3 +3466,36 @@ def ivfpq_ann(spark, sf_dir):
                               index_column="vec_id")
     return IVFPQ(embeddings_src(sf_dir), queries, k=5, clusters=2,
                  iters=1, m=2, codes=2, dim=64, precision=6).plan(spark)
+
+
+@demo("sliding_window_agg", oracle="""
+WITH x AS (
+  SELECT event_type, value,
+         unnest([
+           time_bucket(INTERVAL 30 MINUTE, ts,
+                       TIMESTAMP '1970-01-01'),
+           time_bucket(INTERVAL 30 MINUTE, ts,
+                       TIMESTAMP '1970-01-01')
+               - INTERVAL 30 MINUTE]) AS ws
+  FROM events)
+SELECT CAST(ws AS TIMESTAMP) AS window_start,
+       CAST(ws + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+       event_type,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total,
+       COUNT(*) AS n
+FROM x GROUP BY 1, 2, 3
+""")
+def sliding_window_agg(spark, sf_dir):
+    """Sliding event-time windows (1 h wide, 30 min slide): each event
+    lands in two windows — Spark expands map-side, one keyed
+    aggregation; the identical plan runs incrementally under
+    readStream + watermark.  Oracle mirrors the expansion with a
+    two-bucket unnest."""
+    ev = read_nanos_parquet(spark, _pq(sf_dir, "events"))
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (ev.groupBy(win.alias("_w"), "event_type")
+            .agg(dsum(F.col("value"), 6).alias("total"),
+                 F.count(F.lit(1)).alias("n"))
+            .select(F.col("_w.start").alias("window_start"),
+                    F.col("_w.end").alias("window_end"),
+                    "event_type", "total", "n"))

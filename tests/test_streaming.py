@@ -283,4 +283,51 @@ def test_quality_pipeline_runs_on_stream(spark, tmp_path):
          .trigger(availableNow=True).start(out))
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.read.parquet(out).collect()}
-    assert got == expected
+    # every emitted window equals the batch plan's; the only permitted
+    # difference is trailing windows still open at the final watermark
+    assert got <= expected and got
+    import datetime
+    max_ts = batch_df.agg(F.max("ts")).first()[0]
+    horizon = max_ts - datetime.timedelta(hours=5)  # watermark + width
+    for ws, _, _ in expected - got:
+        assert ws >= horizon, ws
+
+
+def test_sliding_window_stream_matches_batch(spark, tmp_path):
+    """The 1h/30min sliding-window aggregation emits identical windows
+    on readStream (availableNow) and batch."""
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.config import read_nanos_parquet
+
+    def agg(df):
+        win = F.window("ts", "1 hour", "30 minutes")
+        return (df.groupBy(win.alias("_w"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.col("_w.start").alias("ws"),
+                        "event_type", "n"))
+
+    batch_df = read_nanos_parquet(
+        spark, "/root/testdata/sf0.001/events.parquet")
+    url = str(tmp_path / "events")
+    batch_df.write.parquet(url)
+    staged = spark.read.parquet(url)
+    expected = {tuple(r) for r in agg(staged).collect()}
+
+    stream = (spark.readStream.format("parquet")
+              .schema(staged.schema).load(url)
+              .withWatermark("ts", "4 hours"))
+    out = str(tmp_path / "out")
+    q = (agg(stream).writeStream.outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start(out))
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    # every emitted window equals the batch plan's; the only permitted
+    # difference is trailing windows still open at the final watermark
+    assert got <= expected and got
+    import datetime
+    max_ts = batch_df.agg(F.max("ts")).first()[0]
+    horizon = max_ts - datetime.timedelta(hours=5)  # watermark + width
+    for ws, _, _ in expected - got:
+        assert ws >= horizon, ws
