@@ -283,14 +283,7 @@ def test_quality_pipeline_runs_on_stream(spark, tmp_path):
          .trigger(availableNow=True).start(out))
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.read.parquet(out).collect()}
-    # every emitted window equals the batch plan's; the only permitted
-    # difference is trailing windows still open at the final watermark
-    assert got <= expected and got
-    import datetime
-    max_ts = batch_df.agg(F.max("ts")).first()[0]
-    horizon = max_ts - datetime.timedelta(hours=5)  # watermark + width
-    for ws, _, _ in expected - got:
-        assert ws >= horizon, ws
+    assert got == expected  # stateless projections: no held-back rows
 
 
 def test_sliding_window_stream_matches_batch(spark, tmp_path):
