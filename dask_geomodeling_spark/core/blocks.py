@@ -222,8 +222,7 @@ def construct_multiple(graph, names, validate=True):
         if not (isinstance(cls, type) and issubclass(cls, Block)):
             raise TypeError(
                 "Cannot construct from object of type '{}'".format(cls))
-        args = [resolve(a) if isinstance(a, str) and a in graph else
-                (tuple(a) if isinstance(a, list) and False else a)
+        args = [resolve(a) if isinstance(a, str) and a in graph else a
                 for a in value[1:]]
         try:
             block = cls(*args)

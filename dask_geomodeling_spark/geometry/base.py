@@ -97,7 +97,13 @@ def apply_feature_request(df, request, time_column=None):
                        | ((F.col("ymax") - F.col("ymin")) >= min_size))
 
     if request.get("limit"):
-        df = df.limit(int(request["limit"]))
+        # deterministic head: the reference returns the first N rows by
+        # index (geometry/base.py:33+).  An ordered limit compiles to
+        # TakeOrderedAndProject (per-partition top-N + driver merge — no
+        # full sort/shuffle), so determinism is free at scale.
+        order = (time_column if time_column in df.columns
+                 else "id" if "id" in df.columns else df.columns[0])
+        df = df.orderBy(order).limit(int(request["limit"]))
     return df
 
 

@@ -205,9 +205,11 @@ class Divide(BaseFieldOperation):
 
 
 class FloorDivide(BaseFieldOperation):
-    """reference: geometry/field_operations.py:339"""
+    """reference: geometry/field_operations.py:339 — ``np.floor_divide`` on
+    float series returns float, so cast the BIGINT result of ``floor`` back
+    to double to preserve the reference dtype."""
     def _op(self, a, b):
-        return F.floor(a / b)
+        return F.floor(a / b).cast("double")
 
 
 class Power(BaseFieldOperation):

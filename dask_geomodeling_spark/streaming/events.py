@@ -28,12 +28,32 @@ class EventSource(Block):
         super().__init__(url, streaming, watermark, time_column)
 
     def _build(self, ctx):
+        import os
+        from pyspark.sql import types as T
         from dask_geomodeling_spark.config import read_nanos_parquet
         url, streaming, watermark, time_column = self.args
         if streaming:
-            df = (ctx.spark.readStream.format("parquet")
-                  .schema(ctx.spark.read.parquet(url).schema)
-                  .load(url))
+            reader = (ctx.spark.readStream.format("parquet")
+                      .schema(ctx.spark.read.parquet(url).schema))
+            if os.path.isfile(url):
+                # FileStreamSource only accepts directories; point it at
+                # the parent with a glob narrowing to the single file
+                reader = (reader
+                          .option("basePath", os.path.dirname(url))
+                          .option("pathGlobFilter", os.path.basename(url)))
+                df = reader.load(os.path.dirname(url))
+            else:
+                df = reader.load(url)
+            # same nanos->micros conversion as the batch path
+            # (read_nanos_parquet): TIMESTAMP(NANOS) parquet loads as
+            # bigint under nanosAsLong, and withWatermark needs a real
+            # timestamp column — keep the batch/stream schema contract.
+            if time_column in df.columns and isinstance(
+                    df.schema[time_column].dataType, T.LongType):
+                df = df.withColumn(
+                    time_column,
+                    F.timestamp_micros(F.expr(
+                        "`{c}` div 1000".format(c=time_column))))
             return df.withWatermark(time_column, watermark)
         return read_nanos_parquet(ctx.spark, url, time_column)
 

@@ -49,6 +49,15 @@ def assert_parity(spark, con, name):
                                       sorted(oracle.columns)))
     a, b = normalize(mine), normalize(oracle)
     for c in a.columns:
+        # the driver's hash is dtype-sensitive (3 vs 3.0 hash apart):
+        # int-vs-float disagreement is a real gate failure even when
+        # values compare equal loosely
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        num = {"i", "u", "f"}
+        if ka in num or kb in num:
+            assert (ka in "iu") == (kb in "iu"), (
+                "{}.{}: dtype {} != oracle {}".format(
+                    name, c, a[c].dtype, b[c].dtype))
         av, bv = a[c].tolist(), b[c].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
             if isinstance(x, float) and isinstance(y, float):
