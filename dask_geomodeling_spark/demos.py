@@ -1318,11 +1318,22 @@ def frame_sample(spark, sf_dir):
         F.col("frame_no").cast("bigint").alias("frame_no"))
 
 
-@demo("extract_features")  # rows-only: md5-chain features not SQL-able
+@demo("extract_features", oracle="""
+WITH d AS (
+  SELECT doc_id, md5(hex(encode(text))) AS h FROM documents
+)
+SELECT doc_id, 16 AS fdim,
+       ROUND(((strpos('0123456789abcdef', h[1:1]) - 1) * 16
+              + strpos('0123456789abcdef', h[2:2]) - 1) / 255.0, 6) AS f0,
+       ROUND(((strpos('0123456789abcdef', h[31:31]) - 1) * 16
+              + strpos('0123456789abcdef', h[32:32]) - 1) / 255.0, 6) AS f15
+FROM d
+""")
 def extract_features(spark, sf_dir):
     """ExtractImageFeatures: Arrow-batched mapInPandas feature stub —
-    the distributed plumbing (schema, batching) is real; the codec is
-    a deterministic fake."""
+    the distributed plumbing (schema, batching) is real; the codec is a
+    deterministic fake defined over md5-of-hex so the oracle re-derives
+    the exact feature bytes in SQL."""
     from dask_geomodeling_spark.pipeline.multimodal import (
         AttachBinaryMetadata, ExtractImageFeatures)
     attached = AttachBinaryMetadata(documents_src(sf_dir), "text",
@@ -1330,7 +1341,48 @@ def extract_features(spark, sf_dir):
     feats = ExtractImageFeatures(attached, dim=16)
     return feats.plan(spark).select(
         "doc_id", F.size("features").alias("fdim"),
-        F.round(F.element_at("features", 1), 6).alias("f0"))
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 16), 6).alias("f15"))
+
+
+@demo("decode_image", oracle="""
+SELECT doc_id,
+       3.0 AS w, 2.0 AS h, 6.0 AS npix,
+       list_avg([CAST((doc_id * 37 + 3 * p * 11) % 256 AS DOUBLE)
+                 FOR p IN [0, 2, 4, 12, 14, 16]]) AS mean_r,
+       list_avg([CAST((doc_id * 37 + (3 * p + 1) * 11) % 256 AS DOUBLE)
+                 FOR p IN [0, 2, 4, 12, 14, 16]]) AS mean_g,
+       list_avg([CAST((doc_id * 37 + (3 * p + 2) * 11) % 256 AS DOUBLE)
+                 FOR p IN [0, 2, 4, 12, 14, 16]]) AS mean_b,
+       CAST(list_min(flatten([[(doc_id * 37 + (3 * p + ch) * 11) % 256
+                               FOR ch IN [0, 1, 2]]
+                              FOR p IN [0, 2, 4, 12, 14, 16]]))
+            AS DOUBLE) AS px_min,
+       CAST(list_max(flatten([[(doc_id * 37 + (3 * p + ch) * 11) % 256
+                               FOR ch IN [0, 1, 2]]
+                              FOR p IN [0, 2, 4, 12, 14, 16]]))
+            AS DOUBLE) AS px_max
+FROM documents
+""")
+def decode_image(spark, sf_dir):
+    """REAL image codec path: SyntheticPPM generates binary P6 images
+    (pixel byte i of id = (id*37 + i*11) % 256, a 6x4 image), ResizeImage
+    decode='image' nearest-neighbor-resizes to 3x2 re-encoding P6, and
+    ExtractImageFeatures decode='image' parses the bytes back into pixel
+    statistics.  The oracle re-derives every statistic from the pixel
+    formula: resized pixel (r,c) samples source (2r, 2c) → source pixel
+    index p in {0,2,4,12,14,16} (reference multimodal analogue; codecs
+    are pure-python P6/BMP parsers, no PIL)."""
+    from dask_geomodeling_spark.pipeline.multimodal import (
+        ExtractImageFeatures, ResizeImage, SyntheticPPM)
+    imgs = SyntheticPPM(documents_src(sf_dir), "doc_id", width=6, height=4)
+    resized = ResizeImage(imgs, 3, 2, decode="image")
+    feats = ExtractImageFeatures(resized, decode="image")
+    names = ["w", "h", "npix", "mean_r", "mean_g", "mean_b", "px_min",
+             "px_max"]
+    return feats.plan(spark).select(
+        "doc_id", *[F.element_at("features", i + 1).alias(n)
+                    for i, n in enumerate(names)])
 
 
 @demo("event_aggregate", oracle="""

@@ -20,7 +20,7 @@ from pyspark.sql import types as T
 from dask_geomodeling_spark.geometry.base import BaseSingle
 
 __all__ = ["AttachBinaryMetadata", "ExtractImageFeatures", "FrameSample",
-           "ResizeImage", "MEDIA_SCHEMA"]
+           "ResizeImage", "SyntheticPPM", "MEDIA_SCHEMA"]
 
 #: canonical multimodal column bundle
 MEDIA_SCHEMA = T.StructType([
@@ -57,14 +57,135 @@ class AttachBinaryMetadata(BaseSingle):
 
 def _fake_features(payload: bytes, dim: int):
     """Deterministic stand-in for a real image/audio encoder: bytes →
-    md5 → dim floats in [0, 1).  Stable across runs and machines."""
-    out = []
-    seed = payload or b""
-    h = hashlib.md5(seed).digest()
+    md5 chain → dim floats in [0, 1).  Stable across runs and machines.
+
+    Defined entirely over *hex strings* so an external SQL engine can
+    re-derive it: ``h1 = md5(upper_hex(payload))`` (a 32-char lowercase
+    hexdigest), ``h[k+1] = md5(h[k])``, and each digest's 16 bytes map
+    to ``byte/255``.  In DuckDB: ``md5(hex(payload))`` plus per-pair
+    ``strpos('0123456789abcdef', ...)`` byte extraction."""
+    seed = (payload or b"").hex().upper()
+    h = hashlib.md5(seed.encode("ascii")).hexdigest()
+    out = [b / 255.0 for b in bytes.fromhex(h)]
     while len(out) < dim:
-        h = hashlib.md5(h).digest()
-        out.extend(b / 255.0 for b in h)
+        h = hashlib.md5(h.encode("ascii")).hexdigest()
+        out.extend(b / 255.0 for b in bytes.fromhex(h))
     return out[:dim]
+
+
+def _decode_ppm(payload: bytes):
+    """Parse a binary P6 PPM: header tokens (magic, width, height,
+    maxval; ``#`` comments allowed) then raw RGB triplets.  Returns
+    (width, height, rgb_bytes)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    tokens, i, n = [], 2, len(payload)
+    while len(tokens) < 3 and i < n:
+        while i < n and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":
+            while i < n and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not payload[j:j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1  # the single whitespace byte after maxval
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    data = payload[i:i + width * height * 3]
+    if len(data) != width * height * 3:
+        raise ValueError("truncated PPM pixel data")
+    return width, height, data
+
+
+def _decode_bmp(payload: bytes):
+    """Parse a 24-bit uncompressed BMP (BITMAPINFOHEADER): bottom-up
+    BGR rows padded to 4 bytes → top-down RGB bytes.  Returns
+    (width, height, rgb_bytes)."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_offset,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only 24-bit uncompressed BMP")
+    bottom_up = height > 0
+    height = abs(height)
+    stride = ((width * 3 + 3) // 4) * 4
+    out = bytearray(width * height * 3)
+    for row in range(height):
+        src_row = (height - 1 - row) if bottom_up else row
+        base = data_offset + src_row * stride
+        for col in range(width):
+            b, g, r = payload[base + 3 * col:base + 3 * col + 3]
+            k = (row * width + col) * 3
+            out[k], out[k + 1], out[k + 2] = r, g, b
+    return width, height, bytes(out)
+
+
+def _decode_image(payload: bytes):
+    """Magic-byte dispatch: P6 PPM or 24-bit BMP."""
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    raise NotImplementedError(
+        "unsupported image codec (P6 PPM and 24-bit BMP are built in; "
+        "other formats need PIL, not available in this container)")
+
+
+def _encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    return b"P6\n%d %d\n255\n" % (width, height) + rgb
+
+
+def _image_features(payload: bytes):
+    """Real (codec-backed) feature vector — 8 floats, all exactly
+    re-derivable in SQL from the pixel formula of a known synthetic
+    image: [width, height, n_pixels, mean_r, mean_g, mean_b, min, max]."""
+    width, height, rgb = _decode_image(bytes(payload))
+    n = width * height
+    chans = [rgb[c::3] for c in range(3)]
+    return [float(width), float(height), float(n),
+            sum(chans[0]) / n, sum(chans[1]) / n, sum(chans[2]) / n,
+            float(min(rgb)), float(max(rgb))]
+
+
+class SyntheticPPM(BaseSingle):
+    """Deterministic P6 image generator for exercising the real codec
+    path end-to-end: pixel byte ``i`` of row ``id`` is
+    ``(id * 37 + i * 11) % 256`` — a closed form an external SQL oracle
+    can aggregate without parsing binary.  Arrow-batched mapInPandas
+    (same plumbing as a real ingest decode stage)."""
+
+    def __init__(self, source, id_column="doc_id", width=4, height=4):
+        super().__init__(source, id_column, int(width), int(height))
+
+    def _build(self, ctx):
+        df = self.source._build(ctx)
+        id_column, width, height = self.args[1:4]
+        schema = T.StructType(
+            list(df.schema.fields)
+            + [T.StructField("payload", T.BinaryType())])
+        nbytes = width * height * 3
+
+        def gen(batches):
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["payload"] = [
+                    _encode_ppm(width, height, bytes(
+                        (int(i) * 37 + k * 11) % 256
+                        for k in range(nbytes)))
+                    for i in pdf[id_column]]
+                yield pdf
+
+        return df.mapInPandas(gen, schema=schema)
 
 
 class ExtractImageFeatures(BaseSingle):
@@ -73,14 +194,16 @@ class ExtractImageFeatures(BaseSingle):
     partition, arrow batches, bounded memory).
 
     decode="fake" (default): deterministic hash-features, so the
-    distributed plumbing is fully testable here.  decode="strict":
-    raises NotImplementedError where a real codec (PIL/ffmpeg) would run.
+    distributed plumbing is fully testable here.  decode="image": REAL
+    pure-python codec (P6 PPM / 24-bit BMP) → 8 pixel-statistic
+    features; ``dim`` is ignored.  decode="strict": raises
+    NotImplementedError where an external codec (PIL/ffmpeg) would run.
     """
 
     def __init__(self, source, payload_column="payload", dim=16,
                  decode="fake"):
-        if decode not in ("fake", "strict"):
-            raise ValueError("decode must be 'fake' or 'strict'")
+        if decode not in ("fake", "image", "strict"):
+            raise ValueError("decode must be 'fake', 'image' or 'strict'")
         super().__init__(source, payload_column, int(dim), decode)
 
     def _build(self, ctx):
@@ -94,13 +217,17 @@ class ExtractImageFeatures(BaseSingle):
             for pdf in batches:
                 if decode == "strict":
                     raise NotImplementedError(
-                        "real image decode requires PIL/ffmpeg; "
+                        "external image decode requires PIL/ffmpeg; "
                         "not available in this container")
                 pdf = pdf.copy()
-                pdf["features"] = [
-                    _fake_features(
-                        bytes(p) if p is not None else b"", dim)
-                    for p in pdf[payload_column]]
+                if decode == "image":
+                    pdf["features"] = [
+                        _image_features(p) for p in pdf[payload_column]]
+                else:
+                    pdf["features"] = [
+                        _fake_features(
+                            bytes(p) if p is not None else b"", dim)
+                        for p in pdf[payload_column]]
                 yield pdf
 
         return df.mapInPandas(extract, schema=schema)
@@ -130,15 +257,32 @@ class ResizeImage(BaseSingle):
 
     decode="fake": passes the payload through and stamps the target
     dimensions into the metadata struct (deterministic, testable).
-    decode="strict": raises NotImplementedError where PIL would run.
+    decode="image": REAL pure-python nearest-neighbor resize for P6
+    PPM / 24-bit BMP payloads — source pixel for output (r, c) is
+    ``(r * src_h // dst_h, c * src_w // dst_w)`` (floor), re-encoded as
+    P6.  decode="strict": raises NotImplementedError where PIL would
+    run.
     """
 
     def __init__(self, source, width, height, payload_column="payload",
                  decode="fake"):
-        if decode not in ("fake", "strict"):
-            raise ValueError("decode must be 'fake' or 'strict'")
+        if decode not in ("fake", "image", "strict"):
+            raise ValueError("decode must be 'fake', 'image' or 'strict'")
         super().__init__(source, int(width), int(height), payload_column,
                          decode)
+
+    @staticmethod
+    def _resize_rgb(payload, dst_w, dst_h):
+        src_w, src_h, rgb = _decode_image(bytes(payload))
+        out = bytearray(dst_w * dst_h * 3)
+        for r in range(dst_h):
+            sr = r * src_h // dst_h
+            for c in range(dst_w):
+                sc = c * src_w // dst_w
+                src = (sr * src_w + sc) * 3
+                dst = (r * dst_w + c) * 3
+                out[dst:dst + 3] = rgb[src:src + 3]
+        return _encode_ppm(dst_w, dst_h, bytes(out))
 
     def _build(self, ctx):
         df = self.source._build(ctx)
@@ -149,14 +293,19 @@ class ResizeImage(BaseSingle):
             for pdf in batches:
                 if decode == "strict":
                     raise NotImplementedError(
-                        "real image resize requires PIL; not available "
-                        "in this container")
+                        "external image resize requires PIL; not "
+                        "available in this container")
                 pdf = pdf.copy()
-                pdf["meta"] = [
-                    {**(m if isinstance(m, dict) else m.asDict()),
-                     "width": width, "height": height}
-                    if m is not None else None
-                    for m in pdf["meta"]]
+                if decode == "image":
+                    pdf[payload_column] = [
+                        self._resize_rgb(p, width, height)
+                        for p in pdf[payload_column]]
+                if "meta" in pdf.columns:
+                    pdf["meta"] = [
+                        {**(m if isinstance(m, dict) else m.asDict()),
+                         "width": width, "height": height}
+                        if m is not None else None
+                        for m in pdf["meta"]]
                 yield pdf
 
         return df.mapInPandas(resize, schema=schema)

@@ -260,3 +260,49 @@ def test_ivfpq_ranks_by_residual_distance(spark):
     by_rank = sorted(rows, key=lambda r: r.rank)
     assert all(by_rank[i].approx_dist <= by_rank[i + 1].approx_dist
                for i in range(len(by_rank) - 1))
+
+
+def test_bmp_and_ppm_decoders():
+    """Pure-python codecs: 24-bit BMP (bottom-up, padded rows) and P6
+    PPM (with comments) decode to identical top-down RGB."""
+    import struct
+    from dask_geomodeling_spark.pipeline.multimodal import (
+        _decode_bmp, _decode_image, _decode_ppm, _encode_ppm)
+
+    # 2x2 image, rows top-down: (R,G,B) values
+    rgb = bytes([10, 20, 30, 40, 50, 60,
+                 70, 80, 90, 100, 110, 120])
+    # P6 with a header comment
+    ppm = b"P6\n# test\n2 2\n255\n" + rgb
+    assert _decode_ppm(ppm) == (2, 2, rgb)
+    assert _decode_image(_encode_ppm(2, 2, rgb)) == (2, 2, rgb)
+
+    # BMP: bottom-up BGR rows padded to 4 bytes (2px * 3B = 6 -> pad 8)
+    def bgr_row(pixels):
+        out = b"".join(bytes([b, g, r]) for r, g, b in pixels)
+        return out + b"\x00" * (-len(out) % 4)
+
+    pixel_data = bgr_row([(70, 80, 90), (100, 110, 120)]) \
+        + bgr_row([(10, 20, 30), (40, 50, 60)])  # bottom row first
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(pixel_data), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0,
+                            len(pixel_data), 2835, 2835, 0, 0))
+    assert _decode_bmp(header + pixel_data) == (2, 2, rgb)
+    assert _decode_image(header + pixel_data) == (2, 2, rgb)
+
+
+def test_resize_image_real(spark):
+    """Nearest-neighbor resize on a real decoded payload."""
+    from dask_geomodeling_spark.pipeline.multimodal import (
+        ExtractImageFeatures, ResizeImage, SyntheticPPM)
+    src = LiteralGeometrySource([{"doc_id": 7}, {"doc_id": 9}])
+    imgs = SyntheticPPM(src, "doc_id", width=4, height=4)
+    resized = ResizeImage(imgs, 2, 2, decode="image")
+    feats = ExtractImageFeatures(resized, decode="image")
+    rows = {r.doc_id: r.features for r in feats.plan(spark).collect()}
+    for doc_id, f in rows.items():
+        w, h, npix, mean_r = f[0], f[1], f[2], f[3]
+        assert (w, h, npix) == (2.0, 2.0, 4.0)
+        expect = sum((doc_id * 37 + 3 * p * 11) % 256
+                     for p in (0, 2, 8, 10)) / 4
+        assert mean_r == expect
