@@ -723,6 +723,45 @@ def raster_temporal_aggregate(spark, sf_dir):
     return TemporalAggregate(event_grid(spark, sf_dir), "1D", "max").plan(spark)
 
 
+@demo("raster_temporal_right_closed", oracle="""
+WITH grid AS ({grid})
+SELECT time_bucket(INTERVAL '6 hours', time - INTERVAL 1 MICROSECOND)
+           + INTERVAL 6 HOUR AS time,
+       y, x, MAX(value) AS value
+FROM grid
+GROUP BY 1, y, x
+""".format(grid=EVENT_GRID_SQL))
+def raster_temporal_right_closed(spark, sf_dir):
+    """TemporalAggregate(closed='right', label='right') (reference
+    raster/temporal.py:480 pandas-resample semantics): right-closed
+    (start, end] 6-hour buckets labelled by the right edge.  A timestamp
+    exactly on a boundary belongs to the EARLIER bucket — implemented by
+    the 1-microsecond shift, mirrored exactly in the oracle."""
+    from dask_geomodeling_spark.raster.temporal import TemporalAggregate
+    return TemporalAggregate(event_grid(spark, sf_dir), "6H", "max",
+                             closed="right", label="right").plan(spark)
+
+
+@demo("raster_temporal_timezone", oracle="""
+WITH grid AS ({grid})
+SELECT timezone('UTC', timezone('America/New_York',
+           date_trunc('day', timezone('America/New_York',
+                                      timezone('UTC', time))))) AS time,
+       y, x, MAX(value) AS value
+FROM grid
+GROUP BY 1, y, x
+""".format(grid=EVENT_GRID_SQL))
+def raster_temporal_timezone(spark, sf_dir):
+    """TemporalAggregate(timezone='America/New_York') (reference
+    raster/temporal.py:480): daily buckets split at local midnight
+    (DST-aware IANA zone), labels converted back to UTC wall time.
+    Oracle round-trips through DuckDB's timezone() pairs — both engines
+    consult the same tz database."""
+    from dask_geomodeling_spark.raster.temporal import TemporalAggregate
+    return TemporalAggregate(event_grid(spark, sf_dir), "1D", "max",
+                             timezone="America/New_York").plan(spark)
+
+
 @demo("raster_cumulative", oracle="""
 WITH grid AS ({grid})
 SELECT time, y, x,

@@ -52,8 +52,15 @@ class Snap(RasterBlock):
     (reference: raster/temporal.py:42 — each index timestamp maps to the
     closest store timestamp).
 
-    The distinct-time mapping table is tiny (time dimension), so the final
-    join onto the cell table is a broadcast join — no large-side shuffle.
+    Nearest-time matching is an **as-of merge, not a join**: both time
+    sets union into one sorted sequence and two running windows carry the
+    last store time at-or-before and the first store time after each
+    index time; the closer of the two wins (ties -> the earlier store
+    time).  That is O(n log n) in the number of distinct timestamps where
+    the naive time x time cross join is O(n^2) — a year of 5-minute
+    frames is 1e5 distinct times (fine) vs 1e10 pairs (not).  The
+    resulting mapping table is tiny, so the final join onto the cell
+    table is a broadcast join — no large-side shuffle.
     """
 
     def __init__(self, store, index):
@@ -73,15 +80,36 @@ class Snap(RasterBlock):
     def _build(self, ctx):
         store = self.store._build(ctx)
         index_times = (self.index._build(ctx)
-                       .select(F.col("time").alias("_itime")).distinct())
-        store_times = store.select("time").distinct()
-        pairs = index_times.crossJoin(store_times).withColumn(
-            "_diff", F.abs(F.col("_itime").cast("double")
-                           - F.col("time").cast("double")))
-        w = Window.partitionBy("_itime").orderBy(F.col("_diff").asc(),
-                                                 F.col("time").asc())
-        mapping = (pairs.withColumn("_rn", F.row_number().over(w))
-                   .filter(F.col("_rn") == 1).select("_itime", "time"))
+                       .select(F.col("time").alias("_t")).distinct()
+                       .withColumn("_side", F.lit(1)))
+        store_times = (store.select(F.col("time").alias("_t")).distinct()
+                       .withColumn("_side", F.lit(0)))
+        u = index_times.unionByName(store_times)
+        # store rows sort before index rows at equal time, so an exact
+        # match is picked up by the backward window with diff 0.  The
+        # un-partitioned window is over distinct timestamps only — time-
+        # dimension-sized, not data-sized.
+        order = [F.col("_t").asc(), F.col("_side").asc()]
+        wb = (Window.orderBy(*order)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        wf = (Window.orderBy(*order)
+              .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        stime = F.when(F.col("_side") == 0, F.col("_t"))
+        cand = (u.withColumn("_prev",
+                             F.last(stime, ignorenulls=True).over(wb))
+                 .withColumn("_next",
+                             F.first(stime, ignorenulls=True).over(wf)))
+        prev_diff = (F.col("_t").cast("double")
+                     - F.col("_prev").cast("double"))
+        next_diff = (F.col("_next").cast("double")
+                     - F.col("_t").cast("double"))
+        snapped = (F.when(F.col("_next").isNull(), F.col("_prev"))
+                   .when(F.col("_prev").isNull(), F.col("_next"))
+                   .when(prev_diff <= next_diff, F.col("_prev"))
+                   .otherwise(F.col("_next")))
+        mapping = (cand.filter(F.col("_side") == 1)
+                   .select(F.col("_t").alias("_itime"),
+                           snapped.alias("time")))
         out = store.join(F.broadcast(mapping), "time")
         return out.select(F.col("_itime").alias("time"), "y", "x", "value")
 
@@ -115,7 +143,15 @@ class TemporalAggregate(BaseSingle):
     frequency None → one statistic over the whole period per cell, stamped
     at the end of the raster period.  Otherwise cells group by
     ``window(time, frequency)``; ``label`` picks the left (default) or
-    right window edge.  Statistics: sum count min max mean median std var
+    right window edge.  ``closed='right'`` makes intervals right-closed
+    ``(start, end]`` (pandas resample semantics, reference
+    raster/temporal.py:480): implemented by shifting times back one
+    microsecond (Spark's finest timestamp resolution) before the
+    left-closed ``window`` — boundary points fall into the earlier
+    bucket, interior points are unaffected.  ``timezone`` evaluates the
+    window boundaries on local wall-clock time (``from_utc_timestamp``
+    in, ``to_utc_timestamp`` out), so e.g. daily buckets split at local
+    midnight.  Statistics: sum count min max mean median std var
     p<percentile> — NULL-skipping by construction.
     """
 
@@ -158,12 +194,20 @@ class TemporalAggregate(BaseSingle):
             end = df.agg(F.max("time").alias("time"))
             return (per_cell.crossJoin(F.broadcast(end))
                     .select("time", "y", "x", "value"))
-        if self.args[3] == "right":
-            raise NotImplementedError(
-                "closed='right' intervals are not supported")
-        win = F.window("time", self.frequency)
-        label = F.col("_w.end") if self.args[4] == "right" else \
+        closed, label_side, timezone = self.args[3], self.args[4], \
+            self.args[5]
+        t = F.col("time")
+        if timezone and timezone != "UTC":
+            t = F.from_utc_timestamp(t, timezone)
+        if closed == "right":
+            # (start, end]: boundary instants shift into the earlier
+            # left-closed bucket; 1 us = Spark timestamp resolution
+            t = F.timestamp_micros(F.unix_micros(t) - 1)
+        win = F.window(t, self.frequency)
+        label = F.col("_w.end") if label_side == "right" else \
             F.col("_w.start")
+        if timezone and timezone != "UTC":
+            label = F.to_utc_timestamp(label, timezone)
         return (df.groupBy(win.alias("_w"), "y", "x")
                 .agg(stat.alias("value"))
                 .select(label.alias("time"), "y", "x", "value"))

@@ -302,3 +302,17 @@ def test_ann_family_stays_jvm_side(spark):
                  "pq_ann"):
         plan = plan_of(demos.QUERIES[name](spark, SF_DIR), "simple")
         assert "BatchEvalPython" not in plan, name
+
+
+def test_snap_has_no_cartesian_product(spark):
+    """Snap's nearest-time mapping is an as-of union+window merge — the
+    time x time CartesianProduct of the naive formulation must not
+    appear anywhere in the plan."""
+    from dask_geomodeling_spark.demos import event_grid
+    from dask_geomodeling_spark.raster.temporal import Shift, Snap
+    from datetime import timedelta
+    store = event_grid(spark, SF_DIR)
+    df = Snap(store, Shift(store, timedelta(hours=10))).plan(spark)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
