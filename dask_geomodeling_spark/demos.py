@@ -1165,6 +1165,42 @@ def embedding_dedup(spark, sf_dir):
     return EmbeddingDedup(sub, threshold=0.35, exact=True).plan(spark)
 
 
+def _embedding_dedup_lsh_oracle(n_planes=6, dim=64, threshold=0.2):
+    from dask_geomodeling_spark.pipeline.similarity import hyperplanes
+    planes = hyperplanes(dim, n_planes)
+    terms = []
+    for i, plane in enumerate(planes):
+        arr = "[" + ",".join("CAST({!r} AS DOUBLE)".format(w)
+                             for w in plane) + "]"
+        dot = _DD_DOT.format(a="embedding", b=arr, dimp1=dim + 1)
+        terms.append(
+            "CASE WHEN ({dot}) >= 0 THEN CAST({p} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END".format(dot=dot, p=1 << i))
+    return """
+WITH c AS (SELECT vec_id, embedding, {bk} AS bk FROM embeddings
+           WHERE vec_id % 5 = 0)
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
+  FROM c a JOIN c b ON a.bk = b.bk AND a.vec_id < b.vec_id)
+WHERE cosine >= {t}
+""".format(bk="(" + " + ".join(terms) + ")",
+           cos=_dd_cosine("a.embedding", "b.embedding"), t=threshold)
+
+
+@demo("embedding_dedup_lsh", oracle=_embedding_dedup_lsh_oracle())
+def embedding_dedup_lsh(spark, sf_dir):
+    """EmbeddingDedup DEFAULT path: random-hyperplane LSH prefilter
+    (only same-bucket pairs compared — the 100 TB shape; the exact
+    all-pairs variant is opt-in).  ``dim`` deliberately omitted to
+    exercise the one-row probe.  The deterministic plane constants make
+    the bucketing itself re-derivable in SQL."""
+    from dask_geomodeling_spark.pipeline.dedup import EmbeddingDedup
+    emb = read_nanos_parquet(spark, _pq(sf_dir, "embeddings"))
+    sub = DataFrameSource(emb.filter(F.col("vec_id") % 5 == 0),
+                          index_column="vec_id")
+    return EmbeddingDedup(sub, threshold=0.2, n_planes=6).plan(spark)
+
+
 @demo("cosine_topk", oracle="""
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
 scored AS (

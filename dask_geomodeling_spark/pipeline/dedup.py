@@ -315,10 +315,13 @@ class NgramJaccard(BaseSingle):
         docs = docs.persist()
         inv = docs.select("_id", "_n", F.explode("_sh").alias("_g"))
         if threshold > 0:
-            # global document frequency per gram (small: one row per
-            # distinct gram), broadcast back onto the inverted index
+            # global document frequency per gram: one row per DISTINCT
+            # gram, which at corpus scale is billions of rows — never
+            # broadcast it.  A plain equi-join on the gram shuffles both
+            # sides on a near-uniform key (AQE may still broadcast small
+            # corpora at runtime, which is the right call there).
             freq = inv.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
-            ranked = inv.join(F.broadcast(freq), "_g")
+            ranked = inv.join(freq, "_g")
             w = Window.partitionBy("_id").orderBy(
                 F.col("_df").asc(), F.col("_g").asc())
             prefix_len = (F.col("_n")
@@ -374,17 +377,20 @@ class NgramJaccard(BaseSingle):
 class EmbeddingDedup(BaseSingle):
     """Embedding-cosine near-duplicate pairs.
 
-    ``exact=True``: brute-force all-pairs cosine (the oracle-able
-    baseline).  ``exact=False``: random-hyperplane LSH prefilter — only
+    Default ``exact=False``: random-hyperplane LSH prefilter — only
     pairs agreeing on all ``n_planes`` sign bits are compared (the scale
     path; hyperplane constants are deterministic literals so the result
-    is reproducible anywhere).
+    is reproducible anywhere).  ``exact=True`` is the opt-in brute-force
+    all-pairs cosine — O(n²), for oracle baselines and small keyed
+    subsets only, NEVER the default at corpus scale.  ``dim`` (vector
+    length) is required by the LSH plane constants; when omitted it is
+    probed from one row of the source.
 
     Output: ``id_a``, ``id_b``, ``cosine`` (≥ ``threshold``).
     """
 
     def __init__(self, source, vec_column="embedding", id_column="vec_id",
-                 threshold=0.95, exact=True, n_planes=8, dim=None):
+                 threshold=0.95, exact=False, n_planes=8, dim=None):
         super().__init__(source, vec_column, id_column, float(threshold),
                          bool(exact), int(n_planes), dim)
 
@@ -411,7 +417,13 @@ class EmbeddingDedup(BaseSingle):
             pairs = a.join(b, a["id_a"] < b["id_b"])
         else:
             if dim is None:
-                raise ValueError("n_planes prefilter requires dim")
+                # one-row probe: the plane constants need the vector
+                # length at plan time (cheap; scan stops after 1 row)
+                row = df.select(F.size(vec_column)).limit(1).first()
+                if row is None:
+                    raise ValueError("cannot infer dim from empty source;"
+                                     " pass dim explicitly")
+                dim = int(row[0])
             bucket = hyperplane_bucket("_v", dim, n_planes)
             ab = docs.withColumn("_bk", bucket)
             a = ab.select(F.col("_id").alias("id_a"),

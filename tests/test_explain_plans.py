@@ -316,3 +316,22 @@ def test_snap_has_no_cartesian_product(spark):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_freq_join_not_statically_broadcast(spark):
+    """The per-gram document-frequency table is one row per DISTINCT
+    gram (billions at corpus scale) — the plan must not hint it
+    broadcast.  AQE may still convert it at runtime for small inputs,
+    which is the correct size-gated behavior."""
+    from dask_geomodeling_spark.geometry.sources import ParquetGeometrySource
+    from dask_geomodeling_spark.pipeline.dedup import NgramJaccard
+    docs = ParquetGeometrySource(SF_DIR + "/documents.parquet",
+                                 id_field="doc_id")
+    df = NgramJaccard(docs, n=3, threshold=0.5).plan(spark)
+    # no FORCED broadcast hint anywhere in the logical plan: Catalyst
+    # may still pick broadcast from size ESTIMATES (tiny here), which
+    # correctly flips to shuffle when the gram table is huge
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "UnresolvedHint" not in logical
+    assert "ResolvedHint" not in logical
+    assert "hints=[BROADCAST" not in plan_of(df, "extended")
