@@ -251,6 +251,47 @@ def learn_centroids(df, k, iters, vec_column="embedding",
     return cents
 
 
+def learn_codebooks(subs, m, codes, iters, id_column="vec_id", scale=8):
+    """Fit ``m`` per-subspace k-means codebooks in ONE distributed job
+    per Lloyd iteration (instead of ``m`` independent fits): the input
+    frame carries columns ``_sub0.._sub{m-1}``; each iteration explodes
+    an (subspace, cluster, sub-vector) struct array and computes every
+    subspace's per-(cluster, dim) DECIMAL mean in a single shuffle.
+    Bit-identical to ``m`` separate ``learn_centroids`` runs — decimal
+    sums are order-exact, the grouping just gains a subspace key — at
+    1/m the job count and one scan per iteration over a (persisted)
+    frame instead of m."""
+    rows = (subs.orderBy(id_column).limit(int(codes))
+            .select(*["_sub{}".format(s) for s in range(m)]).collect())
+    books = [[[float(x) for x in r["_sub{}".format(s)]] for r in rows]
+             for s in range(m)]
+    dec = "decimal(28,{})".format(int(scale))
+    for _ in range(int(iters)):
+        structs = F.array(*[
+            F.struct(F.lit(s).alias("_s"),
+                     nearest_centroid_expr("_sub{}".format(s), books[s])
+                     .alias("_cid"),
+                     F.col("_sub{}".format(s)).alias("_sub"))
+            for s in range(m)])
+        means = (subs.select(F.explode(structs).alias("_e"))
+                 .select(F.col("_e._s").alias("_s"),
+                         F.col("_e._cid").alias("_cid"),
+                         F.posexplode("_e._sub").alias("_pos", "_val"))
+                 .groupBy("_s", "_cid", "_pos")
+                 .agg((F.sum(F.col("_val").cast("double").cast(dec))
+                       .cast("double") / F.count(F.lit(1))).alias("_m"))
+                 .collect())
+        by_key = {}
+        for r in means:
+            by_key.setdefault((r["_s"], r["_cid"]), {})[r["_pos"]] = r["_m"]
+        books = [
+            [[by_key[(s, c)][p] for p in range(len(books[s][c]))]
+             if (s, c) in by_key else books[s][c]
+             for c in range(len(books[s]))]
+            for s in range(m)]
+    return books
+
+
 class KMeansIVF(BaseSingle):
     """IVF index with LEARNED centroids (k-means) + probe-1 search.
 
@@ -281,7 +322,10 @@ class KMeansIVF(BaseSingle):
     def _build(self, ctx):
         (_, queries, k, clusters, iters, vec_column, id_column,
          precision, nprobe) = self.args
-        base = self.source._build(ctx).select(id_column, vec_column)
+        # persisted across the iterative fit AND the search scan — the
+        # fit alone re-reads the frame iters+1 times
+        base = (self.source._build(ctx).select(id_column, vec_column)
+                .persist())
         cents = learn_centroids(base, clusters, iters, vec_column,
                                 id_column)
         cid = nearest_centroid_expr(vec_column, cents)
@@ -358,14 +402,15 @@ class ProductQuantizerANN(BaseSingle):
         (_, queries, k, m, codes, iters, dim, vec_column, id_column,
          precision) = self.args
         d = dim // m
-        base = self.source._build(ctx).select(id_column, vec_column)
-        codebooks = []
-        for s in range(m):
-            sub_df = base.select(
-                F.col(id_column),
-                self._sub(vec_column, s, d).alias("_sub"))
-            codebooks.append(learn_centroids(sub_df, codes, iters,
-                                             "_sub", id_column))
+        base = (self.source._build(ctx).select(id_column, vec_column)
+                .persist())
+        # all m subspace fits fused into one job per iteration over the
+        # persisted base — was m independent fits, each rescanning
+        subs = base.select(
+            F.col(id_column),
+            *[self._sub(vec_column, s, d).alias("_sub{}".format(s))
+              for s in range(m)])
+        codebooks = learn_codebooks(subs, m, codes, iters, id_column)
         code_cols = [
             nearest_centroid_expr(
                 "transform(slice({v}, {start}, {d}), "
@@ -433,7 +478,8 @@ class IVFPQ(BaseSingle):
         (_, queries, k, clusters, iters, m, codes, dim, vec_column,
          id_column, precision) = self.args
         d = dim // m
-        base = self.source._build(ctx).select(id_column, vec_column)
+        base = (self.source._build(ctx).select(id_column, vec_column)
+                .persist())
         coarse = learn_centroids(base, clusters, iters, vec_column,
                                  id_column)
         coarse_lit = "array({})".format(
@@ -449,14 +495,12 @@ class IVFPQ(BaseSingle):
                     .withColumn("_res", F.expr(residual)))
 
         encoded = with_residual(base)
-        codebooks = []
-        for s in range(m):
-            sub = encoded.select(
-                F.col(id_column),
-                F.expr("slice(_res, {st}, {d})".format(
-                    st=s * d + 1, d=d)).alias("_sub"))
-            codebooks.append(learn_centroids(sub, codes, iters, "_sub",
-                                             id_column))
+        # m residual-subspace fits fused into one job per iteration
+        subs = encoded.select(
+            F.col(id_column),
+            *[F.expr("slice(_res, {st}, {d})".format(st=s * d + 1, d=d))
+              .alias("_sub{}".format(s)) for s in range(m)])
+        codebooks = learn_codebooks(subs, m, codes, iters, id_column)
         code_cols = [
             nearest_centroid_expr(
                 "slice(_res, {st}, {d})".format(st=s * d + 1, d=d),
