@@ -1993,6 +1993,75 @@ def reproject(spark, sf_dir):
         "s_suppkey", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"))
 
 
+def _utm33_oracle():
+    from dask_geomodeling_spark.geometry.proj import utm_sql
+    e, n = utm_sql("lat", "lon", 33)
+    return """
+WITH pts AS (
+  SELECT s_suppkey,
+         12.0 + CAST(s_suppkey % 600 AS DOUBLE) / 100.0 AS lon,
+         40.0 + CAST((s_suppkey * 7) % 1500 AS DOUBLE) / 100.0 AS lat
+  FROM supplier
+)
+SELECT s_suppkey, {e} AS easting, {n} AS northing FROM pts
+""".format(e=e, n=n)
+
+
+@demo("reproject_utm", oracle=_utm33_oracle())
+def reproject_utm(spark, sf_dir):
+    """Reproject EPSG:4326 → EPSG:32633 (UTM zone 33N): Snyder/Redfearn
+    transverse-Mercator series on WGS84 (reference delegates to pyproj;
+    here the transform is ONE SQL string shared verbatim with the
+    oracle, so evaluation order — and therefore every bit — matches)."""
+    from dask_geomodeling_spark.geometry.proj import Reproject
+    supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    pts = supplier.select(
+        "s_suppkey",
+        (12.0 + (F.col("s_suppkey") % 600).cast("double") / 100.0)
+        .alias("x"),
+        (40.0 + ((F.col("s_suppkey") * 7) % 1500).cast("double") / 100.0)
+        .alias("y"))
+    block = Reproject(DataFrameSource(pts, index_column="s_suppkey"),
+                      "EPSG:4326", "EPSG:32633")
+    return block.plan(spark).select(
+        "s_suppkey", F.col("x").alias("easting"),
+        F.col("y").alias("northing"))
+
+
+@demo("reproject_equirect", oracle="""
+WITH pts AS (
+  SELECT s_suppkey,
+         CAST(s_suppkey % 100 AS DOUBLE) - 50.0 AS lon,
+         CAST((s_suppkey * 7) % 100 AS DOUBLE) - 50.0 AS lat
+  FROM supplier
+)
+SELECT s_suppkey,
+       (6378137.0 * radians(lon)) AS x4087,
+       (6378137.0 * radians(lat)) AS y4087,
+       degrees((6378137.0 * radians(lon)) / 6378137.0) AS lon_back,
+       degrees((6378137.0 * radians(lat)) / 6378137.0) AS lat_back
+FROM pts
+""")
+def reproject_equirect(spark, sf_dir):
+    """Reproject EPSG:4326 ↔ EPSG:4087 (spherical equidistant
+    cylindrical): forward projection plus the inverse round-trip."""
+    from dask_geomodeling_spark.geometry.proj import Reproject
+    supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    pts = supplier.select(
+        "s_suppkey",
+        ((F.col("s_suppkey") % 100).cast("double") - 50.0).alias("x"),
+        (((F.col("s_suppkey") * 7) % 100).cast("double") - 50.0).alias("y"))
+    src = DataFrameSource(pts, index_column="s_suppkey")
+    fwd = Reproject(src, "EPSG:4326", "EPSG:4087")
+    back = Reproject(fwd, "EPSG:4087", "EPSG:4326")
+    f = fwd.plan(spark).select(
+        "s_suppkey", F.col("x").alias("x4087"), F.col("y").alias("y4087"))
+    b = back.plan(spark).select(
+        "s_suppkey", F.col("x").alias("lon_back"),
+        F.col("y").alias("lat_back"))
+    return f.join(b, "s_suppkey")
+
+
 @demo("raster_time_request", oracle="""
 WITH grid AS ({grid})
 SELECT DISTINCT time FROM grid

@@ -1,30 +1,102 @@
-"""Native reprojection for the web CRS pair (reference: utils.get_sr /
-shapely_transform, which delegate to GDAL/pyproj — unavailable here).
+"""Native reprojection (reference: utils.get_sr / shapely_transform,
+which delegate to GDAL/pyproj — unavailable here; all transforms below
+are public closed forms).
 
-EPSG:4326 (lon/lat degrees) ↔ EPSG:3857 (spherical web-mercator
-meters) is pure closed-form math on the typed geometry columns, fully
-inside whole-stage codegen:
+Supported natively, all pure column math inside whole-stage codegen:
 
-    x3857 = R · radians(lon)
-    y3857 = R · ln(tan(π/4 + radians(lat)/2))
+- EPSG:4326 (lon/lat degrees) ↔ EPSG:3857 (spherical web-mercator):
+    x3857 = R · radians(lon); y3857 = R · ln(tan(π/4 + radians(lat)/2))
+- EPSG:4326 → UTM zones EPSG:326xx (N) / 327xx (S): the Snyder /
+  Redfearn transverse-Mercator series (USGS "Map Projections — A
+  Working Manual", eqs. 8-9..8-15) on the WGS84 ellipsoid.  The
+  transform is generated as ONE SQL expression string valid in both
+  Spark SQL and DuckDB — identical text, identical evaluation order,
+  so external oracles reproduce it bit-for-bit.
+- EPSG:4326 ↔ EPSG:4087 (spherical equidistant cylindrical / plate
+  carrée): x = R · radians(lon), y = R · radians(lat).
 
-with R = 6378137.  Other CRS pairs raise (documented gap: a full PROJ
-pipeline needs pyproj, which this environment does not ship).
+Other CRS pairs raise (a full PROJ pipeline needs pyproj, which this
+environment does not ship); UTM → 4326 (inverse series) likewise —
+documented gap.
 """
 
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import functions as F
 
 from dask_geomodeling_spark.geometry.base import BaseSingle
 
-__all__ = ["Reproject", "WEB_MERCATOR_RADIUS"]
+__all__ = ["Reproject", "WEB_MERCATOR_RADIUS", "utm_sql", "equirect_sql"]
 
 WEB_MERCATOR_RADIUS = 6378137.0
 
-_SUPPORTED = {("EPSG:4326", "EPSG:3857"), ("EPSG:3857", "EPSG:4326")}
+#: WGS84 ellipsoid
+_A = 6378137.0
+_F = 1.0 / 298.257223563
+_E2 = _F * (2.0 - _F)
+_EP2 = _E2 / (1.0 - _E2)
+_K0 = 0.9996
+
+_UTM_RE = re.compile(r"^EPSG:32([67])(\d\d)$")
+
+
+def utm_sql(lat, lon, zone, south=False):
+    """(easting, northing) SQL expression strings for the WGS84 UTM
+    forward transform of textual degree expressions ``lat``/``lon``.
+    The text parses identically in Spark SQL and DuckDB (radians, sin,
+    cos, tan, sqrt and explicit multiplication only), which is what
+    makes the oracle exact."""
+    if not 1 <= zone <= 60:
+        raise ValueError("UTM zone must be in [1, 60]")
+    lon0 = math.radians(zone * 6 - 183)
+    e2, ep2 = _E2, _EP2
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    m0 = 1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0
+    m1 = 3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0
+    m2 = 15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0
+    m3 = 35.0 * e6 / 3072.0
+    p = "radians({})".format(lat)
+    A = "((radians({}) - {!r}) * cos({p}))".format(lon, lon0, p=p)
+    T = "(tan({p}) * tan({p}))".format(p=p)
+    C = "({!r} * cos({p}) * cos({p}))".format(ep2, p=p)
+    NU = "({!r} / sqrt(1.0 - {!r} * sin({p}) * sin({p})))".format(
+        _A, e2, p=p)
+    M = ("({!r} * ({!r} * {p} - {!r} * sin(2.0 * {p}) "
+         "+ {!r} * sin(4.0 * {p}) - {!r} * sin(6.0 * {p})))").format(
+        _A, m0, m1, m2, m3, p=p)
+    A2 = "({A} * {A})".format(A=A)
+    A3 = "({A} * {A} * {A})".format(A=A)
+    A4 = "({A2} * {A2})".format(A2=A2)
+    A5 = "({A4} * {A})".format(A4=A4, A=A)
+    A6 = "({A4} * {A2})".format(A4=A4, A2=A2)
+    easting = (
+        "(500000.0 + {k0!r} * {NU} * ({A} + (1.0 - {T} + {C}) * {A3} / 6.0"
+        " + (5.0 - 18.0 * {T} + {T} * {T} + 72.0 * {C} - {c58!r}) "
+        "* {A5} / 120.0))"
+    ).format(k0=_K0, NU=NU, A=A, T=T, C=C, A3=A3, A5=A5, c58=58.0 * ep2)
+    n0 = 10000000.0 if south else 0.0
+    northing = (
+        "({n0!r} + {k0!r} * ({M} + {NU} * tan({p}) * ({A2} / 2.0"
+        " + (5.0 - {T} + 9.0 * {C} + 4.0 * {C} * {C}) * {A4} / 24.0"
+        " + (61.0 - 58.0 * {T} + {T} * {T} + 600.0 * {C} - {c330!r}) "
+        "* {A6} / 720.0)))"
+    ).format(n0=n0, k0=_K0, M=M, NU=NU, p=p, A2=A2, T=T, C=C, A4=A4,
+             A6=A6, c330=330.0 * ep2)
+    return easting, northing
+
+
+def equirect_sql(lat, lon):
+    """(x, y) SQL strings for spherical equidistant cylindrical
+    (EPSG:4087 with φ1 = 0): linear in radians, trivially exact."""
+    return ("({!r} * radians({}))".format(WEB_MERCATOR_RADIUS, lon),
+            "({!r} * radians({}))".format(WEB_MERCATOR_RADIUS, lat))
+
+
+_SUPPORTED = {("EPSG:4326", "EPSG:3857"), ("EPSG:3857", "EPSG:4326"),
+              ("EPSG:4326", "EPSG:4087"), ("EPSG:4087", "EPSG:4326")}
 
 
 def _fwd_x(c):
@@ -47,21 +119,30 @@ def _inv_y(c):
 
 
 class Reproject(BaseSingle):
-    """Transform geometry columns between EPSG:4326 and EPSG:3857.
+    """Transform geometry columns between supported CRS (module
+    docstring lists the closed-form pairs).
 
     Args:
       source: GeometryBlock whose geometry columns are in ``src_crs``.
-      src_crs / dst_crs: "EPSG:4326" or "EPSG:3857".
+      src_crs: "EPSG:4326", "EPSG:3857", or "EPSG:4087".
+      dst_crs: additionally any UTM zone "EPSG:326xx"/"EPSG:327xx"
+        (from EPSG:4326 only; the inverse series is not implemented).
     """
 
     def __init__(self, source, src_crs="EPSG:4326",
                  dst_crs="EPSG:3857"):
         src_crs, dst_crs = str(src_crs).upper(), str(dst_crs).upper()
-        if src_crs != dst_crs and (src_crs, dst_crs) not in _SUPPORTED:
+        utm = _UTM_RE.match(dst_crs)
+        if utm and src_crs != "EPSG:4326":
             raise NotImplementedError(
-                "only EPSG:4326 <-> EPSG:3857 are supported natively; "
-                "other CRS pairs need pyproj/GDAL (reference: "
-                "utils.get_transform_func)")
+                "UTM targets transform from EPSG:4326 only "
+                "(inverse transverse-Mercator series not implemented)")
+        if (src_crs != dst_crs and not utm
+                and (src_crs, dst_crs) not in _SUPPORTED):
+            raise NotImplementedError(
+                "supported natively: EPSG:4326 <-> EPSG:3857/4087 and "
+                "EPSG:4326 -> UTM EPSG:326xx/327xx; other CRS pairs "
+                "need pyproj/GDAL (reference: utils.get_transform_func)")
         super().__init__(source, src_crs, dst_crs)
 
     def _build(self, ctx):
@@ -69,12 +150,29 @@ class Reproject(BaseSingle):
         src_crs, dst_crs = self.args[1], self.args[2]
         if src_crs == dst_crs:
             return df
-        fx, fy = (_fwd_x, _fwd_y) if src_crs == "EPSG:4326" else \
-            (_inv_x, _inv_y)
+        utm = _UTM_RE.match(dst_crs)
         cols = set(df.columns)
         mapping = {}
         for xc, yc in (("x", "y"), ("xmin", "ymin"), ("xmax", "ymax")):
-            if {xc, yc} <= cols:
+            if not {xc, yc} <= cols:
+                continue
+            if utm:
+                e_sql, n_sql = utm_sql(yc, xc, int(utm.group(2)),
+                                       south=utm.group(1) == "7")
+                mapping[xc] = F.expr(e_sql)
+                mapping[yc] = F.expr(n_sql)
+            elif "EPSG:4087" in (src_crs, dst_crs):
+                if src_crs == "EPSG:4326":
+                    x_sql, y_sql = equirect_sql(yc, xc)
+                    mapping[xc] = F.expr(x_sql)
+                    mapping[yc] = F.expr(y_sql)
+                else:
+                    r = F.lit(WEB_MERCATOR_RADIUS)
+                    mapping[xc] = F.degrees(F.col(xc) / r)
+                    mapping[yc] = F.degrees(F.col(yc) / r)
+            else:
+                fx, fy = (_fwd_x, _fwd_y) if src_crs == "EPSG:4326" \
+                    else (_inv_x, _inv_y)
                 mapping[xc] = fx(F.col(xc))
                 mapping[yc] = fy(F.col(yc))
         if not mapping:
