@@ -3074,6 +3074,41 @@ def csv_source_roundtrip(spark, sf_dir):
         .plan(spark)
 
 
+@demo("geojson_source_roundtrip", oracle="""
+SELECT s_suppkey, s_acctbal,
+       CAST(s_suppkey % 360 AS DOUBLE) - 180.0 AS x,
+       CAST((s_suppkey * 7) % 180 AS DOUBLE) - 90.0 AS y,
+       CAST(s_suppkey % 360 AS DOUBLE) - 180.0 AS xmin,
+       CAST((s_suppkey * 7) % 180 AS DOUBLE) - 90.0 AS ymin,
+       CAST(s_suppkey % 360 AS DOUBLE) - 180.0 AS xmax,
+       CAST((s_suppkey * 7) % 180 AS DOUBLE) - 90.0 AS ymax
+FROM supplier
+""")
+def geojson_source_roundtrip(spark, sf_dir):
+    """GeometryFileSink(geojson) + FileGeometrySource(geojson):
+    FeatureCollection round-trip (reference GeometryFileSource reads
+    fiona/geojson, sources.py:18; sink writes per-tile geojson,
+    sinks.py:46).  The reader is Spark-4-native: wholetext →
+    ``parse_json`` VARIANT → explode features — one text scan, no
+    Python.  Point features come back as x/y plus their degenerate
+    bbox."""
+    import tempfile
+
+    from dask_geomodeling_spark.geometry.sinks import GeometryFileSink
+    from dask_geomodeling_spark.geometry.sources import FileGeometrySource
+    supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    pts = supplier.select(
+        "s_suppkey", "s_acctbal",
+        ((F.col("s_suppkey") % 360).cast("double") - 180.0).alias("x"),
+        (((F.col("s_suppkey") * 7) % 180).cast("double") - 90.0).alias("y"))
+    src = DataFrameSource(pts, index_column="s_suppkey")
+    url = tempfile.mkdtemp(prefix="dgs_sink_geojson_") + "/out"
+    GeometryFileSink(src, url, extension="geojson").write(spark)
+    return FileGeometrySource(
+        url, format="geojson", id_field="s_suppkey",
+        schema="s_suppkey bigint, s_acctbal double").plan(spark)
+
+
 @demo("json_source_roundtrip", oracle="""
 SELECT c_custkey AS idx, c_name, c_acctbal
 FROM customer WHERE c_acctbal > 0

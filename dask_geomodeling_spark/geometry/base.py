@@ -78,10 +78,16 @@ def apply_feature_request(df, request, time_column=None):
         x1, y1, x2, y2 = geometry
         cols = set(df.columns)
         mode = request.get("mode", "intersects")
-        if {"x", "y"} <= cols:
+        # bbox columns take precedence: a mixed-geometry frame (e.g. a
+        # GeoJSON read) carries x/y only for Points but a bbox for every
+        # feature (degenerate for Points), so the bbox predicate is the
+        # one that covers all rows
+        if {"xmin", "ymin", "xmax", "ymax"} <= cols:
+            pass  # handled below
+        elif {"x", "y"} <= cols:
             df = df.filter((F.col("x") >= x1) & (F.col("x") <= x2)
                            & (F.col("y") >= y1) & (F.col("y") <= y2))
-        elif {"xmin", "ymin", "xmax", "ymax"} <= cols:
+        if {"xmin", "ymin", "xmax", "ymax"} <= cols:
             if mode == "centroid":
                 cx = (F.col("xmin") + F.col("xmax")) / 2
                 cy = (F.col("ymin") + F.col("ymax")) / 2

@@ -22,14 +22,17 @@ class GeometryFileSink(BaseSingle):
     Args:
       source: GeometryBlock to write.
       url: output directory.
-      extension: parquet | csv | json (reference supports shp/gpkg/
-        geojson via fiona — columnar parquet is the cluster-native
-        default here).
+      extension: parquet | csv | json | geojson (reference writes
+        per-tile shapefiles/geojson via fiona — columnar parquet is the
+        cluster-native default here; ``geojson`` writes one
+        FeatureCollection document per partition, the distributed
+        analogue of the reference's per-tile geojson files, with Point
+        geometry from ``x``/``y`` or Polygon from the bbox columns).
       fields: optional ``{output_name: source_column}`` mapping.
       partition_by: optional list of columns for a partitioned layout.
     """
 
-    supported_extensions = ("parquet", "csv", "json")
+    supported_extensions = ("parquet", "csv", "json", "geojson")
 
     def __init__(self, source, url, extension="parquet", fields=None,
                  partition_by=None):
@@ -48,9 +51,49 @@ class GeometryFileSink(BaseSingle):
                              for dst, src in fields.items()])
         return df
 
+    @staticmethod
+    def _feature_json(df):
+        """Per-row GeoJSON Feature string: Point from x/y, Polygon ring
+        from the bbox columns, all other columns become properties."""
+        cols = set(df.columns)
+        if {"x", "y"} <= cols:
+            geom = F.struct(F.lit("Point").alias("type"),
+                            F.array("x", "y").alias("coordinates"))
+            skip = {"x", "y"}
+        elif {"xmin", "ymin", "xmax", "ymax"} <= cols:
+            ring = F.array(F.array("xmin", "ymin"), F.array("xmax", "ymin"),
+                           F.array("xmax", "ymax"), F.array("xmin", "ymax"),
+                           F.array("xmin", "ymin"))
+            geom = F.struct(F.lit("Polygon").alias("type"),
+                            F.array(ring).alias("coordinates"))
+            skip = {"xmin", "ymin", "xmax", "ymax"}
+        else:
+            raise ValueError("geojson sink needs x/y or bbox columns")
+        props = [c for c in df.columns if c not in skip]
+        return F.to_json(F.struct(
+            F.lit("Feature").alias("type"), geom.alias("geometry"),
+            F.struct(*props).alias("properties")))
+
     def write(self, spark=None, mode="overwrite", **request):
         df = self.plan(spark, **request)
         url, extension, partition_by = self.args[1], self.args[2], self.args[4]
+        if extension == "geojson":
+            # one FeatureCollection document per partition — per-
+            # partition imperative assembly (a single output object per
+            # file) is the one legitimate RDD hop in this plane
+            feats = df.select(self._feature_json(df).alias("_f"))
+
+            def assemble(it):
+                body = ", ".join(r["_f"] for r in it)
+                if body:
+                    yield ('{"type": "FeatureCollection", "features": ['
+                           + body + "]}",)
+
+            spark_ = feats.sparkSession
+            out = spark_.createDataFrame(feats.rdd.mapPartitions(assemble),
+                                         "value string")
+            out.write.mode(mode).text(url)
+            return url
         writer = df.write.mode(mode)
         if extension == "csv":
             # headers make the files self-describing and are what the

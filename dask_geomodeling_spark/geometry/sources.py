@@ -92,27 +92,38 @@ class ParquetGeometrySource(GeometryBlock):
 
 
 class FileGeometrySource(GeometryBlock):
-    """Format-aware feature source: parquet | csv | json (reference:
-    GeometryFileSource, geometry/sources.py:18, which reads any
-    fiona-supported format — here the cluster-native text/columnar
-    trio, the read side of ``GeometryFileSink``).
+    """Format-aware feature source: parquet | csv | json | geojson
+    (reference: GeometryFileSource, geometry/sources.py:18, which reads
+    any fiona-supported format — here the cluster-native text/columnar
+    trio plus GeoJSON FeatureCollection files, the read side of
+    ``GeometryFileSink``).
 
     CSV/JSON require an explicit DDL ``schema`` string: schema
     inference would add a full extra pass over the data and lets types
     drift between runs — at 100 TB the schema is part of the dataset
     contract, not something to sniff.  CSV expects the header line
     ``GeometryFileSink`` writes.
+
+    ``geojson`` reads FeatureCollection files (the fiona interchange
+    format, NOT json-lines) Spark-natively: each file loads as one text
+    row (files parallelize across tasks), ``parse_json`` turns it into
+    a VARIANT, and the features array explodes into rows — no Python in
+    the scan.  ``schema`` describes the ``properties`` members; the
+    geometry contributes typed columns ``x``/``y`` (Point coordinates,
+    NULL otherwise) and ``xmin``/``ymin``/``xmax``/``ymax`` (the bbox of
+    any Polygon/MultiLine ring set, degenerate point bbox for Points) —
+    exactly the typed-column geometry model the rest of the plane uses.
     """
 
-    formats = ("parquet", "csv", "json")
+    formats = ("parquet", "csv", "json", "geojson")
 
     def __init__(self, url, format="parquet", id_field="id",
                  time_column=None, schema=None):
         if format not in self.formats:
             raise ValueError("Format '{}' is unsupported".format(format))
         if format != "parquet" and not schema:
-            raise ValueError("csv/json sources need an explicit DDL "
-                             "schema")
+            raise ValueError("csv/json/geojson sources need an explicit "
+                             "DDL schema")
         super().__init__(url, format, id_field, time_column, schema)
 
     @property
@@ -127,6 +138,36 @@ class FileGeometrySource(GeometryBlock):
     def columns(self):
         return set()
 
+    @staticmethod
+    def _geojson_frame(spark, url, schema):
+        from pyspark.sql import types as T
+        fields = T._parse_datatype_string(schema).fields
+        raw = spark.read.option("wholetext", True).text(url)
+        feats = (raw.select(F.parse_json(F.col("value")).alias("_v"))
+                 .select(F.explode(F.expr(
+                     "variant_get(_v, '$.features', 'array<variant>')"))
+                     .alias("_f")))
+        props = [
+            F.expr("try_variant_get(_f, '$.properties.{}', '{}')".format(
+                f.name, f.dataType.simpleString())).alias(f.name)
+            for f in fields]
+        px = F.expr("try_variant_get(_f, '$.geometry.coordinates[0]', "
+                    "'double')")
+        py = F.expr("try_variant_get(_f, '$.geometry.coordinates[1]', "
+                    "'double')")
+        rings = F.expr("try_variant_get(_f, '$.geometry.coordinates', "
+                       "'array<array<array<double>>>')")
+        out = feats.select(*props, px.alias("x"), py.alias("y"),
+                           F.flatten(rings).alias("_flat"))
+        xs = F.expr("transform(_flat, c -> c[0])")
+        ys = F.expr("transform(_flat, c -> c[1])")
+        return out.select(
+            *[f.name for f in fields], "x", "y",
+            F.coalesce(F.array_min(xs), F.col("x")).alias("xmin"),
+            F.coalesce(F.array_min(ys), F.col("y")).alias("ymin"),
+            F.coalesce(F.array_max(xs), F.col("x")).alias("xmax"),
+            F.coalesce(F.array_max(ys), F.col("y")).alias("ymax"))
+
     def _build(self, ctx):
         url, fmt, _, time_column, schema = self.args
         reader = ctx.spark.read
@@ -134,6 +175,8 @@ class FileGeometrySource(GeometryBlock):
             df = reader.parquet(url)
         elif fmt == "csv":
             df = reader.schema(schema).option("header", True).csv(url)
+        elif fmt == "geojson":
+            df = self._geojson_frame(ctx.spark, url, schema)
         else:
             df = reader.schema(schema).json(url)
         return apply_feature_request(df, ctx.request,

@@ -20,8 +20,9 @@ from dask_geomodeling_spark.geometry.base import BaseSingle
 
 __all__ = ["CosineTopK", "BucketedANN", "KMeansIVF", "IVFPQ",
            "ProductQuantizerANN", "cosine_expr", "hyperplane_bucket",
-           "learn_centroids", "nearest_centroid_expr",
-           "probe_centroids_expr", "hyperplanes"]
+           "learn_centroids", "learn_codebooks", "assign_clusters_join",
+           "nearest_centroid_expr", "probe_centroids_expr",
+           "hyperplanes"]
 
 
 def dot_expr(a, b):
@@ -251,6 +252,33 @@ def learn_centroids(df, k, iters, vec_column="embedding",
     return cents
 
 
+def assign_clusters_join(df, cents, vec_column, id_column, extra=()):
+    """Nearest-centroid assignment via a BROADCAST JOIN instead of a
+    literal expression: the k×dim centroid matrix becomes a k-row
+    DataFrame broadcast to every task; each input row expands against
+    it map-side and collapses to its argmin cluster in the partial
+    aggregation — one shuffled row per input row, never k.
+
+    Same (distance, id)-ascending tie-break as
+    ``nearest_centroid_expr``; use this path when k is large enough
+    that embedding k×dim literals would blow up the plan (k ≳ 4096 —
+    Catalyst re-serializes the expression tree per task otherwise)."""
+    spark = df.sparkSession
+    cents_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "_jcid int, _centroid array<double>")
+    dist = F.expr(
+        "aggregate(zip_with({v}, _centroid, (x, y) -> "
+        "(cast(x as double) - y) * (cast(x as double) - y)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)".format(v=vec_column))
+    expanded = df.join(F.broadcast(cents_df))
+    aggs = [F.min_by("_jcid", F.struct(dist.alias("d"),
+                                       F.col("_jcid"))).alias("_cid"),
+            F.first(vec_column).alias(vec_column)]
+    aggs += [F.first(c).alias(c) for c in extra]
+    return expanded.groupBy(id_column).agg(*aggs)
+
+
 def learn_codebooks(subs, m, codes, iters, id_column="vec_id", scale=8):
     """Fit ``m`` per-subspace k-means codebooks in ONE distributed job
     per Lloyd iteration (instead of ``m`` independent fits): the input
@@ -310,10 +338,12 @@ class KMeansIVF(BaseSingle):
 
     def __init__(self, source, queries, k=5, clusters=4, iters=2,
                  vec_column="embedding", id_column="vec_id",
-                 precision=None, nprobe=1):
+                 precision=None, nprobe=1, assign="literal"):
+        if assign not in ("literal", "join"):
+            raise ValueError("assign must be 'literal' or 'join'")
         super().__init__(source, queries, int(k), int(clusters),
                          int(iters), vec_column, id_column, precision,
-                         int(nprobe))
+                         int(nprobe), assign)
 
     @property
     def columns(self):
@@ -321,19 +351,30 @@ class KMeansIVF(BaseSingle):
 
     def _build(self, ctx):
         (_, queries, k, clusters, iters, vec_column, id_column,
-         precision, nprobe) = self.args
+         precision, nprobe, assign) = self.args
         # persisted across the iterative fit AND the search scan — the
         # fit alone re-reads the frame iters+1 times
         base = (self.source._build(ctx).select(id_column, vec_column)
                 .persist())
         cents = learn_centroids(base, clusters, iters, vec_column,
                                 id_column)
-        cid = nearest_centroid_expr(vec_column, cents)
-        corpus = base.select(
-            F.col(id_column).alias("neighbor_id"),
-            F.col(vec_column).alias("_cv"),
-            norm_expr(vec_column).alias("_cn"),
-            cid.alias("_cid"))
+        if assign == "join":
+            # broadcast-join assignment: the scale path once k×dim
+            # literals would bloat the plan (docstring of
+            # assign_clusters_join); queries stay literal (tiny side)
+            corpus = assign_clusters_join(
+                base, cents, vec_column, id_column).select(
+                F.col(id_column).alias("neighbor_id"),
+                F.col(vec_column).alias("_cv"),
+                norm_expr(vec_column).alias("_cn"),
+                F.col("_cid"))
+        else:
+            cid = nearest_centroid_expr(vec_column, cents)
+            corpus = base.select(
+                F.col(id_column).alias("neighbor_id"),
+                F.col(vec_column).alias("_cv"),
+                norm_expr(vec_column).alias("_cn"),
+                cid.alias("_cid"))
         qs = queries._build(ctx).select(
             F.col(id_column).alias("query_id"),
             F.col(vec_column).alias("_qv"),

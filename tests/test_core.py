@@ -117,3 +117,32 @@ def test_file_geometry_source_validates():
                              schema="a bigint, b string")
     from dask_geomodeling_spark import Block
     assert Block.from_json(blk.to_json()).token == blk.token
+
+
+def test_geojson_featurecollection_polygon_reader(spark, tmp_path):
+    """FeatureCollection reader: Polygon features yield ring bboxes,
+    Point features x/y + degenerate bbox, properties typed by DDL."""
+    import json
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "properties": {"fid": 1, "name": "pt"},
+         "geometry": {"type": "Point", "coordinates": [4.5, 52.1]}},
+        {"type": "Feature", "properties": {"fid": 2, "name": "poly"},
+         "geometry": {"type": "Polygon", "coordinates":
+                      [[[0.0, 0.0], [2.0, 0.0], [2.0, 3.0],
+                        [0.0, 3.0], [0.0, 0.0]]]}},
+    ]}
+    p = tmp_path / "a.geojson"
+    p.write_text(json.dumps(fc))
+    from dask_geomodeling_spark.geometry.sources import FileGeometrySource
+    src = FileGeometrySource(str(tmp_path), format="geojson",
+                             id_field="fid",
+                             schema="fid bigint, name string")
+    rows = {r.fid: r for r in src.plan(spark).collect()}
+    assert rows[1].x == 4.5 and rows[1].y == 52.1
+    assert (rows[1].xmin, rows[1].ymax) == (4.5, 52.1)
+    assert rows[2].x is None
+    assert (rows[2].xmin, rows[2].ymin, rows[2].xmax, rows[2].ymax) \
+        == (0.0, 0.0, 2.0, 3.0)
+    # bbox request prunes the point outside the box
+    sub = src.plan(spark, geometry=(1.0, 1.0, 3.0, 4.0)).collect()
+    assert {r.fid for r in sub} == {2}

@@ -306,3 +306,47 @@ def test_resize_image_real(spark):
         expect = sum((doc_id * 37 + 3 * p * 11) % 256
                      for p in (0, 2, 8, 10)) / 4
         assert mean_r == expect
+
+
+def test_kmeans_ivf_join_assignment_matches_literal(spark):
+    """assign='join' (broadcast-join argmin, the large-k path) must
+    produce exactly the literal-expression assignment's results."""
+    from dask_geomodeling_spark.demos import (DataFrameSource,
+                                              read_nanos_parquet)
+    from dask_geomodeling_spark.pipeline.similarity import KMeansIVF
+    from pyspark.sql import functions as F
+    emb = read_nanos_parquet(spark,
+                             "/root/testdata/sf0.001/embeddings.parquet")
+    corpus = DataFrameSource(emb, index_column="vec_id")
+    queries = DataFrameSource(emb.filter(F.col("vec_id") < 3),
+                              index_column="vec_id")
+    lit = KMeansIVF(corpus, queries, k=5, clusters=4, iters=1,
+                    precision=6).plan(spark).collect()
+    jn = KMeansIVF(corpus, queries, k=5, clusters=4, iters=1,
+                   precision=6, assign="join").plan(spark).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(map(tuple, lit), key=lambda t: (t[0], t[3])) \
+        == sorted(map(tuple, jn), key=lambda t: (t[0], t[3]))
+
+
+def test_kmeans_ivf_join_assignment_broadcasts(spark):
+    """The join-assignment plan must broadcast the centroid table (a
+    BroadcastNestedLoopJoin/BroadcastExchange), never shuffle the
+    corpus against it."""
+    import contextlib, io
+    from dask_geomodeling_spark.demos import (DataFrameSource,
+                                              read_nanos_parquet)
+    from dask_geomodeling_spark.pipeline.similarity import KMeansIVF
+    from pyspark.sql import functions as F
+    emb = read_nanos_parquet(spark,
+                             "/root/testdata/sf0.001/embeddings.parquet")
+    corpus = DataFrameSource(emb, index_column="vec_id")
+    queries = DataFrameSource(emb.filter(F.col("vec_id") < 3),
+                              index_column="vec_id")
+    df = KMeansIVF(corpus, queries, k=5, clusters=4, iters=1,
+                   precision=6, assign="join").plan(spark)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastExchange" in plan
