@@ -1837,7 +1837,7 @@ def intersection(spark, sf_dir):
 
 
 @demo("literal_source", oracle="""
-WITH f(id, x, y) AS (VALUES (1, 3.5, 4.5)),
+WITH f(id, x, y) AS (VALUES (CAST(1 AS BIGINT), 3.5, 4.5)),
 b AS (SELECT id, x - 1.0 AS xmin, y - 1.0 AS ymin,
              x + 1.0 AS xmax, y + 1.0 AS ymax
       FROM f)
@@ -3730,3 +3730,54 @@ def sliding_window_agg(spark, sf_dir):
             .select(F.col("_w.start").alias("window_start"),
                     F.col("_w.end").alias("window_end"),
                     "event_type", "total", "n"))
+
+
+# --------------------------------------------------------------------------
+# driver-gate ordering: the correctness harness verifies the FIRST 50
+# registered queries, so the first 50 must span SURVEY §2 breadth-first —
+# one query per component family (field ops, request modes, merges/set
+# ops, sources/sinks incl. GeoJSON, the raster planes, TPC-H join
+# shapes, every dedup/ANN family, multimodal decode, corpus hygiene,
+# streaming) rather than file order.  Everything after slot 50 keeps
+# registration order and is exercised by the full oracle sweep
+# (tests/test_oracle_parity.py covers ALL of them).
+# --------------------------------------------------------------------------
+
+GATE_ORDER = [
+    # flagship + field ops + geometry plane
+    "q1_pricing_summary", "field_ops_arithmetic", "classify",
+    "where_mask_round", "merge_blocks", "set_difference", "intersection",
+    "buffer_area", "parse_text", "geometry_tiler", "aggregate_raster",
+    "reproject_utm", "request_filters", "geometry_sink_roundtrip",
+    "geojson_source_roundtrip", "literal_source", "json_graph_roundtrip",
+    # raster plane
+    "memory_source", "raster_elemwise_math", "raster_elemwise_compare",
+    "raster_fill_nodata", "raster_group", "raster_mask_step_classify",
+    "raster_rasterize", "raster_reduction", "raster_smooth",
+    "raster_hillshade", "raster_snap", "raster_temporal_right_closed",
+    "raster_cumulative", "raster_resample", "raster_sink_roundtrip",
+    # TPC-H join shapes
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q9_product_profit", "q13_customer_distribution", "q18_large_orders",
+    "q22_idle_customers",
+    # LLM-pipeline: dedup, ANN, multimodal, hygiene, end-to-end
+    "exact_dedup", "minhash_lsh", "ngram_jaccard", "embedding_dedup_lsh",
+    "kmeans_ivf_ann", "ivfpq_ann", "decode_image", "decontaminate",
+    "corpus_prep",
+    # streaming / temporal joins
+    "event_aggregate", "asof_join", "running_aggregate",
+]
+
+assert len(GATE_ORDER) == 50, len(GATE_ORDER)
+_missing = [n for n in GATE_ORDER if n not in QUERIES]
+assert not _missing, "GATE_ORDER names not registered: {}".format(_missing)
+
+
+def _gate_first(registry):
+    ordered = {n: registry[n] for n in GATE_ORDER if n in registry}
+    ordered.update((n, v) for n, v in registry.items() if n not in ordered)
+    return ordered
+
+
+QUERIES = _gate_first(QUERIES)
+ORACLES = _gate_first(ORACLES)
