@@ -13,7 +13,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from dask_geomodeling_spark.geometry.base import BaseSingle, GeometryBlock
-from dask_geomodeling_spark.pipeline.dedup import MERSENNE, poly_hash_expr
+from dask_geomodeling_spark.pipeline.dedup import (MERSENNE,
+                                                   ngram_regex_expr,
+                                                   poly_hash_expr)
 
 __all__ = ["RepetitionFilter", "Decontaminate", "PIIRedact"]
 
@@ -70,8 +72,11 @@ class RepetitionFilter(BaseSingle):
             / F.col("n_words").cast("double")).otherwise(0.0)
         df = df.withColumn("dup_word_ratio", dup)
 
-        grams = F.when(F.col("n_words") >= 2, F.expr(
-            _GRAMS.format(w="_w", n=2))).otherwise(F.array())
+        # occurrence multiset (not distinct): the top-bigram share
+        # counts repeats; regex build stays in codegen (ngram_regex_expr)
+        grams = F.when(F.col("n_words") >= 2,
+                       ngram_regex_expr(column, 2, distinct=False)) \
+            .otherwise(F.array())
         exploded = (df.select(F.col(idc), F.explode(grams).alias("_g"))
                     .groupBy(idc, "_g").count()
                     .groupBy(idc).agg(F.max("count").alias("_top")))
@@ -139,11 +144,13 @@ class Decontaminate(GeometryBlock):
                 "(acc, h) -> pmod(acc * 8191 + h, {m})))"
                 .format(n=n, m=MERSENNE)))
         else:
-            grams = F.array_distinct(F.expr(_GRAMS.format(w="_w", n=n)))
+            # codegen regex build (docstring of ngram_regex_expr) —
+            # same grams as the HOF template, ~3.5x cheaper per scan
+            grams = ngram_regex_expr(column, n)
 
         def with_grams(df):
-            df = df.withColumn("_w", _words(column))
             if hashed:
+                df = df.withColumn("_w", _words(column))
                 df = df.withColumn("_th", F.expr(
                     "transform(_w, t -> {h})".format(
                         h=poly_hash_expr("t"))))
@@ -157,7 +164,7 @@ class Decontaminate(GeometryBlock):
         shared = (train_grams.join(eval_grams, "_g")
                   .groupBy(idc)
                   .agg(F.count(F.lit(1)).alias("_shared")))
-        drop = ["_w", "_th", "_grams"] if hashed else ["_w", "_grams"]
+        drop = ["_w", "_th", "_grams"] if hashed else ["_grams"]
         out = train.drop(*drop).join(shared, on=idc, how="left")
         return (out.withColumn(
             "shared_ngrams",
