@@ -2062,6 +2062,42 @@ def reproject_equirect(spark, sf_dir):
     return f.join(b, "s_suppkey")
 
 
+@demo("geotiff_source", oracle="""
+SELECT CAST('1970-01-01' AS TIMESTAMP)
+           + INTERVAL 1 HOUR * band AS time,
+       y, x,
+       CASE WHEN (band * 1000 + y * 16 + x) % 7 = 0 THEN NULL
+            ELSE CAST(band * 1000 + y * 16 + x AS DOUBLE) END AS value
+FROM (SELECT unnest(range(0, 2)) AS band),
+     (SELECT unnest(range(0, 8)) AS y),
+     (SELECT unnest(range(0, 16)) AS x)
+""")
+def geotiff_source(spark, sf_dir):
+    """GeoTIFFRasterSource (reference RasterFileSource,
+    raster/sources.py:396): distributed binaryFile scan + pure-python
+    uncompressed-TIFF strip parse -> cell table; two bands become two
+    timesteps via time_delta.  Cell values follow a closed-form formula
+    ((band*1000 + y*16 + x), every 7th cell nodata) so the oracle
+    re-derives the whole grid without reading TIFF."""
+    import os
+    import tempfile
+    from datetime import timedelta
+
+    from dask_geomodeling_spark.raster.sources import (
+        GeoTIFFRasterSource, write_geotiff)
+    d = tempfile.mkdtemp(prefix="dgs_geotiff_")
+    for band in range(2):
+        vals = [float(band * 1000 + y * 16 + x)
+                if (band * 1000 + y * 16 + x) % 7 else -9999.0
+                for y in range(8) for x in range(16)]
+        # value 0 (band 0, cell 0) is divisible by 7 -> nodata too
+        write_geotiff(os.path.join(d, "band{}.tif".format(band)),
+                            16, 8, vals, nodata=-9999.0)
+    src = GeoTIFFRasterSource(d + "/*.tif",
+                              time_delta=timedelta(hours=1))
+    return src.plan(spark).select("time", "y", "x", "value")
+
+
 @demo("raster_time_request", oracle="""
 WITH grid AS ({grid})
 SELECT DISTINCT time FROM grid
@@ -3365,17 +3401,18 @@ def cube_quantity(spark, sf_dir):
                  F.grouping_id().cast("bigint").alias("gid")))
 
 
-@demo("ntile_deciles", oracle="""
+@demo("ntile_deciles_global_window", oracle="""
 SELECT o_orderkey,
        CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey)
             AS BIGINT) AS decile
 FROM orders
 """)
-def ntile_deciles(spark, sf_dir):
-    """Global spend deciles via NTILE — deterministic tie-break on the
-    key.  A single global window is the one shape that does NOT scale
-    (one ordered partition); at 100 TB approximate quantile cuts +
-    width_bucket replace it — kept here for SQL-surface parity."""
+def ntile_deciles_global_window(spark, sf_dir):
+    """DO NOT COPY AT SCALE — global spend deciles via NTILE over a
+    single un-partitioned window (one ordered partition = one task; the
+    name carries the warning).  Kept for SQL-surface parity only; the
+    scalable replacement is ``quantile_cut_deciles`` (broadcast
+    percentile cuts + a pure projection)."""
     from pyspark.sql import Window
     orders = read_nanos_parquet(spark, _pq(sf_dir, "orders"))
     w = Window.orderBy("o_totalprice", "o_orderkey")

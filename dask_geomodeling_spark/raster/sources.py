@@ -19,7 +19,8 @@ from dask_geomodeling_spark.raster.base import (EPOCH, RasterBlock,
                                                 apply_raster_request)
 
 __all__ = ["MemorySource", "RasterParquetSource", "TableRasterSource",
-           "DataFrameRasterSource"]
+           "DataFrameRasterSource", "GeoTIFFRasterSource",
+           "write_geotiff"]
 
 
 class DataFrameRasterSource(RasterBlock):
@@ -141,3 +142,209 @@ class TableRasterSource(RasterBlock):
                       F.col("x").cast("bigint"),
                       F.col("value").cast("double")),
             ctx.request)
+
+
+def _parse_geotiff(content):
+    """Pure-python parse of an UNCOMPRESSED strip-organized single-band
+    GeoTIFF (reference RasterFileSource reads GDAL rasters,
+    raster/sources.py:396 — no GDAL here, so the baseline TIFF layout
+    is parsed directly).  Returns (width, height, values, nodata,
+    geotransform) where values is a row-major list of python floats and
+    geotransform is (x_origin, pixel_w, y_origin, pixel_h) from the
+    ModelTiepoint/ModelPixelScale GeoTIFF tags (None when absent).
+
+    Supported: byte order II/MM, BitsPerSample 8/16/32/64 with
+    SampleFormat uint/int/float, strips (not tiles), SamplesPerPixel 1,
+    Compression 1.  Anything else raises NotImplementedError with the
+    offending tag."""
+    import struct
+
+    bo = {b"II": "<", b"MM": ">"}.get(content[:2])
+    if bo is None or struct.unpack_from(bo + "H", content, 2)[0] != 42:
+        raise ValueError("not a TIFF")
+    (ifd_off,) = struct.unpack_from(bo + "I", content, 4)
+    (n_entries,) = struct.unpack_from(bo + "H", content, ifd_off)
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8}
+    tags = {}
+    for i in range(n_entries):
+        off = ifd_off + 2 + i * 12
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", content, off)
+        size = type_size.get(typ, 1) * cnt
+        voff = off + 8 if size <= 4 else \
+            struct.unpack_from(bo + "I", content, off + 8)[0]
+        fmt = {1: "B", 3: "H", 4: "I", 11: "f", 12: "d"}.get(typ)
+        if fmt:
+            tags[tag] = list(struct.unpack_from(bo + str(cnt) + fmt,
+                                                content, voff))
+        elif typ == 2:  # ascii
+            tags[tag] = content[voff:voff + cnt].split(b"\0")[0].decode()
+    width, height = int(tags[256][0]), int(tags[257][0])
+    if tags.get(259, [1])[0] != 1:
+        raise NotImplementedError(
+            "compressed TIFF (tag 259 = {}) needs GDAL".format(tags[259][0]))
+    if 322 in tags or 324 in tags:
+        raise NotImplementedError("tiled TIFF needs GDAL; use strips")
+    if tags.get(277, [1])[0] != 1:
+        raise NotImplementedError("multi-sample TIFF not supported")
+    bits = int(tags.get(258, [8])[0])
+    sfmt = int(tags.get(339, [1])[0])  # 1 uint, 2 int, 3 float
+    fmt = {(8, 1): "B", (8, 2): "b", (16, 1): "H", (16, 2): "h",
+           (32, 1): "I", (32, 2): "i", (32, 3): "f",
+           (64, 3): "d"}.get((bits, sfmt))
+    if fmt is None:
+        raise NotImplementedError(
+            "BitsPerSample={} SampleFormat={} not supported".format(
+                bits, sfmt))
+    rows_per_strip = int(tags.get(278, [height])[0])
+    offsets, counts = tags[273], tags[279]
+    values = []
+    for s, (soff, scnt) in enumerate(zip(offsets, counts)):
+        n_rows = min(rows_per_strip, height - s * rows_per_strip)
+        n = n_rows * width
+        values.extend(struct.unpack_from(
+            bo + str(n) + fmt, content, int(soff)))
+    nodata = None
+    if 42113 in tags:  # GDAL_NODATA ascii tag
+        try:
+            nodata = float(tags[42113])
+        except (TypeError, ValueError):
+            pass
+    geotransform = None
+    if 33550 in tags and 33922 in tags:
+        sx, sy = tags[33550][0], tags[33550][1]
+        # tiepoint (i, j, k, x, y, z): raster point -> model point
+        ti, tj, tx, ty = (tags[33922][0], tags[33922][1],
+                          tags[33922][3], tags[33922][4])
+        geotransform = (tx - ti * sx, sx, ty + tj * sy, sy)
+    return width, height, [float(v) for v in values], nodata, geotransform
+
+
+def write_geotiff(path, width, height, values, bo="<",
+                        nodata=None, geo=True):
+    """Minimal uncompressed single-strip float32 GeoTIFF writer — the
+    inverse of ``_parse_geotiff`` for fixtures and small exports
+    (reference writes rasters via GDAL; this covers the baseline strip
+    layout only).  ``geo=True`` stamps a ModelPixelScale of (0.5, 0.25)
+    at tiepoint (10, 20)."""
+    import struct
+    n = width * height
+    data = struct.pack(bo + str(n) + "f", *values)
+    entries = []
+    extra = b""
+    # header(8) + count(2) + entries + next(4), then extra data, then strip
+    def add(tag, typ, cnt, packed_or_val, inline=False):
+        entries.append((tag, typ, cnt, packed_or_val, inline))
+
+    n_base = 10 + (3 if geo else 0) + (1 if nodata is not None else 0)
+    ifd_size = 2 + n_base * 12 + 4
+    data_start = 8 + ifd_size
+
+    def offset_of(blob):
+        nonlocal extra
+        off = data_start + len(extra)
+        extra += blob
+        return off
+
+    add(256, 3, 1, width, True)
+    add(257, 3, 1, height, True)
+    add(258, 3, 1, 32, True)
+    add(259, 3, 1, 1, True)
+    add(262, 3, 1, 1, True)
+    add(277, 3, 1, 1, True)
+    add(278, 3, 1, height, True)
+    add(339, 3, 1, 3, True)
+    if geo:
+        scale = struct.pack(bo + "3d", 0.5, 0.25, 0.0)
+        add(33550, 12, 3, offset_of(scale))
+        tie = struct.pack(bo + "6d", 0.0, 0.0, 0.0, 10.0, 20.0, 0.0)
+        add(33922, 12, 6, offset_of(tie))
+        add(34735, 3, 4, offset_of(struct.pack(bo + "4H", 1, 1, 0, 0)))
+    if nodata is not None:
+        s = str(nodata).encode() + b"\0"
+        add(42113, 2, len(s), offset_of(s))
+    strip_off = data_start + len(extra)
+    add(273, 4, 1, strip_off, True)
+    add(279, 4, 1, len(data), True)
+    entries.sort(key=lambda e: e[0])
+    out = (b"II" if bo == "<" else b"MM")
+    out += struct.pack(bo + "HI", 42, 8)
+    out += struct.pack(bo + "H", len(entries))
+    for tag, typ, cnt, val, *rest in entries:
+        out += struct.pack(bo + "HHI", tag, typ, cnt)
+        if typ == 3 and rest and rest[0]:
+            out += struct.pack(bo + "HH", val, 0)
+        else:
+            out += struct.pack(bo + "I", val)
+    out += struct.pack(bo + "I", 0)
+    out += extra + data
+    with open(path, "wb") as f:
+        f.write(out)
+
+
+
+class GeoTIFFRasterSource(RasterBlock):
+    """Cell table from uncompressed GeoTIFF files (reference:
+    RasterFileSource, raster/sources.py:396, which delegates to GDAL).
+
+    Spark-first ingestion: ``spark.read.format("binaryFile")`` lists and
+    reads the files distributed (one task per file — the natural grain
+    for raster tiles), an Arrow-batched ``mapInPandas`` runs the
+    pure-python TIFF parse per file, and each pixel becomes a cell row
+    ``(time, y, x, value)`` with nodata as NULL.  ``time`` comes from
+    ``time_first`` (+ ``time_delta`` * sorted-file-index when given).
+    With georeferencing tags present, ``wx``/``wy`` carry the model-space
+    center coordinates of each pixel.
+    """
+
+    def __init__(self, url, time_first=EPOCH, time_delta=None):
+        super().__init__(url, time_first, time_delta)
+
+    def _build(self, ctx):
+        from pyspark.sql import types as T
+        url, time_first, time_delta = self.args
+        files = (ctx.spark.read.format("binaryFile").load(url)
+                 .select("path", "content"))
+        schema = T.StructType([
+            T.StructField("path", T.StringType()),
+            T.StructField("y", T.LongType()),
+            T.StructField("x", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("wx", T.DoubleType()),
+            T.StructField("wy", T.DoubleType()),
+        ])
+
+        def parse(batches):
+            import pandas as pd
+            for pdf in batches:
+                for path, content in zip(pdf["path"], pdf["content"]):
+                    w, h, vals, nodata, gt = _parse_geotiff(bytes(content))
+                    ys = [i // w for i in range(w * h)]
+                    xs = [i % w for i in range(w * h)]
+                    if gt is not None:
+                        x0, sx, y0, sy = gt
+                        wxs = [x0 + (c + 0.5) * sx for c in xs]
+                        wys = [y0 - (r + 0.5) * sy for r in ys]
+                    else:
+                        wxs = wys = [None] * (w * h)
+                    if nodata is not None:
+                        vals = [None if v == nodata else v for v in vals]
+                    yield pd.DataFrame({"path": path, "y": ys, "x": xs,
+                                        "value": vals, "wx": wxs,
+                                        "wy": wys})
+
+        cells = files.mapInPandas(parse, schema=schema)
+        if time_delta is not None:
+            # stable per-file band index by sorted path (tiny dimension:
+            # one row per FILE) broadcast onto the cells
+            from pyspark.sql import Window
+            idx = (files.select("path").distinct()
+                   .withColumn("_band", F.row_number().over(
+                       Window.orderBy("path")) - 1))
+            cells = cells.join(F.broadcast(idx), "path")
+            t = (F.lit(time_first).cast("timestamp").cast("double")
+                 + F.col("_band") * F.lit(time_delta.total_seconds())) \
+                .cast("timestamp")
+        else:
+            t = F.lit(time_first).cast("timestamp")
+        out = cells.select(t.alias("time"), "y", "x", "value", "wx", "wy")
+        return apply_raster_request(out, ctx.request)

@@ -150,3 +150,31 @@ def test_rasterize(spark):
 def test_request_pushdown(spark, a):
     got = grid(spark, elemwise.Add(a, 0), bbox=(0, 0, 0, 0))
     assert set(got) == {(0, 0)}
+
+
+def test_geotiff_source_roundtrip(spark, tmp_path):
+    """GeoTIFFRasterSource: distributed binaryFile read + pure-python
+    strip TIFF parse -> cell table with nodata NULLs and georeferenced
+    pixel centers."""
+    from dask_geomodeling_spark.raster.sources import (
+        GeoTIFFRasterSource, write_geotiff)
+    vals = [float(v) for v in range(12)]
+    vals[5] = -9999.0
+    write_geotiff(str(tmp_path / "a.tif"), 4, 3, vals,
+                        nodata=-9999.0)
+    src = GeoTIFFRasterSource(str(tmp_path) + "/*.tif")
+    rows = src.plan(spark).collect()
+    assert len(rows) == 12
+    by_yx = {(r.y, r.x): r for r in rows}
+    assert by_yx[(0, 1)].value == 1.0
+    assert by_yx[(1, 1)].value is None          # nodata -> NULL
+    assert by_yx[(2, 3)].value == 11.0
+    # geotransform: origin (10, 20), pixel 0.5 x 0.25, centers offset
+    assert by_yx[(0, 0)].wx == 10.25 and by_yx[(0, 0)].wy == 19.875
+    # big-endian variant parses identically
+    write_geotiff(str(tmp_path / "b.tif"), 4, 3, vals, bo=">",
+                        nodata=-9999.0)
+    rows2 = (GeoTIFFRasterSource(str(tmp_path) + "/b.tif")
+             .plan(spark).collect())
+    assert {(r.y, r.x): r.value for r in rows2} \
+        == {(r.y, r.x): r.value for r in rows}
