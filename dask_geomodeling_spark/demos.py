@@ -2098,6 +2098,96 @@ def geotiff_source(spark, sf_dir):
     return src.plan(spark).select("time", "y", "x", "value")
 
 
+@demo("polygon_area", oracle="""
+WITH v(id, i, x, y) AS (VALUES
+  (CAST(1 AS BIGINT), 0, 0.0, 0.0), (1, 1, 4.0, 0.0), (1, 2, 0.0, 3.0),
+  (2, 0, 0.0, 0.0), (2, 1, 4.0, 0.0), (2, 2, 4.0, 1.0),
+  (2, 3, 1.0, 1.0), (2, 4, 1.0, 4.0), (2, 5, 0.0, 4.0)),
+e AS (
+  SELECT a.id, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+  FROM v a JOIN v b
+    ON a.id = b.id
+   AND b.i = (a.i + 1) % (SELECT MAX(i) + 1 FROM v w WHERE w.id = a.id))
+SELECT id, ABS(SUM(ax * by - bx * ay)) / 2 AS area FROM e GROUP BY id
+""")
+def polygon_area(spark, sf_dir):
+    """TRUE polygon Area via the shoelace formula over the parsed WKT
+    ring (reference runs shapely .area, geom_operations.py:15) — a
+    triangle and a non-convex L-shape; the oracle re-derives the
+    shoelace from the same vertices relationally."""
+    from dask_geomodeling_spark.geometry.geom_operations import Area
+    from dask_geomodeling_spark.geometry.sources import (
+        LiteralGeometrySource, parse_point_or_box_wkt)
+    rows = []
+    for i, wkt in enumerate((
+            "POLYGON ((0 0, 4 0, 0 3, 0 0))",
+            "POLYGON ((0 0, 4 0, 4 1, 1 1, 1 4, 0 4, 0 0))")):
+        fields = parse_point_or_box_wkt(wkt)
+        fields["id"] = i + 1
+        rows.append(fields)
+    src = LiteralGeometrySource(rows)
+    view = src.set("area", Area(src))
+    return view.plan(spark).select("id", "area")
+
+
+@demo("rasterize_polygon", oracle="""
+WITH cells AS (
+  SELECT y, x FROM (SELECT unnest(range(0, 5)) AS y),
+                   (SELECT unnest(range(0, 7)) AS x)),
+e(ax, ay, bx, by) AS (VALUES
+  (0.0, 0.0, 6.0, 0.0), (6.0, 0.0, 0.0, 4.0), (0.0, 4.0, 0.0, 0.0))
+SELECT CAST('1970-01-01' AS TIMESTAMP) AS time, y, x, 1.0 AS value
+FROM cells c
+WHERE (SELECT SUM(CASE WHEN ((ay > c.y + 0.5) != (by > c.y + 0.5))
+                        AND (c.x + 0.5 < ax + (bx - ax) * (c.y + 0.5 - ay)
+                             / nullif(by - ay, 0.0))
+                       THEN 1 ELSE 0 END)
+       FROM e) % 2 = 1
+""")
+def rasterize_polygon(spark, sf_dir):
+    """TRUE polygon rasterization (reference raster/misc.py:712 burns
+    geometry via GDAL): RasterizeWKT on a triangle keeps the bbox
+    candidate cells whose CENTER passes the even-odd ray cast — the
+    GDAL default burn rule, re-derived relationally in the oracle."""
+    from dask_geomodeling_spark.raster.misc import RasterizeWKT
+    return RasterizeWKT("POLYGON ((0 0, 6 0, 0 4, 0 0))").plan(spark)
+
+
+@demo("aggregate_raster_polygon", oracle="""
+WITH grid AS ({grid}),
+e(ax, ay, bx, by) AS (VALUES
+  (0.0, 0.0, 40.0, 0.0), (40.0, 0.0, 0.0, 24.0), (0.0, 24.0, 0.0, 0.0))
+SELECT CAST(1 AS BIGINT) AS id,
+       MAX(g.value) AS agg_max, COUNT(g.value) AS agg_count
+FROM grid g
+WHERE g.x BETWEEN 0 AND 40 AND g.y BETWEEN 0 AND 24
+  AND (SELECT SUM(CASE WHEN ((ay > g.y) != (by > g.y))
+                        AND (g.x < ax + (bx - ax) * (g.y - ay)
+                             / nullif(by - ay, 0.0))
+                       THEN 1 ELSE 0 END)
+       FROM e) % 2 = 1
+""".format(grid=_grid_sql()))
+def aggregate_raster_polygon(spark, sf_dir):
+    """Zonal statistics inside a TRUE polygon (reference masks by the
+    actual geometry, aggregate.py:75): the bbox range join prunes
+    candidate cells, the ray cast keeps exactly the cells whose (x, y)
+    lies in the triangle."""
+    from dask_geomodeling_spark.geometry.aggregate import AggregateRaster
+    from dask_geomodeling_spark.geometry.sources import (
+        LiteralGeometrySource, parse_point_or_box_wkt)
+    fields = parse_point_or_box_wkt(
+        "POLYGON ((0 0, 40 0, 0 24, 0 0))")
+    fields["id"] = 1
+    src = LiteralGeometrySource([fields])
+    grid = lineitem_grid(spark, sf_dir)
+    mx = AggregateRaster(src, grid, statistic="max", column_name="agg_max")
+    both = AggregateRaster(mx, grid, statistic="count",
+                           column_name="agg_count")
+    return both.plan(spark).select(
+        F.col("id").cast("bigint").alias("id"), "agg_max",
+        F.coalesce("agg_count", F.lit(0)).alias("agg_count"))
+
+
 @demo("raster_time_request", oracle="""
 WITH grid AS ({grid})
 SELECT DISTINCT time FROM grid

@@ -76,10 +76,20 @@ class AggregateRaster(BaseSingle):
         cells = self._cells(ctx)
         cols = set(features.columns)
         if {"xmin", "ymin", "xmax", "ymax"} <= cols:
-            boxes = features.select(idx, "xmin", "ymin", "xmax", "ymax")
+            keep = ["vertices"] if "vertices" in cols else []
+            boxes = features.select(idx, "xmin", "ymin", "xmax", "ymax",
+                                    *keep)
             cond = ((cells["x"] >= boxes["xmin"]) & (cells["x"] <= boxes["xmax"])
                     & (cells["y"] >= boxes["ymin"])
                     & (cells["y"] <= boxes["ymax"]))
+            if keep:
+                # exact polygon mask (reference masks by actual geometry,
+                # aggregate.py:75): bbox range-join prunes candidates,
+                # the ray-cast keeps cells whose point lies in the ring
+                from dask_geomodeling_spark.geometry.geom_operations \
+                    import point_in_polygon_expr
+                cond = cond & (boxes["vertices"].isNull()
+                               | point_in_polygon_expr("x", "y"))
         elif {"x", "y"} <= cols:
             boxes = features.select(idx, F.floor("x").alias("_fx"),
                                     F.floor("y").alias("_fy"))

@@ -25,12 +25,15 @@ _BOX_RE = re.compile(
 
 
 def parse_point_or_box_wkt(wkt):
-    """Parse POINT/axis-aligned POLYGON WKT into typed geometry fields.
+    """Parse POINT/POLYGON WKT into typed geometry fields.
 
     No GDAL/shapely in this environment (reference links GDAL at import,
-    __init__.py:1); points and axis-aligned boxes cover the engine's native
-    geometry algebra, everything else raises.
-    """
+    __init__.py:1).  Points and axis-aligned boxes map to the engine's
+    native typed columns; a GENERAL polygon (single outer ring)
+    additionally carries its ring as a ``vertices`` column
+    (``array<array<double>>``, closing vertex dropped) — the input of
+    the exact shoelace/ray-cast column expressions
+    (geom_operations.point_in_polygon_expr)."""
     m = _POINT_RE.match(wkt)
     if m:
         return {"x": float(m.group(1)), "y": float(m.group(2))}
@@ -38,11 +41,24 @@ def parse_point_or_box_wkt(wkt):
     if m:
         pts = [tuple(float(v) for v in p.split())
                for p in m.group(1).split(",")]
+        if pts[0] == pts[-1]:
+            pts = pts[:-1]
         xs = [p[0] for p in pts]
         ys = [p[1] for p in pts]
-        return {"xmin": min(xs), "ymin": min(ys),
-                "xmax": max(xs), "ymax": max(ys)}
-    raise ValueError("Only POINT and axis-aligned POLYGON WKT are supported")
+        fields = {"xmin": min(xs), "ymin": min(ys),
+                  "xmax": max(xs), "ymax": max(ys)}
+        # axis-aligned box (the native algebra) keeps bbox-only parity;
+        # anything else is a true polygon -> carry the ring
+        is_box = len(pts) == 4 and sorted(pts) == sorted(
+            [(fields["xmin"], fields["ymin"]),
+             (fields["xmin"], fields["ymax"]),
+             (fields["xmax"], fields["ymin"]),
+             (fields["xmax"], fields["ymax"])])
+        if not is_box:
+            fields["vertices"] = [[float(px), float(py)]
+                                  for px, py in pts]
+        return fields
+    raise ValueError("Only POINT and POLYGON WKT are supported")
 
 
 class ParquetGeometrySource(GeometryBlock):

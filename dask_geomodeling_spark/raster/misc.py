@@ -200,20 +200,33 @@ class Rasterize(RasterBlock):
         return self.args[1]
 
     def _build(self, ctx):
+        from dask_geomodeling_spark.geometry.geom_operations import (
+            point_in_polygon_expr)
         df = self.source._build(ctx)
         cols = set(df.columns)
         value = (F.col(self.column_name).cast("double")
                  if self.column_name else F.lit(1.0))
         if {"xmin", "ymin", "xmax", "ymax"} <= cols:
+            poly = "vertices" in cols
+            keep = ["vertices"] if poly else []
             cells = df.select(
-                value.alias("value"),
+                value.alias("value"), *keep,
                 F.explode(F.sequence(F.floor("ymin"),
                                      F.floor("ymax"))).alias("y"),
                 F.col("xmin"), F.col("xmax"))
             cells = cells.select(
-                "value", "y",
+                "value", *keep, "y",
                 F.explode(F.sequence(F.floor("xmin"),
                                      F.floor("xmax"))).alias("x"))
+            if poly:
+                # true polygon coverage: keep bbox candidate cells whose
+                # CENTER is inside the ring (GDAL default burn rule);
+                # ring-less rows keep full-bbox semantics
+                inside = point_in_polygon_expr(
+                    "(x + cast(0.5 as double))",
+                    "(y + cast(0.5 as double))")
+                cells = cells.filter(F.col("vertices").isNull() | inside) \
+                    .drop("vertices")
         elif {"x", "y"} <= cols:
             cells = df.select(value.alias("value"),
                               F.floor("y").alias("y"),
