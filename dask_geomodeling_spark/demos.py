@@ -3859,6 +3859,202 @@ def sliding_window_agg(spark, sf_dir):
                     "event_type", "total", "n"))
 
 
+@demo("q7_volume_shipping", oracle="""
+SELECT supp_nation, cust_nation, l_year,
+       {dsum} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l.l_shipdate) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+""".format(dsum=DSUM.format(col="volume", scale=6)))
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H-Q7 shape: bidirectional nation-pair flow — both nation
+    dims broadcast, the symmetric pair predicate rides the joins, and
+    the year split happens after (no date-function pushdown needed)."""
+    li = read_nanos_parquet(spark, _pq(sf_dir, "lineitem"))
+    o = read_nanos_parquet(spark, _pq(sf_dir, "orders"))
+    c = read_nanos_parquet(spark, _pq(sf_dir, "customer"))
+    s = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    n = read_nanos_parquet(spark, _pq(sf_dir, "nation"))
+    pair = (F.col("supp_nation") == "NATION_1") \
+        & (F.col("cust_nation") == "NATION_2") \
+        | (F.col("supp_nation") == "NATION_2") \
+        & (F.col("cust_nation") == "NATION_1")
+    flows = (li
+             .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+             .join(o, li["l_orderkey"] == o["o_orderkey"])
+             .join(c, o["o_custkey"] == c["c_custkey"])
+             .join(F.broadcast(n.select(
+                 F.col("n_nationkey").alias("_snk"),
+                 F.col("n_name").alias("supp_nation"))),
+                 F.col("s_nationkey") == F.col("_snk"))
+             .join(F.broadcast(n.select(
+                 F.col("n_nationkey").alias("_cnk"),
+                 F.col("n_name").alias("cust_nation"))),
+                 F.col("c_nationkey") == F.col("_cnk"))
+             .filter(pair))
+    return (flows.groupBy("supp_nation", "cust_nation",
+                          F.year("l_shipdate").cast("bigint")
+                          .alias("l_year"))
+            .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                      6).alias("revenue")))
+
+
+@demo("q8_market_share", oracle="""
+SELECT o_year,
+       {num} / {den} AS mkt_share
+FROM (
+  SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n1.n_name AS supp_nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  WHERE p.p_type = 'PROMO'
+)
+GROUP BY o_year
+""".format(
+    num=DSUM.format(col="CASE WHEN supp_nation = 'NATION_3' "
+                        "THEN volume ELSE 0.0 END", scale=6),
+    den=DSUM.format(col="volume", scale=6)))
+def q8_market_share(spark, sf_dir):
+    """TPC-H-Q8 shape: national market share — conditional aggregation
+    over one scan (numerator and denominator in the same groupBy, no
+    second pass); part/supplier/nation dims broadcast.  The DECIMAL
+    sums make the double division bit-stable across engines."""
+    li = read_nanos_parquet(spark, _pq(sf_dir, "lineitem"))
+    o = read_nanos_parquet(spark, _pq(sf_dir, "orders"))
+    s = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    n = read_nanos_parquet(spark, _pq(sf_dir, "nation"))
+    p = read_nanos_parquet(spark, _pq(sf_dir, "part")) \
+        .filter(F.col("p_type") == "PROMO")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    flows = (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+             .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+             .join(o, li["l_orderkey"] == o["o_orderkey"])
+             .join(F.broadcast(n),
+                   F.col("s_nationkey") == n["n_nationkey"])
+             .select(F.year("o_orderdate").cast("bigint")
+                     .alias("o_year"),
+                     vol.alias("volume"),
+                     F.col("n_name").alias("supp_nation")))
+    num = dsum(F.when(F.col("supp_nation") == "NATION_3",
+                      F.col("volume")).otherwise(0.0), 6)
+    den = dsum(F.col("volume"), 6)
+    return (flows.groupBy("o_year")
+            .agg((num / den).alias("mkt_share")))
+
+
+@demo("q15_top_supplier", oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {dsum} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""".format(dsum=DSUM.format(col="l_extendedprice * (1 - l_discount)",
+                            scale=6)))
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H-Q15 shape: view + scalar-subquery max — the revenue view
+    computes once (cached), its 1-row max cross-broadcasts back, and
+    DECIMAL sums make the equality comparison exact (double equality
+    against a recomputed aggregate is safe only because both engines
+    produce the identical decimal-summed value)."""
+    li = read_nanos_parquet(spark, _pq(sf_dir, "lineitem"))
+    s = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    rev = (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                     & (F.col("l_shipdate") < "1996-04-01"))
+           .groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                     6).alias("total_revenue"))).persist()
+    top = rev.agg(F.max("total_revenue").alias("_top"))
+    return (s.join(rev, s["s_suppkey"] == rev["supplier_no"])
+            .join(F.broadcast(top),
+                  F.col("total_revenue") == F.col("_top"))
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+@demo("q17_small_quantity_revenue", oracle="""
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+           / 7.0 AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN (SELECT l_partkey, 0.5 * (
+          CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+          / COUNT(l_quantity)) AS half_avg
+      FROM lineitem GROUP BY l_partkey) a
+  ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1' AND l.l_quantity < a.half_avg
+""")
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H-Q17 shape: correlated per-part average decorrelated into a
+    grouped subquery + self-join (Catalyst's plan for the EXISTS-free
+    form); the brand filter broadcasts.  DECIMAL mean keeps the
+    half-average threshold bit-identical so the < comparison agrees."""
+    li = read_nanos_parquet(spark, _pq(sf_dir, "lineitem"))
+    p = read_nanos_parquet(spark, _pq(sf_dir, "part")) \
+        .filter(F.col("p_brand") == "Brand#1")
+    half_avg = (li.groupBy(F.col("l_partkey").alias("_pk"))
+                .agg((0.5 * (dsum(F.col("l_quantity"), 6)
+                             / F.count("l_quantity")))
+                     .alias("half_avg")))
+    return (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+            .join(half_avg, li["l_partkey"] == F.col("_pk"))
+            .filter(F.col("l_quantity") < F.col("half_avg"))
+            .agg((dsum(F.col("l_extendedprice"), 6) / 7.0)
+                 .alias("avg_yearly")))
+
+
+@demo("q19_disjunctive_pushdown", oracle="""
+SELECT {dsum} AS revenue
+FROM (
+  SELECT l.l_extendedprice * (1 - l.l_discount) AS rev
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+         AND l.l_quantity BETWEEN 1 AND 11)
+     OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+         AND l.l_quantity BETWEEN 10 AND 20)
+     OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+         AND l.l_quantity BETWEEN 20 AND 30)
+)
+""".format(dsum=DSUM.format(col="rev", scale=6)))
+def q19_disjunctive_pushdown(spark, sf_dir):
+    """TPC-H-Q19 shape: OR-of-ANDs across both join sides — Catalyst
+    extracts the common single-side conjuncts (brand/size on part,
+    quantity bounds on lineitem) and pushes them below the join while
+    the residual disjunction evaluates post-join."""
+    li = read_nanos_parquet(spark, _pq(sf_dir, "lineitem"))
+    p = read_nanos_parquet(spark, _pq(sf_dir, "part"))
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    clause = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30)))
+    return (j.filter(clause)
+            .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                      6).alias("revenue")))
+
+
 # --------------------------------------------------------------------------
 # driver-gate ordering: the correctness harness verifies the FIRST 50
 # registered queries, so the first 50 must span SURVEY §2 breadth-first —
