@@ -3859,6 +3859,79 @@ def sliding_window_agg(spark, sf_dir):
                     "event_type", "total", "n"))
 
 
+def _dd_clip_pass(ring, axis, bound, keep_ge):
+    """DuckDB mirror of one Sutherland–Hodgman half-plane pass
+    (1-based list indexing; same IEEE arithmetic order as the Spark
+    expression in geom_operations._halfplane_clip_sql)."""
+    c = 1 if axis == "x" else 2
+    o = 3 - c
+    op = ">=" if keep_ge else "<="
+    a_in = "(p[1][{c}] {op} {b!r})".format(c=c, op=op, b=bound)
+    b_in = "(p[2][{c}] {op} {b!r})".format(c=c, op=op, b=bound)
+    other = ("(p[1][{o}] + (({b!r} - p[1][{c}]) / (p[2][{c}] - p[1][{c}]))"
+             " * (p[2][{o}] - p[1][{o}]))").format(o=o, c=c, b=bound)
+    isect = ("[{b!r}, {other}]".format(b=bound, other=other) if c == 1
+             else "[{other}, {b!r}]".format(b=bound, other=other))
+    return ("flatten(list_transform(list_zip({r}, {r}[2:] || {r}[1:1]), "
+            "p -> CASE WHEN {ai} AND {bi} THEN [p[2]] "
+            "WHEN {ai} THEN [{i}] WHEN {bi} THEN [{i}, p[2]] "
+            "ELSE [] END))").format(r=ring, ai=a_in, bi=b_in, i=isect)
+
+
+def _polygon_clip_oracle():
+    ring = "tri"
+    for axis, bound, ge in (("x", 0.5, True), ("x", 3.5, False),
+                            ("y", 0.5, True), ("y", 3.5, False)):
+        ring = _dd_clip_pass(ring, axis, bound, ge)
+    shoelace = ("ABS(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                "list_transform(list_zip(c, c[2:] || c[1:1]), "
+                "p -> p[1][1] * p[2][2] - p[2][1] * p[1][2])), "
+                "(acc, v) -> acc + v)) / 2")
+    return """
+WITH tris AS (
+  SELECT s_suppkey,
+         [[0.0, 0.0],
+          [CAST(s_suppkey % 7 + 1 AS DOUBLE), 0.0],
+          [0.0, CAST((s_suppkey * 3) % 5 + 1 AS DOUBLE)]] AS tri
+  FROM supplier
+),
+clipped AS (SELECT s_suppkey, {ring} AS c FROM tris)
+SELECT s_suppkey, CAST(len(c) AS INT) AS n_vertices,
+       {shoelace} AS clip_area
+FROM clipped
+""".format(ring=ring, shoelace=shoelace)
+
+
+@demo("polygon_clip_intersection", oracle=_polygon_clip_oracle())
+def polygon_clip_intersection(spark, sf_dir):
+    """EXACT polygon ∩ box via four Sutherland–Hodgman half-plane
+    passes compiled to nested array expressions (reference Intersection
+    runs shapely, set_operations.py:84) — per-supplier triangles
+    clipped to (0.5, 0.5, 3.5, 3.5), output = clipped vertex count +
+    shoelace area.  The oracle replays the identical passes with
+    DuckDB list lambdas — same IEEE operation order, bit-exact."""
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        shoelace_expr)
+    from dask_geomodeling_spark.geometry.set_operations import Intersection
+    supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    w = (F.col("s_suppkey") % 7 + 1).cast("double")
+    h = ((F.col("s_suppkey") * 3) % 5 + 1).cast("double")
+    z = F.lit(0.0)
+    tris = supplier.select(
+        "s_suppkey",
+        F.array(F.array(z, z), F.array(w, z), F.array(z, h))
+        .alias("vertices"),
+        z.alias("xmin"), z.alias("ymin"),
+        w.alias("xmax"), h.alias("ymax"))
+    src = DataFrameSource(tris, index_column="s_suppkey")
+    clipped = Intersection(src)
+    return (clipped.plan(spark, geometry=(0.5, 0.5, 3.5, 3.5))
+            .select("s_suppkey",
+                    F.size("vertices").alias("n_vertices"),
+                    F.when(F.size("vertices") >= 3, shoelace_expr())
+                    .otherwise(0.0).alias("clip_area")))
+
+
 @demo("q7_volume_shipping", oracle="""
 SELECT supp_nation, cust_nation, l_year,
        {dsum} AS revenue

@@ -14,7 +14,8 @@ from pyspark.sql import functions as F
 
 from dask_geomodeling_spark.geometry.base import GeometryBlock, SeriesBlock
 
-__all__ = ["Area", "Length", "point_in_polygon_expr", "shoelace_expr"]
+__all__ = ["Area", "Length", "point_in_polygon_expr", "shoelace_expr",
+           "clip_ring_box_expr"]
 
 
 def _edges_sql(verts_col):
@@ -30,6 +31,53 @@ def shoelace_expr(verts_col="vertices"):
     return F.abs(F.expr(
         "aggregate({e}, cast(0.0 as double), (acc, v) -> acc + v)"
         .format(e=edges))) / 2
+
+
+def _halfplane_clip_sql(ring_sql, axis, bound, keep_ge):
+    """One Sutherland–Hodgman half-plane pass as a SQL string over a
+    ring expression: each directed edge (a, b) contributes 0–2 output
+    vertices (b if both inside; the crossing point on entering or
+    leaving), so the pass is ``flatten(zip_with(ring, rotate(ring),
+    edge -> case ...))`` — per-edge local, no imperative loop."""
+    c = 0 if axis == "x" else 1
+    cmp_op = ">=" if keep_ge else "<="
+    a_in = "(a[{c}] {op} {b!r})".format(c=c, op=cmp_op, b=bound)
+    b_in = "(b[{c}] {op} {b!r})".format(c=c, op=cmp_op, b=bound)
+    # intersection of segment a->b with the clip line axis = bound
+    t = "(({b!r} - a[{c}]) / (b[{c}] - a[{c}]))".format(b=bound, c=c)
+    o = 1 - c
+    other = "(a[{o}] + {t} * (b[{o}] - a[{o}]))".format(o=o, t=t)
+    isect = ("array(cast({b!r} as double), {other})".format(
+        b=bound, other=other) if c == 0
+        else "array({other}, cast({b!r} as double))".format(
+        b=bound, other=other))
+    edge = ("CASE WHEN {ai} AND {bi} THEN array(b) "
+            "WHEN {ai} THEN array({i}) "
+            "WHEN {bi} THEN array({i}, b) "
+            "ELSE slice(array(b), 1, 0) END").format(
+        ai=a_in, bi=b_in, i=isect)
+    # greatest(…, 0) keeps the rotate legal when an earlier pass
+    # emptied the ring
+    return ("flatten(zip_with({r}, concat("
+            "slice({r}, 2, greatest(size({r}) - 1, 0)), "
+            "slice({r}, 1, least(size({r}), 1))), (a, b) -> {e}))"
+            ).format(r=ring_sql, e=edge)
+
+
+def clip_ring_box_expr(xmin, ymin, xmax, ymax, verts_col="vertices"):
+    """Exact polygon ∩ axis-aligned box via four chained
+    Sutherland–Hodgman half-plane passes (left, right, bottom, top) —
+    one nested column expression, fully JVM-side; returns the clipped
+    ring (possibly empty).  Correct for any simple polygon against a
+    convex clip window — the textbook algorithm, re-expressed as
+    per-edge array algebra instead of a loop."""
+    ring = verts_col
+    for axis, bound, keep_ge in (("x", float(xmin), True),
+                                 ("x", float(xmax), False),
+                                 ("y", float(ymin), True),
+                                 ("y", float(ymax), False)):
+        ring = _halfplane_clip_sql(ring, axis, bound, keep_ge)
+    return F.expr(ring)
 
 
 def point_in_polygon_expr(px, py, verts_col="vertices"):

@@ -81,8 +81,11 @@ class Difference(BaseSingle):
 
 class Intersection(BaseSingle):
     """Clip geometries to the request geometry (reference:
-    geometry/set_operations.py:84).  Boxes are clamped exactly; points are
-    already filtered by the request pushdown."""
+    geometry/set_operations.py:84).  Boxes are clamped exactly; points
+    are already filtered by the request pushdown; polygon rings clip
+    EXACTLY via four Sutherland–Hodgman half-plane passes
+    (geom_operations.clip_ring_box_expr), with the bbox columns
+    recomputed from the clipped ring."""
 
     def _build(self, ctx):
         df = self.source._build(ctx)
@@ -90,7 +93,33 @@ class Intersection(BaseSingle):
         if geometry is None:
             return df
         x1, y1, x2, y2 = geometry
-        if {"xmin", "ymin", "xmax", "ymax"} <= set(df.columns):
+        cols = set(df.columns)
+        if "vertices" in cols:
+            from dask_geomodeling_spark.geometry.geom_operations import (
+                clip_ring_box_expr)
+            clipped = clip_ring_box_expr(x1, y1, x2, y2)
+            df = df.withColumn(
+                "vertices",
+                F.when(F.col("vertices").isNotNull(), clipped))
+            if {"xmin", "ymin", "xmax", "ymax"} <= cols:
+                xs = F.expr("transform(vertices, v -> v[0])")
+                ys = F.expr("transform(vertices, v -> v[1])")
+                ring = F.col("vertices").isNotNull() \
+                    & (F.size("vertices") > 0)
+                df = (df.withColumn(
+                        "xmin", F.when(ring, F.array_min(xs))
+                        .otherwise(F.greatest("xmin", F.lit(float(x1)))))
+                      .withColumn(
+                        "ymin", F.when(ring, F.array_min(ys))
+                        .otherwise(F.greatest("ymin", F.lit(float(y1)))))
+                      .withColumn(
+                        "xmax", F.when(ring, F.array_max(xs))
+                        .otherwise(F.least("xmax", F.lit(float(x2)))))
+                      .withColumn(
+                        "ymax", F.when(ring, F.array_max(ys))
+                        .otherwise(F.least("ymax", F.lit(float(y2))))))
+            return df
+        if {"xmin", "ymin", "xmax", "ymax"} <= cols:
             df = (df.withColumn("xmin", F.greatest("xmin", F.lit(float(x1))))
                     .withColumn("ymin", F.greatest("ymin", F.lit(float(y1))))
                     .withColumn("xmax", F.least("xmax", F.lit(float(x2))))
