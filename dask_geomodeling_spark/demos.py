@@ -2028,6 +2028,51 @@ def reproject_utm(spark, sf_dir):
         F.col("y").alias("northing"))
 
 
+def _utm33_roundtrip_oracle():
+    from dask_geomodeling_spark.geometry.proj import (utm_inverse_sql,
+                                                      utm_sql)
+    e, n = utm_sql("lat", "lon", 33)
+    lon_b, lat_b = utm_inverse_sql("e", "n", 33)
+    return """
+WITH pts AS (
+  SELECT s_suppkey,
+         12.0 + CAST(s_suppkey % 600 AS DOUBLE) / 100.0 AS lon,
+         40.0 + CAST((s_suppkey * 7) % 1500 AS DOUBLE) / 100.0 AS lat
+  FROM supplier
+),
+fwd AS (SELECT s_suppkey, {e} AS e, {n} AS n FROM pts)
+SELECT s_suppkey, e AS easting, n AS northing,
+       {lon_b} AS lon_back, {lat_b} AS lat_back
+FROM fwd
+""".format(e=e, n=n, lon_b=lon_b, lat_b=lat_b)
+
+
+@demo("reproject_utm_roundtrip", oracle=_utm33_roundtrip_oracle())
+def reproject_utm_roundtrip(spark, sf_dir):
+    """UTM INVERSE (Snyder 8-18..8-25, footpoint-latitude series):
+    4326 → 32633 → 4326 chained through Reproject both ways; the
+    oracle replays the identical shared-text series, so even the
+    ~1e-9-degree series truncation reproduces bit-for-bit."""
+    from dask_geomodeling_spark.geometry.proj import Reproject
+    supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    pts = supplier.select(
+        "s_suppkey",
+        (12.0 + (F.col("s_suppkey") % 600).cast("double") / 100.0)
+        .alias("x"),
+        (40.0 + ((F.col("s_suppkey") * 7) % 1500).cast("double") / 100.0)
+        .alias("y"))
+    src = DataFrameSource(pts, index_column="s_suppkey")
+    fwd = Reproject(src, "EPSG:4326", "EPSG:32633")
+    back = Reproject(fwd, "EPSG:32633", "EPSG:4326")
+    f = fwd.plan(spark).select(
+        "s_suppkey", F.col("x").alias("easting"),
+        F.col("y").alias("northing"))
+    b = back.plan(spark).select(
+        "s_suppkey", F.col("x").alias("lon_back"),
+        F.col("y").alias("lat_back"))
+    return f.join(b, "s_suppkey")
+
+
 @demo("reproject_equirect", oracle="""
 WITH pts AS (
   SELECT s_suppkey,

