@@ -2909,6 +2909,40 @@ def decontaminate(spark, sf_dir):
             .select("doc_id", "shared_ngrams", "contaminated"))
 
 
+@demo("decontaminate_broadcast", oracle="""
+WITH t AS (SELECT doc_id,
+                  string_split_regex(trim(lower(text)), '\\s+') AS w
+           FROM documents),
+s AS (SELECT doc_id, {grams} AS grams FROM t),
+tr AS (SELECT doc_id, grams FROM s WHERE doc_id % 97 <> 0),
+ev AS (SELECT DISTINCT unnest(grams) AS gram FROM s
+       WHERE doc_id % 97 = 0),
+tg AS (SELECT doc_id, unnest(grams) AS gram FROM tr),
+sh AS (SELECT tg.doc_id, COUNT(*) AS shared
+       FROM tg JOIN ev USING (gram) GROUP BY tg.doc_id)
+SELECT tr.doc_id,
+       CAST(COALESCE(sh.shared, 0) AS BIGINT) AS shared_ngrams,
+       COALESCE(sh.shared, 0) > 0 AS contaminated
+FROM tr LEFT JOIN sh ON tr.doc_id = sh.doc_id
+""".format(grams=_dd_shingles(6)))
+def decontaminate_broadcast(spark, sf_dir):
+    """Decontaminate(broadcast_set=True): the STREAMING-SAFE shape —
+    eval grams collapse to one collect_set row cross-broadcast onto
+    the train scan, contamination = map-side arrays_overlap/intersect.
+    Same answers as the join formulation (same oracle); the identical
+    plan runs under readStream for on-ingest decontamination
+    (stream-static broadcast join, tests/test_streaming.py)."""
+    from dask_geomodeling_spark.pipeline.filter import Decontaminate
+    docs = read_nanos_parquet(spark, _pq(sf_dir, "documents"))
+    train = DataFrameSource(docs.filter(F.col("doc_id") % 97 != 0),
+                            index_column="doc_id")
+    holdout = DataFrameSource(docs.filter(F.col("doc_id") % 97 == 0),
+                              index_column="doc_id")
+    return (Decontaminate(train, holdout, n=6, broadcast_set=True)
+            .plan(spark)
+            .select("doc_id", "shared_ngrams", "contaminated"))
+
+
 _PII_ORACLE = """
 WITH inj AS (SELECT doc_id,
   text

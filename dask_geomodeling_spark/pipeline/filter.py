@@ -114,18 +114,29 @@ class Decontaminate(GeometryBlock):
     function — on a CPU-bound single node exact strings are ~4x
     faster, and the string join is collision-free.
 
+    ``broadcast_set=True`` switches to the STREAMING-SAFE shape: the
+    eval side collapses to a single collect_set row that cross-
+    broadcasts onto the train frame, and contamination becomes a pure
+    map-side ``arrays_overlap`` — no aggregation over the train side,
+    so the identical plan runs under ``readStream`` (stream-static
+    broadcast join) for on-ingest decontamination.  In this mode
+    ``shared_ngrams`` counts the overlapping grams via
+    ``array_intersect`` (same values as the join formulation).  Use it
+    when the eval suite fits one executor's memory — benchmark suites
+    do; a web-scale eval corpus should keep the default join.
+
     Adds ``shared_ngrams`` (distinct shared grams) and ``contaminated``.
     """
 
     def __init__(self, source, eval_source, column="text", n=6,
-                 id_column=None, hashed=False):
+                 id_column=None, hashed=False, broadcast_set=False):
         if not isinstance(source, GeometryBlock) \
                 or not isinstance(eval_source, GeometryBlock):
             raise TypeError("sources must be GeometryBlocks")
         if id_column is None:
             id_column = source.index_column
         super().__init__(source, eval_source, column, int(n), id_column,
-                         bool(hashed))
+                         bool(hashed), bool(broadcast_set))
 
     @property
     def source(self):
@@ -136,7 +147,8 @@ class Decontaminate(GeometryBlock):
         return set(self.source.columns) | {"shared_ngrams", "contaminated"}
 
     def _build(self, ctx):
-        train_b, eval_b, column, n, idc, hashed = self.args
+        (train_b, eval_b, column, n, idc, hashed,
+         broadcast_set) = self.args
         if hashed:
             grams = F.array_distinct(F.expr(
                 "transform(sequence(1, greatest(size(_th) - {n} + 1, 1)),"
@@ -157,6 +169,18 @@ class Decontaminate(GeometryBlock):
             return df.withColumn("_grams", grams)
 
         train = with_grams(train_b._build(ctx))
+        if broadcast_set:
+            ev = (with_grams(eval_b._build(ctx))
+                  .select(F.explode("_grams").alias("_g")).distinct()
+                  .agg(F.collect_set("_g").alias("_egs")))
+            drop = ["_w", "_th", "_grams"] if hashed else ["_grams"]
+            out = train.join(F.broadcast(ev))
+            shared = F.size(F.array_intersect("_grams", "_egs"))
+            return (out.withColumn("shared_ngrams",
+                                   shared.cast("bigint"))
+                    .withColumn("contaminated",
+                                F.col("shared_ngrams") > 0)
+                    .drop("_egs", *drop))
         eval_grams = (with_grams(eval_b._build(ctx))
                       .select(F.explode("_grams").alias("_g")).distinct())
         train_grams = train.select(

@@ -324,3 +324,41 @@ def test_sliding_window_stream_matches_batch(spark, tmp_path):
     horizon = max_ts - datetime.timedelta(hours=5)  # watermark + width
     for ws, _, _ in expected - got:
         assert ws >= horizon, ws
+
+
+def test_decontaminate_broadcast_stream_matches_batch(spark, tmp_path):
+    """Decontaminate(broadcast_set=True) is a stream-static broadcast
+    join + map-side intersect — the identical plan over readStream
+    emits exactly the batch rows (on-ingest decontamination)."""
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.filter import Decontaminate
+
+    url = str(tmp_path / "docs")
+    spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").write.parquet(url)
+    batch_df = spark.read.parquet(url)
+    holdout = DataFrameSource(
+        batch_df.filter(F.col("doc_id") % 97 == 0),
+        index_column="doc_id")
+
+    def pipeline(df):
+        train = DataFrameSource(df.filter(F.col("doc_id") % 97 != 0),
+                                index_column="doc_id")
+        return (Decontaminate(train, holdout, n=6, broadcast_set=True)
+                .plan(spark)
+                .select("doc_id", "shared_ngrams", "contaminated"))
+
+    expected = {tuple(r) for r in pipeline(batch_df).collect()}
+    assert any(r[2] for r in expected)  # some contamination exists
+
+    stream_df = (spark.readStream.format("parquet")
+                 .schema(batch_df.schema).load(url))
+    out = str(tmp_path / "out")
+    q = (pipeline(stream_df).writeStream.outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start(out))
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got == expected
