@@ -120,20 +120,18 @@ class MinHashLSH(BaseSingle):
         (_, text_column, id_column, num_perm, bands, shingle_size,
          _, _, hash_fn) = self.args
         df = self.source._build(ctx)
-        df = df.withColumn("_tokens",
-                           F.split(F.trim(F.lower(F.col(text_column))),
-                                   r"\s+"))
         if hash_fn == "xxhash64":
-            if shingle_size <= 1:
-                sh = "array_distinct(_tokens)"
-            else:
-                sh = ("array_distinct(transform("
-                      "sequence(1, greatest(size(_tokens) - {n} + 1, 1)), "
-                      "i -> concat_ws(' ', slice(_tokens, i, {n}))))"
-                      .format(n=shingle_size))
-            hash_sql = ("transform({sh}, s -> pmod(xxhash64(s), {m}))"
-                        .format(sh=sh, m=MERSENNE))
+            # regex gram build (ngram_regex_expr): identical shingle
+            # strings as the HOF template, so identical hashes — but
+            # the build stays in whole-stage codegen
+            df = df.withColumn(
+                "_sh", ngram_regex_expr(text_column, max(shingle_size, 1)))
+            hash_sql = ("transform(_sh, s -> pmod(xxhash64(s), {m}))"
+                        .format(m=MERSENNE))
         else:
+            df = df.withColumn("_tokens",
+                               F.split(F.trim(F.lower(F.col(text_column))),
+                                       r"\s+"))
             # arithmetic scheme, reproducible on ANY ANSI-SQL engine:
             # 1. each token hashed ONCE by rolling char hash;
             # 2. a shingle hash folds its n token hashes with base 8191
