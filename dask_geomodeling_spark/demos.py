@@ -3981,6 +3981,40 @@ FROM clipped
 """.format(ring=ring, shoelace=shoelace)
 
 
+@demo("polygon_perimeter", oracle="""
+WITH tris AS (
+  SELECT s_suppkey,
+         [[0.0, 0.0],
+          [CAST(s_suppkey % 7 + 1 AS DOUBLE), 0.0],
+          [0.0, CAST((s_suppkey * 3) % 5 + 1 AS DOUBLE)]] AS r
+  FROM supplier)
+SELECT s_suppkey,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(list_zip(r, r[2:] || r[1:1]),
+           p -> sqrt((p[2][1] - p[1][1]) * (p[2][1] - p[1][1])
+                   + (p[2][2] - p[1][2]) * (p[2][2] - p[1][2])))),
+         (acc, v) -> acc + v) AS perimeter
+FROM tris
+""")
+def polygon_perimeter(spark, sf_dir):
+    """Exact polygon perimeter (Length over a vertices ring,
+    geom_operations.perimeter_expr): per-edge Euclidean lengths in a
+    sequential fold — the oracle replays the identical fold with
+    DuckDB list lambdas."""
+    from dask_geomodeling_spark.geometry.geom_operations import Length
+    supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    w = (F.col("s_suppkey") % 7 + 1).cast("double")
+    h = ((F.col("s_suppkey") * 3) % 5 + 1).cast("double")
+    z = F.lit(0.0)
+    tris = supplier.select(
+        "s_suppkey",
+        F.array(F.array(z, z), F.array(w, z), F.array(z, h))
+        .alias("vertices"))
+    src = DataFrameSource(tris, index_column="s_suppkey")
+    view = src.set("perimeter", Length(src))
+    return view.plan(spark).select("s_suppkey", "perimeter")
+
+
 @demo("polygon_clip_intersection", oracle=_polygon_clip_oracle())
 def polygon_clip_intersection(spark, sf_dir):
     """EXACT polygon ∩ box via four Sutherland–Hodgman half-plane

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from dask_geomodeling_spark.geometry.base import GeometryBlock, SeriesBlock
 
 __all__ = ["Area", "Length", "point_in_polygon_expr", "shoelace_expr",
-           "clip_ring_box_expr"]
+           "clip_ring_box_expr", "perimeter_expr"]
 
 
 def _edges_sql(verts_col):
@@ -128,8 +128,20 @@ class Area(SeriesBlock):
         raise ValueError("Area requires geometry columns")
 
 
+def perimeter_expr(verts_col="vertices"):
+    """Exact ring perimeter: sum of per-edge Euclidean lengths over the
+    wrapped vertex pairs — sequential fold, deterministic order."""
+    edges = _edges_sql(verts_col).format(
+        expr="sqrt((b[0] - a[0]) * (b[0] - a[0]) "
+             "+ (b[1] - a[1]) * (b[1] - a[1]))")
+    return F.expr(
+        "aggregate({e}, cast(0.0 as double), (acc, v) -> acc + v)"
+        .format(e=edges))
+
+
 class Length(SeriesBlock):
-    """Perimeter/length companion measurement (box perimeter; 0 for
+    """Perimeter/length companion measurement (exact ring perimeter
+    when a ``vertices`` ring is present; box perimeter; 0 for
     points)."""
 
     def __init__(self, source, projection="EPSG:4326"):
@@ -142,7 +154,10 @@ class Length(SeriesBlock):
 
     def _column(self, df):
         cols = set(df.columns)
-        if {"xmin", "ymin", "xmax", "ymax"} <= cols:
-            return 2 * ((F.col("xmax") - F.col("xmin"))
-                        + (F.col("ymax") - F.col("ymin")))
-        return F.lit(0.0)
+        box = (2 * ((F.col("xmax") - F.col("xmin"))
+                    + (F.col("ymax") - F.col("ymin")))
+               if {"xmin", "ymin", "xmax", "ymax"} <= cols else F.lit(0.0))
+        if "vertices" in cols:
+            return F.when(F.col("vertices").isNotNull(),
+                          perimeter_expr()).otherwise(box)
+        return box

@@ -335,3 +335,35 @@ def test_ngram_freq_join_not_statically_broadcast(spark):
     assert "UnresolvedHint" not in logical
     assert "ResolvedHint" not in logical
     assert "hints=[BROADCAST" not in plan_of(df, "extended")
+
+
+def test_polygon_clip_has_no_shuffle(spark):
+    """Sutherland-Hodgman clipping is pure array algebra — no Exchange
+    anywhere in the clipped-projection plan."""
+    from dask_geomodeling_spark.demos import QUERIES
+    df = QUERIES["polygon_clip_intersection"](spark, SF_DIR)
+    plan = plan_of(df, "simple")
+    assert "Exchange" not in plan
+
+
+def test_decontaminate_broadcast_is_stream_safe_shape(spark):
+    """broadcast_set mode: one BroadcastExchange (the eval gram set),
+    no aggregation over the train side after it."""
+    from dask_geomodeling_spark.demos import QUERIES
+    df = QUERIES["decontaminate_broadcast"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastExchange" in plan
+
+
+def test_geotiff_scan_is_binary_file_source(spark, tmp_path):
+    """GeoTIFF ingestion reads via the distributed binaryFile source
+    (one task per file), not a driver-side loop."""
+    from datetime import timedelta
+    from dask_geomodeling_spark.raster.sources import (GeoTIFFRasterSource,
+                                                       write_geotiff)
+    write_geotiff(str(tmp_path / "a.tif"), 4, 3,
+                  [float(v) for v in range(12)])
+    df = GeoTIFFRasterSource(str(tmp_path) + "/*.tif",
+                             time_delta=timedelta(hours=1)).plan(spark)
+    plan = plan_of(df, "simple")
+    assert "binaryFile" in plan
