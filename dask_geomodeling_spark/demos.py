@@ -4241,6 +4241,79 @@ def q19_disjunctive_pushdown(spark, sf_dir):
                       6).alias("revenue")))
 
 
+@demo("q12_priority_counts", oracle="""
+SELECT l.l_returnflag AS ship_class,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_quantity >= 30.0
+GROUP BY l.l_returnflag
+""")
+def q12_priority_counts(spark, sf_dir):
+    """TPC-H-Q12 plan shape (testdata has no l_shipmode/commitdate, so
+    l_returnflag classes + a quantity predicate stand in): fact-fact
+    join + per-class conditional priority counts in one aggregation
+    pass."""
+    li = read_nanos_parquet(spark, _pq(sf_dir, "lineitem")) \
+        .filter(F.col("l_quantity") >= 30.0)
+    o = read_nanos_parquet(spark, _pq(sf_dir, "orders"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy(F.col("l_returnflag").alias("ship_class"))
+            .agg(F.sum(F.when(high, 1).otherwise(0)).cast("bigint")
+                 .alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).cast("bigint")
+                 .alias("low_line_count")))
+
+
+@demo("q21_waiting_supplier", oracle="""
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+               AND o.o_orderstatus = 'F'
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+""")
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H-Q21 plan shape (no commit/receipt dates in testdata, so
+    l_returnflag='R' marks the 'failing' line): the signature
+    EXISTS + NOT-EXISTS pair on the same fact — a LEFT SEMI join
+    (another supplier participated) chained with a LEFT ANTI join (no
+    other supplier failed) before the per-supplier count."""
+    li = read_nanos_parquet(spark, _pq(sf_dir, "lineitem"))
+    o = read_nanos_parquet(spark, _pq(sf_dir, "orders")) \
+        .filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    s = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    l1 = (li.filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_suppkey", "l_linenumber"))
+    l2 = li.select(F.col("l_orderkey").alias("_ok2"),
+                   F.col("l_suppkey").alias("_sk2"))
+    l3 = (li.filter(F.col("l_returnflag") == "R")
+          .select(F.col("l_orderkey").alias("_ok3"),
+                  F.col("l_suppkey").alias("_sk3")))
+    base = l1.join(o, l1["l_orderkey"] == o["o_orderkey"]).drop("o_orderkey")
+    semi = base.join(
+        l2, (base["l_orderkey"] == l2["_ok2"])
+        & (base["l_suppkey"] != l2["_sk2"]), "left_semi")
+    anti = semi.join(
+        l3, (semi["l_orderkey"] == l3["_ok3"])
+        & (semi["l_suppkey"] != l3["_sk3"]), "left_anti")
+    return (anti.join(F.broadcast(s),
+                      anti["l_suppkey"] == s["s_suppkey"])
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait")))
+
+
 # --------------------------------------------------------------------------
 # driver-gate ordering: the correctness harness verifies the FIRST 50
 # registered queries, so the first 50 must span SURVEY §2 breadth-first —
