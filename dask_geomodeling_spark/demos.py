@@ -4241,6 +4241,56 @@ def q19_disjunctive_pushdown(spark, sf_dir):
                       6).alias("revenue")))
 
 
+@demo("aggregate_raster_resampled", oracle="""
+WITH grid AS ({grid}),
+coarse AS (
+  SELECT time, (y // 2) * 2 AS y, (x // 2) * 2 AS x,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+             AS value
+  FROM grid WHERE value IS NOT NULL
+  GROUP BY time, y // 2, x // 2
+),
+boxes AS (
+  SELECT n_nationkey,
+         CAST((n_nationkey % 5) * 12 AS BIGINT) AS xmin,
+         CAST(n_regionkey * 6 AS BIGINT) AS ymin,
+         CAST((n_nationkey % 5) * 12 + 11 AS BIGINT) AS xmax,
+         CAST(n_regionkey * 6 + 5 AS BIGINT) AS ymax
+  FROM nation
+)
+SELECT b.n_nationkey, MAX(c.value) AS agg_max,
+       CAST(COUNT(c.value) AS BIGINT) AS agg_count
+FROM boxes b JOIN coarse c
+  ON c.x + 1 >= b.xmin AND c.x <= b.xmax
+ AND c.y + 1 >= b.ymin AND c.y <= b.ymax
+GROUP BY b.n_nationkey
+""".format(grid=_grid_sql()))
+def aggregate_raster_resampled(spark, sf_dir):
+    """AggregateRaster(pixel_size=2): request-time RESAMPLING before
+    zonal stats (reference rasterizes onto the request grid,
+    aggregate.py:255+) — cells coarsen to 2x2 block DECIMAL means (one
+    extra keyed aggregation), features match every block their box
+    touches."""
+    from dask_geomodeling_spark.geometry.aggregate import AggregateRaster
+    nation = read_nanos_parquet(spark, _pq(sf_dir, "nation"))
+    boxes = nation.select(
+        "n_nationkey",
+        ((F.col("n_nationkey") % 5) * 12).cast("bigint").alias("xmin"),
+        (F.col("n_regionkey") * 6).cast("bigint").alias("ymin"),
+        ((F.col("n_nationkey") % 5) * 12 + 11).cast("bigint").alias("xmax"),
+        (F.col("n_regionkey") * 6 + 5).cast("bigint").alias("ymax"))
+    src = DataFrameSource(boxes, index_column="n_nationkey")
+    grid = lineitem_grid(spark, sf_dir)
+    mx = AggregateRaster(src, grid, statistic="max", pixel_size=2,
+                         column_name="agg_max")
+    both = AggregateRaster(mx, grid, statistic="count", pixel_size=2,
+                           column_name="agg_count")
+    return (both.plan(spark)
+            .filter(F.col("agg_max").isNotNull())
+            .select("n_nationkey", "agg_max",
+                    F.col("agg_count").cast("bigint").alias("agg_count")))
+
+
 @demo("q12_priority_counts", oracle="""
 SELECT l.l_returnflag AS ship_class,
        CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')

@@ -31,9 +31,13 @@ class AggregateRaster(BaseSingle):
         (reference STATISTICS, aggregate.py:310).
       column_name: output column (default "agg").
 
-    ``projection``/``pixel_size``/``max_pixels``/``auto_pixel_size`` are
-    accepted for API parity; the cell table has no request-time resampling
-    (cells are aggregated at native resolution).
+    ``pixel_size`` (int > 1) RESAMPLES before aggregating, like the
+    reference's request-grid rasterization (aggregate.py:255+): cells
+    coarsen to ``pixel_size``-sized blocks by DECIMAL block-mean (one
+    extra keyed aggregation, exact and order-independent), and features
+    match every block their box touches.  ``projection``/``max_pixels``/
+    ``auto_pixel_size`` are accepted for API parity (the cell table has
+    no CRS-dependent resampling).
     """
 
     def __init__(self, source, raster, statistic="sum",
@@ -68,7 +72,25 @@ class AggregateRaster(BaseSingle):
         return set(self.source.columns) | {self.column_name}
 
     def _cells(self, ctx):
-        return self.raster._build(ctx).filter(F.col("value").isNotNull())
+        cells = self.raster._build(ctx).filter(F.col("value").isNotNull())
+        p = self.args[4]
+        if p is not None and int(p) > 1:
+            p = int(p)
+            # block-mean downsample: coarse cell (Y, X) covers original
+            # [Y*p, Y*p+p) x [X*p, X*p+p); DECIMAL mean is exact.  The
+            # coarse cell is re-addressed by its block ORIGIN so the
+            # feature boxes (original units) join with a touch test.
+            cells = (cells.groupBy(
+                "time",
+                (F.floor(F.col("y") / p) * p).alias("y"),
+                (F.floor(F.col("x") / p) * p).alias("x"))
+                .agg((F.sum(F.col("value").cast("decimal(28,6)"))
+                      .cast("double") / F.count(F.lit(1)))
+                     .alias("value"))
+                .withColumn("_span", F.lit(p - 1)))
+        else:
+            cells = cells.withColumn("_span", F.lit(0))
+        return cells
 
     def _build(self, ctx):
         idx = self.source.index_column
@@ -79,8 +101,9 @@ class AggregateRaster(BaseSingle):
             keep = ["vertices"] if "vertices" in cols else []
             boxes = features.select(idx, "xmin", "ymin", "xmax", "ymax",
                                     *keep)
-            cond = ((cells["x"] >= boxes["xmin"]) & (cells["x"] <= boxes["xmax"])
-                    & (cells["y"] >= boxes["ymin"])
+            cond = ((cells["x"] + cells["_span"] >= boxes["xmin"])
+                    & (cells["x"] <= boxes["xmax"])
+                    & (cells["y"] + cells["_span"] >= boxes["ymin"])
                     & (cells["y"] <= boxes["ymax"]))
             if keep:
                 # exact polygon mask (reference masks by actual geometry,
@@ -129,8 +152,10 @@ class AggregateRasterAboveThreshold(AggregateRaster):
         cells = self._cells(ctx)
         boxes = features.select(idx, "xmin", "ymin", "xmax", "ymax",
                                 F.col(self.threshold_name).alias("_thr"))
-        cond = ((cells["x"] >= boxes["xmin"]) & (cells["x"] <= boxes["xmax"])
-                & (cells["y"] >= boxes["ymin"]) & (cells["y"] <= boxes["ymax"])
+        cond = ((cells["x"] + cells["_span"] >= boxes["xmin"])
+                & (cells["x"] <= boxes["xmax"])
+                & (cells["y"] + cells["_span"] >= boxes["ymin"])
+                & (cells["y"] <= boxes["ymax"])
                 & (cells["value"] >= boxes["_thr"]))
         joined = cells.join(F.broadcast(boxes), cond, "inner")
         stats = (joined.groupBy(boxes[idx])
