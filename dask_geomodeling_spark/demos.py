@@ -4291,6 +4291,60 @@ def aggregate_raster_resampled(spark, sf_dir):
                     F.col("agg_count").cast("bigint").alias("agg_count")))
 
 
+@demo("polygon_centroid_mode", oracle="""
+WITH tris AS (
+  SELECT s_suppkey,
+         [[0.0, 0.0],
+          [CAST(s_suppkey % 7 + 1 AS DOUBLE), 0.0],
+          [0.0, CAST((s_suppkey * 3) % 5 + 1 AS DOUBLE)]] AS r
+  FROM supplier),
+c AS (
+  SELECT s_suppkey,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(list_zip(r, r[2:] || r[1:1]),
+             p -> p[1][1] * p[2][2] - p[2][1] * p[1][2])),
+           (acc, v) -> acc + v) AS sa,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(list_zip(r, r[2:] || r[1:1]),
+             p -> (p[1][1] + p[2][1])
+                  * (p[1][1] * p[2][2] - p[2][1] * p[1][2]))),
+           (acc, v) -> acc + v) AS sx,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(list_zip(r, r[2:] || r[1:1]),
+             p -> (p[1][2] + p[2][2])
+                  * (p[1][1] * p[2][2] - p[2][1] * p[1][2]))),
+           (acc, v) -> acc + v) AS sy
+  FROM tris)
+SELECT s_suppkey, sx / (3.0 * sa) AS cx, sy / (3.0 * sa) AS cy
+FROM c
+WHERE sx / (3.0 * sa) BETWEEN 0.8 AND 10.0
+  AND sy / (3.0 * sa) BETWEEN 0.8 AND 10.0
+""")
+def polygon_centroid_mode(spark, sf_dir):
+    """mode='centroid' requests with EXACT polygon centroids (the
+    signed-area-weighted formula, two sequential folds; reference
+    filters on shapely centroids, geometry/base.py:33): triangles whose
+    TRUE centroid — not the bbox midpoint — falls in the request box
+    survive the filter.  Oracle replays the identical folds."""
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        centroid_expr)
+    supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    w = (F.col("s_suppkey") % 7 + 1).cast("double")
+    h = ((F.col("s_suppkey") * 3) % 5 + 1).cast("double")
+    z = F.lit(0.0)
+    tris = supplier.select(
+        "s_suppkey",
+        F.array(F.array(z, z), F.array(w, z), F.array(z, h))
+        .alias("vertices"),
+        z.alias("xmin"), z.alias("ymin"),
+        w.alias("xmax"), h.alias("ymax"))
+    src = DataFrameSource(tris, index_column="s_suppkey")
+    cx, cy = centroid_expr()
+    return (src.plan(spark, geometry=(0.8, 0.8, 10.0, 10.0),
+                     mode="centroid")
+            .select("s_suppkey", cx.alias("cx"), cy.alias("cy")))
+
+
 @demo("q12_priority_counts", oracle="""
 SELECT l.l_returnflag AS ship_class,
        CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')

@@ -91,6 +91,15 @@ def apply_feature_request(df, request, time_column=None):
             if mode == "centroid":
                 cx = (F.col("xmin") + F.col("xmax")) / 2
                 cy = (F.col("ymin") + F.col("ymax")) / 2
+                if "vertices" in cols:
+                    # exact area-weighted ring centroid when a polygon
+                    # ring is present (bbox midpoint for box rows)
+                    from dask_geomodeling_spark.geometry \
+                        .geom_operations import centroid_expr
+                    rx, ry = centroid_expr()
+                    ring = F.col("vertices").isNotNull()
+                    cx = F.when(ring, rx).otherwise(cx)
+                    cy = F.when(ring, ry).otherwise(cy)
                 df = df.filter((cx >= x1) & (cx <= x2)
                                & (cy >= y1) & (cy <= y2))
             else:

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from dask_geomodeling_spark.geometry.base import GeometryBlock, SeriesBlock
 
 __all__ = ["Area", "Length", "point_in_polygon_expr", "shoelace_expr",
-           "clip_ring_box_expr", "perimeter_expr"]
+           "clip_ring_box_expr", "perimeter_expr", "centroid_expr"]
 
 
 def _edges_sql(verts_col):
@@ -126,6 +126,39 @@ class Area(SeriesBlock):
         if {"x", "y"} <= cols:
             return F.lit(0.0)
         raise ValueError("Area requires geometry columns")
+
+
+def centroid_expr(verts_col="vertices"):
+    """Exact polygon centroid (cx, cy) of a ``vertices`` ring: the
+    standard signed-area-weighted formula
+    ``cx = Σ(x_i + x_{i+1})·cross_i / (6A_signed)`` — two sequential
+    folds over the wrapped edges, pure column math.  Returns a pair of
+    Columns.  Degenerate rings (zero signed area) fall back to the
+    vertex mean."""
+    cross = _edges_sql(verts_col).format(
+        expr="a[0] * b[1] - b[0] * a[1]")
+    sa = ("aggregate({e}, cast(0.0 as double), (acc, v) -> acc + v)"
+          .format(e=cross))
+    wx = _edges_sql(verts_col).format(
+        expr="(a[0] + b[0]) * (a[0] * b[1] - b[0] * a[1])")
+    wy = _edges_sql(verts_col).format(
+        expr="(a[1] + b[1]) * (a[0] * b[1] - b[0] * a[1])")
+    sx = ("aggregate({e}, cast(0.0 as double), (acc, v) -> acc + v)"
+          .format(e=wx))
+    sy = ("aggregate({e}, cast(0.0 as double), (acc, v) -> acc + v)"
+          .format(e=wy))
+    mean = ("aggregate({v}, cast(0.0 as double), (acc, p) -> acc + p[{c}])"
+            " / size({v})")
+    # divisor is 6A = 3·Σcross (the cross sum is TWICE the signed area)
+    cx = F.expr(
+        "CASE WHEN ({sa}) != 0.0 THEN ({sx}) / (3.0 * ({sa})) "
+        "ELSE {m} END".format(
+            sa=sa, sx=sx, m=mean.format(v=verts_col, c=0)))
+    cy = F.expr(
+        "CASE WHEN ({sa}) != 0.0 THEN ({sy}) / (3.0 * ({sa})) "
+        "ELSE {m} END".format(
+            sa=sa, sy=sy, m=mean.format(v=verts_col, c=1)))
+    return cx, cy
 
 
 def perimeter_expr(verts_col="vertices"):
