@@ -47,7 +47,11 @@ def test_event_aggregate_streaming_matches_batch(spark, tmp_path):
         assert all(s == max_start for s in missing_starts)
 
 
-def test_sessionize_streaming_runs(spark, tmp_path):
+def test_sessionize_streaming_matches_batch(spark, tmp_path):
+    """Session windows under availableNow emit every session the
+    watermark can close; only sessions still open at the final
+    watermark are held back — so the streamed output must equal the
+    batch result minus those trailing per-user sessions."""
     from dask_geomodeling_spark.streaming.events import (EventSource,
                                                          SessionizeEvents)
     restaged = str(tmp_path / "events")
@@ -63,7 +67,21 @@ def test_sessionize_streaming_runs(spark, tmp_path):
          .option("checkpointLocation", str(tmp_path / "ckpt"))
          .trigger(availableNow=True).start(out))
     q.awaitTermination(120)
-    assert spark.read.parquet(out).count() > 0
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    batch = SessionizeEvents(EventSource(restaged),
+                             gap="30 minutes").plan(spark)
+    expected = {tuple(r) for r in batch.collect()}
+    assert got, "stream emitted nothing"
+    assert got <= expected  # no invented sessions
+    # everything held back is a trailing (latest-start) session of its
+    # user — the documented append-mode bound
+    held = expected - got
+    last_start = {}
+    for r in expected:
+        u, start = r[1], r[0]
+        if u not in last_start or start > last_start[u]:
+            last_start[u] = start
+    assert all(r[0] == last_start[r[1]] for r in held)
 
 
 def test_streaming_dedup(spark, tmp_path):
