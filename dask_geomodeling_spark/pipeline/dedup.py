@@ -322,7 +322,16 @@ class NgramJaccard(BaseSingle):
         # the verify join — persist beats recomputing the shingle scan
         # 3-4x (at scale: materialize the shingle table once)
         docs = docs.persist()
-        inv = docs.select("_id", "_n", F.explode("_sh").alias("_g"))
+        # the inverted index carries xxhash64(gram), not the gram string:
+        # every index-side shuffle (df count, freq join, prefix window,
+        # band self-join) moves fixed 8-byte keys instead of ~n-word
+        # strings (~20% local, bigger on a network-bound cluster).  A
+        # hash collision merges two grams in the index, which can only
+        # ADD candidate pairs — the verify join below intersects the
+        # REAL string shingle sets, so the output stays provably equal
+        # to brute force.
+        inv = docs.select("_id", "_n", F.explode("_sh").alias("_gs")) \
+                  .select("_id", "_n", F.xxhash64("_gs").alias("_g"))
         if threshold > 0:
             # global document frequency per gram: one row per DISTINCT
             # gram, which at corpus scale is billions of rows — never
