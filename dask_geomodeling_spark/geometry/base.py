@@ -212,6 +212,70 @@ class SeriesBlock(Block):
         from dask_geomodeling_spark.geometry.field_operations import Divide
         return Divide(self, other)
 
+    def __neg__(self):
+        from dask_geomodeling_spark.geometry.field_operations import Multiply
+        return Multiply(self, -1)
+
+    def __floordiv__(self, other):
+        from dask_geomodeling_spark.geometry.field_operations import (
+            FloorDivide)
+        return FloorDivide(self, other)
+
+    def __mod__(self, other):
+        from dask_geomodeling_spark.geometry.field_operations import Modulo
+        return Modulo(self, other)
+
+    def __pow__(self, other):
+        from dask_geomodeling_spark.geometry.field_operations import Power
+        return Power(self, other)
+
+    # comparisons build blocks, exactly like the reference
+    # (geometry/base.py:151-180) — so `series == 3` is a view, not a bool.
+    # __hash__ must be restored explicitly: defining __eq__ would
+    # otherwise clear it, and blocks rely on identity hashing.
+    def __eq__(self, other):
+        from dask_geomodeling_spark.geometry.field_operations import Equal
+        return Equal(self, other)
+
+    def __ne__(self, other):
+        from dask_geomodeling_spark.geometry.field_operations import NotEqual
+        return NotEqual(self, other)
+
+    def __gt__(self, other):
+        from dask_geomodeling_spark.geometry.field_operations import Greater
+        return Greater(self, other)
+
+    def __ge__(self, other):
+        from dask_geomodeling_spark.geometry.field_operations import (
+            GreaterEqual)
+        return GreaterEqual(self, other)
+
+    def __lt__(self, other):
+        from dask_geomodeling_spark.geometry.field_operations import Less
+        return Less(self, other)
+
+    def __le__(self, other):
+        from dask_geomodeling_spark.geometry.field_operations import LessEqual
+        return LessEqual(self, other)
+
+    def __invert__(self):
+        from dask_geomodeling_spark.geometry.field_operations import Invert
+        return Invert(self)
+
+    def __and__(self, other):
+        from dask_geomodeling_spark.geometry.field_operations import And
+        return And(self, other)
+
+    def __or__(self, other):
+        from dask_geomodeling_spark.geometry.field_operations import Or
+        return Or(self, other)
+
+    def __xor__(self, other):
+        from dask_geomodeling_spark.geometry.field_operations import Xor
+        return Xor(self, other)
+
+    __hash__ = object.__hash__
+
     def _build(self, ctx: BuildContext):
         """A series materializes as (index, value) over its root frame."""
         root = self._root()

@@ -117,6 +117,168 @@ class RasterBlock(Block):
         from dask_geomodeling_spark.raster.elemwise import Divide
         return Divide(self, other)
 
+    def __neg__(self):
+        from dask_geomodeling_spark.raster.elemwise import Multiply
+        return Multiply(self, -1)
+
+    def __pow__(self, other):
+        from dask_geomodeling_spark.raster.elemwise import Power
+        return Power(self, other)
+
+    # comparisons build blocks, exactly like the reference
+    # (raster/base.py:126-176) — so `raster > 5` is a view, not a bool.
+    # __hash__ is restored explicitly below: defining __eq__ would
+    # otherwise clear it, and blocks rely on identity hashing.
+    def __eq__(self, other):
+        from dask_geomodeling_spark.raster.elemwise import Equal
+        return Equal(self, other)
+
+    def __ne__(self, other):
+        from dask_geomodeling_spark.raster.elemwise import NotEqual
+        return NotEqual(self, other)
+
+    def __gt__(self, other):
+        from dask_geomodeling_spark.raster.elemwise import Greater
+        return Greater(self, other)
+
+    def __ge__(self, other):
+        from dask_geomodeling_spark.raster.elemwise import GreaterEqual
+        return GreaterEqual(self, other)
+
+    def __lt__(self, other):
+        from dask_geomodeling_spark.raster.elemwise import Less
+        return Less(self, other)
+
+    def __le__(self, other):
+        from dask_geomodeling_spark.raster.elemwise import LessEqual
+        return LessEqual(self, other)
+
+    def __invert__(self):
+        from dask_geomodeling_spark.raster.elemwise import Invert
+        return Invert(self)
+
+    def __and__(self, other):
+        from dask_geomodeling_spark.raster.elemwise import And
+        return And(self, other)
+
+    def __or__(self, other):
+        from dask_geomodeling_spark.raster.elemwise import Or
+        return Or(self, other)
+
+    def __xor__(self, other):
+        from dask_geomodeling_spark.raster.elemwise import Xor
+        return Xor(self, other)
+
+    __hash__ = object.__hash__
+
+    # ------------------------------------------------- store metadata
+    # The reference derives these from per-store metadata chains
+    # (raster/base.py:187-227 delegate up the block tree).  In the
+    # cell-table model the plan IS the metadata source: each property
+    # compiles to a tiny aggregation that Catalyst prunes to the one
+    # column it needs — on date-partitioned parquet min/max(time) come
+    # from footer statistics, so these stay cheap at 100 TB.  They are
+    # actions (they run a job); blocks stay session-free until then.
+    def _meta_plan(self):
+        return self.plan()
+
+    @property
+    def period(self):
+        """(first, last) band timestamp, or None when empty
+        (reference: raster/base.py:199)."""
+        row = self._meta_plan().agg(F.min("time"), F.max("time")).first()
+        if row is None or row[0] is None:
+            return None
+        return (row[0], row[1])
+
+    @property
+    def timedelta(self):
+        """The equidistant band spacing, or None when bands are not
+        aligned / fewer than 2 bands (reference: raster/base.py:203)."""
+        rows = (self._meta_plan().select("time").distinct()
+                .orderBy("time").collect())
+        if len(rows) < 2:
+            return None
+        times = [r[0] for r in rows]
+        deltas = {b - a for a, b in zip(times, times[1:])}
+        return deltas.pop() if len(deltas) == 1 else None
+
+    @property
+    def temporal(self):
+        """Whether the raster has a real time axis (more than one band
+        — reference: raster/base.py:207 store.temporal)."""
+        return len(self._meta_plan().select("time").distinct().head(2)) > 1
+
+    @property
+    def extent(self):
+        """Cell-index bounding box (x1, y1, x2, y2), or None when empty
+        (reference: raster/base.py:195)."""
+        row = self._meta_plan().agg(F.min("x"), F.min("y"),
+                                    F.max("x"), F.max("y")).first()
+        if row is None or row[0] is None:
+            return None
+        return (row[0], row[1], row[2], row[3])
+
+    @property
+    def dtype(self):
+        """numpy dtype of the value plane (reference: raster/base.py:211)."""
+        import numpy as np
+        kind = self._meta_plan().schema["value"].dataType.simpleString()
+        return np.dtype({"double": "float64", "float": "float32",
+                         "boolean": "bool", "bigint": "int64",
+                         "int": "int32"}.get(kind, "float64"))
+
+    @property
+    def fillvalue(self):
+        """No-data marker (reference: raster/base.py:215).  The cell
+        table encodes no-data as SQL NULL, so there is no sentinel
+        number: None (and None for boolean rasters, like the
+        reference's 'no fill for bool')."""
+        return None
+
+    @property
+    def geometry(self):
+        """WKT polygon of the extent (reference returns an ogr geometry,
+        raster/base.py:219; WKT is the GDAL-free analogue)."""
+        ext = self.extent
+        if ext is None:
+            return None
+        x1, y1, x2, y2 = ext
+        return ("POLYGON (({x1} {y1}, {x2} {y1}, {x2} {y2}, "
+                "{x1} {y2}, {x1} {y1}))").format(x1=x1, y1=y1, x2=x2, y2=y2)
+
+    @property
+    def projection(self):
+        """CRS carried by the source chain (reference:
+        raster/base.py:223); sources default to EPSG:4326."""
+        for arg in self.args:
+            if isinstance(arg, RasterBlock):
+                return arg.projection
+        return "EPSG:4326"
+
+    @property
+    def geo_transform(self):
+        """GDAL-style (x0, dx, 0, y0, 0, dy) over the unit cell grid
+        (reference: raster/base.py:227)."""
+        ext = self.extent
+        if ext is None:
+            return None
+        return (float(ext[0]), 1.0, 0.0, float(ext[1]), 0.0, 1.0)
+
+    def __len__(self):
+        """Number of temporal bands (reference: raster/base.py:75)."""
+        period = self.period
+        if period is None:
+            return 0
+        start, stop = period
+        if start == stop:
+            return 1
+        delta = self.timedelta
+        if delta is None:
+            return self._meta_plan().select("time").distinct().count()
+        return int((stop - start).total_seconds()
+                   / delta.total_seconds()) + 1
+
 
 class BaseSingle(RasterBlock):
     """Single-source raster base (reference: raster/base.py:177)."""

@@ -76,6 +76,18 @@ class MemorySource(RasterBlock):
             return (t0, t0)
         return (t0, t0 + dt * (bands - 1))
 
+    @property
+    def timedelta(self):
+        # store metadata is literal here — no job needed (the base-class
+        # fallback would run one)
+        data, _, _, dt = self.args[:4]
+        bands = len(data) if isinstance(data[0][0], list) else 1
+        return dt if (dt is not None and bands > 1) else None
+
+    @property
+    def projection(self):
+        return self.args[4]
+
     def _build(self, ctx):
         data, nodata, t0, dt = self.args[:4]
         if not isinstance(data[0][0], list):

@@ -121,3 +121,38 @@ def test_choose(spark, src):
     block = src.set("c", fo.Choose(idx, src["v"], src["w"], src["v"]))
     got = values(spark, block, "c")
     assert got == {1: 2.0, 2: 2.0, 3: 9.0}
+
+
+def test_series_operator_sugar(spark, src):
+    """Reference geometry/base.py:111-196: the full dunder set builds
+    field-operation blocks."""
+    v, w = src["v"], src["w"]
+    assert isinstance(-v, fo.Multiply)
+    assert isinstance(v // 2.0, fo.FloorDivide)
+    assert isinstance(v % 3.0, fo.Modulo)
+    assert isinstance(v ** 2.0, fo.Power)
+    assert isinstance(v == w, fo.Equal)
+    assert isinstance(v != w, fo.NotEqual)
+    assert isinstance(v > w, fo.Greater)
+    assert isinstance(v >= w, fo.GreaterEqual)
+    assert isinstance(v < w, fo.Less)
+    assert isinstance(v <= w, fo.LessEqual)
+    flag = v > 3.0
+    assert isinstance(~flag, fo.Invert)
+    assert isinstance(flag & (w > 3.0), fo.And)
+    assert isinstance(flag | (w > 3.0), fo.Or)
+    assert isinstance(flag ^ (w > 3.0), fo.Xor)
+    # identity hashing survives the __eq__ override
+    assert len({v, v}) == 1
+
+    view = src.set(
+        "neg", -v,
+        "fdiv", v // 2.0,
+        "sq", v ** 2.0,
+        "hot", (v > 3.0) & ~(v >= 9.0),
+    )
+    rows = {r.id: r for r in view.plan(spark).collect()}
+    assert rows[1].neg == -2.0
+    assert rows[2].fdiv == 2.0
+    assert rows[3].sq == 81.0
+    assert rows[2].hot is True and rows[3].hot is False

@@ -178,3 +178,60 @@ def test_geotiff_source_roundtrip(spark, tmp_path):
              .plan(spark).collect())
     assert {(r.y, r.x): r.value for r in rows2} \
         == {(r.y, r.x): r.value for r in rows}
+
+
+def test_operator_sugar_builds_blocks(a, b):
+    """Reference raster/base.py:96-176: every dunder returns a view."""
+    assert isinstance(-a, elemwise.Multiply)
+    assert isinstance(a ** 2, elemwise.Power)
+    assert isinstance(a == b, elemwise.Equal)
+    assert isinstance(a != 3, elemwise.NotEqual)
+    assert isinstance(a > 1, elemwise.Greater)
+    assert isinstance(a >= 1, elemwise.GreaterEqual)
+    assert isinstance(a < 1, elemwise.Less)
+    assert isinstance(a <= 1, elemwise.LessEqual)
+    gt = a > 1.0
+    assert isinstance(~gt, elemwise.Invert)
+    assert isinstance(gt & (b > 0.0), elemwise.And)
+    assert isinstance(gt | (b > 0.0), elemwise.Or)
+    assert isinstance(gt ^ (b > 0.0), elemwise.Xor)
+    # defining __eq__ must not break identity hashing
+    assert len({a, a}) == 1
+
+
+def test_operator_sugar_values(spark, a):
+    out = grid(spark, (-a) ** 2.0)
+    assert out[(0, 0)] == 1.0 and out[(0, 1)] == 4.0
+    assert out[(1, 1)] is None
+    flags = grid(spark, (a > 1.0) & ~(a >= 3.0))
+    assert flags[(0, 1)] is True and flags[(0, 0)] is False
+
+
+def test_store_metadata_properties(spark):
+    t0 = datetime(2000, 1, 1)
+    src = MemorySource([[[1.0]], [[2.0]], [[None]]],
+                       time_first=t0, time_delta=timedelta(hours=1))
+    assert src.period == (t0, datetime(2000, 1, 1, 2))
+    assert src.timedelta == timedelta(hours=1)
+    assert src.projection == "EPSG:4326"
+    assert len(src) == 3
+    # derived blocks fall back to plan-derived metadata (an action)
+    shifted = elemwise.Add(src, 1.0)
+    assert shifted.period == (t0, datetime(2000, 1, 1, 2))
+    assert shifted.timedelta == timedelta(hours=1)
+    assert shifted.temporal is True
+    assert len(shifted) == 3
+    assert shifted.projection == "EPSG:4326"
+    assert shifted.extent == (0, 0, 0, 0)
+    assert shifted.geo_transform == (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+    assert shifted.fillvalue is None
+    assert str(shifted.dtype) == "float64"
+    assert str((src > 1.0).dtype) == "bool"
+    assert shifted.geometry.startswith("POLYGON")
+
+
+def test_static_raster_metadata(spark, a):
+    assert a.timedelta is None
+    assert len(a) == 1
+    assert elemwise.Add(a, 0.0).temporal is False
+    assert a.extent == (0, 0, 1, 1)
