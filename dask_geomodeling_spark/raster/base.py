@@ -91,10 +91,21 @@ class RasterBlock(Block):
         if mode == "time":
             rows = df.select("time").distinct().orderBy("time").collect()
             return {"time": [r[0] for r in rows]}
+        if mode == "meta":
+            # reference raster/base.py:46: one metadata entry per band.
+            # Cell tables carry no per-band sidecar, so the entries are
+            # None placeholders aligned to the time axis.
+            rows = df.select("time").distinct().orderBy("time").collect()
+            return {"meta": [None for _ in rows]}
         if mode == "extent":
             row = df.agg(F.min("x"), F.min("y"), F.max("x"), F.max("y")).first()
             return {"extent": tuple(row)}
         return {"features": df, "no_data_value": None}
+
+    def to_file(self, *args, **kwargs):
+        """Export utility (reference: raster/base.py:52)."""
+        from dask_geomodeling_spark.raster.sinks import to_file
+        return to_file(self, *args, **kwargs)
 
     # ---------------------------------------------------------- sugar
     def __add__(self, other):

@@ -235,3 +235,15 @@ def test_static_raster_metadata(spark, a):
     assert len(a) == 1
     assert elemwise.Add(a, 0.0).temporal is False
     assert a.extent == (0, 0, 1, 1)
+
+
+def test_get_data_meta_mode_and_to_file(spark, tmp_path):
+    src = MemorySource([[[1.0]], [[2.0]]],
+                       time_first=datetime(2000, 1, 1),
+                       time_delta=timedelta(days=1))
+    assert src.get_data(spark, mode="meta") == {"meta": [None, None]}
+    url = str(tmp_path / "export")
+    src.to_file(url, spark=spark)
+    from dask_geomodeling_spark.raster.sources import RasterParquetSource
+    back = cells(spark, RasterParquetSource(url))
+    assert back == cells(spark, src)
