@@ -151,12 +151,28 @@ class GeometryBlock(Block):
     def set(self, *args):
         return SetSeriesBlock(self, *args)
 
+    @property
+    def projection(self):
+        """Native CRS of this block's geometry columns — inherited from
+        the first geometry source (sources default to EPSG:4326)."""
+        for arg in self.args:
+            if isinstance(arg, GeometryBlock):
+                return arg.projection
+        return "EPSG:4326"
+
     def get_data(self, spark=None, **request):
         """Reference response contract (geometry/base.py:33): a dict with
         ``features`` (here: a lazy Spark DataFrame) and ``projection``;
-        ``mode="extent"`` returns the bbox of matching features."""
+        ``mode="extent"`` returns the bbox of matching features.
+
+        A ``projection`` in the request that differs from the block's
+        native CRS reprojects the RESULT geometry columns to it with
+        the closed-form transforms (reference: every geometry request
+        carries a projection and sources deliver data in it —
+        geometry/base.py:33+).  Unsupported CRS pairs raise, like the
+        reference does without a matching PROJ definition."""
         df = self.plan(spark, **request)
-        projection = request.get("projection", "EPSG:4326")
+        projection = request.get("projection", self.projection)
         if request.get("mode") == "extent":
             cols = set(df.columns)
             if {"x", "y"} <= cols:
@@ -167,7 +183,20 @@ class GeometryBlock(Block):
                              F.max("xmax"), F.max("ymax")).first()
             else:
                 row = (None, None, None, None)
-            return {"extent": tuple(row), "projection": projection}
+            extent = tuple(row)
+            if projection != self.projection:
+                from dask_geomodeling_spark.geometry.proj import (
+                    transform_extent)
+                extent = transform_extent(extent, self.projection,
+                                          projection)
+            return {"extent": extent, "projection": projection}
+        if projection != self.projection:
+            from dask_geomodeling_spark.geometry.proj import (
+                reproject_mapping)
+            mapping = reproject_mapping(df.columns, self.projection,
+                                        projection)
+            if mapping:
+                df = df.withColumns(mapping)
         return {"features": df, "projection": projection}
 
     def to_file(self, *args, **kwargs):

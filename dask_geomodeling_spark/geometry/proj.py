@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 from dask_geomodeling_spark.geometry.base import BaseSingle
 
 __all__ = ["Reproject", "WEB_MERCATOR_RADIUS", "utm_sql",
-           "utm_inverse_sql", "equirect_sql"]
+           "utm_inverse_sql", "equirect_sql", "reproject_mapping",
+           "transform_extent", "validate_crs_pair"]
 
 WEB_MERCATOR_RADIUS = 6378137.0
 
@@ -149,23 +150,101 @@ _SUPPORTED = {("EPSG:4326", "EPSG:3857"), ("EPSG:3857", "EPSG:4326"),
               ("EPSG:4326", "EPSG:4087"), ("EPSG:4087", "EPSG:4326")}
 
 
-def _fwd_x(c):
-    return F.lit(WEB_MERCATOR_RADIUS) * F.radians(c)
+def _point_sql(src_crs, dst_crs, x_sql, y_sql):
+    """(x', y') SQL expression strings transforming the textual
+    coordinate expressions ``x_sql``/``y_sql`` — shared by column
+    mappings and the ``vertices``-array lambda."""
+    utm = _UTM_RE.match(dst_crs)
+    utm_src = _UTM_RE.match(src_crs)
+    if utm:
+        e, n = utm_sql(y_sql, x_sql, int(utm.group(2)),
+                       south=utm.group(1) == "7")
+        return e, n
+    if utm_src:
+        lon, lat = utm_inverse_sql(x_sql, y_sql, int(utm_src.group(2)),
+                                   south=utm_src.group(1) == "7")
+        return lon, lat
+    r = repr(WEB_MERCATOR_RADIUS)
+    if dst_crs == "EPSG:4087":
+        xe, ye = equirect_sql(y_sql, x_sql)
+        return xe, ye
+    if src_crs == "EPSG:4087":
+        return ("degrees(({}) / {})".format(x_sql, r),
+                "degrees(({}) / {})".format(y_sql, r))
+    if dst_crs == "EPSG:3857":
+        return ("({} * radians({}))".format(r, x_sql),
+                "({} * ln(tan(pi() / 4 + radians({}) / 2)))"
+                .format(r, y_sql))
+    # EPSG:3857 -> EPSG:4326
+    return ("degrees(({}) / {})".format(x_sql, r),
+            "degrees(2 * atan(exp(({}) / {})) - pi() / 2)"
+            .format(y_sql, r))
 
 
-def _fwd_y(c):
-    return F.lit(WEB_MERCATOR_RADIUS) * F.log(
-        F.tan(F.lit(math.pi / 4.0) + F.radians(c) / 2.0))
+def validate_crs_pair(src_crs, dst_crs):
+    """Raise NotImplementedError unless the pair has a closed form."""
+    src_crs, dst_crs = str(src_crs).upper(), str(dst_crs).upper()
+    utm = _UTM_RE.match(dst_crs)
+    utm_src = _UTM_RE.match(src_crs)
+    if utm and src_crs != "EPSG:4326":
+        raise NotImplementedError("UTM targets transform from EPSG:4326 only")
+    if utm_src and dst_crs != "EPSG:4326":
+        raise NotImplementedError("UTM sources transform to EPSG:4326 only")
+    if (src_crs != dst_crs and not utm and not utm_src
+            and (src_crs, dst_crs) not in _SUPPORTED):
+        raise NotImplementedError(
+            "supported natively: EPSG:4326 <-> EPSG:3857/4087 and "
+            "EPSG:4326 <-> UTM EPSG:326xx/327xx; other CRS pairs "
+            "need pyproj/GDAL (reference: utils.get_transform_func)")
+    return src_crs, dst_crs
 
 
-def _inv_x(c):
-    return F.degrees(c / F.lit(WEB_MERCATOR_RADIUS))
+def reproject_mapping(columns, src_crs, dst_crs):
+    """{column -> transformed Column} for every geometry column present
+    (point x/y, bbox corners, polygon ``vertices`` rings).  The same
+    mapping serves the Reproject operator and request-projection
+    handling in ``GeometryBlock.get_data``."""
+    src_crs, dst_crs = validate_crs_pair(src_crs, dst_crs)
+    mapping = {}
+    if src_crs == dst_crs:
+        return mapping
+    cols = set(columns)
+    for xc, yc in (("x", "y"), ("xmin", "ymin"), ("xmax", "ymax")):
+        if not {xc, yc} <= cols:
+            continue
+        x_sql, y_sql = _point_sql(src_crs, dst_crs,
+                                  "`{}`".format(xc), "`{}`".format(yc))
+        mapping[xc] = F.expr(x_sql)
+        mapping[yc] = F.expr(y_sql)
+    if "vertices" in cols:
+        vx, vy = _point_sql(src_crs, dst_crs, "v[0]", "v[1]")
+        mapping["vertices"] = F.expr(
+            "transform(vertices, v -> array({}, {}))".format(vx, vy))
+    return mapping
 
 
-def _inv_y(c):
-    return F.degrees(
-        2.0 * F.atan(F.exp(c / F.lit(WEB_MERCATOR_RADIUS)))
-        - F.lit(math.pi / 2.0))
+def transform_extent(extent, src_crs, dst_crs):
+    """Transform an (x1, y1, x2, y2) extent: transform the four box
+    corners and take the envelope (the reference transforms the extent
+    geometry and takes its envelope — utils.Extent.transform)."""
+    src_crs, dst_crs = validate_crs_pair(src_crs, dst_crs)
+    if src_crs == dst_crs or extent is None or extent[0] is None:
+        return extent
+    x1, y1, x2, y2 = extent
+    corners = [(x1, y1), (x1, y2), (x2, y1), (x2, y2)]
+    # evaluate the shared SQL closed forms in python via a tiny literal
+    # plan-free path: reuse the same expressions through numpy-free math
+    from dask_geomodeling_spark import config
+    spark = config.get_spark()
+    vx, vy = _point_sql(src_crs, dst_crs, "v[0]", "v[1]")
+    rows = spark.sql(
+        "SELECT transform(array({}), v -> array({}, {})) AS pts".format(
+            ", ".join("array({!r}D, {!r}D)".format(float(cx), float(cy))
+                      for cx, cy in corners), vx, vy)).first()
+    pts = rows[0]
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    return (min(xs), min(ys), max(xs), max(ys))
 
 
 class Reproject(BaseSingle):
@@ -181,21 +260,7 @@ class Reproject(BaseSingle):
 
     def __init__(self, source, src_crs="EPSG:4326",
                  dst_crs="EPSG:3857"):
-        src_crs, dst_crs = str(src_crs).upper(), str(dst_crs).upper()
-        utm = _UTM_RE.match(dst_crs)
-        utm_src = _UTM_RE.match(src_crs)
-        if utm and src_crs != "EPSG:4326":
-            raise NotImplementedError(
-                "UTM targets transform from EPSG:4326 only")
-        if utm_src and dst_crs != "EPSG:4326":
-            raise NotImplementedError(
-                "UTM sources transform to EPSG:4326 only")
-        if (src_crs != dst_crs and not utm and not utm_src
-                and (src_crs, dst_crs) not in _SUPPORTED):
-            raise NotImplementedError(
-                "supported natively: EPSG:4326 <-> EPSG:3857/4087 and "
-                "EPSG:4326 <-> UTM EPSG:326xx/327xx; other CRS pairs "
-                "need pyproj/GDAL (reference: utils.get_transform_func)")
+        src_crs, dst_crs = validate_crs_pair(src_crs, dst_crs)
         super().__init__(source, src_crs, dst_crs)
 
     def _build(self, ctx):
@@ -203,38 +268,7 @@ class Reproject(BaseSingle):
         src_crs, dst_crs = self.args[1], self.args[2]
         if src_crs == dst_crs:
             return df
-        utm = _UTM_RE.match(dst_crs)
-        utm_src = _UTM_RE.match(src_crs)
-        cols = set(df.columns)
-        mapping = {}
-        for xc, yc in (("x", "y"), ("xmin", "ymin"), ("xmax", "ymax")):
-            if not {xc, yc} <= cols:
-                continue
-            if utm:
-                e_sql, n_sql = utm_sql(yc, xc, int(utm.group(2)),
-                                       south=utm.group(1) == "7")
-                mapping[xc] = F.expr(e_sql)
-                mapping[yc] = F.expr(n_sql)
-            elif utm_src:
-                lon_sql, lat_sql = utm_inverse_sql(
-                    xc, yc, int(utm_src.group(2)),
-                    south=utm_src.group(1) == "7")
-                mapping[xc] = F.expr(lon_sql)
-                mapping[yc] = F.expr(lat_sql)
-            elif "EPSG:4087" in (src_crs, dst_crs):
-                if src_crs == "EPSG:4326":
-                    x_sql, y_sql = equirect_sql(yc, xc)
-                    mapping[xc] = F.expr(x_sql)
-                    mapping[yc] = F.expr(y_sql)
-                else:
-                    r = F.lit(WEB_MERCATOR_RADIUS)
-                    mapping[xc] = F.degrees(F.col(xc) / r)
-                    mapping[yc] = F.degrees(F.col(yc) / r)
-            else:
-                fx, fy = (_fwd_x, _fwd_y) if src_crs == "EPSG:4326" \
-                    else (_inv_x, _inv_y)
-                mapping[xc] = fx(F.col(xc))
-                mapping[yc] = fy(F.col(yc))
+        mapping = reproject_mapping(df.columns, src_crs, dst_crs)
         if not mapping:
             raise ValueError("Reproject requires geometry columns")
         return df.withColumns(mapping)

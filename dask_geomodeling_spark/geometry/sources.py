@@ -72,12 +72,19 @@ class ParquetGeometrySource(GeometryBlock):
       time_column: optional event-time column the request's start/stop
         bind to.
       columns: optional projection (column pruning at the scan).
+      projection: CRS the stored geometry columns are in (the
+        reference reads it from the file's spatial reference).
     """
 
-    def __init__(self, url, id_field="id", time_column=None, columns=None):
+    def __init__(self, url, id_field="id", time_column=None, columns=None,
+                 projection="EPSG:4326"):
         if not isinstance(url, str):
             raise TypeError("'{}' object is not allowed".format(type(url)))
-        super().__init__(url, id_field, time_column, columns)
+        super().__init__(url, id_field, time_column, columns, projection)
+
+    @property
+    def projection(self):
+        return self.args[4]
 
     @property
     def url(self):
@@ -249,6 +256,10 @@ class LiteralGeometrySource(GeometryBlock):
 
     def __init__(self, wkt_or_rows, id=1, projection="EPSG:4326"):
         super().__init__(wkt_or_rows, id, projection)
+
+    @property
+    def projection(self):
+        return self.args[2]
 
     @property
     def columns(self):

@@ -1,0 +1,78 @@
+"""Reprojection tests: closed-form transforms + request-projection
+handling in get_data (reference: every geometry request carries a
+projection — geometry/base.py:33+)."""
+
+import math
+
+import pytest
+
+from dask_geomodeling_spark.geometry.proj import (Reproject,
+                                                  WEB_MERCATOR_RADIUS,
+                                                  transform_extent)
+from dask_geomodeling_spark.geometry.sources import LiteralGeometrySource
+
+
+@pytest.fixture(scope="module")
+def pts():
+    return LiteralGeometrySource([
+        {"id": 1, "x": 0.0, "y": 0.0},
+        {"id": 2, "x": 45.0, "y": 45.0},
+    ])
+
+
+def test_request_projection_reprojects_features(spark, pts):
+    out = pts.get_data(spark, projection="EPSG:3857")
+    assert out["projection"] == "EPSG:3857"
+    rows = {r.id: r for r in out["features"].collect()}
+    assert rows[1].x == 0.0 and rows[1].y == pytest.approx(0.0, abs=1e-6)
+    assert rows[2].x == pytest.approx(
+        WEB_MERCATOR_RADIUS * math.radians(45.0))
+    assert rows[2].y == pytest.approx(
+        WEB_MERCATOR_RADIUS * math.log(math.tan(
+            math.pi / 4 + math.radians(45.0) / 2)))
+
+
+def test_request_projection_default_is_native(spark, pts):
+    out = pts.get_data(spark)
+    assert out["projection"] == "EPSG:4326"
+    assert {r.x for r in out["features"].collect()} == {0.0, 45.0}
+
+
+def test_request_projection_extent_mode(spark, pts):
+    out = pts.get_data(spark, mode="extent", projection="EPSG:4087")
+    r = WEB_MERCATOR_RADIUS
+    assert out["extent"][0] == pytest.approx(0.0)
+    assert out["extent"][2] == pytest.approx(r * math.radians(45.0))
+    assert out["projection"] == "EPSG:4087"
+
+
+def test_request_projection_unsupported_raises(spark, pts):
+    with pytest.raises(NotImplementedError):
+        pts.get_data(spark, projection="EPSG:28992")
+
+
+def test_reproject_vertices_ring(spark):
+    src = LiteralGeometrySource([
+        {"id": 1, "x": 0.5, "y": 0.5,
+         "vertices": [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]]},
+    ])
+    out = Reproject(src, "EPSG:4326", "EPSG:4087").plan(spark).first()
+    r = WEB_MERCATOR_RADIUS
+    assert out.vertices[1][0] == pytest.approx(r * math.radians(1.0))
+    assert out.vertices[2][1] == pytest.approx(r * math.radians(1.0))
+    assert out.x == pytest.approx(r * math.radians(0.5))
+
+
+def test_transform_extent_envelope():
+    ext = transform_extent((0.0, 0.0, 1.0, 1.0), "EPSG:4326", "EPSG:4087")
+    r = WEB_MERCATOR_RADIUS
+    assert ext[2] == pytest.approx(r * math.radians(1.0))
+    assert ext[1] == pytest.approx(0.0)
+
+
+def test_reproject_roundtrip_utm(spark):
+    src = LiteralGeometrySource([{"id": 1, "x": 5.3, "y": 52.1}])
+    fwd = Reproject(src, "EPSG:4326", "EPSG:32631")
+    back = Reproject(fwd, "EPSG:32631", "EPSG:4326").plan(spark).first()
+    assert back.x == pytest.approx(5.3, abs=1e-8)
+    assert back.y == pytest.approx(52.1, abs=1e-8)
