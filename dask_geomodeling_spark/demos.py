@@ -1499,6 +1499,23 @@ def sessionize(spark, sf_dir):
     return SessionizeEvents(src, gap="30 minutes").plan(spark)
 
 
+@demo("streaming_dedup_batch", oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""")
+def streaming_dedup_batch(spark, sf_dir):
+    """StreamingDedup's batch path: dropDuplicates over the dedup keys.
+    dropDuplicates keeps an arbitrary survivor among duplicates, so the
+    deterministic (= oracle-able) surface is the key projection itself —
+    exactly DISTINCT.  The streaming path of the same block is
+    dropDuplicatesWithinWatermark (state bounded by the watermark;
+    tests/test_streaming.py)."""
+    from dask_geomodeling_spark.streaming.events import (EventSource,
+                                                         StreamingDedup)
+    src = EventSource(_pq(sf_dir, "events"))
+    return (StreamingDedup(src, keys=["user_id", "event_type"])
+            .plan(spark).select("user_id", "event_type"))
+
+
 # --------------------------------------------------------------------------
 # coverage batch 2: spatial kernels, temporal resampling, constructive,
 # WKT rasterize, in-memory sources, sink roundtrips

@@ -415,8 +415,13 @@ class ProductQuantizerANN(BaseSingle):
     floats (64-d float → 4 codes here = 64x smaller); encoding is a
     narrow projection (codebooks ride the task closure — no join, no
     shuffle); search scans codes, not vectors, and the codebook lookup
-    is ``element_at`` over an m×codes literal.  Output: ``query_id``,
-    ``neighbor_id``, ``approx_dist``, ``rank`` (ascending distance).
+    is ``element_at`` over an m×codes literal.  Literal codebooks stay
+    plan-cheap because PQ codebooks are small by construction
+    (``codes`` ≤ 256 in practice — one byte per subspace); for larger
+    models use the broadcast-join assignment pattern
+    (``assign_clusters_join``) like ``KMeansIVF(assign='join')``.
+    Output: ``query_id``, ``neighbor_id``, ``approx_dist``, ``rank``
+    (ascending distance).
     """
 
     def __init__(self, source, queries, k=5, m=4, codes=4, iters=1,
