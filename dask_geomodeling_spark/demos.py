@@ -1022,6 +1022,46 @@ def exact_dedup(spark, sf_dir):
                       id_column="doc_id").plan(spark)
 
 
+@demo("line_dedup", oracle="""
+WITH docs AS (
+  SELECT doc_id, replace(text, ' merge ', chr(10) || 'merge ') AS t
+  FROM documents),
+s AS (SELECT doc_id, t, string_split(t, chr(10)) AS ls FROM docs),
+lines AS (
+  SELECT doc_id, unnest(ls) AS line,
+         generate_subscripts(ls, 1) AS pos
+  FROM s),
+freq AS (
+  SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY line),
+kept AS (
+  SELECT l.doc_id, l.line, l.pos
+  FROM lines l JOIN freq f USING (line) WHERE f.df <= 2),
+agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS newtext,
+         COUNT(*) AS kept
+  FROM kept GROUP BY doc_id)
+SELECT s.doc_id, COALESCE(a.newtext, '') AS text,
+       CAST(len(s.ls) - COALESCE(a.kept, 0) AS BIGINT)
+           AS n_removed_lines
+FROM s LEFT JOIN agg a USING (doc_id)
+""")
+def line_dedup(spark, sf_dir):
+    """LineDedup (RefinedWeb-style boilerplate removal): drop lines
+    occurring in more than 2 distinct documents, reassemble documents
+    in original line order.  The demo synthesizes line structure by
+    breaking the flat synthetic text before each 'merge ' token — a
+    literal replace() that evaluates identically in both engines."""
+    from dask_geomodeling_spark.pipeline.dedup import LineDedup
+    docs = (read_nanos_parquet(spark, _pq(sf_dir, "documents"))
+            .select("doc_id",
+                    F.expr("replace(text, ' merge ', concat(char(10), "
+                           "'merge '))").alias("text")))
+    block = LineDedup(DataFrameSource(docs, index_column="doc_id"),
+                      column="text", id_column="doc_id",
+                      max_doc_freq=2)
+    return block.plan(spark).select("doc_id", "text", "n_removed_lines")
+
+
 def _minhash_oracle(num_perm=8, bands=4, n=2):
     from dask_geomodeling_spark.pipeline.dedup import _perm_constants
     perms = _perm_constants(num_perm)

@@ -84,6 +84,76 @@ class ExactDedup(BaseSingle):
                 .select(idc, "dup_count"))
 
 
+class LineDedup(BaseSingle):
+    """Exact line-level deduplication (the RefinedWeb / CCNet recipe):
+    drop every line whose exact text occurs in more than
+    ``max_doc_freq`` distinct documents — boilerplate (navigation,
+    cookie banners, footers) repeats across pages while real prose
+    does not — and rebuild each document from its surviving lines in
+    original order.
+
+    Plan shape (scale-safe):
+      1. ``posexplode(split(text))`` — map-side;
+      2. line → distinct-document frequency: one aggregation on the
+         line key (near-uniform: boilerplate lines are many distinct
+         strings, not one hot key);
+      3. equi-join the frequency back, keep rare lines;
+      4. one re-group per document reassembles the text
+         (``array_sort`` on (pos, line) structs + ``array_join``).
+    ``hashed=True`` switches steps 2-3 to ``xxhash64(line)`` keys —
+    8-byte shuffles instead of line strings (the right trade on a
+    network-bound cluster; a 64-bit collision can only over-delete a
+    line, same contract as Decontaminate's hashed mode).
+
+    Output: source columns with ``column`` rewritten (documents whose
+    every line was boilerplate become ``""``) + ``n_removed_lines``.
+    """
+
+    def __init__(self, source, column="text", id_column="doc_id",
+                 delimiter="\n", max_doc_freq=1, hashed=False):
+        super().__init__(source, column, id_column, delimiter,
+                         int(max_doc_freq), bool(hashed))
+
+    @property
+    def columns(self):
+        return set(self.source.columns) | {"n_removed_lines"}
+
+    def _build(self, ctx):
+        _, column, idc, delim, max_df, hashed = self.args
+        df = self.source._build(ctx)
+        # split() treats the delimiter as a Java regex; escape literals
+        import re as _re
+        pat = _re.escape(delim)
+        lines = df.select(
+            F.col(idc),
+            F.posexplode(F.split(F.col(column), pat))
+            .alias("_pos", "_line"))
+        key = F.xxhash64("_line").alias("_k") if hashed \
+            else F.col("_line").alias("_k")
+        keyed = lines.select(idc, "_pos", "_line", key)
+        freq = (keyed.groupBy("_k")
+                .agg(F.countDistinct(idc).alias("_df")))
+        kept = (keyed.join(freq, "_k")
+                .filter(F.col("_df") <= max_df))
+        rebuilt = kept.groupBy(idc).agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list("
+                       "struct(_pos, _line))), s -> s._line)"),
+                delim).alias("_newtext"),
+            F.count(F.lit(1)).alias("_kept"))
+        out = (df.withColumn("_ntotal",
+                             F.size(F.split(F.col(column), pat)))
+               .join(rebuilt, idc, "left"))
+        return (out
+                .withColumn(column, F.coalesce("_newtext", F.lit("")))
+                .withColumn(
+                    "n_removed_lines",
+                    (F.col("_ntotal")
+                     - F.coalesce(F.col("_kept"), F.lit(0)))
+                    .cast("bigint"))
+                .drop("_newtext", "_kept", "_ntotal"))
+
+
 class MinHashLSH(BaseSingle):
     """MinHash + banded LSH near-duplicate candidate pairs.
 

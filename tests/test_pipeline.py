@@ -350,3 +350,32 @@ def test_kmeans_ivf_join_assignment_broadcasts(spark):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "BroadcastExchange" in plan
+
+
+def test_line_dedup_removes_boilerplate(spark):
+    src = LiteralGeometrySource([
+        {"doc_id": 1, "text": "COOKIE BANNER\nreal prose one\nFOOTER"},
+        {"doc_id": 2, "text": "COOKIE BANNER\nreal prose two\nFOOTER"},
+        {"doc_id": 3, "text": "COOKIE BANNER\nFOOTER"},
+    ])
+    out = {r.doc_id: r for r in dedup.LineDedup(src, max_doc_freq=1)
+           .plan(spark).collect()}
+    assert out[1].text == "real prose one"
+    assert out[2].text == "real prose two"
+    assert out[3].text == ""            # all lines were boilerplate
+    assert out[1].n_removed_lines == 2
+    assert out[3].n_removed_lines == 2
+
+
+def test_line_dedup_preserves_order_and_hashed_parity(spark):
+    src = LiteralGeometrySource([
+        {"doc_id": 1, "text": "z first\nSHARED\na later\nb last"},
+        {"doc_id": 2, "text": "SHARED\nother"},
+    ])
+    plain = {r.doc_id: r.text for r in dedup.LineDedup(src)
+             .plan(spark).collect()}
+    assert plain[1] == "z first\na later\nb last"   # original order kept
+    hashed = {r.doc_id: r.text
+              for r in dedup.LineDedup(src, hashed=True)
+              .plan(spark).collect()}
+    assert hashed == plain
