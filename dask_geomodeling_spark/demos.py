@@ -1040,8 +1040,11 @@ agg AS (
   SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS newtext,
          COUNT(*) AS kept
   FROM kept GROUP BY doc_id)
-SELECT s.doc_id, COALESCE(a.newtext, '') AS text,
-       CAST(len(s.ls) - COALESCE(a.kept, 0) AS BIGINT)
+SELECT s.doc_id,
+       CASE WHEN s.t IS NULL THEN NULL
+            ELSE COALESCE(a.newtext, '') END AS text,
+       CAST(CASE WHEN s.t IS NULL THEN 0
+                 ELSE len(s.ls) - COALESCE(a.kept, 0) END AS BIGINT)
            AS n_removed_lines
 FROM s LEFT JOIN agg a USING (doc_id)
 """)

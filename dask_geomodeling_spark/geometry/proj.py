@@ -261,7 +261,19 @@ class Reproject(BaseSingle):
     def __init__(self, source, src_crs="EPSG:4326",
                  dst_crs="EPSG:3857"):
         src_crs, dst_crs = validate_crs_pair(src_crs, dst_crs)
+        declared = getattr(source, "projection", None)
+        if declared is not None and declared != src_crs:
+            raise ValueError(
+                "source block carries projection {!r} but Reproject was"
+                " given src_crs={!r}".format(declared, src_crs))
         super().__init__(source, src_crs, dst_crs)
+
+    @property
+    def projection(self):
+        """The block's OUTPUT CRS (dst_crs) — without this override the
+        base-class walk would report the source CRS and a request-level
+        ``projection=`` would re-transform already-projected data."""
+        return self.args[2]
 
     def _build(self, ctx):
         df = self.source._build(ctx)

@@ -233,13 +233,18 @@ class DataFrameSource(GeometryBlock):
     views.  Not serializable to a JSON graph (the frame is live state);
     use ParquetGeometrySource/TableSource for persistent views."""
 
-    def __init__(self, df, index_column="id"):
+    def __init__(self, df, index_column="id", projection="EPSG:4326"):
         self._df = df
-        super().__init__("dataframe-{}".format(id(df)), index_column)
+        super().__init__("dataframe-{}".format(id(df)), index_column,
+                         projection)
 
     @property
     def index_column(self):
         return self.args[1]
+
+    @property
+    def projection(self):
+        return self.args[2]
 
     @property
     def columns(self):

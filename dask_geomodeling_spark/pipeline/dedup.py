@@ -107,6 +107,8 @@ class LineDedup(BaseSingle):
 
     Output: source columns with ``column`` rewritten (documents whose
     every line was boilerplate become ``""``) + ``n_removed_lines``.
+    NULL-text rows pass through unchanged with ``n_removed_lines = 0``
+    — they carry no lines, so nothing can be removed.
     """
 
     def __init__(self, source, column="text", id_column="doc_id",
@@ -145,12 +147,17 @@ class LineDedup(BaseSingle):
                              F.size(F.split(F.col(column), pat)))
                .join(rebuilt, idc, "left"))
         return (out
-                .withColumn(column, F.coalesce("_newtext", F.lit("")))
                 .withColumn(
                     "n_removed_lines",
-                    (F.col("_ntotal")
-                     - F.coalesce(F.col("_kept"), F.lit(0)))
+                    F.when(F.col(column).isNull(), F.lit(0))
+                    .otherwise(F.col("_ntotal")
+                               - F.coalesce(F.col("_kept"), F.lit(0)))
                     .cast("bigint"))
+                .withColumn(
+                    column,
+                    F.when(F.col(column).isNull(),
+                           F.lit(None).cast("string"))
+                    .otherwise(F.coalesce("_newtext", F.lit(""))))
                 .drop("_newtext", "_kept", "_ntotal"))
 
 

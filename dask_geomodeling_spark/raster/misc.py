@@ -248,6 +248,12 @@ class RasterizeWKT(RasterBlock):
             raise TypeError("'{}' object is not allowed".format(type(wkt)))
         super().__init__(wkt, projection)
 
+    @property
+    def projection(self):
+        """The declared CRS of the WKT — the base-class walk only sees
+        RasterBlock args and would fall back to the 4326 default."""
+        return self.args[1]
+
     def _build(self, ctx):
         from dask_geomodeling_spark.geometry.sources import (
             LiteralGeometrySource)

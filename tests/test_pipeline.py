@@ -379,3 +379,16 @@ def test_line_dedup_preserves_order_and_hashed_parity(spark):
               for r in dedup.LineDedup(src, hashed=True)
               .plan(spark).collect()}
     assert hashed == plain
+
+def test_line_dedup_null_text_passthrough(spark):
+    src = LiteralGeometrySource([
+        {"doc_id": 1, "text": "SHARED\nprose one"},
+        {"doc_id": 2, "text": "SHARED\nprose two"},
+        {"doc_id": 3, "text": None},
+    ])
+    out = {r.doc_id: r for r in dedup.LineDedup(src, max_doc_freq=1)
+           .plan(spark).collect()}
+    assert out[3].text is None          # NULL passes through unchanged
+    assert out[3].n_removed_lines == 0
+    assert out[1].text == "prose one"
+    assert out[1].n_removed_lines == 1

@@ -76,3 +76,26 @@ def test_reproject_roundtrip_utm(spark):
     back = Reproject(fwd, "EPSG:32631", "EPSG:4326").plan(spark).first()
     assert back.x == pytest.approx(5.3, abs=1e-8)
     assert back.y == pytest.approx(52.1, abs=1e-8)
+
+
+def test_reproject_reports_destination_crs(spark, pts):
+    block = Reproject(pts, "EPSG:4326", "EPSG:3857")
+    assert block.projection == "EPSG:3857"
+    # a request in the block's own CRS must NOT re-transform the data
+    out = block.get_data(spark, projection="EPSG:3857")
+    assert out["projection"] == "EPSG:3857"
+    rows = {r.id: r for r in out["features"].collect()}
+    assert rows[2].x == pytest.approx(
+        WEB_MERCATOR_RADIUS * math.radians(45.0))
+
+
+def test_reproject_rejects_mismatched_source_crs(pts):
+    fwd = Reproject(pts, "EPSG:4326", "EPSG:3857")
+    with pytest.raises(ValueError, match="projection"):
+        Reproject(fwd, "EPSG:4326", "EPSG:4087")
+
+
+def test_rasterize_wkt_reports_projection():
+    from dask_geomodeling_spark.raster.misc import RasterizeWKT
+    block = RasterizeWKT("POINT (2 3)", "EPSG:3857")
+    assert block.projection == "EPSG:3857"
