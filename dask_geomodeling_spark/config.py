@@ -25,6 +25,13 @@ DEFAULTS = {
     # reader rejects by default; read as long and convert (see
     # read_events_parquet)
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # timestamp[us] without timezone would otherwise load as
+    # TIMESTAMP_NTZ, which half the temporal functions (unix_micros,
+    # watermarks) reject — read everything as session-tz TIMESTAMP and
+    # pin the session to UTC so wall-clock values match engines that
+    # treat the column as naive (the DuckDB oracles)
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
 }
 
 
@@ -38,9 +45,17 @@ def read_nanos_parquet(spark, url, time_column="ts"):
 
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled",
+                       "false")
     except Exception:
         pass
     df = spark.read.parquet(url)
+    # an externally configured session may still have inferred NTZ —
+    # normalize every temporal column to session-tz TIMESTAMP so the
+    # whole engine sees one timestamp type
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     if time_column in df.columns and isinstance(
             df.schema[time_column].dataType, T.LongType):
         # integer division: float division would round-trip the nanos
