@@ -19,6 +19,47 @@ __all__ = ["Add", "Subtract", "Multiply", "Divide", "Power",
            "FillNoData", "Exp", "Log", "Log10"]
 
 
+def _scalar_chain(block):
+    """Decompose ``block`` into ``(leaf, fn)`` where ``fn`` maps the leaf's
+    ``value`` Column to this block's value, IF the block is a chain of
+    per-cell column transforms (scalar elementwise / exp / log / invert)
+    over a single raster.  Returns None for anything that changes the cell
+    set (joins, filters, temporal ops) — those must keep their own plan.
+
+    Two chains over the SAME leaf (by token) need no alignment join: the
+    cell coordinates are identical by construction, so the combined op is
+    one projection over one scan — no shuffle at any scale."""
+    if isinstance(block, BaseElementwise):
+        a, b = block.args[0], block.args[1]
+        ra, rb = isinstance(a, RasterBlock), isinstance(b, RasterBlock)
+        if ra and rb:
+            return None
+        sub = _scalar_chain(a if ra else b)
+        if sub is None:
+            return None
+        leaf, fn = sub
+        if ra:
+            return leaf, lambda c, _b=block, _f=fn, _s=b: \
+                _b._op(_f(c), F.lit(_s))
+        return leaf, lambda c, _b=block, _f=fn, _s=a: \
+            _b._op(F.lit(_s), _f(c))
+    if isinstance(block, BaseLogExp):
+        sub = _scalar_chain(block.store)
+        if sub is None:
+            return None
+        leaf, fn = sub
+        return leaf, lambda c, _b=block, _f=fn: _b._op(_f(c))
+    if isinstance(block, Invert):
+        sub = _scalar_chain(block.store)
+        if sub is None:
+            return None
+        leaf, fn = sub
+        return leaf, lambda c, _f=fn: ~_f(c).cast("boolean")
+    if isinstance(block, RasterBlock):
+        return block, lambda c: c
+    return None
+
+
 class BaseElementwise(RasterBlock):
     """Base for elementwise combinations (reference: raster/elemwise.py:37)."""
 
@@ -30,9 +71,26 @@ class BaseElementwise(RasterBlock):
     def _op(self, a, b):
         raise NotImplementedError
 
+    def _fused(self, ctx, cast=None):
+        """Single-scan plan when both raster operands are scalar chains
+        over one leaf; None when alignment genuinely needs a join."""
+        a, b = self.args[0], self.args[1]
+        ca, cb = _scalar_chain(a), _scalar_chain(b)
+        if ca is None or cb is None or ca[0].token != cb[0].token:
+            return None
+        df = ca[0]._build(ctx)
+        va, vb = ca[1](F.col("value")), cb[1](F.col("value"))
+        if cast:
+            va, vb = va.cast(cast), vb.cast(cast)
+        return df.select("time", "y", "x",
+                         self._op(va, vb).alias("value"))
+
     def _build(self, ctx):
         a, b = self.args[0], self.args[1]
         if isinstance(a, RasterBlock) and isinstance(b, RasterBlock):
+            fused = self._fused(ctx)
+            if fused is not None:
+                return fused
             joined = align([a._build(ctx), b._build(ctx)], how="full")
             value = self._op(F.col("v0"), F.col("v1"))
             return joined.select("time", "y", "x", value.alias("value"))
@@ -167,6 +225,9 @@ class BaseLogic(BaseElementwise):
     def _build(self, ctx):
         a, b = self.args[0], self.args[1]
         if isinstance(a, RasterBlock) and isinstance(b, RasterBlock):
+            fused = self._fused(ctx, cast="boolean")
+            if fused is not None:
+                return fused
             joined = align([a._build(ctx), b._build(ctx)], how="full")
             value = self._op(F.col("v0").cast("boolean"),
                              F.col("v1").cast("boolean"))

@@ -367,3 +367,18 @@ def test_geotiff_scan_is_binary_file_source(spark, tmp_path):
                              time_delta=timedelta(hours=1)).plan(spark)
     plan = plan_of(df, "simple")
     assert "binaryFile" in plan
+
+
+def test_same_root_elemwise_fuses_without_join(spark):
+    """Raster⋈raster elemwise over the SAME leaf raster is one scan +
+    one projection — no alignment join, no Exchange.  Distinct leaves
+    still align with a join (the general path)."""
+    from dask_geomodeling_spark.raster import elemwise as ew
+    from dask_geomodeling_spark.raster.sources import MemorySource
+    a = MemorySource([[1.0, 2.0], [3.0, None]])
+    b = MemorySource([[10.0, None], [30.0, 40.0]])
+    fused = ew.Subtract(ew.Divide(ew.Add(a, ew.Multiply(a, 2.0)), 2.0), 1.0)
+    plan = plan_of(fused.plan(spark), "simple")
+    assert "Join" not in plan and "Exchange" not in plan
+    joined = ew.Add(a, b)
+    assert "Join" in plan_of(joined.plan(spark), "simple")

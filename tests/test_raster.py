@@ -247,3 +247,26 @@ def test_get_data_meta_mode_and_to_file(spark, tmp_path):
     from dask_geomodeling_spark.raster.sources import RasterParquetSource
     back = cells(spark, RasterParquetSource(url))
     assert back == cells(spark, src)
+
+
+def test_elemwise_same_root_fusion_values(spark, a):
+    """Two scalar chains over the SAME source fuse into one projection;
+    values must equal the algebraic result, NULL stays no-data."""
+    expr = elemwise.Subtract(
+        elemwise.Divide(elemwise.Add(a, elemwise.Multiply(a, 2.0)), 2.0),
+        1.0)  # (v + 2v)/2 - 1 = 1.5v - 1
+    assert grid(spark, expr) == {
+        (0, 0): 0.5, (0, 1): 2.0, (1, 0): 3.5, (1, 1): None}
+
+
+def test_elemwise_same_root_fusion_logic_and_logexp(spark, a):
+    """Fusion also covers comparisons under And/Or and Exp/Log/Invert
+    chain links."""
+    hi = elemwise.Greater(a, 1.5)
+    lo = elemwise.Less(elemwise.Log(a), 1.0)  # log(v) < 1
+    both = elemwise.And(hi, lo)
+    assert grid(spark, both) == {
+        (0, 0): False, (0, 1): True, (1, 0): False, (1, 1): None}
+    inv = elemwise.Or(elemwise.Invert(hi), hi)
+    assert grid(spark, inv) == {
+        (0, 0): True, (0, 1): True, (1, 0): True, (1, 1): None}
