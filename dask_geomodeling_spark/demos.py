@@ -930,9 +930,8 @@ def aggregate_raster(spark, sf_dir):
         (F.col("n_regionkey") * 6 + 5).cast("bigint").alias("ymax"))
     src = DataFrameSource(boxes, index_column="n_nationkey")
     grid = lineitem_grid(spark, sf_dir)
-    mx = AggregateRaster(src, grid, statistic="max", column_name="agg_max")
-    both = AggregateRaster(mx, grid, statistic="count",
-                           column_name="agg_count")
+    both = AggregateRaster(src, grid, statistic=["max", "count"],
+                           column_name=["agg_max", "agg_count"])
     df = both.plan(spark)
     return df.select("n_nationkey", "xmin", "ymin", "xmax", "ymax",
                      "agg_max", F.coalesce("agg_count", F.lit(0))

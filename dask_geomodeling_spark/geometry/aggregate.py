@@ -47,11 +47,27 @@ class AggregateRaster(BaseSingle):
             raise TypeError("'{}' object is not allowed".format(type(source)))
         if not isinstance(raster, RasterBlock):
             raise TypeError("'{}' object is not allowed".format(type(raster)))
-        statistic = statistic.lower()
-        if (statistic not in ("sum", "count", "min", "max", "mean", "median",
-                              "std", "var")
-                and parse_percentile_statistic(statistic) is None):
-            raise ValueError("Unknown statistic '{}'".format(statistic))
+        # list-of-statistics extension: every statistic shares the ONE
+        # range join + grouped aggregation (each extra statistic would
+        # otherwise re-join and re-scan the whole cell table); the
+        # reference API's single string stays valid.
+        stats = ([s.lower() for s in statistic]
+                 if isinstance(statistic, (list, tuple))
+                 else [statistic.lower()])
+        names = (list(column_name)
+                 if isinstance(column_name, (list, tuple))
+                 else [column_name])
+        if len(stats) != len(names):
+            raise ValueError("statistic and column_name lengths differ")
+        for s in stats:
+            if (s not in ("sum", "count", "min", "max", "mean", "median",
+                          "std", "var")
+                    and parse_percentile_statistic(s) is None):
+                raise ValueError("Unknown statistic '{}'".format(s))
+        if isinstance(statistic, (list, tuple)):
+            statistic, column_name = stats, names
+        else:
+            statistic, column_name = stats[0], names[0]
         super().__init__(source, raster, statistic, projection, pixel_size,
                          max_pixels, column_name, auto_pixel_size)
 
@@ -68,8 +84,15 @@ class AggregateRaster(BaseSingle):
         return self.args[6]
 
     @property
+    def _stat_pairs(self):
+        stat, name = self.args[2], self.args[6]
+        if isinstance(stat, (list, tuple)):
+            return list(zip(stat, name))
+        return [(stat, name)]
+
+    @property
     def columns(self):
-        return set(self.source.columns) | {self.column_name}
+        return set(self.source.columns) | {n for _, n in self._stat_pairs}
 
     def _cells(self, ctx):
         cells = self.raster._build(ctx).filter(F.col("value").isNotNull())
@@ -122,8 +145,8 @@ class AggregateRaster(BaseSingle):
         # feature side is the small side: broadcast it under the range join
         joined = cells.join(F.broadcast(boxes), cond, "inner")
         stats = (joined.groupBy(boxes[idx])
-                 .agg(statistic_expr(self.statistic)
-                      .alias(self.column_name)))
+                 .agg(*[statistic_expr(s).alias(n)
+                        for s, n in self._stat_pairs]))
         return features.join(stats, idx, "left")
 
 
@@ -159,6 +182,6 @@ class AggregateRasterAboveThreshold(AggregateRaster):
                 & (cells["value"] >= boxes["_thr"]))
         joined = cells.join(F.broadcast(boxes), cond, "inner")
         stats = (joined.groupBy(boxes[idx])
-                 .agg(statistic_expr(self.statistic)
-                      .alias(self.column_name)))
+                 .agg(*[statistic_expr(s).alias(n)
+                        for s, n in self._stat_pairs]))
         return features.join(stats, idx, "left")

@@ -270,3 +270,26 @@ def test_elemwise_same_root_fusion_logic_and_logexp(spark, a):
     inv = elemwise.Or(elemwise.Invert(hi), hi)
     assert grid(spark, inv) == {
         (0, 0): True, (0, 1): True, (1, 0): True, (1, 1): None}
+
+
+def test_aggregate_raster_multi_statistic(spark):
+    """statistic=[...] computes every statistic in ONE range-join pass
+    and matches the chained single-statistic result."""
+    from dask_geomodeling_spark.geometry.aggregate import AggregateRaster
+    from dask_geomodeling_spark.geometry.sources import (
+        LiteralGeometrySource)
+    src = LiteralGeometrySource([
+        {"id": 1, "xmin": 0, "ymin": 0, "xmax": 1, "ymax": 1},
+        {"id": 2, "xmin": 5, "ymin": 5, "xmax": 9, "ymax": 9}])
+    cells = MemorySource([[1.0, 2.0], [3.0, None]])
+    multi = AggregateRaster(src, cells, statistic=["max", "count", "sum"],
+                            column_name=["mx", "n", "s"])
+    rows = {r.id: r for r in multi.plan(spark).collect()}
+    assert (rows[1].mx, rows[1].n, rows[1].s) == (3.0, 3, 6.0)
+    assert (rows[2].mx, rows[2].n) == (None, None)
+    chained = AggregateRaster(
+        AggregateRaster(src, cells, statistic="max", column_name="mx"),
+        cells, statistic="count", column_name="n")
+    rows2 = {r.id: r for r in chained.plan(spark).collect()}
+    assert all((rows[i].mx, rows[i].n) == (rows2[i].mx, rows2[i].n)
+               for i in (1, 2))
