@@ -4477,6 +4477,112 @@ def q21_waiting_supplier(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("numwait")))
 
 
+
+
+@demo("linear_score", oracle="""
+WITH q AS (
+ SELECT doc_id, length(text) AS n,
+   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS letters,
+   length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS punct,
+   CASE WHEN length(trim(text)) = 0 THEN 0
+        ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END
+       AS n_words,
+   len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       w -> list_contains(['the','and','of','to','is','in','that','it'],
+                          w))) AS stop
+ FROM documents),
+r AS (SELECT doc_id,
+   CASE WHEN n > 0 THEN punct / CAST(n AS DOUBLE) ELSE 0.0 END
+       AS punct_ratio,
+   CASE WHEN n_words > 0 THEN stop / CAST(n_words AS DOUBLE) ELSE 0.0 END
+       AS stopword_ratio,
+   CASE WHEN n_words > 0 THEN letters / CAST(n_words AS DOUBLE)
+        ELSE 0.0 END AS mean_word_len
+ FROM q),
+s AS (SELECT doc_id, punct_ratio, stopword_ratio, mean_word_len,
+   1.0 / (1.0 + exp(-(CAST(-1.5 AS DOUBLE)
+        + CAST(-4.0 AS DOUBLE) * punct_ratio
+        + CAST(8.0 AS DOUBLE) * stopword_ratio
+        + CAST(0.25 AS DOUBLE) * mean_word_len))) AS score
+ FROM r)
+SELECT doc_id, ROUND(score, 6) AS score FROM s WHERE score >= 0.5
+""")
+def linear_score(spark, sf_dir):
+    """LinearScore: classifier-based quality filter — logistic scorer
+    over QualityScore's engineered features with shipped weights, the
+    fastText-recipe final stage.  Pure projection (weights are plan
+    literals); the oracle re-derives features and sigmoid in the same
+    left-to-right association."""
+    from dask_geomodeling_spark.pipeline.filter import LinearScore
+    from dask_geomodeling_spark.pipeline.text import QualityScore
+    feats = QualityScore(documents_src(sf_dir))
+    scored = LinearScore(
+        feats,
+        features=["punct_ratio", "stopword_ratio", "mean_word_len"],
+        weights=[-4.0, 8.0, 0.25], bias=-1.5, threshold=0.5)
+    return (scored.plan(spark)
+            .select("doc_id", F.round("score", 6).alias("score")))
+
+
+@demo("source_mix", oracle="""
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+p AS (SELECT lang, n,
+        CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+                  WHEN 'de' THEN CAST(0.2 AS DOUBLE)
+                  WHEN 'zh' THEN CAST(0.3 AS DOUBLE) END AS p
+      FROM c),
+t AS (SELECT MIN(n / p) AS t FROM p WHERE p IS NOT NULL),
+thr AS (SELECT lang,
+          CAST(floor(LEAST(CAST(1.0 AS DOUBLE), p * t.t / n)
+               * 2147483647) AS BIGINT) AS thr
+        FROM p, t WHERE p IS NOT NULL)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thr ON d.lang = thr.lang
+WHERE (d.doc_id * 2654435761) % 2147483647 < thr.thr
+""")
+def source_mix(spark, sf_dir):
+    """SourceMix: deterministic corpus mixing to target language shares
+    (50/20/30 en/de/zh) — one per-category count aggregation broadcast
+    back + a map-side hash-Bernoulli filter; untargeted languages drop.
+    No sort/rank/window, so no skew at any corpus size."""
+    from dask_geomodeling_spark.pipeline.sample import SourceMix
+    mixed = SourceMix(documents_src(sf_dir),
+                      targets={"en": 0.5, "de": 0.2, "zh": 0.3},
+                      category_column="lang")
+    return mixed.plan(spark).select("doc_id", "lang")
+
+
+def _random_projection_oracle(k=4, dim=64, seed=7):
+    import math as _math
+    from dask_geomodeling_spark.pipeline.similarity import hyperplanes
+    inv = 1.0 / _math.sqrt(float(k))
+    comps = []
+    for j, plane in enumerate(hyperplanes(dim, k, seed)):
+        arr = "[" + ",".join("CAST({!r} AS DOUBLE)".format(w)
+                             for w in plane) + "]"
+        dot = _DD_DOT.format(a="embedding", b=arr, dimp1=dim + 1)
+        comps.append(
+            "ROUND(({dot}) * CAST({inv!r} AS DOUBLE), 6) AS p{j}"
+            .format(dot=dot, inv=inv, j=j))
+    return ("SELECT vec_id, {comps} FROM embeddings"
+            .format(comps=", ".join(comps)))
+
+
+@demo("random_projection", oracle=_random_projection_oracle())
+def random_projection(spark, sf_dir):
+    """RandomProjection: Johnson-Lindenstrauss 64->4 against the
+    deterministic Gaussian hyperplane matrix; literal-matrix projection
+    (no join, no shuffle).  Oracle re-runs the identical sequential-fold
+    dot products and 1/sqrt(k) scaling."""
+    from dask_geomodeling_spark.pipeline.similarity import RandomProjection
+    proj = RandomProjection(embeddings_src(sf_dir), k=4, dim=64, seed=7)
+    df = proj.plan(spark)
+    return df.select(
+        "vec_id",
+        *[F.round(F.element_at("projected", j + 1), 6)
+          .alias("p{}".format(j)) for j in range(4)])
+
+
 # --------------------------------------------------------------------------
 # driver-gate ordering: the correctness harness verifies the FIRST 50
 # registered queries, so the first 50 must span SURVEY §2 breadth-first —

@@ -17,7 +17,8 @@ from dask_geomodeling_spark.pipeline.dedup import (MERSENNE,
                                                    ngram_regex_expr,
                                                    poly_hash_expr)
 
-__all__ = ["RepetitionFilter", "Decontaminate", "PIIRedact"]
+__all__ = ["RepetitionFilter", "Decontaminate", "PIIRedact",
+           "LinearScore"]
 
 # word n-gram array over a pre-split token array column (mirrors
 # dedup.py's shingle expression, but keeps the gram STRINGS — the
@@ -242,3 +243,51 @@ class PIIRedact(BaseSingle):
                 c, F.lit(_PHONE), 0)).cast("bigint"),
             "text_redacted": redacted,
         })
+
+
+class LinearScore(BaseSingle):
+    """Classifier-based quality filtering: a linear/logistic scorer over
+    already-computed numeric feature columns — the public fastText/CCNet
+    recipe's final stage (train the classifier offline, ship weights,
+    score the corpus at scale).
+
+    ``score = sigmoid(bias + Σ weights[i] * features[i])`` accumulated
+    left-to-right in ``features`` order (fixed association, so every
+    engine sums identically).  With ``threshold`` set, rows below it are
+    dropped.  Pure column projection: no shuffle, no UDF, whole-stage
+    codegen — the weights ride the plan as literals.
+
+    Args:
+      source: block whose frame carries the feature columns
+        (e.g. ``QualityScore`` output, token counts, language scores).
+      features: ordered list of numeric column names.
+      weights: same-length list of floats.
+      bias: intercept.
+      threshold: optional minimum score to keep a row.
+      column_name: output column (default ``score``).
+    """
+
+    def __init__(self, source, features, weights, bias=0.0,
+                 threshold=None, column_name="score"):
+        features = list(features)
+        weights = [float(w) for w in weights]
+        if len(features) != len(weights):
+            raise ValueError("features and weights lengths differ")
+        super().__init__(source, features, weights, float(bias),
+                         threshold, column_name)
+
+    @property
+    def columns(self):
+        return set(self.source.columns) | {self.args[5]}
+
+    def _build(self, ctx):
+        _, features, weights, bias, threshold, name = self.args
+        df = self.source._build(ctx)
+        z = F.lit(float(bias))
+        for col, w in zip(features, weights):
+            z = z + F.lit(w) * F.col(col).cast("double")
+        score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        df = df.withColumn(name, score)
+        if threshold is not None:
+            df = df.filter(F.col(name) >= float(threshold))
+        return df

@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 from dask_geomodeling_spark.core.blocks import Block
 from dask_geomodeling_spark.geometry.base import BaseSingle
 
-__all__ = ["HashSplit", "PackSequences", "StratifiedSample"]
+__all__ = ["HashSplit", "PackSequences", "StratifiedSample",
+           "SourceMix"]
 
 # split-hash constants: any odd multiplier modulo 2^31-1 works; these
 # are fixed so the split is part of the dataset's identity
@@ -173,3 +174,70 @@ class PackSequences(BaseSingle):
         return base.groupBy("shard").applyInPandas(
             _pack_shard(budget),
             "doc_id bigint, shard int, tokens bigint, bin bigint")
+
+
+class SourceMix(BaseSingle):
+    """Deterministic corpus mixing toward target category shares — the
+    data-mixture step of corpus assembly (e.g. 60% web / 30% code /
+    10% books by document count).
+
+    Given ``targets`` {category: share}, the largest total consistent
+    with the available counts is ``T = min_s(n_s / p_s)``; category
+    ``s`` then keeps ``q_s = p_s * T / n_s`` of its rows by
+    hash-Bernoulli selection: a row survives iff
+    ``(id * PRIME) mod (2^31-1) < floor(q_s * (2^31-1))``.  Expected
+    shares hit the target exactly; selection is a pure function of the
+    id, so reruns, engines, and any parallelism agree bit-for-bit.
+    Categories absent from ``targets`` are dropped.
+
+    Plan shape (the 100 TB contract): one tiny aggregation (one row per
+    category) broadcast back onto the corpus + a map-side filter — no
+    per-category sort, rank, or window, so a 90%-web corpus causes no
+    skew.
+
+    Output: source columns, filtered to the kept rows.
+    """
+
+    _PRIME = 2654435761
+    _MOD = (1 << 31) - 1
+
+    def __init__(self, source, targets, category_column="source",
+                 id_column=None):
+        if id_column is None:
+            id_column = source.index_column
+        targets = {str(k): float(v) for k, v in dict(targets).items()}
+        if not targets or any(v <= 0 for v in targets.values()):
+            raise ValueError("targets must be positive shares")
+        total = sum(targets.values())
+        if abs(total - 1.0) > 1e-9:
+            raise ValueError("target shares must sum to 1")
+        super().__init__(source, targets, category_column, id_column)
+
+    @property
+    def columns(self):
+        return set(self.source.columns)
+
+    def _build(self, ctx):
+        _, targets, cat, idc = self.args
+        df = self.source._build(ctx)
+        share = None
+        for k, v in targets.items():
+            cond = F.col(cat) == k
+            share = (F.when(cond, F.lit(v)) if share is None
+                     else share.when(cond, F.lit(v)))
+        counts = (df.groupBy(cat).agg(F.count(F.lit(1)).alias("_n"))
+                  .withColumn("_p", share)
+                  .filter(F.col("_p").isNotNull()))
+        max_total = counts.agg(
+            F.min(F.col("_n") / F.col("_p")).alias("_t"))
+        thresholds = (counts.crossJoin(F.broadcast(max_total))
+                      .select(cat,
+                              F.floor(F.least(
+                                  F.lit(1.0),
+                                  F.col("_p") * F.col("_t") / F.col("_n"))
+                                  * self._MOD).alias("_thr")))
+        bucket = F.pmod(F.col(idc).cast("bigint") * self._PRIME,
+                        F.lit(self._MOD))
+        return (df.join(F.broadcast(thresholds), cat, "inner")
+                .filter(bucket < F.col("_thr"))
+                .drop("_thr"))

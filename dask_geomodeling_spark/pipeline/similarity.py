@@ -11,6 +11,7 @@ plain literals, so results are reproducible on any engine.
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Window
@@ -19,6 +20,7 @@ from pyspark.sql import functions as F
 from dask_geomodeling_spark.geometry.base import BaseSingle
 
 __all__ = ["CosineTopK", "BucketedANN", "KMeansIVF", "IVFPQ",
+           "RandomProjection",
            "ProductQuantizerANN", "cosine_expr", "hyperplane_bucket",
            "learn_centroids", "learn_codebooks", "assign_clusters_join",
            "nearest_centroid_expr", "probe_centroids_expr",
@@ -581,3 +583,45 @@ class IVFPQ(BaseSingle):
             F.col("approx_dist").asc(), F.col("neighbor_id").asc())
         return (scored.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k))
+
+
+class RandomProjection(BaseSingle):
+    """Johnson–Lindenstrauss random projection of an embedding column to
+    ``k`` dimensions: ``y_j = dot(x, g_j) / sqrt(k)`` against the same
+    deterministic Gaussian ``hyperplanes`` matrix the LSH family uses —
+    distances are preserved in expectation, so the projected vectors
+    feed cheaper downstream ANN / clustering / dedup.
+
+    Pure literal-matrix projection: the k×dim doubles ride the plan (no
+    join, no shuffle, whole-stage codegen), with the same plan-size
+    bound as the PQ codebooks — beyond k·dim ≈ 10^5 literals switch to
+    a broadcast-join matrix table.
+
+    Output: source columns + ``column_name`` (array<double> of length
+    ``k``).
+    """
+
+    def __init__(self, source, k=8, dim=64, seed=7,
+                 vector_column="embedding", column_name="projected"):
+        super().__init__(source, int(k), int(dim), int(seed),
+                         vector_column, column_name)
+
+    @property
+    def columns(self):
+        return set(self.source.columns) | {self.args[5]}
+
+    def _build(self, ctx):
+        _, k, dim, seed, vec, name = self.args
+        df = self.source._build(ctx)
+        planes = hyperplanes(dim, k, seed)
+        inv = 1.0 / math.sqrt(float(k))
+        comps = []
+        for plane in planes:
+            arr = "array({})".format(
+                ",".join("cast({!r} as double)".format(w) for w in plane))
+            comps.append(F.expr(
+                "aggregate(zip_with({v}, {p}, (x, y) -> "
+                "cast(x as double) * y), cast(0.0 as double), "
+                "(acc, v) -> acc + v)".format(v=vec, p=arr))
+                * F.lit(inv))
+        return df.withColumn(name, F.array(*comps))

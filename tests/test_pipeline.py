@@ -392,3 +392,52 @@ def test_line_dedup_null_text_passthrough(spark):
     assert out[3].n_removed_lines == 0
     assert out[1].text == "prose one"
     assert out[1].n_removed_lines == 1
+
+def test_linear_score_weights_and_threshold(spark):
+    from dask_geomodeling_spark.pipeline.filter import LinearScore
+    src = LiteralGeometrySource([
+        {"id": 1, "f1": 0.0, "f2": 0.0},
+        {"id": 2, "f1": 10.0, "f2": 0.0},
+        {"id": 3, "f1": 0.0, "f2": 10.0}])
+    out = {r.id: r.score for r in
+           LinearScore(src, ["f1", "f2"], [1.0, -1.0]).plan(spark)
+           .collect()}
+    assert out[1] == 0.5 and out[2] > 0.99 and out[3] < 0.01
+    kept = [r.id for r in
+            LinearScore(src, ["f1", "f2"], [1.0, -1.0], threshold=0.5)
+            .plan(spark).collect()]
+    assert sorted(kept) == [1, 2]
+
+
+def test_source_mix_targets_and_determinism(spark):
+    from dask_geomodeling_spark.pipeline.sample import SourceMix
+    rows = ([{"id": i, "cat": "a"} for i in range(200)]
+            + [{"id": 1000 + i, "cat": "b"} for i in range(50)]
+            + [{"id": 2000 + i, "cat": "c"} for i in range(10)])
+    src = LiteralGeometrySource(rows, id=None)
+    mix = SourceMix(src, {"a": 0.5, "b": 0.5}, category_column="cat",
+                    id_column="id")
+    got = [(r.id, r.cat) for r in mix.plan(spark).collect()]
+    cats = {c for _, c in got}
+    assert cats <= {"a", "b"}          # untargeted category dropped
+    nb = sum(1 for _, c in got if c == "b")
+    na = sum(1 for _, c in got if c == "a")
+    # T = min(200/.5, 50/.5) = 100 -> expect ~50 of each; b keeps all
+    assert nb == 50 and 35 <= na <= 65
+    assert sorted(got) == sorted(
+        (r.id, r.cat) for r in mix.plan(spark).collect())  # rerun equal
+
+
+def test_random_projection_shape_and_linearity(spark):
+    from dask_geomodeling_spark.pipeline.similarity import RandomProjection
+    src = LiteralGeometrySource([
+        {"id": 1, "embedding": [1.0, 0.0, 0.0, 0.0]},
+        {"id": 2, "embedding": [2.0, 0.0, 0.0, 0.0]},
+        {"id": 3, "embedding": [0.0, 0.0, 0.0, 0.0]}])
+    out = {r.id: r.projected for r in
+           RandomProjection(src, k=3, dim=4, vector_column="embedding")
+           .plan(spark).collect()}
+    assert all(len(v) == 3 for v in out.values())
+    assert out[3] == [0.0, 0.0, 0.0]
+    for a, b in zip(out[2], out[1]):   # projection is linear
+        assert abs(a - 2.0 * b) < 1e-12
