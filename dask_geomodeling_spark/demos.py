@@ -4583,6 +4583,108 @@ def random_projection(spark, sf_dir):
           .alias("p{}".format(j)) for j in range(4)])
 
 
+
+
+def _pca_oracle(k=2, iters=6, dim=64, sf_round=6):
+    """Full PCA fit re-derived in SQL: decimal-mean/covariance, then the
+    power iteration + Hotelling deflation UNROLLED as chained CTEs with
+    the exact ascending-index fold order of
+    ``pipeline.decompose.fit_pca_components``."""
+    import math as _math
+    d1 = dim + 1
+    dot = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+           "list_transform(range(1, {d1}), j -> {a}[j] * {b}[j])), "
+           "(acc, x) -> acc + x)")
+    v0 = "[" + ",".join(
+        "CAST({!r} AS DOUBLE)".format(1.0 / _math.sqrt(float(dim)))
+        for _ in range(dim)) + "]"
+    sql = """WITH mu AS (
+  SELECT i, CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,8)))
+            AS DOUBLE) / COUNT(*) AS m
+  FROM (SELECT unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) - 1 AS i
+        FROM embeddings) GROUP BY i),
+mul AS (SELECT list(m ORDER BY i) AS ml FROM mu),
+nn AS (SELECT COUNT(*) AS n FROM embeddings),
+ex AS (
+  SELECT vec_id, i,
+         CAST(x AS DOUBLE) - (SELECT m FROM mu WHERE mu.i = t.i) AS d
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) - 1 AS i
+        FROM embeddings) t),
+cov AS (
+  SELECT a.i AS i, b.i AS j,
+         CAST(SUM(CAST(a.d * b.d AS DECIMAL(28,8))) AS DOUBLE)
+         / (SELECT n FROM nn) AS c
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+covl0 AS (SELECT i, list(c ORDER BY j) AS row FROM cov GROUP BY i)"""
+    for c in range(k):
+        sql += """,
+c{c}v0 AS (SELECT {v0} AS v)""".format(c=c, v0=v0)
+        for t in range(iters):
+            sql += """,
+c{c}w{t}g0 AS (SELECT list(d ORDER BY i) AS w FROM (
+   SELECT cl.i AS i, {dcv} AS d FROM covl{c} cl, c{c}v{t} v))""".format(
+                c=c, t=t,
+                dcv=dot.format(d1=d1, a="cl.row", b="v.v"))
+            # Gram-Schmidt against each earlier component, in order —
+            # the exact subtraction sequence of fit_pca_components
+            for pcomp in range(c):
+                sql += """,
+c{c}w{t}g{p1} AS (SELECT list_transform(range(1, {d1}),
+    i -> w.w[i] - ({dwq}) * q.v[i]) AS w
+  FROM c{c}w{t}g{p} w, c{pc}v{n} q)""".format(
+                    c=c, t=t, p=pcomp, p1=pcomp + 1, pc=pcomp,
+                    n=iters, d1=d1,
+                    dwq=dot.format(d1=d1, a="w.w", b="q.v"))
+            sql += """,
+c{c}v{t1} AS (SELECT list_transform(w, x -> x / sqrt({dww})) AS v
+              FROM c{c}w{t}g{g})""".format(
+                c=c, t=t, t1=t + 1, g=c,
+                dww=dot.format(d1=d1, a="w", b="w"))
+        if c + 1 < k:
+            sql += """,
+c{c}cv AS (SELECT list(d ORDER BY i) AS cv FROM (
+   SELECT cl.i AS i, {dcv} AS d FROM covl{c} cl, c{c}v{n} v)),
+c{c}lam AS (SELECT {dvcv} AS l FROM c{c}v{n} v, c{c}cv cv),
+covl{c1} AS (
+  SELECT cl.i, list_transform(range(1, {d1}),
+      j -> cl.row[j] - (l.l * v.v[cl.i + 1]) * v.v[j]) AS row
+  FROM covl{c} cl, c{c}lam l, c{c}v{n} v)""".format(
+                c=c, c1=c + 1, n=iters, d1=d1,
+                dcv=dot.format(d1=d1, a="cl.row", b="v.v"),
+                dvcv=dot.format(d1=d1, a="v.v", b="cv.cv"))
+    projs = []
+    for c in range(k):
+        diff = ("list_transform(range(1, {d1}), i -> "
+                "CAST(e.embedding[i] AS DOUBLE) - mul.ml[i])"
+                .format(d1=d1))
+        projs.append(
+            "ROUND({dp}, {r}) AS pc{c}".format(
+                dp=dot.format(d1=d1, a=diff, b="c{}v{}.v".format(c, iters)),
+                r=sf_round, c=c))
+    sql += """
+SELECT e.vec_id, {projs}
+FROM embeddings e, mul, {vtabs}""".format(
+        projs=", ".join(projs),
+        vtabs=", ".join("c{}v{}".format(c, iters) for c in range(k)))
+    return sql
+
+
+@demo("pca_project", oracle=_pca_oracle())
+def pca_project(spark, sf_dir):
+    """PCAProject: top-2 principal components of the embedding corpus.
+    DECIMAL-sum means/covariance (order-independent), fixed-iteration
+    power iteration + Hotelling deflation driver-side in IEEE doubles;
+    the oracle replays the ENTIRE fit in SQL — unrolled iterations with
+    identical fold order — and must agree on every projected value."""
+    from dask_geomodeling_spark.pipeline.decompose import PCAProject
+    proj = PCAProject(embeddings_src(sf_dir), k=2, iters=6, dim=64)
+    return proj.plan(spark).select(
+        "vec_id", F.round("pc0", 6).alias("pc0"),
+        F.round("pc1", 6).alias("pc1"))
+
+
 # --------------------------------------------------------------------------
 # driver-gate ordering: the correctness harness verifies the FIRST 50
 # registered queries, so the first 50 must span SURVEY §2 breadth-first —

@@ -4,8 +4,9 @@ extensions'): deduplication, similarity search, text analysis, corpus
 hygiene filters, sampling/packing, and multimodal column plumbing, all
 designed for 100 TB inputs."""
 
-from dask_geomodeling_spark.pipeline import (dedup, filter, multimodal,
-                                             sample, similarity, text)
+from dask_geomodeling_spark.pipeline import (decompose, dedup, filter,
+                                             multimodal, sample,
+                                             similarity, text)
 
-__all__ = ["dedup", "filter", "multimodal", "sample", "similarity",
-           "text"]
+__all__ = ["decompose", "dedup", "filter", "multimodal", "sample",
+           "similarity", "text"]

@@ -441,3 +441,27 @@ def test_random_projection_shape_and_linearity(spark):
     assert out[3] == [0.0, 0.0, 0.0]
     for a, b in zip(out[2], out[1]):   # projection is linear
         assert abs(a - 2.0 * b) < 1e-12
+
+
+def test_pca_project_matches_numpy_eigh(spark):
+    """PCAProject's projections must agree (up to per-component sign)
+    with numpy's exact eigendecomposition of the sample covariance."""
+    import numpy as np
+    from dask_geomodeling_spark.pipeline.decompose import PCAProject
+    rows = [{"id": i,
+             "embedding": [float(i), (-1.0) ** i * (1.0 + 0.1 * i),
+                           0.25 * float(i % 3)]}
+            for i in range(12)]
+    src = LiteralGeometrySource(rows)
+    out = {r.id: (r.pc0, r.pc1) for r in
+           PCAProject(src, k=2, iters=24, dim=3, id_column="id")
+           .plan(spark).collect()}
+    X = np.array([r["embedding"] for r in rows])
+    Xc = X - X.mean(axis=0)
+    C = Xc.T @ Xc / len(rows)
+    vals, vecs = np.linalg.eigh(C)
+    for c, col in enumerate(vecs[:, ::-1].T[:2]):
+        mine = np.array([out[i][c] for i in range(12)])
+        ref = Xc @ col
+        err = min(np.abs(mine - ref).max(), np.abs(mine + ref).max())
+        assert err < 1e-6, (c, err)
