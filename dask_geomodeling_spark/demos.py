@@ -4685,6 +4685,42 @@ def pca_project(spark, sf_dir):
         F.round("pc1", 6).alias("pc1"))
 
 
+
+
+def _repeated_spans_oracle(n=6, min_docs=2):
+    return """
+WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents),
+th AS (SELECT doc_id, list_transform(w, t -> {poly}) AS h FROM docs),
+fps AS (SELECT doc_id, [
+    list_reduce(list_prepend(CAST(0 AS BIGINT), h[i:i+{nm1}]),
+                (acc, x) -> (acc * 8191 + x) % 2147483647)
+    FOR i IN range(1, greatest(len(h) - {n} + 1, 1) + 1)] AS fl
+  FROM th),
+win AS (SELECT doc_id, unnest(fl) AS fp,
+               CAST(generate_subscripts(fl, 1) - 1 AS BIGINT) AS pos
+        FROM fps),
+freq AS (SELECT fp, COUNT(DISTINCT doc_id) AS n_docs
+         FROM win GROUP BY fp
+         HAVING COUNT(DISTINCT doc_id) >= {md})
+SELECT w.doc_id, w.pos, w.fp, f.n_docs
+FROM win w JOIN freq f USING (fp)
+""".format(poly=_DD_POLY.format(col="t", base=257), n=n, nm1=n - 1,
+           md=min_docs)
+
+
+@demo("repeated_spans", oracle=_repeated_spans_oracle())
+def repeated_spans(spark, sf_dir):
+    """RepeatedSpans: exact cross-document repeated 6-token spans —
+    map-side sliding-window fingerprints (the MinHash shingle-hash
+    arithmetic), distinct-doc frequency, join-back.  The detection
+    stage of substring-level dedup."""
+    from dask_geomodeling_spark.pipeline.dedup import RepeatedSpans
+    return RepeatedSpans(documents_src(sf_dir), span=6,
+                         min_docs=2).plan(spark)
+
+
 # --------------------------------------------------------------------------
 # driver-gate ordering: the correctness harness verifies the FIRST 50
 # registered queries, so the first 50 must span SURVEY §2 breadth-first —

@@ -19,7 +19,8 @@ from dask_geomodeling_spark.core.blocks import Block
 from dask_geomodeling_spark.geometry.base import BaseSingle
 
 __all__ = ["ExactDedup", "MinHashLSH", "SimHash", "NgramJaccard",
-           "EmbeddingDedup", "DedupClusters", "ngram_regex_expr"]
+           "EmbeddingDedup", "DedupClusters", "ngram_regex_expr",
+           "RepeatedSpans"]
 
 # 31-bit Mersenne prime: (a*h + b) stays < 2^62 under ANSI overflow checks
 MERSENNE = (1 << 31) - 1
@@ -601,3 +602,56 @@ class DedupClusters(Block):
             F.col("_id").alias("doc_id"),
             F.col("_lbl").alias("cluster_id"),
             (F.col("_id") == F.col("_lbl")).alias("is_canonical"))
+
+
+class RepeatedSpans(BaseSingle):
+    """Exact cross-document repeated token spans — the detection stage
+    of substring-level dedup (the public 'deduplicate training data'
+    recipe finds repeated substrings with a suffix array; the
+    Spark-first equivalent fingerprints every length-``span`` token
+    window and reports windows whose fingerprint appears in more than
+    one document).
+
+    Plan shape: tokenize + slide map-side (≤ one window row per token,
+    a bounded expansion, not a cross join); each window hashes with the
+    same base-8191 fold over 31-bit token hashes MinHashLSH uses (pure
+    ANSI integer arithmetic); one groupBy fingerprint with a
+    distinct-doc count keeps fingerprints seen in ≥ ``min_docs`` docs;
+    the surviving (tiny) fingerprint set joins back against the window
+    table — both sides shuffle on the near-uniform fingerprint key.
+
+    Output: ``<id_column>``, ``pos`` (0-based token offset), ``fp``
+    (window fingerprint), ``n_docs`` (distinct docs sharing it).
+    """
+
+    def __init__(self, source, span=8, min_docs=2, text_column="text",
+                 id_column="doc_id"):
+        if int(span) < 1:
+            raise ValueError("span must be >= 1")
+        super().__init__(source, int(span), int(min_docs), text_column,
+                         id_column)
+
+    @property
+    def columns(self):
+        return {self.args[4], "pos", "fp", "n_docs"}
+
+    def _build(self, ctx):
+        _, span, min_docs, text_column, id_column = self.args
+        df = self.source._build(ctx)
+        tokens = F.split(F.trim(F.lower(F.col(text_column))), r"\s+")
+        th = "transform(_tokens, t -> {h})".format(h=poly_hash_expr("t"))
+        windows = (df.select(F.col(id_column), tokens.alias("_tokens"))
+                   .withColumn("_th", F.expr(th))
+                   .select(id_column, F.posexplode(F.expr(
+                       "transform(sequence(1, greatest(size(_th) - {n} + 1,"
+                       " 1)), i -> aggregate(slice(_th, i, {n}), "
+                       "cast(0 as bigint), "
+                       "(acc, h) -> pmod(acc * 8191 + h, {m})))"
+                       .format(n=span, m=MERSENNE)))
+                       .alias("pos", "fp")))
+        freq = (windows.groupBy("fp")
+                .agg(F.countDistinct(id_column).alias("n_docs"))
+                .filter(F.col("n_docs") >= min_docs))
+        return (windows.join(freq, "fp")
+                .select(id_column, F.col("pos").cast("bigint"), "fp",
+                        "n_docs"))

@@ -382,3 +382,33 @@ def test_same_root_elemwise_fuses_without_join(spark):
     assert "Join" not in plan and "Exchange" not in plan
     joined = ew.Add(a, b)
     assert "Join" in plan_of(joined.plan(spark), "simple")
+
+
+def test_source_mix_no_window_no_sort(spark):
+    """SourceMix = count agg + broadcast threshold join + map-side
+    filter: no Window, no Sort, no per-category rank anywhere."""
+    from dask_geomodeling_spark.geometry.sources import (
+        ParquetGeometrySource)
+    from dask_geomodeling_spark.pipeline.sample import SourceMix
+    src = ParquetGeometrySource(SF_DIR + "/documents.parquet",
+                                id_field="doc_id")
+    df = SourceMix(src, {"en": 0.5, "de": 0.2, "zh": 0.3},
+                   category_column="lang").plan(spark)
+    plan = plan_of(df, "simple")
+    assert "Window" not in plan and "Sort" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_projection_ops_are_narrow_maps(spark):
+    """RandomProjection and the PCAProject projection pass are pure
+    literal-matrix projections — no Join, no Exchange."""
+    from dask_geomodeling_spark.geometry.sources import (
+        ParquetGeometrySource)
+    from dask_geomodeling_spark.pipeline.similarity import RandomProjection
+    src = ParquetGeometrySource(SF_DIR + "/embeddings.parquet",
+                                id_field="vec_id")
+    plan = plan_of(RandomProjection(src, k=4).plan(spark), "simple")
+    assert "Join" not in plan and "Exchange" not in plan
+    from dask_geomodeling_spark.pipeline.decompose import PCAProject
+    plan = plan_of(PCAProject(src, k=2, iters=2).plan(spark), "simple")
+    assert "Join" not in plan and "Exchange" not in plan

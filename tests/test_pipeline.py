@@ -465,3 +465,16 @@ def test_pca_project_matches_numpy_eigh(spark):
         ref = Xc @ col
         err = min(np.abs(mine - ref).max(), np.abs(mine + ref).max())
         assert err < 1e-6, (c, err)
+
+
+def test_repeated_spans_detects_shared_windows(spark):
+    from dask_geomodeling_spark.pipeline.dedup import RepeatedSpans
+    src = LiteralGeometrySource([
+        {"doc_id": 1, "text": "a b c d x y"},
+        {"doc_id": 2, "text": "q a b c d z"},
+        {"doc_id": 3, "text": "nothing shared here at all"}])
+    rows = [(r.doc_id, r.pos, r.n_docs) for r in
+            RepeatedSpans(src, span=4, min_docs=2).plan(spark).collect()]
+    # the shared 4-token window "a b c d" sits at pos 0 in doc 1 and
+    # pos 1 in doc 2; nothing else repeats
+    assert sorted(rows) == [(1, 0, 2), (2, 1, 2)]
