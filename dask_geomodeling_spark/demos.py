@@ -4721,6 +4721,69 @@ def repeated_spans(spark, sf_dir):
                          min_docs=2).plan(spark)
 
 
+
+
+@demo("corpus_prep_classifier", oracle="""
+WITH q AS (
+ SELECT doc_id, lang, length(text) AS n,
+   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS letters,
+   length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS punct,
+   CASE WHEN length(trim(text)) = 0 THEN 0
+        ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END
+       AS n_words,
+   len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       w -> list_contains(['the','and','of','to','is','in','that','it'],
+                          w))) AS stop
+ FROM documents),
+r AS (SELECT doc_id, lang,
+   CASE WHEN n > 0 THEN punct / CAST(n AS DOUBLE) ELSE 0.0 END
+       AS punct_ratio,
+   CASE WHEN n_words > 0 THEN stop / CAST(n_words AS DOUBLE) ELSE 0.0 END
+       AS stopword_ratio,
+   CASE WHEN n_words > 0 THEN letters / CAST(n_words AS DOUBLE)
+        ELSE 0.0 END AS mean_word_len
+ FROM q),
+s AS (SELECT doc_id, lang,
+   1.0 / (1.0 + exp(-(CAST(-1.5 AS DOUBLE)
+        + CAST(-4.0 AS DOUBLE) * punct_ratio
+        + CAST(8.0 AS DOUBLE) * stopword_ratio
+        + CAST(0.25 AS DOUBLE) * mean_word_len))) AS score
+ FROM r),
+kept AS (SELECT * FROM s WHERE score >= 0.5),
+c AS (SELECT lang, COUNT(*) AS n FROM kept GROUP BY lang),
+p AS (SELECT lang, n,
+        CASE lang WHEN 'en' THEN CAST(0.6 AS DOUBLE)
+                  WHEN 'fr' THEN CAST(0.4 AS DOUBLE) END AS p
+      FROM c),
+t AS (SELECT MIN(n / p) AS t FROM p WHERE p IS NOT NULL),
+thr AS (SELECT lang,
+          CAST(floor(LEAST(CAST(1.0 AS DOUBLE), p * t.t / n)
+               * 2147483647) AS BIGINT) AS thr
+        FROM p, t WHERE p IS NOT NULL)
+SELECT k.doc_id, k.lang, ROUND(k.score, 6) AS score
+FROM kept k JOIN thr ON k.lang = thr.lang
+WHERE (k.doc_id * 2654435761) % 2147483647 < thr.thr
+""")
+def corpus_prep_classifier(spark, sf_dir):
+    """End-to-end classifier-gated corpus assembly as ONE composed
+    plan: QualityScore features -> LinearScore logistic filter
+    (score >= 0.5) -> SourceMix to 60/40 en/fr shares OVER THE
+    SURVIVORS.  The mixing thresholds derive from post-filter counts —
+    exactly what the combined oracle recomputes."""
+    from dask_geomodeling_spark.pipeline.filter import LinearScore
+    from dask_geomodeling_spark.pipeline.sample import SourceMix
+    from dask_geomodeling_spark.pipeline.text import QualityScore
+    feats = QualityScore(documents_src(sf_dir))
+    scored = LinearScore(
+        feats,
+        features=["punct_ratio", "stopword_ratio", "mean_word_len"],
+        weights=[-4.0, 8.0, 0.25], bias=-1.5, threshold=0.5)
+    mixed = SourceMix(scored, targets={"en": 0.6, "fr": 0.4},
+                      category_column="lang", id_column="doc_id")
+    return mixed.plan(spark).select(
+        "doc_id", "lang", F.round("score", 6).alias("score"))
+
+
 # --------------------------------------------------------------------------
 # driver-gate ordering: the correctness harness verifies the FIRST 50
 # registered queries, so the first 50 must span SURVEY §2 breadth-first —
