@@ -100,6 +100,23 @@ def test_new_blocks_serialize_roundtrip(spark):
         ChunkText(docs, chunk=16, overlap=4),
         StratifiedSample(docs, strata="lang", n=5),
     ]
+    # round-4 additions
+    from dask_geomodeling_spark.pipeline.decompose import PCAProject
+    from dask_geomodeling_spark.pipeline.dedup import RepeatedSpans
+    from dask_geomodeling_spark.pipeline.filter import LinearScore
+    from dask_geomodeling_spark.pipeline.sample import SourceMix
+    from dask_geomodeling_spark.pipeline.similarity import RandomProjection
+    from dask_geomodeling_spark.pipeline.text import QualityScore
+    blocks += [
+        RepeatedSpans(docs, span=6, min_docs=2),
+        LinearScore(QualityScore(docs),
+                    ["punct_ratio", "stopword_ratio"], [1.0, -1.0],
+                    bias=0.5, threshold=0.4),
+        SourceMix(docs, {"en": 0.5, "de": 0.2, "zh": 0.3},
+                  category_column="lang"),
+        RandomProjection(emb, k=4),
+        PCAProject(emb, k=2, iters=2),
+    ]
     for blk in blocks:
         back = Block.from_json(blk.to_json())
         assert back.token == blk.token, type(blk).__name__

@@ -189,3 +189,68 @@ def test_pii_redact_idempotent(spark_prop, texts):
              PIIRedact(DataFrameSource(df2, index_column="doc_id"))
              .plan(spark_prop).collect()}
     assert once == twice
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 500), st.sampled_from("abc")),
+                min_size=4, max_size=30, unique_by=lambda t: t[0]),
+       st.sampled_from([{"a": 0.5, "b": 0.5},
+                        {"a": 0.2, "b": 0.3, "c": 0.5},
+                        {"b": 1.0}]))
+def test_source_mix_invariants(spark_prop, rows, targets):
+    """SourceMix invariants for any distribution and target mix:
+    output ⊆ targeted-category input; a category at or below its
+    entitled share keeps EVERY row; the selection is a pure function of
+    the id (rerun-stable)."""
+    from dask_geomodeling_spark.pipeline.sample import SourceMix
+    from dask_geomodeling_spark.geometry.sources import (
+        LiteralGeometrySource)
+    data = [{"id": i, "cat": c} for i, c in rows]
+    src = LiteralGeometrySource(data)
+    out = [(r.id, r.cat) for r in
+           SourceMix(src, targets, category_column="cat", id_column="id")
+           .plan(spark_prop).collect()]
+    inp = {(d["id"], d["cat"]) for d in data}
+    assert set(out) <= inp
+    assert all(c in targets for _, c in out)
+    counts = {}
+    for _, c in rows:
+        counts[c] = counts.get(c, 0) + 1
+    present = [c for c in targets if c in counts]
+    if present:
+        t_max = min(counts[c] / targets[c] for c in present)
+        for c in present:
+            kept = sum(1 for _, cc in out if cc == c)
+            if targets[c] * t_max >= counts[c] - 1e-9:
+                assert kept == counts[c], (c, kept, counts)
+    out2 = [(r.id, r.cat) for r in
+            SourceMix(src, targets, category_column="cat", id_column="id")
+            .plan(spark_prop).collect()]
+    assert sorted(out) == sorted(out2)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(finite, min_size=2, max_size=5),
+       st.lists(finite, min_size=2, max_size=5))
+def test_linear_score_matches_python_sigmoid(spark_prop, feats, weights):
+    """LinearScore = sigmoid of the left-to-right weighted sum, bounded
+    to (0, 1), matching a pure-python model."""
+    from dask_geomodeling_spark.pipeline.filter import LinearScore
+    from dask_geomodeling_spark.geometry.sources import (
+        LiteralGeometrySource)
+    n = min(len(feats), len(weights))
+    feats, weights = feats[:n], weights[:n]
+    cols = ["f{}".format(i) for i in range(n)]
+    src = LiteralGeometrySource(
+        [dict({"id": 1}, **{c: v for c, v in zip(cols, feats)})])
+    row = (LinearScore(src, cols, weights, bias=0.25)
+           .plan(spark_prop).collect()[0])
+    z = 0.25
+    for w, f in zip(weights, feats):
+        z = z + w * f
+    try:
+        expect = 1.0 / (1.0 + math.exp(-z))
+    except OverflowError:
+        expect = 0.0
+    assert 0.0 <= row.score <= 1.0
+    assert abs(row.score - expect) < 1e-12

@@ -276,7 +276,8 @@ def test_quality_pipeline_runs_on_stream(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from dask_geomodeling_spark.geometry.sources import DataFrameSource
-    from dask_geomodeling_spark.pipeline.filter import PIIRedact
+    from dask_geomodeling_spark.pipeline.filter import (LinearScore,
+                                                        PIIRedact)
     from dask_geomodeling_spark.pipeline.text import QualityScore
 
     url = str(tmp_path / "docs")
@@ -285,10 +286,14 @@ def test_quality_pipeline_runs_on_stream(spark, tmp_path):
     batch_df = spark.read.parquet(url)
 
     def pipeline(df):
-        block = PIIRedact(QualityScore(
-            DataFrameSource(df, index_column="doc_id")))
+        block = LinearScore(
+            PIIRedact(QualityScore(
+                DataFrameSource(df, index_column="doc_id"))),
+            features=["punct_ratio", "stopword_ratio"],
+            weights=[-2.0, 5.0], bias=0.1)
         return block.plan(spark).select(
             "doc_id", "quality", "n_emails",
+            F.round("score", 9).alias("score"),
             F.length("text_redacted").alias("n_red"))
 
     expected = {tuple(r) for r in pipeline(batch_df).collect()}
