@@ -78,11 +78,15 @@ class StratifiedSample(BaseSingle):
     RNG state, so every engine, rerun, and parallelism level draws the
     identical sample.
 
-    Plan: one window (``row_number`` over partition-by-stratum ordered
-    by ``(id * PRIME) mod M, id``) + filter.  The shuffle is keyed on
-    the stratum; with many strata it is uniform, with few large strata
-    the window is the textbook skew case — at 100 TB pre-aggregate per
-    (stratum, hash-prefix) or use the salted-join utility instead.
+    Plan: TWO-PHASE salted top-n.  Phase 1 ranks within
+    ``(stratum, id mod salt)`` — ``salt`` near-uniform sub-partitions,
+    so a 90%-one-stratum corpus never funnels through one task — and
+    keeps each sub-partition's top ``n``.  Phase 2 ranks the surviving
+    ≤ ``n·salt`` rows per stratum (tiny) and keeps the true top ``n``.
+    Both phases order by ``((id * PRIME) mod M, id)``; the salt
+    partitioning only PRUNES rows that cannot be in the stratum's top
+    ``n``, so the result — ranks included — is identical to the single
+    global window, at any scale.  ``salt=1`` restores the plain window.
 
     Output: source columns + ``sample_rank`` (1-based within stratum).
     """
@@ -90,10 +94,12 @@ class StratifiedSample(BaseSingle):
     _PRIME = 2654435761
     _MOD = (1 << 31) - 1
 
-    def __init__(self, source, strata, n=100, id_column=None):
+    def __init__(self, source, strata, n=100, id_column=None, salt=16):
         if id_column is None:
             id_column = source.index_column
-        super().__init__(source, strata, int(n), id_column)
+        if int(salt) < 1:
+            raise ValueError("salt must be >= 1")
+        super().__init__(source, strata, int(n), id_column, int(salt))
 
     @property
     def columns(self):
@@ -101,10 +107,18 @@ class StratifiedSample(BaseSingle):
 
     def _build(self, ctx):
         from pyspark.sql import Window
-        _, strata, n, id_column = self.args
+        _, strata, n, id_column, salt = self.args
         df = self.source._build(ctx)
         key = F.pmod(F.col(id_column).cast("bigint") * self._PRIME,
                      F.lit(self._MOD))
+        if salt > 1:
+            w1 = (Window.partitionBy(
+                      strata,
+                      F.pmod(F.col(id_column).cast("bigint"),
+                             F.lit(int(salt))))
+                  .orderBy(key.asc(), F.col(id_column).asc()))
+            df = (df.withColumn("_lrk", F.row_number().over(w1))
+                  .filter(F.col("_lrk") <= n).drop("_lrk"))
         w = (Window.partitionBy(strata)
              .orderBy(key.asc(), F.col(id_column).asc()))
         return (df.withColumn("sample_rank",

@@ -478,3 +478,19 @@ def test_repeated_spans_detects_shared_windows(spark):
     # the shared 4-token window "a b c d" sits at pos 0 in doc 1 and
     # pos 1 in doc 2; nothing else repeats
     assert sorted(rows) == [(1, 0, 2), (2, 1, 2)]
+
+
+def test_stratified_sample_salted_equals_plain(spark):
+    """The two-phase salted top-n returns EXACTLY the single-window
+    result, ranks included, for any salt."""
+    from dask_geomodeling_spark.pipeline.sample import StratifiedSample
+    src = LiteralGeometrySource(
+        [{"id": i, "cat": "a" if i % 7 else "b"} for i in range(300)])
+    plain = {(r.id, r.sample_rank) for r in
+             StratifiedSample(src, "cat", n=20, id_column="id", salt=1)
+             .plan(spark).collect()}
+    for salt in (4, 16):
+        salted = {(r.id, r.sample_rank) for r in
+                  StratifiedSample(src, "cat", n=20, id_column="id",
+                                   salt=salt).plan(spark).collect()}
+        assert salted == plain, salt
