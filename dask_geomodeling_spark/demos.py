@@ -4784,6 +4784,42 @@ def corpus_prep_classifier(spark, sf_dir):
         "doc_id", "lang", F.round("score", 6).alias("score"))
 
 
+
+
+@demo("decode_audio", oracle="""
+WITH s AS (
+  SELECT doc_id,
+         [CAST((doc_id * 31 + k * 17) % 65536 - 32768 AS BIGINT)
+          FOR k IN range(0, 16)] AS smp
+  FROM documents)
+SELECT doc_id,
+       8000.0 AS sample_rate, 1.0 AS channels, 16.0 AS n_frames,
+       16 / CAST(8000 AS DOUBLE) AS duration_s,
+       CAST(list_sum(smp) AS DOUBLE) / 16 AS mean_s,
+       sqrt(CAST(list_sum(list_transform(smp, x -> x * x)) AS DOUBLE)
+            / 16) AS rms,
+       CAST(list_max(list_transform(smp, x -> abs(x))) AS DOUBLE) AS peak
+FROM s
+""")
+def decode_audio(spark, sf_dir):
+    """REAL audio codec path: SyntheticWAV writes RIFF/PCM16 payloads
+    (sample k of id = (id*31 + k*17) % 65536 - 32768), and
+    ExtractAudioFeatures decode='audio' chunk-walks the RIFF container
+    back into rate/frames/mean/RMS/peak.  Integer sample sums are
+    exact in doubles, so the oracle re-derives every feature from the
+    closed form without parsing binary."""
+    from dask_geomodeling_spark.pipeline.multimodal import (
+        ExtractAudioFeatures, SyntheticWAV)
+    wavs = SyntheticWAV(documents_src(sf_dir), "doc_id",
+                        sample_rate=8000, n_frames=16, channels=1)
+    feats = ExtractAudioFeatures(wavs, decode="audio")
+    names = ["sample_rate", "channels", "n_frames", "duration_s",
+             "mean_s", "rms", "peak"]
+    return feats.plan(spark).select(
+        "doc_id", *[F.element_at("features", i + 1).alias(n)
+                    for i, n in enumerate(names)])
+
+
 # --------------------------------------------------------------------------
 # driver-gate ordering: the correctness harness verifies the FIRST 50
 # registered queries, so the first 50 must span SURVEY §2 breadth-first —

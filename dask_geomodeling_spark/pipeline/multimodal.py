@@ -20,7 +20,8 @@ from pyspark.sql import types as T
 from dask_geomodeling_spark.geometry.base import BaseSingle
 
 __all__ = ["AttachBinaryMetadata", "ExtractImageFeatures", "FrameSample",
-           "ResizeImage", "SyntheticPPM", "MEDIA_SCHEMA"]
+           "ResizeImage", "SyntheticPPM", "MEDIA_SCHEMA",
+           "SyntheticWAV", "ExtractAudioFeatures"]
 
 #: canonical multimodal column bundle
 MEDIA_SCHEMA = T.StructType([
@@ -309,3 +310,147 @@ class ResizeImage(BaseSingle):
                 yield pdf
 
         return df.mapInPandas(resize, schema=schema)
+
+
+def _encode_wav(sample_rate: int, channels: int, samples) -> bytes:
+    """Minimal RIFF/WAVE PCM16 encoder (``samples``: interleaved int16
+    frames) — the audio twin of ``_encode_ppm``."""
+    import struct
+    data = b"".join(struct.pack("<h", int(s)) for s in samples)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels,
+                                    sample_rate, sample_rate * channels * 2,
+                                    channels * 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def _decode_wav(payload: bytes):
+    """Parse an uncompressed RIFF/WAVE PCM16 payload →
+    ``(sample_rate, channels, samples)``.  Chunk-walking parser: only
+    format tag 1 (PCM) with 16-bit samples is supported; anything else
+    raises NotImplementedError naming the offending field."""
+    import struct
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"fmt ":
+            fmt_tag, channels, rate = struct.unpack_from(
+                "<HHI", payload, pos + 8)
+            (bits,) = struct.unpack_from("<H", payload, pos + 22)
+            if fmt_tag != 1:
+                raise NotImplementedError(
+                    "compressed WAV (format {}) needs ffmpeg".format(
+                        fmt_tag))
+            if bits != 16:
+                raise NotImplementedError(
+                    "{}-bit WAV not supported (PCM16 only)".format(bits))
+        elif cid == b"data":
+            data = payload[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    n = len(data) // 2
+    samples = list(struct.unpack("<{}h".format(n), data[:2 * n]))
+    return rate, channels, samples
+
+
+def _audio_features(payload: bytes):
+    """[sample_rate, channels, n_frames, duration_s, mean, rms, peak]
+    over all interleaved samples — integer sums are exact in doubles,
+    so an external SQL oracle reproduces every value bit-for-bit."""
+    import math
+    rate, channels, samples = _decode_wav(bytes(payload))
+    n = len(samples)
+    frames = n // channels if channels else 0
+    if n == 0:
+        return [float(rate), float(channels), 0.0, 0.0, None, None, None]
+    ssum = 0
+    sq = 0
+    peak = 0
+    for s in samples:
+        ssum += s
+        sq += s * s
+        if abs(s) > peak:
+            peak = abs(s)
+    return [float(rate), float(channels), float(frames),
+            frames / float(rate), ssum / float(n),
+            math.sqrt(sq / float(n)), float(peak)]
+
+
+class SyntheticWAV(BaseSingle):
+    """Deterministic PCM16 WAV generator (the audio ``SyntheticPPM``):
+    sample ``k`` of row ``id`` is ``(id * 31 + k * 17) % 65536 - 32768``
+    — a closed form an external SQL oracle aggregates without parsing
+    binary.  Arrow-batched mapInPandas."""
+
+    def __init__(self, source, id_column="doc_id", sample_rate=8000,
+                 n_frames=16, channels=1):
+        super().__init__(source, id_column, int(sample_rate),
+                         int(n_frames), int(channels))
+
+    def _build(self, ctx):
+        df = self.source._build(ctx)
+        id_column, rate, frames, channels = self.args[1:5]
+        schema = T.StructType(
+            list(df.schema.fields)
+            + [T.StructField("payload", T.BinaryType())])
+        n = frames * channels
+
+        def gen(batches):
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["payload"] = [
+                    _encode_wav(rate, channels, [
+                        (int(i) * 31 + k * 17) % 65536 - 32768
+                        for k in range(n)])
+                    for i in pdf[id_column]]
+                yield pdf
+
+        return df.mapInPandas(gen, schema=schema)
+
+
+class ExtractAudioFeatures(BaseSingle):
+    """Decode + feature-extract a binary audio column via Arrow-batched
+    ``mapInPandas`` (same plumbing contract as ExtractImageFeatures).
+
+    decode="fake" (default): deterministic hash-features.
+    decode="audio": REAL pure-python RIFF/PCM16 parser → 7 features
+    ``[sample_rate, channels, n_frames, duration_s, mean, rms, peak]``.
+    decode="strict": raises NotImplementedError where an external codec
+    (ffmpeg/soundfile) would run.
+    """
+
+    def __init__(self, source, payload_column="payload", dim=16,
+                 decode="fake"):
+        if decode not in ("fake", "audio", "strict"):
+            raise ValueError("decode must be 'fake', 'audio' or 'strict'")
+        super().__init__(source, payload_column, int(dim), decode)
+
+    def _build(self, ctx):
+        df = self.source._build(ctx)
+        payload_column, dim, decode = self.args[1:4]
+        schema = T.StructType(
+            list(df.schema.fields)
+            + [T.StructField("features", T.ArrayType(T.DoubleType()))])
+
+        def extract(batches):
+            for pdf in batches:
+                if decode == "strict":
+                    raise NotImplementedError(
+                        "external audio decode requires ffmpeg/soundfile; "
+                        "not available in this container")
+                pdf = pdf.copy()
+                if decode == "audio":
+                    pdf["features"] = [
+                        _audio_features(p) for p in pdf[payload_column]]
+                else:
+                    pdf["features"] = [
+                        _fake_features(
+                            bytes(p) if p is not None else b"", dim)
+                        for p in pdf[payload_column]]
+                yield pdf
+
+        return df.mapInPandas(extract, schema=schema)

@@ -494,3 +494,34 @@ def test_stratified_sample_salted_equals_plain(spark):
                   StratifiedSample(src, "cat", n=20, id_column="id",
                                    salt=salt).plan(spark).collect()}
         assert salted == plain, salt
+
+
+def test_wav_codec_roundtrip_and_features(spark):
+    from dask_geomodeling_spark.pipeline.multimodal import (
+        _audio_features, _decode_wav, _encode_wav)
+    samples = [0, 100, -100, 32767, -32768, 5]
+    payload = _encode_wav(16000, 2, samples)
+    rate, channels, back = _decode_wav(payload)
+    assert (rate, channels, back) == (16000, 2, samples)
+    feats = _audio_features(payload)
+    assert feats[0] == 16000.0 and feats[1] == 2.0 and feats[2] == 3.0
+    assert feats[6] == 32768.0          # peak |sample|
+    import pytest
+    with pytest.raises(NotImplementedError):
+        _decode_wav(_encode_wav(8000, 1, [1])[:20]
+                    + b"\x02\x00" + _encode_wav(8000, 1, [1])[22:])
+
+
+def test_extract_audio_features_distributed(spark):
+    from dask_geomodeling_spark.pipeline.multimodal import (
+        ExtractAudioFeatures, SyntheticWAV)
+    src = LiteralGeometrySource([{"doc_id": i} for i in range(4)])
+    wavs = SyntheticWAV(src, "doc_id", sample_rate=4000, n_frames=8,
+                        channels=2)
+    rows = {r.doc_id: r.features for r in
+            ExtractAudioFeatures(wavs, decode="audio")
+            .plan(spark).collect()}
+    for i, f in rows.items():
+        assert f[0] == 4000.0 and f[1] == 2.0 and f[2] == 8.0
+        expect = [(i * 31 + k * 17) % 65536 - 32768 for k in range(16)]
+        assert f[4] == sum(expect) / 16.0
