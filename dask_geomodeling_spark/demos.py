@@ -4692,11 +4692,12 @@ def _repeated_spans_oracle(n=6, min_docs=2):
 WITH docs AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
   FROM documents),
-th AS (SELECT doc_id, list_transform(w, t -> {poly}) AS h FROM docs),
+th AS (SELECT doc_id, list_transform(w, t -> {poly}) AS h FROM docs
+       WHERE len(w) >= {n}),
 fps AS (SELECT doc_id, [
     list_reduce(list_prepend(CAST(0 AS BIGINT), h[i:i+{nm1}]),
                 (acc, x) -> (acc * 8191 + x) % 2147483647)
-    FOR i IN range(1, greatest(len(h) - {n} + 1, 1) + 1)] AS fl
+    FOR i IN range(1, len(h) - {n} + 1 + 1)] AS fl
   FROM th),
 win AS (SELECT doc_id, unnest(fl) AS fp,
                CAST(generate_subscripts(fl, 1) - 1 AS BIGINT) AS pos

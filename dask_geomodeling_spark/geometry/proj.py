@@ -262,7 +262,7 @@ class Reproject(BaseSingle):
                  dst_crs="EPSG:3857"):
         src_crs, dst_crs = validate_crs_pair(src_crs, dst_crs)
         declared = getattr(source, "projection", None)
-        if declared is not None and declared != src_crs:
+        if declared is not None and str(declared).upper() != src_crs:
             raise ValueError(
                 "source block carries projection {!r} but Reproject was"
                 " given src_crs={!r}".format(declared, src_crs))

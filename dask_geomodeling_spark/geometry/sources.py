@@ -80,7 +80,8 @@ class ParquetGeometrySource(GeometryBlock):
                  projection="EPSG:4326"):
         if not isinstance(url, str):
             raise TypeError("'{}' object is not allowed".format(type(url)))
-        super().__init__(url, id_field, time_column, columns, projection)
+        super().__init__(url, id_field, time_column, columns,
+                         str(projection).upper())
 
     @property
     def projection(self):
@@ -141,13 +142,14 @@ class FileGeometrySource(GeometryBlock):
     formats = ("parquet", "csv", "json", "geojson")
 
     def __init__(self, url, format="parquet", id_field="id",
-                 time_column=None, schema=None):
+                 time_column=None, schema=None, projection="EPSG:4326"):
         if format not in self.formats:
             raise ValueError("Format '{}' is unsupported".format(format))
         if format != "parquet" and not schema:
             raise ValueError("csv/json/geojson sources need an explicit "
                              "DDL schema")
-        super().__init__(url, format, id_field, time_column, schema)
+        super().__init__(url, format, id_field, time_column, schema,
+                         str(projection).upper())
 
     @property
     def index_column(self):
@@ -156,6 +158,10 @@ class FileGeometrySource(GeometryBlock):
     @property
     def time_column(self):
         return self.args[3]
+
+    @property
+    def projection(self):
+        return self.args[5]
 
     @property
     def columns(self):
@@ -192,7 +198,7 @@ class FileGeometrySource(GeometryBlock):
             F.coalesce(F.array_max(ys), F.col("y")).alias("ymax"))
 
     def _build(self, ctx):
-        url, fmt, _, time_column, schema = self.args
+        url, fmt, _, time_column, schema = self.args[:5]
         reader = ctx.spark.read
         if fmt == "parquet":
             df = reader.parquet(url)
@@ -210,12 +216,18 @@ class TableSource(GeometryBlock):
     """Feature source over a registered Spark table/view — lets any
     DataFrame participate as a GeometryBlock lineage."""
 
-    def __init__(self, table, id_field="id", time_column=None):
-        super().__init__(table, id_field, time_column)
+    def __init__(self, table, id_field="id", time_column=None,
+                 projection="EPSG:4326"):
+        super().__init__(table, id_field, time_column,
+                         str(projection).upper())
 
     @property
     def index_column(self):
         return self.args[1]
+
+    @property
+    def projection(self):
+        return self.args[3]
 
     @property
     def columns(self):
@@ -236,7 +248,7 @@ class DataFrameSource(GeometryBlock):
     def __init__(self, df, index_column="id", projection="EPSG:4326"):
         self._df = df
         super().__init__("dataframe-{}".format(id(df)), index_column,
-                         projection)
+                         str(projection).upper())
 
     @property
     def index_column(self):
@@ -260,7 +272,7 @@ class LiteralGeometrySource(GeometryBlock):
     list of dict rows."""
 
     def __init__(self, wkt_or_rows, id=1, projection="EPSG:4326"):
-        super().__init__(wkt_or_rows, id, projection)
+        super().__init__(wkt_or_rows, id, str(projection).upper())
 
     @property
     def projection(self):
@@ -294,14 +306,20 @@ class TableGeometrySource(GeometryBlock):
       time_column: optional event-time column for start/stop requests.
     """
 
-    def __init__(self, sql, id_field="id", time_column=None):
+    def __init__(self, sql, id_field="id", time_column=None,
+                 projection="EPSG:4326"):
         if not isinstance(sql, str):
             raise TypeError("'{}' object is not allowed".format(type(sql)))
-        super().__init__(sql, id_field, time_column)
+        super().__init__(sql, id_field, time_column,
+                         str(projection).upper())
 
     @property
     def index_column(self):
         return self.args[1]
+
+    @property
+    def projection(self):
+        return self.args[3]
 
     @property
     def columns(self):

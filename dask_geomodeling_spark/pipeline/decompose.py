@@ -151,10 +151,17 @@ class PCAProject(BaseSingle):
 
     def _build(self, ctx):
         _, k, iters, dim, vec, idc = self.args
-        df = self.source._build(ctx).persist()
-        _, mu, comps = fit_pca_components(
-            df, k=k, iters=iters, dim=dim, vec_column=vec,
-            id_column=idc)
+        df = self.source._build(ctx)
+        # the cache only serves the iterative fit: the projection output
+        # carries the components as literals, so release it immediately
+        # (a leaked persist outlives the plan build for the whole session)
+        df.persist()
+        try:
+            _, mu, comps = fit_pca_components(
+                df, k=k, iters=iters, dim=dim, vec_column=vec,
+                id_column=idc)
+        finally:
+            df.unpersist()
         mu_arr = _array_lit(mu)
         out = df
         for c, comp in enumerate(comps):

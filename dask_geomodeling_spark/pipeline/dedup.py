@@ -642,9 +642,13 @@ class RepeatedSpans(BaseSingle):
         th = "transform(_tokens, t -> {h})".format(h=poly_hash_expr("t"))
         windows = (df.select(F.col(id_column), tokens.alias("_tokens"))
                    .withColumn("_th", F.expr(th))
+                   # docs shorter than the span have no full window: a
+                   # truncated slice would fingerprint partial spans that
+                   # spuriously match across short/empty docs
+                   .filter(F.size("_th") >= span)
                    .select(id_column, F.posexplode(F.expr(
-                       "transform(sequence(1, greatest(size(_th) - {n} + 1,"
-                       " 1)), i -> aggregate(slice(_th, i, {n}), "
+                       "transform(sequence(1, size(_th) - {n} + 1), "
+                       "i -> aggregate(slice(_th, i, {n}), "
                        "cast(0 as bigint), "
                        "(acc, h) -> pmod(acc * 8191 + h, {m})))"
                        .format(n=span, m=MERSENNE)))

@@ -108,18 +108,22 @@ class StratifiedSample(BaseSingle):
     def _build(self, ctx):
         from pyspark.sql import Window
         _, strata, n, id_column, salt = self.args
+        # list-valued strata: partitionBy only unpacks a list when it is
+        # the SOLE argument, so always splat an explicit column list
+        strata_cols = (list(strata) if isinstance(strata, (list, tuple))
+                       else [strata])
         df = self.source._build(ctx)
         key = F.pmod(F.col(id_column).cast("bigint") * self._PRIME,
                      F.lit(self._MOD))
         if salt > 1:
             w1 = (Window.partitionBy(
-                      strata,
+                      *strata_cols,
                       F.pmod(F.col(id_column).cast("bigint"),
                              F.lit(int(salt))))
                   .orderBy(key.asc(), F.col(id_column).asc()))
             df = (df.withColumn("_lrk", F.row_number().over(w1))
                   .filter(F.col("_lrk") <= n).drop("_lrk"))
-        w = (Window.partitionBy(strata)
+        w = (Window.partitionBy(*strata_cols)
              .orderBy(key.asc(), F.col(id_column).asc()))
         return (df.withColumn("sample_rank",
                               F.row_number().over(w).cast("bigint"))

@@ -480,6 +480,38 @@ def test_repeated_spans_detects_shared_windows(spark):
     assert sorted(rows) == [(1, 0, 2), (2, 1, 2)]
 
 
+def test_repeated_spans_skips_short_and_empty_docs(spark):
+    """Docs with fewer tokens than the span emit NO windows: truncated
+    slices would fingerprint partial spans that spuriously match across
+    short/empty docs."""
+    from dask_geomodeling_spark.pipeline.dedup import RepeatedSpans
+    src = LiteralGeometrySource([
+        {"doc_id": 1, "text": ""},
+        {"doc_id": 2, "text": ""},
+        {"doc_id": 3, "text": "a b"},
+        {"doc_id": 4, "text": "a b"},
+        {"doc_id": 5, "text": "a b c d"},
+        {"doc_id": 6, "text": "a b c d"}])
+    rows = [(r.doc_id, r.pos, r.n_docs) for r in
+            RepeatedSpans(src, span=4, min_docs=2).plan(spark).collect()]
+    assert sorted(rows) == [(5, 0, 2), (6, 0, 2)]
+
+
+def test_stratified_sample_list_strata(spark):
+    """List-valued strata partition by every named column (the salted
+    phase-1 window must splat the list next to the salt column)."""
+    from dask_geomodeling_spark.pipeline.sample import StratifiedSample
+    src = LiteralGeometrySource(
+        [{"id": i, "a": i % 2, "b": i % 3} for i in range(120)])
+    rows = [(r.a, r.b, r.id) for r in
+            StratifiedSample(src, ["a", "b"], n=4, id_column="id",
+                             salt=8).plan(spark).collect()]
+    counts = {}
+    for a, b, _ in rows:
+        counts[(a, b)] = counts.get((a, b), 0) + 1
+    assert counts == {(a, b): 4 for a in range(2) for b in range(3)}
+
+
 def test_stratified_sample_salted_equals_plain(spark):
     """The two-phase salted top-n returns EXACTLY the single-window
     result, ranks included, for any salt."""
