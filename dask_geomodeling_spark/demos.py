@@ -2166,6 +2166,124 @@ def reproject_equirect(spark, sf_dir):
     return f.join(b, "s_suppkey")
 
 
+def _rd_oracle():
+    from dask_geomodeling_spark.geometry.proj import rd_sql
+    x, y = rd_sql("lat", "lon")
+    return """
+WITH pts AS (
+  SELECT c_custkey,
+         3.5 + CAST(c_custkey % 350 AS DOUBLE) / 100.0 AS lon,
+         50.9 + CAST((c_custkey * 7) % 240 AS DOUBLE) / 100.0 AS lat
+  FROM customer
+)
+SELECT c_custkey, {x} AS rd_x, {y} AS rd_y
+FROM pts
+""".format(x=x, y=y)
+
+
+@demo("reproject_rd", oracle=_rd_oracle())
+def reproject_rd(spark, sf_dir):
+    """Reproject EPSG:4326 → EPSG:28992 (RD New / Amersfoort — the
+    reference library's home CRS, reference utils.py:53–116): the
+    public Kadaster approximation polynomials emitted as ONE SQL
+    string shared verbatim with the oracle, so evaluation order — and
+    therefore every bit — matches."""
+    from dask_geomodeling_spark.geometry.proj import Reproject
+    customer = read_nanos_parquet(spark, _pq(sf_dir, "customer"))
+    pts = customer.select(
+        "c_custkey",
+        (3.5 + (F.col("c_custkey") % 350).cast("double") / 100.0)
+        .alias("x"),
+        (50.9 + ((F.col("c_custkey") * 7) % 240).cast("double") / 100.0)
+        .alias("y"))
+    block = Reproject(DataFrameSource(pts, index_column="c_custkey"),
+                      "EPSG:4326", "EPSG:28992")
+    return block.plan(spark).select(
+        "c_custkey", F.col("x").alias("rd_x"), F.col("y").alias("rd_y"))
+
+
+def _rd_roundtrip_oracle():
+    from dask_geomodeling_spark.geometry.proj import (rd_inverse_sql,
+                                                      rd_sql)
+    x, y = rd_sql("lat", "lon")
+    lon_b, lat_b = rd_inverse_sql("rd_x", "rd_y")
+    return """
+WITH pts AS (
+  SELECT c_custkey,
+         3.5 + CAST(c_custkey % 350 AS DOUBLE) / 100.0 AS lon,
+         50.9 + CAST((c_custkey * 7) % 240 AS DOUBLE) / 100.0 AS lat
+  FROM customer
+),
+fwd AS (SELECT c_custkey, {x} AS rd_x, {y} AS rd_y FROM pts)
+SELECT c_custkey, rd_x, rd_y, {lon_b} AS lon_back, {lat_b} AS lat_back
+FROM fwd
+""".format(x=x, y=y, lon_b=lon_b, lat_b=lat_b)
+
+
+@demo("reproject_rd_roundtrip", oracle=_rd_roundtrip_oracle())
+def reproject_rd_roundtrip(spark, sf_dir):
+    """RD New INVERSE (Kadaster Δφ''/Δλ'' polynomials): 4326 → 28992 →
+    4326 chained through Reproject both ways; the oracle replays the
+    identical shared-text polynomials, so even the ~mm approximation
+    closure reproduces bit-for-bit."""
+    from dask_geomodeling_spark.geometry.proj import Reproject
+    customer = read_nanos_parquet(spark, _pq(sf_dir, "customer"))
+    pts = customer.select(
+        "c_custkey",
+        (3.5 + (F.col("c_custkey") % 350).cast("double") / 100.0)
+        .alias("x"),
+        (50.9 + ((F.col("c_custkey") * 7) % 240).cast("double") / 100.0)
+        .alias("y"))
+    src = DataFrameSource(pts, index_column="c_custkey")
+    fwd = Reproject(src, "EPSG:4326", "EPSG:28992")
+    back = Reproject(fwd, "EPSG:28992", "EPSG:4326")
+    f = fwd.plan(spark).select(
+        "c_custkey", F.col("x").alias("rd_x"), F.col("y").alias("rd_y"))
+    b = back.plan(spark).select(
+        "c_custkey", F.col("x").alias("lon_back"),
+        F.col("y").alias("lat_back"))
+    return f.join(b, "c_custkey")
+
+
+def _rd_web_oracle():
+    from dask_geomodeling_spark.geometry.proj import point_transform_sql
+    x, y = point_transform_sql("EPSG:28992", "EPSG:3857", "rd_x", "rd_y")
+    return """
+WITH pts AS (
+  SELECT s_suppkey,
+         30000.0 + CAST(s_suppkey % 250 AS DOUBLE) * 1000.0 AS rd_x,
+         320000.0 + CAST((s_suppkey * 7) % 290 AS DOUBLE) * 1000.0
+             AS rd_y
+  FROM supplier
+)
+SELECT s_suppkey, {x} AS web_x, {y} AS web_y
+FROM pts
+""".format(x=x, y=y)
+
+
+@demo("reproject_rd_web", oracle=_rd_web_oracle())
+def reproject_rd_web(spark, sf_dir):
+    """EPSG:28992 → EPSG:3857 (RD New to web-mercator, the map-tile
+    path every Dutch view config hits) has no direct closed form: the
+    transform COMPOSES through EPSG:4326 by textual substitution —
+    still one shared expression string, still oracle-exact."""
+    from dask_geomodeling_spark.geometry.proj import Reproject
+    supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    pts = supplier.select(
+        "s_suppkey",
+        (30000.0 + (F.col("s_suppkey") % 250).cast("double") * 1000.0)
+        .alias("x"),
+        (320000.0 + ((F.col("s_suppkey") * 7) % 290).cast("double")
+         * 1000.0).alias("y"))
+    block = Reproject(
+        DataFrameSource(pts, index_column="s_suppkey",
+                        projection="EPSG:28992"),
+        "EPSG:28992", "EPSG:3857")
+    return block.plan(spark).select(
+        "s_suppkey", F.col("x").alias("web_x"),
+        F.col("y").alias("web_y"))
+
+
 @demo("geotiff_source", oracle="""
 SELECT CAST('1970-01-01' AS TIMESTAMP)
            + INTERVAL 1 HOUR * band AS time,

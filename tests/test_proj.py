@@ -48,7 +48,59 @@ def test_request_projection_extent_mode(spark, pts):
 
 def test_request_projection_unsupported_raises(spark, pts):
     with pytest.raises(NotImplementedError):
-        pts.get_data(spark, projection="EPSG:28992")
+        pts.get_data(spark, projection="EPSG:2154")
+
+
+def test_reproject_rd_known_point(spark):
+    """RD New (EPSG:28992) against the published validation point
+    (Westertoren, Amsterdam): RD (120700.723, 487525.501) ↔ WGS84
+    (52.37453253, 4.88352559) — the Kadaster polynomials reproduce it
+    to ~3e-9 degrees / sub-mm; assert with 100× margin."""
+    src = LiteralGeometrySource([
+        {"id": 1, "x": 4.88352559, "y": 52.37453253}])
+    out = Reproject(src, "EPSG:4326", "EPSG:28992").plan(spark).first()
+    assert out.x == pytest.approx(120700.723, abs=0.05)
+    assert out.y == pytest.approx(487525.501, abs=0.05)
+    back_src = LiteralGeometrySource(
+        [{"id": 1, "x": 120700.723, "y": 487525.501}],
+        projection="EPSG:28992")
+    back = Reproject(back_src, "EPSG:28992",
+                     "EPSG:4326").plan(spark).first()
+    assert back.x == pytest.approx(4.88352559, abs=3e-7)
+    assert back.y == pytest.approx(52.37453253, abs=3e-7)
+
+
+def test_reproject_rd_roundtrip_closure(spark):
+    """Forward+inverse RD closes to < 2 mm anywhere in the validity
+    area (measured 2 mm worst-case on a 20 km grid over the NL)."""
+    rows = [{"id": i * 100 + j,
+             "x": 3.3 + i * 0.45, "y": 50.8 + j * 0.3}
+            for i in range(8) for j in range(9)]
+    src = LiteralGeometrySource(rows)
+    fwd = Reproject(src, "EPSG:4326", "EPSG:28992")
+    back = Reproject(fwd, "EPSG:28992", "EPSG:4326")
+    out = {r.id: r for r in back.plan(spark).collect()}
+    for row in rows:
+        got = out[row["id"]]
+        assert got.x == pytest.approx(row["x"], abs=3e-7)
+        assert got.y == pytest.approx(row["y"], abs=3e-7)
+
+
+def test_reproject_rd_to_web_mercator_pivots(spark):
+    """EPSG:28992 → EPSG:3857 has no direct closed form: the composed
+    text must equal chaining two Reprojects through EPSG:4326."""
+    rows = [{"id": 1, "x": 155000.0, "y": 463000.0},
+            {"id": 2, "x": 120700.723, "y": 487525.501}]
+    src = LiteralGeometrySource(rows, projection="EPSG:28992")
+    direct = {r.id: r for r in
+              Reproject(src, "EPSG:28992", "EPSG:3857")
+              .plan(spark).collect()}
+    via = Reproject(Reproject(src, "EPSG:28992", "EPSG:4326"),
+                    "EPSG:4326", "EPSG:3857")
+    chained = {r.id: r for r in via.plan(spark).collect()}
+    for i in direct:
+        assert direct[i].x == pytest.approx(chained[i].x, abs=1e-9)
+        assert direct[i].y == pytest.approx(chained[i].y, abs=1e-9)
 
 
 def test_reproject_vertices_ring(spark):
