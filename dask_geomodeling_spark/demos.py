@@ -2410,6 +2410,110 @@ def aggregate_raster_polygon(spark, sf_dir):
         F.coalesce("agg_count", F.lit(0)).alias("agg_count"))
 
 
+@demo("polygon_area_holes", oracle="""
+SELECT s_suppkey,
+       CAST((3 + s_suppkey % 5) * (2 + s_suppkey % 4) - 1 AS DOUBLE)
+           AS area,
+       CAST(2 * ((3 + s_suppkey % 5) + (2 + s_suppkey % 4)) + 4
+            AS DOUBLE) AS perimeter
+FROM supplier
+""")
+def polygon_area_holes(spark, sf_dir):
+    """Polygons with INTERIOR RINGS (reference runs shapely on
+    arbitrary geometry, geom_operations.py:15): every supplier gets a
+    w×h rectangle with a 1×1 hole as an orientation-normalized
+    ``rings`` column (outer CCW, hole CW) — Area is ONE signed nested
+    fold (holes subtract through their orientation), Length sums all
+    ring boundaries.  Integer-valued doubles keep the fold exact, so
+    the oracle is pure closed-form arithmetic."""
+    from dask_geomodeling_spark.geometry.geom_operations import (Area,
+                                                                 Length)
+    supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    x0 = "CAST(s_suppkey % 50 AS DOUBLE)"
+    y0 = "CAST((s_suppkey * 3) % 40 AS DOUBLE)"
+    w = "CAST(3 + s_suppkey % 5 AS DOUBLE)"
+    h = "CAST(2 + s_suppkey % 4 AS DOUBLE)"
+    rings = ("array("
+             "array(array({x0}, {y0}), array({x0} + {w}, {y0}), "
+             "array({x0} + {w}, {y0} + {h}), array({x0}, {y0} + {h})), "
+             "array(array({x0} + 1.0, {y0} + 1.0), "
+             "array({x0} + 1.0, {y0} + 2.0), "
+             "array({x0} + 2.0, {y0} + 2.0), "
+             "array({x0} + 2.0, {y0} + 1.0)))"
+             ).format(x0=x0, y0=y0, w=w, h=h)
+    df = supplier.select(
+        "s_suppkey",
+        F.expr(x0).alias("xmin"), F.expr(y0).alias("ymin"),
+        F.expr("{} + {}".format(x0, w)).alias("xmax"),
+        F.expr("{} + {}".format(y0, h)).alias("ymax"),
+        F.expr(rings).alias("rings"))
+    src = DataFrameSource(df, index_column="s_suppkey")
+    view = src.set("area", Area(src), "perimeter", Length(src))
+    return view.plan(spark).select("s_suppkey", "area", "perimeter")
+
+
+@demo("rasterize_multipolygon", oracle="""
+SELECT CAST('1970-01-01' AS TIMESTAMP) AS time, y, x, 1.0 AS value
+FROM (SELECT unnest(range(0, 14)) AS x),
+     (SELECT unnest(range(0, 13)) AS y)
+WHERE (x BETWEEN 0 AND 5 AND y BETWEEN 0 AND 3
+       AND NOT (x IN (2, 3) AND y IN (1, 2)))
+   OR (x BETWEEN 10 AND 13 AND y BETWEEN 10 AND 12)
+""")
+def rasterize_multipolygon(spark, sf_dir):
+    """MULTIPOLYGON with a hole through RasterizeWKT (reference burns
+    arbitrary geometry via GDAL, raster/misc.py:518): cell centers
+    inside the hole fail the all-rings even-odd test, disjoint parts
+    are just more rings.  The hole is deliberately written CCW in the
+    WKT — the parser normalizes orientation.  Axis-aligned integer
+    rings make the kept cell set closed-form."""
+    from dask_geomodeling_spark.raster.misc import RasterizeWKT
+    wkt = ("MULTIPOLYGON (((0 0, 6 0, 6 4, 0 4, 0 0), "
+           "(2 1, 4 1, 4 3, 2 3, 2 1)), "
+           "((10 10, 14 10, 14 13, 10 13, 10 10)))")
+    return RasterizeWKT(wkt).plan(spark)
+
+
+@demo("aggregate_raster_holes", oracle="""
+WITH grid AS ({grid}),
+e(ax, ay, bx, by) AS (VALUES
+  (0.0, 0.0, 40.0, 0.0), (40.0, 0.0, 40.0, 24.0),
+  (40.0, 24.0, 0.0, 24.0), (0.0, 24.0, 0.0, 0.0),
+  (10.0, 8.0, 30.0, 8.0), (30.0, 8.0, 30.0, 16.0),
+  (30.0, 16.0, 10.0, 16.0), (10.0, 16.0, 10.0, 8.0))
+SELECT CAST(1 AS BIGINT) AS id,
+       MAX(g.value) AS agg_max, COUNT(g.value) AS agg_count
+FROM grid g
+WHERE g.x BETWEEN 0 AND 40 AND g.y BETWEEN 0 AND 24
+  AND (SELECT SUM(CASE WHEN ((ay > g.y) != (by > g.y))
+                        AND (g.x < ax + (bx - ax) * (g.y - ay)
+                             / nullif(by - ay, 0.0))
+                       THEN 1 ELSE 0 END)
+       FROM e) % 2 = 1
+""".format(grid=_grid_sql()))
+def aggregate_raster_holes(spark, sf_dir):
+    """Zonal statistics over a polygon WITH A HOLE (reference masks by
+    actual geometry, aggregate.py:255): the bbox range join prunes
+    candidates, the all-rings even-odd ray cast drops cells inside the
+    interior ring — the oracle replays the identical per-edge test
+    over BOTH rings."""
+    from dask_geomodeling_spark.geometry.aggregate import AggregateRaster
+    from dask_geomodeling_spark.geometry.sources import (
+        LiteralGeometrySource, parse_point_or_box_wkt)
+    fields = parse_point_or_box_wkt(
+        "POLYGON ((0 0, 40 0, 40 24, 0 24, 0 0), "
+        "(10 8, 30 8, 30 16, 10 16, 10 8))")
+    fields["id"] = 1
+    src = LiteralGeometrySource([fields])
+    grid = lineitem_grid(spark, sf_dir)
+    mx = AggregateRaster(src, grid, statistic="max", column_name="agg_max")
+    both = AggregateRaster(mx, grid, statistic="count",
+                           column_name="agg_count")
+    return both.plan(spark).select(
+        F.col("id").cast("bigint").alias("id"), "agg_max",
+        F.coalesce("agg_count", F.lit(0)).alias("agg_count"))
+
+
 @demo("raster_time_request", oracle="""
 WITH grid AS ({grid})
 SELECT DISTINCT time FROM grid

@@ -121,7 +121,7 @@ class AggregateRaster(BaseSingle):
         cells = self._cells(ctx)
         cols = set(features.columns)
         if {"xmin", "ymin", "xmax", "ymax"} <= cols:
-            keep = ["vertices"] if "vertices" in cols else []
+            keep = [c for c in ("vertices", "rings") if c in cols]
             boxes = features.select(idx, "xmin", "ymin", "xmax", "ymax",
                                     *keep)
             cond = ((cells["x"] + cells["_span"] >= boxes["xmin"])
@@ -131,11 +131,21 @@ class AggregateRaster(BaseSingle):
             if keep:
                 # exact polygon mask (reference masks by actual geometry,
                 # aggregate.py:75): bbox range-join prunes candidates,
-                # the ray-cast keeps cells whose point lies in the ring
+                # the ray-cast keeps cells whose point lies in the
+                # geometry — the full ring set (holes/multipolygon)
+                # wins over the single exterior ring
                 from dask_geomodeling_spark.geometry.geom_operations \
-                    import point_in_polygon_expr
-                cond = cond & (boxes["vertices"].isNull()
-                               | point_in_polygon_expr("x", "y"))
+                    import point_in_polygon_expr, point_in_rings_expr
+                if "rings" in cols:
+                    mask = F.when(boxes["rings"].isNotNull(),
+                                  point_in_rings_expr("x", "y"))
+                    if "vertices" in cols:
+                        mask = mask.when(boxes["vertices"].isNotNull(),
+                                         point_in_polygon_expr("x", "y"))
+                    cond = cond & mask.otherwise(F.lit(True))
+                else:
+                    cond = cond & (boxes["vertices"].isNull()
+                                   | point_in_polygon_expr("x", "y"))
         elif {"x", "y"} <= cols:
             boxes = features.select(idx, F.floor("x").alias("_fx"),
                                     F.floor("y").alias("_fy"))

@@ -91,15 +91,26 @@ def apply_feature_request(df, request, time_column=None):
             if mode == "centroid":
                 cx = (F.col("xmin") + F.col("xmax")) / 2
                 cy = (F.col("ymin") + F.col("ymax")) / 2
-                if "vertices" in cols:
-                    # exact area-weighted ring centroid when a polygon
-                    # ring is present (bbox midpoint for box rows)
+                if "vertices" in cols or "rings" in cols:
+                    # exact area-weighted centroid when polygon rings
+                    # are present (bbox midpoint for box rows); the
+                    # full ring set (holes/multipolygon) wins over the
+                    # single exterior ring
                     from dask_geomodeling_spark.geometry \
-                        .geom_operations import centroid_expr
-                    rx, ry = centroid_expr()
-                    ring = F.col("vertices").isNotNull()
-                    cx = F.when(ring, rx).otherwise(cx)
-                    cy = F.when(ring, ry).otherwise(cy)
+                        .geom_operations import (centroid_expr,
+                                                 rings_centroid_expr)
+                    if "rings" in cols:
+                        mx, my = rings_centroid_expr()
+                        multi = F.col("rings").isNotNull()
+                        cx = F.when(multi, mx).otherwise(cx)
+                        cy = F.when(multi, my).otherwise(cy)
+                    if "vertices" in cols:
+                        rx, ry = centroid_expr()
+                        ring = F.col("vertices").isNotNull()
+                        if "rings" in cols:
+                            ring = ring & F.col("rings").isNull()
+                        cx = F.when(ring, rx).otherwise(cx)
+                        cy = F.when(ring, ry).otherwise(cy)
                 df = df.filter((cx >= x1) & (cx <= x2)
                                & (cy >= y1) & (cy <= y2))
             else:

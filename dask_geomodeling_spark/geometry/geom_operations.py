@@ -15,7 +15,10 @@ from pyspark.sql import functions as F
 from dask_geomodeling_spark.geometry.base import GeometryBlock, SeriesBlock
 
 __all__ = ["Area", "Length", "point_in_polygon_expr", "shoelace_expr",
-           "clip_ring_box_expr", "perimeter_expr", "centroid_expr"]
+           "clip_ring_box_expr", "perimeter_expr", "centroid_expr",
+           "rings_area_expr", "point_in_rings_expr",
+           "rings_perimeter_expr", "rings_centroid_expr",
+           "clip_rings_box_expr"]
 
 
 def _edges_sql(verts_col):
@@ -31,6 +34,92 @@ def shoelace_expr(verts_col="vertices"):
     return F.abs(F.expr(
         "aggregate({e}, cast(0.0 as double), (acc, v) -> acc + v)"
         .format(e=edges))) / 2
+
+
+#: Multi-ring geometry contract (polygon holes + MULTIPOLYGON —
+#: reference operates on arbitrary GEOS geometry, geom_operations.py:15):
+#: a ``rings`` column is a FLAT ``array<array<array<double>>>`` of
+#: orientation-NORMALIZED rings — outer rings counter-clockwise
+#: (positive shoelace), holes clockwise (negative), the invariant
+#: ``parse_point_or_box_wkt`` establishes.  Total area is then ONE
+#: nested signed fold; even-odd containment never needs orientation.
+
+
+def _ring_cross_sum_sql(ring_sql):
+    """Signed Σ(x_i·y_{i+1} − x_{i+1}·y_i) over one ring expression
+    (= 2 × signed area); inner lambda variables are suffixed so the
+    text nests inside an outer ``aggregate`` lambda."""
+    edges = _edges_sql(ring_sql).format(
+        expr="a[0] * b[1] - b[0] * a[1]")
+    return ("aggregate({e}, cast(0.0 as double), "
+            "(acc2, v2) -> acc2 + v2)").format(e=edges)
+
+
+def rings_area_expr(rings_col="rings"):
+    """Exact multi-ring area: Σ signed ring areas (holes subtract via
+    their clockwise orientation) — one nested fold, pure column math."""
+    return F.expr(
+        "aggregate({c}, cast(0.0 as double), (acc, r) -> acc + {s})"
+        .format(c=rings_col, s=_ring_cross_sum_sql("r"))) / 2
+
+
+def point_in_rings_expr(px, py, rings_col="rings"):
+    """Even-odd ray-cast containment over ALL rings: crossings of each
+    ring sum; a point inside a hole crosses the hole ring an odd extra
+    count → outside.  Works for any ring orientation, and disjoint
+    MULTIPOLYGON parts are just more rings."""
+    cross = ("CASE WHEN ((a[1] > {py}) != (b[1] > {py})) AND "
+             "({px} < a[0] + (b[0] - a[0]) * ({py} - a[1]) / "
+             "nullif(b[1] - a[1], cast(0.0 as double))) "
+             "THEN 1 ELSE 0 END").format(px=px, py=py)
+    per_ring = "aggregate({e}, 0, (acc2, v2) -> acc2 + v2)".format(
+        e=_edges_sql("r").format(expr=cross))
+    return F.expr(
+        "pmod(aggregate({c}, 0, (acc, r) -> acc + {pr}), 2) = 1"
+        .format(c=rings_col, pr=per_ring))
+
+
+def rings_perimeter_expr(rings_col="rings"):
+    """Total boundary length: Σ ring perimeters (holes ADD boundary,
+    matching GEOS ``length`` on polygons with interior rings)."""
+    per_edge = _edges_sql("r").format(
+        expr="sqrt((b[0] - a[0]) * (b[0] - a[0]) "
+             "+ (b[1] - a[1]) * (b[1] - a[1]))")
+    per_ring = ("aggregate({e}, cast(0.0 as double), "
+                "(acc2, v2) -> acc2 + v2)").format(e=per_edge)
+    return F.expr(
+        "aggregate({c}, cast(0.0 as double), (acc, r) -> acc + {pr})"
+        .format(c=rings_col, pr=per_ring))
+
+
+def rings_centroid_expr(rings_col="rings"):
+    """Area-weighted centroid over all rings: the signed-area formula
+    summed ring-wise — holes subtract through their negative cross
+    sums.  Degenerate total area falls back to the vertex mean over
+    the flattened rings."""
+    sa = ("aggregate({c}, cast(0.0 as double), (acc, r) -> acc + {s})"
+          .format(c=rings_col, s=_ring_cross_sum_sql("r")))
+    def _weighted(expr):
+        per_edge = _edges_sql("r").format(expr=expr)
+        per_ring = ("aggregate({e}, cast(0.0 as double), "
+                    "(acc2, v2) -> acc2 + v2)").format(e=per_edge)
+        return ("aggregate({c}, cast(0.0 as double), "
+                "(acc, r) -> acc + {pr})").format(c=rings_col,
+                                                  pr=per_ring)
+    sx = _weighted("(a[0] + b[0]) * (a[0] * b[1] - b[0] * a[1])")
+    sy = _weighted("(a[1] + b[1]) * (a[0] * b[1] - b[0] * a[1])")
+    flat = "flatten({c})".format(c=rings_col)
+    mean = ("aggregate({v}, cast(0.0 as double), "
+            "(acc3, p3) -> acc3 + p3[{idx}]) / size({v})")
+    cx = F.expr(
+        "CASE WHEN ({sa}) != 0.0 THEN ({sx}) / (3.0 * ({sa})) "
+        "ELSE {m} END".format(
+            sa=sa, sx=sx, m=mean.format(v=flat, idx=0)))
+    cy = F.expr(
+        "CASE WHEN ({sa}) != 0.0 THEN ({sy}) / (3.0 * ({sa})) "
+        "ELSE {m} END".format(
+            sa=sa, sy=sy, m=mean.format(v=flat, idx=1)))
+    return cx, cy
 
 
 def _halfplane_clip_sql(ring_sql, axis, bound, keep_ge):
@@ -80,6 +169,23 @@ def clip_ring_box_expr(xmin, ymin, xmax, ymax, verts_col="vertices"):
     return F.expr(ring)
 
 
+def clip_rings_box_expr(xmin, ymin, xmax, ymax, rings_col="rings"):
+    """Clip every ring to the box independently (Sutherland–Hodgman
+    preserves traversal order against a convex window, so outer rings
+    stay counter-clockwise and holes clockwise — the signed-fold area
+    of the result stays exact for valid nestings).  Rings clipped to
+    fewer than 3 vertices drop out."""
+    ring = "r"
+    for axis, bound, keep_ge in (("x", float(xmin), True),
+                                 ("x", float(xmax), False),
+                                 ("y", float(ymin), True),
+                                 ("y", float(ymax), False)):
+        ring = _halfplane_clip_sql(ring, axis, bound, keep_ge)
+    return F.expr(
+        "filter(transform({c}, r -> {e}), rr -> size(rr) >= 3)"
+        .format(c=rings_col, e=ring))
+
+
 def point_in_polygon_expr(px, py, verts_col="vertices"):
     """Even-odd ray-cast containment of point (``px``, ``py``) — SQL
     expression strings — in the ``vertices`` ring: one crossing counted
@@ -111,18 +217,23 @@ class Area(SeriesBlock):
 
     def _column(self, df):
         cols = set(df.columns)
+        has_box = {"xmin", "ymin", "xmax", "ymax"} <= cols
+        box = ((F.col("xmax") - F.col("xmin"))
+               * (F.col("ymax") - F.col("ymin"))) if has_box else None
+        # precedence per row: full ring set (holes/multipolygon) >
+        # single exterior ring > bbox — mixed frames carry NULLs in
+        # the finer columns
+        expr = None
+        if "rings" in cols:
+            expr = F.when(F.col("rings").isNotNull(), rings_area_expr())
         if "vertices" in cols:
-            # exact shoelace over the ring; bbox fallback for rows
-            # without a ring (mixed frames)
-            if {"xmin", "ymin", "xmax", "ymax"} <= cols:
-                box = ((F.col("xmax") - F.col("xmin"))
-                       * (F.col("ymax") - F.col("ymin")))
-                return F.when(F.col("vertices").isNotNull(),
-                              shoelace_expr()).otherwise(box)
-            return shoelace_expr()
-        if {"xmin", "ymin", "xmax", "ymax"} <= cols:
-            return ((F.col("xmax") - F.col("xmin"))
-                    * (F.col("ymax") - F.col("ymin")))
+            ring = F.when(F.col("vertices").isNotNull(), shoelace_expr())
+            expr = ring if expr is None else \
+                expr.when(F.col("vertices").isNotNull(), shoelace_expr())
+        if expr is not None:
+            return expr.otherwise(box) if box is not None else expr
+        if has_box:
+            return box
         if {"x", "y"} <= cols:
             return F.lit(0.0)
         raise ValueError("Area requires geometry columns")
@@ -190,7 +301,13 @@ class Length(SeriesBlock):
         box = (2 * ((F.col("xmax") - F.col("xmin"))
                     + (F.col("ymax") - F.col("ymin")))
                if {"xmin", "ymin", "xmax", "ymax"} <= cols else F.lit(0.0))
+        expr = None
+        if "rings" in cols:
+            expr = F.when(F.col("rings").isNotNull(),
+                          rings_perimeter_expr())
         if "vertices" in cols:
-            return F.when(F.col("vertices").isNotNull(),
-                          perimeter_expr()).otherwise(box)
-        return box
+            expr = (F.when(F.col("vertices").isNotNull(),
+                           perimeter_expr()) if expr is None else
+                    expr.when(F.col("vertices").isNotNull(),
+                              perimeter_expr()))
+        return box if expr is None else expr.otherwise(box)

@@ -325,6 +325,11 @@ def reproject_mapping(columns, src_crs, dst_crs):
         vx, vy = _point_sql(src_crs, dst_crs, "v[0]", "v[1]")
         mapping["vertices"] = F.expr(
             "transform(vertices, v -> array({}, {}))".format(vx, vy))
+    if "rings" in cols:
+        vx, vy = _point_sql(src_crs, dst_crs, "v[0]", "v[1]")
+        mapping["rings"] = F.expr(
+            "transform(rings, r -> transform(r, v -> array({}, {})))"
+            .format(vx, vy))
     return mapping
 
 

@@ -94,18 +94,42 @@ class Intersection(BaseSingle):
             return df
         x1, y1, x2, y2 = geometry
         cols = set(df.columns)
-        if "vertices" in cols:
+        if "vertices" in cols or "rings" in cols:
             from dask_geomodeling_spark.geometry.geom_operations import (
-                clip_ring_box_expr)
-            clipped = clip_ring_box_expr(x1, y1, x2, y2)
-            df = df.withColumn(
-                "vertices",
-                F.when(F.col("vertices").isNotNull(), clipped))
+                clip_ring_box_expr, clip_rings_box_expr)
+            if "rings" in cols:
+                # clip every ring independently (convex window keeps
+                # the orientation-normalized signed-area contract),
+                # then re-derive the compat exterior ring
+                df = df.withColumn(
+                    "rings",
+                    F.when(F.col("rings").isNotNull(),
+                           clip_rings_box_expr(x1, y1, x2, y2)))
+                if "vertices" in cols:
+                    df = df.withColumn(
+                        "vertices",
+                        F.when(F.col("rings").isNotNull(),
+                               F.element_at(F.col("rings"), 1))
+                        .otherwise(F.when(
+                            F.col("vertices").isNotNull(),
+                            clip_ring_box_expr(x1, y1, x2, y2))))
+            else:
+                df = df.withColumn(
+                    "vertices",
+                    F.when(F.col("vertices").isNotNull(),
+                           clip_ring_box_expr(x1, y1, x2, y2)))
             if {"xmin", "ymin", "xmax", "ymax"} <= cols:
-                xs = F.expr("transform(vertices, v -> v[0])")
-                ys = F.expr("transform(vertices, v -> v[1])")
-                ring = F.col("vertices").isNotNull() \
-                    & (F.size("vertices") > 0)
+                if "rings" in cols and "vertices" in cols:
+                    src_pts = ("CASE WHEN rings IS NOT NULL THEN "
+                               "flatten(rings) ELSE vertices END")
+                elif "rings" in cols:
+                    src_pts = "flatten(rings)"
+                else:
+                    src_pts = "vertices"
+                xs = F.expr("transform({}, v -> v[0])".format(src_pts))
+                ys = F.expr("transform({}, v -> v[1])".format(src_pts))
+                ring = F.expr("{} IS NOT NULL AND size({}) > 0"
+                              .format(src_pts, src_pts))
                 df = (df.withColumn(
                         "xmin", F.when(ring, F.array_min(xs))
                         .otherwise(F.greatest("xmin", F.lit(float(x1)))))

@@ -20,33 +20,94 @@ __all__ = ["ParquetGeometrySource", "FileGeometrySource",
            "DataFrameSource", "parse_point_or_box_wkt"]
 
 _POINT_RE = re.compile(r"^\s*POINT\s*\(\s*([-\d.eE+]+)\s+([-\d.eE+]+)\s*\)\s*$")
-_BOX_RE = re.compile(
-    r"^\s*POLYGON\s*\(\(\s*(.*?)\s*\)\)\s*$", re.S)
+
+
+def _split_top_groups(s):
+    """Contents of each top-level ``(...)`` group in ``s`` — the one
+    structural primitive WKT nesting needs (rings within polygons
+    within multipolygons)."""
+    groups, depth, start = [], 0, None
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+            if depth == 1:
+                start = i + 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start:i])
+    if depth != 0:
+        raise ValueError("Unbalanced parentheses in WKT")
+    return groups
+
+
+def _parse_ring(text):
+    """'x y, x y, …' → [[x, y], …] with the closing vertex dropped."""
+    pts = [tuple(float(v) for v in p.split()) for p in text.split(",")]
+    if len(pts) > 1 and pts[0] == pts[-1]:
+        pts = pts[:-1]
+    return [[float(px), float(py)] for px, py in pts]
+
+
+def _ring_signed_area(ring):
+    s = 0.0
+    for (x1, y1), (x2, y2) in zip(ring, ring[1:] + ring[:1]):
+        s += x1 * y2 - x2 * y1
+    return s / 2.0
+
+
+def _oriented(ring, ccw):
+    """Force counter-clockwise (ccw=True) or clockwise orientation."""
+    return (ring if (_ring_signed_area(ring) >= 0) == ccw
+            else ring[::-1])
 
 
 def parse_point_or_box_wkt(wkt):
-    """Parse POINT/POLYGON WKT into typed geometry fields.
+    """Parse POINT / POLYGON / MULTIPOLYGON WKT into typed geometry
+    fields.
 
     No GDAL/shapely in this environment (reference links GDAL at import,
     __init__.py:1).  Points and axis-aligned boxes map to the engine's
-    native typed columns; a GENERAL polygon (single outer ring)
-    additionally carries its ring as a ``vertices`` column
-    (``array<array<double>>``, closing vertex dropped) — the input of
-    the exact shoelace/ray-cast column expressions
-    (geom_operations.point_in_polygon_expr)."""
+    native typed columns; a GENERAL single-ring polygon additionally
+    carries its ring as a ``vertices`` column (``array<array<double>>``,
+    closing vertex dropped) — the input of the exact shoelace/ray-cast
+    column expressions (geom_operations.point_in_polygon_expr).
+
+    Polygons with interior rings (holes) and MULTIPOLYGONs (reference
+    operates on arbitrary GEOS geometry — geom_operations.py:15,
+    misc.py:518) additionally carry ``rings``: a FLAT
+    orientation-normalized ring list (outer rings counter-clockwise →
+    positive shoelace, holes clockwise → negative), so total area is
+    one signed fold and even-odd containment iterates all rings
+    (geom_operations.rings_area_expr / point_in_rings_expr)."""
     m = _POINT_RE.match(wkt)
     if m:
         return {"x": float(m.group(1)), "y": float(m.group(2))}
-    m = _BOX_RE.match(wkt)
-    if m:
-        pts = [tuple(float(v) for v in p.split())
-               for p in m.group(1).split(",")]
-        if pts[0] == pts[-1]:
-            pts = pts[:-1]
-        xs = [p[0] for p in pts]
-        ys = [p[1] for p in pts]
-        fields = {"xmin": min(xs), "ymin": min(ys),
-                  "xmax": max(xs), "ymax": max(ys)}
+    s = wkt.strip()
+    u = s.upper()
+    if u.startswith("MULTIPOLYGON"):
+        outer = _split_top_groups(s[len("MULTIPOLYGON"):])
+        if len(outer) != 1:
+            raise ValueError("Malformed MULTIPOLYGON WKT")
+        polygons = [[_parse_ring(r) for r in _split_top_groups(p)]
+                    for p in _split_top_groups(outer[0])]
+    elif u.startswith("POLYGON"):
+        outer = _split_top_groups(s[len("POLYGON"):])
+        if len(outer) != 1:
+            raise ValueError("Malformed POLYGON WKT")
+        polygons = [[_parse_ring(r) for r in _split_top_groups(outer[0])]]
+    else:
+        raise ValueError(
+            "Only POINT, POLYGON and MULTIPOLYGON WKT are supported")
+    if not polygons or not all(p and all(p) for p in polygons):
+        raise ValueError("Empty polygon in WKT")
+    allpts = [pt for poly in polygons for ring in poly for pt in ring]
+    xs = [p[0] for p in allpts]
+    ys = [p[1] for p in allpts]
+    fields = {"xmin": min(xs), "ymin": min(ys),
+              "xmax": max(xs), "ymax": max(ys)}
+    if len(polygons) == 1 and len(polygons[0]) == 1:
+        pts = [tuple(p) for p in polygons[0][0]]
         # axis-aligned box (the native algebra) keeps bbox-only parity;
         # anything else is a true polygon -> carry the ring
         is_box = len(pts) == 4 and sorted(pts) == sorted(
@@ -55,10 +116,15 @@ def parse_point_or_box_wkt(wkt):
              (fields["xmax"], fields["ymin"]),
              (fields["xmax"], fields["ymax"])])
         if not is_box:
-            fields["vertices"] = [[float(px), float(py)]
-                                  for px, py in pts]
+            fields["vertices"] = polygons[0][0]
         return fields
-    raise ValueError("Only POINT and POLYGON WKT are supported")
+    rings = []
+    for poly in polygons:
+        rings.append(_oriented(poly[0], ccw=True))
+        rings.extend(_oriented(hole, ccw=False) for hole in poly[1:])
+    fields["vertices"] = rings[0]
+    fields["rings"] = rings
+    return fields
 
 
 class ParquetGeometrySource(GeometryBlock):

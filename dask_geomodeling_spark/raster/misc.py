@@ -201,14 +201,13 @@ class Rasterize(RasterBlock):
 
     def _build(self, ctx):
         from dask_geomodeling_spark.geometry.geom_operations import (
-            point_in_polygon_expr)
+            point_in_polygon_expr, point_in_rings_expr)
         df = self.source._build(ctx)
         cols = set(df.columns)
         value = (F.col(self.column_name).cast("double")
                  if self.column_name else F.lit(1.0))
         if {"xmin", "ymin", "xmax", "ymax"} <= cols:
-            poly = "vertices" in cols
-            keep = ["vertices"] if poly else []
+            keep = [c for c in ("vertices", "rings") if c in cols]
             cells = df.select(
                 value.alias("value"), *keep,
                 F.explode(F.sequence(F.floor("ymin"),
@@ -218,15 +217,30 @@ class Rasterize(RasterBlock):
                 "value", *keep, "y",
                 F.explode(F.sequence(F.floor("xmin"),
                                      F.floor("xmax"))).alias("x"))
-            if poly:
+            if keep:
                 # true polygon coverage: keep bbox candidate cells whose
-                # CENTER is inside the ring (GDAL default burn rule);
-                # ring-less rows keep full-bbox semantics
-                inside = point_in_polygon_expr(
-                    "(x + cast(0.5 as double))",
-                    "(y + cast(0.5 as double))")
-                cells = cells.filter(F.col("vertices").isNull() | inside) \
-                    .drop("vertices")
+                # CENTER is inside the geometry (GDAL default burn
+                # rule); the full ring set (holes/multipolygon) wins
+                # over the single exterior ring; ring-less rows keep
+                # full-bbox semantics
+                cx = "(x + cast(0.5 as double))"
+                cy = "(y + cast(0.5 as double))"
+                if "rings" in cols:
+                    in_rings = point_in_rings_expr(cx, cy)
+                    if "vertices" in cols:
+                        inside = (
+                            F.when(F.col("rings").isNotNull(), in_rings)
+                            .when(F.col("vertices").isNotNull(),
+                                  point_in_polygon_expr(cx, cy))
+                            .otherwise(F.lit(True)))
+                    else:
+                        inside = F.when(F.col("rings").isNotNull(),
+                                        in_rings).otherwise(F.lit(True))
+                    cells = cells.filter(inside).drop(*keep)
+                else:
+                    inside = point_in_polygon_expr(cx, cy)
+                    cells = (cells.filter(F.col("vertices").isNull()
+                                          | inside).drop(*keep))
         elif {"x", "y"} <= cols:
             cells = df.select(value.alias("value"),
                               F.floor("y").alias("y"),
@@ -241,7 +255,8 @@ class Rasterize(RasterBlock):
 
 class RasterizeWKT(RasterBlock):
     """Rasterize a single WKT geometry (reference: raster/misc.py:712) —
-    POINT and axis-aligned POLYGON supported natively."""
+    POINT, POLYGON (including interior rings) and MULTIPOLYGON, all
+    via the typed-column parse + center-in-geometry burn rule."""
 
     def __init__(self, wkt, projection="EPSG:4326"):
         if not isinstance(wkt, str):

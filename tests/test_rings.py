@@ -1,0 +1,106 @@
+"""Multi-ring geometry: polygon holes + MULTIPOLYGON through the
+flat orientation-normalized ``rings`` column (reference operates on
+arbitrary GEOS geometry — geom_operations.py:15, raster/misc.py:518,
+aggregate.py:255)."""
+
+import math
+
+import pytest
+
+from dask_geomodeling_spark.geometry.geom_operations import Area, Length
+from dask_geomodeling_spark.geometry.proj import Reproject
+from dask_geomodeling_spark.geometry.set_operations import Intersection
+from dask_geomodeling_spark.geometry.sources import (
+    LiteralGeometrySource, _ring_signed_area, parse_point_or_box_wkt)
+
+DONUT = ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+         "(4 4, 4 6, 6 6, 6 4, 4 4))")
+MULTI = ("MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), "
+         "((5 5, 9 5, 9 9, 5 9, 5 5), (6 6, 6 8, 8 8, 8 6, 6 6)))")
+
+
+def test_parse_polygon_with_hole_normalizes_orientation():
+    f = parse_point_or_box_wkt(DONUT)
+    assert (f["xmin"], f["ymin"], f["xmax"], f["ymax"]) == (0, 0, 10, 10)
+    assert len(f["rings"]) == 2
+    assert _ring_signed_area(f["rings"][0]) > 0   # outer forced CCW
+    assert _ring_signed_area(f["rings"][1]) < 0   # hole forced CW
+    assert f["vertices"] == f["rings"][0]
+
+
+def test_parse_multipolygon_flattens_rings():
+    f = parse_point_or_box_wkt(MULTI)
+    assert len(f["rings"]) == 3
+    signs = [_ring_signed_area(r) for r in f["rings"]]
+    assert signs[0] > 0 and signs[1] > 0 and signs[2] < 0
+
+
+def test_parse_single_ring_unchanged():
+    tri = parse_point_or_box_wkt("POLYGON ((0 0, 4 0, 0 4, 0 0))")
+    assert "rings" not in tri and "vertices" in tri
+    box = parse_point_or_box_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert "rings" not in box and "vertices" not in box
+
+
+def test_area_and_length_subtract_holes(spark):
+    src = LiteralGeometrySource(DONUT)
+    assert Area(src).plan(spark).first().value == pytest.approx(96.0)
+    # holes ADD boundary (GEOS length semantics)
+    assert Length(src).plan(spark).first().value == pytest.approx(48.0)
+
+
+def test_area_multipolygon_sums_parts(spark):
+    src = LiteralGeometrySource(MULTI)
+    assert Area(src).plan(spark).first().value == pytest.approx(16.0)
+
+
+def test_rasterize_wkt_excludes_hole_cells(spark):
+    from dask_geomodeling_spark.raster.misc import RasterizeWKT
+    assert RasterizeWKT(DONUT).plan(spark).count() == 100 - 4
+    assert RasterizeWKT(MULTI).plan(spark).count() == 4 + 16 - 4
+
+
+def test_centroid_mode_uses_ring_centroid(spark):
+    src = LiteralGeometrySource(DONUT)
+    hit = src.get_data(spark, mode="centroid",
+                       geometry=(4.9, 4.9, 5.1, 5.1))
+    assert hit["features"].count() == 1
+    miss = src.get_data(spark, mode="centroid", geometry=(8, 8, 9, 9))
+    assert miss["features"].count() == 0
+
+
+def test_intersection_clips_every_ring(spark):
+    # clip to the (0,0,5,5) quadrant: outer -> 25, hole quarter -> 1
+    src = LiteralGeometrySource(DONUT)
+    clipped = Intersection(src)
+    got = Area(clipped).plan(
+        spark, geometry=(0.0, 0.0, 5.0, 5.0)).first().value
+    assert got == pytest.approx(24.0)
+
+
+def test_reproject_transforms_rings(spark):
+    src = LiteralGeometrySource(DONUT)
+    out = Reproject(src, "EPSG:4326", "EPSG:4087").plan(spark).first()
+    k = 6378137.0 * math.pi / 180.0
+    assert out.rings[0][1][0] == pytest.approx(10 * k)
+    assert out.rings[1][0][0] == pytest.approx(4 * k)
+
+
+def test_aggregate_raster_masks_out_hole(spark):
+    from dask_geomodeling_spark.geometry.aggregate import AggregateRaster
+    from dask_geomodeling_spark.raster.sources import MemorySource
+    import numpy as np
+    data = np.arange(144, dtype="float64").reshape(12, 12)
+    grid = MemorySource(data)
+    donut = parse_point_or_box_wkt(
+        "POLYGON ((0 0, 11 0, 11 11, 0 11, 0 0), "
+        "(3 3, 8 3, 8 8, 3 8, 3 3))")
+    donut["id"] = 1
+    feats = LiteralGeometrySource([donut])
+    agg = AggregateRaster(feats, grid, statistic="count",
+                          column_name="n")
+    n = agg.plan(spark).first().n
+    # the even-odd ray cast is lower-left-boundary-inclusive: the
+    # outer ring keeps grid points (0..10)^2 = 121; the hole excludes
+    # its own lower-left-inclusive set (3..7)^2 = 25
+    assert n == 121 - 25
