@@ -2452,6 +2452,55 @@ def polygon_area_holes(spark, sf_dir):
     return view.plan(spark).select("s_suppkey", "area", "perimeter")
 
 
+@demo("wkb_source_roundtrip", oracle="""
+SELECT s_suppkey,
+       CAST(s_suppkey % 50 AS DOUBLE) AS xmin,
+       CAST((s_suppkey * 3) % 40 AS DOUBLE) AS ymin,
+       CAST(s_suppkey % 50 + 3 + s_suppkey % 5 AS DOUBLE) AS xmax,
+       CAST((s_suppkey * 3) % 40 + 2 + s_suppkey % 4 AS DOUBLE) AS ymax,
+       CAST((3 + s_suppkey % 5) * (2 + s_suppkey % 4) - 1 AS DOUBLE)
+           AS area
+FROM supplier
+""")
+def wkb_source_roundtrip(spark, sf_dir):
+    """GeoParquet-style WKB interchange (reference reads OGR containers
+    via fiona, geometry/sources.py:18): per-supplier donut polygons
+    encode to a WKB binary parquet column (EncodeWKB, Arrow-batched
+    mapInPandas — the multimodal codec contract), the file reads back
+    through WKBGeometrySource (decode distributes with the scan, no
+    shuffle), and Area over the decoded rings must reproduce the
+    closed-form value — generate → encode → write → read → decode →
+    measure, end to end."""
+    import tempfile
+
+    from dask_geomodeling_spark.geometry.geom_operations import Area
+    from dask_geomodeling_spark.geometry.wkb import (EncodeWKB,
+                                                     WKBGeometrySource)
+    supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    x0 = "CAST(s_suppkey % 50 AS DOUBLE)"
+    y0 = "CAST((s_suppkey * 3) % 40 AS DOUBLE)"
+    w = "CAST(3 + s_suppkey % 5 AS DOUBLE)"
+    h = "CAST(2 + s_suppkey % 4 AS DOUBLE)"
+    rings = ("array("
+             "array(array({x0}, {y0}), array({x0} + {w}, {y0}), "
+             "array({x0} + {w}, {y0} + {h}), array({x0}, {y0} + {h})), "
+             "array(array({x0} + 1.0, {y0} + 1.0), "
+             "array({x0} + 1.0, {y0} + 2.0), "
+             "array({x0} + 2.0, {y0} + 2.0), "
+             "array({x0} + 2.0, {y0} + 1.0)))"
+             ).format(x0=x0, y0=y0, w=w, h=h)
+    df = supplier.select("s_suppkey", F.expr(rings).alias("rings"))
+    enc = EncodeWKB(DataFrameSource(df, index_column="s_suppkey"),
+                    column="geometry")
+    url = tempfile.mkdtemp(prefix="dgs_wkb_") + "/out"
+    enc.plan(spark).select("s_suppkey", "geometry").write.parquet(url)
+    src = WKBGeometrySource(url, wkb_column="geometry",
+                            id_field="s_suppkey")
+    view = src.set("area", Area(src))
+    return view.plan(spark).select("s_suppkey", "xmin", "ymin",
+                                   "xmax", "ymax", "area")
+
+
 @demo("rasterize_multipolygon", oracle="""
 SELECT CAST('1970-01-01' AS TIMESTAMP) AS time, y, x, 1.0 AS value
 FROM (SELECT unnest(range(0, 14)) AS x),

@@ -1,0 +1,317 @@
+"""WKB geometry columns: GeoParquet-style ingestion and egress.
+
+The reference reads any fiona/OGR container (GeometryFileSource,
+geometry/sources.py:18); the cloud-native equivalent ships features as
+parquet with a WKB ``binary`` geometry column (the GeoParquet layout).
+WKB Point / Polygon / MultiPolygon (2-D, either byte order, optional
+EWKB SRID header) is pure-spec parseable — no GDAL — so the codec here
+is plain ``struct`` arithmetic run as an **Arrow-batched mapInPandas**,
+the same contract as the multimodal codecs (pipeline/multimodal.py):
+Python executes at batch granularity only, never per row via a scalar
+UDF, and the exchange rides Arrow both ways.
+
+Scale shape: property/time request filters apply BEFORE the decode on
+the raw columnar scan (Catalyst pushes them into parquet; a Python map
+operator would fence them off), geometry predicates after.  The decode
+itself is embarrassingly parallel — it distributes with the scan
+partitions and adds no shuffle.
+
+Decoded geometry lands in the engine's typed columns: ``x``/``y`` for
+points (degenerate bbox), ``xmin``/``ymin``/``xmax``/``ymax`` plus the
+orientation-normalized flat ``rings`` list (outer CCW, holes CW — the
+multi-ring contract of geom_operations) and the compat ``vertices``
+exterior ring for polygons.  ``EncodeWKB`` is the exact inverse: ring
+orientation signs regroup the flat list into polygons (a positive ring
+opens a new polygon, negative rings are its holes).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dask_geomodeling_spark.geometry.base import (BaseSingle,
+                                                  GeometryBlock,
+                                                  apply_feature_request)
+from dask_geomodeling_spark.geometry.sources import (_oriented,
+                                                     _ring_signed_area)
+
+__all__ = ["decode_wkb", "encode_wkb", "DecodeWKB", "EncodeWKB",
+           "WKBGeometrySource"]
+
+_EWKB_SRID = 0x20000000
+_GEOM_SCHEMA = [
+    ("x", T.DoubleType()), ("y", T.DoubleType()),
+    ("xmin", T.DoubleType()), ("ymin", T.DoubleType()),
+    ("xmax", T.DoubleType()), ("ymax", T.DoubleType()),
+    ("vertices", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ("rings", T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType())))),
+]
+_GEOM_FIELDS = tuple(n for n, _ in _GEOM_SCHEMA)
+
+
+def _read_ring(buf, pos, fmt):
+    (n,) = struct.unpack_from(fmt + "I", buf, pos)
+    pos += 4
+    flat = struct.unpack_from(fmt + "{}d".format(2 * n), buf, pos)
+    pos += 16 * n
+    ring = [[flat[2 * i], flat[2 * i + 1]] for i in range(n)]
+    if len(ring) > 1 and ring[0] == ring[-1]:
+        ring.pop()
+    return ring, pos
+
+
+def _read_geometry(buf, pos):
+    """One geometry record → (kind, payload, next_pos); recurses for
+    MultiPolygon members (each carries its own byte-order header)."""
+    fmt = "<" if buf[pos] == 1 else ">"
+    pos += 1
+    (typ,) = struct.unpack_from(fmt + "I", buf, pos)
+    pos += 4
+    if typ & _EWKB_SRID:
+        typ &= ~_EWKB_SRID
+        pos += 4  # skip the EWKB SRID word
+    if typ == 1:
+        x, y = struct.unpack_from(fmt + "2d", buf, pos)
+        return "point", (x, y), pos + 16
+    if typ == 3:
+        (nrings,) = struct.unpack_from(fmt + "I", buf, pos)
+        pos += 4
+        rings = []
+        for _ in range(nrings):
+            ring, pos = _read_ring(buf, pos, fmt)
+            rings.append(ring)
+        return "polygon", rings, pos
+    if typ == 6:
+        (npolys,) = struct.unpack_from(fmt + "I", buf, pos)
+        pos += 4
+        polys = []
+        for _ in range(npolys):
+            kind, payload, pos = _read_geometry(buf, pos)
+            if kind != "polygon":
+                raise ValueError("MULTIPOLYGON member of WKB type "
+                                 "{!r}".format(kind))
+            polys.append(payload)
+        return "multipolygon", polys, pos
+    raise NotImplementedError(
+        "WKB geometry type {} unsupported (Point/Polygon/MultiPolygon "
+        "2-D only; Z/M and other types need GDAL — reference "
+        "geometry/sources.py:18)".format(typ))
+
+
+def decode_wkb(buf):
+    """bytes → typed-field dict (the ``_GEOM_FIELDS`` layout), or None
+    for NULL input."""
+    if buf is None:
+        return None
+    kind, payload, _ = _read_geometry(bytes(buf), 0)
+    out = dict.fromkeys(_GEOM_FIELDS)
+    if kind == "point":
+        x, y = payload
+        out.update(x=x, y=y, xmin=x, ymin=y, xmax=x, ymax=y)
+        return out
+    polygons = [payload] if kind == "polygon" else payload
+    rings = []
+    for poly in polygons:
+        rings.append(_oriented(poly[0], ccw=True))
+        rings.extend(_oriented(h, ccw=False) for h in poly[1:])
+    pts = [p for r in rings for p in r]
+    out.update(xmin=min(p[0] for p in pts), ymin=min(p[1] for p in pts),
+               xmax=max(p[0] for p in pts), ymax=max(p[1] for p in pts),
+               vertices=rings[0], rings=rings)
+    return out
+
+
+def _pack_ring(ring):
+    closed = list(ring) + [ring[0]]
+    flat = [c for p in closed for c in p]
+    return struct.pack("<I", len(closed)) + struct.pack(
+        "<{}d".format(len(flat)), *flat)
+
+
+def _pack_polygon_body(rings):
+    return struct.pack("<I", len(rings)) + b"".join(
+        _pack_ring(r) for r in rings)
+
+
+def encode_wkb(fields):
+    """Typed-field dict → little-endian WKB bytes.  Precedence mirrors
+    the operators: ``rings`` (sign-regrouped into polygons) >
+    ``vertices`` (single-ring polygon) > bbox (box polygon) > point."""
+    rings = fields.get("rings")
+    if rings:
+        polys, current = [], None
+        for ring in rings:
+            if _ring_signed_area(ring) >= 0 or current is None:
+                current = [ring]
+                polys.append(current)
+            else:
+                current.append(ring)
+        if len(polys) == 1:
+            return (b"\x01" + struct.pack("<I", 3)
+                    + _pack_polygon_body(polys[0]))
+        return (b"\x01" + struct.pack("<I", 6)
+                + struct.pack("<I", len(polys))
+                + b"".join(b"\x01" + struct.pack("<I", 3)
+                           + _pack_polygon_body(p) for p in polys))
+    verts = fields.get("vertices")
+    if verts:
+        return b"\x01" + struct.pack("<I", 3) + _pack_polygon_body(
+            [list(verts)])
+    if fields.get("xmin") is not None:
+        x1, y1 = fields["xmin"], fields["ymin"]
+        x2, y2 = fields["xmax"], fields["ymax"]
+        box = [[x1, y1], [x2, y1], [x2, y2], [x1, y2]]
+        return b"\x01" + struct.pack("<I", 3) + _pack_polygon_body([box])
+    if fields.get("x") is not None:
+        return b"\x01" + struct.pack("<Idd", 1, fields["x"], fields["y"])
+    return None
+
+
+def _tolist(v):
+    """Arrow hands list columns to pandas as numpy arrays (and DECIMAL
+    literals as decimal.Decimal) — normalize any nesting to plain
+    float lists for the struct codec."""
+    if v is None:
+        return None
+    if hasattr(v, "__len__"):
+        return [_tolist(e) for e in v]
+    return float(v)
+
+
+def decode_wkb_frame(df, column, drop=True):
+    """DataFrame + WKB column → DataFrame with the typed geometry
+    columns appended (Arrow-batched mapInPandas; scan-partition
+    parallel, no shuffle)."""
+    keep = [f for f in df.schema.fields if f.name != column or not drop]
+    out_schema = T.StructType(
+        [f for f in keep if f.name not in _GEOM_FIELDS]
+        + [T.StructField(n, t) for n, t in _GEOM_SCHEMA])
+    keep_names = [f.name for f in out_schema.fields
+                  if f.name not in _GEOM_FIELDS]
+
+    def fn(batches):
+        import pandas as pd
+        for pdf in batches:
+            decoded = [decode_wkb(b) for b in pdf[column]]
+            data = {n: pdf[n] for n in keep_names}
+            for name in _GEOM_FIELDS:
+                data[name] = pd.Series(
+                    [d[name] if d else None for d in decoded],
+                    dtype="object", index=pdf.index)
+            yield pd.DataFrame(data)
+
+    return df.mapInPandas(fn, out_schema)
+
+
+def encode_wkb_frame(df, column="wkb"):
+    """DataFrame with typed geometry columns → same frame + a WKB
+    binary column (Arrow-batched mapInPandas)."""
+    present = [c for c in _GEOM_FIELDS if c in df.columns]
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(column, T.BinaryType())])
+
+    def fn(batches):
+        import pandas as pd
+        for pdf in batches:
+            n = len(pdf)
+            encoded = []
+            for i in range(n):
+                fields = {}
+                for c in present:
+                    v = pdf[c].iloc[i]
+                    if c in ("vertices", "rings"):
+                        v = _tolist(v)
+                    elif v is not None and v != v:  # NaN → NULL
+                        v = None
+                    fields[c] = v
+                encoded.append(encode_wkb(fields))
+            pdf = pdf.copy()
+            pdf[column] = pd.Series(encoded, dtype="object",
+                                    index=pdf.index)
+            yield pdf
+
+    return df.mapInPandas(fn, out_schema)
+
+
+class DecodeWKB(BaseSingle):
+    """Decode a WKB binary column into the typed geometry columns
+    (replacing any same-named existing ones)."""
+
+    def __init__(self, source, column="geometry", drop=True):
+        super().__init__(source, column, bool(drop))
+
+    @property
+    def columns(self):
+        base = set(self.source.columns) - ({self.args[1]}
+                                           if self.args[2] else set())
+        return base | set(_GEOM_FIELDS)
+
+    def _build(self, ctx):
+        df = self.source._build(ctx)
+        return decode_wkb_frame(df, self.args[1], drop=self.args[2])
+
+
+class EncodeWKB(BaseSingle):
+    """Append a WKB binary column built from the typed geometry
+    columns — the write-side of GeoParquet-style interchange."""
+
+    def __init__(self, source, column="wkb"):
+        super().__init__(source, column)
+
+    @property
+    def columns(self):
+        return set(self.source.columns) | {self.args[1]}
+
+    def _build(self, ctx):
+        df = self.source._build(ctx)
+        return encode_wkb_frame(df, self.args[1])
+
+
+class WKBGeometrySource(GeometryBlock):
+    """Read features from parquet whose geometry is a WKB binary
+    column (reference: GeometryFileSource via fiona/OGR,
+    geometry/sources.py:18 — this is the cloud-native GeoParquet
+    equivalent).
+
+    Property/time filters of the request apply to the RAW scan (they
+    reach the parquet reader as pushed predicates); the Arrow-batched
+    decode then adds the typed geometry columns; geometry/mode/limit
+    request handling runs on the decoded frame.
+    """
+
+    def __init__(self, url, wkb_column="geometry", id_field="id",
+                 time_column=None, projection="EPSG:4326"):
+        if not isinstance(url, str):
+            raise TypeError("'{}' object is not allowed".format(type(url)))
+        super().__init__(url, wkb_column, id_field, time_column,
+                         str(projection).upper())
+
+    @property
+    def index_column(self):
+        return self.args[2]
+
+    @property
+    def time_column(self):
+        return self.args[3]
+
+    @property
+    def projection(self):
+        return self.args[4]
+
+    @property
+    def columns(self):
+        return set()
+
+    def _build(self, ctx):
+        url, wkb_column, _, time_column, _ = self.args
+        df = ctx.spark.read.parquet(url)
+        pre = {k: ctx.request[k] for k in ("filters", "start", "stop")
+               if k in ctx.request}
+        df = apply_feature_request(df, pre, time_column=time_column)
+        df = decode_wkb_frame(df, wkb_column)
+        post = {k: v for k, v in ctx.request.items()
+                if k not in ("filters", "start", "stop")}
+        return apply_feature_request(df, post, time_column=time_column)
