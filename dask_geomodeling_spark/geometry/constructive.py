@@ -14,23 +14,44 @@ __all__ = ["Buffer", "Simplify", "Centroid"]
 
 class Buffer(BaseSingle):
     """Expand geometries by a distance (reference:
-    geometry/constructive.py:13).  Points become boxes (the circular
-    buffer's bounding box — exact circles need polygon geometry, which
-    requires GDAL in the reference); boxes expand on all sides.
-    ``resolution`` is accepted for API parity."""
+    geometry/constructive.py:13, where GEOS buffers with
+    ``quad_segs=resolution``).
+
+    Default (``shape="box"``): points become the circular buffer's
+    bounding box and boxes expand on all sides — the native bbox
+    algebra, unchanged fast path.  ``shape="round"`` honors
+    ``resolution`` the way the reference does for POINT inputs: the
+    buffer becomes a regular ``4·resolution``-gon ring (the GEOS
+    quadrant-segment approximation) carried in the multi-ring
+    ``vertices`` column, so Area/Length/Rasterize downstream measure
+    the circle approximation instead of the box.  Box inputs keep bbox
+    expansion under either shape (box⊕disk is a rounded rectangle —
+    out of the native algebra; documented deviation)."""
 
     def __init__(self, source, distance, projection="EPSG:4326",
-                 resolution=4):
+                 resolution=4, shape="box"):
         distance = float(distance)
-        super().__init__(source, distance, projection, resolution)
+        if shape not in ("box", "round"):
+            raise ValueError("shape must be 'box' or 'round'")
+        if int(resolution) < 1:
+            raise ValueError("resolution must be >= 1")
+        super().__init__(source, distance, projection, int(resolution),
+                         shape)
 
     @property
     def distance(self):
         return self.args[1]
 
     @property
+    def resolution(self):
+        return self.args[3]
+
+    @property
     def columns(self):
-        return set(self.source.columns) | {"xmin", "ymin", "xmax", "ymax"}
+        cols = set(self.source.columns) | {"xmin", "ymin", "xmax", "ymax"}
+        if self.args[4] == "round":
+            cols |= {"vertices"}
+        return cols
 
     def _build(self, ctx):
         # the source request expands by the buffer distance (reference:
@@ -56,6 +77,16 @@ class Buffer(BaseSingle):
                    .withColumn("ymin", F.col("y") - d)
                    .withColumn("xmax", F.col("x") + d)
                    .withColumn("ymax", F.col("y") + d))
+            if self.args[4] == "round":
+                # regular 4·resolution-gon (GEOS quad_segs analogue),
+                # counter-clockwise from angle 0 — pure column math,
+                # vertices land in the standard ring machinery
+                n = 4 * self.resolution
+                ring = ("transform(sequence(0, {nm1}), i -> array("
+                        "x + {d!r} * cos(2.0 * pi() * i / {n}.0), "
+                        "y + {d!r} * sin(2.0 * pi() * i / {n}.0)))"
+                        ).format(nm1=n - 1, n=n, d=self.distance)
+                out = out.withColumn("vertices", F.expr(ring))
         else:
             raise ValueError(
                 "Buffer requires point or box geometry columns")

