@@ -144,6 +144,13 @@ class Block:
 
     @staticmethod
     def from_import_path(path):
+        from dask_geomodeling_spark import compat
+        mapped = compat.resolve_import_path(path)
+        if mapped is not None:
+            # a serialized REFERENCE view config ("dask_geomodeling.…")
+            # resolves to the Spark-native class (or its signature
+            # adapter) so existing graphs construct unmodified
+            return mapped
         module, _, name = path.rpartition(".")
         return getattr(importlib.import_module(module), name)
 
@@ -219,7 +226,13 @@ def construct_multiple(graph, names, validate=True):
         cls = value[0]
         if isinstance(cls, str):
             cls = Block.from_import_path(cls)
-        if not (isinstance(cls, type) and issubclass(cls, Block)):
+        if isinstance(cls, type):
+            if not issubclass(cls, Block):
+                raise TypeError(
+                    "Cannot construct from object of type '{}'".format(cls))
+        elif not callable(cls):
+            # compat adapters (signature-translating factories for
+            # reference classes) are plain callables returning Blocks
             raise TypeError(
                 "Cannot construct from object of type '{}'".format(cls))
         args = [resolve(a) if isinstance(a, str) and a in graph else a
@@ -229,6 +242,8 @@ def construct_multiple(graph, names, validate=True):
         except Exception as e:
             if validate:
                 e.args = ("{0}: {1}".format(key, str(e)),)
+                raise
+            if not isinstance(cls, type):
                 raise
             block = cls.__new__(cls)
             Block.__init__(block, *args)

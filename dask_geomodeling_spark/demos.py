@@ -2256,7 +2256,7 @@ WITH pts AS (
              AS rd_y
   FROM supplier
 )
-SELECT s_suppkey, {x} AS web_x, {y} AS web_y
+SELECT s_suppkey, ROUND({x}, 6) AS web_x, ROUND({y}, 6) AS web_y
 FROM pts
 """.format(x=x, y=y)
 
@@ -2266,7 +2266,8 @@ def reproject_rd_web(spark, sf_dir):
     """EPSG:28992 → EPSG:3857 (RD New to web-mercator, the map-tile
     path every Dutch view config hits) has no direct closed form: the
     transform COMPOSES through EPSG:4326 by textual substitution —
-    still one shared expression string, still oracle-exact."""
+    still one shared expression string.  ROUND(6) (µm at mercator
+    scale) absorbs the 1-ulp ln/tan drift between the JVM and libm."""
     from dask_geomodeling_spark.geometry.proj import Reproject
     supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
     pts = supplier.select(
@@ -2280,8 +2281,8 @@ def reproject_rd_web(spark, sf_dir):
                         projection="EPSG:28992"),
         "EPSG:28992", "EPSG:3857")
     return block.plan(spark).select(
-        "s_suppkey", F.col("x").alias("web_x"),
-        F.col("y").alias("web_y"))
+        "s_suppkey", F.round("x", 6).alias("web_x"),
+        F.round("y", 6).alias("web_y"))
 
 
 @demo("geotiff_source", oracle="""

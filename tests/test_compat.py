@@ -1,0 +1,62 @@
+"""Reference view-config compatibility: serialized ``dask_geomodeling``
+JSON graphs must construct against this package unmodified (reference
+core/graphs.py:52 construct / :192 get_graph)."""
+
+from datetime import timedelta
+
+from dask_geomodeling_spark.core.blocks import Block, construct
+
+
+def test_reference_import_paths_resolve_to_native_classes():
+    from dask_geomodeling_spark.core.blocks import DummyBlock
+    from dask_geomodeling_spark.geometry.field_operations import Classify
+    from dask_geomodeling_spark.raster.misc import Clip
+    assert Block.from_import_path(
+        "dask_geomodeling.raster.misc.Clip") is Clip
+    assert Block.from_import_path(
+        "dask_geomodeling.geometry.field_operations.Classify") is Classify
+    assert Block.from_import_path(
+        "dask_geomodeling.core.graphs.DummyBlock") is DummyBlock
+
+
+def test_reference_geometry_graph_constructs(spark):
+    graph = {
+        "source": ["dask_geomodeling.geometry.sources.GeometryWKTSource",
+                   "POLYGON ((0 0, 4 0, 0 3, 0 0))", "EPSG:4326"],
+        "buffered": ["dask_geomodeling.geometry.constructive.Buffer",
+                     "source", 0.5, "EPSG:4326", 4],
+    }
+    block = construct(graph, "buffered")
+    rows = block.get_data(spark)["features"].collect()
+    assert len(rows) == 1
+    assert rows[0].xmin == -0.5 and rows[0].ymax == 3.5
+
+
+def test_reference_raster_graph_constructs_with_ms_units(spark):
+    graph = {
+        "source": ["dask_geomodeling.raster.sources.MemorySource",
+                   [[[1.0, 2.0], [3.0, 255.0]],
+                    [[5.0, 6.0], [7.0, 8.0]]],
+                   255, "EPSG:28992", 0.5, [135000, 456000],
+                   0, 3600000],
+        "plus": ["dask_geomodeling.raster.elemwise.Add", "source", 10.0],
+    }
+    block = construct(graph, "plus")
+    # epoch-millisecond time units convert: two bands 1 h apart
+    assert block.timedelta == timedelta(hours=1)
+    cells = {(r.time.hour, r.y, r.x): r.value
+             for r in block.plan(spark).collect()}
+    assert cells[(0, 0, 0)] == 11.0
+    assert cells[(0, 1, 1)] is None  # 255 is the declared no-data
+    assert cells[(1, 1, 1)] == 18.0
+
+
+def test_reference_wkt_source_projection_second_positional(spark):
+    graph = {"g": ["dask_geomodeling.geometry.GeometryWKTSource",
+                   "POINT (155000 463000)", "EPSG:28992"]}
+    block = construct(graph, "g")
+    assert block.projection == "EPSG:28992"
+    out = block.get_data(spark, projection="EPSG:4326")
+    row = out["features"].first()
+    assert abs(row.x - 5.38720621) < 1e-6
+    assert abs(row.y - 52.15517440) < 1e-6
