@@ -19,6 +19,64 @@ def test_reference_import_paths_resolve_to_native_classes():
         "dask_geomodeling.core.graphs.DummyBlock") is DummyBlock
 
 
+# every public Block class the reference exposes (enumerated from its
+# source tree; utils helpers and the ipyleaflet plugin excluded) — a
+# serialized graph naming ANY of these must resolve here
+_REFERENCE_BLOCKS = """
+geometry.aggregate.AggregateRaster geometry.aggregate.AggregateRasterAboveThreshold
+geometry.base.GeometryBlock geometry.base.SeriesBlock geometry.base.GetSeriesBlock
+geometry.base.SetSeriesBlock geometry.base.BaseSingle geometry.base.BaseSingleSeries
+geometry.constructive.Buffer geometry.constructive.Simplify
+geometry.field_operations.Classify geometry.field_operations.ClassifyFromColumns
+geometry.field_operations.Add geometry.field_operations.Subtract
+geometry.field_operations.Multiply geometry.field_operations.Divide
+geometry.field_operations.FloorDivide geometry.field_operations.Power
+geometry.field_operations.Modulo geometry.field_operations.Equal
+geometry.field_operations.NotEqual geometry.field_operations.Greater
+geometry.field_operations.GreaterEqual geometry.field_operations.Less
+geometry.field_operations.LessEqual geometry.field_operations.And
+geometry.field_operations.Or geometry.field_operations.Xor
+geometry.field_operations.Invert geometry.field_operations.Where
+geometry.field_operations.Mask geometry.field_operations.Round
+geometry.field_operations.Interp geometry.field_operations.Choose
+geometry.geom_operations.Area geometry.merge.MergeGeometryBlocks
+geometry.parallelize.GeometryTiler geometry.set_operations.Difference
+geometry.set_operations.Intersection geometry.sinks.GeometryFileSink
+geometry.text.ParseTextColumn
+raster.base.RasterBlock raster.combine.Group
+raster.elemwise.Add raster.elemwise.Subtract raster.elemwise.Multiply
+raster.elemwise.Divide raster.elemwise.Power raster.elemwise.Equal
+raster.elemwise.NotEqual raster.elemwise.Greater raster.elemwise.GreaterEqual
+raster.elemwise.Less raster.elemwise.LessEqual raster.elemwise.Invert
+raster.elemwise.IsData raster.elemwise.IsNoData raster.elemwise.And
+raster.elemwise.Or raster.elemwise.Xor raster.elemwise.FillNoData
+raster.elemwise.Exp raster.elemwise.Log raster.elemwise.Log10
+raster.misc.Clip raster.misc.Mask raster.misc.MaskBelow raster.misc.Step
+raster.misc.Classify raster.misc.Reclassify raster.misc.Rasterize
+raster.misc.RasterizeWKT raster.parallelize.RasterTiler
+raster.reduction.Max raster.sinks.RasterFileSink
+raster.spatial.Dilate raster.spatial.MovingMax raster.spatial.Smooth
+raster.spatial.HillShade raster.spatial.Place
+raster.temporal.Snap raster.temporal.Shift raster.temporal.TemporalSum
+raster.temporal.TemporalAggregate raster.temporal.Cumulative
+raster.temporal.Resample
+core.graphs.Block core.graphs.DummyBlock
+geometry.sources.GeometryFileSource geometry.sources.GeometryWKTSource
+raster.sources.MemorySource raster.sources.RasterFileSource
+""".split()
+
+
+def test_every_reference_block_path_resolves():
+    unresolved = []
+    for tail in _REFERENCE_BLOCKS:
+        try:
+            if Block.from_import_path("dask_geomodeling." + tail) is None:
+                unresolved.append(tail)
+        except Exception:
+            unresolved.append(tail)
+    assert not unresolved, unresolved
+
+
 def test_reference_geometry_graph_constructs(spark):
     graph = {
         "source": ["dask_geomodeling.geometry.sources.GeometryWKTSource",
