@@ -5037,6 +5037,42 @@ def repeated_spans(spark, sf_dir):
 
 
 
+@demo("ngram_perplexity", oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> length(t) > 0) AS w
+  FROM documents),
+bi AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+  WHERE len(w) >= 2),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT t) AS v
+      FROM (SELECT unnest(w) AS t FROM toks)),
+s AS (
+  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+         SUM(ln((c2.c2 + 1.0) / (c1.c1 + v.v))) AS lp
+  FROM bi b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+  GROUP BY b.doc_id)
+SELECT d.doc_id, s.n_bigrams,
+       ROUND(s.lp / s.n_bigrams, 6) AS avg_logprob,
+       ROUND(exp(-(s.lp / s.n_bigrams)), 6) AS perplexity
+FROM documents d LEFT JOIN s USING (doc_id)
+""")
+def ngram_perplexity(spark, sf_dir):
+    """NgramPerplexity: the CCNet/KenLM-recipe quality signal — a
+    bigram LM fit on the corpus scores every document's average log
+    probability (add-one smoothing over the vocabulary).  The model IS
+    a DataFrame: count tables join back onto the bigram stream, so a
+    billion-key vocabulary never reaches the driver.  The oracle
+    replays the identical fit + smoothing; ROUND(6) absorbs unordered
+    float sums and ln/exp ulps."""
+    from dask_geomodeling_spark.pipeline.lm import NgramPerplexity
+    return NgramPerplexity(documents_src(sf_dir)).plan(spark)
+
+
 @demo("corpus_prep_classifier", oracle="""
 WITH q AS (
  SELECT doc_id, lang, length(text) AS n,

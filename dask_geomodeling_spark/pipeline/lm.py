@@ -1,0 +1,95 @@
+"""Corpus n-gram language-model scoring — the CCNet/KenLM-style
+perplexity quality filter (public recipe: score each document by a
+corpus-level n-gram LM; low-probability documents are boilerplate or
+noise).  SURVEY.md §2 'LLM-data-pipeline extensions'.
+
+Spark-first shape: the MODEL IS A DATAFRAME.  Unigram and bigram
+count tables stay distributed and join back onto the per-document
+bigram stream — nothing vocabulary-sized ever reaches the driver and
+there is no literal-plan blowup, so a 100 TB corpus with a billion-key
+vocabulary fits the same plan.  The vocabulary size (one scalar) rides
+a broadcast one-row frame, keeping the whole fit/score lazy.  Token
+keys are Zipf-skewed ('the' dominates) — AQE skew-join handles the
+hot keys at scale; both join sides are aggregation outputs, so
+map-side partial aggregation has already compacted them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dask_geomodeling_spark.geometry.base import BaseSingle
+
+__all__ = ["NgramPerplexity"]
+
+
+class NgramPerplexity(BaseSingle):
+    """Bigram-LM self-perplexity per document.
+
+    Fit and score in ONE lazy plan over the same corpus: tokenize
+    (lowercased whitespace words), form adjacent bigrams map-side,
+    aggregate corpus bigram counts ``c(w1,w2)`` and context counts
+    ``c(w1)``, then score every document's bigrams with add-one
+    (Laplace) smoothing over the unigram vocabulary ``V``::
+
+        log p(w2 | w1) = ln( (c(w1,w2) + 1) / (c(w1) + V) )
+        avg_logprob    = Σ log p / n_bigrams
+        perplexity     = exp(-avg_logprob)
+
+    Documents with fewer than 2 tokens carry NULL scores (no bigram
+    evidence — mirrors RepeatedSpans' short-doc contract).
+
+    Output: ``<id_column>``, ``n_bigrams``, ``avg_logprob``,
+    ``perplexity`` (the floats rounded to ``round_to`` decimals:
+    unordered float sums and libm-vs-JVM ``ln``/``exp`` drift sit far
+    below 1e-6).
+    """
+
+    def __init__(self, source, text_column="text", id_column="doc_id",
+                 round_to=6):
+        super().__init__(source, text_column, id_column, int(round_to))
+
+    @property
+    def columns(self):
+        return {self.args[2], "n_bigrams", "avg_logprob", "perplexity"}
+
+    def _build(self, ctx):
+        _, text_column, id_column, round_to = self.args
+        df = self.source._build(ctx)
+        toks = (df.select(
+            F.col(id_column),
+            F.split(F.trim(F.lower(F.col(text_column))), r"\s+")
+            .alias("_w"))
+            .withColumn("_w", F.expr(
+                "filter(_w, t -> length(t) > 0)")))
+        bigrams = toks.select(
+            id_column,
+            F.explode(F.expr(
+                "CASE WHEN size(_w) >= 2 THEN "
+                "transform(sequence(1, size(_w) - 1), "
+                "i -> struct(_w[i - 1] AS w1, _w[i] AS w2)) "
+                "ELSE array() END")).alias("_b")
+        ).select(id_column, F.col("_b.w1").alias("w1"),
+                 F.col("_b.w2").alias("w2"))
+        c_bi = (bigrams.groupBy("w1", "w2")
+                .agg(F.count(F.lit(1)).alias("_c2")))
+        c_uni = (bigrams.groupBy("w1")
+                 .agg(F.count(F.lit(1)).alias("_c1")))
+        vocab = (toks.select(F.explode("_w").alias("_t"))
+                 .agg(F.countDistinct("_t").alias("_v")))
+        scored = (bigrams
+                  .join(c_bi, ["w1", "w2"])
+                  .join(c_uni, ["w1"])
+                  .crossJoin(F.broadcast(vocab))
+                  .groupBy(id_column)
+                  .agg(F.count(F.lit(1)).cast("bigint")
+                       .alias("n_bigrams"),
+                       F.sum(F.log((F.col("_c2") + 1.0)
+                                   / (F.col("_c1") + F.col("_v"))))
+                       .alias("_lp")))
+        avg = F.col("_lp") / F.col("n_bigrams")
+        scored = scored.select(
+            id_column, "n_bigrams",
+            F.round(avg, round_to).alias("avg_logprob"),
+            F.round(F.exp(-avg), round_to).alias("perplexity"))
+        return (df.select(id_column).join(scored, id_column, "left"))

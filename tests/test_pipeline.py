@@ -557,3 +557,23 @@ def test_extract_audio_features_distributed(spark):
         assert f[0] == 4000.0 and f[1] == 2.0 and f[2] == 8.0
         expect = [(i * 31 + k * 17) % 65536 - 32768 for k in range(16)]
         assert f[4] == sum(expect) / 16.0
+
+
+def test_ngram_perplexity_hand_computed(spark):
+    """Bigram LM with add-one smoothing on a 3-doc corpus: corpus
+    counts c(a,b)=3, c(b,a)=1, contexts c1(a)=3, c1(b)=1, V=3."""
+    import math
+
+    from dask_geomodeling_spark.pipeline.lm import NgramPerplexity
+    src = LiteralGeometrySource([
+        {"doc_id": 1, "text": "a b a b"},
+        {"doc_id": 2, "text": "a b"},
+        {"doc_id": 3, "text": "x"}])
+    rows = {r.doc_id: r for r in NgramPerplexity(src).plan(spark).collect()}
+    lp_ab = math.log((3 + 1) / (3 + 3))
+    lp_ba = math.log((1 + 1) / (1 + 3))
+    assert rows[1].n_bigrams == 3
+    assert rows[1].avg_logprob == round((2 * lp_ab + lp_ba) / 3, 6)
+    assert rows[2].perplexity == round(math.exp(-lp_ab), 6)
+    # a one-token doc has no bigram evidence -> NULL scores
+    assert rows[3].n_bigrams is None and rows[3].perplexity is None
