@@ -5024,6 +5024,64 @@ FROM win w JOIN freq f USING (fp)
            md=min_docs)
 
 
+def _remove_repeated_spans_oracle(n=6, min_docs=2):
+    return """
+WITH docs AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\\s+') AS ow,
+         list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+                        t -> {poly}) AS h
+  FROM documents),
+wins AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), h[i:i+{nm1}]),
+                     (acc, x) -> (acc * 8191 + x) % 2147483647) AS fp
+  FROM docs, LATERAL (SELECT unnest(range(1, len(h) - {n} + 1 + 1))
+                      AS i)
+  WHERE len(h) >= {n}),
+freq AS (
+  SELECT fp, COUNT(DISTINCT doc_id) AS nd,
+         MIN(doc_id * 4294967296 + pos) AS canon
+  FROM wins GROUP BY fp
+  HAVING COUNT(DISTINCT doc_id) >= {md}),
+cov AS (
+  SELECT DISTINCT w.doc_id, w.pos + j AS idx
+  FROM wins w JOIN freq f USING (fp),
+       LATERAL (SELECT unnest(range(0, {n})) AS j)
+  WHERE w.doc_id * 4294967296 + w.pos != f.canon),
+toks AS (
+  SELECT doc_id, unnest(ow) AS tok,
+         CAST(generate_subscripts(ow, 1) - 1 AS BIGINT) AS idx
+  FROM docs),
+kept AS (
+  SELECT t.doc_id, t.tok, t.idx
+  FROM toks t LEFT JOIN cov c
+    ON t.doc_id = c.doc_id AND t.idx = c.idx
+  WHERE c.doc_id IS NULL),
+reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text_dedup,
+               COUNT(*) AS nkept
+        FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(r.text_dedup, '') AS text_dedup,
+       CAST(len(d.ow) - COALESCE(r.nkept, 0) AS BIGINT) AS n_removed
+FROM docs d LEFT JOIN reb r USING (doc_id)
+""".format(poly=_DD_POLY.format(col="t", base=257), n=n, nm1=n - 1,
+           md=min_docs)
+
+
+@demo("remove_repeated_spans", oracle=_remove_repeated_spans_oracle())
+def remove_repeated_spans(spark, sf_dir):
+    """RemoveRepeatedSpans: the REMOVAL half of substring-level dedup
+    (public 'deduplicate training data' recipe) — every repeated
+    6-token span keeps exactly one canonical occurrence corpus-wide
+    (lexicographically smallest (doc, pos), argmin via one bigint MIN)
+    and is cut from all other documents, which reassemble from their
+    surviving tokens in order."""
+    from dask_geomodeling_spark.pipeline.dedup import RemoveRepeatedSpans
+    return RemoveRepeatedSpans(documents_src(sf_dir), span=6,
+                               min_docs=2).plan(spark)
+
+
 @demo("repeated_spans", oracle=_repeated_spans_oracle())
 def repeated_spans(spark, sf_dir):
     """RepeatedSpans: exact cross-document repeated 6-token spans —

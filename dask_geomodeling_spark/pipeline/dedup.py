@@ -20,7 +20,7 @@ from dask_geomodeling_spark.geometry.base import BaseSingle
 
 __all__ = ["ExactDedup", "MinHashLSH", "SimHash", "NgramJaccard",
            "EmbeddingDedup", "DedupClusters", "ngram_regex_expr",
-           "RepeatedSpans"]
+           "RepeatedSpans", "RemoveRepeatedSpans"]
 
 # 31-bit Mersenne prime: (a*h + b) stays < 2^62 under ANSI overflow checks
 MERSENNE = (1 << 31) - 1
@@ -659,3 +659,85 @@ class RepeatedSpans(BaseSingle):
         return (windows.join(freq, "fp")
                 .select(id_column, F.col("pos").cast("bigint"), "fp",
                         "n_docs"))
+
+
+class RemoveRepeatedSpans(BaseSingle):
+    """Exact substring-level dedup REMOVAL (the second half of the
+    public 'deduplicate training data' recipe: after detection, every
+    repeated span keeps exactly ONE occurrence corpus-wide and is cut
+    from everywhere else).
+
+    Plan shape: the RepeatedSpans window/fingerprint stream (map-side
+    sliding windows over 31-bit token hashes), one groupBy fingerprint
+    that records the distinct-doc count AND the canonical occurrence
+    (the lexicographically smallest ``(doc, pos)``, encoded as one
+    bigint so MIN is the argmin); every other occurrence explodes its
+    ≤``span`` covered token indices; a distinct + left-anti join drops
+    those tokens; one re-group per document reassembles the original
+    (case-preserved) tokens in order — the LineDedup reassembly
+    contract at token granularity.  All joins key on near-uniform
+    fingerprints / ids; expansion is bounded by span, never quadratic.
+
+    Output: source id column + ``text_dedup`` (surviving tokens joined
+    by single spaces — whitespace is normalized by tokenization) +
+    ``n_removed`` tokens.  Docs shorter than ``span`` pass through
+    unchanged.
+    """
+
+    _ENC = 1 << 32  # (doc, pos) -> doc·2^32 + pos, pos < 2^32
+
+    def __init__(self, source, span=8, min_docs=2, text_column="text",
+                 id_column="doc_id"):
+        if int(span) < 1:
+            raise ValueError("span must be >= 1")
+        super().__init__(source, int(span), int(min_docs), text_column,
+                         id_column)
+
+    @property
+    def columns(self):
+        return {self.args[4], "text_dedup", "n_removed"}
+
+    def _build(self, ctx):
+        _, span, min_docs, text_column, id_column = self.args
+        df = self.source._build(ctx)
+        raw = F.split(F.trim(F.col(text_column)), r"\s+")
+        lowered = F.split(F.trim(F.lower(F.col(text_column))), r"\s+")
+        th = "transform(_lw, t -> {h})".format(h=poly_hash_expr("t"))
+        base = (df.select(F.col(id_column), raw.alias("_ow"),
+                          lowered.alias("_lw"))
+                .withColumn("_th", F.expr(th)).drop("_lw"))
+        wins = (base.filter(F.size("_th") >= span)
+                .select(id_column, F.posexplode(F.expr(
+                    "transform(sequence(1, size(_th) - {n} + 1), "
+                    "i -> aggregate(slice(_th, i, {n}), "
+                    "cast(0 as bigint), "
+                    "(acc, h) -> pmod(acc * 8191 + h, {m})))"
+                    .format(n=span, m=MERSENNE))).alias("pos", "fp")))
+        enc = F.col(id_column).cast("bigint") * self._ENC + F.col("pos")
+        freq = (wins.groupBy("fp")
+                .agg(F.countDistinct(id_column).alias("_nd"),
+                     F.min(enc).alias("_canon"))
+                .filter(F.col("_nd") >= min_docs))
+        covered = (wins.join(freq, "fp")
+                   .filter(enc != F.col("_canon"))
+                   .select(id_column,
+                           F.explode(F.sequence(
+                               F.col("pos"),
+                               F.col("pos") + (span - 1))).alias("_idx"))
+                   .distinct())
+        toks = base.select(id_column,
+                           F.posexplode("_ow").alias("_idx", "_tok"))
+        kept = toks.join(covered, [id_column, "_idx"], "left_anti")
+        rebuilt = kept.groupBy(id_column).agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list("
+                       "struct(_idx, _tok))), s -> s._tok)"),
+                " ").alias("_newtext"),
+            F.count(F.lit(1)).alias("_kept"))
+        out = (base.select(id_column, F.size("_ow").alias("_ntotal"))
+               .join(rebuilt, id_column, "left"))
+        return out.select(
+            id_column,
+            F.coalesce("_newtext", F.lit("")).alias("text_dedup"),
+            (F.col("_ntotal") - F.coalesce(F.col("_kept"), F.lit(0)))
+            .cast("bigint").alias("n_removed"))

@@ -577,3 +577,21 @@ def test_ngram_perplexity_hand_computed(spark):
     assert rows[2].perplexity == round(math.exp(-lp_ab), 6)
     # a one-token doc has no bigram evidence -> NULL scores
     assert rows[3].n_bigrams is None and rows[3].perplexity is None
+
+
+def test_remove_repeated_spans_keeps_canonical_occurrence(spark):
+    from dask_geomodeling_spark.pipeline.dedup import RemoveRepeatedSpans
+    src = LiteralGeometrySource([
+        {"doc_id": 1, "text": "A b c d x y"},
+        {"doc_id": 2, "text": "q a b c d z"},
+        {"doc_id": 3, "text": "nothing shared here at all"}])
+    rows = {r.doc_id: r for r in
+            RemoveRepeatedSpans(src, span=4,
+                                min_docs=2).plan(spark).collect()}
+    # the shared span "a b c d" is canonical at (doc 1, pos 0): doc 1
+    # keeps everything (original case preserved), doc 2 loses tokens
+    # 1..4, doc 3 is untouched
+    assert rows[1].text_dedup == "A b c d x y"
+    assert rows[1].n_removed == 0
+    assert rows[2].text_dedup == "q z" and rows[2].n_removed == 4
+    assert rows[3].text_dedup == "nothing shared here at all"
