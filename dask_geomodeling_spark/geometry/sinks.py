@@ -30,9 +30,14 @@ class GeometryFileSink(BaseSingle):
         geometry from ``x``/``y`` or Polygon from the bbox columns).
       fields: optional ``{output_name: source_column}`` mapping.
       partition_by: optional list of columns for a partitioned layout.
+
+    ``wkb`` writes GeoParquet-style parquet: the typed geometry
+    columns encode into one little-endian WKB ``geometry`` binary
+    column (geometry/wkb.py codec, Arrow-batched) and the typed
+    columns drop — the read side is ``WKBGeometrySource``.
     """
 
-    supported_extensions = ("parquet", "csv", "json", "geojson")
+    supported_extensions = ("parquet", "csv", "json", "geojson", "wkb")
 
     def __init__(self, source, url, extension="parquet", fields=None,
                  partition_by=None):
@@ -93,6 +98,16 @@ class GeometryFileSink(BaseSingle):
             out = spark_.createDataFrame(feats.rdd.mapPartitions(assemble),
                                          "value string")
             out.write.mode(mode).text(url)
+            return url
+        if extension == "wkb":
+            from dask_geomodeling_spark.geometry.wkb import (
+                _GEOM_FIELDS, encode_wkb_frame)
+            encoded = encode_wkb_frame(df, column="geometry")
+            keep = [c for c in encoded.columns if c not in _GEOM_FIELDS]
+            writer = encoded.select(*keep).write.mode(mode)
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(url)
             return url
         writer = df.write.mode(mode)
         if extension == "csv":

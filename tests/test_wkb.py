@@ -93,3 +93,21 @@ def test_decode_block_on_existing_frame(spark):
     out = DecodeWKB(src, column="geometry").plan(spark).first()
     assert (out.x, out.y) == (7.0, 8.0)
     assert "geometry" not in out.asDict()
+
+
+def test_wkb_sink_roundtrip_through_source(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.geometry.sinks import GeometryFileSink
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    df = spark.range(1, 5).select(
+        F.col("id"),
+        (F.col("id") * 1.0).alias("x"), (F.col("id") * 2.0).alias("y"))
+    sink = GeometryFileSink(DataFrameSource(df, index_column="id"),
+                            str(tmp_path / "out"), extension="wkb")
+    url = sink.write(spark)
+    out = spark.read.parquet(url)
+    assert set(out.columns) == {"id", "geometry"}
+    src = WKBGeometrySource(url, wkb_column="geometry", id_field="id")
+    rows = {r.id: (r.x, r.y) for r in src.plan(spark).collect()}
+    assert rows == {i: (i * 1.0, i * 2.0) for i in range(1, 5)}
