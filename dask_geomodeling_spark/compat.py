@@ -79,7 +79,7 @@ def GeometryFileSource(url, layer=None, id_field=None):
     columnar files, accepted and ignored.  Format comes from the url
     extension (parquet default; geojson for .geojson)."""
     from dask_geomodeling_spark.geometry.sources import (
-        FileGeometrySource, ParquetGeometrySource)
+        ParquetGeometrySource)
     low = url.lower()
     if low.endswith((".geojson", ".json")):
         # reference reads GeoJSON through fiona with inferred
@@ -87,6 +87,11 @@ def GeometryFileSource(url, layer=None, id_field=None):
         raise NotImplementedError(
             "GeoJSON through the compat shim needs an explicit schema —"
             " use geometry.FileGeometrySource(url, 'geojson', schema=…)")
+    if low.endswith((".shp", ".gpkg", ".gml", ".fgb", ".kml")):
+        raise NotImplementedError(
+            "OGR container formats need GDAL/fiona; re-export the layer"
+            " as (Geo)parquet and read it with ParquetGeometrySource /"
+            " WKBGeometrySource")
     return ParquetGeometrySource(url, id_field=id_field or "id")
 
 
