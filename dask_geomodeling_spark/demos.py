@@ -1502,6 +1502,40 @@ def decode_image(spark, sf_dir):
                     for i, n in enumerate(names)])
 
 
+@demo("decode_png", oracle="""
+SELECT doc_id,
+       4.0 AS w, 4.0 AS h, 16.0 AS npix,
+       list_avg([CAST((doc_id * 37 + 3 * p * 11) % 256 AS DOUBLE)
+                 FOR p IN range(0, 16)]) AS mean_r,
+       list_avg([CAST((doc_id * 37 + (3 * p + 1) * 11) % 256 AS DOUBLE)
+                 FOR p IN range(0, 16)]) AS mean_g,
+       list_avg([CAST((doc_id * 37 + (3 * p + 2) * 11) % 256 AS DOUBLE)
+                 FOR p IN range(0, 16)]) AS mean_b,
+       CAST(list_min([(doc_id * 37 + k * 11) % 256
+                      FOR k IN range(0, 48)]) AS DOUBLE) AS px_min,
+       CAST(list_max([(doc_id * 37 + k * 11) % 256
+                      FOR k IN range(0, 48)]) AS DOUBLE) AS px_max
+FROM documents
+""")
+def decode_png(spark, sf_dir):
+    """REAL PNG codec path: SyntheticPNG writes genuine
+    zlib-compressed CRC-chunked PNG files (pixel byte k of id =
+    (id*37 + k*11) % 256, 4x4 RGB) and ExtractImageFeatures
+    decode='image' runs the full signature → IHDR → IDAT-inflate →
+    unfilter parse back to pixel statistics; the oracle re-derives
+    every statistic from the pixel formula without touching binary."""
+    from dask_geomodeling_spark.pipeline.multimodal import (
+        ExtractImageFeatures, SyntheticPNG)
+    imgs = SyntheticPNG(documents_src(sf_dir), "doc_id",
+                        width=4, height=4)
+    feats = ExtractImageFeatures(imgs, decode="image")
+    names = ["w", "h", "npix", "mean_r", "mean_g", "mean_b", "px_min",
+             "px_max"]
+    return feats.plan(spark).select(
+        "doc_id", *[F.element_at("features", i + 1).alias(n)
+                    for i, n in enumerate(names)])
+
+
 @demo("event_aggregate", oracle="""
 SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS window_start,
        event_type, MAX(value) AS value

@@ -20,7 +20,7 @@ from pyspark.sql import types as T
 from dask_geomodeling_spark.geometry.base import BaseSingle
 
 __all__ = ["AttachBinaryMetadata", "ExtractImageFeatures", "FrameSample",
-           "ResizeImage", "SyntheticPPM", "MEDIA_SCHEMA",
+           "ResizeImage", "SyntheticPPM", "SyntheticPNG", "MEDIA_SCHEMA",
            "SyntheticWAV", "ExtractAudioFeatures"]
 
 #: canonical multimodal column bundle
@@ -131,15 +131,117 @@ def _decode_bmp(payload: bytes):
     return width, height, bytes(out)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal REAL PNG writer: 8-bit RGB, filter 0 rows, one zlib
+    IDAT — every chunk CRC-correct, readable by any PNG decoder."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        body = typ + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + rgb[y * width * 3:(y + 1) * width * 3]
+                   for y in range(height))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def _decode_png(payload: bytes):
+    """REAL pure-python PNG decode (stdlib zlib): 8-bit gray / RGB /
+    gray+alpha / RGBA, non-interlaced, ALL five row filters (None,
+    Sub, Up, Average, Paeth).  Returns (width, height, rgb_bytes);
+    alpha drops, gray replicates to RGB — the feature contract of the
+    other image codecs."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat = 8, b""
+    width = height = channels = None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            width, height, depth, ctype, _, _, interlace = \
+                struct.unpack(">IIBBBBB", data)
+            if depth != 8 or interlace != 0:
+                raise NotImplementedError(
+                    "8-bit non-interlaced PNG only")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+            if channels is None:
+                raise NotImplementedError("palette PNG unsupported")
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    raw = zlib.decompress(idat)
+    stride = width * channels
+    bpp = channels
+    out = bytearray(stride * height)
+    prev = bytearray(stride)
+    p = 0
+    for y in range(height):
+        f = raw[p]
+        row = bytearray(raw[p + 1:p + 1 + stride])
+        p += 1 + stride
+        if f == 1:      # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 255
+        elif f == 2:    # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 255
+        elif f == 3:    # Average
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 255
+        elif f == 4:    # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                q = a + b - c
+                qa, qb, qc = abs(q - a), abs(q - b), abs(q - c)
+                pred = a if (qa <= qb and qa <= qc) else \
+                    (b if qb <= qc else c)
+                row[i] = (row[i] + pred) & 255
+        elif f != 0:
+            raise ValueError("bad PNG filter {}".format(f))
+        out[y * stride:(y + 1) * stride] = row
+        prev = row
+    if channels == 3:
+        rgb = bytes(out)
+    elif channels == 4:
+        rgb = bytes(v for i in range(0, len(out), 4)
+                    for v in out[i:i + 3])
+    elif channels == 1:
+        rgb = bytes(v for g in out for v in (g, g, g))
+    else:  # gray + alpha
+        rgb = bytes(v for i in range(0, len(out), 2)
+                    for v in (out[i], out[i], out[i]))
+    return width, height, rgb
+
+
 def _decode_image(payload: bytes):
-    """Magic-byte dispatch: P6 PPM or 24-bit BMP."""
+    """Magic-byte dispatch: P6 PPM, 24-bit BMP, or 8-bit PNG."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     raise NotImplementedError(
-        "unsupported image codec (P6 PPM and 24-bit BMP are built in; "
-        "other formats need PIL, not available in this container)")
+        "unsupported image codec (P6 PPM, 24-bit BMP and 8-bit PNG are "
+        "built in; other formats need PIL, not available in this "
+        "container)")
 
 
 def _encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
@@ -181,6 +283,37 @@ class SyntheticPPM(BaseSingle):
                 pdf = pdf.copy()
                 pdf["payload"] = [
                     _encode_ppm(width, height, bytes(
+                        (int(i) * 37 + k * 11) % 256
+                        for k in range(nbytes)))
+                    for i in pdf[id_column]]
+                yield pdf
+
+        return df.mapInPandas(gen, schema=schema)
+
+
+class SyntheticPNG(BaseSingle):
+    """Deterministic REAL-PNG generator (same pixel formula as
+    SyntheticPPM — ``(id * 37 + i * 11) % 256`` — but the payload is a
+    genuine zlib-compressed, CRC-chunked PNG file), so the full
+    signature→IHDR→IDAT-inflate→unfilter decode path runs end-to-end
+    under the same closed-form oracle."""
+
+    def __init__(self, source, id_column="doc_id", width=4, height=4):
+        super().__init__(source, id_column, int(width), int(height))
+
+    def _build(self, ctx):
+        df = self.source._build(ctx)
+        id_column, width, height = self.args[1:4]
+        schema = T.StructType(
+            list(df.schema.fields)
+            + [T.StructField("payload", T.BinaryType())])
+        nbytes = width * height * 3
+
+        def gen(batches):
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["payload"] = [
+                    _encode_png(width, height, bytes(
                         (int(i) * 37 + k * 11) % 256
                         for k in range(nbytes)))
                     for i in pdf[id_column]]

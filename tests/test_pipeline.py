@@ -595,3 +595,66 @@ def test_remove_repeated_spans_keeps_canonical_occurrence(spark):
     assert rows[1].n_removed == 0
     assert rows[2].text_dedup == "q z" and rows[2].n_removed == 4
     assert rows[3].text_dedup == "nothing shared here at all"
+
+
+def test_png_codec_roundtrip_and_all_filters():
+    """Pure-python PNG: encode->decode roundtrip, plus hand-built
+    IDAT streams exercising every row filter (Sub/Up/Average/Paeth)
+    and the gray / gray+alpha / RGBA channel layouts."""
+    import struct
+    import zlib
+
+    from dask_geomodeling_spark.pipeline.multimodal import (_decode_png,
+                                                            _encode_png)
+    rgb = bytes((7 * i) % 256 for i in range(4 * 3 * 3))
+    w, h, back = _decode_png(_encode_png(4, 3, rgb))
+    assert (w, h) == (4, 3) and back == rgb
+
+    def png(ctype, channels, rows):
+        raw = b"".join(bytes([f]) + bytes(r) for f, r in rows)
+        def chunk(typ, data):
+            body = typ + data
+            return (struct.pack(">I", len(data)) + body
+                    + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+        width = len(rows[0][1]) // channels
+        ihdr = struct.pack(">IIBBBBB", width, len(rows), 8, ctype,
+                           0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b""))
+
+    # RGB with Sub then Up then Average then Paeth filters: build the
+    # expected output by replaying the spec by hand
+    rows = [(1, [10, 20, 30, 5, 5, 5]),     # Sub: second px = first+5
+            (2, [1, 1, 1, 1, 1, 1]),        # Up: prev row + 1
+            (3, [0, 0, 0, 0, 0, 0]),        # Average
+            (4, [0, 0, 0, 0, 0, 0])]        # Paeth
+    w, h, out = _decode_png(png(2, 3, rows))
+    assert (w, h) == (2, 4)
+    r0 = [10, 20, 30, 15, 25, 35]
+    r1 = [v + 1 for v in r0]
+    r2 = [(0 + ((a + b) >> 1)) & 255 for a, b in
+          zip([0, 0, 0] + r1[:3], r1)]
+    # row2 average: a = left (already reconstructed), so do it in order
+    r2 = []
+    for i in range(6):
+        a = r2[i - 3] if i >= 3 else 0
+        r2.append(((a + r1[i]) >> 1) & 255)
+    r3 = []
+    for i in range(6):
+        a = r3[i - 3] if i >= 3 else 0
+        b = r2[i]
+        c = r2[i - 3] if i >= 3 else 0
+        q = a + b - c
+        qa, qb, qc = abs(q - a), abs(q - b), abs(q - c)
+        pred = a if (qa <= qb and qa <= qc) else (b if qb <= qc else c)
+        r3.append(pred & 255)
+    assert list(out) == r0 + r1 + r2 + r3
+
+    # gray replicates; RGBA drops alpha; gray+alpha replicates
+    w, h, out = _decode_png(png(0, 1, [(0, [9, 200])]))
+    assert list(out) == [9, 9, 9, 200, 200, 200]
+    w, h, out = _decode_png(png(6, 4, [(0, [1, 2, 3, 99, 4, 5, 6, 99])]))
+    assert list(out) == [1, 2, 3, 4, 5, 6]
+    w, h, out = _decode_png(png(4, 2, [(0, [8, 99, 16, 99])]))
+    assert list(out) == [8, 8, 8, 16, 16, 16]
