@@ -85,7 +85,24 @@ class RasterBlock(Block):
     def get_data(self, spark=None, **request):
         """Materialized cell response; ``mode="time"`` returns the distinct
         band times (reference's time request), ``mode="extent"`` the cell
-        bbox."""
+        bbox.
+
+        A ``projection`` differing from the block's native CRS
+        transforms the request ``bbox`` into the native CRS with the
+        closed-form transforms before it filters the scan (the
+        reference transforms the request geometry the same way,
+        raster/base.py:9).  The response cells stay on the native
+        grid and the returned ``projection`` says so — full GDAL-style
+        warping to the request CRS is out of scope for the cell-table
+        model (documented deviation)."""
+        req_proj = request.get("projection")
+        native = str(self.projection).upper()
+        if (req_proj is not None and request.get("bbox") is not None
+                and str(req_proj).upper() != native):
+            from dask_geomodeling_spark.geometry.proj import (
+                transform_extent)
+            request = dict(request, bbox=transform_extent(
+                tuple(request["bbox"]), str(req_proj).upper(), native))
         df = self.plan(spark, **request)
         mode = request.get("mode", "vals")
         if mode == "time":
@@ -99,8 +116,9 @@ class RasterBlock(Block):
             return {"meta": [None for _ in rows]}
         if mode == "extent":
             row = df.agg(F.min("x"), F.min("y"), F.max("x"), F.max("y")).first()
-            return {"extent": tuple(row)}
-        return {"features": df, "no_data_value": None}
+            return {"extent": tuple(row), "projection": native}
+        return {"features": df, "no_data_value": None,
+                "projection": native}
 
     def to_file(self, *args, **kwargs):
         """Export utility (reference: raster/base.py:52)."""

@@ -293,3 +293,27 @@ def test_aggregate_raster_multi_statistic(spark):
     rows2 = {r.id: r for r in chained.plan(spark).collect()}
     assert all((rows[i].mx, rows[i].n) == (rows2[i].mx, rows2[i].n)
                for i in (1, 2))
+
+
+def test_raster_request_projection_transforms_bbox(spark):
+    """A request projection differing from the source CRS transforms
+    the bbox with the closed forms before filtering (reference
+    transforms the request geometry; the cells stay native-grid).
+    1e-4 degrees of longitude is ~11.13 web-mercator meters, so a
+    (0, 0, 1e-4, 1e-4) EPSG:4326 bbox covers cells 0..11 of an
+    EPSG:3857 grid; 4.5e-5 degrees (~5.01 m) covers 0..5."""
+    import numpy as np
+
+    from dask_geomodeling_spark.raster.sources import MemorySource
+    src = MemorySource(np.ones((12, 12)), projection="EPSG:3857")
+    wide = src.get_data(spark, bbox=(0.0, 0.0, 1e-4, 1e-4),
+                        projection="EPSG:4326")
+    assert wide["projection"] == "EPSG:3857"
+    assert wide["features"].count() == 144
+    narrow = src.get_data(spark, bbox=(0.0, 0.0, 4.5e-5, 4.5e-5),
+                          projection="EPSG:4326")
+    assert narrow["features"].count() == 36
+    # matching projection is a no-op on the bbox
+    same = src.get_data(spark, bbox=(0.0, 0.0, 5.0, 5.0),
+                        projection="EPSG:3857")
+    assert same["features"].count() == 36
