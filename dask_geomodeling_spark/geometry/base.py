@@ -18,7 +18,8 @@ from dask_geomodeling_spark.core.blocks import Block, BuildContext
 __all__ = ["GeometryBlock", "SeriesBlock", "GetSeriesBlock",
            "SetSeriesBlock", "BaseSingle", "BaseSingleSeries"]
 
-GEOMETRY_COLUMNS = ("x", "y", "xmin", "ymin", "xmax", "ymax", "wkt")
+GEOMETRY_COLUMNS = ("x", "y", "xmin", "ymin", "xmax", "ymax", "wkt",
+                    "vertices", "rings")
 
 
 def _parse_filters(filters):

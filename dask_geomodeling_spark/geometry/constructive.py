@@ -133,12 +133,31 @@ class Simplify(BaseSingle):
 
 
 class Centroid(BaseSingle):
-    """Reduce box geometry to its centroid point — companion of the
-    reference's ``mode="centroid"`` request handling."""
+    """Reduce geometry to its centroid point — companion of the
+    reference's ``mode="centroid"`` request handling.  Polygon rows
+    (``rings``/``vertices``) get the exact area-weighted centroid;
+    box rows the bbox midpoint."""
 
     def _build(self, ctx):
         df = self.source._build(ctx)
-        if {"xmin", "ymin", "xmax", "ymax"} <= set(df.columns):
-            df = (df.withColumn("x", (F.col("xmin") + F.col("xmax")) / 2)
-                    .withColumn("y", (F.col("ymin") + F.col("ymax")) / 2))
+        cols = set(df.columns)
+        cx = cy = None
+        if {"xmin", "ymin", "xmax", "ymax"} <= cols:
+            cx = (F.col("xmin") + F.col("xmax")) / 2
+            cy = (F.col("ymin") + F.col("ymax")) / 2
+        if "vertices" in cols or "rings" in cols:
+            from dask_geomodeling_spark.geometry.geom_operations import (
+                centroid_expr, rings_centroid_expr)
+            if "vertices" in cols:
+                rx, ry = centroid_expr()
+                ring = F.col("vertices").isNotNull()
+                cx = rx if cx is None else F.when(ring, rx).otherwise(cx)
+                cy = ry if cy is None else F.when(ring, ry).otherwise(cy)
+            if "rings" in cols:
+                mx, my = rings_centroid_expr()
+                multi = F.col("rings").isNotNull()
+                cx = mx if cx is None else F.when(multi, mx).otherwise(cx)
+                cy = my if cy is None else F.when(multi, my).otherwise(cy)
+        if cx is not None:
+            df = df.withColumn("x", cx).withColumn("y", cy)
         return df

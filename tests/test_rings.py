@@ -104,3 +104,20 @@ def test_aggregate_raster_masks_out_hole(spark):
     # outer ring keeps grid points (0..10)^2 = 121; the hole excludes
     # its own lower-left-inclusive set (3..7)^2 = 25
     assert n == 121 - 25
+
+
+def test_centroid_block_uses_ring_centroid(spark):
+    from dask_geomodeling_spark.geometry.constructive import Centroid
+    # an L-shape whose bbox midpoint (2, 2) differs from its true
+    # area-weighted centroid
+    src = LiteralGeometrySource(
+        "POLYGON ((0 0, 4 0, 4 1, 1 1, 1 4, 0 4, 0 0))")
+    out = Centroid(src).plan(spark).first()
+    # decompose: 4x1 bar (area 4, centroid (2, 0.5)) + 1x3 column
+    # (area 3, centroid (0.5, 2.5)) -> cx = cy = 9.5/7 = 19/14
+    assert out.x == pytest.approx(19.0 / 14.0)
+    assert out.y == pytest.approx(19.0 / 14.0)
+    # donut (rings column): symmetric hole keeps the centroid at (5,5)
+    donut = LiteralGeometrySource(DONUT)
+    d = Centroid(donut).plan(spark).first()
+    assert (d.x, d.y) == (pytest.approx(5.0), pytest.approx(5.0))
