@@ -3189,6 +3189,43 @@ def dedup_clusters(spark, sf_dir):
     return DedupClusters(docs, pairs).plan(spark)
 
 
+@demo("dedup_clusters_star", oracle="""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, {sh} AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+        FROM documents)),
+e AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS g FROM docs),
+c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             any_value(a.nsh) AS na, any_value(b.nsh) AS nb,
+             count(*) AS common
+      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM c
+  WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(src, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a)
+SELECT src AS doc_id, MIN(node) AS cluster_id,
+       src = MIN(node) AS is_canonical
+FROM reach GROUP BY src
+""".format(sh=_dd_shingles(3)))
+def dedup_clusters_star(spark, sf_dir):
+    """DedupClusters(algorithm='star'): the alternating large-star /
+    small-star connected-components rounds (public MapReduce CC
+    recipe) — O(log^2) convergence regardless of component diameter,
+    the trillion-edge upgrade of the propagation loop.  Identical
+    fixpoint, same recursive-CTE oracle."""
+    from dask_geomodeling_spark.pipeline.dedup import (DedupClusters,
+                                                       NgramJaccard)
+    docs = documents_src(sf_dir)
+    pairs = NgramJaccard(docs, n=3, threshold=0.5)
+    return DedupClusters(docs, pairs, algorithm="star").plan(spark)
+
+
 @demo("hash_split", oracle="""
 SELECT doc_id,
        CASE WHEN (doc_id * 2654435761) % 10000 < 9000 THEN 'train'

@@ -545,38 +545,109 @@ class DedupClusters(Block):
     ``is_canonical`` — the keep-one-per-cluster flag a training-data
     pipeline filters on after MinHashLSH / NgramJaccard / SimHash.
 
-    Execution: iterative min-label propagation — each round joins the
-    (undirected) edge list to the current labels and takes the min
-    label over self + neighbors; convergence in <= component-diameter
-    rounds (near-dup components are shallow — a handful of rounds).
-    Each round is one shuffle join + one aggregation; labels persist
-    round-over-round and lineage is cut by localCheckpoint to keep the
-    plan bounded.  At trillion-edge scale swap the loop body for the
-    large-star/small-star step (Kiveris et al.) — same fixpoint, fewer
-    rounds; the driver only ever sees the converged-or-not count.
+    Execution, ``algorithm="label"`` (default): iterative min-label
+    propagation — each round joins the (undirected) edge list to the
+    current labels and takes the min label over self + neighbors;
+    convergence in <= component-diameter rounds (near-dup components
+    are shallow — a handful of rounds).  Each round is one shuffle
+    join + one aggregation; labels persist round-over-round and
+    lineage is cut by localCheckpoint to keep the plan bounded.
+
+    ``algorithm="star"``: the alternating large-star / small-star
+    rounds of the public "Connected Components in MapReduce and
+    Beyond" recipe (Kiveris et al.) — each round rewires every edge
+    toward its neighborhood minimum, so components collapse to stars
+    in O(log²) rounds regardless of diameter (a 10⁶-long chain
+    converges in ~20 rounds where propagation needs 10⁶) and per-node
+    degree concentrates on component minima only at the very end.
+    Same fixpoint, identical output; the driver only ever sees
+    converged-or-not counts.
 
     Args:
       source: block of all documents (id column = its index).
       pairs: block producing near-dup pairs with ``id_a``/``id_b``.
-      max_iter: propagation-round bound.
+      max_iter: round bound.
+      algorithm: "label" | "star".
     """
 
-    def __init__(self, source, pairs, id_column=None, max_iter=10):
+    def __init__(self, source, pairs, id_column=None, max_iter=10,
+                 algorithm="label"):
         if not isinstance(source, Block) or not isinstance(pairs, Block):
             raise TypeError("source/pairs must be Blocks")
+        if algorithm not in ("label", "star"):
+            raise ValueError("algorithm must be 'label' or 'star'")
         if id_column is None:
             id_column = source.index_column
-        super().__init__(source, pairs, id_column, int(max_iter))
+        super().__init__(source, pairs, id_column, int(max_iter),
+                         algorithm)
 
     @property
     def columns(self):
         return {"doc_id", "cluster_id", "is_canonical"}
 
+    @staticmethod
+    def _star_labels(und, max_iter):
+        """Alternating large-star/small-star until the undirected
+        canonical pair set is stable; returns (node, min-neighbor)
+        pairs of the final star graphs."""
+        und = und.persist()
+        for _ in range(max_iter):
+            sym = und.select(F.col("_lo").alias("_u"),
+                             F.col("_hi").alias("_v")).union(
+                und.select(F.col("_hi").alias("_u"),
+                           F.col("_lo").alias("_v")))
+            # large-star: every neighbor v > u links to u's
+            # neighborhood minimum
+            m = (sym.groupBy("_u").agg(F.min("_v").alias("_mn"))
+                 .select("_u", F.least("_u", "_mn").alias("_m")))
+            large = (sym.filter(F.col("_v") > F.col("_u"))
+                     .join(m, "_u")
+                     .select(F.col("_v").alias("_big"),
+                             F.col("_m").alias("_small"))
+                     .distinct())
+            # small-star: each big end rewires its (strictly smaller)
+            # neighbors — and itself — to their minimum
+            m2 = large.groupBy("_big").agg(F.min("_small").alias("_m2"))
+            out = (large.join(m2, "_big")
+                   .select(F.col("_small").alias("_x"),
+                           F.col("_m2").alias("_y"))
+                   .union(m2.select(F.col("_big").alias("_x"),
+                                    F.col("_m2").alias("_y")))
+                   .filter(F.col("_x") != F.col("_y")))
+            new_und = (out.select(F.least("_x", "_y").alias("_lo"),
+                                  F.greatest("_x", "_y").alias("_hi"))
+                       .distinct().localCheckpoint(eager=True))
+            stable = (new_und.exceptAll(und).limit(1).count() == 0
+                      and und.exceptAll(new_und).limit(1).count() == 0)
+            und.unpersist()
+            und = new_und
+            if stable:
+                break
+        labels = (und.select(F.col("_lo").alias("_id"),
+                             F.col("_hi").alias("_nb")).union(
+            und.select(F.col("_hi").alias("_id"),
+                       F.col("_lo").alias("_nb")))
+            .groupBy("_id").agg(F.min("_nb").alias("_mn"))
+            .select("_id", F.least("_id", "_mn").alias("_lbl")))
+        return labels
+
     def _build(self, ctx):
-        source, pairs, id_column, max_iter = self.args
+        source, pairs, id_column, max_iter, algorithm = self.args
         nodes = (source._build(ctx)
                  .select(F.col(id_column).alias("_id")).distinct())
         p = pairs._build(ctx).select("id_a", "id_b")
+        if algorithm == "star":
+            und = (p.select(F.least("id_a", "id_b").alias("_lo"),
+                            F.greatest("id_a", "id_b").alias("_hi"))
+                   .filter(F.col("_lo") != F.col("_hi")).distinct())
+            got = self._star_labels(und, max_iter)
+            labels = (nodes.join(got, "_id", "left")
+                      .select("_id", F.coalesce("_lbl", "_id")
+                              .alias("_lbl")))
+            return labels.select(
+                F.col("_id").alias("doc_id"),
+                F.col("_lbl").alias("cluster_id"),
+                (F.col("_id") == F.col("_lbl")).alias("is_canonical"))
         edges = (p.select(F.col("id_a").alias("_src"),
                           F.col("id_b").alias("_dst"))
                  .union(p.select(F.col("id_b").alias("_src"),

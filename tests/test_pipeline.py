@@ -658,3 +658,29 @@ def test_png_codec_roundtrip_and_all_filters():
     assert list(out) == [1, 2, 3, 4, 5, 6]
     w, h, out = _decode_png(png(4, 2, [(0, [8, 99, 16, 99])]))
     assert list(out) == [8, 8, 8, 16, 16, 16]
+
+
+def test_dedup_clusters_star_equals_label_propagation(spark):
+    """Large-star/small-star must reach the identical fixpoint as
+    min-label propagation — including on a long chain (the worst case
+    for propagation: diameter 40, but star collapses it within a
+    handful of alternating rounds)."""
+    from dask_geomodeling_spark.pipeline.dedup import DedupClusters
+    chain = [{"id_a": i, "id_b": i + 1} for i in range(40)]
+    extra = [{"id_a": 100, "id_b": 105}, {"id_a": 105, "id_b": 103},
+             {"id_a": 200, "id_b": 201}]
+    docs = LiteralGeometrySource(
+        [{"doc_id": i} for i in range(41)]
+        + [{"doc_id": i} for i in (100, 103, 105, 200, 201, 999)])
+    pairs = LiteralGeometrySource(chain + extra)
+    star = {(r.doc_id, r.cluster_id, r.is_canonical) for r in
+            DedupClusters(docs, pairs, id_column="doc_id", max_iter=8,
+                          algorithm="star").plan(spark).collect()}
+    # the chain needs 40 propagation rounds; give the baseline enough
+    label = {(r.doc_id, r.cluster_id, r.is_canonical) for r in
+             DedupClusters(docs, pairs, id_column="doc_id",
+                           max_iter=50).plan(spark).collect()}
+    assert star == label
+    assert (999, 999, True) in star            # singleton
+    assert (40, 0, False) in star              # chain end -> min 0
+    assert (105, 100, False) in star           # triangle -> min 100
