@@ -2977,7 +2977,7 @@ def running_aggregate(spark, sf_dir):
 
 
 def _kmeans_ivf_oracle(k=5, clusters=4, iters=2, dim=64, nq=3, scale=8,
-                       nprobe=1):
+                       nprobe=1, fit_frac=None):
     """Pure-SQL mirror of pipeline.similarity.KMeansIVF: the ENTIRE
     k-means fit (init, argmin assignment, decimal-mean update, empty-
     cluster carry) unrolled as one CTE chain per iteration."""
@@ -2998,13 +2998,21 @@ def _kmeans_ivf_oracle(k=5, clusters=4, iters=2, dim=64, nq=3, scale=8,
             out=out, src=src, cents=cents, topn=topn,
             d=dist.format(e="{}.e".format(src), c="{}.v".format(cents)))
 
-    parts = ["""emb AS (SELECT vec_id, embedding AS e FROM embeddings)""",
-             """c0 AS (
+    fit_src = "emb"
+    parts = ["""emb AS (SELECT vec_id, embedding AS e FROM embeddings)"""]
+    if fit_frac is not None:
+        fit_src = "femb"
+        thr = int(fit_frac * ((1 << 31) - 1))
+        parts.append(
+            "femb AS (SELECT * FROM emb WHERE (vec_id * 2654435761) "
+            "% 2147483647 < {})".format(thr))
+    parts.append("""c0 AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
          list_transform(e, x -> CAST(x AS DOUBLE)) AS v
-  FROM (SELECT * FROM emb ORDER BY vec_id LIMIT {}))""".format(clusters)]
+  FROM (SELECT * FROM {} ORDER BY vec_id LIMIT {}))""".format(
+        fit_src, clusters))
     for n in range(iters):
-        parts.append(assign("emb", "c{}".format(n), "a{}".format(n)))
+        parts.append(assign(fit_src, "c{}".format(n), "a{}".format(n)))
         parts.append("""m{n1} AS (
   SELECT cid, pos,
          CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(28,{s})))
@@ -3062,6 +3070,22 @@ def kmeans_ivf_probe2(spark, sf_dir):
                               index_column="vec_id")
     return KMeansIVF(embeddings_src(sf_dir), queries, k=5, clusters=4,
                      iters=2, precision=6, nprobe=2).plan(spark)
+
+
+@demo("kmeans_ivf_sampled_fit", oracle=_kmeans_ivf_oracle(fit_frac=0.5))
+def kmeans_ivf_sampled_fit(spark, sf_dir):
+    """KMeansIVF with fit_fraction=0.5 — the 100 TB fit contract made
+    real: Lloyd iterations run on a deterministic hash-Bernoulli
+    HALF-sample of the corpus (pure id arithmetic, rerun/engine
+    stable) while assignment and search stay full-corpus.  The oracle
+    replays the identical sampled fit in SQL, bit-for-bit."""
+    from dask_geomodeling_spark.pipeline.similarity import KMeansIVF
+    emb = read_nanos_parquet(spark, _pq(sf_dir, "embeddings"))
+    queries = DataFrameSource(emb.filter(F.col("vec_id") < 3),
+                              index_column="vec_id")
+    return KMeansIVF(embeddings_src(sf_dir), queries, k=5, clusters=4,
+                     iters=2, precision=6,
+                     fit_fraction=0.5).plan(spark)
 
 
 @demo("interval_join", oracle="""

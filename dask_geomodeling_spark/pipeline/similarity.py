@@ -338,14 +338,22 @@ class KMeansIVF(BaseSingle):
     a partition-pruned scan; queries shuffle nothing (broadcast).
     """
 
+    #: deterministic fit-sample hash constants (shared with SourceMix)
+    _PRIME = 2654435761
+    _MOD = (1 << 31) - 1
+
     def __init__(self, source, queries, k=5, clusters=4, iters=2,
                  vec_column="embedding", id_column="vec_id",
-                 precision=None, nprobe=1, assign="literal"):
+                 precision=None, nprobe=1, assign="literal",
+                 fit_fraction=1.0):
         if assign not in ("literal", "join"):
             raise ValueError("assign must be 'literal' or 'join'")
+        fit_fraction = float(fit_fraction)
+        if not 0.0 < fit_fraction <= 1.0:
+            raise ValueError("fit_fraction must be in (0, 1]")
         super().__init__(source, queries, int(k), int(clusters),
                          int(iters), vec_column, id_column, precision,
-                         int(nprobe), assign)
+                         int(nprobe), assign, fit_fraction)
 
     @property
     def columns(self):
@@ -353,12 +361,22 @@ class KMeansIVF(BaseSingle):
 
     def _build(self, ctx):
         (_, queries, k, clusters, iters, vec_column, id_column,
-         precision, nprobe, assign) = self.args
+         precision, nprobe, assign, fit_fraction) = self.args
         # persisted across the iterative fit AND the search scan — the
         # fit alone re-reads the frame iters+1 times
         base = (self.source._build(ctx).select(id_column, vec_column)
                 .persist())
-        cents = learn_centroids(base, clusters, iters, vec_column,
+        fit = base
+        if fit_fraction < 1.0:
+            # the 100 TB contract made real: the Lloyd fit runs on a
+            # deterministic hash-Bernoulli sample (pure id arithmetic,
+            # rerun/engine-stable), while assignment + search stay
+            # full-corpus
+            thr = int(fit_fraction * self._MOD)
+            fit = base.filter(
+                F.pmod(F.col(id_column).cast("bigint") * self._PRIME,
+                       F.lit(self._MOD)) < thr)
+        cents = learn_centroids(fit, clusters, iters, vec_column,
                                 id_column)
         if assign == "join":
             # broadcast-join assignment: the scale path once k×dim
