@@ -138,11 +138,12 @@ class PCAProject(BaseSingle):
     """
 
     def __init__(self, source, k=2, iters=6, dim=64,
-                 vector_column="embedding", id_column=None):
+                 vector_column="embedding", id_column=None,
+                 fit_fraction=1.0):
         if id_column is None:
             id_column = source.index_column
         super().__init__(source, int(k), int(iters), int(dim),
-                         vector_column, id_column)
+                         vector_column, id_column, float(fit_fraction))
 
     @property
     def columns(self):
@@ -150,18 +151,22 @@ class PCAProject(BaseSingle):
             "pc{}".format(c) for c in range(self.args[1])}
 
     def _build(self, ctx):
-        _, k, iters, dim, vec, idc = self.args
+        from dask_geomodeling_spark.pipeline.similarity import fit_sample
+        _, k, iters, dim, vec, idc, fit_fraction = self.args
         df = self.source._build(ctx)
-        # the cache only serves the iterative fit: the projection output
-        # carries the components as literals, so release it immediately
+        # the cache only serves the iterative fit (optionally over the
+        # deterministic hash sample — the 100 TB contract; the
+        # projection below stays full-corpus): the output carries the
+        # components as literals, so release the cache immediately
         # (a leaked persist outlives the plan build for the whole session)
-        df.persist()
+        fit = fit_sample(df, idc, fit_fraction)
+        fit.persist()
         try:
             _, mu, comps = fit_pca_components(
-                df, k=k, iters=iters, dim=dim, vec_column=vec,
+                fit, k=k, iters=iters, dim=dim, vec_column=vec,
                 id_column=idc)
         finally:
-            df.unpersist()
+            fit.unpersist()
         mu_arr = _array_lit(mu)
         out = df
         for c, comp in enumerate(comps):

@@ -217,6 +217,29 @@ def probe_centroids_expr(vec_col, centroids, nprobe):
     return F.transform(ranked, lambda s: s["c"])
 
 
+#: deterministic fit-sample hash constants (shared with SourceMix)
+_FIT_PRIME = 2654435761
+_FIT_MOD = (1 << 31) - 1
+
+
+def fit_sample(df, id_column, fraction):
+    """Deterministic hash-Bernoulli sample for model FITS: a row joins
+    the fit set iff ``(id·PRIME) mod (2³¹−1) < fraction·(2³¹−1)`` —
+    pure id arithmetic, so reruns, engines and any parallelism draw
+    the identical sample.  ``fraction=1`` is the identity.  This is
+    the 100 TB fit contract: iterative fits (k-means, PQ codebooks,
+    PCA) run on the sample, assignment/search/projection stay
+    full-corpus."""
+    fraction = float(fraction)
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError("fit fraction must be in (0, 1]")
+    if fraction >= 1.0:
+        return df
+    return df.filter(
+        F.pmod(F.col(id_column).cast("bigint") * _FIT_PRIME,
+               F.lit(_FIT_MOD)) < int(fraction * _FIT_MOD))
+
+
 def learn_centroids(df, k, iters, vec_column="embedding",
                     id_column="vec_id", scale=8):
     """Lloyd's k-means with deterministic everything: init = the
@@ -366,18 +389,9 @@ class KMeansIVF(BaseSingle):
         # fit alone re-reads the frame iters+1 times
         base = (self.source._build(ctx).select(id_column, vec_column)
                 .persist())
-        fit = base
-        if fit_fraction < 1.0:
-            # the 100 TB contract made real: the Lloyd fit runs on a
-            # deterministic hash-Bernoulli sample (pure id arithmetic,
-            # rerun/engine-stable), while assignment + search stay
-            # full-corpus
-            thr = int(fit_fraction * self._MOD)
-            fit = base.filter(
-                F.pmod(F.col(id_column).cast("bigint") * self._PRIME,
-                       F.lit(self._MOD)) < thr)
-        cents = learn_centroids(fit, clusters, iters, vec_column,
-                                id_column)
+        cents = learn_centroids(
+            fit_sample(base, id_column, fit_fraction), clusters, iters,
+            vec_column, id_column)
         if assign == "join":
             # broadcast-join assignment: the scale path once k×dim
             # literals would bloat the plan (docstring of
@@ -446,14 +460,14 @@ class ProductQuantizerANN(BaseSingle):
 
     def __init__(self, source, queries, k=5, m=4, codes=4, iters=1,
                  dim=None, vec_column="embedding", id_column="vec_id",
-                 precision=None):
+                 precision=None, fit_fraction=1.0):
         if dim is None:
             raise ValueError("dim (embedding dimension) is required")
         if dim % m != 0:
             raise ValueError("m must divide dim")
         super().__init__(source, queries, int(k), int(m), int(codes),
                          int(iters), int(dim), vec_column, id_column,
-                         precision)
+                         precision, float(fit_fraction))
 
     @property
     def columns(self):
@@ -466,13 +480,13 @@ class ProductQuantizerANN(BaseSingle):
 
     def _build(self, ctx):
         (_, queries, k, m, codes, iters, dim, vec_column, id_column,
-         precision) = self.args
+         precision, fit_fraction) = self.args
         d = dim // m
         base = (self.source._build(ctx).select(id_column, vec_column)
                 .persist())
         # all m subspace fits fused into one job per iteration over the
         # persisted base — was m independent fits, each rescanning
-        subs = base.select(
+        subs = fit_sample(base, id_column, fit_fraction).select(
             F.col(id_column),
             *[self._sub(vec_column, s, d).alias("_sub{}".format(s))
               for s in range(m)])
@@ -527,14 +541,15 @@ class IVFPQ(BaseSingle):
 
     def __init__(self, source, queries, k=5, clusters=2, iters=1, m=2,
                  codes=2, dim=None, vec_column="embedding",
-                 id_column="vec_id", precision=None):
+                 id_column="vec_id", precision=None, fit_fraction=1.0):
         if dim is None:
             raise ValueError("dim (embedding dimension) is required")
         if dim % m != 0:
             raise ValueError("m must divide dim")
         super().__init__(source, queries, int(k), int(clusters),
                          int(iters), int(m), int(codes), int(dim),
-                         vec_column, id_column, precision)
+                         vec_column, id_column, precision,
+                         float(fit_fraction))
 
     @property
     def columns(self):
@@ -542,11 +557,12 @@ class IVFPQ(BaseSingle):
 
     def _build(self, ctx):
         (_, queries, k, clusters, iters, m, codes, dim, vec_column,
-         id_column, precision) = self.args
+         id_column, precision, fit_fraction) = self.args
         d = dim // m
         base = (self.source._build(ctx).select(id_column, vec_column)
                 .persist())
-        coarse = learn_centroids(base, clusters, iters, vec_column,
+        fit = fit_sample(base, id_column, fit_fraction)
+        coarse = learn_centroids(fit, clusters, iters, vec_column,
                                  id_column)
         coarse_lit = "array({})".format(
             ",".join(_lit_vec(c) for c in coarse))
@@ -562,7 +578,8 @@ class IVFPQ(BaseSingle):
 
         encoded = with_residual(base)
         # m residual-subspace fits fused into one job per iteration
-        subs = encoded.select(
+        # (over the fit sample; encoding itself stays full-corpus)
+        subs = with_residual(fit).select(
             F.col(id_column),
             *[F.expr("slice(_res, {st}, {d})".format(st=s * d + 1, d=d))
               .alias("_sub{}".format(s)) for s in range(m)])

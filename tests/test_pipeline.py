@@ -684,3 +684,31 @@ def test_dedup_clusters_star_equals_label_propagation(spark):
     assert (999, 999, True) in star            # singleton
     assert (40, 0, False) in star              # chain end -> min 0
     assert (105, 100, False) in star           # triangle -> min 100
+
+
+def test_fit_fraction_samples_deterministically(spark):
+    """fit_fraction runs the iterative fits on a deterministic hash
+    sample (assignment/search stay full-corpus): output schemas and
+    row coverage are unchanged, and two runs agree exactly."""
+    from dask_geomodeling_spark.pipeline.decompose import PCAProject
+    from dask_geomodeling_spark.pipeline.similarity import (
+        IVFPQ, ProductQuantizerANN, fit_sample)
+    emb = LiteralGeometrySource([
+        {"vec_id": i,
+         "embedding": [float((i * 7 + j) % 5) for j in range(8)]}
+        for i in range(40)])
+    frac = fit_sample(emb.plan(spark), "vec_id", 0.5).count()
+    assert 0 < frac < 40
+    pq = ProductQuantizerANN(emb, emb, k=2, m=2, codes=2, iters=1,
+                             dim=8, fit_fraction=0.5)
+    a = sorted((r.query_id, r.rank, r.neighbor_id)
+               for r in pq.plan(spark).collect())
+    b = sorted((r.query_id, r.rank, r.neighbor_id)
+               for r in pq.plan(spark).collect())
+    assert a == b and len({q for q, _, _ in a}) == 40
+    ivf = IVFPQ(emb, emb, k=2, clusters=2, iters=1, m=2, codes=2,
+                dim=8, fit_fraction=0.5)
+    assert ivf.plan(spark).count() > 0
+    pca = PCAProject(emb, k=2, iters=3, dim=8, id_column="vec_id",
+                     fit_fraction=0.5)
+    assert pca.plan(spark).count() == 40  # projection is full-corpus
