@@ -24,7 +24,8 @@ __all__ = ["CosineTopK", "BucketedANN", "KMeansIVF", "IVFPQ",
            "ProductQuantizerANN", "cosine_expr", "hyperplane_bucket",
            "learn_centroids", "learn_codebooks", "assign_clusters_join",
            "nearest_centroid_expr", "probe_centroids_expr",
-           "hyperplanes"]
+           "hyperplanes", "fit_sample", "save_centroids",
+           "load_centroids"]
 
 
 def dot_expr(a, b):
@@ -240,6 +241,25 @@ def fit_sample(df, id_column, fraction):
                F.lit(_FIT_MOD)) < int(fraction * _FIT_MOD))
 
 
+def save_centroids(spark, cents, url):
+    """Persist a fitted centroid/codebook matrix as a tiny parquet
+    table ``(cid int, centroid array<double>)`` — the fit-once /
+    search-many workflow: at 100 TB the fit is its own job and every
+    search job reloads the model instead of refitting."""
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cid int, centroid array<double>").coalesce(1) \
+        .write.mode("overwrite").parquet(url)
+    return url
+
+
+def load_centroids(spark, url):
+    """Inverse of :func:`save_centroids` — returns plain python lists
+    ordered by cid (only k×dim values reach the driver)."""
+    rows = spark.read.parquet(url).orderBy("cid").collect()
+    return [[float(x) for x in r["centroid"]] for r in rows]
+
+
 def learn_centroids(df, k, iters, vec_column="embedding",
                     id_column="vec_id", scale=8):
     """Lloyd's k-means with deterministic everything: init = the
@@ -368,7 +388,7 @@ class KMeansIVF(BaseSingle):
     def __init__(self, source, queries, k=5, clusters=4, iters=2,
                  vec_column="embedding", id_column="vec_id",
                  precision=None, nprobe=1, assign="literal",
-                 fit_fraction=1.0):
+                 fit_fraction=1.0, centroids=None):
         if assign not in ("literal", "join"):
             raise ValueError("assign must be 'literal' or 'join'")
         fit_fraction = float(fit_fraction)
@@ -376,7 +396,7 @@ class KMeansIVF(BaseSingle):
             raise ValueError("fit_fraction must be in (0, 1]")
         super().__init__(source, queries, int(k), int(clusters),
                          int(iters), vec_column, id_column, precision,
-                         int(nprobe), assign, fit_fraction)
+                         int(nprobe), assign, fit_fraction, centroids)
 
     @property
     def columns(self):
@@ -384,14 +404,21 @@ class KMeansIVF(BaseSingle):
 
     def _build(self, ctx):
         (_, queries, k, clusters, iters, vec_column, id_column,
-         precision, nprobe, assign, fit_fraction) = self.args
+         precision, nprobe, assign, fit_fraction, centroids) = self.args
         # persisted across the iterative fit AND the search scan — the
         # fit alone re-reads the frame iters+1 times
         base = (self.source._build(ctx).select(id_column, vec_column)
                 .persist())
-        cents = learn_centroids(
-            fit_sample(base, id_column, fit_fraction), clusters, iters,
-            vec_column, id_column)
+        if centroids is not None:
+            # fit-once / search-many: a saved model (parquet path from
+            # save_centroids, or an in-memory matrix) skips the fit
+            cents = (load_centroids(ctx.spark, centroids)
+                     if isinstance(centroids, str)
+                     else [[float(x) for x in c] for c in centroids])
+        else:
+            cents = learn_centroids(
+                fit_sample(base, id_column, fit_fraction), clusters,
+                iters, vec_column, id_column)
         if assign == "join":
             # broadcast-join assignment: the scale path once k×dim
             # literals would bloat the plan (docstring of

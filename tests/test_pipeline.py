@@ -712,3 +712,26 @@ def test_fit_fraction_samples_deterministically(spark):
     pca = PCAProject(emb, k=2, iters=3, dim=8, id_column="vec_id",
                      fit_fraction=0.5)
     assert pca.plan(spark).count() == 40  # projection is full-corpus
+
+
+def test_kmeans_ivf_saved_model_roundtrip(spark, tmp_path):
+    """fit-once / search-many: a saved centroid table reloads and the
+    pre-fitted index returns exactly the fitted index's results."""
+    from dask_geomodeling_spark.pipeline.similarity import (
+        KMeansIVF, learn_centroids, load_centroids, save_centroids)
+    emb = LiteralGeometrySource([
+        {"vec_id": i,
+         "embedding": [float((i * 7 + j) % 5) for j in range(8)]}
+        for i in range(30)])
+    base = emb.plan(spark)
+    cents = learn_centroids(base, 3, 2, id_column="vec_id")
+    url = str(tmp_path / "centroids")
+    save_centroids(spark, cents, url)
+    assert load_centroids(spark, url) == cents
+    fitted = sorted((r.query_id, r.rank, r.neighbor_id) for r in
+                    KMeansIVF(emb, emb, k=2, clusters=3, iters=2)
+                    .plan(spark).collect())
+    loaded = sorted((r.query_id, r.rank, r.neighbor_id) for r in
+                    KMeansIVF(emb, emb, k=2, clusters=3,
+                              centroids=url).plan(spark).collect())
+    assert fitted == loaded
