@@ -5289,6 +5289,71 @@ def corpus_prep_classifier(spark, sf_dir):
 
 
 
+def _logistic_fit_oracle(iters=3, lr=0.5, rw=7):
+    """GD-unrolled mirror of pipeline.filter.fit_logistic: one
+    gradient CTE + one weight CTE per iteration, weights ROUND({rw})
+    each step so 1-ulp exp() drift between engines cannot compound."""
+    parts = ["""q AS (
+ SELECT doc_id, lang, length(text) AS n,
+   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS letters,
+   length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS punct,
+   CASE WHEN length(trim(text)) = 0 THEN 0
+        ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END
+       AS n_words,
+   len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       w -> list_contains(['the','and','of','to','is','in','that','it'],
+                          w))) AS stop
+ FROM documents)""", """r AS (
+ SELECT doc_id,
+   CASE WHEN n > 0 THEN punct / CAST(n AS DOUBLE) ELSE 0.0 END AS x1,
+   CASE WHEN n_words > 0 THEN stop / CAST(n_words AS DOUBLE)
+        ELSE 0.0 END AS x2,
+   CASE WHEN n_words > 0 THEN letters / CAST(n_words AS DOUBLE)
+        ELSE 0.0 END AS x3,
+   CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+ FROM q)""",
+             "w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"]
+    z = "(w.b + w.w1 * r.x1 + w.w2 * r.x2 + w.w3 * r.x3)"
+    s = "(1.0 / (1.0 + exp(-{z})))".format(z=z)
+    for t in range(iters):
+        parts.append("""g{t1} AS (
+ SELECT SUM({s} - r.y) AS g0, SUM(({s} - r.y) * r.x1) AS g1,
+        SUM(({s} - r.y) * r.x2) AS g2, SUM(({s} - r.y) * r.x3) AS g3,
+        COUNT(*) AS n
+ FROM r CROSS JOIN w{t} w)""".format(t=t, t1=t + 1, s=s))
+        parts.append("""w{t1} AS (
+ SELECT ROUND(w.b - {lr} * g.g0 / g.n, {rw}) AS b,
+        ROUND(w.w1 - {lr} * g.g1 / g.n, {rw}) AS w1,
+        ROUND(w.w2 - {lr} * g.g2 / g.n, {rw}) AS w2,
+        ROUND(w.w3 - {lr} * g.g3 / g.n, {rw}) AS w3
+ FROM w{t} w CROSS JOIN g{t1} g)""".format(t=t, t1=t + 1, lr=lr, rw=rw))
+    return """WITH {cte}
+SELECT r.doc_id, ROUND({s}, 6) AS score
+FROM r CROSS JOIN w{last} w
+""".format(cte=",\n".join(parts), s=s, last=iters)
+
+
+@demo("logistic_fit_score", oracle=_logistic_fit_oracle())
+def logistic_fit_score(spark, sf_dir):
+    """LogisticFit: TRAIN the quality classifier in-engine — 3
+    deterministic batch-GD iterations over QualityScore features with
+    language-id teacher labels (one aggregation job per iteration,
+    d+1 scalars to the driver, weights rounded each step) — then score
+    the corpus with the fitted weights as plan literals.  The oracle
+    unrolls the identical GD in SQL, bit-exact under the per-iteration
+    rounding."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.filter import LogisticFit
+    from dask_geomodeling_spark.pipeline.text import QualityScore
+    feats = QualityScore(documents_src(sf_dir)).plan(spark).withColumn(
+        "y", (F.col("lang") == "en").cast("double"))
+    fit = LogisticFit(
+        DataFrameSource(feats, index_column="doc_id"),
+        features=["punct_ratio", "stopword_ratio", "mean_word_len"],
+        label_column="y", iters=3, lr=0.5, precision=6)
+    return fit.plan(spark).select("doc_id", "score")
+
+
 @demo("decode_audio", oracle="""
 WITH s AS (
   SELECT doc_id,

@@ -18,7 +18,7 @@ from dask_geomodeling_spark.pipeline.dedup import (MERSENNE,
                                                    poly_hash_expr)
 
 __all__ = ["RepetitionFilter", "Decontaminate", "PIIRedact",
-           "LinearScore"]
+           "LinearScore", "LogisticFit", "fit_logistic"]
 
 # word n-gram array over a pre-split token array column (mirrors
 # dedup.py's shingle expression, but keeps the gram STRINGS — the
@@ -291,3 +291,81 @@ class LinearScore(BaseSingle):
         if threshold is not None:
             df = df.filter(F.col(name) >= float(threshold))
         return df
+
+
+def fit_logistic(df, feature_columns, label_column, iters=4, lr=0.5,
+                 round_to=7):
+    """Batch-gradient-descent logistic regression fit, distributed and
+    DETERMINISTIC — the training half of the fastText/CCNet quality-
+    classifier recipe (LinearScore is the apply half).
+
+    Each iteration is ONE aggregation job: with the current weights as
+    plan literals, every row computes ``σ(w·x)`` JVM-side and the
+    per-feature gradient sums ``Σ (σ − y)·x_j`` (plus the bias term)
+    reduce map-side; only d+1 scalars reach the driver.  Weights
+    update ``w ← w − lr·g/n`` and ROUND to ``round_to`` decimals each
+    iteration — per-row exp() can differ by 1 ulp across engines, so
+    the rounding pins every engine to identical literals for the NEXT
+    iteration and drift cannot compound (the model-fit determinism
+    recipe the k-means/PCA oracles use).
+
+    Returns ``(bias, weights)``.
+    """
+    cols = list(feature_columns)
+    w = [0.0] * (len(cols) + 1)  # w[0] = bias
+    for _ in range(int(iters)):
+        z = F.lit(w[0])
+        for c, wj in zip(cols, w[1:]):
+            z = z + F.lit(wj) * F.col(c).cast("double")
+        s = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        err = s - F.col(label_column).cast("double")
+        aggs = [F.sum(err).alias("_g0")]
+        aggs += [F.sum(err * F.col(c).cast("double"))
+                 .alias("_g{}".format(j + 1))
+                 for j, c in enumerate(cols)]
+        aggs.append(F.count(F.lit(1)).alias("_n"))
+        row = df.agg(*aggs).first()
+        n = row["_n"]
+        w = [round(w[j] - lr * row["_g{}".format(j)] / n, int(round_to))
+             for j in range(len(w))]
+    return w[0], w[1:]
+
+
+class LogisticFit(BaseSingle):
+    """Fit-and-score in one block: train the logistic quality
+    classifier on the corpus itself (deterministic batch GD,
+    :func:`fit_logistic`) and score every row with the fitted weights
+    as plan literals — the in-engine analogue of 'train the fastText
+    scorer, then score the corpus', with PCAProject's build-time-fit
+    contract.
+
+    Args:
+      source: block carrying numeric feature columns + a 0/1 label.
+      features: ordered feature column names.
+      label_column: 0/1 teacher label column.
+      iters / lr: GD schedule (fixed, part of the model identity).
+      column_name: output score column.
+      precision: optional ROUND on the output score.
+    """
+
+    def __init__(self, source, features, label_column, iters=4, lr=0.5,
+                 column_name="score", precision=None):
+        super().__init__(source, list(features), label_column,
+                         int(iters), float(lr), column_name, precision)
+
+    @property
+    def columns(self):
+        return set(self.source.columns) | {self.args[5]}
+
+    def _build(self, ctx):
+        _, features, label, iters, lr, name, precision = self.args
+        df = self.source._build(ctx)
+        bias, weights = fit_logistic(df, features, label, iters=iters,
+                                     lr=lr)
+        z = F.lit(bias)
+        for c, wj in zip(features, weights):
+            z = z + F.lit(wj) * F.col(c).cast("double")
+        score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        if precision is not None:
+            score = F.round(score, int(precision))
+        return df.withColumn(name, score)

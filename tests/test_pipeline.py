@@ -735,3 +735,22 @@ def test_kmeans_ivf_saved_model_roundtrip(spark, tmp_path):
                     KMeansIVF(emb, emb, k=2, clusters=3,
                               centroids=url).plan(spark).collect())
     assert fitted == loaded
+
+
+def test_logistic_fit_learns_separable_labels(spark):
+    """Batch-GD logistic fit separates a linearly separable feature:
+    after enough iterations the positive class scores strictly higher,
+    and two runs agree exactly (deterministic fit)."""
+    from dask_geomodeling_spark.pipeline.filter import LogisticFit
+    rows = [{"id": i, "f": float(i % 2), "y": float(i % 2)}
+            for i in range(100)]
+    src = LiteralGeometrySource(rows)
+    fit = LogisticFit(src, features=["f"], label_column="y", iters=50,
+                      lr=2.0, precision=6)
+    got = {(r.id, r.score) for r in fit.plan(spark).collect()}
+    again = {(r.id, r.score) for r in fit.plan(spark).collect()}
+    assert got == again
+    pos = {s for i, s in got if i % 2 == 1}
+    neg = {s for i, s in got if i % 2 == 0}
+    assert min(pos) > max(neg)
+    assert min(pos) > 0.7 and max(neg) < 0.3
