@@ -3213,6 +3213,31 @@ def dedup_clusters(spark, sf_dir):
     return DedupClusters(docs, pairs).plan(spark)
 
 
+@demo("concat_corpora", oracle="""
+SELECT doc_id, lang, n_chars, 'web' AS corpus
+FROM documents WHERE lang = 'en'
+UNION ALL BY NAME
+SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars, 'books' AS corpus
+FROM documents WHERE lang = 'fr'
+""")
+def concat_corpora(spark, sf_dir):
+    """ConcatCorpora: union corpora BY COLUMN NAME with missing-column
+    NULL fill + a corpus discriminator — the multi-source assembly
+    step before SourceMix/HashSplit.  Pure plan-level union (each
+    input keeps its scan partitioning, no shuffle); the second source
+    deliberately lacks n_chars to exercise the alignment."""
+    from dask_geomodeling_spark.pipeline.sample import ConcatCorpora
+    docs = read_nanos_parquet(spark, _pq(sf_dir, "documents"))
+    web = DataFrameSource(
+        docs.filter(F.col("lang") == "en")
+        .select("doc_id", "lang", "n_chars"), index_column="doc_id")
+    books = DataFrameSource(
+        docs.filter(F.col("lang") == "fr").select("doc_id", "lang"),
+        index_column="doc_id")
+    return ConcatCorpora(web, books,
+                         source_labels=["web", "books"]).plan(spark)
+
+
 @demo("dedup_clusters_star", oracle="""
 WITH RECURSIVE docs AS (
   SELECT doc_id, {sh} AS sh

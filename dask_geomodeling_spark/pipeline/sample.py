@@ -21,7 +21,7 @@ from dask_geomodeling_spark.core.blocks import Block
 from dask_geomodeling_spark.geometry.base import BaseSingle
 
 __all__ = ["HashSplit", "PackSequences", "StratifiedSample",
-           "SourceMix"]
+           "SourceMix", "ConcatCorpora"]
 
 # split-hash constants: any odd multiplier modulo 2^31-1 works; these
 # are fixed so the split is part of the dataset's identity
@@ -269,3 +269,50 @@ class SourceMix(BaseSingle):
         return (df.join(F.broadcast(thresholds), cat, "inner")
                 .filter(bucket < F.col("_thr"))
                 .drop("_thr"))
+
+
+class ConcatCorpora(Block):
+    """Union N corpus blocks by COLUMN NAME with missing-column fill —
+    the multi-source assembly step before mixing/splitting (web + code
+    + books frames rarely share an identical schema).
+
+    ``unionByName(allowMissingColumns=True)`` aligns on names and
+    NULL-fills absences; an optional ``source_labels`` list adds a
+    ``corpus`` discriminator column (the category SourceMix keys on).
+    Pure plan-level union: no shuffle, each input keeps its own scan
+    partitioning.
+    """
+
+    def __init__(self, *sources, source_labels=None):
+        if len(sources) < 2:
+            raise ValueError("ConcatCorpora needs at least two sources")
+        if source_labels is not None and len(source_labels) != len(sources):
+            raise ValueError("one label per source required")
+        for s in sources:
+            if not isinstance(s, Block):
+                raise TypeError(
+                    "'{}' object is not allowed".format(type(s)))
+        super().__init__(*sources,
+                         list(source_labels) if source_labels else None)
+
+    @property
+    def columns(self):
+        out = set()
+        for s in self.args[:-1]:
+            out |= set(getattr(s, "columns", set()) or set())
+        return out | ({"corpus"} if self.args[-1] else set())
+
+    @property
+    def index_column(self):
+        return self.args[0].index_column
+
+    def _build(self, ctx):
+        labels = self.args[-1]
+        frames = [s._build(ctx) for s in self.args[:-1]]
+        if labels:
+            frames = [df.withColumn("corpus", F.lit(lbl))
+                      for df, lbl in zip(frames, labels)]
+        out = frames[0]
+        for df in frames[1:]:
+            out = out.unionByName(df, allowMissingColumns=True)
+        return out
