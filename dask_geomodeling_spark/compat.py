@@ -55,7 +55,15 @@ def resolve_import_path(path):
             tail = "core.blocks." + tail[len("core.graphs."):]
         target = tail
     module, _, name = (_OUR_PKG + "." + target).rpartition(".")
-    return getattr(importlib.import_module(module), name)
+    try:
+        return getattr(importlib.import_module(module), name)
+    except (ImportError, AttributeError) as exc:
+        # a dask_geomodeling.* path with no mirrored class would
+        # otherwise escape as a raw ModuleNotFoundError from importlib
+        raise NotImplementedError(
+            "reference path {!r} has no equivalent in {} "
+            "(tried {}.{}): {}".format(path, _OUR_PKG, module, name, exc)
+        ) from exc
 
 
 def _ms_to_datetime(value, default=None):

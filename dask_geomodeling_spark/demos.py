@@ -5161,14 +5161,14 @@ wins AS (
   WHERE len(h) >= {n}),
 freq AS (
   SELECT fp, COUNT(DISTINCT doc_id) AS nd,
-         MIN(doc_id * 4294967296 + pos) AS canon
+         MIN(struct_pack(d := doc_id, p := pos)) AS canon
   FROM wins GROUP BY fp
   HAVING COUNT(DISTINCT doc_id) >= {md}),
 cov AS (
   SELECT DISTINCT w.doc_id, w.pos + j AS idx
   FROM wins w JOIN freq f USING (fp),
        LATERAL (SELECT unnest(range(0, {n})) AS j)
-  WHERE w.doc_id * 4294967296 + w.pos != f.canon),
+  WHERE NOT (w.doc_id = f.canon.d AND w.pos = f.canon.p)),
 toks AS (
   SELECT doc_id, unnest(ow) AS tok,
          CAST(generate_subscripts(ow, 1) - 1 AS BIGINT) AS idx
@@ -5194,7 +5194,7 @@ def remove_repeated_spans(spark, sf_dir):
     """RemoveRepeatedSpans: the REMOVAL half of substring-level dedup
     (public 'deduplicate training data' recipe) — every repeated
     6-token span keeps exactly one canonical occurrence corpus-wide
-    (lexicographically smallest (doc, pos), argmin via one bigint MIN)
+    (lexicographically smallest (doc, pos), argmin via struct MIN)
     and is cut from all other documents, which reassemble from their
     surviving tokens in order."""
     from dask_geomodeling_spark.pipeline.dedup import RemoveRepeatedSpans

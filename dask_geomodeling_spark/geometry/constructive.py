@@ -49,7 +49,12 @@ class Buffer(BaseSingle):
     @property
     def columns(self):
         cols = set(self.source.columns) | {"xmin", "ymin", "xmax", "ymax"}
-        if self.args[4] == "round":
+        # 'vertices' only materializes on the point branch (_build takes
+        # the bbox branch whenever bbox columns exist) — advertise it
+        # only when the built frame will actually carry it
+        src = set(self.source.columns)
+        if (self.args[4] == "round" and {"x", "y"} <= src
+                and not {"xmin", "ymin", "xmax", "ymax"} <= src):
             cols |= {"vertices"}
         return cols
 

@@ -106,10 +106,14 @@ class Intersection(BaseSingle):
                     F.when(F.col("rings").isNotNull(),
                            clip_rings_box_expr(x1, y1, x2, y2)))
                 if "vertices" in cols:
+                    # try_element_at: a polygon whose bbox overlaps the
+                    # window but whose geometry doesn't clips to ZERO
+                    # rings; plain element_at would abort the job under
+                    # ANSI mode (INVALID_ARRAY_INDEX_IN_ELEMENT_AT).
                     df = df.withColumn(
                         "vertices",
                         F.when(F.col("rings").isNotNull(),
-                               F.element_at(F.col("rings"), 1))
+                               F.try_element_at(F.col("rings"), F.lit(1)))
                         .otherwise(F.when(
                             F.col("vertices").isNotNull(),
                             clip_ring_box_expr(x1, y1, x2, y2))))

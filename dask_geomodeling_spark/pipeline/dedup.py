@@ -741,8 +741,9 @@ class RemoveRepeatedSpans(BaseSingle):
     Plan shape: the RepeatedSpans window/fingerprint stream (map-side
     sliding windows over 31-bit token hashes), one groupBy fingerprint
     that records the distinct-doc count AND the canonical occurrence
-    (the lexicographically smallest ``(doc, pos)``, encoded as one
-    bigint so MIN is the argmin); every other occurrence explodes its
+    (the lexicographically smallest ``(doc, pos)``, argmin via MIN over
+    a struct — overflow-proof for any bigint doc id); every other
+    occurrence explodes its
     ≤``span`` covered token indices; a distinct + left-anti join drops
     those tokens; one re-group per document reassembles the original
     (case-preserved) tokens in order — the LineDedup reassembly
@@ -754,8 +755,6 @@ class RemoveRepeatedSpans(BaseSingle):
     ``n_removed`` tokens.  Docs shorter than ``span`` pass through
     unchanged.
     """
-
-    _ENC = 1 << 32  # (doc, pos) -> doc·2^32 + pos, pos < 2^32
 
     def __init__(self, source, span=8, min_docs=2, text_column="text",
                  id_column="doc_id"):
@@ -784,13 +783,18 @@ class RemoveRepeatedSpans(BaseSingle):
                     "cast(0 as bigint), "
                     "(acc, h) -> pmod(acc * 8191 + h, {m})))"
                     .format(n=span, m=MERSENNE))).alias("pos", "fp")))
-        enc = F.col(id_column).cast("bigint") * self._ENC + F.col("pos")
+        # argmin via MIN over a (doc, pos) struct — lexicographic struct
+        # ordering IS the canonical-occurrence order, and unlike the
+        # doc*2^32+pos encoding it cannot overflow bigint for
+        # hash-derived doc ids >= 2^31 (ANSI mode would abort the job).
+        occ = F.struct(F.col(id_column).alias("d"), F.col("pos").alias("p"))
         freq = (wins.groupBy("fp")
                 .agg(F.countDistinct(id_column).alias("_nd"),
-                     F.min(enc).alias("_canon"))
+                     F.min(occ).alias("_canon"))
                 .filter(F.col("_nd") >= min_docs))
         covered = (wins.join(freq, "fp")
-                   .filter(enc != F.col("_canon"))
+                   .filter(~((F.col(id_column) == F.col("_canon.d"))
+                             & (F.col("pos") == F.col("_canon.p"))))
                    .select(id_column,
                            F.explode(F.sequence(
                                F.col("pos"),

@@ -313,21 +313,32 @@ def fit_logistic(df, feature_columns, label_column, iters=4, lr=0.5,
     """
     cols = list(feature_columns)
     w = [0.0] * (len(cols) + 1)  # w[0] = bias
-    for _ in range(int(iters)):
-        z = F.lit(w[0])
-        for c, wj in zip(cols, w[1:]):
-            z = z + F.lit(wj) * F.col(c).cast("double")
-        s = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        err = s - F.col(label_column).cast("double")
-        aggs = [F.sum(err).alias("_g0")]
-        aggs += [F.sum(err * F.col(c).cast("double"))
-                 .alias("_g{}".format(j + 1))
-                 for j, c in enumerate(cols)]
-        aggs.append(F.count(F.lit(1)).alias("_n"))
-        row = df.agg(*aggs).first()
-        n = row["_n"]
-        w = [round(w[j] - lr * row["_g{}".format(j)] / n, int(round_to))
-             for j in range(len(w))]
+    # persist the (projected) fit input: each iteration is a fresh job
+    # over it, and without the persist the full upstream lineage would
+    # re-execute `iters` times (the PCAProject/KMeansIVF fit contract)
+    fit = df.select(label_column, *cols).persist()
+    try:
+        for _ in range(int(iters)):
+            z = F.lit(w[0])
+            for c, wj in zip(cols, w[1:]):
+                z = z + F.lit(wj) * F.col(c).cast("double")
+            s = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            err = s - F.col(label_column).cast("double")
+            aggs = [F.sum(err).alias("_g0")]
+            aggs += [F.sum(err * F.col(c).cast("double"))
+                     .alias("_g{}".format(j + 1))
+                     for j, c in enumerate(cols)]
+            aggs.append(F.count(F.lit(1)).alias("_n"))
+            row = fit.agg(*aggs).first()
+            n = row["_n"]
+            if not n:
+                raise ValueError(
+                    "fit_logistic: empty fit input (0 rows)")
+            w = [round(w[j] - lr * row["_g{}".format(j)] / n,
+                       int(round_to))
+                 for j in range(len(w))]
+    finally:
+        fit.unpersist()
     return w[0], w[1:]
 
 

@@ -118,3 +118,12 @@ def test_reference_wkt_source_projection_second_positional(spark):
     row = out["features"].first()
     assert abs(row.x - 5.38720621) < 1e-6
     assert abs(row.y - 52.15517440) < 1e-6
+
+
+def test_unresolved_reference_path_raises_clearly():
+    import pytest
+    from dask_geomodeling_spark.compat import resolve_import_path
+    with pytest.raises(NotImplementedError, match="no equivalent"):
+        resolve_import_path("dask_geomodeling.utils.NoSuchThing")
+    # non-reference paths still pass through as None
+    assert resolve_import_path("some.other.pkg.Thing") is None

@@ -156,3 +156,21 @@ def test_series_operator_sugar(spark, src):
     assert rows[2].fdiv == 2.0
     assert rows[3].sq == 81.0
     assert rows[2].hot is True and rows[3].hot is False
+
+
+def test_buffer_columns_contract_matches_built_frame(spark):
+    # round-6 ADVICE: 'vertices' is only advertised when the point
+    # branch will actually materialize it (bbox sources take the bbox
+    # branch and never build the ring)
+    from dask_geomodeling_spark.geometry.constructive import Buffer
+    from dask_geomodeling_spark.geometry.sources import (
+        LiteralGeometrySource)
+    box = LiteralGeometrySource([
+        {"id": 1, "xmin": 0.0, "ymin": 0.0, "xmax": 4.0, "ymax": 4.0}])
+    pt = LiteralGeometrySource([{"id": 1, "x": 1.0, "y": 2.0}])
+    for src in (box, pt):
+        blk = Buffer(src, 1.0, shape="round")
+        built = set(blk.plan(spark).columns)
+        assert ("vertices" in blk.columns) == ("vertices" in built)
+    assert "vertices" not in Buffer(box, 1.0, shape="round").columns
+    assert "vertices" in Buffer(pt, 1.0, shape="round").columns

@@ -754,3 +754,31 @@ def test_logistic_fit_learns_separable_labels(spark):
     neg = {s for i, s in got if i % 2 == 0}
     assert min(pos) > max(neg)
     assert min(pos) > 0.7 and max(neg) < 0.3
+
+
+def test_remove_repeated_spans_huge_doc_ids(spark):
+    # hash-derived ids >= 2^31: the old doc*2^32+pos encoding would
+    # overflow bigint and abort under ANSI mode (round-6 ADVICE) —
+    # the struct-MIN argmin must keep working
+    from dask_geomodeling_spark.pipeline.dedup import RemoveRepeatedSpans
+    big = 1 << 33
+    src = LiteralGeometrySource([
+        {"doc_id": big, "text": "A b c d x y"},
+        {"doc_id": big + 1, "text": "q a b c d z"}])
+    rows = {r.doc_id: r for r in
+            RemoveRepeatedSpans(src, span=4,
+                                min_docs=2).plan(spark).collect()}
+    assert rows[big].text_dedup == "A b c d x y"
+    assert rows[big + 1].text_dedup == "q z"
+    assert rows[big + 1].n_removed == 4
+
+
+def test_fit_logistic_persist_and_empty_guard(spark):
+    import pytest as _pytest
+    from dask_geomodeling_spark.pipeline.filter import fit_logistic
+    df = spark.createDataFrame(
+        [(0.0, 0), (1.0, 0), (4.0, 1), (5.0, 1)], "f double, y int")
+    bias, (w,) = fit_logistic(df, ["f"], "y", iters=2, lr=0.5)
+    assert w > 0  # separable data: positive slope after 2 steps
+    with _pytest.raises(ValueError, match="empty"):
+        fit_logistic(df.filter("f > 100"), ["f"], "y", iters=1)

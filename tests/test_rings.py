@@ -121,3 +121,18 @@ def test_centroid_block_uses_ring_centroid(spark):
     donut = LiteralGeometrySource(DONUT)
     d = Centroid(donut).plan(spark).first()
     assert (d.x, d.y) == (pytest.approx(5.0), pytest.approx(5.0))
+
+
+def test_intersection_fully_clipped_multi_ring_row(spark):
+    # bbox overlaps the window but the GEOMETRY doesn't: a diagonal
+    # triangle near the far corner clips to ZERO rings — under ANSI
+    # mode element_at(rings, 1) would abort the job (round-6 ADVICE)
+    tri = ("POLYGON ((0 10, 10 0, 10 10, 0 10), "
+           "(7 8, 8 8, 8 9, 7 8))")
+    src = LiteralGeometrySource(tri)
+    clipped = Intersection(src)
+    row = clipped.plan(spark, geometry=(0.0, 0.0, 3.0, 3.0)).first()
+    assert row.rings == [] and row.vertices is None
+    got = Area(clipped).plan(
+        spark, geometry=(0.0, 0.0, 3.0, 3.0)).first().value
+    assert got == pytest.approx(0.0)
