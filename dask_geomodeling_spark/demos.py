@@ -5414,6 +5414,56 @@ def decode_audio(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# round 6: raster warp to the request grid (projection + resolution)
+# --------------------------------------------------------------------------
+
+#: EPSG:3857 window covering the RD-placed grid (RD cells x in
+#: 155000+[0,64), y in 463000+[0,32) — transform_extent gives
+#: (599701.05, 6828231.75, 599805.16, 6828283.94)); ~2 m target cells
+_WARP_BBOX = (599700.0, 6828230.0, 599806.0, 6828286.0)
+_WARP_W, _WARP_H = 53, 28
+
+
+def _raster_warp_oracle():
+    from dask_geomodeling_spark.raster.warp import warp_grid_sql
+    sx, sy = warp_grid_sql("EPSG:3857", "EPSG:28992", _WARP_BBOX,
+                           _WARP_W, _WARP_H)
+    return """
+WITH grid AS ({grid}),
+rd AS (SELECT time, y + 463000 AS y, x + 155000 AS x, value FROM grid),
+tgt AS (SELECT CAST(i % {W} AS BIGINT) AS _i,
+               CAST(i // {W} AS BIGINT) AS _j
+        FROM range(0, {WH}) t(i)),
+snapped AS (SELECT _i, _j, {sx} AS sx, {sy} AS sy FROM tgt)
+SELECT r.time, s._j AS y, s._i AS x, r.value
+FROM rd r JOIN snapped s ON r.x = s.sx AND r.y = s.sy
+""".format(grid=_grid_sql(), W=_WARP_W, WH=_WARP_W * _WARP_H,
+           sx=sx, sy=sy)
+
+
+@demo("raster_warp", oracle=_raster_warp_oracle())
+def raster_warp(spark, sf_dir):
+    """Warp (raster/warp.py): an RD-New-stored raster served on an
+    EPSG:3857 request grid — the reference get_data contract
+    (raster/base.py:9 returns request-projection, request-resolution
+    stacks; GDAL warps inside RasterFileSource).  The target grid is a
+    range()-built frame, every 3857 cell center inverse-transforms
+    through the SAME closed-form SQL the oracle replays
+    (3857→4326→28992 composition), floor-snaps to the native cell, and
+    one broadcast join resamples nearest-neighbor — the big side never
+    shuffles."""
+    from dask_geomodeling_spark.raster.sources import DataFrameRasterSource
+    from dask_geomodeling_spark.raster.warp import Warp
+    g = lineitem_grid(spark, sf_dir)
+    rd = DataFrameRasterSource(
+        g._df.select("time", (F.col("y") + 463000).alias("y"),
+                     (F.col("x") + 155000).alias("x"), "value"),
+        projection="EPSG:28992")
+    return Warp(rd, "EPSG:3857", bbox=_WARP_BBOX, width=_WARP_W,
+                height=_WARP_H).plan(spark)
+
+
+# --------------------------------------------------------------------------
 # driver-gate ordering: the correctness harness verifies the FIRST 50
 # registered queries, so the first 50 must span SURVEY §2 breadth-first —
 # one query per component family (field ops, request modes, merges/set

@@ -87,16 +87,27 @@ class RasterBlock(Block):
         band times (reference's time request), ``mode="extent"`` the cell
         bbox.
 
-        A ``projection`` differing from the block's native CRS
-        transforms the request ``bbox`` into the native CRS with the
-        closed-form transforms before it filters the scan (the
-        reference transforms the request geometry the same way,
-        raster/base.py:9).  The response cells stay on the native
-        grid and the returned ``projection`` says so — full GDAL-style
-        warping to the request CRS is out of scope for the cell-table
-        model (documented deviation)."""
+        A ``projection`` differing from the block's native CRS WARPS
+        the response onto the request grid when the request also
+        carries ``width``/``height`` (reference raster/base.py:9
+        returns request-projection, request-resolution stacks): the
+        cells come back as target-grid indices resampled
+        nearest-neighbor through the closed-form transforms
+        (raster/warp.py).  Without a requested resolution the request
+        ``bbox`` transforms into the native CRS before it filters the
+        scan and the response cells stay on the native grid, with the
+        returned ``projection`` saying so."""
         req_proj = request.get("projection")
         native = str(self.projection).upper()
+        mode = request.get("mode", "vals")
+        if (req_proj is not None and request.get("bbox") is not None
+                and str(req_proj).upper() != native
+                and request.get("width") and request.get("height")
+                and mode == "vals"):
+            from dask_geomodeling_spark.raster.warp import Warp
+            df = Warp(self).plan(spark, **request)
+            return {"features": df, "no_data_value": None,
+                    "projection": str(req_proj).upper()}
         if (req_proj is not None and request.get("bbox") is not None
                 and str(req_proj).upper() != native):
             from dask_geomodeling_spark.geometry.proj import (
@@ -104,15 +115,22 @@ class RasterBlock(Block):
             request = dict(request, bbox=transform_extent(
                 tuple(request["bbox"]), str(req_proj).upper(), native))
         df = self.plan(spark, **request)
-        mode = request.get("mode", "vals")
-        if mode == "time":
-            rows = df.select("time").distinct().orderBy("time").collect()
-            return {"time": [r[0] for r in rows]}
-        if mode == "meta":
-            # reference raster/base.py:46: one metadata entry per band.
-            # Cell tables carry no per-band sidecar, so the entries are
-            # None placeholders aligned to the time axis.
-            rows = df.select("time").distinct().orderBy("time").collect()
+        if mode in ("time", "meta"):
+            # the band list is the reference's own API contract
+            # (raster/base.py:46 returns one entry per band), but the
+            # driver materialization is BOUNDED: start/stop filtered in
+            # the plan, plus an optional request `limit` before the
+            # collect — a 1e8-band store cannot OOM the driver on a
+            # metadata call when the caller windows the request.
+            bands = df.select("time").distinct().orderBy("time")
+            limit = request.get("limit")
+            if limit is not None:
+                bands = bands.limit(int(limit))
+            rows = bands.collect()
+            if mode == "time":
+                return {"time": [r[0] for r in rows]}
+            # cell tables carry no per-band sidecar: None placeholders
+            # aligned to the time axis
             return {"meta": [None for _ in rows]}
         if mode == "extent":
             row = df.agg(F.min("x"), F.min("y"), F.max("x"), F.max("y")).first()

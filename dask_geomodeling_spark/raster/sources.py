@@ -28,9 +28,13 @@ class DataFrameRasterSource(RasterBlock):
     RasterBlock — the adapter that binds any tabular lineage to the
     raster plane without copying data."""
 
-    def __init__(self, df):
+    def __init__(self, df, projection="EPSG:4326"):
         self._df = df
-        super().__init__("dataframe-{}".format(id(df)))
+        super().__init__("dataframe-{}".format(id(df)), projection)
+
+    @property
+    def projection(self):
+        return self.args[1]
 
     def _build(self, ctx):
         df = self._df.select(F.col("time").cast("timestamp"),

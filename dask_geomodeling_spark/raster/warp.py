@@ -1,0 +1,132 @@
+"""Warp raster responses to the request grid (reference:
+raster/base.py:9 — ``get_data`` returns a width x height numpy stack in
+the REQUEST projection at the request resolution for any bbox; GDAL
+performs the warp inside RasterFileSource, raster/sources.py:396).
+
+Spark-first warp, no GDAL: the target grid is a ``spark.range``-derived
+frame of ``width * height`` rows (never driver data), each target cell
+center inverse-transforms into the source CRS through the SAME
+closed-form SQL strings the Reproject operator evaluates
+(geometry/proj.py point_transform_sql — shared verbatim with the DuckDB
+oracles), floor-snaps to the native unit-cell index, and one
+broadcast-grid equi-join against the bbox-pruned source scan resamples
+nearest-neighbor.  Map-side expand + one broadcast join: the large
+(source) side never shuffles, and the child request carries the
+transformed envelope so partition/row-group pruning still applies at
+100 TB.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from dask_geomodeling_spark.raster.base import BaseSingle
+
+__all__ = ["Warp", "warp_grid_sql"]
+
+
+def warp_grid_sql(dst_crs, native_crs, bbox, width, height):
+    """The portable SQL pair ``(snap_x, snap_y)`` mapping a target grid
+    cell ``(_i, _j)`` — column i of ``width``, row j of ``height`` over
+    ``bbox`` in ``dst_crs`` — onto the floor-snapped native unit-cell
+    index in ``native_crs``.  Shared verbatim between the Spark plan
+    and the DuckDB oracles (the reprojection-oracle contract), hence
+    engine-portable SQL only.  ROUND(6) (µm) before the floor absorbs
+    the 1-ulp ln/tan drift between the JVM and libm so both engines
+    snap identically."""
+    from dask_geomodeling_spark.geometry.proj import point_transform_sql
+    x1, y1, x2, y2 = (float(v) for v in bbox)
+    dx = (x2 - x1) / int(width)
+    dy = (y2 - y1) / int(height)
+    cx = ("(CAST({x1!r} AS DOUBLE) + (CAST(_i AS DOUBLE) + 0.5) "
+          "* CAST({dx!r} AS DOUBLE))").format(x1=x1, dx=dx)
+    cy = ("(CAST({y1!r} AS DOUBLE) + (CAST(_j AS DOUBLE) + 0.5) "
+          "* CAST({dy!r} AS DOUBLE))").format(y1=y1, dy=dy)
+    dst = str(dst_crs).upper()
+    native = str(native_crs).upper()
+    if dst == native:
+        sx, sy = cx, cy
+    else:
+        sx, sy = point_transform_sql(dst, native, cx, cy)
+    return ("CAST(FLOOR(ROUND({}, 6)) AS BIGINT)".format(sx),
+            "CAST(FLOOR(ROUND({}, 6)) AS BIGINT)".format(sy))
+
+
+class Warp(BaseSingle):
+    """Resample a raster onto the request grid in a different CRS
+    (reference: the implicit warp of raster/base.py:9 get_data).
+
+    Args:
+      store: source RasterBlock (native unit-cell grid, native CRS from
+        ``store.projection``).
+      projection: target CRS of the output grid (defaults to the
+        request's ``projection``).
+      bbox / width / height: the target window and resolution; each
+        defaults to the request value of the same name.  The output is
+        a cell table whose ``(y, x)`` are TARGET grid indices — row j,
+        column i — with cell (j, i) centered at
+        ``(x1 + (i + 0.5)·(x2−x1)/width, y1 + (j + 0.5)·(y2−y1)/height)``
+        in the target CRS; ``value`` is the nearest (floor-snapped)
+        native cell's value.  Nearest-neighbor is GDAL's default
+        resample algorithm.
+    """
+
+    def __init__(self, store, projection=None, bbox=None, width=None,
+                 height=None):
+        if bbox is not None:
+            bbox = tuple(float(v) for v in bbox)
+        super().__init__(store, projection, bbox,
+                         None if width is None else int(width),
+                         None if height is None else int(height))
+
+    @property
+    def projection(self):
+        return self.args[1] or self.store.projection
+
+    def _build(self, ctx):
+        from dask_geomodeling_spark.geometry.proj import transform_extent
+        req = ctx.request
+        dst = str(self.args[1] or req.get("projection")
+                  or self.store.projection).upper()
+        bbox = self.args[2] or req.get("bbox")
+        width = self.args[3] or req.get("width")
+        height = self.args[4] or req.get("height")
+        if bbox is None or not width or not height:
+            raise ValueError(
+                "Warp needs bbox + width + height (constructor args or "
+                "request values)")
+        native = str(self.store.projection).upper()
+        x1, y1, x2, y2 = (float(v) for v in bbox)
+        width, height = int(width), int(height)
+
+        # child request: the target window's envelope in the SOURCE
+        # CRS (corner transform, 1-cell margin) — scan pruning keeps
+        # working; strip width/height/projection so the child returns
+        # every native cell in range, unstrided
+        if dst == native:
+            nb = (x1, y1, x2, y2)
+        else:
+            nb = transform_extent((x1, y1, x2, y2), dst, native)
+        child = ctx.child(
+            bbox=(math.floor(nb[0]) - 1, math.floor(nb[1]) - 1,
+                  math.ceil(nb[2]) + 1, math.ceil(nb[3]) + 1),
+            width=None, height=None, projection=None)
+        cells = self.store._build(child)
+
+        # target grid: width*height rows from range() — executor-built,
+        # request-sized, broadcast side of the join
+        sx_sql, sy_sql = warp_grid_sql(dst, native,
+                                       (x1, y1, x2, y2), width, height)
+        grid = (ctx.spark.range(width * height)
+                .select((F.col("id") % width).alias("_i"),
+                        (F.col("id") / width).cast("bigint").alias("_j"))
+                .select("_i", "_j",
+                        F.expr(sx_sql).alias("_sx"),
+                        F.expr(sy_sql).alias("_sy")))
+        out = cells.join(
+            F.broadcast(grid),
+            (cells["x"] == grid["_sx"]) & (cells["y"] == grid["_sy"]))
+        return out.select("time", F.col("_j").alias("y"),
+                          F.col("_i").alias("x"), "value")

@@ -317,3 +317,65 @@ def test_raster_request_projection_transforms_bbox(spark):
     same = src.get_data(spark, bbox=(0.0, 0.0, 5.0, 5.0),
                         projection="EPSG:3857")
     assert same["features"].count() == 36
+
+
+def test_warp_identity_grid(spark):
+    from dask_geomodeling_spark.raster.sources import MemorySource
+    from dask_geomodeling_spark.raster.warp import Warp
+    data = [[10.0 * y + x for x in range(8)] for y in range(8)]
+    src = MemorySource(data)
+    w = Warp(src, "EPSG:4326", bbox=(0, 0, 8, 8), width=4, height=4)
+    rows = sorted((r.y, r.x, r.value) for r in w.plan(spark).collect())
+    exp = sorted((j, i, 10.0 * (2 * j + 1) + (2 * i + 1))
+                 for j in range(4) for i in range(4))
+    assert rows == exp
+
+
+def test_warp_cross_crs_via_get_data(spark):
+    from dask_geomodeling_spark.geometry.proj import transform_extent
+    from dask_geomodeling_spark.raster.sources import MemorySource
+    data = [[10.0 * y + x for x in range(8)] for y in range(8)]
+    src = MemorySource(data, projection="EPSG:4326")
+    mb = transform_extent((0.5, 0.5, 6.5, 6.5), "EPSG:4326", "EPSG:3857")
+    out = src.get_data(spark, bbox=mb, projection="EPSG:3857",
+                       width=6, height=6)
+    # request-grid response: target indices 0..5, request projection
+    assert out["projection"] == "EPSG:3857"
+    rows = out["features"].collect()
+    assert len(rows) == 36
+    assert {r.x for r in rows} == set(range(6))
+    assert {r.y for r in rows} == set(range(6))
+    # near the equator mercator is ~linear: center row/col k maps to
+    # native cell k+1 (bbox starts at 0.5 with unit-per-cell spacing)
+    vals = {(r.y, r.x): r.value for r in rows}
+    assert vals[(0, 0)] == 11.0 and vals[(5, 5)] == 66.0
+
+
+def test_warp_plan_broadcasts_grid(spark):
+    from dask_geomodeling_spark.raster.sources import MemorySource
+    from dask_geomodeling_spark.raster.warp import Warp
+    src = MemorySource([[1.0, 2.0], [3.0, 4.0]], projection="EPSG:4326")
+    w = Warp(src, "EPSG:3857", bbox=(0, 0, 200000, 200000),
+             width=4, height=4)
+    plan = w.plan(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_time_mode_collect_is_bounded(spark):
+    from datetime import datetime, timedelta
+    from dask_geomodeling_spark.raster.sources import MemorySource
+    bands = [[[float(b)]] for b in range(10)]
+    src = MemorySource(bands, time_first=datetime(2000, 1, 1),
+                       time_delta=timedelta(days=1))
+    # start/stop window filters BEFORE the collect
+    got = src.get_data(spark, mode="time",
+                       start=datetime(2000, 1, 3),
+                       stop=datetime(2000, 1, 5))
+    assert got["time"] == [datetime(2000, 1, 3) + timedelta(days=k)
+                           for k in range(3)]
+    # request limit caps the driver materialization
+    got = src.get_data(spark, mode="time", limit=2)
+    assert got["time"] == [datetime(2000, 1, 1), datetime(2000, 1, 2)]
+    meta = src.get_data(spark, mode="meta", limit=4)
+    assert meta["meta"] == [None] * 4
