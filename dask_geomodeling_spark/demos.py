@@ -5463,6 +5463,55 @@ def raster_warp(spark, sf_dir):
                 height=_WARP_H).plan(spark)
 
 
+@demo("simplify_polygon", oracle="""
+SELECT c_custkey, 16.0 AS area, 4 AS nv, 15.0 AS area_rings,
+       2 AS n_rings
+FROM customer
+""")
+def simplify_polygon(spark, sf_dir):
+    """REAL polygon Simplify (constructive.py:92 runs shapely
+    simplify): per-customer jittered squares — every vertex carries a
+    key-derived jitter < tol/2, so the tolerance-grid snap restores
+    the exact integer square, consecutive snapped duplicates collapse,
+    and a fully-degenerate sliver ring drops entirely.  Closed-form
+    oracle: area 16 and 4 vertices for the single-ring polygon; the
+    ring set (jittered outer + jittered 1x1 hole + degenerate sliver)
+    simplifies to exactly 2 rings with signed area 15."""
+    from dask_geomodeling_spark.geometry.constructive import Simplify
+    from dask_geomodeling_spark.geometry.geom_operations import Area
+    customer = read_nanos_parquet(spark, _pq(sf_dir, "customer"))
+    cx = "CAST(c_custkey % 50 AS DOUBLE)"
+    cy = "CAST((c_custkey * 3) % 50 AS DOUBLE)"
+    j1 = "(CAST(c_custkey % 7 AS DOUBLE) - 3.0) / 10.0"   # −0.3..0.3
+    j2 = "(CAST(c_custkey % 5 AS DOUBLE) - 2.0) / 10.0"   # −0.2..0.2
+    outer = ("array(array({cx} + {j1}, {cy} + {j2}), "
+             "array({cx}, {cy}), array({cx} + 4.0, {cy}), "
+             "array({cx} + 4.0 + {j2}, {cy} + {j1}), "
+             "array({cx} + 4.0, {cy} + 4.0), array({cx}, {cy} + 4.0))"
+             ).format(cx=cx, cy=cy, j1=j1, j2=j2)
+    hole = ("array(array({cx} + 1.0 + {j2}, {cy} + 1.0 + {j1}), "
+            "array({cx} + 1.0, {cy} + 2.0), "
+            "array({cx} + 2.0, {cy} + 2.0), "
+            "array({cx} + 2.0, {cy} + 1.0))"
+            ).format(cx=cx, cy=cy, j1=j1, j2=j2)
+    sliver = ("array(array({cx} + 3.0 + {j1}, {cy} + 3.0), "
+              "array({cx} + 3.0, {cy} + 3.0 + {j2}), "
+              "array({cx} + 3.2, {cy} + 3.2))").format(cx=cx, cy=cy,
+                                                       j1=j1, j2=j2)
+    vdf = customer.select("c_custkey", F.expr(outer).alias("vertices"))
+    rdf = customer.select("c_custkey", F.expr(
+        "array({}, {}, {})".format(outer, hole, sliver)).alias("rings"))
+    vsimp = Simplify(DataFrameSource(vdf, index_column="c_custkey"),
+                     tolerance=1.0)
+    rsimp = Simplify(DataFrameSource(rdf, index_column="c_custkey"),
+                     tolerance=1.0)
+    v = vsimp.set("area", Area(vsimp)).plan(spark).select(
+        "c_custkey", "area", F.size("vertices").alias("nv"))
+    r = rsimp.set("area_rings", Area(rsimp)).plan(spark).select(
+        "c_custkey", "area_rings", F.size("rings").alias("n_rings"))
+    return v.join(r, "c_custkey")
+
+
 # --------------------------------------------------------------------------
 # driver-gate ordering: the correctness harness verifies the FIRST 50
 # registered queries, so the first 50 must span SURVEY §2 breadth-first —

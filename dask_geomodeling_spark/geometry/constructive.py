@@ -110,11 +110,37 @@ class Buffer(BaseSingle):
         return out
 
 
+def _simplify_ring_sql(r, tol):
+    """SQL text: tolerance-grid snap + consecutive-duplicate collapse
+    (incl. the wrap-around first==last pair — rings are stored open)
+    for one ring expression ``r``.  Pure HOFs; a vertex moves at most
+    tol/2, the GEOS simplify tolerance contract (reference
+    constructive.py:92 runs shapely.simplify)."""
+    t = repr(float(tol))
+    s = ("transform({r}, v -> array(round(v[0] / {t}) * {t}, "
+         "round(v[1] / {t}) * {t}))").format(r=r, t=t)
+    d = ("filter({s}, (v, i) -> i = 0 OR v[0] != {s}[i - 1][0] "
+         "OR v[1] != {s}[i - 1][1])").format(s=s)
+    return ("CASE WHEN size({d}) > 1 "
+            "AND {d}[size({d}) - 1][0] = {d}[0][0] "
+            "AND {d}[size({d}) - 1][1] = {d}[0][1] "
+            "THEN slice({d}, 1, size({d}) - 1) ELSE {d} END"
+            ).format(d=d)
+
+
 class Simplify(BaseSingle):
-    """Simplify geometries (reference: geometry/constructive.py:92).
-    Points/boxes are already minimal; a positive tolerance snaps
-    coordinates to a tolerance grid (the box analogue of topology-
-    preserving simplification)."""
+    """Simplify geometries (reference: geometry/constructive.py:92,
+    which runs shapely ``simplify(tolerance, preserve_topology)``).
+
+    Points/boxes snap their coordinates to the tolerance grid (round
+    is monotonic, so the snapped bbox equals the bbox of snapped
+    vertices).  Polygon geometry (``vertices``/``rings``) runs a REAL
+    vertex-reducing pass as pure HOF column math: every vertex snaps
+    to the tolerance grid, consecutive duplicates collapse (including
+    the wrap-around pair), and rings left with fewer than 3 vertices
+    drop entirely — the conservative topology-preserving analogue of
+    Douglas–Peucker (a vertex never moves more than tol/2, collinear
+    chains within the tolerance collapse to their grid line)."""
 
     def __init__(self, source, tolerance=None, preserve_topology=True):
         if tolerance is not None:
@@ -134,6 +160,19 @@ class Simplify(BaseSingle):
         for c in ("x", "y", "xmin", "ymin", "xmax", "ymax"):
             if c in df.columns:
                 df = df.withColumn(c, snap(c))
+        if "rings" in df.columns:
+            ring = _simplify_ring_sql("r", tol)
+            df = df.withColumn(
+                "rings",
+                F.when(F.col("rings").isNotNull(), F.expr(
+                    "filter(transform(rings, r -> {}), q -> size(q) >= 3)"
+                    .format(ring))))
+        if "vertices" in df.columns:
+            simp = _simplify_ring_sql("vertices", tol)
+            df = df.withColumn(
+                "vertices",
+                F.when(F.col("vertices").isNotNull(), F.expr(
+                    "CASE WHEN size({s}) >= 3 THEN {s} END".format(s=simp))))
         return df
 
 

@@ -136,3 +136,31 @@ def test_intersection_fully_clipped_multi_ring_row(spark):
     got = Area(clipped).plan(
         spark, geometry=(0.0, 0.0, 3.0, 3.0)).first().value
     assert got == pytest.approx(0.0)
+
+
+def test_simplify_rings_grid_snap_and_degenerate_drop(spark):
+    from dask_geomodeling_spark.geometry.constructive import Simplify
+    wkt = ("POLYGON ((0 0, 4.1 0.1, 4 4, 0 4, 0 0), "
+           "(1 1, 2 1, 2 2, 1 2, 1 1), "
+           "(3 3, 3.2 3.2, 3.4 3.0, 3 3))")
+    src = LiteralGeometrySource(wkt)
+    simp = Simplify(src, tolerance=1.0)
+    row = simp.plan(spark).first()
+    # sliver ring degenerates to one grid point and drops; outer +
+    # hole survive with snapped integer vertices
+    assert len(row.rings) == 2
+    assert Area(simp).plan(spark).first().value == pytest.approx(15.0)
+    # tolerance=None is the identity on ring geometry
+    base = src.plan(spark).first()
+    assert Simplify(src).plan(spark).first().rings == base.rings
+
+
+def test_simplify_collapses_wraparound_duplicate(spark):
+    from dask_geomodeling_spark.geometry.constructive import Simplify
+    # last vertex snaps onto the first -> the wrap-around pair
+    # collapses too (rings are stored open)
+    wkt = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0.1 0.1, 0 0))"
+    out = Simplify(LiteralGeometrySource(wkt),
+                   tolerance=1.0).plan(spark).first()
+    assert out.vertices == [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0],
+                            [0.0, 4.0]]
