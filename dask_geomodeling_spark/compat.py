@@ -85,16 +85,19 @@ def GeometryFileSource(url, layer=None, id_field=None):
     """Reference signature (geometry/sources.py:38): ``(url, layer,
     id_field)``.  ``layer`` selects an OGR sub-layer — meaningless for
     columnar files, accepted and ignored.  Format comes from the url
-    extension (parquet default; geojson for .geojson)."""
+    extension (parquet default; .geojson/.json read as GeoJSON
+    FeatureCollections with the property schema INFERRED from the
+    VARIANT — the fiona-parity sniffing path)."""
     from dask_geomodeling_spark.geometry.sources import (
-        ParquetGeometrySource)
+        FileGeometrySource, ParquetGeometrySource)
     low = url.lower()
     if low.endswith((".geojson", ".json")):
         # reference reads GeoJSON through fiona with inferred
-        # properties; without GDAL an explicit schema is required
-        raise NotImplementedError(
-            "GeoJSON through the compat shim needs an explicit schema —"
-            " use geometry.FileGeometrySource(url, 'geojson', schema=…)")
+        # properties; schema_of_variant_agg over a bounded feature
+        # sample replaces the fiona sniff (sources.py
+        # infer_geojson_schema)
+        return FileGeometrySource(url, "geojson",
+                                  id_field=id_field or "id")
     if low.endswith((".shp", ".gpkg", ".gml", ".fgb", ".kml")):
         raise NotImplementedError(
             "OGR container formats need GDAL/fiona; re-export the layer"

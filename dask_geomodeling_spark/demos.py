@@ -3803,6 +3803,51 @@ def geojson_source_roundtrip(spark, sf_dir):
         schema="s_suppkey bigint, s_acctbal double").plan(spark)
 
 
+@demo("geojson_compat_roundtrip", oracle="""
+SELECT s_suppkey, s_acctbal,
+       CAST(s_suppkey % 360 AS DOUBLE) - 180.0 AS x,
+       CAST((s_suppkey * 7) % 180 AS DOUBLE) - 90.0 AS y,
+       CAST(s_suppkey % 360 AS DOUBLE) - 180.0 AS xmin,
+       CAST((s_suppkey * 7) % 180 AS DOUBLE) - 90.0 AS ymin,
+       CAST(s_suppkey % 360 AS DOUBLE) - 180.0 AS xmax,
+       CAST((s_suppkey * 7) % 180 AS DOUBLE) - 90.0 AS ymax
+FROM supplier
+""")
+def geojson_compat_roundtrip(spark, sf_dir):
+    """SCHEMA-FREE GeoJSON through the reference compat shim: a
+    serialized reference view graph naming
+    ``dask_geomodeling.geometry.sources.GeometryFileSource`` on a
+    .geojson url constructs unmodified and reads the FeatureCollection
+    with the property schema INFERRED from the VARIANT
+    (schema_of_variant_agg over a bounded feature sample — the
+    fiona-sniff parity path, sources.py infer_geojson_schema).
+    Inferred properties come back typed: s_suppkey BIGINT, s_acctbal
+    DOUBLE."""
+    import tempfile
+
+    from dask_geomodeling_spark.core.blocks import construct
+    from dask_geomodeling_spark.geometry.sinks import GeometryFileSink
+    supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    pts = supplier.select(
+        "s_suppkey", "s_acctbal",
+        ((F.col("s_suppkey") % 360).cast("double") - 180.0).alias("x"),
+        (((F.col("s_suppkey") * 7) % 180).cast("double") - 90.0).alias("y"))
+    src = DataFrameSource(pts, index_column="s_suppkey")
+    url = tempfile.mkdtemp(prefix="dgs_compat_geojson_") + "/out"
+    GeometryFileSink(src, url, extension="geojson").write(spark)
+    import glob as _glob
+    import os as _os
+    for p in _glob.glob(url + "/part-*.txt"):
+        _os.rename(p, p[:-4] + ".geojson")
+    graph = {"source": [
+        "dask_geomodeling.geometry.sources.GeometryFileSource",
+        url + "/*.geojson", None, "s_suppkey"]}
+    block = construct(graph, "source")
+    return block.plan(spark).select(
+        "s_suppkey", "s_acctbal", "x", "y",
+        "xmin", "ymin", "xmax", "ymax")
+
+
 @demo("json_source_roundtrip", oracle="""
 SELECT c_custkey AS idx, c_name, c_acctbal
 FROM customer WHERE c_acctbal > 0

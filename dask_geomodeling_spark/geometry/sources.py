@@ -211,8 +211,8 @@ class FileGeometrySource(GeometryBlock):
                  time_column=None, schema=None, projection="EPSG:4326"):
         if format not in self.formats:
             raise ValueError("Format '{}' is unsupported".format(format))
-        if format != "parquet" and not schema:
-            raise ValueError("csv/json/geojson sources need an explicit "
+        if format in ("csv", "json") and not schema:
+            raise ValueError("csv/json sources need an explicit "
                              "DDL schema")
         super().__init__(url, format, id_field, time_column, schema,
                          str(projection).upper())
@@ -234,8 +234,42 @@ class FileGeometrySource(GeometryBlock):
         return set()
 
     @staticmethod
-    def _geojson_frame(spark, url, schema):
+    def infer_geojson_schema(spark, url, sample=100):
+        """Derive the ``properties`` DDL schema from the VARIANT itself
+        (reference reads GeoJSON through fiona, which sniffs property
+        types — geometry/sources.py:18): ``schema_of_variant_agg``
+        merges the property schemas of a BOUNDED feature sample in one
+        tiny job — no full inference pass.  Fractional DECIMALs coerce
+        to DOUBLE and integral ones to BIGINT (the fiona float/int
+        mapping).  An explicit schema stays the 100 TB contract; this
+        is the interactive/compat path."""
+        import re
+        raw = spark.read.option("wholetext", True).text(url)
+        feats = (raw.select(F.parse_json(F.col("value")).alias("_v"))
+                 .select(F.explode(F.expr(
+                     "variant_get(_v, '$.features', 'array<variant>')"))
+                     .alias("_f")))
+        row = (feats.limit(int(sample))
+               .select(F.expr("try_variant_get(_f, '$.properties', "
+                              "'variant')").alias("_p"))
+               .agg(F.expr("schema_of_variant_agg(_p)").alias("s"))
+               .first())
+        s = row.s if row is not None else None
+        if not s or not s.startswith("OBJECT<"):
+            raise ValueError(
+                "could not infer GeoJSON properties schema from {!r} "
+                "(schema_of_variant_agg returned {!r}); pass an "
+                "explicit DDL schema".format(url, s))
+        inner = "STRUCT<" + s[len("OBJECT<"):]
+        inner = re.sub(r"DECIMAL\(\d+,\s*0\)", "BIGINT", inner)
+        inner = re.sub(r"DECIMAL\(\d+,\s*\d+\)", "DOUBLE", inner)
+        return inner
+
+    @classmethod
+    def _geojson_frame(cls, spark, url, schema):
         from pyspark.sql import types as T
+        if not schema:
+            schema = cls.infer_geojson_schema(spark, url)
         fields = T._parse_datatype_string(schema).fields
         raw = spark.read.option("wholetext", True).text(url)
         feats = (raw.select(F.parse_json(F.col("value")).alias("_v"))

@@ -127,3 +127,27 @@ def test_unresolved_reference_path_raises_clearly():
         resolve_import_path("dask_geomodeling.utils.NoSuchThing")
     # non-reference paths still pass through as None
     assert resolve_import_path("some.other.pkg.Thing") is None
+
+
+def test_schema_free_geojson_through_compat(spark, tmp_path):
+    import json
+    from dask_geomodeling_spark.core.blocks import construct
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature",
+         "geometry": {"type": "Point", "coordinates": [4.5, 52.1]},
+         "properties": {"id": 7, "name": "delft", "score": 1.5}},
+        {"type": "Feature",
+         "geometry": {"type": "Point", "coordinates": [5.0, 52.4]},
+         "properties": {"id": 8, "name": "utrecht", "score": 2.0}},
+    ]}
+    path = tmp_path / "features.geojson"
+    path.write_text(json.dumps(fc))
+    graph = {"src": ["dask_geomodeling.geometry.sources.GeometryFileSource",
+                     str(path), None, "id"]}
+    block = construct(graph, "src")
+    rows = {r.id: r for r in block.plan(spark).collect()}
+    assert rows[7].name == "delft" and rows[7].score == 1.5
+    assert rows[8].x == 5.0 and rows[8].y == 52.4
+    # inferred types: integral -> BIGINT, fractional -> DOUBLE
+    schema = dict(block.plan(spark).dtypes)
+    assert schema["id"] == "bigint" and schema["score"] == "double"
