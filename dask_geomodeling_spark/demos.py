@@ -2355,6 +2355,43 @@ def geotiff_source(spark, sf_dir):
     return src.plan(spark).select("time", "y", "x", "value")
 
 
+@demo("geotiff_deflate", oracle="""
+SELECT CAST('1970-01-01' AS TIMESTAMP)
+           + INTERVAL 1 HOUR * band AS time,
+       y, x,
+       CASE WHEN (band * 1000 + y * 16 + x) % 7 = 0 THEN NULL
+            ELSE CAST(band * 1000 + y * 16 + x AS DOUBLE) END AS value
+FROM (SELECT unnest(range(0, 2)) AS band),
+     (SELECT unnest(range(0, 8)) AS y),
+     (SELECT unnest(range(0, 16)) AS x)
+""")
+def geotiff_deflate(spark, sf_dir):
+    """DEFLATE-compressed TILED GeoTIFF ingestion (compression=8 +
+    tile tags 322–325 — the layout most real-world cloud GeoTIFFs
+    use): band 0 is a zlib strip file, band 1 a zlib 6x5-tiled file
+    with ragged edge tiles; the same closed-form cell formula as
+    geotiff_source, so the oracle re-derives the grid without reading
+    TIFF."""
+    import os
+    import tempfile
+    from datetime import timedelta
+
+    from dask_geomodeling_spark.raster.sources import (
+        GeoTIFFRasterSource, write_geotiff)
+    d = tempfile.mkdtemp(prefix="dgs_geotiff_deflate_")
+    layouts = [dict(compression="deflate"),
+               dict(compression="deflate", tile=(6, 5))]
+    for band, kw in enumerate(layouts):
+        vals = [float(band * 1000 + y * 16 + x)
+                if (band * 1000 + y * 16 + x) % 7 else -9999.0
+                for y in range(8) for x in range(16)]
+        write_geotiff(os.path.join(d, "band{}.tif".format(band)),
+                      16, 8, vals, nodata=-9999.0, **kw)
+    src = GeoTIFFRasterSource(d + "/*.tif",
+                              time_delta=timedelta(hours=1))
+    return src.plan(spark).select("time", "y", "x", "value")
+
+
 @demo("polygon_area", oracle="""
 WITH v(id, i, x, y) AS (VALUES
   (CAST(1 AS BIGINT), 0, 0.0, 0.0), (1, 1, 4.0, 0.0), (1, 2, 0.0, 3.0),

@@ -161,19 +161,23 @@ class TableRasterSource(RasterBlock):
 
 
 def _parse_geotiff(content):
-    """Pure-python parse of an UNCOMPRESSED strip-organized single-band
-    GeoTIFF (reference RasterFileSource reads GDAL rasters,
-    raster/sources.py:396 — no GDAL here, so the baseline TIFF layout
-    is parsed directly).  Returns (width, height, values, nodata,
-    geotransform) where values is a row-major list of python floats and
-    geotransform is (x_origin, pixel_w, y_origin, pixel_h) from the
-    ModelTiepoint/ModelPixelScale GeoTIFF tags (None when absent).
+    """Pure-python parse of a single-band GeoTIFF (reference
+    RasterFileSource reads GDAL rasters, raster/sources.py:396 — no
+    GDAL here, so the TIFF layout is parsed directly).  Returns
+    (width, height, values, nodata, geotransform) where values is a
+    row-major list of python floats and geotransform is (x_origin,
+    pixel_w, y_origin, pixel_h) from the ModelTiepoint/ModelPixelScale
+    GeoTIFF tags (None when absent).
 
     Supported: byte order II/MM, BitsPerSample 8/16/32/64 with
-    SampleFormat uint/int/float, strips (not tiles), SamplesPerPixel 1,
-    Compression 1.  Anything else raises NotImplementedError with the
-    offending tag."""
+    SampleFormat uint/int/float, STRIP (278/273/279) and TILE
+    (322/323/324/325) organizations, Compression 1 (none) and
+    8/32946 (zlib deflate — the same stdlib dependency the PNG codec
+    uses), horizontal-differencing Predictor 2 for integer samples,
+    SamplesPerPixel 1.  Anything else raises NotImplementedError with
+    the offending tag."""
     import struct
+    import zlib
 
     bo = {b"II": "<", b"MM": ">"}.get(content[:2])
     if bo is None or struct.unpack_from(bo + "H", content, 2)[0] != 42:
@@ -195,13 +199,14 @@ def _parse_geotiff(content):
         elif typ == 2:  # ascii
             tags[tag] = content[voff:voff + cnt].split(b"\0")[0].decode()
     width, height = int(tags[256][0]), int(tags[257][0])
-    if tags.get(259, [1])[0] != 1:
+    comp = int(tags.get(259, [1])[0])
+    if comp not in (1, 8, 32946):
         raise NotImplementedError(
-            "compressed TIFF (tag 259 = {}) needs GDAL".format(tags[259][0]))
-    if 322 in tags or 324 in tags:
-        raise NotImplementedError("tiled TIFF needs GDAL; use strips")
+            "compression {} not supported (1=none, 8/32946=deflate)"
+            .format(comp))
     if tags.get(277, [1])[0] != 1:
         raise NotImplementedError("multi-sample TIFF not supported")
+    predictor = int(tags.get(317, [1])[0])
     bits = int(tags.get(258, [8])[0])
     sfmt = int(tags.get(339, [1])[0])  # 1 uint, 2 int, 3 float
     fmt = {(8, 1): "B", (8, 2): "b", (16, 1): "H", (16, 2): "h",
@@ -211,14 +216,54 @@ def _parse_geotiff(content):
         raise NotImplementedError(
             "BitsPerSample={} SampleFormat={} not supported".format(
                 bits, sfmt))
-    rows_per_strip = int(tags.get(278, [height])[0])
-    offsets, counts = tags[273], tags[279]
-    values = []
-    for s, (soff, scnt) in enumerate(zip(offsets, counts)):
-        n_rows = min(rows_per_strip, height - s * rows_per_strip)
-        n = n_rows * width
-        values.extend(struct.unpack_from(
-            bo + str(n) + fmt, content, int(soff)))
+    if predictor == 2 and sfmt != 1:
+        raise NotImplementedError(
+            "Predictor=2 supported for unsigned integer samples only")
+    if predictor not in (1, 2):
+        raise NotImplementedError(
+            "predictor {} not supported".format(predictor))
+
+    def block_samples(off, cnt, n):
+        raw = content[int(off):int(off) + int(cnt)]
+        if comp != 1:
+            raw = zlib.decompress(raw)
+        return list(struct.unpack_from(bo + str(n) + fmt, raw, 0))
+
+    def undiff(vals, row_w):
+        # Predictor 2: each sample stores the delta to its left
+        # neighbor; integrate per row (modular in the sample width)
+        mask = (1 << bits) - 1
+        for r0 in range(0, len(vals), row_w):
+            for k in range(r0 + 1, min(r0 + row_w, len(vals))):
+                vals[k] = (vals[k] + vals[k - 1]) & mask
+        return vals
+
+    values = [0.0] * (width * height)
+    if 322 in tags or 324 in tags:
+        tw = int(tags[322][0])
+        th = int(tags[323][0])
+        offsets, counts = tags[324], tags[325]
+        across = (width + tw - 1) // tw
+        for t, (toff, tcnt) in enumerate(zip(offsets, counts)):
+            vals = block_samples(toff, tcnt, tw * th)
+            if predictor == 2:
+                vals = undiff(vals, tw)
+            ty, tx = (t // across) * th, (t % across) * tw
+            for r in range(min(th, height - ty)):
+                row = vals[r * tw:r * tw + min(tw, width - tx)]
+                base = (ty + r) * width + tx
+                values[base:base + len(row)] = row
+    else:
+        rows_per_strip = int(tags.get(278, [height])[0])
+        offsets, counts = tags[273], tags[279]
+        pos = 0
+        for s, (soff, scnt) in enumerate(zip(offsets, counts)):
+            n_rows = min(rows_per_strip, height - s * rows_per_strip)
+            vals = block_samples(soff, scnt, n_rows * width)
+            if predictor == 2:
+                vals = undiff(vals, width)
+            values[pos:pos + len(vals)] = vals
+            pos += len(vals)
     nodata = None
     if 42113 in tags:  # GDAL_NODATA ascii tag
         try:
@@ -236,24 +281,48 @@ def _parse_geotiff(content):
 
 
 def write_geotiff(path, width, height, values, bo="<",
-                        nodata=None, geo=True):
-    """Minimal uncompressed single-strip float32 GeoTIFF writer — the
-    inverse of ``_parse_geotiff`` for fixtures and small exports
-    (reference writes rasters via GDAL; this covers the baseline strip
-    layout only).  ``geo=True`` stamps a ModelPixelScale of (0.5, 0.25)
-    at tiepoint (10, 20)."""
+                  nodata=None, geo=True, compression=None, tile=None):
+    """Minimal single-band float32 GeoTIFF writer — the inverse of
+    ``_parse_geotiff`` for fixtures and small exports (reference
+    writes rasters via GDAL).  ``geo=True`` stamps a ModelPixelScale
+    of (0.5, 0.25) at tiepoint (10, 20); ``compression='deflate'``
+    zlib-compresses every block (tag 259 = 8); ``tile=(tw, th)``
+    writes a TILE organization (tags 322–325, edge tiles zero-padded)
+    instead of one strip."""
     import struct
-    n = width * height
-    data = struct.pack(bo + str(n) + "f", *values)
+    import zlib
+
+    def pack_block(vals):
+        blob = struct.pack(bo + str(len(vals)) + "f", *vals)
+        return zlib.compress(blob) if compression == "deflate" else blob
+
+    if tile:
+        tw, th = int(tile[0]), int(tile[1])
+        across = (width + tw - 1) // tw
+        down = (height + th - 1) // th
+        blocks = []
+        for t in range(across * down):
+            ty, tx = (t // across) * th, (t % across) * tw
+            tv = []
+            for r in range(th):
+                for c in range(tw):
+                    y, x = ty + r, tx + c
+                    tv.append(values[y * width + x]
+                              if y < height and x < width else 0.0)
+            blocks.append(pack_block(tv))
+    else:
+        blocks = [pack_block(values)]
+
     entries = []
     extra = b""
-    # header(8) + count(2) + entries + next(4), then extra data, then strip
-    def add(tag, typ, cnt, packed_or_val, inline=False):
-        entries.append((tag, typ, cnt, packed_or_val, inline))
-
-    n_base = 10 + (3 if geo else 0) + (1 if nodata is not None else 0)
+    n_base = (10 + (3 if geo else 0)
+              + (1 if nodata is not None else 0)
+              + (1 if tile else 0))  # 4 tile tags replace 3 strip tags
     ifd_size = 2 + n_base * 12 + 4
     data_start = 8 + ifd_size
+
+    def add(tag, typ, cnt, packed_or_val, inline=False):
+        entries.append((tag, typ, cnt, packed_or_val, inline))
 
     def offset_of(blob):
         nonlocal extra
@@ -264,10 +333,9 @@ def write_geotiff(path, width, height, values, bo="<",
     add(256, 3, 1, width, True)
     add(257, 3, 1, height, True)
     add(258, 3, 1, 32, True)
-    add(259, 3, 1, 1, True)
+    add(259, 3, 1, 8 if compression == "deflate" else 1, True)
     add(262, 3, 1, 1, True)
     add(277, 3, 1, 1, True)
-    add(278, 3, 1, height, True)
     add(339, 3, 1, 3, True)
     if geo:
         scale = struct.pack(bo + "3d", 0.5, 0.25, 0.0)
@@ -278,9 +346,35 @@ def write_geotiff(path, width, height, values, bo="<",
     if nodata is not None:
         s = str(nodata).encode() + b"\0"
         add(42113, 2, len(s), offset_of(s))
-    strip_off = data_start + len(extra)
-    add(273, 4, 1, strip_off, True)
-    add(279, 4, 1, len(data), True)
+    k = len(blocks)
+    # reserve the offset/count arrays in `extra` BEFORE computing block
+    # positions (arrays live out-of-line when k > 1)
+    counts = [len(b) for b in blocks]
+    if tile:
+        add(322, 3, 1, tw, True)
+        add(323, 3, 1, th, True)
+        if k == 1:
+            blocks_start = data_start + len(extra)
+            add(324, 4, 1, blocks_start, True)
+            add(325, 4, 1, counts[0], True)
+        else:
+            arr_off = data_start + len(extra)
+            blocks_start = arr_off + 8 * k
+            offs = []
+            pos = blocks_start
+            for c in counts:
+                offs.append(pos)
+                pos += c
+            extra += struct.pack(bo + str(k) + "I", *offs)
+            cnt_off = data_start + len(extra)
+            extra += struct.pack(bo + str(k) + "I", *counts)
+            add(324, 4, k, arr_off)
+            add(325, 4, k, cnt_off)
+    else:
+        add(278, 3, 1, height, True)
+        blocks_start = data_start + len(extra)
+        add(273, 4, 1, blocks_start, True)
+        add(279, 4, 1, counts[0], True)
     entries.sort(key=lambda e: e[0])
     out = (b"II" if bo == "<" else b"MM")
     out += struct.pack(bo + "HI", 42, 8)
@@ -292,15 +386,16 @@ def write_geotiff(path, width, height, values, bo="<",
         else:
             out += struct.pack(bo + "I", val)
     out += struct.pack(bo + "I", 0)
-    out += extra + data
+    out += extra + b"".join(blocks)
     with open(path, "wb") as f:
         f.write(out)
 
 
 
 class GeoTIFFRasterSource(RasterBlock):
-    """Cell table from uncompressed GeoTIFF files (reference:
-    RasterFileSource, raster/sources.py:396, which delegates to GDAL).
+    """Cell table from GeoTIFF files — uncompressed or zlib-deflate,
+    strip- or tile-organized (reference: RasterFileSource,
+    raster/sources.py:396, which delegates to GDAL).
 
     Spark-first ingestion: ``spark.read.format("binaryFile")`` lists and
     reads the files distributed (one task per file — the natural grain

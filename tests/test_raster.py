@@ -379,3 +379,24 @@ def test_time_mode_collect_is_bounded(spark):
     assert got["time"] == [datetime(2000, 1, 1), datetime(2000, 1, 2)]
     meta = src.get_data(spark, mode="meta", limit=4)
     assert meta["meta"] == [None] * 4
+
+
+def test_geotiff_deflate_and_tiled_roundtrip():
+    import os
+    import tempfile
+    from dask_geomodeling_spark.raster.sources import (_parse_geotiff,
+                                                       write_geotiff)
+    vals = [float(y * 16 + x) for y in range(8) for x in range(16)]
+    d = tempfile.mkdtemp()
+    for i, kw in enumerate([
+            dict(compression="deflate"),
+            dict(tile=(8, 4)),
+            dict(tile=(6, 5)),                         # ragged edges
+            dict(compression="deflate", tile=(6, 5)),
+            dict(compression="deflate", bo=">")]):
+        p = os.path.join(d, "t%d.tif" % i)
+        write_geotiff(p, 16, 8, vals, nodata=-9999.0, **kw)
+        w, h, got, nodata, gt = _parse_geotiff(open(p, "rb").read())
+        assert (w, h, nodata) == (16, 8, -9999.0)
+        assert got == vals
+        assert gt == (10.0, 0.5, 20.0, 0.25)
