@@ -5545,6 +5545,51 @@ def raster_warp(spark, sf_dir):
                 height=_WARP_H).plan(spark)
 
 
+@demo("buffer_ring_polygon", oracle="""
+SELECT c_custkey,
+       ROUND((3 + c_custkey % 5) * (2 + c_custkey % 4)
+             + 4.0 * ((3 + c_custkey % 5) + (2 + c_custkey % 4))
+             + 8.0 * 4.0 * sin(pi() / 8.0), 6) AS area,
+       20 AS nv,
+       ROUND(2.0 * ((3 + c_custkey % 5) + (2 + c_custkey % 4))
+             + 16.0 * 4.0 * sin(pi() / 16.0), 6) AS perimeter
+FROM customer
+""")
+def buffer_ring_polygon(spark, sf_dir):
+    """POLYGON-input Buffer (reference constructive.py:13 buffers
+    arbitrary geometry via GEOS): per-customer w x h rectangles get
+    the Minkowski disk-sum ring — offset edge parallels + 16-gon arc
+    fans at the corners (r=2, resolution=4).  Axis-aligned corners
+    align the fans with the global n-gon angles, so the closed form
+    is exact: area = w·h + 2r(w+h) + (n/2)·r²·sin(2π/n), perimeter =
+    2(w+h) + n·2r·sin(π/n), 4 + n vertices; ROUND(6) absorbs trig
+    ulps."""
+    from dask_geomodeling_spark.geometry.constructive import Buffer
+    from dask_geomodeling_spark.geometry.geom_operations import (Area,
+                                                                 Length)
+    customer = read_nanos_parquet(spark, _pq(sf_dir, "customer"))
+    x0 = "CAST(c_custkey % 50 AS DOUBLE)"
+    y0 = "CAST((c_custkey * 3) % 40 AS DOUBLE)"
+    w = "CAST(3 + c_custkey % 5 AS DOUBLE)"
+    h = "CAST(2 + c_custkey % 4 AS DOUBLE)"
+    ring = ("array(array({x0}, {y0}), array({x0} + {w}, {y0}), "
+            "array({x0} + {w}, {y0} + {h}), array({x0}, {y0} + {h}))"
+            ).format(x0=x0, y0=y0, w=w, h=h)
+    df = customer.select(
+        "c_custkey",
+        F.expr(x0).alias("xmin"), F.expr(y0).alias("ymin"),
+        F.expr("{} + {}".format(x0, w)).alias("xmax"),
+        F.expr("{} + {}".format(y0, h)).alias("ymax"),
+        F.expr(ring).alias("vertices"))
+    src = DataFrameSource(df, index_column="c_custkey")
+    buf = Buffer(src, 2.0, resolution=4, shape="round")
+    view = buf.set("area", Area(buf), "perimeter", Length(buf))
+    return view.plan(spark).select(
+        "c_custkey", F.round("area", 6).alias("area"),
+        F.size("vertices").alias("nv"),
+        F.round("perimeter", 6).alias("perimeter"))
+
+
 @demo("simplify_polygon", oracle="""
 SELECT c_custkey, 16.0 AS area, 4 AS nv, 15.0 AS area_rings,
        2 AS n_rings

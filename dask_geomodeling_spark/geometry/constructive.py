@@ -12,6 +12,46 @@ from dask_geomodeling_spark.geometry.base import BaseSingle
 __all__ = ["Buffer", "Simplify", "Centroid"]
 
 
+def _buffer_ring_sql(r, dist, n):
+    """SQL text: Minkowski-style disk-sum of a CCW ring expression
+    ``r`` with radius ``dist``, the disk discretized as the regular
+    ``n``-gon (the GEOS quad_segs analogue the point path uses).
+
+    Per vertex: the outward-normal angles of the inbound and outbound
+    edges bound an arc fan — exact endpoints plus every global n-gon
+    angle strictly inside (1e-9 guards ulp ties on axis-aligned
+    edges); consecutive fans connect through the offset edge
+    parallels automatically.  Exact for convex rings; reflex vertices
+    would need arc trimming (GEOS does), documented contract."""
+    d = repr(float(dist))
+    step = "(2.0 * pi() / {}.0)".format(int(n))
+    m = "size({r})".format(r=r)
+    at = ("element_at({r}, CAST(pmod(i + {off}, {m}) AS INT) + 1)[{c}]"
+          .format(r=r, m=m, off="{off}", c="{c}"))
+    px, py = at.format(off=-1, c=0), at.format(off=-1, c=1)
+    cx, cy = at.format(off=0, c=0), at.format(off=0, c=1)
+    nx, ny = at.format(off=1, c=0), at.format(off=1, c=1)
+    tin = ("pmod(atan2({cy} - {py}, {cx} - {px}) - pi() / 2.0, "
+           "2.0 * pi())").format(cx=cx, cy=cy, px=px, py=py)
+    tnxt = ("pmod(atan2({ny} - {cy}, {nx} - {cx}) - pi() / 2.0, "
+            "2.0 * pi())").format(cx=cx, cy=cy, nx=nx, ny=ny)
+    tout = "({tin} + pmod({tnxt} - {tin}, 2.0 * pi()))".format(
+        tin=tin, tnxt=tnxt)
+    klo = "CAST(ceil(({tin} + 1e-9) / {s}) AS BIGINT)".format(tin=tin,
+                                                              s=step)
+    khi = "CAST(floor(({tout} - 1e-9) / {s}) AS BIGINT)".format(
+        tout=tout, s=step)
+    angles = ("concat(array({tin}), "
+              "CASE WHEN {klo} <= {khi} THEN "
+              "transform(sequence({klo}, {khi}), k -> k * {s}) "
+              "ELSE array() END, array({tout}))"
+              ).format(tin=tin, tout=tout, klo=klo, khi=khi, s=step)
+    return ("flatten(transform(sequence(0, {m} - 1), i -> "
+            "transform({angles}, a -> "
+            "array({cx} + {d} * cos(a), {cy} + {d} * sin(a)))))"
+            ).format(m=m, angles=angles, cx=cx, cy=cy, d=d)
+
+
 class Buffer(BaseSingle):
     """Expand geometries by a distance (reference:
     geometry/constructive.py:13, where GEOS buffers with
@@ -77,6 +117,16 @@ class Buffer(BaseSingle):
                    .withColumn("ymin", F.col("ymin") - d)
                    .withColumn("xmax", F.col("xmax") + d)
                    .withColumn("ymax", F.col("ymax") + d))
+            if self.args[4] == "round" and "vertices" in cols:
+                # polygon rows: Minkowski disk-sum of the exterior
+                # ring (reference constructive.py:13 buffers arbitrary
+                # geometry via GEOS) — exact for convex rings; `rings`
+                # stacks (holes/multipolygon) keep bbox expansion only
+                buf = _buffer_ring_sql("vertices", self.distance,
+                                       4 * self.resolution)
+                out = out.withColumn(
+                    "vertices",
+                    F.when(F.col("vertices").isNotNull(), F.expr(buf)))
         elif {"x", "y"} <= cols:
             out = (df.withColumn("xmin", F.col("x") - d)
                    .withColumn("ymin", F.col("y") - d)

@@ -164,3 +164,28 @@ def test_simplify_collapses_wraparound_duplicate(spark):
                    tolerance=1.0).plan(spark).first()
     assert out.vertices == [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0],
                             [0.0, 4.0]]
+
+
+def test_buffer_polygon_ring_offset(spark):
+    from dask_geomodeling_spark.geometry.constructive import Buffer
+    rect = [{"id": 1, "xmin": 0.0, "ymin": 0.0, "xmax": 4.0,
+             "ymax": 3.0,
+             "vertices": [[0.0, 0.0], [4.0, 0.0], [4.0, 3.0],
+                          [0.0, 3.0]]}]
+    src = LiteralGeometrySource(rect)
+    buf = Buffer(src, 2.0, resolution=4, shape="round")
+    n, r = 16, 2.0
+    row = buf.plan(spark).first()
+    assert len(row.vertices) == n + 4
+    area = Area(buf).plan(spark).first().value
+    exp = 12.0 + 2 * r * 7.0 + (n / 2) * r * r * math.sin(2 * math.pi / n)
+    assert area == pytest.approx(exp, abs=1e-9)
+    per = Length(buf).plan(spark).first().value
+    assert per == pytest.approx(
+        14.0 + n * 2 * r * math.sin(math.pi / n), abs=1e-9)
+    # general convex ring: between the polygon+edges lower bound and
+    # the exact disk Minkowski sum (arc polygon inscribes the circle)
+    tri = LiteralGeometrySource("POLYGON ((0 0, 4 0, 0 3, 0 0))")
+    ta = Area(Buffer(tri, 1.0, resolution=6,
+                     shape="round")).plan(spark).first().value
+    assert 18.0 < ta <= 18.0 + math.pi + 1e-9
