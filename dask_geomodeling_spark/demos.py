@@ -3095,6 +3095,32 @@ def kmeans_ivf_ann(spark, sf_dir):
                      iters=2, precision=6).plan(spark)
 
 
+@demo("kmeans_ivf_saved", oracle=_kmeans_ivf_oracle(fit_frac=0.5))
+def kmeans_ivf_saved(spark, sf_dir):
+    """The fit-once / search-many workflow as a first-class query —
+    the actual 100 TB operating mode: learn_centroids fits on the
+    deterministic hash HALF-sample (one job per Lloyd iteration, only
+    k×dim reaches the driver), save_centroids persists the model as a
+    tiny parquet table, and a FRESH KMeansIVF search run reloads it
+    via ``centroids=url`` — no refit in the search job.  The oracle
+    replays the identical sampled fit in SQL, so the saved-and-
+    reloaded model must reproduce it bit-for-bit."""
+    import tempfile
+
+    from dask_geomodeling_spark.pipeline.similarity import (
+        KMeansIVF, fit_sample, learn_centroids, save_centroids)
+    emb = read_nanos_parquet(spark, _pq(sf_dir, "embeddings"))
+    base = emb.select("vec_id", "embedding")
+    cents = learn_centroids(fit_sample(base, "vec_id", 0.5), 4, 2)
+    url = tempfile.mkdtemp(prefix="dgs_ivf_model_") + "/centroids"
+    save_centroids(spark, cents, url)
+    queries = DataFrameSource(emb.filter(F.col("vec_id") < 3),
+                              index_column="vec_id")
+    return KMeansIVF(embeddings_src(sf_dir), queries, k=5, clusters=4,
+                     iters=2, precision=6,
+                     centroids=url).plan(spark)
+
+
 @demo("kmeans_ivf_probe2", oracle=_kmeans_ivf_oracle(nprobe=2))
 def kmeans_ivf_probe2(spark, sf_dir):
     """KMeansIVF with nprobe=2: each query searches its TWO nearest
