@@ -5571,6 +5571,47 @@ def raster_warp(spark, sf_dir):
                 height=_WARP_H).plan(spark)
 
 
+#: demo BPE merge table — well-formed (operands are chars or outputs of
+#: earlier rules), covering the corpus hot words spark/merge/batch/the
+_BPE_MERGES = [("e", "r"), ("t", "h"), ("th", "e"), ("a", "r"),
+               ("s", "p"), ("sp", "ar"), ("spar", "k"), ("m", "er"),
+               ("mer", "g"), ("merg", "e"), ("a", "t"), ("b", "at"),
+               ("bat", "c"), ("batc", "h")]
+
+
+def _bpe_oracle():
+    sep = "\x1f"
+    s = "regexp_replace(w, '(.)', '{0}\\1{0}', 'g')".format(sep)
+    for a, b in _BPE_MERGES:
+        s = ("replace({s}, '{sep}{a}{sep}{sep}{b}{sep}', "
+             "'{sep}{ab}{sep}')").format(s=s, sep=sep, a=a, b=b,
+                                         ab=a + b)
+    return """
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents),
+counts AS (
+  SELECT doc_id, SUM(len(string_split({s}, '{sep}{sep}'))) AS n
+  FROM words WHERE w != '' GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS bpe_count
+FROM documents d LEFT JOIN counts c USING (doc_id)
+""".format(s=s, sep=sep)
+
+
+@demo("token_count_bpe", oracle=_bpe_oracle())
+def token_count_bpe(spark, sf_dir):
+    """REAL BPE token counting (the public GPT-2 merge loop): the
+    14-rule demo merge table applies in rank order, every rule one
+    JVM-side ``replace`` over the ␟-wrapped symbol chain — no Python
+    in the scan, the merge table is a literal expression chain.  The
+    oracle replays the IDENTICAL unrolled chain in DuckDB, bit-exact
+    counts."""
+    from dask_geomodeling_spark.pipeline.text import BPETokenCount
+    blk = BPETokenCount(documents_src(sf_dir), _BPE_MERGES)
+    return blk.plan(spark).select("doc_id", "bpe_count")
+
+
 @demo("buffer_ring_polygon", oracle="""
 SELECT c_custkey,
        ROUND((3 + c_custkey % 5) * (2 + c_custkey % 4)

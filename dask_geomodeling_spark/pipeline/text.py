@@ -13,8 +13,8 @@ from pyspark.sql import functions as F
 
 from dask_geomodeling_spark.geometry.base import BaseSingle
 
-__all__ = ["TokenCount", "QualityScore", "LanguageID", "Fingerprint",
-           "TFIDF", "ChunkText"]
+__all__ = ["TokenCount", "BPETokenCount", "QualityScore", "LanguageID",
+           "Fingerprint", "TFIDF", "ChunkText"]
 
 # tiny per-language stopword marker sets for the n-gram/stopword heuristic
 _LANG_MARKERS = {
@@ -50,6 +50,80 @@ class TokenCount(BaseSingle):
         bpe = F.size(F.regexp_extract_all(c, F.lit(_BPE_ISH), 0))
         return (df.withColumn("ws_tokens", ws.cast("bigint"))
                   .withColumn("bpe_tokens", bpe.cast("bigint")))
+
+
+#: unit separator — wraps every BPE symbol as ␟sym␟ so a merge rule can
+#: only match COMPLETE adjacent symbols
+_SEP = "\x1f"
+
+
+class BPETokenCount(BaseSingle):
+    """REAL byte-pair-encoding token counting (the public GPT-2 BPE
+    algorithm) — makes token budgets real for PackSequences/ChunkText
+    where the whitespace/regex counts of :class:`TokenCount` only
+    approximate them.
+
+    The merge list is applied IN ORDER, each rule merging all its
+    left-to-right non-overlapping occurrences to fixpoint.  For a
+    well-formed merge table (every rule's operands are single
+    characters or outputs of EARLIER rules — true of any trained BPE
+    list, by construction of the training loop) this is exactly
+    GPT-2's lowest-rank-pair-first loop: a rule can never become newly
+    applicable after a later rule fires, because that would require an
+    operand symbol the later rule just created.
+
+    Execution is PURE JVM column math — no Python in the scan: each
+    word encodes its symbols as a ``␟sym␟`` chain, and every merge
+    rule compiles to one ``replace(s, '␟a␟␟b␟', '␟ab␟')`` call (string
+    replace scans left-to-right and resumes after each replacement —
+    the BPE merge semantics); the merge table is a literal expression
+    chain, broadcast by construction.  One replace pass per rule IS
+    that rule's fixpoint: a replacement can only create adjacencies
+    involving the NEW symbol, never a fresh ``(a, b)`` pair behind the
+    scan point.
+
+    Adds ``column_name`` (default ``bpe_count``) = total BPE tokens
+    over whitespace-split lowercased words.
+    """
+
+    def __init__(self, source, merges, text_column="text",
+                 column_name="bpe_count", lowercase=True):
+        merges = [(str(a), str(b)) for a, b in merges]
+        for a, b in merges:
+            if _SEP in a or _SEP in b:
+                raise ValueError("merge symbols must not contain the "
+                                 "unit separator")
+        super().__init__(source, merges, text_column, column_name,
+                         bool(lowercase))
+
+    @property
+    def columns(self):
+        return set(self.source.columns) | {self.args[3]}
+
+    @staticmethod
+    def merge_chain_sql(word_sql, merges, sep=_SEP):
+        """SQL text: the wrapped-symbol encoding of ``word_sql``
+        followed by one ``replace`` per merge rule in order.  Exposed
+        so oracles can replay the identical chain."""
+        s = "regexp_replace({w}, '(.)', '{sep}$1{sep}')".format(
+            w=word_sql, sep=sep)
+        for a, b in merges:
+            s = ("replace({s}, '{sep}{a}{sep}{sep}{b}{sep}', "
+                 "'{sep}{ab}{sep}')").format(s=s, sep=sep, a=a, b=b,
+                                             ab=a + b)
+        return s
+
+    def _build(self, ctx):
+        _, merges, text_column, name, lowercase = self.args
+        df = self.source._build(ctx)
+        chain = self.merge_chain_sql("w", merges)
+        count = ("aggregate(filter(split(trim({col}), '\\\\s+'), "
+                 "w -> w != ''), cast(0 as bigint), (acc, w) -> "
+                 "acc + size(split({chain}, '{sep}{sep}')))"
+                 ).format(col="lower({})".format(text_column)
+                          if lowercase else text_column,
+                          chain=chain, sep=_SEP)
+        return df.withColumn(name, F.expr(count))
 
 
 class QualityScore(BaseSingle):

@@ -782,3 +782,30 @@ def test_fit_logistic_persist_and_empty_guard(spark):
     assert w > 0  # separable data: positive slope after 2 steps
     with _pytest.raises(ValueError, match="empty"):
         fit_logistic(df.filter("f > 100"), ["f"], "y", iters=1)
+
+
+def test_bpe_token_count_gpt2_semantics(spark):
+    from dask_geomodeling_spark.pipeline.text import BPETokenCount
+    merges = [("e", "r"), ("t", "h"), ("th", "e"), ("a", "t")]
+    src = LiteralGeometrySource([
+        {"doc_id": 1, "text": "the that matter"},
+        {"doc_id": 2, "text": "aaaa"},
+        {"doc_id": 3, "text": "   "}])
+    rows = {r.doc_id: r.bpe_count for r in
+            BPETokenCount(src, merges).plan(spark).collect()}
+    # the -> [the]=1; that -> [th, at]=2; matter -> [m, at, t, er]=4
+    assert rows[1] == 7
+    # no (a,a) rule: stays 4 chars
+    assert rows[2] == 4
+    assert rows[3] == 0
+    # left-to-right non-overlap: with an (a,a) rule "aaa" -> [aa, a]
+    rows = {r.doc_id: r.bpe_count for r in BPETokenCount(
+        LiteralGeometrySource([{"doc_id": 1, "text": "aaa aaaa"}]),
+        [("a", "a")]).plan(spark).collect()}
+    assert rows[1] == 2 + 2
+
+
+def test_bpe_token_count_rejects_separator_symbol():
+    from dask_geomodeling_spark.pipeline.text import BPETokenCount
+    with pytest.raises(ValueError, match="separator"):
+        BPETokenCount(None, [("\x1f", "a")])
