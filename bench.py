@@ -38,6 +38,9 @@ def main():
         "raster_temporal_aggregate",  # windowed temporal agg
         "raster_moving_max",        # spatial kernel (explode+regroup)
         "aggregate_raster",         # zonal stats range join
+        "raster_warp",              # request-grid warp (broadcast grid)
+        "simplify_polygon",         # HOF ring simplify
+        "token_count_bpe",          # JVM-side BPE merge chain
     ]
     for extra in ("exact_dedup", "minhash_lsh", "ngram_jaccard",
                   "cosine_topk", "token_count", "quality_score",

@@ -5718,34 +5718,36 @@ def simplify_polygon(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 GATE_ORDER = [
-    # flagship + field ops + geometry plane (round 5 swapped in the
-    # new-parity headliners — RD New both ways, polygon holes /
-    # multipolygon, WKB interchange, round buffers; the displaced
-    # names stay registered post-gate for the full sweep)
+    # flagship + field ops + geometry plane (round 6 swapped in the
+    # new-parity headliners — request-grid raster warp, real polygon
+    # Simplify, polygon-input Buffer, schema-free GeoJSON compat,
+    # deflate/tiled GeoTIFF, saved-model IVF, real BPE counting; the
+    # displaced names stay registered post-gate for the full sweep)
     "q1_pricing_summary", "field_ops_arithmetic", "classify",
     "polygon_area_holes", "merge_blocks", "set_difference",
     "intersection",
-    "buffer_polygon", "parse_text", "geometry_tiler", "aggregate_raster",
+    "buffer_ring_polygon", "simplify_polygon", "parse_text",
+    "geometry_tiler", "aggregate_raster",
     "reproject_rd", "request_filters", "geometry_sink_roundtrip",
-    "geojson_source_roundtrip", "wkb_source_roundtrip",
+    "geojson_compat_roundtrip", "wkb_source_roundtrip",
     "json_graph_roundtrip",
     # raster plane
-    "memory_source", "raster_elemwise_math", "raster_elemwise_compare",
-    "raster_fill_nodata", "raster_group", "raster_mask_step_classify",
+    "raster_warp", "raster_elemwise_math", "raster_elemwise_compare",
+    "geotiff_deflate", "raster_mask_step_classify",
     "rasterize_multipolygon", "raster_reduction", "raster_smooth",
     "raster_hillshade", "raster_snap", "raster_temporal_right_closed",
-    "raster_cumulative", "reproject_rd_roundtrip",
+    "reproject_rd_roundtrip",
     "raster_sink_roundtrip",
     # TPC-H join shapes
     "q3_shipping_priority", "q5_local_supplier_volume",
-    "q9_product_profit", "q13_customer_distribution", "q18_large_orders",
-    "q22_idle_customers",
+    "q9_product_profit", "q18_large_orders",
     # LLM-pipeline: dedup, ANN, multimodal, hygiene, end-to-end
     "exact_dedup", "minhash_lsh", "ngram_jaccard", "embedding_dedup_lsh",
-    "kmeans_ivf_ann", "ivfpq_ann", "decode_image", "decontaminate",
+    "kmeans_ivf_ann", "kmeans_ivf_saved", "ivfpq_ann", "decode_image",
+    "token_count_bpe", "decontaminate",
     "corpus_prep",
     # streaming / temporal joins
-    "event_aggregate", "asof_join", "running_aggregate",
+    "event_aggregate", "asof_join", "running_aggregate", "buffer_polygon",
 ]
 
 assert len(GATE_ORDER) == 50, len(GATE_ORDER)
