@@ -98,7 +98,14 @@ def GeometryFileSource(url, layer=None, id_field=None):
         # infer_geojson_schema)
         return FileGeometrySource(url, "geojson",
                                   id_field=id_field or "id")
-    if low.endswith((".shp", ".gpkg", ".gml", ".fgb", ".kml")):
+    if low.endswith(".shp"):
+        # pure-spec struct codec — no GDAL (geometry/shapefile.py);
+        # attribute schema infers from the .dbf header, the fiona
+        # parity path
+        from dask_geomodeling_spark.geometry.shapefile import (
+            ShapefileGeometrySource)
+        return ShapefileGeometrySource(url, id_field=id_field or "fid")
+    if low.endswith((".gpkg", ".gml", ".fgb", ".kml")):
         raise NotImplementedError(
             "OGR container formats need GDAL/fiona; re-export the layer"
             " as (Geo)parquet and read it with ParquetGeometrySource /"

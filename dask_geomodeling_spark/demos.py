@@ -2611,6 +2611,55 @@ def wkb_source_roundtrip(spark, sf_dir):
                                    "xmax", "ymax", "area")
 
 
+@demo("shapefile_roundtrip", oracle="""
+SELECT s_suppkey,
+       CAST(s_suppkey % 60 AS DOUBLE) AS xmin,
+       CAST((s_suppkey * 7) % 45 AS DOUBLE) AS ymin,
+       CAST(s_suppkey % 60 + 4 + s_suppkey % 3 AS DOUBLE) AS xmax,
+       CAST((s_suppkey * 7) % 45 + 3 + s_suppkey % 2 AS DOUBLE) AS ymax,
+       CAST((4 + s_suppkey % 3) * (3 + s_suppkey % 2) - 1 AS DOUBLE)
+           AS area
+FROM supplier
+""")
+def shapefile_roundtrip(spark, sf_dir):
+    """ESRI shapefile ingestion without GDAL (reference reads OGR
+    containers via fiona, geometry/sources.py:18): per-supplier donut
+    polygons write as 4 real .shp/.shx/.dbf part-files (the format's
+    2 GB cap makes any large corpus many-file — exactly Spark's
+    binaryFile unit of parallelism), read back through
+    ShapefileGeometrySource (two scan-parallel Arrow-batched parses +
+    one co-keyed (file, fid) join, dbf schema inferred from the
+    header), and Area over the decoded rings must reproduce the
+    closed-form value — ring roles survive the disk orientation flip
+    (shapefile outer rings are CW; the engine's contract is CCW)."""
+    import os
+    import tempfile
+
+    from dask_geomodeling_spark.geometry.geom_operations import Area
+    from dask_geomodeling_spark.geometry.shapefile import (
+        ShapefileGeometrySource, write_shapefile)
+    supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    keys = [r[0] for r in supplier.select("s_suppkey").collect()]
+    d = tempfile.mkdtemp(prefix="dgs_shp_")
+    parts = {}
+    for k in keys:
+        x0, y0 = float(k % 60), float((k * 7) % 45)
+        w, h = float(4 + k % 3), float(3 + k % 2)
+        parts.setdefault(k % 4, []).append({
+            "s_suppkey": k,
+            "rings": [[[x0, y0], [x0 + w, y0], [x0 + w, y0 + h],
+                       [x0, y0 + h]],
+                      [[x0 + 1, y0 + 1], [x0 + 1, y0 + 2],
+                       [x0 + 2, y0 + 2], [x0 + 2, y0 + 1]]]})
+    for p, rows in parts.items():
+        write_shapefile(os.path.join(d, "part{}".format(p)), rows,
+                        [("s_suppkey", "N", 12, 0)])
+    src = ShapefileGeometrySource(d, id_field="s_suppkey")
+    view = src.set("area", Area(src))
+    return view.plan(spark).select("s_suppkey", "xmin", "ymin",
+                                   "xmax", "ymax", "area")
+
+
 @demo("rasterize_multipolygon", oracle="""
 SELECT CAST('1970-01-01' AS TIMESTAMP) AS time, y, x, 1.0 AS value
 FROM (SELECT unnest(range(0, 14)) AS x),
