@@ -105,7 +105,14 @@ def GeometryFileSource(url, layer=None, id_field=None):
         from dask_geomodeling_spark.geometry.shapefile import (
             ShapefileGeometrySource)
         return ShapefileGeometrySource(url, id_field=id_field or "fid")
-    if low.endswith((".gpkg", ".gml", ".fgb", ".kml")):
+    if low.endswith(".gpkg"):
+        # stdlib sqlite3 + the engine's WKB codec — no GDAL
+        # (geometry/geopackage.py); layer picks the catalog table
+        from dask_geomodeling_spark.geometry.geopackage import (
+            GeoPackageGeometrySource)
+        return GeoPackageGeometrySource(url, layer=layer,
+                                        id_field=id_field or "fid")
+    if low.endswith((".gml", ".fgb", ".kml")):
         raise NotImplementedError(
             "OGR container formats need GDAL/fiona; re-export the layer"
             " as (Geo)parquet and read it with ParquetGeometrySource /"
