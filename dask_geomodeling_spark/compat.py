@@ -112,10 +112,20 @@ def GeometryFileSource(url, layer=None, id_field=None):
             GeoPackageGeometrySource)
         return GeoPackageGeometrySource(url, layer=layer,
                                         id_field=id_field or "fid")
-    if low.endswith((".gml", ".fgb", ".kml")):
+    if low.endswith(".kml"):
+        # Spark's native XML source + HOF coordinate parsing — no GDAL
+        from dask_geomodeling_spark.geometry.xmlformats import (
+            KMLGeometrySource)
+        return KMLGeometrySource(url, id_field=id_field or "name")
+    if low.endswith(".gml"):
+        from dask_geomodeling_spark.geometry.xmlformats import (
+            GMLGeometrySource)
+        return GMLGeometrySource(url, feature_tag=layer,
+                                 id_field=id_field or "fid")
+    if low.endswith(".fgb"):
         raise NotImplementedError(
-            "OGR container formats need GDAL/fiona; re-export the layer"
-            " as (Geo)parquet and read it with ParquetGeometrySource /"
+            "FlatGeobuf needs GDAL/fiona; re-export the layer as"
+            " (Geo)parquet and read it with ParquetGeometrySource /"
             " WKBGeometrySource")
     return ParquetGeometrySource(url, id_field=id_field or "id")
 

@@ -2707,6 +2707,95 @@ def gpkg_roundtrip(spark, sf_dir):
                                    "xmax", "ymax", "area")
 
 
+@demo("kml_roundtrip", oracle="""
+SELECT p_partkey,
+       CAST(p_partkey % 50 AS DOUBLE) AS xmin,
+       CAST((p_partkey * 11) % 40 AS DOUBLE) AS ymin,
+       CAST(p_partkey % 50 + 3 + p_partkey % 5 AS DOUBLE) AS xmax,
+       CAST((p_partkey * 11) % 40 + 4 + p_partkey % 2 AS DOUBLE) AS ymax,
+       CAST((3 + p_partkey % 5) * (4 + p_partkey % 2) - 1 AS DOUBLE)
+           AS area
+FROM part
+""")
+def kml_roundtrip(spark, sf_dir):
+    """KML ingestion via Spark's native XML source (reference reads
+    OGR containers via fiona, geometry/sources.py:18): per-part donut
+    Placemarks write as 4 KML documents, read back through
+    KMLGeometrySource — the JVM XML reader splits Placemark records,
+    coordinate strings parse with split/transform/aggregate HOFs
+    (zero Python in the scan), ring orientation normalizes via the
+    signed-area fold — and Area must reproduce the closed form."""
+    import os
+    import tempfile
+
+    from dask_geomodeling_spark.geometry.geom_operations import Area
+    from dask_geomodeling_spark.geometry.xmlformats import (
+        KMLGeometrySource, write_kml)
+    part = read_nanos_parquet(spark, _pq(sf_dir, "part"))
+    keys = [r[0] for r in part.select("p_partkey").collect()]
+    d = tempfile.mkdtemp(prefix="dgs_kml_")
+    parts = {}
+    for k in keys:
+        x0, y0 = float(k % 50), float((k * 11) % 40)
+        w, h = float(3 + k % 5), float(4 + k % 2)
+        parts.setdefault(k % 4, []).append({
+            "p_partkey": k,
+            "rings": [[[x0, y0], [x0 + w, y0], [x0 + w, y0 + h],
+                       [x0, y0 + h]],
+                      [[x0 + 1, y0 + 1], [x0 + 1, y0 + 2],
+                       [x0 + 2, y0 + 2], [x0 + 2, y0 + 1]]]})
+    for p, rows in parts.items():
+        write_kml(os.path.join(d, "part{}.kml".format(p)), rows,
+                  ["p_partkey"])
+    src = KMLGeometrySource(d, id_field="p_partkey")
+    view = src.set("area", Area(src))
+    return view.plan(spark).select("p_partkey", "xmin", "ymin",
+                                   "xmax", "ymax", "area")
+
+
+@demo("gml_roundtrip", oracle="""
+SELECT n_nationkey, n_name,
+       CAST(n_nationkey * 3 AS DOUBLE) AS xmin,
+       CAST(n_nationkey % 7 AS DOUBLE) AS ymin,
+       CAST(n_nationkey * 3 + 5 + n_nationkey % 3 AS DOUBLE) AS xmax,
+       CAST(n_nationkey % 7 + 4 AS DOUBLE) AS ymax,
+       CAST((5 + n_nationkey % 3) * 4 - 1 AS DOUBLE) AS area
+FROM nation
+""")
+def gml_roundtrip(spark, sf_dir):
+    """GML simple-features ingestion via Spark's native XML source
+    (reference reads OGR containers via fiona, geometry/sources.py:18):
+    per-nation donut features in a gml:featureMember collection,
+    posList coordinates parse with pure HOF column math, properties
+    keep Spark's XML-inferred types, and Area reproduces the closed
+    form."""
+    import os
+    import tempfile
+
+    from dask_geomodeling_spark.geometry.geom_operations import Area
+    from dask_geomodeling_spark.geometry.xmlformats import (
+        GMLGeometrySource, write_gml)
+    nation = read_nanos_parquet(spark, _pq(sf_dir, "nation"))
+    rows = []
+    for k, name in [(r[0], r[1]) for r in
+                    nation.select("n_nationkey", "n_name").collect()]:
+        x0, y0 = float(k * 3), float(k % 7)
+        w, h = float(5 + k % 3), 4.0
+        rows.append({
+            "n_nationkey": k, "n_name": name,
+            "rings": [[[x0, y0], [x0 + w, y0], [x0 + w, y0 + h],
+                       [x0, y0 + h]],
+                      [[x0 + 1, y0 + 1], [x0 + 1, y0 + 2],
+                       [x0 + 2, y0 + 2], [x0 + 2, y0 + 1]]]})
+    d = tempfile.mkdtemp(prefix="dgs_gml_")
+    write_gml(os.path.join(d, "nations.gml"), rows,
+              ["n_nationkey", "n_name"])
+    src = GMLGeometrySource(d, id_field="n_nationkey")
+    view = src.set("area", Area(src))
+    return view.plan(spark).select("n_nationkey", "n_name", "xmin",
+                                   "ymin", "xmax", "ymax", "area")
+
+
 @demo("rasterize_multipolygon", oracle="""
 SELECT CAST('1970-01-01' AS TIMESTAMP) AS time, y, x, 1.0 AS value
 FROM (SELECT unnest(range(0, 14)) AS x),

@@ -1,0 +1,93 @@
+"""KML/GML sources over Spark's native XML reader
+(geometry/xmlformats.py).
+
+Reference reads both via fiona/OGR (geometry/sources.py:18); here the
+JVM XML source splits row-tag records and coordinate strings parse as
+pure column math.  Pins: ring orientation normalization, hole
+handling, single-vs-repeated element schema shapes, property typing,
+request filters, compat routing.
+"""
+
+import os
+
+from dask_geomodeling_spark.geometry.xmlformats import (
+    GMLGeometrySource, KMLGeometrySource, write_gml, write_kml)
+
+DONUT = [[[0, 0], [4, 0], [4, 3], [0, 3]],
+         [[1, 1], [1, 2], [2, 2], [2, 1]]]
+TWO_HOLES = [[[0, 0], [10, 0], [10, 10], [0, 10]],
+             [[1, 1], [1, 2], [2, 2], [2, 1]],
+             [[5, 5], [5, 7], [7, 7], [7, 5]]]
+
+
+def _rows():
+    return [
+        {"name": "donut", "val": 7, "rings": DONUT},
+        {"name": "pt", "val": 8, "x": 4.5, "y": 52.1},
+        # CW outer ring: a non-compliant writer; must normalize
+        {"name": "cw", "val": 9,
+         "rings": [[[10, 0], [10, 2], [12, 2], [12, 0]]]},
+        {"name": "holes", "val": 10, "rings": TWO_HOLES},
+    ]
+
+
+def _area_by_name(spark, src):
+    from dask_geomodeling_spark.geometry.geom_operations import Area
+    view = src.set("area", Area(src))
+    return {r["name"]: r for r in view.plan(spark).collect()}
+
+
+def test_kml_geometry_and_props(spark, tmp_path):
+    write_kml(str(tmp_path / "a.kml"), _rows(), ["val"])
+    src = KMLGeometrySource(str(tmp_path))
+    out = _area_by_name(spark, src)
+    assert out["donut"]["area"] == 11.0
+    assert out["cw"]["area"] == 4.0
+    assert out["holes"]["area"] == 100.0 - 1.0 - 4.0
+    assert out["pt"]["x"] == 4.5 and out["pt"]["xmin"] == 4.5
+    assert out["donut"]["val"] == 7  # XML-inferred numeric type
+    assert src.plan(spark, filters={"val__gte": 9}).count() == 2
+
+
+def test_kml_explicit_schema(spark, tmp_path):
+    write_kml(str(tmp_path / "a.kml"), _rows(), ["val"])
+    src = KMLGeometrySource(str(tmp_path), schema="val DOUBLE")
+    row = src.plan(spark, filters={"name": "pt"}).collect()[0]
+    assert row["val"] == 8.0 and isinstance(row["val"], float)
+
+
+def test_gml_geometry_and_props(spark, tmp_path):
+    write_gml(str(tmp_path / "a.gml"), _rows(), ["name", "val"])
+    src = GMLGeometrySource(str(tmp_path))
+    out = _area_by_name(spark, src)
+    assert out["donut"]["area"] == 11.0
+    assert out["cw"]["area"] == 4.0
+    assert out["holes"]["area"] == 95.0
+    assert out["pt"]["y"] == 52.1
+    assert out["donut"]["val"] == 7
+    assert src.plan(spark, geometry=(4.4, 52.0, 4.6, 52.2)).count() == 1
+
+
+def test_gml_single_hole_schema_shape(spark, tmp_path):
+    # one interior ring infers as a STRUCT (not array); must still read
+    write_gml(str(tmp_path / "one.gml"),
+              [{"name": "d", "val": 1, "rings": DONUT}], ["name", "val"])
+    src = GMLGeometrySource(str(tmp_path / "one.gml"))
+    out = _area_by_name(spark, src)
+    assert out["d"]["area"] == 11.0
+    assert len(out["d"]["rings"]) == 2
+
+
+def test_compat_kml_gml(spark, tmp_path):
+    from dask_geomodeling_spark import compat
+    write_kml(str(tmp_path / "l.kml"),
+              [{"name": "a", "val": 1, "x": 1.0, "y": 2.0}], ["val"])
+    write_gml(str(tmp_path / "l.gml"),
+              [{"name": "a", "val": 1, "x": 1.0, "y": 2.0}],
+              ["name", "val"])
+    k = compat.GeometryFileSource(str(tmp_path / "l.kml"))
+    g = compat.GeometryFileSource(str(tmp_path / "l.gml"))
+    assert isinstance(k, KMLGeometrySource)
+    assert isinstance(g, GMLGeometrySource)
+    assert k.plan(spark).collect()[0]["x"] == 1.0
+    assert g.plan(spark).collect()[0]["y"] == 2.0
