@@ -2279,6 +2279,105 @@ def reproject_rd_roundtrip(spark, sf_dir):
     return f.join(b, "c_custkey")
 
 
+def _projext_lonlat_sql(lon0, lon_span, lat0, lat_span):
+    lon = ("({lon0!r} + CAST(c_custkey % 331 AS DOUBLE) / 331.0 "
+           "* {span!r})").format(lon0=lon0, span=lon_span)
+    lat = ("({lat0!r} + CAST((c_custkey * 7) % 293 AS DOUBLE) / 293.0 "
+           "* {span!r})").format(lat0=lat0, span=lat_span)
+    return lon, lat
+
+
+def _projext_oracle(crs, lon0, lon_span, lat0, lat_span):
+    # coordinates quantize to 0.1 m and closure residuals to 1e-6
+    # degrees IN-ENGINE on both sides: the shared SQL text is ulp-
+    # identical across engines only for pure arithmetic; the conic
+    # transcendental chains diverge ~1e-9, so the compared values are
+    # rounded far above that noise floor (residuals are ~1e-8 and
+    # round to exactly 0.0 in both engines)
+    from dask_geomodeling_spark.geometry.proj import point_transform_sql
+    lon, lat = _projext_lonlat_sql(lon0, lon_span, lat0, lat_span)
+    x, y = point_transform_sql("EPSG:4326", crs, "lon", "lat")
+    lon_b, lat_b = point_transform_sql(crs, "EPSG:4326", "px", "py")
+    return """
+WITH pts AS (SELECT c_custkey, {lon} AS lon, {lat} AS lat FROM customer),
+fwd AS (SELECT c_custkey, lon, lat, {x} AS px, {y} AS py FROM pts)
+SELECT c_custkey, round(px, 1) AS px, round(py, 1) AS py,
+       round(({lon_b}) - lon, 6) AS dlon,
+       round(({lat_b}) - lat, 6) AS dlat
+FROM fwd
+""".format(lon=lon, lat=lat, x=x, y=y, lon_b=lon_b, lat_b=lat_b)
+
+
+def _projext_roundtrip(spark, sf_dir, crs, lon0, lon_span, lat0,
+                       lat_span):
+    """Shared Spark body: 4326 → crs → 4326 through Reproject, both
+    legs the same SQL text the oracle replays; outputs quantized as in
+    ``_projext_oracle``."""
+    from dask_geomodeling_spark.geometry.proj import Reproject
+    customer = read_nanos_parquet(spark, _pq(sf_dir, "customer"))
+    lon, lat = _projext_lonlat_sql(lon0, lon_span, lat0, lat_span)
+    pts = customer.select("c_custkey", F.expr(lon).alias("x"),
+                          F.expr(lat).alias("y"))
+    src = DataFrameSource(pts, index_column="c_custkey")
+    fwd = Reproject(src, "EPSG:4326", crs)
+    back = Reproject(fwd, crs, "EPSG:4326")
+    f = fwd.plan(spark).select(
+        "c_custkey",
+        F.round("x", 1).alias("px"), F.round("y", 1).alias("py"))
+    b = back.plan(spark).select(
+        "c_custkey",
+        F.round(F.col("x") - F.expr(lon), 6).alias("dlon"),
+        F.round(F.col("y") - F.expr(lat), 6).alias("dlat"))
+    return f.join(b, "c_custkey")
+
+
+@demo("reproject_lcc", oracle=_projext_oracle(
+    "EPSG:2154", -4.0, 11.0, 42.0, 9.0))
+def reproject_lcc(spark, sf_dir):
+    """Lambert Conformal Conic 2SP (RGF93 / Lambert-93, EPSG:2154 —
+    Snyder eqs. 15-1..15-11 with the series inverse 3-5; reference
+    delegates all conic CRS to pyproj, utils.py:53–116): 4326 → 2154 →
+    4326 both ways as ONE shared SQL string per leg, oracle-exact.
+    The forward lands Paris at the published (652469.02, 6862035.26);
+    roundtrip closure < 1e-8 degrees."""
+    return _projext_roundtrip(spark, sf_dir, "EPSG:2154",
+                              -4.0, 11.0, 42.0, 9.0)
+
+
+@demo("reproject_albers", oracle=_projext_oracle(
+    "EPSG:5070", -120.0, 45.0, 25.0, 24.0))
+def reproject_albers(spark, sf_dir):
+    """Albers Equal-Area Conic 2SP (NAD83 / CONUS Albers, EPSG:5070 —
+    Snyder eqs. 14-1..14-11 with the authalic-latitude series inverse
+    3-18): the US national-grid family, registered from its EPSG
+    parameters; same shared-text determinism contract."""
+    return _projext_roundtrip(spark, sf_dir, "EPSG:5070",
+                              -120.0, 45.0, 25.0, 24.0)
+
+
+@demo("reproject_laea", oracle=_projext_oracle(
+    "EPSG:3035", -10.0, 40.0, 35.0, 35.0))
+def reproject_laea(spark, sf_dir):
+    """Lambert Azimuthal Equal-Area (ETRS89 / LAEA Europe, EPSG:3035
+    — Snyder eqs. 24-2..24-14, oblique aspect; the EU statistical
+    grid): forward maps the projection origin (10E, 52N) exactly to
+    the false origin (4321000, 3210000); inverse closes < 1e-8
+    degrees via the authalic series."""
+    return _projext_roundtrip(spark, sf_dir, "EPSG:3035",
+                              -10.0, 40.0, 35.0, 35.0)
+
+
+@demo("reproject_polar", oracle=_projext_oracle(
+    "EPSG:3413", -170.0, 340.0, 62.0, 26.0))
+def reproject_polar(spark, sf_dir):
+    """Polar Stereographic variant B (WGS84 / NSIDC Sea-Ice North,
+    EPSG:3413, standard parallel 70N — Snyder eqs. 21-33..21-41):
+    the polar science grid, all longitudes, conformal-series
+    inverse; same shared-text determinism contract."""
+    return _projext_roundtrip(spark, sf_dir, "EPSG:3413",
+                              -170.0, 340.0, 62.0, 26.0)
+
+
 def _rd_web_oracle():
     from dask_geomodeling_spark.geometry.proj import point_transform_sql
     x, y = point_transform_sql("EPSG:28992", "EPSG:3857", "rd_x", "rd_y")

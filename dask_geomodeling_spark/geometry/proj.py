@@ -230,11 +230,12 @@ _SUPPORTED = {("EPSG:4326", "EPSG:3857"), ("EPSG:3857", "EPSG:4326"),
 
 def _direct_pair(src_crs, dst_crs):
     """Whether ONE closed form covers the pair (no pivot needed)."""
+    from dask_geomodeling_spark.geometry.proj_ext import projected_crs
     if src_crs == dst_crs:
         return True
-    if _UTM_RE.match(dst_crs):
+    if _UTM_RE.match(dst_crs) or projected_crs(dst_crs):
         return src_crs == _WGS
-    if _UTM_RE.match(src_crs):
+    if _UTM_RE.match(src_crs) or projected_crs(src_crs):
         return dst_crs == _WGS
     return (src_crs, dst_crs) in _SUPPORTED
 
@@ -250,6 +251,12 @@ def _point_sql(src_crs, dst_crs, x_sql, y_sql):
     if not _direct_pair(src_crs, dst_crs):
         lon, lat = _point_sql(src_crs, _WGS, x_sql, y_sql)
         return _point_sql(_WGS, dst_crs, lon, lat)
+    from dask_geomodeling_spark.geometry.proj_ext import projected_crs
+    ext_dst, ext_src = projected_crs(dst_crs), projected_crs(src_crs)
+    if ext_dst is not None:
+        return ext_dst.forward(y_sql, x_sql)
+    if ext_src is not None:
+        return ext_src.inverse(x_sql, y_sql)
     utm = _UTM_RE.match(dst_crs)
     utm_src = _UTM_RE.match(src_crs)
     if utm:
@@ -290,9 +297,12 @@ def validate_crs_pair(src_crs, dst_crs):
     if _direct_pair(src_crs, _WGS) and _direct_pair(_WGS, dst_crs):
         return src_crs, dst_crs
     raise NotImplementedError(
-        "supported natively: EPSG:4326 <-> EPSG:3857/4087/28992 and "
-        "EPSG:4326 <-> UTM EPSG:326xx/327xx, plus any pair of those "
-        "composed through EPSG:4326; other CRS pairs need pyproj/GDAL "
+        "supported natively: EPSG:4326 <-> EPSG:3857/4087/28992, "
+        "UTM EPSG:326xx/327xx, the registered conic/azimuthal grids "
+        "(2154/3978/5070/3035/3413/3976 built in), plus any pair of "
+        "those composed through EPSG:4326; other LCC/Albers/"
+        "stereographic/LAEA CRS register at runtime via proj_ext."
+        "register_projected_crs(...); anything else needs pyproj/GDAL "
         "(reference: utils.get_transform_func)")
 
 

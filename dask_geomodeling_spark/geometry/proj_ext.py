@@ -1,0 +1,357 @@
+"""Parameterized projected-CRS registry: Lambert Conformal Conic,
+Albers Equal-Area, Polar Stereographic, Lambert Azimuthal Equal-Area.
+
+The reference delegates every CRS pair to pyproj/GDAL (reference
+utils.py:53–116 get_sr/shapely_transform); this environment has
+neither, so round 5 shipped the closed-form set (web-mercator, UTM,
+RD New).  This module generalizes that: the four conic/azimuthal
+families above cover most national grids (Lambert-93, Canada LCC,
+US Albers, the EU LAEA grid, the polar science grids), and each is a
+PUBLIC closed form (Snyder, "Map Projections — A Working Manual",
+USGS PP 1395: eqs. 15-x LCC, 14-x Albers, 21-x/22-x stereographic,
+24-x LAEA).  Inverses avoid Snyder's fixed-point iteration by using
+the conformal/authalic latitude SERIES (eqs. 3-5 and 3-18), so every
+transform is ONE SQL expression string — identical text in Spark SQL
+and DuckDB, identical evaluation order, oracle-exact, and pure
+column math inside whole-stage codegen at any scale.
+
+Built-in registrations: EPSG:2154 (RGF93 / Lambert-93),
+EPSG:3978 (NAD83 / Canada Atlas Lambert), EPSG:5070 (NAD83 / CONUS
+Albers), EPSG:3035 (ETRS89 / LAEA Europe), EPSG:3413 / EPSG:3976
+(WGS84 NSIDC polar stereographic north/south).  Any other CRS of
+these families registers at runtime from its projection parameters
+via ``register_projected_crs`` — the escape hatch that makes
+"arbitrary CRS" a parameter lookup instead of a native dependency.
+(NAD83/ETRS89/RGF93 are treated as coincident with WGS84 — the
+standard sub-meter approximation.)
+"""
+
+from __future__ import annotations
+
+import math
+
+__all__ = ["register_projected_crs", "projected_crs", "ELLIPSOIDS"]
+
+#: (a, e²) by name — semi-major axis and first eccentricity squared
+ELLIPSOIDS = {
+    "WGS84": (6378137.0, 1.0 / 298.257223563),
+    "GRS80": (6378137.0, 1.0 / 298.257222101),
+    "clarke1866": (6378206.4, None),  # defined via b below
+    "intl1924": (6378388.0, 1.0 / 297.0),
+}
+
+
+def _ellipsoid(name):
+    a, f = ELLIPSOIDS[name]
+    if name == "clarke1866":
+        b = 6356583.8
+        e2 = 1.0 - (b / a) ** 2
+    else:
+        e2 = f * (2.0 - f)
+    return a, e2
+
+
+# ---- numeric helpers (projection constants, driver-side) -----------------
+
+def _m_num(phi, e):
+    return math.cos(phi) / math.sqrt(1.0 - (e * math.sin(phi)) ** 2)
+
+
+def _t_num(phi, e):
+    return (math.tan(math.pi / 4.0 - phi / 2.0)
+            * ((1.0 + e * math.sin(phi))
+               / (1.0 - e * math.sin(phi))) ** (e / 2.0))
+
+
+def _q_num(phi, e):
+    s = math.sin(phi)
+    return (1.0 - e * e) * (s / (1.0 - (e * s) ** 2)
+                            - (1.0 / (2.0 * e)) * math.log(
+                                (1.0 - e * s) / (1.0 + e * s)))
+
+
+# ---- SQL text builders ---------------------------------------------------
+
+def _t_sql(p, e):
+    """Snyder 15-9 isometric t(φ) for a radians SQL text ``p``."""
+    es = "({e!r} * sin({p}))".format(e=e, p=p)
+    return ("(tan(pi() / 4 - {p} / 2) * exp({eh!r} * "
+            "ln((1 + {es}) / (1 - {es}))))").format(
+        p=p, eh=e / 2.0, es=es)
+
+
+def _q_sql(p, e):
+    """Snyder 3-12 authalic q(φ) for a radians SQL text ``p``."""
+    s = "sin({p})".format(p=p)
+    return ("({c!r} * ({s} / (1 - {e2!r} * {s} * {s}) - {h!r} * "
+            "ln((1 - {e!r} * {s}) / (1 + {e!r} * {s}))))").format(
+        c=1.0 - e * e, s=s, e2=e * e, h=1.0 / (2.0 * e), e=e)
+
+
+def _conformal_lat_sql(chi, e2):
+    """Snyder 3-5: φ from the conformal latitude χ (series — no
+    iteration), as degrees SQL."""
+    e4, e6, e8 = e2 * e2, e2 ** 3, e2 ** 4
+    c2 = e2 / 2.0 + 5.0 * e4 / 24.0 + e6 / 12.0 + 13.0 * e8 / 360.0
+    c4 = 7.0 * e4 / 48.0 + 29.0 * e6 / 240.0 + 811.0 * e8 / 11520.0
+    c6 = 7.0 * e6 / 120.0 + 81.0 * e8 / 1120.0
+    c8 = 4279.0 * e8 / 161280.0
+    return ("degrees({x} + {c2!r} * sin(2 * {x}) + {c4!r} * sin(4 * {x})"
+            " + {c6!r} * sin(6 * {x}) + {c8!r} * sin(8 * {x}))").format(
+        x=chi, c2=c2, c4=c4, c6=c6, c8=c8)
+
+
+def _authalic_lat_sql(beta, e2):
+    """Snyder 3-18: φ from the authalic latitude β (series), degrees."""
+    e4, e6 = e2 * e2, e2 ** 3
+    c2 = e2 / 3.0 + 31.0 * e4 / 180.0 + 517.0 * e6 / 5040.0
+    c4 = 23.0 * e4 / 360.0 + 251.0 * e6 / 3780.0
+    c6 = 761.0 * e6 / 45360.0
+    return ("degrees({x} + {c2!r} * sin(2 * {x}) + {c4!r} * sin(4 * {x})"
+            " + {c6!r} * sin(6 * {x}))").format(x=beta, c2=c2, c4=c4,
+                                                c6=c6)
+
+
+class _Lcc:
+    """Lambert Conformal Conic 2SP (Snyder 15-1..15-11)."""
+
+    def __init__(self, lat0, lon0, lat1, lat2, x0, y0, ellipsoid):
+        a, e2 = _ellipsoid(ellipsoid)
+        e = math.sqrt(e2)
+        p0, p1, p2 = (math.radians(v) for v in (lat0, lat1, lat2))
+        m1, m2 = _m_num(p1, e), _m_num(p2, e)
+        t0, t1, t2 = _t_num(p0, e), _t_num(p1, e), _t_num(p2, e)
+        if lat1 == lat2:
+            n = math.sin(p1)
+        else:
+            n = math.log(m1 / m2) / math.log(t1 / t2)
+        big_f = m1 / (n * t1 ** n)
+        self.a, self.e, self.e2 = a, e, e2
+        self.n, self.aF = n, a * big_f
+        self.rho0 = a * big_f * t0 ** n
+        self.lon0 = math.radians(lon0)
+        self.x0, self.y0 = x0, y0
+
+    def forward(self, lat, lon):
+        t = _t_sql("radians({})".format(lat), self.e)
+        rho = "({aF!r} * exp({n!r} * ln({t})))".format(
+            aF=self.aF, n=self.n, t=t)
+        th = "({n!r} * (radians({lon}) - {l0!r}))".format(
+            n=self.n, lon=lon, l0=self.lon0)
+        x = "({x0!r} + {rho} * sin({th}))".format(x0=self.x0, rho=rho,
+                                                  th=th)
+        y = "({y0!r} + {r0!r} - {rho} * cos({th}))".format(
+            y0=self.y0, r0=self.rho0, rho=rho, th=th)
+        return x, y
+
+    def inverse(self, x, y):
+        sgn = 1.0 if self.n >= 0 else -1.0
+        dx = "({sg!r} * (({x}) - {x0!r}))".format(sg=sgn, x=x, x0=self.x0)
+        dy = "({sg!r} * ({r0!r} - (({y}) - {y0!r})))".format(
+            sg=sgn, r0=self.rho0, y=y, y0=self.y0)
+        rho = "sqrt({dx} * {dx} + {dy} * {dy})".format(dx=dx, dy=dy)
+        tp = "exp(ln({rho} / {aF!r}) / {n!r})".format(rho=rho, aF=self.aF,
+                                                      n=self.n)
+        chi = "(pi() / 2 - 2 * atan({t}))".format(t=tp)
+        lon = "degrees({l0!r} + atan2({dx}, {dy}) / {n!r})".format(
+            l0=self.lon0, dx=dx, dy=dy, n=self.n)
+        return lon, _conformal_lat_sql(chi, self.e2)
+
+
+class _Albers:
+    """Albers Equal-Area Conic 2SP (Snyder 14-1..14-11)."""
+
+    def __init__(self, lat0, lon0, lat1, lat2, x0, y0, ellipsoid):
+        a, e2 = _ellipsoid(ellipsoid)
+        e = math.sqrt(e2)
+        p0, p1, p2 = (math.radians(v) for v in (lat0, lat1, lat2))
+        m1, m2 = _m_num(p1, e), _m_num(p2, e)
+        q0, q1, q2 = (_q_num(p, e) for p in (p0, p1, p2))
+        if lat1 == lat2:
+            n = math.sin(p1)
+        else:
+            n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        self.a, self.e, self.e2, self.n = a, e, e2, n
+        self.c = m1 * m1 + n * q1
+        self.rho0 = a * math.sqrt(self.c - n * q0) / n
+        self.qp = _q_num(math.pi / 2.0, e)
+        self.lon0 = math.radians(lon0)
+        self.x0, self.y0 = x0, y0
+
+    def forward(self, lat, lon):
+        q = _q_sql("radians({})".format(lat), self.e)
+        rho = "({an!r} * sqrt({c!r} - {n!r} * {q}))".format(
+            an=self.a / self.n, c=self.c, n=self.n, q=q)
+        th = "({n!r} * (radians({lon}) - {l0!r}))".format(
+            n=self.n, lon=lon, l0=self.lon0)
+        x = "({x0!r} + {rho} * sin({th}))".format(x0=self.x0, rho=rho,
+                                                  th=th)
+        y = "({y0!r} + {r0!r} - {rho} * cos({th}))".format(
+            y0=self.y0, r0=self.rho0, rho=rho, th=th)
+        return x, y
+
+    def inverse(self, x, y):
+        sgn = 1.0 if self.n >= 0 else -1.0
+        dx = "({sg!r} * (({x}) - {x0!r}))".format(sg=sgn, x=x, x0=self.x0)
+        dy = "({sg!r} * ({r0!r} - (({y}) - {y0!r})))".format(
+            sg=sgn, r0=self.rho0, y=y, y0=self.y0)
+        rho2 = "({dx} * {dx} + {dy} * {dy})".format(dx=dx, dy=dy)
+        qp = "(({c!r} - {rho2} * {k!r}) / {n!r})".format(
+            c=self.c, rho2=rho2, k=(self.n / self.a) ** 2, n=self.n)
+        beta = "asin({q} / {qp!r})".format(q=qp, qp=self.qp)
+        lon = "degrees({l0!r} + atan2({dx}, {dy}) / {n!r})".format(
+            l0=self.lon0, dx=dx, dy=dy, n=self.n)
+        return lon, _authalic_lat_sql(beta, self.e2)
+
+
+class _PolarStereo:
+    """Polar Stereographic variant B — standard parallel ``lat_ts``
+    (Snyder 21-33..21-41; EPSG 9829)."""
+
+    def __init__(self, lat_ts, lon0, x0, y0, ellipsoid, south):
+        a, e2 = _ellipsoid(ellipsoid)
+        e = math.sqrt(e2)
+        pts = math.radians(abs(lat_ts))
+        self.a, self.e, self.e2 = a, e, e2
+        #: ρ = a·m_c·t/t_c  (variant B scaling)
+        self.k = a * _m_num(pts, e) / _t_num(pts, e)
+        self.lon0 = math.radians(lon0)
+        self.x0, self.y0 = x0, y0
+        self.south = south
+
+    def forward(self, lat, lon):
+        s = -1.0 if self.south else 1.0
+        p = "({s!r} * radians({lat}))".format(s=s, lat=lat)
+        t = _t_sql(p, self.e)
+        rho = "({k!r} * {t})".format(k=self.k, t=t)
+        dl = "({s!r} * (radians({lon}) - {l0!r}))".format(
+            s=s, lon=lon, l0=self.lon0)
+        x = "({x0!r} + {s!r} * {rho} * sin({dl}))".format(
+            x0=self.x0, s=s, rho=rho, dl=dl)
+        y = "({y0!r} - {s!r} * {rho} * cos({dl}))".format(
+            y0=self.y0, s=s, rho=rho, dl=dl)
+        return x, y
+
+    def inverse(self, x, y):
+        s = -1.0 if self.south else 1.0
+        dx = "({s!r} * (({x}) - {x0!r}))".format(s=s, x=x, x0=self.x0)
+        dy = "({s!r} * ({y0!r} - ({y})))".format(s=s, y0=self.y0, y=y)
+        rho = "sqrt({dx} * {dx} + {dy} * {dy})".format(dx=dx, dy=dy)
+        tp = "({rho} / {k!r})".format(rho=rho, k=self.k)
+        chi = "(pi() / 2 - 2 * atan({t}))".format(t=tp)
+        lat = "({s!r} * {phi})".format(
+            s=s, phi=_conformal_lat_sql(chi, self.e2))
+        # all longitudes occur around a pole: wrap into [-180, 180)
+        lon = ("((degrees({l0!r} + {s!r} * atan2({dx}, {dy})) + 540.0) "
+               "% 360.0 - 180.0)").format(l0=self.lon0, s=s, dx=dx,
+                                          dy=dy)
+        return lon, lat
+
+
+class _Laea:
+    """Lambert Azimuthal Equal-Area, oblique aspect (Snyder
+    24-2..24-14 / 3-11..3-18; EPSG 9820 — the ETRS89-LAEA grid)."""
+
+    def __init__(self, lat0, lon0, x0, y0, ellipsoid):
+        a, e2 = _ellipsoid(ellipsoid)
+        e = math.sqrt(e2)
+        p0 = math.radians(lat0)
+        self.a, self.e, self.e2 = a, e, e2
+        self.qp = _q_num(math.pi / 2.0, e)
+        self.b0 = math.asin(_q_num(p0, e) / self.qp)
+        self.rq = a * math.sqrt(self.qp / 2.0)
+        self.d = a * _m_num(p0, e) / (self.rq * math.cos(self.b0))
+        self.lon0 = math.radians(lon0)
+        self.x0, self.y0 = x0, y0
+
+    def forward(self, lat, lon):
+        q = _q_sql("radians({})".format(lat), self.e)
+        beta = "asin({q} / {qp!r})".format(q=q, qp=self.qp)
+        dl = "(radians({lon}) - {l0!r})".format(lon=lon, l0=self.lon0)
+        den = ("(1 + {sb0!r} * sin({b}) + {cb0!r} * cos({b}) * cos({dl}))"
+               ).format(sb0=math.sin(self.b0), cb0=math.cos(self.b0),
+                        b=beta, dl=dl)
+        bb = "({rq!r} * sqrt(2 / {den}))".format(rq=self.rq, den=den)
+        x = "({x0!r} + {bb} * {d!r} * cos({b}) * sin({dl}))".format(
+            x0=self.x0, bb=bb, d=self.d, b=beta, dl=dl)
+        y = ("({y0!r} + ({bb} / {d!r}) * ({cb0!r} * sin({b}) - "
+             "{sb0!r} * cos({b}) * cos({dl})))").format(
+            y0=self.y0, bb=bb, d=self.d, cb0=math.cos(self.b0),
+            sb0=math.sin(self.b0), b=beta, dl=dl)
+        return x, y
+
+    def inverse(self, x, y):
+        dx = "((({x}) - {x0!r}) / {d!r})".format(x=x, x0=self.x0, d=self.d)
+        dy = "({d!r} * (({y}) - {y0!r}))".format(d=self.d, y=y, y0=self.y0)
+        rho = "sqrt({dx} * {dx} + {dy} * {dy})".format(dx=dx, dy=dy)
+        ce = "(2 * asin({rho} / {r2!r}))".format(rho=rho, r2=2.0 * self.rq)
+        # β' = asin(cos(ce)·sinβ0 + dy·sin(ce)·cosβ0/ρ); ρ→0 guard
+        # collapses to the origin latitude
+        beta = ("asin(cos({ce}) * {sb0!r} + IF({rho} = 0, 0, "
+                "{dy} * sin({ce}) * {cb0!r} / {rho}))").format(
+            ce=ce, sb0=math.sin(self.b0), rho=rho, dy=dy,
+            cb0=math.cos(self.b0))
+        lon = ("degrees({l0!r} + atan2({dx} * sin({ce}), "
+               "{rho} * {cb0!r} * cos({ce}) - {dy} * {sb0!r} * sin({ce})))"
+               ).format(l0=self.lon0, dx=dx, ce=ce, rho=rho,
+                        cb0=math.cos(self.b0), dy=dy,
+                        sb0=math.sin(self.b0))
+        return lon, _authalic_lat_sql(beta, self.e2)
+
+
+_REGISTRY = {}
+
+_KINDS = {"lcc": _Lcc, "albers": _Albers, "stereographic": _PolarStereo,
+          "laea": _Laea}
+
+
+def register_projected_crs(code, kind, *, lat0=0.0, lon0=0.0, lat1=None,
+                           lat2=None, lat_ts=None, x0=0.0, y0=0.0,
+                           ellipsoid="WGS84", south=False):
+    """Register a projected CRS of a supported family so the engine's
+    closed-form SQL machinery (Reproject, raster warp, request
+    projection) covers it — parameters straight off the EPSG/proj
+    definition.  kind: 'lcc' | 'albers' | 'stereographic' | 'laea'."""
+    code = str(code).upper()
+    if kind in ("lcc", "albers"):
+        if lat1 is None:
+            raise ValueError("{} needs lat1/lat2".format(kind))
+        proj = _KINDS[kind](lat0, lon0, lat1,
+                            lat2 if lat2 is not None else lat1,
+                            x0, y0, ellipsoid)
+    elif kind == "stereographic":
+        proj = _PolarStereo(lat_ts if lat_ts is not None else lat0,
+                            lon0, x0, y0, ellipsoid, south)
+    elif kind == "laea":
+        proj = _Laea(lat0, lon0, x0, y0, ellipsoid)
+    else:
+        raise ValueError("unknown projection kind {!r}".format(kind))
+    _REGISTRY[code] = proj
+    return proj
+
+
+def projected_crs(code):
+    """The registered projection for ``code``, or None."""
+    return _REGISTRY.get(str(code).upper())
+
+
+# ---- built-in registrations (parameters from the EPSG registry) ----------
+
+register_projected_crs("EPSG:2154", "lcc", lat0=46.5, lon0=3.0,
+                       lat1=49.0, lat2=44.0, x0=700000.0, y0=6600000.0,
+                       ellipsoid="GRS80")  # RGF93 / Lambert-93
+register_projected_crs("EPSG:3978", "lcc", lat0=49.0, lon0=-95.0,
+                       lat1=49.0, lat2=77.0, ellipsoid="GRS80"
+                       )  # NAD83 / Canada Atlas Lambert
+register_projected_crs("EPSG:5070", "albers", lat0=23.0, lon0=-96.0,
+                       lat1=29.5, lat2=45.5, ellipsoid="GRS80"
+                       )  # NAD83 / CONUS Albers
+register_projected_crs("EPSG:3035", "laea", lat0=52.0, lon0=10.0,
+                       x0=4321000.0, y0=3210000.0, ellipsoid="GRS80"
+                       )  # ETRS89-extended / LAEA Europe
+register_projected_crs("EPSG:3413", "stereographic", lat_ts=70.0,
+                       lon0=-45.0, ellipsoid="WGS84"
+                       )  # WGS84 / NSIDC Sea Ice Polar Stereo North
+register_projected_crs("EPSG:3976", "stereographic", lat_ts=-70.0,
+                       lon0=0.0, ellipsoid="WGS84", south=True
+                       )  # WGS84 / NSIDC Sea Ice Polar Stereo South

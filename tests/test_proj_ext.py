@@ -1,0 +1,131 @@
+"""Parameterized projected-CRS registry (geometry/proj_ext.py).
+
+Reference delegates all CRS to pyproj (utils.py:53–116); these pin
+the closed-form conic/azimuthal families against Snyder's published
+worked examples (USGS PP 1395), known landmark coordinates, origin
+invariants, and roundtrip closure through the Reproject operator.
+"""
+
+import math
+
+import pytest
+
+from dask_geomodeling_spark.geometry.proj import (point_transform_sql,
+                                                  validate_crs_pair)
+from dask_geomodeling_spark.geometry.proj_ext import (
+    projected_crs, register_projected_crs)
+
+
+def _ev(spark, pair):
+    return tuple(spark.sql("SELECT CAST({} AS DOUBLE), CAST({} AS "
+                           "DOUBLE)".format(*pair)).first())
+
+
+def _lit(v):
+    return "CAST({!r} AS DOUBLE)".format(v)
+
+
+def test_snyder_lcc_worked_example(spark):
+    # Snyder p.296: Clarke 1866, phi1=33, phi2=45, phi0=23, lon0=-96,
+    # point (35N, 75W) -> E=1894410.9, N=1564649.5
+    p = register_projected_crs("TEST:LCCX", "lcc", lat0=23, lon0=-96,
+                               lat1=33, lat2=45, ellipsoid="clarke1866")
+    x, y = _ev(spark, p.forward(_lit(35.0), _lit(-75.0)))
+    assert abs(x - 1894410.9) < 0.5 and abs(y - 1564649.5) < 0.5
+    lon, lat = _ev(spark, p.inverse(_lit(x), _lit(y)))
+    assert abs(lon + 75.0) < 1e-7 and abs(lat - 35.0) < 1e-6
+
+
+def test_snyder_albers_worked_example(spark):
+    # Snyder p.292: Clarke 1866, phi1=29.5, phi2=45.5, phi0=23,
+    # lon0=-96, point (35N, 75W) -> E=1885472.7, N=1535925.0
+    p = register_projected_crs("TEST:ALBX", "albers", lat0=23, lon0=-96,
+                               lat1=29.5, lat2=45.5,
+                               ellipsoid="clarke1866")
+    x, y = _ev(spark, p.forward(_lit(35.0), _lit(-75.0)))
+    assert abs(x - 1885472.7) < 0.5 and abs(y - 1535925.0) < 0.5
+    lon, lat = _ev(spark, p.inverse(_lit(x), _lit(y)))
+    assert abs(lon + 75.0) < 1e-7 and abs(lat - 35.0) < 1e-6
+
+
+def test_snyder_polar_stereo_worked_example(spark):
+    # Snyder p.315: International 1924, lat_ts=-71, lon0=-100,
+    # point (75S, 150E) -> x=-1540033.6, y=-560526.4
+    p = register_projected_crs("TEST:PSX", "stereographic",
+                               lat_ts=-71.0, lon0=-100.0,
+                               ellipsoid="intl1924", south=True)
+    x, y = _ev(spark, p.forward(_lit(-75.0), _lit(150.0)))
+    assert abs(x + 1540033.6) < 0.5 and abs(y + 560526.4) < 0.5
+    lon, lat = _ev(spark, p.inverse(_lit(x), _lit(y)))
+    assert abs(lon - 150.0) < 1e-6 and abs(lat + 75.0) < 1e-6
+
+
+def test_lambert93_paris(spark):
+    # published Lambert-93 coordinate of Notre-Dame-ish Paris
+    x, y = _ev(spark, point_transform_sql(
+        "EPSG:4326", "EPSG:2154", _lit(2.3522), _lit(48.8566)))
+    assert abs(x - 652469.02) < 0.05 and abs(y - 6862035.26) < 0.05
+
+
+def test_laea_origin_maps_to_false_origin(spark):
+    x, y = _ev(spark, point_transform_sql(
+        "EPSG:4326", "EPSG:3035", _lit(10.0), _lit(52.0)))
+    assert abs(x - 4321000.0) < 1e-6 and abs(y - 3210000.0) < 1e-6
+
+
+def test_polar_central_meridian(spark):
+    # 75N on the 45W central meridian: x = 0 exactly, y < 0
+    x, y = _ev(spark, point_transform_sql(
+        "EPSG:4326", "EPSG:3413", _lit(-45.0), _lit(75.0)))
+    assert abs(x) < 1e-9 and y < -1.6e6
+
+
+@pytest.mark.parametrize("crs,lon,lat", [
+    ("EPSG:2154", 2.3522, 48.8566),
+    ("EPSG:3978", -106.3, 56.1),
+    ("EPSG:5070", -104.99, 39.74),
+    ("EPSG:3035", 13.405, 52.52),
+    ("EPSG:3413", 120.0, 80.0),
+    ("EPSG:3976", 10.0, -75.0),
+])
+def test_roundtrip_closure(spark, crs, lon, lat):
+    x, y = _ev(spark, point_transform_sql(
+        "EPSG:4326", crs, _lit(lon), _lit(lat)))
+    lo, la = _ev(spark, point_transform_sql(
+        crs, "EPSG:4326", _lit(x), _lit(y)))
+    assert abs(lo - lon) < 1e-7 and abs(la - lat) < 1e-7
+
+
+def test_pivot_composition_through_wgs84(spark):
+    # registered grid <-> web mercator composes textually via 4326
+    validate_crs_pair("EPSG:2154", "EPSG:3857")
+    x, y = _ev(spark, point_transform_sql(
+        "EPSG:2154", "EPSG:3857", _lit(652469.02), _lit(6862035.26)))
+    # Paris web-mercator ~ (261848, 6250566)
+    assert abs(x - 261848) < 20 and abs(y - 6250566) < 20
+
+
+def test_reproject_operator_and_rings(spark):
+    from dask_geomodeling_spark.geometry.proj import Reproject
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    df = spark.createDataFrame(
+        [(1, [[2.0, 48.0], [2.1, 48.0], [2.1, 48.1], [2.0, 48.1]])],
+        "id long, vertices array<array<double>>")
+    block = Reproject(DataFrameSource(df), "EPSG:4326", "EPSG:2154")
+    ring = block.plan(spark).first()["vertices"]
+    assert all(500000 < p[0] < 900000 and 6000000 < p[1] < 7200000
+               for p in ring)
+
+
+def test_registration_validation():
+    with pytest.raises(ValueError, match="lat1"):
+        register_projected_crs("TEST:BAD", "lcc", lat0=0, lon0=0)
+    with pytest.raises(ValueError, match="kind"):
+        register_projected_crs("TEST:BAD2", "mercator-oblique")
+    assert projected_crs("epsg:2154") is not None
+    assert projected_crs("EPSG:9999") is None
+
+
+def test_unsupported_crs_still_raises():
+    with pytest.raises(NotImplementedError, match="register_projected"):
+        validate_crs_pair("EPSG:4326", "EPSG:27700")
