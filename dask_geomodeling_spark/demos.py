@@ -2895,6 +2895,40 @@ def gml_roundtrip(spark, sf_dir):
                                    "ymin", "xmax", "ymax", "area")
 
 
+@demo("wet_source", oracle="""
+SELECT doc_id,
+       'http://crawl.example/doc/' || doc_id AS uri,
+       CAST(strlen(text) AS BIGINT) AS content_length,
+       CAST(length(text) AS BIGINT) AS rt_chars
+FROM documents
+""")
+def wet_source(spark, sf_dir):
+    """WARC/WET ingestion (the CommonCrawl container — the start of
+    every web-scale training-data pipeline): the documents table
+    writes as WET shards through the distributed WETSink (record
+    strings are JVM concat, one shard per task), reads back through
+    WarcSource — lineSep record splitting in the text source, so an
+    uncompressed shard parallelizes by BYTE RANGE within the file —
+    and every payload must round-trip byte-exactly (Content-Length
+    from the WET headers equals the oracle's strlen)."""
+    import tempfile
+
+    from dask_geomodeling_spark.pipeline.warc import WarcSource, WETSink
+    docs = read_nanos_parquet(spark, _pq(sf_dir, "documents"))
+    df = docs.select(
+        F.concat(F.lit("http://crawl.example/doc/"), "doc_id")
+        .alias("uri"), "text")
+    url = tempfile.mkdtemp(prefix="dgs_wet_") + "/shards"
+    WETSink(DataFrameSource(df, index_column="uri"), url).write(spark)
+    src = WarcSource(url, warc_type="conversion")
+    out = src.plan(spark)
+    return out.select(
+        F.regexp_extract("uri", r"/doc/(\d+)$", 1).cast("bigint")
+        .alias("doc_id"),
+        "uri", "content_length",
+        F.length("text").alias("rt_chars"))
+
+
 @demo("rasterize_multipolygon", oracle="""
 SELECT CAST('1970-01-01' AS TIMESTAMP) AS time, y, x, 1.0 AS value
 FROM (SELECT unnest(range(0, 14)) AS x),
