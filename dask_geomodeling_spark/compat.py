@@ -123,10 +123,10 @@ def GeometryFileSource(url, layer=None, id_field=None):
         return GMLGeometrySource(url, feature_tag=layer,
                                  id_field=id_field or "fid")
     if low.endswith(".fgb"):
-        raise NotImplementedError(
-            "FlatGeobuf needs GDAL/fiona; re-export the layer as"
-            " (Geo)parquet and read it with ParquetGeometrySource /"
-            " WKBGeometrySource")
+        # pure-spec FlatBuffers walk — no GDAL (geometry/flatgeobuf.py)
+        from dask_geomodeling_spark.geometry.flatgeobuf import (
+            FlatGeobufGeometrySource)
+        return FlatGeobufGeometrySource(url, id_field=id_field or "fid")
     return ParquetGeometrySource(url, id_field=id_field or "id")
 
 
