@@ -6073,6 +6073,373 @@ def simplify_polygon(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# published corpus-curation rule sets (pipeline/curate.py): Gopher
+# quality rules, C4 line cleaning, URL canonicalization + dedup, HTML
+# text extraction.  The documents table is flat word soup, so each
+# demo deterministically injects the structure the rules inspect
+# (lines / bullets / punctuation / URLs / markup) on BOTH sides.
+# --------------------------------------------------------------------------
+
+# re-wrap a doc into 8-word lines; every 3rd line gets a bullet, every
+# 5th-offset-2 an ellipsis suffix, every 7th-offset-1 a '#' symbol
+_GOPHER_WRAP_SPARK = (
+    "array_join(transform(sequence(0, cast(ceil(size(_w0)/8.0) as int) - 1), "
+    "j -> concat(case when j % 3 = 0 then '- ' else '' end, "
+    "concat_ws(' ', slice(_w0, j*8 + 1, 8)), "
+    "case when j % 5 = 2 then '...' when j % 7 = 1 then ' #' else '' end)), "
+    "'\\n')")
+
+_GOPHER_WRAP_DUCK = (
+    "array_to_string(list_transform(range(0, cast(ceil(len(w0)/8.0) as bigint)), "
+    "j -> concat(case when j % 3 = 0 then '- ' else '' end, "
+    "array_to_string(w0[cast(j*8+1 as bigint):cast(j*8+8 as bigint)], ' '), "
+    "case when j % 5 = 2 then '...' when j % 7 = 1 then ' #' else '' end)), "
+    "chr(10))")
+
+
+def _gopher_oracle():
+    from dask_geomodeling_spark.pipeline.curate import (
+        DUP_NGRAM_THRESHOLDS, GOPHER_STOPWORDS, TOP_NGRAM_THRESHOLDS)
+    ns = sorted(list(TOP_NGRAM_THRESHOLDS) + list(DUP_NGRAM_THRESHOLDS))
+    pivots = []
+    for n in sorted(TOP_NGRAM_THRESHOLDS):
+        pivots.append("max(CASE WHEN n = {n} THEN (top.c * top.l) END) "
+                      "AS top{n}".format(n=n))
+    for n in sorted(DUP_NGRAM_THRESHOLDS):
+        pivots.append("max(CASE WHEN n = {n} THEN dup END) AS dup{n}"
+                      .format(n=n))
+    for n in ns:
+        pivots.append("max(CASE WHEN n = {n} THEN mass END) AS mass{n}"
+                      .format(n=n))
+    fracs = []
+    for n in sorted(TOP_NGRAM_THRESHOLDS):
+        fracs.append(
+            "CASE WHEN mass{n} > 0 THEN top{n} / CAST(mass{n} AS DOUBLE) "
+            "ELSE 0.0 END AS top_{n}gram_char_frac".format(n=n))
+    for n in sorted(DUP_NGRAM_THRESHOLDS):
+        fracs.append(
+            "CASE WHEN mass{n} > 0 THEN dup{n} / CAST(mass{n} AS DOUBLE) "
+            "ELSE 0.0 END AS dup_{n}gram_char_frac".format(n=n))
+    rules = [
+        "n_words BETWEEN 50 AND 100000",
+        "mean_word_len BETWEEN 3.0 AND 10.0",
+        "symbol_word_ratio <= 0.1",
+        "bullet_line_frac <= 0.9",
+        "ellipsis_line_frac <= 0.3",
+        "alpha_word_frac >= 0.8",
+        "stop_hits >= 2",
+        "dup_line_frac <= 0.3",
+        "dup_line_char_frac <= 0.2",
+    ]
+    for n, thr in sorted(TOP_NGRAM_THRESHOLDS.items()):
+        rules.append("top_{n}gram_char_frac <= {t}".format(n=n, t=thr))
+    for n, thr in sorted(DUP_NGRAM_THRESHOLDS.items()):
+        rules.append("dup_{n}gram_char_frac <= {t}".format(n=n, t=thr))
+    return """
+WITH d0 AS (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS w0
+            FROM documents),
+inj AS (SELECT doc_id, {wrap} AS t2 FROM d0),
+base AS (SELECT doc_id, t2,
+                string_split_regex(trim(lower(t2)), '\\s+') AS w,
+                list_transform(string_split(t2, chr(10)),
+                               x -> trim(x)) AS lines
+         FROM inj),
+m0 AS (SELECT doc_id, w,
+   CAST(CASE WHEN length(trim(t2)) = 0 THEN 0 ELSE len(w) END
+        AS BIGINT) AS n_words,
+   CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+       AS char_sum,
+   CAST(length(t2) - length(replace(t2, '#', '')) AS BIGINT)
+     + CAST((length(t2) - length(replace(t2, '...', ''))) / 3 AS BIGINT)
+     + CAST(length(t2) - length(replace(t2, '…', '')) AS BIGINT)
+       AS symbols,
+   CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT)
+       AS alpha,
+   CAST(len(list_intersect(list_distinct(w), [{stops}])) AS BIGINT)
+       AS stop_hits,
+   CAST(len(lines) AS BIGINT) AS n_lines,
+   CAST(len(list_distinct(lines)) AS BIGINT) AS n_dlines,
+   CAST(list_sum(list_transform(lines, x -> length(x))) AS BIGINT)
+       AS line_chars,
+   CAST(list_sum(list_transform(list_distinct(lines),
+                                x -> length(x))) AS BIGINT)
+       AS dline_chars,
+   CAST(len(list_filter(lines, x -> starts_with(x, '•')
+       OR starts_with(x, '‣') OR starts_with(x, '▪')
+       OR starts_with(x, '-') OR starts_with(x, '*'))) AS BIGINT)
+       AS bullets,
+   CAST(len(list_filter(lines, x -> ends_with(x, '...')
+       OR ends_with(x, '…'))) AS BIGINT) AS ellipses
+ FROM base),
+g AS (SELECT m0.doc_id, n.n AS n,
+             array_to_string(w[i.i : i.i + n.n - 1], ' ') AS gram
+      FROM m0, unnest([{ns}]) AS n(n),
+           LATERAL unnest(range(1, greatest(len(w) - n.n + 1, 0) + 1))
+               AS i(i)),
+gc AS (SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS cnt,
+              CAST(MAX(length(gram)) AS BIGINT) AS glen
+       FROM g GROUP BY doc_id, n, gram),
+pn AS (SELECT doc_id, n,
+              max(struct_pack(c := cnt, l := glen)) AS top,
+              sum(CASE WHEN cnt > 1 THEN cnt * glen ELSE 0 END) AS dup,
+              sum(cnt * glen) AS mass
+       FROM gc GROUP BY doc_id, n),
+mm AS (SELECT doc_id, {pivots} FROM pn GROUP BY doc_id),
+mx AS (SELECT m0.doc_id, m0.n_words,
+   CASE WHEN n_words > 0 THEN char_sum / CAST(n_words AS DOUBLE)
+        ELSE 0.0 END AS mean_word_len,
+   CASE WHEN n_words > 0 THEN symbols / CAST(n_words AS DOUBLE)
+        ELSE 0.0 END AS symbol_word_ratio,
+   CASE WHEN n_lines > 0 THEN bullets / CAST(n_lines AS DOUBLE)
+        ELSE 0.0 END AS bullet_line_frac,
+   CASE WHEN n_lines > 0 THEN ellipses / CAST(n_lines AS DOUBLE)
+        ELSE 0.0 END AS ellipsis_line_frac,
+   CASE WHEN n_words > 0 THEN alpha / CAST(n_words AS DOUBLE)
+        ELSE 0.0 END AS alpha_word_frac,
+   stop_hits,
+   CASE WHEN n_lines > 0
+        THEN (n_lines - n_dlines) / CAST(n_lines AS DOUBLE)
+        ELSE 0.0 END AS dup_line_frac,
+   CASE WHEN line_chars > 0
+        THEN (line_chars - dline_chars) / CAST(line_chars AS DOUBLE)
+        ELSE 0.0 END AS dup_line_char_frac,
+   {fracs}
+ FROM m0 LEFT JOIN mm ON m0.doc_id = mm.doc_id)
+SELECT *, ({rules}) AS gopher_pass FROM mx
+""".format(wrap=_GOPHER_WRAP_DUCK,
+           stops=",".join("'{}'".format(s) for s in GOPHER_STOPWORDS),
+           ns=",".join(str(n) for n in ns),
+           pivots=", ".join(pivots), fracs=", ".join(fracs),
+           rules=" AND ".join(rules))
+
+
+@demo("gopher_quality", oracle=_gopher_oracle())
+def gopher_quality(spark, sf_dir):
+    """GopherQuality: the full published rule battery.  Everything
+    except the n-gram character fractions is shuffle-free array HOFs;
+    the n-gram metrics are ONE explode over all n=2..10 plus two
+    keyed aggregations joined back on doc_id."""
+    from dask_geomodeling_spark.pipeline.curate import GopherQuality
+    docs = read_nanos_parquet(spark, _pq(sf_dir, "documents"))
+    injected = (docs
+                .withColumn("_w0", F.split(F.trim(F.lower(F.col("text"))),
+                                           r"\s+"))
+                .withColumn("text2", F.expr(_GOPHER_WRAP_SPARK))
+                .drop("_w0"))
+    src = DataFrameSource(injected, index_column="doc_id")
+    out = GopherQuality(src, column="text2").plan(spark)
+    cols = ["doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
+            "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+            "stop_hits", "dup_line_frac", "dup_line_char_frac"]
+    cols += ["top_{}gram_char_frac".format(n) for n in (2, 3, 4)]
+    cols += ["dup_{}gram_char_frac".format(n) for n in range(5, 11)]
+    return out.select(*cols, "gopher_pass")
+
+
+# 6-word lines; suffix cycle: . / (none) / ? / ! / banned phrase
+_C4_WRAP_SPARK = (
+    "array_join(transform(sequence(0, cast(ceil(size(_w0)/6.0) as int) - 1), "
+    "j -> concat(concat_ws(' ', slice(_w0, j*6 + 1, 6)), "
+    "case j % 5 when 0 then '.' when 2 then '?' when 3 then '!' "
+    "when 4 then ' lorem ipsum.' else '' end)), '\\n')")
+
+_C4_WRAP_DUCK = (
+    "array_to_string(list_transform(range(0, cast(ceil(len(w0)/6.0) as bigint)), "
+    "j -> concat(array_to_string(w0[cast(j*6+1 as bigint):cast(j*6+6 as bigint)], ' '), "
+    "case j % 5 when 0 then '.' when 2 then '?' when 3 then '!' "
+    "when 4 then ' lorem ipsum.' else '' end)), chr(10))")
+
+
+def _c4_oracle():
+    from dask_geomodeling_spark.pipeline.curate import C4_BANNED_PHRASES
+    banned = " OR ".join(
+        "contains(lower(x), '{}')".format(p.replace("'", "''"))
+        for p in C4_BANNED_PHRASES)
+    return """
+WITH d0 AS (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS w0
+            FROM documents),
+inj AS (SELECT doc_id, {wrap} AS t2 FROM d0),
+base AS (SELECT doc_id,
+                list_transform(string_split(t2, chr(10)),
+                               x -> trim(x)) AS lines
+         FROM inj),
+kept AS (SELECT doc_id, lines,
+  list_filter(lines, x ->
+      (ends_with(x, '.') OR ends_with(x, '!') OR ends_with(x, '?')
+       OR ends_with(x, '"') OR ends_with(x, chr(39)))
+      AND len(string_split_regex(x, '\\s+')) >= 5
+      AND NOT ({banned})) AS kl
+ FROM base),
+j AS (SELECT doc_id,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(kl) AS BIGINT) AS n_lines_kept,
+             array_to_string(kl, chr(10)) AS text_clean
+      FROM kept)
+SELECT doc_id, n_lines, n_lines_kept,
+       CAST(length(regexp_replace(text_clean, '[^.!?]', '', 'g'))
+            AS BIGINT) AS n_sentences,
+       (n_lines_kept > 0 AND
+        length(regexp_replace(text_clean, '[^.!?]', '', 'g')) >= 3)
+           AS c4_keep,
+       text_clean
+FROM j
+""".format(wrap=_C4_WRAP_DUCK, banned=banned)
+
+
+@demo("c4_filter", oracle=_c4_oracle())
+def c4_filter(spark, sf_dir):
+    """C4Filter: line-level terminal-punctuation / min-words / banned
+    phrase cleaning + the 3-sentence document rule — pure per-row
+    array HOFs, zero shuffle."""
+    from dask_geomodeling_spark.pipeline.curate import C4Filter
+    docs = read_nanos_parquet(spark, _pq(sf_dir, "documents"))
+    injected = (docs
+                .withColumn("_w0", F.split(F.trim(F.lower(F.col("text"))),
+                                           r"\s+"))
+                .withColumn("text2", F.expr(_C4_WRAP_SPARK))
+                .drop("_w0"))
+    src = DataFrameSource(injected, index_column="doc_id")
+    return (C4Filter(src, column="text2").plan(spark)
+            .select("doc_id", "n_lines", "n_lines_kept", "n_sentences",
+                    "c4_keep", "text_clean"))
+
+
+# deterministic messy URLs: mixed-case scheme/host, www, default port,
+# trailing slash, tracking params in shuffled order, fragments
+_URL_INJECT_SPARK = (
+    "concat('HTTPS://WWW.', source, '.Example.COM', "
+    "case when doc_id % 4 = 0 then ':443' else '' end, "
+    "'/Page/', cast(doc_id % 25 as string), "
+    "case when doc_id % 3 = 0 then '/' else '' end, "
+    "case when doc_id % 2 = 0 then '?utm_source=feed&b=2&a=1' "
+    "else '?a=1&b=2' end, "
+    "case when doc_id % 5 = 0 then '#frag' else '' end)")
+
+_URL_INJECT_DUCK = (
+    "concat('HTTPS://WWW.', source, '.Example.COM', "
+    "CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END, "
+    "'/Page/', CAST(doc_id % 25 AS VARCHAR), "
+    "CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END, "
+    "CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1' "
+    "ELSE '?a=1&b=2' END, "
+    "CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)")
+
+_URL_RE_DUCK = ("^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)"
+                "(?:\\?([^#]*))?(?:#.*)?$")
+
+_URL_NORM_DUCK = """
+p0 AS (SELECT doc_id, text, url,
+   lower(regexp_extract(url, '{re}', 1)) AS scheme,
+   regexp_replace(lower(regexp_extract(url, '{re}', 2)),
+                  '^www\\.', '') AS host0,
+   regexp_extract(url, '{re}', 3) AS rawpath,
+   regexp_extract(url, '{re}', 4) AS query
+ FROM inj),
+p1 AS (SELECT doc_id, text, url, scheme,
+   CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+        WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+        ELSE host0 END AS host,
+   CASE WHEN rawpath = '' THEN '/'
+        WHEN rawpath <> '/' AND ends_with(rawpath, '/')
+        THEN substr(rawpath, 1, length(rawpath) - 1)
+        ELSE rawpath END AS path,
+   list_sort(list_filter(
+       CASE WHEN query = '' THEN [] ELSE string_split(query, '&') END,
+       p -> NOT regexp_matches(
+           p, '^(utm_[^=]*|fbclid|gclid|msclkid|ref)='))) AS kept
+ FROM p0),
+normed AS (SELECT doc_id, text, url,
+   CASE WHEN scheme = '' THEN url
+        ELSE concat(scheme, '://', host, path,
+                    CASE WHEN len(kept) > 0
+                         THEN concat('?', array_to_string(kept, '&'))
+                         ELSE '' END) END AS url_norm
+ FROM p1)
+"""
+
+
+@demo("url_normalize", oracle="""
+WITH inj AS (SELECT doc_id, text, {inj} AS url FROM documents),
+{norm}
+SELECT doc_id, url, url_norm FROM normed
+""".format(inj=_URL_INJECT_DUCK,
+           norm=_URL_NORM_DUCK.format(re=_URL_RE_DUCK)))
+def url_normalize(spark, sf_dir):
+    """UrlNormalize: crawl-URL canonicalization — pure regex/array
+    projection, no shuffle."""
+    from dask_geomodeling_spark.pipeline.curate import UrlNormalize
+    docs = read_nanos_parquet(spark, _pq(sf_dir, "documents"))
+    injected = docs.withColumn("url", F.expr(_URL_INJECT_SPARK))
+    src = DataFrameSource(injected, index_column="doc_id")
+    return (UrlNormalize(src).plan(spark)
+            .select("doc_id", "url", "url_norm"))
+
+
+@demo("url_dedup", oracle="""
+WITH inj AS (SELECT doc_id, text, {inj} AS url FROM documents),
+{norm}
+SELECT url_norm, CAST(COUNT(*) AS BIGINT) AS n_dups,
+       -(max(struct_pack(l := length(text), ni := -doc_id))).ni AS doc_id
+FROM normed GROUP BY url_norm
+""".format(inj=_URL_INJECT_DUCK,
+           norm=_URL_NORM_DUCK.format(re=_URL_RE_DUCK)))
+def url_dedup(spark, sf_dir):
+    """UrlDedup: keep-longest per canonical URL — one uniform groupBy
+    shuffle with a struct-max argmax, no window."""
+    from dask_geomodeling_spark.pipeline.curate import UrlDedup
+    docs = read_nanos_parquet(spark, _pq(sf_dir, "documents"))
+    injected = docs.withColumn("url", F.expr(_URL_INJECT_SPARK))
+    src = DataFrameSource(injected, index_column="doc_id")
+    return (UrlDedup(src).plan(spark)
+            .select("url_norm", "n_dups", "doc_id"))
+
+
+_HTML_INJECT_SPARK = (
+    "concat('<html><head><title>T</title><style>p{color:red}</style>"
+    "</head><body><!-- note --><h1>Doc ', cast(doc_id as string), "
+    "'</h1><p>', text, ' &amp; more &lt;tags&gt;</p>"
+    "<script>var x=1;</script></body></html>')")
+
+_HTML_INJECT_DUCK = (
+    "concat('<html><head><title>T</title><style>p{color:red}</style>"
+    "</head><body><!-- note --><h1>Doc ', CAST(doc_id AS VARCHAR), "
+    "'</h1><p>', text, ' &amp; more &lt;tags&gt;</p>"
+    "<script>var x=1;</script></body></html>')")
+
+
+@demo("html_extract", oracle="""
+WITH inj AS (SELECT doc_id, {inj} AS html FROM documents),
+s AS (SELECT doc_id,
+   CAST(len(regexp_extract_all(html, '<[A-Za-z/!][^>]*>')) AS BIGINT)
+       AS n_tags,
+   regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+       '(?s)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+       '(?s)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+       '(?s)<!--.*?-->', ' ', 'g'),
+       '<[^>]+>', ' ', 'g') AS t
+ FROM inj)
+SELECT doc_id, n_tags,
+   trim(regexp_replace(
+       replace(replace(replace(replace(replace(replace(t,
+           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+           '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+       '\\s+', ' ', 'g')) AS text_extracted
+FROM s
+""".format(inj=_HTML_INJECT_DUCK))
+def html_extract(spark, sf_dir):
+    """HtmlExtract: tag/entity stripping for raw-HTML crawl records —
+    pure regex projection, no shuffle."""
+    from dask_geomodeling_spark.pipeline.curate import HtmlExtract
+    docs = read_nanos_parquet(spark, _pq(sf_dir, "documents"))
+    injected = docs.withColumn("html", F.expr(_HTML_INJECT_SPARK))
+    src = DataFrameSource(injected, index_column="doc_id")
+    return (HtmlExtract(src).plan(spark)
+            .select("doc_id", "n_tags", "text_extracted"))
+
+
+# --------------------------------------------------------------------------
 # driver-gate ordering: the correctness harness verifies the FIRST 50
 # registered queries, so the first 50 must span SURVEY §2 breadth-first —
 # one query per component family (field ops, request modes, merges/set
@@ -6111,9 +6478,9 @@ GATE_ORDER = [
     "exact_dedup", "minhash_lsh", "ngram_jaccard", "embedding_dedup_lsh",
     "kmeans_ivf_ann", "kmeans_ivf_saved", "ivfpq_ann", "decode_image",
     "token_count_bpe", "decontaminate",
-    "corpus_prep",
+    "gopher_quality", "url_dedup",
     # streaming / temporal joins
-    "event_aggregate", "asof_join", "running_aggregate", "buffer_polygon",
+    "event_aggregate", "asof_join", "running_aggregate",
 ]
 
 assert len(GATE_ORDER) == 50, len(GATE_ORDER)

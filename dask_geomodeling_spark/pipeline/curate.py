@@ -1,0 +1,506 @@
+"""Published corpus-curation rule sets as first-class blocks
+(SURVEY.md §2, 'LLM-data-pipeline extensions').
+
+The standard pre-training pipelines publish their exact document
+heuristics; this module re-expresses the three most-copied rule
+families as Spark column programs:
+
+- :class:`GopherQuality` — the Gopher paper's quality rules (Rae et
+  al. 2021, "Scaling Language Models", appendix A1.1): word-count /
+  word-length windows, symbol-to-word ratio, bullet / ellipsis line
+  fractions, alphabetic-word fraction, stop-word presence, duplicate
+  line fractions, and the top/duplicate n-gram character fractions.
+- :class:`C4Filter` — the C4 line/document heuristics (Raffel et al.
+  2020): terminal-punctuation lines, minimum words per line, banned
+  phrases, minimum sentence count.
+- :class:`UrlNormalize` / :class:`UrlDedup` — crawl-pipeline URL
+  canonicalization (lowercase scheme/host, strip www / default port /
+  fragment / tracking params, sort the surviving query) and
+  keep-longest dedup on the canonical URL.
+- :class:`HtmlExtract` — tag/entity stripping for raw-HTML crawl
+  records (the WARC-response counterpart of the WET text extracts
+  read by ``pipeline.warc``).
+
+Scale notes: every rule except the n-gram character fractions is a
+pure per-row projection (array HOFs inside whole-stage codegen — zero
+shuffle at any corpus size).  The n-gram fractions use ONE explode
+over all n in ``2..10`` at once plus two keyed aggregations on
+(doc, n, gram) — near-unique keys, uniform shuffle — and join the
+doc-count-sized metric table back on the id column.  ``UrlDedup``
+is a single groupBy on the canonical URL with a struct-max argmax
+(no window, no sort).  The reference has no counterpart; rule text
+follows the public papers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dask_geomodeling_spark.geometry.base import BaseSingle
+
+__all__ = ["GopherQuality", "C4Filter", "UrlNormalize", "UrlDedup",
+           "HtmlExtract"]
+
+#: Gopher's 8 "stop words" (A1.1: "contains at least two of ...")
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+#: bullet prefixes / ellipsis suffixes counted by the line rules
+_BULLETS = ("•", "‣", "▪", "-", "*")
+_ELLIPSES = ("...", "…")
+
+#: n-gram thresholds from the paper: most-frequent n-gram char
+#: fraction for n=2..4, duplicated n-gram char fraction for n=5..10
+TOP_NGRAM_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+DUP_NGRAM_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12,
+                        9: 0.11, 10: 0.10}
+
+
+def _words_expr(column):
+    return F.split(F.trim(F.lower(F.col(column))), r"\s+")
+
+
+def _count_occurrences(col, literal):
+    """Non-overlapping occurrence count of a literal, by length diff
+    (stays in codegen; no regex engine)."""
+    return ((F.length(col)
+             - F.length(F.replace(col, F.lit(literal), F.lit(""))))
+            / len(literal)).cast("bigint")
+
+
+class GopherQuality(BaseSingle):
+    """Gopher quality-rule metrics + pass flag per document.
+
+    Adds the full metric battery (all fractions are ``double`` in
+    ``[0, 1]``; integer counts are ``bigint``)::
+
+        n_words mean_word_len symbol_word_ratio bullet_line_frac
+        ellipsis_line_frac alpha_word_frac stop_hits dup_line_frac
+        dup_line_char_frac top_{2,3,4}gram_char_frac
+        dup_{5..10}gram_char_frac gopher_pass
+
+    Definitions (documented because published wordings vary):
+
+    - words: ``\\s+`` split of the lowercased trimmed text; lines:
+      ``\\n`` split with per-line trim.
+    - ``symbol_word_ratio``: occurrences of ``#`` and ellipsis
+      (``...`` / ``…``) divided by the word count.
+    - ``dup_line_frac``: 1 − distinct/total over trimmed lines;
+      ``dup_line_char_frac``: character mass of the occurrences
+      beyond each line's first, over total line characters.
+    - ``top_Ngram_char_frac``: for the (count, length)-maximal word
+      n-gram, count·length over the total occurrence character mass
+      Σ count·length of ALL n-grams of that n;
+      ``dup_Ngram_char_frac``: Σ count·length over n-grams with
+      count > 1, same denominator.  (The paper normalizes by document
+      characters, which overlap-double-counts above 1.0 for
+      repetitive text; the occurrence-mass denominator is the
+      bounded-in-[0,1] deterministic analogue — ties broken by gram
+      length.)
+
+    ``ngram_metrics=False`` skips the explode stage entirely and the
+    pass flag uses only the projection rules (useful as a cheap
+    first-pass gate at scale).
+    """
+
+    def __init__(self, source, column="text", min_words=50,
+                 max_words=100000, min_mean_word_len=3.0,
+                 max_mean_word_len=10.0, max_symbol_word_ratio=0.1,
+                 max_bullet_frac=0.9, max_ellipsis_frac=0.3,
+                 min_alpha_word_frac=0.8, min_stop_hits=2,
+                 max_dup_line_frac=0.3, max_dup_line_char_frac=0.2,
+                 ngram_metrics=True, id_column=None):
+        if id_column is None:
+            id_column = source.index_column
+        super().__init__(source, column, int(min_words), int(max_words),
+                         float(min_mean_word_len),
+                         float(max_mean_word_len),
+                         float(max_symbol_word_ratio),
+                         float(max_bullet_frac), float(max_ellipsis_frac),
+                         float(min_alpha_word_frac), int(min_stop_hits),
+                         float(max_dup_line_frac),
+                         float(max_dup_line_char_frac),
+                         bool(ngram_metrics), id_column)
+
+    @property
+    def columns(self):
+        (_, _, _, _, _, _, _, _, _, _, _, _, _, ngrams, _) = self.args
+        cols = set(self.source.columns) | {
+            "n_words", "mean_word_len", "symbol_word_ratio",
+            "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+            "stop_hits", "dup_line_frac", "dup_line_char_frac",
+            "gopher_pass"}
+        if ngrams:
+            cols |= {"top_{}gram_char_frac".format(n)
+                     for n in TOP_NGRAM_THRESHOLDS}
+            cols |= {"dup_{}gram_char_frac".format(n)
+                     for n in DUP_NGRAM_THRESHOLDS}
+        return cols
+
+    def _build(self, ctx):
+        (_, column, min_w, max_w, min_mwl, max_mwl, max_swr, max_bullet,
+         max_ellipsis, min_alpha, min_stop, max_dlf, max_dlcf, ngrams,
+         idc) = self.args
+        df = self.source._build(ctx)
+        c = F.col(column)
+        df = df.withColumn("_w", _words_expr(column))
+        n = F.when(F.length(F.trim(c)) == 0, F.lit(0)) \
+            .otherwise(F.size("_w")).cast("bigint")
+        df = df.withColumn("n_words", n)
+        nn = F.col("n_words")
+
+        # ---- word-level projections (no shuffle) -------------------
+        char_sum = F.expr(
+            "aggregate(_w, 0L, (a, x) -> a + length(x))")
+        df = df.withColumn(
+            "mean_word_len",
+            F.when(nn > 0, char_sum / nn.cast("double")).otherwise(0.0))
+        symbols = _count_occurrences(c, "#")
+        for e in _ELLIPSES:
+            symbols = symbols + _count_occurrences(c, e)
+        df = df.withColumn(
+            "symbol_word_ratio",
+            F.when(nn > 0, symbols / nn.cast("double")).otherwise(0.0))
+        alpha = F.size(F.expr(
+            "filter(_w, x -> x rlike '[a-z]')")).cast("bigint")
+        df = df.withColumn(
+            "alpha_word_frac",
+            F.when(nn > 0, alpha / nn.cast("double")).otherwise(0.0))
+        stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+        df = df.withColumn(
+            "stop_hits",
+            F.size(F.array_intersect(
+                F.array_distinct("_w"), stops)).cast("bigint"))
+
+        # ---- line-level projections (no shuffle) -------------------
+        df = df.withColumn(
+            "_lines", F.expr(
+                "transform(split({}, '\\n'), x -> trim(x))"
+                .format(column)))
+        nl = F.size("_lines").cast("bigint")
+        bullet_cond = " or ".join(
+            "startswith(x, '{}')".format(b) for b in _BULLETS)
+        ellipsis_cond = " or ".join(
+            "endswith(x, '{}')".format(e) for e in _ELLIPSES)
+        df = df.withColumn(
+            "bullet_line_frac",
+            F.when(nl > 0, F.size(F.expr(
+                "filter(_lines, x -> {})".format(bullet_cond)))
+                / nl.cast("double")).otherwise(0.0))
+        df = df.withColumn(
+            "ellipsis_line_frac",
+            F.when(nl > 0, F.size(F.expr(
+                "filter(_lines, x -> {})".format(ellipsis_cond)))
+                / nl.cast("double")).otherwise(0.0))
+        dl = F.array_distinct("_lines")
+        df = df.withColumn(
+            "dup_line_frac",
+            F.when(nl > 0, (nl - F.size(dl)) / nl.cast("double"))
+            .otherwise(0.0))
+        line_chars = F.expr(
+            "aggregate(_lines, 0L, (a, x) -> a + length(x))")
+        distinct_chars = F.expr(
+            "aggregate(array_distinct(_lines), 0L, "
+            "(a, x) -> a + length(x))")
+        df = df.withColumn(
+            "dup_line_char_frac",
+            F.when(line_chars > 0,
+                   (line_chars - distinct_chars)
+                   / line_chars.cast("double")).otherwise(0.0))
+
+        # ---- n-gram character fractions (one explode) --------------
+        rules = [
+            F.col("n_words").between(min_w, max_w),
+            F.col("mean_word_len").between(min_mwl, max_mwl),
+            F.col("symbol_word_ratio") <= max_swr,
+            F.col("bullet_line_frac") <= max_bullet,
+            F.col("ellipsis_line_frac") <= max_ellipsis,
+            F.col("alpha_word_frac") >= min_alpha,
+            F.col("stop_hits") >= min_stop,
+            F.col("dup_line_frac") <= max_dlf,
+            F.col("dup_line_char_frac") <= max_dlcf,
+        ]
+        if ngrams:
+            df = self._with_ngram_fracs(df, idc)
+            for nv, thr in sorted(TOP_NGRAM_THRESHOLDS.items()):
+                rules.append(
+                    F.col("top_{}gram_char_frac".format(nv)) <= thr)
+            for nv, thr in sorted(DUP_NGRAM_THRESHOLDS.items()):
+                rules.append(
+                    F.col("dup_{}gram_char_frac".format(nv)) <= thr)
+        passed = rules[0]
+        for r in rules[1:]:
+            passed = passed & r
+        return df.withColumn("gopher_pass", passed) \
+                 .drop("_w", "_lines", "_tc")
+
+    def _with_ngram_fracs(self, df, idc):
+        ns = sorted(list(TOP_NGRAM_THRESHOLDS)
+                    + list(DUP_NGRAM_THRESHOLDS))
+        grams = F.expr(
+            "flatten(transform(array({ns}), n -> "
+            "case when size(_w) >= n then "
+            "transform(sequence(1, size(_w) - n + 1), i -> "
+            "struct(n as n, concat_ws(' ', slice(_w, i, n)) as g)) "
+            "else array() end))".format(
+                ns=",".join(str(n) for n in ns)))
+        ex = (df.select(F.col(idc).alias("_id"),
+                        F.explode(grams).alias("_g"))
+                .select("_id", F.col("_g.n").alias("_n"),
+                        F.col("_g.g").alias("_gram")))
+        counts = (ex.groupBy("_id", "_n", "_gram")
+                    .agg(F.count(F.lit(1)).alias("_cnt"),
+                         F.first(F.length("_gram")).alias("_glen")))
+        per_n = (counts.groupBy("_id", "_n").agg(
+            F.max(F.struct(F.col("_cnt"), F.col("_glen")))
+             .alias("_top"),
+            F.sum(F.when(F.col("_cnt") > 1,
+                         F.col("_cnt") * F.col("_glen"))
+                  .otherwise(F.lit(0))).alias("_dupchars"),
+            F.sum(F.col("_cnt") * F.col("_glen")).alias("_mass")))
+        aggs = []
+        for nv in sorted(TOP_NGRAM_THRESHOLDS):
+            aggs.append(F.max(F.when(F.col("_n") == nv,
+                                     F.col("_top._cnt")
+                                     * F.col("_top._glen")))
+                        .alias("_topm_{}".format(nv)))
+        for nv in sorted(DUP_NGRAM_THRESHOLDS):
+            aggs.append(F.max(F.when(F.col("_n") == nv,
+                                     F.col("_dupchars")))
+                        .alias("_dupm_{}".format(nv)))
+        for nv in ns:
+            aggs.append(F.max(F.when(F.col("_n") == nv,
+                                     F.col("_mass")))
+                        .alias("_massm_{}".format(nv)))
+        metrics = per_n.groupBy("_id").agg(*aggs)
+        df = df.join(metrics, df[idc] == metrics["_id"], "left") \
+               .drop("_id")
+        for nv in sorted(TOP_NGRAM_THRESHOLDS):
+            src, mass = (F.col("_topm_{}".format(nv)),
+                         F.col("_massm_{}".format(nv)))
+            df = df.withColumn(
+                "top_{}gram_char_frac".format(nv),
+                F.when(src.isNotNull() & (mass > 0),
+                       src / mass.cast("double")).otherwise(0.0)) \
+                .drop("_topm_{}".format(nv))
+        for nv in sorted(DUP_NGRAM_THRESHOLDS):
+            src, mass = (F.col("_dupm_{}".format(nv)),
+                         F.col("_massm_{}".format(nv)))
+            df = df.withColumn(
+                "dup_{}gram_char_frac".format(nv),
+                F.when(src.isNotNull() & (mass > 0),
+                       src / mass.cast("double")).otherwise(0.0)) \
+                .drop("_dupm_{}".format(nv))
+        return df.drop(*["_massm_{}".format(nv) for nv in ns])
+
+
+#: C4's banned phrases (case-insensitive substring match per line)
+C4_BANNED_PHRASES = ("lorem ipsum", "javascript", "cookie policy",
+                     "privacy policy", "terms of use",
+                     "uses cookies", "{")
+
+#: terminal punctuation a kept line must end with
+C4_TERMINALS = (".", "!", "?", "\"", "'")
+
+
+class C4Filter(BaseSingle):
+    """C4 line/document cleaning (Raffel et al. 2020 §2.2).
+
+    Line rules (a line survives iff ALL hold):
+
+    - ends with terminal punctuation (``. ! ? " '``);
+    - has at least ``min_words_per_line`` (default 5) words;
+    - contains none of the banned phrases (case-insensitive):
+      "lorem ipsum", "javascript", cookie/privacy/terms boilerplate,
+      or a curly brace.
+
+    Document rule: ``c4_keep`` iff the cleaned text has at least
+    ``min_sentences`` (default 3) sentence terminators (``.!?``) and
+    at least one line survived.
+
+    Adds ``text_clean`` (surviving lines re-joined with ``\\n``),
+    ``n_lines``, ``n_lines_kept``, ``n_sentences``, ``c4_keep``.
+    Pure per-row array HOFs — no shuffle at any scale.
+    """
+
+    def __init__(self, source, column="text", min_words_per_line=5,
+                 min_sentences=3):
+        super().__init__(source, column, int(min_words_per_line),
+                         int(min_sentences))
+
+    @property
+    def columns(self):
+        return set(self.source.columns) | {
+            "text_clean", "n_lines", "n_lines_kept", "n_sentences",
+            "c4_keep"}
+
+    def _build(self, ctx):
+        _, column, min_wpl, min_sent = self.args
+        df = self.source._build(ctx)
+        df = df.withColumn(
+            "_lines", F.expr(
+                "transform(split({}, '\\n'), x -> trim(x))"
+                .format(column)))
+        term = " or ".join("endswith(x, '{}')".format(
+            t.replace("'", "\\'")) for t in C4_TERMINALS)
+        banned = " or ".join(
+            "contains(lower(x), '{}')".format(p)
+            for p in C4_BANNED_PHRASES)
+        keep = ("filter(_lines, x -> ({term}) and "
+                "size(split(x, '\\\\s+')) >= {mw} and not ({banned}))"
+                .format(term=term, mw=min_wpl, banned=banned))
+        df = df.withColumn("_kept", F.expr(keep))
+        df = df.withColumn("n_lines", F.size("_lines").cast("bigint")) \
+               .withColumn("n_lines_kept",
+                           F.size("_kept").cast("bigint")) \
+               .withColumn("text_clean", F.array_join("_kept", "\n"))
+        sentences = F.expr(
+            "length(regexp_replace(text_clean, '[^.!?]', ''))") \
+            .cast("bigint")
+        df = df.withColumn("n_sentences", sentences)
+        return df.withColumn(
+            "c4_keep",
+            (F.col("n_lines_kept") > 0)
+            & (F.col("n_sentences") >= min_sent)) \
+            .drop("_lines", "_kept")
+
+
+#: query parameters stripped by URL canonicalization
+_TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref)="
+
+_URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+
+
+class UrlNormalize(BaseSingle):
+    """Canonicalize a URL column into ``url_norm``.
+
+    Steps (the common crawl-dedup canonicalization):
+
+    - lowercase scheme and host; strip a leading ``www.``;
+    - strip the scheme's default port (``:80`` http / ``:443`` https);
+    - drop the fragment;
+    - drop tracking query parameters (``utm_*``, ``fbclid``,
+      ``gclid``, ``msclkid``, ``ref``), sort the survivors
+      byte-wise, and re-join;
+    - strip a trailing slash from a non-root path; empty path
+      becomes ``/``.
+
+    Unparseable URLs (no ``scheme://``) pass through unchanged.
+    Pure regex/array projection — no shuffle.
+    """
+
+    def __init__(self, source, column="url"):
+        super().__init__(source, column)
+
+    @property
+    def columns(self):
+        return set(self.source.columns) | {"url_norm"}
+
+    def _build(self, ctx):
+        _, column = self.args
+        df = self.source._build(ctx)
+        c = F.col(column)
+        scheme = F.lower(F.regexp_extract(c, _URL_RE, 1))
+        host = F.lower(F.regexp_extract(c, _URL_RE, 2))
+        host = F.regexp_replace(host, r"^www\.", "")
+        host = F.when(scheme == "http",
+                      F.regexp_replace(host, ":80$", "")) \
+                .when(scheme == "https",
+                      F.regexp_replace(host, ":443$", "")) \
+                .otherwise(host)
+        raw_path = F.regexp_extract(c, _URL_RE, 3)
+        path = F.when(raw_path == "", F.lit("/")) \
+                .when((raw_path != "/") & raw_path.endswith("/"),
+                      raw_path.substr(F.lit(1),
+                                      F.length(raw_path) - 1)) \
+                .otherwise(raw_path)
+        query = F.regexp_extract(c, _URL_RE, 4)
+        params = F.when(query == "", F.array().cast("array<string>")) \
+                  .otherwise(F.split(query, "&"))
+        kept = F.array_sort(F.filter(
+            params, lambda p: ~p.rlike(_TRACKING_PARAM_RE)))
+        qs = F.when(F.size(kept) > 0,
+                    F.concat(F.lit("?"), F.array_join(kept, "&"))) \
+              .otherwise(F.lit(""))
+        norm = F.concat(scheme, F.lit("://"), host, path, qs)
+        return df.withColumn(
+            "url_norm", F.when(scheme == "", c).otherwise(norm))
+
+
+class UrlDedup(BaseSingle):
+    """Keep one document per canonical URL: the longest ``text``,
+    ties to the smallest id.
+
+    Composes :class:`UrlNormalize` (if ``url_norm`` is absent) with a
+    single groupBy + struct-max argmax — one uniform shuffle on the
+    canonical URL, no window, no sort, no driver state.  Output keeps
+    the source columns plus ``url_norm`` and ``n_dups`` (group size).
+    """
+
+    def __init__(self, source, url_column="url", text_column="text",
+                 id_column=None):
+        if id_column is None:
+            id_column = source.index_column
+        super().__init__(source, url_column, text_column, id_column)
+
+    @property
+    def columns(self):
+        return set(self.source.columns) | {"url_norm", "n_dups"}
+
+    def _build(self, ctx):
+        _, url_col, text_col, idc = self.args
+        if "url_norm" in self.source.columns:
+            df = self.source._build(ctx)
+        else:
+            df = UrlNormalize(self.source, column=url_col)._build(ctx)
+        payload = [f for f in df.columns if f != "url_norm"]
+        best = F.max(F.struct(
+            F.length(F.col(text_col)).alias("_len"),
+            (-F.col(idc)).cast("bigint").alias("_negid"),
+            *[F.col(f) for f in payload])).alias("_best")
+        agg = df.groupBy("url_norm").agg(
+            best, F.count(F.lit(1)).alias("n_dups"))
+        return agg.select(
+            "url_norm", "n_dups",
+            *[F.col("_best.{}".format(f)).alias(f) for f in payload])
+
+
+#: HTML entities decoded by :class:`HtmlExtract` (order matters:
+#: ``&amp;`` last so freshly-decoded ampersands don't re-decode)
+_ENTITIES = (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+             ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&"))
+
+
+class HtmlExtract(BaseSingle):
+    """Extract text from raw HTML: drop ``<script>``/``<style>``
+    blocks and comments, strip tags, decode the common entities,
+    collapse whitespace.
+
+    Adds ``text_extracted`` and ``n_tags`` (tag count before the
+    strip).  Pure regex projection — no shuffle; pairs with
+    ``pipeline.warc.WarcSource`` for WARC-response (non-WET) crawls.
+    """
+
+    def __init__(self, source, column="html"):
+        super().__init__(source, column)
+
+    @property
+    def columns(self):
+        return set(self.source.columns) | {"text_extracted", "n_tags"}
+
+    def _build(self, ctx):
+        _, column = self.args
+        df = self.source._build(ctx)
+        c = F.col(column)
+        df = df.withColumn(
+            "n_tags",
+            F.size(F.regexp_extract_all(
+                c, F.lit(r"<[A-Za-z/!][^>]*>"), 0)).cast("bigint"))
+        t = F.regexp_replace(c, r"(?s)<script\b[^>]*>.*?</script>", " ")
+        t = F.regexp_replace(t, r"(?s)<style\b[^>]*>.*?</style>", " ")
+        t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+        t = F.regexp_replace(t, r"<[^>]+>", " ")
+        for ent, rep in _ENTITIES:
+            t = F.replace(t, F.lit(ent), F.lit(rep))
+        t = F.trim(F.regexp_replace(t, r"\s+", " "))
+        return df.withColumn("text_extracted", t)

@@ -1,0 +1,129 @@
+"""Unit tests for pipeline/curate.py — Gopher rules, C4 cleaning,
+URL canonicalization/dedup, HTML extraction (edge cases the oracle
+demos don't isolate)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _src(spark, rows, schema, idc="doc_id"):
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    return DataFrameSource(spark.createDataFrame(rows, schema),
+                           index_column=idc)
+
+
+def test_gopher_empty_and_repetitive(spark):
+    from dask_geomodeling_spark.pipeline.curate import GopherQuality
+    src = _src(spark, [
+        (1, ""),
+        (2, "be to of and that have with words " * 10),
+    ], "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in
+           GopherQuality(src).plan(spark).collect()}
+    assert out[1]["n_words"] == 0
+    assert out[1]["top_2gram_char_frac"] == 0.0
+    assert not out[1]["gopher_pass"]
+    # pure 8-word repetition: every 10-gram duplicated
+    assert out[2]["dup_10gram_char_frac"] == 1.0
+    assert out[2]["stop_hits"] == 7
+    assert not out[2]["gopher_pass"]
+
+
+def test_gopher_fracs_bounded(spark):
+    from dask_geomodeling_spark.pipeline.curate import GopherQuality
+    src = _src(spark, [
+        (1, "- the cat sat...\nthe cat sat.\nthe cat sat.\n# odd"),
+    ], "doc_id bigint, text string")
+    row = GopherQuality(src).plan(spark).collect()[0]
+    for c in row.asDict():
+        if c.endswith("_frac") or c.endswith("_ratio"):
+            assert 0.0 <= row[c] <= 1.0, (c, row[c])
+    assert row["bullet_line_frac"] == 0.25
+    assert row["ellipsis_line_frac"] == 0.25
+    assert row["dup_line_frac"] == 0.25
+
+
+def test_gopher_without_ngrams_skips_shuffle(spark):
+    from dask_geomodeling_spark.pipeline.curate import GopherQuality
+    src = _src(spark, [(1, "the cat sat")],
+               "doc_id bigint, text string")
+    block = GopherQuality(src, ngram_metrics=False)
+    df = block.plan(spark)
+    assert "top_2gram_char_frac" not in df.columns
+    assert "gopher_pass" in df.columns
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure projection
+
+
+def test_c4_line_rules(spark):
+    from dask_geomodeling_spark.pipeline.curate import C4Filter
+    text = ("this line has five good words.\n"
+            "no terminal punctuation here at all\n"
+            "short line.\n"
+            "a curly brace { appears in this line.\n"
+            "mentions javascript so it is dropped.\n"
+            "one more proper sentence right here!\n"
+            "and a third full sentence to keep?")
+    src = _src(spark, [(1, text)], "doc_id bigint, text string")
+    row = C4Filter(src).plan(spark).collect()[0]
+    assert row["n_lines"] == 7
+    assert row["n_lines_kept"] == 3
+    assert row["c4_keep"]
+    assert "javascript" not in row["text_clean"]
+
+
+def test_c4_doc_rule_min_sentences(spark):
+    from dask_geomodeling_spark.pipeline.curate import C4Filter
+    src = _src(spark, [(1, "only one kept sentence lives here.")],
+               "doc_id bigint, text string")
+    row = C4Filter(src).plan(spark).collect()[0]
+    assert row["n_lines_kept"] == 1
+    assert row["n_sentences"] == 1
+    assert not row["c4_keep"]
+
+
+@pytest.mark.parametrize("url,norm", [
+    ("HTTPS://WWW.Ex.COM:443/a/?utm_source=x&b=2&a=1#f",
+     "https://ex.com/a?a=1&b=2"),
+    ("http://ex.com:80/", "http://ex.com/"),
+    ("https://ex.com", "https://ex.com/"),
+    ("https://ex.com/a/b/", "https://ex.com/a/b"),
+    ("notaurl", "notaurl"),
+])
+def test_url_normalize(spark, url, norm):
+    from dask_geomodeling_spark.pipeline.curate import UrlNormalize
+    src = _src(spark, [(1, url)], "doc_id bigint, url string")
+    assert UrlNormalize(src).plan(spark).collect()[0]["url_norm"] == norm
+
+
+def test_url_dedup_keeps_longest_then_smallest_id(spark):
+    from dask_geomodeling_spark.pipeline.curate import UrlDedup
+    src = _src(spark, [
+        (1, "https://ex.com/a", "xx"),
+        (2, "HTTPS://WWW.ex.com/a/", "xxxx"),
+        (3, "https://ex.com/a?utm_source=f", "xxxx"),
+        (4, "https://ex.com/b", "y"),
+    ], "doc_id bigint, url string, text string")
+    rows = {r["url_norm"]: r for r in UrlDedup(src).plan(spark).collect()}
+    a = rows["https://ex.com/a"]
+    assert a["n_dups"] == 3
+    assert a["doc_id"] == 2  # longest text, tie -> smallest id
+    assert rows["https://ex.com/b"]["n_dups"] == 1
+
+
+def test_html_extract(spark):
+    from dask_geomodeling_spark.pipeline.curate import HtmlExtract
+    html = ("<html><style>p{x}</style><body><!-- c --><p>a &amp; b"
+            "</p><script>var &lt;x&gt;;</script> c</body></html>")
+    src = _src(spark, [(1, html)], "doc_id bigint, html string")
+    row = HtmlExtract(src).plan(spark).collect()[0]
+    assert row["text_extracted"] == "a & b c"
+    assert row["n_tags"] == 11
+
+
+def test_html_extract_no_shuffle(spark):
+    from dask_geomodeling_spark.pipeline.curate import HtmlExtract
+    src = _src(spark, [(1, "<p>x</p>")], "doc_id bigint, html string")
+    plan = (HtmlExtract(src).plan(spark)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
