@@ -5937,6 +5937,66 @@ def raster_warp(spark, sf_dir):
                 height=_WARP_H).plan(spark)
 
 
+def _raster_warp_bilinear_oracle():
+    from dask_geomodeling_spark.raster.warp import warp_bilinear_sql
+    fx, fy = warp_bilinear_sql("EPSG:3857", "EPSG:28992", _WARP_BBOX,
+                               _WARP_W, _WARP_H)
+    piv = ", ".join(
+        "max(CASE WHEN k = {k} THEN v END) AS v{k}, "
+        "max(CASE WHEN k = {k} THEN w END) AS w{k}".format(k=k)
+        for k in range(4))
+    num = " + ".join("COALESCE(w{k} * v{k}, 0.0)".format(k=k)
+                     for k in range(4))
+    den = " + ".join(
+        "COALESCE(CASE WHEN v{k} IS NOT NULL THEN w{k} END, 0.0)"
+        .format(k=k) for k in range(4))
+    return """
+WITH grid AS ({grid}),
+rd AS (SELECT time, y + 463000 AS y, x + 155000 AS x, value FROM grid),
+tgt AS (SELECT CAST(i % {W} AS BIGINT) AS _i,
+               CAST(i // {W} AS BIGINT) AS _j
+        FROM range(0, {WH}) t(i)),
+f AS (SELECT _i, _j, {fx} AS fx, {fy} AS fy FROM tgt),
+c AS (SELECT _i, _j, k.k AS k,
+        CAST(FLOOR(fx) AS BIGINT) + (k.k % 2) AS sx,
+        CAST(FLOOR(fy) AS BIGINT) + (k.k // 2) AS sy,
+        (CASE WHEN k.k % 2 = 1 THEN fx - FLOOR(fx)
+              ELSE 1.0 - (fx - FLOOR(fx)) END)
+      * (CASE WHEN k.k >= 2 THEN fy - FLOOR(fy)
+              ELSE 1.0 - (fy - FLOOR(fy)) END) AS w
+      FROM f, unnest([0, 1, 2, 3]) AS k(k)),
+j AS (SELECT r.time, c._j, c._i, c.k, c.w,
+             CAST(r.value AS DOUBLE) AS v
+      FROM rd r JOIN c ON r.x = c.sx AND r.y = c.sy),
+p AS (SELECT time, _j, _i, {piv} FROM j GROUP BY time, _j, _i)
+SELECT time, _j AS y, _i AS x, ROUND(({num}) / ({den}), 6) AS value
+FROM p WHERE ({den}) > 0
+""".format(grid=_grid_sql(), W=_WARP_W, WH=_WARP_W * _WARP_H,
+           fx=fx, fy=fy, piv=piv, num=num, den=den)
+
+
+@demo("raster_warp_bilinear", oracle=_raster_warp_bilinear_oracle())
+def raster_warp_bilinear(spark, sf_dir):
+    """Warp(algorithm='bilinear'): same RD→3857 request grid as
+    raster_warp, but each target cell weight-averages the 4 native
+    cells surrounding its back-transformed center (weights
+    renormalized over the available neighbors at the raster edge).
+    The fixed-corner-order sum makes the double arithmetic
+    bit-deterministic; ROUND(6) on the output absorbs nothing — it
+    matches the oracle's identical expression order."""
+    from dask_geomodeling_spark.raster.sources import DataFrameRasterSource
+    from dask_geomodeling_spark.raster.warp import Warp
+    g = lineitem_grid(spark, sf_dir)
+    rd = DataFrameRasterSource(
+        g._df.select("time", (F.col("y") + 463000).alias("y"),
+                     (F.col("x") + 155000).alias("x"), "value"),
+        projection="EPSG:28992")
+    out = Warp(rd, "EPSG:3857", bbox=_WARP_BBOX, width=_WARP_W,
+               height=_WARP_H, algorithm="bilinear").plan(spark)
+    return out.select("time", "y", "x",
+                      F.round("value", 6).alias("value"))
+
+
 #: demo BPE merge table — well-formed (operands are chars or outputs of
 #: earlier rules), covering the corpus hot words spark/merge/batch/the
 _BPE_MERGES = [("e", "r"), ("t", "h"), ("th", "e"), ("a", "r"),

@@ -24,18 +24,12 @@ from pyspark.sql import functions as F
 
 from dask_geomodeling_spark.raster.base import BaseSingle
 
-__all__ = ["Warp", "warp_grid_sql"]
+__all__ = ["Warp", "warp_grid_sql", "warp_bilinear_sql"]
 
 
-def warp_grid_sql(dst_crs, native_crs, bbox, width, height):
-    """The portable SQL pair ``(snap_x, snap_y)`` mapping a target grid
-    cell ``(_i, _j)`` — column i of ``width``, row j of ``height`` over
-    ``bbox`` in ``dst_crs`` — onto the floor-snapped native unit-cell
-    index in ``native_crs``.  Shared verbatim between the Spark plan
-    and the DuckDB oracles (the reprojection-oracle contract), hence
-    engine-portable SQL only.  ROUND(6) (µm) before the floor absorbs
-    the 1-ulp ln/tan drift between the JVM and libm so both engines
-    snap identically."""
+def _center_sql(dst_crs, native_crs, bbox, width, height):
+    """Raw engine-portable SQL pair: the continuous native-CRS
+    coordinates of target cell center ``(_i, _j)``."""
     from dask_geomodeling_spark.geometry.proj import point_transform_sql
     x1, y1, x2, y2 = (float(v) for v in bbox)
     dx = (x2 - x1) / int(width)
@@ -47,11 +41,35 @@ def warp_grid_sql(dst_crs, native_crs, bbox, width, height):
     dst = str(dst_crs).upper()
     native = str(native_crs).upper()
     if dst == native:
-        sx, sy = cx, cy
-    else:
-        sx, sy = point_transform_sql(dst, native, cx, cy)
+        return cx, cy
+    return point_transform_sql(dst, native, cx, cy)
+
+
+def warp_grid_sql(dst_crs, native_crs, bbox, width, height):
+    """The portable SQL pair ``(snap_x, snap_y)`` mapping a target grid
+    cell ``(_i, _j)`` — column i of ``width``, row j of ``height`` over
+    ``bbox`` in ``dst_crs`` — onto the floor-snapped native unit-cell
+    index in ``native_crs``.  Shared verbatim between the Spark plan
+    and the DuckDB oracles (the reprojection-oracle contract), hence
+    engine-portable SQL only.  ROUND(6) (µm) before the floor absorbs
+    the 1-ulp ln/tan drift between the JVM and libm so both engines
+    snap identically."""
+    sx, sy = _center_sql(dst_crs, native_crs, bbox, width, height)
     return ("CAST(FLOOR(ROUND({}, 6)) AS BIGINT)".format(sx),
             "CAST(FLOOR(ROUND({}, 6)) AS BIGINT)".format(sy))
+
+
+def warp_bilinear_sql(dst_crs, native_crs, bbox, width, height):
+    """The portable SQL pair ``(fx, fy)``: continuous native-CELL
+    coordinates of the target cell center shifted by the half-cell so
+    ``floor(f)`` is the left/lower neighbor's index and ``f −
+    floor(f)`` is that axis's interpolation weight toward the
+    right/upper neighbor (native cell (x, y) is the unit square
+    [x, x+1)×[y, y+1), center x+0.5).  ROUND(6) before use pins the
+    1-ulp cross-engine drift exactly like the nearest path."""
+    sx, sy = _center_sql(dst_crs, native_crs, bbox, width, height)
+    return ("ROUND({} - 0.5, 6)".format(sx),
+            "ROUND({} - 0.5, 6)".format(sy))
 
 
 class Warp(BaseSingle):
@@ -71,15 +89,29 @@ class Warp(BaseSingle):
         in the target CRS; ``value`` is the nearest (floor-snapped)
         native cell's value.  Nearest-neighbor is GDAL's default
         resample algorithm.
+      algorithm: ``'nearest'`` (default, GDAL's default) or
+        ``'bilinear'`` — the 4 native cells whose centers surround the
+        target center, weight-averaged over the AVAILABLE ones
+        (weights renormalized when a neighbor is absent, so edges
+        degrade gracefully instead of going nodata); output ``value``
+        is double.  The bilinear path joins a 4×-exploded broadcast
+        grid and aggregates per target cell with a fixed-corner-order
+        sum, so the result is bit-deterministic; the shuffle it adds
+        is bounded by 4·width·height rows (output-sized, never
+        source-sized).
     """
 
     def __init__(self, store, projection=None, bbox=None, width=None,
-                 height=None):
+                 height=None, algorithm="nearest"):
         if bbox is not None:
             bbox = tuple(float(v) for v in bbox)
+        if algorithm not in ("nearest", "bilinear"):
+            raise ValueError("algorithm must be 'nearest' or "
+                             "'bilinear', got {!r}".format(algorithm))
         super().__init__(store, projection, bbox,
                          None if width is None else int(width),
-                         None if height is None else int(height))
+                         None if height is None else int(height),
+                         algorithm)
 
     @property
     def projection(self):
@@ -117,16 +149,65 @@ class Warp(BaseSingle):
 
         # target grid: width*height rows from range() — executor-built,
         # request-sized, broadcast side of the join
-        sx_sql, sy_sql = warp_grid_sql(dst, native,
-                                       (x1, y1, x2, y2), width, height)
-        grid = (ctx.spark.range(width * height)
+        base = (ctx.spark.range(width * height)
                 .select((F.col("id") % width).alias("_i"),
-                        (F.col("id") / width).cast("bigint").alias("_j"))
+                        (F.col("id") / width).cast("bigint").alias("_j")))
+        if self.args[5] == "nearest":
+            sx_sql, sy_sql = warp_grid_sql(
+                dst, native, (x1, y1, x2, y2), width, height)
+            grid = base.select("_i", "_j",
+                               F.expr(sx_sql).alias("_sx"),
+                               F.expr(sy_sql).alias("_sy"))
+            out = cells.join(
+                F.broadcast(grid),
+                (cells["x"] == grid["_sx"]) & (cells["y"] == grid["_sy"]))
+            return out.select("time", F.col("_j").alias("y"),
+                              F.col("_i").alias("x"), "value")
+
+        # bilinear: 4 surrounding native centers per target cell,
+        # exploded on the broadcast (grid) side; fixed-corner-order
+        # weighted sum for bit determinism
+        fx_sql, fy_sql = warp_bilinear_sql(
+            dst, native, (x1, y1, x2, y2), width, height)
+        grid = (base.select("_i", "_j",
+                            F.expr(fx_sql).alias("_fx"),
+                            F.expr(fy_sql).alias("_fy"))
                 .select("_i", "_j",
-                        F.expr(sx_sql).alias("_sx"),
-                        F.expr(sy_sql).alias("_sy")))
-        out = cells.join(
+                        F.floor("_fx").cast("bigint").alias("_x0"),
+                        F.floor("_fy").cast("bigint").alias("_y0"),
+                        (F.col("_fx") - F.floor("_fx")).alias("_wx"),
+                        (F.col("_fy") - F.floor("_fy")).alias("_wy"))
+                .select("_i", "_j", "_x0", "_y0", "_wx", "_wy",
+                        F.expr("explode(array(0, 1, 2, 3))")
+                        .alias("_k"))
+                .select(
+                    "_i", "_j", "_k",
+                    (F.col("_x0") + F.col("_k") % 2).alias("_sx"),
+                    (F.col("_y0") + (F.col("_k") / 2).cast("bigint"))
+                    .alias("_sy"),
+                    (F.when(F.col("_k") % 2 == 1, F.col("_wx"))
+                     .otherwise(1.0 - F.col("_wx"))
+                     * F.when(F.col("_k") >= 2, F.col("_wy"))
+                     .otherwise(1.0 - F.col("_wy"))).alias("_w")))
+        joined = cells.join(
             F.broadcast(grid),
             (cells["x"] == grid["_sx"]) & (cells["y"] == grid["_sy"]))
-        return out.select("time", F.col("_j").alias("y"),
-                          F.col("_i").alias("x"), "value")
+        pivots = []
+        for k in range(4):
+            pivots.append(F.max(F.when(F.col("_k") == k,
+                                       F.col("value").cast("double")))
+                          .alias("_v{}".format(k)))
+            pivots.append(F.max(F.when(F.col("_k") == k, F.col("_w")))
+                          .alias("_w{}".format(k)))
+        agg = joined.groupBy("time", "_j", "_i").agg(*pivots)
+        num = F.lit(0.0)
+        den = F.lit(0.0)
+        for k in range(4):
+            vk, wk = F.col("_v{}".format(k)), F.col("_w{}".format(k))
+            num = num + F.coalesce(wk * vk, F.lit(0.0))
+            den = den + F.coalesce(
+                F.when(vk.isNotNull(), wk), F.lit(0.0))
+        return (agg.where(den > 0)
+                .select("time", F.col("_j").alias("y"),
+                        F.col("_i").alias("x"),
+                        (num / den).alias("value")))

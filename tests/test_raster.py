@@ -351,6 +351,46 @@ def test_warp_cross_crs_via_get_data(spark):
     assert vals[(0, 0)] == 11.0 and vals[(5, 5)] == 66.0
 
 
+def test_warp_bilinear_identity_grid(spark):
+    """dst==native, 2x downsample of an 8x8 ramp: target centers sit
+    exactly between 4 native centers (weights all 0.25), so bilinear
+    equals the 4-cell mean."""
+    from dask_geomodeling_spark.raster.sources import MemorySource
+    from dask_geomodeling_spark.raster.warp import Warp
+    data = [[10.0 * y + x for x in range(8)] for y in range(8)]
+    src = MemorySource(data)
+    w = Warp(src, "EPSG:4326", bbox=(0, 0, 8, 8), width=4, height=4,
+             algorithm="bilinear")
+    rows = sorted((r.y, r.x, r.value) for r in w.plan(spark).collect())
+    exp = sorted((j, i, 10.0 * (2 * j + 1.5 - 1) + (2 * i + 0.5))
+                 for j in range(4) for i in range(4))
+    assert rows == exp
+
+
+def test_warp_bilinear_edge_renormalizes(spark):
+    """A 1x1 source: every target center has at most one surviving
+    neighbor, whose weight renormalizes to 1 — output equals the
+    single cell value wherever any neighbor matched."""
+    from dask_geomodeling_spark.raster.sources import MemorySource
+    from dask_geomodeling_spark.raster.warp import Warp
+    src = MemorySource([[7.0]])
+    w = Warp(src, "EPSG:4326", bbox=(0, 0, 1, 1), width=2, height=2,
+             algorithm="bilinear")
+    rows = w.plan(spark).collect()
+    assert len(rows) == 4
+    assert all(r.value == 7.0 for r in rows)
+
+
+def test_warp_rejects_unknown_algorithm():
+    import pytest
+
+    from dask_geomodeling_spark.raster.sources import MemorySource
+    from dask_geomodeling_spark.raster.warp import Warp
+    src = MemorySource([[1.0]])
+    with pytest.raises(ValueError):
+        Warp(src, "EPSG:4326", algorithm="cubic")
+
+
 def test_warp_plan_broadcasts_grid(spark):
     from dask_geomodeling_spark.raster.sources import MemorySource
     from dask_geomodeling_spark.raster.warp import Warp
