@@ -2287,7 +2287,8 @@ def _projext_lonlat_sql(lon0, lon_span, lat0, lat_span):
     return lon, lat
 
 
-def _projext_oracle(crs, lon0, lon_span, lat0, lat_span):
+def _projext_oracle(crs, lon0, lon_span, lat0, lat_span,
+                    res_decimals=6):
     # coordinates quantize to 0.1 m and closure residuals to 1e-6
     # degrees IN-ENGINE on both sides: the shared SQL text is ulp-
     # identical across engines only for pure arithmetic; the conic
@@ -2302,14 +2303,15 @@ def _projext_oracle(crs, lon0, lon_span, lat0, lat_span):
 WITH pts AS (SELECT c_custkey, {lon} AS lon, {lat} AS lat FROM customer),
 fwd AS (SELECT c_custkey, lon, lat, {x} AS px, {y} AS py FROM pts)
 SELECT c_custkey, round(px, 1) AS px, round(py, 1) AS py,
-       round(({lon_b}) - lon, 6) AS dlon,
-       round(({lat_b}) - lat, 6) AS dlat
+       round(({lon_b}) - lon, {rd}) AS dlon,
+       round(({lat_b}) - lat, {rd}) AS dlat
 FROM fwd
-""".format(lon=lon, lat=lat, x=x, y=y, lon_b=lon_b, lat_b=lat_b)
+""".format(lon=lon, lat=lat, x=x, y=y, lon_b=lon_b, lat_b=lat_b,
+           rd=res_decimals)
 
 
 def _projext_roundtrip(spark, sf_dir, crs, lon0, lon_span, lat0,
-                       lat_span):
+                       lat_span, res_decimals=6):
     """Shared Spark body: 4326 → crs → 4326 through Reproject, both
     legs the same SQL text the oracle replays; outputs quantized as in
     ``_projext_oracle``."""
@@ -2326,8 +2328,8 @@ def _projext_roundtrip(spark, sf_dir, crs, lon0, lon_span, lat0,
         F.round("x", 1).alias("px"), F.round("y", 1).alias("py"))
     b = back.plan(spark).select(
         "c_custkey",
-        F.round(F.col("x") - F.expr(lon), 6).alias("dlon"),
-        F.round(F.col("y") - F.expr(lat), 6).alias("dlat"))
+        F.round(F.col("x") - F.expr(lon), res_decimals).alias("dlon"),
+        F.round(F.col("y") - F.expr(lat), res_decimals).alias("dlat"))
     return f.join(b, "c_custkey")
 
 
@@ -2365,6 +2367,68 @@ def reproject_laea(spark, sf_dir):
     degrees via the authalic series."""
     return _projext_roundtrip(spark, sf_dir, "EPSG:3035",
                               -10.0, 40.0, 35.0, 35.0)
+
+
+def _projext_staged_oracle(crs, lon0, lon_span, lat0, lat_span,
+                           res_decimals=6):
+    """Datum-CRS variant of ``_projext_oracle``: one CTE per transform
+    stage (the same stages the Spark plan materializes —
+    proj._transform_stages), so neither engine parses the fully
+    substituted expression.  The arithmetic is identical; only the
+    evaluation is staged."""
+    from dask_geomodeling_spark.geometry.proj import _transform_stages
+    lon, lat = _projext_lonlat_sql(lon0, lon_span, lat0, lat_span)
+    parts = ["WITH pts AS (SELECT c_custkey, {lon} AS lon, {lat} AS lat"
+             " FROM customer)".format(lon=lon, lat=lat)]
+    cur_x, cur_y, prev = "lon", "lat", "pts"
+    for i, stage in enumerate(_transform_stages("EPSG:4326", crs)):
+        sx, sy = stage(cur_x, cur_y)
+        name = "f{}".format(i)
+        parts.append("{n} AS (SELECT *, {sx} AS {n}x, {sy} AS {n}y "
+                     "FROM {p})".format(n=name, sx=sx, sy=sy, p=prev))
+        cur_x, cur_y, prev = name + "x", name + "y", name
+    fx, fy = cur_x, cur_y
+    for i, stage in enumerate(_transform_stages(crs, "EPSG:4326")):
+        sx, sy = stage(cur_x, cur_y)
+        name = "b{}".format(i)
+        parts.append("{n} AS (SELECT *, {sx} AS {n}x, {sy} AS {n}y "
+                     "FROM {p})".format(n=name, sx=sx, sy=sy, p=prev))
+        cur_x, cur_y, prev = name + "x", name + "y", name
+    return """
+{ctes}
+SELECT c_custkey, round({fx}, 1) AS px, round({fy}, 1) AS py,
+       round({bx} - lon, {rd}) AS dlon,
+       round({by} - lat, {rd}) AS dlat
+FROM {p}
+""".format(ctes=",\n".join(parts), fx=fx, fy=fy, bx=cur_x, by=cur_y,
+           rd=res_decimals, p=prev)
+
+
+@demo("reproject_osgb", oracle=_projext_staged_oracle(
+    "EPSG:27700", -7.5, 9.0, 50.0, 10.0, res_decimals=5))
+def reproject_osgb(spark, sf_dir):
+    """Transverse Mercator on a NON-WGS84 datum (OSGB36 / British
+    National Grid, EPSG:27700): the generalized Snyder TM series on
+    Airy 1830 (proj_ext._Tmerc — mm-exact against the OS worked
+    example) composed with the published WGS84→OSGB36 7-parameter
+    shift, applied as the linearized Molodensky correction
+    (proj_ext._Datum; ~5 cm from the exact Helmert, inside the ~2-5 m
+    grid-file-free accuracy class the reference's pyproj shares).
+    Roundtrip closure ≈ 3e-7°, quantized at 1e-5 on both sides."""
+    return _projext_roundtrip(spark, sf_dir, "EPSG:27700",
+                              -7.5, 9.0, 50.0, 10.0, res_decimals=5)
+
+
+@demo("reproject_etrs_utm", oracle=_projext_oracle(
+    "EPSG:25832", 6.0, 6.0, 47.0, 8.0))
+def reproject_etrs_utm(spark, sf_dir):
+    """ETRS89 / UTM zone 32N (EPSG:25832) through the generalized
+    tmerc registry entry on GRS80 — agrees with the built-in WGS84
+    EPSG:32632 closed form to 0.1 mm (the ellipsoids differ in the
+    8th digit), demonstrating that any national TM grid is now a
+    parameter registration, not new machinery."""
+    return _projext_roundtrip(spark, sf_dir, "EPSG:25832",
+                              6.0, 6.0, 47.0, 8.0)
 
 
 @demo("reproject_polar", oracle=_projext_oracle(

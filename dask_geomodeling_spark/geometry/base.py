@@ -204,11 +204,9 @@ class GeometryBlock(Block):
             return {"extent": extent, "projection": projection}
         if projection != self.projection:
             from dask_geomodeling_spark.geometry.proj import (
-                reproject_mapping)
-            mapping = reproject_mapping(df.columns, self.projection,
-                                        projection)
-            if mapping:
-                df = df.withColumns(mapping)
+                apply_reproject)
+            df = apply_reproject(df, self.projection, projection,
+                                 strict=False)
         return {"features": df, "projection": projection}
 
     def to_file(self, *args, **kwargs):

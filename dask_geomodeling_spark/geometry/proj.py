@@ -44,6 +44,7 @@ from dask_geomodeling_spark.geometry.base import BaseSingle
 __all__ = ["Reproject", "WEB_MERCATOR_RADIUS", "utm_sql",
            "utm_inverse_sql", "equirect_sql", "rd_sql",
            "rd_inverse_sql", "point_transform_sql", "reproject_mapping",
+           "apply_reproject",
            "transform_extent", "validate_crs_pair"]
 
 WEB_MERCATOR_RADIUS = 6378137.0
@@ -314,33 +315,98 @@ def point_transform_sql(src_crs, dst_crs, x_sql, y_sql):
     return _point_sql(src_crs, dst_crs, x_sql, y_sql)
 
 
-def reproject_mapping(columns, src_crs, dst_crs):
-    """{column -> transformed Column} for every geometry column present
-    (point x/y, bbox corners, polygon ``vertices`` rings).  The same
-    mapping serves the Reproject operator and request-projection
-    handling in ``GeometryBlock.get_data``."""
-    src_crs, dst_crs = validate_crs_pair(src_crs, dst_crs)
-    mapping = {}
+def _transform_stages(src_crs, dst_crs):
+    """The transform as a list of callables ``f(x_sql, y_sql) ->
+    (x'_sql, y'_sql)``, one per PLAN STAGE.  Single-stage for every
+    pure-projection pair (the textual-substitution contract the
+    oracles replay).  Datum-shifted CRSs (proj_ext._Datum) split into
+    [shift, inner-projection] / [inner-inverse, shift-back]: the
+    Molodensky correction and the TM series each reference their
+    inputs ~20×, so composing them TEXTUALLY multiplies the tree
+    ~400× and whole-stage codegen spends half a minute compiling the
+    generated Java — materializing the shifted geodetic coordinates
+    as an intermediate projection keeps every stage's tree small
+    while computing the IDENTICAL arithmetic (stage boundaries don't
+    change FP evaluation order)."""
     if src_crs == dst_crs:
-        return mapping
+        return []
+    if not _direct_pair(src_crs, dst_crs):
+        return (_transform_stages(src_crs, _WGS)
+                + _transform_stages(_WGS, dst_crs))
+    from dask_geomodeling_spark.geometry.proj_ext import projected_crs
+    ext_dst, ext_src = projected_crs(dst_crs), projected_crs(src_crs)
+    if ext_dst is not None and getattr(ext_dst, "inner", None) is not None:
+        def shift(x, y, d=ext_dst):
+            lat2, lon2 = d._shift(y, x, d.fwd, d.src, d.dst)
+            return lon2, lat2
+
+        def fwd(x, y, d=ext_dst):
+            return d.inner.forward(y, x)
+        return [shift, fwd]
+    if ext_src is not None and getattr(ext_src, "inner", None) is not None:
+        def inv(x, y, d=ext_src):
+            return d.inner.inverse(x, y)
+
+        def shift_back(x, y, d=ext_src):
+            lat3, lon3 = d._shift(y, x, d.inv, d.dst, d.src)
+            return lon3, lat3
+        return [inv, shift_back]
+    return [lambda x, y: _point_sql(src_crs, dst_crs, x, y)]
+
+
+def _stage_mapping(columns, stage):
+    """{column -> Column} applying one transform stage to every
+    geometry column present."""
+    mapping = {}
     cols = set(columns)
     for xc, yc in (("x", "y"), ("xmin", "ymin"), ("xmax", "ymax")):
         if not {xc, yc} <= cols:
             continue
-        x_sql, y_sql = _point_sql(src_crs, dst_crs,
-                                  "`{}`".format(xc), "`{}`".format(yc))
+        x_sql, y_sql = stage("`{}`".format(xc), "`{}`".format(yc))
         mapping[xc] = F.expr(x_sql)
         mapping[yc] = F.expr(y_sql)
     if "vertices" in cols:
-        vx, vy = _point_sql(src_crs, dst_crs, "v[0]", "v[1]")
+        vx, vy = stage("v[0]", "v[1]")
         mapping["vertices"] = F.expr(
             "transform(vertices, v -> array({}, {}))".format(vx, vy))
     if "rings" in cols:
-        vx, vy = _point_sql(src_crs, dst_crs, "v[0]", "v[1]")
+        vx, vy = stage("v[0]", "v[1]")
         mapping["rings"] = F.expr(
             "transform(rings, r -> transform(r, v -> array({}, {})))"
             .format(vx, vy))
     return mapping
+
+
+def apply_reproject(df, src_crs, dst_crs, strict=True):
+    """Reproject every geometry column of ``df`` — one ``withColumns``
+    projection per transform stage (see ``_transform_stages``).
+    Returns ``df`` unchanged when the CRSs coincide; when a transform
+    is requested but no geometry column is present, raises
+    (``strict``) or passes the frame through (request-path
+    behavior)."""
+    src_crs, dst_crs = validate_crs_pair(src_crs, dst_crs)
+    stages = _transform_stages(src_crs, dst_crs)
+    applied = False
+    for stage in stages:
+        mapping = _stage_mapping(df.columns, stage)
+        if mapping:
+            df = df.withColumns(mapping)
+            applied = True
+    if strict and stages and not applied:
+        raise ValueError("Reproject requires geometry columns")
+    return df
+
+
+def reproject_mapping(columns, src_crs, dst_crs):
+    """{column -> transformed Column} for every geometry column present
+    (point x/y, bbox corners, polygon ``vertices`` rings) as ONE
+    textual composition — kept for single-stage callers and oracle
+    parity; plan-building goes through ``apply_reproject`` (staged)."""
+    src_crs, dst_crs = validate_crs_pair(src_crs, dst_crs)
+    if src_crs == dst_crs:
+        return {}
+    return _stage_mapping(
+        columns, lambda x, y: _point_sql(src_crs, dst_crs, x, y))
 
 
 def transform_extent(extent, src_crs, dst_crs):
@@ -399,9 +465,4 @@ class Reproject(BaseSingle):
     def _build(self, ctx):
         df = self.source._build(ctx)
         src_crs, dst_crs = self.args[1], self.args[2]
-        if src_crs == dst_crs:
-            return df
-        mapping = reproject_mapping(df.columns, src_crs, dst_crs)
-        if not mapping:
-            raise ValueError("Reproject requires geometry columns")
-        return df.withColumns(mapping)
+        return apply_reproject(df, src_crs, dst_crs)

@@ -38,6 +38,8 @@ ELLIPSOIDS = {
     "GRS80": (6378137.0, 1.0 / 298.257222101),
     "clarke1866": (6378206.4, None),  # defined via b below
     "intl1924": (6378388.0, 1.0 / 297.0),
+    "airy1830": (6377563.396, 1.0 / 299.3249646),
+    "bessel1841": (6377397.155, 1.0 / 299.1528128),
 }
 
 
@@ -299,19 +301,199 @@ class _Laea:
         return lon, _authalic_lat_sql(beta, self.e2)
 
 
+class _Tmerc:
+    """Transverse Mercator, arbitrary ellipsoid and origin (Snyder
+    8-9..8-13 forward, 8-18..8-25 inverse — the generalized form of
+    the engine's built-in WGS84 UTM zones; covers the national TM
+    grids: OSGB, Irish TM, Gauss–Krüger, ETRS89 UTM)."""
+
+    def __init__(self, lat0, lon0, k0, x0, y0, ellipsoid):
+        a, e2 = _ellipsoid(ellipsoid)
+        self.a, self.e2 = a, e2
+        self.ep2 = e2 / (1.0 - e2)
+        e4, e6 = e2 * e2, e2 ** 3
+        self.m0 = 1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0
+        self.m1 = 3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0
+        self.m2 = 15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0
+        self.m3 = 35.0 * e6 / 3072.0
+        p0 = math.radians(lat0)
+        self.big_m0 = a * (self.m0 * p0 - self.m1 * math.sin(2.0 * p0)
+                           + self.m2 * math.sin(4.0 * p0)
+                           - self.m3 * math.sin(6.0 * p0))
+        self.lon0 = math.radians(lon0)
+        self.k0, self.x0, self.y0 = float(k0), x0, y0
+
+    def forward(self, lat, lon):
+        e2, ep2 = self.e2, self.ep2
+        p = "radians({})".format(lat)
+        A = "((radians({}) - {!r}) * cos({p}))".format(lon, self.lon0,
+                                                      p=p)
+        T = "(tan({p}) * tan({p}))".format(p=p)
+        C = "({!r} * cos({p}) * cos({p}))".format(ep2, p=p)
+        NU = "({!r} / sqrt(1.0 - {!r} * sin({p}) * sin({p})))".format(
+            self.a, e2, p=p)
+        M = ("({!r} * ({!r} * {p} - {!r} * sin(2.0 * {p}) "
+             "+ {!r} * sin(4.0 * {p}) - {!r} * sin(6.0 * {p})))").format(
+            self.a, self.m0, self.m1, self.m2, self.m3, p=p)
+        A2 = "({A} * {A})".format(A=A)
+        A3 = "({A} * {A} * {A})".format(A=A)
+        A4 = "({A2} * {A2})".format(A2=A2)
+        A5 = "({A4} * {A})".format(A4=A4, A=A)
+        A6 = "({A4} * {A2})".format(A4=A4, A2=A2)
+        x = ("({x0!r} + {k0!r} * {NU} * ({A} + (1.0 - {T} + {C}) "
+             "* {A3} / 6.0 + (5.0 - 18.0 * {T} + {T} * {T} "
+             "+ 72.0 * {C} - {c58!r}) * {A5} / 120.0))").format(
+            x0=self.x0, k0=self.k0, NU=NU, A=A, T=T, C=C, A3=A3,
+            A5=A5, c58=58.0 * ep2)
+        y = ("({y0!r} + {k0!r} * ({M} - {M0!r} + {NU} * tan({p}) "
+             "* ({A2} / 2.0 + (5.0 - {T} + 9.0 * {C} + 4.0 * {C} * {C})"
+             " * {A4} / 24.0 + (61.0 - 58.0 * {T} + {T} * {T} "
+             "+ 600.0 * {C} - {c330!r}) * {A6} / 720.0)))").format(
+            y0=self.y0, k0=self.k0, M=M, M0=self.big_m0, NU=NU, p=p,
+            A2=A2, T=T, C=C, A4=A4, A6=A6, c330=330.0 * ep2)
+        return x, y
+
+    def inverse(self, x, y):
+        a, e2, ep2, k0 = self.a, self.e2, self.ep2, self.k0
+        e1 = ((1.0 - math.sqrt(1.0 - e2))
+              / (1.0 + math.sqrt(1.0 - e2)))
+        j1 = 3.0 * e1 / 2.0 - 27.0 * e1 ** 3 / 32.0
+        j2 = 21.0 * e1 ** 2 / 16.0 - 55.0 * e1 ** 4 / 32.0
+        j3 = 151.0 * e1 ** 3 / 96.0
+        j4 = 1097.0 * e1 ** 4 / 512.0
+        MU = ("(((({n}) - {y0!r}) / {k0!r} + {M0!r}) / {am0!r})"
+              ).format(n=y, y0=self.y0, k0=k0, M0=self.big_m0,
+                       am0=a * self.m0)
+        P1 = ("({mu} + {j1!r} * sin(2.0 * {mu}) + {j2!r} "
+              "* sin(4.0 * {mu}) + {j3!r} * sin(6.0 * {mu}) "
+              "+ {j4!r} * sin(8.0 * {mu}))").format(
+            mu=MU, j1=j1, j2=j2, j3=j3, j4=j4)
+        T1 = "(tan({p}) * tan({p}))".format(p=P1)
+        C1 = "({ep2!r} * cos({p}) * cos({p}))".format(ep2=ep2, p=P1)
+        Q = "(1.0 - {e2!r} * sin({p}) * sin({p}))".format(e2=e2, p=P1)
+        N1 = "({a!r} / sqrt({q}))".format(a=a, q=Q)
+        R1 = "({ae!r} / ({q} * sqrt({q})))".format(ae=a * (1.0 - e2),
+                                                   q=Q)
+        D = "(((({e}) - {x0!r}) / {n1}) / {k0!r})".format(
+            e=x, x0=self.x0, n1=N1, k0=k0)
+        D2 = "({d} * {d})".format(d=D)
+        D3 = "({d2} * {d})".format(d2=D2, d=D)
+        D4 = "({d2} * {d2})".format(d2=D2)
+        D5 = "({d4} * {d})".format(d4=D4, d=D)
+        D6 = "({d4} * {d2})".format(d4=D4, d2=D2)
+        lat = ("degrees({p} - ({n1} * tan({p}) / {r1}) * ({d2} / 2.0"
+               " - (5.0 + 3.0 * {t1} + 10.0 * {c1} - 4.0 * {c1} * {c1}"
+               " - {c9!r}) * {d4} / 24.0"
+               " + (61.0 + 90.0 * {t1} + 298.0 * {c1} + 45.0 * {t1} "
+               "* {t1} - {c252!r} - 3.0 * {c1} * {c1}) * {d6} / 720.0))"
+               ).format(p=P1, n1=N1, r1=R1, d2=D2, d4=D4, d6=D6,
+                        t1=T1, c1=C1, c9=9.0 * ep2, c252=252.0 * ep2)
+        lon = ("degrees({lon0!r} + ({d} - (1.0 + 2.0 * {t1} + {c1}) "
+               "* {d3} / 6.0 + (5.0 - 2.0 * {c1} + 28.0 * {t1} "
+               "- 3.0 * {c1} * {c1} + {c8!r} + 24.0 * {t1} * {t1}) "
+               "* {d5} / 120.0) / cos({p}))").format(
+            lon0=self.lon0, d=D, d3=D3, d5=D5, t1=T1, c1=C1,
+            c8=8.0 * ep2, p=P1)
+        return lon, lat
+
+
+class _Datum:
+    """7-parameter datum shift in the geodetic domain (linearized
+    Molodensky with the rotation/scale differentials of the
+    position-vector Helmert, EPSG 9606 small-angle convention),
+    wrapped around an inner projection whose datum is not WGS84.
+
+    Forward: WGS84 (φ, λ) gains the correction (dφ, dλ) computed from
+    the Cartesian differential dX = t + (s−1)·X + R·X evaluated at
+    X(φ, λ, h=0), projected back through dφ = (−sinφcosλ·dX −
+    sinφsinλ·dY + cosφ·dZ + (a·df + f·da)·sin2φ)/M and dλ = (−sinλ·dX
+    + cosλ·dY)/(N·cosφ) — then the inner forward runs on the shifted
+    coordinates.  Inverse applies the negated parameters after the
+    inner inverse.  Why not exact XYZ→Helmert→Bowring: these SQL
+    transforms compose TEXTUALLY (the shared-string oracle contract),
+    and the Bowring chain re-expands its inputs ~180×, which explodes
+    megabyte-scale once nested inside a TM series; the linearized
+    form re-expands ~30× and differs from the exact Helmert by
+    centimeters — far under the ~2-5 m accuracy class of any
+    grid-file-free national-datum shift (the reference's pyproj
+    without NTv2/OSTN grids is in the same class)."""
+
+    def __init__(self, inner, helmert, ellipsoid):
+        tx, ty, tz, rx, ry, rz, ppm = (float(v) for v in helmert)
+        arc = math.pi / (180.0 * 3600.0)
+        self.inner = inner
+        self.fwd = (tx, ty, tz, rx * arc, ry * arc, rz * arc,
+                    ppm * 1e-6)
+        self.inv = tuple(-v for v in self.fwd)
+        a1, f1 = ELLIPSOIDS["WGS84"]
+        a2, f2 = ELLIPSOIDS[ellipsoid]
+        self.src = (a1, f1 * (2.0 - f1), f1)
+        self.dst = (a2, f2 * (2.0 - f2), f2)
+
+    @staticmethod
+    def _shift(lat, lon, params, src, dst):
+        """Degrees-SQL (lat', lon') on the ``dst`` datum after the
+        linearized shift ``params`` applied on the ``src`` datum."""
+        a1, e21, f1 = src
+        a2, e22, f2 = dst
+        tx, ty, tz, rx, ry, rz, ds = params
+        da, df = a2 - a1, f2 - f1
+        p = "radians({})".format(lat)
+        l = "radians({})".format(lon)
+        w = "sqrt(1.0 - {e2!r} * sin({p}) * sin({p}))".format(
+            e2=e21, p=p)
+        nu = "({a!r} / {w})".format(a=a1, w=w)
+        rho = "({c!r} / ({w} * {w} * {w}))".format(c=a1 * (1.0 - e21),
+                                                   w=w)
+        X = "({nu} * cos({p}) * cos({l}))".format(nu=nu, p=p, l=l)
+        Y = "({nu} * cos({p}) * sin({l}))".format(nu=nu, p=p, l=l)
+        Z = "({c!r} * {nu} * sin({p}))".format(c=1.0 - e21, nu=nu, p=p)
+        dX = "({tx!r} + {ds!r} * {X} - {rz!r} * {Y} + {ry!r} * {Z})" \
+            .format(tx=tx, ds=ds, X=X, Y=Y, Z=Z, rz=rz, ry=ry)
+        dY = "({ty!r} + {rz!r} * {X} + {ds!r} * {Y} - {rx!r} * {Z})" \
+            .format(ty=ty, ds=ds, X=X, Y=Y, Z=Z, rz=rz, rx=rx)
+        dZ = "({tz!r} - {ry!r} * {X} + {rx!r} * {Y} + {ds!r} * {Z})" \
+            .format(tz=tz, ds=ds, X=X, Y=Y, Z=Z, rx=rx, ry=ry)
+        dphi = ("((0.0 - sin({p}) * cos({l}) * {dX} - sin({p}) "
+                "* sin({l}) * {dY} + cos({p}) * {dZ} + {c!r} "
+                "* sin(2.0 * {p})) / {rho})").format(
+            p=p, l=l, dX=dX, dY=dY, dZ=dZ,
+            c=a1 * df + f1 * da, rho=rho)
+        dlam = ("((0.0 - sin({l}) * {dX} + cos({l}) * {dY}) "
+                "/ ({nu} * cos({p})))").format(l=l, dX=dX, dY=dY,
+                                              nu=nu, p=p)
+        return ("({} + degrees({}))".format(lat, dphi),
+                "({} + degrees({}))".format(lon, dlam))
+
+    def forward(self, lat, lon):
+        lat2, lon2 = self._shift(lat, lon, self.fwd, self.src, self.dst)
+        return self.inner.forward(lat2, lon2)
+
+    def inverse(self, x, y):
+        lon2, lat2 = self.inner.inverse(x, y)
+        lat3, lon3 = self._shift(lat2, lon2, self.inv, self.dst,
+                                 self.src)
+        return lon3, lat3
+
+
 _REGISTRY = {}
 
 _KINDS = {"lcc": _Lcc, "albers": _Albers, "stereographic": _PolarStereo,
-          "laea": _Laea}
+          "laea": _Laea, "tmerc": _Tmerc}
 
 
 def register_projected_crs(code, kind, *, lat0=0.0, lon0=0.0, lat1=None,
                            lat2=None, lat_ts=None, x0=0.0, y0=0.0,
-                           ellipsoid="WGS84", south=False):
+                           k0=1.0, ellipsoid="WGS84", south=False,
+                           helmert=None):
     """Register a projected CRS of a supported family so the engine's
     closed-form SQL machinery (Reproject, raster warp, request
     projection) covers it — parameters straight off the EPSG/proj
-    definition.  kind: 'lcc' | 'albers' | 'stereographic' | 'laea'."""
+    definition.  kind: 'lcc' | 'albers' | 'stereographic' | 'laea' |
+    'tmerc'.  ``helmert=(tx, ty, tz, rx", ry", rz", ppm)`` wraps the
+    projection in a WGS84→datum 7-parameter shift (position-vector
+    convention) for grids whose datum is not WGS84-coincident
+    (OSGB36, the Bessel grids)."""
     code = str(code).upper()
     if kind in ("lcc", "albers"):
         if lat1 is None:
@@ -324,8 +506,12 @@ def register_projected_crs(code, kind, *, lat0=0.0, lon0=0.0, lat1=None,
                             lon0, x0, y0, ellipsoid, south)
     elif kind == "laea":
         proj = _Laea(lat0, lon0, x0, y0, ellipsoid)
+    elif kind == "tmerc":
+        proj = _Tmerc(lat0, lon0, k0, x0, y0, ellipsoid)
     else:
         raise ValueError("unknown projection kind {!r}".format(kind))
+    if helmert is not None:
+        proj = _Datum(proj, helmert, ellipsoid)
     _REGISTRY[code] = proj
     return proj
 
@@ -355,3 +541,15 @@ register_projected_crs("EPSG:3413", "stereographic", lat_ts=70.0,
 register_projected_crs("EPSG:3976", "stereographic", lat_ts=-70.0,
                        lon0=0.0, ellipsoid="WGS84", south=True
                        )  # WGS84 / NSIDC Sea Ice Polar Stereo South
+register_projected_crs("EPSG:27700", "tmerc", lat0=49.0, lon0=-2.0,
+                       k0=0.9996012717, x0=400000.0, y0=-100000.0,
+                       ellipsoid="airy1830",
+                       helmert=(-446.448, 125.157, -542.060, -0.1502,
+                                -0.2470, -0.8421, 20.4894)
+                       )  # OSGB36 / British National Grid (Helmert
+                          # class, ~2-5 m vs the OSTN15 grid solution)
+register_projected_crs("EPSG:25832", "tmerc", lat0=0.0, lon0=9.0,
+                       k0=0.9996, x0=500000.0, y0=0.0,
+                       ellipsoid="GRS80"
+                       )  # ETRS89 / UTM zone 32N (the German-Nordic
+                          # standard grid; ETRS89 ≈ WGS84)

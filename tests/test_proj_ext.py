@@ -128,4 +128,64 @@ def test_registration_validation():
 
 def test_unsupported_crs_still_raises():
     with pytest.raises(NotImplementedError, match="register_projected"):
-        validate_crs_pair("EPSG:4326", "EPSG:27700")
+        validate_crs_pair("EPSG:4326", "EPSG:2056")
+
+
+def test_tmerc_osgb_worked_example(spark):
+    """The OS 'worked example': OSGB36 geodetic 52°39'27.2531"N,
+    1°43'4.5177"E -> BNG (651409.903, 313177.270) — tests the pure
+    Airy TM series without the datum shift."""
+    from dask_geomodeling_spark.geometry.proj_ext import _Tmerc
+    tm = _Tmerc(49.0, -2.0, 0.9996012717, 400000.0, -100000.0,
+                "airy1830")
+    lat = 52.0 + 39.0 / 60 + 27.2531 / 3600
+    lon = 1.0 + 43.0 / 60 + 4.5177 / 3600
+    x, y = _ev(spark, tm.forward(_lit(lat), _lit(lon)))
+    assert abs(x - 651409.903) < 2e-3
+    assert abs(y - 313177.270) < 2e-3
+    # true origin -> false origin by construction
+    x0, y0 = _ev(spark, tm.forward(_lit(49.0), _lit(-2.0)))
+    assert abs(x0 - 400000.0) < 1e-6 and abs(y0 + 100000.0) < 1e-6
+
+
+def test_osgb_datum_shift_magnitude_and_closure(spark):
+    """Full EPSG:27700 (Helmert-class datum shift): the WGS84->OSGB36
+    correction is O(100 m), and forward+inverse closes to centimeters
+    (the linearized-Molodensky asymmetry)."""
+    p = projected_crs("EPSG:27700")
+    tm = p.inner
+    xw, yw = _ev(spark, p.forward(_lit(51.4778), _lit(-0.0015)))
+    xn, yn = _ev(spark, tm.forward(_lit(51.4778), _lit(-0.0015)))
+    shift = math.hypot(xw - xn, yw - yn)
+    assert 50 < shift < 200  # the London-area OSGB36 offset ~ 110 m
+    lon_b, lat_b = p.inverse(_lit(xw), _lit(yw))
+    lon2, lat2 = _ev(spark, (lon_b, lat_b))
+    assert abs(lon2 - (-0.0015)) < 1e-6
+    assert abs(lat2 - 51.4778) < 1e-6
+
+
+def test_etrs_utm_matches_builtin_utm(spark):
+    """EPSG:25832 (tmerc on GRS80) vs the built-in WGS84 EPSG:32632
+    closed form: sub-millimeter agreement."""
+    from dask_geomodeling_spark.geometry.proj import utm_sql
+    p = projected_crs("EPSG:25832")
+    x1, y1 = _ev(spark, p.forward(_lit(50.5), _lit(10.2)))
+    x2, y2 = _ev(spark, utm_sql(_lit(50.5), _lit(10.2), 32))
+    assert abs(x1 - x2) < 1e-3 and abs(y1 - y2) < 1e-3
+
+
+def test_datum_crs_reprojects_in_stages(spark):
+    """The 27700 plan must materialize the datum shift as its own
+    projection (two chained Projects), not one substituted mega
+    expression — the codegen-blowup guard."""
+    from dask_geomodeling_spark.geometry.proj import (Reproject,
+                                                      _transform_stages)
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    assert len(_transform_stages("EPSG:4326", "EPSG:27700")) == 2
+    assert len(_transform_stages("EPSG:27700", "EPSG:4326")) == 2
+    assert len(_transform_stages("EPSG:4326", "EPSG:25832")) == 1
+    df = spark.createDataFrame([(1, -0.1, 51.5)], "id long, x double, y double")
+    out = Reproject(DataFrameSource(df), "EPSG:4326", "EPSG:27700") \
+        .plan(spark)
+    row = out.first()
+    assert 520000 < row["x"] < 560000 and 160000 < row["y"] < 200000
