@@ -47,7 +47,8 @@ def main():
                   "language_id", "fingerprint", "event_aggregate",
                   "q6_revenue_forecast", "q18_large_orders",
                   "rollup_revenue", "tfidf_keywords", "decontaminate",
-                  "pq_ann", "asof_join"):
+                  "pq_ann", "asof_join", "gopher_quality", "c4_filter",
+                  "url_dedup", "html_extract"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

@@ -30,7 +30,8 @@ from __future__ import annotations
 
 import math
 
-__all__ = ["register_projected_crs", "projected_crs", "ELLIPSOIDS"]
+__all__ = ["register_projected_crs", "register_crs_from_proj4",
+           "projected_crs", "ELLIPSOIDS"]
 
 #: (a, e²) by name — semi-major axis and first eccentricity squared
 ELLIPSOIDS = {
@@ -519,6 +520,70 @@ def register_projected_crs(code, kind, *, lat0=0.0, lon0=0.0, lat1=None,
 def projected_crs(code):
     """The registered projection for ``code``, or None."""
     return _REGISTRY.get(str(code).upper())
+
+
+#: +ellps= name → ELLIPSOIDS key
+_PROJ4_ELLPS = {"WGS84": "WGS84", "GRS80": "GRS80", "airy": "airy1830",
+                "bessel": "bessel1841", "intl": "intl1924",
+                "clrk66": "clarke1866"}
+
+#: +proj= name → registry kind
+_PROJ4_KINDS = {"lcc": "lcc", "aea": "albers", "stere": "stereographic",
+                "laea": "laea", "tmerc": "tmerc", "utm": "tmerc"}
+
+
+def register_crs_from_proj4(code, proj4):
+    """Register a CRS from its proj4/PROJ parameter string — the
+    definition format users actually carry around (``+proj=lcc
+    +lat_1=… +ellps=GRS80 +towgs84=…``).  Supports the closed-form
+    families of this registry (+proj= lcc | aea | stere | laea |
+    tmerc | utm); +towgs84 (datum→WGS84, position-vector) becomes the
+    linearized-Molodensky datum wrapper with the parameters negated
+    (our shift runs WGS84→datum).  Raises NotImplementedError for an
+    unsupported +proj and ValueError for an unknown +ellps."""
+    params = {}
+    for tok in str(proj4).split():
+        tok = tok.lstrip("+")
+        if "=" in tok:
+            k, v = tok.split("=", 1)
+            params[k] = v
+        else:
+            params[tok] = True
+    proj = params.get("proj")
+    if proj not in _PROJ4_KINDS:
+        raise NotImplementedError(
+            "+proj={} is not a supported closed-form family "
+            "(supported: {})".format(proj, sorted(_PROJ4_KINDS)))
+    ellps = params.get("ellps", params.get("datum", "WGS84"))
+    if ellps not in _PROJ4_ELLPS:
+        raise ValueError("unknown +ellps={} (supported: {})".format(
+            ellps, sorted(_PROJ4_ELLPS)))
+    kw = {"ellipsoid": _PROJ4_ELLPS[ellps]}
+
+    def num(name, default=None):
+        v = params.get(name)
+        return default if v is None else float(v)
+
+    if proj == "utm":
+        zone = int(params["zone"])
+        kw.update(lat0=0.0, lon0=zone * 6 - 183, k0=0.9996,
+                  x0=500000.0,
+                  y0=10000000.0 if params.get("south") else 0.0)
+    else:
+        kw.update(lat0=num("lat_0", 0.0), lon0=num("lon_0", 0.0),
+                  x0=num("x_0", 0.0), y0=num("y_0", 0.0))
+        if proj in ("lcc", "aea"):
+            kw.update(lat1=num("lat_1"), lat2=num("lat_2"))
+        if proj == "stere":
+            kw.update(lat_ts=num("lat_ts", num("lat_0", 90.0)),
+                      south=num("lat_0", 90.0) < 0)
+        if proj == "tmerc":
+            kw.update(k0=num("k_0", num("k", 1.0)))
+    if "towgs84" in params:
+        vals = [float(v) for v in str(params["towgs84"]).split(",")]
+        vals += [0.0] * (7 - len(vals))
+        kw["helmert"] = tuple(-v for v in vals)
+    return register_projected_crs(code, _PROJ4_KINDS[proj], **kw)
 
 
 # ---- built-in registrations (parameters from the EPSG registry) ----------

@@ -189,3 +189,33 @@ def test_datum_crs_reprojects_in_stages(spark):
         .plan(spark)
     row = out.first()
     assert 520000 < row["x"] < 560000 and 160000 < row["y"] < 200000
+
+
+def test_proj4_string_registration(spark):
+    """register_crs_from_proj4: the proj-string front-end produces
+    BIT-identical SQL to the parameter registrations."""
+    from dask_geomodeling_spark.geometry.proj_ext import (
+        register_crs_from_proj4)
+    register_crs_from_proj4(
+        "TEST:OSGB4",
+        "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 "
+        "+y_0=-100000 +ellps=airy "
+        "+towgs84=446.448,-125.157,542.06,0.1502,0.247,0.8421,-20.4894 "
+        "+units=m +no_defs")
+    a = projected_crs("TEST:OSGB4").forward("51.5", "-0.1")
+    b = projected_crs("EPSG:27700").forward("51.5", "-0.1")
+    assert a == b  # identical SQL text, not just identical values
+    register_crs_from_proj4("TEST:U32",
+                            "+proj=utm +zone=32 +ellps=GRS80")
+    assert (projected_crs("TEST:U32").forward("50.5", "10.2")
+            == projected_crs("EPSG:25832").forward("50.5", "10.2"))
+
+
+def test_proj4_unsupported_family_raises():
+    from dask_geomodeling_spark.geometry.proj_ext import (
+        register_crs_from_proj4)
+    with pytest.raises(NotImplementedError, match="omerc"):
+        register_crs_from_proj4("TEST:BAD3", "+proj=omerc +lat_0=4")
+    with pytest.raises(ValueError, match="ellps"):
+        register_crs_from_proj4("TEST:BAD4",
+                                "+proj=tmerc +ellps=plessis")
