@@ -6533,25 +6533,34 @@ _HTML_INJECT_DUCK = (
     "<script>var x=1;</script></body></html>')")
 
 
+_HTML_BLOCK_RE_DUCK = ("(?i)</?(p|div|h[1-6]|li|tr|ul|ol|table"
+                       "|blockquote|section|article)\\b[^>]*>"
+                       "|<br\\b[^>]*>")
+
 @demo("html_extract", oracle="""
 WITH inj AS (SELECT doc_id, {inj} AS html FROM documents),
 s AS (SELECT doc_id,
    CAST(len(regexp_extract_all(html, '<[A-Za-z/!][^>]*>')) AS BIGINT)
        AS n_tags,
-   regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
-       '(?s)<script\\b[^>]*>.*?</script>', ' ', 'g'),
-       '(?s)<style\\b[^>]*>.*?</style>', ' ', 'g'),
-       '(?s)<!--.*?-->', ' ', 'g'),
+   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       regexp_replace(regexp_replace(html,
+       '\\s+', ' ', 'g'),
+       '<script\\b[^>]*>.*?</script>', ' ', 'g'),
+       '<style\\b[^>]*>.*?</style>', ' ', 'g'),
+       '<!--.*?-->', ' ', 'g'),
+       '{blocks}', chr(10), 'g'),
        '<[^>]+>', ' ', 'g') AS t
  FROM inj)
 SELECT doc_id, n_tags,
-   trim(regexp_replace(
+   regexp_replace(regexp_replace(regexp_replace(
        replace(replace(replace(replace(replace(replace(t,
            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
            '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
-       '\\s+', ' ', 'g')) AS text_extracted
+       '[^\\S\\n]+', ' ', 'g'),
+       '\\s*\\n\\s*', chr(10), 'g'),
+       '^\\s+|\\s+$', '', 'g') AS text_extracted
 FROM s
-""".format(inj=_HTML_INJECT_DUCK))
+""".format(inj=_HTML_INJECT_DUCK, blocks=_HTML_BLOCK_RE_DUCK))
 def html_extract(spark, sf_dir):
     """HtmlExtract: tag/entity stripping for raw-HTML crawl records —
     pure regex projection, no shuffle."""
@@ -6561,6 +6570,195 @@ def html_extract(spark, sf_dir):
     src = DataFrameSource(injected, index_column="doc_id")
     return (HtmlExtract(src).plan(spark)
             .select("doc_id", "n_tags", "text_extracted"))
+
+
+# crawl corpus: each 6-word "sentence" in its own <p>, C4's suffix
+# cycle for line selectivity, a script block to strip, a messy URL
+_CRAWL_HTML_SPARK = (
+    "concat('<html><body>', "
+    "array_join(transform(sequence(0, cast(ceil(size(_w0)/6.0) as int) - 1), "
+    "j -> concat('<p>', concat_ws(' ', slice(_w0, j*6 + 1, 6)), "
+    "case j % 5 when 0 then '.' when 2 then '?' when 3 then '!' "
+    "when 4 then ' lorem ipsum.' else '' end, '</p>')), ''), "
+    "'<script>var x=1;</script></body></html>')")
+
+_CRAWL_HTML_DUCK = (
+    "concat('<html><body>', "
+    "array_to_string(list_transform(range(0, cast(ceil(len(w0)/6.0) as bigint)), "
+    "j -> concat('<p>', array_to_string(w0[cast(j*6+1 as bigint):cast(j*6+6 as bigint)], ' '), "
+    "case j % 5 when 0 then '.' when 2 then '?' when 3 then '!' "
+    "when 4 then ' lorem ipsum.' else '' end, '</p>')), ''), "
+    "'<script>var x=1;</script></body></html>')")
+
+
+def _crawl_prep_oracle():
+    from dask_geomodeling_spark.pipeline.curate import (
+        C4_BANNED_PHRASES, GOPHER_STOPWORDS)
+    banned = " OR ".join(
+        "contains(lower(x), '{}')".format(p.replace("'", "''"))
+        for p in C4_BANNED_PHRASES)
+    return """
+WITH d0 AS (SELECT doc_id, source,
+                   string_split_regex(trim(lower(text)), '\\s+') AS w0
+            FROM documents),
+raw AS (SELECT doc_id, source, {html} AS html, {url} AS url FROM d0),
+ex0 AS (SELECT doc_id, url,
+   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       regexp_replace(regexp_replace(html,
+       '\\s+', ' ', 'g'),
+       '<script\\b[^>]*>.*?</script>', ' ', 'g'),
+       '<style\\b[^>]*>.*?</style>', ' ', 'g'),
+       '<!--.*?-->', ' ', 'g'),
+       '{blocks}', chr(10), 'g'),
+       '<[^>]+>', ' ', 'g') AS t0
+ FROM raw),
+ex AS (SELECT doc_id, url,
+   regexp_replace(regexp_replace(regexp_replace(
+       replace(replace(replace(replace(replace(replace(t0,
+           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+           '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+       '[^\\S\\n]+', ' ', 'g'),
+       '\\s*\\n\\s*', chr(10), 'g'),
+       '^\\s+|\\s+$', '', 'g') AS t2
+ FROM ex0),
+kept AS (SELECT doc_id, url,
+   list_transform(string_split(t2, chr(10)), x -> trim(x)) AS lines,
+   list_filter(list_transform(string_split(t2, chr(10)), x -> trim(x)),
+       x -> (ends_with(x, '.') OR ends_with(x, '!')
+             OR ends_with(x, '?') OR ends_with(x, '"')
+             OR ends_with(x, chr(39)))
+            AND len(string_split_regex(x, '\\s+')) >= 5
+            AND NOT ({banned})) AS kl
+ FROM ex),
+cl AS (SELECT doc_id, url,
+   CAST(len(kl) AS BIGINT) AS n_lines_kept,
+   array_to_string(kl, chr(10)) AS tc
+ FROM kept),
+gw AS (SELECT doc_id, url, n_lines_kept, tc,
+   string_split_regex(trim(lower(tc)), '\\s+') AS w,
+   list_transform(string_split(tc, chr(10)), x -> trim(x)) AS gl
+ FROM cl),
+gm AS (SELECT doc_id, url, n_lines_kept, tc,
+   CAST(CASE WHEN length(trim(tc)) = 0 THEN 0 ELSE len(w) END
+        AS BIGINT) AS n_words,
+   CASE WHEN len(w) > 0 AND length(trim(tc)) <> 0
+        THEN list_sum(list_transform(w, x -> length(x)))
+             / CAST(len(w) AS DOUBLE) ELSE 0.0 END AS mwl,
+   CASE WHEN len(w) > 0 AND length(trim(tc)) <> 0
+        THEN (CAST(length(tc) - length(replace(tc, '#', '')) AS BIGINT)
+            + CAST((length(tc) - length(replace(tc, '...', ''))) / 3
+                   AS BIGINT)
+            + CAST(length(tc) - length(replace(tc, '…', '')) AS BIGINT))
+             / CAST(len(w) AS DOUBLE) ELSE 0.0 END AS swr,
+   CASE WHEN len(w) > 0 AND length(trim(tc)) <> 0
+        THEN len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+             / CAST(len(w) AS DOUBLE) ELSE 0.0 END AS awf,
+   CAST(len(list_intersect(list_distinct(w), [{stops}])) AS BIGINT)
+       AS stops,
+   CASE WHEN len(gl) > 0
+        THEN len(list_filter(gl, x -> starts_with(x, '•')
+            OR starts_with(x, '‣') OR starts_with(x, '▪')
+            OR starts_with(x, '-') OR starts_with(x, '*')))
+             / CAST(len(gl) AS DOUBLE) ELSE 0.0 END AS blf,
+   CASE WHEN len(gl) > 0
+        THEN len(list_filter(gl, x -> ends_with(x, '...')
+            OR ends_with(x, '…'))) / CAST(len(gl) AS DOUBLE)
+        ELSE 0.0 END AS elf,
+   CASE WHEN len(gl) > 0
+        THEN (len(gl) - len(list_distinct(gl)))
+             / CAST(len(gl) AS DOUBLE) ELSE 0.0 END AS dlf,
+   CASE WHEN list_sum(list_transform(gl, x -> length(x))) > 0
+        THEN (list_sum(list_transform(gl, x -> length(x)))
+              - list_sum(list_transform(list_distinct(gl),
+                                        x -> length(x))))
+             / CAST(list_sum(list_transform(gl, x -> length(x)))
+                    AS DOUBLE) ELSE 0.0 END AS dlcf
+ FROM gw),
+flt AS (SELECT doc_id, url, tc, n_words, n_lines_kept FROM gm
+ WHERE n_lines_kept > 0
+   AND length(regexp_replace(tc, '[^.!?]', '', 'g')) >= 3
+   AND n_words BETWEEN 10 AND 100000
+   AND mwl BETWEEN 3.0 AND 10.0 AND swr <= 0.1 AND blf <= 0.9
+   AND elf <= 0.3 AND awf >= 0.8 AND stops >= 1
+   AND dlf <= 0.3 AND dlcf <= 0.2),
+p0 AS (SELECT doc_id, tc, n_words, n_lines_kept,  url,
+   lower(regexp_extract(url, '{re}', 1)) AS scheme,
+   regexp_replace(lower(regexp_extract(url, '{re}', 2)),
+                  '^www\\.', '') AS host0,
+   regexp_extract(url, '{re}', 3) AS rawpath,
+   regexp_extract(url, '{re}', 4) AS query
+ FROM flt),
+p1 AS (SELECT doc_id, tc, n_words, n_lines_kept, url, scheme,
+   CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+        WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+        ELSE host0 END AS host,
+   CASE WHEN rawpath = '' THEN '/'
+        WHEN rawpath <> '/' AND ends_with(rawpath, '/')
+        THEN substr(rawpath, 1, length(rawpath) - 1)
+        ELSE rawpath END AS path,
+   list_sort(list_filter(
+       CASE WHEN query = '' THEN [] ELSE string_split(query, '&') END,
+       p -> NOT regexp_matches(
+           p, '^(utm_[^=]*|fbclid|gclid|msclkid|ref)='))) AS kept
+ FROM p0),
+normed AS (SELECT doc_id, tc, n_words, n_lines_kept,
+   CASE WHEN scheme = '' THEN url
+        ELSE concat(scheme, '://', host, path,
+                    CASE WHEN len(kept) > 0
+                         THEN concat('?', array_to_string(kept, '&'))
+                         ELSE '' END) END AS url_norm
+ FROM p1)
+SELECT url_norm, CAST(COUNT(*) AS BIGINT) AS n_dups,
+       (max(struct_pack(l := length(tc), ni := -doc_id,
+                        doc_id := doc_id, nw := n_words,
+                        nk := n_lines_kept))).doc_id AS doc_id,
+       (max(struct_pack(l := length(tc), ni := -doc_id,
+                        doc_id := doc_id, nw := n_words,
+                        nk := n_lines_kept))).nw AS n_words,
+       (max(struct_pack(l := length(tc), ni := -doc_id,
+                        doc_id := doc_id, nw := n_words,
+                        nk := n_lines_kept))).nk AS n_lines_kept
+FROM normed GROUP BY url_norm
+""".format(html=_CRAWL_HTML_DUCK, url=_URL_INJECT_DUCK.replace(
+        "doc_id % 25", "doc_id % 40"),
+        blocks=_HTML_BLOCK_RE_DUCK, banned=banned,
+        stops=",".join("'{}'".format(s) for s in GOPHER_STOPWORDS),
+        re=_URL_RE_DUCK)
+
+
+@demo("crawl_prep", oracle=_crawl_prep_oracle())
+def crawl_prep(spark, sf_dir):
+    """END-TO-END crawl curation in ONE composed plan — the
+    WARC-response counterpart of ``corpus_prep``: raw HTML crawl
+    records pass HtmlExtract (block-boundary line structure) →
+    C4Filter (line cleaning + sentence rule) → GopherQuality
+    (projection rules as the zero-shuffle gate, ``ngram_metrics=False``)
+    → keep survivors → UrlDedup (keep-longest per canonical URL).
+    Every stage is the already-oracled operator; the whole chain is
+    projections until the single URL-dedup groupBy, so a 100 TB crawl
+    runs it scan-shaped."""
+    from dask_geomodeling_spark.pipeline.curate import (C4Filter,
+                                                        GopherQuality,
+                                                        HtmlExtract,
+                                                        UrlDedup)
+    docs = read_nanos_parquet(spark, _pq(sf_dir, "documents"))
+    injected = (docs
+                .withColumn("_w0", F.split(F.trim(F.lower(F.col("text"))),
+                                           r"\s+"))
+                .withColumn("html", F.expr(_CRAWL_HTML_SPARK))
+                .withColumn("url", F.expr(_URL_INJECT_SPARK.replace(
+                    "doc_id % 25", "doc_id % 40")))
+                .drop("_w0", "text"))
+    src = DataFrameSource(injected, index_column="doc_id")
+    h = HtmlExtract(src, column="html")
+    c = C4Filter(h, column="text_extracted")
+    g = GopherQuality(c, column="text_clean", min_words=10,
+                      min_stop_hits=1, ngram_metrics=False)
+    kept = g.plan(spark).filter(F.col("c4_keep") & F.col("gopher_pass"))
+    dd = UrlDedup(DataFrameSource(kept, index_column="doc_id"),
+                  url_column="url", text_column="text_clean")
+    return dd.plan(spark).select("url_norm", "n_dups", "doc_id",
+                                 "n_words", "n_lines_kept")
 
 
 # --------------------------------------------------------------------------
@@ -6602,7 +6800,7 @@ GATE_ORDER = [
     "exact_dedup", "minhash_lsh", "ngram_jaccard", "embedding_dedup_lsh",
     "kmeans_ivf_ann", "kmeans_ivf_saved", "ivfpq_ann", "decode_image",
     "token_count_bpe", "decontaminate",
-    "gopher_quality", "url_dedup",
+    "gopher_quality", "crawl_prep",
     # streaming / temporal joins
     "event_aggregate", "asof_join", "running_aggregate",
 ]

@@ -471,14 +471,27 @@ _ENTITIES = (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
              ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&"))
 
 
+#: block-level tags (opening or closing, and <br>) that become line
+#: breaks — the trafilatura-style block-boundary contract that makes
+#: line-granular downstream rules (C4Filter, LineDedup) work on
+#: extracted text
+_BLOCK_BREAK_RE = (r"(?i)</?(p|div|h[1-6]|li|tr|ul|ol|table|blockquote"
+                   r"|section|article)\b[^>]*>|<br\b[^>]*>")
+
+
 class HtmlExtract(BaseSingle):
     """Extract text from raw HTML: drop ``<script>``/``<style>``
-    blocks and comments, strip tags, decode the common entities,
-    collapse whitespace.
+    blocks and comments, turn block tags (``<p>``, ``<div>``,
+    headings, list/table rows, ``<br>``) into NEWLINES, strip the
+    remaining tags, decode the common entities, collapse whitespace
+    (source newlines are insignificant in HTML and collapse to
+    spaces; only block boundaries produce ``\\n``).
 
     Adds ``text_extracted`` and ``n_tags`` (tag count before the
     strip).  Pure regex projection — no shuffle; pairs with
-    ``pipeline.warc.WarcSource`` for WARC-response (non-WET) crawls.
+    ``pipeline.warc.WarcSource`` for WARC-response (non-WET) crawls,
+    and its line structure feeds C4Filter / GopherQuality /
+    LineDedup directly.
     """
 
     def __init__(self, source, column="html"):
@@ -496,11 +509,15 @@ class HtmlExtract(BaseSingle):
             "n_tags",
             F.size(F.regexp_extract_all(
                 c, F.lit(r"<[A-Za-z/!][^>]*>"), 0)).cast("bigint"))
-        t = F.regexp_replace(c, r"(?s)<script\b[^>]*>.*?</script>", " ")
-        t = F.regexp_replace(t, r"(?s)<style\b[^>]*>.*?</style>", " ")
-        t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+        t = F.regexp_replace(c, r"\s+", " ")
+        t = F.regexp_replace(t, r"<script\b[^>]*>.*?</script>", " ")
+        t = F.regexp_replace(t, r"<style\b[^>]*>.*?</style>", " ")
+        t = F.regexp_replace(t, r"<!--.*?-->", " ")
+        t = F.regexp_replace(t, _BLOCK_BREAK_RE, "\n")
         t = F.regexp_replace(t, r"<[^>]+>", " ")
         for ent, rep in _ENTITIES:
             t = F.replace(t, F.lit(ent), F.lit(rep))
-        t = F.trim(F.regexp_replace(t, r"\s+", " "))
+        t = F.regexp_replace(t, r"[^\S\n]+", " ")
+        t = F.regexp_replace(t, r"\s*\n\s*", "\n")
+        t = F.regexp_replace(t, r"^\s+|\s+$", "")
         return df.withColumn("text_extracted", t)

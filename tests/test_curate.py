@@ -117,8 +117,19 @@ def test_html_extract(spark):
             "</p><script>var &lt;x&gt;;</script> c</body></html>")
     src = _src(spark, [(1, html)], "doc_id bigint, html string")
     row = HtmlExtract(src).plan(spark).collect()[0]
-    assert row["text_extracted"] == "a & b c"
+    assert row["text_extracted"] == "a & b\nc"
     assert row["n_tags"] == 11
+
+
+def test_html_extract_block_boundaries(spark):
+    """Closing block tags become line breaks; source newlines are
+    insignificant and collapse to spaces."""
+    from dask_geomodeling_spark.pipeline.curate import HtmlExtract
+    html = ("<div>first\nline</div>\n<p>second</p><br>third"
+            "<h2>head</h2>tail")
+    src = _src(spark, [(1, html)], "doc_id bigint, html string")
+    row = HtmlExtract(src).plan(spark).collect()[0]
+    assert row["text_extracted"] == "first line\nsecond\nthird\nhead\ntail"
 
 
 def test_html_extract_no_shuffle(spark):
