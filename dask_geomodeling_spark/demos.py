@@ -6089,6 +6089,54 @@ FROM documents d LEFT JOIN counts c USING (doc_id)
 """.format(s=s, sep=sep)
 
 
+#: demo vocab: single characters + every merge output, ids by position
+_BPE_VOCAB = ([chr(c) for c in range(ord("a"), ord("z") + 1)]
+              + [a + b for a, b in _BPE_MERGES])
+
+
+def _bpe_tokenize_oracle():
+    sep = "\x1f"
+    chain = "regexp_replace(wd, '(.)', '{0}\\1{0}', 'g')".format(sep)
+    for a, b in _BPE_MERGES:
+        chain = ("replace({s}, '{sep}{a}{sep}{sep}{b}{sep}', "
+                 "'{sep}{ab}{sep}')").format(s=chain, sep=sep, a=a,
+                                             b=b, ab=a + b)
+    vocab = "[{}]".format(", ".join(
+        "'{}'".format(v) for v in _BPE_VOCAB))
+    return """
+WITH w AS (SELECT doc_id,
+    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                wd -> wd != '') AS w
+  FROM documents),
+t AS (SELECT doc_id,
+    flatten(list_transform(w, wd ->
+        list_transform(string_split({chain}, '{sep}{sep}'), s ->
+            CAST(coalesce(list_position({vocab},
+                                        replace(s, '{sep}', '')) - 1,
+                          -1) AS BIGINT)))) AS token_ids
+  FROM w)
+SELECT doc_id, array_to_string(token_ids, ',') AS token_ids_csv,
+       CAST(len(token_ids) AS BIGINT) AS n_tokens
+FROM t
+""".format(chain=chain, sep=sep, vocab=vocab)
+
+
+@demo("bpe_tokenize", oracle=_bpe_tokenize_oracle())
+def bpe_tokenize(spark, sf_dir):
+    """BPETokenize: full BPE tokenization to token-ID arrays (the
+    GPT-2 merge loop as a JVM replace chain, then position-in-vocab
+    ids) — what PackSequences/ChunkText consume when the budget is
+    real model tokens.  The oracle replays the identical per-word
+    program; the id sequence compares element-exact in document order
+    (CSV-joined — the driver's value hash is defined over scalars)."""
+    from dask_geomodeling_spark.pipeline.text import BPETokenize
+    blk = BPETokenize(documents_src(sf_dir), _BPE_MERGES, _BPE_VOCAB)
+    return blk.plan(spark).select(
+        "doc_id",
+        F.array_join("token_ids", ",").alias("token_ids_csv"),
+        "n_tokens")
+
+
 @demo("token_count_bpe", oracle=_bpe_oracle())
 def token_count_bpe(spark, sf_dir):
     """REAL BPE token counting (the public GPT-2 merge loop): the

@@ -13,8 +13,8 @@ from pyspark.sql import functions as F
 
 from dask_geomodeling_spark.geometry.base import BaseSingle
 
-__all__ = ["TokenCount", "BPETokenCount", "QualityScore", "LanguageID",
-           "Fingerprint", "TFIDF", "ChunkText"]
+__all__ = ["TokenCount", "BPETokenCount", "BPETokenize", "QualityScore",
+           "LanguageID", "Fingerprint", "TFIDF", "ChunkText"]
 
 # tiny per-language stopword marker sets for the n-gram/stopword heuristic
 _LANG_MARKERS = {
@@ -124,6 +124,77 @@ class BPETokenCount(BaseSingle):
                           if lowercase else text_column,
                           chain=chain, sep=_SEP)
         return df.withColumn(name, F.expr(count))
+
+
+class BPETokenize(BaseSingle):
+    """Full BPE tokenization to TOKEN-ID ARRAYS — the step beyond
+    :class:`BPETokenCount` that makes ``PackSequences``/``ChunkText``
+    consume real model tokens, not counts of them.
+
+    Same merge-loop contract as :class:`BPETokenCount` (one JVM
+    ``replace`` per rule over the ␟-wrapped symbol chain — no Python
+    in the scan); the resulting symbols map to ids by their position
+    in ``vocab`` (a list of symbol strings; id = index).  Symbols
+    outside the vocab get ``unk_id`` (default −1).  Adds
+    ``token_ids`` (``array<bigint>``, document order) and
+    ``n_tokens``.
+
+    Scale note: the vocab ships as a LITERAL array and each lookup is
+    an ``array_position`` — O(|V|) per symbol, fine for the ≤64k
+    vocabularies BPE models actually use (the literal is part of the
+    broadcast plan, never shuffled).  A corpus whose vocab lives in a
+    table should join on the symbol instead; the merge chain itself
+    is vocabulary-independent.
+    """
+
+    def __init__(self, source, merges, vocab, text_column="text",
+                 unk_id=-1, lowercase=True):
+        merges = [(str(a), str(b)) for a, b in merges]
+        vocab = [str(v) for v in vocab]
+        for sym in ([a for a, _ in merges] + [b for _, b in merges]
+                    + vocab):
+            if _SEP in sym:
+                raise ValueError("symbols must not contain the unit "
+                                 "separator")
+        super().__init__(source, merges, vocab, text_column,
+                         int(unk_id), bool(lowercase))
+
+    @property
+    def columns(self):
+        return set(self.source.columns) | {"token_ids", "n_tokens"}
+
+    @staticmethod
+    def tokenize_sql(words_sql, merges, vocab, unk_id, sep=_SEP):
+        """SQL text: flattened id array for a word-array expression —
+        the chain of :meth:`BPETokenCount.merge_chain_sql` per word,
+        symbols unwrapped, ids via array_position.  Exposed so oracles
+        replay the identical program (DuckDB's ``list_position``
+        returns NULL for a miss where Spark's ``array_position``
+        returns 0 — the caller's dialect handles that one difference).
+        """
+        chain = BPETokenCount.merge_chain_sql("wd", merges)
+        vocab_sql = "array({})".format(
+            ", ".join("'{}'".format(v) for v in vocab))
+        return (
+            "flatten(transform(filter({w}, wd -> wd != ''), wd -> "
+            "transform(split({chain}, '{sep}{sep}'), s -> "
+            "CASE WHEN array_position({vocab}, replace(s, '{sep}', ''))"
+            " > 0 THEN array_position({vocab}, "
+            "replace(s, '{sep}', '')) - 1 ELSE {unk} END)))").format(
+            w=words_sql, chain=chain, sep=sep, vocab=vocab_sql,
+            unk=int(unk_id))
+
+    def _build(self, ctx):
+        _, merges, vocab, text_column, unk_id, lowercase = self.args
+        df = self.source._build(ctx)
+        col = ("lower({})".format(text_column) if lowercase
+               else text_column)
+        words = "split(trim({}), '\\\\s+')".format(col)
+        ids = self.tokenize_sql(words, merges, vocab, unk_id)
+        df = df.withColumn("token_ids",
+                           F.expr(ids).cast("array<bigint>"))
+        return df.withColumn("n_tokens",
+                             F.size("token_ids").cast("bigint"))
 
 
 class QualityScore(BaseSingle):

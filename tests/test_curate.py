@@ -138,3 +138,27 @@ def test_html_extract_no_shuffle(spark):
     plan = (HtmlExtract(src).plan(spark)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_bpe_tokenize_known_sequence(spark):
+    """'the spark' with the GPT-2-style demo merges: th+e -> 'the',
+    sp+ar+k -> 'spark'; ids are vocab positions."""
+    from dask_geomodeling_spark.pipeline.text import BPETokenize
+    merges = [("t", "h"), ("th", "e"), ("a", "r"), ("s", "p"),
+              ("sp", "ar"), ("spar", "k")]
+    vocab = ["the", "spark", "x"]
+    src = _src(spark, [(1, "the spark zz")],
+               "doc_id bigint, text string")
+    row = BPETokenize(src, merges, vocab).plan(spark).collect()[0]
+    # 'zz' stays two 'z' symbols, both unknown -> -1
+    assert row["token_ids"] == [0, 1, -1, -1]
+    assert row["n_tokens"] == 4
+
+
+def test_bpe_tokenize_rejects_separator(spark):
+    import pytest as _pytest
+
+    from dask_geomodeling_spark.pipeline.text import BPETokenize
+    src = _src(spark, [(1, "x")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError, match="separator"):
+        BPETokenize(src, [("a", "b")], ["a", "\x1fb"])
