@@ -122,12 +122,18 @@ def rings_centroid_expr(rings_col="rings"):
     return cx, cy
 
 
-def _halfplane_clip_sql(ring_sql, axis, bound, keep_ge):
+def _halfplane_clip_sql(ring_sql, axis, bound, keep_ge, var="hp"):
     """One Sutherland–Hodgman half-plane pass as a SQL string over a
     ring expression: each directed edge (a, b) contributes 0–2 output
     vertices (b if both inside; the crossing point on entering or
     leaving), so the pass is ``flatten(zip_with(ring, rotate(ring),
-    edge -> case ...))`` — per-edge local, no imperative loop."""
+    edge -> case ...))`` — per-edge local, no imperative loop.
+
+    ``var`` names the let-binding lambda variable (unique per chained
+    pass): the input expression is bound ONCE via a single-element
+    ``transform`` — substituting it textually into the 3 references
+    would re-evaluate the previous pass per reference, compounding
+    ~5× per pass across the 4-pass chain."""
     c = 0 if axis == "x" else 1
     cmp_op = ">=" if keep_ge else "<="
     a_in = "(a[{c}] {op} {b!r})".format(c=c, op=cmp_op, b=bound)
@@ -147,10 +153,11 @@ def _halfplane_clip_sql(ring_sql, axis, bound, keep_ge):
         ai=a_in, bi=b_in, i=isect)
     # greatest(…, 0) keeps the rotate legal when an earlier pass
     # emptied the ring
-    return ("flatten(zip_with({r}, concat("
-            "slice({r}, 2, greatest(size({r}) - 1, 0)), "
-            "slice({r}, 1, least(size({r}), 1))), (a, b) -> {e}))"
-            ).format(r=ring_sql, e=edge)
+    return ("transform(array({r}), {v} -> "
+            "flatten(zip_with({v}, concat("
+            "slice({v}, 2, greatest(size({v}) - 1, 0)), "
+            "slice({v}, 1, least(size({v}), 1))), (a, b) -> {e})))[0]"
+            ).format(r=ring_sql, e=edge, v=var)
 
 
 def clip_ring_box_expr(xmin, ymin, xmax, ymax, verts_col="vertices"):
@@ -161,11 +168,11 @@ def clip_ring_box_expr(xmin, ymin, xmax, ymax, verts_col="vertices"):
     convex clip window — the textbook algorithm, re-expressed as
     per-edge array algebra instead of a loop."""
     ring = verts_col
-    for axis, bound, keep_ge in (("x", float(xmin), True),
-                                 ("x", float(xmax), False),
-                                 ("y", float(ymin), True),
-                                 ("y", float(ymax), False)):
-        ring = _halfplane_clip_sql(ring, axis, bound, keep_ge)
+    for k, (axis, bound, keep_ge) in enumerate(
+            (("x", float(xmin), True), ("x", float(xmax), False),
+             ("y", float(ymin), True), ("y", float(ymax), False))):
+        ring = _halfplane_clip_sql(ring, axis, bound, keep_ge,
+                                   var="hp{}".format(k))
     return F.expr(ring)
 
 
@@ -176,11 +183,11 @@ def clip_rings_box_expr(xmin, ymin, xmax, ymax, rings_col="rings"):
     of the result stays exact for valid nestings).  Rings clipped to
     fewer than 3 vertices drop out."""
     ring = "r"
-    for axis, bound, keep_ge in (("x", float(xmin), True),
-                                 ("x", float(xmax), False),
-                                 ("y", float(ymin), True),
-                                 ("y", float(ymax), False)):
-        ring = _halfplane_clip_sql(ring, axis, bound, keep_ge)
+    for k, (axis, bound, keep_ge) in enumerate(
+            (("x", float(xmin), True), ("x", float(xmax), False),
+             ("y", float(ymin), True), ("y", float(ymax), False))):
+        ring = _halfplane_clip_sql(ring, axis, bound, keep_ge,
+                                   var="hp{}".format(k))
     return F.expr(
         "filter(transform({c}, r -> {e}), rr -> size(rr) >= 3)"
         .format(c=rings_col, e=ring))

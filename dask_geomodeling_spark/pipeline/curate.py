@@ -23,13 +23,13 @@ families as Spark column programs:
 
 Scale notes: every rule except the n-gram character fractions is a
 pure per-row projection (array HOFs inside whole-stage codegen — zero
-shuffle at any corpus size).  The n-gram fractions use ONE explode
-over all n in ``2..10`` at once plus two keyed aggregations on
-(doc, n, gram) — near-unique keys, uniform shuffle — and join the
-doc-count-sized metric table back on the id column.  ``UrlDedup``
-is a single groupBy on the canonical URL with a struct-max argmax
-(no window, no sort).  The reference has no counterpart; rule text
-follows the public papers.
+shuffle at any corpus size), INCLUDING the n-gram character
+fractions: the metrics are per-document, so each doc's grams
+hash-sort-and-run-count in one fold instead of exploding a
+(doc, n, gram) table through a shuffle.  ``UrlDedup`` is the one
+shuffle in the family: a single groupBy on the canonical URL with a
+struct-max argmax (no window, no sort).  The reference has no
+counterpart; rule text follows the public papers.
 """
 
 from __future__ import annotations
@@ -98,9 +98,9 @@ class GopherQuality(BaseSingle):
       bounded-in-[0,1] deterministic analogue — ties broken by gram
       length.)
 
-    ``ngram_metrics=False`` skips the explode stage entirely and the
-    pass flag uses only the projection rules (useful as a cheap
-    first-pass gate at scale).
+    ``ngram_metrics=False`` skips the n-gram columns entirely and the
+    pass flag uses only the word/line rules (a cheaper first-pass
+    gate; both variants are shuffle-free).
     """
 
     def __init__(self, source, column="text", min_words=50,
@@ -234,64 +234,91 @@ class GopherQuality(BaseSingle):
         return df.withColumn("gopher_pass", passed) \
                  .drop("_w", "_lines", "_tc")
 
+    #: per-n fold: close the previous run (update top/dup/mass), open
+    #: a new one.  Accumulator: (ph, pl) pending run's hash+glen,
+    #: run = pending count, (tc, tl) best (count, glen) so far,
+    #: dup/mass char sums.
+    _RUN_FOLD = (
+        "aggregate(_srt{n}, "
+        "struct(cast(0 as bigint) as ph, cast(0 as bigint) as pl, "
+        "cast(0 as bigint) as run, cast(0 as bigint) as tc, "
+        "cast(0 as bigint) as tl, cast(0 as bigint) as dup, "
+        "cast(0 as bigint) as mass), "
+        "(a, x) -> case when a.run > 0 and x.h = a.ph then "
+        "struct(a.ph as ph, a.pl as pl, a.run + 1L as run, a.tc as tc, "
+        "a.tl as tl, a.dup as dup, a.mass as mass) "
+        "else struct(x.h as ph, x.l as pl, 1L as run, "
+        "if(a.run > a.tc or (a.run = a.tc and a.pl > a.tl), a.run, a.tc)"
+        " as tc, "
+        "if(a.run > a.tc or (a.run = a.tc and a.pl > a.tl), a.pl, a.tl)"
+        " as tl, "
+        "a.dup + if(a.run > 1, a.run * a.pl, 0L) as dup, "
+        "a.mass + a.run * a.pl as mass) end, "
+        "a -> struct("
+        "if(a.run > a.tc or (a.run = a.tc and a.pl > a.tl), a.run, a.tc) "
+        "* if(a.run > a.tc or (a.run = a.tc and a.pl > a.tl), a.pl, a.tl)"
+        " as topmass, "
+        "a.dup + if(a.run > 1, a.run * a.pl, 0L) as dup, "
+        "a.mass + a.run * a.pl as mass))")
+
     def _with_ngram_fracs(self, df, idc):
+        """All n-gram character fractions as PURE per-row HOFs — the
+        metrics are per-document, so no explode/shuffle/join is ever
+        needed: hash each word (xxhash64), derive each n-gram's 64-bit
+        key by folding the word hashes (no gram strings are built) and
+        its char length from the word lengths, sort, and count runs in
+        one ``aggregate`` fold.  Distinct-gram counting via 64-bit
+        hashes equals exact string counting unless two grams of the
+        SAME document collide (~|grams|²/2⁶⁴ ≈ 10⁻¹⁴ — the same
+        deterministic-collision contract NgramJaccard's index uses)."""
         ns = sorted(list(TOP_NGRAM_THRESHOLDS)
                     + list(DUP_NGRAM_THRESHOLDS))
-        grams = F.expr(
-            "flatten(transform(array({ns}), n -> "
-            "case when size(_w) >= n then "
-            "transform(sequence(1, size(_w) - n + 1), i -> "
-            "struct(n as n, concat_ws(' ', slice(_w, i, n)) as g)) "
-            "else array() end))".format(
-                ns=",".join(str(n) for n in ns)))
-        ex = (df.select(F.col(idc).alias("_id"),
-                        F.explode(grams).alias("_g"))
-                .select("_id", F.col("_g.n").alias("_n"),
-                        F.col("_g.g").alias("_gram")))
-        counts = (ex.groupBy("_id", "_n", "_gram")
-                    .agg(F.count(F.lit(1)).alias("_cnt"),
-                         F.first(F.length("_gram")).alias("_glen")))
-        per_n = (counts.groupBy("_id", "_n").agg(
-            F.max(F.struct(F.col("_cnt"), F.col("_glen")))
-             .alias("_top"),
-            F.sum(F.when(F.col("_cnt") > 1,
-                         F.col("_cnt") * F.col("_glen"))
-                  .otherwise(F.lit(0))).alias("_dupchars"),
-            F.sum(F.col("_cnt") * F.col("_glen")).alias("_mass")))
-        aggs = []
+        minn, maxn = min(ns), max(ns)
+        df = df.withColumn("_z", F.expr(
+            "transform(_w, x -> struct(xxhash64(x) as h, "
+            "cast(length(x) as bigint) as l))"))
+        # ONE incremental pass per start position: gram (i, n) extends
+        # gram (i, n-1) by one hash step, so all n in [2, 10] cost one
+        # fold over a ≤10-slice instead of 9 separate per-gram folds
+        # (the HOFs evaluate interpreted — fewer lambda calls is the
+        # whole game).  l = char length = word-length sum + (n − 1).
+        df = df.withColumn("_grams", F.expr(
+            "flatten(transform(sequence(1, size(_z)), i -> "
+            "aggregate(slice(_z, i, {maxn}), "
+            "struct(cast(0 as bigint) as h, cast(0 as bigint) as s, "
+            "0 as k, cast(array() as "
+            "array<struct<n: int, h: bigint, l: bigint>>) as out), "
+            "(a, x) -> struct(xxhash64(a.h, x.h) as h, a.s + x.l as s, "
+            "a.k + 1 as k, "
+            "if(a.k + 1 >= {minn}, concat(a.out, array(struct("
+            "a.k + 1 as n, xxhash64(a.h, x.h) as h, "
+            "a.s + x.l + cast(a.k as bigint) as l))), a.out) as out), "
+            "a -> a.out)))".format(minn=minn, maxn=maxn)))
+        for n in ns:
+            df = df.withColumn(
+                "_srt{}".format(n),
+                F.expr("array_sort(transform(filter(_grams, "
+                       "g -> g.n = {n}), g -> struct(g.h as h, "
+                       "g.l as l)))".format(n=n)))
+            df = df.withColumn("_st{}".format(n),
+                               F.expr(self._RUN_FOLD.format(n=n)))
         for nv in sorted(TOP_NGRAM_THRESHOLDS):
-            aggs.append(F.max(F.when(F.col("_n") == nv,
-                                     F.col("_top._cnt")
-                                     * F.col("_top._glen")))
-                        .alias("_topm_{}".format(nv)))
-        for nv in sorted(DUP_NGRAM_THRESHOLDS):
-            aggs.append(F.max(F.when(F.col("_n") == nv,
-                                     F.col("_dupchars")))
-                        .alias("_dupm_{}".format(nv)))
-        for nv in ns:
-            aggs.append(F.max(F.when(F.col("_n") == nv,
-                                     F.col("_mass")))
-                        .alias("_massm_{}".format(nv)))
-        metrics = per_n.groupBy("_id").agg(*aggs)
-        df = df.join(metrics, df[idc] == metrics["_id"], "left") \
-               .drop("_id")
-        for nv in sorted(TOP_NGRAM_THRESHOLDS):
-            src, mass = (F.col("_topm_{}".format(nv)),
-                         F.col("_massm_{}".format(nv)))
+            st = F.col("_st{}".format(nv))
             df = df.withColumn(
                 "top_{}gram_char_frac".format(nv),
-                F.when(src.isNotNull() & (mass > 0),
-                       src / mass.cast("double")).otherwise(0.0)) \
-                .drop("_topm_{}".format(nv))
+                F.when(st["mass"] > 0,
+                       st["topmass"] / st["mass"].cast("double"))
+                .otherwise(0.0))
         for nv in sorted(DUP_NGRAM_THRESHOLDS):
-            src, mass = (F.col("_dupm_{}".format(nv)),
-                         F.col("_massm_{}".format(nv)))
+            st = F.col("_st{}".format(nv))
             df = df.withColumn(
                 "dup_{}gram_char_frac".format(nv),
-                F.when(src.isNotNull() & (mass > 0),
-                       src / mass.cast("double")).otherwise(0.0)) \
-                .drop("_dupm_{}".format(nv))
-        return df.drop(*["_massm_{}".format(nv) for nv in ns])
+                F.when(st["mass"] > 0,
+                       st["dup"] / st["mass"].cast("double"))
+                .otherwise(0.0))
+        return df.drop("_z", "_grams",
+                       *["_srt{}".format(n) for n in ns],
+                       *["_st{}".format(n) for n in ns])
 
 
 #: C4's banned phrases (case-insensitive substring match per line)
