@@ -6137,6 +6137,39 @@ def bpe_tokenize(spark, sf_dir):
         "n_tokens")
 
 
+@demo("corpus_stats", oracle="""
+WITH t AS (SELECT source,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END
+         AS BIGINT) AS tk,
+    CAST(length(text) AS BIGINT) AS ch, text
+  FROM documents),
+s AS (SELECT source,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(tk) AS BIGINT) AS total_tokens,
+    CAST(SUM(ch) AS BIGINT) AS total_chars,
+    SUM(tk) / CAST(COUNT(*) AS DOUBLE) AS mean_tokens,
+    quantile_cont(tk, 0.5) AS p50_tokens,
+    quantile_cont(tk, 0.9) AS p90_tokens
+  FROM t GROUP BY source),
+v AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab_size FROM (
+    SELECT DISTINCT source, tok FROM (
+      SELECT source, unnest(string_split_regex(trim(lower(text)),
+                                               '\\s+')) AS tok
+      FROM documents) WHERE tok <> '')
+ GROUP BY source)
+SELECT s.*, COALESCE(v.vocab_size, 0) AS vocab_size
+FROM s LEFT JOIN v USING (source)
+""")
+def corpus_stats(spark, sf_dir):
+    """CorpusStats: per-source accounting (docs, token/char budgets,
+    exact p50/p90 lengths, vocabulary size) — map-side partial moment
+    aggregation + a uniform (source, token) pre-aggregation for the
+    distinct count, no hot-group distinct state."""
+    from dask_geomodeling_spark.pipeline.text import CorpusStats
+    return CorpusStats(documents_src(sf_dir)).plan(spark)
+
+
 @demo("token_count_bpe", oracle=_bpe_oracle())
 def token_count_bpe(spark, sf_dir):
     """REAL BPE token counting (the public GPT-2 merge loop): the

@@ -14,7 +14,8 @@ from pyspark.sql import functions as F
 from dask_geomodeling_spark.geometry.base import BaseSingle
 
 __all__ = ["TokenCount", "BPETokenCount", "BPETokenize", "QualityScore",
-           "LanguageID", "Fingerprint", "TFIDF", "ChunkText"]
+           "LanguageID", "Fingerprint", "TFIDF", "ChunkText",
+           "CorpusStats"]
 
 # tiny per-language stopword marker sets for the n-gram/stopword heuristic
 _LANG_MARKERS = {
@@ -124,6 +125,59 @@ class BPETokenCount(BaseSingle):
                           if lowercase else text_column,
                           chain=chain, sep=_SEP)
         return df.withColumn(name, F.expr(count))
+
+
+class CorpusStats(BaseSingle):
+    """Per-group corpus accounting — the bookkeeping every training
+    run needs before mixing sources: document counts, token/char
+    budgets, exact length quantiles, and vocabulary size.
+
+    Output: one row per ``group_by`` value with ``n_docs``,
+    ``total_tokens``, ``total_chars``, ``mean_tokens``,
+    ``p50_tokens``, ``p90_tokens`` (exact sort-based percentiles,
+    linear interpolation — the cross-engine-stable definition) and
+    ``vocab_size`` (distinct whitespace tokens).
+
+    Scale: two aggregations — the moment stats partial-aggregate
+    map-side on the group key; the vocabulary counts distinct
+    (group, token) pairs via a pre-aggregation on the pair (uniform
+    keys — no hot-group distinct state) and joins back on the
+    group-cardinality-sized result.  Integer sums are
+    order-independent, so results are bit-stable under any partitioning.
+    """
+
+    def __init__(self, source, group_by="source", text_column="text"):
+        super().__init__(source, group_by, text_column)
+
+    @property
+    def columns(self):
+        return {self.args[1], "n_docs", "total_tokens", "total_chars",
+                "mean_tokens", "p50_tokens", "p90_tokens", "vocab_size"}
+
+    def _build(self, ctx):
+        _, group, column = self.args
+        df = self.source._build(ctx)
+        toks = F.when(F.length(F.trim(F.col(column))) == 0, 0) \
+            .otherwise(F.size(F.split(F.trim(F.col(column)), r"\s+"))) \
+            .cast("bigint")
+        base = df.select(F.col(group), toks.alias("_t"),
+                         F.length(column).cast("bigint").alias("_c"))
+        stats = base.groupBy(group).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_t").alias("total_tokens"),
+            F.sum("_c").alias("total_chars"),
+            (F.sum("_t") / F.count(F.lit(1))).alias("mean_tokens"),
+            F.percentile("_t", F.lit(0.5)).alias("p50_tokens"),
+            F.percentile("_t", F.lit(0.9)).alias("p90_tokens"))
+        pairs = (df.select(F.col(group), F.explode(F.split(
+            F.trim(F.lower(F.col(column))), r"\s+")).alias("_tok"))
+            .where(F.col("_tok") != "")
+            .groupBy(group, "_tok").agg(F.lit(1)))
+        vocab = pairs.groupBy(group).agg(
+            F.count(F.lit(1)).alias("vocab_size"))
+        return stats.join(vocab, group, "left") \
+            .withColumn("vocab_size",
+                        F.coalesce("vocab_size", F.lit(0)))
 
 
 class BPETokenize(BaseSingle):
