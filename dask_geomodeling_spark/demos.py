@@ -6277,6 +6277,59 @@ def simplify_polygon(spark, sf_dir):
     return v.join(r, "c_custkey")
 
 
+@demo("simplify_dp", oracle="""
+SELECT c_custkey, 16.0 AS area, 4 AS nv, 12.0 AS area_rings,
+       2 AS n_rings
+FROM customer
+""")
+def simplify_dp(spark, sf_dir):
+    """REAL Douglas-Peucker Simplify (algorithm='dp' — the reference's
+    shapely semantics: surviving vertices are a SUBSET of the input,
+    near-collinear chains drop regardless of grid alignment, which the
+    'snap' path cannot do).  Per-customer exact 4x4 squares whose edge
+    MIDPOINTS are jittered off the edge by < tol: DP keeps exactly the
+    corners (area 16, 4 vertices); the ring stack (outer + CW 2x2 hole
+    with a jittered edge vertex + a degenerate sliver) reduces to 2
+    rings with signed area 16 - 4 = 12.  Runs in the sanctioned
+    Arrow-batched mapInPandas fallback (data-dependent recursion);
+    geometry crosses the boundary as JSON."""
+    from dask_geomodeling_spark.geometry.constructive import Simplify
+    from dask_geomodeling_spark.geometry.geom_operations import Area
+    customer = read_nanos_parquet(spark, _pq(sf_dir, "customer"))
+    cx = "CAST(c_custkey % 50 AS DOUBLE)"
+    cy = "CAST((c_custkey * 3) % 50 AS DOUBLE)"
+    j1 = "(CAST(c_custkey % 7 AS DOUBLE) - 3.0) / 10.0"   # −0.3..0.3
+    j2 = "(CAST(c_custkey % 5 AS DOUBLE) - 2.0) / 10.0"   # −0.2..0.2
+    outer = ("array(array({cx}, {cy}), array({cx} + 2.0, {cy} + {j1}), "
+             "array({cx} + 4.0, {cy}), "
+             "array({cx} + 4.0 + {j2}, {cy} + 2.0), "
+             "array({cx} + 4.0, {cy} + 4.0), "
+             "array({cx} + 2.0, {cy} + 4.0 + {j1}), "
+             "array({cx}, {cy} + 4.0), array({cx} + {j2}, {cy} + 2.0))"
+             ).format(cx=cx, cy=cy, j1=j1, j2=j2)
+    hole = ("array(array({cx} + 1.0, {cy} + 1.0), "
+            "array({cx} + 1.0, {cy} + 3.0), "
+            "array({cx} + 3.0, {cy} + 3.0), "
+            "array({cx} + 3.0, {cy} + 1.0), "
+            "array({cx} + 2.0, {cy} + 1.0 + {j2}))"
+            ).format(cx=cx, cy=cy, j2=j2)
+    sliver = ("array(array({cx} + 3.5, {cy} + 3.5), "
+              "array({cx} + 3.7, {cy} + 3.7), "
+              "array({cx} + 3.6, {cy} + 3.62))").format(cx=cx, cy=cy)
+    vdf = customer.select("c_custkey", F.expr(outer).alias("vertices"))
+    rdf = customer.select("c_custkey", F.expr(
+        "array({}, {}, {})".format(outer, hole, sliver)).alias("rings"))
+    vsimp = Simplify(DataFrameSource(vdf, index_column="c_custkey"),
+                     tolerance=1.0, algorithm="dp")
+    rsimp = Simplify(DataFrameSource(rdf, index_column="c_custkey"),
+                     tolerance=1.0, algorithm="dp")
+    v = vsimp.set("area", Area(vsimp)).plan(spark).select(
+        "c_custkey", "area", F.size("vertices").alias("nv"))
+    r = rsimp.set("area_rings", Area(rsimp)).plan(spark).select(
+        "c_custkey", "area_rings", F.size("rings").alias("n_rings"))
+    return v.join(r, "c_custkey")
+
+
 # --------------------------------------------------------------------------
 # published corpus-curation rule sets (pipeline/curate.py): Gopher
 # quality rules, C4 line cleaning, URL canonicalization + dedup, HTML

@@ -5,6 +5,8 @@ Native algebra over point/box geometry columns — pure column math, no UDF.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from dask_geomodeling_spark.geometry.base import BaseSingle
@@ -184,24 +186,89 @@ def _simplify_ring_sql(r, tol):
     ).format(snap=snap)
 
 
+def _dp_keep_mask(pts, tol):
+    """Iterative Douglas–Peucker keep-mask over an open polyline
+    (numpy float array of shape (n, 2)); endpoints always kept,
+    interior vertices kept iff farther than ``tol`` from the line
+    through the enclosing kept pair — the classic recursion, run on
+    an explicit stack."""
+    import numpy as np
+    n = len(pts)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        a, b = pts[i], pts[j]
+        seg = b - a
+        mid = pts[i + 1:j] - a
+        l2 = float(seg @ seg)
+        if l2 == 0.0:
+            d = np.hypot(mid[:, 0], mid[:, 1])
+        else:
+            d = np.abs(seg[0] * mid[:, 1] - seg[1] * mid[:, 0]) \
+                / math.sqrt(l2)
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            keep[i + 1 + k] = True
+            stack.append((i, i + 1 + k))
+            stack.append((i + 1 + k, j))
+    return keep
+
+
+def _dp_ring(ring, tol):
+    """Douglas–Peucker on an OPEN ring (first vertex anchors the
+    closed traversal, matching the deterministic shapely behavior of
+    simplifying the closed boundary from its stored start vertex);
+    returns the surviving open ring or None when < 3 vertices."""
+    import numpy as np
+    pts = np.asarray([[float(v[0]), float(v[1])] for v in ring],
+                     dtype="float64")
+    if len(pts) < 3:
+        return None
+    closed = np.vstack([pts, pts[:1]])
+    keep = _dp_keep_mask(closed, tol)[:-1]
+    out = pts[keep]
+    if len(out) < 3:
+        return None
+    return [[float(x), float(y)] for x, y in out]
+
+
 class Simplify(BaseSingle):
     """Simplify geometries (reference: geometry/constructive.py:92,
     which runs shapely ``simplify(tolerance, preserve_topology)``).
 
-    Points/boxes snap their coordinates to the tolerance grid (round
-    is monotonic, so the snapped bbox equals the bbox of snapped
-    vertices).  Polygon geometry (``vertices``/``rings``) runs a REAL
-    vertex-reducing pass as pure HOF column math: every vertex snaps
-    to the tolerance grid, consecutive duplicates collapse (including
-    the wrap-around pair), and rings left with fewer than 3 vertices
-    drop entirely — the conservative topology-preserving analogue of
-    Douglas–Peucker (a vertex never moves more than tol/2, collinear
-    chains within the tolerance collapse to their grid line)."""
+    ``algorithm='snap'`` (default): points/boxes snap their
+    coordinates to the tolerance grid (round is monotonic, so the
+    snapped bbox equals the bbox of snapped vertices).  Polygon
+    geometry (``vertices``/``rings``) runs a vertex-reducing pass as
+    pure HOF column math: every vertex snaps to the tolerance grid,
+    consecutive duplicates collapse (including the wrap-around pair),
+    and rings left with fewer than 3 vertices drop entirely — the
+    conservative zero-shuffle analogue of Douglas–Peucker (a vertex
+    never moves more than tol/2).
 
-    def __init__(self, source, tolerance=None, preserve_topology=True):
+    ``algorithm='dp'``: REAL Douglas–Peucker over ``vertices``/
+    ``rings`` — surviving vertices are a SUBSET of the input (snap
+    moves them; DP doesn't) and near-collinear chains drop regardless
+    of grid alignment, the reference's shapely semantics.  The
+    recursion is data-dependent, so it runs in the engine's sanctioned
+    Python fallback: an Arrow-batched ``mapInPandas`` numpy pass —
+    still a per-row map, no shuffle, one python worker per input
+    split.  Point/box columns pass through unchanged under 'dp'
+    (DP is defined on vertex chains)."""
+
+    def __init__(self, source, tolerance=None, preserve_topology=True,
+                 algorithm="snap"):
         if tolerance is not None:
             tolerance = float(tolerance)
-        super().__init__(source, tolerance, preserve_topology)
+        if algorithm not in ("snap", "dp"):
+            raise ValueError("algorithm must be 'snap' or 'dp', got "
+                             "{!r}".format(algorithm))
+        super().__init__(source, tolerance, preserve_topology,
+                         algorithm)
 
     @property
     def tolerance(self):
@@ -212,6 +279,49 @@ class Simplify(BaseSingle):
         tol = self.tolerance
         if not tol:
             return df
+        if self.args[3] == "dp":
+            geom_cols = [c for c in ("vertices", "rings")
+                         if c in df.columns]
+            if not geom_cols:
+                return df
+            ftol = float(tol)
+            # geometry crosses the Arrow boundary as JSON text: this
+            # container's pyarrow segfaults converting nullable
+            # triple-nested list columns to pandas, and the string
+            # contract is the one the WKB/codec paths already use
+            types = {f.name: f.dataType.simpleString()
+                     for f in df.schema.fields if f.name in geom_cols}
+            staged = df
+            for c in geom_cols:
+                staged = staged.withColumn(c, F.to_json(F.col(c)))
+
+            def gen(batches):
+                import json
+
+                import pandas as pd
+                for pdf in batches:
+                    data = {}
+                    for c in pdf.columns:
+                        if c == "vertices":
+                            data[c] = pd.Series(
+                                [None if g is None else json.dumps(
+                                    _dp_ring(json.loads(g), ftol))
+                                 for g in pdf[c]], dtype="object")
+                        elif c == "rings":
+                            data[c] = pd.Series(
+                                [None if g is None else json.dumps(
+                                    [r for r in
+                                     (_dp_ring(rr, ftol)
+                                      for rr in json.loads(g))
+                                     if r is not None])
+                                 for g in pdf[c]], dtype="object")
+                        else:
+                            data[c] = pdf[c]
+                    yield pd.DataFrame(data)
+            out = staged.mapInPandas(gen, schema=staged.schema)
+            for c in geom_cols:
+                out = out.withColumn(c, F.from_json(F.col(c), types[c]))
+            return out
         snap = lambda c: (F.round(F.col(c) / tol) * tol)  # noqa: E731
         for c in ("x", "y", "xmin", "ymin", "xmax", "ymax"):
             if c in df.columns:

@@ -189,3 +189,44 @@ def test_buffer_polygon_ring_offset(spark):
     ta = Area(Buffer(tri, 1.0, resolution=6,
                      shape="round")).plan(spark).first().value
     assert 18.0 < ta <= 18.0 + math.pi + 1e-9
+
+
+def test_dp_simplify_drops_near_collinear(spark):
+    """DP keeps a SUBSET of the input vertices (snap moves them) and
+    drops near-collinear chains regardless of grid alignment."""
+    from dask_geomodeling_spark.geometry.constructive import Simplify
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    ring = [[0.0, 0.0], [2.0, 0.3], [4.0, 0.0], [3.7, 2.0],
+            [4.0, 4.0], [2.0, 3.7], [0.0, 4.0], [0.3, 2.0]]
+    df = spark.createDataFrame([(1, ring)],
+                               "id bigint, vertices array<array<double>>")
+    out = Simplify(DataFrameSource(df, index_column="id"),
+                   tolerance=1.0, algorithm="dp").plan(spark)
+    verts = out.first()["vertices"]
+    assert verts == [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]]
+
+
+def test_dp_simplify_null_and_degenerate_rings(spark):
+    from dask_geomodeling_spark.geometry.constructive import Simplify
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    outer = [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]]
+    sliver = [[1.0, 1.0], [1.2, 1.2], [1.1, 1.11]]
+    df = spark.createDataFrame(
+        [(1, [outer, sliver]), (2, None)],
+        "id bigint, rings array<array<array<double>>>")
+    rows = {r["id"]: r for r in Simplify(
+        DataFrameSource(df, index_column="id"), tolerance=1.0,
+        algorithm="dp").plan(spark).collect()}
+    assert [len(r) for r in rows[1]["rings"]] == [4]
+    assert rows[2]["rings"] is None
+
+
+def test_dp_simplify_rejects_unknown_algorithm(spark):
+    import pytest as _pytest
+
+    from dask_geomodeling_spark.geometry.constructive import Simplify
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    df = spark.createDataFrame([(1, 1.0)], "id bigint, x double")
+    with _pytest.raises(ValueError, match="algorithm"):
+        Simplify(DataFrameSource(df, index_column="id"),
+                 tolerance=1.0, algorithm="vw")
