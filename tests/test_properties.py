@@ -8,6 +8,8 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
+
 from dask_geomodeling_spark.geometry.sources import DataFrameSource
 
 finite = st.floats(allow_nan=False, allow_infinity=False,
@@ -254,3 +256,84 @@ def test_linear_score_matches_python_sigmoid(spark_prop, feats, weights):
         expect = 0.0
     assert 0.0 <= row.score <= 1.0
     assert abs(row.score - expect) < 1e-12
+
+
+# ---- corpus-curation properties (pipeline/curate.py) ---------------------
+
+url_text = st.text(
+    alphabet="abcXYZ019/?&=#._-:", min_size=0, max_size=40)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(url_text, min_size=1, max_size=6))
+def test_url_normalize_idempotent(spark_prop, urls):
+    """Canonicalization is a projection: norm(norm(u)) == norm(u)."""
+    from dask_geomodeling_spark.pipeline.curate import UrlNormalize
+    df = spark_prop.createDataFrame(
+        [(i, "https://" + u if i % 2 else u)
+         for i, u in enumerate(urls)], "doc_id bigint, url string")
+    src = DataFrameSource(df, index_column="doc_id")
+    once = UrlNormalize(src).plan(spark_prop) \
+        .select("doc_id", F.col("url_norm").alias("url"))
+    src2 = DataFrameSource(once, index_column="doc_id")
+    twice = UrlNormalize(src2).plan(spark_prop)
+    for r in twice.collect():
+        assert r["url_norm"] == r["url"], (r["url"], r["url_norm"])
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.text(alphabet="ab <>&/p!.\n", min_size=0,
+                        max_size=40), min_size=1, max_size=5))
+def test_html_extract_fixpoint_on_tagless_text(spark_prop, texts):
+    """Extraction of already-extracted text is a fixpoint (no tags or
+    entities survive the first pass)."""
+    from dask_geomodeling_spark.pipeline.curate import HtmlExtract
+    df = spark_prop.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id bigint, html string")
+    src = DataFrameSource(df, index_column="doc_id")
+    once = HtmlExtract(src).plan(spark_prop).select(
+        "doc_id", F.col("text_extracted").alias("html"))
+    src2 = DataFrameSource(once, index_column="doc_id")
+    twice = HtmlExtract(src2).plan(spark_prop)
+    for r in twice.collect():
+        assert r["text_extracted"] == r["html"]
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(alphabet="abc the of #.\n-", min_size=0,
+                        max_size=60), min_size=1, max_size=4))
+def test_gopher_metrics_bounded(spark_prop, texts):
+    """Every Gopher fraction lies in [0, 1] and counts are
+    non-negative, for arbitrary text."""
+    from dask_geomodeling_spark.pipeline.curate import GopherQuality
+    df = spark_prop.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id bigint, text string")
+    src = DataFrameSource(df, index_column="doc_id")
+    for r in GopherQuality(src).plan(spark_prop).collect():
+        d = r.asDict()
+        for k, v in d.items():
+            if k.endswith("_frac") or k.endswith("_ratio"):
+                assert 0.0 <= v <= 1.0, (k, v, d["text"])
+        assert d["n_words"] >= 0 and d["stop_hits"] >= 0
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(alphabet="ab c.!?{", min_size=0, max_size=50),
+                min_size=1, max_size=4))
+def test_c4_clean_is_subset_of_lines(spark_prop, texts):
+    """Every kept line is one of the input lines, and the doc flag
+    implies at least one kept line."""
+    from dask_geomodeling_spark.pipeline.curate import C4Filter
+    df = spark_prop.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id bigint, text string")
+    src = DataFrameSource(df, index_column="doc_id")
+    for r in C4Filter(src).plan(spark_prop).collect():
+        lines = [x.strip() for x in r["text"].split("\n")]
+        kept = r["text_clean"].split("\n") if r["text_clean"] else []
+        assert all(k in lines for k in kept)
+        assert r["n_lines_kept"] == len(kept)
+        if r["c4_keep"]:
+            assert r["n_lines_kept"] > 0
