@@ -2419,6 +2419,19 @@ def reproject_osgb(spark, sf_dir):
                               -7.5, 9.0, 50.0, 10.0, res_decimals=5)
 
 
+@demo("reproject_swiss", oracle=_projext_staged_oracle(
+    "EPSG:2056", 6.0, 4.4, 46.0, 1.7, res_decimals=5))
+def reproject_swiss(spark, sf_dir):
+    """Hotine Oblique Mercator, azimuth at center (EPSG method 9815 —
+    Snyder 9-6..9-39) on Bessel 1841 with the CH1903+ datum shift:
+    CH1903+ / LV95 (EPSG:2056), the Swiss national grid.  The inner
+    projection reproduces swisstopo's Rigi reference point to the
+    centimeter (pytest); this demo runs the full WGS84 roundtrip
+    through the staged datum path, 1e-5-quantized closure."""
+    return _projext_roundtrip(spark, sf_dir, "EPSG:2056",
+                              6.0, 4.4, 46.0, 1.7, res_decimals=5)
+
+
 @demo("reproject_etrs_utm", oracle=_projext_oracle(
     "EPSG:25832", 6.0, 6.0, 47.0, 8.0))
 def reproject_etrs_utm(spark, sf_dir):

@@ -398,6 +398,98 @@ class _Tmerc:
         return lon, lat
 
 
+class _Omerc:
+    """Hotine Oblique Mercator, azimuth at projection center (EPSG
+    method 9815, Snyder eqs. 9-6..9-39) — the Swiss LV95 grid, Borneo
+    RSO, Alaska zone 1 family.  All projection constants evaluate
+    driver-side; the per-point transform is one shared SQL string, the
+    registry's standard contract."""
+
+    def __init__(self, lat0, lonc, alpha, gamma, k0, x0, y0,
+                 ellipsoid):
+        a, e2 = _ellipsoid(ellipsoid)
+        e = math.sqrt(e2)
+        p0 = math.radians(lat0)
+        ac = math.radians(alpha)
+        gc = math.radians(gamma)
+        cos0 = math.cos(p0)
+        big_b = math.sqrt(1.0 + e2 * cos0 ** 4 / (1.0 - e2))
+        big_a = (a * big_b * k0 * math.sqrt(1.0 - e2)
+                 / (1.0 - e2 * math.sin(p0) ** 2))
+        t0 = _t_num(p0, e)
+        big_d = (big_b * math.sqrt(1.0 - e2)
+                 / (cos0 * math.sqrt(1.0 - e2 * math.sin(p0) ** 2)))
+        d2 = max(big_d * big_d, 1.0)
+        big_f = big_d + math.copysign(math.sqrt(d2 - 1.0), p0)
+        big_e = big_f * t0 ** big_b
+        big_g = (big_f - 1.0 / big_f) / 2.0
+        self.g0 = math.asin(math.sin(ac) / big_d)
+        self.l0 = (math.radians(lonc)
+                   - math.asin(big_g * math.tan(self.g0)) / big_b)
+        #: u-offset of the projection center (variant B)
+        self.uc = math.copysign(
+            (big_a / big_b) * math.atan2(math.sqrt(d2 - 1.0),
+                                         math.cos(ac)), p0)
+        self.a, self.e, self.e2 = a, e, e2
+        self.B, self.A, self.E = big_b, big_a, big_e
+        self.k0, self.x0, self.y0 = float(k0), x0, y0
+        self.sin_gc, self.cos_gc = math.sin(gc), math.cos(gc)
+
+    def forward(self, lat, lon):
+        # plain textual composition (engine-portable, no HOFs): the
+        # repeated sub-expressions are SCALAR, so each extra reference
+        # costs one more per-row evaluation (~10x the isometric-t
+        # chain), never the per-element re-expansion arrays suffer
+        p = "radians({})".format(lat)
+        t = _t_sql(p, self.e)
+        q = "({E!r} / power({t}, {B!r}))".format(E=self.E, t=t,
+                                                 B=self.B)
+        dl = "({B!r} * (radians({lon}) - {l0!r}))".format(
+            B=self.B, lon=lon, l0=self.l0)
+        cg0, sg0 = math.cos(self.g0), math.sin(self.g0)
+        s = "(({q} - 1.0 / {q}) / 2.0)".format(q=q)
+        bigt = "(({q} + 1.0 / {q}) / 2.0)".format(q=q)
+        u_cap = ("(((0.0 - sin({dl})) * {cg0!r} + {s} * {sg0!r}) "
+                 "/ {t})").format(dl=dl, cg0=cg0, s=s, sg0=sg0,
+                                  t=bigt)
+        v = "({c!r} * ln((1 - {u}) / (1 + {u})))".format(
+            c=self.A / (2.0 * self.B), u=u_cap)
+        u = ("({c!r} * atan2({s} * {cg0!r} + sin({dl}) * {sg0!r}, "
+             "cos({dl})) - {uc!r})").format(
+            c=self.A / self.B, s=s, cg0=cg0, dl=dl, sg0=sg0,
+            uc=self.uc)
+        x = "({x0!r} + {v} * {cgc!r} + {u} * {sgc!r})".format(
+            x0=self.x0, v=v, u=u, cgc=self.cos_gc, sgc=self.sin_gc)
+        y = "({y0!r} + {u} * {cgc!r} - {v} * {sgc!r})".format(
+            y0=self.y0, v=v, u=u, cgc=self.cos_gc, sgc=self.sin_gc)
+        return x, y
+
+    def inverse(self, x, y):
+        dx = "(({x}) - {x0!r})".format(x=x, x0=self.x0)
+        dy = "(({y}) - {y0!r})".format(y=y, y0=self.y0)
+        v = "({dx} * {cgc!r} - {dy} * {sgc!r})".format(
+            dx=dx, dy=dy, cgc=self.cos_gc, sgc=self.sin_gc)
+        u = "({dy} * {cgc!r} + {dx} * {sgc!r} + {uc!r})".format(
+            dx=dx, dy=dy, cgc=self.cos_gc, sgc=self.sin_gc,
+            uc=self.uc)
+        qp = "exp(0.0 - {BoA!r} * {v})".format(BoA=self.B / self.A,
+                                               v=v)
+        w = "({BoA!r} * {u})".format(BoA=self.B / self.A, u=u)
+        cg0, sg0 = math.cos(self.g0), math.sin(self.g0)
+        s = "(({q} - 1.0 / {q}) / 2.0)".format(q=qp)
+        bigt = "(({q} + 1.0 / {q}) / 2.0)".format(q=qp)
+        up = "((sin({w}) * {cg0!r} + {s} * {sg0!r}) / {t})".format(
+            w=w, cg0=cg0, s=s, sg0=sg0, t=bigt)
+        chi = ("(pi() / 2 - 2 * atan(power({E!r} "
+               "/ sqrt((1 + {up}) / (1 - {up})), {invB!r})))").format(
+            E=self.E, up=up, invB=1.0 / self.B)
+        lat = _conformal_lat_sql(chi, self.e2)
+        lon = ("degrees({l0!r} - atan2({s} * {cg0!r} - sin({w}) "
+               "* {sg0!r}, cos({w})) / {B!r})").format(
+            l0=self.l0, s=s, w=w, B=self.B, cg0=cg0, sg0=sg0)
+        return lon, lat
+
+
 class _Datum:
     """7-parameter datum shift in the geodetic domain (linearized
     Molodensky with the rotation/scale differentials of the
@@ -480,21 +572,24 @@ class _Datum:
 _REGISTRY = {}
 
 _KINDS = {"lcc": _Lcc, "albers": _Albers, "stereographic": _PolarStereo,
-          "laea": _Laea, "tmerc": _Tmerc}
+          "laea": _Laea, "tmerc": _Tmerc, "omerc": _Omerc}
 
 
 def register_projected_crs(code, kind, *, lat0=0.0, lon0=0.0, lat1=None,
                            lat2=None, lat_ts=None, x0=0.0, y0=0.0,
-                           k0=1.0, ellipsoid="WGS84", south=False,
+                           k0=1.0, alpha=None, gamma=None,
+                           ellipsoid="WGS84", south=False,
                            helmert=None):
     """Register a projected CRS of a supported family so the engine's
     closed-form SQL machinery (Reproject, raster warp, request
     projection) covers it — parameters straight off the EPSG/proj
     definition.  kind: 'lcc' | 'albers' | 'stereographic' | 'laea' |
-    'tmerc'.  ``helmert=(tx, ty, tz, rx", ry", rz", ppm)`` wraps the
-    projection in a WGS84→datum 7-parameter shift (position-vector
-    convention) for grids whose datum is not WGS84-coincident
-    (OSGB36, the Bessel grids)."""
+    'tmerc' | 'omerc' (Hotine azimuth-center, 9815 — ``lon0`` is the
+    center longitude, ``alpha`` the center azimuth, ``gamma`` the
+    rectified grid angle, default ``alpha``).  ``helmert=(tx, ty, tz,
+    rx", ry", rz", ppm)`` wraps the projection in a WGS84→datum
+    7-parameter shift (position-vector convention) for grids whose
+    datum is not WGS84-coincident (OSGB36, the Bessel grids)."""
     code = str(code).upper()
     if kind in ("lcc", "albers"):
         if lat1 is None:
@@ -509,6 +604,12 @@ def register_projected_crs(code, kind, *, lat0=0.0, lon0=0.0, lat1=None,
         proj = _Laea(lat0, lon0, x0, y0, ellipsoid)
     elif kind == "tmerc":
         proj = _Tmerc(lat0, lon0, k0, x0, y0, ellipsoid)
+    elif kind == "omerc":
+        if alpha is None:
+            raise ValueError("omerc needs alpha (center azimuth)")
+        proj = _Omerc(lat0, lon0, alpha,
+                      gamma if gamma is not None else alpha,
+                      k0, x0, y0, ellipsoid)
     else:
         raise ValueError("unknown projection kind {!r}".format(kind))
     if helmert is not None:
@@ -529,7 +630,8 @@ _PROJ4_ELLPS = {"WGS84": "WGS84", "GRS80": "GRS80", "airy": "airy1830",
 
 #: +proj= name → registry kind
 _PROJ4_KINDS = {"lcc": "lcc", "aea": "albers", "stere": "stereographic",
-                "laea": "laea", "tmerc": "tmerc", "utm": "tmerc"}
+                "laea": "laea", "tmerc": "tmerc", "utm": "tmerc",
+                "omerc": "omerc", "somerc": "omerc"}
 
 
 def register_crs_from_proj4(code, proj4):
@@ -579,6 +681,12 @@ def register_crs_from_proj4(code, proj4):
                       south=num("lat_0", 90.0) < 0)
         if proj == "tmerc":
             kw.update(k0=num("k_0", num("k", 1.0)))
+        if proj in ("omerc", "somerc"):
+            # somerc (Swiss) = Hotine 9815 with azimuth 90
+            kw.update(lon0=num("lonc", num("lon_0", 0.0)),
+                      alpha=num("alpha", 90.0),
+                      gamma=num("gamma", num("alpha", 90.0)),
+                      k0=num("k_0", num("k", 1.0)))
     if "towgs84" in params:
         vals = [float(v) for v in str(params["towgs84"]).split(",")]
         vals += [0.0] * (7 - len(vals))
@@ -618,3 +726,15 @@ register_projected_crs("EPSG:25832", "tmerc", lat0=0.0, lon0=9.0,
                        ellipsoid="GRS80"
                        )  # ETRS89 / UTM zone 32N (the German-Nordic
                           # standard grid; ETRS89 ≈ WGS84)
+register_projected_crs("EPSG:2056", "omerc",
+                       lat0=46.0 + 57.0 / 60 + 8.66 / 3600,
+                       lon0=7.0 + 26.0 / 60 + 22.5 / 3600,
+                       alpha=90.0, gamma=90.0, k0=1.0,
+                       x0=2600000.0, y0=1200000.0,
+                       ellipsoid="bessel1841",
+                       helmert=(-674.374, -15.056, -405.346,
+                                0.0, 0.0, 0.0, 0.0)
+                       )  # CH1903+ / LV95 (Swiss national grid —
+                          # EPSG models it as Hotine 9815 on Bessel;
+                          # towgs84 674.374,15.056,405.346 negated to
+                          # the WGS84->CH1903+ direction)

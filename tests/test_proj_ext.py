@@ -219,3 +219,44 @@ def test_proj4_unsupported_family_raises():
     with pytest.raises(ValueError, match="ellps"):
         register_crs_from_proj4("TEST:BAD4",
                                 "+proj=tmerc +ellps=plessis")
+
+
+def test_omerc_swiss_rigi_reference(spark):
+    """swisstopo's published CH1903 reference point (Rigi): geodetic
+    47°03'28.95659233"N 8°29'11.11127154"E -> LV95 (2679520.05,
+    1212273.44) through the inner Hotine projection (no datum leg —
+    the input is already CH1903 geodetic)."""
+    inner = projected_crs("EPSG:2056").inner
+    rlat = 47 + 3.0 / 60 + 28.95659233 / 3600
+    rlon = 8 + 29.0 / 60 + 11.11127154 / 3600
+    x, y = _ev(spark, inner.forward(_lit(rlat), _lit(rlon)))
+    assert abs(x - 2679520.05) < 0.05
+    assert abs(y - 1212273.44) < 0.05
+    # projection center -> false origin exactly
+    x0, y0 = _ev(spark, inner.forward(
+        _lit(46 + 57.0 / 60 + 8.66 / 3600),
+        _lit(7 + 26.0 / 60 + 22.5 / 3600)))
+    assert abs(x0 - 2600000.0) < 1e-6 and abs(y0 - 1200000.0) < 1e-6
+
+
+def test_omerc_roundtrip_closure(spark):
+    p = projected_crs("EPSG:2056")
+    x, y = _ev(spark, p.forward(_lit(47.3769), _lit(8.5417)))
+    lon, lat = _ev(spark, p.inverse(_lit(x), _lit(y)))
+    assert abs(lon - 8.5417) < 1e-6 and abs(lat - 47.3769) < 1e-6
+
+
+def test_somerc_proj4_registration(spark):
+    from dask_geomodeling_spark.geometry.proj_ext import (
+        register_crs_from_proj4)
+    register_crs_from_proj4(
+        "TEST:LV95",
+        "+proj=somerc +lat_0=46.95240555555556 "
+        "+lon_0=7.439583333333333 +k_0=1 +x_0=2600000 +y_0=1200000 "
+        "+ellps=bessel +towgs84=674.374,15.056,405.346,0,0,0,0 "
+        "+units=m +no_defs")
+    a = _ev(spark, projected_crs("TEST:LV95").forward(
+        _lit(47.0), _lit(8.0)))
+    b = _ev(spark, projected_crs("EPSG:2056").forward(
+        _lit(47.0), _lit(8.0)))
+    assert abs(a[0] - b[0]) < 1e-4 and abs(a[1] - b[1]) < 1e-4
