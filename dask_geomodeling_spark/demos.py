@@ -3456,11 +3456,10 @@ def running_aggregate(spark, sf_dir):
     return RunningAggregate(Filtered(_pq(sf_dir, "events"))).plan(spark)
 
 
-def _kmeans_ivf_oracle(k=5, clusters=4, iters=2, dim=64, nq=3, scale=8,
-                       nprobe=1, fit_frac=None):
-    """Pure-SQL mirror of pipeline.similarity.KMeansIVF: the ENTIRE
-    k-means fit (init, argmin assignment, decimal-mean update, empty-
-    cluster carry) unrolled as one CTE chain per iteration."""
+def _kmeans_fit_parts(clusters, iters, dim, scale, fit_frac):
+    """Shared CTE chain: the ENTIRE k-means fit (init, argmin
+    assignment, decimal-mean update, empty-cluster carry) unrolled
+    per iteration.  Returns (parts, assign_fn, final_cents_name)."""
     dist = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
             "list_transform(range(1, {dimp1}), i -> "
             "(CAST({{e}}[i] AS DOUBLE) - {{c}}[i]) * "
@@ -3505,7 +3504,16 @@ def _kmeans_ivf_oracle(k=5, clusters=4, iters=2, dim=64, nq=3, scale=8,
   FROM c{n} LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS v
                        FROM m{n1} GROUP BY cid) mv
     ON c{n}.cid = mv.cid)""".format(n=n, n1=n + 1))
-    parts.append(assign("emb", "c{}".format(iters), "asg"))
+    return parts, assign, "c{}".format(iters)
+
+
+def _kmeans_ivf_oracle(k=5, clusters=4, iters=2, dim=64, nq=3, scale=8,
+                       nprobe=1, fit_frac=None):
+    """Pure-SQL mirror of pipeline.similarity.KMeansIVF via the shared
+    fit chain."""
+    parts, assign, cfin = _kmeans_fit_parts(clusters, iters, dim,
+                                            scale, fit_frac)
+    parts.append(assign("emb", cfin, "asg"))
     parts.append(
         "qe AS (SELECT vec_id, e FROM emb WHERE vec_id < {})".format(nq))
     parts.append(assign("qe", "c{}".format(iters), "q", topn=nprobe))
@@ -3521,6 +3529,43 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
       ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
   FROM scored)
 WHERE rank <= {k}""".format(cte=",\n".join(parts), k=k)
+
+
+def _semdedup_oracle(clusters=4, iters=2, tau=0.4, dim=64, scale=8):
+    parts, assign, cfin = _kmeans_fit_parts(clusters, iters, dim,
+                                            scale, None)
+    parts.append(assign("emb", cfin, "asg"))
+    parts.append("""cs AS (
+  SELECT asg.vec_id, asg.cid,
+         ROUND({cos}, 6) AS centroid_sim, asg.e
+  FROM asg JOIN {cfin} ON asg.cid = {cfin}.cid)""".format(
+        cos=_dd_cosine("asg.e", "{}.v".format(cfin)), cfin=cfin))
+    parts.append("""dups AS (
+  SELECT DISTINCT a.vec_id FROM cs a JOIN cs b
+    ON a.cid = b.cid AND a.vec_id <> b.vec_id
+  WHERE ROUND({cos}, 6) >= {tau}
+    AND (b.centroid_sim < a.centroid_sim
+         OR (b.centroid_sim = a.centroid_sim
+             AND b.vec_id < a.vec_id)))""".format(
+        cos=_dd_cosine("a.e", "b.e"), tau=tau))
+    return """WITH {cte}
+SELECT cs.vec_id, cs.cid, cs.centroid_sim,
+       (dups.vec_id IS NOT NULL) AS is_dup
+FROM cs LEFT JOIN dups ON cs.vec_id = dups.vec_id
+""".format(cte=",\n".join(parts))
+
+
+@demo("semdedup", oracle=_semdedup_oracle())
+def semdedup(spark, sf_dir):
+    """SemDedup (the published semantic-dedup recipe): k-means over
+    the embedding space (the shared deterministic Lloyd fit), then
+    within-cluster cosine pairs mark duplicates, keeping the member
+    least similar to its centroid.  The oracle re-derives the ENTIRE
+    fit + assignment + pair decision in SQL — cluster-keyed self-join,
+    never corpus-wide all-pairs."""
+    from dask_geomodeling_spark.pipeline.dedup import SemDedup
+    return SemDedup(embeddings_src(sf_dir), clusters=4, iters=2,
+                    tau=0.4).plan(spark)
 
 
 @demo("kmeans_ivf_ann", oracle=_kmeans_ivf_oracle())

@@ -19,8 +19,8 @@ from dask_geomodeling_spark.core.blocks import Block
 from dask_geomodeling_spark.geometry.base import BaseSingle
 
 __all__ = ["ExactDedup", "MinHashLSH", "SimHash", "NgramJaccard",
-           "EmbeddingDedup", "DedupClusters", "ngram_regex_expr",
-           "RepeatedSpans", "RemoveRepeatedSpans"]
+           "EmbeddingDedup", "SemDedup", "DedupClusters",
+           "ngram_regex_expr", "RepeatedSpans", "RemoveRepeatedSpans"]
 
 # 31-bit Mersenne prime: (a*h + b) stays < 2^62 under ANSI overflow checks
 MERSENNE = (1 << 31) - 1
@@ -536,6 +536,80 @@ class EmbeddingDedup(BaseSingle):
             F.col("_na") * F.col("_nb"), F.lit(0.0))
         return (pairs.select("id_a", "id_b", cos.alias("cosine"))
                 .filter(F.col("cosine") >= threshold))
+
+
+class SemDedup(BaseSingle):
+    """SemDedup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means-cluster the
+    embedding space, then compare pairs ONLY within a cluster and mark
+    as duplicate every vector whose cosine to another cluster member
+    reaches ``tau``, keeping the member with the LOWEST cosine to the
+    cluster centroid (the paper's keep rule; ties → smallest id).
+
+    Output: ``id_column``, ``cid`` (assigned cluster),
+    ``centroid_sim`` (cosine to the assigned centroid, rounded to
+    ``precision``), ``is_dup``.
+
+    Scale: the fit is ``learn_centroids`` (one distributed job per
+    Lloyd iteration, optionally on the deterministic
+    ``fit_fraction`` hash sample — only k×dim reaches the driver);
+    assignment is a broadcast-model projection; the pair comparison is
+    a self-join KEYED BY CLUSTER, the paper's own device for bounding
+    the all-pairs blow-up — cluster count scales with corpus size so
+    per-cluster membership stays bounded.  Cosines round to
+    ``precision`` BEFORE thresholding so the decision is
+    cross-engine deterministic."""
+
+    def __init__(self, source, clusters=4, iters=2, tau=0.4,
+                 vector_column="embedding", id_column="vec_id",
+                 fit_fraction=None, precision=6):
+        super().__init__(source, int(clusters), int(iters), float(tau),
+                         vector_column, id_column,
+                         None if fit_fraction is None
+                         else float(fit_fraction), int(precision))
+
+    @property
+    def columns(self):
+        return {self.args[5], "cid", "centroid_sim", "is_dup"}
+
+    def _build(self, ctx):
+        from dask_geomodeling_spark.pipeline.similarity import (
+            cosine_expr, fit_sample, learn_centroids,
+            nearest_centroid_expr)
+        (_, clusters, iters, tau, vec, idc, frac, prec) = self.args
+        df = self.source._build(ctx)
+        fit = df if frac is None else fit_sample(df, idc, frac)
+        cents = learn_centroids(fit, clusters, iters, vec_column=vec,
+                                id_column=idc)
+        cid = nearest_centroid_expr(vec, cents)
+
+        def lit_arr(c):
+            return "array({})".format(",".join(
+                "cast({!r} as double)".format(float(x)) for x in c))
+        sims = F.array(*[cosine_expr(vec, lit_arr(c)) for c in cents])
+        base = df.select(
+            F.col(idc), F.col(vec), cid.alias("cid"),
+            F.round(F.element_at(sims, cid + 1), prec)
+            .alias("centroid_sim"))
+        a = base.select(F.col(idc).alias("_ia"),
+                        F.col(vec).alias("_va"), "cid",
+                        F.col("centroid_sim").alias("_sa"))
+        b = base.select(F.col(idc).alias("_ib"),
+                        F.col(vec).alias("_vb"), "cid",
+                        F.col("centroid_sim").alias("_sb"))
+        pair_cos = F.round(cosine_expr("_va", "_vb"), prec)
+        dups = (a.join(b, "cid")
+                .where((F.col("_ia") != F.col("_ib"))
+                       & (pair_cos >= tau)
+                       & ((F.col("_sb") < F.col("_sa"))
+                          | ((F.col("_sb") == F.col("_sa"))
+                             & (F.col("_ib") < F.col("_ia")))))
+                .select(F.col("_ia").alias(idc)).distinct()
+                .withColumn("_d", F.lit(True)))
+        return (base.drop(vec).join(dups, idc, "left")
+                .withColumn("is_dup",
+                            F.coalesce("_d", F.lit(False)))
+                .drop("_d"))
 
 
 class DedupClusters(Block):

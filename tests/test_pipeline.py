@@ -809,3 +809,27 @@ def test_bpe_token_count_rejects_separator_symbol():
     from dask_geomodeling_spark.pipeline.text import BPETokenCount
     with pytest.raises(ValueError, match="separator"):
         BPETokenCount(None, [("\x1f", "a")])
+
+
+def test_semdedup_marks_near_identical_within_cluster(spark):
+    """Two near-identical vectors land in the same cluster; the one
+    MORE similar to the centroid is the duplicate (paper keep rule)."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.dedup import SemDedup
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.14, 0.0, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows,
+                               "vec_id bigint, embedding array<double>")
+    out = SemDedup(DataFrameSource(df, index_column="vec_id"),
+                   clusters=3, iters=2, tau=0.95).plan(spark)
+    got = {r["vec_id"]: r for r in out.collect()}
+    assert got[0]["cid"] == got[1]["cid"]
+    # exactly one of the near-dup pair is marked
+    assert got[0]["is_dup"] != got[1]["is_dup"]
+    assert not got[2]["is_dup"] and not got[3]["is_dup"]
+    for r in got.values():
+        assert -1.0 <= r["centroid_sim"] <= 1.0
