@@ -385,3 +385,46 @@ def test_decontaminate_broadcast_stream_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.read.parquet(out).collect()}
     assert got == expected
+
+
+def test_crawl_curation_runs_on_stream(spark, tmp_path):
+    """The crawl-curation chain (HtmlExtract → C4Filter →
+    GopherQuality without n-grams → UrlNormalize) is projection-only,
+    so the identical block plan over readStream emits exactly the
+    batch rows — streaming crawl ingestion needs no new operators."""
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.curate import (C4Filter,
+                                                        GopherQuality,
+                                                        HtmlExtract,
+                                                        UrlNormalize)
+
+    url = str(tmp_path / "docs")
+    (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+     .withColumn("html", F.concat(F.lit("<p>"), F.col("text"),
+                                  F.lit(" end.</p>")))
+     .withColumn("url", F.concat(F.lit("HTTPS://WWW.ex.com/p/"),
+                                 F.col("doc_id")))
+     .write.parquet(url))
+    batch_df = spark.read.parquet(url)
+
+    def pipeline(df):
+        block = UrlNormalize(GopherQuality(C4Filter(HtmlExtract(
+            DataFrameSource(df, index_column="doc_id")),
+            column="text_extracted"), column="text_clean",
+            ngram_metrics=False))
+        return block.plan(spark).select(
+            "doc_id", "url_norm", "n_lines_kept", "c4_keep",
+            F.round("mean_word_len", 9).alias("mwl"), "gopher_pass")
+
+    expected = {tuple(r) for r in pipeline(batch_df).collect()}
+    stream_df = (spark.readStream.format("parquet")
+                 .schema(batch_df.schema).load(url))
+    out = str(tmp_path / "out")
+    q = (pipeline(stream_df).writeStream.outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start(out))
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got == expected
