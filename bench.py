@@ -48,7 +48,8 @@ def main():
                   "q6_revenue_forecast", "q18_large_orders",
                   "rollup_revenue", "tfidf_keywords", "decontaminate",
                   "pq_ann", "asof_join", "gopher_quality", "c4_filter",
-                  "url_dedup", "html_extract"):
+                  "url_dedup", "html_extract", "crawl_prep",
+                  "semdedup"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

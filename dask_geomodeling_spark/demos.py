@@ -6990,8 +6990,8 @@ GATE_ORDER = [
     "q9_product_profit", "q18_large_orders",
     # LLM-pipeline: dedup, ANN, multimodal, hygiene, end-to-end
     "exact_dedup", "minhash_lsh", "ngram_jaccard", "embedding_dedup_lsh",
-    "kmeans_ivf_ann", "kmeans_ivf_saved", "ivfpq_ann", "decode_image",
-    "token_count_bpe", "decontaminate",
+    "kmeans_ivf_ann", "semdedup", "ivfpq_ann", "decode_image",
+    "bpe_tokenize", "decontaminate",
     "gopher_quality", "crawl_prep",
     # streaming / temporal joins
     "event_aggregate", "asof_join", "running_aggregate",

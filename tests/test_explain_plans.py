@@ -452,3 +452,51 @@ def test_pack_sequences_defaults_shards_to_shuffle_partitions(spark):
     n_shards = out.select("shard").distinct().count()
     assert n_shards == int(
         spark.conf.get("spark.sql.shuffle.partitions"))
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_gopher_full_metrics_is_shuffle_free(spark):
+    """The n-gram character fractions are per-document — the FULL
+    metric battery must be a pure projection (no Exchange anywhere),
+    the property that makes the Gopher gate scan-shaped at 100 TB."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.curate import GopherQuality
+    df = spark.createDataFrame([(1, "the cat sat on the mat")],
+                               "doc_id bigint, text string")
+    plan = _plan(GopherQuality(
+        DataFrameSource(df, index_column="doc_id")).plan(spark))
+    assert "Exchange" not in plan
+
+
+def test_url_dedup_single_exchange(spark):
+    """UrlDedup = exactly one shuffle (the canonical-URL groupBy) —
+    no window, no sort."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.curate import UrlDedup
+    df = spark.createDataFrame(
+        [(1, "https://a.com/x", "t")],
+        "doc_id bigint, url string, text string")
+    plan = _plan(UrlDedup(
+        DataFrameSource(df, index_column="doc_id")).plan(spark))
+    # one hash exchange on url_norm; the struct-max aggregate runs as
+    # SortAggregate (string payload in the buffer), whose per-partition
+    # sorts are map-side — still no Window, no global sort
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+
+
+def test_semdedup_pairs_join_on_cluster(spark):
+    """SemDedup's pair comparison must join ON the cluster id — never
+    a corpus-wide cartesian."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.dedup import SemDedup
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id bigint, embedding array<double>")
+    plan = _plan(SemDedup(DataFrameSource(df, index_column="vec_id"),
+                          clusters=2, iters=1).plan(spark))
+    assert "CartesianProduct" not in plan
+    assert "cid" in plan
