@@ -128,7 +128,7 @@ def test_registration_validation():
 
 def test_unsupported_crs_still_raises():
     with pytest.raises(NotImplementedError, match="register_projected"):
-        validate_crs_pair("EPSG:4326", "EPSG:2056")
+        validate_crs_pair("EPSG:4326", "EPSG:5514")
 
 
 def test_tmerc_osgb_worked_example(spark):
@@ -214,8 +214,8 @@ def test_proj4_string_registration(spark):
 def test_proj4_unsupported_family_raises():
     from dask_geomodeling_spark.geometry.proj_ext import (
         register_crs_from_proj4)
-    with pytest.raises(NotImplementedError, match="omerc"):
-        register_crs_from_proj4("TEST:BAD3", "+proj=omerc +lat_0=4")
+    with pytest.raises(NotImplementedError, match="krovak"):
+        register_crs_from_proj4("TEST:BAD3", "+proj=krovak +lat_0=4")
     with pytest.raises(ValueError, match="ellps"):
         register_crs_from_proj4("TEST:BAD4",
                                 "+proj=tmerc +ellps=plessis")
