@@ -418,18 +418,22 @@ def transform_extent(extent, src_crs, dst_crs):
         return extent
     x1, y1, x2, y2 = extent
     corners = [(x1, y1), (x1, y2), (x2, y1), (x2, y2)]
-    # evaluate the shared SQL closed forms in python via a tiny literal
-    # plan-free path: reuse the same expressions through numpy-free math
+    # evaluate the shared SQL closed forms on literal corners, ONE
+    # STAGE AT A TIME (numeric outputs feed the next stage as new
+    # literals): the fully substituted inverse of a datum-shifted CRS
+    # is a megabyte of SQL text and OOMs expression canonicalization
     from dask_geomodeling_spark import config
     spark = config.get_spark()
-    vx, vy = _point_sql(src_crs, dst_crs, "v[0]", "v[1]")
-    rows = spark.sql(
-        "SELECT transform(array({}), v -> array({}, {})) AS pts".format(
-            ", ".join("array({!r}D, {!r}D)".format(float(cx), float(cy))
-                      for cx, cy in corners), vx, vy)).first()
-    pts = rows[0]
-    xs = [p[0] for p in pts]
-    ys = [p[1] for p in pts]
+    for stage in _transform_stages(src_crs, dst_crs):
+        vx, vy = stage("v[0]", "v[1]")
+        rows = spark.sql(
+            "SELECT transform(array({}), v -> array({}, {})) AS pts"
+            .format(", ".join(
+                "array({!r}D, {!r}D)".format(float(cx), float(cy))
+                for cx, cy in corners), vx, vy)).first()
+        corners = [(float(p[0]), float(p[1])) for p in rows[0]]
+    xs = [p[0] for p in corners]
+    ys = [p[1] for p in corners]
     return (min(xs), min(ys), max(xs), max(ys))
 
 

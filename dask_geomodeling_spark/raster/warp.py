@@ -148,16 +148,44 @@ class Warp(BaseSingle):
         cells = self.store._build(child)
 
         # target grid: width*height rows from range() — executor-built,
-        # request-sized, broadcast side of the join
+        # request-sized, broadcast side of the join.  The inverse
+        # transform applies in PLAN STAGES (proj._transform_stages):
+        # identical arithmetic to the textual warp_grid_sql the oracles
+        # replay, but datum-shifted CRSs stay as small chained
+        # projections instead of one substituted mega-expression
+        from dask_geomodeling_spark.geometry.proj import (
+            _transform_stages)
         base = (ctx.spark.range(width * height)
                 .select((F.col("id") % width).alias("_i"),
                         (F.col("id") / width).cast("bigint").alias("_j")))
+        dx = (x2 - x1) / width
+        dy = (y2 - y1) / height
+        base = base.withColumns({
+            "_cx": F.expr(
+                "(CAST({x1!r} AS DOUBLE) + (CAST(_i AS DOUBLE) + 0.5) "
+                "* CAST({dx!r} AS DOUBLE))".format(x1=x1, dx=dx)),
+            "_cy": F.expr(
+                "(CAST({y1!r} AS DOUBLE) + (CAST(_j AS DOUBLE) + 0.5) "
+                "* CAST({dy!r} AS DOUBLE))".format(y1=y1, dy=dy))})
+        stages = _transform_stages(dst, native)
+        for stage in stages:
+            sx, sy = stage("_cx", "_cy")
+            base = base.withColumns({"_cx": F.expr(sx),
+                                     "_cy": F.expr(sy)})
+        if len(stages) > 1:
+            # datum CRSs: constraint propagation through the join
+            # re-inlines the whole stage chain into a megabyte of
+            # canonicalized predicates; cutting lineage on the
+            # request-sized grid (it materializes for the broadcast
+            # anyway) keeps the optimizer's view tiny
+            base = base.localCheckpoint(eager=False)
         if self.args[5] == "nearest":
-            sx_sql, sy_sql = warp_grid_sql(
-                dst, native, (x1, y1, x2, y2), width, height)
-            grid = base.select("_i", "_j",
-                               F.expr(sx_sql).alias("_sx"),
-                               F.expr(sy_sql).alias("_sy"))
+            grid = base.select(
+                "_i", "_j",
+                F.expr("CAST(FLOOR(ROUND(_cx, 6)) AS BIGINT)")
+                .alias("_sx"),
+                F.expr("CAST(FLOOR(ROUND(_cy, 6)) AS BIGINT)")
+                .alias("_sy"))
             out = cells.join(
                 F.broadcast(grid),
                 (cells["x"] == grid["_sx"]) & (cells["y"] == grid["_sy"]))
@@ -167,11 +195,9 @@ class Warp(BaseSingle):
         # bilinear: 4 surrounding native centers per target cell,
         # exploded on the broadcast (grid) side; fixed-corner-order
         # weighted sum for bit determinism
-        fx_sql, fy_sql = warp_bilinear_sql(
-            dst, native, (x1, y1, x2, y2), width, height)
         grid = (base.select("_i", "_j",
-                            F.expr(fx_sql).alias("_fx"),
-                            F.expr(fy_sql).alias("_fy"))
+                            F.expr("ROUND(_cx - 0.5, 6)").alias("_fx"),
+                            F.expr("ROUND(_cy - 0.5, 6)").alias("_fy"))
                 .select("_i", "_j",
                         F.floor("_fx").cast("bigint").alias("_x0"),
                         F.floor("_fy").cast("bigint").alias("_y0"),

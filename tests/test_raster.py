@@ -440,3 +440,42 @@ def test_geotiff_deflate_and_tiled_roundtrip():
         assert (w, h, nodata) == (16, 8, -9999.0)
         assert got == vals
         assert gt == (10.0, 0.5, 20.0, 0.25)
+
+
+def test_warp_datum_crs_staged(spark):
+    """A datum-shifted native CRS (EPSG:27700) warps without the
+    substituted mega-expression: the staged grid matches the textual
+    warp_grid_sql the oracles replay, evaluated through DuckDB."""
+    import duckdb
+
+    from dask_geomodeling_spark.geometry.proj import transform_extent
+    from dask_geomodeling_spark.raster.sources import DataFrameRasterSource
+    from dask_geomodeling_spark.raster.warp import Warp, warp_grid_sql
+    import pyspark.sql.functions as F
+
+    cells = spark.range(0, 64).select(
+        F.lit(None).cast("timestamp").alias("time"),
+        (F.col("id") / 8).cast("bigint").alias("y"),
+        (F.col("id") % 8).alias("x"),
+        (F.col("id") * 1.0).alias("value"))
+    # place an 8x8 grid near the OSGB false origin's coverage (London)
+    src = DataFrameRasterSource(
+        cells.withColumn("y", F.col("y") + 180000)
+             .withColumn("x", F.col("x") + 530000),
+        projection="EPSG:27700")
+    bbox = transform_extent((530000, 180000, 530008, 180008),
+                            "EPSG:27700", "EPSG:3857")
+    out = Warp(src, "EPSG:3857", bbox=bbox, width=4,
+               height=4).plan(spark)
+    rows = {(r["y"], r["x"]): r["value"] for r in out.collect()}
+    assert len(rows) > 0
+    sx, sy = warp_grid_sql("EPSG:3857", "EPSG:27700", bbox, 4, 4)
+    con = duckdb.connect()
+    oracle = con.execute(
+        "SELECT _j, _i, {sx} AS sx, {sy} AS sy FROM ("
+        "SELECT CAST(i % 4 AS BIGINT) AS _i, CAST(i // 4 AS BIGINT) "
+        "AS _j FROM range(0, 16) t(i))".format(sx=sx, sy=sy)).fetchall()
+    for j, i, nx, ny in oracle:
+        if 530000 <= nx < 530008 and 180000 <= ny < 180008:
+            expect = float((ny - 180000) * 8 + (nx - 530000))
+            assert rows[(j, i)] == expect, (j, i)
