@@ -587,26 +587,43 @@ class SemDedup(BaseSingle):
             return "array({})".format(",".join(
                 "cast({!r} as double)".format(float(x)) for x in c))
         sims = F.array(*[cosine_expr(vec, lit_arr(c)) for c in cents])
+        # pre-normalize ONCE per row (pair cosine then = one dot
+        # instead of dot + two norms per pair — the pair stage is the
+        # quadratic part, the normalization is linear)
+        unit = ("CASE WHEN sqrt(aggregate(zip_with({v}, {v}, "
+                "(x, y) -> cast(x as double) * y), cast(0.0 as double),"
+                " (a, p) -> a + p)) > 0 THEN "
+                "transform({v}, x -> cast(x as double) / "
+                "sqrt(aggregate(zip_with({v}, {v}, (x, y) -> "
+                "cast(x as double) * y), cast(0.0 as double), "
+                "(a, p) -> a + p))) END").format(v=vec)
         base = df.select(
-            F.col(idc), F.col(vec), cid.alias("cid"),
+            F.col(idc), cid.alias("cid"),
             F.round(F.element_at(sims, cid + 1), prec)
-            .alias("centroid_sim"))
+            .alias("centroid_sim"),
+            F.expr(unit).alias("_u"))
         a = base.select(F.col(idc).alias("_ia"),
-                        F.col(vec).alias("_va"), "cid",
+                        F.col("_u").alias("_ua"), "cid",
                         F.col("centroid_sim").alias("_sa"))
         b = base.select(F.col(idc).alias("_ib"),
-                        F.col(vec).alias("_vb"), "cid",
+                        F.col("_u").alias("_ub"), "cid",
                         F.col("centroid_sim").alias("_sb"))
-        pair_cos = F.round(cosine_expr("_va", "_vb"), prec)
+        pair_cos = F.round(F.expr(
+            "aggregate(zip_with(_ua, _ub, (x, y) -> x * y), "
+            "cast(0.0 as double), (a, p) -> a + p)"), prec)
+        # each unordered pair evaluates ONCE; the qualifying pair's
+        # MORE-centroid-similar member (tie: larger id) is the dup —
+        # identical to "exists a better partner" on the ordered form
+        worse = F.when((F.col("_sa") > F.col("_sb"))
+                       | ((F.col("_sa") == F.col("_sb"))
+                          & (F.col("_ia") > F.col("_ib"))),
+                       F.col("_ia")).otherwise(F.col("_ib"))
         dups = (a.join(b, "cid")
-                .where((F.col("_ia") != F.col("_ib"))
-                       & (pair_cos >= tau)
-                       & ((F.col("_sb") < F.col("_sa"))
-                          | ((F.col("_sb") == F.col("_sa"))
-                             & (F.col("_ib") < F.col("_ia")))))
-                .select(F.col("_ia").alias(idc)).distinct()
+                .where((F.col("_ia") < F.col("_ib"))
+                       & (pair_cos >= tau))
+                .select(worse.alias(idc)).distinct()
                 .withColumn("_d", F.lit(True)))
-        return (base.drop(vec).join(dups, idc, "left")
+        return (base.drop("_u").join(dups, idc, "left")
                 .withColumn("is_dup",
                             F.coalesce("_d", F.lit(False)))
                 .drop("_d"))
