@@ -2432,6 +2432,20 @@ def reproject_swiss(spark, sf_dir):
                               6.0, 4.4, 46.0, 1.7, res_decimals=5)
 
 
+@demo("reproject_krovak", oracle=_projext_staged_oracle(
+    "EPSG:5514", 12.2, 6.4, 48.6, 2.4, res_decimals=5))
+def reproject_krovak(spark, sf_dir):
+    """Krovak oblique conformal conic (EPSG method 9819/1041 — the
+    Czech/Slovak S-JTSK grid, EPSG:5514) on Bessel 1841 with the
+    published S-JTSK datum shift.  The inner projection reproduces
+    the EPSG guidance-note worked example to the centimeter (pytest);
+    the inverse replaces EPSG's latitude iteration with the conformal
+    series, so both legs stay closed-form SQL.  Full WGS84 roundtrip
+    through the staged datum path, 1e-5-quantized closure."""
+    return _projext_roundtrip(spark, sf_dir, "EPSG:5514",
+                              12.2, 6.4, 48.6, 2.4, res_decimals=5)
+
+
 @demo("reproject_etrs_utm", oracle=_projext_oracle(
     "EPSG:25832", 6.0, 6.0, 47.0, 8.0))
 def reproject_etrs_utm(spark, sf_dir):

@@ -490,6 +490,94 @@ class _Omerc:
         return lon, lat
 
 
+class _Krovak:
+    """Krovak oblique conformal conic (EPSG method 9819; the
+    ``east_north`` variant 1041 flips signs so the axes point
+    east/north) — S-JTSK, the Czech/Slovak national grid.  Inverse
+    avoids EPSG's latitude iteration through the conformal-latitude
+    series (the U↔φ relation is the same isometric form the other
+    conformal projections use)."""
+
+    def __init__(self, latc, lon0, alpha, lat_p, k0, x0, y0,
+                 ellipsoid, east_north=True):
+        a, e2 = _ellipsoid(ellipsoid)
+        e = math.sqrt(e2)
+        pc = math.radians(latc)
+        self.a, self.e, self.e2 = a, e, e2
+        self.A = (a * math.sqrt(1.0 - e2)
+                  / (1.0 - e2 * math.sin(pc) ** 2))
+        self.B = math.sqrt(1.0 + e2 * math.cos(pc) ** 4 / (1.0 - e2))
+        self.g0 = math.asin(math.sin(pc) / self.B)
+        #: t0 relates U to the isometric latitude: tan(π/4+γ0/2) =
+        #: t0 · tan^B(π/4+φC/2) / [(1+e sinφC)/(1−e sinφC)]^(eB/2)
+        self.t0 = (math.tan(math.pi / 4.0 + self.g0 / 2.0)
+                   * ((1.0 + e * math.sin(pc))
+                      / (1.0 - e * math.sin(pc))) ** (e * self.B / 2.0)
+                   / math.tan(math.pi / 4.0 + pc / 2.0) ** self.B)
+        pp = math.radians(lat_p)
+        self.n = math.sin(pp)
+        self.r0 = k0 * self.A / math.tan(pp)
+        self.rtan = math.tan(math.pi / 4.0 + pp / 2.0) ** self.n
+        self.ac = math.radians(alpha)
+        self.l0 = math.radians(lon0)
+        self.x0, self.y0 = x0, y0
+        self.sign = -1.0 if east_north else 1.0
+
+    def forward(self, lat, lon):
+        e, B = self.e, self.B
+        p = "radians({})".format(lat)
+        # U = 2(atan(t0·tan^B(φ/2+π/4)/[(1+e sinφ)/(1−e sinφ)]^(eB/2))−π/4)
+        u = ("(2.0 * (atan({t0!r} * power(tan({p} / 2.0 + pi() / 4.0), "
+             "{B!r}) / power((1 + {e!r} * sin({p})) "
+             "/ (1 - {e!r} * sin({p})), {eB2!r})) - pi() / 4.0))"
+             ).format(t0=self.t0, p=p, B=B, e=e, eB2=e * B / 2.0)
+        v = "({B!r} * ({l0!r} - radians({lon})))".format(
+            B=B, l0=self.l0, lon=lon)
+        t_cap = ("asin({cac!r} * sin({u}) + {sac!r} * cos({u}) "
+                 "* cos({v}))").format(cac=math.cos(self.ac),
+                                       sac=math.sin(self.ac),
+                                       u=u, v=v)
+        d = "asin(cos({u}) * sin({v}) / cos({t}))".format(
+            u=u, v=v, t=t_cap)
+        theta = "({n!r} * {d})".format(n=self.n, d=d)
+        r = ("({c!r} / power(tan({t} / 2.0 + pi() / 4.0), {n!r}))"
+             ).format(c=self.r0 * self.rtan, t=t_cap, n=self.n)
+        xp = "({r} * cos({th}))".format(r=r, th=theta)   # southing
+        yp = "({r} * sin({th}))".format(r=r, th=theta)   # westing
+        x = "({x0!r} + {s!r} * {yp})".format(x0=self.x0, s=self.sign,
+                                             yp=yp)
+        y = "({y0!r} + {s!r} * {xp})".format(y0=self.y0, s=self.sign,
+                                             xp=xp)
+        return x, y
+
+    def inverse(self, x, y):
+        yp = "({s!r} * (({x}) - {x0!r}))".format(s=self.sign, x=x,
+                                                 x0=self.x0)
+        xp = "({s!r} * (({y}) - {y0!r}))".format(s=self.sign, y=y,
+                                                 y0=self.y0)
+        rp = "sqrt({xp} * {xp} + {yp} * {yp})".format(xp=xp, yp=yp)
+        dp = "(atan2({yp}, {xp}) / {n!r})".format(yp=yp, xp=xp,
+                                                  n=self.n)
+        t_cap = ("(2.0 * (atan(power({c!r} / {rp}, {invn!r})) "
+                 "- pi() / 4.0))").format(c=self.r0 * self.rtan,
+                                          rp=rp, invn=1.0 / self.n)
+        # careful: tan(π/4+φP/2)^n folded into c — invert r relation:
+        # tan(T/2+π/4) = (r0·rtan/r')^(1/n)
+        u = ("asin({cac!r} * sin({t}) - {sac!r} * cos({t}) "
+             "* cos({d}))").format(cac=math.cos(self.ac),
+                                   sac=math.sin(self.ac),
+                                   t=t_cap, d=dp)
+        v = "asin(cos({t}) * sin({d}) / cos({u}))".format(
+            t=t_cap, d=dp, u=u)
+        lon = "degrees({l0!r} - {v} / {B!r})".format(
+            l0=self.l0, v=v, B=self.B)
+        # t(φ) = (t0 / tan(U/2+π/4))^(1/B) → χ → conformal series
+        t = "power({t0!r} / tan({u} / 2.0 + pi() / 4.0), {invB!r})" \
+            .format(t0=self.t0, u=u, invB=1.0 / self.B)
+        chi = "(pi() / 2 - 2 * atan({t}))".format(t=t)
+        return lon, _conformal_lat_sql(chi, self.e2)
+
+
 class _Datum:
     """7-parameter datum shift in the geodetic domain (linearized
     Molodensky with the rotation/scale differentials of the
@@ -572,7 +660,8 @@ class _Datum:
 _REGISTRY = {}
 
 _KINDS = {"lcc": _Lcc, "albers": _Albers, "stereographic": _PolarStereo,
-          "laea": _Laea, "tmerc": _Tmerc, "omerc": _Omerc}
+          "laea": _Laea, "tmerc": _Tmerc, "omerc": _Omerc,
+          "krovak": _Krovak}
 
 
 def register_projected_crs(code, kind, *, lat0=0.0, lon0=0.0, lat1=None,
@@ -610,6 +699,11 @@ def register_projected_crs(code, kind, *, lat0=0.0, lon0=0.0, lat1=None,
         proj = _Omerc(lat0, lon0, alpha,
                       gamma if gamma is not None else alpha,
                       k0, x0, y0, ellipsoid)
+    elif kind == "krovak":
+        if alpha is None or lat1 is None:
+            raise ValueError("krovak needs alpha (cone-axis azimuth) "
+                             "and lat1 (pseudo standard parallel)")
+        proj = _Krovak(lat0, lon0, alpha, lat1, k0, x0, y0, ellipsoid)
     else:
         raise ValueError("unknown projection kind {!r}".format(kind))
     if helmert is not None:
@@ -631,7 +725,8 @@ _PROJ4_ELLPS = {"WGS84": "WGS84", "GRS80": "GRS80", "airy": "airy1830",
 #: +proj= name → registry kind
 _PROJ4_KINDS = {"lcc": "lcc", "aea": "albers", "stere": "stereographic",
                 "laea": "laea", "tmerc": "tmerc", "utm": "tmerc",
-                "omerc": "omerc", "somerc": "omerc"}
+                "omerc": "omerc", "somerc": "omerc",
+                "krovak": "krovak"}
 
 
 def register_crs_from_proj4(code, proj4):
@@ -687,6 +782,13 @@ def register_crs_from_proj4(code, proj4):
                       alpha=num("alpha", 90.0),
                       gamma=num("gamma", num("alpha", 90.0)),
                       k0=num("k_0", num("k", 1.0)))
+        if proj == "krovak":
+            kw.update(lat0=num("lat_0", 49.5),
+                      lon0=num("lon_0", 24.0 + 50.0 / 60),
+                      alpha=num("alpha",
+                                30.0 + 17.0 / 60 + 17.3031 / 3600),
+                      lat1=num("lat_1", 78.5),
+                      k0=num("k_0", num("k", 0.9999)))
     if "towgs84" in params:
         vals = [float(v) for v in str(params["towgs84"]).split(",")]
         vals += [0.0] * (7 - len(vals))
@@ -726,6 +828,14 @@ register_projected_crs("EPSG:25832", "tmerc", lat0=0.0, lon0=9.0,
                        ellipsoid="GRS80"
                        )  # ETRS89 / UTM zone 32N (the German-Nordic
                           # standard grid; ETRS89 ≈ WGS84)
+register_projected_crs("EPSG:5514", "krovak", lat0=49.5,
+                       lon0=24.0 + 50.0 / 60,  # 42°30' E of Ferro
+                       alpha=30.0 + 17.0 / 60 + 17.3031 / 3600,
+                       lat1=78.5, k0=0.9999, ellipsoid="bessel1841",
+                       helmert=(-589.0, -76.0, -480.0, 0.0, 0.0, 0.0,
+                                0.0)
+                       )  # S-JTSK / Krovak East North (EPSG method
+                          # 1041 axes; GN7-2 worked example to the cm)
 register_projected_crs("EPSG:2056", "omerc",
                        lat0=46.0 + 57.0 / 60 + 8.66 / 3600,
                        lon0=7.0 + 26.0 / 60 + 22.5 / 3600,

@@ -47,10 +47,10 @@ def test_request_projection_extent_mode(spark, pts):
 
 
 def test_request_projection_unsupported_raises(spark, pts):
-    # EPSG:5514 (S-JTSK / Krovak) is not a supported projection
-    # family and has no proj_ext registration
+    # EPSG:27200 (New Zealand Map Grid, complex-series) is not a
+    # supported projection family and has no proj_ext registration
     with pytest.raises(NotImplementedError):
-        pts.get_data(spark, projection="EPSG:5514")
+        pts.get_data(spark, projection="EPSG:27200")
 
 
 def test_reproject_rd_known_point(spark):

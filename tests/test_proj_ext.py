@@ -128,7 +128,7 @@ def test_registration_validation():
 
 def test_unsupported_crs_still_raises():
     with pytest.raises(NotImplementedError, match="register_projected"):
-        validate_crs_pair("EPSG:4326", "EPSG:5514")
+        validate_crs_pair("EPSG:4326", "EPSG:27200")
 
 
 def test_tmerc_osgb_worked_example(spark):
@@ -214,8 +214,8 @@ def test_proj4_string_registration(spark):
 def test_proj4_unsupported_family_raises():
     from dask_geomodeling_spark.geometry.proj_ext import (
         register_crs_from_proj4)
-    with pytest.raises(NotImplementedError, match="krovak"):
-        register_crs_from_proj4("TEST:BAD3", "+proj=krovak +lat_0=4")
+    with pytest.raises(NotImplementedError, match="nzmg"):
+        register_crs_from_proj4("TEST:BAD3", "+proj=nzmg +lat_0=-41")
     with pytest.raises(ValueError, match="ellps"):
         register_crs_from_proj4("TEST:BAD4",
                                 "+proj=tmerc +ellps=plessis")
@@ -260,3 +260,30 @@ def test_somerc_proj4_registration(spark):
     b = _ev(spark, projected_crs("EPSG:2056").forward(
         _lit(47.0), _lit(8.0)))
     assert abs(a[0] - b[0]) < 1e-4 and abs(a[1] - b[1]) < 1e-4
+
+
+def test_krovak_epsg_worked_example(spark):
+    """EPSG GN7-2's Krovak worked example (S-JTSK geodetic on Bessel):
+    50°12'32.442"N 16°50'59.179"E -> Southing 1050538.63, Westing
+    568991.00 — through the inner projection (no datum leg)."""
+    from dask_geomodeling_spark.geometry.proj_ext import _Krovak
+    k = _Krovak(49.5, 24.0 + 50.0 / 60,
+                30.0 + 17.0 / 60 + 17.3031 / 3600, 78.5, 0.9999,
+                0.0, 0.0, "bessel1841", east_north=False)
+    lat = 50 + 12.0 / 60 + 32.442 / 3600
+    lon = 16 + 50.0 / 60 + 59.179 / 3600
+    w, s = _ev(spark, k.forward(_lit(lat), _lit(lon)))
+    assert abs(w - 568991.00) < 0.05
+    assert abs(s - 1050538.63) < 0.05
+    # 5514 (east-north axes) negates both
+    en = projected_crs("EPSG:5514").inner
+    x, y = _ev(spark, en.forward(_lit(lat), _lit(lon)))
+    assert abs(x + w) < 1e-6 and abs(y + s) < 1e-6
+
+
+def test_krovak_roundtrip_closure(spark):
+    p = projected_crs("EPSG:5514")
+    x, y = _ev(spark, p.forward(_lit(50.0755), _lit(14.4378)))
+    assert -760000 < x < -720000 and -1060000 < y < -1030000
+    lon, lat = _ev(spark, p.inverse(_lit(x), _lit(y)))
+    assert abs(lon - 14.4378) < 1e-6 and abs(lat - 50.0755) < 1e-6
