@@ -2432,6 +2432,17 @@ def reproject_swiss(spark, sf_dir):
                               6.0, 4.4, 46.0, 1.7, res_decimals=5)
 
 
+@demo("reproject_world_merc", oracle=_projext_oracle(
+    "EPSG:3395", -170.0, 340.0, -70.0, 140.0))
+def reproject_world_merc(spark, sf_dir):
+    """Ellipsoidal Mercator (EPSG:3395 World Mercator — Snyder
+    7-6..7-8, series inverse): the marine-chart family; easting
+    matches the EPSG worked value exactly and the northing carries
+    the ellipsoidal correction web-mercator drops (~33 km at 51°)."""
+    return _projext_roundtrip(spark, sf_dir, "EPSG:3395",
+                              -170.0, 340.0, -70.0, 140.0)
+
+
 @demo("reproject_krovak", oracle=_projext_staged_oracle(
     "EPSG:5514", 12.2, 6.4, 48.6, 2.4, res_decimals=5))
 def reproject_krovak(spark, sf_dir):

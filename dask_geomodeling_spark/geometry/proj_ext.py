@@ -490,6 +490,40 @@ class _Omerc:
         return lon, lat
 
 
+class _Merc:
+    """Ellipsoidal Mercator (EPSG 9804 variant A / 9805 variant B via
+    ``lat_ts`` — Snyder 7-6..7-8): World Mercator EPSG:3395 and the
+    marine-chart grids.  y = −a·k·ln t(φ); inverse via the conformal
+    series."""
+
+    def __init__(self, lat_ts, lon0, k0, x0, y0, ellipsoid):
+        a, e2 = _ellipsoid(ellipsoid)
+        e = math.sqrt(e2)
+        pts = math.radians(lat_ts)
+        k = k0 * math.cos(pts) / math.sqrt(
+            1.0 - e2 * math.sin(pts) ** 2)
+        self.a, self.e, self.e2 = a, e, e2
+        self.ak = a * k
+        self.l0 = math.radians(lon0)
+        self.x0, self.y0 = x0, y0
+
+    def forward(self, lat, lon):
+        x = "({x0!r} + {ak!r} * (radians({lon}) - {l0!r}))".format(
+            x0=self.x0, ak=self.ak, lon=lon, l0=self.l0)
+        t = _t_sql("radians({})".format(lat), self.e)
+        y = "({y0!r} - {ak!r} * ln({t}))".format(y0=self.y0,
+                                                 ak=self.ak, t=t)
+        return x, y
+
+    def inverse(self, x, y):
+        lon = "degrees({l0!r} + (({x}) - {x0!r}) / {ak!r})".format(
+            l0=self.l0, x=x, x0=self.x0, ak=self.ak)
+        t = "exp((({y0!r}) - ({y})) / {ak!r})".format(y0=self.y0, y=y,
+                                                      ak=self.ak)
+        chi = "(pi() / 2 - 2 * atan({t}))".format(t=t)
+        return lon, _conformal_lat_sql(chi, self.e2)
+
+
 class _Krovak:
     """Krovak oblique conformal conic (EPSG method 9819; the
     ``east_north`` variant 1041 flips signs so the axes point
@@ -661,7 +695,7 @@ _REGISTRY = {}
 
 _KINDS = {"lcc": _Lcc, "albers": _Albers, "stereographic": _PolarStereo,
           "laea": _Laea, "tmerc": _Tmerc, "omerc": _Omerc,
-          "krovak": _Krovak}
+          "krovak": _Krovak, "merc": _Merc}
 
 
 def register_projected_crs(code, kind, *, lat0=0.0, lon0=0.0, lat1=None,
@@ -699,6 +733,9 @@ def register_projected_crs(code, kind, *, lat0=0.0, lon0=0.0, lat1=None,
         proj = _Omerc(lat0, lon0, alpha,
                       gamma if gamma is not None else alpha,
                       k0, x0, y0, ellipsoid)
+    elif kind == "merc":
+        proj = _Merc(lat_ts if lat_ts is not None else 0.0, lon0, k0,
+                     x0, y0, ellipsoid)
     elif kind == "krovak":
         if alpha is None or lat1 is None:
             raise ValueError("krovak needs alpha (cone-axis azimuth) "
@@ -726,7 +763,7 @@ _PROJ4_ELLPS = {"WGS84": "WGS84", "GRS80": "GRS80", "airy": "airy1830",
 _PROJ4_KINDS = {"lcc": "lcc", "aea": "albers", "stere": "stereographic",
                 "laea": "laea", "tmerc": "tmerc", "utm": "tmerc",
                 "omerc": "omerc", "somerc": "omerc",
-                "krovak": "krovak"}
+                "krovak": "krovak", "merc": "merc"}
 
 
 def register_crs_from_proj4(code, proj4):
@@ -782,6 +819,9 @@ def register_crs_from_proj4(code, proj4):
                       alpha=num("alpha", 90.0),
                       gamma=num("gamma", num("alpha", 90.0)),
                       k0=num("k_0", num("k", 1.0)))
+        if proj == "merc":
+            kw.update(lat_ts=num("lat_ts", 0.0),
+                      k0=num("k_0", num("k", 1.0)))
         if proj == "krovak":
             kw.update(lat0=num("lat_0", 49.5),
                       lon0=num("lon_0", 24.0 + 50.0 / 60),
@@ -828,6 +868,8 @@ register_projected_crs("EPSG:25832", "tmerc", lat0=0.0, lon0=9.0,
                        ellipsoid="GRS80"
                        )  # ETRS89 / UTM zone 32N (the German-Nordic
                           # standard grid; ETRS89 ≈ WGS84)
+register_projected_crs("EPSG:3395", "merc"
+                       )  # WGS84 / World Mercator (ellipsoidal)
 register_projected_crs("EPSG:5514", "krovak", lat0=49.5,
                        lon0=24.0 + 50.0 / 60,  # 42°30' E of Ferro
                        alpha=30.0 + 17.0 / 60 + 17.3031 / 3600,

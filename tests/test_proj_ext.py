@@ -287,3 +287,17 @@ def test_krovak_roundtrip_closure(spark):
     assert -760000 < x < -720000 and -1060000 < y < -1030000
     lon, lat = _ev(spark, p.inverse(_lit(x), _lit(y)))
     assert abs(lon - 14.4378) < 1e-6 and abs(lat - 50.0755) < 1e-6
+
+
+def test_world_mercator_vs_web_mercator(spark):
+    """EPSG:3395 (ellipsoidal) easting equals the EPSG worked value at
+    51N 3E; northing differs from spherical web-mercator by the
+    expected ~33 km at that latitude; closure is machine-precision."""
+    p = projected_crs("EPSG:3395")
+    x, y = _ev(spark, p.forward(_lit(51.0), _lit(3.0)))
+    assert abs(x - 333958.47) < 0.01
+    web_y = _ev(spark, point_transform_sql(
+        "EPSG:4326", "EPSG:3857", _lit(3.0), _lit(51.0)))[1]
+    assert 30000 < web_y - y < 36000
+    lon, lat = _ev(spark, p.inverse(_lit(x), _lit(y)))
+    assert abs(lon - 3.0) < 1e-9 and abs(lat - 51.0) < 1e-9
