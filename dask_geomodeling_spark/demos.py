@@ -6084,6 +6084,50 @@ def raster_warp(spark, sf_dir):
                 height=_WARP_H).plan(spark)
 
 
+#: EPSG:3857 window over an OSGB-placed grid (27700 cells x in
+#: 530000+[0,64), y in 180000+[0,32) — London; staged transform_extent
+#: gives (-14288.32, 6710930.04, -14184.41, 6710984.10)); ~2 m cells
+_WARP_OSGB_BBOX = (-14290.0, 6710928.0, -14182.0, 6710986.0)
+_WARP_OSGB_W, _WARP_OSGB_H = 54, 29
+
+
+def _raster_warp_osgb_oracle():
+    from dask_geomodeling_spark.raster.warp import warp_grid_sql
+    sx, sy = warp_grid_sql("EPSG:3857", "EPSG:27700", _WARP_OSGB_BBOX,
+                           _WARP_OSGB_W, _WARP_OSGB_H)
+    return """
+WITH grid AS ({grid}),
+os AS (SELECT time, y + 180000 AS y, x + 530000 AS x, value FROM grid),
+tgt AS (SELECT CAST(i % {W} AS BIGINT) AS _i,
+               CAST(i // {W} AS BIGINT) AS _j
+        FROM range(0, {WH}) t(i)),
+snapped AS (SELECT _i, _j, {sx} AS sx, {sy} AS sy FROM tgt)
+SELECT r.time, s._j AS y, s._i AS x, r.value
+FROM os r JOIN snapped s ON r.x = s.sx AND r.y = s.sy
+""".format(grid=_grid_sql(), W=_WARP_OSGB_W,
+           WH=_WARP_OSGB_W * _WARP_OSGB_H, sx=sx, sy=sy)
+
+
+@demo("raster_warp_osgb", oracle=_raster_warp_osgb_oracle())
+def raster_warp_osgb(spark, sf_dir):
+    """Warp from a DATUM-SHIFTED native CRS: an OSGB-stored raster
+    (EPSG:27700, Airy + Helmert-class datum) served on an EPSG:3857
+    request grid.  The Spark plan evaluates the inverse transform in
+    STAGES with a lineage cut on the broadcast grid (the textual
+    composition is ~300 KB of SQL — fine for the DuckDB replay here,
+    fatal for Catalyst's constraint propagation); both forms compute
+    the identical arithmetic, which this oracle proves value-exact."""
+    from dask_geomodeling_spark.raster.sources import DataFrameRasterSource
+    from dask_geomodeling_spark.raster.warp import Warp
+    g = lineitem_grid(spark, sf_dir)
+    osgb = DataFrameRasterSource(
+        g._df.select("time", (F.col("y") + 180000).alias("y"),
+                     (F.col("x") + 530000).alias("x"), "value"),
+        projection="EPSG:27700")
+    return Warp(osgb, "EPSG:3857", bbox=_WARP_OSGB_BBOX,
+                width=_WARP_OSGB_W, height=_WARP_OSGB_H).plan(spark)
+
+
 def _raster_warp_bilinear_oracle():
     from dask_geomodeling_spark.raster.warp import warp_bilinear_sql
     fx, fy = warp_bilinear_sql("EPSG:3857", "EPSG:28992", _WARP_BBOX,
