@@ -7022,6 +7022,62 @@ def crawl_prep(spark, sf_dir):
                                  "n_words", "n_lines_kept")
 
 
+def _dsir_oracle(num_buckets=10007, top_k=200, target="src0"):
+    poly = _DD_POLY.format(col="t", base=257)
+    return """
+WITH docs AS (
+  SELECT doc_id, source, text,
+         string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents),
+grams AS (
+  SELECT doc_id, source,
+         CASE WHEN len(trim(text)) = 0 OR text IS NULL
+              THEN CAST([] AS VARCHAR[])
+         ELSE list_concat(
+           [array_to_string(w[i:i+0], ' ') FOR i IN range(1, len(w)+1)],
+           CASE WHEN len(w) >= 2 THEN
+             [array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]
+           ELSE [array_to_string(w, ' ')] END) END AS g
+  FROM docs),
+gx AS (
+  SELECT doc_id, source, unnest(list_transform(g, t -> {poly} % {m}))
+         AS bk
+  FROM grams),
+ct AS (SELECT bk, COUNT(*) AS ctn FROM gx WHERE source = '{tgt}'
+       GROUP BY bk),
+cr AS (SELECT bk, COUNT(*) AS crn FROM gx GROUP BY bk),
+tot AS (SELECT (SELECT SUM(ctn) FROM ct) AS t,
+               (SELECT SUM(crn) FROM cr) AS r),
+wt AS (
+  SELECT cr.bk,
+         ln((COALESCE(ct.ctn, 0) + 1.0) / (t + {m}.0))
+         - ln((cr.crn + 1.0) / (r + {m}.0)) AS lw
+  FROM cr LEFT JOIN ct USING (bk) CROSS JOIN tot)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       ROUND(SUM(lw), 6) AS logweight
+FROM gx JOIN wt USING (bk)
+GROUP BY doc_id
+ORDER BY logweight DESC, doc_id
+LIMIT {k}
+""".format(poly=poly, m=int(num_buckets), tgt=target, k=int(top_k))
+
+
+@demo("dsir_select", oracle=_dsir_oracle())
+def dsir_select(spark, sf_dir):
+    """DSIR importance-resampling selection (public recipe, Xie et al.
+    2023): hashed unigram+bigram bag-of-ngrams log-likelihood-ratio
+    weights against a target slice (source='src0'), top-200 kept.  The
+    fit is two bounded bucket-count aggregations; the model is a
+    broadcast num_buckets-row table; no reference analogue."""
+    from dask_geomodeling_spark.pipeline.dsir import DSIRSelect
+    raw = documents_src(sf_dir)
+    docs = read_nanos_parquet(spark, _pq(sf_dir, "documents"))
+    tgt = DataFrameSource(docs.where(F.col("source") == "src0"),
+                          index_column="doc_id")
+    return DSIRSelect(raw, tgt, column="text", id_column="doc_id",
+                      num_buckets=10007, top_k=200).plan(spark)
+
+
 # --------------------------------------------------------------------------
 # driver-gate ordering: the correctness harness verifies the FIRST 50
 # registered queries, so the first 50 must span SURVEY §2 breadth-first —

@@ -1,0 +1,160 @@
+"""DSIR — Data Selection via Importance Resampling (SURVEY.md §2
+'LLM-data-pipeline extensions').
+
+Published method (Xie et al. 2023, "Data Selection for Language Models
+via Importance Resampling"): score each raw document by how much more
+likely its hashed-n-gram features are under a TARGET corpus'
+bag-of-ngrams distribution than under the raw corpus' own, then keep
+the highest-weight documents.  The standard recipe — unigram+bigram
+features hashed into a fixed bucket vocabulary, add-one smoothing,
+log-likelihood-ratio weights — is pure counting, so the whole fit and
+score is one declarative Spark plan:
+
+  1. map-side: per-doc word unigrams + bigrams (the dedup regex gram
+     builder), each hashed into ``num_buckets`` with the shared
+     31-bit rolling polynomial hash (engine-exact arithmetic);
+  2. two bucket-count aggregations (<= num_buckets rows each — the
+     "model" is a tiny DataFrame, nothing corpus-sized reaches the
+     driver);
+  3. the per-bucket log ratio joins back onto the raw grams by
+     BROADCAST (the weight table is num_buckets rows), one groupBy
+     per doc sums it.
+
+At 100 TB the only shuffles are the two bounded-key (<= num_buckets)
+count aggregations and the per-doc sum (map-side partials on both);
+the model join is broadcast; selection with ``top_k`` is Spark's
+TakeOrdered (per-partition top-k + driver merge of k rows — no global
+sort shuffle).
+
+No reference analogue (the reference is a geoscience engine); the
+recipe follows the public paper.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from dask_geomodeling_spark.geometry.base import GeometryBlock
+from dask_geomodeling_spark.pipeline.dedup import (MERSENNE,
+                                                   ngram_regex_expr,
+                                                   poly_hash_expr)
+
+__all__ = ["DSIRSelect"]
+
+
+class DSIRSelect(GeometryBlock):
+    """Importance-resampling data selection against a target corpus.
+
+    Parameters
+    ----------
+    source : GeometryBlock
+        The RAW corpus to select from.
+    target_source : GeometryBlock
+        The (typically much smaller) target-domain corpus whose
+        feature distribution defines "good" data.
+    column, id_column : str
+        Text / id columns (id defaults to the source's index).
+    num_buckets : int
+        Hashed feature vocabulary size (paper default 10**4; a prime
+        spreads the polynomial hash better).
+    top_k : int or None
+        If set, return only the ``top_k`` highest-weight documents
+        (deterministic: ties broken by ascending id).  ``None``
+        returns every raw document with its weight.
+    round_to : int
+        Decimals kept on ``logweight`` — pins cross-engine libm/JVM
+        ``ln`` and float-sum-order drift (both < 1e-9 per doc) so the
+        ranking and output are engine-exact.
+
+    Output: ``<id_column>``, ``n_grams`` (feature occurrences in the
+    doc), ``logweight`` (sum of per-bucket log-likelihood ratios,
+    add-one smoothed).  Documents with no words carry ``n_grams = 0``
+    and NULL ``logweight`` (no evidence), and never enter ``top_k``.
+    """
+
+    def __init__(self, source, target_source, column="text",
+                 id_column=None, num_buckets=10007, top_k=None,
+                 round_to=6):
+        if not isinstance(source, GeometryBlock) \
+                or not isinstance(target_source, GeometryBlock):
+            raise TypeError("sources must be GeometryBlocks")
+        if id_column is None:
+            id_column = source.index_column
+        if int(num_buckets) < 2:
+            raise ValueError("num_buckets must be >= 2")
+        if top_k is not None and int(top_k) < 1:
+            raise ValueError("top_k must be >= 1 (or None)")
+        super().__init__(source, target_source, column, id_column,
+                         int(num_buckets),
+                         None if top_k is None else int(top_k),
+                         int(round_to))
+
+    @property
+    def source(self):
+        return self.args[0]
+
+    @property
+    def columns(self):
+        return {self.args[3], "n_grams", "logweight"}
+
+    @staticmethod
+    def _buckets(df, column, num_buckets):
+        """Per-doc array of feature buckets: unigram + bigram word
+        grams (occurrences, not distinct — the paper's bag model),
+        poly-hashed mod ``num_buckets``.  Pure map-side."""
+        grams = F.concat(ngram_regex_expr(column, 1, distinct=False),
+                         ngram_regex_expr(column, 2, distinct=False))
+        # a wordless doc has NO features (the dedup whole-text shingle
+        # fallback would hand empty docs one '' gram and, with bag
+        # smoothing, rank them above weakly-on-target real docs)
+        grams = F.when(F.length(F.trim(F.col(column))) > 0, grams) \
+            .otherwise(F.expr("cast(array() as array<string>)"))
+        return df.withColumn("_g", grams).withColumn(
+            "_b", F.expr("transform(_g, g -> pmod({h}, {m}))".format(
+                h=poly_hash_expr("g"), m=int(num_buckets))))
+
+    def _build(self, ctx):
+        (raw_b, tgt_b, column, idc, num_buckets, top_k,
+         round_to) = self.args
+        raw = raw_b._build(ctx)
+        tgt = tgt_b._build(ctx)
+
+        def bucket_counts(df, cname):
+            g = self._buckets(df, column, num_buckets)
+            return (g.select(F.explode("_b").alias("_bk"))
+                    .groupBy("_bk")
+                    .agg(F.count(F.lit(1)).alias(cname)))
+
+        ct = bucket_counts(tgt, "_ct")
+        cr = bucket_counts(raw, "_cr")
+        # totals as 1-row broadcast frames; the weight table itself is
+        # <= num_buckets rows — broadcast onto the raw gram stream
+        tot = (ct.agg(F.sum("_ct").alias("_t"))
+               .crossJoin(cr.agg(F.sum("_cr").alias("_r"))))
+        wt = (ct.join(cr, "_bk", "full")
+              .na.fill({"_ct": 0, "_cr": 0})
+              .crossJoin(F.broadcast(tot))
+              .select(
+                  "_bk",
+                  (F.log((F.col("_ct") + 1.0)
+                         / (F.col("_t") + float(num_buckets)))
+                   - F.log((F.col("_cr") + 1.0)
+                           / (F.col("_r") + float(num_buckets))))
+                  .alias("_lw")))
+
+        doc_b = (self._buckets(raw, column, num_buckets)
+                 .select(F.col(idc), F.explode("_b").alias("_bk")))
+        scored = (doc_b.join(F.broadcast(wt), "_bk")
+                  .groupBy(idc)
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+                       F.round(F.sum("_lw"), round_to)
+                       .alias("logweight")))
+        out = (raw.select(idc).join(scored, idc, "left")
+               .na.fill({"n_grams": 0}))
+        if top_k is not None:
+            out = (out.where(F.col("logweight").isNotNull())
+                   .orderBy(F.col("logweight").desc(), F.col(idc))
+                   .limit(top_k))
+        return out

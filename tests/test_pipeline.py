@@ -833,3 +833,30 @@ def test_semdedup_marks_near_identical_within_cluster(spark):
     assert not got[2]["is_dup"] and not got[3]["is_dup"]
     for r in got.values():
         assert -1.0 <= r["centroid_sim"] <= 1.0
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    from dask_geomodeling_spark.pipeline.dsir import DSIRSelect
+    raw = LiteralGeometrySource([
+        {"doc_id": 1, "text": "alpha beta alpha beta alpha"},
+        {"doc_id": 2, "text": "alpha beta gamma beta alpha"},
+        {"doc_id": 3, "text": "delta epsilon zeta delta zeta"},
+        {"doc_id": 4, "text": "zeta epsilon delta epsilon zeta"},
+        {"doc_id": 5, "text": ""},
+    ])
+    tgt = LiteralGeometrySource([
+        {"doc_id": 10, "text": "alpha beta alpha beta"},
+        {"doc_id": 11, "text": "beta alpha alpha"},
+    ])
+    out = DSIRSelect(raw, tgt, id_column="doc_id",
+                     num_buckets=101).plan(spark)
+    rows = {r.doc_id: r for r in out.collect()}
+    # target-like docs outrank the off-domain ones
+    assert rows[1].logweight > rows[3].logweight
+    assert rows[2].logweight > rows[4].logweight
+    # wordless doc: zero features -> NULL weight, excluded from top_k
+    assert rows[5].logweight is None and rows[5].n_grams == 0
+    top = DSIRSelect(raw, tgt, id_column="doc_id", num_buckets=101,
+                     top_k=2).plan(spark)
+    ids = sorted(r.doc_id for r in top.collect())
+    assert ids == [1, 2]
