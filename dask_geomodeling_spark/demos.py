@@ -7022,6 +7022,64 @@ def crawl_prep(spark, sf_dir):
                                  "n_words", "n_lines_kept")
 
 
+def _render_tile_oracle(style="viridis", vmin=0.0, vmax=1000.0):
+    from dask_geomodeling_spark.ipyleaflet_plugin import COLORMAPS
+    from dask_geomodeling_spark.raster.warp import warp_grid_sql
+    sx, sy = warp_grid_sql("EPSG:3857", "EPSG:28992", _WARP_BBOX,
+                           _WARP_W, _WARP_H)
+    anchors = COLORMAPS[style]
+    n = len(anchors)
+
+    def chan(ch):
+        arr = "[" + ", ".join(str(a[ch]) for a in anchors) + "]"
+        return ("CAST(round(CAST(({arr})[CAST(floor(idx) AS INT) + 1] "
+                "AS DOUBLE) * (1.0 - (idx - floor(idx))) "
+                "+ CAST(({arr})[least(CAST(floor(idx) AS INT) + 1, "
+                "{nm1}) + 1] AS DOUBLE) * (idx - floor(idx))) AS INT)"
+                ).format(arr=arr, nm1=n - 1)
+
+    return """
+WITH grid AS ({grid}),
+rd AS (SELECT time, y + 463000 AS y, x + 155000 AS x, value FROM grid),
+tgt AS (SELECT CAST(i % {W} AS BIGINT) AS _i,
+               CAST(i // {W} AS BIGINT) AS _j
+        FROM range(0, {WH}) t(i)),
+snapped AS (SELECT _i, _j, {sx} AS sx, {sy} AS sy FROM tgt),
+cell AS (
+  SELECT s._j AS y, s._i AS x, arg_max(r.value, r.time) AS value
+  FROM rd r JOIN snapped s ON r.x = s.sx AND r.y = s.sy
+  WHERE r.value IS NOT NULL
+  GROUP BY s._j, s._i),
+st AS (SELECT y, x,
+       least(greatest((CAST(value AS DOUBLE) - {vmin!r}) / {den!r},
+                      0.0), 1.0) * {nm1} AS idx
+       FROM cell)
+SELECT y, x, {r} AS r, {g} AS g, {b} AS b FROM st
+""".format(grid=_grid_sql(), W=_WARP_W, WH=_WARP_W * _WARP_H, sx=sx,
+           sy=sy, vmin=float(vmin), den=float(vmax) - float(vmin),
+           nm1=n - 1, r=chan(0), g=chan(1), b=chan(2))
+
+
+@demo("render_tile_styled", oracle=_render_tile_oracle())
+def render_tile_styled(spark, sf_dir):
+    """The WMS GetMap tile computation (reference
+    ipyleaflet_plugin.py:26) as a DataFrame: the RD-stored raster
+    warped onto an EPSG:3857 tile grid, latest band per cell,
+    viridis-colormapped by literal-anchor interpolation — everything
+    up to the driver-side PNG byte packing, value-exact."""
+    from dask_geomodeling_spark.ipyleaflet_plugin import (
+        styled_tile_frame)
+    from dask_geomodeling_spark.raster.sources import DataFrameRasterSource
+    g = lineitem_grid(spark, sf_dir)
+    rd = DataFrameRasterSource(
+        g._df.select("time", (F.col("y") + 463000).alias("y"),
+                     (F.col("x") + 155000).alias("x"), "value"),
+        projection="EPSG:28992")
+    return styled_tile_frame(rd, _WARP_BBOX, _WARP_W, _WARP_H,
+                             projection="EPSG:3857", style="viridis",
+                             vmin=0.0, vmax=1000.0, spark=spark)
+
+
 def _dsir_oracle(num_buckets=10007, top_k=200, target="src0"):
     poly = _DD_POLY.format(col="t", base=257)
     return """
