@@ -151,3 +151,13 @@ def test_schema_free_geojson_through_compat(spark, tmp_path):
     # inferred types: integral -> BIGINT, fractional -> DOUBLE
     schema = dict(block.plan(spark).dtypes)
     assert schema["id"] == "bigint" and schema["score"] == "double"
+
+
+def test_ipyleaflet_plugin_path_resolves():
+    # the notebook plugin module mirrors the reference name, so the
+    # module-rewrite path covers it (construction still gates on the
+    # real ipyleaflet being installed)
+    cls = Block.from_import_path(
+        "dask_geomodeling.ipyleaflet_plugin.GeomodelingLayer")
+    from dask_geomodeling_spark.ipyleaflet_plugin import GeomodelingLayer
+    assert cls is GeomodelingLayer
