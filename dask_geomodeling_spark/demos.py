@@ -7022,6 +7022,55 @@ def crawl_prep(spark, sf_dir):
                                  "n_words", "n_lines_kept")
 
 
+def _bpe_train_oracle(n_merges=8):
+    """The BPE training loop UNROLLED: iteration i is three CTE layers
+    (pair counts -> argmax -> merged vocabulary), the same shape as the
+    LogisticFit oracle's unrolled gradient steps.  Pure integer
+    counting + string replace, so the replay is bit-exact."""
+    parts = ["""
+WITH words AS MATERIALIZED (
+  SELECT w, COUNT(*) AS cnt FROM (
+    SELECT unnest(list_filter(string_split_regex(trim(lower(text)),
+           '\\s+'), x -> len(x) > 0)) AS w
+    FROM documents) GROUP BY w),
+v0 AS MATERIALIZED (SELECT cnt,
+       ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' '
+       AS s FROM words)"""]
+    for i in range(1, n_merges + 1):
+        parts.append("""
+p{i} AS MATERIALIZED (SELECT pr, SUM(cnt) AS c FROM (
+    SELECT cnt, unnest(CASE WHEN len(sy) < 2
+        THEN CAST([] AS VARCHAR[])
+        ELSE [sy[k] || ' ' || sy[k+1] FOR k IN range(1, len(sy))]
+        END) AS pr
+    FROM (SELECT cnt, string_split(trim(s), ' ') AS sy FROM v{h}))
+  GROUP BY pr),
+b{i} AS MATERIALIZED (SELECT pr, c FROM p{i} ORDER BY c DESC, pr LIMIT 1),
+v{i} AS MATERIALIZED (SELECT cnt, CASE WHEN (SELECT COUNT(*) FROM b{i}) = 0 THEN s
+    ELSE replace(s, ' ' || (SELECT pr FROM b{i}) || ' ',
+                 ' ' || replace((SELECT pr FROM b{i}), ' ', '') || ' ')
+    END AS s FROM v{h})""".format(i=i, h=i - 1))
+    rows = "\nUNION ALL ".join(
+        "SELECT {i} AS rank, split_part(pr, ' ', 1) AS lhs, "
+        "split_part(pr, ' ', 2) AS rhs, replace(pr, ' ', '') AS merged, "
+        "CAST(c AS BIGINT) AS pair_count FROM b{i}".format(i=i)
+        for i in range(1, n_merges + 1))
+    return (",".join(parts)
+            + "\nSELECT * FROM (\n" + rows + ") ORDER BY rank")
+
+
+@demo("bpe_train", oracle=_bpe_train_oracle())
+def bpe_train(spark, sf_dir):
+    """BPETrain: learn 8 BPE merge rules from the documents corpus —
+    the training half of the BPE family (BPETokenize/BPETokenCount
+    apply a given table; this one produces it).  Each iteration is one
+    aggregation over the word-frequency table with only the argmax
+    pair reaching the driver."""
+    from dask_geomodeling_spark.pipeline.text import BPETrain
+    return BPETrain(documents_src(sf_dir), column="text",
+                    n_merges=8).plan(spark)
+
+
 def _render_tile_oracle(style="viridis", vmin=0.0, vmax=1000.0):
     from dask_geomodeling_spark.ipyleaflet_plugin import COLORMAPS
     from dask_geomodeling_spark.raster.warp import warp_grid_sql

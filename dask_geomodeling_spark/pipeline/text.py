@@ -13,9 +13,9 @@ from pyspark.sql import functions as F
 
 from dask_geomodeling_spark.geometry.base import BaseSingle
 
-__all__ = ["TokenCount", "BPETokenCount", "BPETokenize", "QualityScore",
-           "LanguageID", "Fingerprint", "TFIDF", "ChunkText",
-           "CorpusStats"]
+__all__ = ["TokenCount", "BPETokenCount", "BPETokenize", "BPETrain",
+           "QualityScore", "LanguageID", "Fingerprint", "TFIDF",
+           "ChunkText", "CorpusStats"]
 
 # tiny per-language stopword marker sets for the n-gram/stopword heuristic
 _LANG_MARKERS = {
@@ -125,6 +125,99 @@ class BPETokenCount(BaseSingle):
                           if lowercase else text_column,
                           chain=chain, sep=_SEP)
         return df.withColumn(name, F.expr(count))
+
+
+class BPETrain(BaseSingle):
+    """LEARN a BPE merge table from the corpus — the training half of
+    the :class:`BPETokenCount`/:class:`BPETokenize` family (the public
+    byte-pair-encoding algorithm: Sennrich et al. 2016, the GPT-2
+    tokenizer's training loop).
+
+    The classic scale trick makes this cluster-shaped: training runs
+    over the WORD-FREQUENCY table, not the corpus — one corpus scan
+    builds ``(word, count)``, and every merge iteration is a single
+    aggregation over that vocabulary-bounded frame:
+
+      1. each word's symbol sequence is a space-joined string
+         (``' l o w '``; symbols never contain spaces because words
+         are whitespace-split);
+      2. per iteration: explode adjacent symbol pairs, sum word
+         counts per pair (map-side partials), and ``TakeOrdered(1)``
+         the winner to the driver — count DESC, pair string ASC, so
+         ties are deterministic and the whole loop is engine-exact
+         integer arithmetic;
+      3. the merge applies as ONE ``replace(s, ' a b ', ' ab ')``
+         (left-to-right non-overlapping — exactly the greedy BPE merge
+         order), and the updated vocabulary re-persists.
+
+    Only the argmax row ever reaches the driver per iteration; the
+    iteration plan grows by one tiny ``replace`` per rule (checkpoint
+    the vocabulary every few hundred rules if you train real 32k-rule
+    tables).
+
+    Output: one row per learned rule — ``rank`` (1-based merge order),
+    ``lhs``/``rhs`` (the merged pair), ``merged``, ``pair_count``.
+    Feed ``list(zip(lhs, rhs))`` straight into :class:`BPETokenize`.
+    Stops early when no adjacent pair remains.
+    """
+
+    def __init__(self, source, column="text", n_merges=8,
+                 lowercase=True):
+        if int(n_merges) < 1:
+            raise ValueError("n_merges must be >= 1")
+        super().__init__(source, column, int(n_merges), bool(lowercase))
+
+    @property
+    def columns(self):
+        return {"rank", "lhs", "rhs", "merged", "pair_count"}
+
+    _PAIRS = ("CASE WHEN size(_sy) < 2 THEN array() "
+              "ELSE transform(sequence(1, size(_sy) - 1), "
+              "i -> concat(element_at(_sy, i), ' ', "
+              "element_at(_sy, i + 1))) END")
+
+    def _build(self, ctx):
+        _, column, n_merges, lowercase = self.args
+        df = self.source._build(ctx)
+        text = F.lower(F.col(column)) if lowercase else F.col(column)
+        words = (df.select(F.explode(F.split(F.trim(text), r"\s+"))
+                           .alias("_w"))
+                 .where(F.col("_w") != "")
+                 .groupBy("_w").agg(F.count(F.lit(1)).alias("_cnt")))
+        vocab = words.select(
+            "_cnt",
+            F.expr("concat(' ', array_join(filter(split(_w, ''), "
+                   "c -> c <> ''), ' '), ' ')").alias("_s")).persist()
+        rules = []
+        try:
+            for rank in range(1, n_merges + 1):
+                best = (vocab
+                        .withColumn("_sy", F.expr("split(trim(_s), ' ')"))
+                        .select("_cnt",
+                                F.explode(F.expr(self._PAIRS))
+                                .alias("_pr"))
+                        .groupBy("_pr")
+                        .agg(F.sum("_cnt").alias("_c"))
+                        .orderBy(F.desc("_c"), "_pr")
+                        .first())
+                if best is None:
+                    break
+                lhs, rhs = best["_pr"].split(" ", 1)
+                rules.append((rank, lhs, rhs, lhs + rhs,
+                              int(best["_c"])))
+                nxt = vocab.select(
+                    "_cnt",
+                    F.replace(F.col("_s"),
+                              F.lit(" " + best["_pr"] + " "),
+                              F.lit(" " + lhs + rhs + " "))
+                    .alias("_s")).persist()
+                vocab.unpersist()
+                vocab = nxt
+        finally:
+            vocab.unpersist()
+        return ctx.spark.createDataFrame(
+            rules, schema="rank int, lhs string, rhs string, "
+            "merged string, pair_count bigint")
 
 
 class CorpusStats(BaseSingle):

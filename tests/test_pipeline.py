@@ -860,3 +860,35 @@ def test_dsir_select_prefers_target_like_docs(spark):
                      top_k=2).plan(spark)
     ids = sorted(r.doc_id for r in top.collect())
     assert ids == [1, 2]
+
+
+def test_bpe_train_learns_canonical_merges(spark):
+    from dask_geomodeling_spark.pipeline.text import (BPETokenize,
+                                                      BPETrain)
+    corpus = LiteralGeometrySource([
+        {"doc_id": 1, "text": "low low low low low"},
+        {"doc_id": 2, "text": "lower lower newest newest newest"},
+        {"doc_id": 3, "text": "newest newest newest widest widest"},
+    ])
+    rules = BPETrain(corpus, n_merges=4).plan(spark).collect()
+    assert [r.rank for r in rules] == [1, 2, 3, 4]
+    # 'e s' (6x newest + 2x widest) then 'es t' win first, per the
+    # published worked example; ties resolve by pair-string order
+    assert (rules[0].lhs, rules[0].rhs, rules[0].pair_count) == \
+        ("e", "s", 8)
+    assert (rules[1].lhs, rules[1].rhs) == ("es", "t")
+    for r in rules:
+        assert r.merged == r.lhs + r.rhs
+    # the learned table feeds the apply half of the family
+    merges = [(r.lhs, r.rhs) for r in rules]
+    toks = BPETokenize(corpus, merges,
+                       vocab=["l", "o", "w", "e", "r", "i", "d", "n",
+                              "s", "t", "est", "es"]).plan(spark).collect()
+    assert len(toks) == 3
+
+
+def test_bpe_train_early_stop_on_single_chars(spark):
+    from dask_geomodeling_spark.pipeline.text import BPETrain
+    corpus = LiteralGeometrySource([{"doc_id": 1, "text": "a b c"}])
+    rules = BPETrain(corpus, n_merges=5).plan(spark).collect()
+    assert rules == []  # no adjacent pairs anywhere
