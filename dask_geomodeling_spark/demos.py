@@ -7012,7 +7012,14 @@ def crawl_prep(spark, sf_dir):
                 .drop("_w0", "text"))
     src = DataFrameSource(injected, index_column="doc_id")
     h = HtmlExtract(src, column="html")
-    c = C4Filter(h, column="text_extracted")
+    # cut lineage after the extract: the regex chain is STATEFUL, so
+    # codegen CSE cannot deduplicate it once projection collapse
+    # copies it into every downstream curation metric (~3x the whole
+    # chain without this); at cluster scale the extracted text is
+    # materialized to a table once — this is that step's local form
+    hdf = h.plan(spark).localCheckpoint(eager=False)
+    c = C4Filter(DataFrameSource(hdf, index_column="doc_id"),
+                 column="text_extracted")
     g = GopherQuality(c, column="text_clean", min_words=10,
                       min_stop_hits=1, ngram_metrics=False)
     kept = g.plan(spark).filter(F.col("c4_keep") & F.col("gopher_pass"))

@@ -519,6 +519,17 @@ class HtmlExtract(BaseSingle):
     ``pipeline.warc.WarcSource`` for WARC-response (non-WET) crawls,
     and its line structure feeds C4Filter / GopherQuality /
     LineDedup directly.
+
+    Composition note: regexp expressions are STATEFUL in Spark, so
+    codegen's subexpression elimination cannot deduplicate this chain
+    when projection collapse copies it into each downstream consumer
+    of ``text_extracted`` — a curation stack re-runs the whole
+    extract once per metric column (~3x total).  Materialize the
+    extract once between stages: write it to a table (the standard
+    crawl architecture — extraction is a separate pass from
+    filtering) or cut lineage with
+    ``block.plan(spark).localCheckpoint(eager=False)`` as the
+    ``crawl_prep`` demo does.
     """
 
     def __init__(self, source, column="html"):
