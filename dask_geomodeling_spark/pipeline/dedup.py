@@ -562,12 +562,11 @@ class SemDedup(BaseSingle):
 
     def __init__(self, source, clusters=4, iters=2, tau=0.4,
                  vector_column="embedding", id_column="vec_id",
-                 fit_fraction=None, precision=6, dim=None):
+                 fit_fraction=None, precision=6):
         super().__init__(source, int(clusters), int(iters), float(tau),
                          vector_column, id_column,
                          None if fit_fraction is None
-                         else float(fit_fraction), int(precision),
-                         None if dim is None else int(dim))
+                         else float(fit_fraction), int(precision))
 
     @property
     def columns(self):
@@ -577,8 +576,7 @@ class SemDedup(BaseSingle):
         from dask_geomodeling_spark.pipeline.similarity import (
             cosine_expr, fit_sample, learn_centroids,
             nearest_centroid_expr)
-        (_, clusters, iters, tau, vec, idc, frac, prec,
-         dim) = self.args
+        (_, clusters, iters, tau, vec, idc, frac, prec) = self.args
         df = self.source._build(ctx)
         fit = df if frac is None else fit_sample(df, idc, frac)
         cents = learn_centroids(fit, clusters, iters, vec_column=vec,
@@ -610,20 +608,9 @@ class SemDedup(BaseSingle):
         b = base.select(F.col(idc).alias("_ib"),
                         F.col("_u").alias("_ub"), "cid",
                         F.col("centroid_sim").alias("_sb"))
-        if dim is not None:
-            # the QUADRATIC stage: with a declared dimensionality the
-            # dot unrolls to a literal sum of element_at products,
-            # which whole-stage codegen compiles — the higher-order
-            # fold below is interpreted per element, ~10x slower over
-            # per-cluster pair counts.  Left-associated addition is
-            # bit-identical to the fold (its 0.0 seed is exact).
-            pair_cos = F.round(F.expr(" + ".join(
-                "element_at(_ua, {i}) * element_at(_ub, {i})"
-                .format(i=i + 1) for i in range(dim))), prec)
-        else:
-            pair_cos = F.round(F.expr(
-                "aggregate(zip_with(_ua, _ub, (x, y) -> x * y), "
-                "cast(0.0 as double), (a, p) -> a + p)"), prec)
+        pair_cos = F.round(F.expr(
+            "aggregate(zip_with(_ua, _ub, (x, y) -> x * y), "
+            "cast(0.0 as double), (a, p) -> a + p)"), prec)
         # each unordered pair evaluates ONCE; the qualifying pair's
         # MORE-centroid-similar member (tie: larger id) is the dup —
         # identical to "exists a better partner" on the ordered form
