@@ -49,7 +49,8 @@ def main():
                   "rollup_revenue", "tfidf_keywords", "decontaminate",
                   "pq_ann", "asof_join", "gopher_quality", "c4_filter",
                   "url_dedup", "html_extract", "crawl_prep",
-                  "semdedup"):
+                  "semdedup", "dsir_select", "bpe_train",
+                  "render_tile_styled"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

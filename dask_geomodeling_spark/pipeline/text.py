@@ -151,9 +151,10 @@ class BPETrain(BaseSingle):
          order), and the updated vocabulary re-persists.
 
     Only the argmax row ever reaches the driver per iteration; the
-    iteration plan grows by one tiny ``replace`` per rule (checkpoint
-    the vocabulary every few hundred rules if you train real 32k-rule
-    tables).
+    iteration plan grows by one tiny ``replace`` per rule, and every
+    ``checkpoint_every`` rules (default 64) the vocabulary takes a
+    lazy ``localCheckpoint`` so a real 32k-rule training run never
+    accumulates a 32k-deep expression chain in the optimizer.
 
     Output: one row per learned rule — ``rank`` (1-based merge order),
     ``lhs``/``rhs`` (the merged pair), ``merged``, ``pair_count``.
@@ -162,10 +163,13 @@ class BPETrain(BaseSingle):
     """
 
     def __init__(self, source, column="text", n_merges=8,
-                 lowercase=True):
+                 lowercase=True, checkpoint_every=64):
         if int(n_merges) < 1:
             raise ValueError("n_merges must be >= 1")
-        super().__init__(source, column, int(n_merges), bool(lowercase))
+        if int(checkpoint_every) < 1:
+            raise ValueError("checkpoint_every must be >= 1")
+        super().__init__(source, column, int(n_merges), bool(lowercase),
+                         int(checkpoint_every))
 
     @property
     def columns(self):
@@ -177,7 +181,7 @@ class BPETrain(BaseSingle):
               "element_at(_sy, i + 1))) END")
 
     def _build(self, ctx):
-        _, column, n_merges, lowercase = self.args
+        _, column, n_merges, lowercase, ckpt_every = self.args
         df = self.source._build(ctx)
         text = F.lower(F.col(column)) if lowercase else F.col(column)
         words = (df.select(F.explode(F.split(F.trim(text), r"\s+"))
@@ -210,7 +214,12 @@ class BPETrain(BaseSingle):
                     F.replace(F.col("_s"),
                               F.lit(" " + best["_pr"] + " "),
                               F.lit(" " + lhs + rhs + " "))
-                    .alias("_s")).persist()
+                    .alias("_s"))
+                if rank % ckpt_every == 0:
+                    # cut the replace-chain lineage so long trainings
+                    # keep the optimizer's view bounded
+                    nxt = nxt.localCheckpoint(eager=False)
+                nxt = nxt.persist()
                 vocab.unpersist()
                 vocab = nxt
         finally:

@@ -341,3 +341,62 @@ def test_c4_clean_is_subset_of_lines(spark_prop, texts):
         assert r["n_lines_kept"] == len(kept)
         if r["c4_keep"]:
             assert r["n_lines_kept"] > 0
+
+
+def _bpe_train_model(texts, n_merges):
+    """Pure-python BPE trainer with the operator's exact conventions:
+    word-frequency table, pair count DESC / pair-string ASC tie-break,
+    left-to-right non-overlapping merge."""
+    from collections import Counter
+    words = Counter()
+    for t in texts:
+        for w in t.strip().lower().split():
+            if w:
+                words[w] += 1
+    vocab = {tuple(w): c for w, c in words.items()}
+    merged_vocab = Counter()
+    for syms, c in vocab.items():
+        merged_vocab[syms] += c
+    rules = []
+    for rank in range(1, n_merges + 1):
+        pairs = Counter()
+        for syms, c in merged_vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(),
+                   key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1]))
+        (a, b), cnt = best
+        rules.append((rank, a, b, a + b, cnt))
+        nxt = Counter()
+        for syms, c in merged_vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[tuple(out)] += c
+        merged_vocab = nxt
+    return rules
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=12),
+    min_size=1, max_size=6))
+def test_bpe_train_matches_pure_python_model(spark_prop, texts):
+    from dask_geomodeling_spark.geometry.sources import (
+        LiteralGeometrySource)
+    from dask_geomodeling_spark.pipeline.text import BPETrain
+    src = LiteralGeometrySource(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    got = [(r.rank, r.lhs, r.rhs, r.merged, r.pair_count)
+           for r in BPETrain(src, n_merges=3,
+                             checkpoint_every=2).plan(spark_prop)
+           .collect()]
+    assert got == _bpe_train_model(texts, 3)
