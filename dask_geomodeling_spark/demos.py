@@ -7140,22 +7140,24 @@ def _dsir_oracle(num_buckets=10007, top_k=200, target="src0"):
     poly = _DD_POLY.format(col="t", base=257)
     return """
 WITH docs AS (
-  SELECT doc_id, source, text,
-         string_split_regex(trim(lower(text)), '\\s+') AS w
+  SELECT doc_id, source,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> len(x) > 0) AS w
   FROM documents),
+th AS (SELECT doc_id, source, list_transform(w, t -> {poly}) AS h
+       FROM docs),
 grams AS (
   SELECT doc_id, source,
-         CASE WHEN len(trim(text)) = 0 OR text IS NULL
-              THEN CAST([] AS VARCHAR[])
-         ELSE list_concat(
-           [array_to_string(w[i:i+0], ' ') FOR i IN range(1, len(w)+1)],
-           CASE WHEN len(w) >= 2 THEN
-             [array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]
-           ELSE [array_to_string(w, ' ')] END) END AS g
-  FROM docs),
+         list_concat(
+           list_transform(h, x -> x % {m}),
+           CASE WHEN len(h) >= 2 THEN
+             [((h[i] * 8191 + h[i+1]) % 2147483647) % {m}
+              FOR i IN range(1, len(h))]
+           WHEN len(h) = 1 THEN [h[1] % {m}]
+           ELSE CAST([] AS BIGINT[]) END) AS bs
+  FROM th),
 gx AS (
-  SELECT doc_id, source, unnest(list_transform(g, t -> {poly} % {m}))
-         AS bk
+  SELECT doc_id, source, unnest(bs) AS bk
   FROM grams),
 ct AS (SELECT bk, COUNT(*) AS ctn FROM gx WHERE source = '{tgt}'
        GROUP BY bk),

@@ -32,13 +32,10 @@ recipe follows the public paper.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import functions as F
 
 from dask_geomodeling_spark.geometry.base import GeometryBlock
 from dask_geomodeling_spark.pipeline.dedup import (MERSENNE,
-                                                   ngram_regex_expr,
                                                    poly_hash_expr)
 
 __all__ = ["DSIRSelect"]
@@ -102,18 +99,35 @@ class DSIRSelect(GeometryBlock):
     @staticmethod
     def _buckets(df, column, num_buckets):
         """Per-doc array of feature buckets: unigram + bigram word
-        grams (occurrences, not distinct — the paper's bag model),
-        poly-hashed mod ``num_buckets``.  Pure map-side."""
-        grams = F.concat(ngram_regex_expr(column, 1, distinct=False),
-                         ngram_regex_expr(column, 2, distinct=False))
-        # a wordless doc has NO features (the dedup whole-text shingle
-        # fallback would hand empty docs one '' gram and, with bag
-        # smoothing, rank them above weakly-on-target real docs)
-        grams = F.when(F.length(F.trim(F.col(column))) > 0, grams) \
-            .otherwise(F.expr("cast(array() as array<string>)"))
-        return df.withColumn("_g", grams).withColumn(
-            "_b", F.expr("transform(_g, g -> pmod({h}, {m}))".format(
-                h=poly_hash_expr("g"), m=int(num_buckets))))
+        grams (occurrences, not distinct — the paper's bag model).
+        Each WORD poly-hashes once and a bigram folds the two word
+        hashes with MinHashLSH's base-8191 scheme — every character
+        is hashed exactly once per scan (hashing the joined bigram
+        strings re-reads each character three times).  A one-word doc
+        contributes its word as both features (the shingle fallback
+        convention); a wordless doc has NO features, so it scores
+        NULL instead of outranking weakly-on-target real docs under
+        bag smoothing.  Pure map-side."""
+        m = int(num_buckets)
+        words = ("filter(split(regexp_replace(trim(lower({c})), "
+                 "'\\\\s+', ' '), ' '), w -> w <> '')".format(c=column))
+        wh = "transform({w}, t -> {h})".format(w=words,
+                                               h=poly_hash_expr("t"))
+        # LET-bind the word-hash array as a lambda variable: as a
+        # plain column, projection collapse would substitute the whole
+        # hashing chain into the bigram lambda's element_at calls and
+        # re-hash every word once per bigram INDEX (O(words^2) per doc)
+        buckets = (
+            "element_at(transform(array({wh}), wh -> "
+            "concat(transform(wh, h -> pmod(h, {m})), "
+            "CASE WHEN size(wh) >= 2 THEN "
+            "transform(sequence(1, size(wh) - 1), i -> "
+            "pmod(pmod(element_at(wh, i) * 8191 "
+            "+ element_at(wh, i + 1), {M}), {m})) "
+            "WHEN size(wh) = 1 THEN array(pmod(element_at(wh, 1), "
+            "{m})) ELSE cast(array() as array<bigint>) END)), 1)"
+            .format(wh=wh, m=m, M=MERSENNE))
+        return df.withColumn("_b", F.expr(buckets))
 
     def _build(self, ctx):
         (raw_b, tgt_b, column, idc, num_buckets, top_k,
