@@ -500,3 +500,22 @@ def test_semdedup_pairs_join_on_cluster(spark):
                           clusters=2, iters=1).plan(spark))
     assert "CartesianProduct" not in plan
     assert "cid" in plan
+
+
+def test_dsir_model_join_broadcasts(spark):
+    """DSIRSelect's bucket-weight model (<= num_buckets rows) must
+    BROADCAST onto the raw gram stream — the corpus side never
+    shuffles for the model join — and selection must be TakeOrdered,
+    not a global sort."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.dsir import DSIRSelect
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(8)],
+        "doc_id bigint, text string")
+    raw = DataFrameSource(df, index_column="doc_id")
+    tgt = DataFrameSource(df.limit(2), index_column="doc_id")
+    plan = _plan(DSIRSelect(raw, tgt, id_column="doc_id",
+                            num_buckets=101, top_k=3).plan(spark))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
