@@ -7168,14 +7168,20 @@ wt AS (
   SELECT cr.bk,
          ln((COALESCE(ct.ctn, 0) + 1.0) / (t + {m}.0))
          - ln((cr.crn + 1.0) / (r + {m}.0)) AS lw
-  FROM cr LEFT JOIN ct USING (bk) CROSS JOIN tot)
-SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
-       ROUND(SUM(lw), 6) AS logweight
-FROM gx JOIN wt USING (bk)
-GROUP BY doc_id
+  FROM cr LEFT JOIN ct USING (bk) CROSS JOIN tot),
+sc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         ROUND(SUM(lw), 6) AS logweight
+  FROM gx JOIN wt USING (bk)
+  GROUP BY doc_id)
+{final}
+""".format(poly=poly, m=int(num_buckets), tgt=target,
+           final=("""SELECT doc_id, n_grams, logweight FROM sc
 ORDER BY logweight DESC, doc_id
-LIMIT {k}
-""".format(poly=poly, m=int(num_buckets), tgt=target, k=int(top_k))
+LIMIT {k}""".format(k=int(top_k)) if top_k is not None else
+           """SELECT d.doc_id, COALESCE(sc.n_grams, 0) AS n_grams,
+       sc.logweight
+FROM (SELECT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)"""))
 
 
 @demo("dsir_select", oracle=_dsir_oracle())
@@ -7192,6 +7198,29 @@ def dsir_select(spark, sf_dir):
                           index_column="doc_id")
     return DSIRSelect(raw, tgt, column="text", id_column="doc_id",
                       num_buckets=10007, top_k=200).plan(spark)
+
+
+@demo("dsir_score_saved", oracle=_dsir_oracle(top_k=None))
+def dsir_score_saved(spark, sf_dir):
+    """The DSIR fit-once / score-many workflow: fit the bucket model,
+    persist it as a tiny parquet table, and score the corpus against
+    the RELOADED model — pure map-side literal-map lookups, no join
+    and no aggregation over the corpus, so the identical plan is
+    stream-safe.  The oracle replays the full fit + score in SQL, so
+    the saved-and-reloaded model must reproduce it value-exact."""
+    import tempfile
+
+    from dask_geomodeling_spark.pipeline.dsir import (DSIRScore,
+                                                      fit_dsir_model,
+                                                      save_dsir_model)
+    docs = read_nanos_parquet(spark, _pq(sf_dir, "documents"))
+    model = fit_dsir_model(docs, docs.where(F.col("source") == "src0"),
+                           column="text", num_buckets=10007)
+    url = tempfile.mkdtemp(prefix="dgs_dsir_model_") + "/model"
+    save_dsir_model(model, url)
+    return DSIRScore(documents_src(sf_dir), url, column="text",
+                     id_column="doc_id",
+                     num_buckets=10007).plan(spark)
 
 
 # --------------------------------------------------------------------------

@@ -34,11 +34,62 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from dask_geomodeling_spark.geometry.base import GeometryBlock
+from dask_geomodeling_spark.geometry.base import (BaseSingle,
+                                                  GeometryBlock)
 from dask_geomodeling_spark.pipeline.dedup import (MERSENNE,
                                                    poly_hash_expr)
 
-__all__ = ["DSIRSelect"]
+__all__ = ["DSIRSelect", "DSIRScore", "fit_dsir_model",
+           "save_dsir_model", "load_dsir_model"]
+
+
+def fit_dsir_model(raw_df, target_df, column="text",
+                   num_buckets=10007):
+    """The DSIR model as a DataFrame: one ``(_bk, _lw)`` row per
+    OBSERVED feature bucket (<= num_buckets) plus the sentinel row
+    ``_bk = -1`` carrying the unseen-bucket default
+    ``ln(1/(T+B)) - ln(1/(R+B))`` — scoring a future corpus meets
+    buckets the fit never saw, and those take the zero-count weight,
+    not zero.  Two bounded bucket-count aggregations; nothing
+    corpus-sized reaches the driver."""
+    B = float(int(num_buckets))
+
+    def bucket_counts(df, cname):
+        g = DSIRSelect._buckets(df, column, num_buckets)
+        return (g.select(F.explode("_b").alias("_bk"))
+                .groupBy("_bk")
+                .agg(F.count(F.lit(1)).alias(cname)))
+
+    ct = bucket_counts(target_df, "_ct")
+    cr = bucket_counts(raw_df, "_cr")
+    # the 1-row totals frame feeds both the weight rows and the
+    # sentinel; a lazy checkpoint stops the corpus-scanning count
+    # aggregations underneath it from evaluating twice
+    tot = (ct.agg(F.sum("_ct").alias("_t"))
+           .crossJoin(cr.agg(F.sum("_cr").alias("_r")))
+           .localCheckpoint(eager=False))
+    wt = (ct.join(cr, "_bk", "full")
+          .na.fill({"_ct": 0, "_cr": 0})
+          .crossJoin(F.broadcast(tot))
+          .select(
+              "_bk",
+              (F.log((F.col("_ct") + 1.0) / (F.col("_t") + B))
+               - F.log((F.col("_cr") + 1.0) / (F.col("_r") + B)))
+              .alias("_lw")))
+    default = tot.select(
+        F.lit(-1).cast("bigint").alias("_bk"),
+        (F.log(1.0 / (F.col("_t") + B))
+         - F.log(1.0 / (F.col("_r") + B))).alias("_lw"))
+    return wt.unionByName(default)
+
+
+def save_dsir_model(df, url):
+    """Persist a fit_dsir_model frame (tiny — <= num_buckets+1 rows)."""
+    df.coalesce(1).write.mode("overwrite").parquet(url)
+
+
+def load_dsir_model(spark, url):
+    return spark.read.parquet(url)
 
 
 class DSIRSelect(GeometryBlock):
@@ -134,30 +185,8 @@ class DSIRSelect(GeometryBlock):
          round_to) = self.args
         raw = raw_b._build(ctx)
         tgt = tgt_b._build(ctx)
-
-        def bucket_counts(df, cname):
-            g = self._buckets(df, column, num_buckets)
-            return (g.select(F.explode("_b").alias("_bk"))
-                    .groupBy("_bk")
-                    .agg(F.count(F.lit(1)).alias(cname)))
-
-        ct = bucket_counts(tgt, "_ct")
-        cr = bucket_counts(raw, "_cr")
-        # totals as 1-row broadcast frames; the weight table itself is
-        # <= num_buckets rows — broadcast onto the raw gram stream
-        tot = (ct.agg(F.sum("_ct").alias("_t"))
-               .crossJoin(cr.agg(F.sum("_cr").alias("_r"))))
-        wt = (ct.join(cr, "_bk", "full")
-              .na.fill({"_ct": 0, "_cr": 0})
-              .crossJoin(F.broadcast(tot))
-              .select(
-                  "_bk",
-                  (F.log((F.col("_ct") + 1.0)
-                         / (F.col("_t") + float(num_buckets)))
-                   - F.log((F.col("_cr") + 1.0)
-                           / (F.col("_r") + float(num_buckets))))
-                  .alias("_lw")))
-
+        wt = fit_dsir_model(raw, tgt, column=column,
+                            num_buckets=num_buckets)
         doc_b = (self._buckets(raw, column, num_buckets)
                  .select(F.col(idc), F.explode("_b").alias("_bk")))
         scored = (doc_b.join(F.broadcast(wt), "_bk")
@@ -172,3 +201,54 @@ class DSIRSelect(GeometryBlock):
                    .orderBy(F.col("logweight").desc(), F.col(idc))
                    .limit(top_k))
         return out
+
+
+class DSIRScore(BaseSingle):
+    """Score documents against a SAVED DSIR model — the fit-once /
+    score-many operating mode (and the stream-safe one).
+
+    ``model_url`` points at a :func:`save_dsir_model` table.  At build
+    time the <= num_buckets+1 rows collect to the driver and inline as
+    a LITERAL map, so scoring is pure map-side column math — per row:
+    feature buckets (the shared word-hash-fold build), a
+    ``try_element_at`` map lookup per gram with the model's sentinel
+    default for buckets the fit never saw, and one in-row fold.  No
+    join, no aggregation over the corpus: the identical plan runs
+    under ``readStream`` for on-ingest selection scoring.
+
+    Output: source id column + ``n_grams`` + ``logweight`` (NULL for
+    wordless docs, matching :class:`DSIRSelect`).
+    """
+
+    def __init__(self, source, model_url, column="text",
+                 id_column=None, num_buckets=10007, round_to=6):
+        if id_column is None:
+            id_column = source.index_column
+        super().__init__(source, str(model_url), column, id_column,
+                         int(num_buckets), int(round_to))
+
+    @property
+    def columns(self):
+        return {self.args[3], "n_grams", "logweight"}
+
+    def _build(self, ctx):
+        _, url, column, idc, num_buckets, round_to = self.args
+        rows = load_dsir_model(ctx.spark, url).collect()
+        weights = {int(r["_bk"]): float(r["_lw"]) for r in rows}
+        default = weights.pop(-1, 0.0)
+        keys = sorted(weights)
+        model = F.map_from_arrays(
+            F.lit(keys).cast("array<bigint>"),
+            F.lit([weights[k] for k in keys]).cast("array<double>"))
+        df = DSIRSelect._buckets(self.source._build(ctx), column,
+                                 num_buckets)
+        lw = F.aggregate(
+            F.transform("_b", lambda b: F.coalesce(
+                F.try_element_at(model, b),
+                F.lit(default).cast("double"))),
+            F.lit(0.0).cast("double"), lambda a, p: a + p)
+        return df.select(
+            F.col(idc),
+            F.size("_b").cast("bigint").alias("n_grams"),
+            F.when(F.size("_b") > 0, F.round(lw, round_to))
+            .alias("logweight"))

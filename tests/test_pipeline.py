@@ -892,3 +892,39 @@ def test_bpe_train_early_stop_on_single_chars(spark):
     corpus = LiteralGeometrySource([{"doc_id": 1, "text": "a b c"}])
     rules = BPETrain(corpus, n_merges=5).plan(spark).collect()
     assert rules == []  # no adjacent pairs anywhere
+
+
+def test_dsir_score_saved_model_roundtrip(spark, tmp_path):
+    from dask_geomodeling_spark.pipeline.dsir import (DSIRScore,
+                                                      DSIRSelect,
+                                                      fit_dsir_model,
+                                                      save_dsir_model)
+    raw_rows = [
+        {"doc_id": 1, "text": "alpha beta alpha"},
+        {"doc_id": 2, "text": "delta epsilon zeta"},
+        {"doc_id": 3, "text": ""},
+    ]
+    raw = LiteralGeometrySource(raw_rows)
+    tgt = LiteralGeometrySource([{"doc_id": 9, "text": "alpha beta"}])
+    raw_df = raw.plan(spark)
+    tgt_df = tgt.plan(spark)
+    url = str(tmp_path / "model")
+    save_dsir_model(fit_dsir_model(raw_df, tgt_df, num_buckets=101),
+                    url)
+    scored = {r.doc_id: r for r in
+              DSIRScore(raw, url, id_column="doc_id",
+                        num_buckets=101).plan(spark).collect()}
+    # saved-model scoring == the in-plan select weights
+    select = {r.doc_id: r for r in
+              DSIRSelect(raw, tgt, id_column="doc_id",
+                         num_buckets=101).plan(spark).collect()}
+    for d in (1, 2):
+        assert scored[d].logweight == select[d].logweight
+        assert scored[d].n_grams == select[d].n_grams
+    assert scored[3].logweight is None and scored[3].n_grams == 0
+    # an UNSEEN doc hits unseen buckets and takes the sentinel default
+    unseen = LiteralGeometrySource(
+        [{"doc_id": 7, "text": "qqqq zzzz qqqq"}])
+    out = DSIRScore(unseen, url, id_column="doc_id",
+                    num_buckets=101).plan(spark).collect()
+    assert out[0].logweight is not None
