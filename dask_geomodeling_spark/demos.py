@@ -7260,11 +7260,11 @@ GATE_ORDER = [
     "q9_product_profit", "q18_large_orders",
     # LLM-pipeline: dedup, ANN, multimodal, hygiene, end-to-end
     "exact_dedup", "minhash_lsh", "ngram_jaccard", "embedding_dedup_lsh",
-    "kmeans_ivf_ann", "semdedup", "ivfpq_ann", "decode_image",
+    "kmeans_ivf_ann", "semdedup", "bpe_train", "decode_image",
     "bpe_tokenize", "decontaminate",
-    "gopher_quality", "crawl_prep",
+    "gopher_quality", "crawl_prep", "dsir_select",
     # streaming / temporal joins
-    "event_aggregate", "asof_join", "running_aggregate",
+    "event_aggregate", "asof_join",
 ]
 
 assert len(GATE_ORDER) == 50, len(GATE_ORDER)
