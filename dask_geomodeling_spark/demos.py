@@ -7029,6 +7029,9 @@ def crawl_prep(spark, sf_dir):
                                  "n_words", "n_lines_kept")
 
 
+_BPE_SEP = "\x1f"
+
+
 def _bpe_train_oracle(n_merges=8):
     """The BPE training loop UNROLLED: iteration i is three CTE layers
     (pair counts -> argmax -> merged vocabulary), the same shape as the
@@ -7041,8 +7044,8 @@ WITH words AS MATERIALIZED (
            '\\s+'), x -> len(x) > 0)) AS w
     FROM documents) GROUP BY w),
 v0 AS MATERIALIZED (SELECT cnt,
-       ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' '
-       AS s FROM words)"""]
+       regexp_replace(w, '(.)', '{q}\\1{q}', 'g')
+       AS s FROM words)""".format(q=_BPE_SEP)]
     for i in range(1, n_merges + 1):
         parts.append("""
 p{i} AS MATERIALIZED (SELECT pr, SUM(cnt) AS c FROM (
@@ -7050,13 +7053,16 @@ p{i} AS MATERIALIZED (SELECT pr, SUM(cnt) AS c FROM (
         THEN CAST([] AS VARCHAR[])
         ELSE [sy[k] || ' ' || sy[k+1] FOR k IN range(1, len(sy))]
         END) AS pr
-    FROM (SELECT cnt, string_split(trim(s), ' ') AS sy FROM v{h}))
+    FROM (SELECT cnt,
+          string_split(trim(s, '{q}'), '{q}{q}') AS sy
+          FROM v{h}))
   GROUP BY pr),
 b{i} AS MATERIALIZED (SELECT pr, c FROM p{i} ORDER BY c DESC, pr LIMIT 1),
 v{i} AS MATERIALIZED (SELECT cnt, CASE WHEN (SELECT COUNT(*) FROM b{i}) = 0 THEN s
-    ELSE replace(s, ' ' || (SELECT pr FROM b{i}) || ' ',
-                 ' ' || replace((SELECT pr FROM b{i}), ' ', '') || ' ')
-    END AS s FROM v{h})""".format(i=i, h=i - 1))
+    ELSE replace(s,
+        '{q}' || replace((SELECT pr FROM b{i}), ' ', '{q}{q}') || '{q}',
+        '{q}' || replace((SELECT pr FROM b{i}), ' ', '') || '{q}')
+    END AS s FROM v{h})""".format(i=i, h=i - 1, q=_BPE_SEP))
     rows = "\nUNION ALL ".join(
         "SELECT {i} AS rank, split_part(pr, ' ', 1) AS lhs, "
         "split_part(pr, ' ', 2) AS rhs, replace(pr, ' ', '') AS merged, "

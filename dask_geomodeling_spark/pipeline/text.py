@@ -138,16 +138,21 @@ class BPETrain(BaseSingle):
     builds ``(word, count)``, and every merge iteration is a single
     aggregation over that vocabulary-bounded frame:
 
-      1. each word's symbol sequence is a space-joined string
-         (``' l o w '``; symbols never contain spaces because words
-         are whitespace-split);
+      1. each word's symbol sequence is a ``␟sym␟`` chain — exactly
+         :class:`BPETokenCount`'s wrapped encoding.  Every symbol
+         carries its OWN delimiters, so adjacent pair occurrences
+         never share a character and one string replace merges all
+         non-overlapping occurrences left-to-right (a single shared
+         separator, e.g. ``' a a a a '``, would under-merge: the
+         first match consumes the next pair's leading separator and
+         ``aaaa`` learns only one ``aa``);
       2. per iteration: explode adjacent symbol pairs, sum word
          counts per pair (map-side partials), and ``TakeOrdered(1)``
          the winner to the driver — count DESC, pair string ASC, so
          ties are deterministic and the whole loop is engine-exact
          integer arithmetic;
-      3. the merge applies as ONE ``replace(s, ' a b ', ' ab ')``
-         (left-to-right non-overlapping — exactly the greedy BPE merge
+      3. the merge applies as ONE
+         ``replace(s, '␟a␟␟b␟', '␟ab␟')`` (the greedy BPE merge
          order), and the updated vocabulary re-persists.
 
     Only the argmax row ever reaches the driver per iteration; the
@@ -190,13 +195,16 @@ class BPETrain(BaseSingle):
                  .groupBy("_w").agg(F.count(F.lit(1)).alias("_cnt")))
         vocab = words.select(
             "_cnt",
-            F.expr("concat(' ', array_join(filter(split(_w, ''), "
-                   "c -> c <> ''), ' '), ' ')").alias("_s")).persist()
+            F.expr("regexp_replace(_w, '(.)', '{s}$1{s}')"
+                   .format(s=_SEP)).alias("_s")).persist()
+        # symbol list back out of the ␟sym␟ chain (pairs keep a
+        # space-joined key: symbols never contain spaces)
+        syms = ("split(btrim(_s, '{s}'), '{s}{s}')".format(s=_SEP))
         rules = []
         try:
             for rank in range(1, n_merges + 1):
                 best = (vocab
-                        .withColumn("_sy", F.expr("split(trim(_s), ' ')"))
+                        .withColumn("_sy", F.expr(syms))
                         .select("_cnt",
                                 F.explode(F.expr(self._PAIRS))
                                 .alias("_pr"))
@@ -212,8 +220,9 @@ class BPETrain(BaseSingle):
                 nxt = vocab.select(
                     "_cnt",
                     F.replace(F.col("_s"),
-                              F.lit(" " + best["_pr"] + " "),
-                              F.lit(" " + lhs + rhs + " "))
+                              F.lit(_SEP + lhs + _SEP + _SEP + rhs
+                                    + _SEP),
+                              F.lit(_SEP + lhs + rhs + _SEP))
                     .alias("_s"))
                 if rank % ckpt_every == 0:
                     # cut the replace-chain lineage so long trainings
