@@ -143,7 +143,7 @@ class Block:
         return module + "." + cls.__name__
 
     @staticmethod
-    def from_import_path(path):
+    def from_import_path(path, allowed_prefixes=None):
         from dask_geomodeling_spark import compat
         mapped = compat.resolve_import_path(path)
         if mapped is not None:
@@ -152,6 +152,15 @@ class Block:
             # adapter) so existing graphs construct unmodified
             return mapped
         module, _, name = path.rpartition(".")
+        if allowed_prefixes is not None and not any(
+                module == p.rstrip(".") or module.startswith(p)
+                for p in allowed_prefixes):
+            # untrusted graphs (e.g. the WMS ``layers`` query param) may
+            # not import arbitrary modules: importlib runs the module's
+            # top-level code BEFORE the issubclass(Block) check below
+            raise ValueError(
+                "Import path '{}' is outside the allowed module "
+                "prefixes {}".format(path, sorted(allowed_prefixes)))
         return getattr(importlib.import_module(module), name)
 
     def get_graph(self, serialize=False):
@@ -177,8 +186,9 @@ class Block:
                 "name": self.name}
 
     @classmethod
-    def deserialize(cls, val, validate=True):
-        return construct(val["graph"], val["name"], validate=validate)
+    def deserialize(cls, val, validate=True, allowed_prefixes=None):
+        return construct(val["graph"], val["name"], validate=validate,
+                         allowed_prefixes=allowed_prefixes)
 
     def to_json(self, **kwargs):
         return json.dumps(self.serialize(), cls=_JSONEncoder, **kwargs)
@@ -210,13 +220,14 @@ class DummyBlock(Block):
         return self._name
 
 
-def construct(graph, name, validate=True):
+def construct(graph, name, validate=True, allowed_prefixes=None):
     """Construct a Block stack from a serialized graph and endpoint name
     (reference: core/graphs.py:52)."""
-    return construct_multiple(graph, [name], validate)[0]
+    return construct_multiple(graph, [name], validate,
+                              allowed_prefixes=allowed_prefixes)[0]
 
 
-def construct_multiple(graph, names, validate=True):
+def construct_multiple(graph, names, validate=True, allowed_prefixes=None):
     cache = {}
 
     def resolve(key):
@@ -225,7 +236,7 @@ def construct_multiple(graph, names, validate=True):
         value = graph[key]
         cls = value[0]
         if isinstance(cls, str):
-            cls = Block.from_import_path(cls)
+            cls = Block.from_import_path(cls, allowed_prefixes)
         if isinstance(cls, type):
             if not issubclass(cls, Block):
                 raise TypeError(

@@ -33,7 +33,9 @@ import math
 __all__ = ["register_projected_crs", "register_crs_from_proj4",
            "projected_crs", "ELLIPSOIDS"]
 
-#: (a, e²) by name — semi-major axis and first eccentricity squared
+#: (a, f) by name — semi-major axis and FLATTENING (not e²; _ellipsoid
+#: derives e² = f·(2−f)).  clarke1866 stores None: it is defined via its
+#: semi-minor axis b inside _ellipsoid/_a_f.
 ELLIPSOIDS = {
     "WGS84": (6378137.0, 1.0 / 298.257223563),
     "GRS80": (6378137.0, 1.0 / 298.257222101),
@@ -42,6 +44,15 @@ ELLIPSOIDS = {
     "airy1830": (6377563.396, 1.0 / 299.3249646),
     "bessel1841": (6377397.155, 1.0 / 299.1528128),
 }
+
+
+def _a_f(name):
+    """(a, flattening) — resolves clarke1866's b-defined flattening."""
+    a, f = ELLIPSOIDS[name]
+    if f is None:  # clarke1866: defined via b
+        b = 6356583.8
+        f = 1.0 - b / a
+    return a, f
 
 
 def _ellipsoid(name):
@@ -640,8 +651,8 @@ class _Datum:
         self.fwd = (tx, ty, tz, rx * arc, ry * arc, rz * arc,
                     ppm * 1e-6)
         self.inv = tuple(-v for v in self.fwd)
-        a1, f1 = ELLIPSOIDS["WGS84"]
-        a2, f2 = ELLIPSOIDS[ellipsoid]
+        a1, f1 = _a_f("WGS84")
+        a2, f2 = _a_f(ellipsoid)
         self.src = (a1, f1 * (2.0 - f1), f1)
         self.dst = (a2, f2 * (2.0 - f2), f2)
 

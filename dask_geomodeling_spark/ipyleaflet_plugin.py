@@ -157,7 +157,14 @@ def handle_get_map(params, spark=None, max_cell_size=None):
     if str(fmt).lower() != "image/png":
         return 400, "text/plain", b"Only image/png is supported"
     try:
-        block = Block.from_json(params["layers"])
+        # 'layers' is attacker-controlled on a mounted handler: restrict
+        # graph deserialization to this package (+ the compat-mapped
+        # reference paths, which resolve before any import) so the dotted
+        # class path cannot import/execute arbitrary modules
+        block = Block.from_json(
+            params["layers"],
+            allowed_prefixes=("dask_geomodeling_spark.",
+                              "dask_geomodeling."))
         width = int(params["width"])
         height = int(params["height"])
         bbox = [float(x) for x in str(params["bbox"]).split(",")]

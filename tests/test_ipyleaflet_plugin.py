@@ -94,3 +94,21 @@ def test_handle_get_map_contract(spark, ramp):
 def test_layer_is_import_gated():
     with pytest.raises(NotImplementedError, match="ipyleaflet"):
         GeomodelingLayer(None, url="http://localhost/wms")
+
+
+def test_handle_get_map_rejects_foreign_import_paths(spark):
+    """The untrusted 'layers' graph may not name classes outside this
+    package / the compat-mapped reference paths: import happens before
+    the issubclass check, so an open prefix would execute arbitrary
+    module top-levels (round-6 ADVICE)."""
+    import json
+    from dask_geomodeling_spark.ipyleaflet_plugin import handle_get_map
+    evil = json.dumps({
+        "version": 2,
+        "graph": {"x": ["os.path.join", "a", "b"]},
+        "name": "x"})
+    params = {"layers": evil, "width": "4", "height": "4",
+              "bbox": "0,0,1,1"}
+    status, _, msg = handle_get_map(params, spark=spark)
+    assert status == 400
+    assert b"allowed module prefixes" in msg or b"outside" in msg

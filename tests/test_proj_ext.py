@@ -301,3 +301,27 @@ def test_world_mercator_vs_web_mercator(spark):
     assert 30000 < web_y - y < 36000
     lon, lat = _ev(spark, p.inverse(_lit(x), _lit(y)))
     assert abs(lon - 3.0) < 1e-9 and abs(lat - 51.0) < 1e-9
+
+
+def test_clrk66_towgs84_registration(spark):
+    """NAD27-family proj strings (clrk66 + towgs84) must register:
+    clarke1866 stores None for the flattening (b-defined), so the
+    datum wrapper derives f through _a_f instead of indexing
+    ELLIPSOIDS raw (round-6 ADVICE)."""
+    from dask_geomodeling_spark.geometry.proj_ext import (
+        _a_f, register_crs_from_proj4)
+    a, f = _a_f("clarke1866")
+    assert abs(1.0 / f - 294.9786982) < 1e-4  # published 1/f
+    register_crs_from_proj4(
+        "TEST:NAD27LCC",
+        "+proj=lcc +lat_1=33 +lat_2=45 +lat_0=23 +lon_0=-96 "
+        "+x_0=0 +y_0=0 +ellps=clrk66 +towgs84=-8,160,176,0,0,0,0")
+    x, y = _ev(spark, projected_crs("TEST:NAD27LCC").forward(
+        _lit(35.0), _lit(-75.0)))
+    # Snyder p.296 worked example is on the NAD27 datum; the WGS84
+    # input shifts by the Helmert legs, so assert to the ~200 m class
+    assert abs(x - 1894410.9) < 500 and abs(y - 1564649.5) < 500
+    # roundtrip closes through both datum legs
+    lon, lat = _ev(spark, projected_crs("TEST:NAD27LCC").inverse(
+        _lit(x), _lit(y)))
+    assert abs(lon + 75.0) < 1e-6 and abs(lat - 35.0) < 1e-6
