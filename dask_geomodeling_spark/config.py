@@ -68,6 +68,27 @@ def read_nanos_parquet(spark, url, time_column="ts"):
     return df
 
 
+def ensure_min_partitions(df, spark=None, min_partitions=None):
+    """Round-robin repartition ``df`` when its scan produces fewer
+    partitions than the session's cores.
+
+    Parquet splits are row-group-granular: a small file holds ONE row
+    group, so however many byte-splits the scheduler makes, only one
+    task yields rows — and a CPU-heavy per-row pipeline (curation
+    HOFs, codecs, tokenizers) runs single-core.  One bounded shuffle
+    of the (small) input right after the scan unlocks the other
+    cores.  At cluster scale inputs carry many row groups, the
+    partition count exceeds the core count, and this is a no-op —
+    the check is driver-side plan inspection only."""
+    if spark is None:
+        spark = get_spark()
+    if min_partitions is None:
+        min_partitions = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_partitions:
+        return df.repartition(min_partitions)
+    return df
+
+
 def set_spark(spark):
     global _spark
     _spark = spark

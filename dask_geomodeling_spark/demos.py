@@ -17,7 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from dask_geomodeling_spark.config import read_nanos_parquet
+from dask_geomodeling_spark.config import (ensure_min_partitions,
+                                           read_nanos_parquet)
 from dask_geomodeling_spark.geometry.sources import (DataFrameSource,
                                                      ParquetGeometrySource)
 
@@ -1054,7 +1055,8 @@ def line_dedup(spark, sf_dir):
     breaking the flat synthetic text before each 'merge ' token — a
     literal replace() that evaluates identically in both engines."""
     from dask_geomodeling_spark.pipeline.dedup import LineDedup
-    docs = (read_nanos_parquet(spark, _pq(sf_dir, "documents"))
+    docs = (ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "documents")), spark)
             .select("doc_id",
                     F.expr("replace(text, ' merge ', concat(char(10), "
                            "'merge '))").alias("text")))
@@ -1201,7 +1203,8 @@ WHERE cosine >= 0.35
 def embedding_dedup(spark, sf_dir):
     """EmbeddingDedup exact all-pairs cosine over a keyed subset."""
     from dask_geomodeling_spark.pipeline.dedup import EmbeddingDedup
-    emb = read_nanos_parquet(spark, _pq(sf_dir, "embeddings"))
+    emb = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "embeddings")), spark)
     sub = DataFrameSource(emb.filter(F.col("vec_id") % 10 == 0),
                           index_column="vec_id")
     return EmbeddingDedup(sub, threshold=0.35, exact=True).plan(spark)
@@ -1237,7 +1240,8 @@ def embedding_dedup_lsh(spark, sf_dir):
     exercise the one-row probe.  The deterministic plane constants make
     the bucketing itself re-derivable in SQL."""
     from dask_geomodeling_spark.pipeline.dedup import EmbeddingDedup
-    emb = read_nanos_parquet(spark, _pq(sf_dir, "embeddings"))
+    emb = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "embeddings")), spark)
     sub = DataFrameSource(emb.filter(F.col("vec_id") % 5 == 0),
                           index_column="vec_id")
     return EmbeddingDedup(sub, threshold=0.2, n_planes=6).plan(spark)
@@ -1260,7 +1264,8 @@ def cosine_topk(spark, sf_dir):
     """CosineTopK: exact brute-force top-k, broadcast query side,
     round-then-rank for cross-engine-stable ordering."""
     from dask_geomodeling_spark.pipeline.similarity import CosineTopK
-    emb = read_nanos_parquet(spark, _pq(sf_dir, "embeddings"))
+    emb = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "embeddings")), spark)
     queries = DataFrameSource(emb.filter(F.col("vec_id") < 5),
                               index_column="vec_id")
     return CosineTopK(embeddings_src(sf_dir), queries, k=10,
@@ -1302,7 +1307,8 @@ def bucketed_ann(spark, sf_dir):
     deterministic plane constants make even the *approximation*
     engine-exact)."""
     from dask_geomodeling_spark.pipeline.similarity import BucketedANN
-    emb = read_nanos_parquet(spark, _pq(sf_dir, "embeddings"))
+    emb = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "embeddings")), spark)
     queries = DataFrameSource(emb.filter(F.col("vec_id") < 5),
                               index_column="vec_id")
     return BucketedANN(embeddings_src(sf_dir), queries, k=10,
@@ -3016,7 +3022,8 @@ def wet_source(spark, sf_dir):
     import tempfile
 
     from dask_geomodeling_spark.pipeline.warc import WarcSource, WETSink
-    docs = read_nanos_parquet(spark, _pq(sf_dir, "documents"))
+    docs = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "documents")), spark)
     df = docs.select(
         F.concat(F.lit("http://crawl.example/doc/"), "doc_id")
         .alias("uri"), "text")
@@ -3601,7 +3608,8 @@ def kmeans_ivf_ann(spark, sf_dir):
     The DuckDB oracle re-derives the whole fit in SQL and must agree
     bit-for-bit."""
     from dask_geomodeling_spark.pipeline.similarity import KMeansIVF
-    emb = read_nanos_parquet(spark, _pq(sf_dir, "embeddings"))
+    emb = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "embeddings")), spark)
     queries = DataFrameSource(emb.filter(F.col("vec_id") < 3),
                               index_column="vec_id")
     return KMeansIVF(embeddings_src(sf_dir), queries, k=5, clusters=4,
@@ -3622,7 +3630,8 @@ def kmeans_ivf_saved(spark, sf_dir):
 
     from dask_geomodeling_spark.pipeline.similarity import (
         KMeansIVF, fit_sample, learn_centroids, save_centroids)
-    emb = read_nanos_parquet(spark, _pq(sf_dir, "embeddings"))
+    emb = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "embeddings")), spark)
     base = emb.select("vec_id", "embedding")
     cents = learn_centroids(fit_sample(base, "vec_id", 0.5), 4, 2)
     url = tempfile.mkdtemp(prefix="dgs_ivf_model_") + "/centroids"
@@ -3641,7 +3650,8 @@ def kmeans_ivf_probe2(spark, sf_dir):
     the plan shape is unchanged (explode the probe list, same
     cluster-key join).  Oracle re-derives fit + multi-probe in SQL."""
     from dask_geomodeling_spark.pipeline.similarity import KMeansIVF
-    emb = read_nanos_parquet(spark, _pq(sf_dir, "embeddings"))
+    emb = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "embeddings")), spark)
     queries = DataFrameSource(emb.filter(F.col("vec_id") < 3),
                               index_column="vec_id")
     return KMeansIVF(embeddings_src(sf_dir), queries, k=5, clusters=4,
@@ -3656,7 +3666,8 @@ def kmeans_ivf_sampled_fit(spark, sf_dir):
     stable) while assignment and search stay full-corpus.  The oracle
     replays the identical sampled fit in SQL, bit-for-bit."""
     from dask_geomodeling_spark.pipeline.similarity import KMeansIVF
-    emb = read_nanos_parquet(spark, _pq(sf_dir, "embeddings"))
+    emb = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "embeddings")), spark)
     queries = DataFrameSource(emb.filter(F.col("vec_id") < 3),
                               index_column="vec_id")
     return KMeansIVF(embeddings_src(sf_dir), queries, k=5, clusters=4,
@@ -3803,7 +3814,8 @@ def concat_corpora(spark, sf_dir):
     input keeps its scan partitioning, no shuffle); the second source
     deliberately lacks n_chars to exercise the alignment."""
     from dask_geomodeling_spark.pipeline.sample import ConcatCorpora
-    docs = read_nanos_parquet(spark, _pq(sf_dir, "documents"))
+    docs = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "documents")), spark)
     web = DataFrameSource(
         docs.filter(F.col("lang") == "en")
         .select("doc_id", "lang", "n_chars"), index_column="doc_id")
@@ -3965,7 +3977,8 @@ def decontaminate(spark, sf_dir):
     swaps the join key for 31-bit gram hashes — the network-bound
     cluster trade; see pipeline/filter.py.)"""
     from dask_geomodeling_spark.pipeline.filter import Decontaminate
-    docs = read_nanos_parquet(spark, _pq(sf_dir, "documents"))
+    docs = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "documents")), spark)
     train = DataFrameSource(docs.filter(F.col("doc_id") % 97 != 0),
                             index_column="doc_id")
     holdout = DataFrameSource(docs.filter(F.col("doc_id") % 97 == 0),
@@ -3998,7 +4011,8 @@ def decontaminate_broadcast(spark, sf_dir):
     plan runs under readStream for on-ingest decontamination
     (stream-static broadcast join, tests/test_streaming.py)."""
     from dask_geomodeling_spark.pipeline.filter import Decontaminate
-    docs = read_nanos_parquet(spark, _pq(sf_dir, "documents"))
+    docs = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "documents")), spark)
     train = DataFrameSource(docs.filter(F.col("doc_id") % 97 != 0),
                             index_column="doc_id")
     holdout = DataFrameSource(docs.filter(F.col("doc_id") % 97 == 0),
@@ -4046,7 +4060,8 @@ def pii_redact(spark, sf_dir):
     projection, no shuffle, codegen.  The demo deterministically
     injects synthetic PII (the corpus has none) on BOTH sides."""
     from dask_geomodeling_spark.pipeline.filter import PIIRedact
-    docs = read_nanos_parquet(spark, _pq(sf_dir, "documents"))
+    docs = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "documents")), spark)
     injected = docs.withColumn("text_pii", F.concat(
         F.col("text"),
         F.when(F.col("doc_id") % 3 == 0,
@@ -4544,7 +4559,8 @@ def pq_ann(spark, sf_dir):
     in SQL and must agree bit-for-bit."""
     from dask_geomodeling_spark.pipeline.similarity import (
         ProductQuantizerANN)
-    emb = read_nanos_parquet(spark, _pq(sf_dir, "embeddings"))
+    emb = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "embeddings")), spark)
     queries = DataFrameSource(emb.filter(F.col("vec_id") < 3),
                               index_column="vec_id")
     return ProductQuantizerANN(embeddings_src(sf_dir), queries, k=5,
@@ -4804,7 +4820,8 @@ def corpus_prep(spark, sf_dir):
     docs = documents_src(sf_dir)
     metrics = RepetitionFilter(QualityScore(docs), max_dup_ratio=0.7,
                                max_bigram_frac=0.2).plan(spark)
-    raw = read_nanos_parquet(spark, _pq(sf_dir, "documents"))
+    raw = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "documents")), spark)
     train = DataFrameSource(
         metrics.filter(F.col("doc_id") % 97 != 0), index_column="doc_id")
     holdout = DataFrameSource(
@@ -4893,7 +4910,8 @@ def bucketed_ann_multiprobe(spark, sf_dir):
     four buckets one sign-bit away — recall rises ~(1+probes)x with
     the corpus untouched; the probe list explodes map-side."""
     from dask_geomodeling_spark.pipeline.similarity import BucketedANN
-    emb = read_nanos_parquet(spark, _pq(sf_dir, "embeddings"))
+    emb = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "embeddings")), spark)
     queries = DataFrameSource(emb.filter(F.col("vec_id") < 5),
                               index_column="vec_id")
     return BucketedANN(embeddings_src(sf_dir), queries, k=10,
@@ -5011,7 +5029,8 @@ def ivfpq_ann(spark, sf_dir):
     oracle re-derives coarse fit, residuals, and both sub-codebook
     fits in SQL, bit-exactly."""
     from dask_geomodeling_spark.pipeline.similarity import IVFPQ
-    emb = read_nanos_parquet(spark, _pq(sf_dir, "embeddings"))
+    emb = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "embeddings")), spark)
     queries = DataFrameSource(emb.filter(F.col("vec_id") < 3),
                               index_column="vec_id")
     return IVFPQ(embeddings_src(sf_dir), queries, k=5, clusters=2,
@@ -6606,7 +6625,8 @@ def gopher_quality(spark, sf_dir):
     the n-gram metrics are ONE explode over all n=2..10 plus two
     keyed aggregations joined back on doc_id."""
     from dask_geomodeling_spark.pipeline.curate import GopherQuality
-    docs = read_nanos_parquet(spark, _pq(sf_dir, "documents"))
+    docs = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "documents")), spark)
     injected = (docs
                 .withColumn("_w0", F.split(F.trim(F.lower(F.col("text"))),
                                            r"\s+"))
@@ -6679,7 +6699,8 @@ def c4_filter(spark, sf_dir):
     phrase cleaning + the 3-sentence document rule — pure per-row
     array HOFs, zero shuffle."""
     from dask_geomodeling_spark.pipeline.curate import C4Filter
-    docs = read_nanos_parquet(spark, _pq(sf_dir, "documents"))
+    docs = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "documents")), spark)
     injected = (docs
                 .withColumn("_w0", F.split(F.trim(F.lower(F.col("text"))),
                                            r"\s+"))
@@ -6755,7 +6776,8 @@ def url_normalize(spark, sf_dir):
     """UrlNormalize: crawl-URL canonicalization — pure regex/array
     projection, no shuffle."""
     from dask_geomodeling_spark.pipeline.curate import UrlNormalize
-    docs = read_nanos_parquet(spark, _pq(sf_dir, "documents"))
+    docs = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "documents")), spark)
     injected = docs.withColumn("url", F.expr(_URL_INJECT_SPARK))
     src = DataFrameSource(injected, index_column="doc_id")
     return (UrlNormalize(src).plan(spark)
@@ -6774,7 +6796,8 @@ def url_dedup(spark, sf_dir):
     """UrlDedup: keep-longest per canonical URL — one uniform groupBy
     shuffle with a struct-max argmax, no window."""
     from dask_geomodeling_spark.pipeline.curate import UrlDedup
-    docs = read_nanos_parquet(spark, _pq(sf_dir, "documents"))
+    docs = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "documents")), spark)
     injected = docs.withColumn("url", F.expr(_URL_INJECT_SPARK))
     src = DataFrameSource(injected, index_column="doc_id")
     return (UrlDedup(src).plan(spark)
@@ -6826,7 +6849,8 @@ def html_extract(spark, sf_dir):
     """HtmlExtract: tag/entity stripping for raw-HTML crawl records —
     pure regex projection, no shuffle."""
     from dask_geomodeling_spark.pipeline.curate import HtmlExtract
-    docs = read_nanos_parquet(spark, _pq(sf_dir, "documents"))
+    docs = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "documents")), spark)
     injected = docs.withColumn("html", F.expr(_HTML_INJECT_SPARK))
     src = DataFrameSource(injected, index_column="doc_id")
     return (HtmlExtract(src).plan(spark)
@@ -7002,7 +7026,8 @@ def crawl_prep(spark, sf_dir):
                                                         GopherQuality,
                                                         HtmlExtract,
                                                         UrlDedup)
-    docs = read_nanos_parquet(spark, _pq(sf_dir, "documents"))
+    docs = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "documents")), spark)
     injected = (docs
                 .withColumn("_w0", F.split(F.trim(F.lower(F.col("text"))),
                                            r"\s+"))
@@ -7199,7 +7224,8 @@ def dsir_select(spark, sf_dir):
     broadcast num_buckets-row table; no reference analogue."""
     from dask_geomodeling_spark.pipeline.dsir import DSIRSelect
     raw = documents_src(sf_dir)
-    docs = read_nanos_parquet(spark, _pq(sf_dir, "documents"))
+    docs = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "documents")), spark)
     tgt = DataFrameSource(docs.where(F.col("source") == "src0"),
                           index_column="doc_id")
     return DSIRSelect(raw, tgt, column="text", id_column="doc_id",
@@ -7219,7 +7245,8 @@ def dsir_score_saved(spark, sf_dir):
     from dask_geomodeling_spark.pipeline.dsir import (DSIRScore,
                                                       fit_dsir_model,
                                                       save_dsir_model)
-    docs = read_nanos_parquet(spark, _pq(sf_dir, "documents"))
+    docs = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "documents")), spark)
     model = fit_dsir_model(docs, docs.where(F.col("source") == "src0"),
                            column="text", num_buckets=10007)
     url = tempfile.mkdtemp(prefix="dgs_dsir_model_") + "/model"

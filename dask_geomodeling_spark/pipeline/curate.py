@@ -234,33 +234,6 @@ class GopherQuality(BaseSingle):
         return df.withColumn("gopher_pass", passed) \
                  .drop("_w", "_lines", "_tc")
 
-    #: per-n fold: close the previous run (update top/dup/mass), open
-    #: a new one.  Accumulator: (ph, pl) pending run's hash+glen,
-    #: run = pending count, (tc, tl) best (count, glen) so far,
-    #: dup/mass char sums.
-    _RUN_FOLD = (
-        "aggregate(_srt{n}, "
-        "struct(cast(0 as bigint) as ph, cast(0 as bigint) as pl, "
-        "cast(0 as bigint) as run, cast(0 as bigint) as tc, "
-        "cast(0 as bigint) as tl, cast(0 as bigint) as dup, "
-        "cast(0 as bigint) as mass), "
-        "(a, x) -> case when a.run > 0 and x.h = a.ph then "
-        "struct(a.ph as ph, a.pl as pl, a.run + 1L as run, a.tc as tc, "
-        "a.tl as tl, a.dup as dup, a.mass as mass) "
-        "else struct(x.h as ph, x.l as pl, 1L as run, "
-        "if(a.run > a.tc or (a.run = a.tc and a.pl > a.tl), a.run, a.tc)"
-        " as tc, "
-        "if(a.run > a.tc or (a.run = a.tc and a.pl > a.tl), a.pl, a.tl)"
-        " as tl, "
-        "a.dup + if(a.run > 1, a.run * a.pl, 0L) as dup, "
-        "a.mass + a.run * a.pl as mass) end, "
-        "a -> struct("
-        "if(a.run > a.tc or (a.run = a.tc and a.pl > a.tl), a.run, a.tc) "
-        "* if(a.run > a.tc or (a.run = a.tc and a.pl > a.tl), a.pl, a.tl)"
-        " as topmass, "
-        "a.dup + if(a.run > 1, a.run * a.pl, 0L) as dup, "
-        "a.mass + a.run * a.pl as mass))")
-
     def _with_ngram_fracs(self, df, idc):
         """All n-gram character fractions as PURE per-row HOFs — the
         metrics are per-document, so no explode/shuffle/join is ever
@@ -273,35 +246,68 @@ class GopherQuality(BaseSingle):
         deterministic-collision contract NgramJaccard's index uses)."""
         ns = sorted(list(TOP_NGRAM_THRESHOLDS)
                     + list(DUP_NGRAM_THRESHOLDS))
-        minn, maxn = min(ns), max(ns)
-        df = df.withColumn("_z", F.expr(
-            "transform(_w, x -> struct(xxhash64(x) as h, "
-            "cast(length(x) as bigint) as l))"))
-        # ONE incremental pass per start position: gram (i, n) extends
-        # gram (i, n-1) by one hash step, so all n in [2, 10] cost one
-        # fold over a ≤10-slice instead of 9 separate per-gram folds
-        # (the HOFs evaluate interpreted — fewer lambda calls is the
-        # whole game).  l = char length = word-length sum + (n − 1).
-        df = df.withColumn("_grams", F.expr(
-            "flatten(transform(sequence(1, size(_z)), i -> "
-            "aggregate(slice(_z, i, {maxn}), "
-            "struct(cast(0 as bigint) as h, cast(0 as bigint) as s, "
-            "0 as k, cast(array() as "
-            "array<struct<n: int, h: bigint, l: bigint>>) as out), "
-            "(a, x) -> struct(xxhash64(a.h, x.h) as h, a.s + x.l as s, "
-            "a.k + 1 as k, "
-            "if(a.k + 1 >= {minn}, concat(a.out, array(struct("
-            "a.k + 1 as n, xxhash64(a.h, x.h) as h, "
-            "a.s + x.l + cast(a.k as bigint) as l))), a.out) as out), "
-            "a -> a.out)))".format(minn=minn, maxn=maxn)))
+        maxn = max(ns)
+        # INCREMENTAL per-n gram arrays: the n-gram at start i extends
+        # the (n−1)-gram by one xxhash64 step / one word length, via
+        # O(1) indexed access into the previous n's array — no slice
+        # folds, no array-concat accumulator growth, and no
+        # filter-over-all-grams rescans (the former build cost ~90
+        # interpreted lambda calls per word; this one costs ~18).
+        # Hash values are BIT-IDENTICAL to the old slice-fold chain:
+        # h₁ = xxhash64(0L, xxhash64(word)), hₙ = xxhash64(hₙ₋₁, wh).
+        # l = char length = word-length sum + (n − 1) separators.
+        df = df.withColumn("_wh", F.expr(
+            "transform(_w, x -> xxhash64(x))"))
+        df = df.withColumn("_wl", F.expr(
+            "transform(_w, x -> cast(length(x) as bigint))"))
+        df = df.withColumn("_h1", F.expr(
+            "transform(_wh, h -> xxhash64(cast(0 as bigint), h))"))
+        df = df.withColumn("_l1", F.col("_wl"))
+        for n in range(2, maxn + 1):
+            k = n - 1  # 0-based offset of the extending word
+            df = df.withColumn("_h{}".format(n), F.expr(
+                "if(size(_w) >= {n}, "
+                "transform(sequence(0, size(_w) - {n}), i -> "
+                "xxhash64(_h{p}[i], _wh[i + {k}])), "
+                "cast(array() as array<bigint>))".format(
+                    n=n, p=n - 1, k=k)))
+            df = df.withColumn("_l{}".format(n), F.expr(
+                "if(size(_w) >= {n}, "
+                "transform(sequence(0, size(_w) - {n}), i -> "
+                "_l{p}[i] + _wl[i + {k}] + cast(1 as bigint)), "
+                "cast(array() as array<bigint>))".format(
+                    n=n, p=n - 1, k=k)))
+        # Runs over the sorted gram keys via START POSITIONS instead of
+        # a fold: the fold allocated a 7-field struct per element; the
+        # positional form touches each element once with int lambdas,
+        # then works on the (much shorter) run list — array_max picks
+        # the (count, len)-maximal run with the native struct
+        # comparator (ties by gram length, as before).
         for n in ns:
             df = df.withColumn(
                 "_srt{}".format(n),
-                F.expr("array_sort(transform(filter(_grams, "
-                       "g -> g.n = {n}), g -> struct(g.h as h, "
-                       "g.l as l)))".format(n=n)))
-            df = df.withColumn("_st{}".format(n),
-                               F.expr(self._RUN_FOLD.format(n=n)))
+                F.expr("array_sort(zip_with(_h{n}, _l{n}, "
+                       "(h, l) -> struct(h as h, l as l)))".format(n=n)))
+            df = df.withColumn("_sta{}".format(n), F.expr(
+                "if(size(_srt{n}) = 0, cast(array() as array<int>), "
+                "filter(sequence(0, size(_srt{n}) - 1), i -> i = 0 "
+                "OR _srt{n}[i].h != _srt{n}[i - 1].h "
+                "OR _srt{n}[i].l != _srt{n}[i - 1].l))".format(n=n)))
+            df = df.withColumn("_run{}".format(n), F.expr(
+                "if(size(_sta{n}) = 0, "
+                "cast(array() as array<struct<c: bigint, l: bigint>>), "
+                "transform(sequence(0, size(_sta{n}) - 1), j -> struct("
+                "cast(if(j + 1 < size(_sta{n}), _sta{n}[j + 1], "
+                "size(_srt{n})) - _sta{n}[j] as bigint) as c, "
+                "_srt{n}[_sta{n}[j]].l as l)))".format(n=n)))
+            df = df.withColumn("_st{}".format(n), F.expr(
+                "struct("
+                "if(size(_run{n}) = 0, cast(0 as bigint), "
+                "array_max(_run{n}).c * array_max(_run{n}).l) as topmass, "
+                "aggregate(_run{n}, cast(0 as bigint), (a, r) -> a + "
+                "if(r.c > 1, r.c * r.l, cast(0 as bigint))) as dup, "
+                "aggregate(_run{n}, cast(0 as bigint), "
+                "(a, r) -> a + r.c * r.l) as mass)".format(n=n)))
         for nv in sorted(TOP_NGRAM_THRESHOLDS):
             st = F.col("_st{}".format(nv))
             df = df.withColumn(
@@ -316,8 +322,12 @@ class GopherQuality(BaseSingle):
                 F.when(st["mass"] > 0,
                        st["dup"] / st["mass"].cast("double"))
                 .otherwise(0.0))
-        return df.drop("_z", "_grams",
+        return df.drop("_wh", "_wl",
+                       *["_h{}".format(n) for n in range(1, maxn + 1)],
+                       *["_l{}".format(n) for n in range(1, maxn + 1)],
                        *["_srt{}".format(n) for n in ns],
+                       *["_sta{}".format(n) for n in ns],
+                       *["_run{}".format(n) for n in ns],
                        *["_st{}".format(n) for n in ns])
 
 
