@@ -3597,7 +3597,7 @@ def semdedup(spark, sf_dir):
     never corpus-wide all-pairs."""
     from dask_geomodeling_spark.pipeline.dedup import SemDedup
     return SemDedup(embeddings_src(sf_dir), clusters=4, iters=2,
-                    tau=0.4).plan(spark)
+                    tau=0.4, engine="arrow").plan(spark)
 
 
 @demo("kmeans_ivf_ann", oracle=_kmeans_ivf_oracle())

@@ -928,3 +928,27 @@ def test_dsir_score_saved_model_roundtrip(spark, tmp_path):
     out = DSIRScore(unseen, url, id_column="doc_id",
                     num_buckets=101).plan(spark).collect()
     assert out[0].logweight is not None
+
+
+def test_semdedup_engines_agree(spark):
+    """engine='arrow' (grouped Gram-matrix pair stage) must reproduce
+    the SQL fold's decisions exactly — same summation order, same
+    round-then-threshold rule, including zero-norm rows."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.dedup import SemDedup
+    import random
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(60)]
+    rows.append((60, [0.0] * 8))  # zero-norm: never a dup
+    rows.append((61, list(rows[5][1])))  # exact dup of 5
+    df = spark.createDataFrame(rows,
+                               "vec_id bigint, embedding array<double>")
+    src = DataFrameSource(df, index_column="vec_id")
+    kw = dict(clusters=3, iters=2, tau=0.6)
+    a = sorted(map(tuple, SemDedup(src, engine="sql", **kw)
+                   .plan(spark).collect()))
+    b = sorted(map(tuple, SemDedup(src, engine="arrow", **kw)
+                   .plan(spark).collect()))
+    assert a == b
+    assert any(r[3] for r in a)  # at least the exact dup is marked
