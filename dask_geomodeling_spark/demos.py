@@ -1004,11 +1004,20 @@ def _dd_shingles(n):
 
 
 def documents_src(sf_dir):
+    return ParquetGeometrySource(_pq(sf_dir, "documents"), id_field="doc_id",
+                                 min_partitions="auto")
+
+
+def documents_src_plain(sf_dir):
+    """documents_src without the small-scan repartition — for
+    iterative fits / join-heavy demos whose first move is a shuffle
+    anyway (the exchange would only add a stage)."""
     return ParquetGeometrySource(_pq(sf_dir, "documents"), id_field="doc_id")
 
 
 def embeddings_src(sf_dir):
-    return ParquetGeometrySource(_pq(sf_dir, "embeddings"), id_field="vec_id")
+    return ParquetGeometrySource(_pq(sf_dir, "embeddings"), id_field="vec_id",
+                                 min_partitions="auto")
 
 
 @demo("exact_dedup", oracle="""
@@ -1173,7 +1182,7 @@ def ngram_jaccard(spark, sf_dir):
     """NgramJaccard: exact n-gram Jaccard via prefix-filtered
     inverted-index join (PPJoin-style prefix + length filters)."""
     from dask_geomodeling_spark.pipeline.dedup import NgramJaccard
-    return NgramJaccard(documents_src(sf_dir), n=3, threshold=0.5
+    return NgramJaccard(documents_src_plain(sf_dir), n=3, threshold=0.5
                         ).plan(spark)
 
 
@@ -7105,7 +7114,7 @@ def bpe_train(spark, sf_dir):
     aggregation over the word-frequency table with only the argmax
     pair reaching the driver."""
     from dask_geomodeling_spark.pipeline.text import BPETrain
-    return BPETrain(documents_src(sf_dir), column="text",
+    return BPETrain(documents_src_plain(sf_dir), column="text",
                     n_merges=8).plan(spark)
 
 

@@ -140,14 +140,22 @@ class ParquetGeometrySource(GeometryBlock):
       columns: optional projection (column pruning at the scan).
       projection: CRS the stored geometry columns are in (the
         reference reads it from the file's spatial reference).
+      min_partitions: "auto" repartitions the scan up to the session's
+        cores when it produces fewer partitions (parquet splits are
+        row-group-granular, so a small file otherwise feeds CPU-heavy
+        downstream operators single-core); an int sets the floor
+        explicitly; None (default) leaves the scan partitioning alone.
+        A no-op at cluster scale, where inputs carry many row groups.
     """
 
     def __init__(self, url, id_field="id", time_column=None, columns=None,
-                 projection="EPSG:4326"):
+                 projection="EPSG:4326", min_partitions=None):
         if not isinstance(url, str):
             raise TypeError("'{}' object is not allowed".format(type(url)))
+        if min_partitions is not None and min_partitions != "auto":
+            min_partitions = int(min_partitions)
         super().__init__(url, id_field, time_column, columns,
-                         str(projection).upper())
+                         str(projection).upper(), min_partitions)
 
     @property
     def projection(self):
@@ -177,6 +185,13 @@ class ParquetGeometrySource(GeometryBlock):
         df = ctx.spark.read.parquet(self.url)
         if self.args[3]:
             df = df.select(*self.args[3])
+        minp = self.args[5]
+        if minp is not None:
+            from dask_geomodeling_spark.config import (
+                ensure_min_partitions)
+            df = ensure_min_partitions(
+                df, ctx.spark,
+                None if minp == "auto" else minp)
         return apply_feature_request(df, ctx.request,
                                      time_column=self.time_column)
 

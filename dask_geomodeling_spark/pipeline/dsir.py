@@ -44,24 +44,30 @@ __all__ = ["DSIRSelect", "DSIRScore", "fit_dsir_model",
 
 
 def fit_dsir_model(raw_df, target_df, column="text",
-                   num_buckets=10007):
+                   num_buckets=10007, raw_buckets=None):
     """The DSIR model as a DataFrame: one ``(_bk, _lw)`` row per
     OBSERVED feature bucket (<= num_buckets) plus the sentinel row
     ``_bk = -1`` carrying the unseen-bucket default
     ``ln(1/(T+B)) - ln(1/(R+B))`` — scoring a future corpus meets
     buckets the fit never saw, and those take the zero-count weight,
     not zero.  Two bounded bucket-count aggregations; nothing
-    corpus-sized reaches the driver."""
+    corpus-sized reaches the driver.
+
+    ``raw_buckets``: optional pre-built exploded ``_bk`` stream of the
+    raw corpus (one row per feature occurrence) — pass it when the
+    caller also scores against the same stream so the corpus is
+    hashed once, not once per consumer (DSIRSelect persists it)."""
     B = float(int(num_buckets))
 
-    def bucket_counts(df, cname):
-        g = DSIRSelect._buckets(df, column, num_buckets)
-        return (g.select(F.explode("_b").alias("_bk"))
-                .groupBy("_bk")
+    def bucket_counts(df, cname, pre=None):
+        if pre is None:
+            g = DSIRSelect._buckets(df, column, num_buckets)
+            pre = g.select(F.explode("_b").alias("_bk"))
+        return (pre.select("_bk").groupBy("_bk")
                 .agg(F.count(F.lit(1)).alias(cname)))
 
     ct = bucket_counts(target_df, "_ct")
-    cr = bucket_counts(raw_df, "_cr")
+    cr = bucket_counts(raw_df, "_cr", pre=raw_buckets)
     # the 1-row totals frame feeds both the weight rows and the
     # sentinel; a lazy checkpoint stops the corpus-scanning count
     # aggregations underneath it from evaluating twice
@@ -185,10 +191,17 @@ class DSIRSelect(GeometryBlock):
          round_to) = self.args
         raw = raw_b._build(ctx)
         tgt = tgt_b._build(ctx)
-        wt = fit_dsir_model(raw, tgt, column=column,
-                            num_buckets=num_buckets)
+        # hash the raw corpus ONCE: the exploded gram stream feeds
+        # both the fit's bucket counts and the scoring join, persisted
+        # like the LSH signature table (the 100 TB analogue is an
+        # explicit materialization of the feature stream)
+        from pyspark import StorageLevel
         doc_b = (self._buckets(raw, column, num_buckets)
-                 .select(F.col(idc), F.explode("_b").alias("_bk")))
+                 .select(F.col(idc), F.explode("_b").alias("_bk"))
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+        wt = fit_dsir_model(raw, tgt, column=column,
+                            num_buckets=num_buckets,
+                            raw_buckets=doc_b)
         scored = (doc_b.join(F.broadcast(wt), "_bk")
                   .groupBy(idc)
                   .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"),
