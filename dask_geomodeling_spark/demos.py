@@ -1724,6 +1724,73 @@ WHERE c11 IS NOT NULL
            az=az)
 
 
+def _horn_calc_sql():
+    """Shared CTE text: scatter + 3x3 pivot + Horn gradient over the
+    lineitem grid — the hillshade oracle's prefix, reused by the
+    slope/aspect oracles (same gradient, same edge fallback)."""
+    cells = []
+    for ky in (-1, 0, 1):
+        for kx in (-1, 0, 1):
+            cells.append(
+                "MAX(CASE WHEN ky = {ky} AND kx = {kx} THEN value END)"
+                " AS c{a}{b}".format(ky=ky, kx=kx, a=ky + 1, b=kx + 1))
+
+    def cc(ky, kx):
+        return "COALESCE(c{a}{b}, c11)".format(a=ky + 1, b=kx + 1)
+
+    gx = ("(({p1}) - ({p2})) / 8.0".format(
+        p1=" + ".join([cc(-1, 1), "2*" + cc(0, 1), cc(1, 1)]),
+        p2=" + ".join([cc(-1, -1), "2*" + cc(0, -1), cc(1, -1)])))
+    gy = ("(({p1}) - ({p2})) / 8.0".format(
+        p1=" + ".join([cc(1, -1), "2*" + cc(1, 0), cc(1, 1)]),
+        p2=" + ".join([cc(-1, -1), "2*" + cc(-1, 0), cc(-1, 1)])))
+    return """
+WITH grid AS ({grid}),
+cells AS (SELECT time, y, x, value FROM grid WHERE value IS NOT NULL),
+offs(dy, dx) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                        (1,-1),(1,0),(1,1)),
+n AS (SELECT c.time, c.y + o.dy AS y, c.x + o.dx AS x,
+             -o.dy AS ky, -o.dx AS kx, c.value
+      FROM cells c CROSS JOIN offs o),
+g AS (SELECT time, y, x, {cells} FROM n GROUP BY time, y, x),
+calc AS (
+  SELECT time, y, x, c11, {gx} AS gx, {gy} AS gy FROM g)
+""".format(grid=_grid_sql("R"), cells=", ".join(cells), gx=gx, gy=gy)
+
+
+@demo("raster_slope", oracle=_horn_calc_sql() + """
+SELECT s.time, s.y, s.x,
+       ROUND(degrees(atan(sqrt(gx*gx + gy*gy))), 6) AS value
+FROM calc s
+JOIN (SELECT time, y, x FROM cells) c USING (time, y, x)
+WHERE c11 IS NOT NULL
+""")
+def raster_slope(spark, sf_dir):
+    """Slope (Horn 1981, gdaldem slope semantics on the unit grid):
+    degrees(atan(sqrt(gx^2+gy^2))) from the shared 3x3 conditional
+    aggregation; libm trig rounded to 6 decimals on both sides."""
+    from dask_geomodeling_spark.raster.spatial import Slope
+    block = Slope(lineitem_grid(spark, sf_dir, "R"))
+    return block.plan(spark).withColumn("value", F.round("value", 6))
+
+
+@demo("raster_aspect", oracle=_horn_calc_sql() + """
+SELECT s.time, s.y, s.x,
+       CASE WHEN gx = 0 AND gy = 0 THEN NULL
+            ELSE ROUND(fmod(degrees(atan2(-gx, -gy)) + 360.0, 360.0), 6)
+       END AS value
+FROM calc s
+JOIN (SELECT time, y, x FROM cells) c USING (time, y, x)
+WHERE c11 IS NOT NULL
+""")
+def raster_aspect(spark, sf_dir):
+    """Aspect (gdaldem aspect semantics, north = +y, clockwise):
+    compass degrees of the downslope direction; flat cells NULL."""
+    from dask_geomodeling_spark.raster.spatial import Aspect
+    block = Aspect(lineitem_grid(spark, sf_dir, "R"))
+    return block.plan(spark).withColumn("value", F.round("value", 6))
+
+
 @demo("raster_hillshade", oracle=_hillshade_oracle())
 def raster_hillshade(spark, sf_dir):
     """HillShade (spatial.py:310): Horn gradient via conditional
@@ -6214,6 +6281,51 @@ def raster_warp_bilinear(spark, sf_dir):
                height=_WARP_H, algorithm="bilinear").plan(spark)
     return out.select("time", "y", "x",
                       F.round("value", 6).alias("value"))
+
+
+#: coarse 3857 grid for the DOWNSAMPLING warp — ~8 m target cells,
+#: each covering multiple RD-native cells
+_WARP_AVG_W, _WARP_AVG_H = 13, 7
+
+
+def _raster_warp_average_oracle():
+    from dask_geomodeling_spark.raster.warp import warp_average_sql
+    i, j = warp_average_sql("EPSG:28992", "EPSG:3857", _WARP_BBOX,
+                            _WARP_AVG_W, _WARP_AVG_H)
+    return """
+WITH grid AS ({grid}),
+rd AS (SELECT time, y + 463000 AS y, x + 155000 AS x, value FROM grid),
+b AS (SELECT time, {i} AS _i, {j} AS _j, value
+      FROM rd WHERE value IS NOT NULL)
+SELECT time, _j AS y, _i AS x,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+           AS value
+FROM b
+WHERE _i >= 0 AND _i < {W} AND _j >= 0 AND _j < {H}
+GROUP BY time, _j, _i
+""".format(grid=_grid_sql(), i=i, j=j, W=_WARP_AVG_W, H=_WARP_AVG_H)
+
+
+@demo("raster_warp_average", oracle=_raster_warp_average_oracle())
+def raster_warp_average(spark, sf_dir):
+    """Warp(algorithm='average') — GDAL's 'average' DOWNSAMPLING: the
+    same RD-stored raster served on a coarse EPSG:3857 grid whose
+    cells each cover several native cells.  Direction reverses vs
+    nearest/bilinear: every native data cell's center
+    forward-transforms into the target CRS (the same closed-form SQL
+    the oracle replays), bins into its covering target cell, and the
+    per-cell mean accumulates in DECIMAL so the value is independent
+    of partitioning order — one bounded-key shuffle, the scan side
+    never broadcasts or re-shuffles."""
+    from dask_geomodeling_spark.raster.sources import DataFrameRasterSource
+    from dask_geomodeling_spark.raster.warp import Warp
+    g = lineitem_grid(spark, sf_dir)
+    rd = DataFrameRasterSource(
+        g._df.select("time", (F.col("y") + 463000).alias("y"),
+                     (F.col("x") + 155000).alias("x"), "value"),
+        projection="EPSG:28992")
+    return Warp(rd, "EPSG:3857", bbox=_WARP_BBOX, width=_WARP_AVG_W,
+                height=_WARP_AVG_H, algorithm="average").plan(spark)
 
 
 #: demo BPE merge table — well-formed (operands are chars or outputs of

@@ -15,7 +15,8 @@ from pyspark.sql import functions as F
 
 from dask_geomodeling_spark.raster.base import BaseSingle, RasterBlock
 
-__all__ = ["Dilate", "MovingMax", "Smooth", "HillShade", "Place"]
+__all__ = ["Dilate", "MovingMax", "Smooth", "HillShade", "Slope",
+           "Aspect", "Place"]
 
 
 def _offsets_df(spark, offsets):
@@ -151,6 +152,42 @@ class Smooth(BaseSingle):
                 .select("time", "y", "x", smoothed.alias("value")))
 
 
+def _horn_gradients(ctx, store):
+    """Shared Horn 3×3 gradient build: scatter every data cell to the
+    neighbors that use it, pivot the window back with conditional
+    aggregation (one shuffle), and return ``(df, g, gx, gy)`` — the
+    filtered source, the aggregated window frame (``c11`` = center),
+    and the 8-neighbor weighted gradient Columns with missing
+    neighbors falling back to the center value (the GDAL edge
+    convention this module uses throughout)."""
+    df = store._build(ctx).filter(F.col("value").isNotNull())
+    offs = [(dy, dx, 1.0) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    offsets = _offsets_df(ctx.spark, offs)
+    scattered = (df.crossJoin(offsets)
+                 .select("time",
+                         (F.col("y") + F.col("dy")).alias("y"),
+                         (F.col("x") + F.col("dx")).alias("x"),
+                         (-F.col("dy")).alias("ky"),
+                         (-F.col("dx")).alias("kx"),
+                         "value"))
+
+    def at(ky, kx):
+        return F.max(F.when((F.col("ky") == ky) & (F.col("kx") == kx),
+                            F.col("value")))
+
+    g = (scattered.groupBy("time", "y", "x")
+         .agg(*[at(ky, kx).alias("c{}{}".format(ky + 1, kx + 1))
+                for ky in (-1, 0, 1) for kx in (-1, 0, 1)]))
+    c = {(ky, kx): F.coalesce(
+            F.col("c{}{}".format(ky + 1, kx + 1)), F.col("c11"))
+         for ky in (-1, 0, 1) for kx in (-1, 0, 1)}
+    gx = ((c[(-1, 1)] + 2 * c[(0, 1)] + c[(1, 1)])
+          - (c[(-1, -1)] + 2 * c[(0, -1)] + c[(1, -1)])) / 8.0
+    gy = ((c[(1, -1)] + 2 * c[(1, 0)] + c[(1, 1)])
+          - (c[(-1, -1)] + 2 * c[(-1, 0)] + c[(-1, 1)])) / 8.0
+    return df, g, gx, gy
+
+
 class HillShade(BaseSingle):
     """Hillshade from cell values (reference: raster/spatial.py:310,
     GDAL-style Horn gradient).  The 3×3 neighborhood is pivoted into
@@ -171,34 +208,7 @@ class HillShade(BaseSingle):
         return self.args[2]
 
     def _build(self, ctx):
-        df = self.store._build(ctx).filter(F.col("value").isNotNull())
-        offs = [(dy, dx, 1.0) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
-        offsets = _offsets_df(ctx.spark, offs)
-        # scatter each value to the neighbors that will use it, tagged with
-        # the (inverted) offset it plays in their 3x3 window
-        scattered = (df.crossJoin(offsets)
-                     .select("time",
-                             (F.col("y") + F.col("dy")).alias("y"),
-                             (F.col("x") + F.col("dx")).alias("x"),
-                             (-F.col("dy")).alias("ky"),
-                             (-F.col("dx")).alias("kx"),
-                             "value"))
-
-        def at(ky, kx):
-            return F.max(F.when((F.col("ky") == ky) & (F.col("kx") == kx),
-                                F.col("value")))
-
-        g = (scattered.groupBy("time", "y", "x")
-             .agg(*[at(ky, kx).alias("c{}{}".format(ky + 1, kx + 1))
-                    for ky in (-1, 0, 1) for kx in (-1, 0, 1)]))
-        c = {(ky, kx): F.coalesce(
-                F.col("c{}{}".format(ky + 1, kx + 1)), F.col("c11"))
-             for ky in (-1, 0, 1) for kx in (-1, 0, 1)}
-        # Horn gradient (8-neighbor weighted)
-        gx = ((c[(-1, 1)] + 2 * c[(0, 1)] + c[(1, 1)])
-              - (c[(-1, -1)] + 2 * c[(0, -1)] + c[(1, -1)])) / 8.0
-        gy = ((c[(1, -1)] + 2 * c[(1, 0)] + c[(1, 1)])
-              - (c[(-1, -1)] + 2 * c[(-1, 0)] + c[(-1, 1)])) / 8.0
+        df, g, gx, gy = _horn_gradients(ctx, self.store)
         alt = math.radians(self.altitude)
         az = math.radians(self.azimuth)
         xx_plus_yy = gx * gx + gy * gy
@@ -213,6 +223,58 @@ class HillShade(BaseSingle):
                        .alias("value"))
         original = df.select("time", "y", "x")
         return out.join(original, ["time", "y", "x"], "left_semi")
+
+
+class Slope(BaseSingle):
+    """Slope in degrees from cell values — the standard Horn (1981)
+    terrain derivative GDAL's ``gdaldem slope`` computes (no reference
+    analogue: the reference ships HillShade only, raster/spatial.py:310;
+    same gradient, so the two compose consistently).
+
+    ``slope = degrees(atan(z_factor · sqrt(gx² + gy²)))`` over the
+    unit-cell grid; ``z_factor`` rescales vertical units (e.g. the
+    cell size in ground units).  Same scatter + conditional-
+    aggregation plan as HillShade — one shuffle, no window."""
+
+    def __init__(self, store, z_factor=1.0):
+        if not isinstance(z_factor, (int, float)):
+            raise TypeError(
+                "'{}' object is not allowed".format(type(z_factor)))
+        super().__init__(store, float(z_factor))
+
+    def _build(self, ctx):
+        df, g, gx, gy = _horn_gradients(ctx, self.store)
+        z = float(self.args[1])
+        slope = F.degrees(F.atan(F.lit(z) * F.sqrt(gx * gx + gy * gy)))
+        out = g.select("time", "y", "x",
+                       F.when(F.col("c11").isNotNull(), slope)
+                       .alias("value"))
+        return out.join(df.select("time", "y", "x"),
+                        ["time", "y", "x"], "left_semi")
+
+
+class Aspect(BaseSingle):
+    """Downslope direction as compass degrees [0, 360) — ``gdaldem
+    aspect`` with north = +y, clockwise (no reference analogue; Horn
+    gradient shared with HillShade/Slope).
+
+    ``aspect = (degrees(atan2(-gx, -gy)) + 360) % 360``; flat cells
+    (zero gradient) return NULL (GDAL's nodata convention for flat
+    terrain)."""
+
+    def __init__(self, store):
+        super().__init__(store)
+
+    def _build(self, ctx):
+        df, g, gx, gy = _horn_gradients(ctx, self.store)
+        flat = (gx == 0) & (gy == 0)
+        compass = F.pmod(F.degrees(F.atan2(-gx, -gy)) + 360.0,
+                         F.lit(360.0))
+        out = g.select("time", "y", "x",
+                       F.when(F.col("c11").isNotNull() & ~flat, compass)
+                       .alias("value"))
+        return out.join(df.select("time", "y", "x"),
+                        ["time", "y", "x"], "left_semi")
 
 
 class Place(BaseSingle):

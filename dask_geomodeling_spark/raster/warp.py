@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 
 from dask_geomodeling_spark.raster.base import BaseSingle
 
-__all__ = ["Warp", "warp_grid_sql", "warp_bilinear_sql"]
+__all__ = ["Warp", "warp_grid_sql", "warp_bilinear_sql",
+           "warp_average_sql"]
 
 
 def _center_sql(dst_crs, native_crs, bbox, width, height):
@@ -72,6 +73,29 @@ def warp_bilinear_sql(dst_crs, native_crs, bbox, width, height):
             "ROUND({} - 0.5, 6)".format(sy))
 
 
+def warp_average_sql(native_crs, dst_crs, bbox, width, height):
+    """The portable SQL pair ``(i, j)`` binning a native cell's center
+    ``(x + 0.5, y + 0.5)`` into the target grid — the 'average'
+    algorithm's forward direction (source→grid).  Shared verbatim with
+    the DuckDB oracles; ROUND(6) before the floor pins cross-engine
+    ulp drift exactly like the nearest path."""
+    from dask_geomodeling_spark.geometry.proj import point_transform_sql
+    x1, y1, x2, y2 = (float(v) for v in bbox)
+    dx = (x2 - x1) / int(width)
+    dy = (y2 - y1) / int(height)
+    cx, cy = "(CAST(x AS DOUBLE) + 0.5)", "(CAST(y AS DOUBLE) + 0.5)"
+    native, dst = str(native_crs).upper(), str(dst_crs).upper()
+    if native != dst:
+        cx, cy = point_transform_sql(native, dst, cx, cy)
+    i = ("CAST(FLOOR(ROUND(({cx} - CAST({x1!r} AS DOUBLE)) "
+         "/ CAST({dx!r} AS DOUBLE), 6)) AS BIGINT)").format(
+        cx=cx, x1=x1, dx=dx)
+    j = ("CAST(FLOOR(ROUND(({cy} - CAST({y1!r} AS DOUBLE)) "
+         "/ CAST({dy!r} AS DOUBLE), 6)) AS BIGINT)").format(
+        cy=cy, y1=y1, dy=dy)
+    return i, j
+
+
 class Warp(BaseSingle):
     """Resample a raster onto the request grid in a different CRS
     (reference: the implicit warp of raster/base.py:9 get_data).
@@ -98,16 +122,20 @@ class Warp(BaseSingle):
         grid and aggregates per target cell with a fixed-corner-order
         sum, so the result is bit-deterministic; the shuffle it adds
         is bounded by 4·width·height rows (output-sized, never
-        source-sized).
+        source-sized).  ``'average'`` is the DOWNSAMPLING algorithm
+        (GDAL 'average'): every native data cell whose center falls
+        in a target cell contributes to that cell's mean — see
+        ``_build_average`` for the reversed (source→grid) direction
+        and the decimal-mean determinism contract.
     """
 
     def __init__(self, store, projection=None, bbox=None, width=None,
                  height=None, algorithm="nearest"):
         if bbox is not None:
             bbox = tuple(float(v) for v in bbox)
-        if algorithm not in ("nearest", "bilinear"):
-            raise ValueError("algorithm must be 'nearest' or "
-                             "'bilinear', got {!r}".format(algorithm))
+        if algorithm not in ("nearest", "bilinear", "average"):
+            raise ValueError("algorithm must be 'nearest', 'bilinear' "
+                             "or 'average', got {!r}".format(algorithm))
         super().__init__(store, projection, bbox,
                          None if width is None else int(width),
                          None if height is None else int(height),
@@ -132,6 +160,9 @@ class Warp(BaseSingle):
         native = str(self.store.projection).upper()
         x1, y1, x2, y2 = (float(v) for v in bbox)
         width, height = int(width), int(height)
+        if self.args[5] == "average":
+            return self._build_average(ctx, dst, native,
+                                       (x1, y1, x2, y2), width, height)
 
         # child request: the target window's envelope in the SOURCE
         # CRS (corner transform, 1-cell margin) — scan pruning keeps
@@ -218,6 +249,64 @@ class Warp(BaseSingle):
         joined = cells.join(
             F.broadcast(grid),
             (cells["x"] == grid["_sx"]) & (cells["y"] == grid["_sy"]))
+        return self._bilinear_agg(joined)
+
+    def _build_average(self, ctx, dst, native, bbox, width, height):
+        """GDAL-style 'average' resampling — the DOWNSAMPLING path:
+        each SOURCE cell center forward-transforms into the target
+        CRS, bins into the target cell it falls in, and contributing
+        data cells mean per target cell.  The direction is reversed
+        vs nearest/bilinear (source→grid instead of grid→source)
+        because when target cells cover many native cells a
+        center-sample would alias; the one shuffle is the
+        bounded-key (≤ width·height groups) mean aggregation with
+        map-side partials, and the mean accumulates in DECIMAL so
+        the result is independent of partitioning/order (§6 rule 11).
+        """
+        import math as _m
+
+        from dask_geomodeling_spark.geometry.proj import (
+            _transform_stages, transform_extent)
+        x1, y1, x2, y2 = bbox
+        if dst == native:
+            nb = bbox
+        else:
+            nb = transform_extent(bbox, dst, native)
+        child = ctx.child(
+            bbox=(_m.floor(nb[0]) - 1, _m.floor(nb[1]) - 1,
+                  _m.ceil(nb[2]) + 1, _m.ceil(nb[3]) + 1),
+            width=None, height=None, projection=None)
+        cells = self.store._build(child)
+        src = cells.withColumns({
+            "_cx": F.expr("CAST(x AS DOUBLE) + 0.5"),
+            "_cy": F.expr("CAST(y AS DOUBLE) + 0.5")})
+        for stage in _transform_stages(native, dst):
+            sx, sy = stage("_cx", "_cy")
+            src = src.withColumns({"_cx": F.expr(sx),
+                                   "_cy": F.expr(sy)})
+        dx = (x2 - x1) / width
+        dy = (y2 - y1) / height
+        src = src.withColumns({
+            "_i": F.expr(
+                "CAST(FLOOR(ROUND((_cx - CAST({x1!r} AS DOUBLE)) "
+                "/ CAST({dx!r} AS DOUBLE), 6)) AS BIGINT)".format(
+                    x1=x1, dx=dx)),
+            "_j": F.expr(
+                "CAST(FLOOR(ROUND((_cy - CAST({y1!r} AS DOUBLE)) "
+                "/ CAST({dy!r} AS DOUBLE), 6)) AS BIGINT)".format(
+                    y1=y1, dy=dy))})
+        return (src.where((F.col("_i") >= 0) & (F.col("_i") < width)
+                          & (F.col("_j") >= 0) & (F.col("_j") < height)
+                          & F.col("value").isNotNull())
+                .groupBy("time", "_j", "_i")
+                .agg((F.sum(F.col("value").cast("decimal(28,6)"))
+                      .cast("double") / F.count(F.lit(1)))
+                     .alias("value"))
+                .select("time", F.col("_j").alias("y"),
+                        F.col("_i").alias("x"), "value"))
+
+    @staticmethod
+    def _bilinear_agg(joined):
         pivots = []
         for k in range(4):
             pivots.append(F.max(F.when(F.col("_k") == k,

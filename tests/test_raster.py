@@ -331,6 +331,29 @@ def test_warp_identity_grid(spark):
     assert rows == exp
 
 
+def test_warp_average_identity_downsample(spark):
+    """algorithm='average' on a same-CRS 2x downsample: each target
+    cell is the exact mean of its 2x2 native block; a nodata hole
+    drops out of that cell's mean (3-cell average), and a fully-empty
+    block emits no row."""
+    from dask_geomodeling_spark.raster.sources import MemorySource
+    from dask_geomodeling_spark.raster.warp import Warp
+    data = [[10.0 * y + x for x in range(8)] for y in range(8)]
+    data[0][0] = None  # nodata hole in block (j=0, i=0)
+    src = MemorySource(data, no_data_value=None)
+    w = Warp(src, "EPSG:4326", bbox=(0, 0, 8, 8), width=4, height=4,
+             algorithm="average")
+    rows = {(r.y, r.x): r.value for r in w.plan(spark).collect()}
+    assert rows[(0, 0)] == (1.0 + 10.0 + 11.0) / 3
+    for j in range(4):
+        for i in range(4):
+            if (j, i) == (0, 0):
+                continue
+            vals = [10.0 * (2 * j + dy) + (2 * i + dx)
+                    for dy in (0, 1) for dx in (0, 1)]
+            assert rows[(j, i)] == sum(vals) / 4.0, (j, i)
+
+
 def test_warp_cross_crs_via_get_data(spark):
     from dask_geomodeling_spark.geometry.proj import transform_extent
     from dask_geomodeling_spark.raster.sources import MemorySource
@@ -479,3 +502,25 @@ def test_warp_datum_crs_staged(spark):
         if 530000 <= nx < 530008 and 180000 <= ny < 180008:
             expect = float((ny - 180000) * 8 + (nx - 530000))
             assert rows[(j, i)] == expect, (j, i)
+
+
+def test_slope_aspect_on_ramp(spark):
+    """Plane z = x: interior Horn gradient gx=1, gy=0 -> slope 45
+    degrees, downslope points -x = compass 270 (north=+y); a flat
+    plane gives slope 0 and NULL aspect."""
+    from dask_geomodeling_spark.raster.sources import MemorySource
+    from dask_geomodeling_spark.raster.spatial import Aspect, Slope
+    ramp = MemorySource([[float(x) for x in range(6)] for _ in range(6)])
+    s = {(r.y, r.x): r.value
+         for r in Slope(ramp).plan(spark).collect()}
+    a = {(r.y, r.x): r.value
+         for r in Aspect(ramp).plan(spark).collect()}
+    assert abs(s[(2, 2)] - 45.0) < 1e-9
+    assert abs(a[(2, 2)] - 270.0) < 1e-9
+    flat = MemorySource([[7.0] * 4 for _ in range(4)])
+    sf = {(r.y, r.x): r.value
+          for r in Slope(flat).plan(spark).collect()}
+    af = {(r.y, r.x): r.value
+          for r in Aspect(flat).plan(spark).collect()}
+    assert all(v == 0.0 for v in sf.values())
+    assert all(v is None for v in af.values())
