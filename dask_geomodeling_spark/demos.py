@@ -5967,6 +5967,46 @@ def ngram_perplexity(spark, sf_dir):
     return NgramPerplexity(documents_src(sf_dir)).plan(spark)
 
 
+@demo("kn_perplexity", oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> length(t) > 0) AS w
+  FROM documents),
+bi AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+  WHERE len(w) >= 2),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+ctxt AS (SELECT w1, COUNT(*) AS c1, COUNT(DISTINCT w2) AS n1f
+         FROM bi GROUP BY w1),
+cont AS (SELECT w2, COUNT(DISTINCT w1) AS n1b FROM bi GROUP BY w2),
+ty AS (SELECT COUNT(*) AS t
+       FROM (SELECT DISTINCT w1, w2 FROM bi)),
+s AS (
+  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+         SUM(ln(greatest(c2.c2 - 0.75, 0.0) / ctxt.c1
+                + 0.75 * ctxt.n1f / ctxt.c1
+                  * (cont.n1b / CAST(ty.t AS DOUBLE)))) AS lp
+  FROM bi b JOIN c2 USING (w1, w2) JOIN ctxt USING (w1)
+       JOIN cont USING (w2) CROSS JOIN ty
+  GROUP BY b.doc_id)
+SELECT d.doc_id, s.n_bigrams,
+       ROUND(s.lp / s.n_bigrams, 6) AS avg_logprob,
+       ROUND(exp(-(s.lp / s.n_bigrams)), 6) AS perplexity
+FROM documents d LEFT JOIN s USING (doc_id)
+""")
+def kn_perplexity(spark, sf_dir):
+    """KneserNeyPerplexity: interpolated Kneser-Ney bigram scoring —
+    the smoothing KenLM actually ships (CCNet's scorer), absolute
+    discount D=0.75 interpolated with the continuation distribution
+    N1+(.,w2)/|bigram types|.  Three count DataFrames join back onto
+    the bigram stream (model-as-DataFrame, like NgramPerplexity); the
+    oracle replays the identical fit, ROUND(6) on both sides."""
+    from dask_geomodeling_spark.pipeline.lm import KneserNeyPerplexity
+    return KneserNeyPerplexity(documents_src(sf_dir)).plan(spark)
+
+
 @demo("corpus_prep_classifier", oracle="""
 WITH q AS (
  SELECT doc_id, lang, length(text) AS n,

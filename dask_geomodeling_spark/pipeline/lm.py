@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from dask_geomodeling_spark.geometry.base import BaseSingle
 
-__all__ = ["NgramPerplexity"]
+__all__ = ["NgramPerplexity", "KneserNeyPerplexity"]
 
 
 class NgramPerplexity(BaseSingle):
@@ -87,6 +87,101 @@ class NgramPerplexity(BaseSingle):
                        F.sum(F.log((F.col("_c2") + 1.0)
                                    / (F.col("_c1") + F.col("_v"))))
                        .alias("_lp")))
+        avg = F.col("_lp") / F.col("n_bigrams")
+        scored = scored.select(
+            id_column, "n_bigrams",
+            F.round(avg, round_to).alias("avg_logprob"),
+            F.round(F.exp(-avg), round_to).alias("perplexity"))
+        return (df.select(id_column).join(scored, id_column, "left"))
+
+class KneserNeyPerplexity(BaseSingle):
+    """Interpolated Kneser–Ney bigram perplexity per document — the
+    smoothing family KenLM actually ships (Heafield 2011; CCNet scores
+    with a KN-smoothed KenLM model), vs :class:`NgramPerplexity`'s
+    add-one baseline.
+
+    Absolute discounting with a fixed discount ``D`` interpolated with
+    the CONTINUATION distribution::
+
+        P(w2 | w1) = max(c(w1,w2) − D, 0) / c(w1·)
+                     + D · N1+(w1,·) / c(w1·) · Pcont(w2)
+        Pcont(w2)  = N1+(·,w2) / |bigram types|
+
+    where ``c(w1·)`` is the context's bigram-occurrence count,
+    ``N1+(w1,·)`` its distinct continuation count, and ``N1+(·,w2)``
+    the distinct contexts preceding ``w2``.  Σ_w2 P(w2|w1) = 1 for
+    every seen context (pinned by a pytest).  Unseen contexts (only
+    reachable when scoring a corpus the fit never saw) back off to
+    ``Pcont`` alone.
+
+    Same Spark shape as NgramPerplexity: the model is three count
+    DataFrames joined back onto the per-document bigram stream —
+    nothing vocabulary-sized reaches the driver; the bigram-type
+    total rides a broadcast one-row frame.  Documents with < 2 tokens
+    score NULL.
+
+    Output: ``<id_column>``, ``n_bigrams``, ``avg_logprob``,
+    ``perplexity`` (rounded to ``round_to``).
+    """
+
+    def __init__(self, source, text_column="text", id_column="doc_id",
+                 discount=0.75, round_to=6):
+        d = float(discount)
+        if not (0.0 < d < 1.0):
+            raise ValueError("discount must be in (0, 1)")
+        super().__init__(source, text_column, id_column, d,
+                         int(round_to))
+
+    @property
+    def columns(self):
+        return {self.args[2], "n_bigrams", "avg_logprob", "perplexity"}
+
+    def _build(self, ctx):
+        _, text_column, id_column, d, round_to = self.args
+        df = self.source._build(ctx)
+        toks = (df.select(
+            F.col(id_column),
+            F.split(F.trim(F.lower(F.col(text_column))), r"\s+")
+            .alias("_w"))
+            .withColumn("_w", F.expr(
+                "filter(_w, t -> length(t) > 0)")))
+        bigrams = toks.select(
+            id_column,
+            F.explode(F.expr(
+                "CASE WHEN size(_w) >= 2 THEN "
+                "transform(sequence(1, size(_w) - 1), "
+                "i -> struct(_w[i - 1] AS w1, _w[i] AS w2)) "
+                "ELSE array() END")).alias("_b")
+        ).select(id_column, F.col("_b.w1").alias("w1"),
+                 F.col("_b.w2").alias("w2"))
+        c_bi = (bigrams.groupBy("w1", "w2")
+                .agg(F.count(F.lit(1)).alias("_c2")))
+        # context table: occurrence count + distinct continuations
+        ctxt = (bigrams.groupBy("w1")
+                .agg(F.count(F.lit(1)).alias("_c1"),
+                     F.countDistinct("w2").alias("_n1f")))
+        # continuation table: distinct preceding contexts per w2
+        cont = (bigrams.groupBy("w2")
+                .agg(F.countDistinct("w1").alias("_n1b")))
+        types = (bigrams.select("w1", "w2").distinct()
+                 .agg(F.count(F.lit(1)).alias("_t")))
+        pcont = F.col("_n1b") / F.col("_t")
+        p = (F.greatest(F.col("_c2") - F.lit(d), F.lit(0.0))
+             / F.col("_c1")
+             + F.lit(d) * F.col("_n1f") / F.col("_c1") * pcont)
+        scored = (bigrams
+                  .join(c_bi, ["w1", "w2"], "left")
+                  .join(ctxt, ["w1"], "left")
+                  .join(cont, ["w2"], "left")
+                  .crossJoin(F.broadcast(types))
+                  .select(id_column,
+                          F.when(F.col("_c1").isNotNull(), p)
+                          .otherwise(F.coalesce(pcont, F.lit(0.0)))
+                          .alias("_p"))
+                  .groupBy(id_column)
+                  .agg(F.count(F.lit(1)).cast("bigint")
+                       .alias("n_bigrams"),
+                       F.sum(F.log(F.col("_p"))).alias("_lp")))
         avg = F.col("_lp") / F.col("n_bigrams")
         scored = scored.select(
             id_column, "n_bigrams",

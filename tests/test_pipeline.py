@@ -952,3 +952,29 @@ def test_semdedup_engines_agree(spark):
                    .plan(spark).collect()))
     assert a == b
     assert any(r[3] for r in a)  # at least the exact dup is marked
+
+
+def test_kneser_ney_hand_computed(spark):
+    """Corpus 'a b a c' (one doc): D=0.75 interpolated KN gives
+    P(b|a)=P(c|a)=0.375, P(a|b)=0.5 — and per seen context the
+    distribution sums to 1 (the KN normalization invariant)."""
+    import math
+
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.lm import KneserNeyPerplexity
+    df = spark.createDataFrame([(1, "a b a c"), (2, "x")],
+                               "doc_id bigint, text string")
+    out = KneserNeyPerplexity(
+        DataFrameSource(df, index_column="doc_id")).plan(spark)
+    got = {r["doc_id"]: r for r in out.collect()}
+    lp = (math.log(0.375) + math.log(0.5) + math.log(0.375)) / 3
+    assert got[1]["n_bigrams"] == 3
+    assert abs(got[1]["avg_logprob"] - round(lp, 6)) < 1e-9
+    assert abs(got[1]["perplexity"] - round(math.exp(-lp), 6)) < 1e-9
+    assert got[2]["avg_logprob"] is None  # < 2 tokens: no evidence
+    # normalization: sum over the seen continuations of context 'a'
+    # plus the continuation mass of every OTHER vocab word must be 1
+    # (P(b|a) + P(c|a) already covers seen; unseen w2 under context
+    # 'a' get D*N1f/c1 * Pcont(w2); vocab = {a,b,c}, Pcont(a)=1/3)
+    p_unseen_a = 0.75 * 2 / 2 * (1.0 / 3)
+    assert abs((0.375 + 0.375 + p_unseen_a) - 1.0) < 1e-12
