@@ -2845,6 +2845,64 @@ def polygon_area_holes(spark, sf_dir):
     return view.plan(spark).select("s_suppkey", "area", "perimeter")
 
 
+@demo("spatial_join", oracle="""
+WITH pts AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 200 AS DOUBLE) / 4 + 0.125 AS x,
+         CAST((c_custkey * 7) % 160 AS DOUBLE) / 4 + 0.125 AS y
+  FROM customer),
+poly AS (
+  SELECT s_suppkey,
+         CAST(s_suppkey % 50 AS DOUBLE) AS x0,
+         CAST((s_suppkey * 3) % 40 AS DOUBLE) AS y0,
+         CAST(3 + s_suppkey % 5 AS DOUBLE) AS w,
+         CAST(2 + s_suppkey % 4 AS DOUBLE) AS h
+  FROM supplier)
+SELECT p.c_custkey, p.x, p.y, q.s_suppkey
+FROM pts p JOIN poly q
+  ON p.x > q.x0 AND p.x < q.x0 + q.w
+ AND p.y > q.y0 AND p.y < q.y0 + q.h
+ AND NOT (p.x > q.x0 + 1 AND p.x < q.x0 + 2
+          AND p.y > q.y0 + 1 AND p.y < q.y0 + 2)
+""")
+def spatial_join(spark, sf_dir):
+    """SpatialJoin: distributed point-in-polygon join — customer
+    points against per-supplier donut polygons (rings with a hole).
+    Both sides key into a uniform grid (cell_size=4), ONE equi-join on
+    the cell pairs candidates, and the exact even-odd ray cast over
+    the rings decides.  Points sit on 0.125-offset quarter steps so no
+    point lies on a polygon edge; the oracle replays the containment
+    as closed-form box arithmetic (rectangle minus hole), which equals
+    the ray cast off-boundary."""
+    from dask_geomodeling_spark.geometry.spatial_join import SpatialJoin
+    customer = read_nanos_parquet(spark, _pq(sf_dir, "customer"))
+    pts = customer.select(
+        "c_custkey",
+        (F.expr("CAST(c_custkey % 200 AS DOUBLE)") / 4 + 0.125)
+        .alias("x"),
+        (F.expr("CAST((c_custkey * 7) % 160 AS DOUBLE)") / 4 + 0.125)
+        .alias("y"))
+    supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    x0 = "CAST(s_suppkey % 50 AS DOUBLE)"
+    y0 = "CAST((s_suppkey * 3) % 40 AS DOUBLE)"
+    w = "CAST(3 + s_suppkey % 5 AS DOUBLE)"
+    h = "CAST(2 + s_suppkey % 4 AS DOUBLE)"
+    rings = ("array("
+             "array(array({x0}, {y0}), array({x0} + {w}, {y0}), "
+             "array({x0} + {w}, {y0} + {h}), array({x0}, {y0} + {h})), "
+             "array(array({x0} + 1.0, {y0} + 1.0), "
+             "array({x0} + 1.0, {y0} + 2.0), "
+             "array({x0} + 2.0, {y0} + 2.0), "
+             "array({x0} + 2.0, {y0} + 1.0)))"
+             ).format(x0=x0, y0=y0, w=w, h=h)
+    polys = supplier.select("s_suppkey", F.expr(rings).alias("rings"))
+    join = SpatialJoin(
+        DataFrameSource(pts, index_column="c_custkey"),
+        DataFrameSource(polys, index_column="s_suppkey"),
+        cell_size=4.0, right_columns=["s_suppkey"])
+    return join.plan(spark).select("c_custkey", "x", "y", "s_suppkey")
+
+
 @demo("wkb_source_roundtrip", oracle="""
 SELECT s_suppkey,
        CAST(s_suppkey % 50 AS DOUBLE) AS xmin,

@@ -525,3 +525,13 @@ def test_dsir_model_join_broadcasts(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_spatial_join_no_cartesian(spark):
+    """SpatialJoin pairs candidates through the grid-cell equi-join —
+    never a cross/cartesian product, whatever the polygon count."""
+    from dask_geomodeling_spark import demos
+    plan = plan_of(demos.QUERIES["spatial_join"](spark, SF_DIR),
+                   "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

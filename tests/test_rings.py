@@ -230,3 +230,37 @@ def test_dp_simplify_rejects_unknown_algorithm(spark):
     with _pytest.raises(ValueError, match="algorithm"):
         Simplify(DataFrameSource(df, index_column="id"),
                  tolerance=1.0, algorithm="vw")
+
+
+def test_spatial_join_rings_and_left(spark):
+    """Point-in-polygon join: hole excluded, outside points NULL on
+    how='left', bbox-only right side works too."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.geometry.spatial_join import SpatialJoin
+    pts = spark.createDataFrame(
+        [(1, 0.5, 0.5),    # inside outer, outside hole
+         (2, 1.5, 1.5),    # inside the hole -> not contained
+         (3, 9.5, 9.5)],   # far outside
+        "pid bigint, x double, y double")
+    polys = spark.createDataFrame(
+        [(10, [[[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]],
+               [[1.0, 1.0], [1.0, 2.0], [2.0, 2.0], [2.0, 1.0]]])],
+        "gid bigint, rings array<array<array<double>>>")
+    j = SpatialJoin(DataFrameSource(pts, index_column="pid"),
+                    DataFrameSource(polys, index_column="gid"),
+                    cell_size=2.0)
+    got = sorted((r["pid"], r["gid"]) for r in j.plan(spark).collect())
+    assert got == [(1, 10)]
+    jl = SpatialJoin(DataFrameSource(pts, index_column="pid"),
+                     DataFrameSource(polys, index_column="gid"),
+                     cell_size=2.0, how="left")
+    got = sorted((r["pid"], r["gid"]) for r in jl.plan(spark).collect())
+    assert got == [(1, 10), (2, None), (3, None)]
+    boxes = spark.createDataFrame(
+        [(20, 0.0, 0.0, 4.0, 4.0)],
+        "gid bigint, xmin double, ymin double, xmax double, ymax double")
+    jb = SpatialJoin(DataFrameSource(pts, index_column="pid"),
+                     DataFrameSource(boxes, index_column="gid"),
+                     cell_size=2.0)
+    got = sorted((r["pid"], r["gid"]) for r in jb.plan(spark).collect())
+    assert got == [(1, 20), (2, 20)]  # box test keeps the hole point
