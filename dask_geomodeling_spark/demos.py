@@ -1754,8 +1754,52 @@ n AS (SELECT c.time, c.y + o.dy AS y, c.x + o.dx AS x,
       FROM cells c CROSS JOIN offs o),
 g AS (SELECT time, y, x, {cells} FROM n GROUP BY time, y, x),
 calc AS (
-  SELECT time, y, x, c11, {gx} AS gx, {gy} AS gy FROM g)
-""".format(grid=_grid_sql("R"), cells=", ".join(cells), gx=gx, gy=gy)
+  SELECT time, y, x, c11, {gx} AS gx, {gy} AS gy FROM g),
+w AS (SELECT time, y, x, c11, {coal} FROM g)
+""".format(grid=_grid_sql("R"), cells=", ".join(cells), gx=gx, gy=gy,
+           coal=", ".join(
+               "COALESCE(c{a}{b}, c11) AS w{a}{b}".format(a=ky + 1,
+                                                          b=kx + 1)
+               for ky in (-1, 0, 1) for kx in (-1, 0, 1)))
+
+
+@demo("raster_tri", oracle=_horn_calc_sql() + """
+SELECT s.time, s.y, s.x, ROUND((abs(w00 - w11) + abs(w01 - w11) + abs(w02 - w11) + abs(w10 - w11) + abs(w12 - w11) + abs(w20 - w11) + abs(w21 - w11) + abs(w22 - w11)) / 8.0, 6) AS value
+FROM w s JOIN (SELECT time, y, x FROM cells) c USING (time, y, x)
+WHERE c11 IS NOT NULL
+""".format(tri="abs(w00 - w11) + abs(w01 - w11) + abs(w02 - w11) + abs(w10 - w11) + abs(w12 - w11) + abs(w20 - w11) + abs(w21 - w11) + abs(w22 - w11)"))
+def raster_tri(spark, sf_dir):
+    """TRI (gdaldem TRI -alg Wilson): mean |neighbor - center| over
+    the shared 3x3 conditional-aggregation window."""
+    from dask_geomodeling_spark.raster.spatial import TRI
+    return (TRI(lineitem_grid(spark, sf_dir, "R")).plan(spark)
+            .withColumn("value", F.round("value", 6)))
+
+
+@demo("raster_tpi", oracle=_horn_calc_sql() + """
+SELECT s.time, s.y, s.x, ROUND(w11 - (w00 + w01 + w02 + w10 + w12 + w20 + w21 + w22) / 8.0, 6) AS value
+FROM w s JOIN (SELECT time, y, x FROM cells) c USING (time, y, x)
+WHERE c11 IS NOT NULL
+""".format(tpi="w00 + w01 + w02 + w10 + w12 + w20 + w21 + w22"))
+def raster_tpi(spark, sf_dir):
+    """TPI (gdaldem TPI): center minus 8-neighbor mean — ridges
+    positive, valleys negative."""
+    from dask_geomodeling_spark.raster.spatial import TPI
+    return (TPI(lineitem_grid(spark, sf_dir, "R")).plan(spark)
+            .withColumn("value", F.round("value", 6)))
+
+
+@demo("raster_roughness", oracle=_horn_calc_sql() + """
+SELECT s.time, s.y, s.x,
+       ROUND(greatest(w00, w01, w02, w10, w11, w12, w20, w21, w22) - least(w00, w01, w02, w10, w11, w12, w20, w21, w22), 6) AS value
+FROM w s JOIN (SELECT time, y, x FROM cells) c USING (time, y, x)
+WHERE c11 IS NOT NULL
+""".format(ws="w00, w01, w02, w10, w11, w12, w20, w21, w22"))
+def raster_roughness(spark, sf_dir):
+    """Roughness (gdaldem roughness): max - min over the 3x3 window."""
+    from dask_geomodeling_spark.raster.spatial import Roughness
+    return (Roughness(lineitem_grid(spark, sf_dir, "R")).plan(spark)
+            .withColumn("value", F.round("value", 6)))
 
 
 @demo("raster_slope", oracle=_horn_calc_sql() + """

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from dask_geomodeling_spark.raster.base import BaseSingle, RasterBlock
 
 __all__ = ["Dilate", "MovingMax", "Smooth", "HillShade", "Slope",
-           "Aspect", "Place"]
+           "Aspect", "TRI", "TPI", "Roughness", "Place"]
 
 
 def _offsets_df(spark, offsets):
@@ -275,6 +275,76 @@ class Aspect(BaseSingle):
                        .alias("value"))
         return out.join(df.select("time", "y", "x"),
                         ["time", "y", "x"], "left_semi")
+
+
+class _Window3Metric(BaseSingle):
+    """Shared base for the gdaldem 3×3 window metrics (TRI / TPI /
+    Roughness — no reference analogue; the neighborhood build is the
+    HillShade scatter + conditional aggregation, one shuffle).
+    Missing neighbors fall back to the center value, the module's
+    edge convention (their diff contributes zero)."""
+
+    def _metric(self, c):
+        raise NotImplementedError
+
+    def _build(self, ctx):
+        df, g, _, _ = _horn_gradients(ctx, self.store)
+        c = {(ky, kx): F.coalesce(
+                F.col("c{}{}".format(ky + 1, kx + 1)), F.col("c11"))
+             for ky in (-1, 0, 1) for kx in (-1, 0, 1)}
+        out = g.select("time", "y", "x",
+                       F.when(F.col("c11").isNotNull(),
+                              self._metric(c)).alias("value"))
+        return out.join(df.select("time", "y", "x"),
+                        ["time", "y", "x"], "left_semi")
+
+
+_NEIGHBORS = [(ky, kx) for ky in (-1, 0, 1) for kx in (-1, 0, 1)
+              if (ky, kx) != (0, 0)]
+
+
+class TRI(_Window3Metric):
+    """Terrain Ruggedness Index, Wilson et al. variant (``gdaldem TRI
+    -alg Wilson``): mean |neighbor − center| over the 8-neighborhood.
+    """
+
+    def __init__(self, store):
+        super().__init__(store)
+
+    def _metric(self, c):
+        center = c[(0, 0)]
+        s = F.lit(0.0)
+        for k in _NEIGHBORS:
+            s = s + F.abs(c[k] - center)
+        return s / 8.0
+
+
+class TPI(_Window3Metric):
+    """Topographic Position Index (``gdaldem TPI``): center minus the
+    mean of its 8 neighbors — positive on ridges, negative in valleys.
+    """
+
+    def __init__(self, store):
+        super().__init__(store)
+
+    def _metric(self, c):
+        center = c[(0, 0)]
+        s = F.lit(0.0)
+        for k in _NEIGHBORS:
+            s = s + c[k]
+        return center - s / 8.0
+
+
+class Roughness(_Window3Metric):
+    """Roughness (``gdaldem roughness``): max − min over the full 3×3
+    window."""
+
+    def __init__(self, store):
+        super().__init__(store)
+
+    def _metric(self, c):
+        vals = [c[(ky, kx)] for ky in (-1, 0, 1) for kx in (-1, 0, 1)]
+        return F.greatest(*vals) - F.least(*vals)
 
 
 class Place(BaseSingle):

@@ -524,3 +524,18 @@ def test_slope_aspect_on_ramp(spark):
           for r in Aspect(flat).plan(spark).collect()}
     assert all(v == 0.0 for v in sf.values())
     assert all(v is None for v in af.values())
+
+
+def test_tri_tpi_roughness_on_ramp(spark):
+    """Plane z = x interior: TRI = mean|dx| = 6/8, TPI = 0 (plane),
+    roughness = 2 (window spans x-1..x+1)."""
+    from dask_geomodeling_spark.raster.sources import MemorySource
+    from dask_geomodeling_spark.raster.spatial import TPI, TRI, Roughness
+    ramp = MemorySource([[float(x) for x in range(6)] for _ in range(6)])
+    tri = {(r.y, r.x): r.value for r in TRI(ramp).plan(spark).collect()}
+    tpi = {(r.y, r.x): r.value for r in TPI(ramp).plan(spark).collect()}
+    rgh = {(r.y, r.x): r.value
+           for r in Roughness(ramp).plan(spark).collect()}
+    assert abs(tri[(2, 2)] - 6.0 / 8) < 1e-12
+    assert abs(tpi[(2, 2)]) < 1e-12
+    assert abs(rgh[(2, 2)] - 2.0) < 1e-12
