@@ -1763,6 +1763,53 @@ w AS (SELECT time, y, x, c11, {coal} FROM g)
                for ky in (-1, 0, 1) for kx in (-1, 0, 1)))
 
 
+@demo("raster_components", oracle="""
+WITH RECURSIVE grid AS ({grid}),
+b AS (SELECT CAST('1970-01-01' AS TIMESTAMP) AS time, y, x,
+             CASE WHEN CAST(SUM(CAST(value AS DECIMAL(28,6)))
+                       AS DOUBLE) >= 865.0
+                  THEN 1.0 ELSE 0.0 END AS value
+      FROM grid WHERE y < 8 AND x < 16 AND value IS NOT NULL
+      GROUP BY y, x),
+n AS (SELECT *, concat(CAST(epoch_us(time) AS VARCHAR), ':',
+                       CAST(y AS VARCHAR), ':',
+                       CAST(x AS VARCHAR)) AS id FROM b),
+e0 AS (SELECT a.id AS ia, c.id AS ib FROM n a JOIN n c
+       ON a.time = c.time AND a.value = c.value
+      AND ((c.y = a.y AND c.x = a.x + 1)
+           OR (c.y = a.y + 1 AND c.x = a.x))),
+edges AS (SELECT ia AS a, ib AS b FROM e0
+          UNION SELECT ib, ia FROM e0),
+reach(src, node) AS (
+  SELECT id, id FROM n
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a)
+SELECT n.time, n.y, n.x, n.value, m.comp AS component
+FROM n JOIN (SELECT src, MIN(node) AS comp FROM reach GROUP BY src) m
+  ON n.id = m.src
+""".format(grid=_grid_sql()))
+def raster_components(spark, sf_dir):
+    """RasterComponents: connected-component labeling (the polygonize
+    core) of a binarized 16x8 window — time-summed cell values step at
+    the median (865), then adjacent same-value cells label with their
+    component's minimum cell key via the shared large-star/small-star
+    rounds.  The oracle re-derives the fixpoint with a recursive CTE
+    over the identical edge set."""
+    from dask_geomodeling_spark.raster.components import RasterComponents
+    from dask_geomodeling_spark.raster.sources import DataFrameRasterSource
+    g = lineitem_grid(spark, sf_dir)
+    binary = (g._df
+              .where((F.col("y") < 8) & (F.col("x") < 16)
+                     & F.col("value").isNotNull())
+              .groupBy("y", "x")
+              .agg(F.when(F.sum(F.col("value").cast("decimal(28,6)"))
+                          .cast("double") >= 865.0, 1.0)
+                   .otherwise(0.0).alias("value"))
+              .select(F.lit("1970-01-01").cast("timestamp")
+                      .alias("time"), "y", "x", "value"))
+    return RasterComponents(DataFrameRasterSource(binary)).plan(spark)
+
+
 @demo("raster_tri", oracle=_horn_calc_sql() + """
 SELECT s.time, s.y, s.x, ROUND((abs(w00 - w11) + abs(w01 - w11) + abs(w02 - w11) + abs(w10 - w11) + abs(w12 - w11) + abs(w20 - w11) + abs(w21 - w11) + abs(w22 - w11)) / 8.0, 6) AS value
 FROM w s JOIN (SELECT time, y, x FROM cells) c USING (time, y, x)

@@ -539,3 +539,27 @@ def test_tri_tpi_roughness_on_ramp(spark):
     assert abs(tri[(2, 2)] - 6.0 / 8) < 1e-12
     assert abs(tpi[(2, 2)]) < 1e-12
     assert abs(rgh[(2, 2)] - 2.0) < 1e-12
+
+
+def test_raster_components_labels_regions(spark):
+    """Two L-shaped value-1 regions separated by a 0-channel: 4-conn
+    labels them apart; 8-conn merges the diagonal touch."""
+    from dask_geomodeling_spark.raster.components import RasterComponents
+    from dask_geomodeling_spark.raster.sources import MemorySource
+    grid = [
+        [1.0, 1.0, 0.0, 1.0],
+        [1.0, 0.0, 0.0, 1.0],
+        [0.0, 0.0, 1.0, 1.0],
+    ]
+    src = MemorySource(grid)
+    out = {(r.y, r.x): r.component
+           for r in RasterComponents(src).plan(spark).collect()}
+    # value-1 cells: (0,0),(0,1),(1,0) one component; (2,2),(1,3),
+    # (0,3),(2,3) — (2,2) touches (2,3): same component 4-conn
+    assert out[(0, 0)] == out[(0, 1)] == out[(1, 0)]
+    assert out[(2, 2)] == out[(2, 3)] == out[(1, 3)] == out[(0, 3)]
+    assert out[(0, 0)] != out[(2, 2)]
+    # the 0-valued cells form their own single region (all 4-connected)
+    zeros = [(0, 2), (1, 1), (1, 2), (2, 0), (2, 1)]
+    assert len({out[c] for c in zeros}) == 1
+    assert out[(1, 1)] != out[(0, 0)]
