@@ -5850,6 +5850,32 @@ def source_mix(spark, sf_dir):
     return mixed.plan(spark).select("doc_id", "lang")
 
 
+@demo("temperature_mix", oracle="""
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+z AS (SELECT SUM(pow(CAST(n AS DOUBLE), 0.3)) AS z FROM c),
+p AS (SELECT lang, n, pow(CAST(n AS DOUBLE), 0.3) / z.z AS p
+      FROM c, z),
+t AS (SELECT MIN(n / p) AS t FROM p),
+thr AS (SELECT lang,
+          CAST(floor(LEAST(CAST(1.0 AS DOUBLE), p * t.t / n)
+               * 2147483647) AS BIGINT) AS thr
+        FROM p, t)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thr ON d.lang = thr.lang
+WHERE (d.doc_id * 2654435761) % 2147483647 < thr.thr
+""")
+def temperature_mix(spark, sf_dir):
+    """TemperatureMix: multilingual alpha-sampling (alpha=0.3, the
+    XLM-R setting) — target shares DERIVE from the counts
+    (p_s ∝ n_s^0.3, flattening the head), then the SourceMix
+    largest-consistent-total + hash-Bernoulli keep rule.  One tiny
+    aggregation broadcast back + a map-side filter."""
+    from dask_geomodeling_spark.pipeline.sample import TemperatureMix
+    mixed = TemperatureMix(documents_src(sf_dir), alpha=0.3,
+                           category_column="lang")
+    return mixed.plan(spark).select("doc_id", "lang")
+
+
 def _random_projection_oracle(k=4, dim=64, seed=7):
     import math as _math
     from dask_geomodeling_spark.pipeline.similarity import hyperplanes

@@ -21,7 +21,7 @@ from dask_geomodeling_spark.core.blocks import Block
 from dask_geomodeling_spark.geometry.base import BaseSingle
 
 __all__ = ["HashSplit", "PackSequences", "StratifiedSample",
-           "SourceMix", "ConcatCorpora"]
+           "SourceMix", "TemperatureMix", "ConcatCorpora"]
 
 # split-hash constants: any odd multiplier modulo 2^31-1 works; these
 # are fixed so the split is part of the dataset's identity
@@ -259,6 +259,64 @@ class SourceMix(BaseSingle):
         max_total = counts.agg(
             F.min(F.col("_n") / F.col("_p")).alias("_t"))
         thresholds = (counts.crossJoin(F.broadcast(max_total))
+                      .select(cat,
+                              F.floor(F.least(
+                                  F.lit(1.0),
+                                  F.col("_p") * F.col("_t") / F.col("_n"))
+                                  * self._MOD).alias("_thr")))
+        bucket = F.pmod(F.col(idc).cast("bigint") * self._PRIME,
+                        F.lit(self._MOD))
+        return (df.join(F.broadcast(thresholds), cat, "inner")
+                .filter(bucket < F.col("_thr"))
+                .drop("_thr"))
+
+
+class TemperatureMix(BaseSingle):
+    """Temperature-weighted corpus mixing — the multilingual
+    alpha-sampling recipe (mBERT / XLM-R / mT5: sample category ``s``
+    with share ∝ n_s^alpha, flattening the head so low-resource
+    categories are upweighted; alpha=1 keeps natural proportions,
+    alpha→0 approaches uniform).
+
+    The targets DERIVE from the data: ``p_s = n_s^α / Σ n_s^α``, then
+    the same largest-consistent-total and hash-Bernoulli keep rule as
+    :class:`SourceMix` — ``T = min_s(n_s / p_s)``, keep fraction
+    ``q_s = p_s · T / n_s``, row survives iff
+    ``(id · PRIME) mod (2³¹−1) < floor(q_s · (2³¹−1))``.  Same plan
+    shape: one per-category aggregation broadcast back, map-side
+    filter, no windows, skew-proof.
+    """
+
+    _PRIME = SourceMix._PRIME
+    _MOD = SourceMix._MOD
+
+    def __init__(self, source, alpha=0.3, category_column="source",
+                 id_column=None):
+        if id_column is None:
+            id_column = source.index_column
+        a = float(alpha)
+        if not (0.0 < a <= 1.0):
+            raise ValueError("alpha must be in (0, 1]")
+        super().__init__(source, a, category_column, id_column)
+
+    @property
+    def columns(self):
+        return set(self.source.columns)
+
+    def _build(self, ctx):
+        _, alpha, cat, idc = self.args
+        df = self.source._build(ctx)
+        counts = df.groupBy(cat).agg(F.count(F.lit(1)).alias("_n"))
+        tot = counts.agg(
+            F.sum(F.pow(F.col("_n").cast("double"), alpha))
+            .alias("_z"))
+        withp = (counts.crossJoin(F.broadcast(tot))
+                 .select(cat, "_n",
+                         (F.pow(F.col("_n").cast("double"), alpha)
+                          / F.col("_z")).alias("_p")))
+        max_total = withp.agg(
+            F.min(F.col("_n") / F.col("_p")).alias("_t"))
+        thresholds = (withp.crossJoin(F.broadcast(max_total))
                       .select(cat,
                               F.floor(F.least(
                                   F.lit(1.0),

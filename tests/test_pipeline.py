@@ -978,3 +978,22 @@ def test_kneser_ney_hand_computed(spark):
     # 'a' get D*N1f/c1 * Pcont(w2); vocab = {a,b,c}, Pcont(a)=1/3)
     p_unseen_a = 0.75 * 2 / 2 * (1.0 / 3)
     assert abs((0.375 + 0.375 + p_unseen_a) - 1.0) < 1e-12
+
+
+def test_temperature_mix_flattens_head(spark):
+    """alpha<1 upweights the small category's keep fraction relative
+    to the big one; alpha=1 reproduces natural proportions (everything
+    kept, T = total)."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.sample import TemperatureMix
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    src = DataFrameSource(df, index_column="doc_id")
+    kept = TemperatureMix(src, alpha=0.3).plan(spark) \
+        .groupBy("source").count().collect()
+    frac = {r["source"]: r["count"] for r in kept}
+    # small keeps (nearly) everything, big is subsampled hard
+    assert frac["small"] >= 95
+    assert frac["big"] < 500
+    all_kept = TemperatureMix(src, alpha=1.0).plan(spark).count()
+    assert all_kept == 1000
