@@ -1763,6 +1763,63 @@ w AS (SELECT time, y, x, c11, {coal} FROM g)
                for ky in (-1, 0, 1) for kx in (-1, 0, 1)))
 
 
+def _contour_oracle(levels=(500.0, 900.0)):
+    from dask_geomodeling_spark.raster.contour import contour_case_sql
+    parts = []
+    for level in levels:
+        idx, s0, s1 = contour_case_sql(level)
+        for seg, ex in ((0, s0), (1, s1)):
+            parts.append("""
+SELECT time, CAST({lv!r} AS DOUBLE) AS level, y, x,
+       {seg} AS seg,
+       {x1} AS x1, {y1} AS y1, {x2} AS x2, {y2} AS y2
+FROM g WHERE c00 IS NOT NULL AND c10 IS NOT NULL
+  AND c01 IS NOT NULL AND c11 IS NOT NULL
+  AND ({x1}) IS NOT NULL""".format(
+                lv=level, seg=seg, x1=ex[0], y1=ex[1], x2=ex[2],
+                y2=ex[3]))
+    return """
+WITH grid AS ({grid}),
+cells AS (SELECT CAST('1970-01-01' AS TIMESTAMP) AS time, y, x,
+                 CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                     AS value
+          FROM grid WHERE value IS NOT NULL GROUP BY y, x),
+offs(dy, dx) AS (VALUES (0,0),(0,1),(1,0),(1,1)),
+n AS (SELECT c.time, c.y - o.dy AS y, c.x - o.dx AS x,
+             o.dy AS ky, o.dx AS kx, c.value
+      FROM cells c CROSS JOIN offs o),
+g AS (SELECT time, y, x,
+        MAX(CASE WHEN ky = 0 AND kx = 0 THEN value END) AS c00,
+        MAX(CASE WHEN ky = 0 AND kx = 1 THEN value END) AS c10,
+        MAX(CASE WHEN ky = 1 AND kx = 0 THEN value END) AS c01,
+        MAX(CASE WHEN ky = 1 AND kx = 1 THEN value END) AS c11
+      FROM n GROUP BY time, y, x)
+{unions}
+""".format(grid=_grid_sql(), unions=" UNION ALL ".join(parts))
+
+
+@demo("raster_contour", oracle=_contour_oracle())
+def raster_contour(spark, sf_dir):
+    """Contour: distributed marching squares (the gdal_contour
+    counterpart) at levels 500 and 900 over the time-summed dense
+    grid — every 2x2 cell block
+    classifies its corners against the level and emits 0-2 segments
+    with edge-interpolated endpoints; the 16-entry case table's
+    arithmetic text is shared verbatim with this oracle (saddles use
+    the fixed pairing).  Both levels share ONE window build."""
+    from dask_geomodeling_spark.raster.contour import Contour
+    from dask_geomodeling_spark.raster.sources import DataFrameRasterSource
+    g = lineitem_grid(spark, sf_dir)
+    summed = (g._df.where(F.col("value").isNotNull())
+              .groupBy("y", "x")
+              .agg(F.sum(F.col("value").cast("decimal(28,6)"))
+                   .cast("double").alias("value"))
+              .select(F.lit("1970-01-01").cast("timestamp")
+                      .alias("time"), "y", "x", "value"))
+    return Contour(DataFrameRasterSource(summed),
+                   levels=(500.0, 900.0)).plan(spark)
+
+
 @demo("raster_components", oracle="""
 WITH RECURSIVE grid AS ({grid}),
 b AS (SELECT CAST('1970-01-01' AS TIMESTAMP) AS time, y, x,

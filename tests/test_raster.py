@@ -563,3 +563,17 @@ def test_raster_components_labels_regions(spark):
     zeros = [(0, 2), (1, 1), (1, 2), (2, 0), (2, 1)]
     assert len({out[c] for c in zeros}) == 1
     assert out[(1, 1)] != out[(0, 0)]
+
+
+def test_contour_on_ramp(spark):
+    """Plane z = x, level 2.5: every 2x2 block spanning x=2..3 emits
+    one vertical segment at x = 2.5; no other block emits."""
+    from dask_geomodeling_spark.raster.contour import Contour
+    from dask_geomodeling_spark.raster.sources import MemorySource
+    ramp = MemorySource([[float(x) for x in range(6)] for _ in range(4)])
+    rows = Contour(ramp, 2.5).plan(spark).collect()
+    assert len(rows) == 3  # y blocks 0..2, all at x block 2
+    for r in rows:
+        assert r["x"] == 2 and r["seg"] == 0
+        assert r["x1"] == 2.5 and r["x2"] == 2.5
+        assert {r["y1"], r["y2"]} == {float(r["y"]), float(r["y"] + 1)}
