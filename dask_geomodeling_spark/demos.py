@@ -2993,6 +2993,58 @@ def polygon_area_holes(spark, sf_dir):
     return view.plan(spark).select("s_suppkey", "area", "perimeter")
 
 
+@demo("dissolve", oracle="""
+WITH poly AS (
+  SELECT s_suppkey, s_nationkey, s_acctbal,
+         CAST(s_suppkey % 50 AS DOUBLE) AS x0,
+         CAST((s_suppkey * 3) % 40 AS DOUBLE) AS y0,
+         CAST(3 + s_suppkey % 5 AS DOUBLE) AS w,
+         CAST(2 + s_suppkey % 4 AS DOUBLE) AS h
+  FROM supplier)
+SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       MIN(x0) AS xmin, MIN(y0) AS ymin,
+       MAX(x0 + w) AS xmax, MAX(y0 + h) AS ymax,
+       ROUND(SUM(w * h - 1), 6) AS area,
+       SUM(s_acctbal) AS acct
+FROM poly GROUP BY s_nationkey
+""")
+def dissolve(spark, sf_dir):
+    """Dissolve: union-by-attribute — per-supplier donut polygons
+    merge into one MULTIPART feature per nation (flat ring concat +
+    box envelope, ONE hash aggregation), with attribute aggregation
+    riding the same groupBy.  Area over the dissolved rings is the
+    signed multipart sum, which the oracle re-derives closed-form
+    (w*h - 1 per donut)."""
+    from dask_geomodeling_spark.geometry.dissolve import Dissolve
+    from dask_geomodeling_spark.geometry.geom_operations import Area
+    supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    x0 = "CAST(s_suppkey % 50 AS DOUBLE)"
+    y0 = "CAST((s_suppkey * 3) % 40 AS DOUBLE)"
+    w = "CAST(3 + s_suppkey % 5 AS DOUBLE)"
+    h = "CAST(2 + s_suppkey % 4 AS DOUBLE)"
+    rings = ("array("
+             "array(array({x0}, {y0}), array({x0} + {w}, {y0}), "
+             "array({x0} + {w}, {y0} + {h}), array({x0}, {y0} + {h})), "
+             "array(array({x0} + 1.0, {y0} + 1.0), "
+             "array({x0} + 1.0, {y0} + 2.0), "
+             "array({x0} + 2.0, {y0} + 2.0), "
+             "array({x0} + 2.0, {y0} + 1.0)))"
+             ).format(x0=x0, y0=y0, w=w, h=h)
+    df = supplier.select(
+        "s_suppkey", "s_nationkey", "s_acctbal",
+        F.expr(x0).alias("xmin"), F.expr(y0).alias("ymin"),
+        F.expr("{} + {}".format(x0, w)).alias("xmax"),
+        F.expr("{} + {}".format(y0, h)).alias("ymax"),
+        F.expr(rings).alias("rings"))
+    src = DataFrameSource(df, index_column="s_suppkey")
+    d = Dissolve(src, by="s_nationkey",
+                 agg={"acct": ("s_acctbal", "sum")})
+    out = d.set("area", Area(d))
+    return out.plan(spark).select(
+        "s_nationkey", "n_parts", "xmin", "ymin", "xmax", "ymax",
+        F.round("area", 6).alias("area"), "acct")
+
+
 @demo("spatial_join", oracle="""
 WITH pts AS (
   SELECT c_custkey,

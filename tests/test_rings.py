@@ -264,3 +264,25 @@ def test_spatial_join_rings_and_left(spark):
                      cell_size=2.0)
     got = sorted((r["pid"], r["gid"]) for r in jb.plan(spark).collect())
     assert got == [(1, 20), (2, 20)]  # box test keeps the hole point
+
+
+def test_dissolve_disjoint_union_exact(spark):
+    """Two disjoint unit squares dissolve into one 2-part feature
+    whose multipart Area is exactly 2 and whose envelope spans both;
+    collect order is pinned by the array_sort."""
+    from dask_geomodeling_spark.geometry.dissolve import Dissolve
+    from dask_geomodeling_spark.geometry.geom_operations import Area
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    sq = "array(array(array({x}d, 0d), array({x1}d, 0d), " \
+         "array({x1}d, 1d), array({x}d, 1d)))"
+    df = spark.createDataFrame([(1, "g"), (2, "g")],
+                               "fid bigint, grp string")
+    import pyspark.sql.functions as F
+    df = df.withColumn("rings", F.expr(
+        "CASE WHEN fid = 1 THEN " + sq.format(x=0, x1=1)
+        + " ELSE " + sq.format(x=5, x1=6) + " END"))
+    src = DataFrameSource(df, index_column="fid")
+    d = Dissolve(src, by="grp")
+    out = d.set("area", Area(d)).plan(spark).first()
+    assert out["n_parts"] == 2
+    assert abs(out["area"] - 2.0) < 1e-12
