@@ -900,6 +900,55 @@ def raster_rasterize(spark, sf_dir):
     return Rasterize(src, column_name="burn").plan(spark)
 
 
+@demo("aggregate_raster_majority", oracle="""
+WITH grid AS ({grid}),
+coarse AS (SELECT time, y, x, floor(value / 100.0) AS value
+           FROM grid WHERE value IS NOT NULL),
+boxes AS (
+  SELECT n_nationkey,
+         CAST((n_nationkey % 5) * 12 AS BIGINT) AS xmin,
+         CAST(n_regionkey * 6 AS BIGINT) AS ymin,
+         CAST((n_nationkey % 5) * 12 + 11 AS BIGINT) AS xmax,
+         CAST(n_regionkey * 6 + 5 AS BIGINT) AS ymax
+  FROM nation),
+cand AS (
+  SELECT b.n_nationkey, g.value
+  FROM boxes b JOIN coarse g
+    ON g.x BETWEEN b.xmin AND b.xmax AND g.y BETWEEN b.ymin AND b.ymax),
+cnts AS (SELECT n_nationkey, value, COUNT(*) AS cnt
+         FROM cand GROUP BY n_nationkey, value),
+sel AS (SELECT n_nationkey,
+               MIN(struct_pack(nc := -cnt, v := value)) AS s
+        FROM cnts GROUP BY n_nationkey)
+SELECT b.n_nationkey, sel.s.v AS agg_majority
+FROM boxes b LEFT JOIN sel USING (n_nationkey)
+""".format(grid=_grid_sql()))
+def aggregate_raster_majority(spark, sf_dir):
+    """Zonal MAJORITY (the GIS 'majority/mode' statistic, absent from
+    the reference's stat list): the most frequent coarse cell value
+    per nation box, ties toward the smallest value — a deterministic
+    two-level aggregation (per-(zone, value) counts, then one native
+    struct-min), never the engine's unordered mode()."""
+    from dask_geomodeling_spark.geometry.aggregate import AggregateRaster
+    from dask_geomodeling_spark.raster.sources import DataFrameRasterSource
+    nation = read_nanos_parquet(spark, _pq(sf_dir, "nation"))
+    boxes = nation.select(
+        "n_nationkey",
+        ((F.col("n_nationkey") % 5) * 12).cast("bigint").alias("xmin"),
+        (F.col("n_regionkey") * 6).cast("bigint").alias("ymin"),
+        ((F.col("n_nationkey") % 5) * 12 + 11).cast("bigint").alias("xmax"),
+        (F.col("n_regionkey") * 6 + 5).cast("bigint").alias("ymax"))
+    src = DataFrameSource(boxes, index_column="n_nationkey")
+    grid = lineitem_grid(spark, sf_dir)
+    coarse = DataFrameRasterSource(
+        grid._df.where(F.col("value").isNotNull())
+        .select("time", "y", "x",
+                F.floor(F.col("value") / 100.0).alias("value")))
+    agg = AggregateRaster(src, coarse, statistic="majority",
+                          column_name="agg_majority")
+    return agg.plan(spark).select("n_nationkey", "agg_majority")
+
+
 @demo("aggregate_raster", oracle="""
 WITH grid AS ({grid}),
 boxes AS (

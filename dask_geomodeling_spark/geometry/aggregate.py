@@ -61,7 +61,7 @@ class AggregateRaster(BaseSingle):
             raise ValueError("statistic and column_name lengths differ")
         for s in stats:
             if (s not in ("sum", "count", "min", "max", "mean", "median",
-                          "std", "var")
+                          "std", "var", "majority")
                     and parse_percentile_statistic(s) is None):
                 raise ValueError("Unknown statistic '{}'".format(s))
         if isinstance(statistic, (list, tuple)):
@@ -154,9 +154,29 @@ class AggregateRaster(BaseSingle):
             raise ValueError("AggregateRaster requires geometry columns")
         # feature side is the small side: broadcast it under the range join
         joined = cells.join(F.broadcast(boxes), cond, "inner")
-        stats = (joined.groupBy(boxes[idx])
-                 .agg(*[statistic_expr(s).alias(n)
-                        for s, n in self._stat_pairs]))
+        plain = [(s, n) for s, n in self._stat_pairs if s != "majority"]
+        major = [n for s, n in self._stat_pairs if s == "majority"]
+        stats = None
+        if plain:
+            stats = (joined.groupBy(boxes[idx])
+                     .agg(*[statistic_expr(s).alias(n)
+                            for s, n in plain]))
+        if major:
+            # zonal MAJORITY (deterministic mode): per-(zone, value)
+            # counts, then the (max count, min value) member via one
+            # native struct-min — ties break toward the SMALLEST
+            # value, engine-exact (no unordered mode() reliance)
+            mode = (joined.groupBy(boxes[idx], F.col("value"))
+                    .agg(F.count(F.lit(1)).alias("_cnt"))
+                    .groupBy(idx)
+                    .agg(F.min(F.struct(
+                        (-F.col("_cnt")).alias("nc"),
+                        F.col("value").alias("v")))["v"]
+                        .alias(major[0])))
+            for extra in major[1:]:
+                mode = mode.withColumn(extra, F.col(major[0]))
+            stats = mode if stats is None else stats.join(mode, idx,
+                                                          "outer")
         return features.join(stats, idx, "left")
 
 

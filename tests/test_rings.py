@@ -286,3 +286,29 @@ def test_dissolve_disjoint_union_exact(spark):
     out = d.set("area", Area(d)).plan(spark).first()
     assert out["n_parts"] == 2
     assert abs(out["area"] - 2.0) < 1e-12
+
+
+def test_aggregate_raster_majority_tie_break(spark):
+    """Majority = most frequent value; exact count tie -> smallest
+    value wins (the deterministic contract)."""
+    import pyspark.sql.functions as F
+
+    from dask_geomodeling_spark.geometry.aggregate import AggregateRaster
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    cells = spark.createDataFrame(
+        [(0, 0, 5.0), (0, 1, 5.0), (1, 0, 3.0), (1, 1, 3.0),
+         (0, 2, 9.0)],
+        "y bigint, x bigint, value double") \
+        .withColumn("time", F.lit("1970-01-01").cast("timestamp"))
+    boxes = spark.createDataFrame(
+        [(1, 0.0, 0.0, 3.0, 2.0)],
+        "id bigint, xmin double, ymin double, xmax double, ymax double")
+    agg = AggregateRaster(DataFrameSource(boxes, index_column="id"),
+                          DataFrameRasterSource(cells),
+                          statistic=["majority", "count"],
+                          column_name=["maj", "cnt"])
+    row = agg.plan(spark).first()
+    assert row["maj"] == 3.0  # 5.0 and 3.0 tie at 2; smaller wins
+    assert row["cnt"] == 5
