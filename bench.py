@@ -50,7 +50,12 @@ def main():
                   "pq_ann", "asof_join", "gopher_quality", "c4_filter",
                   "url_dedup", "html_extract", "crawl_prep",
                   "semdedup", "dsir_select", "bpe_train",
-                  "render_tile_styled"):
+                  "render_tile_styled",
+                  # round-7 additions
+                  "spatial_join", "dissolve", "raster_warp_average",
+                  "raster_slope", "raster_contour",
+                  "raster_components", "aggregate_raster_majority",
+                  "kn_perplexity", "temperature_mix"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

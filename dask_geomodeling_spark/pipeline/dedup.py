@@ -748,6 +748,7 @@ class DedupClusters(Block):
         canonical pair set is stable; returns (node, min-neighbor)
         pairs of the final star graphs."""
         und = und.persist()
+        und_cnt = None
         for _ in range(max_iter):
             sym = und.select(F.col("_lo").alias("_u"),
                              F.col("_hi").alias("_v")).union(
@@ -774,10 +775,16 @@ class DedupClusters(Block):
             new_und = (out.select(F.least("_x", "_y").alias("_lo"),
                                   F.greatest("_x", "_y").alias("_hi"))
                        .distinct().localCheckpoint(eager=True))
-            stable = (new_und.exceptAll(und).limit(1).count() == 0
-                      and und.exceptAll(new_und).limit(1).count() == 0)
+            # sets of equal size with one-directional containment are
+            # equal — one exceptAll probe instead of two, and the size
+            # rides the count we already track round-over-round
+            if und_cnt is None:
+                und_cnt = und.count()
+            new_cnt = new_und.count()
+            stable = (new_cnt == und_cnt
+                      and new_und.exceptAll(und).limit(1).count() == 0)
             und.unpersist()
-            und = new_und
+            und, und_cnt = new_und, new_cnt
             if stable:
                 break
         labels = (und.select(F.col("_lo").alias("_id"),
