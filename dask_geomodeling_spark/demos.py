@@ -4437,6 +4437,62 @@ def _pii_oracle():
             .replace("<IPV4>", _IPV4).replace("<PHONE>", _PHONE))
 
 
+_CC_DUCK_LUHN = (
+    "list_sum(list_transform(range(1, length({d}) + 1), i -> "
+    "CASE WHEN (length({d}) - i) % 2 = 0 "
+    "THEN CAST(substr({d}, i, 1) AS INT) "
+    "ELSE CASE WHEN 2 * CAST(substr({d}, i, 1) AS INT) > 9 "
+    "THEN 2 * CAST(substr({d}, i, 1) AS INT) - 9 "
+    "ELSE 2 * CAST(substr({d}, i, 1) AS INT) END END)) % 10 = 0")
+
+
+@demo("pii_cards", oracle="""
+WITH inj AS (SELECT doc_id,
+  concat(text, ' ', CASE CAST(doc_id % 4 AS INT)
+     WHEN 0 THEN '4111111111111111'
+     WHEN 1 THEN '4111111111111112'
+     WHEN 2 THEN '5500-0055-5555-5559'
+     ELSE '1234567890123' END) AS t FROM documents),
+c AS (SELECT doc_id, t,
+  list_filter(list_transform(
+      regexp_extract_all(t, '{re}', 0),
+      cc -> struct_pack(cc := cc,
+                        d := regexp_replace(cc, '[^0-9]', '', 'g'))),
+    s -> length(s.d) BETWEEN 13 AND 19 AND {luhn}) AS cards
+  FROM inj)
+SELECT doc_id, CAST(len(cards) AS BIGINT) AS n_cards,
+  list_reduce(
+    list_prepend(t, list_transform(cards, s -> s.cc)),
+    (acc, cc) -> replace(acc, cc, '[CC]')) AS text_redacted
+FROM c
+""".format(re="\\b([0-9]{13,19}"
+              "|[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{1,7})\\b",
+           luhn=_CC_DUCK_LUHN.format(d="s.d")))
+def pii_cards(spark, sf_dir):
+    """PIIRedact(detect_cards=True): payment-card detection with Luhn
+    VALIDATION — candidates cycle valid/invalid test numbers per doc,
+    and only the checksum-valid ones redact (the detect-then-validate
+    rule).  The oracle re-derives the Luhn fold in DuckDB.  The corpus
+    has no other PII patterns, so text_redacted isolates the card
+    path."""
+    from dask_geomodeling_spark.pipeline.filter import PIIRedact
+    docs = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "documents")), spark)
+    card = (F.when(F.col("doc_id") % 4 == 0,
+                   F.lit("4111111111111111"))
+            .when(F.col("doc_id") % 4 == 1,
+                  F.lit("4111111111111112"))
+            .when(F.col("doc_id") % 4 == 2,
+                  F.lit("5500-0055-5555-5559"))
+            .otherwise(F.lit("1234567890123")))
+    injected = docs.withColumn(
+        "text_cc", F.concat(F.col("text"), F.lit(" "), card))
+    src = DataFrameSource(injected, index_column="doc_id")
+    return (PIIRedact(src, column="text_cc", detect_cards=True)
+            .plan(spark)
+            .select("doc_id", "n_cards", "text_redacted"))
+
+
 @demo("pii_redact", oracle=_pii_oracle())
 def pii_redact(spark, sf_dir):
     """PIIRedact: count + redact emails/IPv4/phones — per-row regex

@@ -203,6 +203,25 @@ class Decontaminate(GeometryBlock):
 _EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 _PHONE = r"\+\d{7,15}"
+#: payment-card CANDIDATES: solid 13-19 digit runs or the 4-4-4-n
+#: grouped form; validation is the Luhn checksum (below), so random
+#: digit runs don't redact — the Dolma-style detect-then-validate rule
+_CC = (r"\b([0-9]{13,19}"
+       r"|[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{1,7})\b")
+
+
+def luhn_valid_sql(digits_expr):
+    """Engine-portable-ish SQL (Spark HOF dialect): Luhn checksum over
+    a digits-only string expression — doubling every second digit from
+    the right, minus 9 when it exceeds 9, total ≡ 0 (mod 10)."""
+    d = digits_expr
+    return ("aggregate(sequence(1, length({d})), 0, (a, i) -> a + "
+            "CASE WHEN pmod(length({d}) - i, 2) = 0 "
+            "THEN CAST(substring({d}, i, 1) AS INT) "
+            "ELSE CASE WHEN 2 * CAST(substring({d}, i, 1) AS INT) > 9 "
+            "THEN 2 * CAST(substring({d}, i, 1) AS INT) - 9 "
+            "ELSE 2 * CAST(substring({d}, i, 1) AS INT) END END) "
+            "% 10 = 0").format(d=d)
 
 
 class PIIRedact(BaseSingle):
@@ -215,18 +234,28 @@ class PIIRedact(BaseSingle):
     IPv4 → phone so one match is never double-redacted.
 
     Adds ``n_emails``, ``n_ips``, ``n_phones`` and ``text_redacted``.
+
+    ``detect_cards=True`` additionally finds payment-card candidates
+    (13–19 digit runs / 4-4-4-n groups) and redacts ONLY the ones that
+    pass the Luhn checksum — the detect-then-validate rule the
+    published PII pipelines use, so arbitrary numeric runs survive.
+    Validation is a per-candidate HOF fold (still zero shuffle); adds
+    ``n_cards``.
     """
 
-    def __init__(self, source, column="text"):
-        super().__init__(source, column)
+    def __init__(self, source, column="text", detect_cards=False):
+        super().__init__(source, column, bool(detect_cards))
 
     @property
     def columns(self):
-        return set(self.source.columns) | {
+        cols = set(self.source.columns) | {
             "n_emails", "n_ips", "n_phones", "text_redacted"}
+        if self.args[2]:
+            cols.add("n_cards")
+        return cols
 
     def _build(self, ctx):
-        column = self.args[1]
+        column, cards = self.args[1], self.args[2]
         df = self.source._build(ctx)
         c = F.col(column)
         redacted = F.regexp_replace(
@@ -234,15 +263,34 @@ class PIIRedact(BaseSingle):
                 F.regexp_replace(c, _EMAIL, "[EMAIL]"),
                 _IPV4, "[IP]"),
             _PHONE, "[PHONE]")
-        return df.withColumns({
+        out = {
             "n_emails": F.size(F.regexp_extract_all(
                 c, F.lit(_EMAIL), 0)).cast("bigint"),
             "n_ips": F.size(F.regexp_extract_all(
                 c, F.lit(_IPV4), 0)).cast("bigint"),
             "n_phones": F.size(F.regexp_extract_all(
                 c, F.lit(_PHONE), 0)).cast("bigint"),
-            "text_redacted": redacted,
-        })
+        }
+        if cards:
+            cc_re = _CC.replace("\\", "\\\\")
+            valid = (
+                "filter(transform(regexp_extract_all({col}, '{re}', 0),"
+                " cc -> struct(cc AS cc, "
+                "regexp_replace(cc, '[^0-9]', '') AS d)), "
+                "s -> length(s.d) BETWEEN 13 AND 19 AND {luhn})"
+                .format(col=column, re=cc_re,
+                        luhn=luhn_valid_sql("s.d")))
+            df = df.withColumn("_cc", F.expr(valid))
+            out["n_cards"] = F.size("_cc").cast("bigint")
+            # literal replace of each VALIDATED candidate, applied on
+            # top of the regex redactions (the patterns are disjoint)
+            redacted = F.aggregate(
+                "_cc", redacted,
+                lambda acc, s: F.replace(acc, s["cc"],
+                                         F.lit("[CC]")))
+        out["text_redacted"] = redacted
+        res = df.withColumns(out)
+        return res.drop("_cc") if cards else res
 
 
 class LinearScore(BaseSingle):
