@@ -3042,6 +3042,58 @@ def polygon_area_holes(spark, sf_dir):
     return view.plan(spark).select("s_suppkey", "area", "perimeter")
 
 
+@demo("nearest_join", oracle="""
+WITH pts AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 200 AS DOUBLE) / 4 + 0.125 AS x,
+         CAST((c_custkey * 7) % 160 AS DOUBLE) / 4 + 0.125 AS y
+  FROM customer),
+rp AS (SELECT s_suppkey,
+              CAST(s_suppkey % 50 AS DOUBLE) AS rx,
+              CAST((s_suppkey * 3) % 40 AS DOUBLE) AS ry
+       FROM supplier),
+cand AS (
+  SELECT p.c_custkey, p.x, p.y, r.s_suppkey,
+         (p.x - r.rx) * (p.x - r.rx)
+         + (p.y - r.ry) * (p.y - r.ry) AS d2
+  FROM pts p JOIN rp r
+    ON (p.x - r.rx) * (p.x - r.rx)
+       + (p.y - r.ry) * (p.y - r.ry) <= 9.0),
+sel AS (SELECT c_custkey,
+               MIN(struct_pack(d2 := d2, rid := s_suppkey)) AS s
+        FROM cand GROUP BY c_custkey)
+SELECT p.c_custkey, p.x, p.y, sel.s.rid AS s_suppkey,
+       ROUND(sqrt(sel.s.d2), 6) AS distance
+FROM pts p JOIN sel USING (c_custkey)
+""")
+def nearest_join(spark, sf_dir):
+    """NearestJoin: bounded-radius nearest neighbor (sjoin_nearest
+    counterpart) — customer points to the nearest supplier anchor
+    within distance 3.  Right side scatters to its 3x3 neighbor
+    cells, one cell equi-join pairs candidates, struct-min argmin on
+    the SQUARED distance (ties to the smallest supplier key).  The
+    oracle brute-forces the same argmin."""
+    from dask_geomodeling_spark.geometry.spatial_join import NearestJoin
+    customer = read_nanos_parquet(spark, _pq(sf_dir, "customer"))
+    pts = customer.select(
+        "c_custkey",
+        (F.expr("CAST(c_custkey % 200 AS DOUBLE)") / 4 + 0.125)
+        .alias("x"),
+        (F.expr("CAST((c_custkey * 7) % 160 AS DOUBLE)") / 4 + 0.125)
+        .alias("y"))
+    supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    anchors = supplier.select(
+        "s_suppkey",
+        F.expr("CAST(s_suppkey % 50 AS DOUBLE)").alias("x"),
+        F.expr("CAST((s_suppkey * 3) % 40 AS DOUBLE)").alias("y"))
+    join = NearestJoin(
+        DataFrameSource(pts, index_column="c_custkey"),
+        DataFrameSource(anchors, index_column="s_suppkey"),
+        max_distance=3.0, right_columns=["s_suppkey"])
+    return join.plan(spark).select("c_custkey", "x", "y", "s_suppkey",
+                                   "distance")
+
+
 @demo("dissolve", oracle="""
 WITH poly AS (
   SELECT s_suppkey, s_nationkey, s_acctbal,

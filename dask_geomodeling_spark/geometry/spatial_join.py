@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from dask_geomodeling_spark.geometry.base import GeometryBlock
 
-__all__ = ["SpatialJoin"]
+__all__ = ["SpatialJoin", "NearestJoin"]
 
 
 class SpatialJoin(GeometryBlock):
@@ -149,3 +149,100 @@ class SpatialJoin(GeometryBlock):
                      .select(*L.columns,
                              *[F.lit(None).alias(c) for c in rcols]))
         return pairs.unionByName(unmatched)
+
+
+class NearestJoin(GeometryBlock):
+    """Bounded-radius nearest-neighbor join between two POINT layers —
+    the geopandas ``sjoin_nearest(max_distance=...)`` counterpart (no
+    reference analogue).
+
+    Grid strategy: cells of ``max_distance`` size; the RIGHT side
+    scatters to its 3×3 neighboring cells (any point within
+    ``max_distance`` of a left point lies in one of the 9 cells around
+    it), the LEFT side keys map-side into its own cell, ONE equi-join
+    pairs candidates, and a struct-min argmin picks the nearest —
+    comparisons run on the SQUARED distance (exact arithmetic, no
+    sqrt ulps), ties break toward the smallest right id.  Each
+    candidate pair appears exactly once (left points own one cell).
+
+    Output: left columns + ``right_columns`` (default: right's index)
+    + ``distance`` (rounded to ``round_to``).  ``how='left'`` keeps
+    radius-empty left points with NULLs.
+    """
+
+    def __init__(self, left, right, max_distance, right_columns=None,
+                 how="inner", round_to=6):
+        if not isinstance(left, GeometryBlock) \
+                or not isinstance(right, GeometryBlock):
+            raise TypeError("left/right must be GeometryBlocks")
+        if how not in ("inner", "left"):
+            raise ValueError("how must be 'inner' or 'left'")
+        md = float(max_distance)
+        if not md > 0:
+            raise ValueError("max_distance must be > 0")
+        if right_columns is None:
+            right_columns = [right.index_column]
+        super().__init__(left, right, md, tuple(right_columns), how,
+                         int(round_to))
+
+    @property
+    def left(self):
+        return self.args[0]
+
+    @property
+    def index_column(self):
+        return self.left.index_column
+
+    @property
+    def columns(self):
+        return (set(self.left.columns) | set(self.args[3])
+                | {"distance"})
+
+    def _build(self, ctx):
+        _, _, md, rcols, how, round_to = self.args
+        rcols = list(rcols)
+        L = self.left._build(ctx)
+        R = self.args[1]._build(ctx)
+        for side, frame in (("left", L), ("right", R)):
+            if not {"x", "y"} <= set(frame.columns):
+                raise ValueError(
+                    "{} side needs point x/y columns".format(side))
+        clash = set(rcols) & set(L.columns)
+        if clash:
+            raise ValueError(
+                "right_columns collide with left columns: {}"
+                .format(sorted(clash)))
+        csl = "CAST({!r} AS DOUBLE)".format(md)
+        offs = ctx.spark.createDataFrame(
+            [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
+            "dy int, dx int")
+        Rc = (R.select(*rcols, F.col("x").alias("_rx"),
+                       F.col("y").alias("_ry"))
+              .crossJoin(F.broadcast(offs))
+              .select(*rcols, "_rx", "_ry",
+                      (F.expr("CAST(FLOOR(_rx / {cs}) AS BIGINT)"
+                              .format(cs=csl)) + F.col("dx"))
+                      .alias("_cx"),
+                      (F.expr("CAST(FLOOR(_ry / {cs}) AS BIGINT)"
+                              .format(cs=csl)) + F.col("dy"))
+                      .alias("_cy")))
+        Lc = L.withColumns({
+            "_cx": F.expr("CAST(FLOOR(x / {cs}) AS BIGINT)".format(cs=csl)),
+            "_cy": F.expr("CAST(FLOOR(y / {cs}) AS BIGINT)".format(cs=csl))})
+        d2 = ((F.col("x") - F.col("_rx")) * (F.col("x") - F.col("_rx"))
+              + (F.col("y") - F.col("_ry"))
+              * (F.col("y") - F.col("_ry")))
+        idc = self.left.index_column
+        cand = (Lc.join(Rc, ["_cx", "_cy"])
+                .where(d2 <= md * md)
+                .withColumn("_d2", d2))
+        best = (cand.groupBy(idc)
+                .agg(F.min(F.struct(
+                    F.col("_d2").alias("d2"),
+                    *[F.col(c).alias(c) for c in rcols]))
+                    .alias("_b")))
+        sel = [F.col("_b")[c].alias(c) for c in rcols]
+        dist = F.round(F.sqrt(F.col("_b")["d2"]), round_to)
+        matched = best.select(idc, *sel, dist.alias("distance"))
+        out = L.join(matched, idc, "left" if how == "left" else "inner")
+        return out

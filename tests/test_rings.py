@@ -312,3 +312,29 @@ def test_aggregate_raster_majority_tie_break(spark):
     row = agg.plan(spark).first()
     assert row["maj"] == 3.0  # 5.0 and 3.0 tie at 2; smaller wins
     assert row["cnt"] == 5
+
+
+def test_nearest_join_radius_and_ties(spark):
+    """Nearest within radius; ties break to the smallest right id;
+    out-of-radius points drop (or NULL with how='left')."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.geometry.spatial_join import NearestJoin
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 50.0, 50.0)],
+        "pid bigint, x double, y double")
+    anchors = spark.createDataFrame(
+        [(10, 1.0, 0.0), (11, -1.0, 0.0), (12, 2.0, 0.0)],
+        "aid bigint, x double, y double")
+    j = NearestJoin(DataFrameSource(pts, index_column="pid"),
+                    DataFrameSource(anchors, index_column="aid"),
+                    max_distance=3.0)
+    got = {r["pid"]: (r["aid"], r["distance"])
+           for r in j.plan(spark).collect()}
+    assert got == {1: (10, 1.0)}  # tie 10/11 at d=1 -> smaller id 10
+    jl = NearestJoin(DataFrameSource(pts, index_column="pid"),
+                     DataFrameSource(anchors, index_column="aid"),
+                     max_distance=3.0, how="left")
+    got = {r["pid"]: r["aid"] for r in jl.plan(spark).collect()}
+    assert got == {1: 10, 2: None}
