@@ -55,7 +55,8 @@ def main():
                   "spatial_join", "dissolve", "raster_warp_average",
                   "raster_slope", "raster_contour",
                   "raster_components", "aggregate_raster_majority",
-                  "kn_perplexity", "temperature_mix"):
+                  "kn_perplexity", "temperature_mix",
+                  "nearest_join", "pii_cards"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

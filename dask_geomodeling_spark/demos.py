@@ -7899,7 +7899,7 @@ GATE_ORDER = [
     "kmeans_ivf_ann", "semdedup", "bpe_train", "decode_image",
     "decontaminate", "kn_perplexity", "temperature_mix",
     "gopher_quality", "crawl_prep", "dsir_select",
-    "exact_dedup", "geometry_tiler",
+    "nearest_join", "pii_cards",
     # streaming / temporal joins
     "event_aggregate", "asof_join",
 ]
