@@ -91,13 +91,29 @@ def GeometryFileSource(url, layer=None, id_field=None):
     from dask_geomodeling_spark.geometry.sources import (
         FileGeometrySource, ParquetGeometrySource)
     low = url.lower()
-    if low.endswith((".geojson", ".json")):
+    if low.endswith(".geojson"):
         # reference reads GeoJSON through fiona with inferred
         # properties; schema_of_variant_agg over a bounded feature
         # sample replaces the fiona sniff (sources.py
         # infer_geojson_schema)
         return FileGeometrySource(url, "geojson",
                                   id_field=id_field or "id")
+    if low.endswith(".json"):
+        # a .json file may be a GeoJSON FeatureCollection OR plain
+        # JSON-lines; sniff the head like fiona's driver detection
+        # (driver-side, bounded read) instead of force-routing to the
+        # GeoJSON error path (round-5 review nit)
+        try:
+            with open(url, "rb") as fh:
+                head = fh.read(4096).decode("utf-8", "replace")
+        except OSError:
+            head = ""
+        if "FeatureCollection" in head:
+            return FileGeometrySource(url, "geojson",
+                                      id_field=id_field or "id")
+        return FileGeometrySource(url, "json",
+                                  id_field=id_field or "id",
+                                  schema="infer")
     if low.endswith(".shp"):
         # pure-spec struct codec — no GDAL (geometry/shapefile.py);
         # attribute schema infers from the .dbf header, the fiona

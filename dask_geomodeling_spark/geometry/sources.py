@@ -228,7 +228,8 @@ class FileGeometrySource(GeometryBlock):
             raise ValueError("Format '{}' is unsupported".format(format))
         if format in ("csv", "json") and not schema:
             raise ValueError("csv/json sources need an explicit "
-                             "DDL schema")
+                             "DDL schema (or schema='infer' for the "
+                             "compat/interactive json path)")
         super().__init__(url, format, id_field, time_column, schema,
                          str(projection).upper())
 
@@ -321,6 +322,11 @@ class FileGeometrySource(GeometryBlock):
             df = reader.schema(schema).option("header", True).csv(url)
         elif fmt == "geojson":
             df = self._geojson_frame(ctx.spark, url, schema)
+        elif schema == "infer":
+            # the fiona-parity sniffing path (compat/interactive):
+            # Spark's native json inference pass — an explicit DDL
+            # schema stays the 100 TB contract
+            df = reader.json(url)
         else:
             df = reader.schema(schema).json(url)
         return apply_feature_request(df, ctx.request,

@@ -161,3 +161,27 @@ def test_ipyleaflet_plugin_path_resolves():
         "dask_geomodeling.ipyleaflet_plugin.GeomodelingLayer")
     from dask_geomodeling_spark.ipyleaflet_plugin import GeomodelingLayer
     assert cls is GeomodelingLayer
+
+
+def test_compat_json_sniffs_featurecollection_vs_jsonlines(spark,
+                                                           tmp_path):
+    """A .json url routes by CONTENT: FeatureCollection heads read as
+    GeoJSON (inferred properties), anything else as JSON-lines with
+    Spark's native inference (the fiona driver-detection parity —
+    round-5 review nit)."""
+    import json as _json
+
+    from dask_geomodeling_spark import compat
+    jl = tmp_path / "plain.json"
+    jl.write_text("\n".join(
+        _json.dumps({"id": i, "x": float(i), "y": 2.0})
+        for i in range(5)))
+    assert compat.GeometryFileSource(str(jl)).plan(spark).count() == 5
+    fc = tmp_path / "fc.json"
+    fc.write_text(_json.dumps({
+        "type": "FeatureCollection", "features": [
+            {"type": "Feature",
+             "geometry": {"type": "Point", "coordinates": [1.0, 2.0]},
+             "properties": {"id": 1, "name": "a"}}]}))
+    rows = compat.GeometryFileSource(str(fc)).plan(spark).collect()
+    assert len(rows) == 1 and rows[0]["x"] == 1.0 and rows[0]["y"] == 2.0
