@@ -535,3 +535,58 @@ def test_spatial_join_no_cartesian(spark):
                    "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_nearest_join_no_cartesian(spark):
+    """NearestJoin pairs the two DATA sides via the cell equi-join (a
+    hash join on _cx/_cy) — never a data-by-data cartesian; the only
+    nested-loop is the 9-row offsets broadcast (the HillShade scatter
+    idiom).  No window anywhere."""
+    from dask_geomodeling_spark import demos
+    plan = plan_of(demos.QUERIES["nearest_join"](spark, SF_DIR),
+                   "simple")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    # the candidate join is an equi-join on the cell key
+    assert "_cx" in plan and "_cy" in plan
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan)
+
+
+def test_dissolve_single_aggregation(spark):
+    """Dissolve is ONE hash aggregation on the dissolve key (plus the
+    map-side partial): no joins, no window, no sort."""
+    from dask_geomodeling_spark.geometry.dissolve import Dissolve
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    df = spark.createDataFrame(
+        [(1, "g", 0.0, 0.0, 1.0, 1.0)],
+        "fid bigint, grp string, xmin double, ymin double, "
+        "xmax double, ymax double")
+    plan = plan_of(Dissolve(DataFrameSource(df, index_column="fid"),
+                            by="grp").plan(spark), "simple")
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_warp_average_never_shuffles_scan_twice(spark):
+    """The 'average' warp is scan -> map-side bin -> ONE bounded-key
+    aggregation; the raster side is never broadcast-collected and
+    there is exactly one exchange (the AQE-planned agg shuffle)."""
+    from dask_geomodeling_spark import demos
+    plan = plan_of(demos.QUERIES["raster_warp_average"](spark, SF_DIR),
+                   "simple")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_terrain_family_one_shuffle_each(spark):
+    """Slope/TRI share HillShade's plan shape: scatter (broadcast
+    offsets, no shuffle) + one conditional-aggregation exchange +
+    the left-semi re-join against the source cells."""
+    from dask_geomodeling_spark.raster.sources import MemorySource
+    from dask_geomodeling_spark.raster.spatial import TRI, Slope
+    src = MemorySource([[float(x) for x in range(4)] for _ in range(4)])
+    for op in (Slope, TRI):
+        plan = plan_of(op(src).plan(spark), "simple")
+        assert "CartesianProduct" not in plan
+        assert "Window" not in plan, op
