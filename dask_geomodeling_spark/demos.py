@@ -6408,7 +6408,7 @@ def ngram_perplexity(spark, sf_dir):
     return NgramPerplexity(documents_src(sf_dir)).plan(spark)
 
 
-@demo("kn_perplexity", oracle="""
+_KN_ORACLE = """
 WITH toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(trim(lower(text)), '\\s+'),
@@ -6436,7 +6436,51 @@ SELECT d.doc_id, s.n_bigrams,
        ROUND(s.lp / s.n_bigrams, 6) AS avg_logprob,
        ROUND(exp(-(s.lp / s.n_bigrams)), 6) AS perplexity
 FROM documents d LEFT JOIN s USING (doc_id)
-""")
+"""
+
+
+@demo("corpus_prep_kn", oracle="""
+WITH kn AS ({kn}),
+surv AS (
+  SELECT d.doc_id, d.lang
+  FROM documents d JOIN kn USING (doc_id)
+  WHERE kn.perplexity <= 30.0),
+c AS (SELECT lang, COUNT(*) AS n FROM surv GROUP BY lang),
+z AS (SELECT SUM(pow(CAST(n AS DOUBLE), 0.3)) AS z FROM c),
+p AS (SELECT lang, n, pow(CAST(n AS DOUBLE), 0.3) / z.z AS p
+      FROM c, z),
+t AS (SELECT MIN(n / p) AS t FROM p),
+thr AS (SELECT lang,
+          CAST(floor(LEAST(CAST(1.0 AS DOUBLE), p * t.t / n)
+               * 2147483647) AS BIGINT) AS thr
+        FROM p, t)
+SELECT s.doc_id, s.lang, kn.perplexity
+FROM surv s JOIN thr ON s.lang = thr.lang JOIN kn USING (doc_id)
+WHERE (s.doc_id * 2654435761) % 2147483647 < thr.thr
+""".format(kn=_KN_ORACLE))
+def corpus_prep_kn(spark, sf_dir):
+    """END-TO-END: Kneser-Ney perplexity gate -> temperature mixing —
+    the CCNet-style selection chain with the round-7 operators
+    composed in one lazy plan: the KN fit scores every document
+    (model-as-DataFrame), survivors (perplexity <= 30) re-balance with
+    alpha=0.3 sampling whose targets derive from the SURVIVOR counts.
+    The oracle replays the entire composition (full KN fit + derived
+    shares + hash-Bernoulli keep) in SQL."""
+    from dask_geomodeling_spark.pipeline.lm import KneserNeyPerplexity
+    from dask_geomodeling_spark.pipeline.sample import TemperatureMix
+    docs = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "documents")), spark)
+    scored = KneserNeyPerplexity(documents_src(sf_dir)).plan(spark)
+    surv = (docs.select("doc_id", "lang")
+            .join(scored.select("doc_id", "perplexity"), "doc_id")
+            .where(F.col("perplexity") <= 30.0))
+    mixed = TemperatureMix(
+        DataFrameSource(surv, index_column="doc_id"),
+        alpha=0.3, category_column="lang")
+    return mixed.plan(spark).select("doc_id", "lang", "perplexity")
+
+
+@demo("kn_perplexity", oracle=_KN_ORACLE)
 def kn_perplexity(spark, sf_dir):
     """KneserNeyPerplexity: interpolated Kneser-Ney bigram scoring —
     the smoothing KenLM actually ships (CCNet's scorer), absolute
