@@ -56,7 +56,8 @@ def main():
                   "raster_slope", "raster_contour",
                   "raster_components", "aggregate_raster_majority",
                   "kn_perplexity", "temperature_mix",
-                  "nearest_join", "pii_cards", "corpus_prep_kn"):
+                  "nearest_join", "pii_cards", "corpus_prep_kn",
+                  "geohash_encode"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

@@ -3042,6 +3042,38 @@ def polygon_area_holes(spark, sf_dir):
     return view.plan(spark).select("s_suppkey", "area", "perimeter")
 
 
+def _geohash_oracle(precision=7):
+    from dask_geomodeling_spark.geometry.geohash import geohash_sql
+    return """
+WITH pts AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 200 AS DOUBLE) / 4 + 0.125 AS x,
+         CAST((c_custkey * 7) % 160 AS DOUBLE) / 4 + 0.125 AS y
+  FROM customer)
+SELECT c_custkey, x, y, {gh} AS geohash
+FROM pts
+""".format(gh=geohash_sql("x", "y", precision))
+
+
+@demo("geohash_encode", oracle=_geohash_oracle())
+def geohash_encode(spark, sf_dir):
+    """GeohashEncode: the standard base-32 spatial key as closed-form
+    integer arithmetic (MSB-interleaved scaled lon/lat, 5 bits per
+    character) — the portable spatial-bucketing/partition key.  The
+    oracle evaluates the IDENTICAL generated SQL text."""
+    from dask_geomodeling_spark.geometry.geohash import GeohashEncode
+    customer = read_nanos_parquet(spark, _pq(sf_dir, "customer"))
+    pts = customer.select(
+        "c_custkey",
+        (F.expr("CAST(c_custkey % 200 AS DOUBLE)") / 4 + 0.125)
+        .alias("x"),
+        (F.expr("CAST((c_custkey * 7) % 160 AS DOUBLE)") / 4 + 0.125)
+        .alias("y"))
+    enc = GeohashEncode(DataFrameSource(pts, index_column="c_custkey"),
+                        precision=7)
+    return enc.plan(spark).select("c_custkey", "x", "y", "geohash")
+
+
 @demo("nearest_join", oracle="""
 WITH pts AS (
   SELECT c_custkey,

@@ -338,3 +338,18 @@ def test_nearest_join_radius_and_ties(spark):
                      max_distance=3.0, how="left")
     got = {r["pid"]: r["aid"] for r in jl.plan(spark).collect()}
     assert got == {1: 10, 2: None}
+
+
+def test_geohash_known_value(spark):
+    """The canonical example: (57.64911 N, 10.40744 E) ->
+    'u4pruydqqvj' at precision 11; prefix property holds at lower
+    precision."""
+    from dask_geomodeling_spark.geometry.geohash import GeohashEncode
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    df = spark.createDataFrame([(1, 10.40744, 57.64911)],
+                               "pid bigint, x double, y double")
+    src = DataFrameSource(df, index_column="pid")
+    out = GeohashEncode(src, precision=11).plan(spark).first()
+    assert out["geohash"] == "u4pruydqqvj"
+    out6 = GeohashEncode(src, precision=6).plan(spark).first()
+    assert out6["geohash"] == "u4pruy"
