@@ -7298,10 +7298,10 @@ SELECT *, ({rules}) AS gopher_pass FROM mx
 
 @demo("gopher_quality", oracle=_gopher_oracle())
 def gopher_quality(spark, sf_dir):
-    """GopherQuality: the full published rule battery.  Everything
-    except the n-gram character fractions is shuffle-free array HOFs;
-    the n-gram metrics are ONE explode over all n=2..10 plus two
-    keyed aggregations joined back on doc_id."""
+    """GopherQuality: the full published rule battery — every metric
+    INCLUDING the n-gram character fractions is shuffle-free per-row
+    column work (incremental per-n gram hash arrays + positional run
+    counting; no explode, no join)."""
     from dask_geomodeling_spark.pipeline.curate import GopherQuality
     docs = ensure_min_partitions(read_nanos_parquet(
         spark, _pq(sf_dir, "documents")), spark)

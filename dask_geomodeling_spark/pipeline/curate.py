@@ -208,7 +208,7 @@ class GopherQuality(BaseSingle):
                    (line_chars - distinct_chars)
                    / line_chars.cast("double")).otherwise(0.0))
 
-        # ---- n-gram character fractions (one explode) --------------
+        # ---- n-gram character fractions (per-row, no shuffle) ------
         rules = [
             F.col("n_words").between(min_w, max_w),
             F.col("mean_word_len").between(min_mwl, max_mwl),
