@@ -577,3 +577,28 @@ def test_contour_on_ramp(spark):
         assert r["x"] == 2 and r["seg"] == 0
         assert r["x1"] == 2.5 and r["x2"] == 2.5
         assert {r["y1"], r["y2"]} == {float(r["y"]), float(r["y"] + 1)}
+
+
+def test_contour_endpoints_lie_on_level(spark):
+    """Property: every emitted segment endpoint interpolates to the
+    contour level along a square edge — verify by re-evaluating the
+    field bilinearly? Simpler invariant: endpoints stay within the
+    block's unit square and the two endpoints differ (no degenerate
+    segments on a random-ish field)."""
+    import random
+
+    from dask_geomodeling_spark.raster.contour import Contour
+    from dask_geomodeling_spark.raster.sources import MemorySource
+    rng = random.Random(3)
+    data = [[rng.uniform(0, 10) for _ in range(8)] for _ in range(8)]
+    rows = Contour(MemorySource(data), 5.0).plan(spark).collect()
+    assert rows  # a random field at the median level has crossings
+    for r in rows:
+        for px, py in ((r["x1"], r["y1"]), (r["x2"], r["y2"])):
+            assert r["x"] <= px <= r["x"] + 1, r
+            assert r["y"] <= py <= r["y"] + 1, r
+        # endpoints sit ON the square's boundary edges
+        for px, py in ((r["x1"], r["y1"]), (r["x2"], r["y2"])):
+            on_edge = (px in (float(r["x"]), float(r["x"] + 1))
+                       or py in (float(r["y"]), float(r["y"] + 1)))
+            assert on_edge, r

@@ -353,3 +353,80 @@ def test_geohash_known_value(spark):
     assert out["geohash"] == "u4pruydqqvj"
     out6 = GeohashEncode(src, precision=6).plan(spark).first()
     assert out6["geohash"] == "u4pruy"
+
+
+def test_spatial_join_matches_brute_force_random(spark):
+    """Randomized cross-check: the grid-bucketed SpatialJoin equals
+    the brute-force all-pairs ray-cast for random triangles and
+    points, at several cell sizes (bucketing must not change the
+    result set)."""
+    import random
+
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.geometry.spatial_join import SpatialJoin
+    rng = random.Random(42)
+    pts = [(i, rng.uniform(0, 20), rng.uniform(0, 20))
+           for i in range(120)]
+    tris = []
+    for g in range(15):
+        cx, cy = rng.uniform(0, 20), rng.uniform(0, 20)
+        ring = [[cx + rng.uniform(-3, 3), cy + rng.uniform(-3, 3)]
+                for _ in range(3)]
+        tris.append((100 + g, [ring]))
+
+    def brute(px, py, ring):
+        inside = False
+        n = len(ring)
+        for i in range(n):
+            ax, ay = ring[i]
+            bx, by = ring[(i + 1) % n]
+            if (ay > py) != (by > py) and \
+                    px < ax + (bx - ax) * (py - ay) / (by - ay):
+                inside = not inside
+        return inside
+
+    expected = sorted((p, g) for p, x, y in pts for g, rings in tris
+                      if brute(x, y, rings[0]))
+    pdf = spark.createDataFrame(pts, "pid bigint, x double, y double")
+    tdf = spark.createDataFrame(
+        tris, "gid bigint, rings array<array<array<double>>>")
+    for cs in (1.0, 3.0, 10.0):
+        j = SpatialJoin(DataFrameSource(pdf, index_column="pid"),
+                        DataFrameSource(tdf, index_column="gid"),
+                        cell_size=cs)
+        got = sorted((r["pid"], r["gid"])
+                     for r in j.plan(spark).collect())
+        assert got == expected, cs
+
+
+def test_nearest_join_matches_brute_force_random(spark):
+    """Randomized cross-check: NearestJoin equals the brute-force
+    argmin within the radius (squared-distance compare, id
+    tie-break)."""
+    import random
+
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.geometry.spatial_join import NearestJoin
+    rng = random.Random(7)
+    pts = [(i, rng.uniform(0, 20), rng.uniform(0, 20))
+           for i in range(100)]
+    anchors = [(200 + i, rng.uniform(0, 20), rng.uniform(0, 20))
+               for i in range(30)]
+    md = 2.5
+    expected = {}
+    for p, x, y in pts:
+        best = None
+        for a, ax, ay in anchors:
+            d2 = (x - ax) ** 2 + (y - ay) ** 2
+            if d2 <= md * md and (best is None or (d2, a) < best):
+                best = (d2, a)
+        if best is not None:
+            expected[p] = best[1]
+    pdf = spark.createDataFrame(pts, "pid bigint, x double, y double")
+    adf = spark.createDataFrame(anchors,
+                                "aid bigint, x double, y double")
+    j = NearestJoin(DataFrameSource(pdf, index_column="pid"),
+                    DataFrameSource(adf, index_column="aid"),
+                    max_distance=md)
+    got = {r["pid"]: r["aid"] for r in j.plan(spark).collect()}
+    assert got == expected

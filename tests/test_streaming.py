@@ -428,3 +428,41 @@ def test_crawl_curation_runs_on_stream(spark, tmp_path):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.read.parquet(out).collect()}
     assert got == expected
+
+
+def test_dsir_score_runs_on_stream(spark, tmp_path):
+    """DSIRScore against a SAVED model is pure map-side literal-map
+    lookups (the stream-safe claim): the identical block plan over
+    readStream emits exactly the batch scores."""
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.dsir import (DSIRScore,
+                                                      fit_dsir_model,
+                                                      save_dsir_model)
+
+    url = str(tmp_path / "docs")
+    spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").write.parquet(url)
+    batch_df = spark.read.parquet(url)
+    tgt = batch_df.where(F.col("source") == "src0")
+    model_url = str(tmp_path / "model")
+    save_dsir_model(fit_dsir_model(batch_df, tgt, num_buckets=211),
+                    model_url)
+
+    def pipeline(df):
+        return (DSIRScore(DataFrameSource(df, index_column="doc_id"),
+                          model_url, num_buckets=211)
+                .plan(spark)
+                .select("doc_id", "n_grams", "logweight"))
+
+    expected = {tuple(r) for r in pipeline(batch_df).collect()}
+    stream_df = (spark.readStream.format("parquet")
+                 .schema(batch_df.schema).load(url))
+    out = str(tmp_path / "out")
+    q = (pipeline(stream_df).writeStream.outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start(out))
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got == expected
