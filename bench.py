@@ -57,7 +57,7 @@ def main():
                   "raster_components", "aggregate_raster_majority",
                   "kn_perplexity", "temperature_mix",
                   "nearest_join", "pii_cards", "corpus_prep_kn",
-                  "geohash_encode"):
+                  "geohash_encode", "quadkey_encode"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

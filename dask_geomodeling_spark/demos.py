@@ -3055,6 +3055,39 @@ FROM pts
 """.format(gh=geohash_sql("x", "y", precision))
 
 
+def _quadkey_oracle(level=8):
+    from dask_geomodeling_spark.geometry.geohash import quadkey_sql
+    body, _, _ = quadkey_sql("x", "y", level)
+    return """
+WITH pts AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 200 AS DOUBLE) / 4 + 0.125 AS x,
+         CAST((c_custkey * 7) % 160 AS DOUBLE) / 4 + 0.125 AS y
+  FROM customer)
+SELECT c_custkey, x, y, {qk} AS quadkey
+FROM pts
+""".format(qk=body)
+
+
+@demo("quadkey_encode", oracle=_quadkey_oracle())
+def quadkey_encode(spark, sf_dir):
+    """QuadkeyEncode: Bing/slippy WebMercator tile keys (prefix =
+    tile containment — the WMS plugin's cache key) as closed-form
+    integer arithmetic over the Mercator tile indices; the oracle
+    evaluates the IDENTICAL generated SQL."""
+    from dask_geomodeling_spark.geometry.geohash import QuadkeyEncode
+    customer = read_nanos_parquet(spark, _pq(sf_dir, "customer"))
+    pts = customer.select(
+        "c_custkey",
+        (F.expr("CAST(c_custkey % 200 AS DOUBLE)") / 4 + 0.125)
+        .alias("x"),
+        (F.expr("CAST((c_custkey * 7) % 160 AS DOUBLE)") / 4 + 0.125)
+        .alias("y"))
+    enc = QuadkeyEncode(DataFrameSource(pts, index_column="c_custkey"),
+                        level=8)
+    return enc.plan(spark).select("c_custkey", "x", "y", "quadkey")
+
+
 @demo("geohash_encode", oracle=_geohash_oracle())
 def geohash_encode(spark, sf_dir):
     """GeohashEncode: the standard base-32 spatial key as closed-form

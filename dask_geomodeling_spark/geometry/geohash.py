@@ -18,7 +18,8 @@ from pyspark.sql import functions as F
 
 from dask_geomodeling_spark.geometry.base import BaseSingle
 
-__all__ = ["GeohashEncode", "geohash_sql"]
+__all__ = ["GeohashEncode", "geohash_sql",
+           "QuadkeyEncode", "quadkey_sql"]
 
 _B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
@@ -98,3 +99,59 @@ class GeohashEncode(BaseSingle):
         sql = geohash_sql("x", "y", precision, ix_name="_gx",
                           iy_name="_gy")
         return df.withColumn(name, F.expr(sql)).drop("_gx", "_gy")
+
+
+def quadkey_sql(lon_expr, lat_expr, level, ix_name=None, iy_name=None):
+    """Engine-portable SQL text: the Bing-maps quadkey (slippy-tile
+    key) of (lon, lat) at zoom ``level`` — WebMercator tile indices
+    ``tx = floor((lon+180)/360 · 2^z)``,
+    ``ty = floor((1 − ln(tan+sec)/π)/2 · 2^z)``, one base-4 digit
+    (2·ybit + xbit, MSB first) per zoom level.  Same bit-extraction
+    arithmetic as :func:`geohash_sql`."""
+    z = int(level)
+    if not (1 <= z <= 23):
+        raise ValueError("level must be in 1..23")
+    m = 1 << z
+    ix = ("LEAST(CAST({m} AS BIGINT) - 1, "
+          "CAST(FLOOR((({lon}) + 180.0) / 360.0 * {m}) AS BIGINT))"
+          .format(lon=lon_expr, m=m))
+    lat_r = "radians({lat})".format(lat=lat_expr)
+    iy = ("LEAST(CAST({m} AS BIGINT) - 1, "
+          "CAST(FLOOR((1.0 - ln(tan({r}) + 1.0 / cos({r})) / pi()) "
+          "/ 2.0 * {m}) AS BIGINT))".format(r=lat_r, m=m))
+    sx = ix_name or ix
+    sy = iy_name or iy
+
+    def bit(src, k):
+        shift = z - 1 - k
+        return ("CASE WHEN ({s} % {two}) >= {one} THEN 1 ELSE 0 END"
+                .format(s=src, two=1 << (shift + 1), one=1 << shift))
+
+    digits = [
+        "substring('0123', CAST({y} * 2 + {x} AS INT) + 1, 1)"
+        .format(y=bit(sy, k), x=bit(sx, k)) for k in range(z)]
+    return "concat({})".format(", ".join(digits)), ix, iy
+
+
+class QuadkeyEncode(BaseSingle):
+    """Add a ``quadkey`` column (Bing/slippy WebMercator tile key)
+    from point ``x`` (lon) / ``y`` (lat, degrees; clamped to the
+    WebMercator ±85.05° band by the tile-index LEAST guard).
+    Prefix-match = tile containment, so quadkeys key tile caches and
+    the WMS plugin's render targets directly."""
+
+    def __init__(self, source, level=12, column_name="quadkey"):
+        super().__init__(source, int(level), str(column_name))
+
+    @property
+    def columns(self):
+        return set(self.source.columns) | {self.args[2]}
+
+    def _build(self, ctx):
+        _, level, name = self.args
+        df = self.source._build(ctx)
+        body, ix, iy = quadkey_sql("x", "y", level)
+        df = df.withColumns({"_qx": F.expr(ix), "_qy": F.expr(iy)})
+        body, _, _ = quadkey_sql("x", "y", level, ix_name="_qx",
+                                 iy_name="_qy")
+        return df.withColumn(name, F.expr(body)).drop("_qx", "_qy")

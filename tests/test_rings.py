@@ -430,3 +430,18 @@ def test_nearest_join_matches_brute_force_random(spark):
                     max_distance=md)
     got = {r["pid"]: r["aid"] for r in j.plan(spark).collect()}
     assert got == expected
+
+
+def test_quadkey_known_value(spark):
+    """Bing's documented example: lat 40.01234, lon -105.2341 at
+    level 3 -> tile (1, 3) -> quadkey '023'; prefix property at a
+    deeper level."""
+    from dask_geomodeling_spark.geometry.geohash import QuadkeyEncode
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    df = spark.createDataFrame([(1, -105.2341, 40.01234)],
+                               "pid bigint, x double, y double")
+    src = DataFrameSource(df, index_column="pid")
+    assert QuadkeyEncode(src, level=3).plan(spark).first()[
+        "quadkey"] == "023"
+    deep = QuadkeyEncode(src, level=10).plan(spark).first()["quadkey"]
+    assert deep.startswith("023")
