@@ -107,7 +107,13 @@ def GeometryFileSource(url, layer=None, id_field=None):
             with open(url, "rb") as fh:
                 head = fh.read(4096).decode("utf-8", "replace")
         except OSError:
-            head = ""
+            # non-local URL (s3://, hdfs://, https://): builtin open()
+            # cannot sniff — keep the pre-sniff routing (GeoJSON
+            # FeatureCollection, the dominant remote-.json case) rather
+            # than silently falling through to JSON-lines (round-7
+            # advice)
+            return FileGeometrySource(url, "geojson",
+                                      id_field=id_field or "id")
         if "FeatureCollection" in head:
             return FileGeometrySource(url, "geojson",
                                       id_field=id_field or "id")

@@ -230,6 +230,8 @@ def construct(graph, name, validate=True, allowed_prefixes=None):
 def construct_multiple(graph, names, validate=True, allowed_prefixes=None):
     cache = {}
 
+    untrusted = allowed_prefixes is not None
+
     def resolve(key):
         if key in cache:
             return cache[key]
@@ -241,9 +243,21 @@ def construct_multiple(graph, names, validate=True, allowed_prefixes=None):
             if not issubclass(cls, Block):
                 raise TypeError(
                     "Cannot construct from object of type '{}'".format(cls))
-        elif not callable(cls):
+        elif callable(cls):
             # compat adapters (signature-translating factories for
-            # reference classes) are plain callables returning Blocks
+            # reference classes) are plain callables returning Blocks —
+            # allowed only on the TRUSTED path.  Untrusted graphs
+            # (allowed_prefixes given, e.g. the WMS ``layers`` query
+            # param) must resolve to Block subclasses: an in-prefix
+            # module can still expose arbitrary functions
+            # (config.set_spark, …) that would otherwise execute with
+            # attacker-controlled args (round-7 advice; the reference's
+            # construct requires issubclass(Block), core/graphs.py:52)
+            if untrusted:
+                raise TypeError(
+                    "Untrusted graphs may only name Block subclasses; "
+                    "'{}' resolves to a plain callable".format(value[0]))
+        else:
             raise TypeError(
                 "Cannot construct from object of type '{}'".format(cls))
         args = [resolve(a) if isinstance(a, str) and a in graph else a

@@ -29,10 +29,16 @@ def _scaled(lon_expr, lat_expr, precision):
     nbits = 5 * p
     lonbits = (nbits + 1) // 2
     latbits = nbits // 2
-    ix = ("CAST(FLOOR((({lon}) + 180.0) / 360.0 * {m}) AS BIGINT)"
-          .format(lon=lon_expr, m=1 << lonbits))
-    iy = ("CAST(FLOOR((({lat}) + 90.0) / 180.0 * {m}) AS BIGINT)"
-          .format(lat=lat_expr, m=1 << latbits))
+    # LEAST clamps the exact domain edges: lat=90 / lon=180 scale to
+    # 2^bits, whose bit pattern reads all-zero — standard encoders
+    # clamp to the max cell instead (round-7 advice; quadkey_sql has
+    # the same guard)
+    ix = ("LEAST(CAST({mx} AS BIGINT), "
+          "CAST(FLOOR((({lon}) + 180.0) / 360.0 * {m}) AS BIGINT))"
+          .format(lon=lon_expr, m=1 << lonbits, mx=(1 << lonbits) - 1))
+    iy = ("LEAST(CAST({mx} AS BIGINT), "
+          "CAST(FLOOR((({lat}) + 90.0) / 180.0 * {m}) AS BIGINT))"
+          .format(lat=lat_expr, m=1 << latbits, mx=(1 << latbits) - 1))
     return ix, iy, lonbits, latbits
 
 

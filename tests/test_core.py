@@ -163,3 +163,32 @@ def test_geojson_featurecollection_polygon_reader(spark, tmp_path):
     # bbox request prunes the point outside the box
     sub = src.plan(spark, geometry=(1.0, 1.0, 3.0, 4.0)).collect()
     assert {r.fid for r in sub} == {2}
+
+
+def test_untrusted_construct_rejects_plain_callables():
+    """allowed_prefixes marks the graph UNTRUSTED: resolved heads must
+    be Block subclasses — an in-prefix module still exposes plain
+    functions (config.set_spark, ...) that must not execute with
+    attacker-controlled args (round-7 advice)."""
+    graph = {"poison": [
+        "dask_geomodeling_spark.config.set_spark", None]}
+    try:
+        construct(graph, "poison",
+                  allowed_prefixes=["dask_geomodeling_spark."])
+        raise AssertionError("should have raised")
+    except TypeError as e:
+        assert "Block subclasses" in str(e)
+    # the TRUSTED path (no allowed_prefixes) keeps accepting the
+    # compat factory callables
+    g2 = {"src": ["dask_geomodeling_spark.geometry.LiteralGeometrySource",
+                  [{"id": 1, "v": 2.0}]]}
+    assert construct(g2, "src") is not None
+
+
+def test_remote_json_url_routes_to_geojson():
+    """Non-local .json URLs (open() fails) route to the GeoJSON reader
+    instead of silently falling through to JSON-lines (round-7
+    advice)."""
+    from dask_geomodeling_spark.compat import GeometryFileSource
+    src = GeometryFileSource("s3://bucket/data.json")
+    assert src.args[1] == "geojson"

@@ -445,3 +445,44 @@ def test_quadkey_known_value(spark):
         "quadkey"] == "023"
     deep = QuadkeyEncode(src, level=10).plan(spark).first()["quadkey"]
     assert deep.startswith("023")
+
+
+def test_geohash_domain_edge_clamps(spark):
+    """lat=90 / lon=180 scale to 2^bits whose bits read all-zero; the
+    LEAST clamp pins them to the max cell like standard encoders
+    (round-7 advice).  Canonical: (90, 180) -> 'zzzzz...'."""
+    from dask_geomodeling_spark.geometry.geohash import GeohashEncode
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    df = spark.createDataFrame(
+        [(1, 180.0, 90.0), (2, -180.0, -90.0)],
+        "pid bigint, x double, y double")
+    out = {r["pid"]: r["geohash"]
+           for r in GeohashEncode(
+               DataFrameSource(df, index_column="pid"),
+               precision=6).plan(spark).collect()}
+    assert out[1] == "zzzzzz"
+    assert out[2] == "000000"
+
+
+def test_spatial_join_left_side_with_rings_column(spark):
+    """A left block that itself carries a 'rings' column must not
+    produce an ambiguous reference against the right side's rings
+    (round-7 advice: right rings ride under an internal alias)."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.geometry.spatial_join import SpatialJoin
+    pts = spark.createDataFrame(
+        [(1, 0.5, 0.5, [[[0.4, 0.4], [0.6, 0.4], [0.5, 0.6]]]),
+         (2, 5.0, 5.0, None)],
+        "pid bigint, x double, y double, "
+        "rings array<array<array<double>>>")
+    polys = spark.createDataFrame(
+        [(10, [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]]])],
+        "gid bigint, rings array<array<array<double>>>")
+    j = SpatialJoin(DataFrameSource(pts, index_column="pid"),
+                    DataFrameSource(polys, index_column="gid"),
+                    cell_size=2.0, how="left")
+    got = {r["pid"]: r["gid"] for r in j.plan(spark).collect()}
+    assert got == {1: 10, 2: None}
+    # left rings column survives untouched
+    row = {r["pid"]: r for r in j.plan(spark).collect()}
+    assert row[1]["rings"] is not None and row[2]["rings"] is None
