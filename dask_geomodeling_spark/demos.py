@@ -3211,6 +3211,153 @@ def dissolve(spark, sf_dir):
         F.round("area", 6).alias("area"), "acct")
 
 
+_SQUARE2_RING = ("array(array(array({x}, {y}), "
+                 "array({x} + 2.0D, {y}), "
+                 "array({x} + 2.0D, {y} + 2.0D), "
+                 "array({x}, {y} + 2.0D)))")
+
+
+@demo("difference_polygon", oracle="""
+WITH t AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 7 AS DOUBLE) AS ax,
+         CAST((c_custkey * 3) % 7 AS DOUBLE) AS ay,
+         CAST(c_custkey % 3 AS DOUBLE) AS dx,
+         CAST((c_custkey * 5) % 3 AS DOUBLE) AS dy
+  FROM customer
+)
+SELECT c_custkey,
+       CASE WHEN c_custkey % 2 <> 0 THEN 4.0
+            WHEN (2 - dx) * (2 - dy) >= 4.0 THEN NULL
+            ELSE ROUND(4.0 - (2 - dx) * (2 - dy), 6) END AS area
+FROM t
+""")
+def difference_polygon(spark, sf_dir):
+    """EXACT polygon Difference (reference set_operations.py:12,70-78:
+    per-index a.difference(b) through shapely; ours through the
+    boundary-classification kernel, geometry/polyclip.py).  Per
+    customer: a 2x2 square minus a 2x2 square offset by
+    (key%3, 5*key%3) — full overlap empties to NULL, partial overlap
+    leaves an L whose area the oracle re-derives closed-form
+    (4 - overlap), odd keys have no subtrahend and pass through."""
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        rings_area_expr)
+    from dask_geomodeling_spark.geometry.set_operations import Difference
+    customer = read_nanos_parquet(spark, _pq(sf_dir, "customer"))
+    base = customer.select(
+        "c_custkey",
+        F.expr("CAST(c_custkey % 7 AS DOUBLE)").alias("ax"),
+        F.expr("CAST((c_custkey * 3) % 7 AS DOUBLE)").alias("ay"),
+        F.expr("CAST(c_custkey % 3 AS DOUBLE)").alias("dx"),
+        F.expr("CAST((c_custkey * 5) % 3 AS DOUBLE)").alias("dy"))
+    left = base.select(
+        "c_custkey",
+        F.expr(_SQUARE2_RING.format(x="ax", y="ay")).alias("rings"))
+    right = base.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey",
+        F.expr(_SQUARE2_RING.format(x="(ax + dx)", y="(ay + dy)"))
+        .alias("rings"))
+    d = Difference(DataFrameSource(left, index_column="c_custkey"),
+                   DataFrameSource(right, index_column="c_custkey"))
+    return (d.plan(spark)
+            .withColumn("area", F.round(rings_area_expr("rings"), 6))
+            .select("c_custkey", "area"))
+
+
+@demo("intersection_polygon_request", oracle="""
+WITH t AS (
+  SELECT s_suppkey,
+         CAST(s_suppkey % 20 AS DOUBLE) AS x1,
+         CAST((s_suppkey * 7) % 20 AS DOUBLE) AS y1
+  FROM supplier
+), c AS (
+  SELECT s_suppkey, x1, y1, x1 + 2 AS x2, y1 + 2 AS y2,
+         4.0 - (
+           CASE WHEN x1 + y1 - 16 > 0
+                THEN (x1 + y1 - 16) * (x1 + y1 - 16) / 2 ELSE 0 END
+         - 2 * CASE WHEN x1 + y1 - 18 > 0
+                THEN (x1 + y1 - 18) * (x1 + y1 - 18) / 2 ELSE 0 END
+         + CASE WHEN x1 + y1 - 20 > 0
+                THEN (x1 + y1 - 20) * (x1 + y1 - 20) / 2 ELSE 0 END
+         ) AS raw
+  FROM t
+)
+SELECT s_suppkey,
+       CASE WHEN raw <= 0 THEN NULL ELSE ROUND(raw, 6) END AS area,
+       ROUND(CASE WHEN raw <= 0 THEN LEAST(x2, 20.0)
+                  ELSE LEAST(x2, 20.0 - y1) END, 6) AS xmax
+FROM c
+""")
+def intersection_polygon_request(spark, sf_dir):
+    """Intersection with a POLYGON-shaped request geometry (reference
+    set_operations.py:84 clips to arbitrary request geometry through
+    shapely; ours through the kernel).  Per-supplier 2x2 squares clip
+    to the triangle x+y<=20; the oracle re-derives the clipped area
+    closed-form (the double-integral inclusion-exclusion of the
+    half-plane indicator, g(t)=max(t,0)^2/2) and the clipped bbox
+    xmax; empty clips are NULL with the bbox conservatively clamped
+    to the polygon's bbox."""
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        rings_area_expr)
+    from dask_geomodeling_spark.geometry.set_operations import (
+        Intersection)
+    supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    base = supplier.select(
+        "s_suppkey",
+        F.expr("CAST(s_suppkey % 20 AS DOUBLE)").alias("sx"),
+        F.expr("CAST((s_suppkey * 7) % 20 AS DOUBLE)").alias("sy"))
+    src = base.select(
+        "s_suppkey",
+        F.expr(_SQUARE2_RING.format(x="sx", y="sy")).alias("rings"),
+        F.col("sx").alias("xmin"), F.col("sy").alias("ymin"),
+        (F.col("sx") + 2).alias("xmax"),
+        (F.col("sy") + 2).alias("ymax"))
+    blk = Intersection(DataFrameSource(src, index_column="s_suppkey"))
+    out = blk.plan(spark,
+                   geometry="POLYGON ((0 0, 20 0, 0 20, 0 0))")
+    return (out.withColumn("area",
+                           F.round(rings_area_expr("rings"), 6))
+            .withColumn("xmax", F.round("xmax", 6))
+            .select("s_suppkey", "area", "xmax"))
+
+
+@demo("dissolve_exact", oracle="""
+WITH t AS (
+  SELECT s_suppkey % 25 AS grp,
+         CAST(s_suppkey // 25 AS DOUBLE) AS r
+  FROM supplier
+)
+SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(2.0 * (MAX(r) - MIN(r) + 2.0), 6) AS area
+FROM t GROUP BY grp
+""")
+def dissolve_exact(spark, sf_dir):
+    """Dissolve with ``union='exact'`` — the true geometric union
+    (reference analogue: shapely unary_union under geopandas
+    dissolve).  Group members are 2x2 squares stepped 1 apart along x
+    (50% pairwise overlap), so the exact union is one contiguous
+    strip whose area the oracle re-derives closed-form
+    (2*(max-min+2)); the concat default would double-cancel every
+    overlap under even-odd filling."""
+    from dask_geomodeling_spark.geometry.dissolve import Dissolve
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        rings_area_expr)
+    supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    base = supplier.select(
+        "s_suppkey",
+        (F.col("s_suppkey") % 25).alias("grp"),
+        F.expr("CAST(s_suppkey DIV 25 AS DOUBLE)").alias("r"),
+        F.expr("CAST(s_suppkey % 25 AS DOUBLE)").alias("gy"))
+    src = base.select(
+        "s_suppkey", "grp",
+        F.expr(_SQUARE2_RING.format(x="r", y="gy")).alias("rings"))
+    dis = Dissolve(DataFrameSource(src, index_column="s_suppkey"),
+                   by="grp", union="exact")
+    return (dis.plan(spark)
+            .withColumn("area", F.round(rings_area_expr("rings"), 6))
+            .select("grp", "n_parts", "area"))
+
+
 @demo("spatial_join", oracle="""
 WITH pts AS (
   SELECT c_custkey,

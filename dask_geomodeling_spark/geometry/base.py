@@ -75,6 +75,16 @@ def apply_feature_request(df, request, time_column=None):
             df = df.filter(F.col(time_column) <= F.lit(stop))
 
     geometry = request.get("geometry")  # (xmin, ymin, xmax, ymax) bbox
+    if isinstance(geometry, str):
+        # WKT request geometry (POINT / box / general POLYGON): the
+        # SCAN-level predicate is always the bbox (pushes to parquet);
+        # an exact polygon clip is the Intersection block's job
+        # (set_operations._clip_to_polygon)
+        from dask_geomodeling_spark.geometry.sources import (
+            parse_point_or_box_wkt)
+        f = parse_point_or_box_wkt(geometry)
+        geometry = ((f["x"], f["y"], f["x"], f["y"]) if "x" in f
+                    else (f["xmin"], f["ymin"], f["xmax"], f["ymax"]))
     if geometry is not None:
         x1, y1, x2, y2 = geometry
         cols = set(df.columns)

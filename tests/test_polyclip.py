@@ -1,0 +1,210 @@
+"""Polygon boolean kernel (geometry/polyclip.py) + the blocks wired to
+it: exact Difference ring path, polygon-request Intersection, Dissolve
+union='exact'.  Reference parity target: shapely set ops
+(reference geometry/set_operations.py:12,70-78)."""
+
+import random
+
+from dask_geomodeling_spark.geometry.polyclip import (
+    polygon_boolean, polygon_difference, polygon_intersection,
+    polygon_symmetric_difference, polygon_union, polygon_union_all,
+    rings_signed_area)
+
+
+def rect(x1, y1, x2, y2):
+    return [[[x1, y1], [x2, y1], [x2, y2], [x1, y2]]]
+
+
+def area(rings):
+    return rings_signed_area(rings)
+
+
+def pip(x, y, poly):
+    inside = False
+    for ring in poly:
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            if (y1 > y) != (y2 > y):
+                xi = x1 + (y - y1) / (y2 - y1) * (x2 - x1)
+                if x < xi:
+                    inside = not inside
+    return inside
+
+
+def test_overlapping_squares_all_ops():
+    a, b = rect(0, 0, 2, 2), rect(1, 1, 3, 3)
+    assert abs(area(polygon_intersection(a, b)) - 1.0) < 1e-9
+    assert abs(area(polygon_union(a, b)) - 7.0) < 1e-9
+    assert abs(area(polygon_difference(a, b)) - 3.0) < 1e-9
+    assert abs(area(polygon_symmetric_difference(a, b)) - 6.0) < 1e-9
+
+
+def test_hole_punch_orientation():
+    """b inside a: difference emits outer CCW + hole CW — the
+    orientation-normalized rings contract."""
+    d = polygon_difference(rect(0, 0, 4, 4), rect(1, 1, 2, 2))
+    assert len(d) == 2
+    per = sorted(rings_signed_area([r]) for r in d)
+    assert abs(per[0] + 1.0) < 1e-9   # hole, CW
+    assert abs(per[1] - 16.0) < 1e-9  # outer, CCW
+    assert abs(area(d) - 15.0) < 1e-9
+
+
+def test_shared_edge_and_identical():
+    a, b = rect(0, 0, 1, 1), rect(1, 0, 2, 1)
+    u = polygon_union(a, b)
+    assert len(u) == 1 and abs(area(u) - 2.0) < 1e-9
+    assert area(polygon_intersection(a, b)) == 0.0
+    s = rect(0, 0, 3, 3)
+    assert abs(area(polygon_intersection(s, s)) - 9.0) < 1e-9
+    assert area(polygon_difference(s, s)) == 0.0
+
+
+def test_hole_input_and_multipolygon():
+    a = [[[0, 0], [4, 0], [4, 4], [0, 4]],
+         [[1, 1], [1, 3], [3, 3], [3, 1]]]  # square with 2x2 hole
+    band = rect(0, 1.5, 4, 2.5)
+    assert abs(area(polygon_intersection(a, band)) - 2.0) < 1e-9
+    assert abs(area(polygon_difference(a, band)) - 10.0) < 1e-9
+    multi = rect(0, 0, 1, 2) + rect(3, 0, 4, 2)
+    b = rect(0, 0, 4, 1)
+    assert abs(area(polygon_intersection(multi, b)) - 2.0) < 1e-9
+
+
+def test_symmetric_difference_pinch_stays_simple():
+    """The two lobes meet at pinch points; the sharpest-left-turn
+    stitch must emit two simple rings, not a figure-eight (whose
+    shoelace would cancel)."""
+    sd = polygon_symmetric_difference(rect(0, 0, 2, 2), rect(1, 1, 3, 3))
+    per = [rings_signed_area([r]) for r in sd]
+    assert all(p > 0 for p in per)
+    assert abs(sum(per) - 6.0) < 1e-9
+
+
+def test_union_all_chain():
+    polys = [rect(0, 0, 2, 2), rect(1, 1, 3, 3), rect(2, 0, 4, 2)]
+    assert abs(area(polygon_union_all(polys)) - 10.0) < 1e-9
+    assert abs(area(polygon_union_all([rect(0, 0, 1, 1)] * 3)) - 1.0) \
+        < 1e-9
+
+
+def test_empty_inputs():
+    assert polygon_intersection([], rect(0, 0, 1, 1)) == []
+    assert area(polygon_difference(rect(0, 0, 1, 1), [])) == 1.0
+    assert area(polygon_union([], rect(0, 0, 1, 1))) == 1.0
+
+
+def test_randomized_pointwise_agreement():
+    """Result membership equals the boolean of input memberships at
+    random probe points (off-boundary), for random star polygons."""
+    rng = random.Random(11)
+
+    def rand_poly(k):
+        import math
+        cx, cy = rng.uniform(0, 10), rng.uniform(0, 10)
+        angs = sorted(rng.uniform(0, 2 * math.pi) for _ in range(k))
+        return [[[cx + rng.uniform(0.5, 4) * math.cos(t),
+                  cy + rng.uniform(0.5, 4) * math.sin(t)]
+                 for t in angs]]
+
+    for _ in range(12):
+        pa, pb = rand_poly(rng.randint(3, 8)), rand_poly(rng.randint(3, 8))
+        for fn, keep in [
+                (polygon_intersection, lambda f: f[0] and f[1]),
+                (polygon_union, lambda f: f[0] or f[1]),
+                (polygon_difference, lambda f: f[0] and not f[1])]:
+            res = fn(pa, pb)
+            bad = 0
+            for _ in range(200):
+                x, y = rng.uniform(-5, 15), rng.uniform(-5, 15)
+                if pip(x, y, res) != keep((pip(x, y, pa),
+                                           pip(x, y, pb))):
+                    bad += 1
+            assert bad <= 2  # boundary-graze flukes only
+
+
+def test_difference_block_ring_path(spark):
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        rings_area_expr)
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.geometry.set_operations import Difference
+    left = spark.createDataFrame(
+        [(1, [[[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]]]),
+         (4, [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]]]),
+         (5, [[[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 2.0]]])],
+        "fid bigint, rings array<array<array<double>>>")
+    other = spark.createDataFrame(
+        [(1, [[[1.0, 1.0], [3.0, 1.0], [3.0, 3.0], [1.0, 3.0]]]),
+         (5, [[[0.0, 0.0], [9.0, 0.0], [9.0, 9.0], [0.0, 9.0]]])],
+        "fid bigint, rings array<array<array<double>>>")
+    d = Difference(DataFrameSource(left, index_column="fid"),
+                   DataFrameSource(other, index_column="fid"))
+    got = {r["fid"]: r["area"] for r in d.plan(spark).withColumn(
+        "area", F.round(rings_area_expr("rings"), 6)).collect()}
+    assert got == {1: 3.0, 4: 1.0, 5: None}
+
+
+def test_difference_block_box_left_engages(spark):
+    """A bbox-only left side synthesizes its boundary ring and gets
+    the exact (non-box) difference; unmatched rows keep their bbox."""
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        rings_area_expr)
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.geometry.set_operations import Difference
+    bl = spark.createDataFrame(
+        [(1, 0.0, 0.0, 2.0, 2.0), (2, 5.0, 5.0, 6.0, 6.0)],
+        "fid bigint, xmin double, ymin double, xmax double, ymax double")
+    tri = spark.createDataFrame(
+        [(1, [[[0.0, 0.0], [2.0, 0.0], [0.0, 2.0]]])],
+        "fid bigint, rings array<array<array<double>>>")
+    d = Difference(DataFrameSource(bl, index_column="fid"),
+                   DataFrameSource(tri, index_column="fid"))
+    o = {r["fid"]: r for r in d.plan(spark).withColumn(
+        "area", F.round(rings_area_expr("rings"), 6)).collect()}
+    assert o[1]["area"] == 2.0
+    assert o[2]["area"] is None and o[2]["xmin"] == 5.0
+
+
+def test_intersection_polygon_request(spark):
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        rings_area_expr)
+    from dask_geomodeling_spark.geometry.set_operations import (
+        Intersection)
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    src = spark.createDataFrame(
+        [(1, [[[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]]]),
+         (2, [[[1.0, 1.0], [3.0, 1.0], [3.0, 3.0], [1.0, 3.0]]])],
+        "fid bigint, rings array<array<array<double>>>")
+    blk = Intersection(DataFrameSource(src, index_column="fid"))
+    out = blk.plan(spark, geometry="POLYGON ((0 0, 4 0, 0 4, 0 0))")
+    got = {r["fid"]: r["area"] for r in out.withColumn(
+        "area", F.round(rings_area_expr("rings"), 6)).collect()}
+    assert got == {1: 4.0, 2: 2.0}
+
+
+def test_dissolve_exact_union(spark):
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.geometry.dissolve import Dissolve
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        rings_area_expr)
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    mem = spark.createDataFrame(
+        [(1, "a", [[[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]]]),
+         (2, "a", [[[1.0, 1.0], [3.0, 1.0], [3.0, 3.0], [1.0, 3.0]]]),
+         (3, "b", [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]]])],
+        "fid bigint, grp string, rings array<array<array<double>>>")
+    dis = Dissolve(DataFrameSource(mem, index_column="fid"), "grp",
+                   union="exact")
+    o = {r["grp"]: r for r in dis.plan(spark).withColumn(
+        "area", F.round(rings_area_expr("rings"), 6)).collect()}
+    assert o["a"]["area"] == 7.0 and o["a"]["n_parts"] == 2
+    assert o["b"]["area"] == 1.0
