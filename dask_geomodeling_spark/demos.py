@@ -6683,9 +6683,14 @@ def corpus_prep_kn(spark, sf_dir):
     docs = ensure_min_partitions(read_nanos_parquet(
         spark, _pq(sf_dir, "documents")), spark)
     scored = KneserNeyPerplexity(documents_src(sf_dir)).plan(spark)
+    # lazy lineage cut on the survivor frame: TemperatureMix evaluates
+    # its source twice (counts + keep filter) and each evaluation
+    # would otherwise re-run the entire KN fit (round-7 verdict #2;
+    # the crawl_prep HtmlExtract checkpoint is the same pattern)
     surv = (docs.select("doc_id", "lang")
             .join(scored.select("doc_id", "perplexity"), "doc_id")
-            .where(F.col("perplexity") <= 30.0))
+            .where(F.col("perplexity") <= 30.0)
+            .localCheckpoint(eager=False))
     mixed = TemperatureMix(
         DataFrameSource(surv, index_column="doc_id"),
         alpha=0.3, category_column="lang")

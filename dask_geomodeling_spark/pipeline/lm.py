@@ -54,14 +54,22 @@ class NgramPerplexity(BaseSingle):
         return {self.args[2], "n_bigrams", "avg_logprob", "perplexity"}
 
     def _build(self, ctx):
+        from pyspark import StorageLevel
         _, text_column, id_column, round_to = self.args
         df = self.source._build(ctx)
+        # tokenize the corpus ONCE: the token stream feeds the bigram
+        # stream AND the vocabulary count, and the bigram stream feeds
+        # three consumers (both count tables + the scoring join) — the
+        # DSIR persist pattern (dsir.py:195-201; round-7 verdict #2:
+        # without it each consumer re-scans and re-tokenizes the
+        # corpus, ~4 scans where 1 suffices)
         toks = (df.select(
             F.col(id_column),
             F.split(F.trim(F.lower(F.col(text_column))), r"\s+")
             .alias("_w"))
             .withColumn("_w", F.expr(
-                "filter(_w, t -> length(t) > 0)")))
+                "filter(_w, t -> length(t) > 0)"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
         bigrams = toks.select(
             id_column,
             F.explode(F.expr(
@@ -70,7 +78,8 @@ class NgramPerplexity(BaseSingle):
                 "i -> struct(_w[i - 1] AS w1, _w[i] AS w2)) "
                 "ELSE array() END")).alias("_b")
         ).select(id_column, F.col("_b.w1").alias("w1"),
-                 F.col("_b.w2").alias("w2"))
+                 F.col("_b.w2").alias("w2")) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
         c_bi = (bigrams.groupBy("w1", "w2")
                 .agg(F.count(F.lit(1)).alias("_c2")))
         c_uni = (bigrams.groupBy("w1")
@@ -137,6 +146,7 @@ class KneserNeyPerplexity(BaseSingle):
         return {self.args[2], "n_bigrams", "avg_logprob", "perplexity"}
 
     def _build(self, ctx):
+        from pyspark import StorageLevel
         _, text_column, id_column, d, round_to = self.args
         df = self.source._build(ctx)
         toks = (df.select(
@@ -145,6 +155,10 @@ class KneserNeyPerplexity(BaseSingle):
             .alias("_w"))
             .withColumn("_w", F.expr(
                 "filter(_w, t -> length(t) > 0)")))
+        # the bigram stream feeds FOUR count tables plus the scoring
+        # join — persist it once (the DSIR pattern, dsir.py:195-201;
+        # round-7 verdict #2: the unpersisted stream re-tokenized the
+        # corpus ~5x)
         bigrams = toks.select(
             id_column,
             F.explode(F.expr(
@@ -153,7 +167,8 @@ class KneserNeyPerplexity(BaseSingle):
                 "i -> struct(_w[i - 1] AS w1, _w[i] AS w2)) "
                 "ELSE array() END")).alias("_b")
         ).select(id_column, F.col("_b.w1").alias("w1"),
-                 F.col("_b.w2").alias("w2"))
+                 F.col("_b.w2").alias("w2")) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
         c_bi = (bigrams.groupBy("w1", "w2")
                 .agg(F.count(F.lit(1)).alias("_c2")))
         # context table: occurrence count + distinct continuations

@@ -590,3 +590,54 @@ def test_terrain_family_one_shuffle_each(spark):
         plan = plan_of(op(src).plan(spark), "simple")
         assert "CartesianProduct" not in plan
         assert "Window" not in plan, op
+
+
+def test_kn_perplexity_persists_bigram_stream(spark):
+    """The KN bigram stream feeds four count tables plus the scoring
+    join; the persist (lm.py, the DSIR pattern) must show as the
+    cached relation reused by every consumer — one corpus
+    tokenization, not ~5 (round-7 verdict #2)."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.lm import KneserNeyPerplexity
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog sat")],
+        "doc_id bigint, text string")
+    kn = KneserNeyPerplexity(
+        DataFrameSource(docs, index_column="doc_id")).plan(spark)
+    plan = kn._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("InMemoryRelation") >= 4
+
+
+def test_temperature_mix_checkpoints_counts(spark):
+    """TemperatureMix derives three frames from the per-category
+    counts; the lazy localCheckpoint pins the count aggregate so the
+    source plan runs exactly twice — counts + keep filter — even with
+    a lazy fit chain underneath (round-7 verdict #2)."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.sample import TemperatureMix
+    docs = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "fr")],
+        "doc_id bigint, lang string")
+    tm = TemperatureMix(DataFrameSource(docs, index_column="doc_id"),
+                        alpha=0.3, category_column="lang").plan(spark)
+    plan = tm._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan
+
+
+def test_spatial_join_left_is_one_join(spark):
+    """how='left' runs the grid join ONCE: a single left-outer
+    equi-join with the exact predicate in the join condition — no
+    distinct, no anti-join re-evaluation (round-7 verdict #3)."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.geometry.spatial_join import SpatialJoin
+    pts = spark.createDataFrame([(1, 0.5, 0.5)],
+                                "pid bigint, x double, y double")
+    polys = spark.createDataFrame(
+        [(10, [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]]])],
+        "gid bigint, rings array<array<array<double>>>")
+    j = SpatialJoin(DataFrameSource(pts, index_column="pid"),
+                    DataFrameSource(polys, index_column="gid"),
+                    cell_size=2.0, how="left")
+    plan = plan_of(j.plan(spark), "simple")
+    assert plan.count("Join") == 1
+    assert "CartesianProduct" not in plan
