@@ -1889,18 +1889,25 @@ edges AS (SELECT ia AS a, ib AS b FROM e0
 reach(src, node) AS (
   SELECT id, id FROM n
   UNION
-  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a)
-SELECT n.time, n.y, n.x, n.value, m.comp AS component
-FROM n JOIN (SELECT src, MIN(node) AS comp FROM reach GROUP BY src) m
-  ON n.id = m.src
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+m AS (SELECT r.src,
+             MIN({{'t': epoch_us(n2.time), 'y': n2.y, 'x': n2.x}}) AS mn
+      FROM reach r JOIN n n2 ON n2.id = r.node GROUP BY r.src)
+SELECT n.time, n.y, n.x, n.value,
+       concat(CAST(mn.t AS VARCHAR), ':', CAST(mn.y AS VARCHAR), ':',
+              CAST(mn.x AS VARCHAR)) AS component
+FROM n JOIN m ON n.id = m.src
 """.format(grid=_grid_sql()))
 def raster_components(spark, sf_dir):
     """RasterComponents: connected-component labeling (the polygonize
     core) of a binarized 16x8 window — time-summed cell values step at
     the median (865), then adjacent same-value cells label with their
-    component's minimum cell key via the shared large-star/small-star
-    rounds.  The oracle re-derives the fixpoint with a recursive CTE
-    over the identical edge set."""
+    component's (time, y, x)-smallest cell key via the shared
+    large-star/small-star rounds — run on PACKED BIGINT keys (round-8:
+    the ~20 rounds shuffle the key every exchange; strings would
+    triple the bytes), with the string form rebuilt only at output.
+    The oracle re-derives the fixpoint with a recursive CTE over the
+    identical edge set and the same numeric-min canonical member."""
     from dask_geomodeling_spark.raster.components import RasterComponents
     from dask_geomodeling_spark.raster.sources import DataFrameRasterSource
     g = lineitem_grid(spark, sf_dir)

@@ -155,7 +155,23 @@ class BPETrain(BaseSingle):
          ``replace(s, '␟a␟␟b␟', '␟ab␟')`` (the greedy BPE merge
          order), and the updated vocabulary re-persists.
 
-    Only the argmax row ever reaches the driver per iteration; the
+    BATCHED rounds (round-8 verdict #8): each aggregation pass takes
+    the top-``batch`` pairs (count DESC, pair ASC — the sequential
+    order) and learns the maximal SAFE prefix in one driver
+    round-trip.  Safety argument: merging ``(a, b)`` only creates
+    pairs of the forms ``(x, ab)`` / ``(ab, y)`` / ``(ab, ab)``, and
+    every occurrence of those was a pre-merge occurrence of ``(x, a)``
+    / ``(b, y)`` / ``(b, a)`` — pairs SHARING a symbol with the merge.
+    So a later pick is sequentially correct iff (1) it shares no
+    symbol (nor the merged product) with an earlier pick — its count
+    is then unchanged — and (2) its count strictly exceeds the first
+    conflicting candidate's count, which upper-bounds every pair the
+    earlier merges could have created.  The learned merge table is
+    BIT-IDENTICAL to the one-rule-at-a-time loop (property-tested);
+    a 32k-rule training drops from 32k driver round-trips to
+    ~32k/effective-batch.
+
+    Only top-``batch`` rows ever reach the driver per pass; the
     iteration plan grows by one tiny ``replace`` per rule, and every
     ``checkpoint_every`` rules (default 64) the vocabulary takes a
     lazy ``localCheckpoint`` so a real 32k-rule training run never
@@ -168,13 +184,15 @@ class BPETrain(BaseSingle):
     """
 
     def __init__(self, source, column="text", n_merges=8,
-                 lowercase=True, checkpoint_every=64):
+                 lowercase=True, checkpoint_every=64, batch=16):
         if int(n_merges) < 1:
             raise ValueError("n_merges must be >= 1")
         if int(checkpoint_every) < 1:
             raise ValueError("checkpoint_every must be >= 1")
+        if int(batch) < 1:
+            raise ValueError("batch must be >= 1")
         super().__init__(source, column, int(n_merges), bool(lowercase),
-                         int(checkpoint_every))
+                         int(checkpoint_every), int(batch))
 
     @property
     def columns(self):
@@ -186,7 +204,7 @@ class BPETrain(BaseSingle):
               "element_at(_sy, i + 1))) END")
 
     def _build(self, ctx):
-        _, column, n_merges, lowercase, ckpt_every = self.args
+        _, column, n_merges, lowercase, ckpt_every, batch = self.args
         df = self.source._build(ctx)
         text = F.lower(F.col(column)) if lowercase else F.col(column)
         words = (df.select(F.explode(F.split(F.trim(text), r"\s+"))
@@ -202,35 +220,54 @@ class BPETrain(BaseSingle):
         syms = ("split(btrim(_s, '{s}'), '{s}{s}')".format(s=_SEP))
         rules = []
         try:
-            for rank in range(1, n_merges + 1):
-                best = (vocab
-                        .withColumn("_sy", F.expr(syms))
-                        .select("_cnt",
-                                F.explode(F.expr(self._PAIRS))
-                                .alias("_pr"))
-                        .groupBy("_pr")
-                        .agg(F.sum("_cnt").alias("_c"))
-                        .orderBy(F.desc("_c"), "_pr")
-                        .first())
-                if best is None:
+            rank = 1
+            while rank <= n_merges:
+                top_n = max(2, int(batch))
+                top = (vocab
+                       .withColumn("_sy", F.expr(syms))
+                       .select("_cnt",
+                               F.explode(F.expr(self._PAIRS))
+                               .alias("_pr"))
+                       .groupBy("_pr")
+                       .agg(F.sum("_cnt").alias("_c"))
+                       .orderBy(F.desc("_c"), "_pr")
+                       .take(top_n))
+                if not top:
                     break
-                lhs, rhs = best["_pr"].split(" ", 1)
-                rules.append((rank, lhs, rhs, lhs + rhs,
-                              int(best["_c"])))
-                nxt = vocab.select(
-                    "_cnt",
-                    F.replace(F.col("_s"),
-                              F.lit(_SEP + lhs + _SEP + _SEP + rhs
-                                    + _SEP),
-                              F.lit(_SEP + lhs + rhs + _SEP))
-                    .alias("_s"))
-                if rank % ckpt_every == 0:
-                    # cut the replace-chain lineage so long trainings
-                    # keep the optimizer's view bounded
-                    nxt = nxt.localCheckpoint(eager=False)
-                nxt = nxt.persist()
-                vocab.unpersist()
-                vocab = nxt
+                # safe batch: maximal non-conflicting prefix in the
+                # exact sequential order, trimmed to counts STRICTLY
+                # above the first conflicting candidate's count (see
+                # class docstring) — the argmax itself is always safe
+                used = set()
+                picks = []
+                stop_c = int(top[-1]["_c"])
+                for row in top:
+                    lhs, rhs = row["_pr"].split(" ", 1)
+                    if {lhs, rhs} & used:
+                        stop_c = int(row["_c"])
+                        break
+                    picks.append((lhs, rhs, int(row["_c"])))
+                    used |= {lhs, rhs, lhs + rhs}
+                safe = [picks[0]] + [p for p in picks[1:]
+                                     if p[2] > stop_c]
+                safe = safe[:n_merges - rank + 1]
+                for lhs, rhs, c in safe:
+                    rules.append((rank, lhs, rhs, lhs + rhs, c))
+                    nxt = vocab.select(
+                        "_cnt",
+                        F.replace(F.col("_s"),
+                                  F.lit(_SEP + lhs + _SEP + _SEP + rhs
+                                        + _SEP),
+                                  F.lit(_SEP + lhs + rhs + _SEP))
+                        .alias("_s"))
+                    if rank % ckpt_every == 0:
+                        # cut the replace-chain lineage so long
+                        # trainings keep the optimizer's view bounded
+                        nxt = nxt.localCheckpoint(eager=False)
+                    nxt = nxt.persist()
+                    vocab.unpersist()
+                    vocab = nxt
+                    rank += 1
         finally:
             vocab.unpersist()
         return ctx.spark.createDataFrame(

@@ -35,9 +35,21 @@ class RasterComponents(BaseSingle):
 
     Output: ``time, y, x, value, component`` — ``component`` is the
     canonical cell key ``'<epoch_us>:<y>:<x>'`` of the component's
-    lexicographically-smallest member (a total order; any consistent
-    order works for labeling, and the string form keys uniquely
-    across time slices without bounding the coordinate range).
+    (time, y, x)-smallest member under NUMERIC lexicographic order (a
+    total order; any consistent order works for labeling).
+
+    Scale note (round-8): the ~``max_iter`` star rounds shuffle the
+    node key on every exchange, so the rounds run on a PACKED BIGINT
+    key — a mixed-radix encoding of (dense time index, y − ymin,
+    x − xmin) whose radices derive lazily from one broadcast bounds
+    row; the string form is reconstructed only for the final output
+    column (concat strings would ~triple every round's exchange
+    bytes).  The dense time index is a row_number over the
+    DISTINCT-TIME frame (one partition of time-dimension-many rows —
+    the same bounded contract as the time/meta request modes).  A
+    raster whose packed key space would overflow 2⁶³ (> 9·10¹⁸
+    addressable cells) fails fast with ``raise_error`` instead of
+    mislabeling.
     """
 
     def __init__(self, store, connectivity=4, max_iter=20):
@@ -50,14 +62,36 @@ class RasterComponents(BaseSingle):
         return {"time", "y", "x", "value", "component"}
 
     def _build(self, ctx):
+        from pyspark.sql import Window
+
         from dask_geomodeling_spark.pipeline.dedup import DedupClusters
         _, conn, max_iter = self.args
         cells = (self.store._build(ctx)
                  .filter(F.col("value").isNotNull()))
-        key = F.concat_ws(
-            ":", F.expr("unix_micros(time)"), F.col("y"), F.col("x"))
-        nodes = cells.select("time", "y", "x", "value",
-                             key.alias("_id"))
+        # dense time index (time-dimension-sized, one partition) +
+        # coordinate bounds (one row) — both broadcast back, nothing
+        # data-sized leaves the executors
+        tindex = (cells.select("time").distinct().coalesce(1)
+                  .withColumn("_tix", F.row_number().over(
+                      Window.orderBy("time")) - 1))
+        bounds = cells.agg(
+            F.min("y").alias("_ymin"), F.max("y").alias("_ymax"),
+            F.min("x").alias("_xmin"), F.max("x").alias("_xmax"),
+            F.countDistinct("time").alias("_tc"))
+        dy_r = "(_ymax - _ymin + 1)"
+        dx_r = "(_xmax - _xmin + 1)"
+        pack = F.expr(
+            "CASE WHEN CAST(_tc AS DOUBLE) * {dy} * {dx} > 9.0e18 "
+            "THEN CAST(raise_error('RasterComponents: packed key "
+            "space overflows BIGINT') AS BIGINT) "
+            "ELSE (_tix * {dy} + (y - _ymin)) * {dx} + (x - _xmin) "
+            "END".format(dy=dy_r, dx=dx_r))
+        nodes = (cells.join(F.broadcast(tindex), "time")
+                 .crossJoin(F.broadcast(bounds))
+                 .select("time", "y", "x", "value", "_ymin", "_xmin",
+                         F.expr(dy_r).alias("_dy"),
+                         F.expr(dx_r).alias("_dx"),
+                         pack.alias("_id")))
         offsets = [(0, 1), (1, 0)]
         if conn == 8:
             offsets += [(1, 1), (1, -1)]
@@ -79,6 +113,19 @@ class RasterComponents(BaseSingle):
             edges = e if edges is None else edges.unionByName(e)
         und = edges.distinct()
         labels = DedupClusters._star_labels(und, max_iter)
-        return (nodes.join(labels, "_id", "left")
+        # unpack the winning bigint back to the canonical member's
+        # (tidx, y, x) and re-join the (broadcast) time index for the
+        # public '<epoch_us>:<y>:<x>' string form
+        lab = (nodes.join(labels, "_id", "left")
+               .withColumn("_l", F.coalesce("_lbl", "_id"))
+               .withColumn("_ltix", F.expr("div(_l, _dy * _dx)"))
+               .withColumn("_lrem", F.expr("_l % (_dy * _dx)")))
+        lt = tindex.select(F.col("_tix").alias("_ltix"),
+                           F.col("time").alias("_ltime"))
+        return (lab.join(F.broadcast(lt), "_ltix")
                 .select("time", "y", "x", "value",
-                        F.coalesce("_lbl", "_id").alias("component")))
+                        F.concat_ws(
+                            ":", F.expr("unix_micros(_ltime)"),
+                            F.expr("div(_lrem, _dx) + _ymin"),
+                            F.expr("_lrem % _dx + _xmin"))
+                        .alias("component")))

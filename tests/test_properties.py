@@ -400,3 +400,29 @@ def test_bpe_train_matches_pure_python_model(spark_prop, texts):
                              checkpoint_every=2).plan(spark_prop)
            .collect()]
     assert got == _bpe_train_model(texts, 3)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(
+    st.text(alphabet="abcd e", min_size=0, max_size=16),
+    min_size=1, max_size=8))
+def test_bpe_train_batched_equals_sequential(spark_prop, texts):
+    """The batched safe-prefix rounds (round-8) must learn a merge
+    table BIT-IDENTICAL to one-rule-at-a-time training AND to the
+    pure-python model — the batching is a round-trip optimization,
+    never a semantics change."""
+    from dask_geomodeling_spark.geometry.sources import (
+        LiteralGeometrySource)
+    from dask_geomodeling_spark.pipeline.text import BPETrain
+    src = LiteralGeometrySource(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+
+    def run(batch):
+        return [(r.rank, r.lhs, r.rhs, r.merged, r.pair_count)
+                for r in BPETrain(src, n_merges=4, checkpoint_every=2,
+                                  batch=batch).plan(spark_prop)
+                .collect()]
+
+    seq = run(1)
+    assert run(8) == seq
+    assert seq == _bpe_train_model(texts, 4)
