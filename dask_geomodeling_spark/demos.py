@@ -15,6 +15,8 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from dask_geomodeling_spark.config import (ensure_min_partitions,
@@ -8137,40 +8139,48 @@ def dsir_score_saved(spark, sf_dir):
 # (tests/test_oracle_parity.py covers ALL of them).
 # --------------------------------------------------------------------------
 
-GATE_ORDER = [
-    # flagship + field ops + geometry plane (round 7 swapped in the
-    # new headliners — SpatialJoin, Dissolve, the average-resampling
-    # warp, the terrain family, marching-squares contours, raster
-    # connected components, KN perplexity, temperature mixing, zonal
-    # majority; the displaced names stay registered post-gate for the
-    # full sweep)
-    "q1_pricing_summary", "field_ops_arithmetic", "classify",
-    "polygon_area_holes", "merge_blocks", "set_difference",
-    "intersection",
-    "buffer_ring_polygon", "simplify_polygon", "parse_text",
-    "spatial_join", "dissolve", "aggregate_raster",
-    "aggregate_raster_majority",
-    "reproject_rd", "request_filters", "geometry_sink_roundtrip",
-    "geojson_compat_roundtrip", "wkb_source_roundtrip",
-    "json_graph_roundtrip",
-    # raster plane
-    "raster_warp", "raster_warp_average", "raster_elemwise_math",
-    "raster_mask_step_classify",
-    "rasterize_multipolygon", "raster_reduction", "raster_smooth",
-    "raster_slope", "raster_contour", "raster_components",
-    "raster_snap",
-    "raster_sink_roundtrip",
-    # TPC-H join shapes
-    "q3_shipping_priority", "q18_large_orders",
-    # LLM-pipeline: dedup, ANN, multimodal, hygiene, end-to-end
-    "minhash_lsh", "ngram_jaccard",
-    "kmeans_ivf_ann", "semdedup", "bpe_train", "decode_image",
-    "decontaminate", "kn_perplexity", "temperature_mix",
-    "gopher_quality", "crawl_prep", "dsir_select",
-    "nearest_join", "pii_cards",
-    # streaming / temporal joins
-    "event_aggregate", "asof_join",
+# ROTATING gate slots (round-8, verdict #9): 164 of ~215 queries only
+# ever got their green signal from judge sweeps because the 50 driver
+# slots were hand-picked headliners.  The gate now keeps a small ANCHOR
+# set (the flagship + the current round's new operators) and fills the
+# remaining slots by deterministic round-robin over the sorted
+# registry, keyed on the round number inferred from the driver's own
+# CORRECTNESS_r*.json artifacts — every registered query lands in the
+# driver gate within ~5 rounds, and the rotation is reproducible from
+# the repo state alone.
+
+GATE_ANCHORS = [
+    "q1_pricing_summary",           # flagship
+    "json_graph_roundtrip",         # serialization contract
+    # round-8 operators under driver scrutiny this round
+    "difference_polygon", "intersection_polygon_request",
+    "dissolve_exact", "raster_components", "bpe_train",
+    "kn_perplexity", "temperature_mix", "corpus_prep_kn",
+    "spatial_join",
 ]
+
+
+def _infer_round():
+    import glob
+    import re
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = []
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", f)
+        if m:
+            rounds.append(int(m.group(1)))
+    return (max(rounds) + 1) if rounds else 1
+
+
+def _rotating_gate(registry):
+    pool = [n for n in sorted(registry) if n not in GATE_ANCHORS]
+    k = 50 - len(GATE_ANCHORS)
+    start = ((_infer_round() - 1) * k) % len(pool)
+    return GATE_ANCHORS + [pool[(start + i) % len(pool)]
+                           for i in range(k)]
+
+
+GATE_ORDER = _rotating_gate(QUERIES)
 
 assert len(GATE_ORDER) == 50, len(GATE_ORDER)
 _missing = [n for n in GATE_ORDER if n not in QUERIES]

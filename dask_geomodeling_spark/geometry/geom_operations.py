@@ -63,20 +63,90 @@ def rings_area_expr(rings_col="rings"):
         .format(c=rings_col, s=_ring_cross_sum_sql("r"))) / 2
 
 
-def point_in_rings_expr(px, py, rings_col="rings"):
-    """Even-odd ray-cast containment over ALL rings: crossings of each
-    ring sum; a point inside a hole crosses the hole ring an odd extra
-    count → outside.  Works for any ring orientation, and disjoint
-    MULTIPOLYGON parts are just more rings."""
+def point_in_rings_sql(px, py, rings_col="rings"):
+    """Raw SQL text of the even-odd ray cast (nests inside outer
+    lambdas whose variables avoid a/b/acc/acc2/r/v2)."""
     cross = ("CASE WHEN ((a[1] > {py}) != (b[1] > {py})) AND "
              "({px} < a[0] + (b[0] - a[0]) * ({py} - a[1]) / "
              "nullif(b[1] - a[1], cast(0.0 as double))) "
              "THEN 1 ELSE 0 END").format(px=px, py=py)
     per_ring = "aggregate({e}, 0, (acc2, v2) -> acc2 + v2)".format(
         e=_edges_sql("r").format(expr=cross))
-    return F.expr(
-        "pmod(aggregate({c}, 0, (acc, r) -> acc + {pr}), 2) = 1"
-        .format(c=rings_col, pr=per_ring))
+    return ("pmod(aggregate({c}, 0, (acc, r) -> acc + {pr}), 2) = 1"
+            .format(c=rings_col, pr=per_ring))
+
+
+def point_in_rings_expr(px, py, rings_col="rings"):
+    """Even-odd ray-cast containment over ALL rings: crossings of each
+    ring sum; a point inside a hole crosses the hole ring an odd extra
+    count → outside.  Works for any ring orientation, and disjoint
+    MULTIPOLYGON parts are just more rings."""
+    return F.expr(point_in_rings_sql(px, py, rings_col))
+
+
+def _edge_structs_sql(rings_col, tag):
+    """Flat edge list of all rings as ``struct(ax, ay, bx, by)``;
+    lambda variables are suffixed with ``tag`` for clash-free
+    nesting."""
+    return ("flatten(transform({c}, r{t} -> zip_with(r{t}, "
+            "concat(slice(r{t}, 2, size(r{t}) - 1), "
+            "slice(r{t}, 1, 1)), "
+            "(p{t}, q{t}) -> struct(p{t}[0] AS ax, p{t}[1] AS ay, "
+            "q{t}[0] AS bx, q{t}[1] AS by))))"
+            .format(c=rings_col, t=tag))
+
+
+def _seg_intersect_sql(ea, eb):
+    """Exact closed-segment intersection predicate (CLRS orientation
+    tests + collinear on-segment checks); ``ea``/``eb`` are struct
+    expressions with ax/ay/bx/by fields.  Touching counts as
+    intersecting — the GEOS ``intersects`` convention."""
+    def o(px, py, qx, qy, rx, ry):
+        return ("sign(({qx} - {px}) * ({ry} - {py}) "
+                "- ({qy} - {py}) * ({rx} - {px}))").format(
+            px=px, py=py, qx=qx, qy=qy, rx=rx, ry=ry)
+
+    def onseg(px, py, qx, qy, rx, ry):
+        return ("({rx} >= least({px}, {qx}) AND "
+                "{rx} <= greatest({px}, {qx}) AND "
+                "{ry} >= least({py}, {qy}) AND "
+                "{ry} <= greatest({py}, {qy}))").format(
+            px=px, py=py, qx=qx, qy=qy, rx=rx, ry=ry)
+    a = ("{}.ax".format(ea), "{}.ay".format(ea))
+    b = ("{}.bx".format(ea), "{}.by".format(ea))
+    c = ("{}.ax".format(eb), "{}.ay".format(eb))
+    d = ("{}.bx".format(eb), "{}.by".format(eb))
+    o1 = o(*a, *b, *c)
+    o2 = o(*a, *b, *d)
+    o3 = o(*c, *d, *a)
+    o4 = o(*c, *d, *b)
+    return ("((({o1}) * ({o2}) < 0 AND ({o3}) * ({o4}) < 0) "
+            "OR (({o1}) = 0 AND {s1}) OR (({o2}) = 0 AND {s2}) "
+            "OR (({o3}) = 0 AND {s3}) OR (({o4}) = 0 AND {s4}))"
+            .format(o1=o1, o2=o2, o3=o3, o4=o4,
+                    s1=onseg(*a, *b, *c), s2=onseg(*a, *b, *d),
+                    s3=onseg(*c, *d, *a), s4=onseg(*c, *d, *b)))
+
+
+def rings_intersect_expr(a_col, b_col):
+    """EXACT polygon-polygon ``intersects`` test over two ``rings``
+    columns, pure column math (whole-stage codegen, no Python):
+    true iff a vertex of one polygon lies even-odd inside the other,
+    or any boundary edges intersect (touch included — the GEOS
+    convention).  Holes honored: a polygon entirely inside the
+    other's hole neither contains a vertex nor crosses an edge.
+    Cost per pair is O(|edges A| · |edges B|) — the inherent cost of
+    an exact test, evaluated post-candidate-pairing only."""
+    va = ("exists(flatten({a}), pv -> {t})".format(
+        a=a_col, t=point_in_rings_sql("pv[0]", "pv[1]", b_col)))
+    vb = ("exists(flatten({b}), pv -> {t})".format(
+        b=b_col, t=point_in_rings_sql("pv[0]", "pv[1]", a_col)))
+    ee = ("exists({ea}, e1 -> exists({eb}, e2 -> {t}))".format(
+        ea=_edge_structs_sql(a_col, "u"),
+        eb=_edge_structs_sql(b_col, "w"),
+        t=_seg_intersect_sql("e1", "e2")))
+    return F.expr("({va}) OR ({vb}) OR ({ee})".format(
+        va=va, vb=vb, ee=ee))
 
 
 def rings_perimeter_expr(rings_col="rings"):

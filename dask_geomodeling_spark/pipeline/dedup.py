@@ -742,13 +742,54 @@ class DedupClusters(Block):
     def columns(self):
         return {"doc_id", "cluster_id", "is_canonical"}
 
+    #: edge-count at or below which connected components label
+    #: driver-side (exact union-find) instead of running the
+    #: distributed star rounds — the k×dim-model-collect class of
+    #: bounded materialization: ~1 MB of pairs replaces ~6 s of
+    #: per-round scheduling floor on tiny graphs, while anything
+    #: data-sized keeps the O(log²)-round distributed path
+    STAR_DRIVER_THRESHOLD = 65536
+
     @staticmethod
-    def _star_labels(und, max_iter):
+    def _star_labels(und, max_iter, driver_threshold=None):
         """Alternating large-star/small-star until the undirected
         canonical pair set is stable; returns (node, min-neighbor)
-        pairs of the final star graphs."""
+        pairs of the final star graphs.  Graphs with at most
+        ``driver_threshold`` edges short-circuit to an exact
+        driver-side union-find with identical labels."""
+        if driver_threshold is None:
+            driver_threshold = DedupClusters.STAR_DRIVER_THRESHOLD
         und = und.persist()
-        und_cnt = None
+        und_cnt = und.count()
+        if und_cnt <= driver_threshold:
+            import pyspark.sql.types as T
+            rows = und.collect()
+            und.unpersist()
+            parent = {}
+
+            def find(a):
+                root = a
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(a, a) != a:
+                    parent[a], a = root, parent[a]
+                return root
+
+            for r in rows:
+                ra, rb = find(r["_lo"]), find(r["_hi"])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            nodes = {v for r in rows for v in (r["_lo"], r["_hi"])}
+            mins = {}
+            for n in nodes:
+                rt = find(n)
+                mins[rt] = min(mins.get(rt, n), n)
+            t = und.schema["_lo"].dataType
+            schema = T.StructType([T.StructField("_id", t),
+                                   T.StructField("_lbl", t)])
+            spark = und.sparkSession
+            return spark.createDataFrame(
+                [(n, mins[find(n)]) for n in sorted(nodes)], schema)
         for _ in range(max_iter):
             sym = und.select(F.col("_lo").alias("_u"),
                              F.col("_hi").alias("_v")).union(

@@ -86,12 +86,17 @@ class RasterComponents(BaseSingle):
             "space overflows BIGINT') AS BIGINT) "
             "ELSE (_tix * {dy} + (y - _ymin)) * {dx} + (x - _xmin) "
             "END".format(dy=dy_r, dx=dx_r))
+        from pyspark import StorageLevel
+        # consumed by every neighbor-offset edge join AND the final
+        # label join — persist so the scan + index joins + pack run
+        # once (the DSIR pattern)
         nodes = (cells.join(F.broadcast(tindex), "time")
                  .crossJoin(F.broadcast(bounds))
                  .select("time", "y", "x", "value", "_ymin", "_xmin",
                          F.expr(dy_r).alias("_dy"),
                          F.expr(dx_r).alias("_dx"),
-                         pack.alias("_id")))
+                         pack.alias("_id"))
+                 .persist(StorageLevel.MEMORY_AND_DISK))
         offsets = [(0, 1), (1, 0)]
         if conn == 8:
             offsets += [(1, 1), (1, -1)]
