@@ -3330,6 +3330,58 @@ def intersection_polygon_request(spark, sf_dir):
             .select("s_suppkey", "area", "xmax"))
 
 
+@demo("buffer_exact_polygon", oracle="""
+WITH t AS (
+  SELECT s_suppkey,
+         CAST(6 + s_suppkey % 3 AS DOUBLE) AS w,
+         CAST(6 + (s_suppkey * 5) % 3 AS DOUBLE) AS h
+  FROM supplier)
+SELECT s_suppkey,
+       ROUND(w * h + 2 * (w + h) + 2.0 - (w - 6) * (h - 6), 6)
+           AS area,
+       CAST(CASE WHEN (w - 6) * (h - 6) > 0 THEN 2 ELSE 1 END
+            AS INT) AS n_rings
+FROM t
+""")
+def buffer_exact_polygon(spark, sf_dir):
+    """Buffer(shape='round') on FULL ring stacks (round 8): the exact
+    capsule-union buffer through the boundary-classification kernel.
+    Per supplier a WxH rectangle with a centered (W-4)x(H-4) hole
+    buffers by r=1 at resolution 1 (n=4 diamond disks): the outer
+    boundary grows W*H + 2r(W+H) + n-gon-disk area (= 2 exactly for
+    the diamond), the HOLE shrinks by r on each side exactly
+    ((W-6)x(H-6)), vanishing when degenerate — all closed-form in the
+    oracle, including the ring count."""
+    from dask_geomodeling_spark.geometry.constructive import Buffer
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        rings_area_expr)
+    supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    w = "CAST(6 + s_suppkey % 3 AS DOUBLE)"
+    h = "CAST(6 + (s_suppkey * 5) % 3 AS DOUBLE)"
+    x0 = "CAST(s_suppkey % 30 AS DOUBLE)"
+    y0 = "CAST((s_suppkey * 7) % 30 AS DOUBLE)"
+    rings = ("array("
+             "array(array({x}, {y}), array({x} + {w}, {y}), "
+             "array({x} + {w}, {y} + {h}), array({x}, {y} + {h})), "
+             "array(array({x} + 2.0D, {y} + 2.0D), "
+             "array({x} + 2.0D, {y} + {h} - 2.0D), "
+             "array({x} + {w} - 2.0D, {y} + {h} - 2.0D), "
+             "array({x} + {w} - 2.0D, {y} + 2.0D)))"
+             ).format(x=x0, y=y0, w=w, h=h)
+    df = supplier.select(
+        "s_suppkey",
+        F.expr(x0).alias("xmin"), F.expr(y0).alias("ymin"),
+        F.expr("{} + {}".format(x0, w)).alias("xmax"),
+        F.expr("{} + {}".format(y0, h)).alias("ymax"),
+        F.expr(rings).alias("rings"))
+    buf = Buffer(DataFrameSource(df, index_column="s_suppkey"),
+                 1.0, resolution=1, shape="round")
+    return (buf.plan(spark)
+            .withColumn("area", F.round(rings_area_expr("rings"), 6))
+            .withColumn("n_rings", F.size("rings"))
+            .select("s_suppkey", "area", "n_rings"))
+
+
 @demo("dissolve_exact", oracle="""
 WITH t AS (
   SELECT s_suppkey % 25 AS grp,
@@ -3365,6 +3417,54 @@ def dissolve_exact(spark, sf_dir):
     return (dis.plan(spark)
             .withColumn("area", F.round(rings_area_expr("rings"), 6))
             .select("grp", "n_parts", "area"))
+
+
+@demo("spatial_join_intersects", oracle="""
+WITH a AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 40 AS DOUBLE) AS ax,
+         CAST((c_custkey * 3) % 40 AS DOUBLE) AS ay
+  FROM customer),
+b AS (
+  SELECT s_suppkey,
+         CAST(s_suppkey % 40 AS DOUBLE) AS bx,
+         CAST((s_suppkey * 7) % 40 AS DOUBLE) AS by
+  FROM supplier)
+SELECT a.c_custkey, b.s_suppkey
+FROM a JOIN b
+  ON a.ax <= b.bx + 3 AND a.ax + 2 >= b.bx
+ AND a.ay <= b.by + 3 AND a.ay + 2 >= b.by
+""")
+def spatial_join_intersects(spark, sf_dir):
+    """SpatialJoin(predicate='intersects') — polygon-polygon join (the
+    geopandas sjoin 'intersects' counterpart): grid-bucketed candidate
+    pairing with canonical-cell dedup (no post-join distinct) + the
+    exact vertex/edge intersects test in the join condition.  With
+    axis-aligned squares the oracle is the closed-form bbox-overlap
+    join (touch included — the GEOS convention the edge test
+    implements)."""
+    from dask_geomodeling_spark.geometry.spatial_join import SpatialJoin
+    customer = read_nanos_parquet(spark, _pq(sf_dir, "customer"))
+    supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    ca = customer.select(
+        "c_custkey",
+        F.expr("CAST(c_custkey % 40 AS DOUBLE)").alias("ax"),
+        F.expr("CAST((c_custkey * 3) % 40 AS DOUBLE)").alias("ay"))
+    left = ca.select("c_custkey", F.expr(
+        _SQUARE2_RING.format(x="ax", y="ay")).alias("rings"))
+    sb = supplier.select(
+        "s_suppkey",
+        F.expr("CAST(s_suppkey % 40 AS DOUBLE)").alias("bx"),
+        F.expr("CAST((s_suppkey * 7) % 40 AS DOUBLE)").alias("by"))
+    right = sb.select("s_suppkey", F.expr(
+        "array(array(array(bx, by), array(bx + 3.0D, by), "
+        "array(bx + 3.0D, by + 3.0D), array(bx, by + 3.0D)))")
+        .alias("rings"))
+    j = SpatialJoin(DataFrameSource(left, index_column="c_custkey"),
+                    DataFrameSource(right, index_column="s_suppkey"),
+                    cell_size=5.0, right_columns=["s_suppkey"],
+                    predicate="intersects")
+    return j.plan(spark).select("c_custkey", "s_suppkey")
 
 
 @demo("spatial_join", oracle="""

@@ -54,6 +54,40 @@ def _buffer_ring_sql(r, dist, n):
             ).format(m=m, angles=angles, cx=cx, cy=cy, d=d)
 
 
+def _buffer_rings_kernel(rings, dist, n):
+    """Exact positive buffer of an even-odd ring set through the
+    boundary-classification kernel (geometry/polyclip.py):
+    ``buffer(P, r) = P ∪ ⋃ edge-capsules`` — per boundary edge a
+    width-``2r`` rectangle, per vertex the regular ``n``-gon disk
+    (the GEOS quad_segs discretization).  Holes SHRINK correctly
+    (their boundary capsules fill the hole's rim) and reflex vertices
+    need no arc trimming — the union handles them, which the
+    closed-form convex Minkowski fan cannot."""
+    import math
+
+    from dask_geomodeling_spark.geometry.polyclip import (
+        polygon_union_all)
+    if not rings:
+        return rings
+    polys = [rings]
+    for ring in rings:
+        m = len(ring)
+        for i in range(m):
+            ax, ay = float(ring[i][0]), float(ring[i][1])
+            bx, by = (float(ring[(i + 1) % m][0]),
+                      float(ring[(i + 1) % m][1]))
+            dx, dy = bx - ax, by - ay
+            ln = math.hypot(dx, dy)
+            if ln > 0:
+                nx, ny = -dy / ln * dist, dx / ln * dist
+                polys.append([[[ax + nx, ay + ny], [bx + nx, by + ny],
+                               [bx - nx, by - ny], [ax - nx, ay - ny]]])
+            polys.append([[[ax + dist * math.cos(2 * math.pi * k / n),
+                            ay + dist * math.sin(2 * math.pi * k / n)]
+                           for k in range(n)]])
+    return polygon_union_all(polys) or None
+
+
 class Buffer(BaseSingle):
     """Expand geometries by a distance (reference:
     geometry/constructive.py:13, where GEOS buffers with
@@ -66,9 +100,13 @@ class Buffer(BaseSingle):
     buffer becomes a regular ``4·resolution``-gon ring (the GEOS
     quadrant-segment approximation) carried in the multi-ring
     ``vertices`` column, so Area/Length/Rasterize downstream measure
-    the circle approximation instead of the box.  Box inputs keep bbox
-    expansion under either shape (box⊕disk is a rounded rectangle —
-    out of the native algebra; documented deviation)."""
+    the circle approximation instead of the box.  ``shape="round"``
+    on frames carrying ``rings`` (round 8) computes the EXACT
+    capsule-union buffer through the boundary-classification kernel —
+    holes shrink, reflex vertices round correctly, multipolygon parts
+    may merge; see :func:`_buffer_rings_kernel`.  Box inputs keep
+    bbox expansion under either shape (box⊕disk is a rounded
+    rectangle — out of the native algebra; documented deviation)."""
 
     def __init__(self, source, distance, projection="EPSG:4326",
                  resolution=4, shape="box"):
@@ -119,11 +157,32 @@ class Buffer(BaseSingle):
                    .withColumn("ymin", F.col("ymin") - d)
                    .withColumn("xmax", F.col("xmax") + d)
                    .withColumn("ymax", F.col("ymax") + d))
-            if self.args[4] == "round" and "vertices" in cols:
-                # polygon rows: Minkowski disk-sum of the exterior
+            if self.args[4] == "round" and "rings" in cols \
+                    and self.distance > 0:
+                # full ring stacks (holes / multipolygon / reflex
+                # vertices): exact capsule-union buffer through the
+                # kernel (round 8)
+                import functools
+
+                from dask_geomodeling_spark.geometry.polyclip import (
+                    map_rings_unary)
+                out = map_rings_unary(
+                    out, "rings",
+                    functools.partial(_buffer_rings_kernel,
+                                      dist=float(self.distance),
+                                      n=4 * self.resolution))
+                if "vertices" in cols:
+                    out = out.withColumn(
+                        "vertices",
+                        F.when(F.col("rings").isNotNull(),
+                               F.try_element_at(F.col("rings"),
+                                                F.lit(1)))
+                        .otherwise(F.col("vertices")))
+            elif self.args[4] == "round" and "vertices" in cols:
+                # single-ring rows: Minkowski disk-sum of the exterior
                 # ring (reference constructive.py:13 buffers arbitrary
-                # geometry via GEOS) — exact for convex rings; `rings`
-                # stacks (holes/multipolygon) keep bbox expansion only
+                # geometry via GEOS) — exact for convex rings,
+                # closed-form column math (no Python)
                 buf = _buffer_ring_sql("vertices", self.distance,
                                        4 * self.resolution)
                 out = out.withColumn(

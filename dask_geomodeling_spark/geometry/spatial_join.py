@@ -31,14 +31,31 @@ __all__ = ["SpatialJoin", "NearestJoin"]
 
 
 class SpatialJoin(GeometryBlock):
-    """Join point features to the polygons (or boxes) containing them.
+    """Join features by spatial predicate.
+
+    ``predicate='contains'`` (default): left POINT features join to
+    the right polygons (or boxes) containing them.
+
+    ``predicate='intersects'`` (round 8): left POLYGON features join
+    to right polygons they intersect — the geopandas
+    ``sjoin(predicate='intersects')`` counterpart.  Both sides grid
+    their bboxes; ONE cell equi-join pairs candidates; each pair
+    deduplicates WITHOUT a shuffle by keeping only its CANONICAL cell
+    (the cell containing the bbox-overlap's max corner — present on
+    both sides iff the bboxes overlap); the exact test is
+    ``geom_operations.rings_intersect_expr`` (vertex even-odd
+    containment either way + closed-segment edge crossings; touch
+    counts, holes honored), pure column math in the join condition.
+    Box-only sides participate through their synthesized boundary
+    ring.
 
     Args:
-      left: GeometryBlock of POINT features (``x``/``y`` columns);
-        its index is the output index.
+      left: GeometryBlock; POINT features (``x``/``y``) for
+        'contains', polygon ``rings`` (or box columns) for
+        'intersects'.  Its index is the output index.
       right: GeometryBlock of polygon features — a ``rings`` column
         (exact ray-cast containment, holes/multipolygon honored) or
-        ``xmin/ymin/xmax/ymax`` box columns (box containment).
+        ``xmin/ymin/xmax/ymax`` box columns.
       cell_size: grid bucket size in coordinate units.  Pick it near
         the typical polygon extent: smaller cells explode polygons
         into more candidate rows, larger cells pair more
@@ -46,23 +63,28 @@ class SpatialJoin(GeometryBlock):
       right_columns: right-side columns to carry into the output
         (default: the right block's index column).  Must not collide
         with left-side names.
-      how: ``'inner'`` (matching pairs) or ``'left'`` (points without
-        a containing polygon keep a row with NULL right columns).
+      how: ``'inner'`` (matching pairs) or ``'left'`` (left features
+        without a match keep a row with NULL right columns).
+      predicate: ``'contains'`` or ``'intersects'``.
     """
 
     def __init__(self, left, right, cell_size, right_columns=None,
-                 how="inner"):
+                 how="inner", predicate="contains"):
         if not isinstance(left, GeometryBlock) \
                 or not isinstance(right, GeometryBlock):
             raise TypeError("left/right must be GeometryBlocks")
         if how not in ("inner", "left"):
             raise ValueError("how must be 'inner' or 'left'")
+        if predicate not in ("contains", "intersects"):
+            raise ValueError(
+                "predicate must be 'contains' or 'intersects'")
         cs = float(cell_size)
         if not cs > 0:
             raise ValueError("cell_size must be > 0")
         if right_columns is None:
             right_columns = [right.index_column]
-        super().__init__(left, right, cs, tuple(right_columns), how)
+        super().__init__(left, right, cs, tuple(right_columns), how,
+                         predicate)
 
     @property
     def left(self):
@@ -83,10 +105,12 @@ class SpatialJoin(GeometryBlock):
     def _build(self, ctx):
         from dask_geomodeling_spark.geometry.geom_operations import (
             point_in_rings_expr)
-        _, _, cs, rcols, how = self.args
+        _, _, cs, rcols, how, predicate = self.args
         rcols = list(rcols)
         L = self.left._build(ctx)
         R = self.right._build(ctx)
+        if predicate == "intersects":
+            return self._build_intersects(ctx, L, R, cs, rcols, how)
         clash = set(rcols) & set(L.columns)
         if clash:
             raise ValueError(
@@ -146,6 +170,99 @@ class SpatialJoin(GeometryBlock):
                 & (F.col("_cy") == F.col("_rcy")) & inside)
         out = Lc.join(Rc, cond, "left" if how == "left" else "inner")
         return out.select(*L.columns, *rcols)
+
+    @staticmethod
+    def _ring_expr(cols, rings_alias):
+        """Geometry of a side as one flat ring list: rings, else the
+        wrapped exterior ring, else the synthesized box boundary."""
+        parts = []
+        if "rings" in cols:
+            parts.append(F.col("rings"))
+        if "vertices" in cols:
+            parts.append(F.when(F.col("vertices").isNotNull(),
+                                F.array(F.col("vertices"))))
+        if {"xmin", "ymin", "xmax", "ymax"} <= cols:
+            parts.append(F.expr(
+                "CASE WHEN xmin IS NOT NULL THEN array(array("
+                "array(xmin, ymin), array(xmax, ymin), "
+                "array(xmax, ymax), array(xmin, ymax))) END"))
+        if not parts:
+            raise ValueError(
+                "predicate='intersects' needs 'rings'/'vertices' or "
+                "box columns on both sides")
+        e = F.coalesce(*parts) if len(parts) > 1 else parts[0]
+        return e.alias(rings_alias)
+
+    def _build_intersects(self, ctx, L, R, cs, rcols, how):
+        from pyspark import StorageLevel
+
+        from dask_geomodeling_spark.geometry.geom_operations import (
+            rings_intersect_expr)
+        clash = set(rcols) & set(L.columns)
+        if clash:
+            raise ValueError(
+                "right_columns collide with left columns: {}"
+                .format(sorted(clash)))
+        csl = "CAST({!r} AS DOUBLE)".format(cs)
+
+        def gridded(df, cols, ring_alias, b, cx, cy):
+            g = df.select(
+                *cols, self._ring_expr(set(df.columns), ring_alias))
+            g = g.withColumns({
+                b + "x1": F.expr(
+                    "array_min(transform(flatten({r}), p -> p[0]))"
+                    .format(r=ring_alias)),
+                b + "y1": F.expr(
+                    "array_min(transform(flatten({r}), p -> p[1]))"
+                    .format(r=ring_alias)),
+                b + "x2": F.expr(
+                    "array_max(transform(flatten({r}), p -> p[0]))"
+                    .format(r=ring_alias)),
+                b + "y2": F.expr(
+                    "array_max(transform(flatten({r}), p -> p[1]))"
+                    .format(r=ring_alias))})
+            return (g.withColumn(cx, F.explode(F.expr(
+                "sequence(CAST(FLOOR({b}x1 / {cs}) AS BIGINT), "
+                "CAST(FLOOR({b}x2 / {cs}) AS BIGINT))"
+                .format(b=b, cs=csl))))
+                .withColumn(cy, F.explode(F.expr(
+                    "sequence(CAST(FLOOR({b}y1 / {cs}) AS BIGINT), "
+                    "CAST(FLOOR({b}y2 / {cs}) AS BIGINT))"
+                    .format(b=b, cs=csl)))))
+
+        Lc = gridded(L, L.columns, "_lr", "_a", "_cx", "_cy")
+        Rc = gridded(R, rcols, "_rr", "_b", "_rcx", "_rcy")
+        overlap = ((F.col("_ax1") <= F.col("_bx2"))
+                   & (F.col("_ax2") >= F.col("_bx1"))
+                   & (F.col("_ay1") <= F.col("_by2"))
+                   & (F.col("_ay2") >= F.col("_by1")))
+        # canonical-cell dedup: the cell holding the bbox-overlap's
+        # max corner is exploded by BOTH sides iff the bboxes overlap,
+        # so keeping only that cell yields each pair exactly once —
+        # no post-join distinct
+        canon = ((F.col("_cx") == F.expr(
+                    "CAST(FLOOR(least(_ax2, _bx2) / {cs}) AS BIGINT)"
+                    .format(cs=csl)))
+                 & (F.col("_cy") == F.expr(
+                    "CAST(FLOOR(least(_ay2, _by2) / {cs}) AS BIGINT)"
+                    .format(cs=csl))))
+        cond = ((F.col("_cx") == F.col("_rcx"))
+                & (F.col("_cy") == F.col("_rcy"))
+                & canon & overlap
+                & rings_intersect_expr("_lr", "_rr"))
+        pairs = (Lc.join(Rc, cond).select(*L.columns, *rcols))
+        if how == "inner":
+            return pairs
+        # left outer over an EXPLODED left side cannot null-extend
+        # per feature, so 'left' is pairs + anti-join — with the pairs
+        # frame persisted the grid join still runs once
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        idc = self.left.index_column
+        matched = pairs.select(idc).distinct()
+        unmatched = (L.join(matched, idc, "left_anti")
+                     .select(*L.columns,
+                             *[F.lit(None).alias(c) for c in rcols]))
+        return pairs.unionByName(unmatched, allowMissingColumns=False)
 
 
 class NearestJoin(GeometryBlock):

@@ -208,3 +208,46 @@ def test_dissolve_exact_union(spark):
         "area", F.round(rings_area_expr("rings"), 6)).collect()}
     assert o["a"]["area"] == 7.0 and o["a"]["n_parts"] == 2
     assert o["b"]["area"] == 1.0
+
+
+def test_buffer_rings_kernel_reflex_and_hole():
+    """Exact capsule-union buffer: L-shape (reflex corner — the case
+    the closed-form convex fan cannot do): area = A + r*Perim +
+    0.5*#convex_quarter_diamonds - r^2*#reflex = 3 + 8 + 2.5 - 1.
+    Rect-with-hole: hole shrinks by r exactly."""
+    from dask_geomodeling_spark.geometry.constructive import (
+        _buffer_rings_kernel)
+    from dask_geomodeling_spark.geometry.polyclip import (
+        rings_signed_area)
+    L = [[[0, 0], [2, 0], [2, 1], [1, 1], [1, 2], [0, 2]]]
+    out = _buffer_rings_kernel(L, 1.0, 4)
+    assert len(out) == 1
+    assert abs(rings_signed_area(out) - 12.5) < 1e-6
+    holed = [[[0, 0], [8, 0], [8, 8], [0, 8]],
+             [[2, 2], [2, 6], [6, 6], [6, 2]]]
+    out2 = _buffer_rings_kernel(holed, 1.0, 4)
+    # outer: 64 + 2*1*(8+8)... wait signed: outer area 64 grows to
+    # 64 + 32 + 2; hole 16 shrinks to 2x2=4 -> net 98 - 4
+    assert len(out2) == 2
+    assert abs(rings_signed_area(out2) - (64 + 32 + 2 - 4)) < 1e-6
+
+
+def test_buffer_block_rings_path(spark):
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.geometry.constructive import Buffer
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        rings_area_expr)
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0, 2.0, 2.0,
+          [[[0.0, 0.0], [2.0, 0.0], [2.0, 1.0], [1.0, 1.0],
+            [1.0, 2.0], [0.0, 2.0]]])],
+        "fid bigint, xmin double, ymin double, xmax double, "
+        "ymax double, rings array<array<array<double>>>")
+    buf = Buffer(DataFrameSource(df, index_column="fid"),
+                 1.0, resolution=1, shape="round")
+    row = buf.plan(spark).withColumn(
+        "area", F.round(rings_area_expr("rings"), 6)).first()
+    assert row["area"] == 12.5
+    assert row["xmin"] == -1.0 and row["ymax"] == 3.0

@@ -486,3 +486,89 @@ def test_spatial_join_left_side_with_rings_column(spark):
     # left rings column survives untouched
     row = {r["pid"]: r for r in j.plan(spark).collect()}
     assert row[1]["rings"] is not None and row[2]["rings"] is None
+
+
+def test_spatial_join_intersects_matches_brute_force(spark):
+    """predicate='intersects' equals the all-pairs exact test for
+    random triangles (independent python reference implementation of
+    the vertex-containment + segment-crossing predicate)."""
+    import math
+    import random
+
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.geometry.spatial_join import SpatialJoin
+
+    def tri(cx, cy, r, rot):
+        return [[[cx + r * math.cos(rot + k * 2.09),
+                  cy + r * math.sin(rot + k * 2.09)]
+                 for k in range(3)]]
+
+    rng = random.Random(5)
+    lrows = [(i, tri(rng.uniform(0, 20), rng.uniform(0, 20),
+                     rng.uniform(0.5, 3), rng.uniform(0, 6)))
+             for i in range(30)]
+    rrows = [(100 + i, tri(rng.uniform(0, 20), rng.uniform(0, 20),
+                           rng.uniform(0.5, 3), rng.uniform(0, 6)))
+             for i in range(20)]
+    schema = "fid bigint, rings array<array<array<double>>>"
+    L = spark.createDataFrame(lrows, schema)
+    R = spark.createDataFrame(rrows,
+                              "gid bigint, rings "
+                              "array<array<array<double>>>")
+    j = SpatialJoin(DataFrameSource(L, index_column="fid"),
+                    DataFrameSource(R, index_column="gid"),
+                    cell_size=4.0, predicate="intersects")
+    got = {(r["fid"], r["gid"]) for r in j.plan(spark).collect()}
+
+    def seg_int(p, q, r, s):
+        def o(a, b, c):
+            v = ((b[0] - a[0]) * (c[1] - a[1])
+                 - (b[1] - a[1]) * (c[0] - a[0]))
+            return (v > 0) - (v < 0)
+
+        def onseg(a, b, c):
+            return (min(a[0], b[0]) <= c[0] <= max(a[0], b[0])
+                    and min(a[1], b[1]) <= c[1] <= max(a[1], b[1]))
+        o1, o2 = o(p, q, r), o(p, q, s)
+        o3, o4 = o(r, s, p), o(r, s, q)
+        if o1 * o2 < 0 and o3 * o4 < 0:
+            return True
+        return ((o1 == 0 and onseg(p, q, r))
+                or (o2 == 0 and onseg(p, q, s))
+                or (o3 == 0 and onseg(r, s, p))
+                or (o4 == 0 and onseg(r, s, q)))
+
+    def pip(x, y, poly):
+        inside = False
+        for ring in poly:
+            n = len(ring)
+            for i in range(n):
+                x1, y1 = ring[i]
+                x2, y2 = ring[(i + 1) % n]
+                if (y1 > y) != (y2 > y):
+                    if x < x1 + (y - y1) / (y2 - y1) * (x2 - x1):
+                        inside = not inside
+        return inside
+
+    def intersects(a, b):
+        if any(pip(v[0], v[1], b) for ring in a for v in ring):
+            return True
+        if any(pip(v[0], v[1], a) for ring in b for v in ring):
+            return True
+        ea = [(ring[i], ring[(i + 1) % len(ring)])
+              for ring in a for i in range(len(ring))]
+        eb = [(ring[i], ring[(i + 1) % len(ring)])
+              for ring in b for i in range(len(ring))]
+        return any(seg_int(p, q, r, s)
+                   for p, q in ea for r, s in eb)
+
+    want = {(i, gid) for i, a in lrows for gid, b in rrows
+            if intersects(a, b)}
+    assert got == want
+    jl = SpatialJoin(DataFrameSource(L, index_column="fid"),
+                     DataFrameSource(R, index_column="gid"),
+                     cell_size=4.0, predicate="intersects", how="left")
+    rows = jl.plan(spark).collect()
+    nulls = {r["fid"] for r in rows if r["gid"] is None}
+    assert nulls == {i for i, _ in lrows} - {i for i, _ in want}
+    assert len(rows) == len(want) + len(nulls)
