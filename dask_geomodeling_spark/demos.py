@@ -3330,6 +3330,169 @@ def intersection_polygon_request(spark, sf_dir):
             .select("s_suppkey", "area", "xmax"))
 
 
+@demo("convex_hull", oracle="""
+WITH t AS (
+  SELECT s_suppkey, CAST(3 + s_suppkey % 2 AS DOUBLE) AS e
+  FROM supplier)
+SELECT s_suppkey,
+       ROUND(e * e - 2 * ((e - 1) / 2) * ((e - 1) / 2), 6) AS area,
+       CAST(8 AS INT) AS n_verts
+FROM t
+""")
+def convex_hull(spark, sf_dir):
+    """ConvexHull (geopandas convex_hull / shapely under the
+    reference's GEOS toolbox): a plus-shaped multipart geometry
+    (two crossed rectangles of extent E, arm width 1) collapses to
+    its octagonal hull — area E^2 - 2((E-1)/2)^2 closed-form, always
+    8 hull vertices.  Andrew's monotone chain in the Arrow-batched
+    map contract."""
+    from dask_geomodeling_spark.geometry.constructive import ConvexHull
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        rings_area_expr)
+    supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    e = "CAST(3 + s_suppkey % 2 AS DOUBLE)"
+    x0 = "CAST(s_suppkey % 30 AS DOUBLE)"
+    y0 = "CAST((s_suppkey * 7) % 30 AS DOUBLE)"
+    a = "(({e} - 1) / 2)".format(e=e)
+    rings = ("array("
+             "array(array({x}, {y} + {a}), array({x} + {e}, {y} + {a}), "
+             "array({x} + {e}, {y} + {a} + 1), array({x}, {y} + {a} + 1)), "
+             "array(array({x} + {a}, {y}), array({x} + {a} + 1, {y}), "
+             "array({x} + {a} + 1, {y} + {e}), array({x} + {a}, {y} + {e})))"
+             ).format(x=x0, y=y0, a=a, e=e)
+    df = supplier.select(
+        "s_suppkey", F.expr(rings).alias("rings"))
+    hull = ConvexHull(DataFrameSource(df, index_column="s_suppkey"))
+    return (hull.plan(spark)
+            .withColumn("area", F.round(rings_area_expr("rings"), 6))
+            .withColumn("n_verts",
+                        F.expr("CAST(size(element_at(rings, 1)) "
+                               "AS INT)"))
+            .select("s_suppkey", "area", "n_verts"))
+
+
+@demo("overlay_intersection", oracle="""
+WITH a AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 40 AS DOUBLE) AS ax,
+         CAST((c_custkey * 3) % 40 AS DOUBLE) AS ay
+  FROM customer),
+b AS (
+  SELECT s_suppkey,
+         CAST(s_suppkey % 40 AS DOUBLE) AS bx,
+         CAST((s_suppkey * 7) % 40 AS DOUBLE) AS by
+  FROM supplier)
+SELECT a.c_custkey, b.s_suppkey,
+       CASE WHEN LEAST(a.ax + 2, b.bx + 3) - GREATEST(a.ax, b.bx)
+                 <= 0
+             OR LEAST(a.ay + 2, b.by + 3) - GREATEST(a.ay, b.by)
+                 <= 0
+            THEN NULL
+            ELSE ROUND(
+              (LEAST(a.ax + 2, b.bx + 3) - GREATEST(a.ax, b.bx))
+              * (LEAST(a.ay + 2, b.by + 3) - GREATEST(a.ay, b.by)),
+              6) END AS area
+FROM a JOIN b
+  ON a.ax <= b.bx + 3 AND a.ax + 2 >= b.bx
+ AND a.ay <= b.by + 3 AND a.ay + 2 >= b.by
+""")
+def overlay_intersection(spark, sf_dir):
+    """Overlay(how='intersection') — the geopandas overlay
+    counterpart: one row per intersecting (left, right) pair with the
+    EXACT pairwise intersection geometry (grid-paired candidates,
+    binary kernel op per pair).  Squares make the clipped area the
+    closed-form bbox overlap; pure boundary touches yield an empty
+    geometry (NULL area) but still pair — the GEOS intersects
+    convention."""
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        rings_area_expr)
+    from dask_geomodeling_spark.geometry.overlay import Overlay
+    customer = read_nanos_parquet(spark, _pq(sf_dir, "customer"))
+    supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    left = customer.select(
+        "c_custkey",
+        F.expr("CAST(c_custkey % 40 AS DOUBLE)").alias("ax"),
+        F.expr("CAST((c_custkey * 3) % 40 AS DOUBLE)").alias("ay")
+    ).select("c_custkey", F.expr(
+        _SQUARE2_RING.format(x="ax", y="ay")).alias("rings"))
+    right = supplier.select(
+        "s_suppkey",
+        F.expr("CAST(s_suppkey % 40 AS DOUBLE)").alias("bx"),
+        F.expr("CAST((s_suppkey * 7) % 40 AS DOUBLE)").alias("by")
+    ).select("s_suppkey", F.expr(
+        "array(array(array(bx, by), array(bx + 3.0D, by), "
+        "array(bx + 3.0D, by + 3.0D), array(bx, by + 3.0D)))")
+        .alias("rings"))
+    ov = Overlay(DataFrameSource(left, index_column="c_custkey"),
+                 DataFrameSource(right, index_column="s_suppkey"),
+                 cell_size=5.0, how="intersection",
+                 right_columns=["s_suppkey"])
+    return (ov.plan(spark)
+            .withColumn("area", F.round(rings_area_expr("rings"), 6))
+            .select("c_custkey", "s_suppkey", "area"))
+
+
+@demo("overlay_erase", oracle="""
+WITH a AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 40 AS DOUBLE) AS ax,
+         CAST((c_custkey * 3) % 40 AS DOUBLE) AS ay
+  FROM customer),
+b AS (
+  SELECT DISTINCT
+         CAST(4 * (s_suppkey % 10) AS DOUBLE) AS bx,
+         CAST(4 * ((s_suppkey * 3) % 10) AS DOUBLE) AS by
+  FROM supplier),
+ov AS (
+  SELECT a.c_custkey,
+         GREATEST(CAST(0 AS DOUBLE),
+                  LEAST(a.ax + 2, b.bx + 2) - GREATEST(a.ax, b.bx))
+         * GREATEST(CAST(0 AS DOUBLE),
+                    LEAST(a.ay + 2, b.by + 2) - GREATEST(a.ay, b.by))
+             AS o
+  FROM a JOIN b
+    ON a.ax <= b.bx + 2 AND a.ax + 2 >= b.bx
+   AND a.ay <= b.by + 2 AND a.ay + 2 >= b.by),
+tot AS (SELECT c_custkey, SUM(o) AS t FROM ov GROUP BY c_custkey)
+SELECT a.c_custkey,
+       CASE WHEN 4.0 - COALESCE(tot.t, 0.0) <= 0 THEN NULL
+            ELSE ROUND(4.0 - COALESCE(tot.t, 0.0), 6) END AS area
+FROM a LEFT JOIN tot USING (c_custkey)
+""")
+def overlay_erase(spark, sf_dir):
+    """Overlay(how='difference') — the ArcGIS Erase: each left square
+    minus the union of ALL intersecting right squares in ONE n-ary
+    kernel evaluation (keep = inA and not any(inB)).  The right layer
+    is a DISJOINT grid of squares, so the erased area is closed-form:
+    4 minus the summed pairwise overlaps (no double counting), NULL
+    when fully covered."""
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        rings_area_expr)
+    from dask_geomodeling_spark.geometry.overlay import Overlay
+    customer = read_nanos_parquet(spark, _pq(sf_dir, "customer"))
+    supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    left = customer.select(
+        "c_custkey",
+        F.expr("CAST(c_custkey % 40 AS DOUBLE)").alias("ax"),
+        F.expr("CAST((c_custkey * 3) % 40 AS DOUBLE)").alias("ay")
+    ).select("c_custkey", F.expr(
+        _SQUARE2_RING.format(x="ax", y="ay")).alias("rings"))
+    right = (supplier.select(
+        F.expr("CAST(4 * (s_suppkey % 10) AS DOUBLE)").alias("bx"),
+        F.expr("CAST(4 * ((s_suppkey * 3) % 10) AS DOUBLE)")
+        .alias("by")).distinct()
+        .withColumn("pid", F.expr(
+            "CAST(bx * 1000 + by AS BIGINT)"))
+        .select("pid", F.expr(
+            _SQUARE2_RING.format(x="bx", y="by")).alias("rings")))
+    ov = Overlay(DataFrameSource(left, index_column="c_custkey"),
+                 DataFrameSource(right, index_column="pid"),
+                 cell_size=4.0, how="difference")
+    return (ov.plan(spark)
+            .withColumn("area", F.round(rings_area_expr("rings"), 6))
+            .select("c_custkey", "area"))
+
+
 @demo("buffer_exact_polygon", oracle="""
 WITH t AS (
   SELECT s_suppkey,

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from dask_geomodeling_spark.geometry.base import BaseSingle
 
-__all__ = ["Buffer", "Simplify", "Centroid"]
+__all__ = ["Buffer", "Simplify", "Centroid", "ConvexHull"]
 
 
 def _buffer_ring_sql(r, dist, n):
@@ -431,3 +431,72 @@ class Centroid(BaseSingle):
         if cx is not None:
             df = df.withColumn("x", cx).withColumn("y", cy)
         return df
+
+
+def _convex_hull_kernel(rings):
+    """Andrew's monotone chain over the distinct vertices of a ring
+    set; returns a single CCW hull ring (the geopandas
+    ``convex_hull`` contract).  Degenerate inputs (< 3 distinct
+    non-collinear points) return None."""
+    pts = sorted({(float(p[0]), float(p[1]))
+                  for ring in (rings or ()) for p in ring})
+    if len(pts) < 3:
+        return None
+
+    def cross(o, a, b):
+        return ((a[0] - o[0]) * (b[1] - o[1])
+                - (a[1] - o[1]) * (b[0] - o[0]))
+
+    lower = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper = []
+    for p in reversed(pts):
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    hull = lower[:-1] + upper[:-1]
+    if len(hull) < 3:
+        return None
+    return [[[x, y] for x, y in hull]]
+
+
+class ConvexHull(BaseSingle):
+    """Per-feature convex hull (geopandas ``convex_hull``; reference
+    counterpart: shapely ``convex_hull`` under constructive.py:13's
+    GEOS toolbox).  Ring/vertices geometry collapses to its single
+    CCW hull ring via Andrew's monotone chain in the Arrow-batched
+    map contract; bbox columns recompute from the hull (hull bbox =
+    input bbox, kept exact); point/box-only frames pass through
+    (their hull is themselves)."""
+
+    def _build(self, ctx):
+        import functools  # noqa: F401
+
+        from dask_geomodeling_spark.geometry.polyclip import (
+            map_rings_unary)
+        df = self.source._build(ctx)
+        cols = set(df.columns)
+        if "rings" not in cols and "vertices" not in cols:
+            return df
+        parts = []
+        if "rings" in cols:
+            parts.append(F.col("rings"))
+        if "vertices" in cols:
+            parts.append(F.when(F.col("vertices").isNotNull(),
+                                F.array(F.col("vertices"))))
+        lr = F.coalesce(*parts) if len(parts) > 1 else parts[0]
+        df = df.withColumn("_hr", lr)
+        df = map_rings_unary(df, "_hr", _convex_hull_kernel)
+        out = {}
+        if "rings" in cols:
+            out["rings"] = F.col("_hr")
+        if "vertices" in cols:
+            out["vertices"] = F.try_element_at(F.col("_hr"), F.lit(1))
+        return df.withColumns(out).drop("_hr")
+
+    @property
+    def columns(self):
+        return set(self.source.columns)

@@ -193,9 +193,12 @@ class SpatialJoin(GeometryBlock):
         e = F.coalesce(*parts) if len(parts) > 1 else parts[0]
         return e.alias(rings_alias)
 
-    def _build_intersects(self, ctx, L, R, cs, rcols, how):
-        from pyspark import StorageLevel
-
+    @classmethod
+    def _candidate_pairs(cls, L, R, cs, rcols, keep_geoms=False):
+        """Exact-intersecting (left, right) pairs through the gridded
+        cell join with canonical-cell dedup (see class docstring).
+        With ``keep_geoms`` the pair frame carries both ring sets as
+        ``_lr``/``_rr`` (the Overlay input)."""
         from dask_geomodeling_spark.geometry.geom_operations import (
             rings_intersect_expr)
         clash = set(rcols) & set(L.columns)
@@ -207,7 +210,7 @@ class SpatialJoin(GeometryBlock):
 
         def gridded(df, cols, ring_alias, b, cx, cy):
             g = df.select(
-                *cols, self._ring_expr(set(df.columns), ring_alias))
+                *cols, cls._ring_expr(set(df.columns), ring_alias))
             g = g.withColumns({
                 b + "x1": F.expr(
                     "array_min(transform(flatten({r}), p -> p[0]))"
@@ -250,7 +253,12 @@ class SpatialJoin(GeometryBlock):
                 & (F.col("_cy") == F.col("_rcy"))
                 & canon & overlap
                 & rings_intersect_expr("_lr", "_rr"))
-        pairs = (Lc.join(Rc, cond).select(*L.columns, *rcols))
+        extra = ["_lr", "_rr"] if keep_geoms else []
+        return (Lc.join(Rc, cond).select(*L.columns, *rcols, *extra))
+
+    def _build_intersects(self, ctx, L, R, cs, rcols, how):
+        from pyspark import StorageLevel
+        pairs = self._candidate_pairs(L, R, cs, rcols)
         if how == "inner":
             return pairs
         # left outer over an EXPLODED left side cannot null-extend

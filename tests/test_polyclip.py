@@ -251,3 +251,37 @@ def test_buffer_block_rings_path(spark):
         "area", F.round(rings_area_expr("rings"), 6)).first()
     assert row["area"] == 12.5
     assert row["xmin"] == -1.0 and row["ymax"] == 3.0
+
+
+def test_overlay_intersection_and_erase(spark):
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        rings_area_expr)
+    from dask_geomodeling_spark.geometry.overlay import Overlay
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    S = "array<array<array<double>>>"
+    L = spark.createDataFrame(
+        [(1, [[[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]]]),
+         (2, [[[10.0, 10.0], [11.0, 10.0], [11.0, 11.0],
+               [10.0, 11.0]]])],
+        "fid bigint, rings " + S)
+    R = spark.createDataFrame(
+        [(100, [[[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 2.0]]]),
+         (101, [[[3.0, 3.0], [5.0, 3.0], [5.0, 5.0], [3.0, 5.0]]]),
+         (102, [[[20.0, 20.0], [21.0, 20.0], [21.0, 21.0],
+                 [20.0, 21.0]]])],
+        "gid bigint, rings " + S)
+    ov = Overlay(DataFrameSource(L, index_column="fid"),
+                 DataFrameSource(R, index_column="gid"), cell_size=4.0)
+    got = {(r["fid"], r["gid"]): r["area"]
+           for r in ov.plan(spark).withColumn(
+               "area", F.round(rings_area_expr("rings"), 6)).collect()}
+    assert got == {(1, 100): 1.0, (1, 101): 1.0}
+    er = Overlay(DataFrameSource(L, index_column="fid"),
+                 DataFrameSource(R, index_column="gid"),
+                 cell_size=4.0, how="difference")
+    got = {r["fid"]: r["area"] for r in er.plan(spark).withColumn(
+        "area", F.round(rings_area_expr("rings"), 6)).collect()}
+    # 16 minus the hole (1) and the corner overlap (1); row 2 untouched
+    assert got == {1: 14.0, 2: 1.0}
