@@ -1925,6 +1925,70 @@ def raster_components(spark, sf_dir):
     return RasterComponents(DataFrameRasterSource(binary)).plan(spark)
 
 
+@demo("raster_polygonize", oracle="""
+WITH p AS (
+  SELECT DISTINCT s_suppkey % 10 AS px, (s_suppkey * 3) % 10 AS py
+  FROM supplier),
+f AS (
+  SELECT 8 * px AS x0, 8 * py AS y0,
+         4 + (px + py) % 2 AS w, 4 + px % 2 AS h,
+         CAST(px * 10 + py AS DOUBLE) AS val
+  FROM p)
+SELECT concat('0:', CAST(y0 AS VARCHAR), ':', CAST(x0 AS VARCHAR))
+           AS component,
+       val AS value,
+       CAST(w * h - (w - 2) * (h - 2) AS BIGINT) AS n_cells,
+       ROUND(CAST(w * h - (w - 2) * (h - 2) AS DOUBLE), 6) AS area,
+       ROUND(CAST(2 * (w + h) + 2 * (w - 2 + h - 2) AS DOUBLE), 6)
+           AS perim,
+       CAST(2 AS INT) AS n_rings
+FROM f
+""")
+def raster_polygonize(spark, sf_dir):
+    """RasterPolygonize (gdal_polygonize): disjoint FRAME-shaped
+    regions (w x h border of width 1) vectorize to exactly two rings
+    each — the CCW outer boundary and the CW hole — via directed
+    unit-edge cancellation + per-component stitching.  Everything is
+    closed-form: area = cell count = wh - (w-2)(h-2), perimeter =
+    outer 2(w+h) plus hole 2(w-2 + h-2), canonical component key =
+    the frame origin."""
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        rings_area_expr, rings_perimeter_expr)
+    from dask_geomodeling_spark.raster.polygonize import (
+        RasterPolygonize)
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    pos = (supplier.select(
+        (F.col("s_suppkey") % 10).alias("px"),
+        ((F.col("s_suppkey") * 3) % 10).alias("py")).distinct()
+        .select(
+            (F.col("px") * 8).alias("x0"),
+            (F.col("py") * 8).alias("y0"),
+            (F.lit(4) + (F.col("px") + F.col("py")) % 2).alias("w"),
+            (F.lit(4) + F.col("px") % 2).alias("h"),
+            (F.col("px") * 10 + F.col("py")).cast("double")
+            .alias("val")))
+    cells = (pos
+             .withColumn("dx", F.explode(F.expr("sequence(0, w - 1)")))
+             .withColumn("dy", F.explode(F.expr("sequence(0, h - 1)")))
+             .where(F.expr("dx = 0 OR dx = w - 1 OR dy = 0 "
+                           "OR dy = h - 1"))
+             .select(F.lit("1970-01-01").cast("timestamp")
+                     .alias("time"),
+                     (F.col("y0") + F.col("dy")).alias("y"),
+                     (F.col("x0") + F.col("dx")).alias("x"),
+                     F.col("val").alias("value")))
+    blk = RasterPolygonize(DataFrameRasterSource(cells))
+    return (blk.plan(spark)
+            .withColumn("area", F.round(rings_area_expr("rings"), 6))
+            .withColumn("perim",
+                        F.round(rings_perimeter_expr("rings"), 6))
+            .withColumn("n_rings", F.expr("CAST(size(rings) AS INT)"))
+            .select("component", "value", "n_cells", "area", "perim",
+                    "n_rings"))
+
+
 @demo("raster_tri", oracle=_horn_calc_sql() + """
 SELECT s.time, s.y, s.x, ROUND((abs(w00 - w11) + abs(w01 - w11) + abs(w02 - w11) + abs(w10 - w11) + abs(w12 - w11) + abs(w20 - w11) + abs(w21 - w11) + abs(w22 - w11)) / 8.0, 6) AS value
 FROM w s JOIN (SELECT time, y, x FROM cells) c USING (time, y, x)

@@ -602,3 +602,42 @@ def test_contour_endpoints_lie_on_level(spark):
             on_edge = (px in (float(r["x"]), float(r["x"] + 1))
                        or py in (float(r["y"]), float(r["y"] + 1)))
             assert on_edge, r
+
+
+def test_raster_polygonize_frame_and_rect(spark):
+    """gdal_polygonize counterpart: a rect region traces one CCW
+    ring; a frame region traces outer CCW + hole CW; areas equal
+    cell counts exactly (unit-square cells)."""
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        rings_area_expr, rings_perimeter_expr)
+    from dask_geomodeling_spark.raster.polygonize import (
+        RasterPolygonize)
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    cells = [(y, x, 1.0) for y in range(2) for x in range(3)]
+    cells += [(y, x, 2.0) for y in range(10, 15) for x in range(10, 15)
+              if y in (10, 14) or x in (10, 14)]
+    df = (spark.createDataFrame(cells, "y bigint, x bigint, "
+                                "value double")
+          .select(F.lit("1970-01-01").cast("timestamp").alias("time"),
+                  "y", "x", "value"))
+    rows = (RasterPolygonize(DataFrameRasterSource(df)).plan(spark)
+            .withColumn("area", F.round(rings_area_expr("rings"), 6))
+            .withColumn("perim",
+                        F.round(rings_perimeter_expr("rings"), 6))
+            .withColumn("n_rings", F.size("rings"))
+            .collect())
+    a = {r["value"]: r for r in rows}
+    assert len(rows) == 2
+    assert (a[1.0]["area"], a[1.0]["perim"], a[1.0]["n_rings"]) \
+        == (6.0, 10.0, 1)
+    assert (a[2.0]["area"], a[2.0]["perim"], a[2.0]["n_rings"]) \
+        == (16.0, 32.0, 2)
+    assert a[1.0]["n_cells"] == 6 and a[2.0]["n_cells"] == 16
+    # orientation contract: outer positive, hole negative
+    from dask_geomodeling_spark.geometry.polyclip import (
+        rings_signed_area)
+    per = sorted(rings_signed_area([r]) for r in a[2.0]["rings"])
+    assert per[0] == -9.0 and per[1] == 25.0
