@@ -64,9 +64,12 @@ def main():
                   "kn_perplexity", "temperature_mix",
                   "nearest_join", "pii_cards", "corpus_prep_kn",
                   "geohash_encode", "quadkey_encode",
-                  # round-8 additions (polygon boolean kernel)
+                  # round-8 additions (polygon boolean kernel family)
                   "difference_polygon", "intersection_polygon_request",
-                  "dissolve_exact"):
+                  "dissolve_exact", "spatial_join_intersects",
+                  "overlay_intersection", "overlay_erase",
+                  "convex_hull", "buffer_exact_polygon",
+                  "raster_polygonize"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

@@ -3394,6 +3394,49 @@ def intersection_polygon_request(spark, sf_dir):
             .select("s_suppkey", "area", "xmax"))
 
 
+@demo("encode_wkt", oracle="""
+WITH t AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 30 AS DOUBLE) AS x0,
+         CAST((c_custkey * 3) % 30 AS DOUBLE) AS y0
+  FROM customer)
+SELECT c_custkey,
+       concat('MULTIPOLYGON (((',
+         CAST(x0 AS VARCHAR), ' ', CAST(y0 AS VARCHAR), ', ',
+         CAST(x0 + 4 AS VARCHAR), ' ', CAST(y0 AS VARCHAR), ', ',
+         CAST(x0 + 4 AS VARCHAR), ' ', CAST(y0 + 3 AS VARCHAR), ', ',
+         CAST(x0 AS VARCHAR), ' ', CAST(y0 + 3 AS VARCHAR), ', ',
+         CAST(x0 AS VARCHAR), ' ', CAST(y0 AS VARCHAR), '), (',
+         CAST(x0 + 1 AS VARCHAR), ' ', CAST(y0 + 1 AS VARCHAR), ', ',
+         CAST(x0 + 1 AS VARCHAR), ' ', CAST(y0 + 2 AS VARCHAR), ', ',
+         CAST(x0 + 2 AS VARCHAR), ' ', CAST(y0 + 2 AS VARCHAR), ', ',
+         CAST(x0 + 2 AS VARCHAR), ' ', CAST(y0 + 1 AS VARCHAR), ', ',
+         CAST(x0 + 1 AS VARCHAR), ' ', CAST(y0 + 1 AS VARCHAR),
+         ')))') AS wkt
+FROM t
+""")
+def encode_wkt(spark, sf_dir):
+    """EncodeWKT: geometry egress as WKT text, pure column math (one
+    sequential fold; the orientation contract groups outers/holes, so
+    encode(parse(wkt)) round-trips).  Rect-with-hole rings per
+    customer; the oracle constructs the identical MULTIPOLYGON text
+    closed-form — both engines print doubles shortest-roundtrip, so
+    the strings match byte-for-byte."""
+    from dask_geomodeling_spark.geometry.wkb import EncodeWKT
+    customer = read_nanos_parquet(spark, _pq(sf_dir, "customer"))
+    x0 = "CAST(c_custkey % 30 AS DOUBLE)"
+    y0 = "CAST((c_custkey * 3) % 30 AS DOUBLE)"
+    rings = ("array("
+             "array(array({x}, {y}), array({x} + 4, {y}), "
+             "array({x} + 4, {y} + 3), array({x}, {y} + 3)), "
+             "array(array({x} + 1, {y} + 1), array({x} + 1, {y} + 2), "
+             "array({x} + 2, {y} + 2), array({x} + 2, {y} + 1)))"
+             ).format(x=x0, y=y0)
+    df = customer.select("c_custkey", F.expr(rings).alias("rings"))
+    blk = EncodeWKT(DataFrameSource(df, index_column="c_custkey"))
+    return blk.plan(spark).select("c_custkey", "wkt")
+
+
 @demo("convex_hull", oracle="""
 WITH t AS (
   SELECT s_suppkey, CAST(3 + s_suppkey % 2 AS DOUBLE) AS e
@@ -8483,7 +8526,9 @@ GATE_ANCHORS = [
     "difference_polygon", "intersection_polygon_request",
     "dissolve_exact", "raster_components", "bpe_train",
     "kn_perplexity", "temperature_mix", "corpus_prep_kn",
-    "spatial_join",
+    "spatial_join", "spatial_join_intersects",
+    "overlay_intersection", "overlay_erase", "convex_hull",
+    "buffer_exact_polygon", "raster_polygonize",
 ]
 
 

@@ -388,3 +388,22 @@ class Length(SeriesBlock):
                     expr.when(F.col("vertices").isNotNull(),
                               perimeter_expr()))
         return box if expr is None else expr.otherwise(box)
+
+
+def rings_wkt_sql(rings_col="rings"):
+    """SQL text: serialize a flat orientation-normalized ring list to
+    MULTIPOLYGON WKT — pure column math (one sequential fold, no
+    Python).  The orientation contract does the polygon grouping: a
+    counter-clockwise ring (signed cross sum >= 0) OPENS a polygon,
+    clockwise rings are HOLES of the most recent outer — exactly the
+    order ``parse_point_or_box_wkt`` emits, so encode(decode(wkt))
+    round-trips.  The closing vertex is re-appended per WKT."""
+    rt = ("array_join(transform(concat(r, slice(r, 1, 1)), "
+          "p -> concat(CAST(p[0] AS STRING), ' ', "
+          "CAST(p[1] AS STRING))), ', ')")
+    outer = "({}) >= 0".format(_ring_cross_sum_sql("r"))
+    return ("concat('MULTIPOLYGON (', aggregate({c}, "
+            "cast('' as string), (acc, r) -> concat(acc, "
+            "CASE WHEN acc = '' THEN '((' "
+            "WHEN {outer} THEN '), ((' ELSE ', (' END, {rt}, ')')"
+            "), '))')").format(c=rings_col, outer=outer, rt=rt)

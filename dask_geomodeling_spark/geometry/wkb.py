@@ -39,6 +39,7 @@ from dask_geomodeling_spark.geometry.sources import (_oriented,
                                                      _ring_signed_area)
 
 __all__ = ["decode_wkb", "encode_wkb", "DecodeWKB", "EncodeWKB",
+           "EncodeWKT",
            "WKBGeometrySource"]
 
 _EWKB_SRID = 0x20000000
@@ -315,3 +316,57 @@ class WKBGeometrySource(GeometryBlock):
         post = {k: v for k, v in ctx.request.items()
                 if k not in ("filters", "start", "stop")}
         return apply_feature_request(df, post, time_column=time_column)
+
+
+class EncodeWKT(BaseSingle):
+    """Serialize geometry to a WKT string column — egress interop
+    (the reference writes geometry through OGR sinks; WKT is the
+    portable text form every geo system reads).  PURE column math
+    (round 8): ring stacks fold to MULTIPOLYGON via
+    ``geom_operations.rings_wkt_sql`` (the orientation contract does
+    the outer/hole grouping, so ``encode(parse(wkt))`` round-trips);
+    vertices-only rows wrap their exterior ring; box rows emit the
+    CCW boundary POLYGON; point rows emit POINT.  No Python, no
+    shuffle."""
+
+    def __init__(self, source, column_name="wkt"):
+        super().__init__(source, str(column_name))
+
+    @property
+    def columns(self):
+        return set(self.source.columns) | {self.args[1]}
+
+    def _build(self, ctx):
+        from pyspark.sql import functions as F
+
+        from dask_geomodeling_spark.geometry.geom_operations import (
+            rings_wkt_sql)
+        df = self.source._build(ctx)
+        cols = set(df.columns)
+        parts = []
+        if "rings" in cols:
+            parts.append(F.when(
+                F.col("rings").isNotNull(),
+                F.expr(rings_wkt_sql("rings"))))
+        if "vertices" in cols:
+            parts.append(F.when(
+                F.col("vertices").isNotNull(),
+                F.expr(rings_wkt_sql("array(vertices)"))))
+        if {"xmin", "ymin", "xmax", "ymax"} <= cols:
+            s = "CAST({} AS STRING)"
+            box = ("concat('POLYGON ((', {x1}, ' ', {y1}, ', ', "
+                   "{x2}, ' ', {y1}, ', ', {x2}, ' ', {y2}, ', ', "
+                   "{x1}, ' ', {y2}, ', ', {x1}, ' ', {y1}, '))')"
+                   ).format(x1=s.format("xmin"), y1=s.format("ymin"),
+                            x2=s.format("xmax"), y2=s.format("ymax"))
+            parts.append(F.when(F.col("xmin").isNotNull(),
+                                F.expr(box)))
+        if {"x", "y"} <= cols:
+            parts.append(F.when(
+                F.col("x").isNotNull(),
+                F.expr("concat('POINT (', CAST(x AS STRING), ' ', "
+                       "CAST(y AS STRING), ')')")))
+        if not parts:
+            raise ValueError("EncodeWKT needs geometry columns")
+        wkt = F.coalesce(*parts) if len(parts) > 1 else parts[0]
+        return df.withColumn(self.args[1], wkt)

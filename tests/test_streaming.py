@@ -466,3 +466,46 @@ def test_dsir_score_runs_on_stream(spark, tmp_path):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.read.parquet(out).collect()}
     assert got == expected
+
+
+def test_spatial_join_runs_on_stream(spark, tmp_path):
+    """SpatialJoin with a STREAMING point side and a static polygon
+    side is a plain stream-static inner equi-join (the grid cell keys
+    are map-side), so the identical block plan over readStream emits
+    exactly the batch pairs — streaming geo-enrichment needs no new
+    operators."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.geometry.spatial_join import SpatialJoin
+
+    url = str(tmp_path / "pts")
+    (spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+     .select("c_custkey",
+             (F.col("c_custkey") % 20).cast("double").alias("x"),
+             ((F.col("c_custkey") * 3) % 20).cast("double").alias("y"))
+     .write.parquet(url))
+    batch_df = spark.read.parquet(url)
+    polys = spark.createDataFrame(
+        [(1, [[[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]]]),
+         (2, [[[10.0, 10.0], [20.0, 10.0], [20.0, 20.0],
+               [10.0, 20.0]]])],
+        "zone bigint, rings array<array<array<double>>>")
+
+    def pipeline(df):
+        j = SpatialJoin(DataFrameSource(df, index_column="c_custkey"),
+                        DataFrameSource(polys, index_column="zone"),
+                        cell_size=10.0, right_columns=["zone"])
+        return j.plan(spark).select("c_custkey", "zone")
+
+    expected = {tuple(r) for r in pipeline(batch_df).collect()}
+    assert expected  # non-degenerate
+    stream_df = (spark.readStream.format("parquet")
+                 .schema(batch_df.schema).load(url))
+    out = str(tmp_path / "out")
+    q = (pipeline(stream_df).writeStream.outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start(out))
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got == expected

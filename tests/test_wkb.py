@@ -111,3 +111,45 @@ def test_wkb_sink_roundtrip_through_source(spark, tmp_path):
     src = WKBGeometrySource(url, wkb_column="geometry", id_field="id")
     rows = {r.id: (r.x, r.y) for r in src.plan(spark).collect()}
     assert rows == {i: (i * 1.0, i * 2.0) for i in range(1, 5)}
+
+
+def test_encode_wkt_all_geometry_kinds(spark):
+    """EncodeWKT: rings -> MULTIPOLYGON with outer/hole grouping by
+    orientation; box rows -> POLYGON boundary; point rows -> POINT;
+    and encode(parse(wkt)) round-trips through the engine's own
+    parser."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from dask_geomodeling_spark.geometry.polyclip import (
+        rings_signed_area)
+    from dask_geomodeling_spark.geometry.sources import (
+        DataFrameSource, parse_point_or_box_wkt)
+    from dask_geomodeling_spark.geometry.wkb import EncodeWKT
+    rings = [[[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]],
+             [[1.0, 1.0], [1.0, 2.0], [2.0, 2.0], [2.0, 1.0]],
+             [[8.0, 8.0], [9.0, 8.0], [9.0, 9.0], [8.0, 9.0]]]
+    df = spark.createDataFrame(
+        [(1, rings)], "fid bigint, rings array<array<array<double>>>")
+    wkt = EncodeWKT(DataFrameSource(df, index_column="fid")) \
+        .plan(spark).first()["wkt"]
+    assert wkt.startswith("MULTIPOLYGON (((")
+    back = parse_point_or_box_wkt(wkt)
+    assert len(back["rings"]) == 3
+    assert abs(rings_signed_area(back["rings"]) - 16.0) < 1e-9
+
+    box = spark.createDataFrame(
+        [(1, 0.0, 0.0, 2.0, 3.0)],
+        "fid bigint, xmin double, ymin double, xmax double, "
+        "ymax double")
+    w2 = EncodeWKT(DataFrameSource(box, index_column="fid")) \
+        .plan(spark).first()["wkt"]
+    assert w2 == ("POLYGON ((0.0 0.0, 2.0 0.0, 2.0 3.0, 0.0 3.0, "
+                  "0.0 0.0))")
+    f2 = parse_point_or_box_wkt(w2)
+    assert (f2["xmin"], f2["ymax"]) == (0.0, 3.0)
+
+    pts = spark.createDataFrame([(1, 1.5, 2.5)],
+                                "fid bigint, x double, y double")
+    w3 = EncodeWKT(DataFrameSource(pts, index_column="fid")) \
+        .plan(spark).first()["wkt"]
+    assert w3 == "POINT (1.5 2.5)"
