@@ -3316,7 +3316,7 @@ def difference_polygon(spark, sf_dir):
     from dask_geomodeling_spark.geometry.geom_operations import (
         rings_area_expr)
     from dask_geomodeling_spark.geometry.set_operations import Difference
-    customer = read_nanos_parquet(spark, _pq(sf_dir, "customer"))
+    customer = ensure_min_partitions(read_nanos_parquet(spark, _pq(sf_dir, "customer")), spark)
     base = customer.select(
         "c_custkey",
         F.expr("CAST(c_custkey % 7 AS DOUBLE)").alias("ax"),
@@ -3374,7 +3374,7 @@ def intersection_polygon_request(spark, sf_dir):
         rings_area_expr)
     from dask_geomodeling_spark.geometry.set_operations import (
         Intersection)
-    supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    supplier = ensure_min_partitions(read_nanos_parquet(spark, _pq(sf_dir, "supplier")), spark)
     base = supplier.select(
         "s_suppkey",
         F.expr("CAST(s_suppkey % 20 AS DOUBLE)").alias("sx"),
@@ -3423,7 +3423,7 @@ def encode_wkt(spark, sf_dir):
     closed-form — both engines print doubles shortest-roundtrip, so
     the strings match byte-for-byte."""
     from dask_geomodeling_spark.geometry.wkb import EncodeWKT
-    customer = read_nanos_parquet(spark, _pq(sf_dir, "customer"))
+    customer = ensure_min_partitions(read_nanos_parquet(spark, _pq(sf_dir, "customer")), spark)
     x0 = "CAST(c_custkey % 30 AS DOUBLE)"
     y0 = "CAST((c_custkey * 3) % 30 AS DOUBLE)"
     rings = ("array("
@@ -3456,7 +3456,7 @@ def convex_hull(spark, sf_dir):
     from dask_geomodeling_spark.geometry.constructive import ConvexHull
     from dask_geomodeling_spark.geometry.geom_operations import (
         rings_area_expr)
-    supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    supplier = ensure_min_partitions(read_nanos_parquet(spark, _pq(sf_dir, "supplier")), spark)
     e = "CAST(3 + s_suppkey % 2 AS DOUBLE)"
     x0 = "CAST(s_suppkey % 30 AS DOUBLE)"
     y0 = "CAST((s_suppkey * 7) % 30 AS DOUBLE)"
@@ -3483,7 +3483,7 @@ WITH a AS (
   SELECT c_custkey,
          CAST(c_custkey % 40 AS DOUBLE) AS ax,
          CAST((c_custkey * 3) % 40 AS DOUBLE) AS ay
-  FROM customer),
+  FROM customer WHERE c_custkey % 5 = 0),
 b AS (
   SELECT s_suppkey,
          CAST(s_suppkey % 40 AS DOUBLE) AS bx,
@@ -3514,9 +3514,9 @@ def overlay_intersection(spark, sf_dir):
     from dask_geomodeling_spark.geometry.geom_operations import (
         rings_area_expr)
     from dask_geomodeling_spark.geometry.overlay import Overlay
-    customer = read_nanos_parquet(spark, _pq(sf_dir, "customer"))
-    supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
-    left = customer.select(
+    customer = ensure_min_partitions(read_nanos_parquet(spark, _pq(sf_dir, "customer")), spark)
+    supplier = ensure_min_partitions(read_nanos_parquet(spark, _pq(sf_dir, "supplier")), spark)
+    left = customer.where(F.col("c_custkey") % 5 == 0).select(
         "c_custkey",
         F.expr("CAST(c_custkey % 40 AS DOUBLE)").alias("ax"),
         F.expr("CAST((c_custkey * 3) % 40 AS DOUBLE)").alias("ay")
@@ -3576,8 +3576,8 @@ def overlay_erase(spark, sf_dir):
     from dask_geomodeling_spark.geometry.geom_operations import (
         rings_area_expr)
     from dask_geomodeling_spark.geometry.overlay import Overlay
-    customer = read_nanos_parquet(spark, _pq(sf_dir, "customer"))
-    supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    customer = ensure_min_partitions(read_nanos_parquet(spark, _pq(sf_dir, "customer")), spark)
+    supplier = ensure_min_partitions(read_nanos_parquet(spark, _pq(sf_dir, "supplier")), spark)
     left = customer.select(
         "c_custkey",
         F.expr("CAST(c_custkey % 40 AS DOUBLE)").alias("ax"),
@@ -3625,7 +3625,7 @@ def buffer_exact_polygon(spark, sf_dir):
     from dask_geomodeling_spark.geometry.constructive import Buffer
     from dask_geomodeling_spark.geometry.geom_operations import (
         rings_area_expr)
-    supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    supplier = ensure_min_partitions(read_nanos_parquet(spark, _pq(sf_dir, "supplier")), spark)
     w = "CAST(6 + s_suppkey % 3 AS DOUBLE)"
     h = "CAST(6 + (s_suppkey * 5) % 3 AS DOUBLE)"
     x0 = "CAST(s_suppkey % 30 AS DOUBLE)"
@@ -3673,7 +3673,7 @@ def dissolve_exact(spark, sf_dir):
     from dask_geomodeling_spark.geometry.dissolve import Dissolve
     from dask_geomodeling_spark.geometry.geom_operations import (
         rings_area_expr)
-    supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    supplier = ensure_min_partitions(read_nanos_parquet(spark, _pq(sf_dir, "supplier")), spark)
     base = supplier.select(
         "s_suppkey",
         (F.col("s_suppkey") % 25).alias("grp"),
@@ -3714,8 +3714,8 @@ def spatial_join_intersects(spark, sf_dir):
     join (touch included — the GEOS convention the edge test
     implements)."""
     from dask_geomodeling_spark.geometry.spatial_join import SpatialJoin
-    customer = read_nanos_parquet(spark, _pq(sf_dir, "customer"))
-    supplier = read_nanos_parquet(spark, _pq(sf_dir, "supplier"))
+    customer = ensure_min_partitions(read_nanos_parquet(spark, _pq(sf_dir, "customer")), spark)
+    supplier = ensure_min_partitions(read_nanos_parquet(spark, _pq(sf_dir, "supplier")), spark)
     ca = customer.select(
         "c_custkey",
         F.expr("CAST(c_custkey % 40 AS DOUBLE)").alias("ax"),

@@ -164,10 +164,12 @@ class Buffer(BaseSingle):
                 # kernel (round 8)
                 import functools
 
+                from dask_geomodeling_spark.config import (
+                    ensure_min_partitions)
                 from dask_geomodeling_spark.geometry.polyclip import (
                     map_rings_unary)
                 out = map_rings_unary(
-                    out, "rings",
+                    ensure_min_partitions(out, ctx.spark), "rings",
                     functools.partial(_buffer_rings_kernel,
                                       dist=float(self.distance),
                                       n=4 * self.resolution))

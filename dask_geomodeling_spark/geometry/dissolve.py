@@ -116,8 +116,10 @@ class Dissolve(GeometryBlock):
         out = df.groupBy(by).agg(*aggs)
         if exact:
             from dask_geomodeling_spark.geometry.polyclip import (
-                map_rings_unary)
-            out = map_rings_unary(out, "_members", _union_members)
+                kernel_parallelism, map_rings_unary)
+            out = map_rings_unary(
+                kernel_parallelism(out, ctx.spark), "_members",
+                _union_members)
             out = (out.withColumn("rings", F.col("_members"))
                    .drop("_members"))
         return out

@@ -98,7 +98,7 @@ class Overlay(GeometryBlock):
 
     def _build(self, ctx):
         from dask_geomodeling_spark.geometry.polyclip import (
-            map_rings_binary)
+            kernel_parallelism, map_rings_binary)
         from dask_geomodeling_spark.geometry.spatial_join import (
             SpatialJoin)
         _, _, cs, how, rcols = self.args
@@ -108,8 +108,9 @@ class Overlay(GeometryBlock):
         pairs = SpatialJoin._candidate_pairs(
             L, R, cs, rcols, keep_geoms=True)
         if how == "intersection":
-            out = map_rings_binary(pairs, "_lr", "_rr",
-                                   _pair_intersection)
+            out = map_rings_binary(
+                kernel_parallelism(pairs, ctx.spark), "_lr", "_rr",
+                _pair_intersection)
             out = (out.withColumn("rings", F.col("_lr"))
                    if "rings" not in L.columns
                    else out.withColumn("rings", F.col("_lr")))
@@ -123,7 +124,7 @@ class Overlay(GeometryBlock):
                         .alias("_others")))
         df = L.join(grouped, idc, "left")
         lr = SpatialJoin._ring_expr(set(L.columns), "_lr0")
-        df = df.withColumn("_lr", lr)
+        df = kernel_parallelism(df.withColumn("_lr", lr), ctx.spark)
         df = map_rings_binary(df, "_lr", "_others", _erase_rings)
         return (df.withColumn("rings", F.col("_lr"))
                 .drop("_lr", "_others"))

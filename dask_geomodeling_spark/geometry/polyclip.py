@@ -328,6 +328,22 @@ def polygon_union_all(polys):
 # container's pyarrow cannot convert nullable triple-nested lists)
 # --------------------------------------------------------------------------
 
+def kernel_parallelism(df, spark):
+    """Repartition a kernel-stage input to full parallelism.
+
+    AQE's size-based shuffle coalescing targets JVM-scan economics
+    (~64 MB partitions) and will coalesce a small-BY-BYTES but
+    CPU-heavy-BY-ROW kernel input down to one partition — the Python
+    stage then runs single-core.  An explicit numbered repartition is
+    preserved by AQE (REPARTITION_BY_NUM), and the exchange is
+    bounded by exactly the rows that must cross the Arrow boundary
+    anyway.  Callers apply this to POST-SHUFFLE kernel inputs (join /
+    aggregation outputs); scan-side inputs use
+    ``config.ensure_min_partitions`` (a no-op when the scan already
+    splits)."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _map_rings(df, cols, fn, out_col, out_type):
     """Run ``fn(*parsed_cols) -> rings-or-None`` per row.  ``cols`` are
     nested-array columns staged as JSON text across the Arrow boundary;

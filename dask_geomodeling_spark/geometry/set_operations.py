@@ -169,6 +169,9 @@ class Difference(BaseSingle):
         df = df.withColumn("_lrings", lr).withColumn(
             "_engaged", F.col("_lrings").isNotNull()
             & F.col("_orings").isNotNull())
+        from dask_geomodeling_spark.geometry.polyclip import (
+            kernel_parallelism)
+        df = kernel_parallelism(df, ctx.spark)
         df = map_rings_binary(df, "_lrings", "_orings", _diff_rings)
         df = df.withColumn("rings", F.col("_lrings"))
         has_ring = F.col("rings").isNotNull()

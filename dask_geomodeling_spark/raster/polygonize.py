@@ -123,7 +123,14 @@ class RasterPolygonize(BaseSingle):
 
         out_schema = ("time timestamp, component string, "
                       "value double, rings string")
-        traced = (boundary.groupBy("time", "component")
+        # key-hash repartition to full parallelism BEFORE the group
+        # map: it satisfies the required clustering (no second
+        # exchange) and, being user-numbered, is not coalesced by
+        # AQE's byte-size heuristic — the stitching stage keeps all
+        # cores even when the boundary set is small by bytes
+        n = ctx.spark.sparkContext.defaultParallelism
+        traced = (boundary.repartition(n, "time", "component")
+                  .groupBy("time", "component")
                   .applyInPandas(trace, schema=out_schema))
         return (traced
                 .join(counts, ["time", "component"])

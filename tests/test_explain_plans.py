@@ -641,3 +641,45 @@ def test_spatial_join_left_is_one_join(spark):
     plan = plan_of(j.plan(spark), "simple")
     assert plan.count("Join") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_intersects_join_no_cartesian_no_distinct(spark):
+    """predicate='intersects' pairs through ONE cell equi-join with
+    canonical-cell dedup in the join condition — no CartesianProduct,
+    no post-join Aggregate for dedup (inner mode)."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.geometry.spatial_join import SpatialJoin
+    S = "fid bigint, rings array<array<array<double>>>"
+    L = spark.createDataFrame(
+        [(1, [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]]])], S)
+    R = spark.createDataFrame(
+        [(2, [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]]])],
+        "gid bigint, rings array<array<array<double>>>")
+    j = SpatialJoin(DataFrameSource(L, index_column="fid"),
+                    DataFrameSource(R, index_column="gid"),
+                    cell_size=2.0, predicate="intersects")
+    plan = plan_of(j.plan(spark), "simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Join") == 1
+    assert "HashAggregate" not in plan and "Window" not in plan
+
+
+def test_polygonize_single_cancellation_aggregate(spark):
+    """RasterPolygonize's edge cancellation is one hash aggregation;
+    the stitching stage is the applyInPandas group map — no cartesian
+    join, no window anywhere."""
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.raster.polygonize import (
+        RasterPolygonize)
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    df = (spark.createDataFrame([(0, 0, 1.0)],
+                                "y bigint, x bigint, value double")
+          .select(F.lit("1970-01-01").cast("timestamp").alias("time"),
+                  "y", "x", "value"))
+    plan = plan_of(
+        RasterPolygonize(DataFrameRasterSource(df)).plan(spark),
+        "simple")
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan
