@@ -489,8 +489,9 @@ class ConvexHull(BaseSingle):
         if "vertices" in cols:
             parts.append(F.when(F.col("vertices").isNotNull(),
                                 F.array(F.col("vertices"))))
+        from dask_geomodeling_spark.config import ensure_min_partitions
         lr = F.coalesce(*parts) if len(parts) > 1 else parts[0]
-        df = df.withColumn("_hr", lr)
+        df = ensure_min_partitions(df, ctx.spark).withColumn("_hr", lr)
         df = map_rings_unary(df, "_hr", _convex_hull_kernel)
         out = {}
         if "rings" in cols:

@@ -333,6 +333,9 @@ class Intersection(BaseSingle):
                                      F.array(F.col("vertices"))))
             lr = (F.coalesce(*lparts) if len(lparts) > 1
                   else lparts[0])
+            from dask_geomodeling_spark.config import (
+                ensure_min_partitions)
+            df = ensure_min_partitions(df)
             df = (df.withColumn("_lrings", lr)
                   .withColumn("_qrings", F.expr(lit)))
             df = map_rings_binary(df, "_lrings", "_qrings",
