@@ -3394,6 +3394,53 @@ def intersection_polygon_request(spark, sf_dir):
             .select("s_suppkey", "area", "xmax"))
 
 
+@demo("linestring_buffer", oracle="""
+WITH t AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 30 AS DOUBLE) AS x0,
+         CAST((c_custkey * 3) % 30 AS DOUBLE) AS y0,
+         CAST(3 + c_custkey % 4 AS DOUBLE) AS l
+  FROM customer)
+SELECT c_custkey,
+       ROUND(l, 6) AS length,
+       ROUND(2 * l + 2.0, 6) AS area,
+       concat('LINESTRING (', CAST(x0 AS VARCHAR), ' ',
+              CAST(y0 AS VARCHAR), ', ', CAST(x0 + l AS VARCHAR),
+              ' ', CAST(y0 AS VARCHAR), ')') AS wkt
+FROM t
+""")
+def linestring_buffer(spark, sf_dir):
+    """LINESTRING support (round 8): open polylines ride a ``path``
+    column — parsed from WKT, measured by Length (open-chain sum),
+    buffered EXACTLY to their capsule union through the kernel, and
+    serialized back by EncodeWKT.  Horizontal segments keep every
+    number closed-form: length = L, buffered area = 2rL + diamond 2r²
+    (r=1, resolution 1), and the WKT text matches byte-for-byte."""
+    from dask_geomodeling_spark.geometry.constructive import Buffer
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        Length, rings_area_expr)
+    from dask_geomodeling_spark.geometry.wkb import EncodeWKT
+    customer = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "customer")), spark)
+    x0 = "CAST(c_custkey % 30 AS DOUBLE)"
+    y0 = "CAST((c_custkey * 3) % 30 AS DOUBLE)"
+    ln = "CAST(3 + c_custkey % 4 AS DOUBLE)"
+    df = customer.select(
+        "c_custkey",
+        F.expr("array(array({x}, {y}), array({x} + {l}, {y}))"
+               .format(x=x0, y=y0, l=ln)).alias("path"),
+        F.expr(x0).alias("xmin"), F.expr(y0).alias("ymin"),
+        F.expr("{} + {}".format(x0, ln)).alias("xmax"),
+        F.expr(y0).alias("ymax"))
+    src = DataFrameSource(df, index_column="c_custkey")
+    buf = Buffer(EncodeWKT(src), 1.0, resolution=1, shape="round")
+    view = buf.set("length", Length(buf))
+    return (view.plan(spark)
+            .withColumn("length", F.round("length", 6))
+            .withColumn("area", F.round(rings_area_expr("rings"), 6))
+            .select("c_custkey", "length", "area", "wkt"))
+
+
 @demo("encode_wkt", oracle="""
 WITH t AS (
   SELECT c_custkey,

@@ -88,6 +88,35 @@ def _buffer_rings_kernel(rings, dist, n):
     return polygon_union_all(polys) or None
 
 
+def _buffer_path_kernel(path, dist, n):
+    """Exact positive buffer of an OPEN polyline (LINESTRING): the
+    capsule union — per segment a width-``2r`` rectangle, per vertex
+    the regular ``n``-gon disk; no interior polygon, no closing edge.
+    Same kernel contract as :func:`_buffer_rings_kernel`."""
+    import math
+
+    from dask_geomodeling_spark.geometry.polyclip import (
+        polygon_union_all)
+    if not path or len(path) < 2:
+        return None
+    polys = []
+    for i in range(len(path) - 1):
+        ax, ay = float(path[i][0]), float(path[i][1])
+        bx, by = float(path[i + 1][0]), float(path[i + 1][1])
+        dx, dy = bx - ax, by - ay
+        ln = math.hypot(dx, dy)
+        if ln > 0:
+            nx, ny = -dy / ln * dist, dx / ln * dist
+            polys.append([[[ax + nx, ay + ny], [bx + nx, by + ny],
+                           [bx - nx, by - ny], [ax - nx, ay - ny]]])
+    for p in path:
+        vx, vy = float(p[0]), float(p[1])
+        polys.append([[[vx + dist * math.cos(2 * math.pi * k / n),
+                        vy + dist * math.sin(2 * math.pi * k / n)]
+                       for k in range(n)]])
+    return polygon_union_all(polys) or None
+
+
 class Buffer(BaseSingle):
     """Expand geometries by a distance (reference:
     geometry/constructive.py:13, where GEOS buffers with
@@ -136,6 +165,8 @@ class Buffer(BaseSingle):
         if (self.args[4] == "round" and {"x", "y"} <= src
                 and not {"xmin", "ymin", "xmax", "ymax"} <= src):
             cols |= {"vertices"}
+        if self.args[4] == "round" and ({"rings", "path"} & src):
+            cols |= {"rings"}
         return cols
 
     def _build(self, ctx):
@@ -180,6 +211,23 @@ class Buffer(BaseSingle):
                                F.try_element_at(F.col("rings"),
                                                 F.lit(1)))
                         .otherwise(F.col("vertices")))
+            elif self.args[4] == "round" and "path" in cols \
+                    and self.distance > 0:
+                # open polylines (LINESTRING): exact capsule union
+                import functools
+
+                from dask_geomodeling_spark.config import (
+                    ensure_min_partitions)
+                from dask_geomodeling_spark.geometry.polyclip import (
+                    map_rings_unary)
+                out = out.withColumn("_pp", F.col("path"))
+                out = map_rings_unary(
+                    ensure_min_partitions(out, ctx.spark), "_pp",
+                    functools.partial(_buffer_path_kernel,
+                                      dist=float(self.distance),
+                                      n=4 * self.resolution))
+                out = (out.withColumn("rings", F.col("_pp"))
+                       .drop("_pp"))
             elif self.args[4] == "round" and "vertices" in cols:
                 # single-ring rows: Minkowski disk-sum of the exterior
                 # ring (reference constructive.py:13 buffers arbitrary

@@ -360,6 +360,17 @@ def perimeter_expr(verts_col="vertices"):
         .format(e=edges))
 
 
+def path_length_expr(path_col="path"):
+    """Open-polyline length: Σ segment lengths over a ``path`` column
+    (no closing edge — the LINESTRING counterpart of perimeter)."""
+    return F.expr(
+        "aggregate(zip_with(slice({c}, 1, size({c}) - 1), "
+        "slice({c}, 2, size({c}) - 1), "
+        "(a, b) -> sqrt((b[0] - a[0]) * (b[0] - a[0]) "
+        "+ (b[1] - a[1]) * (b[1] - a[1]))), "
+        "cast(0.0 as double), (acc, v) -> acc + v)".format(c=path_col))
+
+
 class Length(SeriesBlock):
     """Perimeter/length companion measurement (exact ring perimeter
     when a ``vertices`` ring is present; box perimeter; 0 for
@@ -379,9 +390,15 @@ class Length(SeriesBlock):
                     + (F.col("ymax") - F.col("ymin")))
                if {"xmin", "ymin", "xmax", "ymax"} <= cols else F.lit(0.0))
         expr = None
+        if "path" in cols:
+            expr = F.when(F.col("path").isNotNull(),
+                          path_length_expr())
         if "rings" in cols:
-            expr = F.when(F.col("rings").isNotNull(),
-                          rings_perimeter_expr())
+            w = F.when(F.col("rings").isNotNull(),
+                       rings_perimeter_expr())
+            expr = (w if expr is None else
+                    expr.when(F.col("rings").isNotNull(),
+                              rings_perimeter_expr()))
         if "vertices" in cols:
             expr = (F.when(F.col("vertices").isNotNull(),
                            perimeter_expr()) if expr is None else

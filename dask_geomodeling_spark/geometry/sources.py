@@ -85,6 +85,22 @@ def parse_point_or_box_wkt(wkt):
         return {"x": float(m.group(1)), "y": float(m.group(2))}
     s = wkt.strip()
     u = s.upper()
+    if u.startswith("LINESTRING"):
+        # open polyline (round 8): carried as a ``path`` column
+        # (array<array<double>>, closing vertex NOT dropped — paths
+        # may legitimately revisit their start); Length measures it,
+        # Buffer(shape='round') produces its exact capsule union,
+        # EncodeWKT round-trips it
+        groups = _split_top_groups(s[len("LINESTRING"):])
+        if len(groups) != 1:
+            raise ValueError("Malformed LINESTRING WKT")
+        pts = [[float(v) for v in p.split()]
+               for p in groups[0].split(",")]
+        if len(pts) < 2 or any(len(p) != 2 for p in pts):
+            raise ValueError("LINESTRING needs >= 2 x/y points")
+        xs, ys = [p[0] for p in pts], [p[1] for p in pts]
+        return {"path": pts, "xmin": min(xs), "ymin": min(ys),
+                "xmax": max(xs), "ymax": max(ys)}
     if u.startswith("MULTIPOLYGON"):
         outer = _split_top_groups(s[len("MULTIPOLYGON"):])
         if len(outer) != 1:

@@ -352,6 +352,13 @@ class EncodeWKT(BaseSingle):
             parts.append(F.when(
                 F.col("vertices").isNotNull(),
                 F.expr(rings_wkt_sql("array(vertices)"))))
+        if "path" in cols:
+            parts.append(F.when(
+                F.col("path").isNotNull(),
+                F.expr("concat('LINESTRING (', array_join("
+                       "transform(path, p -> concat("
+                       "CAST(p[0] AS STRING), ' ', "
+                       "CAST(p[1] AS STRING))), ', '), ')')")))
         if {"xmin", "ymin", "xmax", "ymax"} <= cols:
             s = "CAST({} AS STRING)"
             box = ("concat('POLYGON ((', {x1}, ' ', {y1}, ', ', "
