@@ -5520,7 +5520,9 @@ def geojson_source_roundtrip(spark, sf_dir):
     GeometryFileSink(src, url, extension="geojson").write(spark)
     return FileGeometrySource(
         url, format="geojson", id_field="s_suppkey",
-        schema="s_suppkey bigint, s_acctbal double").plan(spark)
+        schema="s_suppkey bigint, s_acctbal double").plan(spark) \
+        .select("s_suppkey", "s_acctbal", "x", "y",
+                "xmin", "ymin", "xmax", "ymax")
 
 
 @demo("geojson_compat_roundtrip", oracle="""

@@ -58,9 +58,63 @@ class GeometryFileSink(BaseSingle):
 
     @staticmethod
     def _feature_json(df):
-        """Per-row GeoJSON Feature string: Point from x/y, Polygon ring
-        from the bbox columns, all other columns become properties."""
+        """Per-row GeoJSON Feature string: TRUE MultiPolygons from a
+        ``rings`` column (round 8 — the orientation contract groups
+        outers/holes with one sequential fold, the same rule as
+        ``rings_wkt_sql``; previously ring stacks degraded to their
+        bbox), Point from x/y, Polygon ring from the bbox columns;
+        all other columns become properties."""
         cols = set(df.columns)
+        if "rings" in cols:
+            skip = cols & {"x", "y", "xmin", "ymin", "xmax", "ymax",
+                           "rings", "vertices", "path"}
+            props = [c for c in df.columns if c not in skip]
+            # geometry as pre-rendered JSON text (nested grouping is
+            # data-dependent, so the struct encoder can't express it)
+            rt = ("concat('[', array_join(transform(concat(r, "
+                  "slice(r, 1, 1)), p -> concat('[', "
+                  "CAST(p[0] AS STRING), ', ', CAST(p[1] AS STRING), "
+                  "']')), ', '), ']')")
+            from dask_geomodeling_spark.geometry.geom_operations import (
+                _ring_cross_sum_sql)
+            outer = "({}) >= 0".format(_ring_cross_sum_sql("r"))
+            mp = ("concat('{{\"type\": \"MultiPolygon\", "
+                  "\"coordinates\": [', aggregate(rings, "
+                  "cast('' as string), (acc, r) -> concat(acc, "
+                  "CASE WHEN acc = '' THEN '[' "
+                  "WHEN {outer} THEN '], [' ELSE ', ' END, {rt})), "
+                  "']]}}')").format(outer=outer, rt=rt)
+            pt = ("concat('{\"type\": \"Point\", \"coordinates\": [', "
+                  "CAST(x AS STRING), ', ', CAST(y AS STRING), ']}')"
+                  ) if {"x", "y"} <= cols else None
+            bx = None
+            if {"xmin", "ymin", "xmax", "ymax"} <= cols:
+                c = "CAST({} AS STRING)"
+                pair = ("concat('[', {}, ', ', {}, ']')")
+                corners = [pair.format(c.format(a), c.format(b))
+                           for a, b in (("xmin", "ymin"),
+                                        ("xmax", "ymin"),
+                                        ("xmax", "ymax"),
+                                        ("xmin", "ymax"),
+                                        ("xmin", "ymin"))]
+                bx = ("concat('{\"type\": \"Polygon\", "
+                      "\"coordinates\": [[', "
+                      + ", ', ', ".join(corners)
+                      + ", ']]}')")
+            geom_txt = F.expr(mp)
+            branch = F.when(F.col("rings").isNotNull(), geom_txt)
+            if pt:
+                branch = branch.when(F.col("x").isNotNull(),
+                                     F.expr(pt))
+            if bx:
+                branch = branch.when(F.col("xmin").isNotNull(),
+                                     F.expr(bx))
+            propjson = (F.to_json(F.struct(*props)) if props
+                        else F.lit("{}"))
+            return F.concat(F.lit('{"type": "Feature", "geometry": '),
+                            branch,
+                            F.lit(', "properties": '), propjson,
+                            F.lit("}"))
         if {"x", "y"} <= cols:
             geom = F.struct(F.lit("Point").alias("type"),
                             F.array("x", "y").alias("coordinates"))

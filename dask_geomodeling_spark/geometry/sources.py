@@ -316,14 +316,48 @@ class FileGeometrySource(GeometryBlock):
                     "'double')")
         py = F.expr("try_variant_get(_f, '$.geometry.coordinates[1]', "
                     "'double')")
-        rings = F.expr("try_variant_get(_f, '$.geometry.coordinates', "
-                       "'array<array<array<double>>>')")
+        # TRUE ring geometry (round 8): Polygon/MultiPolygon
+        # coordinates become the engine's flat orientation-normalized
+        # ``rings`` column — GeoJSON's explicit closing vertex drops,
+        # the first ring of each polygon forces counter-clockwise and
+        # the holes clockwise (files in the wild predate RFC 7946's
+        # winding rule), multipolygon parts flatten.  Previously ring
+        # geometry degraded to its bbox on read.
+        from dask_geomodeling_spark.geometry.geom_operations import (
+            _ring_cross_sum_sql)
+
+        def norm(poly):
+            drop = ("transform({p}, rg0 -> CASE WHEN size(rg0) > 1 "
+                    "AND rg0[0][0] = rg0[size(rg0) - 1][0] "
+                    "AND rg0[0][1] = rg0[size(rg0) - 1][1] "
+                    "THEN slice(rg0, 1, size(rg0) - 1) "
+                    "ELSE rg0 END)").format(p=poly)
+            return ("transform({d}, (rg, i) -> CASE WHEN (i = 0) = "
+                    "(({c}) >= 0) THEN rg ELSE reverse(rg) END)"
+                    ).format(d=drop, c=_ring_cross_sum_sql("rg"))
+
+        r3 = ("try_variant_get(_f, '$.geometry.coordinates', "
+              "'array<array<array<double>>>')")
+        r4 = ("try_variant_get(_f, '$.geometry.coordinates', "
+              "'array<array<array<array<double>>>>')")
+        gtype = ("try_variant_get(_f, '$.geometry.type', 'string')")
+        rings = F.expr(
+            "CASE WHEN {t} = 'Polygon' THEN "
+            "transform(array({r3}), p3 -> {n3})[0] "
+            "WHEN {t} = 'MultiPolygon' THEN "
+            "flatten(transform({r4}, pp -> {n4})) END"
+            .format(t=gtype, r3=r3, r4=r4, n3=norm("p3"),
+                    n4=norm("pp")))
+        legacy = F.expr(r3)
         out = feats.select(*props, px.alias("x"), py.alias("y"),
-                           F.flatten(rings).alias("_flat"))
+                           rings.alias("rings"),
+                           F.coalesce(
+                               F.flatten(rings),
+                               F.flatten(legacy)).alias("_flat"))
         xs = F.expr("transform(_flat, c -> c[0])")
         ys = F.expr("transform(_flat, c -> c[1])")
         return out.select(
-            *[f.name for f in fields], "x", "y",
+            *[f.name for f in fields], "x", "y", "rings",
             F.coalesce(F.array_min(xs), F.col("x")).alias("xmin"),
             F.coalesce(F.array_min(ys), F.col("y")).alias("ymin"),
             F.coalesce(F.array_max(xs), F.col("x")).alias("xmax"),

@@ -572,3 +572,35 @@ def test_spatial_join_intersects_matches_brute_force(spark):
     nulls = {r["fid"] for r in rows if r["gid"] is None}
     assert nulls == {i for i, _ in lrows} - {i for i, _ in want}
     assert len(rows) == len(want) + len(nulls)
+
+
+def test_geojson_sink_and_source_ring_roundtrip(spark, tmp_path):
+    """TRUE polygon geometry through GeoJSON (round 8): the sink
+    writes MultiPolygon coordinates with orientation-grouped holes;
+    the reader normalizes them back into the flat rings contract —
+    write -> read preserves area/holes/multipart exactly."""
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        rings_area_expr)
+    from dask_geomodeling_spark.geometry.sinks import GeometryFileSink
+    from dask_geomodeling_spark.geometry.sources import (
+        DataFrameSource, FileGeometrySource)
+    df = spark.createDataFrame(
+        [(1, "sq", [[[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]],
+                    [[1.0, 1.0], [1.0, 2.0], [2.0, 2.0], [2.0, 1.0]],
+                    [[8.0, 8.0], [9.0, 8.0], [9.0, 9.0], [8.0, 9.0]]],
+          0.0, 0.0, 9.0, 9.0)],
+        "fid bigint, name string, rings array<array<array<double>>>, "
+        "xmin double, ymin double, xmax double, ymax double")
+    url = str(tmp_path / "gj")
+    GeometryFileSink(DataFrameSource(df, index_column="fid"), url,
+                     extension="geojson").write(spark)
+    src = FileGeometrySource(url, format="geojson", id_field="fid",
+                             schema="fid bigint, name string")
+    row = src.plan(spark).withColumn(
+        "area", F.round(rings_area_expr("rings"), 6)).first()
+    assert row["area"] == 16.0          # 16 - hole 1 + part 1
+    assert len(row["rings"]) == 3
+    assert row["name"] == "sq"
+    assert (row["xmin"], row["ymax"]) == (0.0, 9.0)
