@@ -285,8 +285,14 @@ def test_url_normalize_idempotent(spark_prop, urls):
 @given(st.lists(st.text(alphabet="ab <>&/p!.\n", min_size=0,
                         max_size=40), min_size=1, max_size=5))
 def test_html_extract_fixpoint_on_tagless_text(spark_prop, texts):
-    """Extraction of already-extracted text is a fixpoint (no tags or
-    entities survive the first pass)."""
+    """Re-extraction equals the first extraction UP TO block-newline
+    re-collapse: extracted text is no longer HTML, so a second pass
+    correctly treats the block newlines the first pass emitted as
+    insignificant source whitespace (HTML semantics) and folds them
+    to single spaces.  No tags or entities survive either pass, and
+    the normalized texts agree exactly."""
+    import re
+
     from dask_geomodeling_spark.pipeline.curate import HtmlExtract
     df = spark_prop.createDataFrame(
         [(i, t) for i, t in enumerate(texts)],
@@ -297,7 +303,9 @@ def test_html_extract_fixpoint_on_tagless_text(spark_prop, texts):
     src2 = DataFrameSource(once, index_column="doc_id")
     twice = HtmlExtract(src2).plan(spark_prop)
     for r in twice.collect():
-        assert r["text_extracted"] == r["html"]
+        want = re.sub(r"\s+", " ", r["html"]).strip()
+        assert r["text_extracted"] == want
+        assert "<p>" not in r["text_extracted"]
 
 
 @settings(max_examples=10, deadline=None)
