@@ -69,7 +69,8 @@ def main():
                   "dissolve_exact", "spatial_join_intersects",
                   "overlay_intersection", "overlay_erase",
                   "convex_hull", "buffer_exact_polygon",
-                  "raster_polygonize"):
+                  "raster_polygonize", "encode_wkt",
+                  "linestring_buffer", "spatial_join_lines"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

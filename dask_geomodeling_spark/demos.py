@@ -3784,6 +3784,59 @@ def spatial_join_intersects(spark, sf_dir):
     return j.plan(spark).select("c_custkey", "s_suppkey")
 
 
+@demo("spatial_join_lines", oracle="""
+WITH a AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 40 AS DOUBLE) AS x0,
+         CAST((c_custkey * 3) % 40 AS DOUBLE) AS y0,
+         CAST(3 + c_custkey % 4 AS DOUBLE) AS l
+  FROM customer),
+b AS (
+  SELECT s_suppkey,
+         CAST(s_suppkey % 40 AS DOUBLE) AS bx,
+         CAST((s_suppkey * 7) % 40 AS DOUBLE) AS by
+  FROM supplier)
+SELECT a.c_custkey, b.s_suppkey
+FROM a JOIN b
+  ON a.y0 >= b.by AND a.y0 <= b.by + 3
+ AND a.x0 <= b.bx + 3 AND a.x0 + a.l >= b.bx
+""")
+def spatial_join_lines(spark, sf_dir):
+    """SpatialJoin(predicate='intersects') with a POLYLINE left side
+    (round 8) — 'which roads cross which parcels': open paths grid
+    their bboxes like polygons, and the exact test is
+    path_intersects_rings_expr (path vertex even-odd inside, or any
+    open-chain edge crossing a boundary edge; a line fully inside the
+    polygon intersects via its vertices).  Horizontal segments vs
+    squares keep the oracle closed-form: intersect iff the y sits in
+    the square's band and the x-ranges overlap (touch included)."""
+    from dask_geomodeling_spark.geometry.spatial_join import SpatialJoin
+    customer = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "customer")), spark)
+    supplier = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "supplier")), spark)
+    x0 = "CAST(c_custkey % 40 AS DOUBLE)"
+    y0 = "CAST((c_custkey * 3) % 40 AS DOUBLE)"
+    ln = "CAST(3 + c_custkey % 4 AS DOUBLE)"
+    left = customer.select(
+        "c_custkey",
+        F.expr("array(array({x}, {y}), array({x} + {l}, {y}))"
+               .format(x=x0, y=y0, l=ln)).alias("path"))
+    right = supplier.select(
+        "s_suppkey",
+        F.expr("CAST(s_suppkey % 40 AS DOUBLE)").alias("bx"),
+        F.expr("CAST((s_suppkey * 7) % 40 AS DOUBLE)").alias("by")
+    ).select("s_suppkey", F.expr(
+        "array(array(array(bx, by), array(bx + 3.0D, by), "
+        "array(bx + 3.0D, by + 3.0D), array(bx, by + 3.0D)))")
+        .alias("rings"))
+    j = SpatialJoin(DataFrameSource(left, index_column="c_custkey"),
+                    DataFrameSource(right, index_column="s_suppkey"),
+                    cell_size=5.0, right_columns=["s_suppkey"],
+                    predicate="intersects")
+    return j.plan(spark).select("c_custkey", "s_suppkey")
+
+
 @demo("spatial_join", oracle="""
 WITH pts AS (
   SELECT c_custkey,

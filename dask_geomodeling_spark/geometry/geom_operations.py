@@ -424,3 +424,29 @@ def rings_wkt_sql(rings_col="rings"):
             "CASE WHEN acc = '' THEN '((' "
             "WHEN {outer} THEN '), ((' ELSE ', (' END, {rt}, ')')"
             "), '))')").format(c=rings_col, outer=outer, rt=rt)
+
+
+def _open_edge_structs_sql(path_col, tag):
+    """Edge list of an OPEN polyline as ``struct(ax, ay, bx, by)`` —
+    no wrap-around edge; lambda variables suffixed for nesting."""
+    return ("zip_with(slice({c}, 1, size({c}) - 1), "
+            "slice({c}, 2, size({c}) - 1), "
+            "(p{t}, q{t}) -> struct(p{t}[0] AS ax, p{t}[1] AS ay, "
+            "q{t}[0] AS bx, q{t}[1] AS by))"
+            .format(c=path_col, t=tag))
+
+
+def path_intersects_rings_expr(path_col, rings_col):
+    """EXACT polyline-polygon ``intersects`` test (round 8): true iff
+    a path vertex lies even-odd inside the polygon (the whole line
+    may sit in the interior without crossing the boundary) or any
+    open-chain edge intersects a boundary edge (touch included).
+    Pure column math, same cost model as
+    :func:`rings_intersect_expr`."""
+    va = ("exists({p}, pv -> {t})".format(
+        p=path_col, t=point_in_rings_sql("pv[0]", "pv[1]", rings_col)))
+    ee = ("exists({ep}, e1 -> exists({er}, e2 -> {t}))".format(
+        ep=_open_edge_structs_sql(path_col, "u"),
+        er=_edge_structs_sql(rings_col, "w"),
+        t=_seg_intersect_sql("e1", "e2")))
+    return F.expr("({va}) OR ({ee})".format(va=va, ee=ee))

@@ -47,7 +47,9 @@ class SpatialJoin(GeometryBlock):
     containment either way + closed-segment edge crossings; touch
     counts, holes honored), pure column math in the join condition.
     Box-only sides participate through their synthesized boundary
-    ring.
+    ring.  A left side carrying only a ``path`` column (open
+    polylines) joins through the exact polyline-polygon test
+    (``path_intersects_rings_expr``) — roads × parcels.
 
     Args:
       left: GeometryBlock; POINT features (``x``/``y``) for
@@ -197,33 +199,43 @@ class SpatialJoin(GeometryBlock):
     def _candidate_pairs(cls, L, R, cs, rcols, keep_geoms=False):
         """Exact-intersecting (left, right) pairs through the gridded
         cell join with canonical-cell dedup (see class docstring).
-        With ``keep_geoms`` the pair frame carries both ring sets as
-        ``_lr``/``_rr`` (the Overlay input)."""
+        With ``keep_geoms`` the pair frame carries both geometries as
+        ``_lr``/``_rr`` (the Overlay input).  A left side carrying
+        only a ``path`` column (open polylines) joins through the
+        exact polyline-polygon test instead."""
         from dask_geomodeling_spark.geometry.geom_operations import (
-            rings_intersect_expr)
+            path_intersects_rings_expr, rings_intersect_expr)
         clash = set(rcols) & set(L.columns)
         if clash:
             raise ValueError(
                 "right_columns collide with left columns: {}"
                 .format(sorted(clash)))
         csl = "CAST({!r} AS DOUBLE)".format(cs)
+        left_is_path = ("path" in L.columns
+                        and not ({"rings", "vertices"}
+                                 & set(L.columns)))
 
-        def gridded(df, cols, ring_alias, b, cx, cy):
-            g = df.select(
-                *cols, cls._ring_expr(set(df.columns), ring_alias))
+        def gridded(df, cols, ring_alias, b, cx, cy, kind="rings"):
+            if kind == "path":
+                g = df.select(*cols, F.col("path").alias(ring_alias))
+                pts = ring_alias
+            else:
+                g = df.select(
+                    *cols, cls._ring_expr(set(df.columns), ring_alias))
+                pts = "flatten({})".format(ring_alias)
             g = g.withColumns({
                 b + "x1": F.expr(
-                    "array_min(transform(flatten({r}), p -> p[0]))"
-                    .format(r=ring_alias)),
+                    "array_min(transform({r}, p -> p[0]))"
+                    .format(r=pts)),
                 b + "y1": F.expr(
-                    "array_min(transform(flatten({r}), p -> p[1]))"
-                    .format(r=ring_alias)),
+                    "array_min(transform({r}, p -> p[1]))"
+                    .format(r=pts)),
                 b + "x2": F.expr(
-                    "array_max(transform(flatten({r}), p -> p[0]))"
-                    .format(r=ring_alias)),
+                    "array_max(transform({r}, p -> p[0]))"
+                    .format(r=pts)),
                 b + "y2": F.expr(
-                    "array_max(transform(flatten({r}), p -> p[1]))"
-                    .format(r=ring_alias))})
+                    "array_max(transform({r}, p -> p[1]))"
+                    .format(r=pts))})
             return (g.withColumn(cx, F.explode(F.expr(
                 "sequence(CAST(FLOOR({b}x1 / {cs}) AS BIGINT), "
                 "CAST(FLOOR({b}x2 / {cs}) AS BIGINT))"
@@ -233,7 +245,8 @@ class SpatialJoin(GeometryBlock):
                     "CAST(FLOOR({b}y2 / {cs}) AS BIGINT))"
                     .format(b=b, cs=csl)))))
 
-        Lc = gridded(L, L.columns, "_lr", "_a", "_cx", "_cy")
+        Lc = gridded(L, L.columns, "_lr", "_a", "_cx", "_cy",
+                     "path" if left_is_path else "rings")
         Rc = gridded(R, rcols, "_rr", "_b", "_rcx", "_rcy")
         overlap = ((F.col("_ax1") <= F.col("_bx2"))
                    & (F.col("_ax2") >= F.col("_bx1"))
@@ -249,10 +262,12 @@ class SpatialJoin(GeometryBlock):
                  & (F.col("_cy") == F.expr(
                     "CAST(FLOOR(least(_ay2, _by2) / {cs}) AS BIGINT)"
                     .format(cs=csl))))
+        exact = (path_intersects_rings_expr("_lr", "_rr")
+                 if left_is_path
+                 else rings_intersect_expr("_lr", "_rr"))
         cond = ((F.col("_cx") == F.col("_rcx"))
                 & (F.col("_cy") == F.col("_rcy"))
-                & canon & overlap
-                & rings_intersect_expr("_lr", "_rr"))
+                & canon & overlap & exact)
         extra = ["_lr", "_rr"] if keep_geoms else []
         return (Lc.join(Rc, cond).select(*L.columns, *rcols, *extra))
 

@@ -604,3 +604,79 @@ def test_geojson_sink_and_source_ring_roundtrip(spark, tmp_path):
     assert len(row["rings"]) == 3
     assert row["name"] == "sq"
     assert (row["xmin"], row["ymax"]) == (0.0, 9.0)
+
+
+def test_spatial_join_lines_matches_brute_force(spark):
+    """Polyline-left intersects join equals the all-pairs exact test
+    for random multi-segment paths vs random triangles."""
+    import random
+
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.geometry.spatial_join import SpatialJoin
+    rng = random.Random(9)
+    lines = []
+    for i in range(25):
+        x0, y0 = rng.uniform(0, 20), rng.uniform(0, 20)
+        pts = [[x0, y0]]
+        for _ in range(rng.randint(1, 3)):
+            x0 += rng.uniform(-4, 4)
+            y0 += rng.uniform(-4, 4)
+            pts.append([x0, y0])
+        lines.append((i, pts))
+    tris = []
+    for g in range(15):
+        cx, cy = rng.uniform(0, 20), rng.uniform(0, 20)
+        tris.append((100 + g,
+                     [[[cx + rng.uniform(-3, 3),
+                        cy + rng.uniform(-3, 3)] for _ in range(3)]]))
+    L = spark.createDataFrame(lines,
+                              "fid bigint, path array<array<double>>")
+    R = spark.createDataFrame(
+        tris, "gid bigint, rings array<array<array<double>>>")
+    j = SpatialJoin(DataFrameSource(L, index_column="fid"),
+                    DataFrameSource(R, index_column="gid"),
+                    cell_size=4.0, predicate="intersects")
+    got = {(r["fid"], r["gid"]) for r in j.plan(spark).collect()}
+
+    def seg_int(p, q, r, s):
+        def o(a, b, c):
+            v = ((b[0] - a[0]) * (c[1] - a[1])
+                 - (b[1] - a[1]) * (c[0] - a[0]))
+            return (v > 0) - (v < 0)
+
+        def onseg(a, b, c):
+            return (min(a[0], b[0]) <= c[0] <= max(a[0], b[0])
+                    and min(a[1], b[1]) <= c[1] <= max(a[1], b[1]))
+        o1, o2 = o(p, q, r), o(p, q, s)
+        o3, o4 = o(r, s, p), o(r, s, q)
+        if o1 * o2 < 0 and o3 * o4 < 0:
+            return True
+        return ((o1 == 0 and onseg(p, q, r))
+                or (o2 == 0 and onseg(p, q, s))
+                or (o3 == 0 and onseg(r, s, p))
+                or (o4 == 0 and onseg(r, s, q)))
+
+    def pip(x, y, poly):
+        inside = False
+        for ring in poly:
+            n = len(ring)
+            for i in range(n):
+                x1, y1 = ring[i]
+                x2, y2 = ring[(i + 1) % n]
+                if (y1 > y) != (y2 > y):
+                    if x < x1 + (y - y1) / (y2 - y1) * (x2 - x1):
+                        inside = not inside
+        return inside
+
+    def inter(path, poly):
+        if any(pip(p[0], p[1], poly) for p in path):
+            return True
+        pe = list(zip(path, path[1:]))
+        re_ = [(ring[i], ring[(i + 1) % len(ring)])
+               for ring in poly for i in range(len(ring))]
+        return any(seg_int(a, b, c, d)
+                   for a, b in pe for c, d in re_)
+
+    want = {(i, gid) for i, path in lines for gid, poly in tris
+            if inter(path, poly)}
+    assert got == want
