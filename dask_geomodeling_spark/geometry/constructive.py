@@ -345,6 +345,20 @@ def _dp_ring(ring, tol):
     return [[float(x), float(y)] for x, y in out]
 
 
+def _dp_path(path, tol):
+    """Douglas–Peucker on an OPEN polyline (LINESTRING); endpoints
+    always survive, result has >= 2 vertices or None for degenerate
+    input."""
+    import numpy as np
+    pts = np.asarray([[float(v[0]), float(v[1])] for v in path],
+                     dtype="float64")
+    if len(pts) < 2:
+        return None
+    keep = _dp_keep_mask(pts, tol)
+    out = pts[keep]
+    return [[float(x), float(y)] for x, y in out]
+
+
 class Simplify(BaseSingle):
     """Simplify geometries (reference: geometry/constructive.py:92,
     which runs shapely ``simplify(tolerance, preserve_topology)``).
@@ -389,7 +403,7 @@ class Simplify(BaseSingle):
         if not tol:
             return df
         if self.args[3] == "dp":
-            geom_cols = [c for c in ("vertices", "rings")
+            geom_cols = [c for c in ("vertices", "rings", "path")
                          if c in df.columns]
             if not geom_cols:
                 return df
@@ -415,6 +429,11 @@ class Simplify(BaseSingle):
                             data[c] = pd.Series(
                                 [None if g is None else json.dumps(
                                     _dp_ring(json.loads(g), ftol))
+                                 for g in pdf[c]], dtype="object")
+                        elif c == "path":
+                            data[c] = pd.Series(
+                                [None if g is None else json.dumps(
+                                    _dp_path(json.loads(g), ftol))
                                  for g in pdf[c]], dtype="object")
                         elif c == "rings":
                             data[c] = pd.Series(
