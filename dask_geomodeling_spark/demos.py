@@ -3647,6 +3647,132 @@ def overlay_erase(spark, sf_dir):
             .select("c_custkey", "area"))
 
 
+_OVERLAY_UNION_CTE = """
+WITH a AS (
+  SELECT DISTINCT CAST(c_custkey % 1000 AS BIGINT) AS lid
+  FROM customer),
+a2 AS (
+  SELECT lid,
+         CAST(4 * (lid % 25) + lid % 3 AS DOUBLE) AS ax,
+         CAST(4 * (lid // 25) + (lid * 2) % 3 AS DOUBLE) AS ay
+  FROM a),
+b AS (
+  SELECT DISTINCT CAST(s_suppkey % 1000 AS BIGINT) AS rid
+  FROM supplier),
+b2 AS (
+  SELECT rid,
+         CAST(4 * (rid % 25) AS DOUBLE) AS bx,
+         CAST(4 * (rid // 25) AS DOUBLE) AS by
+  FROM b),
+p AS (
+  SELECT a2.lid, b2.rid,
+         GREATEST(CAST(0 AS DOUBLE),
+                  LEAST(ax + 2, bx + 2) - GREATEST(ax, bx))
+         * GREATEST(CAST(0 AS DOUBLE),
+                    LEAST(ay + 2, by + 2) - GREATEST(ay, by)) AS o
+  FROM a2 JOIN b2
+    ON ax <= bx + 2 AND ax + 2 >= bx
+   AND ay <= by + 2 AND ay + 2 >= by),
+lt AS (SELECT lid, SUM(o) AS t FROM p GROUP BY lid),
+rt AS (SELECT rid, SUM(o) AS t FROM p GROUP BY rid),
+lres AS (
+  SELECT 'L:' || CAST(a2.lid AS VARCHAR) AS oid, a2.lid,
+         CAST(NULL AS BIGINT) AS rid,
+         CASE WHEN 4.0 - COALESCE(lt.t, 0) <= 0 THEN NULL
+              ELSE ROUND(4.0 - COALESCE(lt.t, 0), 6) END AS area
+  FROM a2 LEFT JOIN lt USING (lid)),
+rres AS (
+  SELECT 'R:' || CAST(b2.rid AS VARCHAR) AS oid,
+         CAST(NULL AS BIGINT) AS lid, b2.rid,
+         CASE WHEN 4.0 - COALESCE(rt.t, 0) <= 0 THEN NULL
+              ELSE ROUND(4.0 - COALESCE(rt.t, 0), 6) END AS area
+  FROM b2 LEFT JOIN rt USING (rid)),
+bres AS (
+  SELECT 'B:' || CAST(lid AS VARCHAR) || ':' || CAST(rid AS VARCHAR)
+             AS oid, lid, rid,
+         CASE WHEN o <= 0 THEN NULL ELSE ROUND(o, 6) END AS area
+  FROM p)
+"""
+
+
+def _overlay_union_layers(spark, sf_dir):
+    """Two disjoint-within-themselves square grids: left squares
+    (side 2) sit in 4x4 cells jittered by (lid%3, (2*lid)%3), right
+    squares are cell-aligned — positive-area overlap happens only
+    within one cell (closed-form residuals: 4 minus the summed
+    pairwise overlaps), jitter 2 produces exact boundary touches
+    (pairs with empty geometry)."""
+    customer = ensure_min_partitions(
+        read_nanos_parquet(spark, _pq(sf_dir, "customer")), spark)
+    supplier = ensure_min_partitions(
+        read_nanos_parquet(spark, _pq(sf_dir, "supplier")), spark)
+    left = (customer.select(
+        F.expr("CAST(c_custkey % 1000 AS BIGINT)").alias("lid"))
+        .distinct()
+        .withColumn("ax", F.expr(
+            "CAST(4 * (lid % 25) + lid % 3 AS DOUBLE)"))
+        .withColumn("ay", F.expr(
+            "CAST(4 * (lid DIV 25) + (lid * 2) % 3 AS DOUBLE)"))
+        .select("lid", F.expr(
+            _SQUARE2_RING.format(x="ax", y="ay")).alias("rings")))
+    right = (supplier.select(
+        F.expr("CAST(s_suppkey % 1000 AS BIGINT)").alias("rid"))
+        .distinct()
+        .withColumn("bx", F.expr("CAST(4 * (rid % 25) AS DOUBLE)"))
+        .withColumn("by", F.expr("CAST(4 * (rid DIV 25) AS DOUBLE)"))
+        .select("rid", F.expr(
+            _SQUARE2_RING.format(x="bx", y="by")).alias("rings")))
+    return left, right
+
+
+@demo("overlay_union", oracle=_OVERLAY_UNION_CTE + """
+SELECT oid, lid, rid, area FROM lres
+UNION ALL SELECT oid, lid, rid, area FROM rres
+UNION ALL SELECT oid, lid, rid, area FROM bres
+""")
+def overlay_union(spark, sf_dir):
+    """Overlay(how='union') — the geopandas overlay(union) planar
+    decomposition (round 8): every intersection piece (pair rows,
+    both attributes) plus both residuals (each feature minus the
+    union of its intersecting other-side features, ONE n-ary kernel
+    op per feature), under a synthesized deterministic string index
+    ``oid``.  The candidate grid join runs ONCE (persisted pair
+    frame feeds all three branches).  Disjoint grids make every
+    area closed-form; fully-covered features and boundary-touch
+    pairs keep their rows with NULL geometry."""
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        rings_area_expr)
+    from dask_geomodeling_spark.geometry.overlay import Overlay
+    left, right = _overlay_union_layers(spark, sf_dir)
+    ov = Overlay(DataFrameSource(left, index_column="lid"),
+                 DataFrameSource(right, index_column="rid"),
+                 cell_size=4.0, how="union")
+    return (ov.plan(spark)
+            .withColumn("area", F.round(rings_area_expr("rings"), 6))
+            .select("oid", "lid", "rid", "area"))
+
+
+@demo("overlay_symdiff", oracle=_OVERLAY_UNION_CTE + """
+SELECT oid, lid, rid, area FROM lres
+UNION ALL SELECT oid, lid, rid, area FROM rres
+""")
+def overlay_symdiff(spark, sf_dir):
+    """Overlay(how='symmetric_difference') (round 8): the union
+    decomposition WITHOUT the intersection pieces — left residuals
+    plus right residuals, same layers and closed-form oracle as
+    ``overlay_union``."""
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        rings_area_expr)
+    from dask_geomodeling_spark.geometry.overlay import Overlay
+    left, right = _overlay_union_layers(spark, sf_dir)
+    ov = Overlay(DataFrameSource(left, index_column="lid"),
+                 DataFrameSource(right, index_column="rid"),
+                 cell_size=4.0, how="symmetric_difference")
+    return (ov.plan(spark)
+            .withColumn("area", F.round(rings_area_expr("rings"), 6))
+            .select("oid", "lid", "rid", "area"))
+
+
 @demo("buffer_exact_polygon", oracle="""
 WITH t AS (
   SELECT s_suppkey,

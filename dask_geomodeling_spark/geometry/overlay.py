@@ -18,9 +18,21 @@ math runs through the boundary-classification kernel
   ``keep = inA and not any(inB_i)`` over the group's collected ring
   sets (no iterated pairwise differences, no drift); left features
   with no intersecting right rows pass through unchanged.
+- ``how='union'`` (geopandas ``overlay(how='union')``): the full
+  planar decomposition — every intersection piece (pair rows, both
+  sides' attributes) PLUS every left residual (left minus the union
+  of intersecting rights) PLUS every right residual (mirrored).  The
+  output index is a synthesized deterministic string key ``oid``
+  (``B:<lid>:<rid>`` / ``L:<lid>`` / ``R:<rid>``); attribute columns
+  of the absent side are typed NULLs; empty pieces keep their row
+  with NULL ``rings`` (geopandas drops them — filter on
+  ``rings IS NOT NULL`` for that behavior).
+- ``how='symmetric_difference'``: the two residual branches only.
 
-The per-group payload for 'difference' is the intersecting right
-geometries only (grid-bounded), not the whole right layer.
+The candidate pair frame is computed ONCE and persisted when more
+than one branch consumes it; the per-group payload for the residual
+branches is the intersecting other-side geometries only
+(grid-bounded), not the whole other layer.
 """
 
 from __future__ import annotations
@@ -71,14 +83,19 @@ class Overlay(GeometryBlock):
         if not isinstance(left, GeometryBlock) \
                 or not isinstance(right, GeometryBlock):
             raise TypeError("left/right must be GeometryBlocks")
-        if how not in ("intersection", "difference"):
+        if how not in ("intersection", "difference", "union",
+                       "symmetric_difference"):
             raise ValueError(
-                "how must be 'intersection' or 'difference'")
+                "how must be 'intersection', 'difference', 'union' "
+                "or 'symmetric_difference'")
         cs = float(cell_size)
         if not cs > 0:
             raise ValueError("cell_size must be > 0")
         if right_columns is None:
             right_columns = [right.index_column]
+        if how in ("union", "symmetric_difference") \
+                and right.index_column not in right_columns:
+            right_columns = [right.index_column] + list(right_columns)
         super().__init__(left, right, cs, how, tuple(right_columns))
 
     @property
@@ -87,6 +104,8 @@ class Overlay(GeometryBlock):
 
     @property
     def index_column(self):
+        if self.args[3] in ("union", "symmetric_difference"):
+            return "oid"
         return self.left.index_column
 
     @property
@@ -94,9 +113,34 @@ class Overlay(GeometryBlock):
         cols = set(self.left.columns) | {"rings"}
         if self.args[3] == "intersection":
             cols |= set(self.args[4])
+        elif self.args[3] in ("union", "symmetric_difference"):
+            cols |= set(self.args[4]) | {"oid"}
         return cols
 
+    @staticmethod
+    def _residual(side, pairs, idc, other_geom, own_cols, spark):
+        """``side`` minus the union of its intersecting other-side
+        geometries: group the pair frame's ``other_geom`` ring stacks
+        per ``idc`` (sorted for determinism), ONE n-ary kernel op,
+        re-joined so non-intersected features pass through."""
+        from dask_geomodeling_spark.geometry.polyclip import (
+            kernel_parallelism, map_rings_binary)
+        from dask_geomodeling_spark.geometry.spatial_join import (
+            SpatialJoin)
+        grouped = (pairs.groupBy(idc)
+                   .agg(F.expr("array_sort(collect_list({}))"
+                               .format(other_geom))
+                        .alias("_others")))
+        df = side.join(grouped, idc, "left")
+        gr = SpatialJoin._ring_expr(set(own_cols), "_g0")
+        df = kernel_parallelism(df.withColumn("_g", gr), spark)
+        df = map_rings_binary(df, "_g", "_others", _erase_rings)
+        return (df.withColumn("rings", F.col("_g"))
+                .drop("_g", "_others"))
+
     def _build(self, ctx):
+        from pyspark import StorageLevel
+
         from dask_geomodeling_spark.geometry.polyclip import (
             kernel_parallelism, map_rings_binary)
         from dask_geomodeling_spark.geometry.spatial_join import (
@@ -107,24 +151,54 @@ class Overlay(GeometryBlock):
         R = self.args[1]._build(ctx)
         pairs = SpatialJoin._candidate_pairs(
             L, R, cs, rcols, keep_geoms=True)
+        idc = self.left.index_column
         if how == "intersection":
             out = map_rings_binary(
                 kernel_parallelism(pairs, ctx.spark), "_lr", "_rr",
                 _pair_intersection)
-            out = (out.withColumn("rings", F.col("_lr"))
-                   if "rings" not in L.columns
-                   else out.withColumn("rings", F.col("_lr")))
-            return out.drop("_lr", "_rr")
-        # difference: group the intersecting right geometries per left
-        # feature (sorted for determinism), ONE n-ary kernel op, and
-        # re-join so non-intersected left features pass through
-        idc = self.left.index_column
-        grouped = (pairs.groupBy(idc)
-                   .agg(F.expr("array_sort(collect_list(_rr))")
-                        .alias("_others")))
-        df = L.join(grouped, idc, "left")
-        lr = SpatialJoin._ring_expr(set(L.columns), "_lr0")
-        df = kernel_parallelism(df.withColumn("_lr", lr), ctx.spark)
-        df = map_rings_binary(df, "_lr", "_others", _erase_rings)
-        return (df.withColumn("rings", F.col("_lr"))
-                .drop("_lr", "_others"))
+            return (out.withColumn("rings", F.col("_lr"))
+                    .drop("_lr", "_rr"))
+        if how == "difference":
+            return self._residual(L, pairs, idc, "_rr", L.columns,
+                                  ctx.spark)
+        # union / symmetric_difference: >1 branch consumes the pair
+        # frame — persist it so the grid join runs once
+        ridc = self.args[1].index_column
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        lattr = [c for c in L.columns if c != "rings"]
+        ltypes = {f.name: f.dataType for f in L.schema.fields}
+        rsel = R.select(*rcols,
+                        SpatialJoin._ring_expr(set(R.columns), "_rg"))
+        rtypes = {f.name: f.dataType for f in rsel.schema.fields}
+
+        def skey(prefix, *cols):
+            parts = [F.lit(prefix)]
+            for i, c in enumerate(cols):
+                if i:
+                    parts.append(F.lit(":"))
+                parts.append(F.col(c).cast("string"))
+            return F.concat(*parts).alias("oid")
+
+        lres = self._residual(L, pairs, idc, "_rr", L.columns,
+                              ctx.spark)
+        lres = lres.select(
+            skey("L:", idc), *lattr,
+            *[F.lit(None).cast(rtypes[c]).alias(c) for c in rcols],
+            "rings")
+        rres = self._residual(
+            rsel.withColumnRenamed("_rg", "rings"), pairs, ridc,
+            "_lr", set(rcols) | {"rings"}, ctx.spark)
+        rres = rres.select(
+            skey("R:", ridc),
+            *[F.lit(None).cast(ltypes[c]).alias(c) for c in lattr],
+            *rcols, "rings")
+        out = lres.unionByName(rres)
+        if how == "union":
+            inter = map_rings_binary(
+                kernel_parallelism(pairs, ctx.spark), "_lr", "_rr",
+                _pair_intersection)
+            inter = (inter.withColumn("rings", F.col("_lr"))
+                     .select(skey("B:", idc, ridc), *lattr, *rcols,
+                             "rings"))
+            out = out.unionByName(inter)
+        return out

@@ -203,3 +203,62 @@ class KneserNeyPerplexity(BaseSingle):
             F.round(avg, round_to).alias("avg_logprob"),
             F.round(F.exp(-avg), round_to).alias("perplexity"))
         return (df.select(id_column).join(scored, id_column, "left"))
+
+
+class CCNetBuckets(BaseSingle):
+    """CCNet-style head/middle/tail perplexity bucketing (Wenzek et
+    al. 2020 — the public CCNet recipe; no reference analogue): fit
+    an interpolated Kneser-Ney bigram LM on the corpus, score every
+    document, and split the scored corpus into ``len(buckets)``
+    equal-frequency buckets in ascending perplexity order — ``head``
+    is the most-fluent third, ``tail`` the noisiest.  CCNet buckets
+    per language; compose with ``LanguageID`` + a filter upstream for
+    the per-language variant.
+
+    Spark shape: the KN fit/score is the
+    :class:`KneserNeyPerplexity` plan (model-as-DataFrame, one
+    persisted bigram pass); bucket assignment is the two-phase
+    distributed NTILE (functions/ranking.py) — a range repartition +
+    one per-partition count aggregation, never a single-partition
+    global window.  Ties break on the id column over the
+    ROUND(round_to) scores, so the assignment is deterministic and
+    engine-reproducible.  Documents with < 2 tokens (NULL
+    perplexity) take a NULL bucket.
+
+    Output: ``<id_column>``, ``n_bigrams``, ``avg_logprob``,
+    ``perplexity``, ``bucket``.
+    """
+
+    def __init__(self, source, text_column="text", id_column="doc_id",
+                 buckets=("head", "middle", "tail"), discount=0.75,
+                 round_to=6):
+        labels = tuple(str(b) for b in buckets)
+        if not labels:
+            raise ValueError("buckets must be a non-empty sequence "
+                             "of labels")
+        super().__init__(
+            KneserNeyPerplexity(source, text_column, id_column,
+                                discount, round_to),
+            id_column, labels)
+
+    @property
+    def columns(self):
+        return {self.args[1], "n_bigrams", "avg_logprob",
+                "perplexity", "bucket"}
+
+    def _build(self, ctx):
+        from dask_geomodeling_spark.functions.ranking import (
+            distributed_ntile)
+        _, id_column, labels = self.args
+        scored = self.source._build(ctx)
+        nonnull = scored.where(F.col("perplexity").isNotNull())
+        nulls = (scored.where(F.col("perplexity").isNull())
+                 .withColumn("bucket", F.lit(None).cast("string")))
+        tiled = distributed_ntile(
+            nonnull, ["perplexity", id_column], len(labels),
+            out="_nt")
+        lab = F.element_at(
+            F.array(*[F.lit(x) for x in labels]),
+            F.col("_nt").cast("int"))
+        return (tiled.withColumn("bucket", lab).drop("_nt")
+                .unionByName(nulls))

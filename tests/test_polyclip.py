@@ -321,3 +321,59 @@ def test_linestring_path_support(spark):
         rings_signed_area([r]) for r in row["rings"]) - 9.5) < 1e-6
     back = parse_point_or_box_wkt(row["wkt"])
     assert back["path"] == f["path"]
+
+
+def test_simplify_dp_on_paths(spark):
+    """Simplify('dp') on open polylines: near-collinear interior
+    vertices drop, endpoints always survive."""
+    from dask_geomodeling_spark.geometry.constructive import Simplify
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    df = spark.createDataFrame(
+        [(1, [[0.0, 0.0], [1.0, 0.001], [2.0, 0.0], [2.0, 5.0]]),
+         (2, [[0.0, 0.0], [1.0, 3.0], [2.0, 0.0]])],
+        "fid bigint, path array<array<double>>")
+    out = {r["fid"]: r["path"] for r in Simplify(
+        DataFrameSource(df, index_column="fid"), tolerance=0.1,
+        algorithm="dp").plan(spark).collect()}
+    assert out[1] == [[0.0, 0.0], [2.0, 0.0], [2.0, 5.0]]
+    assert out[2] == [[0.0, 0.0], [1.0, 3.0], [2.0, 0.0]]
+
+
+def test_overlay_union_and_symdiff(spark):
+    """Overlay union/symmetric_difference (round 8): planar
+    decomposition under the synthesized 'oid' index — pair piece
+    (hole overlap 1x1), both residuals, untouched features pass
+    through on their own side; symdiff drops the pair pieces."""
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        rings_area_expr)
+    from dask_geomodeling_spark.geometry.overlay import Overlay
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+
+    def sq(x, y, s):
+        return [[[x, y], [x + s, y], [x + s, y + s], [x, y + s]]]
+    L = spark.createDataFrame(
+        [(1, sq(0.0, 0.0, 2.0)), (2, sq(10.0, 10.0, 2.0))],
+        "lid bigint, rings array<array<array<double>>>")
+    R = spark.createDataFrame(
+        [(7, sq(1.0, 1.0, 2.0)), (8, sq(50.0, 50.0, 2.0))],
+        "rid bigint, rings array<array<array<double>>>")
+    ov = Overlay(DataFrameSource(L, index_column="lid"),
+                 DataFrameSource(R, index_column="rid"),
+                 cell_size=4.0, how="union")
+    assert ov.index_column == "oid"
+    rows = (ov.plan(spark)
+            .withColumn("area", F.round(rings_area_expr("rings"), 6))
+            .select("oid", "lid", "rid", "area").collect())
+    got = {r["oid"]: (r["lid"], r["rid"], r["area"]) for r in rows}
+    assert got == {
+        "B:1:7": (1, 7, 1.0), "L:1": (1, None, 3.0),
+        "L:2": (2, None, 4.0), "R:7": (None, 7, 3.0),
+        "R:8": (None, 8, 4.0)}
+    sd = Overlay(DataFrameSource(L, index_column="lid"),
+                 DataFrameSource(R, index_column="rid"),
+                 cell_size=4.0, how="symmetric_difference")
+    got = {r["oid"]: r["area"] for r in sd.plan(spark).withColumn(
+        "area", F.round(rings_area_expr("rings"), 6)).collect()}
+    assert got == {"L:1": 3.0, "L:2": 4.0, "R:7": 3.0, "R:8": 4.0}
