@@ -70,7 +70,9 @@ def main():
                   "overlay_intersection", "overlay_erase",
                   "convex_hull", "buffer_exact_polygon",
                   "raster_polygonize", "encode_wkt",
-                  "linestring_buffer", "spatial_join_lines"):
+                  "linestring_buffer", "spatial_join_lines",
+                  "overlay_union", "overlay_symdiff",
+                  "ccnet_buckets"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

@@ -7316,6 +7316,33 @@ def kn_perplexity(spark, sf_dir):
     return KneserNeyPerplexity(documents_src(sf_dir)).plan(spark)
 
 
+@demo("ccnet_buckets", oracle="""
+WITH kn AS ({kn}),
+nn AS (SELECT * FROM kn WHERE perplexity IS NOT NULL),
+t AS (
+  SELECT doc_id, n_bigrams, avg_logprob, perplexity,
+         NTILE(3) OVER (ORDER BY perplexity, doc_id) AS nt
+  FROM nn)
+SELECT doc_id, n_bigrams, avg_logprob, perplexity,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+               ELSE 'tail' END AS bucket
+FROM t
+UNION ALL
+SELECT doc_id, n_bigrams, avg_logprob, perplexity,
+       CAST(NULL AS VARCHAR) AS bucket
+FROM kn WHERE perplexity IS NULL
+""".format(kn=_KN_ORACLE))
+def ccnet_buckets(spark, sf_dir):
+    """CCNetBuckets (round 8): the CCNet head/middle/tail split
+    (Wenzek et al. 2020) — corpus-fitted interpolated Kneser-Ney
+    perplexity, then equal-frequency thirds in ascending perplexity
+    order via the two-phase distributed NTILE (no single-partition
+    window; ties break on doc_id over the rounded scores, so both
+    engines assign identically)."""
+    from dask_geomodeling_spark.pipeline.lm import CCNetBuckets
+    return CCNetBuckets(documents_src(sf_dir)).plan(spark)
+
+
 @demo("corpus_prep_classifier", oracle="""
 WITH q AS (
  SELECT doc_id, lang, length(text) AS n,
@@ -8757,6 +8784,7 @@ GATE_ANCHORS = [
     "spatial_join", "spatial_join_intersects",
     "overlay_intersection", "overlay_erase", "convex_hull",
     "buffer_exact_polygon", "raster_polygonize",
+    "overlay_union", "overlay_symdiff", "ccnet_buckets",
 ]
 
 

@@ -997,3 +997,28 @@ def test_temperature_mix_flattens_head(spark):
     assert frac["big"] < 500
     all_kept = TemperatureMix(src, alpha=1.0).plan(spark).count()
     assert all_kept == 1000
+
+
+def test_ccnet_buckets(spark):
+    """CCNetBuckets (round 8): equal-frequency thirds in ascending
+    KN-perplexity order (NTILE convention: first buckets take the
+    ceil share), short docs take a NULL bucket, and every head
+    perplexity <= every middle <= every tail."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.lm import CCNetBuckets
+    texts = ["the cat sat on the mat", "the cat sat on a hat",
+             "the dog sat on the mat", "zz qq ww ee rr tt",
+             "the cat ate the mat", "mat the on sat cat the",
+             "one two three four five"]
+    rows = [(i, t) for i, t in enumerate(texts)] + [(99, "solo")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = CCNetBuckets(DataFrameSource(df, index_column="doc_id")) \
+        .plan(spark).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["perplexity"])
+    # 7 scorable docs -> 3/2/2; the 1-token doc is unbucketed
+    assert {k: len(v) for k, v in by_bucket.items()} == {
+        None: 1, "head": 3, "middle": 2, "tail": 2}
+    assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+    assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
