@@ -71,7 +71,7 @@ def main():
                   "convex_hull", "buffer_exact_polygon",
                   "raster_polygonize", "encode_wkt",
                   "linestring_buffer", "spatial_join_lines",
-                  "overlay_union", "overlay_symdiff",
+                  "overlay_union", "overlay_symdiff", "overlay_identity",
                   "ccnet_buckets"):
         if extra in demos.QUERIES:
             headline.append(extra)

@@ -3773,6 +3773,27 @@ def overlay_symdiff(spark, sf_dir):
             .select("oid", "lid", "rid", "area"))
 
 
+@demo("overlay_identity", oracle=_OVERLAY_UNION_CTE + """
+SELECT oid, lid, rid, area FROM lres
+UNION ALL SELECT oid, lid, rid, area FROM bres
+""")
+def overlay_identity(spark, sf_dir):
+    """Overlay(how='identity') (round 8): the ArcGIS Identity — the
+    LEFT layer's planar decomposition (intersection pieces + left
+    residuals, no right-only parts), same layers and closed-form
+    oracle as ``overlay_union``."""
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        rings_area_expr)
+    from dask_geomodeling_spark.geometry.overlay import Overlay
+    left, right = _overlay_union_layers(spark, sf_dir)
+    ov = Overlay(DataFrameSource(left, index_column="lid"),
+                 DataFrameSource(right, index_column="rid"),
+                 cell_size=4.0, how="identity")
+    return (ov.plan(spark)
+            .withColumn("area", F.round(rings_area_expr("rings"), 6))
+            .select("oid", "lid", "rid", "area"))
+
+
 @demo("buffer_exact_polygon", oracle="""
 WITH t AS (
   SELECT s_suppkey,
@@ -8784,7 +8805,8 @@ GATE_ANCHORS = [
     "spatial_join", "spatial_join_intersects",
     "overlay_intersection", "overlay_erase", "convex_hull",
     "buffer_exact_polygon", "raster_polygonize",
-    "overlay_union", "overlay_symdiff", "ccnet_buckets",
+    "overlay_union", "overlay_symdiff", "overlay_identity",
+    "ccnet_buckets",
 ]
 
 

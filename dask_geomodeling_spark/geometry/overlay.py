@@ -28,6 +28,9 @@ math runs through the boundary-classification kernel
   with NULL ``rings`` (geopandas drops them — filter on
   ``rings IS NOT NULL`` for that behavior).
 - ``how='symmetric_difference'``: the two residual branches only.
+- ``how='identity'`` (the ArcGIS Identity): the left layer's planar
+  decomposition — intersection pieces plus left residuals, no
+  right-only parts.
 
 The candidate pair frame is computed ONCE and persisted when more
 than one branch consumes it; the per-group payload for the residual
@@ -84,16 +87,16 @@ class Overlay(GeometryBlock):
                 or not isinstance(right, GeometryBlock):
             raise TypeError("left/right must be GeometryBlocks")
         if how not in ("intersection", "difference", "union",
-                       "symmetric_difference"):
+                       "symmetric_difference", "identity"):
             raise ValueError(
-                "how must be 'intersection', 'difference', 'union' "
-                "or 'symmetric_difference'")
+                "how must be 'intersection', 'difference', 'union', "
+                "'symmetric_difference' or 'identity'")
         cs = float(cell_size)
         if not cs > 0:
             raise ValueError("cell_size must be > 0")
         if right_columns is None:
             right_columns = [right.index_column]
-        if how in ("union", "symmetric_difference") \
+        if how in ("union", "symmetric_difference", "identity") \
                 and right.index_column not in right_columns:
             right_columns = [right.index_column] + list(right_columns)
         super().__init__(left, right, cs, how, tuple(right_columns))
@@ -104,7 +107,8 @@ class Overlay(GeometryBlock):
 
     @property
     def index_column(self):
-        if self.args[3] in ("union", "symmetric_difference"):
+        if self.args[3] in ("union", "symmetric_difference",
+                            "identity"):
             return "oid"
         return self.left.index_column
 
@@ -113,7 +117,8 @@ class Overlay(GeometryBlock):
         cols = set(self.left.columns) | {"rings"}
         if self.args[3] == "intersection":
             cols |= set(self.args[4])
-        elif self.args[3] in ("union", "symmetric_difference"):
+        elif self.args[3] in ("union", "symmetric_difference",
+                              "identity"):
             cols |= set(self.args[4]) | {"oid"}
         return cols
 
@@ -161,8 +166,8 @@ class Overlay(GeometryBlock):
         if how == "difference":
             return self._residual(L, pairs, idc, "_rr", L.columns,
                                   ctx.spark)
-        # union / symmetric_difference: >1 branch consumes the pair
-        # frame — persist it so the grid join runs once
+        # union / symmetric_difference / identity: >1 branch consumes
+        # the pair frame — persist it so the grid join runs once
         ridc = self.args[1].index_column
         pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
         lattr = [c for c in L.columns if c != "rings"]
@@ -185,15 +190,18 @@ class Overlay(GeometryBlock):
             skey("L:", idc), *lattr,
             *[F.lit(None).cast(rtypes[c]).alias(c) for c in rcols],
             "rings")
-        rres = self._residual(
-            rsel.withColumnRenamed("_rg", "rings"), pairs, ridc,
-            "_lr", set(rcols) | {"rings"}, ctx.spark)
-        rres = rres.select(
-            skey("R:", ridc),
-            *[F.lit(None).cast(ltypes[c]).alias(c) for c in lattr],
-            *rcols, "rings")
-        out = lres.unionByName(rres)
-        if how == "union":
+        out = lres
+        if how in ("union", "symmetric_difference"):
+            rres = self._residual(
+                rsel.withColumnRenamed("_rg", "rings"), pairs, ridc,
+                "_lr", set(rcols) | {"rings"}, ctx.spark)
+            rres = rres.select(
+                skey("R:", ridc),
+                *[F.lit(None).cast(ltypes[c]).alias(c)
+                  for c in lattr],
+                *rcols, "rings")
+            out = out.unionByName(rres)
+        if how in ("union", "identity"):
             inter = map_rings_binary(
                 kernel_parallelism(pairs, ctx.spark), "_lr", "_rr",
                 _pair_intersection)

@@ -377,3 +377,9 @@ def test_overlay_union_and_symdiff(spark):
     got = {r["oid"]: r["area"] for r in sd.plan(spark).withColumn(
         "area", F.round(rings_area_expr("rings"), 6)).collect()}
     assert got == {"L:1": 3.0, "L:2": 4.0, "R:7": 3.0, "R:8": 4.0}
+    idt = Overlay(DataFrameSource(L, index_column="lid"),
+                  DataFrameSource(R, index_column="rid"),
+                  cell_size=4.0, how="identity")
+    got = {r["oid"]: r["area"] for r in idt.plan(spark).withColumn(
+        "area", F.round(rings_area_expr("rings"), 6)).collect()}
+    assert got == {"B:1:7": 1.0, "L:1": 3.0, "L:2": 4.0}
