@@ -683,3 +683,45 @@ def test_polygonize_single_cancellation_aggregate(spark):
         "simple")
     assert "CartesianProduct" not in plan
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_overlay_union_persists_pairs_no_cartesian(spark):
+    """Overlay(how='union') evaluates the grid candidate join ONCE:
+    the persisted pair frame shows as the cached relation every
+    branch reuses (intersection pieces + both residuals), and no
+    branch falls back to a cartesian product or a global window."""
+    from dask_geomodeling_spark.geometry.overlay import Overlay
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    S = "array<array<array<double>>>"
+    L = spark.createDataFrame(
+        [(1, [[[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]]])],
+        "lid bigint, rings " + S)
+    R = spark.createDataFrame(
+        [(7, [[[1.0, 1.0], [3.0, 1.0], [3.0, 3.0], [1.0, 3.0]]])],
+        "rid bigint, rings " + S)
+    ov = Overlay(DataFrameSource(L, index_column="lid"),
+                 DataFrameSource(R, index_column="rid"),
+                 cell_size=4.0, how="union").plan(spark)
+    plan = ov._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("InMemoryRelation") >= 3
+    simple = plan_of(ov, "simple")
+    assert "CartesianProduct" not in simple
+    assert "Window" not in simple
+
+
+def test_ccnet_buckets_no_global_window(spark):
+    """CCNetBuckets assigns NTILE through the two-phase distributed
+    rank (range repartition + per-partition counts) — the plan must
+    carry NO window operator at all (the single-partition
+    NTILE-over-everything is the classic scale killer)."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.lm import CCNetBuckets
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog sat the"),
+         (3, "a b a c a d")],
+        "doc_id bigint, text string")
+    cb = CCNetBuckets(
+        DataFrameSource(docs, index_column="doc_id")).plan(spark)
+    simple = plan_of(cb, "simple")
+    assert "Window" not in simple
+    assert "CartesianProduct" not in simple
