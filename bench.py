@@ -72,7 +72,7 @@ def main():
                   "raster_polygonize", "encode_wkt",
                   "linestring_buffer", "spatial_join_lines",
                   "overlay_union", "overlay_symdiff", "overlay_identity",
-                  "ccnet_buckets"):
+                  "ccnet_buckets", "ccnet_buckets_lang"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

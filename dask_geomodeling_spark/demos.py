@@ -7364,6 +7364,36 @@ def ccnet_buckets(spark, sf_dir):
     return CCNetBuckets(documents_src(sf_dir)).plan(spark)
 
 
+@demo("ccnet_buckets_lang", oracle="""
+WITH kn AS ({kn}),
+kl AS (
+  SELECT kn.*, d.lang
+  FROM kn JOIN documents d USING (doc_id)),
+nn AS (SELECT * FROM kl WHERE perplexity IS NOT NULL),
+t AS (
+  SELECT doc_id, lang, n_bigrams, avg_logprob, perplexity,
+         NTILE(3) OVER (PARTITION BY lang
+                        ORDER BY perplexity, doc_id) AS nt
+  FROM nn)
+SELECT doc_id, lang, n_bigrams, avg_logprob, perplexity,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+               ELSE 'tail' END AS bucket
+FROM t
+UNION ALL
+SELECT doc_id, lang, n_bigrams, avg_logprob, perplexity,
+       CAST(NULL AS VARCHAR) AS bucket
+FROM kl WHERE perplexity IS NULL
+""".format(kn=_KN_ORACLE))
+def ccnet_buckets_lang(spark, sf_dir):
+    """CCNetBuckets(by='lang') (round 8): the paper's actual shape —
+    equal-frequency perplexity thirds WITHIN each language, assigned
+    by the grouped two-phase distributed NTILE (one global rank over
+    (lang, perplexity, id) + one row-per-group stats join; still no
+    window operator anywhere)."""
+    from dask_geomodeling_spark.pipeline.lm import CCNetBuckets
+    return CCNetBuckets(documents_src(sf_dir), by="lang").plan(spark)
+
+
 @demo("corpus_prep_classifier", oracle="""
 WITH q AS (
  SELECT doc_id, lang, length(text) AS n,
@@ -8806,7 +8836,7 @@ GATE_ANCHORS = [
     "overlay_intersection", "overlay_erase", "convex_hull",
     "buffer_exact_polygon", "raster_polygonize",
     "overlay_union", "overlay_symdiff", "overlay_identity",
-    "ccnet_buckets",
+    "ccnet_buckets", "ccnet_buckets_lang",
 ]
 
 

@@ -23,7 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-__all__ = ["global_row_number", "distributed_ntile"]
+__all__ = ["global_row_number", "distributed_ntile",
+           "distributed_group_ntile"]
 
 _SEQ_BITS = 33  # monotonically_increasing_id: pid << 33 | sequence
 _SEQ_MASK = (1 << _SEQ_BITS) - 1
@@ -73,3 +74,38 @@ def distributed_ntile(df, order_cols, k, out="bucket"):
         r + F.floor((rn - big - 1) / F.greatest(F.lit(q), F.lit(1))) + 1)
     return (ranked.withColumn(out, bucket.cast("bigint"))
             .drop("_grn"))
+
+
+def distributed_group_ntile(df, group_cols, order_cols, k,
+                            out="bucket"):
+    """Exact ``NTILE(k) OVER (PARTITION BY group_cols ORDER BY
+    order_cols)`` without ANY window operator: one global two-phase
+    rank over ``group_cols + order_cols`` (groups are contiguous
+    under that total order), then each group's first global rank and
+    size come from ONE aggregation row per group, joined back so the
+    within-group rank is ``grn - first + 1`` and the NTILE bucket is
+    pure per-row column math.  Data-sized state never concentrates:
+    the heaviest group still spreads over the range partitioning, and
+    the stats join keys on the group columns (AQE broadcasts it when
+    the group count is small)."""
+    k = int(k)
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    group_cols, order_cols = list(group_cols), list(order_cols)
+    ranked, _ = global_row_number(df, group_cols + order_cols,
+                                  out="_ggrn")
+    stats = ranked.groupBy(*group_cols).agg(
+        F.min("_ggrn").alias("_g0"),
+        F.count(F.lit(1)).alias("_gn"))
+    j = ranked.join(stats, group_cols)
+    rn = F.col("_ggrn") - F.col("_g0") + 1
+    q = F.floor(F.col("_gn") / k).cast("bigint")
+    r = (F.col("_gn") % k).cast("bigint")
+    big = r * (q + 1)
+    bucket = F.when(
+        rn <= big, F.floor((rn - 1) / (q + 1)) + 1
+    ).otherwise(
+        r + F.floor((rn - big - 1)
+                    / F.greatest(q, F.lit(1))) + 1)
+    return (j.withColumn(out, bucket.cast("bigint"))
+            .drop("_ggrn", "_g0", "_gn"))

@@ -220,18 +220,21 @@ class CCNetBuckets(BaseSingle):
     persisted bigram pass); bucket assignment is the two-phase
     distributed NTILE (functions/ranking.py) — a range repartition +
     one per-partition count aggregation, never a single-partition
-    global window.  Ties break on the id column over the
-    ROUND(round_to) scores, so the assignment is deterministic and
-    engine-reproducible.  Documents with < 2 tokens (NULL
-    perplexity) take a NULL bucket.
+    global window.  With ``by`` (CCNet buckets per LANGUAGE) the
+    split is equal-frequency WITHIN each ``by`` group via the
+    grouped variant (one global rank + one row-per-group stats
+    join — still windowless, and the fit stays corpus-global).
+    Ties break on the id column over the ROUND(round_to) scores, so
+    the assignment is deterministic and engine-reproducible.
+    Documents with < 2 tokens (NULL perplexity) take a NULL bucket.
 
-    Output: ``<id_column>``, ``n_bigrams``, ``avg_logprob``,
-    ``perplexity``, ``bucket``.
+    Output: ``<id_column>``, [``<by>``,] ``n_bigrams``,
+    ``avg_logprob``, ``perplexity``, ``bucket``.
     """
 
     def __init__(self, source, text_column="text", id_column="doc_id",
                  buckets=("head", "middle", "tail"), discount=0.75,
-                 round_to=6):
+                 round_to=6, by=None):
         labels = tuple(str(b) for b in buckets)
         if not labels:
             raise ValueError("buckets must be a non-empty sequence "
@@ -239,24 +242,36 @@ class CCNetBuckets(BaseSingle):
         super().__init__(
             KneserNeyPerplexity(source, text_column, id_column,
                                 discount, round_to),
-            id_column, labels)
+            id_column, labels, by)
 
     @property
     def columns(self):
-        return {self.args[1], "n_bigrams", "avg_logprob",
+        cols = {self.args[1], "n_bigrams", "avg_logprob",
                 "perplexity", "bucket"}
+        if self.args[3]:
+            cols.add(self.args[3])
+        return cols
 
     def _build(self, ctx):
         from dask_geomodeling_spark.functions.ranking import (
-            distributed_ntile)
-        _, id_column, labels = self.args
+            distributed_group_ntile, distributed_ntile)
+        _, id_column, labels, by = self.args
         scored = self.source._build(ctx)
+        if by:
+            cats = (self.source.source._build(ctx)
+                    .select(id_column, by))
+            scored = scored.join(cats, id_column)
         nonnull = scored.where(F.col("perplexity").isNotNull())
         nulls = (scored.where(F.col("perplexity").isNull())
                  .withColumn("bucket", F.lit(None).cast("string")))
-        tiled = distributed_ntile(
-            nonnull, ["perplexity", id_column], len(labels),
-            out="_nt")
+        if by:
+            tiled = distributed_group_ntile(
+                nonnull, [by], ["perplexity", id_column],
+                len(labels), out="_nt")
+        else:
+            tiled = distributed_ntile(
+                nonnull, ["perplexity", id_column], len(labels),
+                out="_nt")
         lab = F.element_at(
             F.array(*[F.lit(x) for x in labels]),
             F.col("_nt").cast("int"))

@@ -1022,3 +1022,34 @@ def test_ccnet_buckets(spark):
         None: 1, "head": 3, "middle": 2, "tail": 2}
     assert max(by_bucket["head"]) <= min(by_bucket["middle"])
     assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+
+
+def test_ccnet_buckets_by_group(spark):
+    """CCNetBuckets(by=...): equal-frequency thirds WITHIN each
+    category; the head<=middle<=tail ordering holds per group and
+    group sizes follow the NTILE ceil-first convention."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.lm import CCNetBuckets
+    texts = ["the cat sat on the mat", "the cat sat on a hat",
+             "the dog sat on the mat", "zz qq ww ee rr tt",
+             "the cat ate the mat", "mat the on sat cat the",
+             "one two three four five"]
+    rows = ([(i, t, "en") for i, t in enumerate(texts)]
+            + [(10 + i, t, "fr") for i, t in enumerate(texts[:4])])
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, "
+                               "lang string")
+    out = CCNetBuckets(DataFrameSource(df, index_column="doc_id"),
+                       by="lang").plan(spark).collect()
+    counts = {}
+    ppl = {}
+    for r in out:
+        counts[(r["lang"], r["bucket"])] = counts.get(
+            (r["lang"], r["bucket"]), 0) + 1
+        ppl.setdefault((r["lang"], r["bucket"]), []).append(
+            r["perplexity"])
+    assert counts == {("en", "head"): 3, ("en", "middle"): 2,
+                      ("en", "tail"): 2, ("fr", "head"): 2,
+                      ("fr", "middle"): 1, ("fr", "tail"): 1}
+    for lang in ("en", "fr"):
+        assert max(ppl[(lang, "head")]) <= min(ppl[(lang, "middle")])
+        assert max(ppl[(lang, "middle")]) <= min(ppl[(lang, "tail")])
