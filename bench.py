@@ -72,7 +72,8 @@ def main():
                   "raster_polygonize", "encode_wkt",
                   "linestring_buffer", "spatial_join_lines",
                   "overlay_union", "overlay_symdiff", "overlay_identity",
-                  "ccnet_buckets", "ccnet_buckets_lang"):
+                  "ccnet_buckets", "ccnet_buckets_lang",
+                  "overlay_clip_lines", "overlay_erase_lines"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

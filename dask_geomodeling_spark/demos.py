@@ -3794,6 +3794,136 @@ def overlay_identity(spark, sf_dir):
             .select("oid", "lid", "rid", "area"))
 
 
+_PATH_LEN = ("round(aggregate(transform(sequence(1, size(path) - 1), "
+             "i -> sqrt(pow(path[i][0] - path[i-1][0], 2) "
+             "+ pow(path[i][1] - path[i-1][1], 2))), "
+             "CAST(0.0 AS DOUBLE), (a, x) -> a + x), 6)")
+
+
+@demo("overlay_clip_lines", oracle="""
+WITH a AS (
+  SELECT DISTINCT CAST(c_custkey % 1000 AS BIGINT) AS lid
+  FROM customer),
+a2 AS (
+  SELECT lid, CAST(4 * (lid % 25) + lid % 7 AS DOUBLE) AS ax
+  FROM a),
+b AS (
+  SELECT DISTINCT CAST(s_suppkey % 1000 AS BIGINT) AS rid
+  FROM supplier),
+b2 AS (
+  SELECT rid, CAST(4 * (rid % 25) AS DOUBLE) AS bx
+  FROM b),
+p AS (
+  SELECT a2.lid, b2.rid,
+         LEAST(ax + 15, bx + 2) - GREATEST(ax, bx) AS w
+  FROM a2 JOIN b2
+    ON (a2.lid // 25) = (b2.rid // 25)
+   AND ax <= bx + 2 AND ax + 15 >= bx)
+SELECT lid, rid, CAST(0 AS BIGINT) AS piece, ROUND(w, 6) AS len
+FROM p WHERE w > 0
+""")
+def overlay_clip_lines(spark, sf_dir):
+    """Overlay(how='intersection') with a POLYLINE left layer (round
+    8): clip roads to parcels — each (line, polygon) pair yields the
+    line's maximal sub-chains inside the closed polygon through the
+    open-chain split kernel (path_boolean); horizontal lines across a
+    disjoint square grid make every piece length the closed-form
+    1-D interval overlap, and pure boundary touches yield no piece
+    row at all."""
+    customer = ensure_min_partitions(
+        read_nanos_parquet(spark, _pq(sf_dir, "customer")), spark)
+    supplier = ensure_min_partitions(
+        read_nanos_parquet(spark, _pq(sf_dir, "supplier")), spark)
+    left = (customer.select(
+        F.expr("CAST(c_custkey % 1000 AS BIGINT)").alias("lid"))
+        .distinct()
+        .withColumn("ax", F.expr(
+            "CAST(4 * (lid % 25) + lid % 7 AS DOUBLE)"))
+        .withColumn("ay", F.expr(
+            "CAST(4 * (lid DIV 25) + 1 AS DOUBLE)"))
+        .select("lid", F.expr(
+            "array(array(ax, ay), array(ax + 15.0D, ay))")
+            .alias("path")))
+    right = (supplier.select(
+        F.expr("CAST(s_suppkey % 1000 AS BIGINT)").alias("rid"))
+        .distinct()
+        .withColumn("bx", F.expr("CAST(4 * (rid % 25) AS DOUBLE)"))
+        .withColumn("by", F.expr("CAST(4 * (rid DIV 25) AS DOUBLE)"))
+        .select("rid", F.expr(
+            _SQUARE2_RING.format(x="bx", y="by")).alias("rings")))
+    from dask_geomodeling_spark.geometry.overlay import Overlay
+    ov = Overlay(DataFrameSource(left, index_column="lid"),
+                 DataFrameSource(right, index_column="rid"),
+                 cell_size=4.0, how="intersection")
+    return (ov.plan(spark)
+            .withColumn("len", F.expr(_PATH_LEN))
+            .select("lid", "rid", "piece", "len"))
+
+
+@demo("overlay_erase_lines", oracle="""
+WITH a AS (
+  SELECT DISTINCT CAST(c_custkey % 1000 AS BIGINT) AS lid
+  FROM customer),
+a2 AS (
+  SELECT lid, CAST(4 * (lid % 25) + lid % 3 AS DOUBLE) AS ax
+  FROM a),
+b AS (
+  SELECT DISTINCT CAST(s_suppkey % 1000 AS BIGINT) AS rid
+  FROM supplier),
+b2 AS (
+  SELECT rid, CAST(4 * (rid % 25) AS DOUBLE) AS bx
+  FROM b),
+p AS (
+  SELECT a2.lid,
+         GREATEST(CAST(0 AS DOUBLE),
+                  LEAST(ax + 3, bx + 2) - GREATEST(ax, bx)) AS w
+  FROM a2 JOIN b2
+    ON (a2.lid // 25) = (b2.rid // 25)
+   AND ax <= bx + 2 AND ax + 3 >= bx),
+agg AS (SELECT lid, SUM(w) AS c FROM p GROUP BY lid)
+SELECT a2.lid, CAST(0 AS BIGINT) AS piece,
+       ROUND(3.0 - COALESCE(agg.c, 0), 6) AS len
+FROM a2 LEFT JOIN agg USING (lid)
+""")
+def overlay_erase_lines(spark, sf_dir):
+    """Overlay(how='difference') with a POLYLINE left layer (round
+    8): erase the parts of each road covered by ANY intersecting
+    parcel in ONE n-ary kernel evaluation per line.  The layer
+    geometry (span-3 lines vs a disjoint span-2 grid with gap 2)
+    guarantees exactly ONE surviving piece per line whose length is
+    3 minus the summed interval overlaps — closed-form under any
+    parcel-presence pattern, including lines no parcel touches
+    (whole-line passthrough)."""
+    customer = ensure_min_partitions(
+        read_nanos_parquet(spark, _pq(sf_dir, "customer")), spark)
+    supplier = ensure_min_partitions(
+        read_nanos_parquet(spark, _pq(sf_dir, "supplier")), spark)
+    left = (customer.select(
+        F.expr("CAST(c_custkey % 1000 AS BIGINT)").alias("lid"))
+        .distinct()
+        .withColumn("ax", F.expr(
+            "CAST(4 * (lid % 25) + lid % 3 AS DOUBLE)"))
+        .withColumn("ay", F.expr(
+            "CAST(4 * (lid DIV 25) + 1 AS DOUBLE)"))
+        .select("lid", F.expr(
+            "array(array(ax, ay), array(ax + 3.0D, ay))")
+            .alias("path")))
+    right = (supplier.select(
+        F.expr("CAST(s_suppkey % 1000 AS BIGINT)").alias("rid"))
+        .distinct()
+        .withColumn("bx", F.expr("CAST(4 * (rid % 25) AS DOUBLE)"))
+        .withColumn("by", F.expr("CAST(4 * (rid DIV 25) AS DOUBLE)"))
+        .select("rid", F.expr(
+            _SQUARE2_RING.format(x="bx", y="by")).alias("rings")))
+    from dask_geomodeling_spark.geometry.overlay import Overlay
+    ov = Overlay(DataFrameSource(left, index_column="lid"),
+                 DataFrameSource(right, index_column="rid"),
+                 cell_size=4.0, how="difference")
+    return (ov.plan(spark)
+            .withColumn("len", F.expr(_PATH_LEN))
+            .select("lid", "piece", "len"))
+
+
 @demo("buffer_exact_polygon", oracle="""
 WITH t AS (
   SELECT s_suppkey,
@@ -8837,6 +8967,7 @@ GATE_ANCHORS = [
     "buffer_exact_polygon", "raster_polygonize",
     "overlay_union", "overlay_symdiff", "overlay_identity",
     "ccnet_buckets", "ccnet_buckets_lang",
+    "overlay_clip_lines", "overlay_erase_lines",
 ]
 
 

@@ -32,6 +32,14 @@ math runs through the boundary-classification kernel
   decomposition — intersection pieces plus left residuals, no
   right-only parts.
 
+A POLYLINE left layer (a ``path`` column, no ``rings``/``vertices``)
+clips (``'intersection'``) or erases (``'difference'``) through the
+open-chain split kernel (``polyclip.path_boolean``): each surviving
+maximal sub-chain becomes one output row with a ``piece`` ordinal
+and the chain in ``path``; zero-length touches emit nothing, and
+erase groups ALL intersecting polygons per line into ONE n-ary
+evaluation (untouched lines pass through whole).
+
 The candidate pair frame is computed ONCE and persisted when more
 than one branch consumes it; the per-group payload for the residual
 branches is the intersecting other-side geometries only
@@ -55,6 +63,20 @@ def _pair_intersection(lr, rr):
     return polygon_intersection(lr, rr) or None
 
 
+def _pair_clip_path(pr, rr):
+    from dask_geomodeling_spark.geometry.polyclip import path_boolean
+    if pr is None or rr is None:
+        return None
+    return path_boolean(pr, [rr], True) or None
+
+
+def _erase_path(pr, others):
+    from dask_geomodeling_spark.geometry.polyclip import path_boolean
+    if pr is None:
+        return None
+    return path_boolean(pr, others or [], False) or None
+
+
 def _erase_rings(lr, others):
     from dask_geomodeling_spark.geometry.polyclip import polygon_boolean
     if lr is None:
@@ -67,18 +89,21 @@ def _erase_rings(lr, others):
 
 
 class Overlay(GeometryBlock):
-    """Overlay two polygon layers.
+    """Overlay two geometry layers (see module docstring).
 
     Args:
       left: GeometryBlock with polygon geometry (``rings``, or
-        ``vertices``/box columns — synthesized like SpatialJoin).
-        Its index is the output index.
+        ``vertices``/box columns — synthesized like SpatialJoin), or
+        polyline geometry (``path``).  Its index is the output index
+        (planar-decomposition modes synthesize ``oid``).
       right: GeometryBlock with polygon geometry.
       cell_size: candidate grid bucket size (see SpatialJoin).
-      how: ``'intersection'`` or ``'difference'``.
-      right_columns: right columns carried into 'intersection' output
-        (default: right's index).  Ignored for 'difference' (output
-        rows are left features).
+      how: ``'intersection'``, ``'difference'``, ``'union'``,
+        ``'symmetric_difference'`` or ``'identity'`` (polyline lefts:
+        the first two only).
+      right_columns: right columns carried into pair-piece output
+        rows (default: right's index).  Ignored for 'difference'
+        (output rows are left features).
     """
 
     def __init__(self, left, right, cell_size, how="intersection",
@@ -94,6 +119,13 @@ class Overlay(GeometryBlock):
         cs = float(cell_size)
         if not cs > 0:
             raise ValueError("cell_size must be > 0")
+        lc = set(left.columns)
+        if "path" in lc and not ({"rings", "vertices"} & lc) \
+                and how not in ("intersection", "difference"):
+            raise ValueError(
+                "a polyline (path) left layer supports only "
+                "how='intersection' (clip) and how='difference' "
+                "(erase)")
         if right_columns is None:
             right_columns = [right.index_column]
         if how in ("union", "symmetric_difference", "identity") \
@@ -113,7 +145,17 @@ class Overlay(GeometryBlock):
         return self.left.index_column
 
     @property
+    def _left_is_path(self):
+        lc = set(self.left.columns)
+        return "path" in lc and not ({"rings", "vertices"} & lc)
+
+    @property
     def columns(self):
+        if self._left_is_path:
+            cols = set(self.left.columns) | {"piece"}
+            if self.args[3] == "intersection":
+                cols |= set(self.args[4])
+            return cols
         cols = set(self.left.columns) | {"rings"}
         if self.args[3] == "intersection":
             cols |= set(self.args[4])
@@ -157,6 +199,31 @@ class Overlay(GeometryBlock):
         pairs = SpatialJoin._candidate_pairs(
             L, R, cs, rcols, keep_geoms=True)
         idc = self.left.index_column
+        if self._left_is_path:
+            # polyline left layer: clip / erase through the open-chain
+            # kernel; each surviving maximal sub-chain becomes one row
+            # ('piece', 'path') — zero-length touches vanish
+            if how == "intersection":
+                out = map_rings_binary(
+                    kernel_parallelism(pairs, ctx.spark), "_lr",
+                    "_rr", _pair_clip_path)
+                keep = [c for c in out.columns
+                        if c not in ("_lr", "_rr", "path")]
+                return out.select(
+                    *keep, F.posexplode("_lr").alias("piece", "path")
+                ).withColumn("piece", F.col("piece").cast("bigint"))
+            grouped = (pairs.groupBy(idc)
+                       .agg(F.expr("array_sort(collect_list(_rr))")
+                            .alias("_others")))
+            df = L.join(grouped, idc, "left")
+            df = kernel_parallelism(
+                df.withColumn("_g", F.col("path")), ctx.spark)
+            df = map_rings_binary(df, "_g", "_others", _erase_path)
+            keep = [c for c in df.columns
+                    if c not in ("_g", "_others", "path")]
+            return df.select(
+                *keep, F.posexplode("_g").alias("piece", "path")
+            ).withColumn("piece", F.col("piece").cast("bigint"))
         if how == "intersection":
             out = map_rings_binary(
                 kernel_parallelism(pairs, ctx.spark), "_lr", "_rr",

@@ -312,6 +312,129 @@ def polygon_symmetric_difference(a, b):
     return polygon_boolean([a, b], lambda f: f[0] != f[1])
 
 
+def _on_any_ring(x, y, polys, eps):
+    """True when (x, y) lies within ``eps`` of any ring edge."""
+    for poly in polys:
+        for ring in poly or ():
+            n = len(ring)
+            for i in range(n):
+                ax, ay = ring[i][0], ring[i][1]
+                bx, by = ring[(i + 1) % n][0], ring[(i + 1) % n][1]
+                dx, dy = bx - ax, by - ay
+                L2 = dx * dx + dy * dy
+                if L2 <= eps * eps:
+                    t = 0.0
+                else:
+                    t = ((x - ax) * dx + (y - ay) * dy) / L2
+                    t = 0.0 if t < 0.0 else (1.0 if t > 1.0 else t)
+                px, py = ax + t * dx, ay + t * dy
+                if math.hypot(x - px, y - py) <= eps:
+                    return True
+    return False
+
+
+def _seg_split_params(a, b, polys, q):
+    """Sorted params t in [0, 1] where segment a->b crosses or touches
+    any ring edge of ``polys`` (collinear overlaps contribute both
+    projected endpoints)."""
+    ax, ay = a
+    bx, by = b
+    dx, dy = bx - ax, by - ay
+    L2 = dx * dx + dy * dy
+    ts = {0.0, 1.0}
+
+    def clamp(t):
+        return 0.0 if t < 0.0 else (1.0 if t > 1.0 else t)
+
+    for poly in polys:
+        for ring in poly or ():
+            n = len(ring)
+            for i in range(n):
+                cx, cy = ring[i][0], ring[i][1]
+                ex, ey = ring[(i + 1) % n][0], ring[(i + 1) % n][1]
+                rx, ry = ex - cx, ey - cy
+                denom = dx * ry - dy * rx
+                cross_ca = (cx - ax) * dy - (cy - ay) * dx
+                if abs(denom) > q:
+                    # a + t*(b-a) = c + u*(e-c):
+                    # t = (c-a)x(e-c)/denom, u = (c-a)x(b-a)/denom
+                    t = ((cx - ax) * ry - (cy - ay) * rx) / denom
+                    u = cross_ca / denom
+                    if -1e-12 <= u <= 1 + 1e-12 and 0.0 < t < 1.0:
+                        ts.add(clamp(t))
+                elif abs(cross_ca) <= q * max(1.0, math.sqrt(L2)):
+                    # collinear: project the edge's endpoints
+                    if L2 > 0:
+                        for px, py in ((cx, cy), (ex, ey)):
+                            t = ((px - ax) * dx + (py - ay) * dy) / L2
+                            if 0.0 < t < 1.0:
+                                ts.add(t)
+    return sorted(ts)
+
+
+def path_boolean(path, polys, keep_inside):
+    """Clip (``keep_inside=True``) or erase (``False``) an OPEN
+    polyline against the region covered by ANY of ``polys`` (each a
+    flat even-odd ring list).  The closed region includes its
+    boundary, so boundary-riding pieces clip IN and erase OUT
+    (shapely's ``line.intersection/difference(polygon)`` convention).
+    Returns the list of maximal surviving sub-chains (each an open
+    vertex chain, >= 2 points); zero-length touch pieces drop."""
+    if not path or len(path) < 2:
+        return []
+    polys = [p for p in (polys or []) if p]
+    if not polys:
+        return [] if keep_inside else [
+            [[float(p[0]), float(p[1])] for p in path]]
+    pts = [(float(p[0]), float(p[1])) for p in path]
+    ext = max(
+        [abs(c) for p in pts for c in p]
+        + [abs(c) for poly in polys for r in poly for pt in r
+           for c in pt] + [1.0])
+    q = ext * 1e-12
+    eps = ext * 1e-9
+    chains = []
+    cur = None
+    for a, b in zip(pts, pts[1:]):
+        if math.hypot(b[0] - a[0], b[1] - a[1]) <= q:
+            continue
+        ts = _seg_split_params(a, b, polys, q)
+        for t0, t1 in zip(ts, ts[1:]):
+            if t1 - t0 <= 1e-12:
+                continue
+            tm = (t0 + t1) / 2.0
+            mx = a[0] + tm * (b[0] - a[0])
+            my = a[1] + tm * (b[1] - a[1])
+            covered = (any(_point_in_poly(mx, my, p) for p in polys)
+                       or _on_any_ring(mx, my, polys, eps))
+            if covered == keep_inside:
+                p0 = (a[0] + t0 * (b[0] - a[0]),
+                      a[1] + t0 * (b[1] - a[1]))
+                p1 = (a[0] + t1 * (b[0] - a[0]),
+                      a[1] + t1 * (b[1] - a[1]))
+                if cur is not None and \
+                        math.hypot(cur[-1][0] - p0[0],
+                                   cur[-1][1] - p0[1]) <= q:
+                    cur.append(p1)
+                else:
+                    if cur is not None:
+                        chains.append(cur)
+                    cur = [p0, p1]
+            else:
+                if cur is not None:
+                    chains.append(cur)
+                    cur = None
+    if cur is not None:
+        chains.append(cur)
+    out = []
+    for ch in chains:
+        if sum(math.hypot(ch[i + 1][0] - ch[i][0],
+                          ch[i + 1][1] - ch[i][1])
+               for i in range(len(ch) - 1)) > eps:
+            out.append([[float(x), float(y)] for x, y in ch])
+    return out
+
+
 def polygon_union_all(polys):
     """N-way exact union (the Dissolve ``union='exact'`` kernel)."""
     polys = [p for p in (polys or []) if p]

@@ -383,3 +383,71 @@ def test_overlay_union_and_symdiff(spark):
     got = {r["oid"]: r["area"] for r in idt.plan(spark).withColumn(
         "area", F.round(rings_area_expr("rings"), 6)).collect()}
     assert got == {"B:1:7": 1.0, "L:1": 3.0, "L:2": 4.0}
+
+
+def test_path_boolean_kernel():
+    """Open-chain clip/erase kernel: crossings split at exact
+    parameters, boundary-riding pieces clip IN and erase OUT,
+    corner touches vanish, holes erase their span, chains stitch
+    across segment boundaries."""
+    from dask_geomodeling_spark.geometry.polyclip import path_boolean
+    sq = [[[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]]]
+    sq2 = [[[6.0, 0.0], [8.0, 0.0], [8.0, 4.0], [6.0, 4.0]]]
+    assert path_boolean([[-2.0, 2.0], [6.0, 2.0]], [sq], True) == \
+        [[[0.0, 2.0], [4.0, 2.0]]]
+    assert path_boolean([[-2.0, 2.0], [6.0, 2.0]], [sq], False) == \
+        [[[-2.0, 2.0], [0.0, 2.0]], [[4.0, 2.0], [6.0, 2.0]]]
+    # boundary-riding piece is IN the closed region
+    assert path_boolean([[0.0, -1.0], [0.0, 2.0]], [sq], True) == \
+        [[[0.0, 0.0], [0.0, 2.0]]]
+    # corner point touch: no zero-length piece
+    assert path_boolean([[-1.0, -1.0], [0.0, 0.0]], [sq], True) == []
+    # n-ary erase against two squares
+    assert path_boolean([[-1.0, 2.0], [9.0, 2.0]], [sq, sq2],
+                        False) == [
+        [[-1.0, 2.0], [0.0, 2.0]], [[4.0, 2.0], [6.0, 2.0]],
+        [[8.0, 2.0], [9.0, 2.0]]]
+    # stitching: enter, bend twice inside, exit -> ONE chain
+    assert path_boolean(
+        [[-1.0, 1.0], [2.0, 1.0], [2.0, 3.0], [5.0, 3.0]],
+        [sq], True) == [
+        [[0.0, 1.0], [2.0, 1.0], [2.0, 3.0], [4.0, 3.0]]]
+    # hole: the inner ring's span erases under clip
+    hole = [[[0.0, 0.0], [8.0, 0.0], [8.0, 8.0], [0.0, 8.0]],
+            [[3.0, 3.0], [5.0, 3.0], [5.0, 5.0], [3.0, 5.0]]]
+    assert path_boolean([[-1.0, 4.0], [9.0, 4.0]], [hole], True) == \
+        [[[0.0, 4.0], [3.0, 4.0]], [[5.0, 4.0], [8.0, 4.0]]]
+
+
+def test_overlay_path_clip_and_erase(spark):
+    """Overlay over a polyline left layer: per-pair clip pieces and
+    n-ary erase pieces with passthrough for untouched lines."""
+    from dask_geomodeling_spark.geometry.overlay import Overlay
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    L = spark.createDataFrame(
+        [(1, [[-2.0, 2.0], [6.0, 2.0]]),
+         (2, [[10.0, 10.0], [12.0, 10.0]])],
+        "lid bigint, path array<array<double>>")
+    R = spark.createDataFrame(
+        [(7, [[[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]]])],
+        "rid bigint, rings array<array<array<double>>>")
+    clip = Overlay(DataFrameSource(L, index_column="lid"),
+                   DataFrameSource(R, index_column="rid"),
+                   cell_size=4.0, how="intersection")
+    rows = clip.plan(spark).collect()
+    assert [(r["lid"], r["rid"], r["piece"], r["path"])
+            for r in rows] == [(1, 7, 0, [[0.0, 2.0], [4.0, 2.0]])]
+    erase = Overlay(DataFrameSource(L, index_column="lid"),
+                    DataFrameSource(R, index_column="rid"),
+                    cell_size=4.0, how="difference")
+    got = {(r["lid"], r["piece"]): r["path"]
+           for r in erase.plan(spark).collect()}
+    assert got == {
+        (1, 0): [[-2.0, 2.0], [0.0, 2.0]],
+        (1, 1): [[4.0, 2.0], [6.0, 2.0]],
+        (2, 0): [[10.0, 10.0], [12.0, 10.0]]}
+    import pytest
+    with pytest.raises(ValueError):
+        Overlay(DataFrameSource(L, index_column="lid"),
+                DataFrameSource(R, index_column="rid"),
+                cell_size=4.0, how="union")
