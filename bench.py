@@ -73,7 +73,8 @@ def main():
                   "linestring_buffer", "spatial_join_lines",
                   "overlay_union", "overlay_symdiff", "overlay_identity",
                   "ccnet_buckets", "ccnet_buckets_lang",
-                  "overlay_clip_lines", "overlay_erase_lines"):
+                  "overlay_clip_lines", "overlay_erase_lines",
+                  "rasterize_lines"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

@@ -4511,6 +4511,47 @@ def rasterize_multipolygon(spark, sf_dir):
     return RasterizeWKT(wkt).plan(spark)
 
 
+@demo("rasterize_lines", oracle="""
+WITH a AS (
+  SELECT DISTINCT CAST(c_custkey % 1000 AS BIGINT) AS k
+  FROM customer),
+c AS (
+  SELECT CASE WHEN k % 2 = 0 THEN (k // 25)
+              ELSE (k // 25) + i END AS y,
+         CASE WHEN k % 2 = 0 THEN (k % 25) * 2 + i
+              ELSE (k % 25) * 2 END AS x
+  FROM a, LATERAL (SELECT unnest(range(0, 4)) AS i) t)
+SELECT CAST('1970-01-01' AS TIMESTAMP) AS time, y, x,
+       CAST(1.0 AS DOUBLE) AS value
+FROM (SELECT DISTINCT y, x FROM c)
+""")
+def rasterize_lines(spark, sf_dir):
+    """Rasterize over a POLYLINE layer (round 8 — gdal_rasterize
+    all_touched for lines): each segment splits at its integer
+    gridline-crossing parameters and every positive-length piece
+    burns its midpoint's cell (EXACT supercover, pure sequence/
+    transform column math — no kernel stage, no shuffle before the
+    final cell dedup).  Axis-aligned lines of length 3 starting at
+    quarter-offsets burn exactly 4 cells each, closed-form; endpoint
+    gridline touches burn nothing."""
+    from dask_geomodeling_spark.raster.misc import Rasterize
+    customer = ensure_min_partitions(
+        read_nanos_parquet(spark, _pq(sf_dir, "customer")), spark)
+    left = (customer.select(
+        F.expr("CAST(c_custkey % 1000 AS BIGINT)").alias("k"))
+        .distinct()
+        .withColumn("ax", F.expr("CAST((k % 25) * 2 AS DOUBLE)"))
+        .withColumn("ay", F.expr("CAST(k DIV 25 AS DOUBLE)"))
+        .select("k", F.expr(
+            "CASE WHEN k % 2 = 0 THEN "
+            "array(array(ax + 0.25D, ay + 0.5D), "
+            "array(ax + 3.25D, ay + 0.5D)) "
+            "ELSE array(array(ax + 0.5D, ay + 0.25D), "
+            "array(ax + 0.5D, ay + 3.25D)) END").alias("path")))
+    return Rasterize(
+        DataFrameSource(left, index_column="k")).plan(spark)
+
+
 @demo("aggregate_raster_holes", oracle="""
 WITH grid AS ({grid}),
 e(ax, ay, bx, by) AS (VALUES
@@ -8968,6 +9009,7 @@ GATE_ANCHORS = [
     "overlay_union", "overlay_symdiff", "overlay_identity",
     "ccnet_buckets", "ccnet_buckets_lang",
     "overlay_clip_lines", "overlay_erase_lines",
+    "rasterize_lines",
 ]
 
 

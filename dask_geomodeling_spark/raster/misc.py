@@ -241,6 +241,54 @@ class Rasterize(RasterBlock):
                     inside = point_in_polygon_expr(cx, cy)
                     cells = (cells.filter(F.col("vertices").isNull()
                                           | inside).drop(*keep))
+        elif "path" in cols:
+            # polyline burn (gdal_rasterize all_touched): EXACT
+            # supercover — each segment splits at its integer-gridline
+            # crossing params, each positive-length piece burns the
+            # cell holding its midpoint (corner/point touches burn
+            # nothing).  Pure column math: sequence/transform HOFs,
+            # map-side with the features, no kernel stage.
+            def crossings(axis):
+                a, b = ("_s.ax", "_s.bx") if axis == "x" \
+                    else ("_s.ay", "_s.by")
+                return (
+                    "CASE WHEN {b} = {a} OR "
+                    "floor(greatest({a}, {b})) < ceil(least({a}, {b}))"
+                    " THEN array() "
+                    "ELSE transform(sequence("
+                    "CAST(ceil(least({a}, {b})) AS BIGINT), "
+                    "CAST(floor(greatest({a}, {b})) AS BIGINT)), "
+                    "k -> (CAST(k AS DOUBLE) - {a}) / ({b} - {a})) "
+                    "END").format(a=a, b=b)
+            segs = df.select(
+                value.alias("value"),
+                F.explode(F.expr(
+                    "filter(transform(sequence(1, size(path) - 1), "
+                    "i -> struct(path[i-1][0] AS ax, "
+                    "path[i-1][1] AS ay, path[i][0] AS bx, "
+                    "path[i][1] AS by)), "
+                    "s -> s.ax != s.bx OR s.ay != s.by)"))
+                .alias("_s"))
+            segs = segs.withColumn("_ts", F.expr(
+                "array_sort(concat("
+                "array(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)), "
+                "{x}, {y}))".format(x=crossings("x"),
+                                    y=crossings("y"))))
+            cells = segs.select(
+                "value",
+                F.explode(F.expr(
+                    "transform(filter(transform("
+                    "sequence(1, size(_ts) - 1), "
+                    "i -> struct(_ts[i-1] AS t0, _ts[i] AS t1)), "
+                    "p -> p.t1 - p.t0 > 1e-12), "
+                    "p -> struct("
+                    "CAST(floor(_s.ay + (p.t0 + p.t1) / 2 "
+                    "* (_s.by - _s.ay)) AS BIGINT) AS y, "
+                    "CAST(floor(_s.ax + (p.t0 + p.t1) / 2 "
+                    "* (_s.bx - _s.ax)) AS BIGINT) AS x))"))
+                .alias("_c")
+            ).select("value", F.col("_c.y").alias("y"),
+                     F.col("_c.x").alias("x"))
         elif {"x", "y"} <= cols:
             cells = df.select(value.alias("value"),
                               F.floor("y").alias("y"),

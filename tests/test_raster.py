@@ -641,3 +641,22 @@ def test_raster_polygonize_frame_and_rect(spark):
         rings_signed_area)
     per = sorted(rings_signed_area([r]) for r in a[2.0]["rings"])
     assert per[0] == -9.0 and per[1] == 25.0
+
+
+def test_rasterize_polyline_supercover(spark):
+    """Polyline Rasterize (round 8): exact supercover — diagonal
+    staircase, endpoint-gridline touches burn nothing, a corner-exact
+    diagonal burns only the diagonal cells."""
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.raster.misc import Rasterize
+    df = spark.createDataFrame(
+        [(1, [[0.5, 0.5], [3.5, 2.5]]),
+         (2, [[5.0, 5.2], [8.0, 5.2]]),
+         (3, [[20.0, 20.0], [22.0, 22.0]])],
+        "fid bigint, path array<array<double>>")
+    out = sorted((r["y"], r["x"]) for r in Rasterize(
+        DataFrameSource(df, index_column="fid")).plan(spark).collect())
+    assert out == [(0, 0), (0, 1), (1, 1), (1, 2), (2, 2), (2, 3),
+                   (5, 5), (5, 6), (5, 7), (20, 20), (21, 21)]
