@@ -30,6 +30,11 @@ class GeometryFileSink(BaseSingle):
         geometry from ``x``/``y`` or Polygon from the bbox columns).
       fields: optional ``{output_name: source_column}`` mapping.
       partition_by: optional list of columns for a partitioned layout.
+      max_records_per_file: optional cap on rows per output file
+        (Spark's ``maxRecordsPerFile``) — the small-files/huge-files
+        control at cluster scale: a 100 TB write keeps every file a
+        bounded, splittable size regardless of upstream partitioning,
+        without forcing an extra repartition shuffle.
 
     ``wkb`` writes GeoParquet-style parquet: the typed geometry
     columns encode into one little-endian WKB ``geometry`` binary
@@ -40,13 +45,18 @@ class GeometryFileSink(BaseSingle):
     supported_extensions = ("parquet", "csv", "json", "geojson", "wkb")
 
     def __init__(self, source, url, extension="parquet", fields=None,
-                 partition_by=None):
+                 partition_by=None, max_records_per_file=None):
         if extension not in self.supported_extensions:
             raise ValueError("Format '{}' is unsupported".format(extension))
         if fields is not None and not isinstance(fields, dict):
             raise TypeError("'{}' object is not allowed".format(type(fields)))
+        if max_records_per_file is not None \
+                and int(max_records_per_file) < 1:
+            raise ValueError("max_records_per_file must be >= 1")
         super().__init__(source, url, extension, fields,
-                         list(partition_by or []))
+                         list(partition_by or []),
+                         None if max_records_per_file is None
+                         else int(max_records_per_file))
 
     def _build(self, ctx):
         df = self.source._build(ctx)
@@ -159,11 +169,16 @@ class GeometryFileSink(BaseSingle):
             encoded = encode_wkb_frame(df, column="geometry")
             keep = [c for c in encoded.columns if c not in _GEOM_FIELDS]
             writer = encoded.select(*keep).write.mode(mode)
+            if len(self.args) > 5 and self.args[5]:
+                writer = writer.option("maxRecordsPerFile",
+                                       self.args[5])
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(url)
             return url
         writer = df.write.mode(mode)
+        if len(self.args) > 5 and self.args[5]:
+            writer = writer.option("maxRecordsPerFile", self.args[5])
         if extension == "csv":
             # headers make the files self-describing and are what the
             # csv read side (FileGeometrySource) expects to skip

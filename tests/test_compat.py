@@ -185,3 +185,24 @@ def test_compat_json_sniffs_featurecollection_vs_jsonlines(spark,
              "properties": {"id": 1, "name": "a"}}]}))
     rows = compat.GeometryFileSource(str(fc)).plan(spark).collect()
     assert len(rows) == 1 and rows[0]["x"] == 1.0 and rows[0]["y"] == 2.0
+
+
+def test_sink_max_records_per_file(spark, tmp_path):
+    """GeometryFileSink(max_records_per_file=N): the write splits
+    into bounded files even from one upstream partition (the
+    small-files/huge-files control), and reads back whole."""
+    import glob
+
+    from dask_geomodeling_spark.core.blocks import Block
+    from dask_geomodeling_spark.geometry.sinks import GeometryFileSink
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    df = spark.range(1000).selectExpr(
+        "id as fid", "CAST(id AS DOUBLE) as x", "CAST(id AS DOUBLE) as y")
+    url = str(tmp_path / "mrpf")
+    sink = GeometryFileSink(
+        DataFrameSource(df.coalesce(1), index_column="fid"), url,
+        max_records_per_file=100)
+    sink.write(spark)
+    assert len(glob.glob(url + "/*.parquet")) >= 10
+    assert spark.read.parquet(url).count() == 1000
+    assert Block.from_json(sink.to_json()).args[5] == 100
