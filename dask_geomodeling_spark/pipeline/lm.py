@@ -253,6 +253,8 @@ class CCNetBuckets(BaseSingle):
         return cols
 
     def _build(self, ctx):
+        from pyspark import StorageLevel
+
         from dask_geomodeling_spark.functions.ranking import (
             distributed_group_ntile, distributed_ntile)
         _, id_column, labels, by = self.args
@@ -261,6 +263,10 @@ class CCNetBuckets(BaseSingle):
             cats = (self.source.source._build(ctx)
                     .select(id_column, by))
             scored = scored.join(cats, id_column)
+        # the scored frame feeds BOTH the ntile branch and the
+        # NULL-perplexity passthrough — persist it so the KN scoring
+        # joins run once (the DSIR/KN persist pattern)
+        scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
         nonnull = scored.where(F.col("perplexity").isNotNull())
         nulls = (scored.where(F.col("perplexity").isNull())
                  .withColumn("bucket", F.lit(None).cast("string")))
