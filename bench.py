@@ -74,7 +74,8 @@ def main():
                   "overlay_union", "overlay_symdiff", "overlay_identity",
                   "ccnet_buckets", "ccnet_buckets_lang",
                   "overlay_clip_lines", "overlay_erase_lines",
-                  "rasterize_lines"):
+                  "rasterize_lines", "min_bounding_circle",
+                  "oriented_envelope"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

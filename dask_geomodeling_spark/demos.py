@@ -3924,6 +3924,91 @@ def overlay_erase_lines(spark, sf_dir):
             .select("lid", "piece", "len"))
 
 
+@demo("min_bounding_circle", oracle="""
+WITH t AS (
+  SELECT s_suppkey,
+         CAST(s_suppkey % 40 AS DOUBLE) AS ax,
+         CAST((s_suppkey * 3) % 40 AS DOUBLE) AS ay,
+         CAST(6 + s_suppkey % 3 AS DOUBLE) AS w,
+         CAST(6 + (s_suppkey * 5) % 3 AS DOUBLE) AS h
+  FROM supplier)
+SELECT s_suppkey,
+       ROUND(ax + w / 2, 6) AS center_x,
+       ROUND(ay + h / 2, 6) AS center_y,
+       ROUND(sqrt(w * w + h * h) / 2, 6) AS radius
+FROM t
+""")
+def min_bounding_circle(spark, sf_dir):
+    """MinimumBoundingCircle (round 8 — geopandas
+    minimum_bounding_circle): exact Welzl over each feature's
+    vertices in the Arrow-batched map contract.  For a WxH rectangle
+    the MEC is the diametral circle of the diagonal — center and
+    radius closed-form."""
+    from dask_geomodeling_spark.geometry.constructive import (
+        MinimumBoundingCircle)
+    supplier = ensure_min_partitions(
+        read_nanos_parquet(spark, _pq(sf_dir, "supplier")), spark)
+    src = (supplier.select(
+        "s_suppkey",
+        F.expr("CAST(s_suppkey % 40 AS DOUBLE)").alias("ax"),
+        F.expr("CAST((s_suppkey * 3) % 40 AS DOUBLE)").alias("ay"),
+        F.expr("CAST(6 + s_suppkey % 3 AS DOUBLE)").alias("w"),
+        F.expr("CAST(6 + (s_suppkey * 5) % 3 AS DOUBLE)").alias("h"))
+        .select("s_suppkey", F.expr(
+            "array(array(array(ax, ay), array(ax + w, ay), "
+            "array(ax + w, ay + h), array(ax, ay + h)))")
+            .alias("rings")))
+    mbc = MinimumBoundingCircle(
+        DataFrameSource(src, index_column="s_suppkey"))
+    return (mbc.plan(spark).select(
+        "s_suppkey",
+        F.round("center_x", 6).alias("center_x"),
+        F.round("center_y", 6).alias("center_y"),
+        F.round("radius", 6).alias("radius")))
+
+
+@demo("oriented_envelope", oracle="""
+WITH t AS (
+  SELECT s_suppkey,
+         CAST(s_suppkey % 40 AS DOUBLE) AS cx,
+         CAST((s_suppkey * 3) % 40 AS DOUBLE) AS cy,
+         CAST(2 + s_suppkey % 3 AS DOUBLE) AS a,
+         CAST(1 + (s_suppkey * 2) % 4 AS DOUBLE) AS b
+  FROM supplier)
+SELECT s_suppkey,
+       ROUND(4 * a * b * GREATEST(a * a, b * b) / (a * a + b * b), 6)
+           AS area
+FROM t
+""")
+def oriented_envelope(spark, sf_dir):
+    """OrientedEnvelope (round 8 — shapely oriented_envelope /
+    minimum_rotated_rectangle): rotating calipers over the
+    monotone-chain hull.  For a rhombus with half-diagonals (a, b)
+    the edge-flush minimum rectangle has the closed-form area
+    4ab*max(a^2,b^2)/(a^2+b^2) — strictly smaller than the
+    axis-aligned bbox's 4ab whenever a != b."""
+    from dask_geomodeling_spark.geometry.constructive import (
+        OrientedEnvelope)
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        rings_area_expr)
+    supplier = ensure_min_partitions(
+        read_nanos_parquet(spark, _pq(sf_dir, "supplier")), spark)
+    src = (supplier.select(
+        "s_suppkey",
+        F.expr("CAST(s_suppkey % 40 AS DOUBLE)").alias("cx"),
+        F.expr("CAST((s_suppkey * 3) % 40 AS DOUBLE)").alias("cy"),
+        F.expr("CAST(2 + s_suppkey % 3 AS DOUBLE)").alias("a"),
+        F.expr("CAST(1 + (s_suppkey * 2) % 4 AS DOUBLE)").alias("b"))
+        .select("s_suppkey", F.expr(
+            "array(array(array(cx + a, cy), array(cx, cy + b), "
+            "array(cx - a, cy), array(cx, cy - b)))").alias("rings")))
+    env = OrientedEnvelope(
+        DataFrameSource(src, index_column="s_suppkey"))
+    return (env.plan(spark)
+            .withColumn("area", F.round(rings_area_expr("rings"), 6))
+            .select("s_suppkey", "area"))
+
+
 @demo("buffer_exact_polygon", oracle="""
 WITH t AS (
   SELECT s_suppkey,
@@ -9009,7 +9094,7 @@ GATE_ANCHORS = [
     "overlay_union", "overlay_symdiff", "overlay_identity",
     "ccnet_buckets", "ccnet_buckets_lang",
     "overlay_clip_lines", "overlay_erase_lines",
-    "rasterize_lines",
+    "rasterize_lines", "min_bounding_circle", "oriented_envelope",
 ]
 
 

@@ -570,3 +570,160 @@ class ConvexHull(BaseSingle):
     @property
     def columns(self):
         return set(self.source.columns)
+
+
+def _welzl_circle(rings):
+    """Exact minimum enclosing circle over the vertices of a ring set
+    — Welzl's move-to-front algorithm (public textbook form; the MEC
+    is unique, so the internal shuffle cannot change the result).
+    Returns ``[cx, cy, r]`` or None for empty input."""
+    import math
+    import random as _random
+    pts = list(dict.fromkeys(
+        (float(p[0]), float(p[1]))
+        for ring in (rings or ()) for p in ring))
+    if not pts:
+        return None
+    _random.Random(0).shuffle(pts)
+    scale = max(max(abs(x), abs(y)) for x, y in pts) or 1.0
+    eps = scale * 1e-9
+
+    def circ2(a, b):
+        cx, cy = (a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0
+        return (cx, cy, math.hypot(a[0] - cx, a[1] - cy))
+
+    def circ3(a, b, c):
+        ax, ay = a
+        bx, by = b
+        cx, cy = c
+        d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+        if abs(d) < 1e-30:
+            return None
+        a2, b2, c2 = (ax * ax + ay * ay, bx * bx + by * by,
+                      cx * cx + cy * cy)
+        ux = (a2 * (by - cy) + b2 * (cy - ay) + c2 * (ay - by)) / d
+        uy = (a2 * (cx - bx) + b2 * (ax - cx) + c2 * (bx - ax)) / d
+        return (ux, uy, math.hypot(ax - ux, ay - uy))
+
+    def inside(c, p):
+        return (c is not None
+                and math.hypot(p[0] - c[0], p[1] - c[1]) <= c[2] + eps)
+
+    c = None
+    for i, p in enumerate(pts):
+        if inside(c, p):
+            continue
+        c = (p[0], p[1], 0.0)
+        for j in range(i):
+            q = pts[j]
+            if inside(c, q):
+                continue
+            c = circ2(p, q)
+            for k in range(j):
+                if inside(c, pts[k]):
+                    continue
+                c = circ3(p, q, pts[k]) or c
+    return [float(c[0]), float(c[1]), float(c[2])]
+
+
+def _oriented_envelope_kernel(rings):
+    """Minimum-area rotated enclosing rectangle via rotating calipers
+    over the convex hull (shapely ``oriented_envelope`` semantics):
+    the optimal rectangle is flush with a hull edge; returns the CCW
+    4-vertex rectangle ring, or None for degenerate (< 3 distinct
+    non-collinear vertices) input."""
+    import math
+    hull = _convex_hull_kernel(rings)
+    if hull is None:
+        return None
+    h = hull[0]
+    n = len(h)
+    best = None
+    for i in range(n):
+        ax, ay = h[i]
+        bx, by = h[(i + 1) % n]
+        ex, ey = bx - ax, by - ay
+        ln = math.hypot(ex, ey)
+        if ln == 0.0:
+            continue
+        ux, uy = ex / ln, ey / ln
+        nx, ny = -uy, ux
+        us = [(p[0] - ax) * ux + (p[1] - ay) * uy for p in h]
+        ns = [(p[0] - ax) * nx + (p[1] - ay) * ny for p in h]
+        u0, u1 = min(us), max(us)
+        n0, n1 = min(ns), max(ns)
+        area = (u1 - u0) * (n1 - n0)
+        if best is None or area < best[0] - 1e-12 * max(best[0], 1.0):
+            best = (area, ax, ay, ux, uy, nx, ny, u0, u1, n0, n1)
+    if best is None:
+        return None
+    _, ax, ay, ux, uy, nx, ny, u0, u1, n0, n1 = best
+    corners = [(u0, n0), (u1, n0), (u1, n1), (u0, n1)]
+    return [[[ax + u * ux + v * nx, ay + u * uy + v * ny]
+             for u, v in corners]]
+
+
+class MinimumBoundingCircle(BaseSingle):
+    """Per-feature minimum enclosing circle (geopandas
+    ``minimum_bounding_circle``; shapely under the reference's GEOS
+    toolbox, constructive.py:13) — exact Welzl over the feature's
+    vertices in the Arrow-batched map contract.  Adds ``center_x``,
+    ``center_y``, ``radius`` columns; box-only rows evaluate on their
+    synthesized boundary ring; point rows get a zero-radius circle in
+    pure SQL (no kernel row)."""
+
+    def _build(self, ctx):
+        from dask_geomodeling_spark.config import ensure_min_partitions
+        from dask_geomodeling_spark.geometry.polyclip import _map_rings
+        from dask_geomodeling_spark.geometry.spatial_join import (
+            SpatialJoin)
+        df = self.source._build(ctx)
+        cols = set(df.columns)
+        if not ({"rings", "vertices"} & cols
+                or {"xmin", "ymin", "xmax", "ymax"} <= cols):
+            if {"x", "y"} <= cols:
+                return df.withColumns({
+                    "center_x": F.col("x"), "center_y": F.col("y"),
+                    "radius": F.lit(0.0)})
+            raise ValueError(
+                "MinimumBoundingCircle needs geometry columns")
+        gr = SpatialJoin._ring_expr(cols, "_g0")
+        df = ensure_min_partitions(df, ctx.spark).withColumn("_g", gr)
+        df = _map_rings(df, ["_g"], _welzl_circle, "_g",
+                        "array<double>")
+        return (df.withColumns({
+            "center_x": F.col("_g")[0], "center_y": F.col("_g")[1],
+            "radius": F.col("_g")[2]}).drop("_g"))
+
+    @property
+    def columns(self):
+        return (set(self.source.columns)
+                | {"center_x", "center_y", "radius"})
+
+
+class OrientedEnvelope(BaseSingle):
+    """Per-feature minimum rotated rectangle (geopandas
+    ``minimum_rotated_rectangle`` / shapely ``oriented_envelope``) —
+    rotating calipers over the monotone-chain hull, Arrow-batched.
+    Replaces ``rings`` with the CCW 4-vertex rectangle (degenerate
+    features NULL)."""
+
+    def _build(self, ctx):
+        from dask_geomodeling_spark.config import ensure_min_partitions
+        from dask_geomodeling_spark.geometry.polyclip import (
+            map_rings_unary)
+        from dask_geomodeling_spark.geometry.spatial_join import (
+            SpatialJoin)
+        df = self.source._build(ctx)
+        cols = set(df.columns)
+        gr = SpatialJoin._ring_expr(cols, "_g0")
+        df = ensure_min_partitions(df, ctx.spark).withColumn("_g", gr)
+        df = map_rings_unary(df, "_g", _oriented_envelope_kernel)
+        out = {"rings": F.col("_g")} if "rings" in cols else {}
+        if not out:
+            out = {"rings": F.col("_g")}
+        return df.withColumns(out).drop("_g")
+
+    @property
+    def columns(self):
+        return set(self.source.columns) | {"rings"}

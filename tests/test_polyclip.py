@@ -480,3 +480,49 @@ def test_path_boolean_partition_property():
         kept = sum(plen(c) for c in path_boolean(path, polys, True))
         cut = sum(plen(c) for c in path_boolean(path, polys, False))
         assert abs((kept + cut) - total) < 1e-6 * max(total, 1.0)
+
+
+def test_mbc_and_oriented_envelope(spark):
+    """MinimumBoundingCircle (Welzl) and OrientedEnvelope (rotating
+    calipers): rectangle -> diametral circle / itself; rotated
+    diamond -> edge-flush rectangle beating the bbox; obtuse
+    triangle -> diametral 2-point circle; point rows -> r=0."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.geometry.constructive import (
+        MinimumBoundingCircle, OrientedEnvelope,
+        _oriented_envelope_kernel, _welzl_circle)
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        rings_area_expr)
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    assert _welzl_circle([[[0.0, 0.0], [4.0, 0.0], [4.0, 3.0],
+                           [0.0, 3.0]]]) == [2.0, 1.5, 2.5]
+    # obtuse triangle: third vertex inside the diametral circle
+    assert _welzl_circle([[[0.0, 0.0], [2.0, 0.0], [1.0, 0.5]]]) == \
+        [1.0, 0.0, 1.0]
+    env = _oriented_envelope_kernel(
+        [[[3.0, 0.0], [0.0, 2.0], [-3.0, 0.0], [0.0, -2.0]]])
+    area = 0.5 * abs(sum(
+        env[0][i][0] * env[0][(i + 1) % 4][1]
+        - env[0][(i + 1) % 4][0] * env[0][i][1] for i in range(4)))
+    assert abs(area - 4 * 3 * 2 * 9 / 13) < 1e-9  # < bbox's 24
+    df = spark.createDataFrame(
+        [(1, [[[0.0, 0.0], [4.0, 0.0], [4.0, 3.0], [0.0, 3.0]]])],
+        "fid bigint, rings array<array<array<double>>>")
+    r = MinimumBoundingCircle(
+        DataFrameSource(df, index_column="fid")).plan(spark).first()
+    assert (r["center_x"], r["center_y"], r["radius"]) == \
+        (2.0, 1.5, 2.5)
+    e = (OrientedEnvelope(DataFrameSource(df, index_column="fid"))
+         .plan(spark)
+         .withColumn("area", F.round(rings_area_expr("rings"), 6))
+         .first())
+    assert e["area"] == 12.0
+    pts = spark.createDataFrame([(1, 3.0, 4.0)],
+                                "fid bigint, x double, y double")
+    p = MinimumBoundingCircle(
+        DataFrameSource(pts, index_column="fid")).plan(spark).first()
+    assert (p["center_x"], p["center_y"], p["radius"]) == \
+        (3.0, 4.0, 0.0)
