@@ -75,7 +75,7 @@ def main():
                   "ccnet_buckets", "ccnet_buckets_lang",
                   "overlay_clip_lines", "overlay_erase_lines",
                   "rasterize_lines", "min_bounding_circle",
-                  "oriented_envelope"):
+                  "oriented_envelope", "subdivide"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

@@ -4009,6 +4009,59 @@ def oriented_envelope(spark, sf_dir):
             .select("s_suppkey", "area"))
 
 
+@demo("subdivide", oracle="""
+WITH a AS (
+  SELECT DISTINCT CAST(c_custkey % 1000 AS BIGINT) AS lid
+  FROM customer),
+a2 AS (
+  SELECT lid,
+         CAST(lid % 30 AS DOUBLE) AS ax,
+         CAST((lid * 3) % 30 AS DOUBLE) AS ay
+  FROM a),
+cx AS (
+  SELECT lid, ax, ay, i AS cell_x,
+         LEAST(ax + 6, 4 * (i + 1)) - GREATEST(ax, 4 * i) AS w
+  FROM a2, LATERAL (SELECT unnest(range(
+      CAST(floor(ax / 4) AS BIGINT),
+      CAST(floor((ax + 6) / 4) AS BIGINT) + 1)) AS i) t),
+cxy AS (
+  SELECT lid, cell_x, w, j AS cell_y,
+         LEAST(ay + 6, 4 * (j + 1)) - GREATEST(ay, 4 * j) AS h
+  FROM cx, LATERAL (SELECT unnest(range(
+      CAST(floor(ay / 4) AS BIGINT),
+      CAST(floor((ay + 6) / 4) AS BIGINT) + 1)) AS j) t)
+SELECT lid, cell_x, cell_y, ROUND(w * h, 6) AS area
+FROM cxy WHERE w > 0 AND h > 0
+""")
+def subdivide(spark, sf_dir):
+    """Subdivide (round 8 — the PostGIS ST_Subdivide skew-control
+    analogue): each polygon splits into one part per covered grid
+    cell via the four-pass Sutherland–Hodgman clip with the CELL
+    EDGES AS COLUMN EXPRESSIONS — pure sequence/explode column math,
+    no Python kernel, no shuffle.  Side-6 squares over a cell-4 grid
+    make every part's area the closed-form 1-D overlap product;
+    edge-touch slivers (zero area) must NOT appear."""
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        rings_area_expr)
+    from dask_geomodeling_spark.geometry.parallelize import Subdivide
+    customer = ensure_min_partitions(
+        read_nanos_parquet(spark, _pq(sf_dir, "customer")), spark)
+    src = (customer.select(
+        F.expr("CAST(c_custkey % 1000 AS BIGINT)").alias("lid"))
+        .distinct()
+        .withColumn("ax", F.expr("CAST(lid % 30 AS DOUBLE)"))
+        .withColumn("ay", F.expr("CAST((lid * 3) % 30 AS DOUBLE)"))
+        .select("lid", F.expr(
+            "array(array(array(ax, ay), array(ax + 6.0D, ay), "
+            "array(ax + 6.0D, ay + 6.0D), array(ax, ay + 6.0D)))")
+            .alias("rings")))
+    sd = Subdivide(DataFrameSource(src, index_column="lid"),
+                   cell_size=4.0)
+    return (sd.plan(spark)
+            .withColumn("area", F.round(rings_area_expr("rings"), 6))
+            .select("lid", "cell_x", "cell_y", "area"))
+
+
 @demo("buffer_exact_polygon", oracle="""
 WITH t AS (
   SELECT s_suppkey,
@@ -9095,6 +9148,7 @@ GATE_ANCHORS = [
     "ccnet_buckets", "ccnet_buckets_lang",
     "overlay_clip_lines", "overlay_erase_lines",
     "rasterize_lines", "min_bounding_circle", "oriented_envelope",
+    "subdivide",
 ]
 
 

@@ -15,7 +15,8 @@ from pyspark.sql import functions as F
 from dask_geomodeling_spark.geometry.base import GeometryBlock, SeriesBlock
 
 __all__ = ["Area", "Length", "point_in_polygon_expr", "shoelace_expr",
-           "clip_ring_box_expr", "perimeter_expr", "centroid_expr",
+           "clip_ring_box_expr", "clip_rings_box_cols_expr",
+           "perimeter_expr", "centroid_expr",
            "rings_area_expr", "point_in_rings_expr",
            "rings_perimeter_expr", "rings_centroid_expr",
            "clip_rings_box_expr"]
@@ -206,16 +207,20 @@ def _halfplane_clip_sql(ring_sql, axis, bound, keep_ge, var="hp"):
     ~5× per pass across the 4-pass chain."""
     c = 0 if axis == "x" else 1
     cmp_op = ">=" if keep_ge else "<="
-    a_in = "(a[{c}] {op} {b!r})".format(c=c, op=cmp_op, b=bound)
-    b_in = "(b[{c}] {op} {b!r})".format(c=c, op=cmp_op, b=bound)
+    # bound may be a numeric literal OR a SQL snippet (column-driven
+    # clip windows, e.g. Subdivide's exploded grid-cell edges)
+    bs = (repr(float(bound)) if isinstance(bound, (int, float))
+          else "({})".format(bound))
+    a_in = "(a[{c}] {op} {b})".format(c=c, op=cmp_op, b=bs)
+    b_in = "(b[{c}] {op} {b})".format(c=c, op=cmp_op, b=bs)
     # intersection of segment a->b with the clip line axis = bound
-    t = "(({b!r} - a[{c}]) / (b[{c}] - a[{c}]))".format(b=bound, c=c)
+    t = "(({b} - a[{c}]) / (b[{c}] - a[{c}]))".format(b=bs, c=c)
     o = 1 - c
     other = "(a[{o}] + {t} * (b[{o}] - a[{o}]))".format(o=o, t=t)
-    isect = ("array(cast({b!r} as double), {other})".format(
-        b=bound, other=other) if c == 0
-        else "array({other}, cast({b!r} as double))".format(
-        b=bound, other=other))
+    isect = ("array(cast({b} as double), {other})".format(
+        b=bs, other=other) if c == 0
+        else "array({other}, cast({b} as double))".format(
+        b=bs, other=other))
     edge = ("CASE WHEN {ai} AND {bi} THEN array(b) "
             "WHEN {ai} THEN array({i}) "
             "WHEN {bi} THEN array({i}, b) "
@@ -256,6 +261,22 @@ def clip_rings_box_expr(xmin, ymin, xmax, ymax, rings_col="rings"):
     for k, (axis, bound, keep_ge) in enumerate(
             (("x", float(xmin), True), ("x", float(xmax), False),
              ("y", float(ymin), True), ("y", float(ymax), False))):
+        ring = _halfplane_clip_sql(ring, axis, bound, keep_ge,
+                                   var="hp{}".format(k))
+    return F.expr(
+        "filter(transform({c}, r -> {e}), rr -> size(rr) >= 3)"
+        .format(c=rings_col, e=ring))
+
+
+def clip_rings_box_cols_expr(xmin, ymin, xmax, ymax,
+                             rings_col="rings"):
+    """Column-bound variant of :func:`clip_rings_box_expr` — the
+    bounds are SQL snippets (e.g. a subdivision cell's edges) instead
+    of numeric literals; same four-pass exact S-H chain."""
+    ring = "r"
+    for k, (axis, bound, keep_ge) in enumerate(
+            (("x", xmin, True), ("x", xmax, False),
+             ("y", ymin, True), ("y", ymax, False))):
         ring = _halfplane_clip_sql(ring, axis, bound, keep_ge,
                                    var="hp{}".format(k))
     return F.expr(

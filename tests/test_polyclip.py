@@ -526,3 +526,35 @@ def test_mbc_and_oriented_envelope(spark):
         DataFrameSource(pts, index_column="fid")).plan(spark).first()
     assert (p["center_x"], p["center_y"], p["radius"]) == \
         (3.0, 4.0, 0.0)
+
+
+def test_subdivide_grid_parts(spark):
+    """Subdivide: exact per-cell S-H parts (column-bound clip
+    windows), holes honored, zero-area edge-touch slivers dropped,
+    parts sum back to the feature area."""
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        rings_area_expr)
+    from dask_geomodeling_spark.geometry.parallelize import Subdivide
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    df = spark.createDataFrame(
+        [(1, [[[1.0, 1.0], [7.0, 1.0], [7.0, 7.0], [1.0, 7.0]]]),
+         (2, [[[0.0, 0.0], [8.0, 0.0], [8.0, 8.0], [0.0, 8.0]],
+              [[2.0, 2.0], [2.0, 6.0], [6.0, 6.0], [6.0, 2.0]]]),
+         (3, [[[10.0, 0.0], [12.0, 0.0], [12.0, 2.0], [10.0, 2.0]]])],
+        "fid bigint, rings array<array<array<double>>>")
+    out = (Subdivide(DataFrameSource(df, index_column="fid"), 4.0)
+           .plan(spark)
+           .withColumn("area", F.round(rings_area_expr("rings"), 6)))
+    rows = sorted((r["fid"], r["cell_x"], r["cell_y"], r["area"])
+                  for r in out.collect())
+    assert rows == [
+        (1, 0, 0, 9.0), (1, 0, 1, 9.0), (1, 1, 0, 9.0),
+        (1, 1, 1, 9.0),
+        (2, 0, 0, 12.0), (2, 0, 1, 12.0), (2, 1, 0, 12.0),
+        (2, 1, 1, 12.0),
+        (3, 2, 0, 4.0)]
+    # pure column math: no Python map stage in the plan
+    simple = out._jdf.queryExecution().simpleString()
+    assert "InPandas" not in simple and "PythonUDF" not in simple
