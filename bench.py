@@ -75,7 +75,8 @@ def main():
                   "ccnet_buckets", "ccnet_buckets_lang",
                   "overlay_clip_lines", "overlay_erase_lines",
                   "rasterize_lines", "min_bounding_circle",
-                  "oriented_envelope", "subdivide"):
+                  "oriented_envelope", "subdivide",
+                  "streaming_near_dup"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

@@ -1163,6 +1163,55 @@ JOIN sigs y ON y.doc_id = c.id_b
            sigs=sig_cols, preds=band_preds)
 
 
+def _near_dup_oracle(num_perm=8, bands=4, n=2):
+    from dask_geomodeling_spark.pipeline.dedup import _perm_constants
+    perms = _perm_constants(num_perm)
+    sig_cols = ",\n  ".join(
+        "list_min(list_transform(sh, x -> ({a} * x + {b}) % 2147483647)) "
+        "AS s{i}".format(a=a, b=b, i=i) for i, (a, b) in enumerate(perms))
+    rpb = num_perm // bands
+    band_preds = " OR ".join(
+        "(" + " AND ".join(
+            "a.s{j} = b.s{j}".format(j=bb * rpb + r) for r in range(rpb))
+        + ")" for bb in range(bands))
+    return """
+WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents),
+th AS (SELECT doc_id, list_transform(w, t -> {poly}) AS h FROM docs),
+hs AS (SELECT doc_id,
+  list_distinct([
+    list_reduce(list_prepend(CAST(0 AS BIGINT), h[i:i+{nm1}]),
+                (acc, x) -> (acc * 8191 + x) % 2147483647)
+    FOR i IN range(1, greatest(len(h) - {n} + 1, 1) + 1)]) AS sh
+  FROM th),
+sigs AS (SELECT doc_id, sh, {sigs} FROM hs)
+SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS dup_of
+FROM sigs a JOIN sigs b
+  ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 AND ({preds})
+""".format(poly=_DD_POLY.format(col="t", base=257), n=n, nm1=n - 1,
+           sigs=sig_cols, preds=band_preds)
+
+
+@demo("streaming_near_dup", oracle=_near_dup_oracle())
+def streaming_near_dup(spark, sf_dir):
+    """StreamingNearDup in its batch oracle mode (round 8): incoming
+    (odd-id) documents LSH-join the static (even-id) corpus's MinHash
+    band buckets — the stateless stream-static ingest-dedup join;
+    stream==batch set parity is pinned in tests/test_streaming.py."""
+    from dask_geomodeling_spark.streaming.events import StreamingNearDup
+    base = read_nanos_parquet(spark, _pq(sf_dir, "documents"))
+    base = ensure_min_partitions(base, spark)
+    s = DataFrameSource(base.where("doc_id % 2 = 1")
+                        .select("doc_id", "text"),
+                        index_column="doc_id")
+    c = DataFrameSource(base.where("doc_id % 2 = 0")
+                        .select("doc_id", "text"),
+                        index_column="doc_id")
+    return StreamingNearDup(s, c, num_perm=8, bands=4,
+                            shingle_size=2, hash_fn="poly").plan(spark)
+
+
 @demo("minhash_lsh", oracle=_minhash_oracle())
 def minhash_lsh(spark, sf_dir):
     """MinHashLSH near-dup candidates (poly hash → the whole
@@ -9148,7 +9197,7 @@ GATE_ANCHORS = [
     "ccnet_buckets", "ccnet_buckets_lang",
     "overlay_clip_lines", "overlay_erase_lines",
     "rasterize_lines", "min_bounding_circle", "oriented_envelope",
-    "subdivide",
+    "subdivide", "streaming_near_dup",
 ]
 
 

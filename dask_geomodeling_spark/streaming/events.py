@@ -299,3 +299,67 @@ class AsofJoin(Block):
                 F.col("r_ts") >= F.col("l_ts") - F.expr(
                     "INTERVAL {}".format(horizon)))
         return out
+
+
+class StreamingNearDup(Block):
+    """Near-duplicate flagging AT INGEST against a static corpus: the
+    corpus side materializes MinHash band buckets (the MinHashLSH
+    signature pipeline, pipeline/dedup.py — same permutation
+    constants, same band slicing); every incoming document computes
+    its own signature with the IDENTICAL per-row column math (HOF
+    aggregates over shingle hashes — map-side, stateless, streaming-
+    legal) and stream-static inner-joins on the (band, signature
+    slice) bucket key.  The supported Structured Streaming join shape:
+    the static side is re-resolved per microbatch, no stream state at
+    all.
+
+    Output: ``doc_id`` (incoming) + ``dup_of`` (corpus id it
+    collides with).  Batch runs of the same block emit the DISTINCT
+    candidate set; a stream emits one row per colliding band (the
+    raw LSH candidate stream — distinct-ness needs state, which this
+    block deliberately avoids; compare as sets or dedup downstream).
+    """
+
+    def __init__(self, stream, corpus, text_column="text",
+                 id_column="doc_id", num_perm=32, bands=8,
+                 shingle_size=3, hash_fn="poly"):
+        if not isinstance(stream, Block) or not isinstance(corpus, Block):
+            raise TypeError("stream/corpus must be Blocks")
+        super().__init__(stream, corpus, text_column, id_column,
+                         int(num_perm), int(bands), int(shingle_size),
+                         hash_fn)
+
+    @property
+    def columns(self):
+        return {"doc_id", "dup_of"}
+
+    def _build(self, ctx):
+        from dask_geomodeling_spark.pipeline.dedup import MinHashLSH
+        (stream, corpus, text_column, id_column, num_perm, bands,
+         shingle_size, hash_fn) = self.args
+
+        def mk(src):
+            return MinHashLSH(src, text_column, id_column, num_perm,
+                              bands, shingle_size, verify=False,
+                              hash_fn=hash_fn)
+
+        def buckets(sigs):
+            rows_per_band = num_perm // bands
+            structs = []
+            for b in range(bands):
+                cols = [F.col("_s{}".format(b * rows_per_band + r))
+                        for r in range(rows_per_band)]
+                structs.append(F.struct(
+                    F.lit(b).alias("band"),
+                    F.array(*cols).alias("sig")))
+            return sigs.select(
+                "_id", F.explode(F.array(*structs)).alias("_b"))
+
+        ssigs, _, _ = mk(stream)._signatures(ctx)
+        csigs, _, _ = mk(corpus)._signatures(ctx)
+        sb = buckets(ssigs).select(F.col("_id").alias("doc_id"), "_b")
+        cb = buckets(csigs).select(F.col("_id").alias("dup_of"),
+                                   F.col("_b").alias("_cb"))
+        out = (sb.join(cb, sb["_b"] == cb["_cb"])
+               .select("doc_id", "dup_of"))
+        return out if out.isStreaming else out.distinct()

@@ -509,3 +509,46 @@ def test_spatial_join_runs_on_stream(spark, tmp_path):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.read.parquet(out).collect()}
     assert got == expected
+
+
+def test_streaming_near_dup_matches_batch(spark, tmp_path):
+    """StreamingNearDup: incoming docs LSH-join a static corpus's
+    MinHash band buckets — stateless stream-static join; the streamed
+    candidate SET equals the batch run's distinct set, and the exact
+    duplicate planted in the corpus is always flagged."""
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.streaming.events import StreamingNearDup
+
+    url = str(tmp_path / "docs")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    # incoming = odd ids; corpus = even ids PLUS a verbatim copy of
+    # incoming doc 1's text under corpus id -1 (a guaranteed near-dup)
+    probe = docs.filter(F.col("doc_id") == 1) \
+        .select(F.lit(-1).alias("doc_id"), "text")
+    corpus = DataFrameSource(
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "text").unionByName(probe),
+        index_column="doc_id")
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(url)
+    batch_df = spark.read.parquet(url)
+
+    def pipeline(df):
+        stream = DataFrameSource(df.select("doc_id", "text"),
+                                 index_column="doc_id")
+        return StreamingNearDup(stream, corpus).plan(spark)
+
+    expected = {tuple(r) for r in pipeline(batch_df).collect()}
+    assert (1, -1) in expected  # the planted exact dup collides
+
+    stream_df = (spark.readStream.format("parquet")
+                 .schema(batch_df.schema).load(url))
+    out = str(tmp_path / "out")
+    q = (pipeline(stream_df).writeStream.outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start(out))
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got == expected
