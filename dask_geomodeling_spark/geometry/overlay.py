@@ -120,12 +120,23 @@ class Overlay(GeometryBlock):
         if not cs > 0:
             raise ValueError("cell_size must be > 0")
         lc = set(left.columns)
-        if "path" in lc and not ({"rings", "vertices"} & lc) \
-                and how not in ("intersection", "difference"):
+        is_path = "path" in lc and not ({"rings", "vertices"} & lc)
+        if is_path and how not in ("intersection", "difference"):
             raise ValueError(
                 "a polyline (path) left layer supports only "
                 "how='intersection' (clip) and how='difference' "
                 "(erase)")
+        # synthesized output names must not collide with inputs
+        reserved = ({"piece"} if is_path else
+                    {"oid"} if how in ("union", "symmetric_difference",
+                                       "identity") else set())
+        clash = reserved & (lc | set(right.columns)
+                            | set(right_columns or ()))
+        if clash:
+            raise ValueError(
+                "column(s) {} collide with Overlay's synthesized "
+                "output columns for how={!r}; rename them upstream"
+                .format(sorted(clash), how))
         if right_columns is None:
             right_columns = [right.index_column]
         if how in ("union", "symmetric_difference", "identity") \

@@ -558,3 +558,30 @@ def test_subdivide_grid_parts(spark):
     # pure column math: no Python map stage in the plan
     simple = out._jdf.queryExecution().simpleString()
     assert "InPandas" not in simple and "PythonUDF" not in simple
+
+
+def test_overlay_reserved_column_collisions(spark):
+    """Left layers carrying the synthesized output names ('piece' for
+    polyline modes, 'oid' for planar-decomposition modes) fail FAST
+    with a clear error instead of an ambiguous-reference analysis
+    failure."""
+    import pytest
+
+    from dask_geomodeling_spark.geometry.overlay import Overlay
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    Lp = spark.createDataFrame(
+        [(1, [[0.0, 0.0], [1.0, 0.0]], 9)],
+        "lid bigint, path array<array<double>>, piece bigint")
+    Lr = spark.createDataFrame(
+        [(1, [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]]], "x")],
+        "lid bigint, rings array<array<array<double>>>, oid string")
+    R = spark.createDataFrame(
+        [(7, [[[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]]])],
+        "rid bigint, rings array<array<array<double>>>")
+    with pytest.raises(ValueError, match="piece"):
+        Overlay(DataFrameSource(Lp, index_column="lid"),
+                DataFrameSource(R, index_column="rid"), cell_size=4.0)
+    with pytest.raises(ValueError, match="oid"):
+        Overlay(DataFrameSource(Lr, index_column="lid"),
+                DataFrameSource(R, index_column="rid"),
+                cell_size=4.0, how="union")
