@@ -679,6 +679,12 @@ class MinimumBoundingCircle(BaseSingle):
             SpatialJoin)
         df = self.source._build(ctx)
         cols = set(df.columns)
+        clash = {"center_x", "center_y", "radius"} & cols
+        if clash:
+            raise ValueError(
+                "column(s) {} collide with MinimumBoundingCircle's "
+                "output columns; rename them upstream"
+                .format(sorted(clash)))
         if not ({"rings", "vertices"} & cols
                 or {"xmin", "ymin", "xmax", "ymax"} <= cols):
             if {"x", "y"} <= cols:

@@ -81,6 +81,12 @@ class Subdivide(BaseSingle):
         cs = float(cell_size)
         if not cs > 0:
             raise ValueError("cell_size must be > 0")
+        clash = {"cell_x", "cell_y"} & set(source.columns)
+        if clash:
+            raise ValueError(
+                "column(s) {} collide with Subdivide's synthesized "
+                "cell-id columns; rename them upstream"
+                .format(sorted(clash)))
         super().__init__(source, cs)
 
     @property

@@ -239,6 +239,10 @@ class CCNetBuckets(BaseSingle):
         if not labels:
             raise ValueError("buckets must be a non-empty sequence "
                              "of labels")
+        if by in ("bucket", "n_bigrams", "avg_logprob", "perplexity"):
+            raise ValueError(
+                "by={!r} collides with CCNetBuckets' output columns"
+                .format(by))
         super().__init__(
             KneserNeyPerplexity(source, text_column, id_column,
                                 discount, round_to),
