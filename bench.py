@@ -76,7 +76,7 @@ def main():
                   "overlay_clip_lines", "overlay_erase_lines",
                   "rasterize_lines", "min_bounding_circle",
                   "oriented_envelope", "subdivide",
-                  "streaming_near_dup"):
+                  "streaming_near_dup", "raster_curvature"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

@@ -2110,6 +2110,69 @@ def raster_aspect(spark, sf_dir):
     return block.plan(spark).withColumn("value", F.round("value", 6))
 
 
+_CURV_CTE = """,
+cv AS (
+  SELECT time, y, x, c11,
+         (w10 + w12) / 2 - w11 AS d,
+         (w01 + w21) / 2 - w11 AS e,
+         (w22 - w20 - w02 + w00) / 4 AS f,
+         (w12 - w10) / 2 AS g2,
+         (w21 - w01) / 2 AS h2
+  FROM w)
+"""
+
+
+@demo("raster_curvature", oracle=_horn_calc_sql() + _CURV_CTE + """
+SELECT s.time, s.y, s.x,
+       ROUND(-2 * (d + e) * 100, 6) AS value
+FROM cv s JOIN (SELECT time, y, x FROM cells) c USING (time, y, x)
+WHERE c11 IS NOT NULL
+""")
+def raster_curvature(spark, sf_dir):
+    """Curvature (Zevenbergen & Thorne 1987, ArcGIS Curvature
+    semantics, round 8): -2(D+E)*100 over the shared 3x3 window —
+    the terrain family's second derivative; oracle replays the
+    identical window algebra."""
+    from dask_geomodeling_spark.raster.spatial import Curvature
+    block = Curvature(lineitem_grid(spark, sf_dir, "R"))
+    return block.plan(spark).withColumn("value", F.round("value", 6))
+
+
+@demo("raster_curvature_profile", oracle=_horn_calc_sql() + _CURV_CTE
+      + """
+SELECT s.time, s.y, s.x,
+       CASE WHEN g2 = 0 AND h2 = 0 THEN 0.0
+            ELSE ROUND(-2 * (d*g2*g2 + e*h2*h2 + f*g2*h2)
+                       / (g2*g2 + h2*h2) * 100, 6) END AS value
+FROM cv s JOIN (SELECT time, y, x FROM cells) c USING (time, y, x)
+WHERE c11 IS NOT NULL
+""")
+def raster_curvature_profile(spark, sf_dir):
+    """Curvature(kind='profile') (round 8): curvature in the
+    downslope direction — the erosion/deposition signal; flat cells
+    0.0 (ArcGIS convention)."""
+    from dask_geomodeling_spark.raster.spatial import Curvature
+    block = Curvature(lineitem_grid(spark, sf_dir, "R"),
+                      kind="profile")
+    return block.plan(spark).withColumn("value", F.round("value", 6))
+
+
+@demo("raster_curvature_plan", oracle=_horn_calc_sql() + _CURV_CTE + """
+SELECT s.time, s.y, s.x,
+       CASE WHEN g2 = 0 AND h2 = 0 THEN 0.0
+            ELSE ROUND(2 * (d*h2*h2 + e*g2*g2 - f*g2*h2)
+                       / (g2*g2 + h2*h2) * 100, 6) END AS value
+FROM cv s JOIN (SELECT time, y, x FROM cells) c USING (time, y, x)
+WHERE c11 IS NOT NULL
+""")
+def raster_curvature_plan(spark, sf_dir):
+    """Curvature(kind='plan') (round 8): curvature transverse to the
+    slope — flow convergence/divergence; flat cells 0.0."""
+    from dask_geomodeling_spark.raster.spatial import Curvature
+    block = Curvature(lineitem_grid(spark, sf_dir, "R"), kind="plan")
+    return block.plan(spark).withColumn("value", F.round("value", 6))
+
+
 @demo("raster_hillshade", oracle=_hillshade_oracle())
 def raster_hillshade(spark, sf_dir):
     """HillShade (spatial.py:310): Horn gradient via conditional
@@ -9197,7 +9260,7 @@ GATE_ANCHORS = [
     "ccnet_buckets", "ccnet_buckets_lang",
     "overlay_clip_lines", "overlay_erase_lines",
     "rasterize_lines", "min_bounding_circle", "oriented_envelope",
-    "subdivide", "streaming_near_dup",
+    "subdivide", "streaming_near_dup", "raster_curvature",
 ]
 
 

@@ -16,7 +16,8 @@ from pyspark.sql import functions as F
 from dask_geomodeling_spark.raster.base import BaseSingle, RasterBlock
 
 __all__ = ["Dilate", "MovingMax", "Smooth", "HillShade", "Slope",
-           "Aspect", "TRI", "TPI", "Roughness", "Place"]
+           "Aspect", "TRI", "TPI", "Roughness", "Place",
+           "Curvature"]
 
 
 def _offsets_df(spark, offsets):
@@ -400,3 +401,57 @@ class Place(BaseSingle):
         else:
             agg = statistic_expr(self.statistic)
         return (placed.groupBy("time", "y", "x").agg(agg.alias("value")))
+
+
+class Curvature(BaseSingle):
+    """Surface curvature (Zevenbergen & Thorne 1987 — the ArcGIS
+    Curvature tool's quadric fit; no reference analogue, extends the
+    gdaldem terrain family).  Over the unit 3×3 window (missing
+    neighbors fall back to the center, the module's shared edge
+    convention):
+
+        D = (z_left + z_right)/2 − z_c      (½ ∂²z/∂x²)
+        E = (z_down + z_up)/2 − z_c         (½ ∂²z/∂y²)
+        F = (z_ur − z_ul − z_lr + z_ll)/4   (∂²z/∂x∂y)
+        G = (z_right − z_left)/2            (∂z/∂x)
+        H = (z_up − z_down)/2               (∂z/∂y)
+
+      kind='standard': −2(D + E)·100 (negative = convex upward)
+      kind='profile':  −2(DG² + EH² + FGH)/(G² + H²)·100
+      kind='plan':      2(DH² + EG² − FGH)/(G² + H²)·100
+    Flat cells (G = H = 0) take 0.0 for profile/plan (the ArcGIS
+    convention).  Same scatter + conditional-aggregation window as
+    Slope/Aspect/HillShade — one shuffle, no window operator."""
+
+    def __init__(self, store, kind="standard"):
+        if kind not in ("standard", "profile", "plan"):
+            raise ValueError(
+                "kind must be 'standard', 'profile' or 'plan'")
+        super().__init__(store, kind)
+
+    def _build(self, ctx):
+        df, g, _, _ = _horn_gradients(ctx, self.store)
+        c = {(ky, kx): F.coalesce(
+                F.col("c{}{}".format(ky + 1, kx + 1)), F.col("c11"))
+             for ky in (-1, 0, 1) for kx in (-1, 0, 1)}
+        z5 = c[(0, 0)]
+        d = (c[(0, -1)] + c[(0, 1)]) / 2 - z5
+        e = (c[(-1, 0)] + c[(1, 0)]) / 2 - z5
+        f = (c[(1, 1)] - c[(1, -1)] - c[(-1, 1)] + c[(-1, -1)]) / 4
+        gg = (c[(0, 1)] - c[(0, -1)]) / 2
+        h = (c[(1, 0)] - c[(-1, 0)]) / 2
+        kind = self.args[1]
+        if kind == "standard":
+            v = -2.0 * (d + e) * 100.0
+        else:
+            denom = gg * gg + h * h
+            num = (-2.0 * (d * gg * gg + e * h * h + f * gg * h)
+                   if kind == "profile"
+                   else 2.0 * (d * h * h + e * gg * gg - f * gg * h))
+            v = F.when(denom == 0, F.lit(0.0)) \
+                 .otherwise(num / denom * 100.0)
+        out = g.select("time", "y", "x",
+                       F.when(F.col("c11").isNotNull(), v)
+                       .alias("value"))
+        return out.join(df.select("time", "y", "x"),
+                        ["time", "y", "x"], "left_semi")

@@ -660,3 +660,27 @@ def test_rasterize_polyline_supercover(spark):
         DataFrameSource(df, index_column="fid")).plan(spark).collect())
     assert out == [(0, 0), (0, 1), (1, 1), (1, 2), (2, 2), (2, 3),
                    (5, 5), (5, 6), (5, 7), (20, 20), (21, 21)]
+
+
+def test_curvature_paraboloid(spark):
+    """Curvature (Zevenbergen-Thorne, round 8): on z = x^2 + y^2 the
+    quadric fit is exact — standard -400, profile -200, plan +200 at
+    every interior non-flat cell."""
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    from dask_geomodeling_spark.raster.spatial import Curvature
+    rows = [(y, x, float(x * x + y * y))
+            for y in range(5) for x in range(5)]
+    df = (spark.createDataFrame(rows, "y bigint, x bigint, value double")
+          .select(F.lit("1970-01-01").cast("timestamp").alias("time"),
+                  "y", "x", "value"))
+    src = DataFrameRasterSource(df)
+    for kind, want in (("standard", -400.0), ("profile", -200.0),
+                       ("plan", 200.0)):
+        got = {(r["y"], r["x"]): round(r["value"], 6)
+               for r in Curvature(src, kind).plan(spark).collect()}
+        interior = [v for (y, x), v in got.items()
+                    if 1 <= y <= 3 and 1 <= x <= 3 and (y, x) != (0, 0)]
+        assert interior and all(v == want for v in interior), kind
