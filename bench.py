@@ -76,7 +76,8 @@ def main():
                   "overlay_clip_lines", "overlay_erase_lines",
                   "rasterize_lines", "min_bounding_circle",
                   "oriented_envelope", "subdivide",
-                  "streaming_near_dup", "raster_curvature"):
+                  "streaming_near_dup", "raster_curvature",
+                  "aggregate_raster_histogram"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

@@ -990,6 +990,44 @@ def aggregate_raster(spark, sf_dir):
                      .alias("agg_count"))
 
 
+@demo("aggregate_raster_histogram", oracle="""
+WITH grid AS ({grid}),
+boxes AS (
+  SELECT n_nationkey,
+         CAST((n_nationkey % 5) * 12 AS BIGINT) AS xmin,
+         CAST(n_regionkey * 6 AS BIGINT) AS ymin,
+         CAST((n_nationkey % 5) * 12 + 11 AS BIGINT) AS xmax,
+         CAST(n_regionkey * 6 + 5 AS BIGINT) AS ymax
+  FROM nation
+)
+SELECT b.n_nationkey,
+       CAST(floor(g.value / 200.0) * 200.0 AS DOUBLE) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS count
+FROM boxes b JOIN grid g
+  ON g.x BETWEEN b.xmin AND b.xmax AND g.y BETWEEN b.ymin AND b.ymax
+WHERE g.value IS NOT NULL
+GROUP BY b.n_nationkey, floor(g.value / 200.0) * 200.0
+""".format(grid=_grid_sql()))
+def aggregate_raster_histogram(spark, sf_dir):
+    """AggregateRasterHistogram (round 8 — ArcGIS ZonalHistogram):
+    the full per-zone value distribution instead of one scalar —
+    the SAME shared range join + exact mask as AggregateRaster, one
+    grouped count keyed on (zone, 200-wide bin)."""
+    from dask_geomodeling_spark.geometry.aggregate import (
+        AggregateRasterHistogram)
+    nation = read_nanos_parquet(spark, _pq(sf_dir, "nation"))
+    boxes = nation.select(
+        "n_nationkey",
+        ((F.col("n_nationkey") % 5) * 12).cast("bigint").alias("xmin"),
+        (F.col("n_regionkey") * 6).cast("bigint").alias("ymin"),
+        ((F.col("n_nationkey") % 5) * 12 + 11).cast("bigint").alias("xmax"),
+        (F.col("n_regionkey") * 6 + 5).cast("bigint").alias("ymax"))
+    src = DataFrameSource(boxes, index_column="n_nationkey")
+    hist = AggregateRasterHistogram(src, lineitem_grid(spark, sf_dir),
+                                    bin_size=200.0)
+    return hist.plan(spark)
+
+
 @demo("aggregate_raster_threshold", oracle="""
 WITH grid AS ({grid}),
 boxes AS (
@@ -9261,6 +9299,7 @@ GATE_ANCHORS = [
     "overlay_clip_lines", "overlay_erase_lines",
     "rasterize_lines", "min_bounding_circle", "oriented_envelope",
     "subdivide", "streaming_near_dup", "raster_curvature",
+    "aggregate_raster_histogram",
 ]
 
 

@@ -115,7 +115,10 @@ class AggregateRaster(BaseSingle):
             cells = cells.withColumn("_span", F.lit(0))
         return cells
 
-    def _build(self, ctx):
+    def _joined(self, ctx):
+        """(features, joined, idx): the shared bbox range join +
+        exact-mask candidate frame every statistic variant consumes —
+        one join regardless of how many outputs derive from it."""
         idx = self.source.index_column
         features = self.source._build(ctx)
         cells = self._cells(ctx)
@@ -153,12 +156,15 @@ class AggregateRaster(BaseSingle):
         else:
             raise ValueError("AggregateRaster requires geometry columns")
         # feature side is the small side: broadcast it under the range join
-        joined = cells.join(F.broadcast(boxes), cond, "inner")
+        return features, cells.join(F.broadcast(boxes), cond, "inner"), idx
+
+    def _build(self, ctx):
+        features, joined, idx = self._joined(ctx)
         plain = [(s, n) for s, n in self._stat_pairs if s != "majority"]
         major = [n for s, n in self._stat_pairs if s == "majority"]
         stats = None
         if plain:
-            stats = (joined.groupBy(boxes[idx])
+            stats = (joined.groupBy(idx)
                      .agg(*[statistic_expr(s).alias(n)
                             for s, n in plain]))
         if major:
@@ -166,7 +172,7 @@ class AggregateRaster(BaseSingle):
             # counts, then the (max count, min value) member via one
             # native struct-min — ties break toward the SMALLEST
             # value, engine-exact (no unordered mode() reliance)
-            mode = (joined.groupBy(boxes[idx], F.col("value"))
+            mode = (joined.groupBy(idx, F.col("value"))
                     .agg(F.count(F.lit(1)).alias("_cnt"))
                     .groupBy(idx)
                     .agg(F.min(F.struct(
@@ -215,3 +221,53 @@ class AggregateRasterAboveThreshold(AggregateRaster):
                  .agg(*[statistic_expr(s).alias(n)
                         for s, n in self._stat_pairs]))
         return features.join(stats, idx, "left")
+
+
+class AggregateRasterHistogram(AggregateRaster):
+    """Zonal HISTOGRAM (the ArcGIS ZonalHistogram / rasterstats
+    categorical-counts analogue; extends the reference's single-value
+    statistics, aggregate.py:255): one output row per (feature,
+    value-or-bin) with the cell count — the full distribution instead
+    of one scalar.
+
+    Same shared bbox range join + exact polygon mask as
+    AggregateRaster (ONE join), then one grouped count keyed on
+    (feature, bin).  ``bin_size=None`` counts DISTINCT CELL VALUES
+    (categorical rasters); a float ``bin_size`` floors values into
+    ``bin_size``-wide bins keyed by their lower edge (continuous
+    rasters — bounded output regardless of value cardinality).
+
+    Output: ``<index>``, ``bin`` (value or bin lower edge, double),
+    ``count`` (bigint).  Features intersecting no cells emit nothing
+    (join with the feature frame downstream for zero rows).
+    """
+
+    def __init__(self, source, raster, statistic="count",
+                 projection=None, pixel_size=None, max_pixels=None,
+                 column_name="agg", auto_pixel_size=False,
+                 bin_size=None):
+        # the first 8 params mirror AggregateRaster's arg layout so
+        # graph serialization round-trips through cls(*args);
+        # ``statistic``/``column_name`` are layout placeholders here.
+        # Pass ``bin_size`` BY KEYWORD.
+        if bin_size is not None and not float(bin_size) > 0:
+            raise ValueError("bin_size must be > 0")
+        super().__init__(source, raster, "count", projection,
+                         pixel_size, max_pixels, "agg",
+                         auto_pixel_size)
+        # appended AFTER the parent contract args so every inherited
+        # self.args[i] index keeps meaning (token not yet computed)
+        self.args = self.args + (
+            None if bin_size is None else float(bin_size),)
+
+    @property
+    def columns(self):
+        return {self.source.index_column, "bin", "count"}
+
+    def _build(self, ctx):
+        _, joined, idx = self._joined(ctx)
+        b = self.args[-1]
+        binned = (F.col("value").cast("double") if b is None
+                  else F.floor(F.col("value") / b) * b)
+        return (joined.groupBy(idx, binned.alias("bin"))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("count")))

@@ -684,3 +684,39 @@ def test_curvature_paraboloid(spark):
         interior = [v for (y, x), v in got.items()
                     if 1 <= y <= 3 and 1 <= x <= 3 and (y, x) != (0, 0)]
         assert interior and all(v == want for v in interior), kind
+
+
+def test_aggregate_raster_histogram(spark):
+    """AggregateRasterHistogram: per-zone value counts (categorical)
+    and floor-binned counts (continuous); serialization keeps
+    bin_size through cls(*args) reconstruction."""
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.core.blocks import Block
+    from dask_geomodeling_spark.geometry.aggregate import (
+        AggregateRasterHistogram)
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    rows = [(y, x, float((x + y) % 3)) for y in range(4) for x in range(4)]
+    rdf = (spark.createDataFrame(rows, "y bigint, x bigint, value double")
+           .select(F.lit("1970-01-01").cast("timestamp").alias("time"),
+                   "y", "x", "value"))
+    feat = spark.createDataFrame(
+        [(1, 0.0, 0.0, 3.0, 3.0), (2, 0.0, 0.0, 1.0, 1.0)],
+        "fid bigint, xmin double, ymin double, xmax double, ymax double")
+    h = AggregateRasterHistogram(
+        DataFrameSource(feat, index_column="fid"),
+        DataFrameRasterSource(rdf))
+    got = sorted((r["fid"], r["bin"], r["count"])
+                 for r in h.plan(spark).collect())
+    assert got == [(1, 0.0, 6), (1, 1.0, 5), (1, 2.0, 5),
+                   (2, 0.0, 1), (2, 1.0, 2), (2, 2.0, 1)]
+    h2 = AggregateRasterHistogram(
+        DataFrameSource(feat, index_column="fid"),
+        DataFrameRasterSource(rdf), bin_size=2.0)
+    got = sorted((r["fid"], r["bin"], r["count"])
+                 for r in h2.plan(spark).collect())
+    assert got == [(1, 0.0, 11), (1, 2.0, 5), (2, 0.0, 3),
+                   (2, 2.0, 1)]
+    assert Block.from_json(h2.to_json()).args[-1] == 2.0
