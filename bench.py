@@ -77,7 +77,8 @@ def main():
                   "rasterize_lines", "min_bounding_circle",
                   "oriented_envelope", "subdivide",
                   "streaming_near_dup", "raster_curvature",
-                  "aggregate_raster_histogram"):
+                  "aggregate_raster_histogram", "snap_to_grid",
+                  "explode_parts"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

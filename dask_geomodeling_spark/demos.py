@@ -4212,6 +4212,105 @@ def subdivide(spark, sf_dir):
             .select("lid", "cell_x", "cell_y", "area"))
 
 
+@demo("snap_to_grid", oracle="""
+WITH a AS (
+  SELECT DISTINCT CAST(c_custkey % 1000 AS BIGINT) AS lid
+  FROM customer),
+a2 AS (
+  SELECT lid,
+         CAST(40 * (lid % 25) AS DOUBLE) AS m,
+         CAST(40 * (lid // 25) AS DOUBLE) AS my,
+         (CAST(lid % 9 AS DOUBLE)
+          + CASE WHEN lid % 9 >= 5 THEN 1 ELSE 0 END) / 10 AS f
+  FROM a)
+SELECT lid,
+       ROUND(m + CASE WHEN f > 0.5 THEN 1 ELSE 0 END, 6) AS x0,
+       ROUND(my + CASE WHEN f > 0.5 THEN 1 ELSE 0 END, 6) AS y0,
+       CAST(9.0 AS DOUBLE) AS area
+FROM a2
+""")
+def snap_to_grid(spark, sf_dir):
+    """SnapToGrid (round 8 — shapely set_precision / PostGIS
+    ST_SnapToGrid): every coordinate rounds to the grid in pure
+    column math.  Side-3 squares at fractional offsets f (0.5
+    excluded — half-rounding conventions differ across engines) land
+    on the closed-form snapped corner; integer side keeps the area
+    exactly 9."""
+    from dask_geomodeling_spark.geometry.constructive import SnapToGrid
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        rings_area_expr)
+    customer = ensure_min_partitions(
+        read_nanos_parquet(spark, _pq(sf_dir, "customer")), spark)
+    src = (customer.select(
+        F.expr("CAST(c_custkey % 1000 AS BIGINT)").alias("lid"))
+        .distinct()
+        .withColumn("m", F.expr("CAST(40 * (lid % 25) AS DOUBLE)"))
+        .withColumn("my", F.expr("CAST(40 * (lid DIV 25) AS DOUBLE)"))
+        .withColumn("f", F.expr(
+            "(CAST(lid % 9 AS DOUBLE) "
+            "+ CASE WHEN lid % 9 >= 5 THEN 1 ELSE 0 END) / 10"))
+        .select("lid", F.expr(
+            "array(array(array(m + f, my + f), "
+            "array(m + f + 3.0D, my + f), "
+            "array(m + f + 3.0D, my + f + 3.0D), "
+            "array(m + f, my + f + 3.0D)))").alias("rings")))
+    sg = SnapToGrid(DataFrameSource(src, index_column="lid"), 1.0)
+    return (sg.plan(spark)
+            .select("lid",
+                    F.round(F.expr("rings[0][0][0]"), 6).alias("x0"),
+                    F.round(F.expr("rings[0][0][1]"), 6).alias("y0"),
+                    F.round(rings_area_expr("rings"), 6).alias("area")))
+
+
+@demo("explode_parts", oracle="""
+WITH a AS (
+  SELECT DISTINCT CAST(c_custkey % 1000 AS BIGINT) AS lid
+  FROM customer)
+SELECT lid, CAST(0 AS BIGINT) AS part, CAST(4.0 AS DOUBLE) AS area
+FROM a
+UNION ALL
+SELECT lid, CAST(1 AS BIGINT) AS part,
+       CAST(CASE WHEN lid % 2 = 0 THEN 12.0 ELSE 16.0 END AS DOUBLE)
+           AS area
+FROM a
+""")
+def explode_parts(spark, sf_dir):
+    """ExplodeParts (round 8 — geopandas explode): multipolygon ring
+    stacks split into per-part rows by the orientation-contract fold
+    (CCW starts a part, following CW holes attach); even-id features
+    carry a hole in their second part, so its area is 16-4."""
+    from dask_geomodeling_spark.geometry.constructive import (
+        ExplodeParts)
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        rings_area_expr)
+    customer = ensure_min_partitions(
+        read_nanos_parquet(spark, _pq(sf_dir, "customer")), spark)
+    src = (customer.select(
+        F.expr("CAST(c_custkey % 1000 AS BIGINT)").alias("lid"))
+        .distinct()
+        .withColumn("ax", F.expr("CAST(40 * (lid % 25) AS DOUBLE)"))
+        .withColumn("ay", F.expr("CAST(40 * (lid DIV 25) AS DOUBLE)"))
+        .select("lid", F.expr(
+            "CASE WHEN lid % 2 = 0 THEN array("
+            "array(array(ax, ay), array(ax + 2.0D, ay), "
+            "array(ax + 2.0D, ay + 2.0D), array(ax, ay + 2.0D)), "
+            "array(array(ax + 10.0D, ay), array(ax + 14.0D, ay), "
+            "array(ax + 14.0D, ay + 4.0D), array(ax + 10.0D, ay + 4.0D)), "
+            "array(array(ax + 11.0D, ay + 1.0D), "
+            "array(ax + 11.0D, ay + 3.0D), array(ax + 13.0D, ay + 3.0D), "
+            "array(ax + 13.0D, ay + 1.0D))) "
+            "ELSE array("
+            "array(array(ax, ay), array(ax + 2.0D, ay), "
+            "array(ax + 2.0D, ay + 2.0D), array(ax, ay + 2.0D)), "
+            "array(array(ax + 10.0D, ay), array(ax + 14.0D, ay), "
+            "array(ax + 14.0D, ay + 4.0D), array(ax + 10.0D, ay + 4.0D)))"
+            " END").alias("rings")))
+    ep = ExplodeParts(DataFrameSource(src, index_column="lid"))
+    return (ep.plan(spark)
+            .withColumn("area", F.round(rings_area_expr("rings"), 6))
+            .select("lid", "part", "area"))
+
+
 @demo("buffer_exact_polygon", oracle="""
 WITH t AS (
   SELECT s_suppkey,
@@ -9299,7 +9398,7 @@ GATE_ANCHORS = [
     "overlay_clip_lines", "overlay_erase_lines",
     "rasterize_lines", "min_bounding_circle", "oriented_envelope",
     "subdivide", "streaming_near_dup", "raster_curvature",
-    "aggregate_raster_histogram",
+    "aggregate_raster_histogram", "snap_to_grid", "explode_parts",
 ]
 
 

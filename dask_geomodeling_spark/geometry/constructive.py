@@ -733,3 +733,103 @@ class OrientedEnvelope(BaseSingle):
     @property
     def columns(self):
         return set(self.source.columns) | {"rings"}
+
+
+class SnapToGrid(BaseSingle):
+    """Quantize geometry coordinates to a grid (shapely
+    ``set_precision`` / PostGIS ``ST_SnapToGrid`` semantics) — every
+    coordinate rounds to the nearest multiple of ``size``; rings that
+    collapse under snapping (zero signed area after consecutive-
+    duplicate removal) drop, features whose whole ring stack collapses
+    keep their row with NULL ``rings``.  Pure sequence/transform
+    column math over every geometry column present (``rings``,
+    ``path``, ``vertices``, ``x``/``y``, bbox) — map-side, no kernel,
+    no shuffle.  The storage-size / topology-robustness primitive for
+    ingest normalization at scale."""
+
+    def __init__(self, source, size):
+        sz = float(size)
+        if not sz > 0:
+            raise ValueError("size must be > 0")
+        super().__init__(source, sz)
+
+    @property
+    def columns(self):
+        return set(self.source.columns)
+
+    def _build(self, ctx):
+        from dask_geomodeling_spark.geometry.geom_operations import (
+            _ring_cross_sum_sql)
+        df = self.source._build(ctx)
+        cols = set(df.columns)
+        sz = "CAST({!r} AS DOUBLE)".format(self.args[1])
+        snap = "round({{v}} / {s}) * {s}".format(s=sz)
+        out = {}
+        if "rings" in cols:
+            ring = ("array_distinct(transform(r, p -> "
+                    "array({px}, {py})))".format(
+                        px=snap.format(v="p[0]"),
+                        py=snap.format(v="p[1]")))
+            out["rings"] = F.expr(
+                "CASE WHEN rings IS NULL THEN NULL ELSE "
+                "nullif(filter(transform(rings, r -> {ring}), "
+                "rr -> size(rr) >= 3 AND abs({area}) > 0), "
+                "array()) END".format(
+                    ring=ring, area=_ring_cross_sum_sql("rr")))
+        if "path" in cols:
+            out["path"] = F.expr(
+                "CASE WHEN path IS NULL THEN NULL ELSE "
+                "nullif(array_distinct(transform(path, p -> "
+                "array({px}, {py}))), array()) END".format(
+                    px=snap.format(v="p[0]"),
+                    py=snap.format(v="p[1]")))
+        if "vertices" in cols:
+            out["vertices"] = F.expr(
+                "CASE WHEN vertices IS NULL THEN NULL ELSE "
+                "array_distinct(transform(vertices, p -> "
+                "array({px}, {py}))) END".format(
+                    px=snap.format(v="p[0]"),
+                    py=snap.format(v="p[1]")))
+        for c in ("x", "y", "xmin", "ymin", "xmax", "ymax"):
+            if c in cols:
+                out[c] = F.expr(snap.format(v=c))
+        return df.withColumns(out)
+
+
+class ExplodeParts(BaseSingle):
+    """Split multipolygon ring stacks into one row per PART (the
+    geopandas ``explode`` counterpart): under the orientation
+    contract every CCW ring starts a new part and the CW holes that
+    follow attach to it — one sequential fold (the EncodeWKT grouping
+    rule) builds the parts array, then ``posexplode`` emits
+    (``part``, ``rings``) rows.  Pure column math, map-side."""
+
+    def _build(self, ctx):
+        from dask_geomodeling_spark.geometry.geom_operations import (
+            _ring_cross_sum_sql)
+        df = self.source._build(ctx)
+        if "rings" not in df.columns:
+            raise ValueError("ExplodeParts needs a 'rings' column")
+        if "part" in df.columns:
+            raise ValueError(
+                "column 'part' collides with ExplodeParts' output")
+        outer = "({}) >= 0".format(_ring_cross_sum_sql("r"))
+        parts = (
+            "aggregate(rings, "
+            "CAST(array() AS array<array<array<array<double>>>>), "
+            "(acc, r) -> CASE WHEN {outer} OR size(acc) = 0 "
+            "THEN array_append(acc, array(r)) "
+            "ELSE array_append(slice(acc, 1, size(acc) - 1), "
+            "array_append(element_at(acc, -1), r)) END)"
+            .format(outer=outer))
+        keep = [c for c in df.columns if c != "rings"]
+        return (df.withColumn("_parts", F.expr(
+                    "CASE WHEN rings IS NULL THEN NULL "
+                    "ELSE {} END".format(parts)))
+                .select(*keep, F.posexplode_outer("_parts")
+                        .alias("part", "rings"))
+                .withColumn("part", F.col("part").cast("bigint")))
+
+    @property
+    def columns(self):
+        return set(self.source.columns) | {"part"}

@@ -585,3 +585,40 @@ def test_overlay_reserved_column_collisions(spark):
         Overlay(DataFrameSource(Lr, index_column="lid"),
                 DataFrameSource(R, index_column="rid"),
                 cell_size=4.0, how="union")
+
+
+def test_snap_to_grid_and_explode_parts(spark):
+    """SnapToGrid: coordinates quantize, collapsed rings NULL out;
+    ExplodeParts: the orientation fold assigns holes to their
+    preceding outer; part areas prove the assignment."""
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.geometry.constructive import (
+        ExplodeParts, SnapToGrid)
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        rings_area_expr)
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    S = "array<array<array<double>>>"
+    df = spark.createDataFrame(
+        [(1, [[[0.1, 0.1], [3.9, 0.2], [4.1, 3.9], [0.2, 4.2]]]),
+         (2, [[[0.1, 0.1], [0.4, 0.1], [0.4, 0.4], [0.1, 0.4]]]),
+         (3, None)],
+        "fid bigint, rings " + S)
+    got = {r["fid"]: r["rings"] for r in SnapToGrid(
+        DataFrameSource(df, index_column="fid"), 1.0)
+        .plan(spark).collect()}
+    assert got[1] == [[[0.0, 0.0], [4.0, 0.0], [4.0, 4.0],
+                       [0.0, 4.0]]]
+    assert got[2] is None and got[3] is None
+    df2 = spark.createDataFrame(
+        [(1, [[[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]],
+              [[10.0, 0.0], [14.0, 0.0], [14.0, 4.0], [10.0, 4.0]],
+              [[11.0, 1.0], [11.0, 3.0], [13.0, 3.0], [13.0, 1.0]]]),
+         (2, None)],
+        "fid bigint, rings " + S)
+    rows = (ExplodeParts(DataFrameSource(df2, index_column="fid"))
+            .plan(spark)
+            .withColumn("area", F.round(rings_area_expr("rings"), 6))
+            .collect())
+    got = {(r["fid"], r["part"]): r["area"] for r in rows}
+    assert got == {(1, 0): 4.0, (1, 1): 12.0, (2, None): None}
