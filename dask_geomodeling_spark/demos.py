@@ -7770,6 +7770,47 @@ def repeated_spans(spark, sf_dir):
 
 
 
+@demo("ngram_novelty", oracle="""
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> length(t) > 0) AS w
+  FROM documents),
+th AS (SELECT doc_id, list_transform(w, t -> {poly}) AS h FROM docs),
+hs AS (
+  SELECT doc_id,
+         CASE WHEN len(h) >= {n} THEN list_distinct([
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                    h[i:i+{nm1}]),
+                       (acc, x) -> (acc * 8191 + x) % 2147483647)
+           FOR i IN range(1, len(h) - {n} + 2)])
+         ELSE [] END AS sh
+  FROM th),
+e AS (SELECT doc_id, unnest(sh) AS g FROM hs WHERE len(sh) > 0),
+fr AS (SELECT g, COUNT(*) AS df FROM e GROUP BY g),
+agg AS (
+  SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN fr.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS novel
+  FROM e JOIN fr USING (g) GROUP BY e.doc_id)
+SELECT d.doc_id,
+       COALESCE(agg.n_grams, 0) AS n_grams,
+       COALESCE(agg.novel, 0) AS novel,
+       CASE WHEN agg.n_grams IS NULL THEN NULL
+            ELSE ROUND(agg.novel / CAST(agg.n_grams AS DOUBLE), 6)
+       END AS novelty
+FROM documents d LEFT JOIN agg USING (doc_id)
+""".format(poly=_DD_POLY.format(col="t", base=257), n=5, nm1=4))
+def ngram_novelty(spark, sf_dir):
+    """NgramNovelty (round 8): the fraction of each document's
+    distinct 5-gram fingerprints unique to it corpus-wide (df = 1) —
+    the boilerplate/memorization diagnostic; same 31-bit rolling +
+    base-8191 fold arithmetic as MinHashLSH/RepeatedSpans, persisted
+    gram stream, ONE frequency groupBy."""
+    from dask_geomodeling_spark.pipeline.text import NgramNovelty
+    return NgramNovelty(documents_src(sf_dir), n=5).plan(spark)
+
+
 @demo("ngram_perplexity", oracle="""
 WITH toks AS (
   SELECT doc_id,
@@ -9399,6 +9440,7 @@ GATE_ANCHORS = [
     "rasterize_lines", "min_bounding_circle", "oriented_envelope",
     "subdivide", "streaming_near_dup", "raster_curvature",
     "aggregate_raster_histogram", "snap_to_grid", "explode_parts",
+    "ngram_novelty",
 ]
 
 

@@ -614,3 +614,75 @@ class Fingerprint(BaseSingle):
         return (df.withColumn("_norm", normalized)
                   .withColumn("fingerprint", fingerprint)
                   .drop("_norm"))
+
+
+class NgramNovelty(BaseSingle):
+    """Per-document n-gram novelty — the fraction of a document's
+    DISTINCT n-grams that appear in no other part of the corpus
+    (df = 1).  Low novelty flags boilerplate/templated/duplicated
+    prose; high novelty is the memorization-risk signal the public
+    dedup literature inspects before training.
+
+    Spark shape: tokens hash once (31-bit rolling char hash), grams
+    fold with the base-8191 arithmetic MinHashLSH/RepeatedSpans
+    already use (engine-reproducible, no gram strings shuffled);
+    the per-doc DISTINCT gram stream is persisted (it feeds the
+    corpus frequency table AND the join-back), one groupBy on the
+    near-uniform gram key, one join, one per-doc aggregation.
+    Documents shorter than ``n`` tokens score NULL novelty.
+
+    Output: ``<id_column>``, ``n_grams`` (distinct), ``novel``
+    (df = 1 count), ``novelty`` (ratio, rounded to 6).
+    """
+
+    def __init__(self, source, n=5, text_column="text",
+                 id_column="doc_id"):
+        if int(n) < 1:
+            raise ValueError("n must be >= 1")
+        super().__init__(source, int(n), text_column, id_column)
+
+    @property
+    def columns(self):
+        return {self.args[3], "n_grams", "novel", "novelty"}
+
+    def _build(self, ctx):
+        from pyspark import StorageLevel
+
+        from dask_geomodeling_spark.pipeline.dedup import (MERSENNE,
+                                                           poly_hash_expr)
+        _, n, text_column, id_column = self.args
+        df = self.source._build(ctx)
+        th = "transform(_w, t -> {h})".format(h=poly_hash_expr("t"))
+        grams = (
+            "CASE WHEN size(_th) >= {n} THEN "
+            "array_distinct(transform(sequence(1, size(_th) - {n} + 1), "
+            "i -> aggregate(slice(_th, i, {n}), cast(0 as bigint), "
+            "(acc, h) -> pmod(acc * 8191 + h, {m})))) "
+            "ELSE array() END".format(n=n, m=MERSENNE))
+        exploded = (df.select(
+            F.col(id_column),
+            F.split(F.trim(F.lower(F.col(text_column))), r"\s+")
+            .alias("_w"))
+            .withColumn("_w", F.expr(
+                "filter(_w, t -> length(t) > 0)"))
+            .withColumn("_th", F.expr(th))
+            .select(id_column, F.explode(F.expr(grams)).alias("_g"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+        # grams are distinct WITHIN a doc, so count(*) IS the doc
+        # frequency — no countDistinct shuffle needed
+        freq = (exploded.groupBy("_g")
+                .agg(F.count(F.lit(1)).alias("_df")))
+        agg = (exploded.join(freq, "_g")
+               .groupBy(id_column)
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+                    F.sum(F.when(F.col("_df") == 1, 1).otherwise(0))
+                    .cast("bigint").alias("novel")))
+        out = df.select(id_column).join(agg, id_column, "left")
+        return out.select(
+            id_column,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("novel", F.lit(0)).alias("novel"),
+            F.when(F.col("n_grams").isNotNull(),
+                   F.round(F.col("novel")
+                           / F.col("n_grams").cast("double"), 6))
+            .alias("novelty"))

@@ -1053,3 +1053,24 @@ def test_ccnet_buckets_by_group(spark):
     for lang in ("en", "fr"):
         assert max(ppl[(lang, "head")]) <= min(ppl[(lang, "middle")])
         assert max(ppl[(lang, "middle")]) <= min(ppl[(lang, "tail")])
+
+
+def test_ngram_novelty(spark):
+    """NgramNovelty: a verbatim duplicate's grams all have df >= 2 ->
+    novelty 0 for both copies; a unique doc scores 1.0; short docs
+    NULL; a doc sharing half its grams lands strictly between."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.text import NgramNovelty
+    a = "one two three four five six seven eight"
+    rows = [(1, a), (2, a),
+            (3, "alpha beta gamma delta epsilon zeta"),
+            (4, a + " nine ten eleven twelve"),
+            (5, "tiny doc")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in NgramNovelty(
+        DataFrameSource(df, index_column="doc_id"), n=5)
+        .plan(spark).collect()}
+    assert got[1]["novelty"] == 0.0 and got[2]["novelty"] == 0.0
+    assert got[3]["novelty"] == 1.0 and got[3]["n_grams"] == 2
+    assert 0.0 < got[4]["novelty"] < 1.0
+    assert got[5]["novelty"] is None and got[5]["n_grams"] == 0
