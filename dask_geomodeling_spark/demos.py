@@ -9427,11 +9427,11 @@ def dsir_score_saved(spark, sf_dir):
 GATE_ANCHORS = [
     "q1_pricing_summary",           # flagship
     "json_graph_roundtrip",         # serialization contract
-    # round-8 operators under driver scrutiny this round
+    # round-8 operators under driver scrutiny this round (the
+    # round-7 entries that already got their driver pass in
+    # CORRECTNESS_r07 rotated back into the pool)
     "difference_polygon", "intersection_polygon_request",
-    "dissolve_exact", "raster_components", "bpe_train",
-    "kn_perplexity", "temperature_mix", "corpus_prep_kn",
-    "spatial_join", "spatial_join_intersects",
+    "dissolve_exact", "spatial_join_intersects",
     "overlay_intersection", "overlay_erase", "convex_hull",
     "buffer_exact_polygon", "raster_polygonize",
     "overlay_union", "overlay_symdiff", "overlay_identity",
