@@ -78,7 +78,7 @@ def main():
                   "oriented_envelope", "subdivide",
                   "streaming_near_dup", "raster_curvature",
                   "aggregate_raster_histogram", "snap_to_grid",
-                  "explode_parts", "ngram_novelty"):
+                  "explode_parts", "ngram_novelty", "raster_proximity"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

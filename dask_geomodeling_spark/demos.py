@@ -2211,6 +2211,39 @@ def raster_curvature_plan(spark, sf_dir):
     return block.plan(spark).withColumn("value", F.round("value", 6))
 
 
+@demo("raster_proximity", oracle="""
+WITH grid AS ({grid}),
+cells AS (SELECT time, y, x, value FROM grid
+          WHERE value IS NOT NULL),
+src AS (SELECT time, y, x FROM cells WHERE value > 900),
+near AS (
+  SELECT c.time, c.y, c.x,
+         MIN(sqrt((c.y - s.y) * (c.y - s.y)
+                  + (c.x - s.x) * (c.x - s.x))) AS d
+  FROM cells c JOIN src s
+    ON c.time = s.time
+   AND abs(c.y - s.y) <= 3 AND abs(c.x - s.x) <= 3
+   AND (c.y - s.y) * (c.y - s.y)
+       + (c.x - s.x) * (c.x - s.x) <= 9
+  GROUP BY c.time, c.y, c.x)
+SELECT c.time, c.y, c.x, ROUND(near.d, 6) AS value
+FROM cells c LEFT JOIN near USING (time, y, x)
+""".format(grid=_grid_sql()))
+def raster_proximity(spark, sf_dir):
+    """RasterProximity (round 8 — gdal_proximity with -maxdist):
+    Euclidean cell-distance to the nearest value>900 cell within
+    radius 3, composed as Greater(grid, 900) → proximity.  Source
+    cells scatter to the bounded literal offset set (one broadcast
+    crossJoin, never data×data), one min aggregation, left join back;
+    out-of-range cells NULL."""
+    from dask_geomodeling_spark.raster.elemwise import Greater
+    from dask_geomodeling_spark.raster.spatial import RasterProximity
+    block = RasterProximity(
+        Greater(lineitem_grid(spark, sf_dir), 900.0),
+        max_distance=3.0)
+    return block.plan(spark).withColumn("value", F.round("value", 6))
+
+
 @demo("raster_hillshade", oracle=_hillshade_oracle())
 def raster_hillshade(spark, sf_dir):
     """HillShade (spatial.py:310): Horn gradient via conditional
@@ -9440,7 +9473,7 @@ GATE_ANCHORS = [
     "rasterize_lines", "min_bounding_circle", "oriented_envelope",
     "subdivide", "streaming_near_dup", "raster_curvature",
     "aggregate_raster_histogram", "snap_to_grid", "explode_parts",
-    "ngram_novelty",
+    "ngram_novelty", "raster_proximity",
 ]
 
 

@@ -720,3 +720,31 @@ def test_aggregate_raster_histogram(spark):
     assert got == [(1, 0.0, 11), (1, 2.0, 5), (2, 0.0, 3),
                    (2, 2.0, 1)]
     assert Block.from_json(h2.to_json()).args[-1] == 2.0
+
+
+def test_raster_proximity(spark):
+    """RasterProximity: exact Euclidean distance field to a single
+    source within max_distance, NULL beyond, boolean-raster sources
+    (elemwise comparisons) accepted."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    from dask_geomodeling_spark.raster.spatial import RasterProximity
+    rows = [(y, x, 1.0 if (y, x) == (2, 2) else 0.0)
+            for y in range(6) for x in range(6)]
+    df = (spark.createDataFrame(rows, "y bigint, x bigint, value double")
+          .select(F.lit("1970-01-01").cast("timestamp").alias("time"),
+                  "y", "x", "value"))
+    out = {(r["y"], r["x"]): r["value"] for r in RasterProximity(
+        DataFrameRasterSource(df), max_distance=2.0)
+        .plan(spark).collect()}
+    assert len(out) == 36
+    for (y, x), v in out.items():
+        want = math.hypot(y - 2, x - 2)
+        if want > 2.0:
+            assert v is None, (y, x)
+        else:
+            assert abs(v - want) < 1e-9, (y, x)
