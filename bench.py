@@ -78,7 +78,8 @@ def main():
                   "oriented_envelope", "subdivide",
                   "streaming_near_dup", "raster_curvature",
                   "aggregate_raster_histogram", "snap_to_grid",
-                  "explode_parts", "ngram_novelty", "raster_proximity"):
+                  "explode_parts", "ngram_novelty", "raster_proximity",
+                  "raster_allocation"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

@@ -2244,6 +2244,40 @@ def raster_proximity(spark, sf_dir):
     return block.plan(spark).withColumn("value", F.round("value", 6))
 
 
+@demo("raster_allocation", oracle="""
+WITH grid AS ({grid}),
+cells AS (SELECT time, y, x, value FROM grid
+          WHERE value IS NOT NULL),
+src AS (SELECT time, y, x, value FROM cells WHERE value >= 900),
+near AS (
+  SELECT c.time, c.y, c.x,
+         MIN(ROW(sqrt((c.y - s.y) * (c.y - s.y)
+                      + (c.x - s.x) * (c.x - s.x)),
+                 s.y, s.x, s.value)) AS m
+  FROM cells c JOIN src s
+    ON c.time = s.time
+   AND abs(c.y - s.y) <= 3 AND abs(c.x - s.x) <= 3
+   AND (c.y - s.y) * (c.y - s.y)
+       + (c.x - s.x) * (c.x - s.x) <= 9
+  GROUP BY c.time, c.y, c.x)
+SELECT c.time, c.y, c.x, ROUND((near.m)[4], 6) AS value
+FROM cells c LEFT JOIN near USING (time, y, x)
+""".format(grid=_grid_sql()))
+def raster_allocation(spark, sf_dir):
+    """RasterAllocation (round 8 — ArcGIS Euclidean Allocation /
+    gdal_proximity allocation mode): each cell takes its nearest
+    value>=900 cell's VALUE within radius 3 — sources from
+    MaskBelow(grid, 900), targets the full grid; nearest-struct-min
+    ties break on (distance, source y, source x) identically in both
+    engines."""
+    from dask_geomodeling_spark.raster.misc import MaskBelow
+    from dask_geomodeling_spark.raster.spatial import RasterAllocation
+    grid = lineitem_grid(spark, sf_dir)
+    block = RasterAllocation(grid, max_distance=3.0,
+                             sources=MaskBelow(grid, 900.0))
+    return block.plan(spark).withColumn("value", F.round("value", 6))
+
+
 @demo("raster_hillshade", oracle=_hillshade_oracle())
 def raster_hillshade(spark, sf_dir):
     """HillShade (spatial.py:310): Horn gradient via conditional
@@ -9473,7 +9507,7 @@ GATE_ANCHORS = [
     "rasterize_lines", "min_bounding_circle", "oriented_envelope",
     "subdivide", "streaming_near_dup", "raster_curvature",
     "aggregate_raster_histogram", "snap_to_grid", "explode_parts",
-    "ngram_novelty", "raster_proximity",
+    "ngram_novelty", "raster_proximity", "raster_allocation",
 ]
 
 

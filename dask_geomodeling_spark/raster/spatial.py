@@ -17,7 +17,7 @@ from dask_geomodeling_spark.raster.base import BaseSingle, RasterBlock
 
 __all__ = ["Dilate", "MovingMax", "Smooth", "HillShade", "Slope",
            "Aspect", "TRI", "TPI", "Roughness", "Place",
-           "Curvature", "RasterProximity"]
+           "Curvature", "RasterProximity", "RasterAllocation"]
 
 
 def _offsets_df(spark, offsets):
@@ -507,3 +507,56 @@ class RasterProximity(BaseSingle):
                 .join(near, ["time", "y", "x"], "left")
                 .select("time", "y", "x",
                         F.col("_d").alias("value")))
+
+
+class RasterAllocation(BaseSingle):
+    """Bounded-radius Euclidean ALLOCATION — each cell takes the
+    VALUE of its nearest source cell within ``max_distance`` (ArcGIS
+    Euclidean Allocation / the Voronoi-label counterpart of
+    :class:`RasterProximity`; same scatter shape).  Ties break
+    deterministically toward the smaller (distance, source y, source
+    x) triple via one native struct-min.  Cells with no source in
+    range take NULL.  ``sources`` (optional RasterBlock) supplies a
+    separate source raster — e.g. MaskBelow(store, t) — while the
+    output covers the STORE's cells."""
+
+    def __init__(self, store, max_distance=4.0, values=None,
+                 sources=None):
+        d = float(max_distance)
+        if not d > 0:
+            raise ValueError("max_distance must be > 0")
+        if values is not None:
+            values = tuple(float(v) for v in values)
+        super().__init__(store, d, values, sources)
+
+    def _build(self, ctx):
+        d, values = float(self.args[1]), self.args[2]
+        df = self.store._build(ctx).filter(F.col("value").isNotNull())
+        sstore = self.args[3]
+        sdf = (sstore._build(ctx).filter(F.col("value").isNotNull())
+               if sstore is not None else df)
+        v = F.col("value").cast("double")
+        if values is None:
+            src = sdf.filter(v != 0)
+        else:
+            src = sdf.filter(v.isin([float(x) for x in values]))
+        r = int(math.floor(d))
+        offs = [(dy, dx, math.sqrt(dy * dy + dx * dx))
+                for dy in range(-r, r + 1) for dx in range(-r, r + 1)
+                if dy * dy + dx * dx <= d * d]
+        offsets = _offsets_df(ctx.spark, offs)
+        near = (src.crossJoin(offsets)
+                .select("time",
+                        (F.col("y") + F.col("dy")).alias("y"),
+                        (F.col("x") + F.col("dx")).alias("x"),
+                        F.struct(
+                            F.col("w").alias("d"),
+                            (F.col("y")).alias("sy"),
+                            (F.col("x")).alias("sx"),
+                            F.col("value").alias("v")).alias("_s"))
+                .groupBy("time", "y", "x")
+                .agg(F.min("_s").alias("_s")))
+        return (df.select("time", "y", "x")
+                .join(near, ["time", "y", "x"], "left")
+                .select("time", "y", "x",
+                        F.col("_s.v").alias("value")))

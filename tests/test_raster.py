@@ -748,3 +748,31 @@ def test_raster_proximity(spark):
             assert v is None, (y, x)
         else:
             assert abs(v - want) < 1e-9, (y, x)
+
+
+def test_raster_allocation(spark):
+    """RasterAllocation: nearest-source VALUE within maxdist, ties
+    deterministic on (distance, source y, source x), separate
+    sources raster, NULL beyond range."""
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    from dask_geomodeling_spark.raster.spatial import RasterAllocation
+    # two sources (value 7 at (0,0), value 9 at (0,4)); cell (0,2) is
+    # equidistant -> the smaller (sy, sx) wins -> 7
+    rows = []
+    for y in range(3):
+        for x in range(5):
+            v = 7.0 if (y, x) == (0, 0) else (
+                9.0 if (y, x) == (0, 4) else 0.0)
+            rows.append((y, x, v))
+    df = (spark.createDataFrame(rows, "y bigint, x bigint, value double")
+          .select(F.lit("1970-01-01").cast("timestamp").alias("time"),
+                  "y", "x", "value"))
+    out = {(r["y"], r["x"]): r["value"] for r in RasterAllocation(
+        DataFrameRasterSource(df), max_distance=2.0)
+        .plan(spark).collect()}
+    assert out[(0, 1)] == 7.0 and out[(0, 3)] == 9.0
+    assert out[(0, 2)] == 7.0          # tie -> smaller source coords
+    assert out[(2, 2)] is None         # beyond maxdist
