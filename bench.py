@@ -79,7 +79,7 @@ def main():
                   "streaming_near_dup", "raster_curvature",
                   "aggregate_raster_histogram", "snap_to_grid",
                   "explode_parts", "ngram_novelty", "raster_proximity",
-                  "raster_allocation"):
+                  "raster_allocation", "corpus_prep_ccnet"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

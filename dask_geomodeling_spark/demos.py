@@ -8060,6 +8060,51 @@ def ccnet_buckets_lang(spark, sf_dir):
     return CCNetBuckets(documents_src(sf_dir), by="lang").plan(spark)
 
 
+@demo("corpus_prep_ccnet", oracle="""
+WITH kn AS ({kn}),
+kl AS (
+  SELECT kn.doc_id, d.lang, kn.perplexity
+  FROM kn JOIN documents d USING (doc_id)
+  WHERE kn.perplexity IS NOT NULL),
+b AS (
+  SELECT doc_id, lang,
+         NTILE(3) OVER (PARTITION BY lang
+                        ORDER BY perplexity, doc_id) AS nt
+  FROM kl),
+surv AS (SELECT doc_id, lang FROM b WHERE nt <= 2),
+c AS (SELECT lang, COUNT(*) AS n FROM surv GROUP BY lang),
+z AS (SELECT SUM(pow(CAST(n AS DOUBLE), 0.3)) AS z FROM c),
+p AS (SELECT lang, n, pow(CAST(n AS DOUBLE), 0.3) / z.z AS p
+      FROM c, z),
+tt AS (SELECT MIN(n / p) AS t FROM p),
+thr AS (SELECT lang,
+          CAST(floor(LEAST(CAST(1.0 AS DOUBLE), p * tt.t / n)
+               * 2147483647) AS BIGINT) AS thr
+        FROM p, tt)
+SELECT s.doc_id, s.lang
+FROM surv s JOIN thr USING (lang)
+WHERE (s.doc_id * 2654435761) % 2147483647 < thr.thr
+""".format(kn=_KN_ORACLE))
+def corpus_prep_ccnet(spark, sf_dir):
+    """End-to-end CCNet corpus prep (round 8): corpus-fitted KN
+    perplexity → per-LANGUAGE head/middle/tail split (grouped
+    windowless NTILE) → keep the two most-fluent thirds →
+    TemperatureMix(alpha=0.3) rebalances the surviving languages.
+    The survivor frame lazily localCheckpoints so the mixing count
+    chains do not re-run the KN fit; the whole chain is ONE SQL
+    oracle."""
+    from dask_geomodeling_spark.pipeline.lm import CCNetBuckets
+    from dask_geomodeling_spark.pipeline.sample import TemperatureMix
+    cb = CCNetBuckets(documents_src(sf_dir), by="lang").plan(spark)
+    surv = (cb.where(F.col("bucket").isin("head", "middle"))
+            .select("doc_id", "lang")
+            .localCheckpoint(eager=False))
+    mixed = TemperatureMix(
+        DataFrameSource(surv, index_column="doc_id"), alpha=0.3,
+        category_column="lang")
+    return mixed.plan(spark).select("doc_id", "lang")
+
+
 @demo("corpus_prep_classifier", oracle="""
 WITH q AS (
  SELECT doc_id, lang, length(text) AS n,
@@ -9508,6 +9553,7 @@ GATE_ANCHORS = [
     "subdivide", "streaming_near_dup", "raster_curvature",
     "aggregate_raster_histogram", "snap_to_grid", "explode_parts",
     "ngram_novelty", "raster_proximity", "raster_allocation",
+    "corpus_prep_ccnet",
 ]
 
 
