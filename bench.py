@@ -79,7 +79,8 @@ def main():
                   "streaming_near_dup", "raster_curvature",
                   "aggregate_raster_histogram", "snap_to_grid",
                   "explode_parts", "ngram_novelty", "raster_proximity",
-                  "raster_allocation", "corpus_prep_ccnet"):
+                  "raster_allocation", "corpus_prep_ccnet",
+                  "points_along_path"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

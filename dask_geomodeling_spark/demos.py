@@ -4378,6 +4378,48 @@ def explode_parts(spark, sf_dir):
             .select("lid", "part", "area"))
 
 
+@demo("points_along_path", oracle="""
+WITH a AS (
+  SELECT DISTINCT CAST(c_custkey % 1000 AS BIGINT) AS lid
+  FROM customer),
+a2 AS (
+  SELECT lid,
+         CAST(40 * (lid % 25) AS DOUBLE) AS x0,
+         CAST(40 * (lid // 25) AS DOUBLE) AS y0
+  FROM a)
+SELECT lid, CAST(j AS BIGINT) AS pt_idx,
+       ROUND(3.0 * j, 6) AS dist,
+       ROUND(x0 + LEAST(3.0 * j, 7.0), 6) AS x,
+       ROUND(y0 + GREATEST(3.0 * j - 7.0, 0.0), 6) AS y
+FROM a2, LATERAL (SELECT unnest(range(0, 5)) AS j) t
+""")
+def points_along_path(spark, sf_dir):
+    """PointsAlongPath (round 8 — ST_LineInterpolatePoint sweep):
+    points every 3 units along L-shaped length-13 polylines — prefix-
+    sum segment lookup + linear interpolation in ONE nested column
+    expression; the corner crossover (d > 7 moves onto the vertical
+    leg) is the closed-form oracle's CASE."""
+    from dask_geomodeling_spark.geometry.constructive import (
+        PointsAlongPath)
+    customer = ensure_min_partitions(
+        read_nanos_parquet(spark, _pq(sf_dir, "customer")), spark)
+    src = (customer.select(
+        F.expr("CAST(c_custkey % 1000 AS BIGINT)").alias("lid"))
+        .distinct()
+        .withColumn("x0", F.expr("CAST(40 * (lid % 25) AS DOUBLE)"))
+        .withColumn("y0", F.expr("CAST(40 * (lid DIV 25) AS DOUBLE)"))
+        .select("lid", F.expr(
+            "array(array(x0, y0), array(x0 + 7.0D, y0), "
+            "array(x0 + 7.0D, y0 + 6.0D))").alias("path")))
+    pap = PointsAlongPath(DataFrameSource(src, index_column="lid"),
+                          step=3.0)
+    return (pap.plan(spark)
+            .select("lid", "pt_idx",
+                    F.round("dist", 6).alias("dist"),
+                    F.round("x", 6).alias("x"),
+                    F.round("y", 6).alias("y")))
+
+
 @demo("buffer_exact_polygon", oracle="""
 WITH t AS (
   SELECT s_suppkey,
@@ -9553,7 +9595,7 @@ GATE_ANCHORS = [
     "subdivide", "streaming_near_dup", "raster_curvature",
     "aggregate_raster_histogram", "snap_to_grid", "explode_parts",
     "ngram_novelty", "raster_proximity", "raster_allocation",
-    "corpus_prep_ccnet",
+    "corpus_prep_ccnet", "points_along_path",
 ]
 
 

@@ -833,3 +833,88 @@ class ExplodeParts(BaseSingle):
     @property
     def columns(self):
         return set(self.source.columns) | {"part"}
+
+
+class PointsAlongPath(BaseSingle):
+    """Emit points every ``step`` along each polyline (the PostGIS
+    ``ST_LineInterpolatePoint`` sweep / QGIS "points along geometry"):
+    distances 0, step, 2·step, … ≤ length locate their segment via
+    the prefix-sum length array and linearly interpolate — ONE nested
+    higher-order expression per row (prefix sums by aggregate fold,
+    segment lookup by counting cum entries ≤ d), pure column math,
+    map-side.  Zero-length segments contribute t = 0 (their start).
+
+    Output: one row per point — source columns (``path`` retained) +
+    ``pt_idx`` (0-based along the line), ``dist``, ``x``, ``y``.
+    Rows with NULL/degenerate paths emit nothing.
+    """
+
+    def __init__(self, source, step):
+        st = float(step)
+        if not st > 0:
+            raise ValueError("step must be > 0")
+        clash = {"pt_idx", "dist", "x", "y"} & set(source.columns)
+        if clash:
+            raise ValueError(
+                "column(s) {} collide with PointsAlongPath's output "
+                "columns; rename them upstream".format(sorted(clash)))
+        super().__init__(source, st)
+
+    @property
+    def columns(self):
+        return (set(self.source.columns)
+                | {"pt_idx", "dist", "x", "y"})
+
+    def _build(self, ctx):
+        df = self.source._build(ctx)
+        if "path" not in df.columns:
+            raise ValueError("PointsAlongPath needs a 'path' column")
+        st = "CAST({!r} AS DOUBLE)".format(self.args[1])
+        lens = ("transform(sequence(1, size(path) - 1), "
+                "i -> sqrt(pow(path[i][0] - path[i-1][0], 2) "
+                "+ pow(path[i][1] - path[i-1][1], 2)))")
+        pts = (
+            "CASE WHEN path IS NULL OR size(path) < 2 THEN NULL ELSE "
+            "transform(array({lens}), ls -> "
+            "transform(array(aggregate(ls, "
+            "array(CAST(0 AS DOUBLE)), "
+            "(acc, v) -> array_append(acc, element_at(acc, -1) + v))),"
+            " cum -> "
+            "transform(sequence(0, CAST(floor("
+            "element_at(cum, -1) / {st}) AS INT)), j -> "
+            "named_struct('d', CAST(j AS DOUBLE) * {st}, "
+            "'k', least(size(filter(cum, "
+            "c -> c <= CAST(j AS DOUBLE) * {st})), size(cum) - 1))"
+            "))[0])[0] END").format(lens=lens, st=st)
+        df = df.withColumn("_pp", F.expr(pts))
+        # resolve (d, k) -> coordinates in a second cheap pass (the
+        # lens/cum arrays are out of scope here, but path and the
+        # segment index are all that's needed)
+        seg = (
+            "transform(_pp, s -> named_struct("
+            "'d', s.d, "
+            "'t', CASE WHEN {sl} = 0 THEN CAST(0 AS DOUBLE) "
+            "ELSE (s.d - {cumk}) / {sl} END, 'k', s.k))"
+        )
+        # distance from path start to vertex (k-1): rebuild the prefix
+        # inline for the chosen k only: sum of the first k-1 segment
+        # lengths
+        cumk = ("aggregate(slice({lens}, 1, s.k - 1), "
+                "CAST(0 AS DOUBLE), (a2, v2) -> a2 + v2)"
+                .format(lens=lens))
+        sl = ("element_at({lens}, s.k)".format(lens=lens))
+        df = df.withColumn("_pp", F.expr(
+            seg.format(sl=sl, cumk=cumk)))
+        out = df.select(
+            *df.columns[:-1],
+            F.posexplode("_pp").alias("pt_idx", "_s"))
+        return (out
+                .withColumn("pt_idx", F.col("pt_idx").cast("bigint"))
+                .withColumn("dist", F.col("_s.d"))
+                .withColumn("x", F.expr(
+                    "path[_s.k - 1][0] "
+                    "+ _s.t * (path[_s.k][0] - path[_s.k - 1][0])"))
+                .withColumn("y", F.expr(
+                    "path[_s.k - 1][1] "
+                    "+ _s.t * (path[_s.k][1] - path[_s.k - 1][1])"))
+                .drop("_s"))

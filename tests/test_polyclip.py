@@ -622,3 +622,25 @@ def test_snap_to_grid_and_explode_parts(spark):
             .collect())
     got = {(r["fid"], r["part"]): r["area"] for r in rows}
     assert got == {(1, 0): 4.0, (1, 1): 12.0, (2, None): None}
+
+
+def test_points_along_path(spark):
+    """PointsAlongPath: prefix-sum interpolation crosses segment
+    corners exactly; degenerate and NULL paths emit nothing."""
+    from dask_geomodeling_spark.geometry.constructive import (
+        PointsAlongPath)
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    df = spark.createDataFrame(
+        [(1, [[0.0, 0.0], [7.0, 0.0], [7.0, 6.0]]),
+         (2, [[10.0, 10.0]]), (3, None)],
+        "fid bigint, path array<array<double>>")
+    rows = sorted(
+        ((r["fid"], r["pt_idx"], r["dist"],
+          round(r["x"], 6), round(r["y"], 6))
+         for r in PointsAlongPath(
+             DataFrameSource(df, index_column="fid"), 3.0)
+         .plan(spark).collect()))
+    assert rows == [
+        (1, 0, 0.0, 0.0, 0.0), (1, 1, 3.0, 3.0, 0.0),
+        (1, 2, 6.0, 6.0, 0.0), (1, 3, 9.0, 7.0, 2.0),
+        (1, 4, 12.0, 7.0, 5.0)]
