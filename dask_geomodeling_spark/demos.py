@@ -4420,6 +4420,45 @@ def points_along_path(spark, sf_dir):
                     F.round("y", 6).alias("y")))
 
 
+@demo("affine_transform", oracle="""
+WITH t AS (
+  SELECT s_suppkey,
+         CAST(s_suppkey % 40 AS DOUBLE) AS ax,
+         CAST((s_suppkey * 3) % 40 AS DOUBLE) AS ay
+  FROM supplier)
+SELECT s_suppkey,
+       ROUND(0.6 * ax - 0.8 * ay + 5.0, 6) AS x0,
+       ROUND(0.8 * ax + 0.6 * ay - 2.0, 6) AS y0,
+       CAST(4.0 AS DOUBLE) AS area
+FROM t
+""")
+def affine_transform(spark, sf_dir):
+    """AffineTransform (round 8 — shapely affinity): the 3-4-5
+    rotation (a,b,d,e) = (0.6,-0.8,0.8,0.6) + translation applied to
+    side-2 squares — the first corner's image is closed-form and the
+    rotation preserves the shoelace area exactly (orthonormal,
+    det=+1)."""
+    from dask_geomodeling_spark.geometry.constructive import (
+        AffineTransform)
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        rings_area_expr)
+    supplier = ensure_min_partitions(
+        read_nanos_parquet(spark, _pq(sf_dir, "supplier")), spark)
+    src = (supplier.select(
+        "s_suppkey",
+        F.expr("CAST(s_suppkey % 40 AS DOUBLE)").alias("ax"),
+        F.expr("CAST((s_suppkey * 3) % 40 AS DOUBLE)").alias("ay"))
+        .select("s_suppkey", F.expr(
+            _SQUARE2_RING.format(x="ax", y="ay")).alias("rings")))
+    at = AffineTransform(DataFrameSource(src, index_column="s_suppkey"),
+                         (0.6, -0.8, 0.8, 0.6, 5.0, -2.0))
+    return (at.plan(spark)
+            .select("s_suppkey",
+                    F.round(F.expr("rings[0][0][0]"), 6).alias("x0"),
+                    F.round(F.expr("rings[0][0][1]"), 6).alias("y0"),
+                    F.round(rings_area_expr("rings"), 6).alias("area")))
+
+
 @demo("buffer_exact_polygon", oracle="""
 WITH t AS (
   SELECT s_suppkey,
@@ -9595,7 +9634,7 @@ GATE_ANCHORS = [
     "subdivide", "streaming_near_dup", "raster_curvature",
     "aggregate_raster_histogram", "snap_to_grid", "explode_parts",
     "ngram_novelty", "raster_proximity", "raster_allocation",
-    "corpus_prep_ccnet", "points_along_path",
+    "corpus_prep_ccnet", "points_along_path", "affine_transform",
 ]
 
 

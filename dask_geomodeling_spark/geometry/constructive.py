@@ -918,3 +918,73 @@ class PointsAlongPath(BaseSingle):
                     "path[_s.k - 1][1] "
                     "+ _s.t * (path[_s.k][1] - path[_s.k - 1][1])"))
                 .drop("_s"))
+
+
+class AffineTransform(BaseSingle):
+    """Apply a 2-D affine map ``(x, y) -> (a·x + b·y + xoff,
+    d·x + e·y + yoff)`` to every geometry column (the shapely
+    ``affinity.affine_transform`` six-parameter convention —
+    translate/scale/rotate/shear all compose into one matrix).  Pure
+    column math over ``rings``/``path``/``vertices``/``x``/``y``;
+    bbox columns recompute from corner images (exact for axis-
+    preserving maps, the tight envelope of the transformed box
+    otherwise).  Ring orientation flips under a negative determinant,
+    so reflections reverse each ring to preserve the CCW-outer/
+    CW-hole contract."""
+
+    def __init__(self, source, matrix):
+        m = tuple(float(v) for v in matrix)
+        if len(m) != 6:
+            raise ValueError(
+                "matrix must be (a, b, d, e, xoff, yoff) — the "
+                "shapely affine_transform 2-D convention")
+        super().__init__(source, m)
+
+    @property
+    def columns(self):
+        return set(self.source.columns)
+
+    def _build(self, ctx):
+        df = self.source._build(ctx)
+        cols = set(df.columns)
+        a, b, d, e, xoff, yoff = self.args[1]
+        det = a * e - b * d
+        L = "CAST({!r} AS DOUBLE)"
+        px = ("({a} * {{x}} + {b} * {{y}} + {xo})"
+              .format(a=L.format(a), b=L.format(b), xo=L.format(xoff)))
+        py = ("({d} * {{x}} + {e} * {{y}} + {yo})"
+              .format(d=L.format(d), e=L.format(e), yo=L.format(yoff)))
+        pt = "array({}, {})".format(px.format(x="p[0]", y="p[1]"),
+                                    py.format(x="p[0]", y="p[1]"))
+        out = {}
+        if "rings" in cols:
+            ring = "transform(r, p -> {})".format(pt)
+            if det < 0:
+                ring = "reverse({})".format(ring)
+            out["rings"] = F.expr(
+                "CASE WHEN rings IS NULL THEN NULL ELSE "
+                "transform(rings, r -> {}) END".format(ring))
+        if "path" in cols:
+            out["path"] = F.expr(
+                "CASE WHEN path IS NULL THEN NULL ELSE "
+                "transform(path, p -> {}) END".format(pt))
+        if "vertices" in cols:
+            v = "transform(vertices, p -> {})".format(pt)
+            if det < 0:
+                v = "reverse({})".format(v)
+            out["vertices"] = F.expr(
+                "CASE WHEN vertices IS NULL THEN NULL ELSE {} END"
+                .format(v))
+        if {"x", "y"} <= cols:
+            out["x"] = F.expr(px.format(x="x", y="y"))
+            out["y"] = F.expr(py.format(x="x", y="y"))
+        if {"xmin", "ymin", "xmax", "ymax"} <= cols:
+            xs = [px.format(x=cx, y=cy)
+                  for cx in ("xmin", "xmax") for cy in ("ymin", "ymax")]
+            ys = [py.format(x=cx, y=cy)
+                  for cx in ("xmin", "xmax") for cy in ("ymin", "ymax")]
+            out["xmin"] = F.expr("least({})".format(", ".join(xs)))
+            out["xmax"] = F.expr("greatest({})".format(", ".join(xs)))
+            out["ymin"] = F.expr("least({})".format(", ".join(ys)))
+            out["ymax"] = F.expr("greatest({})".format(", ".join(ys)))
+        return df.withColumns(out)

@@ -644,3 +644,37 @@ def test_points_along_path(spark):
         (1, 0, 0.0, 0.0, 0.0), (1, 1, 3.0, 3.0, 0.0),
         (1, 2, 6.0, 6.0, 0.0), (1, 3, 9.0, 7.0, 2.0),
         (1, 4, 12.0, 7.0, 5.0)]
+
+
+def test_affine_transform(spark):
+    """AffineTransform: rotation preserves area; reflection (det<0)
+    reverses rings so the orientation contract holds; bbox columns
+    recompute from corner images; bad matrices rejected."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.geometry.constructive import (
+        AffineTransform)
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        rings_area_expr)
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    df = spark.createDataFrame(
+        [(1, [[[0.0, 0.0], [2.0, 0.0], [2.0, 1.0], [0.0, 1.0]]],
+          0.0, 0.0, 2.0, 1.0)],
+        "fid bigint, rings array<array<array<double>>>, xmin double, "
+        "ymin double, xmax double, ymax double")
+    rot = AffineTransform(DataFrameSource(df, index_column="fid"),
+                          (0.0, -1.0, 1.0, 0.0, 10.0, 0.0))
+    r = rot.plan(spark).withColumn(
+        "area", F.round(rings_area_expr("rings"), 6)).first()
+    assert r["area"] == 2.0
+    assert (r["xmin"], r["xmax"], r["ymin"], r["ymax"]) == \
+        (9.0, 10.0, 0.0, 2.0)
+    refl = AffineTransform(DataFrameSource(df, index_column="fid"),
+                           (-1.0, 0.0, 0.0, 1.0, 0.0, 0.0))
+    r2 = refl.plan(spark).withColumn(
+        "area", F.round(rings_area_expr("rings"), 6)).first()
+    assert r2["area"] == 2.0  # orientation preserved via reverse
+    with pytest.raises(ValueError):
+        AffineTransform(DataFrameSource(df, index_column="fid"),
+                        (1.0, 0.0, 0.0))
