@@ -80,7 +80,8 @@ def main():
                   "aggregate_raster_histogram", "snap_to_grid",
                   "explode_parts", "ngram_novelty", "raster_proximity",
                   "raster_allocation", "corpus_prep_ccnet",
-                  "points_along_path", "affine_transform"):
+                  "points_along_path", "affine_transform",
+                  "path_substring"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

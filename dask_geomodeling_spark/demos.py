@@ -4459,6 +4459,50 @@ def affine_transform(spark, sf_dir):
                     F.round(rings_area_expr("rings"), 6).alias("area")))
 
 
+@demo("path_substring", oracle="""
+WITH a AS (
+  SELECT DISTINCT CAST(c_custkey % 1000 AS BIGINT) AS lid
+  FROM customer),
+a2 AS (
+  SELECT lid,
+         CAST(40 * (lid % 25) AS DOUBLE) AS x0,
+         CAST(40 * (lid // 25) AS DOUBLE) AS y0
+  FROM a)
+SELECT lid, CAST(3 AS INT) AS n_pts,
+       ROUND(6.5, 6) AS len,
+       ROUND(x0 + 3.25, 6) AS xs,
+       ROUND(y0 + 2.75, 6) AS ye
+FROM a2
+""")
+def path_substring(spark, sf_dir):
+    """PathSubstring (round 8 — ST_LineSubstring): the [0.25, 0.75]
+    fraction of L-shaped length-13 polylines — interpolated
+    endpoints + the interior corner vertex, all closed-form (start
+    x0+3.25 on the horizontal leg, end y0+2.75 up the vertical one,
+    sub-length 6.5)."""
+    from dask_geomodeling_spark.geometry.constructive import (
+        PathSubstring)
+    customer = ensure_min_partitions(
+        read_nanos_parquet(spark, _pq(sf_dir, "customer")), spark)
+    src = (customer.select(
+        F.expr("CAST(c_custkey % 1000 AS BIGINT)").alias("lid"))
+        .distinct()
+        .withColumn("x0", F.expr("CAST(40 * (lid % 25) AS DOUBLE)"))
+        .withColumn("y0", F.expr("CAST(40 * (lid DIV 25) AS DOUBLE)"))
+        .select("lid", F.expr(
+            "array(array(x0, y0), array(x0 + 7.0D, y0), "
+            "array(x0 + 7.0D, y0 + 6.0D))").alias("path")))
+    ps = PathSubstring(DataFrameSource(src, index_column="lid"),
+                       0.25, 0.75)
+    return (ps.plan(spark)
+            .select("lid",
+                    F.expr("size(path)").alias("n_pts"),
+                    F.expr(_PATH_LEN).alias("len"),
+                    F.round(F.expr("path[0][0]"), 6).alias("xs"),
+                    F.round(F.expr("path[size(path)-1][1]"), 6)
+                    .alias("ye")))
+
+
 @demo("buffer_exact_polygon", oracle="""
 WITH t AS (
   SELECT s_suppkey,
@@ -9635,6 +9679,7 @@ GATE_ANCHORS = [
     "aggregate_raster_histogram", "snap_to_grid", "explode_parts",
     "ngram_novelty", "raster_proximity", "raster_allocation",
     "corpus_prep_ccnet", "points_along_path", "affine_transform",
+    "path_substring",
 ]
 
 

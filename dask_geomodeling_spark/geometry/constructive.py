@@ -988,3 +988,82 @@ class AffineTransform(BaseSingle):
             out["ymin"] = F.expr("least({})".format(", ".join(ys)))
             out["ymax"] = F.expr("greatest({})".format(", ".join(ys)))
         return df.withColumns(out)
+
+
+class PathSubstring(BaseSingle):
+    """Extract the sub-polyline between fractional positions
+    ``start`` and ``end`` of each path's length (PostGIS
+    ``ST_LineSubstring``): interpolated endpoints + the interior
+    vertices strictly between them, consecutive duplicates collapsed
+    (exact-vertex landings).  The length-prefix array and both
+    interpolations stage as real columns, so the plan stays flat —
+    pure column math, map-side.  NULL/degenerate paths stay NULL."""
+
+    def __init__(self, source, start=0.0, end=1.0):
+        f0, f1 = float(start), float(end)
+        if not (0.0 <= f0 < f1 <= 1.0):
+            raise ValueError("need 0 <= start < end <= 1")
+        super().__init__(source, f0, f1)
+
+    @property
+    def columns(self):
+        return set(self.source.columns)
+
+    def _build(self, ctx):
+        df = self.source._build(ctx)
+        if "path" not in df.columns:
+            raise ValueError("PathSubstring needs a 'path' column")
+        f0 = "CAST({!r} AS DOUBLE)".format(self.args[1])
+        f1 = "CAST({!r} AS DOUBLE)".format(self.args[2])
+        ok = "(path IS NOT NULL AND size(path) >= 2)"
+        df = df.withColumn("_cum", F.expr(
+            "CASE WHEN {ok} THEN aggregate("
+            "transform(sequence(1, size(path) - 1), "
+            "i -> sqrt(pow(path[i][0] - path[i-1][0], 2) "
+            "+ pow(path[i][1] - path[i-1][1], 2))), "
+            "array(CAST(0 AS DOUBLE)), "
+            "(acc, v) -> array_append(acc, element_at(acc, -1) + v)) "
+            "END".format(ok=ok)))
+
+        def interp(dexpr, name):
+            k = ("least(size(filter(_cum, c -> c <= {d})), "
+                 "size(_cum) - 1)").format(d=dexpr)
+            return F.expr(
+                "CASE WHEN _cum IS NULL THEN NULL ELSE "
+                "transform(array({k}), k -> array("
+                "path[k-1][0] + CASE WHEN element_at(_cum, k + 1) "
+                "= element_at(_cum, k) THEN CAST(0 AS DOUBLE) "
+                "ELSE ({d} - element_at(_cum, k)) "
+                "/ (element_at(_cum, k + 1) - element_at(_cum, k)) "
+                "END * (path[k][0] - path[k-1][0]), "
+                "path[k-1][1] + CASE WHEN element_at(_cum, k + 1) "
+                "= element_at(_cum, k) THEN CAST(0 AS DOUBLE) "
+                "ELSE ({d} - element_at(_cum, k)) "
+                "/ (element_at(_cum, k + 1) - element_at(_cum, k)) "
+                "END * (path[k][1] - path[k-1][1])))[0] END"
+                .format(k=k, d=dexpr)).alias(name)
+
+        total = "element_at(_cum, -1)"
+        df = (df.withColumn("_d0", F.expr(
+                  "CASE WHEN _cum IS NULL THEN NULL "
+                  "ELSE {f0} * {t} END".format(f0=f0, t=total)))
+              .withColumn("_d1", F.expr(
+                  "CASE WHEN _cum IS NULL THEN NULL "
+                  "ELSE {f1} * {t} END".format(f1=f1, t=total))))
+        df = df.withColumn("_p0", interp("_d0", "_p0"))
+        df = df.withColumn("_p1", interp("_d1", "_p1"))
+        newpath = (
+            "aggregate(concat(array(_p0), "
+            "transform(filter(sequence(1, size(path) - 1), "
+            "v -> element_at(_cum, v + 1) > _d0 "
+            "AND element_at(_cum, v + 1) < _d1), v -> path[v]), "
+            "array(_p1)), "
+            "CAST(array() AS array<array<double>>), "
+            "(acc, p) -> CASE WHEN size(acc) > 0 "
+            "AND element_at(acc, -1)[0] = p[0] "
+            "AND element_at(acc, -1)[1] = p[1] THEN acc "
+            "ELSE array_append(acc, p) END)")
+        return (df.withColumn("path", F.expr(
+                    "CASE WHEN _cum IS NULL THEN NULL "
+                    "ELSE {} END".format(newpath)))
+                .drop("_cum", "_d0", "_d1", "_p0", "_p1"))

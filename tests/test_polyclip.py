@@ -678,3 +678,29 @@ def test_affine_transform(spark):
     with pytest.raises(ValueError):
         AffineTransform(DataFrameSource(df, index_column="fid"),
                         (1.0, 0.0, 0.0))
+
+
+def test_path_substring(spark):
+    """PathSubstring: interpolated endpoints + interior vertices,
+    exact-vertex landings dedupe, NULL passthrough, invalid
+    fractions rejected."""
+    import pytest
+
+    from dask_geomodeling_spark.geometry.constructive import (
+        PathSubstring)
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    df = spark.createDataFrame(
+        [(1, [[0.0, 0.0], [7.0, 0.0], [7.0, 6.0]]), (3, None)],
+        "fid bigint, path array<array<double>>")
+    got = {r["fid"]: r["path"] for r in PathSubstring(
+        DataFrameSource(df, index_column="fid"), 0.25, 0.75)
+        .plan(spark).collect()}
+    assert got[1] == [[3.25, 0.0], [7.0, 0.0], [7.0, 2.75]]
+    assert got[3] is None
+    corner = PathSubstring(
+        DataFrameSource(df.where("fid=1"), index_column="fid"),
+        7.0 / 13.0, 1.0).plan(spark).first()["path"]
+    assert corner == [[7.0, 0.0], [7.0, 6.0]]
+    with pytest.raises(ValueError):
+        PathSubstring(DataFrameSource(df, index_column="fid"),
+                      0.8, 0.2)
