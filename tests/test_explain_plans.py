@@ -725,3 +725,41 @@ def test_ccnet_buckets_no_global_window(spark):
     simple = plan_of(cb, "simple")
     assert "Window" not in simple
     assert "CartesianProduct" not in simple
+
+
+def test_rasterize_lines_pure_sql(spark):
+    """Polyline Rasterize stays entirely JVM-side: supercover split +
+    midpoint cells are sequence/transform column math — no Python
+    map stage, no cartesian."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.raster.misc import Rasterize
+    df = spark.createDataFrame(
+        [(1, [[0.5, 0.5], [3.5, 2.5]])],
+        "fid bigint, path array<array<double>>")
+    plan = plan_of(
+        Rasterize(DataFrameSource(df, index_column="fid")).plan(spark),
+        "simple")
+    assert "InPandas" not in plan and "PythonUDF" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_proximity_scatter_is_broadcast_literal(spark):
+    """RasterProximity/Allocation scatter sources against the tiny
+    LITERAL offsets table only — the join is a broadcast nested loop
+    over a LocalTableScan, never a data-sized cartesian."""
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    from dask_geomodeling_spark.raster.spatial import RasterProximity
+    df = (spark.createDataFrame([(0, 0, 1.0)],
+                                "y bigint, x bigint, value double")
+          .select(F.lit("1970-01-01").cast("timestamp").alias("time"),
+                  "y", "x", "value"))
+    plan = plan_of(
+        RasterProximity(DataFrameRasterSource(df), 3.0).plan(spark),
+        "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    # the literal offsets side is the broadcast one
+    assert "BroadcastNestedLoopJoin" in plan
