@@ -81,7 +81,7 @@ def main():
                   "explode_parts", "ngram_novelty", "raster_proximity",
                   "raster_allocation", "corpus_prep_ccnet",
                   "points_along_path", "affine_transform",
-                  "path_substring"):
+                  "path_substring", "simplify_vw"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

@@ -4503,6 +4503,50 @@ def path_substring(spark, sf_dir):
                     .alias("ye")))
 
 
+@demo("simplify_vw", oracle="""
+WITH t AS (
+  SELECT s_suppkey, CAST(s_suppkey % 3 AS DOUBLE) AS h
+  FROM supplier)
+SELECT s_suppkey,
+       CAST(CASE WHEN h = 2 THEN 5 ELSE 4 END AS INT) AS n_pts,
+       ROUND(CASE WHEN h = 2 THEN 20.0 ELSE 16.0 END, 6) AS area
+FROM t
+""")
+def simplify_vw(spark, sf_dir):
+    """Simplify(algorithm='vw') (round 8 — Visvalingam-Whyatt, the
+    mapshaper default): vertices drop by smallest effective triangle
+    area.  A side-4 square carrying three zero-area mid-edge points
+    plus a height-(k%3) bump: the mids always vanish, the bump's
+    area 2h survives only at h=2 (>= tolerance 3) — vertex count and
+    final area closed-form."""
+    from dask_geomodeling_spark.geometry.constructive import Simplify
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        rings_area_expr)
+    supplier = ensure_min_partitions(
+        read_nanos_parquet(spark, _pq(sf_dir, "supplier")), spark)
+    src = (supplier.select(
+        "s_suppkey",
+        F.expr("CAST(s_suppkey % 40 AS DOUBLE)").alias("ax"),
+        F.expr("CAST((s_suppkey * 3) % 40 AS DOUBLE)").alias("ay"),
+        F.expr("CAST(s_suppkey % 3 AS DOUBLE)").alias("h"))
+        .select("s_suppkey", F.expr(
+            "array(array("
+            "array(ax, ay), array(ax + 2.0D, ay), "
+            "array(ax + 4.0D, ay), array(ax + 4.0D, ay + 2.0D), "
+            "array(ax + 4.0D, ay + 4.0D), "
+            "array(ax + 2.0D, ay + 4.0D + h), "
+            "array(ax, ay + 4.0D), array(ax, ay + 2.0D)))")
+            .alias("rings")))
+    vw = Simplify(DataFrameSource(src, index_column="s_suppkey"),
+                  tolerance=3.0, algorithm="vw")
+    return (vw.plan(spark)
+            .select("s_suppkey",
+                    F.expr("CAST(size(rings[0]) AS INT)")
+                    .alias("n_pts"),
+                    F.round(rings_area_expr("rings"), 6)
+                    .alias("area")))
+
+
 @demo("buffer_exact_polygon", oracle="""
 WITH t AS (
   SELECT s_suppkey,
@@ -9679,7 +9723,7 @@ GATE_ANCHORS = [
     "aggregate_raster_histogram", "snap_to_grid", "explode_parts",
     "ngram_novelty", "raster_proximity", "raster_allocation",
     "corpus_prep_ccnet", "points_along_path", "affine_transform",
-    "path_substring",
+    "path_substring", "simplify_vw",
 ]
 
 

@@ -359,6 +359,36 @@ def _dp_path(path, tol):
     return [[float(x), float(y)] for x, y in out]
 
 
+def _vw_chain(pts, min_area, closed):
+    """Visvalingam-Whyatt simplification: repeatedly drop the vertex
+    whose effective triangle area is smallest while it stays below
+    ``min_area`` (ties -> the lowest index, deterministic).  Closed
+    chains use circular neighbors and keep >= 3 vertices; open chains
+    pin both endpoints and keep >= 2.  Returns None for degenerate
+    input."""
+    pts = [(float(p[0]), float(p[1])) for p in pts]
+    if (closed and len(pts) < 3) or (not closed and len(pts) < 2):
+        return None
+
+    def tri(a, b, c):
+        return abs((b[0] - a[0]) * (c[1] - a[1])
+                   - (c[0] - a[0]) * (b[1] - a[1])) / 2.0
+
+    while True:
+        n = len(pts)
+        if (closed and n <= 3) or (not closed and n <= 2):
+            break
+        best = None
+        for i in (range(n) if closed else range(1, n - 1)):
+            ar = tri(pts[(i - 1) % n], pts[i], pts[(i + 1) % n])
+            if best is None or ar < best[0]:
+                best = (ar, i)
+        if best[0] >= min_area:
+            break
+        pts.pop(best[1])
+    return [[x, y] for x, y in pts]
+
+
 class Simplify(BaseSingle):
     """Simplify geometries (reference: geometry/constructive.py:92,
     which runs shapely ``simplify(tolerance, preserve_topology)``).
@@ -387,9 +417,10 @@ class Simplify(BaseSingle):
                  algorithm="snap"):
         if tolerance is not None:
             tolerance = float(tolerance)
-        if algorithm not in ("snap", "dp"):
-            raise ValueError("algorithm must be 'snap' or 'dp', got "
-                             "{!r}".format(algorithm))
+        if algorithm not in ("snap", "dp", "vw"):
+            raise ValueError(
+                "algorithm must be 'snap', 'dp' or 'vw', got "
+                "{!r}".format(algorithm))
         super().__init__(source, tolerance, preserve_topology,
                          algorithm)
 
@@ -402,12 +433,26 @@ class Simplify(BaseSingle):
         tol = self.tolerance
         if not tol:
             return df
-        if self.args[3] == "dp":
+        if self.args[3] in ("dp", "vw"):
             geom_cols = [c for c in ("vertices", "rings", "path")
                          if c in df.columns]
             if not geom_cols:
                 return df
             ftol = float(tol)
+            if self.args[3] == "vw":
+                # tolerance = the MINIMUM effective triangle area
+                # (the mapshaper/Visvalingam convention)
+                def ring_fn(r):
+                    return _vw_chain(r, ftol, True)
+
+                def path_fn(p):
+                    return _vw_chain(p, ftol, False)
+            else:
+                def ring_fn(r):
+                    return _dp_ring(r, ftol)
+
+                def path_fn(p):
+                    return _dp_path(p, ftol)
             # geometry crosses the Arrow boundary as JSON text: this
             # container's pyarrow segfaults converting nullable
             # triple-nested list columns to pandas, and the string
@@ -428,18 +473,18 @@ class Simplify(BaseSingle):
                         if c == "vertices":
                             data[c] = pd.Series(
                                 [None if g is None else json.dumps(
-                                    _dp_ring(json.loads(g), ftol))
+                                    ring_fn(json.loads(g)))
                                  for g in pdf[c]], dtype="object")
                         elif c == "path":
                             data[c] = pd.Series(
                                 [None if g is None else json.dumps(
-                                    _dp_path(json.loads(g), ftol))
+                                    path_fn(json.loads(g)))
                                  for g in pdf[c]], dtype="object")
                         elif c == "rings":
                             data[c] = pd.Series(
                                 [None if g is None else json.dumps(
                                     [r for r in
-                                     (_dp_ring(rr, ftol)
+                                     (ring_fn(rr)
                                       for rr in json.loads(g))
                                      if r is not None])
                                  for g in pdf[c]], dtype="object")

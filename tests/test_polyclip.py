@@ -704,3 +704,29 @@ def test_path_substring(spark):
     with pytest.raises(ValueError):
         PathSubstring(DataFrameSource(df, index_column="fid"),
                       0.8, 0.2)
+
+
+def test_simplify_vw(spark):
+    """Simplify('vw'): zero-area collinear vertices always drop, a
+    bump survives iff its effective area >= tolerance; open paths
+    pin endpoints."""
+    from dask_geomodeling_spark.geometry.constructive import (
+        Simplify, _vw_chain)
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+
+    def ring(h):
+        return [[0.0, 0.0], [2.0, 0.0], [4.0, 0.0], [4.0, 2.0],
+                [4.0, 4.0], [2.0, 4.0 + h], [0.0, 4.0], [0.0, 2.0]]
+    assert _vw_chain(ring(1.0), 3.0, True) == [
+        [0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]]
+    assert len(_vw_chain(ring(2.0), 3.0, True)) == 5
+    assert _vw_chain([[0.0, 0.0], [1.0, 0.05], [2.0, 0.0],
+                      [2.0, 5.0]], 0.5, False) == [
+        [0.0, 0.0], [2.0, 0.0], [2.0, 5.0]]
+    df = spark.createDataFrame(
+        [(1, [ring(0.0)]), (2, [ring(2.0)])],
+        "fid bigint, rings array<array<array<double>>>")
+    got = {r["fid"]: len(r["rings"][0]) for r in Simplify(
+        DataFrameSource(df, index_column="fid"), tolerance=3.0,
+        algorithm="vw").plan(spark).collect()}
+    assert got == {1: 4, 2: 5}
