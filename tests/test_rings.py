@@ -222,6 +222,8 @@ def test_dp_simplify_null_and_degenerate_rings(spark):
 
 
 def test_dp_simplify_rejects_unknown_algorithm(spark):
+    """'vw' became a real algorithm in round 8 — only genuinely
+    unknown names reject now."""
     import pytest as _pytest
 
     from dask_geomodeling_spark.geometry.constructive import Simplify
@@ -229,7 +231,7 @@ def test_dp_simplify_rejects_unknown_algorithm(spark):
     df = spark.createDataFrame([(1, 1.0)], "id bigint, x double")
     with _pytest.raises(ValueError, match="algorithm"):
         Simplify(DataFrameSource(df, index_column="id"),
-                 tolerance=1.0, algorithm="vw")
+                 tolerance=1.0, algorithm="rdp")
 
 
 def test_spatial_join_rings_and_left(spark):
