@@ -2162,7 +2162,7 @@ cv AS (
 
 @demo("raster_curvature", oracle=_horn_calc_sql() + _CURV_CTE + """
 SELECT s.time, s.y, s.x,
-       ROUND(-2 * (d + e) * 100, 6) AS value
+       ROUND(-2 * (d + e) * 100, 6) + 0.0 AS value
 FROM cv s JOIN (SELECT time, y, x FROM cells) c USING (time, y, x)
 WHERE c11 IS NOT NULL
 """)
@@ -2170,10 +2170,14 @@ def raster_curvature(spark, sf_dir):
     """Curvature (Zevenbergen & Thorne 1987, ArcGIS Curvature
     semantics, round 8): -2(D+E)*100 over the shared 3x3 window —
     the terrain family's second derivative; oracle replays the
-    identical window algebra."""
+    identical window algebra.  ``+ 0.0`` on both sides normalizes
+    signed zeros (round 9): Spark's round() yields +0.0 where DuckDB's
+    ROUND keeps -0.0 for tiny negatives, which the driver's bit hash
+    would otherwise flag."""
     from dask_geomodeling_spark.raster.spatial import Curvature
     block = Curvature(lineitem_grid(spark, sf_dir, "R"))
-    return block.plan(spark).withColumn("value", F.round("value", 6))
+    return block.plan(spark).withColumn("value",
+                                        F.round("value", 6) + 0.0)
 
 
 @demo("raster_curvature_profile", oracle=_horn_calc_sql() + _CURV_CTE
@@ -2181,34 +2185,38 @@ def raster_curvature(spark, sf_dir):
 SELECT s.time, s.y, s.x,
        CASE WHEN g2 = 0 AND h2 = 0 THEN 0.0
             ELSE ROUND(-2 * (d*g2*g2 + e*h2*h2 + f*g2*h2)
-                       / (g2*g2 + h2*h2) * 100, 6) END AS value
+                       / (g2*g2 + h2*h2) * 100, 6) + 0.0 END AS value
 FROM cv s JOIN (SELECT time, y, x FROM cells) c USING (time, y, x)
 WHERE c11 IS NOT NULL
 """)
 def raster_curvature_profile(spark, sf_dir):
     """Curvature(kind='profile') (round 8): curvature in the
     downslope direction — the erosion/deposition signal; flat cells
-    0.0 (ArcGIS convention)."""
+    0.0 (ArcGIS convention).  Signed zeros normalized (+ 0.0) both
+    sides, round 9."""
     from dask_geomodeling_spark.raster.spatial import Curvature
     block = Curvature(lineitem_grid(spark, sf_dir, "R"),
                       kind="profile")
-    return block.plan(spark).withColumn("value", F.round("value", 6))
+    return block.plan(spark).withColumn("value",
+                                        F.round("value", 6) + 0.0)
 
 
 @demo("raster_curvature_plan", oracle=_horn_calc_sql() + _CURV_CTE + """
 SELECT s.time, s.y, s.x,
        CASE WHEN g2 = 0 AND h2 = 0 THEN 0.0
             ELSE ROUND(2 * (d*h2*h2 + e*g2*g2 - f*g2*h2)
-                       / (g2*g2 + h2*h2) * 100, 6) END AS value
+                       / (g2*g2 + h2*h2) * 100, 6) + 0.0 END AS value
 FROM cv s JOIN (SELECT time, y, x FROM cells) c USING (time, y, x)
 WHERE c11 IS NOT NULL
 """)
 def raster_curvature_plan(spark, sf_dir):
     """Curvature(kind='plan') (round 8): curvature transverse to the
-    slope — flow convergence/divergence; flat cells 0.0."""
+    slope — flow convergence/divergence; flat cells 0.0.  Signed
+    zeros normalized (+ 0.0) both sides, round 9."""
     from dask_geomodeling_spark.raster.spatial import Curvature
     block = Curvature(lineitem_grid(spark, sf_dir, "R"), kind="plan")
-    return block.plan(spark).withColumn("value", F.round("value", 6))
+    return block.plan(spark).withColumn("value",
+                                        F.round("value", 6) + 0.0)
 
 
 @demo("raster_proximity", oracle="""
@@ -2635,9 +2643,9 @@ WITH pts AS (
   FROM supplier
 )
 SELECT s_suppkey,
-       ROUND(6378137.0 * radians(lon), 6) AS x,
+       ROUND(6378137.0 * radians(lon), 6) + 0.0 AS x,
        ROUND(6378137.0 * ln(tan(pi() / 4.0 + radians(lat) / 2.0)), 6)
-           AS y
+           + 0.0 AS y
 FROM pts
 """)
 def reproject(spark, sf_dir):
@@ -2652,7 +2660,8 @@ def reproject(spark, sf_dir):
     block = Reproject(DataFrameSource(pts, index_column="s_suppkey"),
                       "EPSG:4326", "EPSG:3857")
     return block.plan(spark).select(
-        "s_suppkey", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"))
+        "s_suppkey", (F.round("x", 6) + 0.0).alias("x"),
+        (F.round("y", 6) + 0.0).alias("y"))
 
 
 def _utm33_oracle():
@@ -2871,9 +2880,9 @@ def _projext_oracle(crs, lon0, lon_span, lat0, lat_span,
     return """
 WITH pts AS (SELECT c_custkey, {lon} AS lon, {lat} AS lat FROM customer),
 fwd AS (SELECT c_custkey, lon, lat, {x} AS px, {y} AS py FROM pts)
-SELECT c_custkey, round(px, 1) AS px, round(py, 1) AS py,
-       round(({lon_b}) - lon, {rd}) AS dlon,
-       round(({lat_b}) - lat, {rd}) AS dlat
+SELECT c_custkey, round(px, 1) + 0.0 AS px, round(py, 1) + 0.0 AS py,
+       round(({lon_b}) - lon, {rd}) + 0.0 AS dlon,
+       round(({lat_b}) - lat, {rd}) + 0.0 AS dlat
 FROM fwd
 """.format(lon=lon, lat=lat, x=x, y=y, lon_b=lon_b, lat_b=lat_b,
            rd=res_decimals)
@@ -2892,13 +2901,20 @@ def _projext_roundtrip(spark, sf_dir, crs, lon0, lon_span, lat0,
     src = DataFrameSource(pts, index_column="c_custkey")
     fwd = Reproject(src, "EPSG:4326", crs)
     back = Reproject(fwd, crs, "EPSG:4326")
+    # ``+ 0.0`` normalizes IEEE signed zeros (-0.0 + 0.0 == +0.0) so
+    # the driver's bit-level value hash cannot diverge on residuals
+    # that round to zero with different signs across engines (round 9;
+    # the oracle side applies the same convention).
     f = fwd.plan(spark).select(
         "c_custkey",
-        F.round("x", 1).alias("px"), F.round("y", 1).alias("py"))
+        (F.round("x", 1) + 0.0).alias("px"),
+        (F.round("y", 1) + 0.0).alias("py"))
     b = back.plan(spark).select(
         "c_custkey",
-        F.round(F.col("x") - F.expr(lon), res_decimals).alias("dlon"),
-        F.round(F.col("y") - F.expr(lat), res_decimals).alias("dlat"))
+        (F.round(F.col("x") - F.expr(lon), res_decimals) + 0.0)
+        .alias("dlon"),
+        (F.round(F.col("y") - F.expr(lat), res_decimals) + 0.0)
+        .alias("dlat"))
     return f.join(b, "c_custkey")
 
 
@@ -2965,9 +2981,9 @@ def _projext_staged_oracle(crs, lon0, lon_span, lat0, lat_span,
         cur_x, cur_y, prev = name + "x", name + "y", name
     return """
 {ctes}
-SELECT c_custkey, round({fx}, 1) AS px, round({fy}, 1) AS py,
-       round({bx} - lon, {rd}) AS dlon,
-       round({by} - lat, {rd}) AS dlat
+SELECT c_custkey, round({fx}, 1) + 0.0 AS px, round({fy}, 1) + 0.0 AS py,
+       round({bx} - lon, {rd}) + 0.0 AS dlon,
+       round({by} - lat, {rd}) + 0.0 AS dlat
 FROM {p}
 """.format(ctes=",\n".join(parts), fx=fx, fy=fy, bx=cur_x, by=cur_y,
            rd=res_decimals, p=prev)

@@ -898,11 +898,14 @@ class PointsAlongPath(BaseSingle):
         st = float(step)
         if not st > 0:
             raise ValueError("step must be > 0")
-        clash = {"pt_idx", "dist", "x", "y"} & set(source.columns)
+        clash = ({"pt_idx", "dist", "x", "y",
+                  "_j", "_k", "_lens", "_cum", "_t"}
+                 & set(source.columns))
         if clash:
             raise ValueError(
                 "column(s) {} collide with PointsAlongPath's output "
-                "columns; rename them upstream".format(sorted(clash)))
+                "or staging columns; rename them upstream"
+                .format(sorted(clash)))
         super().__init__(source, st)
 
     @property
@@ -911,58 +914,66 @@ class PointsAlongPath(BaseSingle):
                 | {"pt_idx", "dist", "x", "y"})
 
     def _build(self, ctx):
+        # Staged-column layout (round 9, the PathSubstring pattern):
+        # the segment-length and prefix-sum arrays materialize ONCE as
+        # real columns (_lens/_cum), so the per-point segment lookup
+        # references a column instead of textually re-substituting the
+        # whole length transform per point — the round-8 version's
+        # duplicated expression tree cost 8.9 s on a 1,000-row demo;
+        # this one is plain O(points) column math over shared arrays.
         df = self.source._build(ctx)
         if "path" not in df.columns:
             raise ValueError("PointsAlongPath needs a 'path' column")
         st = "CAST({!r} AS DOUBLE)".format(self.args[1])
-        lens = ("transform(sequence(1, size(path) - 1), "
-                "i -> sqrt(pow(path[i][0] - path[i-1][0], 2) "
-                "+ pow(path[i][1] - path[i-1][1], 2)))")
-        pts = (
+        df = df.withColumn("_lens", F.expr(
             "CASE WHEN path IS NULL OR size(path) < 2 THEN NULL ELSE "
-            "transform(array({lens}), ls -> "
-            "transform(array(aggregate(ls, "
-            "array(CAST(0 AS DOUBLE)), "
-            "(acc, v) -> array_append(acc, element_at(acc, -1) + v))),"
-            " cum -> "
-            "transform(sequence(0, CAST(floor("
-            "element_at(cum, -1) / {st}) AS INT)), j -> "
-            "named_struct('d', CAST(j AS DOUBLE) * {st}, "
-            "'k', least(size(filter(cum, "
-            "c -> c <= CAST(j AS DOUBLE) * {st})), size(cum) - 1))"
-            "))[0])[0] END").format(lens=lens, st=st)
-        df = df.withColumn("_pp", F.expr(pts))
-        # resolve (d, k) -> coordinates in a second cheap pass (the
-        # lens/cum arrays are out of scope here, but path and the
-        # segment index are all that's needed)
-        seg = (
-            "transform(_pp, s -> named_struct("
-            "'d', s.d, "
-            "'t', CASE WHEN {sl} = 0 THEN CAST(0 AS DOUBLE) "
-            "ELSE (s.d - {cumk}) / {sl} END, 'k', s.k))"
-        )
-        # distance from path start to vertex (k-1): rebuild the prefix
-        # inline for the chosen k only: sum of the first k-1 segment
-        # lengths
-        cumk = ("aggregate(slice({lens}, 1, s.k - 1), "
-                "CAST(0 AS DOUBLE), (a2, v2) -> a2 + v2)"
-                .format(lens=lens))
-        sl = ("element_at({lens}, s.k)".format(lens=lens))
-        df = df.withColumn("_pp", F.expr(
-            seg.format(sl=sl, cumk=cumk)))
+            "transform(sequence(1, size(path) - 1), "
+            "i -> sqrt(pow(path[i][0] - path[i-1][0], 2) "
+            "+ pow(path[i][1] - path[i-1][1], 2))) END"))
+        df = df.withColumn("_cum", F.expr(
+            "CASE WHEN _lens IS NULL THEN NULL ELSE "
+            "aggregate(_lens, array(CAST(0 AS DOUBLE)), "
+            "(acc, v) -> array_append(acc, element_at(acc, -1) + v)) "
+            "END"))
+        # Explode a CHEAP generator input (the point-index sequence),
+        # never a precomputed per-point struct array: the optimizer's
+        # InferFiltersFromGenerate synthesizes a size(input) > 0
+        # predicate and pushes it to the scan with the generator input
+        # fully inlined — with the struct array that re-evaluated the
+        # whole per-point lookup chain per SOURCE row (9 s on the
+        # 1,000-row demo); with the sequence it is one O(m) prefix-sum
+        # evaluation per row.  Segment lookup and interpolation then
+        # run post-explode against the real _lens/_cum attributes,
+        # where nothing can be inlined through the Generate.
+        keep = [c for c in df.columns if c not in ("_lens", "_cum")]
         out = df.select(
-            *df.columns[:-1],
-            F.posexplode("_pp").alias("pt_idx", "_s"))
+            *keep, "_lens", "_cum",
+            F.posexplode(F.expr(
+                "CASE WHEN _cum IS NULL THEN "
+                "CAST(NULL AS ARRAY<INT>) ELSE sequence(0, CAST(floor("
+                "element_at(_cum, -1) / {st}) AS INT)) END"
+                .format(st=st))).alias("pt_idx", "_j"))
+        # segment k: last prefix entry <= d, capped to the final
+        # segment so an exact end-of-line landing interpolates at t=1
         return (out
                 .withColumn("pt_idx", F.col("pt_idx").cast("bigint"))
-                .withColumn("dist", F.col("_s.d"))
+                .withColumn("dist", F.expr(
+                    "CAST(_j AS DOUBLE) * {st}".format(st=st)))
+                .withColumn("_k", F.expr(
+                    "least(size(filter(_cum, c -> c <= dist)), "
+                    "size(_cum) - 1)"))
+                .withColumn("_t", F.expr(
+                    "CASE WHEN element_at(_lens, _k) = 0 "
+                    "THEN CAST(0 AS DOUBLE) "
+                    "ELSE (dist - element_at(_cum, _k)) "
+                    "/ element_at(_lens, _k) END"))
                 .withColumn("x", F.expr(
-                    "path[_s.k - 1][0] "
-                    "+ _s.t * (path[_s.k][0] - path[_s.k - 1][0])"))
+                    "path[_k - 1][0] "
+                    "+ _t * (path[_k][0] - path[_k - 1][0])"))
                 .withColumn("y", F.expr(
-                    "path[_s.k - 1][1] "
-                    "+ _s.t * (path[_s.k][1] - path[_s.k - 1][1])"))
-                .drop("_s"))
+                    "path[_k - 1][1] "
+                    "+ _t * (path[_k][1] - path[_k - 1][1])"))
+                .drop("_j", "_k", "_t", "_lens", "_cum"))
 
 
 class AffineTransform(BaseSingle):

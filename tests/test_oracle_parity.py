@@ -3,6 +3,7 @@ DuckDB oracle on the same sf0.001 parquet, compare row counts, column
 names, and (order-insensitively) values."""
 
 import math
+import struct
 
 import duckdb
 import pytest
@@ -22,20 +23,23 @@ def con():
 
 
 def normalize(df):
-    """Sort columns by name, round floats, sort rows — order-insensitive
-    canonical form."""
+    """Sort columns by name and sort rows by a 6-decimal-rounded key,
+    but KEEP raw float values: the driver hashes raw bits (0.0 and
+    -0.0 hash apart), so the comparator must see the raw doubles too
+    (round 9 — this is what lets the suite catch the signed-zero class
+    the old round-then-compare version was blind to)."""
     import pandas as pd
     df = df.reindex(sorted(df.columns), axis=1)
+    key = {}
     for c in df.columns:
-        if df[c].dtype == "float64":
-            df[c] = df[c].round(6)
-        elif str(df[c].dtype).startswith("datetime64"):
+        if str(df[c].dtype).startswith("datetime64"):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
         elif df[c].dtype == "object":
             df[c] = df[c].map(
                 lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
-    return df
+        key[c] = df[c].round(6) if df[c].dtype == "float64" else df[c]
+    order = pd.DataFrame(key).sort_values(by=list(df.columns)).index
+    return df.loc[order].reset_index(drop=True)
 
 
 def assert_parity(spark, con, name):
@@ -63,8 +67,11 @@ def assert_parity(spark, con, name):
             if isinstance(x, float) and isinstance(y, float):
                 if math.isnan(x) and math.isnan(y):
                     continue
-                assert abs(x - y) < 1e-6, (
-                    "{}.{}[{}]: {} != {}".format(name, c, i, x, y))
+                # bit-sensitive, like the driver's value hash: -0.0
+                # vs 0.0 must fail here exactly as it fails there
+                assert struct.pack("<d", x) == struct.pack("<d", y), (
+                    "{}.{}[{}]: {!r} != {!r} (bit-level)".format(
+                        name, c, i, x, y))
             else:
                 assert (x == y) or (x is None and y is None) or (
                     x != x and y != y), (
