@@ -5045,6 +5045,146 @@ def gml_roundtrip(spark, sf_dir):
                                    "ymin", "xmax", "ymax", "area")
 
 
+@demo("shp_sink_roundtrip", oracle="""
+SELECT s_suppkey,
+       CAST(s_suppkey % 58 AS DOUBLE) AS xmin,
+       CAST((s_suppkey * 5) % 43 AS DOUBLE) AS ymin,
+       CAST(s_suppkey % 58 + 4 + s_suppkey % 3 AS DOUBLE) AS xmax,
+       CAST((s_suppkey * 5) % 43 + 3 + s_suppkey % 2 AS DOUBLE) AS ymax,
+       CAST((4 + s_suppkey % 3) * (3 + s_suppkey % 2) - 1 AS DOUBLE)
+           AS area
+FROM supplier
+""")
+def shp_sink_roundtrip(spark, sf_dir):
+    """GeometryFileSink(extension='shp') — the reference's DEFAULT
+    egress format (reference geometry/sinks.py:81, fiona 'ESRI
+    Shapefile' driver; round 9 closes the write half): distributed
+    donut polygons write as per-partition .shp/.shx/.dbf triples (the
+    per-tile model — one task, one file), read back through
+    ShapefileGeometrySource, and Area over the re-decoded rings must
+    reproduce the closed form — so geometry AND dbf attributes survive
+    the full disk orientation/format cycle written by executors."""
+    import tempfile
+
+    from dask_geomodeling_spark.geometry.geom_operations import Area
+    from dask_geomodeling_spark.geometry.shapefile import (
+        ShapefileGeometrySource)
+    from dask_geomodeling_spark.geometry.sinks import GeometryFileSink
+    supplier = ensure_min_partitions(
+        read_nanos_parquet(spark, _pq(sf_dir, "supplier")), spark)
+    src = supplier.select(
+        "s_suppkey",
+        F.expr("CAST(s_suppkey % 58 AS DOUBLE)").alias("ax"),
+        F.expr("CAST((s_suppkey * 5) % 43 AS DOUBLE)").alias("ay"),
+        F.expr("CAST(4 + s_suppkey % 3 AS DOUBLE)").alias("w"),
+        F.expr("CAST(3 + s_suppkey % 2 AS DOUBLE)").alias("h"),
+    ).select("s_suppkey", F.expr(
+        "array(array(array(ax, ay), array(ax + w, ay), "
+        "array(ax + w, ay + h), array(ax, ay + h)), "
+        "array(array(ax + 1, ay + 1), array(ax + 1, ay + 2), "
+        "array(ax + 2, ay + 2), array(ax + 2, ay + 1)))").alias("rings"))
+    d = tempfile.mkdtemp(prefix="dgs_shpsink_")
+    sink = GeometryFileSink(
+        DataFrameSource(src, index_column="s_suppkey"), d,
+        extension="shp")
+    sink.write(spark)
+    back = ShapefileGeometrySource(d, id_field="s_suppkey")
+    view = back.set("area", Area(back))
+    return view.plan(spark).select("s_suppkey", "xmin", "ymin",
+                                   "xmax", "ymax", "area")
+
+
+@demo("gpkg_sink_roundtrip", oracle="""
+SELECT c_custkey,
+       CAST(c_custkey % 53 AS DOUBLE) AS xmin,
+       CAST((c_custkey * 7) % 37 AS DOUBLE) AS ymin,
+       CAST(c_custkey % 53 + 5 + c_custkey % 4 AS DOUBLE) AS xmax,
+       CAST((c_custkey * 7) % 37 + 4 + c_custkey % 3 AS DOUBLE) AS ymax,
+       CAST((5 + c_custkey % 4) * (4 + c_custkey % 3) - 1 AS DOUBLE)
+           AS area
+FROM customer
+""")
+def gpkg_sink_roundtrip(spark, sf_dir):
+    """GeometryFileSink(extension='gpkg') (reference geometry/
+    sinks.py:81, fiona 'GPKG' driver; round 9 write half): distributed
+    donuts write as per-partition spec-compliant GeoPackages (catalog
+    tables + GP-header WKB, written by executors through the sqlite3
+    stdlib), read back through GeoPackageGeometrySource, Area must
+    reproduce the closed form."""
+    import tempfile
+
+    from dask_geomodeling_spark.geometry.geom_operations import Area
+    from dask_geomodeling_spark.geometry.geopackage import (
+        GeoPackageGeometrySource)
+    from dask_geomodeling_spark.geometry.sinks import GeometryFileSink
+    customer = ensure_min_partitions(
+        read_nanos_parquet(spark, _pq(sf_dir, "customer")), spark)
+    src = customer.select(
+        "c_custkey",
+        F.expr("CAST(c_custkey % 53 AS DOUBLE)").alias("ax"),
+        F.expr("CAST((c_custkey * 7) % 37 AS DOUBLE)").alias("ay"),
+        F.expr("CAST(5 + c_custkey % 4 AS DOUBLE)").alias("w"),
+        F.expr("CAST(4 + c_custkey % 3 AS DOUBLE)").alias("h"),
+    ).select("c_custkey", F.expr(
+        "array(array(array(ax, ay), array(ax + w, ay), "
+        "array(ax + w, ay + h), array(ax, ay + h)), "
+        "array(array(ax + 1, ay + 1), array(ax + 1, ay + 2), "
+        "array(ax + 2, ay + 2), array(ax + 2, ay + 1)))").alias("rings"))
+    d = tempfile.mkdtemp(prefix="dgs_gpkgsink_")
+    sink = GeometryFileSink(
+        DataFrameSource(src, index_column="c_custkey"), d,
+        extension="gpkg")
+    sink.write(spark)
+    back = GeoPackageGeometrySource(d, id_field="c_custkey")
+    view = back.set("area", Area(back))
+    return view.plan(spark).select("c_custkey", "xmin", "ymin",
+                                   "xmax", "ymax", "area")
+
+
+@demo("gml_sink_roundtrip", oracle="""
+SELECT n_nationkey, n_name,
+       CAST(n_nationkey * 4 AS DOUBLE) AS xmin,
+       CAST(n_nationkey % 6 AS DOUBLE) AS ymin,
+       CAST(n_nationkey * 4 + 3 + n_nationkey % 2 AS DOUBLE) AS xmax,
+       CAST(n_nationkey % 6 + 5 AS DOUBLE) AS ymax,
+       CAST((3 + n_nationkey % 2) * 5 - 1 AS DOUBLE) AS area
+FROM nation
+""")
+def gml_sink_roundtrip(spark, sf_dir):
+    """GeometryFileSink(extension='gml') (reference geometry/
+    sinks.py:81, fiona 'GML' driver; round 9 write half): distributed
+    donuts write as per-partition GML FeatureCollections, read back
+    through GMLGeometrySource (Spark-native XML source + HOF posList
+    parsing), Area and the string property must reproduce the closed
+    form."""
+    import tempfile
+
+    from dask_geomodeling_spark.geometry.geom_operations import Area
+    from dask_geomodeling_spark.geometry.sinks import GeometryFileSink
+    from dask_geomodeling_spark.geometry.xmlformats import (
+        GMLGeometrySource)
+    nation = read_nanos_parquet(spark, _pq(sf_dir, "nation"))
+    src = nation.select(
+        "n_nationkey", "n_name",
+        F.expr("CAST(n_nationkey * 4 AS DOUBLE)").alias("ax"),
+        F.expr("CAST(n_nationkey % 6 AS DOUBLE)").alias("ay"),
+        F.expr("CAST(3 + n_nationkey % 2 AS DOUBLE)").alias("w"),
+    ).select("n_nationkey", "n_name", F.expr(
+        "array(array(array(ax, ay), array(ax + w, ay), "
+        "array(ax + w, ay + 5.0D), array(ax, ay + 5.0D)), "
+        "array(array(ax + 1, ay + 1), array(ax + 1, ay + 2), "
+        "array(ax + 2, ay + 2), array(ax + 2, ay + 1)))").alias("rings"))
+    d = tempfile.mkdtemp(prefix="dgs_gmlsink_")
+    sink = GeometryFileSink(
+        DataFrameSource(src, index_column="n_nationkey"), d,
+        extension="gml")
+    sink.write(spark)
+    back = GMLGeometrySource(d, id_field="n_nationkey")
+    view = back.set("area", Area(back))
+    return view.plan(spark).select("n_nationkey", "n_name", "xmin",
+                                   "ymin", "xmax", "ymax", "area")
+
+
 @demo("wet_source", oracle="""
 SELECT doc_id,
        'http://crawl.example/doc/' || doc_id AS uri,
@@ -9724,22 +9864,21 @@ def dsir_score_saved(spark, sf_dir):
 GATE_ANCHORS = [
     "q1_pricing_summary",           # flagship
     "json_graph_roundtrip",         # serialization contract
-    # round-8 operators under driver scrutiny this round (the
-    # round-7 entries that already got their driver pass in
-    # CORRECTNESS_r07 rotated back into the pool)
-    "difference_polygon", "intersection_polygon_request",
-    "dissolve_exact", "spatial_join_intersects",
-    "overlay_intersection", "overlay_erase", "convex_hull",
-    "buffer_exact_polygon", "raster_polygonize",
-    "overlay_union", "overlay_symdiff", "overlay_identity",
-    "ccnet_buckets", "ccnet_buckets_lang",
-    "overlay_clip_lines", "overlay_erase_lines",
-    "rasterize_lines", "min_bounding_circle", "oriented_envelope",
-    "subdivide", "streaming_near_dup", "raster_curvature",
-    "aggregate_raster_histogram", "snap_to_grid", "explode_parts",
-    "ngram_novelty", "raster_proximity", "raster_allocation",
-    "corpus_prep_ccnet", "points_along_path", "affine_transform",
-    "path_substring", "simplify_vw",
+    # round-9 anchors: the 12 signed-zero-fixed demos (r8's one
+    # gate-red plus the latent class) so the fix is driver-verified,
+    # the curvature 'plan' sentinel, the restaged PointsAlongPath,
+    # the round-9 vector sink writers, and the two roundtrips whose
+    # codecs changed (shapefile fid contract, gpkg fid PK).  The
+    # driver-passed round-8 set rotated back into the pool.
+    "raster_curvature", "raster_curvature_profile",
+    "raster_curvature_plan",
+    "reproject", "reproject_lcc", "reproject_albers",
+    "reproject_laea", "reproject_osgb", "reproject_swiss",
+    "reproject_krovak", "reproject_world_merc", "reproject_etrs_utm",
+    "reproject_polar",
+    "points_along_path",
+    "shp_sink_roundtrip", "gpkg_sink_roundtrip", "gml_sink_roundtrip",
+    "shapefile_roundtrip", "gpkg_roundtrip",
 ]
 
 

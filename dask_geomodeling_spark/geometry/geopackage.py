@@ -144,17 +144,22 @@ def write_gpkg(path, layer, rows, fields, srs_id=4326):
         con.execute(
             "INSERT INTO gpkg_geometry_columns VALUES (?, 'geom', "
             "'GEOMETRY', ?, 0, 0)", (layer, srs_id))
+        # a user field named 'fid' BECOMES the primary key (the OGR
+        # FID-column contract) instead of shadowing a synthesized one
+        own_fid = any(n == "fid" for n, _ in fields)
+        attrs = [(n, t) for n, t in fields if n != "fid"]
         con.execute('CREATE TABLE "{}" (fid INTEGER PRIMARY KEY, {}, '
                     'geom BLOB)'.format(layer, ", ".join(
-                        '"{}" {}'.format(n, t) for n, t in fields)))
+                        '"{}" {}'.format(n, t) for n, t in attrs)))
         header = b"GP\x00\x01" + struct.pack("<i", srs_id)
         for i, row in enumerate(rows):
             wkb = encode_wkb(row)
             blob = header + wkb if wkb is not None else None
+            fid = int(row["fid"]) if own_fid else i + 1
             con.execute(
                 'INSERT INTO "{}" VALUES ({})'.format(
-                    layer, ", ".join("?" * (len(fields) + 2))),
-                [i + 1] + [row.get(n) for n, _ in fields] + [blob])
+                    layer, ", ".join("?" * (len(attrs) + 2))),
+                [fid] + [row.get(n) for n, _ in attrs] + [blob])
         con.commit()
     finally:
         con.close()

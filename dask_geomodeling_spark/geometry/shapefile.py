@@ -388,13 +388,22 @@ class ShapefileGeometrySource(GeometryBlock):
         if schema is None:
             schema = self.infer_schema(url)
         prop_fields = T._parse_datatype_string(schema).fields
+        prop_names = [f.name for f in prop_fields]
+        clash = set(prop_names) & ({"_file", "_rec"} | set(_GEOM_FIELDS))
+        if clash:
+            raise ValueError(
+                "dbf attribute(s) {} collide with the source's "
+                "synthesized columns".format(sorted(clash)))
 
+        # the per-file record number joins geometry to attributes under
+        # the PRIVATE name _rec; it surfaces as 'fid' (the OGR contract)
+        # only when the dbf does not carry a field of that name — a
+        # round-tripped sink frame keeps ITS OWN fid column intact.
         key = [T.StructField("_file", T.StringType()),
-               T.StructField("fid", T.LongType())]
+               T.StructField("_rec", T.LongType())]
         geom_schema = T.StructType(
             key + [T.StructField(n, t) for n, t in _GEOM_SCHEMA])
         attr_schema = T.StructType(key[:1] + [key[1]] + prop_fields)
-        prop_names = [f.name for f in prop_fields]
 
         def parse_geoms(batches):
             import pandas as pd
@@ -402,10 +411,10 @@ class ShapefileGeometrySource(GeometryBlock):
                 rows = []
                 for path, content in zip(pdf["path"], pdf["content"]):
                     stem = path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
-                    for fid, d in enumerate(parse_shp(content)):
-                        rows.append((stem, fid) + tuple(
+                    for rec, d in enumerate(parse_shp(content)):
+                        rows.append((stem, rec) + tuple(
                             d[n] for n in _GEOM_FIELDS))
-                yield pd.DataFrame(rows, columns=["_file", "fid"]
+                yield pd.DataFrame(rows, columns=["_file", "_rec"]
                                    + list(_GEOM_FIELDS), dtype="object")
 
         def parse_attrs(batches):
@@ -415,15 +424,19 @@ class ShapefileGeometrySource(GeometryBlock):
                 for path, content in zip(pdf["path"], pdf["content"]):
                     stem = path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
                     _, recs = parse_dbf(content)
-                    for fid, rec in enumerate(recs):
-                        rows.append((stem, fid) + tuple(
+                    for rec_no, rec in enumerate(recs):
+                        rows.append((stem, rec_no) + tuple(
                             rec.get(n) for n in prop_names))
-                yield pd.DataFrame(rows, columns=["_file", "fid"]
+                yield pd.DataFrame(rows, columns=["_file", "_rec"]
                                    + prop_names, dtype="object")
 
         geoms = self._scan(ctx.spark, ".shp").mapInPandas(
             parse_geoms, geom_schema)
         attrs = self._scan(ctx.spark, ".dbf").mapInPandas(
             parse_attrs, attr_schema)
-        df = geoms.join(attrs, ["_file", "fid"])
+        df = geoms.join(attrs, ["_file", "_rec"])
+        if "fid" in prop_names:
+            df = df.drop("_rec")
+        else:
+            df = df.withColumnRenamed("_rec", "fid")
         return apply_feature_request(df, ctx.request)

@@ -13,7 +13,53 @@ from pyspark.sql import functions as F
 
 from dask_geomodeling_spark.geometry.base import BaseSingle, GeometryBlock
 
-__all__ = ["GeometryFileSink", "GeometryTableSink", "to_file"]
+__all__ = ["GeometryFileSink", "GeometryTableSink",
+           "merge_feature_files", "to_file"]
+
+# geometry carrier columns — everything else is an attribute/property
+_FEATURE_GEOM_KEYS = frozenset(
+    {"x", "y", "xmin", "ymin", "xmax", "ymax",
+     "rings", "vertices", "path"})
+
+
+def _dbf_spec(schema, props):
+    """Spark schema → dbf field descriptors [(name, type, len, dec)]
+    for the attribute columns (OGR's type laundering: ints → N 18.0,
+    reals → F 24.6, bools → L, dates → D, everything else → C).
+    Names truncate to dbf's 11-byte limit (OGR does the same);
+    post-truncation collisions are rejected rather than silently
+    merged."""
+    spec, seen = [], {}
+    for f in schema.fields:
+        if f.name not in props:
+            continue
+        short = f.name[:11]
+        if short in seen:
+            raise ValueError(
+                "dbf 11-char field-name collision: {!r} vs {!r}"
+                .format(f.name, seen[short]))
+        seen[short] = f.name
+        t = f.dataType.simpleString()
+        if t in ("tinyint", "smallint", "int", "bigint"):
+            spec.append((short, "N", 18, 0))
+        elif t in ("float", "double") or t.startswith("decimal"):
+            spec.append((short, "F", 24, 6))
+        elif t == "boolean":
+            spec.append((short, "L", 1, 0))
+        elif t == "date":
+            spec.append((short, "D", 8, 0))
+        else:
+            spec.append((short, "C", 128, 0))
+    return spec
+
+
+def _gpkg_spec(schema, props):
+    """Spark schema → sqlite column types for the attribute columns."""
+    m = {"tinyint": "INTEGER", "smallint": "INTEGER", "int": "INTEGER",
+         "bigint": "INTEGER", "boolean": "INTEGER",
+         "float": "REAL", "double": "REAL"}
+    return [(f.name, m.get(f.dataType.simpleString(), "TEXT"))
+            for f in schema.fields if f.name in props]
 
 
 class GeometryFileSink(BaseSingle):
@@ -42,10 +88,13 @@ class GeometryFileSink(BaseSingle):
     columns drop — the read side is ``WKBGeometrySource``.
     """
 
-    supported_extensions = ("parquet", "csv", "json", "geojson", "wkb")
+    supported_extensions = ("parquet", "csv", "json", "geojson", "wkb",
+                            "shp", "gpkg", "gml", "kml")
 
     def __init__(self, source, url, extension="parquet", fields=None,
                  partition_by=None, max_records_per_file=None):
+        if isinstance(extension, str) and extension.startswith("."):
+            extension = extension[1:]  # reference chops the dot too
         if extension not in self.supported_extensions:
             raise ValueError("Format '{}' is unsupported".format(extension))
         if fields is not None and not isinstance(fields, dict):
@@ -163,6 +212,77 @@ class GeometryFileSink(BaseSingle):
                                          "value string")
             out.write.mode(mode).text(url)
             return url
+        if extension in ("shp", "gpkg", "gml", "kml"):
+            # Per-partition feature files — the exact analogue of the
+            # reference's per-tile fiona writes (its process() emits
+            # one <hash>.<ext> per request tile; GeometryFileSink.
+            # merge_files joins them afterwards, both there and here).
+            # One imperative hop per partition is legitimate: each
+            # output FILE is a single object.  The url must be a
+            # shared filesystem on a multi-node cluster, as for the
+            # reference; columnar parquet/wkb stay the 100 TB egress.
+            import os
+            import shutil
+
+            if os.path.isdir(url):
+                if mode == "overwrite":
+                    shutil.rmtree(url)
+                elif mode != "append":
+                    raise IOError("'{}' exists (mode={})".format(url,
+                                                                 mode))
+            os.makedirs(url, exist_ok=True)
+            props = [c for c in df.columns
+                     if c not in _FEATURE_GEOM_KEYS]
+            schema = df.schema
+            if extension == "shp":
+                spec = _dbf_spec(schema, props)
+                rename = {old: new for new, old in
+                          zip((s[0] for s in spec), props)
+                          if new != old}
+            else:
+                spec = (_gpkg_spec(schema, props)
+                        if extension == "gpkg" else props)
+                rename = {}
+            prefix = (len([n for n in os.listdir(url)]) + 1
+                      if mode == "append" else 0)
+
+            def task(pid, it):
+                rows = []
+                for r in it:
+                    d = r.asDict(recursive=True)
+                    for old, new in rename.items():
+                        d[new] = d.pop(old)
+                    rows.append(d)
+                if not rows:
+                    return iter(())
+                stem = os.path.join(
+                    url, "part-{:05d}-{:05d}".format(prefix, pid))
+                if extension == "shp":
+                    from dask_geomodeling_spark.geometry.shapefile \
+                        import write_shapefile
+                    write_shapefile(stem, rows, spec)
+                elif extension == "gpkg":
+                    from dask_geomodeling_spark.geometry.geopackage \
+                        import write_gpkg
+                    for d in rows:  # sqlite binds scalars only
+                        for n, _t in spec:
+                            v = d.get(n)
+                            if v is not None and not isinstance(
+                                    v, (int, float, str, bytes)):
+                                d[n] = str(v)
+                    write_gpkg(stem + ".gpkg", "features", rows, spec)
+                elif extension == "gml":
+                    from dask_geomodeling_spark.geometry.xmlformats \
+                        import write_gml
+                    write_gml(stem + ".gml", rows, spec)
+                else:
+                    from dask_geomodeling_spark.geometry.xmlformats \
+                        import write_kml
+                    write_kml(stem + ".kml", rows, spec)
+                return iter([stem])
+            written = df.rdd.mapPartitionsWithIndex(task).collect()
+            del written
+            return url
         if extension == "wkb":
             from dask_geomodeling_spark.geometry.wkb import (
                 _GEOM_FIELDS, encode_wkb_frame)
@@ -187,6 +307,100 @@ class GeometryFileSink(BaseSingle):
             writer = writer.partitionBy(*partition_by)
         getattr(writer, "parquet" if extension == "parquet" else extension)(url)
         return url
+
+
+def merge_feature_files(path, target, remove_source=False):
+    """Merge the per-partition feature files under ``path`` into ONE
+    ``target`` file (reference ``GeometryFileSink.merge_files``,
+    geometry/sinks.py:171 — it shells the per-tile files into one via
+    OGR; here each format's own pure-spec codec re-reads the parts and
+    the matching writer emits the merged whole).  The target extension
+    picks the format: shp | gpkg | gml | kml | geojson."""
+    import glob as _glob
+    import json
+    import os
+    import shutil
+
+    if os.path.exists(target):
+        raise IOError("Target '{}' already exists".format(target))
+    ext = target.rsplit(".", 1)[-1]
+    sources = sorted(_glob.glob(os.path.join(path, "*." + ext)))
+    if not sources and ext == "geojson":
+        # the geojson sink writes through Spark's text writer, so the
+        # per-partition FeatureCollections land as part-*.txt
+        sources = sorted(
+            s for s in _glob.glob(os.path.join(path, "part-*"))
+            if not s.endswith(".crc") and os.path.getsize(s) > 0)
+    if not sources:
+        raise IOError("No source files with extension '{}' under {}"
+                      .format(ext, path))
+    if ext == "geojson":
+        feats = []
+        for s in sources:
+            with open(s) as f:
+                feats.extend(json.load(f)["features"])
+        with open(target, "w") as f:
+            json.dump({"type": "FeatureCollection", "features": feats},
+                      f)
+    elif ext in ("gml", "kml"):
+        # splice member blocks between the first file's header/trailer
+        trailer = ("</gml:FeatureCollection>" if ext == "gml"
+                   else "</Document></kml>")
+        bodies, head = [], None
+        for s in sources:
+            with open(s) as f:
+                text = f.read()
+            cut = text.index(trailer)
+            first_member = text.index("<gml:featureMember"
+                                      if ext == "gml" else "<Placemark")
+            if head is None:
+                head = text[:first_member]
+            bodies.append(text[first_member:cut])
+        with open(target, "w") as f:
+            f.write(head + "".join(bodies) + trailer)
+    elif ext == "shp":
+        from dask_geomodeling_spark.geometry.shapefile import (
+            parse_dbf, parse_shp, write_shapefile)
+        rows, fields = [], None
+        for s in sources:
+            with open(s, "rb") as f:
+                geoms = parse_shp(f.read())
+            with open(s[:-4] + ".dbf", "rb") as f:
+                fspec, attrs = parse_dbf(f.read())
+            fields = fields or fspec
+            for g, a in zip(geoms, attrs):
+                d = dict(g)
+                d.update(a)
+                rows.append(d)
+        write_shapefile(target[:-4], rows, fields)
+    elif ext == "gpkg":
+        from dask_geomodeling_spark.geometry.geopackage import (
+            read_gpkg_bytes, write_gpkg)
+        rows, names = [], None
+        for s in sources:
+            with open(s, "rb") as f:
+                props, recs = read_gpkg_bytes(f.read())
+            names = names or props
+            for rec in recs:
+                d = {k: v for k, v in rec.items() if k != "__geom__"}
+                d.update(rec["__geom__"] or {})
+                rows.append(d)
+        spec = []
+        for n in names:
+            v = next((r[n] for r in rows if r.get(n) is not None), None)
+            spec.append((n, "INTEGER" if isinstance(v, int)
+                         and not isinstance(v, bool)
+                         else "REAL" if isinstance(v, float)
+                         else "TEXT"))
+        write_gpkg(target, "features", rows, spec)
+    else:
+        raise ValueError("cannot merge '{}' files".format(ext))
+    if remove_source:
+        shutil.rmtree(path)
+    return target
+
+
+GeometryFileSink.merge_files = staticmethod(merge_feature_files)
 
 
 def to_file(source, url, fields=None, tile_size=None, dry_run=False,
