@@ -142,6 +142,13 @@ class Buffer(BaseSingle):
         distance = float(distance)
         if shape not in ("box", "round"):
             raise ValueError("shape must be 'box' or 'round'")
+        if shape == "round" and not distance > 0:
+            # negative (erosion) round buffers are not computed — the
+            # ring/path kernels only dilate; rejecting here beats the
+            # silent bbox-shrink-with-unchanged-rings inconsistency
+            raise ValueError(
+                "shape='round' requires distance > 0 (negative/zero "
+                "buffers are only supported with shape='box')")
         if int(resolution) < 1:
             raise ValueError("resolution must be >= 1")
         super().__init__(source, distance, projection, int(resolution),
@@ -205,12 +212,20 @@ class Buffer(BaseSingle):
                                       dist=float(self.distance),
                                       n=4 * self.resolution))
                 if "vertices" in cols:
+                    # rows carrying only a single ring (NULL ``rings``
+                    # but non-NULL ``vertices``) never reach the ring
+                    # kernel — give them the Minkowski vertices buffer
+                    # so nothing stays unbuffered under the expanded
+                    # bbox (round-9 ADVICE fix)
+                    buf = _buffer_ring_sql("vertices", self.distance,
+                                           4 * self.resolution)
                     out = out.withColumn(
                         "vertices",
                         F.when(F.col("rings").isNotNull(),
                                F.try_element_at(F.col("rings"),
                                                 F.lit(1)))
-                        .otherwise(F.col("vertices")))
+                        .when(F.col("vertices").isNotNull(),
+                              F.expr(buf)))
             elif self.args[4] == "round" and "path" in cols \
                     and self.distance > 0:
                 # open polylines (LINESTRING): exact capsule union
@@ -386,6 +401,18 @@ def _vw_chain(pts, min_area, closed):
         if best[0] >= min_area:
             break
         pts.pop(best[1])
+    if closed:
+        # a closed chain can stop at 3 collinear vertices — drop the
+        # degenerate ring like _dp_ring does, so zero-area results
+        # never reach the orientation folds as fake outer rings
+        area = 0.0
+        n = len(pts)
+        for i in range(n):
+            x1, y1 = pts[i]
+            x2, y2 = pts[(i + 1) % n]
+            area += x1 * y2 - x2 * y1
+        if area == 0.0:
+            return None
     return [[x, y] for x, y in pts]
 
 
@@ -786,7 +813,11 @@ class SnapToGrid(BaseSingle):
     coordinate rounds to the nearest multiple of ``size``; rings that
     collapse under snapping (zero signed area after consecutive-
     duplicate removal) drop, features whose whole ring stack collapses
-    keep their row with NULL ``rings``.  Pure sequence/transform
+    keep their row with NULL ``rings`` — the same degenerate-to-NULL
+    rule applies to a collapsed ``vertices`` ring and a ``path`` left
+    with fewer than 2 vertices.  Only CONSECUTIVE duplicates collapse,
+    so closed-loop paths and self-touching rings keep their revisited
+    coordinates.  Pure sequence/transform
     column math over every geometry column present (``rings``,
     ``path``, ``vertices``, ``x``/``y``, bbox) — map-side, no kernel,
     no shuffle.  The storage-size / topology-robustness primitive for
@@ -803,38 +834,53 @@ class SnapToGrid(BaseSingle):
         return set(self.source.columns)
 
     def _build(self, ctx):
+        # duplicate removal is CONSECUTIVE-only (ST_SnapToGrid /
+        # set_precision semantics): a closed-loop path or self-touching
+        # ring legitimately revisits earlier coordinates and must keep
+        # doing so after snapping — array_distinct would silently open
+        # the loop (round-9 ADVICE fix).  _simplify_ring_sql is exactly
+        # grid-snap + consecutive collapse (+ the implicit-closure
+        # wrap-around pair, which only applies to rings).
         from dask_geomodeling_spark.geometry.geom_operations import (
             _ring_cross_sum_sql)
         df = self.source._build(ctx)
         cols = set(df.columns)
-        sz = "CAST({!r} AS DOUBLE)".format(self.args[1])
-        snap = "round({{v}} / {s}) * {s}".format(s=sz)
+        sz = float(self.args[1])
+        s = "CAST({!r} AS DOUBLE)".format(sz)
+        snap = "round({{v}} / {s}) * {s}".format(s=s)
         out = {}
         if "rings" in cols:
-            ring = ("array_distinct(transform(r, p -> "
-                    "array({px}, {py})))".format(
-                        px=snap.format(v="p[0]"),
-                        py=snap.format(v="p[1]")))
             out["rings"] = F.expr(
                 "CASE WHEN rings IS NULL THEN NULL ELSE "
                 "nullif(filter(transform(rings, r -> {ring}), "
                 "rr -> size(rr) >= 3 AND abs({area}) > 0), "
                 "array()) END".format(
-                    ring=ring, area=_ring_cross_sum_sql("rr")))
+                    ring=_simplify_ring_sql("r", sz),
+                    area=_ring_cross_sum_sql("rr")))
         if "path" in cols:
+            snapped = ("transform(path, p -> array({px}, {py}))"
+                       .format(px=snap.format(v="p[0]"),
+                               py=snap.format(v="p[1]")))
+            # let-bind the snapped array, collapse consecutive runs
+            # (keeping a closing revisit of the start), NULL a path
+            # degenerate to < 2 vertices
             out["path"] = F.expr(
                 "CASE WHEN path IS NULL THEN NULL ELSE "
-                "nullif(array_distinct(transform(path, p -> "
-                "array({px}, {py}))), array()) END".format(
-                    px=snap.format(v="p[0]"),
-                    py=snap.format(v="p[1]")))
+                "transform(array(transform(array({snap}), s -> "
+                "filter(s, (v, i) -> i = 0 OR v[0] != s[i - 1][0] "
+                "OR v[1] != s[i - 1][1]))[0]), d -> "
+                "CASE WHEN size(d) >= 2 THEN d END)[0] END"
+                .format(snap=snapped))
         if "vertices" in cols:
+            # single-ring column: same collapse rule as ring stacks —
+            # degenerate (< 3 vertices or zero area) snaps to NULL
             out["vertices"] = F.expr(
                 "CASE WHEN vertices IS NULL THEN NULL ELSE "
-                "array_distinct(transform(vertices, p -> "
-                "array({px}, {py}))) END".format(
-                    px=snap.format(v="p[0]"),
-                    py=snap.format(v="p[1]")))
+                "transform(array({ring}), dd -> "
+                "CASE WHEN size(dd) >= 3 AND abs({area}) > 0 "
+                "THEN dd END)[0] END".format(
+                    ring=_simplify_ring_sql("vertices", sz),
+                    area=_ring_cross_sum_sql("dd")))
         for c in ("x", "y", "xmin", "ymin", "xmax", "ymax"):
             if c in cols:
                 out[c] = F.expr(snap.format(v=c))

@@ -730,3 +730,120 @@ def test_simplify_vw(spark):
         DataFrameSource(df, index_column="fid"), tolerance=3.0,
         algorithm="vw").plan(spark).collect()}
     assert got == {1: 4, 2: 5}
+
+
+def test_snap_to_grid_consecutive_only_dedupe(spark):
+    """Round-9 ADVICE: SnapToGrid collapses only CONSECUTIVE
+    duplicates — a closed-loop path keeps its closing revisit of the
+    start, a self-touching ring keeps the revisited coordinate, and
+    degenerate results NULL out (path < 2 points, vertices ring
+    < 3 points or zero area)."""
+    from dask_geomodeling_spark.geometry.constructive import SnapToGrid
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+
+    # closed-loop path: first == last must SURVIVE snapping
+    loop = [[0.1, 0.1], [4.1, 0.1], [4.1, 3.9], [0.1, 3.9], [0.1, 0.1]]
+    # consecutive run: the two middle points snap to the same cell
+    runny = [[0.0, 0.0], [1.9, 0.1], [2.1, -0.1], [5.0, 0.0]]
+    # degenerate: both points snap to one cell -> NULL
+    dead = [[0.2, 0.2], [-0.2, -0.2]]
+    df = spark.createDataFrame(
+        [(1, loop), (2, runny), (3, dead)],
+        "fid bigint, path array<array<double>>")
+    got = {r["fid"]: r["path"] for r in SnapToGrid(
+        DataFrameSource(df, index_column="fid"), 1.0)
+        .plan(spark).collect()}
+    assert got[1] == [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0],
+                      [0.0, 4.0], [0.0, 0.0]]
+    assert got[2] == [[0.0, 0.0], [2.0, 0.0], [5.0, 0.0]]
+    assert got[3] is None
+
+    # self-touching ring (bowtie-ish revisit of a non-adjacent vertex):
+    # array_distinct would have dropped the second visit
+    touch = [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [2.0, 2.0],
+             [0.0, 4.0], [2.0, 2.0]]
+    df2 = spark.createDataFrame(
+        [(1, [touch])], "fid bigint, rings array<array<array<double>>>")
+    rings = SnapToGrid(DataFrameSource(df2, index_column="fid"),
+                       1.0).plan(spark).collect()[0]["rings"]
+    assert rings == [touch]
+
+    # vertices ring: collapsed-to-degenerate -> NULL (not a 1-2 point
+    # stub feeding the area/orientation folds)
+    df3 = spark.createDataFrame(
+        [(1, [[0.1, 0.1], [0.3, 0.2], [0.2, 0.4]]),
+         (2, [[0.1, 0.1], [3.9, 0.1], [3.9, 3.9]])],
+        "fid bigint, vertices array<array<double>>")
+    got = {r["fid"]: r["vertices"] for r in SnapToGrid(
+        DataFrameSource(df3, index_column="fid"), 1.0)
+        .plan(spark).collect()}
+    assert got[1] is None
+    assert got[2] == [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0]]
+
+
+def test_buffer_round_rejects_nonpositive_distance():
+    """Round-9 ADVICE: shape='round' only dilates — distance <= 0 is
+    rejected up front instead of silently shrinking the bbox while
+    leaving rings unchanged."""
+    import pytest
+
+    from dask_geomodeling_spark.geometry.constructive import Buffer
+    from dask_geomodeling_spark.geometry.sources import (
+        LiteralGeometrySource)
+    src = LiteralGeometrySource("POINT (1 1)")
+    with pytest.raises(ValueError, match="distance > 0"):
+        Buffer(src, -1.0, shape="round")
+    with pytest.raises(ValueError, match="distance > 0"):
+        Buffer(src, 0.0, shape="round")
+    Buffer(src, -1.0, shape="box")  # box erosion still fine
+
+
+def test_buffer_round_mixed_rings_vertices_rows(spark):
+    """Round-9 ADVICE: in a frame carrying BOTH rings and vertices,
+    rows with NULL rings but real vertices take the Minkowski vertices
+    buffer instead of passing through unbuffered."""
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.geometry.constructive import Buffer
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        rings_area_expr)
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    sq = [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]]
+    df = spark.createDataFrame(
+        [(1, [sq], sq, 0.0, 0.0, 4.0, 4.0),
+         (2, None, sq, 0.0, 0.0, 4.0, 4.0)],
+        "fid bigint, rings array<array<array<double>>>, "
+        "vertices array<array<double>>, xmin double, ymin double, "
+        "xmax double, ymax double")
+    out = Buffer(DataFrameSource(df, index_column="fid"), 1.0,
+                 shape="round", resolution=4).plan(spark)
+    rows = {r["fid"]: r for r in out.collect()}
+    # ring row: kernel capsule union, vertices mirrors rings[0]
+    assert rows[1]["rings"] is not None
+    assert rows[1]["vertices"] == rows[1]["rings"][0]
+    # vertices-only row: rings stays NULL but vertices GREW
+    assert rows[2]["rings"] is None
+    area2 = out.filter("fid = 2").select(
+        F.expr("aggregate(sequence(0, size(vertices) - 1), 0.0D, "
+               "(acc, i) -> acc + vertices[i][0] * "
+               "vertices[(i + 1) % size(vertices)][1] - "
+               "vertices[(i + 1) % size(vertices)][0] * "
+               "vertices[i][1]) / 2.0").alias("a")).collect()[0]["a"]
+    assert area2 > 16.0 + 4 * 4  # square + edge capsules at least
+
+
+def test_vw_chain_zero_area_closed_drops():
+    """Round-9 ADVICE: a closed VW chain that bottoms out collinear
+    (zero shoelace area) returns None like _dp_ring, instead of a
+    degenerate ring that would read as an outer in orientation
+    folds."""
+    from dask_geomodeling_spark.geometry.constructive import _vw_chain
+    # all collinear: survives as 3 points under the old code
+    assert _vw_chain([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0],
+                      [3.0, 0.0]], 100.0, closed=True) is None
+    # real triangle below threshold: keeps >= 3 but nonzero area
+    assert _vw_chain([[0.0, 0.0], [4.0, 0.0], [2.0, 3.0]],
+                     100.0, closed=True) is not None
+    # open chains unaffected
+    assert _vw_chain([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0]],
+                     100.0, closed=False) == [[0.0, 0.0], [2.0, 0.0]]
