@@ -8,6 +8,30 @@ import os
 
 _spark = None
 
+# the reference keeps these in dask.config (reference config.py:1 —
+# 'geomodeling.root' and 'geomodeling.strict-file-paths'); here a
+# plain process-local option store with the same keys and defaults
+_OPTIONS = {
+    "geomodeling.root": None,
+    "geomodeling.strict-file-paths": False,
+}
+
+
+def get_option(key):
+    """Read a geomodeling.* option (reference: dask config.get)."""
+    if key not in _OPTIONS:
+        raise KeyError("unknown option {!r}".format(key))
+    return _OPTIONS[key]
+
+
+def set_option(key, value):
+    """Set a geomodeling.* option; returns the previous value."""
+    if key not in _OPTIONS:
+        raise KeyError("unknown option {!r}".format(key))
+    old, _OPTIONS[key] = _OPTIONS[key], value
+    return old
+
+
 DEFAULTS = {
     # AQE re-plans shuffles at runtime (skew joins, partition coalescing)
     "spark.sql.adaptive.enabled": "true",

@@ -3880,6 +3880,68 @@ def overlay_erase(spark, sf_dir):
             .select("c_custkey", "area"))
 
 
+@demo("overlay_erase_guarded", oracle="""
+WITH a AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 40 AS DOUBLE) AS ax,
+         CAST((c_custkey * 3) % 40 AS DOUBLE) AS ay
+  FROM customer),
+b AS (
+  SELECT DISTINCT
+         CAST(4 * (s_suppkey % 10) AS DOUBLE) AS bx,
+         CAST(4 * ((s_suppkey * 3) % 10) AS DOUBLE) AS by
+  FROM supplier),
+ov AS (
+  SELECT a.c_custkey,
+         GREATEST(CAST(0 AS DOUBLE),
+                  LEAST(a.ax + 2, b.bx + 2) - GREATEST(a.ax, b.bx))
+         * GREATEST(CAST(0 AS DOUBLE),
+                    LEAST(a.ay + 2, b.by + 2) - GREATEST(a.ay, b.by))
+             AS o
+  FROM a JOIN b
+    ON a.ax <= b.bx + 2 AND a.ax + 2 >= b.bx
+   AND a.ay <= b.by + 2 AND a.ay + 2 >= b.by),
+tot AS (SELECT c_custkey, SUM(o) AS t FROM ov GROUP BY c_custkey)
+SELECT a.c_custkey,
+       CASE WHEN 4.0 - COALESCE(tot.t, 0.0) <= 0 THEN NULL
+            ELSE ROUND(4.0 - COALESCE(tot.t, 0.0), 6) END AS area
+FROM a LEFT JOIN tot USING (c_custkey)
+""")
+def overlay_erase_guarded(spark, sf_dir):
+    """Overlay(how='difference', max_group_rings=1) — the round-9
+    skew guard: EVERY intersected left feature exceeds the 1-ring
+    payload threshold, so the whole erase runs through the subdivided
+    path (grid pieces, per-piece bounded erase, reassembly) and must
+    reproduce the same closed-form erased areas as the whole-feature
+    kernel path (overlay_erase's oracle verbatim) — the 'a continent
+    intersecting 10^6 rights' mitigation, driver-verified."""
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        rings_area_expr)
+    from dask_geomodeling_spark.geometry.overlay import Overlay
+    customer = ensure_min_partitions(read_nanos_parquet(spark, _pq(sf_dir, "customer")), spark)
+    supplier = ensure_min_partitions(read_nanos_parquet(spark, _pq(sf_dir, "supplier")), spark)
+    left = customer.select(
+        "c_custkey",
+        F.expr("CAST(c_custkey % 40 AS DOUBLE)").alias("ax"),
+        F.expr("CAST((c_custkey * 3) % 40 AS DOUBLE)").alias("ay")
+    ).select("c_custkey", F.expr(
+        _SQUARE2_RING.format(x="ax", y="ay")).alias("rings"))
+    right = (supplier.select(
+        F.expr("CAST(4 * (s_suppkey % 10) AS DOUBLE)").alias("bx"),
+        F.expr("CAST(4 * ((s_suppkey * 3) % 10) AS DOUBLE)")
+        .alias("by")).distinct()
+        .withColumn("pid", F.expr(
+            "CAST(bx * 1000 + by AS BIGINT)"))
+        .select("pid", F.expr(
+            _SQUARE2_RING.format(x="bx", y="by")).alias("rings")))
+    ov = Overlay(DataFrameSource(left, index_column="c_custkey"),
+                 DataFrameSource(right, index_column="pid"),
+                 cell_size=4.0, how="difference", max_group_rings=1)
+    return (ov.plan(spark)
+            .withColumn("area", F.round(rings_area_expr("rings"), 6))
+            .select("c_custkey", "area"))
+
+
 _OVERLAY_UNION_CTE = """
 WITH a AS (
   SELECT DISTINCT CAST(c_custkey % 1000 AS BIGINT) AS lid
@@ -9879,6 +9941,7 @@ GATE_ANCHORS = [
     "points_along_path",
     "shp_sink_roundtrip", "gpkg_sink_roundtrip", "gml_sink_roundtrip",
     "shapefile_roundtrip", "gpkg_roundtrip",
+    "overlay_erase_guarded",
 ]
 
 

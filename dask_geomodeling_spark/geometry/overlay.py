@@ -104,13 +104,29 @@ class Overlay(GeometryBlock):
       right_columns: right columns carried into pair-piece output
         rows (default: right's index).  Ignored for 'difference'
         (output rows are left features).
+      max_group_rings: skew guard for the residual (erase) branches.
+        The n-ary erase collects ALL intersecting other-side ring
+        stacks per feature — correct, but a continent-sized feature
+        intersecting millions of rights becomes one giant group row.
+        When set, features whose collected ring count would exceed
+        this threshold are grid-subdivided (cell_size cells, the
+        Subdivide decomposition) and each piece erases against only
+        the rights overlapping its cell; the disjoint piece results
+        concatenate back into ONE row per feature.  Same coverage and
+        area, but the output ring DECOMPOSITION of guarded features
+        follows the cell grid (seams on cell edges).  Alternatively,
+        pre-split hot layers explicitly with ``Subdivide`` upstream.
     """
 
     def __init__(self, left, right, cell_size, how="intersection",
-                 right_columns=None):
+                 right_columns=None, max_group_rings=None):
         if not isinstance(left, GeometryBlock) \
                 or not isinstance(right, GeometryBlock):
             raise TypeError("left/right must be GeometryBlocks")
+        if max_group_rings is not None:
+            max_group_rings = int(max_group_rings)
+            if max_group_rings < 1:
+                raise ValueError("max_group_rings must be >= 1")
         if how not in ("intersection", "difference", "union",
                        "symmetric_difference", "identity"):
             raise ValueError(
@@ -142,7 +158,8 @@ class Overlay(GeometryBlock):
         if how in ("union", "symmetric_difference", "identity") \
                 and right.index_column not in right_columns:
             right_columns = [right.index_column] + list(right_columns)
-        super().__init__(left, right, cs, how, tuple(right_columns))
+        super().__init__(left, right, cs, how, tuple(right_columns),
+                         max_group_rings)
 
     @property
     def left(self):
@@ -176,25 +193,119 @@ class Overlay(GeometryBlock):
         return cols
 
     @staticmethod
-    def _residual(side, pairs, idc, other_geom, own_cols, spark):
+    def _residual(side, pairs, idc, other_geom, own_cols, spark,
+                  cell_size=None, max_group_rings=None):
         """``side`` minus the union of its intersecting other-side
         geometries: group the pair frame's ``other_geom`` ring stacks
         per ``idc`` (sorted for determinism), ONE n-ary kernel op,
-        re-joined so non-intersected features pass through."""
+        re-joined so non-intersected features pass through.
+
+        With ``max_group_rings`` set, features whose collected payload
+        would exceed it take the SUBDIVIDED path instead (see the
+        class docstring) — the giant group row is never built."""
         from dask_geomodeling_spark.geometry.polyclip import (
             kernel_parallelism, map_rings_binary)
         from dask_geomodeling_spark.geometry.spatial_join import (
             SpatialJoin)
-        grouped = (pairs.groupBy(idc)
-                   .agg(F.expr("array_sort(collect_list({}))"
-                               .format(other_geom))
-                        .alias("_others")))
-        df = side.join(grouped, idc, "left")
         gr = SpatialJoin._ring_expr(set(own_cols), "_g0")
-        df = kernel_parallelism(df.withColumn("_g", gr), spark)
-        df = map_rings_binary(df, "_g", "_others", _erase_rings)
-        return (df.withColumn("rings", F.col("_g"))
-                .drop("_g", "_others"))
+
+        def erase_grouped(frame, grouped):
+            df = frame.join(grouped, idc, "left")
+            df = kernel_parallelism(df.withColumn("_g", gr), spark)
+            df = map_rings_binary(df, "_g", "_others", _erase_rings)
+            return (df.withColumn("rings", F.col("_g"))
+                    .drop("_g", "_others"))
+
+        if max_group_rings is None:
+            grouped = (pairs.groupBy(idc)
+                       .agg(F.expr("array_sort(collect_list({}))"
+                                   .format(other_geom))
+                            .alias("_others")))
+            return erase_grouped(side, grouped)
+
+        # Adaptive skew guard (round 9): a feature intersecting so
+        # many other-side geometries that its collected ring payload
+        # exceeds the threshold never builds the giant group row.
+        # It subdivides into cell_size grid pieces (the Subdivide
+        # decomposition: exact S-H clip per covered cell), each piece
+        # erases against ONLY the rights whose bbox overlaps its cell,
+        # and the disjoint piece results concatenate back into one
+        # row.  Exact: difference distributes over a disjoint
+        # decomposition of the left operand, and a geometry missing a
+        # piece's cell cannot remove anything from that piece.
+        from dask_geomodeling_spark.geometry.geom_operations import (
+            clip_rings_box_cols_expr, rings_area_expr)
+        t = int(max_group_rings)
+        loads = (pairs.groupBy(idc)
+                 .agg(F.sum(F.expr("size({})".format(other_geom)))
+                      .alias("_load")))
+        hot_ids = loads.filter(F.col("_load") > t).select(idc)
+        # cold features: the standard single-group path, hot ids
+        # excluded BEFORE collect_list
+        cold = erase_grouped(
+            side.join(F.broadcast(hot_ids), idc, "left_anti"),
+            pairs.join(F.broadcast(hot_ids), idc, "left_anti")
+            .groupBy(idc)
+            .agg(F.expr("array_sort(collect_list({}))"
+                        .format(other_geom)).alias("_others")))
+
+        csl = "CAST({!r} AS DOUBLE)".format(float(cell_size))
+        hotL = side.join(F.broadcast(hot_ids), idc, "left_semi")
+        p = hotL.withColumn("_g", gr).select(idc, "_g")
+        pts = "flatten(_g)"
+        p = (p.withColumn("_cx", F.explode(F.expr(
+                 "sequence(CAST(FLOOR(array_min(transform({p}, "
+                 "q -> q[0])) / {cs}) AS BIGINT), "
+                 "CAST(FLOOR(array_max(transform({p}, "
+                 "q -> q[0])) / {cs}) AS BIGINT))"
+                 .format(p=pts, cs=csl))))
+             .withColumn("_cy", F.explode(F.expr(
+                 "sequence(CAST(FLOOR(array_min(transform({p}, "
+                 "q -> q[1])) / {cs}) AS BIGINT), "
+                 "CAST(FLOOR(array_max(transform({p}, "
+                 "q -> q[1])) / {cs}) AS BIGINT))"
+                 .format(p=pts, cs=csl)))))
+        p = (p.withColumn("_g", clip_rings_box_cols_expr(
+                 "CAST(_cx AS DOUBLE) * {cs}".format(cs=csl),
+                 "CAST(_cy AS DOUBLE) * {cs}".format(cs=csl),
+                 "(CAST(_cx AS DOUBLE) + 1) * {cs}".format(cs=csl),
+                 "(CAST(_cy AS DOUBLE) + 1) * {cs}".format(cs=csl),
+                 rings_col="_g"))
+             .filter(F.expr("size(_g) > 0")
+                     & (rings_area_expr("_g") > 0)))
+        hp = (pairs.join(F.broadcast(hot_ids), idc, "left_semi")
+              .select(F.col(idc).alias("_hid"),
+                      F.col(other_geom).alias("_o"))
+              .withColumn("_ob", F.expr(
+                  "array(array_min(transform(flatten(_o), "
+                  "q -> q[0])), "
+                  "array_min(transform(flatten(_o), q -> q[1])), "
+                  "array_max(transform(flatten(_o), q -> q[0])), "
+                  "array_max(transform(flatten(_o), q -> q[1])))")))
+        cond = (
+            (p[idc] == hp["_hid"])
+            & (hp["_ob"][0] <= F.expr(
+                "(CAST(_cx AS DOUBLE) + 1) * " + csl))
+            & (hp["_ob"][2] >= F.expr("CAST(_cx AS DOUBLE) * " + csl))
+            & (hp["_ob"][1] <= F.expr(
+                "(CAST(_cy AS DOUBLE) + 1) * " + csl))
+            & (hp["_ob"][3] >= F.expr("CAST(_cy AS DOUBLE) * " + csl)))
+        # left join: pieces untouched by any right survive whole
+        pj = p.join(hp, cond, "left")
+        hot_grouped = (pj.groupBy(idc, "_cx", "_cy")
+                       .agg(F.first("_g").alias("_g"),
+                            F.expr("array_sort(collect_list(_o))")
+                            .alias("_others")))
+        erased = map_rings_binary(
+            kernel_parallelism(hot_grouped, spark), "_g", "_others",
+            _erase_rings)
+        hot_rings = (erased.groupBy(idc)
+                     .agg(F.expr(
+                         "nullif(flatten(array_sort("
+                         "collect_list(_g))), array())").alias("_g")))
+        hot = (hotL.join(hot_rings, idc, "left")
+               .withColumn("rings", F.col("_g")).drop("_g"))
+        return cold.unionByName(hot)
 
     def _build(self, ctx):
         from pyspark import StorageLevel
@@ -203,7 +314,7 @@ class Overlay(GeometryBlock):
             kernel_parallelism, map_rings_binary)
         from dask_geomodeling_spark.geometry.spatial_join import (
             SpatialJoin)
-        _, _, cs, how, rcols = self.args
+        _, _, cs, how, rcols, _mgr = self.args
         rcols = list(rcols)
         L = self.left._build(ctx)
         R = self.args[1]._build(ctx)
@@ -243,7 +354,7 @@ class Overlay(GeometryBlock):
                     .drop("_lr", "_rr"))
         if how == "difference":
             return self._residual(L, pairs, idc, "_rr", L.columns,
-                                  ctx.spark)
+                                  ctx.spark, cs, self.args[5])
         # union / symmetric_difference / identity: >1 branch consumes
         # the pair frame — persist it so the grid join runs once
         ridc = self.args[1].index_column
@@ -263,7 +374,7 @@ class Overlay(GeometryBlock):
             return F.concat(*parts).alias("oid")
 
         lres = self._residual(L, pairs, idc, "_rr", L.columns,
-                              ctx.spark)
+                              ctx.spark, cs, self.args[5])
         lres = lres.select(
             skey("L:", idc), *lattr,
             *[F.lit(None).cast(rtypes[c]).alias(c) for c in rcols],
@@ -272,7 +383,8 @@ class Overlay(GeometryBlock):
         if how in ("union", "symmetric_difference"):
             rres = self._residual(
                 rsel.withColumnRenamed("_rg", "rings"), pairs, ridc,
-                "_lr", set(rcols) | {"rings"}, ctx.spark)
+                "_lr", set(rcols) | {"rings"}, ctx.spark, cs,
+                self.args[5])
             rres = rres.select(
                 skey("R:", ridc),
                 *[F.lit(None).cast(ltypes[c]).alias(c)
