@@ -81,7 +81,10 @@ def main():
                   "explode_parts", "ngram_novelty", "raster_proximity",
                   "raster_allocation", "corpus_prep_ccnet",
                   "points_along_path", "affine_transform",
-                  "path_substring", "simplify_vw"):
+                  "path_substring", "simplify_vw",
+                  # round-9 additions
+                  "overlay_erase_guarded", "segmentize", "azimuth",
+                  "path_point", "remove_repeated_points"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

@@ -5247,6 +5247,138 @@ def gml_sink_roundtrip(spark, sf_dir):
                                    "ymin", "xmax", "ymax", "area")
 
 
+@demo("segmentize", oracle="""
+SELECT s_suppkey,
+       CAST(CEIL((4 + s_suppkey % 3) / 0.75) AS BIGINT)
+       + CAST(CEIL((3 + s_suppkey % 2) / 0.75) AS BIGINT) + 1 AS n,
+       ROUND(CAST(4 + s_suppkey % 3 AS DOUBLE)
+             + CAST(3 + s_suppkey % 2 AS DOUBLE), 6) + 0.0 AS len
+FROM supplier
+""")
+def segmentize(spark, sf_dir):
+    """Segmentize (PostGIS ST_Segmentize; round 9): densify an L-shaped
+    polyline so no segment exceeds 0.75 — vertex count is the closed
+    form ceil(w/0.75) + ceil(h/0.75) + 1 and Length is INVARIANT
+    (inserted vertices are collinear).  Pure HOF column math, no
+    shuffle."""
+    from dask_geomodeling_spark.geometry.constructive import Segmentize
+    from dask_geomodeling_spark.geometry.geom_operations import Length
+    supplier = ensure_min_partitions(
+        read_nanos_parquet(spark, _pq(sf_dir, "supplier")), spark)
+    src = supplier.select(
+        "s_suppkey",
+        F.expr("CAST(s_suppkey % 17 AS DOUBLE)").alias("ax"),
+        F.expr("CAST((s_suppkey * 3) % 13 AS DOUBLE)").alias("ay"),
+        F.expr("CAST(4 + s_suppkey % 3 AS DOUBLE)").alias("w"),
+        F.expr("CAST(3 + s_suppkey % 2 AS DOUBLE)").alias("h"),
+    ).select("s_suppkey", F.expr(
+        "array(array(ax, ay), array(ax + w, ay), array(ax + w, ay + h))"
+    ).alias("path"))
+    blk = Segmentize(DataFrameSource(src, index_column="s_suppkey"),
+                     0.75)
+    view = blk.set("len", Length(blk))
+    return (view.plan(spark)
+            .withColumn("n", F.expr("CAST(size(path) AS BIGINT)"))
+            .withColumn("len", F.expr("ROUND(len, 6) + 0.0D"))
+            .select("s_suppkey", "n", "len"))
+
+
+@demo("azimuth", oracle="""
+SELECT c_custkey,
+       CASE WHEN c_custkey % 5 = 2 AND c_custkey % 7 = 3 THEN NULL
+            ELSE ROUND(
+              ((ATAN2(CAST(c_custkey % 5 - 2 AS DOUBLE),
+                      CAST(c_custkey % 7 - 3 AS DOUBLE))
+                % (2 * PI())) + 2 * PI()) % (2 * PI()), 6) + 0.0
+       END AS az
+FROM customer
+""")
+def azimuth(spark, sf_dir):
+    """Azimuth (PostGIS ST_Azimuth start->end; round 9): north-based
+    clockwise bearing of each polyline in [0, 2pi); coincident
+    endpoints NULL.  Pure column math; the oracle is the same atan2
+    closed form (signed-zero normalized both sides)."""
+    from dask_geomodeling_spark.geometry.geom_operations import Azimuth
+    customer = ensure_min_partitions(
+        read_nanos_parquet(spark, _pq(sf_dir, "customer")), spark)
+    src = customer.select(
+        "c_custkey",
+        F.expr("CAST(c_custkey % 11 AS DOUBLE)").alias("ax"),
+        F.expr("CAST((c_custkey * 7) % 11 AS DOUBLE)").alias("ay"),
+        F.expr("CAST(c_custkey % 5 - 2 AS DOUBLE)").alias("dx"),
+        F.expr("CAST(c_custkey % 7 - 3 AS DOUBLE)").alias("dy"),
+    ).select("c_custkey", F.expr(
+        "array(array(ax, ay), array(ax + dx / 2, ay + dy / 2), "
+        "array(ax + dx, ay + dy))").alias("path"))
+    blk = DataFrameSource(src, index_column="c_custkey")
+    view = blk.set("az", Azimuth(blk))
+    return (view.plan(spark)
+            .withColumn("az", F.expr("ROUND(az, 6) + 0.0D"))
+            .select("c_custkey", "az"))
+
+
+@demo("path_point", oracle="""
+SELECT n_nationkey,
+       CAST(n_nationkey % 9 AS DOUBLE) + CAST(2 + n_nationkey % 4
+           AS DOUBLE) AS x,
+       CAST((n_nationkey * 5) % 9 AS DOUBLE)
+       + CAST(1 + n_nationkey % 3 AS DOUBLE) AS y
+FROM nation
+""")
+def path_point(spark, sf_dir):
+    """PathPoint (PostGIS ST_EndPoint via index=-1; round 9): extract
+    one vertex of each polyline as x/y point columns, replacing the
+    path geometry.  Pure element_at column math."""
+    from dask_geomodeling_spark.geometry.constructive import PathPoint
+    nation = read_nanos_parquet(spark, _pq(sf_dir, "nation"))
+    src = nation.select(
+        "n_nationkey",
+        F.expr("CAST(n_nationkey % 9 AS DOUBLE)").alias("ax"),
+        F.expr("CAST((n_nationkey * 5) % 9 AS DOUBLE)").alias("ay"),
+        F.expr("CAST(2 + n_nationkey % 4 AS DOUBLE)").alias("w"),
+        F.expr("CAST(1 + n_nationkey % 3 AS DOUBLE)").alias("h"),
+    ).select("n_nationkey", F.expr(
+        "array(array(ax, ay), array(ax + w, ay), array(ax + w, ay + h))"
+    ).alias("path"))
+    blk = PathPoint(DataFrameSource(src, index_column="n_nationkey"),
+                    index=-1)
+    return blk.plan(spark).select("n_nationkey", "x", "y")
+
+
+@demo("remove_repeated_points", oracle="""
+SELECT o_orderkey, CAST(3 AS INT) AS n,
+       CAST(3 + o_orderkey % 4 AS DOUBLE)
+       + CAST(2 + o_orderkey % 3 AS DOUBLE) AS len
+FROM orders
+""")
+def remove_repeated_points(spark, sf_dir):
+    """RemoveRepeatedPoints (PostGIS; round 9): consecutive duplicate
+    vertices collapse (a path stored as [A, A, B, B, C] keeps exactly
+    [A, B, C]) and Length is unchanged by the cleanup.  Pure
+    filter-by-index column math."""
+    from dask_geomodeling_spark.geometry.constructive import (
+        RemoveRepeatedPoints)
+    from dask_geomodeling_spark.geometry.geom_operations import Length
+    orders = ensure_min_partitions(
+        read_nanos_parquet(spark, _pq(sf_dir, "orders")), spark)
+    src = orders.select(
+        "o_orderkey",
+        F.expr("CAST(o_orderkey % 19 AS DOUBLE)").alias("ax"),
+        F.expr("CAST((o_orderkey * 3) % 17 AS DOUBLE)").alias("ay"),
+        F.expr("CAST(3 + o_orderkey % 4 AS DOUBLE)").alias("w"),
+        F.expr("CAST(2 + o_orderkey % 3 AS DOUBLE)").alias("h"),
+    ).select("o_orderkey", F.expr(
+        "array(array(ax, ay), array(ax, ay), array(ax + w, ay), "
+        "array(ax + w, ay), array(ax + w, ay + h))").alias("path"))
+    blk = RemoveRepeatedPoints(
+        DataFrameSource(src, index_column="o_orderkey"))
+    view = blk.set("len", Length(blk))
+    return (view.plan(spark)
+            .withColumn("n", F.expr("size(path)"))
+            .withColumn("len", F.expr("ROUND(len, 6) + 0.0D"))
+            .select("o_orderkey", "n", "len"))
+
+
 @demo("wet_source", oracle="""
 SELECT doc_id,
        'http://crawl.example/doc/' || doc_id AS uri,
@@ -9942,6 +10074,7 @@ GATE_ANCHORS = [
     "shp_sink_roundtrip", "gpkg_sink_roundtrip", "gml_sink_roundtrip",
     "shapefile_roundtrip", "gpkg_roundtrip",
     "overlay_erase_guarded",
+    "segmentize", "azimuth", "path_point", "remove_repeated_points",
 ]
 
 

@@ -1169,3 +1169,173 @@ class PathSubstring(BaseSingle):
                     "CASE WHEN _cum IS NULL THEN NULL "
                     "ELSE {} END".format(newpath)))
                 .drop("_cum", "_d0", "_d1", "_p0", "_p1"))
+
+
+def _segmentize_chain_sql(arr, max_len, closed):
+    """SQL text: densify one coordinate chain so no segment exceeds
+    ``max_len`` (PostGIS ``ST_Segmentize`` semantics — each segment
+    splits into ceil(len/max_len) EQUAL pieces; inserted vertices are
+    collinear, so length/area/bbox are invariant).  ``closed`` chains
+    (rings, stored open) also densify the implicit closing edge and
+    stay stored open; open chains keep their final vertex.  Pure HOFs,
+    map-side."""
+    m = "CAST({!r} AS DOUBLE)".format(float(max_len))
+    # let-bind the chain once; s walks segment END indices
+    last = "size(c) - 1" if not closed else "size(c)"
+    seg = (
+        "transform(sequence(1, {last}), s -> "
+        "transform(sequence(0, GREATEST(1, CAST(CEIL(SQRT("
+        "(c[s % size(c)][0] - c[s - 1][0]) * (c[s % size(c)][0] - c[s - 1][0]) + "
+        "(c[s % size(c)][1] - c[s - 1][1]) * (c[s % size(c)][1] - c[s - 1][1])"
+        ") / {m}) AS INT)) - 1), k -> array("
+        "c[s - 1][0] + (c[s % size(c)][0] - c[s - 1][0]) * k "
+        "/ GREATEST(1, CAST(CEIL(SQRT("
+        "(c[s % size(c)][0] - c[s - 1][0]) * (c[s % size(c)][0] - c[s - 1][0]) + "
+        "(c[s % size(c)][1] - c[s - 1][1]) * (c[s % size(c)][1] - c[s - 1][1])"
+        ") / {m}) AS INT)), "
+        "c[s - 1][1] + (c[s % size(c)][1] - c[s - 1][1]) * k "
+        "/ GREATEST(1, CAST(CEIL(SQRT("
+        "(c[s % size(c)][0] - c[s - 1][0]) * (c[s % size(c)][0] - c[s - 1][0]) + "
+        "(c[s % size(c)][1] - c[s - 1][1]) * (c[s % size(c)][1] - c[s - 1][1])"
+        ") / {m}) AS INT)))))"
+    ).format(last=last, m=m)
+    body = "flatten({seg})".format(seg=seg)
+    if not closed:
+        body = "concat({body}, array(element_at(c, -1)))".format(body=body)
+    return "transform(array({arr}), c -> {body})[0]".format(
+        arr=arr, body=body)
+
+
+class Segmentize(BaseSingle):
+    """Densify geometry so no segment is longer than ``max_length``
+    (PostGIS ``ST_Segmentize`` / shapely ``segmentize``; no reference
+    analogue — the reference delegates to GEOS, constructive.py:13's
+    toolbox).  Inserted vertices are collinear: Length, Area, bbox and
+    containment are all invariant — the op exists to bound per-vertex
+    error before reprojection (curved CRS images of long straight
+    segments) and to normalize vertex density before kernels.
+
+    Pure ``transform``/``sequence``/``flatten`` column math over
+    ``path`` (open, keeps endpoints), ``rings`` and ``vertices``
+    (implicit closing edge densifies too).  Map-side: NO shuffle, NO
+    Python; output vertex count is ceil(seg/max_length) per segment."""
+
+    def __init__(self, source, max_length):
+        ml = float(max_length)
+        if not ml > 0:
+            raise ValueError("max_length must be > 0")
+        super().__init__(source, ml)
+
+    @property
+    def columns(self):
+        return set(self.source.columns)
+
+    def _build(self, ctx):
+        df = self.source._build(ctx)
+        cols = set(df.columns)
+        ml = self.args[1]
+        out = {}
+        if "path" in cols:
+            out["path"] = F.expr(
+                "CASE WHEN path IS NULL THEN NULL ELSE {} END".format(
+                    _segmentize_chain_sql("path", ml, closed=False)))
+        if "rings" in cols:
+            out["rings"] = F.expr(
+                "CASE WHEN rings IS NULL THEN NULL ELSE "
+                "transform(rings, r -> {}) END".format(
+                    _segmentize_chain_sql("r", ml, closed=True)))
+        if "vertices" in cols:
+            out["vertices"] = F.expr(
+                "CASE WHEN vertices IS NULL THEN NULL ELSE {} END"
+                .format(_segmentize_chain_sql("vertices", ml,
+                                              closed=True)))
+        return df.withColumns(out)
+
+
+class RemoveRepeatedPoints(BaseSingle):
+    """Collapse CONSECUTIVE duplicate vertices (PostGIS
+    ``ST_RemoveRepeatedPoints`` with zero tolerance; no reference
+    analogue).  Rings and ``vertices`` also collapse the implicit
+    wrap-around first==last pair; a ``path``'s closing revisit of its
+    start is kept (loops stay loops).  Degenerate results NULL out
+    (path < 2 vertices, ring < 3).  Pure filter-by-index column math,
+    map-side."""
+
+    @property
+    def columns(self):
+        return set(self.source.columns)
+
+    def _build(self, ctx):
+        from dask_geomodeling_spark.geometry.geom_operations import (
+            _ring_cross_sum_sql)
+        df = self.source._build(ctx)
+        cols = set(df.columns)
+        dedupe = ("transform(array({a}), s -> "
+                  "filter(s, (v, i) -> i = 0 OR v[0] != s[i - 1][0] "
+                  "OR v[1] != s[i - 1][1]))[0]")
+        wrap = ("transform(array({d}), d -> "
+                "CASE WHEN size(d) > 1 AND element_at(d, -1)[0] = d[0][0] "
+                "AND element_at(d, -1)[1] = d[0][1] "
+                "THEN slice(d, 1, size(d) - 1) ELSE d END)[0]")
+        out = {}
+        if "path" in cols:
+            out["path"] = F.expr(
+                "CASE WHEN path IS NULL THEN NULL ELSE "
+                "transform(array({dd}), d -> "
+                "CASE WHEN size(d) >= 2 THEN d END)[0] END".format(
+                    dd=dedupe.format(a="path")))
+        if "rings" in cols:
+            ring = wrap.format(d=dedupe.format(a="r"))
+            out["rings"] = F.expr(
+                "CASE WHEN rings IS NULL THEN NULL ELSE "
+                "nullif(filter(transform(rings, r -> {ring}), "
+                "rr -> size(rr) >= 3), array()) END".format(ring=ring))
+        if "vertices" in cols:
+            vr = wrap.format(d=dedupe.format(a="vertices"))
+            out["vertices"] = F.expr(
+                "CASE WHEN vertices IS NULL THEN NULL ELSE "
+                "transform(array({vr}), d -> "
+                "CASE WHEN size(d) >= 3 THEN d END)[0] END".format(
+                    vr=vr))
+        return df.withColumns(out)
+
+
+class PathPoint(BaseSingle):
+    """Extract one vertex of each polyline as point columns (the
+    PostGIS ``ST_StartPoint`` / ``ST_EndPoint`` / ``ST_PointN``
+    family; no reference analogue).  ``index`` is 0-based; negative
+    counts from the end (-1 = end point).  Output: ``x``/``y`` point
+    columns REPLACE the path frame's geometry (bbox recomputes to the
+    point); out-of-range indices NULL.  Pure element_at column math."""
+
+    def __init__(self, source, index=0):
+        clash = {"x", "y"} & set(source.columns)
+        if clash:
+            raise ValueError(
+                "column(s) {} collide with PathPoint's output"
+                .format(sorted(clash)))
+        if "path" not in source.columns:
+            raise ValueError("PathPoint requires a 'path' column")
+        super().__init__(source, int(index))
+
+    @property
+    def columns(self):
+        cols = set(self.source.columns) - {"path"}
+        return cols | {"x", "y"}
+
+    def _build(self, ctx):
+        df = self.source._build(ctx)
+        i = int(self.args[1])
+        # element_at is 1-based positive / -1-based negative
+        pos = i + 1 if i >= 0 else i
+        pt = "try_element_at(path, {})".format(pos)
+        df = (df.withColumn("x", F.expr(pt + "[0]"))
+              .withColumn("y", F.expr(pt + "[1]")))
+        out = {}
+        for c in ("xmin", "xmax"):
+            if c in df.columns:
+                out[c] = F.col("x")
+        for c in ("ymin", "ymax"):
+            if c in df.columns:
+                out[c] = F.col("y")
+        return df.withColumns(out).drop("path")

@@ -471,3 +471,31 @@ def path_intersects_rings_expr(path_col, rings_col):
         er=_edge_structs_sql(rings_col, "w"),
         t=_seg_intersect_sql("e1", "e2")))
     return F.expr("({va}) OR ({ee})".format(va=va, ee=ee))
+
+
+class Azimuth(SeriesBlock):
+    """North-based bearing of each feature's polyline, start vertex to
+    end vertex, in radians [0, 2pi) clockwise from north — the PostGIS
+    ``ST_Azimuth(ST_StartPoint(g), ST_EndPoint(g))`` composition (no
+    reference analogue; GEOS toolbox territory).  NULL for NULL or
+    closed (start == end) paths, matching ST_Azimuth's NULL on
+    coincident points.  Pure column math."""
+
+    def __init__(self, source, projection="EPSG:4326"):
+        if not isinstance(source, GeometryBlock):
+            raise TypeError(
+                "'{}' object is not allowed".format(type(source)))
+        if "path" not in source.columns:
+            raise ValueError("Azimuth requires a 'path' column")
+        super().__init__(source, projection)
+
+    def _root(self):
+        return self.args[0]
+
+    def _column(self, df):
+        dx = "(element_at(path, -1)[0] - path[0][0])"
+        dy = "(element_at(path, -1)[1] - path[0][1])"
+        return F.expr(
+            "CASE WHEN path IS NULL OR ({dx} = 0 AND {dy} = 0) "
+            "THEN NULL ELSE pmod(atan2({dx}, {dy}), 2.0 * pi()) END"
+            .format(dx=dx, dy=dy))

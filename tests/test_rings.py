@@ -682,3 +682,121 @@ def test_spatial_join_lines_matches_brute_force(spark):
     want = {(i, gid) for i, path in lines for gid, poly in tris
             if inter(path, poly)}
     assert got == want
+
+
+def test_segmentize_invariants(spark):
+    """Round 9: Segmentize bounds every segment at max_length, keeps
+    endpoints, keeps Length/Area exactly (collinear inserts), and
+    densifies a ring's implicit closing edge."""
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.geometry.constructive import Segmentize
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    df = spark.createDataFrame(
+        [(1, [[0.0, 0.0], [10.0, 0.0]], None),
+         (2, None, [[[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]]]),
+         (3, None, None)],
+        "fid bigint, path array<array<double>>, "
+        "rings array<array<array<double>>>")
+    out = {r["fid"]: r for r in Segmentize(
+        DataFrameSource(df, index_column="fid"), 3.0)
+        .plan(spark).collect()}
+    p = out[1]["path"]
+    assert p[0] == [0.0, 0.0] and p[-1] == [10.0, 0.0]
+    assert len(p) == 5  # ceil(10/3)=4 pieces + end point
+    assert all(abs(b[0] - a[0]) <= 3.0 + 1e-9
+               for a, b in zip(p, p[1:]))
+    r = out[2]["rings"][0]
+    # each 4-edge splits into 2 pieces INCLUDING the closing edge;
+    # stored open: 8 vertices, no trailing duplicate of the start
+    assert len(r) == 8 and r[0] == [0.0, 0.0] and r[-1] != r[0]
+    assert out[3]["path"] is None and out[3]["rings"] is None
+    # area invariant under densify
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        rings_area_expr)
+    got = Segmentize(DataFrameSource(df, index_column="fid"), 0.5) \
+        .plan(spark).filter("fid = 2") \
+        .select(F.round(rings_area_expr("rings"), 9).alias("a")) \
+        .collect()[0]["a"]
+    assert got == 16.0
+    import pytest
+    with pytest.raises(ValueError, match="max_length"):
+        Segmentize(DataFrameSource(df, index_column="fid"), 0.0)
+
+
+def test_azimuth_conventions(spark):
+    """Round 9: Azimuth is clockwise from north — north=0, east=pi/2,
+    south=pi, west=3pi/2; closed loops NULL."""
+    import math
+
+    from dask_geomodeling_spark.geometry.geom_operations import Azimuth
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    rows = [(1, [[0.0, 0.0], [0.0, 5.0]]),    # north
+            (2, [[0.0, 0.0], [5.0, 0.0]]),    # east
+            (3, [[0.0, 0.0], [0.0, -5.0]]),   # south
+            (4, [[0.0, 0.0], [-5.0, 0.0]]),   # west
+            (5, [[0.0, 0.0], [1.0, 1.0], [0.0, 0.0]]),  # loop -> NULL
+            (6, None)]
+    df = spark.createDataFrame(rows,
+                               "fid bigint, path array<array<double>>")
+    blk = DataFrameSource(df, index_column="fid")
+    got = {r["fid"]: r["az"] for r in blk.set(
+        "az", Azimuth(blk)).plan(spark).collect()}
+    assert got[1] == 0.0
+    assert abs(got[2] - math.pi / 2) < 1e-12
+    assert abs(got[3] - math.pi) < 1e-12
+    assert abs(got[4] - 3 * math.pi / 2) < 1e-12
+    assert got[5] is None and got[6] is None
+
+
+def test_path_point_indices(spark):
+    """Round 9: PathPoint 0-based / negative indices, out-of-range
+    NULL, bbox recomputes to the point, collision rejected."""
+    import pytest
+
+    from dask_geomodeling_spark.geometry.constructive import PathPoint
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    df = spark.createDataFrame(
+        [(1, [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]], 0.0, 0.0, 9.0, 9.0)],
+        "fid bigint, path array<array<double>>, xmin double, "
+        "ymin double, xmax double, ymax double")
+    blk = DataFrameSource(df, index_column="fid")
+    start = PathPoint(blk, 0).plan(spark).collect()[0]
+    assert (start["x"], start["y"]) == (1.0, 2.0)
+    assert start["xmin"] == start["xmax"] == 1.0
+    assert "path" not in start.asDict()
+    end = PathPoint(blk, -1).plan(spark).collect()[0]
+    assert (end["x"], end["y"]) == (5.0, 6.0)
+    mid = PathPoint(blk, 1).plan(spark).collect()[0]
+    assert (mid["x"], mid["y"]) == (3.0, 4.0)
+    oor = PathPoint(blk, 7).plan(spark).collect()[0]
+    assert oor["x"] is None and oor["y"] is None
+    df2 = df.withColumnRenamed("xmin", "x")
+    with pytest.raises(ValueError, match="collide"):
+        PathPoint(DataFrameSource(df2, index_column="fid"), 0)
+
+
+def test_remove_repeated_points_ring_wrap(spark):
+    """Round 9: RemoveRepeatedPoints collapses the ring wrap-around
+    pair, keeps a path's closing loop revisit, NULLs degenerates."""
+    from dask_geomodeling_spark.geometry.constructive import (
+        RemoveRepeatedPoints)
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    df = spark.createDataFrame(
+        [(1, [[[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0],
+               [0.0, 0.0]]]),
+         (2, [[[1.0, 1.0], [1.0, 1.0]]])],
+        "fid bigint, rings array<array<array<double>>>")
+    df = df.selectExpr("fid", "transform(rings, r -> r) AS rings")
+    got = {r["fid"]: r["rings"] for r in RemoveRepeatedPoints(
+        DataFrameSource(df, index_column="fid"))
+        .plan(spark).collect()}
+    assert got[1] == [[[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]]]
+    assert got[2] is None
+    loop = spark.createDataFrame(
+        [(1, [[0.0, 0.0], [0.0, 0.0], [2.0, 0.0], [0.0, 0.0]])],
+        "fid bigint, path array<array<double>>")
+    out = RemoveRepeatedPoints(
+        DataFrameSource(loop, index_column="fid")) \
+        .plan(spark).collect()[0]["path"]
+    assert out == [[0.0, 0.0], [2.0, 0.0], [0.0, 0.0]]
