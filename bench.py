@@ -84,7 +84,8 @@ def main():
                   "path_substring", "simplify_vw",
                   # round-9 additions
                   "overlay_erase_guarded", "segmentize", "azimuth",
-                  "path_point", "remove_repeated_points"):
+                  "path_point", "remove_repeated_points",
+                  "readability_score", "cluster_representative"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

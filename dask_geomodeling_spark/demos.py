@@ -5379,6 +5379,95 @@ def remove_repeated_points(spark, sf_dir):
             .select("o_orderkey", "n", "len"))
 
 
+@demo("readability_score", oracle="""
+WITH w AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(lower(text)), '\\s+'))
+    END AS n_words,
+    GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+        AS n_sentences,
+    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
+      list_sum(list_transform(
+        string_split_regex(trim(lower(text)), '\\s+'),
+        x -> GREATEST(1, len(regexp_extract_all(x, '[aeiouy]+')))))
+    END AS n_syllables
+  FROM documents)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       CASE WHEN n_words > 0 THEN
+         ROUND(206.835 - 1.015 * n_words / n_sentences
+               - 84.6 * n_syllables / n_words, 6) + 0.0 END AS flesch,
+       CASE WHEN n_words > 0 THEN
+         ROUND(0.39 * n_words / n_sentences
+               + 11.8 * n_syllables / n_words - 15.59, 6) + 0.0
+       END AS fk_grade
+FROM w
+""")
+def readability_score(spark, sf_dir):
+    """ReadabilityScore (round 9): Flesch reading ease + FK grade with
+    the vowel-group syllable heuristic — pure per-row JVM column math
+    (one regex fold per document, no shuffle); the oracle recomputes
+    the identical counts with DuckDB's list HOFs."""
+    from dask_geomodeling_spark.pipeline.text import ReadabilityScore
+    blk = ReadabilityScore(documents_src(sf_dir))
+    df = blk.plan(spark)
+    return df.select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        F.expr("ROUND(flesch, 6) + 0.0D").alias("flesch"),
+        F.expr("ROUND(fk_grade, 6) + 0.0D").alias("fk_grade"))
+
+
+@demo("cluster_representative", oracle="""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, {sh} AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+        FROM documents)),
+e AS (SELECT doc_id, len(sh) AS nsh, unnest(sh) AS g FROM docs),
+c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             any_value(a.nsh) AS na, any_value(b.nsh) AS nb,
+             count(*) AS common
+      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM c
+  WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(src, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+assign AS (SELECT src AS doc_id, MIN(node) AS cluster_id
+           FROM reach GROUP BY src),
+sel AS (
+  SELECT a.cluster_id, d.doc_id, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY a.cluster_id
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY a.cluster_id) AS n_members
+  FROM assign a JOIN documents d USING (doc_id))
+SELECT cluster_id, doc_id, n_chars,
+       CAST(n_members AS BIGINT) AS n_members
+FROM sel WHERE rn = 1
+""".format(sh=_dd_shingles(3)))
+def cluster_representative(spark, sf_dir):
+    """ClusterRepresentative (round 9): collapse each NgramJaccard +
+    DedupClusters near-dup cluster to its best member (max n_chars,
+    ties to the smallest doc id) in ONE max_by hash aggregation — the
+    keep-the-best-duplicate policy of corpus dedup; the oracle
+    re-derives the clusters with the recursive CTE and picks with a
+    window."""
+    from dask_geomodeling_spark.pipeline.dedup import (
+        ClusterRepresentative, DedupClusters, NgramJaccard)
+    docs = documents_src(sf_dir)
+    pairs = NgramJaccard(docs, n=3, threshold=0.5)
+    clusters = DedupClusters(docs, pairs)
+    rep = ClusterRepresentative(docs, clusters, "n_chars")
+    return rep.plan(spark).select("cluster_id", "doc_id", "n_chars",
+                                  "n_members")
+
+
 @demo("wet_source", oracle="""
 SELECT doc_id,
        'http://crawl.example/doc/' || doc_id AS uri,
@@ -10075,6 +10164,7 @@ GATE_ANCHORS = [
     "shapefile_roundtrip", "gpkg_roundtrip",
     "overlay_erase_guarded",
     "segmentize", "azimuth", "path_point", "remove_repeated_points",
+    "readability_score", "cluster_representative",
 ]
 
 

@@ -1021,3 +1021,78 @@ class RemoveRepeatedSpans(BaseSingle):
             F.coalesce("_newtext", F.lit("")).alias("text_dedup"),
             (F.col("_ntotal") - F.coalesce(F.col("_kept"), F.lit(0)))
             .cast("bigint").alias("n_removed"))
+
+
+class ClusterRepresentative(Block):
+    """Collapse each near-dup cluster to its single BEST member — the
+    keep-one policy step after MinHashLSH / NgramJaccard / SimHash +
+    DedupClusters, selecting by a quality/score column instead of
+    DedupClusters' min-id ``is_canonical`` flag (round 9; the
+    "keep the longest / highest-quality duplicate" convention of
+    corpus dedup pipelines).
+
+    Args:
+      source: block of all documents (id column = its index).
+      clusters: block of cluster assignments with ``doc_id`` and
+        ``cluster_id`` columns (DedupClusters' output contract).
+      score_column: the column of ``source`` to maximize (or minimize
+        with ``ascending=True``).  Ties break to the SMALLEST doc id,
+        deterministically.
+
+    Output: one row per cluster — the winning member's full row plus
+    ``cluster_id`` and ``n_members``.  Execution: one equi-join on the
+    id (documents × assignments, both sides shuffled on the same key)
+    and ONE hash aggregation (``max_by``/``min_by`` over a lexical
+    (score, -id) struct — partial aggregation map-side, no window, no
+    sort).  Scale: group cardinality = cluster count; the winner
+    struct is one row's columns, never a collected member list."""
+
+    def __init__(self, source, clusters, score_column,
+                 id_column=None, ascending=False):
+        if not isinstance(source, Block) \
+                or not isinstance(clusters, Block):
+            raise TypeError("source/clusters must be Blocks")
+        if id_column is None:
+            id_column = source.index_column
+        if "n_members" in source.columns:
+            raise ValueError(
+                "column 'n_members' collides with "
+                "ClusterRepresentative's output; rename it upstream")
+        super().__init__(source, clusters, str(score_column),
+                         str(id_column), bool(ascending))
+
+    @property
+    def index_column(self):
+        return "cluster_id"
+
+    @property
+    def columns(self):
+        return set(self.args[0].columns) | {"cluster_id", "n_members"}
+
+    def _build(self, ctx):
+        docs = self.args[0]._build(ctx)
+        cl = self.args[1]._build(ctx)
+        score, idc, ascending = self.args[2], self.args[3], self.args[4]
+        if score not in docs.columns:
+            raise ValueError(
+                "score_column {!r} is not a column of the source "
+                "({})".format(score, sorted(docs.columns)))
+        j = docs.join(
+            cl.select(F.col("doc_id").alias(idc), "cluster_id"), idc)
+        cols = [c for c in docs.columns]
+        payload = "struct({})".format(", ".join(
+            "`{}`".format(c) for c in cols))
+        # lexical (score, -id): highest score first, ties to the
+        # smallest id; min_by flips the score sense but keeps the tie
+        # direction via +id
+        if ascending:
+            pick = "min_by({p}, struct(`{s}`, `{i}`))".format(
+                p=payload, s=score, i=idc)
+        else:
+            pick = "max_by({p}, struct(`{s}`, -`{i}`))".format(
+                p=payload, s=score, i=idc)
+        g = (j.groupBy("cluster_id")
+             .agg(F.expr(pick).alias("_w"),
+                  F.count(F.lit(1)).cast("bigint").alias("n_members")))
+        return g.select("cluster_id", *["_w.`{}`".format(c)
+                                        for c in cols], "n_members")

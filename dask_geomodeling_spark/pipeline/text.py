@@ -686,3 +686,59 @@ class NgramNovelty(BaseSingle):
                    F.round(F.col("novel")
                            / F.col("n_grams").cast("double"), 6))
             .alias("novelty"))
+
+
+class ReadabilityScore(BaseSingle):
+    """Flesch reading ease + Flesch–Kincaid grade level (round 9) —
+    the classic readability pair over words-per-sentence and
+    syllables-per-word, with the standard vowel-group syllable
+    heuristic (every maximal ``[aeiouy]+`` run is one syllable, min 1
+    per word) and ``[.!?]+`` runs as sentence boundaries (min 1).
+
+    Adds ``n_words``, ``n_sentences``, ``n_syllables``, ``flesch``
+    (206.835 − 1.015·W/S − 84.6·Y/W) and ``fk_grade``
+    (0.39·W/S + 11.8·Y/W − 15.59); empty documents NULL the scores.
+
+    Pure per-row column math (split + regexp_extract_all + one
+    aggregate fold) — map-side, JVM regex engine, no Python, no
+    shuffle; composes with QualityScore/GopherQuality as another
+    model-free quality signal for corpus filtering."""
+
+    def __init__(self, source, column="text"):
+        super().__init__(source, column)
+
+    @property
+    def columns(self):
+        return set(self.source.columns) | {
+            "n_words", "n_sentences", "n_syllables", "flesch",
+            "fk_grade"}
+
+    def _build(self, ctx):
+        df = self.source._build(ctx)
+        c = F.col(self.args[1])
+        words = F.split(F.trim(F.lower(c)), r"\s+")
+        df = df.withColumns({
+            "n_words": F.when(F.length(F.trim(c)) == 0, F.lit(0))
+            .otherwise(F.size(words)).cast("bigint"),
+            "n_sentences": F.greatest(
+                F.lit(1),
+                F.size(F.expr("regexp_extract_all({c}, '[.!?]+', 0)"
+                              .format(c=self.args[1])))).cast("bigint"),
+        })
+        df = df.withColumn(
+            "n_syllables",
+            F.when(F.col("n_words") == 0, F.lit(0)).otherwise(F.expr(
+                "aggregate(split(trim(lower({c})), '\\\\s+'), "
+                "CAST(0 AS BIGINT), (acc, w) -> acc + GREATEST(1, "
+                "size(regexp_extract_all(w, '[aeiouy]+', 0))))"
+                .format(c=self.args[1]))).cast("bigint"))
+        wps = F.col("n_words") / F.col("n_sentences")
+        spw = F.col("n_syllables") / F.col("n_words")
+        return df.withColumns({
+            "flesch": F.when(
+                F.col("n_words") > 0,
+                F.lit(206.835) - 1.015 * wps - 84.6 * spw),
+            "fk_grade": F.when(
+                F.col("n_words") > 0,
+                0.39 * wps + 11.8 * spw - 15.59),
+        })

@@ -1074,3 +1074,58 @@ def test_ngram_novelty(spark):
     assert got[3]["novelty"] == 1.0 and got[3]["n_grams"] == 2
     assert 0.0 < got[4]["novelty"] < 1.0
     assert got[5]["novelty"] is None and got[5]["n_grams"] == 0
+
+
+def test_readability_score_edges(spark):
+    """Round 9: syllable heuristic minimums, sentence-run counting,
+    empty text NULLs the scores."""
+    from dask_geomodeling_spark.pipeline.text import ReadabilityScore
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!! Done?"),
+         (2, "strength"),          # no vowel groups beyond 'e' -> 2? no: 'e' one run
+         (3, ""),
+         (4, "aaa bbb")],
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in ReadabilityScore(
+        DataFrameSource(df, index_column="doc_id"))
+        .plan(spark).collect()}
+    r1 = out[1]
+    assert r1["n_sentences"] == 3        # '.', '!!', '?' runs
+    assert r1["n_words"] == 7
+    r2 = out[2]
+    assert (r2["n_words"], r2["n_sentences"]) == (1, 1)
+    assert r2["n_syllables"] == 1        # 'e' is the only vowel run
+    assert out[3]["n_words"] == 0 and out[3]["flesch"] is None
+    assert out[4]["n_syllables"] == 2    # 'aaa' run + bbb minimum 1
+    # flesch formula spot check on row 1
+    import math
+    exp = 206.835 - 1.015 * (7 / 3) - 84.6 * (r1["n_syllables"] / 7)
+    assert math.isclose(r1["flesch"], exp, rel_tol=1e-12)
+
+
+def test_cluster_representative_policy(spark):
+    """Round 9: max_by keep-best with smallest-id ties, ascending
+    mode, n_members, singleton clusters survive."""
+    import pytest
+
+    from dask_geomodeling_spark.pipeline.dedup import (
+        ClusterRepresentative)
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    docs = spark.createDataFrame(
+        [(1, 10.0), (2, 99.0), (3, 99.0), (4, 5.0)],
+        "doc_id bigint, score double")
+    cl = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)],
+        "doc_id bigint, cluster_id bigint")
+    src = DataFrameSource(docs, index_column="doc_id")
+    asg = DataFrameSource(cl, index_column="doc_id")
+    rep = {r["cluster_id"]: r for r in ClusterRepresentative(
+        src, asg, "score").plan(spark).collect()}
+    assert rep[1]["doc_id"] == 2 and rep[1]["n_members"] == 3  # tie -> min id
+    assert rep[4]["doc_id"] == 4 and rep[4]["n_members"] == 1
+    low = {r["cluster_id"]: r for r in ClusterRepresentative(
+        src, asg, "score", ascending=True).plan(spark).collect()}
+    assert low[1]["doc_id"] == 1 and low[4]["doc_id"] == 4
+    with pytest.raises(ValueError, match="score_column"):
+        ClusterRepresentative(src, asg, "nope").plan(spark)
