@@ -85,7 +85,8 @@ def main():
                   # round-9 additions
                   "overlay_erase_guarded", "segmentize", "azimuth",
                   "path_point", "remove_repeated_points",
-                  "readability_score", "cluster_representative"):
+                  "readability_score", "cluster_representative",
+                  "geojsonseq_roundtrip"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

@@ -5468,6 +5468,55 @@ def cluster_representative(spark, sf_dir):
                                   "n_members")
 
 
+@demo("geojsonseq_roundtrip", oracle="""
+SELECT o_orderkey,
+       CAST(o_orderkey % 61 AS DOUBLE) AS xmin,
+       CAST((o_orderkey * 7) % 47 AS DOUBLE) AS ymin,
+       CAST(o_orderkey % 61 + 3 + o_orderkey % 5 AS DOUBLE) AS xmax,
+       CAST((o_orderkey * 7) % 47 + 2 + o_orderkey % 4 AS DOUBLE)
+           AS ymax,
+       CAST((3 + o_orderkey % 5) * (2 + o_orderkey % 4) - 1 AS DOUBLE)
+           AS area
+FROM orders
+""")
+def geojsonseq_roundtrip(spark, sf_dir):
+    """geojsonseq egress + ingest (round 9, RFC 8142 newline-delimited
+    GeoJSON — OGR's 'GeoJSONSeq' driver surface): donut polygons write
+    ONE FEATURE PER LINE straight through Spark's text writer (no
+    assembly hop), read back through the SPLITTABLE line reader as
+    true rings, and Area over the re-decoded geometry reproduces the
+    closed form.  The geo text format whose single-file case still
+    fans out across tasks at 100 TB."""
+    import tempfile
+
+    from dask_geomodeling_spark.geometry.geom_operations import Area
+    from dask_geomodeling_spark.geometry.sinks import GeometryFileSink
+    from dask_geomodeling_spark.geometry.sources import (
+        FileGeometrySource)
+    orders = ensure_min_partitions(
+        read_nanos_parquet(spark, _pq(sf_dir, "orders")), spark)
+    src = orders.select(
+        "o_orderkey",
+        F.expr("CAST(o_orderkey % 61 AS DOUBLE)").alias("ax"),
+        F.expr("CAST((o_orderkey * 7) % 47 AS DOUBLE)").alias("ay"),
+        F.expr("CAST(3 + o_orderkey % 5 AS DOUBLE)").alias("w"),
+        F.expr("CAST(2 + o_orderkey % 4 AS DOUBLE)").alias("h"),
+    ).select("o_orderkey", F.expr(
+        "array(array(array(ax, ay), array(ax + w, ay), "
+        "array(ax + w, ay + h), array(ax, ay + h)), "
+        "array(array(ax + 1, ay + 1), array(ax + 1, ay + 2), "
+        "array(ax + 2, ay + 2), array(ax + 2, ay + 1)))").alias("rings"))
+    d = tempfile.mkdtemp(prefix="dgs_seqsink_")
+    GeometryFileSink(DataFrameSource(src, index_column="o_orderkey"),
+                     d, extension="geojsonseq").write(spark)
+    back = FileGeometrySource(d, format="geojsonseq",
+                              id_field="o_orderkey",
+                              schema="o_orderkey BIGINT")
+    view = back.set("area", Area(back))
+    return view.plan(spark).select("o_orderkey", "xmin", "ymin",
+                                   "xmax", "ymax", "area")
+
+
 @demo("wet_source", oracle="""
 SELECT doc_id,
        'http://crawl.example/doc/' || doc_id AS uri,
@@ -10165,6 +10214,7 @@ GATE_ANCHORS = [
     "overlay_erase_guarded",
     "segmentize", "azimuth", "path_point", "remove_repeated_points",
     "readability_score", "cluster_representative",
+    "geojsonseq_roundtrip",
 ]
 
 

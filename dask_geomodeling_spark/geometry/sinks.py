@@ -88,7 +88,8 @@ class GeometryFileSink(BaseSingle):
     columns drop — the read side is ``WKBGeometrySource``.
     """
 
-    supported_extensions = ("parquet", "csv", "json", "geojson", "wkb",
+    supported_extensions = ("parquet", "csv", "json", "geojson",
+                            "geojsonseq", "wkb",
                             "shp", "gpkg", "gml", "kml")
 
     def __init__(self, source, url, extension="parquet", fields=None,
@@ -212,6 +213,14 @@ class GeometryFileSink(BaseSingle):
                                          "value string")
             out.write.mode(mode).text(url)
             return url
+        if extension == "geojsonseq":
+            # newline-delimited GeoJSON (RFC 8142): one Feature per
+            # LINE straight through the text writer — no per-partition
+            # assembly hop at all, and the read side splits one huge
+            # file across tasks.  The feature-scale geo egress format.
+            (df.select(self._feature_json(df).alias("value"))
+             .write.mode(mode).text(url))
+            return url
         if extension in ("shp", "gpkg", "gml", "kml"):
             # Per-partition feature files — the exact analogue of the
             # reference's per-tile fiona writes (its process() emits
@@ -325,7 +334,7 @@ def merge_feature_files(path, target, remove_source=False):
         raise IOError("Target '{}' already exists".format(target))
     ext = target.rsplit(".", 1)[-1]
     sources = sorted(_glob.glob(os.path.join(path, "*." + ext)))
-    if not sources and ext == "geojson":
+    if not sources and ext in ("geojson", "geojsonseq"):
         # the geojson sink writes through Spark's text writer, so the
         # per-partition FeatureCollections land as part-*.txt
         sources = sorted(
@@ -342,6 +351,13 @@ def merge_feature_files(path, target, remove_source=False):
         with open(target, "w") as f:
             json.dump({"type": "FeatureCollection", "features": feats},
                       f)
+    elif ext == "geojsonseq":
+        with open(target, "w") as out:
+            for s in sources:
+                with open(s) as f:
+                    for line in f:
+                        if line.strip():
+                            out.write(line.rstrip("\n") + "\n")
     elif ext in ("gml", "kml"):
         # splice member blocks between the first file's header/trailer
         trailer = ("</gml:FeatureCollection>" if ext == "gml"

@@ -229,14 +229,19 @@ class FileGeometrySource(GeometryBlock):
     format, NOT json-lines) Spark-natively: each file loads as one text
     row (files parallelize across tasks), ``parse_json`` turns it into
     a VARIANT, and the features array explodes into rows — no Python in
-    the scan.  ``schema`` describes the ``properties`` members; the
+    the scan.  ``geojsonseq`` (round 9) reads newline-delimited GeoJSON
+    (RFC 8142 / OGR 'GeoJSONSeq', optional RS prefixes stripped): one
+    Feature per LINE through the splittable line reader — a single
+    multi-TB file fans out across tasks, which wholetext
+    FeatureCollections cannot; this is the geo text format that
+    actually scales.  ``schema`` describes the ``properties`` members; the
     geometry contributes typed columns ``x``/``y`` (Point coordinates,
     NULL otherwise) and ``xmin``/``ymin``/``xmax``/``ymax`` (the bbox of
     any Polygon/MultiLine ring set, degenerate point bbox for Points) —
     exactly the typed-column geometry model the rest of the plane uses.
     """
 
-    formats = ("parquet", "csv", "json", "geojson")
+    formats = ("parquet", "csv", "json", "geojson", "geojsonseq")
 
     def __init__(self, url, format="parquet", id_field="id",
                  time_column=None, schema=None, projection="EPSG:4326"):
@@ -266,7 +271,7 @@ class FileGeometrySource(GeometryBlock):
         return set()
 
     @staticmethod
-    def infer_geojson_schema(spark, url, sample=100):
+    def infer_geojson_schema(spark, url, sample=100, lines=False):
         """Derive the ``properties`` DDL schema from the VARIANT itself
         (reference reads GeoJSON through fiona, which sniffs property
         types — geometry/sources.py:18): ``schema_of_variant_agg``
@@ -276,11 +281,19 @@ class FileGeometrySource(GeometryBlock):
         mapping).  An explicit schema stays the 100 TB contract; this
         is the interactive/compat path."""
         import re
-        raw = spark.read.option("wholetext", True).text(url)
-        feats = (raw.select(F.parse_json(F.col("value")).alias("_v"))
-                 .select(F.explode(F.expr(
-                     "variant_get(_v, '$.features', 'array<variant>')"))
-                     .alias("_f")))
+        if lines:
+            raw = spark.read.text(url)
+            feats = (raw.filter(F.length(F.trim("value")) > 0)
+                     .select(F.parse_json(F.expr(
+                         "regexp_replace(value, '^\\\\x1e', '')"))
+                         .alias("_f")))
+        else:
+            raw = spark.read.option("wholetext", True).text(url)
+            feats = (raw.select(F.parse_json(F.col("value")).alias("_v"))
+                     .select(F.explode(F.expr(
+                         "variant_get(_v, '$.features', "
+                         "'array<variant>')"))
+                         .alias("_f")))
         row = (feats.limit(int(sample))
                .select(F.expr("try_variant_get(_f, '$.properties', "
                               "'variant')").alias("_p"))
@@ -298,16 +311,29 @@ class FileGeometrySource(GeometryBlock):
         return inner
 
     @classmethod
-    def _geojson_frame(cls, spark, url, schema):
+    def _geojson_frame(cls, spark, url, schema, lines=False):
         from pyspark.sql import types as T
         if not schema:
-            schema = cls.infer_geojson_schema(spark, url)
+            schema = cls.infer_geojson_schema(spark, url, lines=lines)
         fields = T._parse_datatype_string(schema).fields
-        raw = spark.read.option("wholetext", True).text(url)
-        feats = (raw.select(F.parse_json(F.col("value")).alias("_v"))
-                 .select(F.explode(F.expr(
-                     "variant_get(_v, '$.features', 'array<variant>')"))
-                     .alias("_f")))
+        if lines:
+            # GeoJSONSeq / newline-delimited GeoJSON (RFC 8142): one
+            # Feature per text LINE — the line reader splits a single
+            # huge file across tasks (wholetext FeatureCollections
+            # cannot), which is what makes this the geo text format
+            # that scales; no explode, one parse_json per line
+            raw = spark.read.text(url)
+            feats = (raw.filter(F.length(F.trim("value")) > 0)
+                     .select(F.parse_json(F.expr(
+                         "regexp_replace(value, '^\\\\x1e', '')"))
+                         .alias("_f")))
+        else:
+            raw = spark.read.option("wholetext", True).text(url)
+            feats = (raw.select(F.parse_json(F.col("value")).alias("_v"))
+                     .select(F.explode(F.expr(
+                         "variant_get(_v, '$.features', "
+                         "'array<variant>')"))
+                         .alias("_f")))
         props = [
             F.expr("try_variant_get(_f, '$.properties.{}', '{}')".format(
                 f.name, f.dataType.simpleString())).alias(f.name)
@@ -372,6 +398,9 @@ class FileGeometrySource(GeometryBlock):
             df = reader.schema(schema).option("header", True).csv(url)
         elif fmt == "geojson":
             df = self._geojson_frame(ctx.spark, url, schema)
+        elif fmt == "geojsonseq":
+            df = self._geojson_frame(ctx.spark, url, schema,
+                                     lines=True)
         elif schema == "infer":
             # the fiona-parity sniffing path (compat/interactive):
             # Spark's native json inference pass — an explicit DDL

@@ -172,3 +172,51 @@ def test_unsupported_extension_rejected():
         from dask_geomodeling_spark.geometry.sinks import (
             GeometryFileSink as S)
         S.__init__(S.__new__(S), df, "/tmp/x", extension="xyz")
+
+
+def test_geojsonseq_roundtrip_and_merge(spark):
+    """Round 9: geojsonseq (RFC 8142 newline-delimited GeoJSON) —
+    one feature per line through the plain text writer, read back
+    through the splittable line reader (explicit schema AND inference,
+    RS-prefixed lines too), merged into one file."""
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.geometry.sources import (
+        FileGeometrySource)
+    src = _donuts(spark, n=30)
+    d = tempfile.mkdtemp(prefix="dgs_seq_")
+    GeometryFileSink(DataFrameSource(src, index_column="fid"), d,
+                     extension="geojsonseq").write(spark)
+    schema = "fid BIGINT, flag BOOLEAN, label STRING, score DOUBLE"
+    back = FileGeometrySource(d, format="geojsonseq", id_field="fid",
+                              schema=schema)
+    got = {r["fid"]: r for r in back.plan(spark).collect()}
+    assert len(got) == 30
+    for fid, r in got.items():
+        ax, ay = float(fid % 13), float((fid * 3) % 11)
+        assert (r["xmin"], r["ymin"]) == (ax, ay)
+        assert (r["xmax"], r["ymax"]) == (ax + 4.0, ay + 4.0)
+        assert r["label"] == "zone-{}".format(fid)
+        assert len(r["rings"]) == 2  # donut survives as true rings
+    # schema inference path
+    inferred = FileGeometrySource(d, format="geojsonseq",
+                                  id_field="fid")
+    assert inferred.plan(spark).count() == 30
+    # merge to ONE file, re-read it
+    target = os.path.join(tempfile.mkdtemp(prefix="dgs_seqdst_"),
+                          "all.geojsonseq")
+    merge_feature_files(d, target)
+    n_lines = sum(1 for line in open(target) if line.strip())
+    assert n_lines == 30
+    again = FileGeometrySource(target, format="geojsonseq",
+                               id_field="fid", schema=schema)
+    assert again.plan(spark).count() == 30
+    # RS-prefixed variant (RFC 8142 record separators) parses too
+    rs = os.path.join(tempfile.mkdtemp(prefix="dgs_rs_"),
+                      "rs.geojsonseq")
+    with open(rs, "w") as f:
+        for line in open(target):
+            if line.strip():
+                f.write("\x1e" + line)
+    assert FileGeometrySource(rs, format="geojsonseq", id_field="fid",
+                              schema=schema).plan(spark).count() == 30
