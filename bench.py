@@ -86,7 +86,7 @@ def main():
                   "overlay_erase_guarded", "segmentize", "azimuth",
                   "path_point", "remove_repeated_points",
                   "readability_score", "cluster_representative",
-                  "geojsonseq_roundtrip"):
+                  "geojsonseq_roundtrip", "focal_median", "fuzzy_dedup"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

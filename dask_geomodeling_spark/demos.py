@@ -1250,6 +1250,53 @@ def streaming_near_dup(spark, sf_dir):
                             shingle_size=2, hash_fn="poly").plan(spark)
 
 
+def _fuzzy_dedup_oracle(num_perm=8, bands=4, n=2, threshold=0.7,
+                        prefix=160):
+    from dask_geomodeling_spark.pipeline.dedup import _perm_constants
+    perms = _perm_constants(num_perm)
+    sig_cols = ",\n  ".join(
+        "list_min(list_transform(sh, x -> ({a} * x + {b}) % 2147483647)) "
+        "AS s{i}".format(a=a, b=b, i=i) for i, (a, b) in enumerate(perms))
+    rpb = num_perm // bands
+    band_preds = " OR ".join(
+        "(" + " AND ".join(
+            "a.s{j} = b.s{j}".format(j=bb * rpb + r) for r in range(rpb))
+        + ")" for bb in range(bands))
+    return """
+WITH docs AS (
+  SELECT doc_id, substr(text, 1, {px}) AS text,
+         string_split_regex(trim(lower(substr(text, 1, {px}))),
+                            '\\s+') AS w
+  FROM documents),
+th AS (SELECT doc_id, text,
+              list_transform(w, t -> {poly}) AS h FROM docs),
+hs AS (SELECT doc_id, text,
+  list_distinct([
+    list_reduce(list_prepend(CAST(0 AS BIGINT), h[i:i+{nm1}]),
+                (acc, x) -> (acc * 8191 + x) % 2147483647)
+    FOR i IN range(1, greatest(len(h) - {n} + 1, 1) + 1)]) AS sh
+  FROM th),
+sigs AS (SELECT doc_id, text, sh, {sigs} FROM hs),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.text AS ta, b.text AS tb
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ({preds})),
+lev AS (
+  SELECT id_a, id_b,
+         CAST(levenshtein(ta, tb) AS BIGINT) AS distance,
+         GREATEST(length(ta), length(tb)) AS ml
+  FROM cand)
+SELECT id_a, id_b, distance,
+       ROUND(CASE WHEN ml = 0 THEN 1.0
+                  ELSE 1.0 - CAST(distance AS DOUBLE) / ml END, 6)
+           + 0.0 AS similarity
+FROM lev
+WHERE (CASE WHEN ml = 0 THEN 1.0
+            ELSE 1.0 - CAST(distance AS DOUBLE) / ml END) >= {t}
+""".format(poly=_DD_POLY.format(col="t", base=257), n=n, nm1=n - 1,
+           sigs=sig_cols, preds=band_preds, t=threshold, px=prefix)
+
+
 @demo("minhash_lsh", oracle=_minhash_oracle())
 def minhash_lsh(spark, sf_dir):
     """MinHashLSH near-dup candidates (poly hash → the whole
@@ -5462,7 +5509,10 @@ def cluster_representative(spark, sf_dir):
         ClusterRepresentative, DedupClusters, NgramJaccard)
     docs = documents_src(sf_dir)
     pairs = NgramJaccard(docs, n=3, threshold=0.5)
-    clusters = DedupClusters(docs, pairs)
+    # star + the <=64k-edge driver short-circuit: near-dup pair graphs
+    # are tiny relative to the corpus, and label propagation's
+    # per-round scheduling floor dominates at bench SFs
+    clusters = DedupClusters(docs, pairs, algorithm="star")
     rep = ClusterRepresentative(docs, clusters, "n_chars")
     return rep.plan(spark).select("cluster_id", "doc_id", "n_chars",
                                   "n_members")
@@ -5515,6 +5565,51 @@ def geojsonseq_roundtrip(spark, sf_dir):
     view = back.set("area", Area(back))
     return view.plan(spark).select("o_orderkey", "xmin", "ymin",
                                    "xmax", "ymax", "area")
+
+
+@demo("focal_median", oracle="""
+WITH grid AS ({grid}),
+offs(dy, dx) AS (VALUES (0,0), (0,1), (0,-1), (1,0), (-1,0)),
+sc AS (
+  SELECT g.time, g.y + o.dy AS y, g.x + o.dx AS x, g.value
+  FROM grid g CROSS JOIN offs o
+  WHERE g.value IS NOT NULL)
+SELECT time, y, x,
+       ROUND(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) + 0.0
+           AS value
+FROM sc GROUP BY time, y, x
+""".format(grid=_grid_sql("R")))
+def focal_median(spark, sf_dir):
+    """FocalStatistic('median') (round 9) — the generic focal
+    neighborhood statistic family (ArcGIS/GDAL Focal Statistics): the
+    MovingMax scatter (bounded literal offsets, never data x data)
+    with an EXACT interpolated percentile per target cell, so the
+    result is engine-deterministic where a float mean would not be."""
+    from dask_geomodeling_spark.raster.spatial import FocalStatistic
+    out = FocalStatistic(lineitem_grid(spark, sf_dir, "R"),
+                         statistic="median", size=3).plan(spark)
+    return out.withColumn("value",
+                          F.expr("ROUND(value, 6) + 0.0D"))
+
+
+@demo("fuzzy_dedup", oracle=_fuzzy_dedup_oracle())
+def fuzzy_dedup(spark, sf_dir):
+    """FuzzyDedup (round 9): banded MinHash candidates (poly hash —
+    engine-exact) refined by EXACT Levenshtein similarity over the
+    leading 160 chars; the oracle reruns the identical band join and
+    DuckDB's levenshtein.  Edit distance runs ONLY on candidates, in
+    the bounded early-exit form."""
+    from dask_geomodeling_spark.pipeline.dedup import FuzzyDedup
+    docs = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "documents")), spark)
+    src = DataFrameSource(
+        docs.select("doc_id",
+                    F.expr("substr(text, 1, 160)").alias("text")),
+        index_column="doc_id")
+    out = FuzzyDedup(src, threshold=0.7, num_perm=8, bands=4,
+                     shingle_size=2, hash_fn="poly").plan(spark)
+    return out.withColumn(
+        "similarity", F.expr("ROUND(similarity, 6) + 0.0D"))
 
 
 @demo("wet_source", oracle="""
@@ -10214,7 +10309,7 @@ GATE_ANCHORS = [
     "overlay_erase_guarded",
     "segmentize", "azimuth", "path_point", "remove_repeated_points",
     "readability_score", "cluster_representative",
-    "geojsonseq_roundtrip",
+    "geojsonseq_roundtrip", "focal_median", "fuzzy_dedup",
 ]
 
 

@@ -233,9 +233,15 @@ class Overlay(GeometryBlock):
         # row.  Exact: difference distributes over a disjoint
         # decomposition of the left operand, and a geometry missing a
         # piece's cell cannot remove anything from that piece.
+        from pyspark import StorageLevel
+
         from dask_geomodeling_spark.geometry.geom_operations import (
             clip_rings_box_cols_expr, rings_area_expr)
         t = int(max_group_rings)
+        # the guarded path consumes the pair frame three times (load
+        # census, cold group, hot right-sides) — persist so the grid
+        # join runs once (no-op when the union branch already did)
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
         loads = (pairs.groupBy(idc)
                  .agg(F.sum(F.expr("size({})".format(other_geom)))
                       .alias("_load")))

@@ -20,6 +20,7 @@ from dask_geomodeling_spark.geometry.base import BaseSingle
 
 __all__ = ["ExactDedup", "MinHashLSH", "SimHash", "NgramJaccard",
            "EmbeddingDedup", "SemDedup", "DedupClusters",
+           "ClusterRepresentative", "FuzzyDedup",
            "ngram_regex_expr", "RepeatedSpans", "RemoveRepeatedSpans"]
 
 # 31-bit Mersenne prime: (a*h + b) stays < 2^62 under ANSI overflow checks
@@ -1096,3 +1097,70 @@ class ClusterRepresentative(Block):
                   F.count(F.lit(1)).cast("bigint").alias("n_members")))
         return g.select("cluster_id", *["_w.`{}`".format(c)
                                         for c in cols], "n_members")
+
+
+class FuzzyDedup(BaseSingle):
+    """Edit-distance near-duplicate pairs (round 9): banded
+    MinHash-LSH candidates refined by EXACT Levenshtein similarity
+    ``1 − lev(a, b) / max(len(a), len(b)) >= threshold`` — the fuzzy
+    dedup policy for templated/boilerplate corpora where token-set
+    Jaccard over-merges (different numbers in the same template) and
+    exact hashing under-merges.
+
+    Scale: Levenshtein is O(len²) per pair, so it runs ONLY on the
+    LSH candidate set (bucketed self-join, never all-pairs), JVM-side,
+    in the bounded form ``levenshtein(a, b, limit)`` that abandons a
+    pair as soon as the distance exceeds the per-pair admissible
+    bound ⌈(1 − threshold)·maxlen⌉.
+
+    Output: ``id_a`` < ``id_b`` pairs with ``distance`` and
+    ``similarity``; two empty texts count as similarity 1.0."""
+
+    def __init__(self, source, threshold=0.8, text_column="text",
+                 id_column=None, num_perm=32, bands=16,
+                 shingle_size=3, hash_fn="xxhash64"):
+        t = float(threshold)
+        if not 0.0 < t <= 1.0:
+            raise ValueError("threshold must be in (0, 1]")
+        if id_column is None:
+            id_column = source.index_column
+        super().__init__(source, t, text_column, id_column,
+                         int(num_perm), int(bands), int(shingle_size),
+                         hash_fn)
+
+    @property
+    def columns(self):
+        return {"id_a", "id_b", "distance", "similarity"}
+
+    @property
+    def index_column(self):
+        return "id_a"
+
+    def _build(self, ctx):
+        (_, thr, tc, idc, num_perm, bands, shingle_size,
+         hash_fn) = self.args
+        cand = MinHashLSH(self.source, text_column=tc, id_column=idc,
+                          num_perm=num_perm, bands=bands,
+                          shingle_size=shingle_size, verify=False,
+                          hash_fn=hash_fn)._build(ctx)
+        docs = self.source._build(ctx)
+        a = docs.select(F.col(idc).alias("id_a"),
+                        F.col(tc).alias("_ta"))
+        b = docs.select(F.col(idc).alias("id_b"),
+                        F.col(tc).alias("_tb"))
+        j = cand.join(a, "id_a").join(b, "id_b")
+        j = j.withColumn(
+            "_ml", F.greatest(F.length("_ta"), F.length("_tb")))
+        j = j.withColumn(
+            "distance",
+            F.when(F.col("_ml") == 0, F.lit(0)).otherwise(F.expr(
+                "levenshtein(_ta, _tb, CAST(CEIL((1.0D - {t}) * _ml) "
+                "AS INT))".format(t=repr(float(thr)))))
+            .cast("bigint"))
+        j = (j.filter(F.col("distance") >= 0)
+             .withColumn(
+                 "similarity",
+                 F.when(F.col("_ml") == 0, F.lit(1.0)).otherwise(
+                     1.0 - F.col("distance") / F.col("_ml")))
+             .filter(F.col("similarity") >= float(thr)))
+        return j.select("id_a", "id_b", "distance", "similarity")

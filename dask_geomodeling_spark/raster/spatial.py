@@ -560,3 +560,69 @@ class RasterAllocation(BaseSingle):
                 .join(near, ["time", "y", "x"], "left")
                 .select("time", "y", "x",
                         F.col("_s.v").alias("value")))
+
+
+class FocalStatistic(BaseSingle):
+    """Generic focal (neighborhood) statistic (round 9) — the
+    ArcGIS/GDAL Focal Statistics family generalizing MovingMax
+    (spatial.py:77) to the engine's whole statistic vocabulary:
+    ``sum | count | min | max | mean | median | std | var | product |
+    p<q>`` over a circular (reference ``get_footprint``) or square
+    window.
+
+    Same scatter shape as MovingMax: each DATA cell explodes to its
+    footprint offsets (a bounded literal cross join — ⌈πr²⌉ or k²
+    rows per cell, never data×data) and ONE grouped aggregation
+    computes the statistic per target cell; NULL cells contribute
+    nothing (the nan-ignoring convention).  Output cells are every
+    cell whose window contains data (the dilated domain);
+    ``restrict=True`` semi-joins back to the source's own data cells
+    (the Smooth-style domain).  Percentile/median are exact
+    (sort-based), so results are engine-deterministic."""
+
+    def __init__(self, store, statistic="mean", size=3,
+                 footprint="circle", restrict=False):
+        from dask_geomodeling_spark.functions import (
+            parse_percentile_statistic)
+        size = int(2 * round((size - 1) / 2) + 1)
+        if size < 3:
+            raise ValueError("The size should be odd and larger than 1")
+        if footprint not in ("circle", "square"):
+            raise ValueError("footprint must be 'circle' or 'square'")
+        if parse_percentile_statistic(statistic) is None \
+                and statistic not in ("sum", "count", "min", "max",
+                                      "mean", "median", "std", "var",
+                                      "product"):
+            raise ValueError(
+                'Unknown focal statistic "{}"'.format(statistic))
+        super().__init__(store, str(statistic), size, footprint,
+                         bool(restrict))
+
+    @property
+    def size(self):
+        return self.args[2]
+
+    def _build(self, ctx):
+        from dask_geomodeling_spark.functions import statistic_expr
+        _, statistic, size, footprint, restrict = self.args
+        df = self.store._build(ctx).filter(F.col("value").isNotNull())
+        radius = size // 2
+        if footprint == "circle":
+            offs = _circular_offsets(radius)
+        else:
+            offs = [(dy, dx, 1.0)
+                    for dy in range(-radius, radius + 1)
+                    for dx in range(-radius, radius + 1)]
+        offsets = _offsets_df(ctx.spark, offs)
+        out = (df.crossJoin(offsets)
+               .select("time",
+                       (F.col("y") + F.col("dy")).alias("y"),
+                       (F.col("x") + F.col("dx")).alias("x"),
+                       "value")
+               .groupBy("time", "y", "x")
+               .agg(statistic_expr(statistic).cast("double")
+                    .alias("value")))
+        if restrict:
+            out = out.join(df.select("time", "y", "x"),
+                           ["time", "y", "x"], "left_semi")
+        return out

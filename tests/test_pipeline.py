@@ -1129,3 +1129,32 @@ def test_cluster_representative_policy(spark):
     assert low[1]["doc_id"] == 1 and low[4]["doc_id"] == 4
     with pytest.raises(ValueError, match="score_column"):
         ClusterRepresentative(src, asg, "nope").plan(spark)
+
+
+def test_fuzzy_dedup_levenshtein(spark):
+    """Round 9: FuzzyDedup keeps LSH candidates whose edit-distance
+    similarity clears the threshold; templated texts with small edits
+    match, different texts do not; empty pair counts as identical."""
+    import pytest
+
+    from dask_geomodeling_spark.pipeline.dedup import FuzzyDedup
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    df = spark.createDataFrame(
+        [(1, base + "item 17"),
+         (2, base + "item 42"),          # 2 substitutions from #1
+         (3, "completely different words entirely unrelated " * 3),
+         (4, ""), (5, "")],
+        "doc_id bigint, text string")
+    src = DataFrameSource(df, index_column="doc_id")
+    out = {(r["id_a"], r["id_b"]): r for r in FuzzyDedup(
+        src, threshold=0.9, num_perm=8, bands=8, shingle_size=2)
+        .plan(spark).collect()}
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    assert r["distance"] == 2 and r["similarity"] > 0.98
+    assert not any(3 in k for k in out)
+    if (4, 5) in out:                    # empty pair, if banded together
+        assert out[(4, 5)]["similarity"] == 1.0
+    with pytest.raises(ValueError, match="threshold"):
+        FuzzyDedup(src, threshold=0.0)

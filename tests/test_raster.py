@@ -776,3 +776,45 @@ def test_raster_allocation(spark):
     assert out[(0, 1)] == 7.0 and out[(0, 3)] == 9.0
     assert out[(0, 2)] == 7.0          # tie -> smaller source coords
     assert out[(2, 2)] is None         # beyond maxdist
+
+
+def test_focal_statistic_family(spark):
+    """Round 9: FocalStatistic generalizes the scatter window — count/
+    min/median agree with hand computation on a tiny grid; restrict
+    limits output to source cells; square vs circle footprints."""
+    import datetime
+
+    import pytest
+
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    from dask_geomodeling_spark.raster.spatial import FocalStatistic
+    t = datetime.datetime(2000, 1, 1)
+    cells = [(t, 0, 0, 1.0), (t, 0, 1, 5.0), (t, 1, 0, 3.0)]
+    df = spark.createDataFrame(
+        cells, "time timestamp, y bigint, x bigint, value double")
+    src = DataFrameRasterSource(df)
+    # circle radius 1 (plus shape): window of (0,0) = {1,5,3}
+    got = {(r["y"], r["x"]): r["value"] for r in FocalStatistic(
+        src, "median", 3).plan(spark).collect()}
+    assert got[(0, 0)] == 3.0          # median{1,5,3}
+    assert got[(1, 1)] == 4.0          # {5,3} -> interpolated 4
+    assert got[(0, 2)] == 5.0          # dilated domain cell
+    cnt = {(r["y"], r["x"]): r["value"] for r in FocalStatistic(
+        src, "count", 3).plan(spark).collect()}
+    assert cnt[(0, 0)] == 3.0 and cnt[(0, 2)] == 1.0
+    # restrict: only the 3 source cells come back
+    rows = FocalStatistic(src, "min", 3, restrict=True) \
+        .plan(spark).collect()
+    assert sorted((r["y"], r["x"]) for r in rows) == [(0, 0), (0, 1),
+                                                      (1, 0)]
+    # square footprint: corners join the window
+    sq = {(r["y"], r["x"]): r["value"] for r in FocalStatistic(
+        src, "max", 3, footprint="square").plan(spark).collect()}
+    assert sq[(1, 1)] == 5.0
+    with pytest.raises(ValueError, match="statistic"):
+        FocalStatistic(src, "argmax", 3)
+    with pytest.raises(ValueError, match="footprint"):
+        FocalStatistic(src, "mean", 3, footprint="diamond")
+    with pytest.raises(ValueError, match="odd"):
+        FocalStatistic(src, "mean", 1)
