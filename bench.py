@@ -86,7 +86,9 @@ def main():
                   "overlay_erase_guarded", "segmentize", "azimuth",
                   "path_point", "remove_repeated_points",
                   "readability_score", "cluster_representative",
-                  "geojsonseq_roundtrip", "focal_median", "fuzzy_dedup"):
+                  "geojsonseq_roundtrip", "focal_median", "fuzzy_dedup",
+                  "text_normalize", "embedding_normalize",
+                  "matryoshka_slice"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

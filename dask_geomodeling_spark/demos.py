@@ -5612,6 +5612,102 @@ def fuzzy_dedup(spark, sf_dir):
         "similarity", F.expr("ROUND(similarity, 6) + 0.0D"))
 
 
+@demo("text_normalize", oracle="""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(regexp_replace(translate(
+         lower('H\u00e9llo W\u00f6RLD ' || CAST(doc_id AS VARCHAR)
+               || '!!  ' || text),
+         '{af}', '{at}'),
+         '[0-9]', '0', 'g'),
+         '[^a-z0-9\\s]', '', 'g'),
+         '\\s+', ' ', 'g')) AS text_norm
+FROM documents
+""".format(af=__import__('dask_geomodeling_spark.pipeline.text',
+                         fromlist=['ACCENT_FROM']).ACCENT_FROM,
+           at=__import__('dask_geomodeling_spark.pipeline.text',
+                         fromlist=['ACCENT_TO']).ACCENT_TO))
+def text_normalize(spark, sf_dir):
+    """TextNormalize (round 9, the CCNet dedup normalization):
+    lowercase -> shared literal accent fold -> digits to 0 ->
+    punctuation strip -> whitespace collapse, as pure JVM string
+    expressions; the oracle applies the IDENTICAL chain (same
+    translate map verbatim), so the canonical text is byte-exact."""
+    from dask_geomodeling_spark.pipeline.text import TextNormalize
+    docs = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "documents")), spark)
+    src = DataFrameSource(
+        docs.select("doc_id", F.expr(
+            "concat('H\u00e9llo W\u00f6RLD ', CAST(doc_id AS STRING), "
+            "'!!  ', text)").alias("text")),
+        index_column="doc_id")
+    out = TextNormalize(src).plan(spark)
+    return out.select("doc_id", "text_norm")
+
+
+@demo("embedding_normalize", oracle="""
+SELECT vec_id,
+       array_to_string([printf('%.6f',
+           CAST(CAST(e / n AS FLOAT) AS DOUBLE) + 0.0)
+           FOR e IN emb8], ',') AS v,
+       ROUND(n, 6) + 0.0 AS norm
+FROM (
+  SELECT vec_id, embedding[1:8] AS emb8,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(embedding[1:8],
+                          x -> CAST(x AS DOUBLE) * x)),
+           (acc, x) -> acc + x)) AS n
+  FROM embeddings)
+""")
+def embedding_normalize(spark, sf_dir):
+    """EmbeddingNormalize (round 9): L2 unit vectors as a pure HOF
+    fold (identical summation order both engines), each component
+    rounded AFTER the float cast so the oracle is bit-comparable."""
+    from dask_geomodeling_spark.pipeline.similarity import (
+        EmbeddingNormalize, norm_expr)
+    emb = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "embeddings")), spark)
+    src = DataFrameSource(
+        emb.select("vec_id", F.expr(
+            "slice(embedding, 1, 8)").alias("embedding")),
+        index_column="vec_id")
+    pre = emb.select("vec_id", F.expr("slice(embedding, 1, 8)")
+                     .alias("_e8"))
+    out = EmbeddingNormalize(src).plan(spark)
+    out = out.join(pre, "vec_id")
+    return out.select(
+        "vec_id",
+        F.expr("array_join(transform(embedding, e -> format_string("
+               "'%.6f', CAST(e AS DOUBLE) + 0.0D)), ',')").alias("v"),
+        (F.round(norm_expr("_e8"), 6) + F.lit(0.0)).alias("norm"))
+
+
+@demo("matryoshka_slice", oracle="""
+SELECT vec_id,
+       array_to_string([printf('%.6f',
+           CAST(CAST(e / n AS FLOAT) AS DOUBLE) + 0.0)
+           FOR e IN emb4], ',') AS v
+FROM (
+  SELECT vec_id, embedding[1:4] AS emb4,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(embedding[1:4],
+                          x -> CAST(x AS DOUBLE) * x)),
+           (acc, x) -> acc + x)) AS n
+  FROM embeddings)
+""")
+def matryoshka_slice(spark, sf_dir):
+    """MatryoshkaSlice (round 9): leading-prefix truncation +
+    re-normalization — the nested-representation coarse-search path
+    (64-d search over 1024-d storage); the oracle slices and
+    re-normalizes with the identical fold."""
+    from dask_geomodeling_spark.pipeline.similarity import (
+        MatryoshkaSlice)
+    out = MatryoshkaSlice(embeddings_src(sf_dir), dim=4).plan(spark)
+    return out.select(
+        "vec_id",
+        F.expr("array_join(transform(embedding, e -> format_string("
+               "'%.6f', CAST(e AS DOUBLE) + 0.0D)), ',')").alias("v"))
+
+
 @demo("wet_source", oracle="""
 SELECT doc_id,
        'http://crawl.example/doc/' || doc_id AS uri,
@@ -10310,6 +10406,7 @@ GATE_ANCHORS = [
     "segmentize", "azimuth", "path_point", "remove_repeated_points",
     "readability_score", "cluster_representative",
     "geojsonseq_roundtrip", "focal_median", "fuzzy_dedup",
+    "text_normalize", "embedding_normalize", "matryoshka_slice",
 ]
 
 

@@ -36,12 +36,17 @@ def dot_expr(a, b):
         "cast(0.0 as double), (acc, v) -> acc + v)".format(a=a, b=b))
 
 
+def norm_sql(a):
+    """SQL text: Euclidean norm of an array<float> column (same fold
+    order as the corresponding dot product)."""
+    return ("sqrt(aggregate({a}, cast(0.0 as double), "
+            "(acc, v) -> acc + cast(v as double) * v))".format(a=a))
+
+
 def norm_expr(a):
     """Euclidean norm of an array<float> column (same fold order as the
     corresponding dot product)."""
-    return F.expr(
-        "sqrt(aggregate({a}, cast(0.0 as double), "
-        "(acc, v) -> acc + cast(v as double) * v))".format(a=a))
+    return F.expr(norm_sql(a))
 
 
 def cosine_expr(a, b):
@@ -687,3 +692,67 @@ class RandomProjection(BaseSingle):
                 "(acc, v) -> acc + v)".format(v=vec, p=arr))
                 * F.lit(inv))
         return df.withColumn(name, F.array(*comps))
+
+
+class EmbeddingNormalize(BaseSingle):
+    """L2-normalize an embedding column in place (round 9) — the unit
+    step before cosine ANN (dot == cosine on unit vectors, which lets
+    IVF/PQ/LSH skip per-pair norms).  Zero vectors stay zero instead
+    of dividing by 0.  Pure HOF column math, map-side."""
+
+    def __init__(self, source, vec_column="embedding"):
+        super().__init__(source, vec_column)
+
+    @property
+    def columns(self):
+        return set(self.source.columns)
+
+    def _build(self, ctx):
+        df = self.source._build(ctx)
+        v = self.args[1]
+        if v not in df.columns:
+            raise ValueError("no column {!r}".format(v))
+        return df.withColumn(v, F.expr(
+            "CASE WHEN {v} IS NULL THEN NULL "
+            "WHEN {n} = 0.0D THEN {v} "
+            "ELSE transform({v}, e -> CAST(e / {n} AS FLOAT)) END"
+            .format(v=v, n=norm_sql(v))))
+
+
+class MatryoshkaSlice(BaseSingle):
+    """Truncate embeddings to their leading ``dim`` components and
+    re-normalize (round 9) — the Matryoshka-representation pattern:
+    nested-objective models keep most retrieval quality in a prefix,
+    so a 1024-d corpus can serve 64-d coarse search at 1/16 the
+    bytes/FLOPs and re-rank the shortlist at full width.  Vectors
+    shorter than ``dim`` raise (a silent pass-through would corrupt
+    similarity comparisons).  Pure slice + HOF, map-side."""
+
+    def __init__(self, source, dim, vec_column="embedding",
+                 renormalize=True):
+        d = int(dim)
+        if d < 1:
+            raise ValueError("dim must be >= 1")
+        super().__init__(source, d, vec_column, bool(renormalize))
+
+    @property
+    def columns(self):
+        return set(self.source.columns)
+
+    def _build(self, ctx):
+        df = self.source._build(ctx)
+        _, d, v, renorm = self.args
+        if v not in df.columns:
+            raise ValueError("no column {!r}".format(v))
+        sliced = df.withColumn("_s", F.expr(
+            "CASE WHEN {v} IS NULL THEN NULL "
+            "WHEN size({v}) < {d} THEN "
+            "raise_error(concat('MatryoshkaSlice: vector of size ', "
+            "CAST(size({v}) AS STRING), ' < dim {d}')) "
+            "ELSE slice({v}, 1, {d}) END".format(v=v, d=d)))
+        out = sliced.withColumn(v, F.expr(
+            "CASE WHEN _s IS NULL THEN NULL "
+            "WHEN {n} = 0.0D OR NOT {rn} THEN _s "
+            "ELSE transform(_s, e -> CAST(e / {n} AS FLOAT)) END"
+            .format(n=norm_sql("_s"), rn=str(bool(renorm)).lower())))
+        return out.drop("_s")

@@ -742,3 +742,61 @@ class ReadabilityScore(BaseSingle):
                 F.col("n_words") > 0,
                 0.39 * wps + 11.8 * spw - 15.59),
         })
+
+
+#: 1:1 accent fold (lowercase Latin-1/Extended-A subset) — a literal
+#: translate map shared VERBATIM with the oracles, so both engines
+#: fold identically (multi-char folds like ss for eszett are out of
+#: scope of a char map and left unchanged)
+ACCENT_FROM = ("àáâãäåāăąçćčèéêëēĕėęěìíîïĩīĭįñńňòóôõöøōŏő"
+               "ùúûüũūŭůűýÿžźżšśđł")
+ACCENT_TO = ("aaaaaaaaaccceeeeeeeeeiiiiiiiinnnooooooooo"
+             "uuuuuuuuuyyzzzssdl")
+
+
+class TextNormalize(BaseSingle):
+    """CCNet-style text normalization for dedup hashing (round 9) —
+    the canonical form under which near-identical boilerplate hashes
+    identically: lowercase, 1:1 accent fold (:data:`ACCENT_FROM` →
+    :data:`ACCENT_TO`), digits to ``0``, punctuation stripped,
+    whitespace collapsed, trimmed.  Each step is a flag; the default
+    chain is the CCNet paper's dedup normalization.
+
+    Adds ``output_column`` (default ``text_norm``), leaving the
+    original text untouched — normalize for the HASH, keep the real
+    text for training.  Pure string expressions, map-side, JVM regex,
+    no shuffle."""
+
+    def __init__(self, source, column="text",
+                 output_column="text_norm", lowercase=True,
+                 strip_accents=True, digits_to_zero=True,
+                 remove_punct=True, collapse_whitespace=True):
+        if output_column in source.columns:
+            raise ValueError(
+                "output_column {!r} collides with an input column"
+                .format(output_column))
+        super().__init__(source, column, output_column,
+                         bool(lowercase), bool(strip_accents),
+                         bool(digits_to_zero), bool(remove_punct),
+                         bool(collapse_whitespace))
+
+    @property
+    def columns(self):
+        return set(self.source.columns) | {self.args[2]}
+
+    def _build(self, ctx):
+        (_, col, out, lower, accents, digits, punct, ws) = self.args
+        df = self.source._build(ctx)
+        c = F.col(col)
+        if lower:
+            c = F.lower(c)
+        if accents:
+            c = F.translate(c, ACCENT_FROM, ACCENT_TO)
+        if digits:
+            c = F.regexp_replace(c, r"[0-9]", "0")
+        if punct:
+            pat = r"[^a-z0-9\s]" if lower else r"[^A-Za-z0-9\s]"
+            c = F.regexp_replace(c, pat, "")
+        if ws:
+            c = F.trim(F.regexp_replace(c, r"\s+", " "))
+        return df.withColumn(out, c)

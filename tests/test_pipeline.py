@@ -1158,3 +1158,60 @@ def test_fuzzy_dedup_levenshtein(spark):
         assert out[(4, 5)]["similarity"] == 1.0
     with pytest.raises(ValueError, match="threshold"):
         FuzzyDedup(src, threshold=0.0)
+
+
+def test_text_normalize_chain(spark):
+    """Round 9: TextNormalize canonical form — accents fold, digits
+    zero, punctuation strips, whitespace collapses; flags opt out;
+    the original column is untouched."""
+    import pytest
+
+    from dask_geomodeling_spark.pipeline.text import TextNormalize
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    df = spark.createDataFrame(
+        [(1, "  Héllo,  WöRLD!! 42 cafés  "),
+         (2, None)],
+        "doc_id bigint, text string")
+    src = DataFrameSource(df, index_column="doc_id")
+    out = {r["doc_id"]: r for r in TextNormalize(src)
+           .plan(spark).collect()}
+    assert out[1]["text_norm"] == "hello world 00 cafes"
+    assert out[1]["text"].strip().startswith("Héllo")
+    assert out[2]["text_norm"] is None
+    keep = TextNormalize(src, digits_to_zero=False,
+                         remove_punct=False).plan(spark).collect()
+    got = {r["doc_id"]: r["text_norm"] for r in keep}
+    assert got[1] == "hello, world!! 42 cafes"
+    with pytest.raises(ValueError, match="collides"):
+        TextNormalize(src, output_column="text")
+
+
+def test_embedding_normalize_and_matryoshka(spark):
+    """Round 9: unit norms, zero-vector passthrough, slice+renorm,
+    short-vector rejection."""
+    import math
+
+    import pytest
+
+    from dask_geomodeling_spark.pipeline.similarity import (
+        EmbeddingNormalize, MatryoshkaSlice)
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0, 0.0, 0.0]), (2, [0.0, 0.0, 0.0, 0.0]),
+         (3, None)],
+        "vec_id bigint, embedding array<float>")
+    src = DataFrameSource(df, index_column="vec_id")
+    out = {r["vec_id"]: r["embedding"] for r in EmbeddingNormalize(src)
+           .plan(spark).collect()}
+    assert abs(out[1][0] - 0.6) < 1e-6 and abs(out[1][1] - 0.8) < 1e-6
+    assert out[2] == [0.0, 0.0, 0.0, 0.0]   # zero vector untouched
+    assert out[3] is None
+    sl = {r["vec_id"]: r["embedding"] for r in MatryoshkaSlice(
+        src, dim=2).plan(spark).collect()}
+    assert len(sl[1]) == 2
+    assert abs(math.hypot(*sl[1]) - 1.0) < 1e-6   # renormalized
+    raw = {r["vec_id"]: r["embedding"] for r in MatryoshkaSlice(
+        src, dim=2, renormalize=False).plan(spark).collect()}
+    assert raw[1] == [3.0, 4.0]
+    with pytest.raises(Exception, match="MatryoshkaSlice"):
+        MatryoshkaSlice(src, dim=9).plan(spark).collect()
