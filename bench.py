@@ -88,7 +88,7 @@ def main():
                   "readability_score", "cluster_representative",
                   "geojsonseq_roundtrip", "focal_median", "fuzzy_dedup",
                   "text_normalize", "embedding_normalize",
-                  "matryoshka_slice"):
+                  "matryoshka_slice", "hausdorff_distance"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

@@ -5708,6 +5708,45 @@ def matryoshka_slice(spark, sf_dir):
                "'%.6f', CAST(e AS DOUBLE) + 0.0D)), ',')").alias("v"))
 
 
+@demo("hausdorff_distance", oracle="""
+SELECT n_nationkey,
+       ROUND(CAST(2 + n_nationkey % 5 AS DOUBLE)
+             * CAST(1 + n_nationkey % 4 AS DOUBLE)
+             / SQRT(CAST(2 + n_nationkey % 5 AS DOUBLE)
+                    * CAST(2 + n_nationkey % 5 AS DOUBLE)
+                    + CAST(1 + n_nationkey % 4 AS DOUBLE)
+                    * CAST(1 + n_nationkey % 4 AS DOUBLE)), 6)
+           + 0.0 AS hausdorff
+FROM nation
+""")
+def hausdorff_distance(spark, sf_dir):
+    """HausdorffDistance (round 9): L-shaped polyline vs its straight
+    chord — the symmetric discrete Hausdorff is exactly the corner's
+    distance to the chord, w*h/sqrt(w^2+h^2) in closed form (the
+    simplification-error measurement).  One equi-join + pure
+    vertex-to-segment column math."""
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        HausdorffDistance)
+    nation = read_nanos_parquet(spark, _pq(sf_dir, "nation"))
+    base = nation.select(
+        "n_nationkey",
+        F.expr("CAST(n_nationkey % 7 AS DOUBLE)").alias("ax"),
+        F.expr("CAST((n_nationkey * 3) % 7 AS DOUBLE)").alias("ay"),
+        F.expr("CAST(2 + n_nationkey % 5 AS DOUBLE)").alias("w"),
+        F.expr("CAST(1 + n_nationkey % 4 AS DOUBLE)").alias("h"))
+    full = base.select("n_nationkey", F.expr(
+        "array(array(ax, ay), array(ax + w, ay), "
+        "array(ax + w, ay + h))").alias("path"))
+    chord = base.select("n_nationkey", F.expr(
+        "array(array(ax, ay), array(ax + w, ay + h))").alias("path"))
+    hd = HausdorffDistance(
+        DataFrameSource(full, index_column="n_nationkey"),
+        DataFrameSource(chord, index_column="n_nationkey"))
+    return (hd.plan(spark)
+            .withColumn("hausdorff",
+                        F.expr("ROUND(hausdorff, 6) + 0.0D")))
+
+
 @demo("wet_source", oracle="""
 SELECT doc_id,
        'http://crawl.example/doc/' || doc_id AS uri,
@@ -10407,6 +10446,7 @@ GATE_ANCHORS = [
     "readability_score", "cluster_representative",
     "geojsonseq_roundtrip", "focal_median", "fuzzy_dedup",
     "text_normalize", "embedding_normalize", "matryoshka_slice",
+    "hausdorff_distance",
 ]
 
 

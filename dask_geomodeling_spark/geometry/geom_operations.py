@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from dask_geomodeling_spark.core.blocks import Block
 from dask_geomodeling_spark.geometry.base import GeometryBlock, SeriesBlock
 
 __all__ = ["Area", "Length", "point_in_polygon_expr", "shoelace_expr",
@@ -499,3 +500,101 @@ class Azimuth(SeriesBlock):
             "CASE WHEN path IS NULL OR ({dx} = 0 AND {dy} = 0) "
             "THEN NULL ELSE pmod(atan2({dx}, {dy}), 2.0 * pi()) END"
             .format(dx=dx, dy=dy))
+
+
+def _pt_seg_dist_sql(px, py, ax, ay, bx, by):
+    """SQL text: Euclidean distance from point (px, py) to segment
+    (ax, ay)-(bx, by) — projection parameter clamped to [0, 1],
+    degenerate segments collapse to point distance."""
+    l2 = ("(({bx} - {ax}) * ({bx} - {ax}) + ({by} - {ay}) * "
+          "({by} - {ay}))").format(ax=ax, ay=ay, bx=bx, by=by)
+    t = ("CASE WHEN {l2} = 0D THEN 0D ELSE LEAST(1D, GREATEST(0D, "
+         "(({px} - {ax}) * ({bx} - {ax}) + ({py} - {ay}) * "
+         "({by} - {ay})) / {l2})) END"
+         ).format(px=px, py=py, ax=ax, ay=ay, bx=bx, by=by, l2=l2)
+    # let-bind t via single-element transform (the SQL let idiom)
+    return ("transform(array({t}), tt -> SQRT("
+            "({px} - ({ax} + tt * ({bx} - {ax}))) * "
+            "({px} - ({ax} + tt * ({bx} - {ax}))) + "
+            "({py} - ({ay} + tt * ({by} - {ay}))) * "
+            "({py} - ({ay} + tt * ({by} - {ay})))))[0]"
+            ).format(t=t, px=px, py=py, ax=ax, ay=ay, bx=bx, by=by)
+
+
+def _directed_hausdorff_sql(a, b, closed_b):
+    """SQL text: directed discrete Hausdorff h(a → b) — max over a's
+    VERTICES of the min distance to b's SEGMENTS (closed_b adds the
+    wrap-around edge).  O(n·m) column math per row, no Python."""
+    last = "size({b}) - 1".format(b=b) if not closed_b \
+        else "size({b})".format(b=b)
+    seg = _pt_seg_dist_sql(
+        "p[0]", "p[1]",
+        "{b}[s - 1][0]".format(b=b), "{b}[s - 1][1]".format(b=b),
+        "{b}[s % size({b})][0]".format(b=b),
+        "{b}[s % size({b})][1]".format(b=b))
+    mind = ("aggregate(transform(sequence(1, GREATEST(1, {last})), "
+            "s -> {seg}), CAST('Infinity' AS DOUBLE), "
+            "(acc, v) -> LEAST(acc, v))"
+            ).format(last=last, seg=seg)
+    return ("aggregate(transform({a}, p -> {mind}), 0D, "
+            "(acc, v) -> GREATEST(acc, v))").format(a=a, mind=mind)
+
+
+class HausdorffDistance(Block):
+    """Symmetric discrete Hausdorff distance between the SAME feature
+    in two layers (PostGIS ``ST_HausdorffDistance`` semantics on the
+    discrete vertex/segment sets; no reference analogue — GEOS
+    toolbox).  The canonical uses: measure simplification /
+    reprojection error per feature (original vs `Simplify` output),
+    or score candidate track matches.
+
+    Both layers join on ``left``'s index; geometry per side is the
+    ``path`` (open) or ``vertices`` ring (closed, wrap edge included).
+    ``h = max(h(A→B), h(B→A))`` where the directed term is the max
+    over A's vertices of the min distance to B's segments — the
+    standard discrete refinement that is exact when vertices are
+    dense (``Segmentize`` first to bound the discretization error).
+
+    One equi-join + O(n·m) pure column math per row — no kernel, no
+    shuffle beyond the join.  Output: left's index + ``hausdorff``."""
+
+    def __init__(self, left, right, id_column=None):
+        if not isinstance(left, GeometryBlock) \
+                or not isinstance(right, GeometryBlock):
+            raise TypeError("left/right must be GeometryBlocks")
+        if id_column is None:
+            id_column = left.index_column
+        super().__init__(left, right, str(id_column))
+
+    @property
+    def index_column(self):
+        return self.args[2]
+
+    @property
+    def columns(self):
+        return {self.args[2], "hausdorff"}
+
+    @staticmethod
+    def _chain(df, alias):
+        cols = set(df.columns)
+        if "path" in cols:
+            return F.col("path").alias(alias), False
+        if "vertices" in cols:
+            return F.col("vertices").alias(alias), True
+        raise ValueError(
+            "HausdorffDistance needs a 'path' or 'vertices' column "
+            "(have {})".format(sorted(cols)))
+
+    def _build(self, ctx):
+        idc = self.args[2]
+        L = self.args[0]._build(ctx)
+        R = self.args[1]._build(ctx)
+        ca, closed_a = self._chain(L, "_ha")
+        cb, closed_b = self._chain(R, "_hb")
+        j = (L.select(F.col(idc), ca)
+             .join(R.select(F.col(idc), cb), idc))
+        h = ("CASE WHEN _ha IS NULL OR _hb IS NULL THEN NULL "
+             "ELSE GREATEST({ab}, {ba}) END").format(
+            ab=_directed_hausdorff_sql("_ha", "_hb", closed_b),
+            ba=_directed_hausdorff_sql("_hb", "_ha", closed_a))
+        return j.select(idc, F.expr(h).alias("hausdorff"))

