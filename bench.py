@@ -88,7 +88,8 @@ def main():
                   "readability_score", "cluster_representative",
                   "geojsonseq_roundtrip", "focal_median", "fuzzy_dedup",
                   "text_normalize", "embedding_normalize",
-                  "matryoshka_slice", "hausdorff_distance"):
+                  "matryoshka_slice", "hausdorff_distance",
+                  "idw_interpolate", "knn_classify"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

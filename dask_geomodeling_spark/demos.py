@@ -5747,6 +5747,74 @@ def hausdorff_distance(spark, sf_dir):
                         F.expr("ROUND(hausdorff, 6) + 0.0D")))
 
 
+@demo("idw_interpolate", oracle="""
+WITH grid AS ({grid}),
+offs(dy, dx, w) AS (VALUES (-1,-1,0.5),(-1,0,1.0),(-1,1,0.5),
+                           (0,-1,1.0),(0,1,1.0),
+                           (1,-1,0.5),(1,0,1.0),(1,1,0.5)),
+sc AS (
+  SELECT g.time, g.y + o.dy AS y, g.x + o.dx AS x,
+         CAST(o.w * g.value AS DECIMAL(38, 18)) AS wv,
+         CAST(o.w AS DECIMAL(38, 18)) AS w
+  FROM grid g CROSS JOIN offs o WHERE g.value IS NOT NULL),
+interp AS (
+  SELECT time, y, x,
+         CAST(SUM(wv) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS value
+  FROM sc GROUP BY time, y, x),
+exact AS (SELECT time, y, x, value FROM grid
+          WHERE value IS NOT NULL)
+SELECT i.time, i.y, i.x, ROUND(i.value, 6) + 0.0 AS value
+FROM interp i ANTI JOIN exact e
+  ON i.time = e.time AND i.y = e.y AND i.x = e.x
+UNION ALL
+SELECT time, y, x, ROUND(value, 6) + 0.0 AS value FROM exact
+""".format(grid=_grid_sql("R")))
+def idw_interpolate(spark, sf_dir):
+    """IDWInterpolate (round 9, gdal_grid invdist / fillnodata): data
+    cells scatter precomputed 1/d^2 weights to the in-radius offsets,
+    ONE grouped DECIMAL sum pair + one double division interpolates
+    the surrounding cells; data cells keep their exact value."""
+    from dask_geomodeling_spark.raster.spatial import IDWInterpolate
+    out = IDWInterpolate(lineitem_grid(spark, sf_dir, "R"),
+                         max_distance=1.5, power=2.0).plan(spark)
+    return out.withColumn("value", F.expr("ROUND(value, 6) + 0.0D"))
+
+
+@demo("knn_classify", oracle="""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({cos}, 6) AS cosine
+  FROM embeddings c CROSS JOIN q WHERE q.vec_id <> c.vec_id),
+topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored) WHERE rank <= 5),
+votes AS (
+  SELECT t.query_id, e.label, CAST(COUNT(*) AS BIGINT) AS n
+  FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+  GROUP BY t.query_id, e.label)
+SELECT query_id, label, n AS votes FROM (
+  SELECT query_id, label, n,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY n DESC, label) AS rn
+  FROM votes) WHERE rn = 1
+""".format(cos=_dd_cosine("q.embedding", "c.embedding")))
+def knn_classify(spark, sf_dir):
+    """KNNClassify (round 9): majority label of the 5 nearest corpus
+    vectors per query (exact round-then-rank cosine; vote ties to the
+    smallest label) — CosineTopK + one labels join + ONE max_by
+    aggregation, no second window."""
+    from dask_geomodeling_spark.pipeline.similarity import KNNClassify
+    emb = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "embeddings")), spark)
+    queries = DataFrameSource(emb.filter(F.col("vec_id") < 10),
+                              index_column="vec_id")
+    return KNNClassify(embeddings_src(sf_dir), queries, k=5).plan(spark)
+
+
 @demo("wet_source", oracle="""
 SELECT doc_id,
        'http://crawl.example/doc/' || doc_id AS uri,
@@ -10446,7 +10514,7 @@ GATE_ANCHORS = [
     "readability_score", "cluster_representative",
     "geojsonseq_roundtrip", "focal_median", "fuzzy_dedup",
     "text_normalize", "embedding_normalize", "matryoshka_slice",
-    "hausdorff_distance",
+    "hausdorff_distance", "idw_interpolate", "knn_classify",
 ]
 
 

@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 from dask_geomodeling_spark.geometry.base import BaseSingle
 
 __all__ = ["CosineTopK", "BucketedANN", "KMeansIVF", "IVFPQ",
-           "RandomProjection",
+           "RandomProjection", "EmbeddingNormalize",
+           "MatryoshkaSlice", "KNNClassify",
            "ProductQuantizerANN", "cosine_expr", "hyperplane_bucket",
            "learn_centroids", "learn_codebooks", "assign_clusters_join",
            "nearest_centroid_expr", "probe_centroids_expr",
@@ -756,3 +757,54 @@ class MatryoshkaSlice(BaseSingle):
             "ELSE transform(_s, e -> CAST(e / {n} AS FLOAT)) END"
             .format(n=norm_sql("_s"), rn=str(bool(renorm)).lower())))
         return out.drop("_s")
+
+
+class KNNClassify(BaseSingle):
+    """k-nearest-neighbor label prediction over an embedding corpus
+    (round 9) — the eval/propagation primitive: a labeled corpus votes
+    on each query vector (majority of the k nearest by exact cosine,
+    vote ties to the SMALLEST label — deterministic).
+
+    Composes :class:`CosineTopK` (round-then-rank, broadcast queries)
+    with one labels equi-join and ONE max_by hash aggregation — no
+    second window.  Output: ``query_id``, ``label`` (the prediction),
+    ``votes`` (how many of the k agreed).
+
+    Scale: the corpus side streams (broadcast queries, no corpus
+    shuffle); for web-scale corpora swap the exact scorer for
+    `BucketedANN`/`IVFPQ` shortlists upstream and classify the
+    shortlist frame with the same join + vote."""
+
+    def __init__(self, source, queries, k=5, vec_column="embedding",
+                 id_column="vec_id", label_column="label",
+                 precision=6):
+        if int(k) < 1:
+            raise ValueError("k must be >= 1")
+        super().__init__(source, queries, int(k), vec_column,
+                         id_column, label_column, precision)
+
+    @property
+    def index_column(self):
+        return "query_id"
+
+    @property
+    def columns(self):
+        return {"query_id", "label", "votes"}
+
+    def _build(self, ctx):
+        (_, queries, k, vec_column, id_column, label_column,
+         precision) = self.args
+        topk = CosineTopK(self.source, queries, k=k,
+                          vec_column=vec_column, id_column=id_column,
+                          precision=precision)._build(ctx)
+        labels = self.source._build(ctx).select(
+            F.col(id_column).alias("neighbor_id"),
+            F.col(label_column).alias("_lab"))
+        votes = (topk.join(labels, "neighbor_id")
+                 .groupBy("query_id", "_lab")
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("_n")))
+        # majority, ties to the smallest label: maximize (n, -label)
+        return (votes.groupBy("query_id")
+                .agg(F.expr("max_by(struct(_lab AS label, _n AS votes),"
+                            " struct(_n, -_lab))").alias("_w"))
+                .select("query_id", "_w.label", "_w.votes"))

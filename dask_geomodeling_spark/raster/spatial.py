@@ -17,7 +17,8 @@ from dask_geomodeling_spark.raster.base import BaseSingle, RasterBlock
 
 __all__ = ["Dilate", "MovingMax", "Smooth", "HillShade", "Slope",
            "Aspect", "TRI", "TPI", "Roughness", "Place",
-           "Curvature", "RasterProximity", "RasterAllocation"]
+           "Curvature", "RasterProximity", "RasterAllocation",
+           "FocalStatistic", "IDWInterpolate"]
 
 
 def _offsets_df(spark, offsets):
@@ -626,3 +627,56 @@ class FocalStatistic(BaseSingle):
             out = out.join(df.select("time", "y", "x"),
                            ["time", "y", "x"], "left_semi")
         return out
+
+
+class IDWInterpolate(BaseSingle):
+    """Inverse-distance-weighted interpolation / nodata filling
+    (round 9) — the ``gdal_fillnodata`` / ``gdal_grid invdist``
+    counterpart on the cell table: every cell within ``max_distance``
+    of at least one DATA cell gets ``Σ v_i/d_i^p / Σ 1/d_i^p`` over
+    the data cells in range; data cells keep their own value exactly
+    (the d→0 limit).
+
+    Spark shape: the RasterProximity scatter — data cells explode to
+    the ≤ ⌈πd²⌉ literal in-radius offsets with PRECOMPUTED weights
+    ``1/d^p`` (exact rationals for the default p=2), then ONE grouped
+    sum.  Weighted sums go through DECIMAL(38,18) so the aggregation
+    is order-independent — engine-deterministic results, the repo's
+    float-sum convention.  Cost is |data|·πd² rows, linear with an
+    explicit radius bound."""
+
+    def __init__(self, store, max_distance=4.0, power=2.0):
+        d = float(max_distance)
+        if not d > 0:
+            raise ValueError("max_distance must be > 0")
+        p = float(power)
+        if not p > 0:
+            raise ValueError("power must be > 0")
+        super().__init__(store, d, p)
+
+    def _build(self, ctx):
+        import math as _math
+        d, p = float(self.args[1]), float(self.args[2])
+        df = self.store._build(ctx).filter(F.col("value").isNotNull())
+        r = int(_math.floor(d))
+        offs = [(dy, dx, 1.0 / (dy * dy + dx * dx) ** (p / 2.0))
+                for dy in range(-r, r + 1) for dx in range(-r, r + 1)
+                if 0 < dy * dy + dx * dx <= d * d]
+        offsets = _offsets_df(ctx.spark, offs)
+        dec = "CAST({} AS DECIMAL(38, 18))"
+        contrib = (df.crossJoin(offsets)
+                   .select("time",
+                           (F.col("y") + F.col("dy")).alias("y"),
+                           (F.col("x") + F.col("dx")).alias("x"),
+                           F.expr(dec.format("w * value")).alias("_wv"),
+                           F.expr(dec.format("w")).alias("_w")))
+        # order-independent DECIMAL sums, then ONE double division —
+        # decimal-division scale rules differ across engines, IEEE
+        # double division does not
+        interp = (contrib.groupBy("time", "y", "x")
+                  .agg((F.sum("_wv").cast("double")
+                        / F.sum("_w").cast("double")).alias("value")))
+        exact = df.select("time", "y", "x", "value")
+        return (interp.join(exact.select("time", "y", "x"),
+                            ["time", "y", "x"], "left_anti")
+                .unionByName(exact))

@@ -1215,3 +1215,31 @@ def test_embedding_normalize_and_matryoshka(spark):
     assert raw[1] == [3.0, 4.0]
     with pytest.raises(Exception, match="MatryoshkaSlice"):
         MatryoshkaSlice(src, dim=9).plan(spark).collect()
+
+
+def test_knn_classify_majority_and_ties(spark):
+    """Round 9: KNNClassify majority vote with smallest-label ties;
+    a query's own id never votes."""
+    import pytest
+
+    from dask_geomodeling_spark.pipeline.similarity import KNNClassify
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    # axis-aligned unit vectors: labels cluster by direction
+    rows = [(1, [1.0, 0.0], 7), (2, [0.99, 0.14], 7),
+            (3, [0.98, 0.2], 5),
+            (4, [0.0, 1.0], 9), (5, [0.1, 0.99], 9),
+            (6, [0.05, 0.995], 3)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int")
+    src = DataFrameSource(df, index_column="vec_id")
+    q = DataFrameSource(df.filter("vec_id = 1"), index_column="vec_id")
+    got = KNNClassify(src, q, k=3).plan(spark).collect()[0]
+    # neighbors of 1 at k=3: 2 (label 7), 3 (label 5), then vec 5
+    # (cos 0.1 beats vec 4's 0.0 and vec 6's 0.05) with label 9 ->
+    # one vote each, tie broken to the SMALLEST max-vote label
+    assert got["query_id"] == 1 and got["votes"] == 1
+    assert got["label"] == 5
+    big = KNNClassify(src, q, k=5).plan(spark).collect()[0]
+    assert big["votes"] == 2 and big["label"] == 9  # 9 twice beats ties
+    with pytest.raises(ValueError, match="k must"):
+        KNNClassify(src, q, k=0)

@@ -818,3 +818,36 @@ def test_focal_statistic_family(spark):
         FocalStatistic(src, "mean", 3, footprint="diamond")
     with pytest.raises(ValueError, match="odd"):
         FocalStatistic(src, "mean", 1)
+
+
+def test_idw_interpolate_semantics(spark):
+    """Round 9: IDW — data cells keep exact values, interpolated
+    neighbors are the 1/d^2 weighted mean of in-radius data, cells out
+    of range don't appear."""
+    import datetime
+
+    import pytest
+
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    from dask_geomodeling_spark.raster.spatial import IDWInterpolate
+    t = datetime.datetime(2000, 1, 1)
+    df = spark.createDataFrame(
+        [(t, 0, 0, 10.0), (t, 0, 2, 20.0)],
+        "time timestamp, y bigint, x bigint, value double")
+    out = {(r["y"], r["x"]): r["value"] for r in IDWInterpolate(
+        DataFrameRasterSource(df), max_distance=1.5, power=2.0)
+        .plan(spark).collect()}
+    assert out[(0, 0)] == 10.0 and out[(0, 2)] == 20.0  # exact
+    # (0,1): both sources at d=1 -> mean 15
+    assert abs(out[(0, 1)] - 15.0) < 1e-12
+    # (1,1): both at d^2=2 -> equal weights -> 15
+    assert abs(out[(1, 1)] - 15.0) < 1e-12
+    # (1,0): 10 at d=1 (w=1), 20 at d^2=... (1,0)->(0,2): dy=1,dx=2 out
+    # of radius 1.5 -> only the near source
+    assert out[(1, 0)] == 10.0
+    assert (0, 4) not in out and (3, 0) not in out
+    with pytest.raises(ValueError, match="max_distance"):
+        IDWInterpolate(DataFrameRasterSource(df), max_distance=0)
+    with pytest.raises(ValueError, match="power"):
+        IDWInterpolate(DataFrameRasterSource(df), power=0)
