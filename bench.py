@@ -89,7 +89,8 @@ def main():
                   "geojsonseq_roundtrip", "focal_median", "fuzzy_dedup",
                   "text_normalize", "embedding_normalize",
                   "matryoshka_slice", "hausdorff_distance",
-                  "idw_interpolate", "knn_classify"):
+                  "idw_interpolate", "knn_classify",
+                  "spatial_join_within"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

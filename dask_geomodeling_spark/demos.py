@@ -5815,6 +5815,53 @@ def knn_classify(spark, sf_dir):
     return KNNClassify(embeddings_src(sf_dir), queries, k=5).plan(spark)
 
 
+@demo("spatial_join_within", oracle="""
+WITH a AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 19 AS DOUBLE) AS ax,
+         CAST((c_custkey * 3) % 19 AS DOUBLE) AS ay
+  FROM customer),
+b AS (
+  SELECT DISTINCT
+         CAST(4 * (s_suppkey % 5) AS DOUBLE) AS bx,
+         CAST(4 * ((s_suppkey * 3) % 5) AS DOUBLE) AS by
+  FROM supplier)
+SELECT a.c_custkey,
+       CAST(b.bx * 1000 + b.by AS BIGINT) AS pid
+FROM a JOIN b
+  ON a.ax >= b.bx AND a.ax + 1 <= b.bx + 3
+ AND a.ay >= b.by AND a.ay + 1 <= b.by + 3
+""")
+def spatial_join_within(spark, sf_dir):
+    """SpatialJoin(predicate='within') (round 9, geopandas
+    sjoin(predicate='within')): unit squares join to the DISJOINT
+    3x3 right squares that fully contain them — grid candidates +
+    the exact kernel leftover test (left − right empty); the oracle
+    is pure interval-containment arithmetic."""
+    from dask_geomodeling_spark.geometry.spatial_join import SpatialJoin
+    customer = ensure_min_partitions(read_nanos_parquet(spark, _pq(sf_dir, "customer")), spark)
+    supplier = ensure_min_partitions(read_nanos_parquet(spark, _pq(sf_dir, "supplier")), spark)
+    left = customer.select(
+        "c_custkey",
+        F.expr("CAST(c_custkey % 19 AS DOUBLE)").alias("ax"),
+        F.expr("CAST((c_custkey * 3) % 19 AS DOUBLE)").alias("ay")
+    ).select("c_custkey", F.expr(
+        "array(array(array(ax, ay), array(ax + 1, ay), "
+        "array(ax + 1, ay + 1), array(ax, ay + 1)))").alias("rings"))
+    right = (supplier.select(
+        F.expr("CAST(4 * (s_suppkey % 5) AS DOUBLE)").alias("bx"),
+        F.expr("CAST(4 * ((s_suppkey * 3) % 5) AS DOUBLE)").alias("by"))
+        .distinct()
+        .withColumn("pid", F.expr("CAST(bx * 1000 + by AS BIGINT)"))
+        .select("pid", F.expr(
+            "array(array(array(bx, by), array(bx + 3, by), "
+            "array(bx + 3, by + 3), array(bx, by + 3)))").alias("rings")))
+    sj = SpatialJoin(DataFrameSource(left, index_column="c_custkey"),
+                     DataFrameSource(right, index_column="pid"),
+                     cell_size=4.0, predicate="within")
+    return sj.plan(spark).select("c_custkey", "pid")
+
+
 @demo("wet_source", oracle="""
 SELECT doc_id,
        'http://crawl.example/doc/' || doc_id AS uri,
@@ -10515,6 +10562,7 @@ GATE_ANCHORS = [
     "geojsonseq_roundtrip", "focal_median", "fuzzy_dedup",
     "text_normalize", "embedding_normalize", "matryoshka_slice",
     "hausdorff_distance", "idw_interpolate", "knn_classify",
+    "spatial_join_within",
 ]
 
 

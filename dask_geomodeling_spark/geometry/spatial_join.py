@@ -30,6 +30,23 @@ from dask_geomodeling_spark.geometry.base import GeometryBlock
 __all__ = ["SpatialJoin", "NearestJoin"]
 
 
+def _pair_leftover(lr, rr):
+    """Kernel: the part of the LEFT geometry outside the right ring
+    stack — None/empty means the left is WITHIN the right.  Left may
+    be a ring stack (depth 3) or an open polyline ``path``
+    (depth 2)."""
+    from dask_geomodeling_spark.geometry.polyclip import (
+        path_boolean, polygon_boolean)
+    if lr is None or rr is None:
+        return None
+    is_path = bool(lr) and lr[0] and isinstance(
+        lr[0][0], (int, float))
+    if is_path:
+        return path_boolean(lr, [rr], False) or None
+    return polygon_boolean([lr, rr],
+                           lambda f: f[0] and not f[1]) or None
+
+
 class SpatialJoin(GeometryBlock):
     """Join features by spatial predicate.
 
@@ -67,7 +84,8 @@ class SpatialJoin(GeometryBlock):
         with left-side names.
       how: ``'inner'`` (matching pairs) or ``'left'`` (left features
         without a match keep a row with NULL right columns).
-      predicate: ``'contains'`` or ``'intersects'``.
+      predicate: ``'contains'``, ``'intersects'`` or ``'within'``
+        (round 9 — left features entirely inside a right polygon).
     """
 
     def __init__(self, left, right, cell_size, right_columns=None,
@@ -77,9 +95,10 @@ class SpatialJoin(GeometryBlock):
             raise TypeError("left/right must be GeometryBlocks")
         if how not in ("inner", "left"):
             raise ValueError("how must be 'inner' or 'left'")
-        if predicate not in ("contains", "intersects"):
+        if predicate not in ("contains", "intersects", "within"):
             raise ValueError(
-                "predicate must be 'contains' or 'intersects'")
+                "predicate must be 'contains', 'intersects' or "
+                "'within'")
         cs = float(cell_size)
         if not cs > 0:
             raise ValueError("cell_size must be > 0")
@@ -113,6 +132,8 @@ class SpatialJoin(GeometryBlock):
         R = self.right._build(ctx)
         if predicate == "intersects":
             return self._build_intersects(ctx, L, R, cs, rcols, how)
+        if predicate == "within":
+            return self._build_within(ctx, L, R, cs, rcols, how)
         clash = set(rcols) & set(L.columns)
         if clash:
             raise ValueError(
@@ -286,6 +307,38 @@ class SpatialJoin(GeometryBlock):
                      .select(*L.columns,
                              *[F.lit(None).alias(c) for c in rcols]))
         return pairs.unionByName(unmatched, allowMissingColumns=False)
+
+    def _build_within(self, ctx, L, R, cs, rcols, how):
+        """``predicate='within'`` (round 9, the geopandas
+        ``sjoin(predicate='within')`` counterpart): left features —
+        polygons, boxes, single rings, or open polylines — that lie
+        ENTIRELY inside a right polygon.  Candidates come from the
+        same grid pair join (within ⊆ intersects, so the candidate
+        set is sufficient); the exact test is the kernel leftover
+        ``left − right`` being empty — holes count (a feature
+        straddling a hole is NOT within).  One join + one
+        Arrow-batched kernel pass over candidates only."""
+        from pyspark import StorageLevel
+
+        from dask_geomodeling_spark.geometry.polyclip import (
+            kernel_parallelism, map_rings_binary)
+        pairs = self._candidate_pairs(L, R, cs, rcols,
+                                      keep_geoms=True)
+        pairs = map_rings_binary(
+            kernel_parallelism(pairs, ctx.spark), "_lr", "_rr",
+            _pair_leftover)
+        within = (pairs.filter(F.col("_lr").isNull())
+                  .drop("_lr", "_rr"))
+        if how == "inner":
+            return within
+        within = within.persist(StorageLevel.MEMORY_AND_DISK)
+        idc = self.left.index_column
+        matched = within.select(idc).distinct()
+        unmatched = (L.join(matched, idc, "left_anti")
+                     .select(*L.columns,
+                             *[F.lit(None).alias(c) for c in rcols]))
+        return within.unionByName(unmatched,
+                                  allowMissingColumns=False)
 
 
 class NearestJoin(GeometryBlock):

@@ -916,3 +916,43 @@ def test_overlay_erase_skew_guard_invariance(spark):
     with pytest.raises(ValueError, match="max_group_rings"):
         Overlay(lsrc, rsrc, cell_size=6.0, how="difference",
                 max_group_rings=0)
+
+
+def test_spatial_join_within_holes_and_paths(spark):
+    """Round 9: predicate='within' — exact kernel containment: a
+    feature inside a donut's HOLE is not within it, one straddling the
+    hole boundary is not within, one in the solid part is; polyline
+    lefts work; how='left' null-extends."""
+    from dask_geomodeling_spark.geometry.spatial_join import SpatialJoin
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    S = "array<array<array<double>>>"
+    donut = [[[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]],
+             [[4.0, 4.0], [4.0, 6.0], [6.0, 6.0], [6.0, 4.0]]]
+    R = spark.createDataFrame([(1, donut)], "rid bigint, rings " + S)
+    L = spark.createDataFrame(
+        [(1, [[[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 2.0]]]),  # solid
+         (2, [[[4.5, 4.5], [5.5, 4.5], [5.5, 5.5], [4.5, 5.5]]]),  # hole
+         (3, [[[3.0, 3.0], [5.0, 3.0], [5.0, 5.0], [3.0, 5.0]]]),  # straddles
+         (4, [[[20.0, 20.0], [21.0, 20.0], [21.0, 21.0],
+               [20.0, 21.0]]])],                                    # outside
+        "lid bigint, rings " + S)
+    sj = SpatialJoin(DataFrameSource(L, index_column="lid"),
+                     DataFrameSource(R, index_column="rid"),
+                     cell_size=8.0, predicate="within")
+    got = sorted(r["lid"] for r in sj.plan(spark).collect())
+    assert got == [1]
+    out = SpatialJoin(DataFrameSource(L, index_column="lid"),
+                      DataFrameSource(R, index_column="rid"),
+                      cell_size=8.0, predicate="within",
+                      how="left").plan(spark).collect()
+    m = {r["lid"]: r["rid"] for r in out}
+    assert m == {1: 1, 2: None, 3: None, 4: None}
+    # polyline left: a path inside vs one leaving the polygon
+    P = spark.createDataFrame(
+        [(1, [[1.0, 1.0], [3.0, 1.0], [3.0, 3.0]]),
+         (2, [[1.0, 1.0], [12.0, 1.0]])],
+        "lid bigint, path array<array<double>>")
+    sjp = SpatialJoin(DataFrameSource(P, index_column="lid"),
+                      DataFrameSource(R, index_column="rid"),
+                      cell_size=8.0, predicate="within")
+    assert sorted(r["lid"] for r in sjp.plan(spark).collect()) == [1]
