@@ -825,7 +825,7 @@ def raster_snap(spark, sf_dir):
 
 @demo("raster_moving_max", oracle="""
 WITH grid AS ({grid}),
-offs(dy, dx) AS (VALUES (0,0), (0,1), (0,-1), (1,0), (-1,0))
+offs(dy, dx) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1))
 SELECT g.time, g.y + o.dy AS y, g.x + o.dx AS x, MAX(g.value) AS value
 FROM grid g CROSS JOIN offs o
 WHERE g.value IS NOT NULL
@@ -5569,7 +5569,7 @@ def geojsonseq_roundtrip(spark, sf_dir):
 
 @demo("focal_median", oracle="""
 WITH grid AS ({grid}),
-offs(dy, dx) AS (VALUES (0,0), (0,1), (0,-1), (1,0), (-1,0)),
+offs(dy, dx) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)),
 sc AS (
   SELECT g.time, g.y + o.dy AS y, g.x + o.dx AS x, g.value
   FROM grid g CROSS JOIN offs o
@@ -5646,9 +5646,9 @@ def text_normalize(spark, sf_dir):
 
 @demo("embedding_normalize", oracle="""
 SELECT vec_id,
-       array_to_string([printf('%.6f',
-           CAST(CAST(e / n AS FLOAT) AS DOUBLE) + 0.0)
-           FOR e IN emb8], ',') AS v,
+       array_to_string([CAST(FLOOR(
+           CAST(CAST(e / n AS FLOAT) AS DOUBLE) * 1000000.0 + 0.5)
+           AS BIGINT) FOR e IN emb8], ',') AS v,
        ROUND(n, 6) + 0.0 AS norm
 FROM (
   SELECT vec_id, embedding[1:8] AS emb8,
@@ -5676,16 +5676,17 @@ def embedding_normalize(spark, sf_dir):
     out = out.join(pre, "vec_id")
     return out.select(
         "vec_id",
-        F.expr("array_join(transform(embedding, e -> format_string("
-               "'%.6f', CAST(e AS DOUBLE) + 0.0D)), ',')").alias("v"),
+        F.expr("array_join(transform(embedding, e -> CAST(FLOOR("
+               "CAST(e AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT)), "
+               "',')").alias("v"),
         (F.round(norm_expr("_e8"), 6) + F.lit(0.0)).alias("norm"))
 
 
 @demo("matryoshka_slice", oracle="""
 SELECT vec_id,
-       array_to_string([printf('%.6f',
-           CAST(CAST(e / n AS FLOAT) AS DOUBLE) + 0.0)
-           FOR e IN emb4], ',') AS v
+       array_to_string([CAST(FLOOR(
+           CAST(CAST(e / n AS FLOAT) AS DOUBLE) * 1000000.0 + 0.5)
+           AS BIGINT) FOR e IN emb4], ',') AS v
 FROM (
   SELECT vec_id, embedding[1:4] AS emb4,
          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -5704,8 +5705,9 @@ def matryoshka_slice(spark, sf_dir):
     out = MatryoshkaSlice(embeddings_src(sf_dir), dim=4).plan(spark)
     return out.select(
         "vec_id",
-        F.expr("array_join(transform(embedding, e -> format_string("
-               "'%.6f', CAST(e AS DOUBLE) + 0.0D)), ',')").alias("v"))
+        F.expr("array_join(transform(embedding, e -> CAST(FLOOR("
+               "CAST(e AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT)), "
+               "',')").alias("v"))
 
 
 @demo("hausdorff_distance", oracle="""

@@ -199,33 +199,35 @@ class Buffer(BaseSingle):
                     and self.distance > 0:
                 # full ring stacks (holes / multipolygon / reflex
                 # vertices): exact capsule-union buffer through the
-                # kernel (round 8)
+                # kernel (round 8).  Rows carrying only a single ring
+                # (NULL ``rings``, non-NULL ``vertices``) PROMOTE into
+                # the kernel too — the closed-form Minkowski fan is
+                # convex-only and would self-intersect on concave
+                # rings (round-9 review fix)
                 import functools
 
                 from dask_geomodeling_spark.config import (
                     ensure_min_partitions)
                 from dask_geomodeling_spark.geometry.polyclip import (
                     map_rings_unary)
+                if "vertices" in cols:
+                    out = out.withColumn(
+                        "rings",
+                        F.expr("CASE WHEN rings IS NULL AND vertices "
+                               "IS NOT NULL THEN array(vertices) "
+                               "ELSE rings END"))
                 out = map_rings_unary(
                     ensure_min_partitions(out, ctx.spark), "rings",
                     functools.partial(_buffer_rings_kernel,
                                       dist=float(self.distance),
                                       n=4 * self.resolution))
                 if "vertices" in cols:
-                    # rows carrying only a single ring (NULL ``rings``
-                    # but non-NULL ``vertices``) never reach the ring
-                    # kernel — give them the Minkowski vertices buffer
-                    # so nothing stays unbuffered under the expanded
-                    # bbox (round-9 ADVICE fix)
-                    buf = _buffer_ring_sql("vertices", self.distance,
-                                           4 * self.resolution)
                     out = out.withColumn(
                         "vertices",
                         F.when(F.col("rings").isNotNull(),
                                F.try_element_at(F.col("rings"),
                                                 F.lit(1)))
-                        .when(F.col("vertices").isNotNull(),
-                              F.expr(buf)))
+                        .otherwise(F.col("vertices")))
             elif self.args[4] == "round" and "path" in cols \
                     and self.distance > 0:
                 # open polylines (LINESTRING): exact capsule union
@@ -1202,8 +1204,12 @@ def _segmentize_chain_sql(arr, max_len, closed):
     body = "flatten({seg})".format(seg=seg)
     if not closed:
         body = "concat({body}, array(element_at(c, -1)))".format(body=body)
-    return "transform(array({arr}), c -> {body})[0]".format(
-        arr=arr, body=body)
+    # degenerate chains pass through: sequence(1, size-1) DESCENDS for
+    # size < 2 and c[s-1] would index -1 (round-9 review fix)
+    guard = "2" if not closed else "1"
+    return ("transform(array({arr}), c -> CASE WHEN size(c) < {g} "
+            "THEN c ELSE {body} END)[0]").format(arr=arr, g=guard,
+                                                 body=body)
 
 
 class Segmentize(BaseSingle):

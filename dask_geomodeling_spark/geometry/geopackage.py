@@ -148,6 +148,17 @@ def write_gpkg(path, layer, rows, fields, srs_id=4326):
         # FID-column contract) instead of shadowing a synthesized one
         own_fid = any(n == "fid" for n, _ in fields)
         attrs = [(n, t) for n, t in fields if n != "fid"]
+        if own_fid:
+            fids = [row.get("fid") for row in rows]
+            if any(f is None for f in fids):
+                raise ValueError(
+                    "gpkg: the 'fid' column becomes the PRIMARY KEY "
+                    "and must not contain NULLs")
+            if len(set(fids)) != len(fids):
+                raise ValueError(
+                    "gpkg: duplicate values in the 'fid' column — "
+                    "primary keys must be unique (rename the column "
+                    "to keep it as a plain attribute)")
         con.execute('CREATE TABLE "{}" (fid INTEGER PRIMARY KEY, {}, '
                     'geom BLOB)'.format(layer, ", ".join(
                         '"{}" {}'.format(n, t) for n, t in attrs)))

@@ -142,6 +142,14 @@ class Overlay(GeometryBlock):
                 "a polyline (path) left layer supports only "
                 "how='intersection' (clip) and how='difference' "
                 "(erase)")
+        if is_path and max_group_rings is not None:
+            # the subdivided guard is a POLYGON decomposition; a
+            # silently ignored parameter would hide the unguarded
+            # group row (round-9 review fix)
+            raise ValueError(
+                "max_group_rings is not supported for polyline (path) "
+                "left layers — pre-split hot polylines with "
+                "PathSubstring/GeometryTiler instead")
         # synthesized output names must not collide with inputs
         reserved = ({"piece"} if is_path else
                     {"oid"} if how in ("union", "symmetric_difference",

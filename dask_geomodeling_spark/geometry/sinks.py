@@ -401,6 +401,15 @@ def merge_feature_files(path, target, remove_source=False):
                 d = {k: v for k, v in rec.items() if k != "__geom__"}
                 d.update(rec["__geom__"] or {})
                 rows.append(d)
+        # each part auto-numbered its fids 1..n, so merged parts
+        # collide on the primary key — drop the column and renumber
+        # sequentially unless the fids are globally unique (round-9
+        # review fix: UNIQUE-constraint crash on any multi-part merge)
+        fids = [r.get("fid") for r in rows if "fid" in r]
+        if fids and (None in fids or len(set(fids)) != len(fids)):
+            names = [n for n in names if n != "fid"]
+            for r in rows:
+                r.pop("fid", None)
         spec = []
         for n in names:
             v = next((r[n] for r in rows if r.get(n) is not None), None)

@@ -1078,20 +1078,23 @@ class ClusterRepresentative(Block):
             raise ValueError(
                 "score_column {!r} is not a column of the source "
                 "({})".format(score, sorted(docs.columns)))
+        stypes = dict(docs.dtypes)
+        if stypes.get(score) in ("string", "boolean", "date",
+                                 "timestamp"):
+            raise ValueError(
+                "score_column {!r} must be numeric (got {})"
+                .format(score, stypes.get(score)))
         j = docs.join(
             cl.select(F.col("doc_id").alias(idc), "cluster_id"), idc)
         cols = [c for c in docs.columns]
         payload = "struct({})".format(", ".join(
             "`{}`".format(c) for c in cols))
-        # lexical (score, -id): highest score first, ties to the
-        # smallest id; min_by flips the score sense but keeps the tie
-        # direction via +id
-        if ascending:
-            pick = "min_by({p}, struct(`{s}`, `{i}`))".format(
-                p=payload, s=score, i=idc)
-        else:
-            pick = "max_by({p}, struct(`{s}`, -`{i}`))".format(
-                p=payload, s=score, i=idc)
+        # min over (∓score, id): best score first, ties to the
+        # smallest id.  Only the (validated numeric) SCORE is negated
+        # — the id keeps its native ordering, so string/any-orderable
+        # ids work (round-9 review fix: -`id` crashed string ids)
+        pick = "min_by({p}, struct({neg}`{s}`, `{i}`))".format(
+            p=payload, neg="" if ascending else "-", s=score, i=idc)
         g = (j.groupBy("cluster_id")
              .agg(F.expr(pick).alias("_w"),
                   F.count(F.lit(1)).cast("bigint").alias("n_members")))

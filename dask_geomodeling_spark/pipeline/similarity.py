@@ -803,8 +803,10 @@ class KNNClassify(BaseSingle):
         votes = (topk.join(labels, "neighbor_id")
                  .groupBy("query_id", "_lab")
                  .agg(F.count(F.lit(1)).cast("bigint").alias("_n")))
-        # majority, ties to the smallest label: maximize (n, -label)
+        # majority, ties to the smallest label: minimize (-n, label)
+        # — only the count is negated, so string/any-orderable labels
+        # work (round-9 review fix: -_lab crashed string labels)
         return (votes.groupBy("query_id")
-                .agg(F.expr("max_by(struct(_lab AS label, _n AS votes),"
-                            " struct(_n, -_lab))").alias("_w"))
+                .agg(F.expr("min_by(struct(_lab AS label, _n AS votes),"
+                            " struct(-_n, _lab))").alias("_w"))
                 .select("query_id", "_w.label", "_w.votes"))

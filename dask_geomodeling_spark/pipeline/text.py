@@ -718,7 +718,10 @@ class ReadabilityScore(BaseSingle):
         c = F.col(self.args[1])
         words = F.split(F.trim(F.lower(c)), r"\s+")
         df = df.withColumns({
-            "n_words": F.when(F.length(F.trim(c)) == 0, F.lit(0))
+            # NULL text counts as empty: size(split(NULL)) is -1 under
+            # Spark's legacy sizeOfNull (round-9 review fix)
+            "n_words": F.when(
+                c.isNull() | (F.length(F.trim(c)) == 0), F.lit(0))
             .otherwise(F.size(words)).cast("bigint"),
             "n_sentences": F.greatest(
                 F.lit(1),

@@ -29,10 +29,18 @@ def _offsets_df(spark, offsets):
 
 
 def _circular_offsets(radius, include_center=True):
+    """Offsets of the reference's circular footprint
+    (utils.get_footprint, reference utils.py:536): cells with
+    ``dy² + dx² < (size/2)²`` for size = 2·radius + 1 — diagonals are
+    INSIDE at size 3 (2 < 2.25), so the 3×3 footprint is the full
+    square, exactly as ndimage receives it there (round-9 review fix:
+    the old ``<= radius²`` rule dropped the diagonals and diverged
+    from the reference's focal results)."""
+    lim = (radius + 0.5) ** 2
     out = []
     for dy in range(-radius, radius + 1):
         for dx in range(-radius, radius + 1):
-            if dy * dy + dx * dx <= radius * radius:
+            if dy * dy + dx * dx < lim:
                 if include_center or (dy, dx) != (0, 0):
                     out.append((dy, dx, 1.0))
     return out

@@ -38,7 +38,18 @@ def normalize(df):
             df[c] = df[c].map(
                 lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
         key[c] = df[c].round(6) if df[c].dtype == "float64" else df[c]
-    order = pd.DataFrame(key).sort_values(by=list(df.columns)).index
+    frame = pd.DataFrame(key)
+    # raw floats as SECONDARY keys: rows tying on the rounded key
+    # would otherwise align in engine-arrival order and fail the
+    # bit-level compare spuriously (round-9 review fix); genuinely
+    # differing bits still land on the assert, as they must
+    raws = []
+    for c in df.columns:
+        if df[c].dtype == "float64":
+            rc = "_raw_" + c
+            frame[rc] = df[c]
+            raws.append(rc)
+    order = frame.sort_values(by=list(df.columns) + raws).index
     return df.loc[order].reset_index(drop=True)
 
 

@@ -821,8 +821,12 @@ def test_buffer_round_mixed_rings_vertices_rows(spark):
     # ring row: kernel capsule union, vertices mirrors rings[0]
     assert rows[1]["rings"] is not None
     assert rows[1]["vertices"] == rows[1]["rings"][0]
-    # vertices-only row: rings stays NULL but vertices GREW
-    assert rows[2]["rings"] is None
+    # vertices-only row: promoted into the EXACT kernel (round-9
+    # review fix — the convex Minkowski fan would self-intersect on
+    # concave rings); rings now carries the true buffered stack and
+    # vertices mirrors its exterior
+    assert rows[2]["rings"] is not None
+    assert rows[2]["vertices"] == rows[2]["rings"][0]
     area2 = out.filter("fid = 2").select(
         F.expr("aggregate(sequence(0, size(vertices) - 1), 0.0D, "
                "(acc, i) -> acc + vertices[i][0] * "
@@ -830,6 +834,14 @@ def test_buffer_round_mixed_rings_vertices_rows(spark):
                "vertices[(i + 1) % size(vertices)][0] * "
                "vertices[i][1]) / 2.0").alias("a")).collect()[0]["a"]
     assert area2 > 16.0 + 4 * 4  # square + edge capsules at least
+    # both rows produced the SAME buffer (identical input geometry)
+    assert abs(area2 - out.filter("fid = 1").select(
+        F.expr("aggregate(sequence(0, size(vertices) - 1), 0.0D, "
+               "(acc, i) -> acc + vertices[i][0] * "
+               "vertices[(i + 1) % size(vertices)][1] - "
+               "vertices[(i + 1) % size(vertices)][0] * "
+               "vertices[i][1]) / 2.0").alias("a")
+        ).collect()[0]["a"]) < 1e-9
 
 
 def test_vw_chain_zero_area_closed_drops():

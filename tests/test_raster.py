@@ -798,7 +798,9 @@ def test_focal_statistic_family(spark):
     got = {(r["y"], r["x"]): r["value"] for r in FocalStatistic(
         src, "median", 3).plan(spark).collect()}
     assert got[(0, 0)] == 3.0          # median{1,5,3}
-    assert got[(1, 1)] == 4.0          # {5,3} -> interpolated 4
+    # size-3 circle == full 3x3 (the reference get_footprint rule:
+    # diagonals are inside) -> (1,1) sees all three data cells
+    assert got[(1, 1)] == 3.0
     assert got[(0, 2)] == 5.0          # dilated domain cell
     cnt = {(r["y"], r["x"]): r["value"] for r in FocalStatistic(
         src, "count", 3).plan(spark).collect()}
