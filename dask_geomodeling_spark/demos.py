@@ -5864,6 +5864,51 @@ def spatial_join_within(spark, sf_dir):
     return sj.plan(spark).select("c_custkey", "pid")
 
 
+@demo("temporal_fill", oracle="""
+WITH grid AS ({grid}),
+obs AS (SELECT time, y, x, value FROM grid WHERE value IS NOT NULL),
+ts AS (SELECT DISTINCT time FROM obs),
+span AS (SELECT y, x, MIN(time) AS t0, MAX(time) AS t1
+         FROM obs GROUP BY y, x),
+dom AS (SELECT t.time, s.y, s.x
+        FROM span s JOIN ts t ON t.time BETWEEN s.t0 AND s.t1),
+f AS (SELECT d.time, d.y, d.x, o.value
+      FROM dom d LEFT JOIN obs o
+        ON o.time = d.time AND o.y = d.y AND o.x = d.x),
+w AS (SELECT time, y, x, value,
+        LAST_VALUE(value IGNORE NULLS) OVER
+          (PARTITION BY y, x ORDER BY time
+           ROWS UNBOUNDED PRECEDING) AS pv,
+        LAST_VALUE(CASE WHEN value IS NOT NULL THEN time END
+                   IGNORE NULLS) OVER
+          (PARTITION BY y, x ORDER BY time
+           ROWS UNBOUNDED PRECEDING) AS pt,
+        FIRST_VALUE(value IGNORE NULLS) OVER
+          (PARTITION BY y, x ORDER BY time
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        FIRST_VALUE(CASE WHEN value IS NOT NULL THEN time END
+                    IGNORE NULLS) OVER
+          (PARTITION BY y, x ORDER BY time
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM f)
+SELECT time, y, x,
+       ROUND(CASE WHEN value IS NOT NULL THEN value
+             ELSE pv + (epoch_us(time) - epoch_us(pt))
+                  / NULLIF(epoch_us(nt) - epoch_us(pt), 0)
+                  * (nv - pv) END, 6) + 0.0 AS value
+FROM w
+""".format(grid=_grid_sql("R")))
+def temporal_fill(spark, sf_dir):
+    """TemporalFill (round 9): per-cell linear interpolation across
+    band times — gaps INSIDE a cell's observed span fill on the epoch
+    axis, per-(y, x) windows only (cell-keyed partitions, never a
+    global window); the oracle is the identical IGNORE NULLS window
+    construction."""
+    from dask_geomodeling_spark.raster.temporal import TemporalFill
+    out = TemporalFill(lineitem_grid(spark, sf_dir, "R")).plan(spark)
+    return out.withColumn("value", F.expr("ROUND(value, 6) + 0.0D"))
+
+
 @demo("wet_source", oracle="""
 SELECT doc_id,
        'http://crawl.example/doc/' || doc_id AS uri,
@@ -10564,7 +10609,7 @@ GATE_ANCHORS = [
     "geojsonseq_roundtrip", "focal_median", "fuzzy_dedup",
     "text_normalize", "embedding_normalize", "matryoshka_slice",
     "hausdorff_distance", "idw_interpolate", "knn_classify",
-    "spatial_join_within",
+    "spatial_join_within", "temporal_fill",
 ]
 
 

@@ -853,3 +853,40 @@ def test_idw_interpolate_semantics(spark):
         IDWInterpolate(DataFrameRasterSource(df), max_distance=0)
     with pytest.raises(ValueError, match="power"):
         IDWInterpolate(DataFrameRasterSource(df), power=0)
+
+
+def test_temporal_fill_linear_and_ffill(spark):
+    """Round 9: TemporalFill — interior gaps interpolate linearly on
+    the epoch axis, leading gaps stay absent, ffill carries forward to
+    the stack end, observed values stay exact."""
+    import datetime
+
+    import pytest
+
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    from dask_geomodeling_spark.raster.temporal import TemporalFill
+    t = [datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=h)
+         for h in range(4)]
+    # cell A observed at t0 (10) and t3 (40); cell B only at t2
+    df = spark.createDataFrame(
+        [(t[0], 0, 0, 10.0), (t[3], 0, 0, 40.0), (t[2], 1, 1, 7.0)],
+        "time timestamp, y bigint, x bigint, value double")
+    src = DataFrameRasterSource(df)
+    lin = {(r["time"].hour, r["y"], r["x"]): r["value"]
+           for r in TemporalFill(src).plan(spark).collect()}
+    # band times are the OBSERVED stack times {0h, 2h, 3h} — hour 1 is
+    # not a band anywhere, so nothing fills there
+    assert lin[(0, 0, 0)] == 10.0 and lin[(3, 0, 0)] == 40.0
+    assert (1, 0, 0) not in lin
+    assert lin[(2, 0, 0)] == 10.0 + (2.0 / 3.0) * 30.0  # epoch-linear
+    assert (0, 1, 1) not in lin and (3, 1, 1) not in lin  # outside span
+    assert lin[(2, 1, 1)] == 7.0
+    ff = {(r["time"].hour, r["y"], r["x"]): r["value"]
+          for r in TemporalFill(src, method="ffill")
+          .plan(spark).collect()}
+    assert ff[(2, 0, 0)] == 10.0
+    assert ff[(3, 1, 1)] == 7.0            # carried to stack end
+    assert (0, 1, 1) not in ff             # leading gap stays absent
+    with pytest.raises(ValueError, match="method"):
+        TemporalFill(src, method="bfill")
