@@ -90,7 +90,7 @@ def main():
                   "text_normalize", "embedding_normalize",
                   "matryoshka_slice", "hausdorff_distance",
                   "idw_interpolate", "knn_classify",
-                  "spatial_join_within", "temporal_fill"):
+                  "spatial_join_within", "temporal_fill", "sieve_filter"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

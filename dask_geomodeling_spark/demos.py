@@ -5909,6 +5909,38 @@ def temporal_fill(spark, sf_dir):
     return out.withColumn("value", F.expr("ROUND(value, 6) + 0.0D"))
 
 
+@demo("sieve_filter", oracle="""
+SELECT TIMESTAMP '2024-01-01' AS time,
+       a.n_nationkey AS y, b.n_nationkey AS x,
+       CASE WHEN a.n_nationkey BETWEEN 10 AND 12
+             AND b.n_nationkey BETWEEN 10 AND 12 THEN 2.0
+            ELSE 0.0 END AS value
+FROM nation a CROSS JOIN nation b
+""")
+def sieve_filter(spark, sf_dir):
+    """SieveFilter (round 9, gdal_sieve): isolated single-cell specks
+    (value 1, spaced 5 apart so they never touch) merge into their
+    largest neighbor — the connected background (value 0) — while the
+    3x3 block of value 2 (9 cells >= threshold 5) survives; the
+    closed form is just the block mask.  Components labeling + ONE
+    size agg + bounded border scatter + per-region argmax."""
+    from dask_geomodeling_spark.raster.components import SieveFilter
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    nation = read_nanos_parquet(spark, _pq(sf_dir, "nation"))
+    a = nation.select(F.col("n_nationkey").alias("y"))
+    b = nation.select(F.col("n_nationkey").alias("x"))
+    grid = (a.crossJoin(b)
+            .select(F.expr("TIMESTAMP '2024-01-01'").alias("time"),
+                    "y", "x", F.expr(
+                        "CASE WHEN y BETWEEN 10 AND 12 "
+                        "AND x BETWEEN 10 AND 12 THEN 2.0D "
+                        "WHEN y % 5 = 2 AND x % 5 = 2 THEN 1.0D "
+                        "ELSE 0.0D END").alias("value")))
+    out = SieveFilter(DataFrameRasterSource(grid), threshold=5)
+    return out.plan(spark)
+
+
 @demo("wet_source", oracle="""
 SELECT doc_id,
        'http://crawl.example/doc/' || doc_id AS uri,
@@ -10609,7 +10641,7 @@ GATE_ANCHORS = [
     "geojsonseq_roundtrip", "focal_median", "fuzzy_dedup",
     "text_normalize", "embedding_normalize", "matryoshka_slice",
     "hausdorff_distance", "idw_interpolate", "knn_classify",
-    "spatial_join_within", "temporal_fill",
+    "spatial_join_within", "temporal_fill", "sieve_filter",
 ]
 
 

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from dask_geomodeling_spark.raster.base import BaseSingle
 
-__all__ = ["RasterComponents"]
+__all__ = ["RasterComponents", "SieveFilter"]
 
 
 class RasterComponents(BaseSingle):
@@ -134,3 +134,71 @@ class RasterComponents(BaseSingle):
                             F.expr("div(_lrem, _dx) + _ymin"),
                             F.expr("_lrem % _dx + _xmin"))
                         .alias("component")))
+
+
+class SieveFilter(BaseSingle):
+    """Remove connected regions smaller than ``threshold`` cells by
+    merging them into their LARGEST adjacent region (``gdal_sieve``;
+    round 9 — completes the components family: label → polygonize →
+    sieve).  Deterministic: among a small region's neighbors the
+    largest cell count wins, ties to the smallest component key.
+
+    Single pass over the component graph: cascades where a small
+    region's largest neighbor is itself small resolve to that
+    neighbor's ORIGINAL value (GDAL's priority-queue reprocessing is
+    inherently sequential; the one-pass contract is documented and
+    exact whenever specks touch a surviving region, the common case).
+    Small regions surrounded entirely by NODATA have no neighbor and
+    pass through unchanged — nodata is a mask, not a merge target
+    (gdal_sieve's mask semantics); gap-fill first (``IDWInterpolate``)
+    to despeckle a sparse raster.
+
+    Plan shape: RasterComponents labels (the O(log²) star rounds),
+    ONE size aggregation, one bounded neighbor scatter of region
+    borders, and a per-SMALL-REGION argmax — every join keyed by
+    cell or component, nothing data×data."""
+
+    def __init__(self, store, threshold, connectivity=4):
+        t = int(threshold)
+        if t < 2:
+            raise ValueError("threshold must be >= 2 cells")
+        if connectivity not in (4, 8):
+            raise ValueError("connectivity must be 4 or 8")
+        super().__init__(store, t, int(connectivity))
+
+    def _build(self, ctx):
+        from dask_geomodeling_spark.raster.spatial import _offsets_df
+        _, threshold, connectivity = self.args
+        comp = RasterComponents(self.store, connectivity)._build(ctx)
+        sizes = (comp.groupBy("time", "component")
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("_sz")))
+        comp = comp.join(sizes, ["time", "component"])
+        small = comp.filter(F.col("_sz") < threshold)
+        if connectivity == 4:
+            offs = [(0, 1, 1.0), (0, -1, 1.0), (1, 0, 1.0),
+                    (-1, 0, 1.0)]
+        else:
+            offs = [(dy, dx, 1.0) for dy in (-1, 0, 1)
+                    for dx in (-1, 0, 1) if (dy, dx) != (0, 0)]
+        # scatter EVERY cell to its neighbors; a small cell that
+        # lands on a different component's cell sees that neighbor
+        nb = (comp.crossJoin(_offsets_df(ctx.spark, offs))
+              .select("time",
+                      (F.col("y") + F.col("dy")).alias("y"),
+                      (F.col("x") + F.col("dx")).alias("x"),
+                      F.col("component").alias("_nc"),
+                      F.col("value").alias("_nv"),
+                      F.col("_sz").alias("_nsz")))
+        touch = (small.join(nb, ["time", "y", "x"])
+                 .filter(F.col("_nc") != F.col("component")))
+        # one winner per SMALL REGION (the whole region merges):
+        # largest neighbor size, ties to the smallest component key
+        rep = (touch.groupBy("time", "component")
+               .agg(F.expr("min_by(struct(_nv AS value), "
+                           "struct(-_nsz, _nc))").alias("_w"))
+               .select("time", "component",
+                       F.col("_w.value").alias("_newv")))
+        out = (comp.join(rep, ["time", "component"], "left")
+               .select("time", "y", "x",
+                       F.coalesce("_newv", "value").alias("value")))
+        return out

@@ -890,3 +890,44 @@ def test_temporal_fill_linear_and_ffill(spark):
     assert (0, 1, 1) not in ff             # leading gap stays absent
     with pytest.raises(ValueError, match="method"):
         TemporalFill(src, method="bfill")
+
+
+def test_sieve_filter_semantics(spark):
+    """Round 9: SieveFilter — small regions merge into their LARGEST
+    adjacent region (ties to smallest key), surviving regions keep
+    their values, 8-connectivity bridges diagonals."""
+    import datetime
+
+    import pytest
+
+    from dask_geomodeling_spark.raster.components import SieveFilter
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    t = datetime.datetime(2024, 1, 1)
+    # row of background 0 (6 cells), a 2-cell region of 5.0 touching
+    # BOTH the background and a 3-cell region of 9.0
+    cells = ([(t, 0, xx, 0.0) for xx in range(6)]
+             + [(t, 1, 2, 5.0), (t, 1, 3, 5.0)]
+             + [(t, 2, 2, 9.0), (t, 2, 3, 9.0), (t, 2, 4, 9.0)])
+    df = spark.createDataFrame(
+        cells, "time timestamp, y bigint, x bigint, value double")
+    out = {(r["y"], r["x"]): r["value"] for r in SieveFilter(
+        DataFrameRasterSource(df), threshold=3).plan(spark).collect()}
+    # the 2-cell 5.0 region is small; its neighbors are background
+    # (6 cells) and the 9.0 region (3 cells) -> background wins
+    assert out[(1, 2)] == 0.0 and out[(1, 3)] == 0.0
+    assert out[(2, 2)] == 9.0              # 3 cells >= 3 survives
+    assert out[(0, 0)] == 0.0
+    # diagonal-only speck: 4-connectivity keeps it a separate region
+    # (it has NO 4-neighbors at all -> untouched); 8-connectivity
+    # sees the background as its neighbor and absorbs it
+    cells2 = [(t, 0, 0, 0.0), (t, 0, 1, 0.0), (t, 1, 0, 0.0),
+              (t, 1, 1, 7.0)]
+    df2 = spark.createDataFrame(
+        cells2, "time timestamp, y bigint, x bigint, value double")
+    out4 = {(r["y"], r["x"]): r["value"] for r in SieveFilter(
+        DataFrameRasterSource(df2), threshold=2, connectivity=4)
+        .plan(spark).collect()}
+    assert out4[(1, 1)] == 0.0   # edge-adjacent to (0,1)/(1,0)
+    with pytest.raises(ValueError, match="threshold"):
+        SieveFilter(DataFrameRasterSource(df2), threshold=1)
