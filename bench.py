@@ -90,7 +90,8 @@ def main():
                   "text_normalize", "embedding_normalize",
                   "matryoshka_slice", "hausdorff_distance",
                   "idw_interpolate", "knn_classify",
-                  "spatial_join_within", "temporal_fill", "sieve_filter"):
+                  "spatial_join_within", "temporal_fill", "sieve_filter",
+                  "per_group_limit", "raster_histogram"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

@@ -5941,6 +5941,45 @@ def sieve_filter(spark, sf_dir):
     return out.plan(spark)
 
 
+@demo("per_group_limit", oracle="""
+SELECT * FROM (
+  SELECT doc_id, source, n_chars,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY n_chars DESC, doc_id)
+              AS BIGINT) AS group_rank
+  FROM documents)
+WHERE group_rank <= 7
+""")
+def per_group_limit(spark, sf_dir):
+    """PerGroupLimit (round 9): the per-domain document cap — keep at
+    most 7 docs per source, longest first (deterministic doc-id
+    ties).  One window partitioned by the GROUP key (bounded by the
+    hot group's rows, never global)."""
+    from dask_geomodeling_spark.pipeline.sample import PerGroupLimit
+    docs = ParquetGeometrySource(_pq(sf_dir, "documents"),
+                                 id_field="doc_id",
+                                 min_partitions="auto")
+    capped = PerGroupLimit(docs, "source", 7, "n_chars")
+    return capped.plan(spark).select("doc_id", "source", "n_chars",
+                                     "group_rank")
+
+
+@demo("raster_histogram", oracle="""
+WITH grid AS ({grid})
+SELECT time, FLOOR(value / 25.0) * 25.0 AS bin_start,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM grid WHERE value IS NOT NULL
+GROUP BY time, FLOOR(value / 25.0) * 25.0
+""".format(grid=_grid_sql("R")))
+def raster_histogram(spark, sf_dir):
+    """RasterHistogram (round 9): whole-stack value histogram — one
+    row per (band, bin) from ONE grouped count with map-side
+    partials."""
+    from dask_geomodeling_spark.raster.reduction import RasterHistogram
+    return RasterHistogram(lineitem_grid(spark, sf_dir, "R"),
+                           bin_size=25.0).plan(spark)
+
+
 @demo("wet_source", oracle="""
 SELECT doc_id,
        'http://crawl.example/doc/' || doc_id AS uri,
@@ -10642,6 +10681,7 @@ GATE_ANCHORS = [
     "text_normalize", "embedding_normalize", "matryoshka_slice",
     "hausdorff_distance", "idw_interpolate", "knn_classify",
     "spatial_join_within", "temporal_fill", "sieve_filter",
+    "per_group_limit", "raster_histogram",
 ]
 
 

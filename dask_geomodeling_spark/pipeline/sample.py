@@ -387,3 +387,48 @@ class ConcatCorpora(Block):
         for df in frames[1:]:
             out = out.unionByName(df, allowMissingColumns=True)
         return out
+
+
+class PerGroupLimit(BaseSingle):
+    """Keep at most ``n`` rows per group, best-first (round 9) — the
+    per-domain document cap of web-corpus curation (CCNet/Gopher-style
+    "at most N pages per host" rules) as a generic primitive: order by
+    ``order_column`` (descending by default — keep the BEST), break
+    ties by the id column, take ``n``.
+
+    Execution: one window partitioned by the GROUP key — group-keyed,
+    never global, so partitions are bounded by the hot group's row
+    count; a genuinely pathological host is exactly what the cap is
+    for, and the window sees only its rows.  Output: source columns
+    plus ``group_rank`` (1-based)."""
+
+    def __init__(self, source, group_column, n, order_column,
+                 id_column=None, ascending=False):
+        if int(n) < 1:
+            raise ValueError("n must be >= 1")
+        if id_column is None:
+            id_column = source.index_column
+        if "group_rank" in source.columns:
+            raise ValueError(
+                "column 'group_rank' collides with PerGroupLimit's "
+                "output; rename it upstream")
+        super().__init__(source, str(group_column), int(n),
+                         str(order_column), str(id_column),
+                         bool(ascending))
+
+    @property
+    def columns(self):
+        return set(self.source.columns) | {"group_rank"}
+
+    def _build(self, ctx):
+        from pyspark.sql import Window
+        _, grp, n, order, idc, ascending = self.args
+        df = self.source._build(ctx)
+        for c in (grp, order, idc):
+            if c not in df.columns:
+                raise ValueError("no column {!r}".format(c))
+        oc = F.col(order).asc() if ascending else F.col(order).desc()
+        w = Window.partitionBy(grp).orderBy(oc, F.col(idc).asc())
+        return (df.withColumn("group_rank",
+                              F.row_number().over(w).cast("bigint"))
+                .filter(F.col("group_rank") <= n))

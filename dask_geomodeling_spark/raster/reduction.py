@@ -12,7 +12,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from dask_geomodeling_spark.functions import check_statistic, statistic_expr
-from dask_geomodeling_spark.raster.base import RasterBlock
+from dask_geomodeling_spark.raster.base import (BaseSingle,
+                                                RasterBlock)
 
 __all__ = ["BaseReduction", "Max", "Min", "Sum", "Count", "Mean", "Median",
            "Std", "Var", "Percentile", "reduce_rasters"]
@@ -111,3 +112,30 @@ def reduce_rasters(blocks, statistic):
     if statistic not in cls:
         raise ValueError('Unknown statistic "{}"'.format(statistic))
     return cls[statistic](*blocks)
+
+
+class RasterHistogram(BaseSingle):
+    """Global value histogram of a raster stack (round 9 — the
+    whole-raster companion of the zonal
+    ``AggregateRasterHistogram``): one row per (time, bin) with the
+    cell count.  ``bin_size`` buckets values by
+    ``floor(value / bin_size)`` (bin left edges in ``bin_start``);
+    ``bin_size=None`` counts DISTINCT values (categorical rasters).
+    ONE grouped count — map-side partials, no window, no collect."""
+
+    def __init__(self, store, bin_size=None):
+        if bin_size is not None and not float(bin_size) > 0:
+            raise ValueError("bin_size must be > 0")
+        super().__init__(store, None if bin_size is None
+                         else float(bin_size))
+
+    def _build(self, ctx):
+        bs = self.args[1]
+        df = self.store._build(ctx).filter(F.col("value").isNotNull())
+        if bs is None:
+            key = F.col("value").alias("bin_start")
+        else:
+            key = (F.floor(F.col("value") / F.lit(bs))
+                   * F.lit(bs)).alias("bin_start")
+        return (df.groupBy("time", key)
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n")))

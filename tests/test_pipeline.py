@@ -1243,3 +1243,26 @@ def test_knn_classify_majority_and_ties(spark):
     assert big["votes"] == 2 and big["label"] == 9  # 9 twice beats ties
     with pytest.raises(ValueError, match="k must"):
         KNNClassify(src, q, k=0)
+
+
+def test_per_group_limit(spark):
+    """Round 9: cap rows per group best-first; ascending mode; rank
+    column; validation."""
+    import pytest
+
+    from dask_geomodeling_spark.pipeline.sample import PerGroupLimit
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 30.0), (3, "a", 30.0), (4, "b", 1.0)],
+        "doc_id bigint, src string, score double")
+    blk = DataFrameSource(df, index_column="doc_id")
+    top = {r["doc_id"]: r["group_rank"] for r in PerGroupLimit(
+        blk, "src", 2, "score").plan(spark).collect()}
+    assert top == {2: 1, 3: 2, 4: 1}      # tie 2<3, doc 1 dropped
+    low = {r["doc_id"]: r["group_rank"] for r in PerGroupLimit(
+        blk, "src", 1, "score", ascending=True).plan(spark).collect()}
+    assert low == {1: 1, 4: 1}
+    with pytest.raises(ValueError, match="n must"):
+        PerGroupLimit(blk, "src", 0, "score")
+    with pytest.raises(ValueError, match="no column"):
+        PerGroupLimit(blk, "nope", 1, "score").plan(spark)

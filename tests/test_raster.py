@@ -931,3 +931,24 @@ def test_sieve_filter_semantics(spark):
     assert out4[(1, 1)] == 0.0   # edge-adjacent to (0,1)/(1,0)
     with pytest.raises(ValueError, match="threshold"):
         SieveFilter(DataFrameRasterSource(df2), threshold=1)
+
+
+def test_raster_histogram_modes(spark):
+    """Round 9: binned vs categorical histograms."""
+    import datetime
+
+    from dask_geomodeling_spark.raster.reduction import RasterHistogram
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    t = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(t, 0, 0, 1.0), (t, 0, 1, 9.0), (t, 0, 2, 11.0),
+         (t, 0, 3, 11.0), (t, 1, 0, None)],
+        "time timestamp, y bigint, x bigint, value double")
+    src = DataFrameRasterSource(df)
+    binned = {r["bin_start"]: r["n"] for r in RasterHistogram(
+        src, bin_size=10.0).plan(spark).collect()}
+    assert binned == {0.0: 2, 10.0: 2}
+    cat = {r["bin_start"]: r["n"] for r in RasterHistogram(src)
+           .plan(spark).collect()}
+    assert cat == {1.0: 1, 9.0: 1, 11.0: 2}
