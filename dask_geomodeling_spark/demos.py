@@ -5892,10 +5892,11 @@ w AS (SELECT time, y, x, value,
            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
       FROM f)
 SELECT time, y, x,
-       ROUND(CASE WHEN value IS NOT NULL THEN value
+       CAST(FLOOR((CASE WHEN value IS NOT NULL THEN value
              ELSE pv + (epoch_us(time) - epoch_us(pt))
                   / NULLIF(epoch_us(nt) - epoch_us(pt), 0)
-                  * (nv - pv) END, 6) + 0.0 AS value
+                  * (nv - pv) END) * 1000000.0 + 0.5) AS BIGINT)
+           AS value
 FROM w
 """.format(grid=_grid_sql("R")))
 def temporal_fill(spark, sf_dir):
@@ -5906,7 +5907,11 @@ def temporal_fill(spark, sf_dir):
     construction."""
     from dask_geomodeling_spark.raster.temporal import TemporalFill
     out = TemporalFill(lineitem_grid(spark, sf_dir, "R")).plan(spark)
-    return out.withColumn("value", F.expr("ROUND(value, 6) + 0.0D"))
+    # integer quantization, not ROUND: interpolation at frac=1/2
+    # produces dyadic half-way ties where engine ROUND conventions
+    # diverge (same class as the embedding demos)
+    return out.withColumn("value", F.expr(
+        "CAST(FLOOR(value * 1000000.0D + 0.5D) AS BIGINT)"))
 
 
 @demo("sieve_filter", oracle="""
