@@ -91,7 +91,7 @@ def main():
                   "matryoshka_slice", "hausdorff_distance",
                   "idw_interpolate", "knn_classify",
                   "spatial_join_within", "temporal_fill", "sieve_filter",
-                  "per_group_limit", "raster_histogram"):
+                  "per_group_limit", "raster_histogram", "parse_wkt"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

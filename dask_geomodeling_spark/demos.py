@@ -5985,6 +5985,47 @@ def raster_histogram(spark, sf_dir):
                            bin_size=25.0).plan(spark)
 
 
+@demo("parse_wkt", oracle="""
+SELECT s_suppkey,
+       CAST(s_suppkey % 50 AS DOUBLE) AS xmin,
+       CAST((s_suppkey * 3) % 50 AS DOUBLE) AS ymin,
+       CAST(s_suppkey % 50 + 6 + s_suppkey % 3 AS DOUBLE) AS xmax,
+       CAST((s_suppkey * 3) % 50 + 5 + s_suppkey % 2 AS DOUBLE)
+           AS ymax,
+       CAST((6 + s_suppkey % 3) * (5 + s_suppkey % 2) - 4 AS DOUBLE)
+           AS area
+FROM supplier
+""")
+def parse_wkt(spark, sf_dir):
+    """ParseWKT (round 9): decode a WKT string COLUMN — donut POLYGON
+    text rendered per row from the supplier keys parses back through
+    pure regexp + HOF column math (orientation-normalized rings,
+    closing vertices dropped), and Area over the decoded rings
+    reproduces the closed form.  The CSV-interchange ingest mirror of
+    EncodeWKT."""
+    from dask_geomodeling_spark.geometry.geom_operations import Area
+    from dask_geomodeling_spark.geometry.wkb import ParseWKT
+    supplier = ensure_min_partitions(
+        read_nanos_parquet(spark, _pq(sf_dir, "supplier")), spark)
+    src = supplier.select(
+        "s_suppkey",
+        F.expr("CAST(s_suppkey % 50 AS DOUBLE)").alias("ax"),
+        F.expr("CAST((s_suppkey * 3) % 50 AS DOUBLE)").alias("ay"),
+        F.expr("CAST(6 + s_suppkey % 3 AS DOUBLE)").alias("w"),
+        F.expr("CAST(5 + s_suppkey % 2 AS DOUBLE)").alias("h"),
+    ).select("s_suppkey", F.expr(
+        "concat('POLYGON ((', ax, ' ', ay, ', ', ax + w, ' ', ay, "
+        "', ', ax + w, ' ', ay + h, ', ', ax, ' ', ay + h, ', ', "
+        "ax, ' ', ay, '), (', ax + 1, ' ', ay + 1, ', ', ax + 1, "
+        "' ', ay + 3, ', ', ax + 3, ' ', ay + 3, ', ', ax + 3, "
+        "' ', ay + 1, ', ', ax + 1, ' ', ay + 1, '))')").alias("wkt"))
+    blk = ParseWKT(DataFrameSource(src, index_column="s_suppkey"),
+                   "wkt")
+    view = blk.set("area", Area(blk))
+    return view.plan(spark).select("s_suppkey", "xmin", "ymin",
+                                   "xmax", "ymax", "area")
+
+
 @demo("wet_source", oracle="""
 SELECT doc_id,
        'http://crawl.example/doc/' || doc_id AS uri,
@@ -10686,7 +10727,7 @@ GATE_ANCHORS = [
     "text_normalize", "embedding_normalize", "matryoshka_slice",
     "hausdorff_distance", "idw_interpolate", "knn_classify",
     "spatial_join_within", "temporal_fill", "sieve_filter",
-    "per_group_limit", "raster_histogram",
+    "per_group_limit", "raster_histogram", "parse_wkt",
 ]
 
 

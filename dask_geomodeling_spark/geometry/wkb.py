@@ -377,3 +377,126 @@ class EncodeWKT(BaseSingle):
             raise ValueError("EncodeWKT needs geometry columns")
         wkt = F.coalesce(*parts) if len(parts) > 1 else parts[0]
         return df.withColumn(self.args[1], wkt)
+
+
+class ParseWKT(BaseSingle):
+    """Decode a WKT STRING COLUMN into the engine's typed geometry
+    columns (round 9) — the per-row ingest mirror of
+    :class:`EncodeWKT` and the column form of the reference's
+    ``GeometryWKTSource`` literal (reference geometry/sources.py:162):
+    CSV/TSV interchange files routinely carry geometry as a WKT
+    column, and until now only literal WKT could enter the engine.
+
+    Supported per row: ``POINT`` → ``x``/``y``; ``LINESTRING`` →
+    ``path``; ``POLYGON``/``MULTIPOLYGON`` → the flat
+    orientation-normalized ``rings`` (outers CCW, holes CW, explicit
+    closing vertices dropped) plus ``vertices`` = first ring; every
+    geometry row gets the bbox columns.  Unparseable/NULL text leaves
+    all geometry columns NULL (the tolerant-ingest convention —
+    filter ``xmin IS NULL`` for strictness).
+
+    Pure regexp + HOF column math (JVM regex, no Python, map-side):
+    coordinate groups come from one ``regexp_extract_all`` per
+    nesting level, pairs from ``split``.  Output column collisions
+    with existing geometry columns are rejected."""
+
+    def __init__(self, source, column="wkt"):
+        clash = ({"x", "y", "path", "rings", "vertices",
+                  "xmin", "ymin", "xmax", "ymax"}
+                 & set(source.columns))
+        if clash:
+            raise ValueError(
+                "geometry output column(s) {} already exist on the "
+                "source; drop or rename them upstream"
+                .format(sorted(clash)))
+        super().__init__(source, str(column))
+
+    @property
+    def columns(self):
+        return set(self.source.columns) | {
+            "x", "y", "path", "rings", "vertices",
+            "xmin", "ymin", "xmax", "ymax"}
+
+    def _build(self, ctx):
+        from dask_geomodeling_spark.geometry.geom_operations import (
+            _ring_cross_sum_sql)
+        df = self.source._build(ctx)
+        col = self.args[1]
+        if col not in df.columns:
+            raise ValueError("no column {!r}".format(col))
+        up = "upper(trim(`{c}`))".format(c=col)
+        df = df.withColumn("_w", F.expr(up))
+
+        num = r"-?[0-9]+(?:\\.[0-9]+)?(?:[Ee][+-]?[0-9]+)?"
+        # POINT (x y)
+        pt = ("regexp_extract_all(_w, '({n})', 1)".format(n=num))
+        df = df.withColumn("_pt", F.expr(
+            "CASE WHEN _w LIKE 'POINT%' THEN "
+            "transform({pt}, t -> CAST(t AS DOUBLE)) END"
+            .format(pt=pt)))
+        # coordinate text -> array<array<double>>
+        chain = ("transform(split({t}, ','), p -> "
+                 "transform(filter(split(trim(p), '\\\\s+'), "
+                 "s -> s != ''), v -> CAST(v AS DOUBLE)))")
+        # LINESTRING (x y, x y, ...)
+        ls_body = "regexp_extract(_w, 'LINESTRING\\\\s*\\\\(([^)]*)\\\\)', 1)"
+        df = df.withColumn("_path", F.expr(
+            "CASE WHEN _w LIKE 'LINESTRING%' THEN {chain} END"
+            .format(chain=chain.format(t=ls_body))))
+        # POLYGON ((..), (..))  /  MULTIPOLYGON (((..)), ((..),(..)))
+        # one regexp per nesting level: ring bodies are the innermost
+        # parenthesis groups, in document order; polygon GROUPS are
+        # the one-level-up spans, whose ring counts give the outer
+        # ring positions as a prefix sum — so ONE formulation covers
+        # both POLYGON (one group) and MULTIPOLYGON
+        ring_bodies = "regexp_extract_all(_w, '\\\\(([^()]*)\\\\)', 1)"
+        rings_raw = (
+            "transform(transform({rb}, b -> {chain}), rg0 -> "
+            "CASE WHEN size(rg0) > 1 "
+            "AND rg0[0][0] = rg0[size(rg0) - 1][0] "
+            "AND rg0[0][1] = rg0[size(rg0) - 1][1] "
+            "THEN slice(rg0, 1, size(rg0) - 1) ELSE rg0 END)"
+        ).format(rb=ring_bodies, chain=chain.format(t="b"))
+        grp_bodies = ("regexp_extract_all(_w, "
+                      "'(\\\\((?:[^()]|\\\\([^()]*\\\\))*\\\\))', 1)")
+        # rings per group = '(' count minus the group's own opener
+        per_group = ("transform({g}, b -> size(split(b, '\\\\(')) - 2)"
+                     .format(g=grp_bodies))
+        starts = ("aggregate({pg}, array(CAST(0 AS INT)), "
+                  "(acc, n) -> array_append(acc, "
+                  "element_at(acc, -1) + CAST(n AS INT)))"
+                  .format(pg=per_group))
+        norm = ("transform(array({rr}), rr -> transform(rr, (rg, i) -> "
+                "CASE WHEN array_contains({starts}, CAST(i AS INT)) = "
+                "(({cross}) >= 0) THEN rg ELSE reverse(rg) END))[0]"
+                ).format(rr=rings_raw, starts=starts,
+                         cross=_ring_cross_sum_sql("rg"))
+        df = df.withColumn("_rings", F.expr(
+            "CASE WHEN _w LIKE 'POLYGON%' "
+            "OR _w LIKE 'MULTIPOLYGON%' THEN {norm} END"
+            .format(norm=norm)))
+        # the source applied the request BEFORE geometry existed (its
+        # frame has no geometry columns) — re-apply so bbox/mode/
+        # min_size predicates hit the decoded geometry
+        from dask_geomodeling_spark.geometry.base import (
+            apply_feature_request)
+        return apply_feature_request(self._finish(df), ctx.request)
+
+    @staticmethod
+    def _finish(df):
+        flat = ("coalesce(flatten(_rings), _path, "
+                "CASE WHEN _pt IS NOT NULL THEN array(_pt) END)")
+        xs = "transform({f}, c -> c[0])".format(f=flat)
+        ys = "transform({f}, c -> c[1])".format(f=flat)
+        out = df.withColumns({
+            "x": F.expr("_pt[0]"),
+            "y": F.expr("_pt[1]"),
+            "path": F.col("_path"),
+            "rings": F.col("_rings"),
+            "vertices": F.expr("try_element_at(_rings, 1)"),
+            "xmin": F.expr("array_min({})".format(xs)),
+            "ymin": F.expr("array_min({})".format(ys)),
+            "xmax": F.expr("array_max({})".format(xs)),
+            "ymax": F.expr("array_max({})".format(ys)),
+        })
+        return out.drop("_w", "_pt", "_path", "_rings")

@@ -153,3 +153,52 @@ def test_encode_wkt_all_geometry_kinds(spark):
     w3 = EncodeWKT(DataFrameSource(pts, index_column="fid")) \
         .plan(spark).first()["wkt"]
     assert w3 == "POINT (1.5 2.5)"
+
+
+def test_parse_wkt_column(spark):
+    """Round 9: ParseWKT decodes a WKT string column — point/line/
+    polygon/multipolygon + hole orientation, closing-vertex drop,
+    tolerant NULL on garbage, encode(parse()) roundtrip."""
+    import pytest
+
+    from dask_geomodeling_spark.geometry.sources import (
+        DataFrameSource, _ring_signed_area)
+    from dask_geomodeling_spark.geometry.wkb import EncodeWKT, ParseWKT
+    rows = [
+        (1, "POINT (3 4)"),
+        (2, "LINESTRING (0 0, 2 0, 2 2)"),
+        (3, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+            "(4 4, 4 6, 6 6, 6 4, 4 4))"),
+        (4, "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), "
+            "((5 5, 9 5, 9 9, 5 9, 5 5), (6 6, 6 8, 8 8, 8 6, 6 6)))"),
+        (5, "not a geometry"), (6, None),
+        (7, "  polygon ((0 0, 1 0, 1 1, 0 1, 0 0))"),  # case/space
+        (8, "POINT (-1.5 2.25e1)"),                    # signs/sci
+    ]
+    df = spark.createDataFrame(rows, "fid bigint, wkt string")
+    blk = ParseWKT(DataFrameSource(df, index_column="fid"), "wkt")
+    out = {r["fid"]: r for r in blk.plan(spark).collect()}
+    assert (out[1]["x"], out[1]["y"]) == (3.0, 4.0)
+    assert out[1]["xmin"] == 3.0 and out[1]["ymax"] == 4.0
+    assert out[2]["path"] == [[0.0, 0.0], [2.0, 0.0], [2.0, 2.0]]
+    r3 = out[3]["rings"]
+    assert len(r3) == 2 and len(r3[0]) == 4          # closing dropped
+    assert _ring_signed_area(r3[0]) > 0 > _ring_signed_area(r3[1])
+    assert out[3]["vertices"] == r3[0]
+    signs = [_ring_signed_area(r) for r in out[4]["rings"]]
+    assert signs[0] > 0 and signs[1] > 0 and signs[2] < 0
+    assert out[5]["rings"] is None and out[5]["xmin"] is None
+    assert out[6]["x"] is None
+    assert len(out[7]["rings"][0]) == 4              # case-insensitive
+    assert (out[8]["x"], out[8]["y"]) == (-1.5, 22.5)
+    # parse(encode(parse(wkt))) is a fixpoint: re-encoding the
+    # decoded donut and decoding again yields identical rings
+    enc = EncodeWKT(blk, column_name="back")
+    again = ParseWKT(
+        DataFrameSource(
+            enc.plan(spark).select("fid", "back"),
+            index_column="fid"), "back")
+    r3b = {r["fid"]: r["rings"] for r in again.plan(spark).collect()}
+    assert r3b[3] == r3
+    with pytest.raises(ValueError, match="already exist"):
+        ParseWKT(blk, "wkt")
