@@ -396,16 +396,24 @@ class PerGroupLimit(BaseSingle):
     ``order_column`` (descending by default — keep the BEST), break
     ties by the id column, take ``n``.
 
-    Execution: one window partitioned by the GROUP key — group-keyed,
-    never global, so partitions are bounded by the hot group's row
-    count; a genuinely pathological host is exactly what the cap is
-    for, and the window sees only its rows.  Output: source columns
+    Execution (round 10, verdict #5): TWO-PHASE salted top-n — the
+    StratifiedSample pattern.  Phase 1 ranks within
+    ``(group, xxhash64(id) mod salt)`` and keeps each sub-partition's
+    top ``n``; phase 2 ranks the surviving ≤ ``n·salt`` rows per group
+    (tiny) and keeps the true top ``n``.  Both phases use the same
+    ``(order_column, id)`` ordering, so phase 1 only PRUNES rows that
+    cannot be in the group's top ``n`` — ranks included, the result is
+    identical to the single group window at any scale — while a 10⁹-row
+    host fans across ``salt`` tasks instead of funneling into one.
+    ``salt=1`` restores the plain group window.  Output: source columns
     plus ``group_rank`` (1-based)."""
 
     def __init__(self, source, group_column, n, order_column,
-                 id_column=None, ascending=False):
+                 id_column=None, ascending=False, salt=16):
         if int(n) < 1:
             raise ValueError("n must be >= 1")
+        if int(salt) < 1:
+            raise ValueError("salt must be >= 1")
         if id_column is None:
             id_column = source.index_column
         if "group_rank" in source.columns:
@@ -414,7 +422,7 @@ class PerGroupLimit(BaseSingle):
                 "output; rename it upstream")
         super().__init__(source, str(group_column), int(n),
                          str(order_column), str(id_column),
-                         bool(ascending))
+                         bool(ascending), int(salt))
 
     @property
     def columns(self):
@@ -422,12 +430,22 @@ class PerGroupLimit(BaseSingle):
 
     def _build(self, ctx):
         from pyspark.sql import Window
-        _, grp, n, order, idc, ascending = self.args
+        _, grp, n, order, idc, ascending, salt = self.args
         df = self.source._build(ctx)
         for c in (grp, order, idc):
             if c not in df.columns:
                 raise ValueError("no column {!r}".format(c))
         oc = F.col(order).asc() if ascending else F.col(order).desc()
+        if salt > 1:
+            # xxhash64, not a bigint cast: ids may be strings, and the
+            # salt key only sub-partitions (never affects the result),
+            # so any deterministic hash works
+            w1 = (Window.partitionBy(
+                      F.col(grp),
+                      F.pmod(F.xxhash64(F.col(idc)), F.lit(int(salt))))
+                  .orderBy(oc, F.col(idc).asc()))
+            df = (df.withColumn("_prk", F.row_number().over(w1))
+                  .filter(F.col("_prk") <= n).drop("_prk"))
         w = Window.partitionBy(grp).orderBy(oc, F.col(idc).asc())
         return (df.withColumn("group_rank",
                               F.row_number().over(w).cast("bigint"))

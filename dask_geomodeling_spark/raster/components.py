@@ -62,12 +62,20 @@ class RasterComponents(BaseSingle):
         return {"time", "y", "x", "value", "component"}
 
     def _build(self, ctx):
+        _, conn, max_iter = self.args
+        return self._label(ctx, self.store._build(ctx), conn, max_iter)
+
+    @staticmethod
+    def _label(ctx, frame, conn, max_iter=20):
+        """Label a ``time, y, x, value`` cell frame (NULLs dropped).
+
+        Split out from ``_build`` (round 10) so ``SieveFilter``'s
+        iterate-to-fixpoint mode can re-label its own intermediate
+        merge results without wrapping them back into a Block."""
         from pyspark.sql import Window
 
         from dask_geomodeling_spark.pipeline.dedup import DedupClusters
-        _, conn, max_iter = self.args
-        cells = (self.store._build(ctx)
-                 .filter(F.col("value").isNotNull()))
+        cells = frame.filter(F.col("value").isNotNull())
         # dense time index (time-dimension-sized, one partition) +
         # coordinate bounds (one row) — both broadcast back, nothing
         # data-sized leaves the executors
@@ -143,33 +151,53 @@ class SieveFilter(BaseSingle):
     sieve).  Deterministic: among a small region's neighbors the
     largest cell count wins, ties to the smallest component key.
 
-    Single pass over the component graph: cascades where a small
-    region's largest neighbor is itself small resolve to that
+    Single pass over the component graph by default: cascades where a
+    small region's largest neighbor is itself small resolve to that
     neighbor's ORIGINAL value (GDAL's priority-queue reprocessing is
     inherently sequential; the one-pass contract is documented and
     exact whenever specks touch a surviving region, the common case).
-    Small regions surrounded entirely by NODATA have no neighbor and
-    pass through unchanged — nodata is a mask, not a merge target
-    (gdal_sieve's mask semantics); gap-fill first (``IDWInterpolate``)
-    to despeckle a sparse raster.
+    ``iterate=True`` (round 10) re-labels and re-merges until no
+    region smaller than ``threshold`` can merge — full ``gdal_sieve``
+    cascade parity: a speck→speck→survivor chain resolves to the
+    survivor's value.  The loop is bounded by the region-graph
+    diameter (each round at least halves the count of mergeable small
+    regions along any chain) and by ``max_rounds``; each round's
+    result is ``localCheckpoint``-ed so the star-round lineage never
+    stacks.  Small regions surrounded entirely by NODATA have no
+    neighbor and pass through unchanged — nodata is a mask, not a
+    merge target (gdal_sieve's mask semantics); gap-fill first
+    (``IDWInterpolate``) to despeckle a sparse raster.
 
     Plan shape: RasterComponents labels (the O(log²) star rounds),
-    ONE size aggregation, one bounded neighbor scatter of region
-    borders, and a per-SMALL-REGION argmax — every join keyed by
+    ONE size aggregation, one bounded neighbor scatter of the SMALL
+    regions only (round 10 — the despeckle set explodes to its 4/8
+    neighbor coordinates and equi-joins the cell table on
+    (time, y, x), so the shuffle is 1× data + k× small instead of
+    k× data), and a per-SMALL-REGION argmax — every join keyed by
     cell or component, nothing data×data."""
 
-    def __init__(self, store, threshold, connectivity=4):
+    def __init__(self, store, threshold, connectivity=4, iterate=False,
+                 max_rounds=10):
         t = int(threshold)
         if t < 2:
             raise ValueError("threshold must be >= 2 cells")
         if connectivity not in (4, 8):
             raise ValueError("connectivity must be 4 or 8")
-        super().__init__(store, t, int(connectivity))
+        if int(max_rounds) < 1:
+            raise ValueError("max_rounds must be >= 1")
+        super().__init__(store, t, int(connectivity), bool(iterate),
+                         int(max_rounds))
 
-    def _build(self, ctx):
+    @staticmethod
+    def _merge_pass(ctx, frame, threshold, connectivity):
+        """One label → size → merge pass over a cell frame.
+
+        Returns ``(out, rep)``: the merged ``time, y, x, value`` frame
+        and the merge-decision frame (one row per small region that
+        found a neighbor) so the fixpoint loop can test convergence
+        without recomputing."""
         from dask_geomodeling_spark.raster.spatial import _offsets_df
-        _, threshold, connectivity = self.args
-        comp = RasterComponents(self.store, connectivity)._build(ctx)
+        comp = RasterComponents._label(ctx, frame, connectivity)
         sizes = (comp.groupBy("time", "component")
                  .agg(F.count(F.lit(1)).cast("bigint").alias("_sz")))
         comp = comp.join(sizes, ["time", "component"])
@@ -180,20 +208,24 @@ class SieveFilter(BaseSingle):
         else:
             offs = [(dy, dx, 1.0) for dy in (-1, 0, 1)
                     for dx in (-1, 0, 1) if (dy, dx) != (0, 0)]
-        # scatter EVERY cell to its neighbors; a small cell that
-        # lands on a different component's cell sees that neighbor
-        nb = (comp.crossJoin(_offsets_df(ctx.spark, offs))
+        # scatter the SMALL side: each despeckle cell explodes to its
+        # neighbor coordinates and probes the cell table there — the
+        # big frame shuffles once, only the small set fans out k×
+        sm = (small.crossJoin(_offsets_df(ctx.spark, offs))
               .select("time",
                       (F.col("y") + F.col("dy")).alias("y"),
                       (F.col("x") + F.col("dx")).alias("x"),
-                      F.col("component").alias("_nc"),
-                      F.col("value").alias("_nv"),
-                      F.col("_sz").alias("_nsz")))
-        touch = (small.join(nb, ["time", "y", "x"])
-                 .filter(F.col("_nc") != F.col("component")))
+                      F.col("component").alias("_sc")))
+        touch = (sm.join(
+            comp.select("time", "y", "x",
+                        F.col("component").alias("_nc"),
+                        F.col("value").alias("_nv"),
+                        F.col("_sz").alias("_nsz")),
+            ["time", "y", "x"])
+            .filter(F.col("_nc") != F.col("_sc")))
         # one winner per SMALL REGION (the whole region merges):
         # largest neighbor size, ties to the smallest component key
-        rep = (touch.groupBy("time", "component")
+        rep = (touch.groupBy("time", F.col("_sc").alias("component"))
                .agg(F.expr("min_by(struct(_nv AS value), "
                            "struct(-_nsz, _nc))").alias("_w"))
                .select("time", "component",
@@ -201,4 +233,25 @@ class SieveFilter(BaseSingle):
         out = (comp.join(rep, ["time", "component"], "left")
                .select("time", "y", "x",
                        F.coalesce("_newv", "value").alias("value")))
-        return out
+        return out, rep
+
+    def _build(self, ctx):
+        _, threshold, connectivity, iterate, max_rounds = self.args
+        frame = self.store._build(ctx)
+        if not iterate:
+            out, _ = self._merge_pass(ctx, frame, threshold,
+                                      connectivity)
+            return out
+        # fixpoint: re-label + re-merge until no small region can merge.
+        # Eager by necessity (the DedupClusters short-circuit precedent):
+        # each round materializes via localCheckpoint so the star-round
+        # lineage of round N never re-executes inside round N+1.
+        cur = (frame.select("time", "y", "x", "value")
+               .filter(F.col("value").isNotNull()))
+        for _ in range(max_rounds):
+            out, rep = self._merge_pass(ctx, cur, threshold,
+                                        connectivity)
+            if rep.limit(1).count() == 0:
+                return cur
+            cur = out.localCheckpoint()
+        return cur

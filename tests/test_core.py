@@ -192,3 +192,39 @@ def test_remote_json_url_routes_to_geojson():
     from dask_geomodeling_spark.compat import GeometryFileSource
     src = GeometryFileSource("s3://bucket/data.json")
     assert src.args[1] == "geojson"
+
+
+def test_gate_anchor_policy():
+    """Round 10 (verdict #2): GATE_ANCHORS stays small so the rotating
+    slots actually cycle the registry — ≤ 12 anchors, the gate is
+    still exactly 50 queries, and every anchor is either green in the
+    latest driver CORRECTNESS artifact or absent from it (i.e. new
+    this round — anchoring an op the driver already verified green
+    just starves the rotation)."""
+    import glob
+    import json
+    import os
+    import re
+
+    from dask_geomodeling_spark import demos
+
+    assert len(demos.GATE_ANCHORS) <= 12, demos.GATE_ANCHORS
+    assert len(demos.GATE_ORDER) == 50
+    assert len(set(demos.GATE_ORDER)) == 50
+    root = os.path.dirname(os.path.dirname(
+        os.path.abspath(demos.__file__)))
+    arts = {}
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", f)
+        if m:
+            arts[int(m.group(1))] = f
+    if not arts:
+        return
+    latest = json.load(open(arts[max(arts)]))
+    always_ok = {"q1_pricing_summary", "json_graph_roundtrip"}
+    for name in demos.GATE_ANCHORS:
+        if name in always_ok or name not in latest:
+            continue
+        entry = latest[name]
+        assert entry.get("err") is None and entry.get("rows_match"), (
+            name, entry)

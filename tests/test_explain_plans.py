@@ -824,3 +824,38 @@ def test_geojsonseq_scan_is_line_splittable(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "wholetext" not in plan.lower()
     assert df.count() == 50
+
+
+def test_sieve_filter_scatters_small_side(spark):
+    """Round 10 (verdict #3): SieveFilter's neighbor scatter explodes
+    the SMALL-region frame, not the full cell table — the plan's only
+    cross join (the broadcast offsets explode) must sit ABOVE the
+    ``_sz < threshold`` filter, so the exploded side is the despeckle
+    set and the big frame shuffles exactly once on (time, y, x)."""
+    import datetime
+
+    from dask_geomodeling_spark.raster.components import SieveFilter
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    t = datetime.datetime(2024, 1, 1)
+    cells = ([(t, 0, xx, 0.0) for xx in range(6)]
+             + [(t, 1, 2, 5.0), (t, 1, 3, 5.0)]
+             + [(t, 2, 2, 9.0), (t, 2, 3, 9.0), (t, 2, 4, 9.0)])
+    df = spark.createDataFrame(
+        cells, "time timestamp, y bigint, x bigint, value double")
+    out = SieveFilter(DataFrameRasterSource(df), threshold=3).plan(spark)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    cross = [i for i, l in enumerate(lines) if "Join Cross" in l]
+    assert len(cross) == 1, plan
+    i = cross[0]
+    indent = lines[i].index("+-")
+    subtree = []
+    for line in lines[i + 1:]:
+        pos = max(line.find("+-"), line.find(":-"))
+        if 0 <= pos <= indent:
+            break
+        subtree.append(line)
+    blob = "\n".join(subtree)
+    # the size filter lives UNDER the explode -> small side scatters
+    assert "_sz" in blob and "< 3" in blob, blob

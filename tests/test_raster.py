@@ -931,6 +931,44 @@ def test_sieve_filter_semantics(spark):
     assert out4[(1, 1)] == 0.0   # edge-adjacent to (0,1)/(1,0)
     with pytest.raises(ValueError, match="threshold"):
         SieveFilter(DataFrameRasterSource(df2), threshold=1)
+    with pytest.raises(ValueError, match="max_rounds"):
+        SieveFilter(DataFrameRasterSource(df2), threshold=2,
+                    max_rounds=0)
+
+
+def test_sieve_filter_iterate_fixpoint(spark):
+    """Round 10: SieveFilter(iterate=True) resolves speck→speck→
+    survivor chains to the survivor's value (gdal_sieve cascade
+    postcondition: no region smaller than threshold remains), where
+    the one-pass default stops after the first merge wave."""
+    import datetime
+
+    from dask_geomodeling_spark.raster.components import SieveFilter
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    t = datetime.datetime(2024, 1, 1)
+    # chain: 1-cell speck (1.0) — 2-cell speck (2.0) — 4-cell
+    # survivor (3.0), threshold 4
+    cells = [(t, 0, 0, 1.0), (t, 0, 1, 2.0), (t, 0, 2, 2.0),
+             (t, 0, 3, 3.0), (t, 0, 4, 3.0), (t, 0, 5, 3.0),
+             (t, 0, 6, 3.0)]
+    df = spark.createDataFrame(
+        cells, "time timestamp, y bigint, x bigint, value double")
+    src = DataFrameRasterSource(df)
+    it = {(r["y"], r["x"]): r["value"] for r in SieveFilter(
+        src, threshold=4, iterate=True).plan(spark).collect()}
+    assert len(it) == 7 and all(v == 3.0 for v in it.values())
+    # one-pass: the speck merged into its (then-small) neighbor's
+    # ORIGINAL value and a sub-threshold 2.0 region remains
+    op = {(r["y"], r["x"]): r["value"] for r in SieveFilter(
+        src, threshold=4).plan(spark).collect()}
+    assert op[(0, 0)] == 2.0 and op[(0, 1)] == 3.0
+    # threshold 2: only the 1-cell speck is small; it merges into the
+    # 2.0 region and the SECOND round detects zero merges and stops
+    clean = {(r["y"], r["x"]): r["value"] for r in SieveFilter(
+        src, threshold=2, iterate=True).plan(spark).collect()}
+    assert clean[(0, 0)] == 2.0 and clean[(0, 1)] == 2.0
+    assert clean[(0, 3)] == 3.0 and len(clean) == 7
 
 
 def test_raster_histogram_modes(spark):
