@@ -5982,6 +5982,71 @@ def sieve_filter_iterate(spark, sf_dir):
     return out.plan(spark)
 
 
+@demo("flow_direction", oracle="""
+SELECT TIMESTAMP '2024-01-01' AS time,
+       a.n_nationkey AS y, b.n_nationkey AS x,
+       CASE WHEN a.n_nationkey = 0 AND b.n_nationkey = 0 THEN 0.0
+            WHEN a.n_nationkey = 0 THEN 16.0
+            WHEN b.n_nationkey = 0 THEN 64.0
+            ELSE 32.0 END AS value
+FROM nation a CROSS JOIN nation b
+""")
+def flow_direction(spark, sf_dir):
+    """FlowDirection (round 10, verdict #7): D8 steepest descent on
+    the plane z = y + x — interior cells point NW (code 32: drop
+    2/√2 beats the 1/1 of W and N), the y = 0 edge points W (16),
+    the x = 0 edge N (64), and the (0,0) pit is a sink (0).  One
+    bounded 8-offset scatter + one grouped argmax."""
+    from dask_geomodeling_spark.raster.hydrology import FlowDirection
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    nation = read_nanos_parquet(spark, _pq(sf_dir, "nation"))
+    a = nation.select(F.col("n_nationkey").alias("y"))
+    b = nation.select(F.col("n_nationkey").alias("x"))
+    grid = (a.crossJoin(b)
+            .select(F.expr("TIMESTAMP '2024-01-01'").alias("time"),
+                    "y", "x",
+                    F.expr("CAST(y + x AS DOUBLE)").alias("value")))
+    return FlowDirection(DataFrameRasterSource(grid)).plan(spark)
+
+
+@demo("flow_accumulation", oracle="""
+SELECT TIMESTAMP '2024-01-01' AS time,
+       a.n_nationkey AS y, b.n_nationkey AS x,
+       CASE WHEN a.n_nationkey = 0 AND b.n_nationkey = 0 THEN 624.0
+            WHEN a.n_nationkey = 0 THEN
+              CAST((25 - b.n_nationkey) * (26 - b.n_nationkey) / 2 - 1
+                   AS DOUBLE)
+            WHEN b.n_nationkey = 0 THEN
+              CAST((25 - a.n_nationkey) * (26 - a.n_nationkey) / 2 - 1
+                   AS DOUBLE)
+            ELSE CAST(LEAST(24 - a.n_nationkey, 24 - b.n_nationkey)
+                      AS DOUBLE) END AS value
+FROM nation a CROSS JOIN nation b
+""")
+def flow_accumulation(spark, sf_dir):
+    """FlowAccumulation (round 10, verdict #7) composed over
+    FlowDirection on the ramp z = y + x: interior cells receive the
+    NW-bound diagonal chain above them (min(24−y, 24−x) cells), edge
+    cells collect every diagonal that lands on them — the triangular
+    sum (25−k)(26−k)/2 − 1 — and the (0,0) pit drains all 624 other
+    cells.  Euler-tour list ranking on the flow forest (driver
+    short-circuit at this size)."""
+    from dask_geomodeling_spark.raster.hydrology import (
+        FlowAccumulation, FlowDirection)
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    nation = read_nanos_parquet(spark, _pq(sf_dir, "nation"))
+    a = nation.select(F.col("n_nationkey").alias("y"))
+    b = nation.select(F.col("n_nationkey").alias("x"))
+    grid = (a.crossJoin(b)
+            .select(F.expr("TIMESTAMP '2024-01-01'").alias("time"),
+                    "y", "x",
+                    F.expr("CAST(y + x AS DOUBLE)").alias("value")))
+    fd = FlowDirection(DataFrameRasterSource(grid))
+    return FlowAccumulation(fd).plan(spark)
+
+
 @demo("per_group_limit", oracle="""
 SELECT * FROM (
   SELECT doc_id, source, n_chars,
@@ -10749,9 +10814,10 @@ GATE_ANCHORS = [
     "q1_pricing_summary",           # flagship
     "json_graph_roundtrip",         # serialization contract
     # round-10: SieveFilter scatter inverted + fixpoint mode,
-    # PerGroupLimit salted two-phase
+    # PerGroupLimit salted two-phase, the D8 hydrology pair
     "sieve_filter", "sieve_filter_iterate",
     "per_group_limit",
+    "flow_direction", "flow_accumulation",
 ]
 
 

@@ -1,0 +1,304 @@
+"""D8 hydrology on the cell table: ``FlowDirection`` (steepest
+descent) and ``FlowAccumulation`` (upstream cell counts).
+
+No reference analogue — the reference's user base (Dutch water
+management) runs these through GDAL/richdem *before* dask-geomodeling;
+here they are first-class blocks so a DEM-to-catchment pipeline stays
+inside the engine.
+
+Scale shape: FlowDirection is the FocalStatistic scatter (every cell
+explodes to the 8 literal neighbor offsets, one grouped argmax — never
+data×data).  FlowAccumulation's flow graph is a functional in-forest
+(every cell has at most one downstream edge), and upstream counts are
+subtree sizes — computed WITHOUT per-path iteration by an Euler tour
+of the forest plus pointer-doubling list ranking: O(log n) self-join
+rounds regardless of river length (a continent-long river needs ~40
+rounds, not 10⁶), the same convergence class as the
+RasterComponents/DedupClusters star machinery.  Graphs at or below
+``driver_threshold`` edges short-circuit to an exact driver-side
+traversal (the DedupClusters precedent, pipeline/dedup.py) so small
+requests skip the round overhead entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dask_geomodeling_spark.raster.base import BaseSingle
+
+__all__ = ["FlowDirection", "FlowAccumulation"]
+
+# ESRI/GDAL D8 codes, row-index convention (y grows "south"/downward):
+#   E=1, SE=2, S=4, SW=8, W=16, NW=32, N=64, NE=128
+D8_CODES = (
+    (0, 1, 1), (1, 1, 2), (1, 0, 4), (1, -1, 8),
+    (0, -1, 16), (-1, -1, 32), (-1, 0, 64), (-1, 1, 128),
+)
+
+
+def _codes_df(spark):
+    rows = [(dy, dx, code, float(dy * dy + dx * dx) ** 0.5)
+            for dy, dx, code in D8_CODES]
+    return F.broadcast(spark.createDataFrame(
+        rows, schema="dy bigint, dx bigint, code int, dist double"))
+
+
+class FlowDirection(BaseSingle):
+    """D8 steepest-descent flow direction over an elevation raster.
+
+    For every data cell the drop to each of its 8 neighbors is
+    ``(z - z_n) / dist`` (dist 1 for edge neighbors, √2 for corners);
+    the cell's direction is the ESRI/GDAL code (E=1, SE=2, S=4, SW=8,
+    W=16, NW=32, N=64, NE=128; y grows southward) of the steepest
+    strictly-downhill neighbor, ties to the smallest code.  Pits and
+    flats (no strictly lower neighbor, including cells whose neighbors
+    are all NODATA or off-grid) get 0 — the sink marker
+    ``FlowAccumulation`` understands.
+
+    Plan: one bounded literal scatter (8 offsets per data cell), one
+    equi-join back onto the cell table for the center elevation, one
+    grouped ``min_by`` argmax — the FocalStatistic shape; no windows,
+    no data×data joins.
+    """
+
+    def __init__(self, store):
+        super().__init__(store)
+
+    def _build(self, ctx):
+        df = (self.store._build(ctx)
+              .filter(F.col("value").isNotNull()))
+        codes = _codes_df(ctx.spark)
+        # scatter each cell's elevation to the 8 cells it NEIGHBORS:
+        # the receiving cell (y, x) sees (neighbor z, code of the step
+        # FROM the receiver TO that neighbor)
+        nb = (df.crossJoin(codes)
+              .select("time",
+                      (F.col("y") - F.col("dy")).alias("y"),
+                      (F.col("x") - F.col("dx")).alias("x"),
+                      F.col("value").alias("_nz"),
+                      "code", "dist"))
+        cand = (df.join(nb, ["time", "y", "x"])
+                .withColumn("_drop",
+                            (F.col("value") - F.col("_nz"))
+                            / F.col("dist"))
+                .filter(F.col("_drop") > 0))
+        best = (cand.groupBy("time", "y", "x")
+                .agg(F.expr("min_by(code, struct(-_drop, code))")
+                     .alias("_code")))
+        return (df.join(best, ["time", "y", "x"], "left")
+                .select("time", "y", "x",
+                        F.coalesce(F.col("_code").cast("double"),
+                                   F.lit(0.0)).alias("value")))
+
+
+class FlowAccumulation(BaseSingle):
+    """Number of upstream cells draining through each cell (ESRI
+    ``FlowAccumulation`` / ``gdal`` D8 accumulation; ridge cells = 0,
+    the receiving cell itself is not counted).
+
+    ``store`` is a D8 DIRECTION raster (the ``FlowDirection`` codes);
+    compose ``FlowAccumulation(FlowDirection(dem))`` for a DEM.
+    Directions pointing off-grid or onto NODATA drain out of the
+    raster — the edge is dropped, the donor keeps its own upstream
+    count.  Cycles cannot occur in strict-descent D8 output; a
+    malformed direction raster containing one would leave the cycle's
+    Euler elements unranked and fails fast with a clear error rather
+    than looping.
+
+    Execution: the flow graph is a functional in-forest, so upstream
+    counts are subtree sizes.  (1) Build child→parent edges by
+    decoding the codes (one broadcast join).  (2) At or below
+    ``driver_threshold`` edges, collect the edge list and count
+    subtree sizes exactly on the driver (the DedupClusters
+    short-circuit, pipeline/dedup.py:767).  (3) Otherwise build the
+    forest's Euler tour — per-parent child ordering needs only a
+    window bounded by the D8 in-degree (≤ 8 rows per key) — and
+    pointer-double the tour's list ranks: ``rank += rank[ptr];
+    ptr = ptr[ptr]`` with a ``localCheckpoint`` per round, converging
+    in ⌈log₂ 2n⌉ rounds.  Subtree size falls out as
+    ``(rank(enter) - rank(exit) + 1) / 2``.
+
+    Cell keys pack to one BIGINT (dense time index × y-extent ×
+    x-extent — the RasterComponents encoding) so every ranking round
+    exchanges 24-byte rows; a raster whose DOUBLED key space would
+    overflow 2⁶³ fails fast instead of mislabeling.
+    """
+
+    DRIVER_THRESHOLD = 65536
+
+    def __init__(self, store, max_iter=48, driver_threshold=None):
+        if int(max_iter) < 1:
+            raise ValueError("max_iter must be >= 1")
+        super().__init__(store, int(max_iter),
+                         None if driver_threshold is None
+                         else int(driver_threshold))
+
+    def _build(self, ctx):
+        from pyspark import StorageLevel
+        from pyspark.sql import Window
+
+        _, max_iter, driver_threshold = self.args
+        if driver_threshold is None:
+            driver_threshold = self.DRIVER_THRESHOLD
+        spark = ctx.spark
+        cells = (self.store._build(ctx)
+                 .filter(F.col("value").isNotNull()))
+        # ---- pack (time, y, x) to one bigint (RasterComponents
+        # encoding, components.py:85), leaving headroom for the ×2+1
+        # Euler element ids
+        tindex = (cells.select("time").distinct().coalesce(1)
+                  .withColumn("_tix", F.row_number().over(
+                      Window.orderBy("time")) - 1))
+        bounds = cells.agg(
+            F.min("y").alias("_ymin"), F.max("y").alias("_ymax"),
+            F.min("x").alias("_xmin"), F.max("x").alias("_xmax"),
+            F.countDistinct("time").alias("_tc"))
+        dy_r = "(_ymax - _ymin + 1)"
+        dx_r = "(_xmax - _xmin + 1)"
+        pack = F.expr(
+            "CASE WHEN CAST(_tc AS DOUBLE) * {dy} * {dx} > 4.5e18 "
+            "THEN CAST(raise_error('FlowAccumulation: doubled key "
+            "space overflows BIGINT') AS BIGINT) "
+            "ELSE (_tix * {dy} + (y - _ymin)) * {dx} + (x - _xmin) "
+            "END".format(dy=dy_r, dx=dx_r))
+        nodes = (cells.join(F.broadcast(tindex), "time")
+                 .crossJoin(F.broadcast(bounds))
+                 .select("time", "y", "x", "value",
+                         F.expr(dy_r).alias("_dy"),
+                         F.expr(dx_r).alias("_dx"),
+                         pack.alias("_id"))
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+        codes = _codes_df(spark).select(
+            F.col("code").cast("double").alias("value"), "dy", "dx")
+        # child -> parent edges; a direction onto a missing cell
+        # drains off-raster (inner join drops the edge, not the donor)
+        tgt = (nodes.filter(F.col("value") > 0)
+               .join(codes, "value")
+               .select("time",
+                       F.col("_id").alias("_c"),
+                       (F.col("y") + F.col("dy")).alias("y"),
+                       (F.col("x") + F.col("dx")).alias("x")))
+        edges = (tgt.join(nodes.select("time", "y", "x",
+                                       F.col("_id").alias("_p")),
+                          ["time", "y", "x"])
+                 .select("_c", "_p")
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+        n_edges = edges.count()
+        if n_edges <= driver_threshold:
+            acc = self._driver_counts(spark, edges)
+        else:
+            acc = self._euler_counts(spark, nodes, edges, max_iter)
+        out = (nodes.join(acc, "_id", "left")
+               .select("time", "y", "x",
+                       F.coalesce(F.col("_acc"), F.lit(0.0))
+                       .alias("value")))
+        return out
+
+    @staticmethod
+    def _driver_counts(spark, edges):
+        """Exact subtree sizes on the driver for small graphs."""
+        rows = edges.collect()
+        parent = {r["_c"]: r["_p"] for r in rows}
+        children = {}
+        for c, p in parent.items():
+            children.setdefault(p, []).append(c)
+        acc = {}
+
+        def size(u):
+            # iterative post-order (forests can be deep chains)
+            stack, order, seen = [u], [], set()
+            while stack:
+                v = stack.pop()
+                if v in seen:
+                    raise ValueError(
+                        "FlowAccumulation: direction raster contains "
+                        "a cycle")
+                seen.add(v)
+                order.append(v)
+                stack.extend(children.get(v, ()))
+            for v in reversed(order):
+                acc[v] = 1 + sum(acc[w] for w in children.get(v, ()))
+            return acc[u]
+
+        roots = set(parent.values()) - set(parent)
+        for r in roots:
+            size(r)
+        involved = set(parent) | set(children)
+        if involved - set(acc):
+            # a functional graph whose nodes are unreachable from any
+            # root is exactly a cycle (every node there HAS a parent)
+            raise ValueError(
+                "FlowAccumulation: direction raster contains a cycle")
+        out = [(int(k), float(v - 1)) for k, v in acc.items()
+               if v > 1]
+        return spark.createDataFrame(
+            out, "_id bigint, _acc double") if out else \
+            spark.createDataFrame([], "_id bigint, _acc double")
+
+    @staticmethod
+    def _euler_counts(spark, nodes, edges, max_iter):
+        """Euler tour + pointer-doubling list ranking → subtree sizes."""
+        from pyspark.sql import Window
+
+        # per-parent child order: window keyed by parent, ≤ 8 rows/key
+        w = Window.partitionBy("_p").orderBy("_c")
+        kids = (edges.withColumn("_next", F.lead("_c").over(w))
+                .withColumn("_rn", F.row_number().over(w)))
+        first = (kids.filter(F.col("_rn") == 1)
+                 .select(F.col("_p").alias("_id"),
+                         F.col("_c").alias("_fc")))
+        ids = nodes.select("_id")
+        # enter(u) = 2u: succ = enter(first child) | exit(u)
+        enters = (ids.join(first, "_id", "left")
+                  .select((F.col("_id") * 2).alias("_e"),
+                          F.coalesce(F.col("_fc") * 2,
+                                     F.col("_id") * 2 + 1)
+                          .alias("_s")))
+        # exit(c), c a child: succ = enter(next sibling) | exit(parent)
+        exits_c = kids.select(
+            (F.col("_c") * 2 + 1).alias("_e"),
+            F.coalesce(F.col("_next") * 2, F.col("_p") * 2 + 1)
+            .alias("_s"))
+        # exit(root/isolated): terminator
+        exits_r = (ids.join(edges.select(F.col("_c").alias("_id")),
+                            "_id", "left_anti")
+                   .select((F.col("_id") * 2 + 1).alias("_e"),
+                           F.lit(None).cast("bigint").alias("_s")))
+        tour = enters.unionByName(exits_c).unionByName(exits_r)
+        rank = (tour.select(
+            "_e", F.col("_s").alias("_ptr"),
+            F.when(F.col("_s").isNull(), F.lit(0))
+            .otherwise(F.lit(1)).cast("bigint").alias("_r"))
+            .localCheckpoint())
+        for _ in range(max_iter):
+            if rank.filter(F.col("_ptr").isNotNull()
+                           ).limit(1).count() == 0:
+                break
+            jump = rank.select(F.col("_e").alias("_ptr"),
+                               F.col("_ptr").alias("_p2"),
+                               F.col("_r").alias("_r2"))
+            rank = (rank.join(jump, "_ptr", "left")
+                    .select("_e",
+                            F.col("_p2").alias("_ptr"),
+                            (F.col("_r") + F.coalesce("_r2", F.lit(0)))
+                            .alias("_r"))
+                    .localCheckpoint())
+        else:
+            if rank.filter(F.col("_ptr").isNotNull()
+                           ).limit(1).count() != 0:
+                raise ValueError(
+                    "FlowAccumulation: list ranking did not converge "
+                    "in {} rounds — direction raster contains a cycle "
+                    "or raise max_iter".format(max_iter))
+        # INTEGER div throughout: element ids and ranks may exceed
+        # 2^53, where a double round-trip would corrupt keys
+        ent = (rank.filter(F.col("_e") % 2 == 0)
+               .select(F.expr("_e div 2").alias("_id"),
+                       F.col("_r").alias("_re")))
+        ext = (rank.filter(F.col("_e") % 2 == 1)
+               .select(F.expr("(_e - 1) div 2").alias("_id"),
+                       F.col("_r").alias("_rx")))
+        return (ent.join(ext, "_id")
+                .select("_id",
+                        F.expr("(_re - _rx - 1) div 2")
+                        .cast("double").alias("_acc")))

@@ -990,3 +990,100 @@ def test_raster_histogram_modes(spark):
     cat = {r["bin_start"]: r["n"] for r in RasterHistogram(src)
            .plan(spark).collect()}
     assert cat == {1.0: 1, 9.0: 1, 11.0: 2}
+
+
+def test_flow_direction_ramp(spark):
+    """Round 10 (verdict #7): D8 FlowDirection on the plane z = y + x —
+    interior cells point NW (32, the steepest diagonal), the y = 0 edge
+    points W (16), the x = 0 edge N (64), and the (0,0) pit gets the
+    sink code 0."""
+    import datetime
+
+    from dask_geomodeling_spark.raster.hydrology import FlowDirection
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    t = datetime.datetime(2024, 1, 1)
+    cells = [(t, y, x, float(y + x)) for y in range(5) for x in range(5)]
+    df = spark.createDataFrame(
+        cells, "time timestamp, y bigint, x bigint, value double")
+    got = {(r["y"], r["x"]): r["value"] for r in FlowDirection(
+        DataFrameRasterSource(df)).plan(spark).collect()}
+    for (y, x), v in got.items():
+        exp = (0.0 if (y, x) == (0, 0)
+               else 16.0 if y == 0 else 64.0 if x == 0 else 32.0)
+        assert v == exp, ((y, x), v, exp)
+    # a NODATA hole removes its cell but neighbors still rank the
+    # remaining candidates
+    cells2 = [(t, 0, 0, 5.0), (t, 0, 1, None), (t, 0, 2, 1.0)]
+    df2 = spark.createDataFrame(
+        cells2, "time timestamp, y bigint, x bigint, value double")
+    got2 = {(r["y"], r["x"]): r["value"] for r in FlowDirection(
+        DataFrameRasterSource(df2)).plan(spark).collect()}
+    # (0,0)'s only neighbor is NODATA -> sink; the hole emits nothing
+    assert got2 == {(0, 0): 0.0, (0, 2): 0.0}
+
+
+def test_flow_accumulation_convergent_valley(spark):
+    """Round 10 (verdict #7): a V-valley — z = |x - 3| + 0.01·y on a
+    7-wide strip — drains every hillslope cell into the x = 3 axis,
+    which accumulates downstream; driver short-circuit and the Euler
+    list-ranking path agree exactly."""
+    import datetime
+
+    from dask_geomodeling_spark.raster.hydrology import (
+        FlowAccumulation, FlowDirection)
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    t = datetime.datetime(2024, 1, 1)
+    H, W = 5, 7
+    cells = [(t, y, x, abs(x - 3) + 0.01 * y)
+             for y in range(H) for x in range(W)]
+    df = spark.createDataFrame(
+        cells, "time timestamp, y bigint, x bigint, value double")
+    fd = FlowDirection(DataFrameRasterSource(df))
+    # hillslope cells step diagonally toward the axis AND uphill in y?
+    # no: drop to (y-1, x±1) is (1 - 0.01)/√2 ≈ 0.700, drop to
+    # (y, x±1) is 1.0 -> straight sideways wins; axis cells flow -y
+    dirs = {(r["y"], r["x"]): r["value"]
+            for r in fd.plan(spark).collect()}
+    assert dirs[(2, 1)] == 1.0 and dirs[(2, 5)] == 16.0  # E / W
+    assert dirs[(2, 3)] == 64.0 and dirs[(0, 3)] == 0.0  # N / pit
+    # accumulation: each axis cell receives 2 sideways chains of 3
+    # cells each per row, plus everything from rows below
+    acc = {(r["y"], r["x"]): r["value"] for r in FlowAccumulation(
+        fd).plan(spark).collect()}
+    acc_e = {(r["y"], r["x"]): r["value"] for r in FlowAccumulation(
+        fd, driver_threshold=0).plan(spark).collect()}
+    assert acc == acc_e
+    # closed form: hillslope chains x<3: acc = x; x>3: acc = 6 - x;
+    # axis (y,3): acc = 7*(H-1-y) + 6
+    for (y, x), v in acc.items():
+        exp = float(x if x < 3 else (6 - x) if x > 3
+                    else 7 * (H - 1 - y) + 6)
+        assert v == exp, ((y, x), v, exp)
+    with pytest.raises(ValueError, match="max_iter"):
+        FlowAccumulation(fd, max_iter=0)
+
+
+def test_flow_accumulation_cycle_detection(spark):
+    """A malformed direction raster with a 2-cycle fails fast on both
+    the driver and the Euler paths."""
+    import datetime
+
+    import pytest
+
+    from dask_geomodeling_spark.raster.hydrology import FlowAccumulation
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    t = datetime.datetime(2024, 1, 1)
+    # (0,0) points E at (0,1); (0,1) points W back at (0,0)
+    df = spark.createDataFrame(
+        [(t, 0, 0, 1.0), (t, 0, 1, 16.0)],
+        "time timestamp, y bigint, x bigint, value double")
+    blk = FlowAccumulation(DataFrameRasterSource(df))
+    with pytest.raises(Exception, match="cycle"):
+        blk.plan(spark).collect()
+    blk2 = FlowAccumulation(DataFrameRasterSource(df),
+                            driver_threshold=0, max_iter=8)
+    with pytest.raises(Exception, match="cycle|converge"):
+        blk2.plan(spark).collect()
