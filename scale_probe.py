@@ -1,0 +1,362 @@
+"""Scale probe (round 10, verdict #1): measure time(10x)/time(1x) for
+the scale-riskiest operators on self-generated data with PLANTED skew
+— a hot host, a hot duplicate cluster, a continent-sized polygon over
+dense rights, a speckled raster — sizes chosen so the 1x leg already
+exceeds every driver short-circuit (e.g. the 64k-edge star-round
+cutoff).
+
+The sf0.1 bench verifies absolute speed on fixed data; this probe
+verifies the SHAPE of the curve: a linear operator lands near ratio
+10 (modulo the constant scheduling floor, which pushes ratios BELOW
+10 when the 1x leg is sub-second), a quadratic one lands near 100.
+Field sizes scale with sqrt(n) so spatial densities — and therefore
+per-feature work — stay constant; what grows is only the number of
+features, the honest scaling axis.
+
+Usage:
+    python scale_probe.py                 # all ops, scale pair (1, 10)
+    python scale_probe.py --ops minhash_lsh,sieve_filter
+    python scale_probe.py --base 0.5      # halve the 1x sizes
+
+Writes SCALE_PROBE.json and prints a markdown table for SURVEY §6.
+"""
+
+import argparse
+import json
+import math
+import os
+import shutil
+import time
+
+from pyspark.sql import functions as F
+
+TMP = "/tmp/scale_probe"
+
+
+def get_session():
+    os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+    from dask_geomodeling_spark.config import get_spark
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def materialize(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def gen_parquet(spark, name, n, build):
+    """Deterministic generation, cached across runs per (name, n)."""
+    path = os.path.join(TMP, "{}_{}".format(name, n))
+    if not os.path.exists(path):
+        build(spark.range(n)).write.mode("overwrite").parquet(path)
+    return path
+
+
+def read_input(spark, path):
+    from dask_geomodeling_spark.config import ensure_min_partitions
+    return ensure_min_partitions(spark.read.parquet(path), spark)
+
+
+# ---------------------------------------------------------------- inputs
+
+_WORDS = ("concat_ws(' ', transform(sequence(1, 30), i -> "
+          "conv(pmod(xxhash64(_seed * 131 + i), 46655) + 1, 10, 36)))")
+
+
+def build_docs(r):
+    # 10% of docs are exact/near duplicates of a per-17-block anchor
+    # (shared _seed) — the planted hot dup-cluster for LSH/dedup;
+    # 50% of docs live on ONE host — the planted hot group
+    return (r.select(
+        F.col("id").alias("doc_id"),
+        F.expr("CASE WHEN pmod(id, 10) = 0 THEN id - pmod(id, 170) "
+               "ELSE id END").alias("_seed"),
+        F.expr("CASE WHEN pmod(id, 2) = 0 THEN 'hot.example.com' "
+               "ELSE concat('host-', pmod(id, 5000), '.net') END")
+        .alias("source"))
+        .select("doc_id", "source", F.expr(_WORDS).alias("text"),
+                F.expr("length({})".format(_WORDS)).alias("n_chars")))
+
+
+def build_edges(r):
+    # chains of 64 (stress star-round depth) + a 2% hot star on node 0
+    return (r.select(
+        F.col("id").alias("id_a"),
+        F.expr("CASE WHEN pmod(id, 50) = 7 THEN CAST(0 AS BIGINT) "
+               "WHEN pmod(id, 64) = 63 THEN id "
+               "ELSE id + 1 END").alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b")))
+
+
+def build_embeddings(r):
+    # 30% of vectors in one tight blob near (1, ..., 1) — the hot
+    # semantic cluster; the rest spread over [-1, 1)^16
+    return r.select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "CASE WHEN pmod(id, 10) < 3 THEN "
+            "transform(sequence(1, 16), j -> 1.0D + "
+            "CAST(pmod(xxhash64(id * 7 + j), 1000) AS DOUBLE) / 1e5) "
+            "ELSE transform(sequence(1, 16), j -> "
+            "CAST(pmod(xxhash64(id * 13 + j), 2000) AS DOUBLE) / 1e3 "
+            "- 1.0D) END").alias("embedding"))
+
+
+def build_speckled_raster(side):
+    def build(r):
+        # value stripes of width 50 with 1% single-cell specks
+        return r.select(
+            F.expr("TIMESTAMP '2024-01-01'").alias("time"),
+            F.expr("id div {}".format(side)).alias("y"),
+            F.expr("pmod(id, {})".format(side)).alias("x"),
+            F.expr("CASE WHEN pmod(xxhash64(id), 100) = 0 THEN 7.0D "
+                   "ELSE CAST(pmod(id div {s} div 50 + "
+                   "pmod(id, {s}) div 50, 2) AS DOUBLE) END"
+                   .format(s=side)).alias("value"))
+    return build
+
+
+def build_squares(side_expr, field, key="fid"):
+    def build(r):
+        return (r.select(
+            F.col("id").alias(key),
+            (F.pmod(F.col("id") * 2654435761, F.lit(int(field))))
+            .cast("double").alias("ax"),
+            (F.pmod(F.col("id") * 40503, F.lit(int(field))))
+            .cast("double").alias("ay"))
+            .select(key, F.expr(
+                "array(array(array(ax, ay), array(ax + {s}, ay), "
+                "array(ax + {s}, ay + {s}), array(ax, ay + {s})))"
+                .format(s=side_expr)).alias("rings")))
+    return build
+
+
+# ---------------------------------------------------------------- probes
+# each probe: (spark, n) -> row count of the materialized result
+
+def probe_minhash_lsh(spark, n):
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.dedup import MinHashLSH
+    docs = read_input(spark, gen_parquet(spark, "docs", n, build_docs))
+    blk = MinHashLSH(DataFrameSource(docs, index_column="doc_id"),
+                     num_perm=32, bands=8, verify=True, threshold=0.5)
+    out = blk.plan(spark)
+    materialize(out)
+    return out.count()
+
+
+def probe_kn_perplexity(spark, n):
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.lm import KneserNeyPerplexity
+    docs = read_input(spark, gen_parquet(spark, "docs", n, build_docs))
+    out = KneserNeyPerplexity(
+        DataFrameSource(docs, index_column="doc_id")).plan(spark)
+    materialize(out)
+    return out.count()
+
+
+def probe_per_group_limit(spark, n):
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.sample import PerGroupLimit
+    docs = read_input(spark, gen_parquet(spark, "docs", n, build_docs))
+    out = PerGroupLimit(DataFrameSource(docs, index_column="doc_id"),
+                        "source", 100, "n_chars").plan(spark)
+    materialize(out)
+    return out.count()
+
+
+def probe_dedup_clusters_star(spark, n):
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.dedup import DedupClusters
+    edges = read_input(spark,
+                       gen_parquet(spark, "edges", n, build_edges))
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    out = DedupClusters(DataFrameSource(docs, index_column="doc_id"),
+                        DataFrameSource(edges, index_column="id_a"),
+                        id_column="doc_id",
+                        algorithm="star").plan(spark)
+    materialize(out)
+    return out.count()
+
+
+def probe_sem_dedup(spark, n):
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.dedup import SemDedup
+    emb = read_input(spark,
+                     gen_parquet(spark, "emb", n, build_embeddings))
+    # the paper's contract: cluster count scales with corpus size so
+    # per-cluster membership stays bounded
+    k = max(16, n // 2500)
+    out = SemDedup(DataFrameSource(emb, index_column="vec_id"),
+                   clusters=k, iters=2, tau=0.95,
+                   fit_fraction=min(1.0, 50000.0 / n)).plan(spark)
+    materialize(out)
+    return out.count()
+
+
+def probe_sieve_filter(spark, n):
+    from dask_geomodeling_spark.raster.components import SieveFilter
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    side = int(math.sqrt(n))
+    cells = read_input(spark, gen_parquet(
+        spark, "raster", side * side, build_speckled_raster(side)))
+    out = SieveFilter(DataFrameRasterSource(cells),
+                      threshold=5).plan(spark)
+    materialize(out)
+    return out.count()
+
+
+def probe_subdivide(spark, n):
+    from dask_geomodeling_spark.geometry.parallelize import Subdivide
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    field = int(3 * math.sqrt(n))
+    polys = read_input(spark, gen_parquet(
+        spark, "squares6_{}".format(field), n,
+        build_squares("6.0D", field)))
+    out = Subdivide(DataFrameSource(polys, index_column="fid"),
+                    cell_size=4.0).plan(spark)
+    materialize(out)
+    return out.count()
+
+
+def probe_spatial_join_intersects(spark, n):
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.geometry.spatial_join import SpatialJoin
+    field = int(5 * math.sqrt(n))       # constant pair density
+    left = read_input(spark, gen_parquet(
+        spark, "sjl_{}".format(field), n,
+        build_squares("2.0D", field, key="lid")))
+    right = read_input(spark, gen_parquet(
+        spark, "sjr_{}".format(field), n,
+        build_squares("3.0D", field, key="rid")))
+    out = SpatialJoin(DataFrameSource(left, index_column="lid"),
+                      DataFrameSource(right, index_column="rid"),
+                      cell_size=5.0, right_columns=["rid"],
+                      predicate="intersects").plan(spark)
+    materialize(out)
+    return out.count()
+
+
+def _overlay(spark, n, **kw):
+    from dask_geomodeling_spark.geometry.overlay import Overlay
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    field = int(2 * math.sqrt(n))
+    rights = read_input(spark, gen_parquet(
+        spark, "ovr_{}".format(field), n,
+        build_squares("2.0D", field, key="rid")))
+    # left: n/10 ordinary squares PLUS one continent covering the
+    # whole field — it intersects every right feature
+    left = read_input(spark, gen_parquet(
+        spark, "ovl_{}".format(field), n // 10,
+        build_squares("2.0D", field, key="lid")))
+    continent = spark.createDataFrame(
+        [(int(10 ** 12),)], "lid bigint").select(
+        "lid", F.expr(
+            "array(array(array(0.0D, 0.0D), array({f}, 0.0D), "
+            "array({f}, {f}), array(0.0D, {f})))"
+            .format(f=float(field))).alias("rings"))
+    lf = left.unionByName(continent)
+    out = Overlay(DataFrameSource(lf, index_column="lid"),
+                  DataFrameSource(rights, index_column="rid"),
+                  cell_size=8.0, how="difference", **kw).plan(spark)
+    materialize(out)
+    return out.count()
+
+
+def probe_overlay_erase(spark, n):
+    return _overlay(spark, n)
+
+
+def probe_overlay_erase_guarded(spark, n):
+    return _overlay(spark, n, max_group_rings=256)
+
+
+def probe_aggregate_raster(spark, n):
+    from dask_geomodeling_spark.geometry.aggregate import AggregateRaster
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    side = int(math.sqrt(n))
+    cells = read_input(spark, gen_parquet(
+        spark, "raster", side * side, build_speckled_raster(side)))
+    w = side // 5
+    boxes = spark.range(25).select(
+        F.col("id").alias("bid"),
+        (F.pmod(F.col("id"), 5) * w).cast("bigint").alias("xmin"),
+        (F.expr("id div 5") * w).cast("bigint").alias("ymin"),
+        (F.pmod(F.col("id"), 5) * w + w - 1).cast("bigint")
+        .alias("xmax"),
+        (F.expr("id div 5") * w + w - 1).cast("bigint").alias("ymax"))
+    out = AggregateRaster(DataFrameSource(boxes, index_column="bid"),
+                          DataFrameRasterSource(cells),
+                          statistic=["max", "count"],
+                          column_name=["agg_max", "agg_count"]
+                          ).plan(spark)
+    materialize(out)
+    return out.count()
+
+
+PROBES = {
+    # name -> (probe fn, 1x size)
+    "minhash_lsh": (probe_minhash_lsh, 50_000),
+    "kn_perplexity": (probe_kn_perplexity, 50_000),
+    "per_group_limit": (probe_per_group_limit, 500_000),
+    "dedup_clusters_star": (probe_dedup_clusters_star, 100_000),
+    "sem_dedup": (probe_sem_dedup, 20_000),
+    "sieve_filter": (probe_sieve_filter, 250_000),
+    "subdivide": (probe_subdivide, 100_000),
+    "spatial_join_intersects": (probe_spatial_join_intersects, 100_000),
+    "overlay_erase": (probe_overlay_erase, 30_000),
+    "overlay_erase_guarded": (probe_overlay_erase_guarded, 30_000),
+    "aggregate_raster": (probe_aggregate_raster, 600_000),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ops", default=",".join(PROBES))
+    ap.add_argument("--scale", type=int, default=10)
+    ap.add_argument("--base", type=float, default=1.0)
+    ap.add_argument("--out", default="SCALE_PROBE.json")
+    ap.add_argument("--fresh", action="store_true",
+                    help="regenerate inputs")
+    args = ap.parse_args()
+    if args.fresh and os.path.exists(TMP):
+        shutil.rmtree(TMP)
+    os.makedirs(TMP, exist_ok=True)
+    spark = get_session()
+    results = {}
+    if os.path.exists(args.out):
+        results = json.load(open(args.out))
+    for name in args.ops.split(","):
+        fn, base = PROBES[name]
+        n1 = int(base * args.base)
+        n10 = n1 * args.scale
+        entry = {}
+        # untimed warm-up: JIT + codegen + shuffle service spin-up
+        fn(spark, max(n1 // 10, 1000))
+        spark.catalog.clearCache()
+        for label, n in (("t1", n1), ("t10", n10)):
+            t0 = time.monotonic()
+            rows = fn(spark, n)
+            dt = time.monotonic() - t0
+            entry[label] = round(dt, 2)
+            entry["rows_" + label] = rows
+            print("PROBE {} n={} -> {} rows in {:.2f}s".format(
+                name, n, rows, dt), flush=True)
+            spark.catalog.clearCache()
+        entry["n1"], entry["n10"] = n1, n10
+        entry["ratio"] = round(entry["t10"] / max(entry["t1"], 1e-9), 2)
+        results[name] = entry
+        json.dump(results, open(args.out, "w"), indent=1)
+    print("\n| op | n(1x) | t(1x) s | t(10x) s | ratio |")
+    print("| --- | --- | --- | --- | --- |")
+    for k, v in results.items():
+        print("| {} | {} | {} | {} | {} |".format(
+            k, v["n1"], v["t1"], v["t10"], v["ratio"]))
+
+
+if __name__ == "__main__":
+    main()
