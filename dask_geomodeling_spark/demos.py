@@ -6047,6 +6047,73 @@ def flow_accumulation(spark, sf_dir):
     return FlowAccumulation(fd).plan(spark)
 
 
+@demo("flow_length", oracle="""
+SELECT TIMESTAMP '2024-01-01' AS time,
+       a.n_nationkey AS y, b.n_nationkey AS x,
+       CAST(FLOOR((LEAST(a.n_nationkey, b.n_nationkey) * sqrt(2.0)
+                   + ABS(a.n_nationkey - b.n_nationkey))
+                  * 1000.0 + 0.5) AS BIGINT) AS flow_len
+FROM nation a CROSS JOIN nation b
+""")
+def flow_length(spark, sf_dir):
+    """FlowLength (round 10): downstream path length on the ramp
+    z = y + x — min(y, x) diagonal steps of √2, then |y − x| edge
+    steps along the border into the (0,0) pit.  Weighted pointer
+    doubling (d += d[ptr]); quantized ×1000 on both sides because the
+    doubling's addition order differs from the oracle's closed-form
+    product."""
+    from dask_geomodeling_spark.raster.hydrology import (
+        FlowDirection, FlowLength)
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    nation = read_nanos_parquet(spark, _pq(sf_dir, "nation"))
+    a = nation.select(F.col("n_nationkey").alias("y"))
+    b = nation.select(F.col("n_nationkey").alias("x"))
+    grid = (a.crossJoin(b)
+            .select(F.expr("TIMESTAMP '2024-01-01'").alias("time"),
+                    "y", "x",
+                    F.expr("CAST(y + x AS DOUBLE)").alias("value")))
+    fl = FlowLength(FlowDirection(DataFrameRasterSource(grid)))
+    return fl.plan(spark).select(
+        "time", "y", "x",
+        F.expr("CAST(FLOOR(value * 1000.0D + 0.5D) AS BIGINT)")
+        .alias("flow_len"))
+
+
+@demo("watershed", oracle="""
+SELECT TIMESTAMP '2024-01-01' AS time,
+       a.n_nationkey AS y, b.n_nationkey AS x,
+       CASE WHEN b.n_nationkey = 0 OR b.n_nationkey = 24 THEN 0.0
+            WHEN b.n_nationkey < 12 THEN 16.0 ELSE 1.0 END AS value,
+       concat('1704067200000000:', a.n_nationkey, ':',
+              CASE WHEN b.n_nationkey < 12 THEN 0 ELSE 24 END)
+           AS catchment
+FROM nation a CROSS JOIN nation b
+""")
+def watershed(spark, sf_dir):
+    """Watershed (round 10): catchment labels on the two-basin DEM
+    z = min(x, 24 − x) — each row's cells walk W (or E past the
+    ridge, where the E/W drop tie resolves to the smaller code 1) to
+    the flat sink columns x = 0 / x = 24, so the catchment key is the
+    closed-form per-row sink; the ridge column x = 12 ties E.  Pure
+    pointer doubling to the flow-forest root."""
+    from dask_geomodeling_spark.raster.hydrology import (
+        FlowDirection, Watershed)
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    nation = read_nanos_parquet(spark, _pq(sf_dir, "nation"))
+    a = nation.select(F.col("n_nationkey").alias("y"))
+    b = nation.select(F.col("n_nationkey").alias("x"))
+    grid = (a.crossJoin(b)
+            .select(F.expr("TIMESTAMP '2024-01-01'").alias("time"),
+                    "y", "x",
+                    F.expr("CAST(LEAST(x, 24 - x) AS DOUBLE)")
+                    .alias("value")))
+    ws = Watershed(FlowDirection(DataFrameRasterSource(grid)))
+    return ws.plan(spark).select("time", "y", "x", "value",
+                                 "catchment")
+
+
 @demo("per_group_limit", oracle="""
 SELECT * FROM (
   SELECT doc_id, source, n_chars,
@@ -10817,7 +10884,7 @@ GATE_ANCHORS = [
     # PerGroupLimit salted two-phase, the D8 hydrology pair
     "sieve_filter", "sieve_filter_iterate",
     "per_group_limit",
-    "flow_direction", "flow_accumulation",
+    "flow_direction", "flow_accumulation", "flow_length", "watershed",
 ]
 
 

@@ -12,4 +12,4 @@ from dask_geomodeling_spark.raster.warp import Warp  # noqa
 from dask_geomodeling_spark.raster.components import RasterComponents  # noqa
 from dask_geomodeling_spark.raster.contour import Contour  # noqa
 from dask_geomodeling_spark.raster.hydrology import (  # noqa
-    FlowAccumulation, FlowDirection)
+    FlowAccumulation, FlowDirection, FlowLength, Watershed)

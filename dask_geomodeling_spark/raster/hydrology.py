@@ -1,5 +1,6 @@
 """D8 hydrology on the cell table: ``FlowDirection`` (steepest
-descent) and ``FlowAccumulation`` (upstream cell counts).
+descent), ``FlowAccumulation`` (upstream cell counts), ``FlowLength``
+(downstream path length) and ``Watershed`` (catchment labeling).
 
 No reference analogue — the reference's user base (Dutch water
 management) runs these through GDAL/richdem *before* dask-geomodeling;
@@ -26,7 +27,8 @@ from pyspark.sql import functions as F
 
 from dask_geomodeling_spark.raster.base import BaseSingle
 
-__all__ = ["FlowDirection", "FlowAccumulation"]
+__all__ = ["FlowDirection", "FlowAccumulation",
+           "FlowLength", "Watershed"]
 
 # ESRI/GDAL D8 codes, row-index convention (y grows "south"/downward):
 #   E=1, SE=2, S=4, SW=8, W=16, NW=32, N=64, NE=128
@@ -41,6 +43,65 @@ def _codes_df(spark):
             for dy, dx, code in D8_CODES]
     return F.broadcast(spark.createDataFrame(
         rows, schema="dy bigint, dx bigint, code int, dist double"))
+
+
+def _flow_graph(ctx, store, op_name):
+    """Shared graph build for the hydrology family: pack (time, y, x)
+    to one BIGINT (the RasterComponents encoding, components.py:85,
+    with ×2+1 Euler-element headroom), decode the D8 codes, and join
+    the flow edges.
+
+    Returns ``(nodes, tindex, edges)``:
+      nodes — time, y, x, value, _ymin, _xmin, _dy, _dx, _id
+        (persisted; every caller joins results back onto it);
+      tindex — the broadcastable (time, _tix) dense index;
+      edges — (_c child, _p parent, _w step length) (persisted).
+    A direction onto a missing cell drains off-raster: the edge is
+    dropped, the donor keeps flowing into nothing."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    cells = (store._build(ctx)
+             .filter(F.col("value").isNotNull()))
+    tindex = (cells.select("time").distinct().coalesce(1)
+              .withColumn("_tix", F.row_number().over(
+                  Window.orderBy("time")) - 1))
+    bounds = cells.agg(
+        F.min("y").alias("_ymin"), F.max("y").alias("_ymax"),
+        F.min("x").alias("_xmin"), F.max("x").alias("_xmax"),
+        F.countDistinct("time").alias("_tc"))
+    dy_r = "(_ymax - _ymin + 1)"
+    dx_r = "(_xmax - _xmin + 1)"
+    pack = F.expr(
+        "CASE WHEN CAST(_tc AS DOUBLE) * {dy} * {dx} > 4.5e18 "
+        "THEN CAST(raise_error('{op}: doubled key "
+        "space overflows BIGINT') AS BIGINT) "
+        "ELSE (_tix * {dy} + (y - _ymin)) * {dx} + (x - _xmin) "
+        "END".format(dy=dy_r, dx=dx_r, op=op_name))
+    nodes = (cells.join(F.broadcast(tindex), "time")
+             .crossJoin(F.broadcast(bounds))
+             .select("time", "y", "x", "value",
+                     "_ymin", "_xmin",
+                     F.expr(dy_r).alias("_dy"),
+                     F.expr(dx_r).alias("_dx"),
+                     pack.alias("_id"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    codes = _codes_df(ctx.spark).select(
+        F.col("code").cast("double").alias("value"), "dy", "dx",
+        "dist")
+    tgt = (nodes.filter(F.col("value") > 0)
+           .join(codes, "value")
+           .select("time",
+                   F.col("_id").alias("_c"),
+                   (F.col("y") + F.col("dy")).alias("y"),
+                   (F.col("x") + F.col("dx")).alias("x"),
+                   F.col("dist").alias("_w")))
+    edges = (tgt.join(nodes.select("time", "y", "x",
+                                   F.col("_id").alias("_p")),
+                      ["time", "y", "x"])
+             .select("_c", "_p", "_w")
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    return nodes, tindex, edges
 
 
 class FlowDirection(BaseSingle):
@@ -134,55 +195,12 @@ class FlowAccumulation(BaseSingle):
                          else int(driver_threshold))
 
     def _build(self, ctx):
-        from pyspark import StorageLevel
-        from pyspark.sql import Window
-
         _, max_iter, driver_threshold = self.args
         if driver_threshold is None:
             driver_threshold = self.DRIVER_THRESHOLD
         spark = ctx.spark
-        cells = (self.store._build(ctx)
-                 .filter(F.col("value").isNotNull()))
-        # ---- pack (time, y, x) to one bigint (RasterComponents
-        # encoding, components.py:85), leaving headroom for the ×2+1
-        # Euler element ids
-        tindex = (cells.select("time").distinct().coalesce(1)
-                  .withColumn("_tix", F.row_number().over(
-                      Window.orderBy("time")) - 1))
-        bounds = cells.agg(
-            F.min("y").alias("_ymin"), F.max("y").alias("_ymax"),
-            F.min("x").alias("_xmin"), F.max("x").alias("_xmax"),
-            F.countDistinct("time").alias("_tc"))
-        dy_r = "(_ymax - _ymin + 1)"
-        dx_r = "(_xmax - _xmin + 1)"
-        pack = F.expr(
-            "CASE WHEN CAST(_tc AS DOUBLE) * {dy} * {dx} > 4.5e18 "
-            "THEN CAST(raise_error('FlowAccumulation: doubled key "
-            "space overflows BIGINT') AS BIGINT) "
-            "ELSE (_tix * {dy} + (y - _ymin)) * {dx} + (x - _xmin) "
-            "END".format(dy=dy_r, dx=dx_r))
-        nodes = (cells.join(F.broadcast(tindex), "time")
-                 .crossJoin(F.broadcast(bounds))
-                 .select("time", "y", "x", "value",
-                         F.expr(dy_r).alias("_dy"),
-                         F.expr(dx_r).alias("_dx"),
-                         pack.alias("_id"))
-                 .persist(StorageLevel.MEMORY_AND_DISK))
-        codes = _codes_df(spark).select(
-            F.col("code").cast("double").alias("value"), "dy", "dx")
-        # child -> parent edges; a direction onto a missing cell
-        # drains off-raster (inner join drops the edge, not the donor)
-        tgt = (nodes.filter(F.col("value") > 0)
-               .join(codes, "value")
-               .select("time",
-                       F.col("_id").alias("_c"),
-                       (F.col("y") + F.col("dy")).alias("y"),
-                       (F.col("x") + F.col("dx")).alias("x")))
-        edges = (tgt.join(nodes.select("time", "y", "x",
-                                       F.col("_id").alias("_p")),
-                          ["time", "y", "x"])
-                 .select("_c", "_p")
-                 .persist(StorageLevel.MEMORY_AND_DISK))
+        nodes, _tindex, edges = _flow_graph(
+            ctx, self.store, "FlowAccumulation")
         n_edges = edges.count()
         if n_edges <= driver_threshold:
             acc = self._driver_counts(spark, edges)
@@ -302,3 +320,205 @@ class FlowAccumulation(BaseSingle):
                 .select("_id",
                         F.expr("(_re - _rx - 1) div 2")
                         .cast("double").alias("_acc")))
+
+
+class FlowLength(BaseSingle):
+    """Downstream flow-path length per cell: the along-path distance
+    (edge steps 1, corner steps √2 — cell units) from each cell to
+    where its flow leaves the raster or hits a pit (ESRI
+    ``FlowLength(direction, 'DOWNSTREAM')``).
+
+    ``store`` is a D8 direction raster (``FlowDirection`` codes).
+    Pits and off-grid drains have length 0.
+
+    Execution: weighted pointer doubling on the flow forest —
+    ``(ptr, d) ← (ptr[ptr], d + d[ptr])`` per round, each round one
+    self-join on the packed BIGINT key, converging in ⌈log₂ depth⌉
+    rounds regardless of river length; ≤ ``driver_threshold`` edges
+    short-circuit to an exact memoized driver walk."""
+
+    DRIVER_THRESHOLD = 65536
+
+    def __init__(self, store, max_iter=48, driver_threshold=None):
+        if int(max_iter) < 1:
+            raise ValueError("max_iter must be >= 1")
+        super().__init__(store, int(max_iter),
+                         None if driver_threshold is None
+                         else int(driver_threshold))
+
+    def _build(self, ctx):
+        _, max_iter, driver_threshold = self.args
+        if driver_threshold is None:
+            driver_threshold = self.DRIVER_THRESHOLD
+        spark = ctx.spark
+        nodes, _tindex, edges = _flow_graph(ctx, self.store,
+                                            "FlowLength")
+        if edges.count() <= driver_threshold:
+            rows = edges.collect()
+            nxt = {r["_c"]: (r["_p"], r["_w"]) for r in rows}
+            memo = {}
+
+            def length(u):
+                path, on_path = [], set()
+                while u in nxt and u not in memo:
+                    if u in on_path:
+                        raise ValueError(
+                            "FlowLength: direction raster contains "
+                            "a cycle")
+                    path.append(u)
+                    on_path.add(u)
+                    u = nxt[u][0]
+                base = memo.get(u, 0.0)
+                for v in reversed(path):
+                    base = memo[v] = base + nxt[v][1]
+                return base
+
+            for u in nxt:
+                length(u)
+            out = [(int(k), float(v)) for k, v in memo.items()]
+            lens = spark.createDataFrame(
+                out, "_id bigint, _len double") if out else \
+                spark.createDataFrame([], "_id bigint, _len double")
+        else:
+            lens = self._double_lengths(edges, max_iter)
+        return (nodes.join(lens, "_id", "left")
+                .select("time", "y", "x",
+                        F.coalesce(F.col("_len"), F.lit(0.0))
+                        .alias("value")))
+
+    @staticmethod
+    def _double_lengths(edges, max_iter):
+        cur = (edges.select(F.col("_c").alias("_id"),
+                            F.col("_p").alias("_ptr"),
+                            F.col("_w").alias("_len"))
+               .localCheckpoint())
+        for _ in range(max_iter):
+            if cur.filter(F.col("_ptr").isNotNull()
+                          ).limit(1).count() == 0:
+                break
+            jump = cur.select(F.col("_id").alias("_ptr"),
+                              F.col("_ptr").alias("_p2"),
+                              F.col("_len").alias("_l2"))
+            cur = (cur.join(jump, "_ptr", "left")
+                   .select("_id",
+                           F.col("_p2").alias("_ptr"),
+                           (F.col("_len")
+                            + F.coalesce("_l2", F.lit(0.0)))
+                           .alias("_len"))
+                   .localCheckpoint())
+        else:
+            if cur.filter(F.col("_ptr").isNotNull()
+                          ).limit(1).count() != 0:
+                raise ValueError(
+                    "FlowLength: pointer doubling did not converge in "
+                    "{} rounds — direction raster contains a cycle or "
+                    "raise max_iter".format(max_iter))
+        return cur.select("_id", "_len")
+
+
+class Watershed(BaseSingle):
+    """Catchment labeling: every cell gets the canonical key of the
+    SINK its flow path terminates in (a pit cell or the last on-grid
+    cell before an off-raster drain) — the D8 watershed delineation
+    (ESRI ``Watershed`` over all sinks / ``gdal watershed``).
+
+    ``store`` is a D8 direction raster (``FlowDirection`` codes).
+    Output: ``time, y, x, value, catchment`` — ``value`` is the input
+    code, ``catchment`` the sink's ``'<epoch_us>:<y>:<x>'`` string
+    (the RasterComponents label format, so catchments compose with
+    the components tooling).
+
+    Execution: pure pointer doubling — ``lab ← lab[lab]`` per round
+    (labels start at the parent, sinks label themselves), fixpoint in
+    ⌈log₂ depth⌉ self-join rounds; ≤ ``driver_threshold`` edges
+    short-circuit to a path-compressed driver walk."""
+
+    DRIVER_THRESHOLD = 65536
+
+    def __init__(self, store, max_iter=48, driver_threshold=None):
+        if int(max_iter) < 1:
+            raise ValueError("max_iter must be >= 1")
+        super().__init__(store, int(max_iter),
+                         None if driver_threshold is None
+                         else int(driver_threshold))
+
+    @property
+    def columns(self):
+        return {"time", "y", "x", "value", "catchment"}
+
+    def _build(self, ctx):
+        _, max_iter, driver_threshold = self.args
+        if driver_threshold is None:
+            driver_threshold = self.DRIVER_THRESHOLD
+        spark = ctx.spark
+        nodes, tindex, edges = _flow_graph(ctx, self.store,
+                                           "Watershed")
+        if edges.count() <= driver_threshold:
+            rows = edges.collect()
+            parent = {r["_c"]: r["_p"] for r in rows}
+            root = {}
+
+            def find(u):
+                path, on_path = [], set()
+                while u in parent and u not in root:
+                    if u in on_path:
+                        raise ValueError(
+                            "Watershed: direction raster contains "
+                            "a cycle")
+                    path.append(u)
+                    on_path.add(u)
+                    u = parent[u]
+                r = root.get(u, u)
+                for v in path:
+                    root[v] = r
+                return r
+
+            for u in parent:
+                find(u)
+            out = [(int(k), int(v)) for k, v in root.items()]
+            labs = spark.createDataFrame(
+                out, "_id bigint, _l bigint") if out else \
+                spark.createDataFrame([], "_id bigint, _l bigint")
+        else:
+            labs = self._double_labels(nodes, edges, max_iter)
+        lab = (nodes.join(labs, "_id", "left")
+               .withColumn("_l", F.coalesce("_l", "_id"))
+               .withColumn("_ltix", F.expr("div(_l, _dy * _dx)"))
+               .withColumn("_lrem", F.expr("_l % (_dy * _dx)")))
+        lt = tindex.select(F.col("_tix").alias("_ltix"),
+                           F.col("time").alias("_ltime"))
+        return (lab.join(F.broadcast(lt), "_ltix")
+                .select("time", "y", "x", "value",
+                        F.concat_ws(
+                            ":", F.expr("unix_micros(_ltime)"),
+                            F.expr("div(_lrem, _dx) + _ymin"),
+                            F.expr("_lrem % _dx + _xmin"))
+                        .alias("catchment")))
+
+    @staticmethod
+    def _double_labels(nodes, edges, max_iter):
+        # every node has a label row: parent if it has one, else self
+        cur = (nodes.select("_id")
+               .join(edges.select(F.col("_c").alias("_id"),
+                                  F.col("_p")), "_id", "left")
+               .select("_id", F.coalesce("_p", "_id").alias("_l"))
+               .localCheckpoint())
+        for _ in range(max_iter):
+            jump = cur.select(F.col("_id").alias("_l"),
+                              F.col("_l").alias("_l2"))
+            new = (cur.join(jump, "_l", "left")
+                   .select("_id", F.coalesce("_l2", F.col("_l"))
+                           .alias("_l"))
+                   .localCheckpoint())
+            changed = (new.join(cur.select(F.col("_id"),
+                                           F.col("_l").alias("_lo")),
+                                "_id")
+                       .filter(F.col("_l") != F.col("_lo"))
+                       .limit(1).count())
+            cur = new
+            if changed == 0:
+                return cur.select("_id", "_l")
+        raise ValueError(
+            "Watershed: label doubling did not converge in {} rounds "
+            "— direction raster contains a cycle or raise max_iter"
+            .format(max_iter))

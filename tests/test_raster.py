@@ -1087,3 +1087,44 @@ def test_flow_accumulation_cycle_detection(spark):
                             driver_threshold=0, max_iter=8)
     with pytest.raises(Exception, match="cycle|converge"):
         blk2.plan(spark).collect()
+
+
+def test_flow_length_and_watershed(spark):
+    """Round 10: FlowLength = along-path distance to the sink
+    (√2 corners), Watershed = the sink's canonical component-format
+    key; pointer-doubling and driver paths agree exactly."""
+    import datetime
+    import math
+
+    from dask_geomodeling_spark.raster.hydrology import (
+        FlowDirection, FlowLength, Watershed)
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    t = datetime.datetime(2024, 1, 1)
+    epoch = int(t.replace(tzinfo=datetime.timezone.utc).timestamp()
+                ) * 1000000
+    # ramp z = y + x: path = min(y,x) diagonal steps then |y-x| edge
+    # steps into the (0,0) pit
+    cells = [(t, y, x, float(y + x)) for y in range(5) for x in range(5)]
+    df = spark.createDataFrame(
+        cells, "time timestamp, y bigint, x bigint, value double")
+    fd = FlowDirection(DataFrameRasterSource(df))
+    r2 = math.sqrt(2.0)
+    for kw in ({}, {"driver_threshold": 0}):
+        got = {(r["y"], r["x"]): r["value"] for r in FlowLength(
+            fd, **kw).plan(spark).collect()}
+        for (y, x), v in got.items():
+            assert abs(v - (min(y, x) * r2 + abs(y - x))) < 1e-9
+    # two-basin DEM: z = min(x, 6 - x); the x=3 ridge ties E (code 1
+    # beats 16), columns 0 and 6 are flat sinks per row
+    cells2 = [(t, y, x, float(min(x, 6 - x)))
+              for y in range(3) for x in range(7)]
+    df2 = spark.createDataFrame(
+        cells2, "time timestamp, y bigint, x bigint, value double")
+    fd2 = FlowDirection(DataFrameRasterSource(df2))
+    for kw in ({}, {"driver_threshold": 0}):
+        ws = {(r["y"], r["x"]): r["catchment"] for r in Watershed(
+            fd2, **kw).plan(spark).collect()}
+        for (y, x), c in ws.items():
+            sink = 0 if 0 < x < 3 else 6 if x >= 3 else x
+            assert c == "{}:{}:{}".format(epoch, y, sink), ((y, x), c)
