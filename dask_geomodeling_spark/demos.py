@@ -6047,6 +6047,48 @@ def flow_accumulation(spark, sf_dir):
     return FlowAccumulation(fd).plan(spark)
 
 
+@demo("bm25_score", oracle="""
+WITH w AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END
+             AS ws
+  FROM documents),
+t AS (
+  SELECT doc_id, source, len(ws) AS dl,
+         len(list_filter(ws, x -> x = 'spark')) AS tf0,
+         len(list_filter(ws, x -> x = 'window')) AS tf1
+  FROM w),
+s AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl,
+             SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+             SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
+      FROM t)
+SELECT doc_id, source,
+       ROUND(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+             * (tf0 * (1.2 + 1.0))
+             / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+           + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+             * (tf1 * (1.2 + 1.0))
+             / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6)
+           AS score,
+       CAST((CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS matched
+FROM t CROSS JOIN s
+""")
+def bm25_score(spark, sf_dir):
+    """BM25Score (round 10): Okapi BM25 of every document against the
+    fixed query 'spark window' — Lucene idf, k1=1.2, b=0.75.  The
+    query is a bounded literal, so term frequencies are map-side HOF
+    filters and the corpus statistics (N, avgdl, per-term df) are ONE
+    single-row broadcast aggregate; zero keyed shuffles.  The oracle
+    replays the identical formula."""
+    from dask_geomodeling_spark.pipeline.text import BM25Score
+    out = BM25Score(documents_src(sf_dir), "spark window")
+    return out.plan(spark).select("doc_id", "source", "score",
+                                  "matched")
+
+
 @demo("flow_length", oracle="""
 SELECT TIMESTAMP '2024-01-01' AS time,
        a.n_nationkey AS y, b.n_nationkey AS x,
@@ -10885,6 +10927,7 @@ GATE_ANCHORS = [
     "sieve_filter", "sieve_filter_iterate",
     "per_group_limit",
     "flow_direction", "flow_accumulation", "flow_length", "watershed",
+    "bm25_score",
 ]
 
 

@@ -15,7 +15,8 @@ from dask_geomodeling_spark.geometry.base import BaseSingle
 
 __all__ = ["TokenCount", "BPETokenCount", "BPETokenize", "BPETrain",
            "QualityScore", "LanguageID", "Fingerprint", "TFIDF",
-           "ChunkText", "CorpusStats"]
+           "ChunkText", "CorpusStats", "BM25Score", "NgramNovelty",
+           "ReadabilityScore", "TextNormalize"]
 
 # tiny per-language stopword marker sets for the n-gram/stopword heuristic
 _LANG_MARKERS = {
@@ -803,3 +804,82 @@ class TextNormalize(BaseSingle):
         if ws:
             c = F.trim(F.regexp_replace(c, r"\s+", " "))
         return df.withColumn(out, c)
+
+
+class BM25Score(BaseSingle):
+    """Okapi BM25 relevance of every document against a FIXED query
+    (round 10) — the ranked-retrieval primitive of corpus curation
+    (topic-targeted selection, eval-set mining, "find docs about X"
+    sweeps), Lucene-parameterized: ``idf = ln(1 + (N − df + ½)/(df + ½))``,
+    ``score = Σ_t idf_t · tf_t·(k1+1)/(tf_t + k1·(1 − b + b·dl/avgdl))``.
+
+    Plan shape (the 100 TB contract): the query is a BOUNDED literal
+    term list, so per-document term frequencies are map-side HOF
+    filters — no explode, no (doc, token) shuffle; the corpus
+    statistics (N, avgdl, per-term df) reduce to ONE single-row
+    aggregation broadcast back over the scan.  Two passes over the
+    documents, zero keyed shuffles.
+
+    Output: source columns plus ``score`` (rounded to 6) and
+    ``matched`` (query terms present).  Scoring every document against
+    MANY queries is a different shape — explode the query SET and use
+    ``TFIDF``'s (doc, token) table instead."""
+
+    def __init__(self, source, query, k1=1.2, b=0.75, column="text",
+                 id_column=None):
+        terms = sorted(set(str(query).lower().split()))
+        if not terms:
+            raise ValueError("query must contain at least one term")
+        if not all(t.isalnum() for t in terms):
+            raise ValueError("query terms must be alphanumeric")
+        if float(k1) < 0 or not (0.0 <= float(b) <= 1.0):
+            raise ValueError("need k1 >= 0 and 0 <= b <= 1")
+        clash = {"score", "matched"} & set(source.columns)
+        if clash:
+            raise ValueError(
+                "column(s) {} collide with BM25Score's output; rename "
+                "upstream".format(sorted(clash)))
+        if id_column is None:
+            id_column = source.index_column
+        super().__init__(source, " ".join(terms), float(k1), float(b),
+                         column, id_column)
+
+    @property
+    def columns(self):
+        return set(self.source.columns) | {"score", "matched"}
+
+    def _build(self, ctx):
+        _, query, k1, b, column, idc = self.args
+        terms = query.split()
+        df = self.source._build(ctx)
+        words = ("CASE WHEN length(trim({c})) = 0 THEN array() "
+                 "ELSE split(trim(lower({c})), '\\\\s+') END"
+                 ).format(c=column)
+        base = df.withColumn("_w", F.expr(words)) \
+                 .withColumn("_dl", F.expr("size(_w)"))
+        for i, t in enumerate(terms):
+            base = base.withColumn(
+                "_tf{}".format(i),
+                F.expr("size(filter(_w, x -> x = '{}'))".format(t)))
+        aggs = [F.count(F.lit(1)).alias("_n"),
+                F.avg("_dl").alias("_avgdl")]
+        for i in range(len(terms)):
+            aggs.append(F.sum((F.col("_tf{}".format(i)) > 0)
+                              .cast("bigint")).alias("_df{}".format(i)))
+        stats = base.agg(*aggs)
+        scored = base.crossJoin(F.broadcast(stats))
+        parts = []
+        for i in range(len(terms)):
+            tf = "_tf{}".format(i)
+            idf = ("ln(1.0D + (_n - _df{i} + 0.5D) / (_df{i} + 0.5D))"
+                   .format(i=i))
+            parts.append(
+                "{idf} * ({tf} * ({k1} + 1.0D)) / ({tf} + {k1} * "
+                "(1.0D - {b} + {b} * _dl / _avgdl))".format(
+                    idf=idf, tf=tf, k1=repr(k1), b=repr(b)))
+        matched = " + ".join(
+            "IF(_tf{} > 0, 1, 0)".format(i) for i in range(len(terms)))
+        out_cols = [c for c in df.columns] + [
+            F.round(F.expr(" + ".join(parts)), 6).alias("score"),
+            F.expr(matched).cast("bigint").alias("matched")]
+        return scored.select(*out_cols)

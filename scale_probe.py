@@ -119,11 +119,14 @@ def build_speckled_raster(side):
 
 def build_squares(side_expr, field, key="fid"):
     def build(r):
+        # xxhash64 positions: a plain multiplicative mod clumps when
+        # the multiplier shares a factor with the (sqrt-scaled) field,
+        # which would give the two legs DIFFERENT pair densities
         return (r.select(
             F.col("id").alias(key),
-            (F.pmod(F.col("id") * 2654435761, F.lit(int(field))))
+            (F.pmod(F.xxhash64(F.col("id") * 2 + 1), F.lit(int(field))))
             .cast("double").alias("ax"),
-            (F.pmod(F.col("id") * 40503, F.lit(int(field))))
+            (F.pmod(F.xxhash64(F.col("id") * 2), F.lit(int(field))))
             .cast("double").alias("ay"))
             .select(key, F.expr(
                 "array(array(array(ax, ay), array(ax + {s}, ay), "

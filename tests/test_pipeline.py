@@ -1302,3 +1302,36 @@ def test_per_group_limit_salted_two_phase(spark):
         DataFrameSource(df2, index_column="doc_id"), "src", 1, "score")
         .plan(spark).collect()}
     assert got == {"b": 1, "c": 1}
+
+
+def test_bm25_score(spark):
+    """Round 10: BM25 against a fixed query — hand-checked closed
+    form on a 3-doc corpus, empty text scores 0, validation."""
+    import math
+
+    import pytest
+
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.text import BM25Score
+    df = spark.createDataFrame(
+        [(1, "spark spark join"), (2, "join table"), (3, "   ")],
+        "doc_id bigint, text string")
+    blk = BM25Score(DataFrameSource(df, index_column="doc_id"),
+                    "spark", k1=1.2, b=0.75)
+    got = {r["doc_id"]: (r["score"], r["matched"])
+           for r in blk.plan(spark).collect()}
+    # N=3, df=1, avgdl=(3+2+0)/3; idf=ln(1+(3-1+.5)/1.5)
+    idf = math.log(1.0 + 2.5 / 1.5)
+    dl, avgdl, tf = 3.0, 5.0 / 3.0, 2.0
+    exp = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert got[1] == (round(exp, 6), 1)
+    assert got[2] == (0.0, 0) and got[3] == (0.0, 0)
+    with pytest.raises(ValueError, match="at least one term"):
+        BM25Score(DataFrameSource(df, index_column="doc_id"), "  ")
+    with pytest.raises(ValueError, match="alphanumeric"):
+        BM25Score(DataFrameSource(df, index_column="doc_id"),
+                  "x' --drop")
+    with pytest.raises(ValueError, match="collide"):
+        BM25Score(DataFrameSource(
+            df.withColumn("score", df.doc_id),
+            index_column="doc_id"), "spark")
