@@ -9797,6 +9797,70 @@ def raster_warp_bilinear(spark, sf_dir):
                       F.round("value", 6).alias("value"))
 
 
+def _raster_warp_cubic_oracle():
+    from dask_geomodeling_spark.raster.warp import (cubic_weight_sql,
+                                                    warp_bilinear_sql)
+    fx, fy = warp_bilinear_sql("EPSG:3857", "EPSG:28992", _WARP_BBOX,
+                               _WARP_W, _WARP_H)
+    wx = cubic_weight_sql("gx", "(k.k % 4)")
+    wy = cubic_weight_sql("gy", "(k.k // 4)")
+    piv = ", ".join(
+        "max(CASE WHEN k = {k} THEN v END) AS v{k}, "
+        "max(CASE WHEN k = {k} THEN w END) AS w{k}".format(k=k)
+        for k in range(16))
+    num = " + ".join("COALESCE(w{k} * v{k}, 0.0)".format(k=k)
+                     for k in range(16))
+    den = " + ".join(
+        "COALESCE(CASE WHEN v{k} IS NOT NULL THEN w{k} END, 0.0)"
+        .format(k=k) for k in range(16))
+    return """
+WITH grid AS ({grid}),
+rd AS (SELECT time, y + 463000 AS y, x + 155000 AS x, value FROM grid),
+tgt AS (SELECT CAST(i % {W} AS BIGINT) AS _i,
+               CAST(i // {W} AS BIGINT) AS _j
+        FROM range(0, {WH}) t(i)),
+f AS (SELECT _i, _j, {fx} AS fx, {fy} AS fy FROM tgt),
+g AS (SELECT _i, _j, CAST(FLOOR(fx) AS BIGINT) AS x0,
+             CAST(FLOOR(fy) AS BIGINT) AS y0,
+             fx - FLOOR(fx) AS gx, fy - FLOOR(fy) AS gy FROM f),
+c AS (SELECT _i, _j, k.k AS k,
+             x0 + (k.k % 4) - 1 AS sx,
+             y0 + (k.k // 4) - 1 AS sy,
+             {wx} * {wy} AS w
+      FROM g, unnest(range(0, 16)) AS k(k)),
+j AS (SELECT r.time, c._j, c._i, c.k, c.w,
+             CAST(r.value AS DOUBLE) AS v
+      FROM rd r JOIN c ON r.x = c.sx AND r.y = c.sy),
+p AS (SELECT time, _j, _i, {piv} FROM j GROUP BY time, _j, _i)
+SELECT time, _j AS y, _i AS x, ROUND(({num}) / ({den}), 6) AS value
+FROM p WHERE ABS({den}) > 1e-6
+""".format(grid=_grid_sql(), W=_WARP_W, WH=_WARP_W * _WARP_H,
+           fx=fx, fy=fy, wx=wx, wy=wy, piv=piv, num=num, den=den)
+
+
+@demo("raster_warp_cubic", oracle=_raster_warp_cubic_oracle())
+def raster_warp_cubic(spark, sf_dir):
+    """Warp(algorithm='cubic') (round 10): Keys cubic convolution
+    (a = −0.5, GDAL 'cubic') — the 16 native centers of the 4×4
+    window around each back-transformed target center, per-axis
+    weights from the ONE textual kernel (warp.cubic_weight_sql)
+    shared verbatim with this oracle, renormalized over available
+    neighbors (GDAL's nodata convention).  Same plan shape as
+    bilinear: the 16× explode rides the broadcast request-sized
+    grid; the source side never shuffles."""
+    from dask_geomodeling_spark.raster.sources import DataFrameRasterSource
+    from dask_geomodeling_spark.raster.warp import Warp
+    g = lineitem_grid(spark, sf_dir)
+    rd = DataFrameRasterSource(
+        g._df.select("time", (F.col("y") + 463000).alias("y"),
+                     (F.col("x") + 155000).alias("x"), "value"),
+        projection="EPSG:28992")
+    out = Warp(rd, "EPSG:3857", bbox=_WARP_BBOX, width=_WARP_W,
+               height=_WARP_H, algorithm="cubic").plan(spark)
+    return out.select("time", "y", "x",
+                      F.round("value", 6).alias("value"))
+
+
 #: coarse 3857 grid for the DOWNSAMPLING warp — ~8 m target cells,
 #: each covering multiple RD-native cells
 _WARP_AVG_W, _WARP_AVG_H = 13, 7
@@ -10927,7 +10991,7 @@ GATE_ANCHORS = [
     "sieve_filter", "sieve_filter_iterate",
     "per_group_limit",
     "flow_direction", "flow_accumulation", "flow_length", "watershed",
-    "bm25_score",
+    "bm25_score", "raster_warp_cubic",
 ]
 
 

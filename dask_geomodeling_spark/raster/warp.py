@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from dask_geomodeling_spark.raster.base import BaseSingle
 
 __all__ = ["Warp", "warp_grid_sql", "warp_bilinear_sql",
-           "warp_average_sql"]
+           "warp_average_sql", "cubic_weight_sql"]
 
 
 def _center_sql(dst_crs, native_crs, bbox, width, height):
@@ -96,6 +96,32 @@ def warp_average_sql(native_crs, dst_crs, bbox, width, height):
     return i, j
 
 
+def cubic_weight_sql(frac, sel):
+    """Keys cubic-convolution (a = −0.5, GDAL 'cubic') weight of the
+    4-tap corner selected by ``sel`` ∈ {0,1,2,3} (native offsets
+    −1, 0, 1, 2) given the fractional coordinate expression ``frac``
+    ∈ [0, 1).  ONE textual formula shared verbatim between the Spark
+    plan and the DuckDB oracles so both engines evaluate the identical
+    IEEE operation sequence:
+    near taps (|t| ≤ 1): 1.5t³ − 2.5t² + 1; far taps: −0.5t³ + 2.5t²
+    − 4t + 2."""
+    def near(t):
+        return ("(1.5 * {t} * {t} * {t} - 2.5 * {t} * {t} + 1.0)"
+                .format(t=t))
+
+    def far(t):
+        return ("(-0.5 * {t} * {t} * {t} + 2.5 * {t} * {t} "
+                "- 4.0 * {t} + 2.0)".format(t=t))
+
+    return ("(CASE WHEN {s} = 0 THEN {w_m1} WHEN {s} = 1 THEN {w_0} "
+            "WHEN {s} = 2 THEN {w_1} ELSE {w_2} END)").format(
+        s=sel,
+        w_m1=far("({} + 1.0)".format(frac)),
+        w_0=near("({})".format(frac)),
+        w_1=near("(1.0 - {})".format(frac)),
+        w_2=far("(2.0 - {})".format(frac)))
+
+
 class Warp(BaseSingle):
     """Resample a raster onto the request grid in a different CRS
     (reference: the implicit warp of raster/base.py:9 get_data).
@@ -133,9 +159,11 @@ class Warp(BaseSingle):
                  height=None, algorithm="nearest"):
         if bbox is not None:
             bbox = tuple(float(v) for v in bbox)
-        if algorithm not in ("nearest", "bilinear", "average"):
-            raise ValueError("algorithm must be 'nearest', 'bilinear' "
-                             "or 'average', got {!r}".format(algorithm))
+        if algorithm not in ("nearest", "bilinear", "cubic",
+                             "average"):
+            raise ValueError(
+                "algorithm must be 'nearest', 'bilinear', 'cubic' or "
+                "'average', got {!r}".format(algorithm))
         super().__init__(store, projection, bbox,
                          None if width is None else int(width),
                          None if height is None else int(height),
@@ -223,6 +251,8 @@ class Warp(BaseSingle):
             return out.select("time", F.col("_j").alias("y"),
                               F.col("_i").alias("x"), "value")
 
+        if self.args[5] == "cubic":
+            return self._build_cubic(base, cells)
         # bilinear: 4 surrounding native centers per target cell,
         # exploded on the broadcast (grid) side; fixed-corner-order
         # weighted sum for bit determinism
@@ -249,7 +279,39 @@ class Warp(BaseSingle):
         joined = cells.join(
             F.broadcast(grid),
             (cells["x"] == grid["_sx"]) & (cells["y"] == grid["_sy"]))
-        return self._bilinear_agg(joined)
+        return self._corner_agg(joined, 4)
+
+    def _build_cubic(self, base, cells):
+        """Keys cubic convolution (a = −0.5, GDAL 'cubic'): the 16
+        native centers in the 4×4 window around the back-transformed
+        target center, weighted by the shared ``cubic_weight_sql``
+        kernel per axis and renormalized over the AVAILABLE neighbors
+        (GDAL's nodata convention; with all 16 present the kernel is
+        interpolating, Σw = 1).  Same shape as bilinear: the explode
+        happens on the broadcast request-sized grid (16·width·height
+        rows), the source side never shuffles."""
+        grid = (base.select("_i", "_j",
+                            F.expr("ROUND(_cx - 0.5, 6)").alias("_fx"),
+                            F.expr("ROUND(_cy - 0.5, 6)").alias("_fy"))
+                .select("_i", "_j",
+                        F.floor("_fx").cast("bigint").alias("_x0"),
+                        F.floor("_fy").cast("bigint").alias("_y0"),
+                        (F.col("_fx") - F.floor("_fx")).alias("_gx"),
+                        (F.col("_fy") - F.floor("_fy")).alias("_gy"))
+                .select("_i", "_j", "_x0", "_y0", "_gx", "_gy",
+                        F.expr("explode(sequence(0, 15))").alias("_k"))
+                .select(
+                    "_i", "_j", "_k",
+                    F.expr("_x0 + pmod(_k, 4) - 1").alias("_sx"),
+                    F.expr("_y0 + _k div 4 - 1").alias("_sy"),
+                    F.expr("{wx} * {wy}".format(
+                        wx=cubic_weight_sql("_gx", "pmod(_k, 4)"),
+                        wy=cubic_weight_sql("_gy", "_k div 4")))
+                    .alias("_w")))
+        joined = cells.join(
+            F.broadcast(grid),
+            (cells["x"] == grid["_sx"]) & (cells["y"] == grid["_sy"]))
+        return self._corner_agg(joined, 16, guard=True)
 
     def _build_average(self, ctx, dst, native, bbox, width, height):
         """GDAL-style 'average' resampling — the DOWNSAMPLING path:
@@ -306,9 +368,9 @@ class Warp(BaseSingle):
                         F.col("_i").alias("x"), "value"))
 
     @staticmethod
-    def _bilinear_agg(joined):
+    def _corner_agg(joined, n, guard=False):
         pivots = []
-        for k in range(4):
+        for k in range(n):
             pivots.append(F.max(F.when(F.col("_k") == k,
                                        F.col("value").cast("double")))
                           .alias("_v{}".format(k)))
@@ -317,12 +379,19 @@ class Warp(BaseSingle):
         agg = joined.groupBy("time", "_j", "_i").agg(*pivots)
         num = F.lit(0.0)
         den = F.lit(0.0)
-        for k in range(4):
+        for k in range(n):
             vk, wk = F.col("_v{}".format(k)), F.col("_w{}".format(k))
             num = num + F.coalesce(wk * vk, F.lit(0.0))
             den = den + F.coalesce(
                 F.when(vk.isNotNull(), wk), F.lit(0.0))
-        return (agg.where(den > 0)
+        # bilinear weights are non-negative (den > 0 iff any corner
+        # present, the original filter); the cubic kernel has negative
+        # lobes, so a nearly-all-missing window could renormalize
+        # explosively — guard=True uses |den| > 1e-6 instead.  Either
+        # way both engines evaluate the identical sum, so the
+        # identical cutoff keeps them in lockstep.
+        keep = F.abs(den) > 1e-6 if guard else den > 0
+        return (agg.where(keep)
                 .select("time", F.col("_j").alias("y"),
                         F.col("_i").alias("x"),
                         (num / den).alias("value")))

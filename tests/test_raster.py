@@ -1128,3 +1128,34 @@ def test_flow_length_and_watershed(spark):
         for (y, x), c in ws.items():
             sink = 0 if 0 < x < 3 else 6 if x >= 3 else x
             assert c == "{}:{}:{}".format(epoch, y, sink), ((y, x), c)
+
+
+def test_warp_cubic_reproduces_linear(spark):
+    """Round 10: Keys cubic convolution is an interpolating kernel —
+    warping a LINEAR surface onto a half-cell-shifted grid of the same
+    CRS reproduces the linear function exactly at every interior
+    target center (all 16 taps present, Σw = 1)."""
+    import datetime
+
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    from dask_geomodeling_spark.raster.warp import Warp
+    t = datetime.datetime(2024, 1, 1)
+    cells = [(t, y, x, 2.0 * x + 3.0 * y + 1.0)
+             for y in range(12) for x in range(12)]
+    df = spark.createDataFrame(
+        cells, "time timestamp, y bigint, x bigint, value double")
+    src = DataFrameRasterSource(df, projection="EPSG:3857")
+    # quarter-cell-offset target grid at the native resolution
+    out = Warp(src, "EPSG:3857", bbox=(2.25, 2.25, 8.25, 8.25),
+               width=6, height=6, algorithm="cubic").plan(spark)
+    got = {(r["y"], r["x"]): r["value"] for r in out.collect()}
+    assert len(got) == 36
+    for (j, i), v in got.items():
+        # samples sit at native centers (x+0.5, y+0.5), so the sampled
+        # surface is g(cx, cy) = 2(cx-0.5) + 3(cy-0.5) + 1
+        cx, cy = 2.25 + i + 0.5, 2.25 + j + 0.5
+        exp = 2.0 * (cx - 0.5) + 3.0 * (cy - 0.5) + 1.0
+        assert abs(v - exp) < 1e-9, ((j, i), v, exp)
+    with pytest.raises(ValueError, match="algorithm"):
+        Warp(src, algorithm="lanczos")
