@@ -242,26 +242,27 @@ def probe_spatial_join_intersects(spark, n):
     return out.count()
 
 
-def _overlay(spark, n, **kw):
+def _overlay(spark, n, continent, **kw):
     from dask_geomodeling_spark.geometry.overlay import Overlay
     from dask_geomodeling_spark.geometry.sources import DataFrameSource
     field = int(2 * math.sqrt(n))
     rights = read_input(spark, gen_parquet(
         spark, "ovr_{}".format(field), n,
         build_squares("2.0D", field, key="rid")))
-    # left: n/10 ordinary squares PLUS one continent covering the
-    # whole field — it intersects every right feature
     left = read_input(spark, gen_parquet(
-        spark, "ovl_{}".format(field), n // 10,
+        spark, "ovl_{}".format(field), max(n // 10, 50),
         build_squares("2.0D", field, key="lid")))
-    continent = spark.createDataFrame(
-        [(int(10 ** 12),)], "lid bigint").select(
-        "lid", F.expr(
-            "array(array(array(0.0D, 0.0D), array({f}, 0.0D), "
-            "array({f}, {f}), array(0.0D, {f})))"
-            .format(f=float(field))).alias("rings"))
-    lf = left.unionByName(continent)
-    out = Overlay(DataFrameSource(lf, index_column="lid"),
+    if continent:
+        # one polygon covering the whole field — it intersects EVERY
+        # right feature (the planted hot group)
+        cont = spark.createDataFrame(
+            [(int(10 ** 12),)], "lid bigint").select(
+            "lid", F.expr(
+                "array(array(array(0.0D, 0.0D), array({f}, 0.0D), "
+                "array({f}, {f}), array(0.0D, {f})))"
+                .format(f=float(field))).alias("rings"))
+        left = left.unionByName(cont)
+    out = Overlay(DataFrameSource(left, index_column="lid"),
                   DataFrameSource(rights, index_column="rid"),
                   cell_size=8.0, how="difference", **kw).plan(spark)
     materialize(out)
@@ -269,11 +270,19 @@ def _overlay(spark, n, **kw):
 
 
 def probe_overlay_erase(spark, n):
-    return _overlay(spark, n)
+    # the NO-hot-feature case: bounded groups, unguarded path
+    return _overlay(spark, n, continent=False)
 
 
-def probe_overlay_erase_guarded(spark, n):
-    return _overlay(spark, n, max_group_rings=256)
+def probe_overlay_erase_hot_unguarded(spark, n):
+    # continent over n rights, NO guard: the giant collected group
+    # funnels into one kernel task — measured SMALL (scale 3) because
+    # its growth is the pathology the guard exists to fix
+    return _overlay(spark, n, continent=True)
+
+
+def probe_overlay_erase_hot_guarded(spark, n):
+    return _overlay(spark, n, continent=True, max_group_rings=256)
 
 
 def probe_aggregate_raster(spark, n):
@@ -302,18 +311,25 @@ def probe_aggregate_raster(spark, n):
 
 
 PROBES = {
-    # name -> (probe fn, 1x size)
-    "minhash_lsh": (probe_minhash_lsh, 50_000),
-    "kn_perplexity": (probe_kn_perplexity, 50_000),
-    "per_group_limit": (probe_per_group_limit, 500_000),
-    "dedup_clusters_star": (probe_dedup_clusters_star, 100_000),
-    "sem_dedup": (probe_sem_dedup, 20_000),
-    "sieve_filter": (probe_sieve_filter, 250_000),
-    "subdivide": (probe_subdivide, 100_000),
-    "spatial_join_intersects": (probe_spatial_join_intersects, 100_000),
-    "overlay_erase": (probe_overlay_erase, 30_000),
-    "overlay_erase_guarded": (probe_overlay_erase_guarded, 30_000),
-    "aggregate_raster": (probe_aggregate_raster, 600_000),
+    # name -> (probe fn, 1x size, scale override or None)
+    "minhash_lsh": (probe_minhash_lsh, 50_000, None),
+    "kn_perplexity": (probe_kn_perplexity, 50_000, None),
+    "per_group_limit": (probe_per_group_limit, 500_000, None),
+    "dedup_clusters_star": (probe_dedup_clusters_star, 100_000, None),
+    "sem_dedup": (probe_sem_dedup, 20_000, None),
+    "sieve_filter": (probe_sieve_filter, 250_000, None),
+    "subdivide": (probe_subdivide, 100_000, None),
+    "spatial_join_intersects": (probe_spatial_join_intersects,
+                                100_000, None),
+    "overlay_erase": (probe_overlay_erase, 30_000, None),
+    # the hot-unguarded pathology grows super-linearly in the
+    # continent's collected payload — probe it at 1k→3k (minutes, not
+    # hours); the guarded variant carries the full 10x load instead
+    "overlay_erase_hot_unguarded": (probe_overlay_erase_hot_unguarded,
+                                    1_000, 3),
+    "overlay_erase_hot_guarded": (probe_overlay_erase_hot_guarded,
+                                  30_000, None),
+    "aggregate_raster": (probe_aggregate_raster, 600_000, None),
 }
 
 
@@ -334,9 +350,9 @@ def main():
     if os.path.exists(args.out):
         results = json.load(open(args.out))
     for name in args.ops.split(","):
-        fn, base = PROBES[name]
+        fn, base, scale_override = PROBES[name]
         n1 = int(base * args.base)
-        n10 = n1 * args.scale
+        n10 = n1 * (scale_override or args.scale)
         entry = {}
         # untimed warm-up: JIT + codegen + shuffle service spin-up
         fn(spark, max(n1 // 10, 1000))
@@ -351,6 +367,7 @@ def main():
                 name, n, rows, dt), flush=True)
             spark.catalog.clearCache()
         entry["n1"], entry["n10"] = n1, n10
+        entry["scale"] = n10 // n1
         entry["ratio"] = round(entry["t10"] / max(entry["t1"], 1e-9), 2)
         results[name] = entry
         json.dump(results, open(args.out, "w"), indent=1)
