@@ -91,7 +91,12 @@ def main():
                   "matryoshka_slice", "hausdorff_distance",
                   "idw_interpolate", "knn_classify",
                   "spatial_join_within", "temporal_fill", "sieve_filter",
-                  "per_group_limit", "raster_histogram", "parse_wkt"):
+                  "per_group_limit", "raster_histogram", "parse_wkt",
+                  # round-10 additions
+                  "sieve_filter_iterate", "flow_direction",
+                  "flow_accumulation", "flow_length", "watershed",
+                  "bm25_score", "raster_warp_cubic",
+                  "winnowing_fingerprint"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

@@ -6089,6 +6089,48 @@ def bm25_score(spark, sf_dir):
                                   "matched")
 
 
+def _winnowing_oracle(k=4, w=3):
+    poly = _DD_POLY.format(col="t", base=257)
+    return """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+  FROM documents),
+th AS (SELECT doc_id, list_transform(tk, t -> {poly}) AS th FROM tok),
+kh AS (SELECT doc_id,
+              [list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                        th[i:i+{km1}]),
+                           (acc, h) -> (acc * 8191 + h) % 2147483647)
+               FOR i IN range(1, greatest(len(th) - {k} + 1, 1) + 1)]
+                  AS kh
+       FROM th),
+sel AS (SELECT doc_id,
+          [{{'pos': j + least({w}, len(kh))
+                   - list_position(list_reverse(kh[j:j+{wm1}]),
+                                   list_min(kh[j:j+{wm1}])),
+             'fp': list_min(kh[j:j+{wm1}])}}
+           FOR j IN range(1, greatest(len(kh) - {w} + 1, 1) + 1)]
+            AS sel
+        FROM kh)
+SELECT DISTINCT doc_id, CAST(u.pos AS BIGINT) AS pos, u.fp AS fp
+FROM sel, UNNEST(sel.sel) AS t(u)
+""".format(poly=poly, k=k, km1=k - 1, w=w, wm1=w - 1)
+
+
+@demo("winnowing_fingerprint", oracle=_winnowing_oracle())
+def winnowing_fingerprint(spark, sf_dir):
+    """WinnowingFingerprint (round 10, MOSS/SIGMOD'03): k-gram hashes
+    (the 31-bit Mersenne poly scheme), a sliding window of 3, keep
+    each window's minimum (rightmost on ties) — any shared run of
+    ≥ window+k−1 tokens guarantees a shared fingerprint, so copy
+    detection is one fp equi-join.  Everything before the final
+    explode is per-row HOF math; the oracle replays the identical
+    arithmetic."""
+    from dask_geomodeling_spark.pipeline.dedup import (
+        WinnowingFingerprint)
+    out = WinnowingFingerprint(documents_src(sf_dir), k=4, window=3)
+    return out.plan(spark).select("doc_id", "pos", "fp")
+
+
 @demo("flow_length", oracle="""
 SELECT TIMESTAMP '2024-01-01' AS time,
        a.n_nationkey AS y, b.n_nationkey AS x,
@@ -10991,7 +11033,7 @@ GATE_ANCHORS = [
     "sieve_filter", "sieve_filter_iterate",
     "per_group_limit",
     "flow_direction", "flow_accumulation", "flow_length", "watershed",
-    "bm25_score", "raster_warp_cubic",
+    "bm25_score", "raster_warp_cubic", "winnowing_fingerprint",
 ]
 
 

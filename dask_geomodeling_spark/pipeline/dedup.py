@@ -20,7 +20,7 @@ from dask_geomodeling_spark.geometry.base import BaseSingle
 
 __all__ = ["ExactDedup", "MinHashLSH", "SimHash", "NgramJaccard",
            "EmbeddingDedup", "SemDedup", "DedupClusters",
-           "ClusterRepresentative", "FuzzyDedup",
+           "ClusterRepresentative", "FuzzyDedup", "WinnowingFingerprint",
            "ngram_regex_expr", "RepeatedSpans", "RemoveRepeatedSpans"]
 
 # 31-bit Mersenne prime: (a*h + b) stays < 2^62 under ANSI overflow checks
@@ -1167,3 +1167,92 @@ class FuzzyDedup(BaseSingle):
                      1.0 - F.col("distance") / F.col("_ml")))
              .filter(F.col("similarity") >= float(thr)))
         return j.select("id_a", "id_b", "distance", "similarity")
+
+
+class WinnowingFingerprint(BaseSingle):
+    """Winnowing document fingerprints (round 10) — the MOSS local
+    fingerprinting scheme (Schleimer, Wilkerson & Aiken, SIGMOD 2003):
+    hash every ``k``-gram, slide a ``window`` of consecutive k-gram
+    hashes, and keep each window's MINIMUM (rightmost occurrence on
+    ties).  The guarantee: any shared substring of at least
+    ``window + k − 1`` tokens between two documents yields at least
+    one IDENTICAL selected fingerprint in both — so copy detection is
+    one equi-join on ``fp`` (compose with ``DedupClusters``), never
+    all-pairs.
+
+    Hashes are the engine's 31-bit Mersenne arithmetic scheme
+    (``poly_hash_expr`` per token, base-8191 fold per k-gram — the
+    NgramJaccard/MinHashLSH 'poly' construction), so any ANSI-SQL
+    engine replays them exactly.
+
+    Plan shape: everything up to the final explode is per-row HOF
+    column math (zero shuffle); the output is the exploded distinct
+    (position, fingerprint) selection — ~len/window rows per doc, the
+    winnowing density guarantee.  Documents shorter than ``k`` tokens
+    fingerprint their whole token stream once.
+
+    Output: ``<id_column>``, ``pos`` (1-based k-gram index of the
+    selected hash), ``fp``.
+    """
+
+    def __init__(self, source, k=5, window=4, text_column="text",
+                 id_column=None):
+        if int(k) < 1:
+            raise ValueError("k must be >= 1")
+        if int(window) < 1:
+            raise ValueError("window must be >= 1")
+        if id_column is None:
+            id_column = source.index_column
+        clash = {"pos", "fp"} & set(source.columns)
+        if clash:
+            raise ValueError(
+                "column(s) {} collide with WinnowingFingerprint's "
+                "output; rename upstream".format(sorted(clash)))
+        super().__init__(source, int(k), int(window), text_column,
+                         id_column)
+
+    @property
+    def columns(self):
+        return {self.args[4], "pos", "fp"}
+
+    def _build(self, ctx):
+        _, k, w, text_column, idc = self.args
+        df = self.source._build(ctx)
+        th = "transform(_tokens, t -> {h})".format(h=poly_hash_expr("t"))
+        if k <= 1:
+            kh = "_th"
+        else:
+            kh = ("transform(sequence(1, greatest(size(_th) - {k} + 1,"
+                  " 1)), i -> aggregate(slice(_th, i, {k}), "
+                  "cast(0 as bigint), (acc, h) -> "
+                  "pmod(acc * 8191 + h, {m})))").format(k=k, m=MERSENNE)
+        # per window j: fp = min of the window, pos = the GLOBAL
+        # 1-based k-gram index of its RIGHTMOST occurrence
+        # (j + wlen − position-in-reversed-window); wlen < window only
+        # in the single-window short-document case
+        sel = ("array_distinct(transform(sequence(1, "
+               "greatest(size(_kh) - {w} + 1, 1)), j -> struct("
+               "CAST(j + least({w}, size(_kh)) - array_position("
+               "reverse(slice(_kh, j, {w})), "
+               "array_min(slice(_kh, j, {w}))) AS BIGINT) AS pos, "
+               "array_min(slice(_kh, j, {w})) AS fp)))").format(w=w)
+        # persist the (id, k-gram-hash) table (§6 rule 9, the
+        # NgramJaccard convention): the window-selection expression
+        # references _kh five times, and CollapseProject would
+        # otherwise inline the whole poly-hash lambda pipeline into
+        # 6-deep nested lambdas — a known Catalyst pathology (plan
+        # canonicalization stops terminating in practical time).  The
+        # cache boundary keeps the two HOF layers in separate plan
+        # stages; the cached table is ~8 bytes/k-gram, smaller than
+        # the text it derives from.
+        kgrams = (df.withColumn(
+            "_tokens", F.split(F.trim(F.lower(F.col(text_column))),
+                               r"\s+"))
+            .withColumn("_th", F.expr(th))
+            .select(F.col(idc), F.expr(kh).alias("_kh"))
+            .persist())
+        out = (kgrams.withColumn("_sel", F.expr(sel))
+               .select(F.col(idc), F.explode("_sel").alias("_s"))
+               .select(idc, F.col("_s.pos").alias("pos"),
+                       F.col("_s.fp").alias("fp")))
+        return out

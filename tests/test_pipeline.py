@@ -1335,3 +1335,44 @@ def test_bm25_score(spark):
         BM25Score(DataFrameSource(
             df.withColumn("score", df.doc_id),
             index_column="doc_id"), "spark")
+
+
+def test_winnowing_fingerprint(spark):
+    """Round 10: winnowing guarantee — two documents sharing a run of
+    >= window + k - 1 tokens share at least one selected fingerprint;
+    per-doc selection density ~1 per window; validation."""
+    import pytest
+
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.dedup import (
+        WinnowingFingerprint)
+    shared = "alpha beta gamma delta epsilon zeta eta"   # 7 tokens
+    df = spark.createDataFrame(
+        [(1, "one two " + shared + " tail1 tail2"),
+         (2, "x " + shared + " y z w"),
+         (3, "totally different words entirely here now ok fine")],
+        "doc_id bigint, text string")
+    blk = WinnowingFingerprint(DataFrameSource(df, index_column="doc_id"),
+                               k=4, window=4)
+    rows = blk.plan(spark).collect()
+    fps = {}
+    for r in rows:
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    # guarantee: shared run of 7 = window + k - 1 tokens
+    assert fps[1] & fps[2], (fps[1], fps[2])
+    assert not (fps[1] & fps[3])
+    # positions are 1-based k-gram indices within each doc
+    assert all(1 <= r["pos"] for r in rows)
+    # short doc: fewer than k tokens -> whole-stream fingerprint
+    short = WinnowingFingerprint(
+        DataFrameSource(spark.createDataFrame(
+            [(9, "ab cd")], "doc_id bigint, text string"),
+            index_column="doc_id"), k=4, window=4)
+    srows = short.plan(spark).collect()
+    assert len(srows) == 1 and srows[0]["pos"] == 1
+    with pytest.raises(ValueError, match="k must"):
+        WinnowingFingerprint(DataFrameSource(df, index_column="doc_id"),
+                             k=0)
+    with pytest.raises(ValueError, match="collide"):
+        WinnowingFingerprint(DataFrameSource(
+            df.withColumn("fp", df.doc_id), index_column="doc_id"))
