@@ -873,10 +873,14 @@ class BM25Score(BaseSingle):
             tf = "_tf{}".format(i)
             idf = ("ln(1.0D + (_n - _df{i} + 0.5D) / (_df{i} + 0.5D))"
                    .format(i=i))
+            # tf = 0 contributes exactly 0 — guarded, because at
+            # b = 1.0 a zero-length document collapses the denominator
+            # to 0 and 0.0/0.0 is NaN, not the 0 BM25 defines
+            # (round-10 review fix)
             parts.append(
-                "{idf} * ({tf} * ({k1} + 1.0D)) / ({tf} + {k1} * "
-                "(1.0D - {b} + {b} * _dl / _avgdl))".format(
-                    idf=idf, tf=tf, k1=repr(k1), b=repr(b)))
+                "IF({tf} = 0, 0.0D, {idf} * ({tf} * ({k1} + 1.0D)) / "
+                "({tf} + {k1} * (1.0D - {b} + {b} * _dl / _avgdl)))"
+                .format(idf=idf, tf=tf, k1=repr(k1), b=repr(b)))
         matched = " + ".join(
             "IF(_tf{} > 0, 1, 0)".format(i) for i in range(len(terms)))
         out_cols = [c for c in df.columns] + [

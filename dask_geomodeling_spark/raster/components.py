@@ -21,7 +21,69 @@ from pyspark.sql import functions as F
 
 from dask_geomodeling_spark.raster.base import BaseSingle
 
-__all__ = ["RasterComponents", "SieveFilter"]
+__all__ = ["RasterComponents", "SieveFilter", "packed_cells",
+           "decode_labels"]
+
+
+def packed_cells(ctx, frame, op_name, headroom=1):
+    """Pack a ``time, y, x, value`` cell frame's coordinates into ONE
+    BIGINT key (dense time index × y-extent × x-extent — shared by
+    RasterComponents and the hydrology family, round-10 extraction).
+
+    Returns ``(nodes, tindex)``: nodes carries
+    ``time, y, x, value, _ymin, _xmin, _dy, _dx, _id`` and is
+    persisted MEMORY_AND_DISK (every caller joins results back onto
+    it); tindex is the broadcastable dense (time, _tix) index.
+    ``headroom`` divides the 2⁶³ guard (hydrology's Euler elements
+    need ×2+1 room); overflow fails fast with ``raise_error`` instead
+    of mislabeling."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    cells = frame.filter(F.col("value").isNotNull())
+    tindex = (cells.select("time").distinct().coalesce(1)
+              .withColumn("_tix", F.row_number().over(
+                  Window.orderBy("time")) - 1))
+    bounds = cells.agg(
+        F.min("y").alias("_ymin"), F.max("y").alias("_ymax"),
+        F.min("x").alias("_xmin"), F.max("x").alias("_xmax"),
+        F.countDistinct("time").alias("_tc"))
+    dy_r = "(_ymax - _ymin + 1)"
+    dx_r = "(_xmax - _xmin + 1)"
+    limit = 9.0e18 / float(headroom)
+    pack = F.expr(
+        "CASE WHEN CAST(_tc AS DOUBLE) * {dy} * {dx} > {lim!r} "
+        "THEN CAST(raise_error('{op}: packed key "
+        "space overflows BIGINT') AS BIGINT) "
+        "ELSE (_tix * {dy} + (y - _ymin)) * {dx} + (x - _xmin) "
+        "END".format(dy=dy_r, dx=dx_r, lim=limit, op=op_name))
+    nodes = (cells.join(F.broadcast(tindex), "time")
+             .crossJoin(F.broadcast(bounds))
+             .select("time", "y", "x", "value", "_ymin", "_xmin",
+                     F.expr(dy_r).alias("_dy"),
+                     F.expr(dx_r).alias("_dx"),
+                     pack.alias("_id"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    return nodes, tindex
+
+
+def decode_labels(lab, tindex, passthrough, alias):
+    """Decode a packed-BIGINT label column ``_l`` (on a frame that
+    still carries ``_dy, _dx, _ymin, _xmin``) back to the public
+    ``'<epoch_us>:<y>:<x>'`` string via one broadcast time-index
+    join — shared by RasterComponents and Watershed so their label
+    formats cannot drift."""
+    lab = (lab.withColumn("_ltix", F.expr("div(_l, _dy * _dx)"))
+           .withColumn("_lrem", F.expr("_l % (_dy * _dx)")))
+    lt = tindex.select(F.col("_tix").alias("_ltix"),
+                       F.col("time").alias("_ltime"))
+    return (lab.join(F.broadcast(lt), "_ltix")
+            .select(*passthrough,
+                    F.concat_ws(
+                        ":", F.expr("unix_micros(_ltime)"),
+                        F.expr("div(_lrem, _dx) + _ymin"),
+                        F.expr("_lrem % _dx + _xmin"))
+                    .alias(alias)))
 
 
 class RasterComponents(BaseSingle):
@@ -66,45 +128,18 @@ class RasterComponents(BaseSingle):
         return self._label(ctx, self.store._build(ctx), conn, max_iter)
 
     @staticmethod
-    def _label(ctx, frame, conn, max_iter=20):
+    def _label(ctx, frame, conn, max_iter=20, scratch=None):
         """Label a ``time, y, x, value`` cell frame (NULLs dropped).
 
         Split out from ``_build`` (round 10) so ``SieveFilter``'s
         iterate-to-fixpoint mode can re-label its own intermediate
-        merge results without wrapping them back into a Block."""
-        from pyspark.sql import Window
-
+        merge results without wrapping them back into a Block.
+        ``scratch`` (optional list) collects the internally persisted
+        frames so iterative callers can unpersist them per round."""
         from dask_geomodeling_spark.pipeline.dedup import DedupClusters
-        cells = frame.filter(F.col("value").isNotNull())
-        # dense time index (time-dimension-sized, one partition) +
-        # coordinate bounds (one row) — both broadcast back, nothing
-        # data-sized leaves the executors
-        tindex = (cells.select("time").distinct().coalesce(1)
-                  .withColumn("_tix", F.row_number().over(
-                      Window.orderBy("time")) - 1))
-        bounds = cells.agg(
-            F.min("y").alias("_ymin"), F.max("y").alias("_ymax"),
-            F.min("x").alias("_xmin"), F.max("x").alias("_xmax"),
-            F.countDistinct("time").alias("_tc"))
-        dy_r = "(_ymax - _ymin + 1)"
-        dx_r = "(_xmax - _xmin + 1)"
-        pack = F.expr(
-            "CASE WHEN CAST(_tc AS DOUBLE) * {dy} * {dx} > 9.0e18 "
-            "THEN CAST(raise_error('RasterComponents: packed key "
-            "space overflows BIGINT') AS BIGINT) "
-            "ELSE (_tix * {dy} + (y - _ymin)) * {dx} + (x - _xmin) "
-            "END".format(dy=dy_r, dx=dx_r))
-        from pyspark import StorageLevel
-        # consumed by every neighbor-offset edge join AND the final
-        # label join — persist so the scan + index joins + pack run
-        # once (the DSIR pattern)
-        nodes = (cells.join(F.broadcast(tindex), "time")
-                 .crossJoin(F.broadcast(bounds))
-                 .select("time", "y", "x", "value", "_ymin", "_xmin",
-                         F.expr(dy_r).alias("_dy"),
-                         F.expr(dx_r).alias("_dx"),
-                         pack.alias("_id"))
-                 .persist(StorageLevel.MEMORY_AND_DISK))
+        nodes, tindex = packed_cells(ctx, frame, "RasterComponents")
+        if scratch is not None:
+            scratch.append(nodes)
         offsets = [(0, 1), (1, 0)]
         if conn == 8:
             offsets += [(1, 1), (1, -1)]
@@ -130,18 +165,9 @@ class RasterComponents(BaseSingle):
         # (tidx, y, x) and re-join the (broadcast) time index for the
         # public '<epoch_us>:<y>:<x>' string form
         lab = (nodes.join(labels, "_id", "left")
-               .withColumn("_l", F.coalesce("_lbl", "_id"))
-               .withColumn("_ltix", F.expr("div(_l, _dy * _dx)"))
-               .withColumn("_lrem", F.expr("_l % (_dy * _dx)")))
-        lt = tindex.select(F.col("_tix").alias("_ltix"),
-                           F.col("time").alias("_ltime"))
-        return (lab.join(F.broadcast(lt), "_ltix")
-                .select("time", "y", "x", "value",
-                        F.concat_ws(
-                            ":", F.expr("unix_micros(_ltime)"),
-                            F.expr("div(_lrem, _dx) + _ymin"),
-                            F.expr("_lrem % _dx + _xmin"))
-                        .alias("component")))
+               .withColumn("_l", F.coalesce("_lbl", "_id")))
+        return decode_labels(lab, tindex, ["time", "y", "x", "value"],
+                             "component")
 
 
 class SieveFilter(BaseSingle):
@@ -159,11 +185,13 @@ class SieveFilter(BaseSingle):
     ``iterate=True`` (round 10) re-labels and re-merges until no
     region smaller than ``threshold`` can merge — full ``gdal_sieve``
     cascade parity: a speck→speck→survivor chain resolves to the
-    survivor's value.  The loop is bounded by the region-graph
-    diameter (each round at least halves the count of mergeable small
-    regions along any chain) and by ``max_rounds``; each round's
-    result is ``localCheckpoint``-ed so the star-round lineage never
-    stacks.  Small regions surrounded entirely by NODATA have no
+    survivor's value.  Iterate rounds use the UPHILL rule (a small
+    region only merges into a neighbor that strictly dominates it in
+    (size, smaller-key) order), so two equal-size small regions merge
+    toward the smaller component key in one direction instead of
+    swapping values forever; the loop is bounded by the region-graph
+    diameter and ``max_rounds``, and each round's result is
+    ``localCheckpoint``-ed so the star-round lineage never stacks.  Small regions surrounded entirely by NODATA have no
     neighbor and pass through unchanged — nodata is a mask, not a
     merge target (gdal_sieve's mask semantics); gap-fill first
     (``IDWInterpolate``) to despeckle a sparse raster.
@@ -189,15 +217,23 @@ class SieveFilter(BaseSingle):
                          int(max_rounds))
 
     @staticmethod
-    def _merge_pass(ctx, frame, threshold, connectivity):
-        """One label → size → merge pass over a cell frame.
+    def _merge_pass(ctx, frame, threshold, connectivity,
+                    uphill=False, scratch=None):
+        """One label → size → merge pass over a cell frame, returning
+        the merged ``time, y, x, value`` frame.
 
-        Returns ``(out, rep)``: the merged ``time, y, x, value`` frame
-        and the merge-decision frame (one row per small region that
-        found a neighbor) so the fixpoint loop can test convergence
-        without recomputing."""
+        ``uphill=True`` (the iterate mode) only lets a small region
+        merge into a neighbor that strictly dominates it in
+        ``(size, smaller-key)`` order — two small regions that are
+        each other's largest neighbor would otherwise SWAP values
+        every round and livelock the fixpoint loop (round-10 review
+        fix); with the uphill rule exactly one of the pair absorbs
+        the other and the merged region grows.  Surviving regions
+        always dominate (size ≥ threshold > small's size), so the
+        one-pass default semantics are unchanged."""
         from dask_geomodeling_spark.raster.spatial import _offsets_df
-        comp = RasterComponents._label(ctx, frame, connectivity)
+        comp = RasterComponents._label(ctx, frame, connectivity,
+                                       scratch=scratch)
         sizes = (comp.groupBy("time", "component")
                  .agg(F.count(F.lit(1)).cast("bigint").alias("_sz")))
         comp = comp.join(sizes, ["time", "component"])
@@ -215,7 +251,8 @@ class SieveFilter(BaseSingle):
               .select("time",
                       (F.col("y") + F.col("dy")).alias("y"),
                       (F.col("x") + F.col("dx")).alias("x"),
-                      F.col("component").alias("_sc")))
+                      F.col("component").alias("_sc"),
+                      F.col("_sz").alias("_ssz")))
         touch = (sm.join(
             comp.select("time", "y", "x",
                         F.col("component").alias("_nc"),
@@ -223,6 +260,11 @@ class SieveFilter(BaseSingle):
                         F.col("_sz").alias("_nsz")),
             ["time", "y", "x"])
             .filter(F.col("_nc") != F.col("_sc")))
+        if uphill:
+            touch = touch.filter(
+                (F.col("_nsz") > F.col("_ssz"))
+                | ((F.col("_nsz") == F.col("_ssz"))
+                   & (F.col("_nc") < F.col("_sc"))))
         # one winner per SMALL REGION (the whole region merges):
         # largest neighbor size, ties to the smallest component key
         rep = (touch.groupBy("time", F.col("_sc").alias("component"))
@@ -233,25 +275,39 @@ class SieveFilter(BaseSingle):
         out = (comp.join(rep, ["time", "component"], "left")
                .select("time", "y", "x",
                        F.coalesce("_newv", "value").alias("value")))
-        return out, rep
+        return out
 
     def _build(self, ctx):
         _, threshold, connectivity, iterate, max_rounds = self.args
         frame = self.store._build(ctx)
         if not iterate:
-            out, _ = self._merge_pass(ctx, frame, threshold,
-                                      connectivity)
-            return out
-        # fixpoint: re-label + re-merge until no small region can merge.
-        # Eager by necessity (the DedupClusters short-circuit precedent):
-        # each round materializes via localCheckpoint so the star-round
-        # lineage of round N never re-executes inside round N+1.
+            return self._merge_pass(ctx, frame, threshold,
+                                    connectivity)
+        # fixpoint: re-label + re-merge until the values stop changing
+        # (with the uphill rule, value-stability == no merges left).
+        # Eager by necessity (the DedupClusters short-circuit
+        # precedent): each round materializes ONCE via localCheckpoint
+        # — convergence is then a cheap join of two MATERIALIZED
+        # frames, not a second execution of the pass (round-10 review
+        # fix) — and the round's internally persisted label frames
+        # unpersist before the next round starts.
         cur = (frame.select("time", "y", "x", "value")
-               .filter(F.col("value").isNotNull()))
+               .filter(F.col("value").isNotNull())
+               .localCheckpoint())
         for _ in range(max_rounds):
-            out, rep = self._merge_pass(ctx, cur, threshold,
-                                        connectivity)
-            if rep.limit(1).count() == 0:
-                return cur
-            cur = out.localCheckpoint()
+            scratch = []
+            nxt = self._merge_pass(ctx, cur, threshold, connectivity,
+                                   uphill=True,
+                                   scratch=scratch).localCheckpoint()
+            changed = (nxt.join(
+                cur.select("time", "y", "x",
+                           F.col("value").alias("_ov")),
+                ["time", "y", "x"])
+                .filter(F.col("value") != F.col("_ov"))
+                .limit(1).count())
+            for df in scratch:
+                df.unpersist()
+            cur = nxt
+            if changed == 0:
+                break
         return cur

@@ -59,33 +59,14 @@ def _flow_graph(ctx, store, op_name):
     A direction onto a missing cell drains off-raster: the edge is
     dropped, the donor keeps flowing into nothing."""
     from pyspark import StorageLevel
-    from pyspark.sql import Window
 
-    cells = (store._build(ctx)
-             .filter(F.col("value").isNotNull()))
-    tindex = (cells.select("time").distinct().coalesce(1)
-              .withColumn("_tix", F.row_number().over(
-                  Window.orderBy("time")) - 1))
-    bounds = cells.agg(
-        F.min("y").alias("_ymin"), F.max("y").alias("_ymax"),
-        F.min("x").alias("_xmin"), F.max("x").alias("_xmax"),
-        F.countDistinct("time").alias("_tc"))
-    dy_r = "(_ymax - _ymin + 1)"
-    dx_r = "(_xmax - _xmin + 1)"
-    pack = F.expr(
-        "CASE WHEN CAST(_tc AS DOUBLE) * {dy} * {dx} > 4.5e18 "
-        "THEN CAST(raise_error('{op}: doubled key "
-        "space overflows BIGINT') AS BIGINT) "
-        "ELSE (_tix * {dy} + (y - _ymin)) * {dx} + (x - _xmin) "
-        "END".format(dy=dy_r, dx=dx_r, op=op_name))
-    nodes = (cells.join(F.broadcast(tindex), "time")
-             .crossJoin(F.broadcast(bounds))
-             .select("time", "y", "x", "value",
-                     "_ymin", "_xmin",
-                     F.expr(dy_r).alias("_dy"),
-                     F.expr(dx_r).alias("_dx"),
-                     pack.alias("_id"))
-             .persist(StorageLevel.MEMORY_AND_DISK))
+    from dask_geomodeling_spark.raster.components import packed_cells
+
+    # headroom=2: the Euler element ids are _id*2+1 (round-10 review
+    # refactor — ONE packing/decoding implementation shared with
+    # RasterComponents so label formats cannot drift)
+    nodes, tindex = packed_cells(ctx, store._build(ctx), op_name,
+                                 headroom=2)
     codes = _codes_df(ctx.spark).select(
         F.col("code").cast("double").alias("value"), "dy", "dx",
         "dist")
@@ -206,6 +187,11 @@ class FlowAccumulation(BaseSingle):
             acc = self._driver_counts(spark, edges)
         else:
             acc = self._euler_counts(spark, nodes, edges, max_iter)
+        # acc is either driver literals or derived from checkpointed
+        # ranking frames — the edge cache has no further consumer
+        # (round-10 review fix; nodes stays cached: the returned plan
+        # joins onto it, the RasterComponents convention)
+        edges.unpersist()
         out = (nodes.join(acc, "_id", "left")
                .select("time", "y", "x",
                        F.coalesce(F.col("_acc"), F.lit(0.0))
@@ -381,6 +367,7 @@ class FlowLength(BaseSingle):
                 spark.createDataFrame([], "_id bigint, _len double")
         else:
             lens = self._double_lengths(edges, max_iter)
+        edges.unpersist()
         return (nodes.join(lens, "_id", "left")
                 .select("time", "y", "x",
                         F.coalesce(F.col("_len"), F.lit(0.0))
@@ -481,19 +468,13 @@ class Watershed(BaseSingle):
                 spark.createDataFrame([], "_id bigint, _l bigint")
         else:
             labs = self._double_labels(nodes, edges, max_iter)
+        edges.unpersist()
+        from dask_geomodeling_spark.raster.components import (
+            decode_labels)
         lab = (nodes.join(labs, "_id", "left")
-               .withColumn("_l", F.coalesce("_l", "_id"))
-               .withColumn("_ltix", F.expr("div(_l, _dy * _dx)"))
-               .withColumn("_lrem", F.expr("_l % (_dy * _dx)")))
-        lt = tindex.select(F.col("_tix").alias("_ltix"),
-                           F.col("time").alias("_ltime"))
-        return (lab.join(F.broadcast(lt), "_ltix")
-                .select("time", "y", "x", "value",
-                        F.concat_ws(
-                            ":", F.expr("unix_micros(_ltime)"),
-                            F.expr("div(_lrem, _dx) + _ymin"),
-                            F.expr("_lrem % _dx + _xmin"))
-                        .alias("catchment")))
+               .withColumn("_l", F.coalesce("_l", "_id")))
+        return decode_labels(lab, tindex,
+                             ["time", "y", "x", "value"], "catchment")
 
     @staticmethod
     def _double_labels(nodes, edges, max_iter):
@@ -517,6 +498,18 @@ class Watershed(BaseSingle):
                        .limit(1).count())
             cur = new
             if changed == 0:
+                # a converged label must be a ROOT (a node with no
+                # outgoing edge): lab ← lab[lab] on an even-length
+                # cycle reaches a period-2 orbit whose second round
+                # looks like a fixpoint (every cycle node "labels"
+                # itself) — round-10 review fix: any final label that
+                # still HAS a parent exposes the cycle
+                bad = (cur.join(edges.select(F.col("_c").alias("_l")),
+                                "_l", "left_semi").limit(1).count())
+                if bad:
+                    raise ValueError(
+                        "Watershed: direction raster contains a "
+                        "cycle")
                 return cur.select("_id", "_l")
         raise ValueError(
             "Watershed: label doubling did not converge in {} rounds "

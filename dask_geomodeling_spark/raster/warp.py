@@ -193,16 +193,21 @@ class Warp(BaseSingle):
                                        (x1, y1, x2, y2), width, height)
 
         # child request: the target window's envelope in the SOURCE
-        # CRS (corner transform, 1-cell margin) — scan pruning keeps
-        # working; strip width/height/projection so the child returns
-        # every native cell in range, unstrided
+        # CRS (corner transform, margin) — scan pruning keeps working;
+        # strip width/height/projection so the child returns every
+        # native cell in range, unstrided.  nearest/bilinear reach at
+        # most 1 cell beyond the back-transformed center; the cubic
+        # 4×4 stencil reaches 2 (round-10 review fix: a 1-cell margin
+        # silently clipped the lowest tap row/column and renormalized
+        # the kernel at the window's low edges)
+        margin = 2 if self.args[5] == "cubic" else 1
         if dst == native:
             nb = (x1, y1, x2, y2)
         else:
             nb = transform_extent((x1, y1, x2, y2), dst, native)
         child = ctx.child(
-            bbox=(math.floor(nb[0]) - 1, math.floor(nb[1]) - 1,
-                  math.ceil(nb[2]) + 1, math.ceil(nb[3]) + 1),
+            bbox=(math.floor(nb[0]) - margin, math.floor(nb[1]) - margin,
+                  math.ceil(nb[2]) + margin, math.ceil(nb[3]) + margin),
             width=None, height=None, projection=None)
         cells = self.store._build(child)
 

@@ -1326,6 +1326,12 @@ def test_bm25_score(spark):
     exp = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
     assert got[1] == (round(exp, 6), 1)
     assert got[2] == (0.0, 0) and got[3] == (0.0, 0)
+    # b=1.0 on a zero-length doc: denominator collapses to 0 — the
+    # tf=0 guard returns BM25's defined 0, not NaN (round-10 review)
+    b1 = {r["doc_id"]: r["score"] for r in BM25Score(
+        DataFrameSource(df, index_column="doc_id"), "spark",
+        b=1.0).plan(spark).collect()}
+    assert b1[3] == 0.0 and b1[2] == 0.0 and b1[1] > 0.0
     with pytest.raises(ValueError, match="at least one term"):
         BM25Score(DataFrameSource(df, index_column="doc_id"), "  ")
     with pytest.raises(ValueError, match="alphanumeric"):

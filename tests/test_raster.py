@@ -1159,3 +1159,74 @@ def test_warp_cubic_reproduces_linear(spark):
         assert abs(v - exp) < 1e-9, ((j, i), v, exp)
     with pytest.raises(ValueError, match="algorithm"):
         Warp(src, algorithm="lanczos")
+
+
+def test_sieve_filter_iterate_mutual_small_pair(spark):
+    """Round-10 review fix: two small regions that are each other's
+    largest neighbor must MERGE (uphill, toward the smaller component
+    key) instead of swapping values every round — the fixpoint
+    postcondition (no region under threshold remains) holds."""
+    import datetime
+
+    from dask_geomodeling_spark.raster.components import SieveFilter
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    t = datetime.datetime(2024, 1, 1)
+    cells = [(t, 0, 0, 1.0), (t, 0, 1, 1.0),
+             (t, 0, 2, 2.0), (t, 0, 3, 2.0)]
+    df = spark.createDataFrame(
+        cells, "time timestamp, y bigint, x bigint, value double")
+    got = {(r["y"], r["x"]): r["value"] for r in SieveFilter(
+        DataFrameRasterSource(df), threshold=3, iterate=True,
+        max_rounds=6).plan(spark).collect()}
+    # one surviving 4-cell region; ties merge toward the smaller key
+    assert len(got) == 4 and set(got.values()) == {1.0}, got
+
+
+def test_watershed_even_cycle_fails_fast(spark):
+    """Round-10 review fix: lab <- lab[lab] on a 2-cycle reaches a
+    period-2 orbit that LOOKS converged — the post-convergence root
+    check must still raise on the distributed path."""
+    import datetime
+
+    import pytest
+
+    from dask_geomodeling_spark.raster.hydrology import Watershed
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    t = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(t, 0, 0, 1.0), (t, 0, 1, 16.0)],
+        "time timestamp, y bigint, x bigint, value double")
+    blk = Watershed(DataFrameRasterSource(df), driver_threshold=0,
+                    max_iter=8)
+    with pytest.raises(Exception, match="cycle"):
+        blk.plan(spark).collect()
+
+
+def test_warp_cubic_low_edge_margin(spark):
+    """Round-10 review fix: the cubic 4x4 stencil reaches 2 native
+    cells below the back-transformed center, so the child request
+    carries a 2-cell margin — a 2x upsample whose first-column taps
+    sit 2 cells below the window must still reproduce a linear
+    surface exactly (a 1-cell margin clipped the lowest tap and
+    renormalized the kernel at the low edges)."""
+    import datetime
+
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    from dask_geomodeling_spark.raster.warp import Warp
+    t = datetime.datetime(2024, 1, 1)
+    cells = [(t, y, x, 2.0 * x + 3.0 * y + 1.0)
+             for y in range(12) for x in range(12)]
+    df = spark.createDataFrame(
+        cells, "time timestamp, y bigint, x bigint, value double")
+    src = DataFrameRasterSource(df, projection="EPSG:3857")
+    out = Warp(src, "EPSG:3857", bbox=(2.0, 2.0, 8.0, 8.0),
+               width=12, height=12, algorithm="cubic").plan(spark)
+    got = {(r["y"], r["x"]): r["value"] for r in out.collect()}
+    assert len(got) == 144
+    for (j, i), v in got.items():
+        cx, cy = 2.0 + (i + 0.5) * 0.5, 2.0 + (j + 0.5) * 0.5
+        exp = 2.0 * (cx - 0.5) + 3.0 * (cy - 0.5) + 1.0
+        assert abs(v - exp) < 1e-9, ((j, i), v, exp)
