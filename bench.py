@@ -95,6 +95,7 @@ def main():
                   # round-10 additions
                   "sieve_filter_iterate", "flow_direction",
                   "flow_accumulation", "flow_length", "watershed",
+                  "flow_accumulation_weighted",
                   "bm25_score", "raster_warp_cubic",
                   "winnowing_fingerprint"):
         if extra in demos.QUERIES:

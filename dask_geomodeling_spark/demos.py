@@ -6131,6 +6131,37 @@ def winnowing_fingerprint(spark, sf_dir):
     return out.plan(spark).select("doc_id", "pos", "fp")
 
 
+@demo("flow_accumulation_weighted", oracle="""
+SELECT TIMESTAMP '2024-01-01' AS time,
+       CAST(0 AS BIGINT) AS y, b.n_nationkey AS x,
+       CAST(325 - (b.n_nationkey + 1) * (b.n_nationkey + 2) / 2
+            AS DOUBLE) AS value
+FROM nation b
+""")
+def flow_accumulation_weighted(spark, sf_dir):
+    """FlowAccumulation(weights=...) (round 10): ESRI weight-raster
+    accumulation — upstream SUM of a weight raster instead of cell
+    counts.  One row of the ramp z = x flows W, weights w(x) = x + 1,
+    so cell x accumulates Σ_{x'>x}(x'+1) = 325 − (x+1)(x+2)/2.  Same
+    Euler-tour machinery: enter elements carry the weight, exits 0,
+    and total(enter) − total(exit) is the weighted upstream sum."""
+    from dask_geomodeling_spark.raster.hydrology import (
+        FlowAccumulation, FlowDirection)
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    nation = read_nanos_parquet(spark, _pq(sf_dir, "nation"))
+    row = nation.select(
+        F.expr("TIMESTAMP '2024-01-01'").alias("time"),
+        F.lit(0).cast("bigint").alias("y"),
+        F.col("n_nationkey").alias("x"))
+    dem = DataFrameRasterSource(
+        row.withColumn("value", F.expr("CAST(x AS DOUBLE)")))
+    wts = DataFrameRasterSource(
+        row.withColumn("value", F.expr("CAST(x + 1 AS DOUBLE)")))
+    fa = FlowAccumulation(FlowDirection(dem), weights=wts)
+    return fa.plan(spark)
+
+
 @demo("flow_length", oracle="""
 SELECT TIMESTAMP '2024-01-01' AS time,
        a.n_nationkey AS y, b.n_nationkey AS x,
@@ -11028,11 +11059,14 @@ def dsir_score_saved(spark, sf_dir):
 GATE_ANCHORS = [
     "q1_pricing_summary",           # flagship
     "json_graph_roundtrip",         # serialization contract
-    # round-10: SieveFilter scatter inverted + fixpoint mode,
-    # PerGroupLimit salted two-phase, the D8 hydrology pair
-    "sieve_filter", "sieve_filter_iterate",
+    # round-10: SieveFilter fixpoint mode (its rounds run the same
+    # inverted small-side scatter the one-pass sieve_filter uses, so
+    # one anchor covers both), salted PerGroupLimit, the D8 hydrology
+    # family, BM25, cubic warp, winnowing
+    "sieve_filter_iterate",
     "per_group_limit",
     "flow_direction", "flow_accumulation", "flow_length", "watershed",
+    "flow_accumulation_weighted",
     "bm25_score", "raster_warp_cubic", "winnowing_fingerprint",
 ]
 

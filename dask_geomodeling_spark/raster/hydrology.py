@@ -85,6 +85,38 @@ def _flow_graph(ctx, store, op_name):
     return nodes, tindex, edges
 
 
+def _rank_doubling(cur, key, max_iter, op_name, zero):
+    """Generic pointer-doubling accumulation: ``cur`` carries
+    ``(key, _ptr, _r)`` with the invariant
+    ``total(u) = _r(u) + total(_ptr(u))``, ``total(NULL) = 0``; each
+    round does ``_r += _r[_ptr]; _ptr = _ptr[_ptr]`` (one self-join +
+    localCheckpoint), converging in ⌈log₂ chain-length⌉ rounds.
+    Shared by the Euler list ranking, FlowLength and the weighted
+    accumulation so the loop exists once (round-10 review refactor)."""
+    cur = cur.localCheckpoint()
+    for _ in range(max_iter):
+        if cur.filter(F.col("_ptr").isNotNull()
+                      ).limit(1).count() == 0:
+            break
+        jump = cur.select(F.col(key).alias("_ptr"),
+                          F.col("_ptr").alias("_p2"),
+                          F.col("_r").alias("_r2"))
+        cur = (cur.join(jump, "_ptr", "left")
+               .select(key,
+                       F.col("_p2").alias("_ptr"),
+                       (F.col("_r") + F.coalesce(F.col("_r2"), zero))
+                       .alias("_r"))
+               .localCheckpoint())
+    else:
+        if cur.filter(F.col("_ptr").isNotNull()
+                      ).limit(1).count() != 0:
+            raise ValueError(
+                "{}: pointer doubling did not converge in {} rounds "
+                "— direction raster contains a cycle or raise "
+                "max_iter".format(op_name, max_iter))
+    return cur
+
+
 class FlowDirection(BaseSingle):
     """D8 steepest-descent flow direction over an elevation raster.
 
@@ -168,25 +200,47 @@ class FlowAccumulation(BaseSingle):
 
     DRIVER_THRESHOLD = 65536
 
-    def __init__(self, store, max_iter=48, driver_threshold=None):
+    def __init__(self, store, max_iter=48, driver_threshold=None,
+                 weights=None):
+        from dask_geomodeling_spark.raster.base import RasterBlock
         if int(max_iter) < 1:
             raise ValueError("max_iter must be >= 1")
+        if weights is not None and not isinstance(weights, RasterBlock):
+            raise TypeError("weights must be a RasterBlock")
         super().__init__(store, int(max_iter),
                          None if driver_threshold is None
-                         else int(driver_threshold))
+                         else int(driver_threshold), weights)
 
     def _build(self, ctx):
-        _, max_iter, driver_threshold = self.args
+        _, max_iter, driver_threshold, weights = self.args
         if driver_threshold is None:
             driver_threshold = self.DRIVER_THRESHOLD
         spark = ctx.spark
         nodes, _tindex, edges = _flow_graph(
             ctx, self.store, "FlowAccumulation")
+        if weights is not None:
+            # ESRI weight-raster accumulation: upstream SUM of the
+            # weight raster instead of upstream cell count; missing
+            # or NULL weight cells contribute 0
+            wts = (weights._build(ctx)
+                   .filter(F.col("value").isNotNull())
+                   .select("time", "y", "x",
+                           F.col("value").alias("_wt")))
+            nodes_w = (nodes.join(wts, ["time", "y", "x"], "left")
+                       .select("time", "y", "x", "_id",
+                               F.coalesce("_wt", F.lit(0.0))
+                               .alias("_wt")))
         n_edges = edges.count()
         if n_edges <= driver_threshold:
-            acc = self._driver_counts(spark, edges)
-        else:
+            if weights is None:
+                acc = self._driver_counts(spark, edges)
+            else:
+                acc = self._driver_weighted(spark, edges, nodes_w)
+        elif weights is None:
             acc = self._euler_counts(spark, nodes, edges, max_iter)
+        else:
+            acc = self._euler_weighted(spark, nodes_w, edges,
+                                       max_iter)
         # acc is either driver literals or derived from checkpointed
         # ranking frames — the edge cache has no further consumer
         # (round-10 review fix; nodes stays cached: the returned plan
@@ -197,6 +251,48 @@ class FlowAccumulation(BaseSingle):
                        F.coalesce(F.col("_acc"), F.lit(0.0))
                        .alias("value")))
         return out
+
+    @staticmethod
+    def _driver_weighted(spark, edges, nodes_w):
+        """Exact upstream weight sums on the driver for small graphs."""
+        rows = edges.collect()
+        parent = {r["_c"]: r["_p"] for r in rows}
+        children = {}
+        for c, p in parent.items():
+            children.setdefault(p, []).append(c)
+        # weights only for nodes on an edge (≤ 2·threshold rows) —
+        # semi-join, never an isin literal list
+        ids = (edges.select(F.col("_c").alias("_id"))
+               .unionByName(edges.select(F.col("_p").alias("_id")))
+               .distinct())
+        wt = {r["_id"]: r["_wt"] for r in
+              nodes_w.join(ids, "_id", "left_semi")
+              .select("_id", "_wt").collect()}
+        acc = {}
+
+        def total(u):
+            stack, order, seen = [u], [], set()
+            while stack:
+                v = stack.pop()
+                if v in seen:
+                    raise ValueError(
+                        "FlowAccumulation: direction raster contains "
+                        "a cycle")
+                seen.add(v)
+                order.append(v)
+                stack.extend(children.get(v, ()))
+            for v in reversed(order):
+                acc[v] = wt.get(v, 0.0) + sum(
+                    acc[w] for w in children.get(v, ()))
+
+        roots = set(parent.values()) - set(parent)
+        for r in roots:
+            total(r)
+        out = [(int(k), float(v - wt.get(k, 0.0)))
+               for k, v in acc.items() if v != wt.get(k, 0.0)]
+        return spark.createDataFrame(
+            out, "_id bigint, _acc double") if out else \
+            spark.createDataFrame([], "_id bigint, _acc double")
 
     @staticmethod
     def _driver_counts(spark, edges):
@@ -240,11 +336,12 @@ class FlowAccumulation(BaseSingle):
             spark.createDataFrame([], "_id bigint, _acc double")
 
     @staticmethod
-    def _euler_counts(spark, nodes, edges, max_iter):
-        """Euler tour + pointer-doubling list ranking → subtree sizes."""
+    def _euler_tour(nodes, edges):
+        """The forest's Euler tour as a successor list: element
+        ``2u`` = enter(u), ``2u + 1`` = exit(u); per-parent child
+        ordering needs only a ≤ 8-row keyed window."""
         from pyspark.sql import Window
 
-        # per-parent child order: window keyed by parent, ≤ 8 rows/key
         w = Window.partitionBy("_p").orderBy("_c")
         kids = (edges.withColumn("_next", F.lead("_c").over(w))
                 .withColumn("_rn", F.row_number().over(w)))
@@ -268,32 +365,18 @@ class FlowAccumulation(BaseSingle):
                             "_id", "left_anti")
                    .select((F.col("_id") * 2 + 1).alias("_e"),
                            F.lit(None).cast("bigint").alias("_s")))
-        tour = enters.unionByName(exits_c).unionByName(exits_r)
-        rank = (tour.select(
-            "_e", F.col("_s").alias("_ptr"),
-            F.when(F.col("_s").isNull(), F.lit(0))
-            .otherwise(F.lit(1)).cast("bigint").alias("_r"))
-            .localCheckpoint())
-        for _ in range(max_iter):
-            if rank.filter(F.col("_ptr").isNotNull()
-                           ).limit(1).count() == 0:
-                break
-            jump = rank.select(F.col("_e").alias("_ptr"),
-                               F.col("_ptr").alias("_p2"),
-                               F.col("_r").alias("_r2"))
-            rank = (rank.join(jump, "_ptr", "left")
-                    .select("_e",
-                            F.col("_p2").alias("_ptr"),
-                            (F.col("_r") + F.coalesce("_r2", F.lit(0)))
-                            .alias("_r"))
-                    .localCheckpoint())
-        else:
-            if rank.filter(F.col("_ptr").isNotNull()
-                           ).limit(1).count() != 0:
-                raise ValueError(
-                    "FlowAccumulation: list ranking did not converge "
-                    "in {} rounds — direction raster contains a cycle "
-                    "or raise max_iter".format(max_iter))
+        return enters.unionByName(exits_c).unionByName(exits_r)
+
+    @classmethod
+    def _euler_counts(cls, spark, nodes, edges, max_iter):
+        """Euler tour + pointer-doubling list ranking → subtree sizes."""
+        tour = cls._euler_tour(nodes, edges)
+        rank = _rank_doubling(
+            tour.select(
+                "_e", F.col("_s").alias("_ptr"),
+                F.when(F.col("_s").isNull(), F.lit(0))
+                .otherwise(F.lit(1)).cast("bigint").alias("_r")),
+            "_e", max_iter, "FlowAccumulation", F.lit(0))
         # INTEGER div throughout: element ids and ranks may exceed
         # 2^53, where a double round-trip would corrupt keys
         ent = (rank.filter(F.col("_e") % 2 == 0)
@@ -305,6 +388,32 @@ class FlowAccumulation(BaseSingle):
         return (ent.join(ext, "_id")
                 .select("_id",
                         F.expr("(_re - _rx - 1) div 2")
+                        .cast("double").alias("_acc")))
+
+    @classmethod
+    def _euler_weighted(cls, spark, nodes_w, edges, max_iter):
+        """Weighted accumulation: the SAME Euler tour, but the
+        doubling sums element weights (enter(u) carries u's weight,
+        exits carry 0) — ``total(enter v) − total(exit v)`` is then
+        exactly the weighted sum over v's proper descendants, no
+        count adjustment needed."""
+        tour = cls._euler_tour(nodes_w, edges)
+        ewt = nodes_w.select((F.col("_id") * 2).alias("_s2"),
+                             F.col("_wt").alias("_swt"))
+        init = (tour.join(ewt, tour["_s"] == ewt["_s2"], "left")
+                .select("_e", F.col("_s").alias("_ptr"),
+                        F.coalesce(F.col("_swt"), F.lit(0.0))
+                        .alias("_r")))
+        rank = _rank_doubling(init, "_e", max_iter,
+                              "FlowAccumulation", F.lit(0.0))
+        ent = (rank.filter(F.col("_e") % 2 == 0)
+               .select(F.expr("_e div 2").alias("_id"),
+                       F.col("_r").alias("_re")))
+        ext = (rank.filter(F.col("_e") % 2 == 1)
+               .select(F.expr("(_e - 1) div 2").alias("_id"),
+                       F.col("_r").alias("_rx")))
+        return (ent.join(ext, "_id")
+                .select("_id", (F.col("_re") - F.col("_rx"))
                         .cast("double").alias("_acc")))
 
 
@@ -375,32 +484,12 @@ class FlowLength(BaseSingle):
 
     @staticmethod
     def _double_lengths(edges, max_iter):
-        cur = (edges.select(F.col("_c").alias("_id"),
-                            F.col("_p").alias("_ptr"),
-                            F.col("_w").alias("_len"))
-               .localCheckpoint())
-        for _ in range(max_iter):
-            if cur.filter(F.col("_ptr").isNotNull()
-                          ).limit(1).count() == 0:
-                break
-            jump = cur.select(F.col("_id").alias("_ptr"),
-                              F.col("_ptr").alias("_p2"),
-                              F.col("_len").alias("_l2"))
-            cur = (cur.join(jump, "_ptr", "left")
-                   .select("_id",
-                           F.col("_p2").alias("_ptr"),
-                           (F.col("_len")
-                            + F.coalesce("_l2", F.lit(0.0)))
-                           .alias("_len"))
-                   .localCheckpoint())
-        else:
-            if cur.filter(F.col("_ptr").isNotNull()
-                          ).limit(1).count() != 0:
-                raise ValueError(
-                    "FlowLength: pointer doubling did not converge in "
-                    "{} rounds — direction raster contains a cycle or "
-                    "raise max_iter".format(max_iter))
-        return cur.select("_id", "_len")
+        cur = _rank_doubling(
+            edges.select(F.col("_c").alias("_id"),
+                         F.col("_p").alias("_ptr"),
+                         F.col("_w").alias("_r")),
+            "_id", max_iter, "FlowLength", F.lit(0.0))
+        return cur.select("_id", F.col("_r").alias("_len"))
 
 
 class Watershed(BaseSingle):

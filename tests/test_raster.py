@@ -1230,3 +1230,61 @@ def test_warp_cubic_low_edge_margin(spark):
         cx, cy = 2.0 + (i + 0.5) * 0.5, 2.0 + (j + 0.5) * 0.5
         exp = 2.0 * (cx - 0.5) + 3.0 * (cy - 0.5) + 1.0
         assert abs(v - exp) < 1e-9, ((j, i), v, exp)
+
+
+def test_flow_accumulation_weighted(spark):
+    """Round 10: weight-raster accumulation — upstream weighted sums
+    on the convergent valley, brute-force cross-checked, driver and
+    Euler paths identical; missing weight cells contribute 0."""
+    import datetime
+
+    from dask_geomodeling_spark.raster.hydrology import (
+        FlowAccumulation, FlowDirection)
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    t = datetime.datetime(2024, 1, 1)
+    H, W = 4, 7
+    dem = [(t, y, x, abs(x - 3) + 0.01 * y)
+           for y in range(H) for x in range(W)]
+    ddf = spark.createDataFrame(
+        dem, "time timestamp, y bigint, x bigint, value double")
+    # weight = y*10 + x, EXCEPT (1, 2) missing from the weight raster
+    wts = [(t, y, x, float(y * 10 + x))
+           for y in range(H) for x in range(W) if (y, x) != (1, 2)]
+    wdf = spark.createDataFrame(
+        wts, "time timestamp, y bigint, x bigint, value double")
+    fd = FlowDirection(DataFrameRasterSource(ddf))
+    wsrc = DataFrameRasterSource(wdf)
+    # brute force on the known valley flow graph
+    par = {}
+    for y in range(H):
+        for x in range(W):
+            if x < 3:
+                par[(y, x)] = (y, x + 1)      # E toward the axis
+            elif x > 3:
+                par[(y, x)] = (y, x - 1)      # W toward the axis
+            elif y > 0:
+                par[(y, x)] = (y - 1, 3)      # N down the axis
+            # (0, 3) is the pit
+    wmap = {(y, x): (0.0 if (y, x) == (1, 2) else y * 10 + x)
+            for y in range(H) for x in range(W)}
+
+    def exp(c):
+        tot = 0.0
+        for u in wmap:
+            v = u
+            while v in par:
+                v = par[v]
+                if v == c:
+                    tot += wmap[u]
+                    break
+        return tot
+
+    for kw in ({}, {"driver_threshold": 0}):
+        got = {(r["y"], r["x"]): r["value"] for r in FlowAccumulation(
+            fd, weights=wsrc, **kw).plan(spark).collect()}
+        for c, v in got.items():
+            assert abs(v - exp(c)) < 1e-9, (kw, c, v, exp(c))
+    import pytest
+    with pytest.raises(TypeError, match="RasterBlock"):
+        FlowAccumulation(fd, weights="nope")
