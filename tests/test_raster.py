@@ -410,8 +410,11 @@ def test_warp_rejects_unknown_algorithm():
     from dask_geomodeling_spark.raster.sources import MemorySource
     from dask_geomodeling_spark.raster.warp import Warp
     src = MemorySource([[1.0]])
+    # cubic became a REAL algorithm in round 10 — the reject test now
+    # uses one the engine genuinely lacks
     with pytest.raises(ValueError):
-        Warp(src, "EPSG:4326", algorithm="cubic")
+        Warp(src, "EPSG:4326", algorithm="lanczos")
+    Warp(src, "EPSG:4326", algorithm="cubic")  # accepted since r10
 
 
 def test_warp_plan_broadcasts_grid(spark):
