@@ -97,7 +97,8 @@ def main():
                   "flow_accumulation", "flow_length", "watershed",
                   "flow_accumulation_weighted",
                   "bm25_score", "raster_warp_cubic",
-                  "winnowing_fingerprint"):
+                  "winnowing_fingerprint",
+                  "raster_warp_mode", "raster_warp_median"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

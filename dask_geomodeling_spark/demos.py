@@ -9979,6 +9979,77 @@ def raster_warp_average(spark, sf_dir):
                 height=_WARP_AVG_H, algorithm="average").plan(spark)
 
 
+def _raster_warp_mode_oracle():
+    from dask_geomodeling_spark.raster.warp import warp_average_sql
+    i, j = warp_average_sql("EPSG:28992", "EPSG:3857", _WARP_BBOX,
+                            _WARP_AVG_W, _WARP_AVG_H)
+    return """
+WITH grid AS ({grid}),
+rd AS (SELECT time, y + 463000 AS y, x + 155000 AS x, value FROM grid),
+b AS (SELECT time, {i} AS _i, {j} AS _j, value
+      FROM rd WHERE value IS NOT NULL),
+c AS (SELECT time, _j, _i, value, COUNT(*) AS _n
+      FROM b
+      WHERE _i >= 0 AND _i < {W} AND _j >= 0 AND _j < {H}
+      GROUP BY time, _j, _i, value)
+SELECT time, _j AS y, _i AS x, value
+FROM c
+QUALIFY ROW_NUMBER() OVER (PARTITION BY time, _j, _i
+                           ORDER BY _n DESC, value ASC) = 1
+""".format(grid=_grid_sql(), i=i, j=j, W=_WARP_AVG_W, H=_WARP_AVG_H)
+
+
+@demo("raster_warp_mode", oracle=_raster_warp_mode_oracle())
+def raster_warp_mode(spark, sf_dir):
+    """Warp(algorithm='mode') (round 10) — GDAL 'mode' downsampling
+    for CATEGORICAL rasters: each coarse target cell takes the most
+    frequent native value among the data cells binning into it, ties
+    to the smallest value (the AggregateRaster majority pattern:
+    per-(cell, value) counts + one min_by, fully deterministic)."""
+    from dask_geomodeling_spark.raster.sources import DataFrameRasterSource
+    from dask_geomodeling_spark.raster.warp import Warp
+    g = lineitem_grid(spark, sf_dir)
+    rd = DataFrameRasterSource(
+        g._df.select("time", (F.col("y") + 463000).alias("y"),
+                     (F.col("x") + 155000).alias("x"), "value"),
+        projection="EPSG:28992")
+    return Warp(rd, "EPSG:3857", bbox=_WARP_BBOX, width=_WARP_AVG_W,
+                height=_WARP_AVG_H, algorithm="mode").plan(spark)
+
+
+def _raster_warp_median_oracle():
+    from dask_geomodeling_spark.raster.warp import warp_average_sql
+    i, j = warp_average_sql("EPSG:28992", "EPSG:3857", _WARP_BBOX,
+                            _WARP_AVG_W, _WARP_AVG_H)
+    return """
+WITH grid AS ({grid}),
+rd AS (SELECT time, y + 463000 AS y, x + 155000 AS x, value FROM grid),
+b AS (SELECT time, {i} AS _i, {j} AS _j, value
+      FROM rd WHERE value IS NOT NULL)
+SELECT time, _j AS y, _i AS x,
+       quantile_cont(value, 0.5) AS value
+FROM b
+WHERE _i >= 0 AND _i < {W} AND _j >= 0 AND _j < {H}
+GROUP BY time, _j, _i
+""".format(grid=_grid_sql(), i=i, j=j, W=_WARP_AVG_W, H=_WARP_AVG_H)
+
+
+@demo("raster_warp_median", oracle=_raster_warp_median_oracle())
+def raster_warp_median(spark, sf_dir):
+    """Warp(algorithm='median') (round 10) — GDAL 'med' downsampling:
+    exact interpolated median per coarse cell (sort-based percentile,
+    order-independent; quantile_cont is the identical oracle)."""
+    from dask_geomodeling_spark.raster.sources import DataFrameRasterSource
+    from dask_geomodeling_spark.raster.warp import Warp
+    g = lineitem_grid(spark, sf_dir)
+    rd = DataFrameRasterSource(
+        g._df.select("time", (F.col("y") + 463000).alias("y"),
+                     (F.col("x") + 155000).alias("x"), "value"),
+        projection="EPSG:28992")
+    return Warp(rd, "EPSG:3857", bbox=_WARP_BBOX, width=_WARP_AVG_W,
+                height=_WARP_AVG_H, algorithm="median").plan(spark)
+
+
 #: demo BPE merge table — well-formed (operands are chars or outputs of
 #: earlier rules), covering the corpus hot words spark/merge/batch/the
 _BPE_MERGES = [("e", "r"), ("t", "h"), ("th", "e"), ("a", "r"),
@@ -11063,11 +11134,15 @@ GATE_ANCHORS = [
     # inverted small-side scatter the one-pass sieve_filter uses, so
     # one anchor covers both), salted PerGroupLimit, the D8 hydrology
     # family, BM25, cubic warp, winnowing
+    # (flow_length rides the same _rank_doubling helper the anchored
+    # weighted accumulation exercises; raster_warp_median rides the
+    # same binned-statistic path as the anchored mode — both rotate)
     "sieve_filter_iterate",
     "per_group_limit",
-    "flow_direction", "flow_accumulation", "flow_length", "watershed",
+    "flow_direction", "flow_accumulation", "watershed",
     "flow_accumulation_weighted",
     "bm25_score", "raster_warp_cubic", "winnowing_fingerprint",
+    "raster_warp_mode",
 ]
 
 

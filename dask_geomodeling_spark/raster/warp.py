@@ -160,10 +160,12 @@ class Warp(BaseSingle):
         if bbox is not None:
             bbox = tuple(float(v) for v in bbox)
         if algorithm not in ("nearest", "bilinear", "cubic",
-                             "average"):
+                             "average", "mode", "min", "max",
+                             "median", "sum", "count"):
             raise ValueError(
-                "algorithm must be 'nearest', 'bilinear', 'cubic' or "
-                "'average', got {!r}".format(algorithm))
+                "algorithm must be 'nearest', 'bilinear', 'cubic', "
+                "'average', 'mode', 'min', 'max', 'median', 'sum' or "
+                "'count', got {!r}".format(algorithm))
         super().__init__(store, projection, bbox,
                          None if width is None else int(width),
                          None if height is None else int(height),
@@ -188,7 +190,8 @@ class Warp(BaseSingle):
         native = str(self.store.projection).upper()
         x1, y1, x2, y2 = (float(v) for v in bbox)
         width, height = int(width), int(height)
-        if self.args[5] == "average":
+        if self.args[5] in ("average", "mode", "min", "max",
+                            "median", "sum", "count"):
             return self._build_average(ctx, dst, native,
                                        (x1, y1, x2, y2), width, height)
 
@@ -362,15 +365,40 @@ class Warp(BaseSingle):
                 "CAST(FLOOR(ROUND((_cy - CAST({y1!r} AS DOUBLE)) "
                 "/ CAST({dy!r} AS DOUBLE), 6)) AS BIGINT)".format(
                     y1=y1, dy=dy))})
-        return (src.where((F.col("_i") >= 0) & (F.col("_i") < width)
-                          & (F.col("_j") >= 0) & (F.col("_j") < height)
-                          & F.col("value").isNotNull())
-                .groupBy("time", "_j", "_i")
-                .agg((F.sum(F.col("value").cast("decimal(28,6)"))
-                      .cast("double") / F.count(F.lit(1)))
-                     .alias("value"))
-                .select("time", F.col("_j").alias("y"),
-                        F.col("_i").alias("x"), "value"))
+        alg = self.args[5]
+        binned = src.where(
+            (F.col("_i") >= 0) & (F.col("_i") < width)
+            & (F.col("_j") >= 0) & (F.col("_j") < height)
+            & F.col("value").isNotNull())
+        if alg == "mode":
+            # GDAL 'mode' downsampling: deterministic two-level mode
+            # (the AggregateRaster majority pattern) — per-(cell,
+            # value) counts, then the most frequent value with ties
+            # to the SMALLEST value
+            counts = (binned.groupBy("time", "_j", "_i", "value")
+                      .agg(F.count(F.lit(1)).alias("_n")))
+            agg = (counts.groupBy("time", "_j", "_i")
+                   .agg(F.expr("min_by(value, struct(-_n, value))")
+                        .alias("value")))
+        elif alg == "average":
+            # DECIMAL mean: order-independent (§6 rule 11)
+            agg = (binned.groupBy("time", "_j", "_i")
+                   .agg((F.sum(F.col("value").cast("decimal(28,6)"))
+                         .cast("double") / F.count(F.lit(1)))
+                        .alias("value")))
+        elif alg == "sum":
+            agg = (binned.groupBy("time", "_j", "_i")
+                   .agg(F.sum(F.col("value").cast("decimal(28,6)"))
+                        .cast("double").alias("value")))
+        else:
+            # min / max / count / median (exact sort-based
+            # percentile) are order-independent as-is
+            from dask_geomodeling_spark.functions import statistic_expr
+            agg = (binned.groupBy("time", "_j", "_i")
+                   .agg(statistic_expr(alg).cast("double")
+                        .alias("value")))
+        return agg.select("time", F.col("_j").alias("y"),
+                          F.col("_i").alias("x"), "value")
 
     @staticmethod
     def _corner_agg(joined, n, guard=False):

@@ -1291,3 +1291,43 @@ def test_flow_accumulation_weighted(spark):
     import pytest
     with pytest.raises(TypeError, match="RasterBlock"):
         FlowAccumulation(fd, weights="nope")
+
+
+def test_warp_downsample_statistics(spark):
+    """Round 10: the downsampling warp's statistic vocabulary —
+    mode (ties to smallest), min/max/sum/count — on a hand-checkable
+    4x4 -> 2x2 native-CRS bin."""
+    import datetime
+
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    from dask_geomodeling_spark.raster.warp import Warp
+    t = datetime.datetime(2024, 1, 1)
+    vals = {(0, 0): 5.0, (0, 1): 5.0, (1, 0): 7.0, (1, 1): 3.0,
+            (0, 2): 1.0, (0, 3): 2.0, (1, 2): 2.0, (1, 3): 1.0,
+            (2, 0): 9.0, (2, 1): 9.0, (3, 0): 9.0, (3, 1): 4.0,
+            (2, 2): 0.0, (2, 3): 0.0, (3, 2): 0.0, (3, 3): 8.0}
+    df = spark.createDataFrame(
+        [(t, y, x, v) for (y, x), v in vals.items()],
+        "time timestamp, y bigint, x bigint, value double")
+    src = DataFrameRasterSource(df, projection="EPSG:3857")
+
+    def run(alg):
+        out = Warp(src, "EPSG:3857", bbox=(0.0, 0.0, 4.0, 4.0),
+                   width=2, height=2, algorithm=alg).plan(spark)
+        return {(r["y"], r["x"]): r["value"] for r in out.collect()}
+
+    # quadrant (0,0): {5,5,7,3} -> mode 5; (0,1): {1,2,2,1} tie 1 vs 2
+    # at count 2 -> smallest (1)
+    mode = run("mode")
+    assert mode == {(0, 0): 5.0, (0, 1): 1.0, (1, 0): 9.0, (1, 1): 0.0}
+    assert run("min") == {(0, 0): 3.0, (0, 1): 1.0, (1, 0): 4.0,
+                          (1, 1): 0.0}
+    assert run("max") == {(0, 0): 7.0, (0, 1): 2.0, (1, 0): 9.0,
+                          (1, 1): 8.0}
+    assert run("sum") == {(0, 0): 20.0, (0, 1): 6.0, (1, 0): 31.0,
+                          (1, 1): 8.0}
+    assert run("count") == {(0, 0): 4.0, (0, 1): 4.0, (1, 0): 4.0,
+                            (1, 1): 4.0}
+    med = run("median")
+    assert med[(0, 0)] == 5.0 and med[(0, 1)] == 1.5
