@@ -98,7 +98,8 @@ def main():
                   "flow_accumulation_weighted",
                   "bm25_score", "raster_warp_cubic",
                   "winnowing_fingerprint",
-                  "raster_warp_mode", "raster_warp_median"):
+                  "raster_warp_mode", "raster_warp_median",
+                  "rolling_event_aggregate"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

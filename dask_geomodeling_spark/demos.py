@@ -1751,6 +1751,29 @@ def event_aggregate(spark, sf_dir):
                           "max").plan(spark)
 
 
+@demo("rolling_event_aggregate", oracle="""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(28,6)))
+                OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                            AND CURRENT ROW)
+            AS DOUBLE) AS rolling
+FROM events
+""")
+def rolling_event_aggregate(spark, sf_dir):
+    """RollingEventAggregate (round 10): per-event trailing-hour sum
+    over the same user's events — ONE key-partitioned rangeBetween
+    window on the epoch axis (group-keyed and time-bounded, never
+    global); DECIMAL accumulation so same-timestamp ties cannot
+    reorder a float sum.  The oracle is the identical RANGE window."""
+    from dask_geomodeling_spark.streaming.events import (
+        EventSource, RollingEventAggregate)
+    src = EventSource(_pq(sf_dir, "events"))
+    out = RollingEventAggregate(src, "1 hour", key="user_id",
+                                statistic="sum")
+    return out.plan(spark).select("event_id", "user_id", "rolling")
+
+
 @demo("sessionize", oracle="""
 WITH o AS (
   SELECT user_id, ts, value,

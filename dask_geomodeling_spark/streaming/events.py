@@ -16,7 +16,8 @@ from dask_geomodeling_spark.core.blocks import Block
 from dask_geomodeling_spark.functions import statistic_expr
 
 __all__ = ["EventSource", "EventAggregate", "SessionizeEvents",
-           "StreamingDedup", "IntervalJoin", "AsofJoin"]
+           "StreamingDedup", "IntervalJoin", "AsofJoin",
+           "RollingEventAggregate"]
 
 
 class EventSource(Block):
@@ -363,3 +364,87 @@ class StreamingNearDup(Block):
         out = (sb.join(cb, sb["_b"] == cb["_cb"])
                .select("doc_id", "dup_of"))
         return out if out.isStreaming else out.distinct()
+
+
+class RollingEventAggregate(Block):
+    """Per-event trailing-interval aggregate (round 10): for every
+    event, the statistic over the SAME KEY's events with
+    ``ts ∈ [ts − interval, ts]`` (both ends inclusive) — the
+    feature-engineering primitive ("clicks by this user in the last
+    hour") behind rate features, anomaly baselines and abuse caps.
+
+    Execution: one KEY-PARTITIONED window ordered by event time with a
+    ``rangeBetween`` frame on ``unix_micros(ts)`` — group-keyed and
+    time-bounded, never a global window; partitions are bounded by the
+    hot key's row count (the same documented bound as PerGroupLimit —
+    a genuinely pathological key is what the downstream cap consumes
+    this feature FOR).  ``sum``/``mean`` accumulate in DECIMAL so
+    same-timestamp ties cannot reorder a float sum (§6 rule 11).  On a
+    live stream the equivalent is ``RunningAggregate``'s
+    watermark-bounded state; this block is the batch/backfill form.
+
+    Output: source columns plus ``rolling`` (double).
+    """
+
+    _STATS = ("sum", "count", "min", "max", "mean")
+
+    def __init__(self, source, interval="1 hour", key="user_id",
+                 value_column="value", statistic="sum",
+                 time_column="ts"):
+        if not isinstance(source, Block):
+            raise TypeError("'{}' object is not allowed".format(type(source)))
+        if statistic not in self._STATS:
+            raise ValueError("statistic must be one of {}"
+                             .format(self._STATS))
+        seconds = _parse_interval_seconds(interval)
+        if seconds <= 0:
+            raise ValueError("interval must be positive")
+        if "rolling" in (getattr(source, "columns", None) or ()):
+            raise ValueError(
+                "column 'rolling' collides with RollingEventAggregate's"
+                " output; rename it upstream")
+        super().__init__(source, str(interval), str(key),
+                         str(value_column), str(statistic),
+                         str(time_column))
+
+    @property
+    def columns(self):
+        return set(getattr(self.args[0], "columns", None) or ()) \
+            | {"rolling"}
+
+    def _build(self, ctx):
+        from pyspark.sql import Window
+        source, interval, key, value_column, statistic, tcol = self.args
+        df = source._build(ctx)
+        micros = _parse_interval_seconds(interval) * 1_000_000
+        w = (Window.partitionBy(key)
+             .orderBy(F.unix_micros(F.col(tcol)))
+             .rangeBetween(-micros, 0))
+        v = F.col(value_column)
+        if statistic == "sum":
+            expr = F.sum(v.cast("decimal(28,6)")).over(w).cast("double")
+        elif statistic == "mean":
+            expr = (F.sum(v.cast("decimal(28,6)")).over(w)
+                    .cast("double")
+                    / F.count(v).over(w))
+        elif statistic == "count":
+            expr = F.count(v).over(w).cast("double")
+        elif statistic == "min":
+            expr = F.min(v).over(w).cast("double")
+        else:
+            expr = F.max(v).over(w).cast("double")
+        return df.withColumn("rolling", expr)
+
+
+def _parse_interval_seconds(interval):
+    """'<n> second|minute|hour|day[s]' → seconds (int)."""
+    import re
+    m = re.fullmatch(r"\s*(\d+)\s*(second|minute|hour|day)s?\s*",
+                     str(interval))
+    if not m:
+        raise ValueError(
+            "interval must look like '30 minutes', got {!r}"
+            .format(interval))
+    n = int(m.group(1))
+    return n * {"second": 1, "minute": 60, "hour": 3600,
+                "day": 86400}[m.group(2)]

@@ -552,3 +552,52 @@ def test_streaming_near_dup_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.read.parquet(out).collect()}
     assert got == expected
+
+
+def test_rolling_event_aggregate(spark):
+    """Round 10: trailing-interval per-key aggregate — inclusive
+    window ends, per-key isolation, the statistic vocabulary,
+    validation."""
+    import datetime
+
+    import pytest
+
+    from dask_geomodeling_spark.core.blocks import Block
+    from dask_geomodeling_spark.streaming.events import (
+        RollingEventAggregate)
+
+    class _Src(Block):
+        def __init__(self, df):
+            self._df = df
+            super().__init__()
+
+        def _build(self, ctx):
+            return self._df
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    df = spark.createDataFrame(
+        [(1, at(0), 7, 10.0), (2, at(30), 7, 1.0),
+         (3, at(60), 7, 2.0),          # exactly 1h after e1: INCLUDED
+         (4, at(61), 7, 4.0),          # e1 now out of range
+         (5, at(45), 8, 100.0)],       # other key, never mixed
+        "event_id bigint, ts timestamp, user_id bigint, value double")
+    src = _Src(df)
+    got = {r["event_id"]: r["rolling"] for r in RollingEventAggregate(
+        src, "1 hour", key="user_id").plan(spark).collect()}
+    assert got == {1: 10.0, 2: 11.0, 3: 13.0, 4: 7.0, 5: 100.0}
+    cnt = {r["event_id"]: r["rolling"] for r in RollingEventAggregate(
+        src, "30 minutes", key="user_id",
+        statistic="count").plan(spark).collect()}
+    assert cnt == {1: 1.0, 2: 2.0, 3: 2.0, 4: 2.0, 5: 1.0}
+    mean = {r["event_id"]: r["rolling"] for r in RollingEventAggregate(
+        src, "1 hour", key="user_id",
+        statistic="mean").plan(spark).collect()}
+    assert mean[3] == 13.0 / 3.0
+    with pytest.raises(ValueError, match="statistic"):
+        RollingEventAggregate(src, "1 hour", statistic="median")
+    with pytest.raises(ValueError, match="interval"):
+        RollingEventAggregate(src, "soon")
