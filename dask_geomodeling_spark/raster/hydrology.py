@@ -237,9 +237,9 @@ class FlowAccumulation(BaseSingle):
             else:
                 acc = self._driver_weighted(spark, edges, nodes_w)
         elif weights is None:
-            acc = self._euler_counts(spark, nodes, edges, max_iter)
+            acc = self._euler_counts(nodes, edges, max_iter)
         else:
-            acc = self._euler_weighted(spark, nodes_w, edges,
+            acc = self._euler_weighted(nodes, nodes_w, edges,
                                        max_iter)
         # acc is either driver literals or derived from checkpointed
         # ranking frames — the edge cache has no further consumer
@@ -288,6 +288,12 @@ class FlowAccumulation(BaseSingle):
         roots = set(parent.values()) - set(parent)
         for r in roots:
             total(r)
+        involved = set(parent) | set(children)
+        if involved - set(acc):
+            # unreachable-from-any-root nodes in a functional graph
+            # ARE a cycle (round-10 review: mirror _driver_counts)
+            raise ValueError(
+                "FlowAccumulation: direction raster contains a cycle")
         out = [(int(k), float(v - wt.get(k, 0.0)))
                for k, v in acc.items() if v != wt.get(k, 0.0)]
         return spark.createDataFrame(
@@ -367,8 +373,22 @@ class FlowAccumulation(BaseSingle):
                            F.lit(None).cast("bigint").alias("_s")))
         return enters.unionByName(exits_c).unionByName(exits_r)
 
+    @staticmethod
+    def _rank_decode(rank):
+        """Converged element ranks → per-NODE (_id, _re, _rx).
+        INTEGER div throughout: element ids and ranks may exceed
+        2^53, where a double round-trip would corrupt keys (shared by
+        both accumulation variants, round-10 review)."""
+        ent = (rank.filter(F.col("_e") % 2 == 0)
+               .select(F.expr("_e div 2").alias("_id"),
+                       F.col("_r").alias("_re")))
+        ext = (rank.filter(F.col("_e") % 2 == 1)
+               .select(F.expr("(_e - 1) div 2").alias("_id"),
+                       F.col("_r").alias("_rx")))
+        return ent.join(ext, "_id")
+
     @classmethod
-    def _euler_counts(cls, spark, nodes, edges, max_iter):
+    def _euler_counts(cls, nodes, edges, max_iter):
         """Euler tour + pointer-doubling list ranking → subtree sizes."""
         tour = cls._euler_tour(nodes, edges)
         rank = _rank_doubling(
@@ -377,27 +397,22 @@ class FlowAccumulation(BaseSingle):
                 F.when(F.col("_s").isNull(), F.lit(0))
                 .otherwise(F.lit(1)).cast("bigint").alias("_r")),
             "_e", max_iter, "FlowAccumulation", F.lit(0))
-        # INTEGER div throughout: element ids and ranks may exceed
-        # 2^53, where a double round-trip would corrupt keys
-        ent = (rank.filter(F.col("_e") % 2 == 0)
-               .select(F.expr("_e div 2").alias("_id"),
-                       F.col("_r").alias("_re")))
-        ext = (rank.filter(F.col("_e") % 2 == 1)
-               .select(F.expr("(_e - 1) div 2").alias("_id"),
-                       F.col("_r").alias("_rx")))
-        return (ent.join(ext, "_id")
+        return (cls._rank_decode(rank)
                 .select("_id",
                         F.expr("(_re - _rx - 1) div 2")
                         .cast("double").alias("_acc")))
 
     @classmethod
-    def _euler_weighted(cls, spark, nodes_w, edges, max_iter):
+    def _euler_weighted(cls, nodes, nodes_w, edges, max_iter):
         """Weighted accumulation: the SAME Euler tour, but the
         doubling sums element weights (enter(u) carries u's weight,
         exits carry 0) — ``total(enter v) − total(exit v)`` is then
         exactly the weighted sum over v's proper descendants, no
-        count adjustment needed."""
-        tour = cls._euler_tour(nodes_w, edges)
+        count adjustment needed.  The tour builds from the PERSISTED
+        nodes frame (it only needs _id); the weight join is read
+        exactly once, for the element-weight lookup (round-10
+        review)."""
+        tour = cls._euler_tour(nodes, edges)
         ewt = nodes_w.select((F.col("_id") * 2).alias("_s2"),
                              F.col("_wt").alias("_swt"))
         init = (tour.join(ewt, tour["_s"] == ewt["_s2"], "left")
@@ -406,13 +421,7 @@ class FlowAccumulation(BaseSingle):
                         .alias("_r")))
         rank = _rank_doubling(init, "_e", max_iter,
                               "FlowAccumulation", F.lit(0.0))
-        ent = (rank.filter(F.col("_e") % 2 == 0)
-               .select(F.expr("_e div 2").alias("_id"),
-                       F.col("_r").alias("_re")))
-        ext = (rank.filter(F.col("_e") % 2 == 1)
-               .select(F.expr("(_e - 1) div 2").alias("_id"),
-                       F.col("_r").alias("_rx")))
-        return (ent.join(ext, "_id")
+        return (cls._rank_decode(rank)
                 .select("_id", (F.col("_re") - F.col("_rx"))
                         .cast("double").alias("_acc")))
 

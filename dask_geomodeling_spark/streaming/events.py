@@ -416,6 +416,12 @@ class RollingEventAggregate(Block):
         from pyspark.sql import Window
         source, interval, key, value_column, statistic, tcol = self.args
         df = source._build(ctx)
+        if df.isStreaming:
+            raise ValueError(
+                "RollingEventAggregate is the batch/backfill form — "
+                "range windows are unsupported on streams; use "
+                "RunningAggregate (streaming/stateful.py) for the "
+                "live-stream equivalent")
         micros = _parse_interval_seconds(interval) * 1_000_000
         w = (Window.partitionBy(key)
              .orderBy(F.unix_micros(F.col(tcol)))

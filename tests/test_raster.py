@@ -1090,6 +1090,12 @@ def test_flow_accumulation_cycle_detection(spark):
                             driver_threshold=0, max_iter=8)
     with pytest.raises(Exception, match="cycle|converge"):
         blk2.plan(spark).collect()
+    # weighted driver path fails fast too (round-10 second review:
+    # roots-only traversal would otherwise return silent zeros)
+    wsrc = DataFrameRasterSource(df)
+    blk3 = FlowAccumulation(DataFrameRasterSource(df), weights=wsrc)
+    with pytest.raises(Exception, match="cycle"):
+        blk3.plan(spark).collect()
 
 
 def test_flow_length_and_watershed(spark):
