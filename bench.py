@@ -99,7 +99,8 @@ def main():
                   "bm25_score", "raster_warp_cubic",
                   "winnowing_fingerprint",
                   "raster_warp_mode", "raster_warp_median",
-                  "rolling_event_aggregate"):
+                  "rolling_event_aggregate",
+                  "sample_points_in_polygons"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

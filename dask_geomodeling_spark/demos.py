@@ -6185,6 +6185,56 @@ def flow_accumulation_weighted(spark, sf_dir):
     return fa.plan(spark)
 
 
+@demo("sample_points_in_polygons", oracle="""
+WITH f AS (
+  SELECT s_suppkey AS fid,
+         CAST(s_suppkey % 40 AS DOUBLE) AS ax,
+         CAST((s_suppkey * 7) % 40 AS DOUBLE) AS ay
+  FROM supplier),
+c AS (SELECT fid, ax, ay,
+  [{'px': ax + 2.0 * (CAST((fid * 2654435761 + i * 1597334677)
+                           % 2147483647 AS DOUBLE) / 2147483647),
+    'py': ay + 2.0 * (CAST((fid * 2246822519 + i * 3267000013)
+                           % 2147483647 AS DOUBLE) / 2147483647)}
+   FOR i IN range(1, 33)] AS cands
+  FROM f),
+k AS (SELECT fid, ax, ay,
+             (list_filter(cands,
+                          c2 -> c2.px - ax + c2.py - ay < 2.0))[1:4]
+                 AS kept
+      FROM c),
+e AS (SELECT fid,
+             [{'pid': j, 'px': kept[j].px, 'py': kept[j].py}
+              FOR j IN range(1, len(kept) + 1)] AS pts
+      FROM k)
+SELECT fid, CAST(u.pid AS BIGINT) AS point_id, u.px, u.py
+FROM e, UNNEST(e.pts) AS t(u)
+""")
+def sample_points_in_polygons(spark, sf_dir):
+    """SamplePointsInPolygons (round 10, ST_GeneratePoints): 4
+    deterministic points per right triangle (legs 2 at a hashed
+    corner) from 32 bbox candidates — the Mersenne candidate
+    arithmetic is shared verbatim with the oracle, and the engine's
+    even-odd ray cast agrees with the triangle's closed-form
+    half-plane test on every (non-boundary) candidate, verified
+    exhaustively for the id range.  Pure per-row HOF math, zero
+    shuffle."""
+    from dask_geomodeling_spark.geometry.constructive import (
+        SamplePointsInPolygons)
+    supplier = ensure_min_partitions(
+        read_nanos_parquet(spark, _pq(sf_dir, "supplier")), spark)
+    src = (supplier.select(
+        F.col("s_suppkey").alias("fid"),
+        F.expr("CAST(s_suppkey % 40 AS DOUBLE)").alias("ax"),
+        F.expr("CAST((s_suppkey * 7) % 40 AS DOUBLE)").alias("ay"))
+        .select("fid", F.expr(
+            "array(array(array(ax, ay), array(ax + 2.0D, ay), "
+            "array(ax, ay + 2.0D)))").alias("rings")))
+    blk = SamplePointsInPolygons(
+        DataFrameSource(src, index_column="fid"), n=4, factor=8)
+    return blk.plan(spark).select("fid", "point_id", "px", "py")
+
+
 @demo("flow_length", oracle="""
 SELECT TIMESTAMP '2024-01-01' AS time,
        a.n_nationkey AS y, b.n_nationkey AS x,

@@ -11,7 +11,8 @@ from pyspark.sql import functions as F
 
 from dask_geomodeling_spark.geometry.base import BaseSingle
 
-__all__ = ["Buffer", "Simplify", "Centroid", "ConvexHull"]
+__all__ = ["Buffer", "Simplify", "Centroid", "ConvexHull",
+           "SamplePointsInPolygons"]
 
 
 def _buffer_ring_sql(r, dist, n):
@@ -1345,3 +1346,101 @@ class PathPoint(BaseSingle):
             if c in df.columns:
                 out[c] = F.col("y")
         return df.withColumns(out).drop("path")
+
+
+class SamplePointsInPolygons(BaseSingle):
+    """Deterministic point sampling inside polygons (round 10) — the
+    ``ST_GeneratePoints`` / geopandas ``sample_points`` counterpart
+    for training-data pipelines (spatial negatives, density-weighted
+    augmentation, label jitter), with ZERO randomness state: candidate
+    coordinates are pure Mersenne arithmetic of (feature id, candidate
+    index), so every engine, rerun and parallelism level draws the
+    identical points.
+
+    Per feature: ``n · factor`` candidates hash-uniform in the ring
+    bbox, filtered by the exact even-odd ray cast
+    (``point_in_rings_sql``), first ``n`` survivors kept.  Features
+    whose area is a small fraction of their bbox may yield fewer than
+    ``n`` points — raise ``factor`` (rejection sampling's documented
+    knob).  Ids must be numeric (the coordinates are arithmetic in
+    them).
+
+    Plan shape: pure per-row HOF column math — bbox fold, candidate
+    transform, containment filter, slice, ONE posexplode; no shuffle,
+    no window, no Python.  Output: source columns minus geometry, plus
+    ``point_id`` (1-based), ``px``, ``py``.
+    """
+
+    # i-multipliers are LARGE so consecutive candidates wrap the
+    # modulus many times — a small step (e.g. 40503) makes the k
+    # candidates an arithmetic micro-progression clustered at one
+    # coordinate (round-10 fix, caught by the sf0.01 row count)
+    _P = (2654435761, 1597334677, 2246822519, 3267000013)
+    _M = (1 << 31) - 1
+
+    def __init__(self, source, n=10, factor=4, id_column=None):
+        if int(n) < 1:
+            raise ValueError("n must be >= 1")
+        if int(factor) < 1:
+            raise ValueError("factor must be >= 1")
+        if "rings" not in source.columns:
+            raise ValueError("SamplePointsInPolygons needs a 'rings' "
+                             "column")
+        if id_column is None:
+            id_column = source.index_column
+        clash = {"point_id", "px", "py"} & set(source.columns)
+        if clash:
+            raise ValueError(
+                "column(s) {} collide with SamplePointsInPolygons's "
+                "output; rename upstream".format(sorted(clash)))
+        super().__init__(source, int(n), int(factor), str(id_column))
+
+    @property
+    def columns(self):
+        return (set(self.source.columns) - {"rings"}) \
+            | {"point_id", "px", "py"}
+
+    def _build(self, ctx):
+        from dask_geomodeling_spark.geometry.geom_operations import (
+            point_in_rings_sql)
+        _, n, factor, idc = self.args
+        df = self.source._build(ctx)
+        k = n * factor
+        p1, p2, p3, p4 = self._P
+        m = self._M
+        # ring bbox: one fold over the flattened vertex list
+        bb = ("aggregate(flatten(rings), "
+              "struct(cast('Infinity' as double) AS x0, "
+              "cast('Infinity' as double) AS y0, "
+              "cast('-Infinity' as double) AS x1, "
+              "cast('-Infinity' as double) AS y1), "
+              "(bbx, vtx) -> struct(least(bbx.x0, vtx[0]) AS x0, "
+              "least(bbx.y0, vtx[1]) AS y0, "
+              "greatest(bbx.x1, vtx[0]) AS x1, "
+              "greatest(bbx.y1, vtx[1]) AS y1))")
+        # candidates: hash-uniform in the bbox — ANSI-portable
+        # arithmetic only ((id·P + i·Q) mod M) / M, shared verbatim
+        # with the oracles
+        # CAST(i AS BIGINT): sequence() yields INTs and ANSI mode
+        # rejects the int*int overflow of the large mixing constants
+        cand = ("transform(sequence(1, {k}), i -> struct("
+                "_bb.x0 + (_bb.x1 - _bb.x0) * (cast(pmod(_fid * {p1} "
+                "+ cast(i as bigint) * {p2}, {m}) as double) / {m}) "
+                "AS cpx, "
+                "_bb.y0 + (_bb.y1 - _bb.y0) * (cast(pmod(_fid * {p3} "
+                "+ cast(i as bigint) * {p4}, {m}) as double) / {m}) "
+                "AS cpy))"
+                .format(k=k, p1=p1, p2=p2, p3=p3, p4=p4, m=m))
+        inside = point_in_rings_sql("cnd.cpx", "cnd.cpy", "rings")
+        kept = ("slice(filter({cand}, cnd -> {inside}), 1, {n})"
+                .format(cand=cand, inside=inside, n=n))
+        out_cols = [c for c in df.columns if c != "rings"]
+        return (df.withColumn("_fid", F.col(idc).cast("bigint"))
+                .withColumn("_bb", F.expr(bb))
+                .select(*out_cols,
+                        F.posexplode(F.expr(kept)).alias("_i", "_pt"))
+                .select(*out_cols,
+                        (F.col("_i") + 1).cast("bigint")
+                        .alias("point_id"),
+                        F.col("_pt.cpx").alias("px"),
+                        F.col("_pt.cpy").alias("py")))

@@ -841,3 +841,49 @@ def test_hausdorff_distance_properties(spark):
         index_column="fid")
     d = HausdorffDistance(rb, ra).plan(spark).collect()[0]["hausdorff"]
     assert d == 0.0                           # wrap edge counted
+
+
+def test_sample_points_in_polygons(spark):
+    """Round 10: deterministic in-polygon sampling — hypotenuse and
+    hole respected, reruns identical, short-fall documented, and the
+    synthesized-column collision guard."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.geometry.constructive import (
+        SamplePointsInPolygons)
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    S = "array<array<array<double>>>"
+    df = spark.createDataFrame(
+        [(1, [[[0.0, 0.0], [4.0, 0.0], [0.0, 4.0]]]),
+         (2, [[[10.0, 10.0], [14.0, 10.0], [14.0, 14.0], [10.0, 14.0]],
+              [[11.0, 11.0], [11.0, 13.0], [13.0, 13.0], [13.0, 11.0]]])],
+        "fid bigint, rings " + S)
+    blk = SamplePointsInPolygons(DataFrameSource(df, index_column="fid"),
+                                 n=8, factor=6)
+    rows = blk.plan(spark).collect()
+    tri = [r for r in rows if r["fid"] == 1]
+    sq = [r for r in rows if r["fid"] == 2]
+    assert len(tri) == 8 and len(sq) == 8
+    for r in tri:
+        assert 0 < r["px"] < 4 and 0 < r["py"] < 4
+        assert r["px"] + r["py"] < 4          # hypotenuse respected
+    for r in sq:
+        assert 10 < r["px"] < 14 and 10 < r["py"] < 14
+        assert not (11 < r["px"] < 13 and 11 < r["py"] < 13)  # hole
+    assert sorted(r["point_id"] for r in tri) == list(range(1, 9))
+    rows2 = blk.plan(spark).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+    # factor=1 on the triangle (half the bbox): typically < n points —
+    # the documented rejection short-fall, never an error
+    few = SamplePointsInPolygons(
+        DataFrameSource(df.filter(F.col("fid") == 1),
+                        index_column="fid"), n=8, factor=1)
+    assert len(few.plan(spark).collect()) <= 8
+    with pytest.raises(ValueError, match="rings"):
+        SamplePointsInPolygons(DataFrameSource(
+            df.select("fid"), index_column="fid"))
+    with pytest.raises(ValueError, match="collide"):
+        SamplePointsInPolygons(DataFrameSource(
+            df.withColumn("px", F.lit(0.0)), index_column="fid"))
