@@ -291,14 +291,16 @@ class SieveFilter(BaseSingle):
         # frames, not a second execution of the pass (round-10 review
         # fix) — and the round's internally persisted label frames
         # unpersist before the next round starts.
-        cur = (frame.select("time", "y", "x", "value")
-               .filter(F.col("value").isNotNull())
-               .localCheckpoint())
+        from dask_geomodeling_spark.config import strip_plan_stats
+        cur = strip_plan_stats(
+            frame.select("time", "y", "x", "value")
+            .filter(F.col("value").isNotNull())
+            .localCheckpoint())
         for _ in range(max_rounds):
             scratch = []
-            nxt = self._merge_pass(ctx, cur, threshold, connectivity,
-                                   uphill=True,
-                                   scratch=scratch).localCheckpoint()
+            nxt = strip_plan_stats(self._merge_pass(
+                ctx, cur, threshold, connectivity, uphill=True,
+                scratch=scratch).localCheckpoint())
             changed = (nxt.join(
                 cur.select("time", "y", "x",
                            F.col("value").alias("_ov")),
@@ -307,6 +309,13 @@ class SieveFilter(BaseSingle):
                 .limit(1).count())
             for df in scratch:
                 df.unpersist()
+            try:
+                # free the previous round's checkpoint blocks (the
+                # hydrology _rank_doubling lesson: retained raster-
+                # sized checkpoints accumulate across rounds)
+                cur._jdf.rdd().unpersist(False)
+            except Exception:
+                pass
             cur = nxt
             if changed == 0:
                 break

@@ -92,8 +92,19 @@ def _rank_doubling(cur, key, max_iter, op_name, zero):
     round does ``_r += _r[_ptr]; _ptr = _ptr[_ptr]`` (one self-join +
     localCheckpoint), converging in ⌈log₂ chain-length⌉ rounds.
     Shared by the Euler list ranking, FlowLength and the weighted
-    accumulation so the loop exists once (round-10 review refactor)."""
-    cur = cur.localCheckpoint()
+    accumulation so the loop exists once (round-10 review refactor).
+
+    Every round repartitions by the key with a USER-NUMBERED count
+    before checkpointing: the rank rows are ~24 bytes, so AQE's
+    byte-size coalescing would shrink a 5M-element tour to ~2
+    partitions and serialize all subsequent rounds onto 2 cores (the
+    recurring gotcha — user-numbered repartitions survive AQE;
+    measured 10×+ wall-clock difference at 2.5M cells)."""
+    from dask_geomodeling_spark.config import strip_plan_stats
+    spark = cur.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cur = strip_plan_stats(
+        cur.repartition(par, F.col(key)).localCheckpoint())
     for _ in range(max_iter):
         if cur.filter(F.col("_ptr").isNotNull()
                       ).limit(1).count() == 0:
@@ -101,12 +112,35 @@ def _rank_doubling(cur, key, max_iter, op_name, zero):
         jump = cur.select(F.col(key).alias("_ptr"),
                           F.col("_ptr").alias("_p2"),
                           F.col("_r").alias("_r2"))
-        cur = (cur.join(jump, "_ptr", "left")
-               .select(key,
-                       F.col("_p2").alias("_ptr"),
-                       (F.col("_r") + F.coalesce(F.col("_r2"), zero))
-                       .alias("_r"))
-               .localCheckpoint())
+        # ONLY still-active rows enter the join: converged rows have
+        # a NULL pointer, and NULL join keys all hash to one shuffle
+        # partition — their count DOUBLES per round as the list
+        # converges, so the last rounds would serialize into a single
+        # task (measured 2.5×/round wall-clock growth at 2.5M cells;
+        # round-10 fix).  Converged rows bypass the join untouched.
+        active = cur.filter(F.col("_ptr").isNotNull())
+        done = cur.filter(F.col("_ptr").isNull())
+        prev = cur
+        # strip_plan_stats: localCheckpoint carries the join-product
+        # sizeInBytes into the LogicalRDD — it would SQUARE per round
+        # and stall planning in BigInteger math by round ~20
+        cur = strip_plan_stats(
+            (active.join(jump, "_ptr", "left")
+             .select(key,
+                     F.col("_p2").alias("_ptr"),
+                     (F.col("_r") + F.coalesce(F.col("_r2"), zero))
+                     .alias("_r"))
+             .unionByName(done)
+             .repartition(par, F.col(key))
+             .localCheckpoint()))
+        # free round k−1's checkpoint blocks NOW: ~25 rounds of
+        # retained tour-sized checkpoints otherwise fill executor
+        # storage and the later rounds slow exponentially under
+        # eviction + GC (measured at 2.5M cells, round-10)
+        try:
+            prev._jdf.rdd().unpersist(False)
+        except Exception:
+            pass
     else:
         if cur.filter(F.col("_ptr").isNotNull()
                       ).limit(1).count() != 0:
@@ -577,18 +611,21 @@ class Watershed(BaseSingle):
     @staticmethod
     def _double_labels(nodes, edges, max_iter):
         # every node has a label row: parent if it has one, else self
-        cur = (nodes.select("_id")
-               .join(edges.select(F.col("_c").alias("_id"),
-                                  F.col("_p")), "_id", "left")
-               .select("_id", F.coalesce("_p", "_id").alias("_l"))
-               .localCheckpoint())
+        from dask_geomodeling_spark.config import strip_plan_stats
+        cur = strip_plan_stats(
+            (nodes.select("_id")
+             .join(edges.select(F.col("_c").alias("_id"),
+                                F.col("_p")), "_id", "left")
+             .select("_id", F.coalesce("_p", "_id").alias("_l"))
+             .localCheckpoint()))
         for _ in range(max_iter):
             jump = cur.select(F.col("_id").alias("_l"),
                               F.col("_l").alias("_l2"))
-            new = (cur.join(jump, "_l", "left")
-                   .select("_id", F.coalesce("_l2", F.col("_l"))
-                           .alias("_l"))
-                   .localCheckpoint())
+            new = strip_plan_stats(
+                (cur.join(jump, "_l", "left")
+                 .select("_id", F.coalesce("_l2", F.col("_l"))
+                         .alias("_l"))
+                 .localCheckpoint()))
             changed = (new.join(cur.select(F.col("_id"),
                                            F.col("_l").alias("_lo")),
                                 "_id")

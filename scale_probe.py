@@ -285,6 +285,34 @@ def probe_overlay_erase_hot_guarded(spark, n):
     return _overlay(spark, n, continent=True, max_group_rings=256)
 
 
+def build_ramp_dem(side):
+    def build(r):
+        return r.select(
+            F.expr("TIMESTAMP '2024-01-01'").alias("time"),
+            F.expr("id div {}".format(side)).alias("y"),
+            F.expr("pmod(id, {})".format(side)).alias("x"),
+            F.expr("CAST(id div {s} + pmod(id, {s}) AS DOUBLE)"
+                   .format(s=side)).alias("value"))
+    return build
+
+
+def probe_flow_accumulation(spark, n):
+    # ramp DEM: every cell drains, edges = ~n >> the 64k driver
+    # short-circuit on both legs — the Euler list-ranking rounds are
+    # what scales (⌈log₂ 2n⌉ self-joins)
+    from dask_geomodeling_spark.raster.hydrology import (
+        FlowAccumulation, FlowDirection)
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    side = int(math.sqrt(n))
+    cells = read_input(spark, gen_parquet(
+        spark, "dem", side * side, build_ramp_dem(side)))
+    out = FlowAccumulation(
+        FlowDirection(DataFrameRasterSource(cells))).plan(spark)
+    materialize(out)
+    return out.count()
+
+
 def probe_aggregate_raster(spark, n):
     from dask_geomodeling_spark.geometry.aggregate import AggregateRaster
     from dask_geomodeling_spark.geometry.sources import DataFrameSource
@@ -330,6 +358,7 @@ PROBES = {
     "overlay_erase_hot_guarded": (probe_overlay_erase_hot_guarded,
                                   30_000, None),
     "aggregate_raster": (probe_aggregate_raster, 600_000, None),
+    "flow_accumulation": (probe_flow_accumulation, 250_000, None),
 }
 
 
