@@ -6192,9 +6192,11 @@ WITH f AS (
          CAST((s_suppkey * 7) % 40 AS DOUBLE) AS ay
   FROM supplier),
 c AS (SELECT fid, ax, ay,
-  [{'px': ax + 2.0 * (CAST((fid * 2654435761 + i * 1597334677)
+  [{'px': ax + 2.0 * (CAST(((fid % 2147483647) * 2654435761
+                            + i * 1597334677)
                            % 2147483647 AS DOUBLE) / 2147483647),
-    'py': ay + 2.0 * (CAST((fid * 2246822519 + i * 3267000013)
+    'py': ay + 2.0 * (CAST(((fid % 2147483647) * 2246822519
+                            + i * 3267000013)
                            % 2147483647 AS DOUBLE) / 2147483647)}
    FOR i IN range(1, 33)] AS cands
   FROM f),
@@ -10663,10 +10665,8 @@ p1 AS (SELECT doc_id, text, url, scheme,
    CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
         WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
         ELSE host0 END AS host,
-   CASE WHEN rawpath = '' THEN '/'
-        WHEN rawpath <> '/' AND ends_with(rawpath, '/')
-        THEN substr(rawpath, 1, length(rawpath) - 1)
-        ELSE rawpath END AS path,
+   CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+        ELSE regexp_replace(rawpath, '/+$', '') END AS path,
    list_sort(list_filter(
        CASE WHEN query = '' THEN [] ELSE string_split(query, '&') END,
        p -> NOT regexp_matches(
@@ -10893,10 +10893,8 @@ p1 AS (SELECT doc_id, tc, n_words, n_lines_kept, url, scheme,
    CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
         WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
         ELSE host0 END AS host,
-   CASE WHEN rawpath = '' THEN '/'
-        WHEN rawpath <> '/' AND ends_with(rawpath, '/')
-        THEN substr(rawpath, 1, length(rawpath) - 1)
-        ELSE rawpath END AS path,
+   CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+        ELSE regexp_replace(rawpath, '/+$', '') END AS path,
    list_sort(list_filter(
        CASE WHEN query = '' THEN [] ELSE string_split(query, '&') END,
        p -> NOT regexp_matches(

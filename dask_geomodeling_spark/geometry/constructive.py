@@ -1422,12 +1422,19 @@ class SamplePointsInPolygons(BaseSingle):
         # arithmetic only ((id·P + i·Q) mod M) / M, shared verbatim
         # with the oracles
         # CAST(i AS BIGINT): sequence() yields INTs and ANSI mode
-        # rejects the int*int overflow of the large mixing constants
+        # rejects the int*int overflow of the large mixing constants.
+        # pmod(_fid, M) FIRST (round-11 advice fix): a raw snowflake/
+        # hash-derived id (>= ~3.5e9) times the 2.65e9 mixing prime
+        # overflows BIGINT — ANSI runtime error.  Reducing mod M keeps
+        # every product < 2^62 and, by modular arithmetic, yields the
+        # IDENTICAL candidate stream for ids already < M.
         cand = ("transform(sequence(1, {k}), i -> struct("
-                "_bb.x0 + (_bb.x1 - _bb.x0) * (cast(pmod(_fid * {p1} "
+                "_bb.x0 + (_bb.x1 - _bb.x0) * "
+                "(cast(pmod(pmod(_fid, {m}) * {p1} "
                 "+ cast(i as bigint) * {p2}, {m}) as double) / {m}) "
                 "AS cpx, "
-                "_bb.y0 + (_bb.y1 - _bb.y0) * (cast(pmod(_fid * {p3} "
+                "_bb.y0 + (_bb.y1 - _bb.y0) * "
+                "(cast(pmod(pmod(_fid, {m}) * {p3} "
                 "+ cast(i as bigint) * {p4}, {m}) as double) / {m}) "
                 "AS cpy))"
                 .format(k=k, p1=p1, p2=p2, p3=p3, p4=p4, m=m))

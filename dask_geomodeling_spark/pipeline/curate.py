@@ -419,8 +419,13 @@ class UrlNormalize(BaseSingle):
     - drop tracking query parameters (``utm_*``, ``fbclid``,
       ``gclid``, ``msclkid``, ``ref``), sort the survivors
       byte-wise, and re-join;
-    - strip a trailing slash from a non-root path; empty path
-      becomes ``/``.
+    - strip ALL trailing slashes from the path; an empty result
+      (including the root ``/`` and empty paths) becomes ``/``.
+
+    The trailing-slash rule makes the map idempotent
+    (``norm(norm(u)) == norm(u)``) so re-normalizing pipelines and
+    :class:`UrlDedup` agree on canonical keys — ``a///`` and ``a/``
+    collapse to the same key.
 
     Unparseable URLs (no ``scheme://``) pass through unchanged.
     Pure regex/array projection — no shuffle.
@@ -446,11 +451,8 @@ class UrlNormalize(BaseSingle):
                       F.regexp_replace(host, ":443$", "")) \
                 .otherwise(host)
         raw_path = F.regexp_extract(c, _URL_RE, 3)
-        path = F.when(raw_path == "", F.lit("/")) \
-                .when((raw_path != "/") & raw_path.endswith("/"),
-                      raw_path.substr(F.lit(1),
-                                      F.length(raw_path) - 1)) \
-                .otherwise(raw_path)
+        stripped = F.regexp_replace(raw_path, "/+$", "")
+        path = F.when(stripped == "", F.lit("/")).otherwise(stripped)
         query = F.regexp_extract(c, _URL_RE, 4)
         params = F.when(query == "", F.array().cast("array<string>")) \
                   .otherwise(F.split(query, "&"))

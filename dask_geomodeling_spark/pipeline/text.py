@@ -861,6 +861,11 @@ class BM25Score(BaseSingle):
             base = base.withColumn(
                 "_tf{}".format(i),
                 F.expr("size(filter(_w, x -> x = '{}'))".format(t)))
+        # base feeds the stats aggregation AND the scoring projection —
+        # persist it so the document scan + per-term HOF lambdas run
+        # once, not twice (round-11 advice fix; the WinnowingFingerprint
+        # k-gram-table convention)
+        base = base.drop("_w").persist()
         aggs = [F.count(F.lit(1)).alias("_n"),
                 F.avg("_dl").alias("_avgdl")]
         for i in range(len(terms)):

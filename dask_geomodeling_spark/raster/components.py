@@ -319,4 +319,14 @@ class SieveFilter(BaseSingle):
             cur = nxt
             if changed == 0:
                 break
+        else:
+            # round-11 advice fix: the loop exhausted max_rounds with
+            # merges still happening — returning silently would hand
+            # back a NON-fixpoint raster (regions under threshold
+            # remain) while the docstring promises full cascade
+            # parity; fail loudly like the hydrology doubling loops
+            raise ValueError(
+                "SieveFilter(iterate=True): did not converge in {} "
+                "rounds — raise max_rounds (the loop is bounded by "
+                "the region-graph diameter)".format(max_rounds))
         return cur

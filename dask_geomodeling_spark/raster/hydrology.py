@@ -610,13 +610,23 @@ class Watershed(BaseSingle):
 
     @staticmethod
     def _double_labels(nodes, edges, max_iter):
-        # every node has a label row: parent if it has one, else self
+        # every node has a label row: parent if it has one, else self.
+        # Round-11 advice fix: mirror _rank_doubling's two iterative-
+        # loop guards — repartition by _id with a USER-NUMBERED count
+        # before every localCheckpoint (AQE byte-size coalescing would
+        # serialize the ~16-byte label rows onto ~2 cores), and free
+        # the previous round's checkpoint blocks once `changed` has
+        # consumed them (otherwise ~log₂(depth) data-sized checkpoints
+        # accumulate in executor storage — the measured r10 pathology).
         from dask_geomodeling_spark.config import strip_plan_stats
+        spark = nodes.sparkSession
+        par = int(spark.conf.get("spark.sql.shuffle.partitions"))
         cur = strip_plan_stats(
             (nodes.select("_id")
              .join(edges.select(F.col("_c").alias("_id"),
                                 F.col("_p")), "_id", "left")
              .select("_id", F.coalesce("_p", "_id").alias("_l"))
+             .repartition(par, F.col("_id"))
              .localCheckpoint()))
         for _ in range(max_iter):
             jump = cur.select(F.col("_id").alias("_l"),
@@ -625,12 +635,17 @@ class Watershed(BaseSingle):
                 (cur.join(jump, "_l", "left")
                  .select("_id", F.coalesce("_l2", F.col("_l"))
                          .alias("_l"))
+                 .repartition(par, F.col("_id"))
                  .localCheckpoint()))
             changed = (new.join(cur.select(F.col("_id"),
                                            F.col("_l").alias("_lo")),
                                 "_id")
                        .filter(F.col("_l") != F.col("_lo"))
                        .limit(1).count())
+            try:
+                cur._jdf.rdd().unpersist(False)
+            except Exception:
+                pass
             cur = new
             if changed == 0:
                 # a converged label must be a ROOT (a node with no

@@ -88,12 +88,35 @@ def test_c4_doc_rule_min_sentences(spark):
     ("http://ex.com:80/", "http://ex.com/"),
     ("https://ex.com", "https://ex.com/"),
     ("https://ex.com/a/b/", "https://ex.com/a/b"),
+    # r10 judge regression: ALL trailing slashes strip in one pass
+    # (hypothesis falsified the old one-slash-per-pass rule)
+    ("https://h/a///", "https://h/a"),
+    ("https://///", "https:///"),
+    ("https://ex.com///", "https://ex.com/"),
+    ("https://ex.com/dir///", "https://ex.com/dir"),
     ("notaurl", "notaurl"),
 ])
 def test_url_normalize(spark, url, norm):
     from dask_geomodeling_spark.pipeline.curate import UrlNormalize
     src = _src(spark, [(1, url)], "doc_id bigint, url string")
     assert UrlNormalize(src).plan(spark).collect()[0]["url_norm"] == norm
+
+
+def test_url_normalize_idempotent_pinned(spark):
+    """norm(norm(u)) == norm(u) on the r10 falsifying examples —
+    pinned explicitly because hypothesis seeds rotate."""
+    from dask_geomodeling_spark.pipeline.curate import UrlNormalize
+    urls = ["https://///", "https://h/a///", "https://ex.com/dir///",
+            "HTTPS://WWW.Ex.COM:443/a//?utm_source=x&b=2&a=1#f"]
+    src = _src(spark, [(i, u) for i, u in enumerate(urls)],
+               "doc_id bigint, url string")
+    once = {r["doc_id"]: r["url_norm"]
+            for r in UrlNormalize(src).plan(spark).collect()}
+    src2 = _src(spark, [(i, u) for i, u in once.items()],
+                "doc_id bigint, url string")
+    twice = {r["doc_id"]: r["url_norm"]
+             for r in UrlNormalize(src2).plan(spark).collect()}
+    assert once == twice
 
 
 def test_url_dedup_keeps_longest_then_smallest_id(spark):
