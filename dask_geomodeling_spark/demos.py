@@ -11198,22 +11198,25 @@ def dsir_score_saved(spark, sf_dir):
 # contract, and the operators that are new or whose PLAN changed this
 # round (tests/test_core.py pins: every anchor is either green in the
 # latest CORRECTNESS artifact or absent from it, i.e. new).
+# Round-11 (verdict #3): every r10 anchor is driver-green in
+# CORRECTNESS_r10 and rotates back into the pool.  The anchor rule is
+# now MECHANICAL, not judgment ("rides the same helper" is exactly the
+# reasoning a gate exists to replace): every query registered this
+# round (registry minus _gate_roster.PRIOR_REGISTRY) is an anchor, no
+# exceptions — pinned by tests/test_core.py::test_gate_anchor_policy.
 GATE_ANCHORS = [
     "q1_pricing_summary",           # flagship
     "json_graph_roundtrip",         # serialization contract
-    # round-10: SieveFilter fixpoint mode (its rounds run the same
-    # inverted small-side scatter the one-pass sieve_filter uses, so
-    # one anchor covers both), salted PerGroupLimit, the D8 hydrology
-    # family, BM25, cubic warp, winnowing
-    # (flow_length rides the same _rank_doubling helper the anchored
-    # weighted accumulation exercises; raster_warp_median rides the
-    # same binned-statistic path as the anchored mode — both rotate)
-    "sieve_filter_iterate",
-    "per_group_limit",
-    "flow_direction", "flow_accumulation", "watershed",
-    "flow_accumulation_weighted",
-    "bm25_score", "raster_warp_cubic", "winnowing_fingerprint",
-    "raster_warp_mode",
+    # the three r10 ops the rotation never reached (r10 verdict #2)
+    "rolling_event_aggregate",
+    "sample_points_in_polygons",
+    "raster_warp_median",
+    # round-11 VALUE change: the UrlNormalize trailing-slash rule now
+    # strips ALL slashes (idempotence fix) — re-anchor the op and both
+    # chains whose oracles changed with it
+    "url_normalize",
+    "url_dedup",
+    "crawl_prep",
 ]
 
 

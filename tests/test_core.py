@@ -200,17 +200,29 @@ def test_gate_anchor_policy():
     still exactly 50 queries, and every anchor is either green in the
     latest driver CORRECTNESS artifact or absent from it (i.e. new
     this round — anchoring an op the driver already verified green
-    just starves the rotation)."""
+    just starves the rotation).
+
+    Round 11 (verdict #3): the anchor-new-ops rule is MECHANICAL —
+    every query registered since the previous round's frozen roster
+    (_gate_roster.PRIOR_REGISTRY) must be an anchor, so every op gets
+    its first driver CORRECTNESS row the round it lands; "rides the
+    same helper" inferences don't substitute for a driver row."""
     import glob
     import json
     import os
     import re
 
     from dask_geomodeling_spark import demos
+    from dask_geomodeling_spark._gate_roster import PRIOR_REGISTRY
 
     assert len(demos.GATE_ANCHORS) <= 12, demos.GATE_ANCHORS
     assert len(demos.GATE_ORDER) == 50
     assert len(set(demos.GATE_ORDER)) == 50
+    new_this_round = set(demos.QUERIES) - set(PRIOR_REGISTRY)
+    unanchored = new_this_round - set(demos.GATE_ANCHORS)
+    assert not unanchored, (
+        "round-new queries missing from GATE_ANCHORS (every op is "
+        "anchored the round it lands): {}".format(sorted(unanchored)))
     root = os.path.dirname(os.path.dirname(
         os.path.abspath(demos.__file__)))
     arts = {}
