@@ -100,7 +100,9 @@ def main():
                   "winnowing_fingerprint",
                   "raster_warp_mode", "raster_warp_median",
                   "rolling_event_aggregate",
-                  "sample_points_in_polygons"):
+                  "sample_points_in_polygons",
+                  # round-11 additions
+                  "stream_order"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

@@ -6270,6 +6270,38 @@ def flow_length(spark, sf_dir):
         .alias("flow_len"))
 
 
+@demo("stream_order", oracle="""
+SELECT TIMESTAMP '2024-01-01' AS time,
+       a.n_nationkey AS y, b.n_nationkey AS x,
+       CASE WHEN a.n_nationkey = 0 AND b.n_nationkey = 0 THEN 3.0
+            WHEN a.n_nationkey = 0 AND b.n_nationkey <= 23 THEN 2.0
+            WHEN b.n_nationkey = 0 AND a.n_nationkey <= 23 THEN 2.0
+            ELSE 1.0 END AS value
+FROM nation a CROSS JOIN nation b
+""")
+def stream_order(spark, sf_dir):
+    """StreamOrder (round 11): Strahler orders on the convergent
+    ramp z = y + x — interior cells sit on order-1 NW diagonal
+    chains; the y = 0 and x = 0 border stems each collect one order-1
+    tributary per cell (order 2 from one cell below their (24, ·)
+    heads); the (0, 0) pit receives BOTH order-2 stems → order 3.
+    Closed-form oracle; the k-loop over junction-weighted Euler
+    rankings runs past the driver short-circuit in the scale probe."""
+    from dask_geomodeling_spark.raster.hydrology import (
+        FlowDirection, StreamOrder)
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    nation = read_nanos_parquet(spark, _pq(sf_dir, "nation"))
+    a = nation.select(F.col("n_nationkey").alias("y"))
+    b = nation.select(F.col("n_nationkey").alias("x"))
+    grid = (a.crossJoin(b)
+            .select(F.expr("TIMESTAMP '2024-01-01'").alias("time"),
+                    "y", "x",
+                    F.expr("CAST(y + x AS DOUBLE)").alias("value")))
+    so = StreamOrder(FlowDirection(DataFrameRasterSource(grid)))
+    return so.plan(spark)
+
+
 @demo("watershed", oracle="""
 SELECT TIMESTAMP '2024-01-01' AS time,
        a.n_nationkey AS y, b.n_nationkey AS x,
@@ -11217,6 +11249,8 @@ GATE_ANCHORS = [
     "url_normalize",
     "url_dedup",
     "crawl_prep",
+    # round-11 new operators
+    "stream_order",
 ]
 
 

@@ -12,4 +12,5 @@ from dask_geomodeling_spark.raster.warp import Warp  # noqa
 from dask_geomodeling_spark.raster.components import RasterComponents  # noqa
 from dask_geomodeling_spark.raster.contour import Contour  # noqa
 from dask_geomodeling_spark.raster.hydrology import (  # noqa
-    FlowAccumulation, FlowDirection, FlowLength, Watershed)
+    FlowAccumulation, FlowDirection, FlowLength, StreamOrder,
+    Watershed)

@@ -1337,3 +1337,99 @@ def test_warp_downsample_statistics(spark):
                             (1, 1): 4.0}
     med = run("median")
     assert med[(0, 0)] == 5.0 and med[(0, 1)] == 1.5
+
+
+def test_stream_order_ramp_and_paths_agree(spark):
+    """Round 11: Strahler order on the ramp z = y + x — interior
+    diagonal chains are order 1, the two border stems collect an
+    order-1 tributary per cell (order 2 below their heads), and the
+    (0,0) pit receives two order-2 stems → order 3.  The driver
+    short-circuit and the Euler k-loop agree cell-exactly."""
+    import datetime
+
+    from dask_geomodeling_spark.raster.hydrology import (
+        FlowDirection, StreamOrder)
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    t = datetime.datetime(2024, 1, 1)
+    n = 6
+    cells = [(t, y, x, float(y + x))
+             for y in range(n) for x in range(n)]
+    df = spark.createDataFrame(
+        cells, "time timestamp, y bigint, x bigint, value double")
+    fd = FlowDirection(DataFrameRasterSource(df))
+
+    def expect(y, x):
+        if y == 0 and x == 0:
+            return 3.0
+        if y == 0:
+            return 2.0 if x <= n - 2 else 1.0
+        if x == 0:
+            return 2.0 if y <= n - 2 else 1.0
+        return 1.0
+
+    for kw in ({}, {"driver_threshold": 0}):
+        got = {(r["y"], r["x"]): r["value"] for r in StreamOrder(
+            fd, **kw).plan(spark).collect()}
+        assert len(got) == n * n
+        for (y, x), v in got.items():
+            assert v == expect(y, x), ((y, x), v, expect(y, x))
+
+
+def test_stream_order_perfect_confluence(spark):
+    """A two-branch confluence: two order-1 headwater columns meet at
+    a junction cell — the junction and everything downstream is
+    order 2; a third order-1 side branch does NOT bump it to 3
+    (max wins unless the max TIES)."""
+    import datetime
+
+    from dask_geomodeling_spark.raster.hydrology import StreamOrder
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    t = datetime.datetime(2024, 1, 1)
+    # direction raster fed directly: two columns of S-flow (code 4)
+    # at x=0 and x=2 meeting the cell (2,1) via SE (2) and SW (8),
+    # then (2,1) flows S; a single side cell (3,0) flows E (1) into
+    # the stem at (3,1)
+    rows = [
+        (t, 0, 0, 4.0), (t, 1, 0, 2.0),   # branch A: S then SE
+        (t, 0, 2, 4.0), (t, 1, 2, 8.0),   # branch B: S then SW
+        (t, 2, 1, 4.0),                   # junction, flows S
+        (t, 3, 0, 1.0),                   # side tributary, flows E
+        (t, 3, 1, 4.0),                   # stem continues S
+        (t, 4, 1, 0.0),                   # pit
+    ]
+    df = spark.createDataFrame(
+        rows, "time timestamp, y bigint, x bigint, value double")
+    src = DataFrameRasterSource(df)
+    for kw in ({}, {"driver_threshold": 0}):
+        got = {(r["y"], r["x"]): r["value"] for r in StreamOrder(
+            src, **kw).plan(spark).collect()}
+        assert got[(0, 0)] == 1.0 and got[(1, 0)] == 1.0
+        assert got[(0, 2)] == 1.0 and got[(1, 2)] == 1.0
+        assert got[(3, 0)] == 1.0
+        assert got[(2, 1)] == 2.0      # two order-1 branches tie
+        assert got[(3, 1)] == 2.0      # order-1 side branch: max wins
+        assert got[(4, 1)] == 2.0
+
+
+def test_stream_order_cycle_fails_fast(spark):
+    """Shared fail-fast contract with FlowAccumulation: a 2-cycle
+    direction raster raises in BOTH execution paths."""
+    import datetime
+
+    import pytest
+
+    from dask_geomodeling_spark.raster.hydrology import StreamOrder
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    t = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(t, 0, 0, 1.0), (t, 0, 1, 16.0)],
+        "time timestamp, y bigint, x bigint, value double")
+    src = DataFrameRasterSource(df)
+    with pytest.raises(Exception, match="cycle"):
+        StreamOrder(src).plan(spark).collect()
+    with pytest.raises(Exception, match="cycle|converge"):
+        StreamOrder(src, driver_threshold=0,
+                    max_iter=8).plan(spark).collect()
