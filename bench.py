@@ -102,7 +102,7 @@ def main():
                   "rolling_event_aggregate",
                   "sample_points_in_polygons",
                   # round-11 additions
-                  "stream_order"):
+                  "stream_order", "dbscan_clusters"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

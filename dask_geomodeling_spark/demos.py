@@ -6237,6 +6237,78 @@ def sample_points_in_polygons(spark, sf_dir):
     return blk.plan(spark).select("fid", "point_id", "px", "py")
 
 
+_DBSCAN_PTS_DUCK = """
+SELECT s_suppkey AS id,
+       CASE WHEN s_suppkey % 3 = 0 THEN (s_suppkey * 7 % 13) * 0.5
+            WHEN s_suppkey % 3 = 1
+            THEN 100.0 + (s_suppkey * 7 % 13) * 0.5
+            ELSE 1000.0 + s_suppkey * 50.0 END AS x,
+       CASE WHEN s_suppkey % 3 = 0 THEN (s_suppkey * 11 % 13) * 0.5
+            WHEN s_suppkey % 3 = 1
+            THEN 100.0 + (s_suppkey * 11 % 13) * 0.5
+            ELSE -500.0 - s_suppkey * 37.0 END AS y
+FROM supplier
+"""
+
+_DBSCAN_PTS_SPARK = (
+    "CASE WHEN id % 3 = 0 THEN (id * 7 % 13) * 0.5D "
+    "WHEN id % 3 = 1 THEN 100.0D + (id * 7 % 13) * 0.5D "
+    "ELSE 1000.0D + id * 50.0D END",
+    "CASE WHEN id % 3 = 0 THEN (id * 11 % 13) * 0.5D "
+    "WHEN id % 3 = 1 THEN 100.0D + (id * 11 % 13) * 0.5D "
+    "ELSE -500.0D - id * 37.0D END")
+
+
+@demo("dbscan_clusters", oracle="""
+WITH RECURSIVE pts AS ({pts}),
+nb AS (SELECT a.id AS ia, b.id AS ib,
+              (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+       FROM pts a JOIN pts b ON a.id <> b.id
+       WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 4.0),
+core AS (SELECT ia AS id FROM nb GROUP BY ia
+         HAVING COUNT(*) + 1 >= 4),
+ce AS (SELECT nb.ia, nb.ib FROM nb
+       JOIN core c1 ON nb.ia = c1.id
+       JOIN core c2 ON nb.ib = c2.id),
+reach(id, lbl) AS (
+   SELECT id, id FROM core
+   UNION
+   SELECT ce.ia, reach.lbl FROM reach JOIN ce ON ce.ib = reach.id),
+comp AS (SELECT id, MIN(lbl) AS cid FROM reach GROUP BY id),
+bord AS (SELECT nb.ia AS id,
+                (min(struct_pack(d := nb.d2, i := nb.ib))).i AS bc
+         FROM nb JOIN core c2 ON nb.ib = c2.id
+         WHERE nb.ia NOT IN (SELECT id FROM core)
+         GROUP BY nb.ia),
+lab AS (SELECT id, cid, TRUE AS is_core FROM comp
+        UNION ALL
+        SELECT b.id, c.cid, FALSE AS is_core
+        FROM bord b JOIN comp c ON c.id = b.bc)
+SELECT p.id, CAST(lab.cid AS BIGINT) AS cluster_id,
+       COALESCE(lab.is_core, FALSE) AS is_core
+FROM pts p LEFT JOIN lab ON lab.id = p.id
+""".format(pts=_DBSCAN_PTS_DUCK))
+def dbscan_clusters(spark, sf_dir):
+    """ClusterDBSCAN (round 11, ST_ClusterDBSCAN): two dense
+    half-unit lattice blobs (every point core at eps=2, min_points=4)
+    plus a 50-unit-spaced noise diagonal — clusters label by smallest
+    core id, noise stays NULL.  The oracle replays DBSCAN generically
+    (neighbor counts, a recursive-CTE transitive closure over the
+    core graph, the same nearest-core border argmin) rather than the
+    layout's closed form, so the grid-bucketed pair join is checked
+    against textbook semantics."""
+    from dask_geomodeling_spark.geometry.spatial_join import (
+        ClusterDBSCAN)
+    supplier = ensure_min_partitions(
+        read_nanos_parquet(spark, _pq(sf_dir, "supplier")), spark)
+    xe, ye = _DBSCAN_PTS_SPARK
+    pts = (supplier.select(F.col("s_suppkey").alias("id"))
+           .select("id", F.expr(xe).alias("x"), F.expr(ye).alias("y")))
+    src = DataFrameSource(pts, index_column="id")
+    blk = ClusterDBSCAN(src, eps=2.0, min_points=4)
+    return blk.plan(spark).select("id", "cluster_id", "is_core")
+
+
 @demo("flow_length", oracle="""
 SELECT TIMESTAMP '2024-01-01' AS time,
        a.n_nationkey AS y, b.n_nationkey AS x,
@@ -11251,6 +11323,7 @@ GATE_ANCHORS = [
     "crawl_prep",
     # round-11 new operators
     "stream_order",
+    "dbscan_clusters",
 ]
 
 

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from dask_geomodeling_spark.geometry.base import GeometryBlock
 
-__all__ = ["SpatialJoin", "NearestJoin"]
+__all__ = ["SpatialJoin", "NearestJoin", "ClusterDBSCAN"]
 
 
 def _pair_leftover(lr, rr):
@@ -436,3 +436,154 @@ class NearestJoin(GeometryBlock):
         matched = best.select(idc, *sel, dist.alias("distance"))
         out = L.join(matched, idc, "left" if how == "left" else "inner")
         return out
+
+
+class ClusterDBSCAN(GeometryBlock):
+    """Density-based point clustering — the PostGIS
+    ``ST_ClusterDBSCAN(geom, eps, minpoints) OVER ()`` analogue as a
+    first-class block (round 11); project embeddings to 2-D first
+    (``PCAProject``/``MatryoshkaSlice``) and it doubles as
+    embedding-space density clustering.
+
+    Semantics (sklearn/PostGIS DBSCAN):
+
+    - a point is CORE iff at least ``min_points`` points (itself
+      included) lie within ``eps`` (closed ball, exact squared
+      arithmetic — no sqrt ulps);
+    - clusters are the connected components of core points under
+      eps-adjacency; the cluster id is the smallest member id of the
+      component's core set (deterministic, engine-independent);
+    - a non-core point within ``eps`` of a core point is a BORDER
+      point and joins its NEAREST core's cluster (ties to the
+      smallest core id — classic DBSCAN leaves this order-dependent;
+      the argmin makes it a pure function of the data);
+    - everything else is noise: ``cluster_id`` NULL.
+
+    Output: source columns + ``cluster_id`` + ``is_core``.
+
+    Plan shape (100 TB): points key into an eps-sized uniform grid;
+    one side scatters to its 3×3 neighbor cells (the NearestJoin
+    shape) so every eps-pair meets in EXACTLY one equi-join on
+    (cell_x, cell_y) — never data×data; one count aggregation marks
+    cores; the core-core edge set runs the DedupClusters star rounds
+    (O(log²) rounds, driver union-find short-circuit under 64k
+    edges); border attachment is one struct-min argmin.  An eps-ball
+    with k points produces O(k²) candidate pairs — DBSCAN's inherent
+    density cost; at 100 TB pick eps against the data density (the
+    same contract PostGIS ships with), and AQE's skew-join handles
+    hot cells.
+    """
+
+    def __init__(self, source, eps, min_points, id_column=None,
+                 max_iter=20):
+        if not isinstance(source, GeometryBlock):
+            raise TypeError("source must be a GeometryBlock")
+        e = float(eps)
+        if not e > 0:
+            raise ValueError("eps must be > 0")
+        if int(min_points) < 1:
+            raise ValueError("min_points must be >= 1")
+        if id_column is None:
+            id_column = source.index_column
+        clash = {"cluster_id", "is_core"} & set(source.columns)
+        if clash:
+            raise ValueError(
+                "column(s) {} collide with ClusterDBSCAN's output; "
+                "rename upstream".format(sorted(clash)))
+        super().__init__(source, e, int(min_points), str(id_column),
+                         int(max_iter))
+
+    @property
+    def source(self):
+        return self.args[0]
+
+    @property
+    def index_column(self):
+        return self.source.index_column
+
+    @property
+    def columns(self):
+        return set(self.source.columns) | {"cluster_id", "is_core"}
+
+    def _build(self, ctx):
+        from dask_geomodeling_spark.pipeline.dedup import DedupClusters
+        _, eps, min_points, idc, max_iter = self.args
+        df = self.source._build(ctx)
+        if not {"x", "y"} <= set(df.columns):
+            raise ValueError("ClusterDBSCAN needs point x/y columns")
+        csl = "CAST({!r} AS DOUBLE)".format(eps)
+        offs = ctx.spark.createDataFrame(
+            [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
+            "dy int, dx int")
+        pts = df.select(F.col(idc).alias("_pid"), "x", "y")
+        right = (pts.select(F.col("_pid").alias("_rid"),
+                            F.col("x").alias("_rx"),
+                            F.col("y").alias("_ry"))
+                 .crossJoin(F.broadcast(offs))
+                 .select("_rid", "_rx", "_ry",
+                         (F.expr("CAST(FLOOR(_rx / {cs}) AS BIGINT)"
+                                 .format(cs=csl)) + F.col("dx"))
+                         .alias("_cx"),
+                         (F.expr("CAST(FLOOR(_ry / {cs}) AS BIGINT)"
+                                 .format(cs=csl)) + F.col("dy"))
+                         .alias("_cy")))
+        left = pts.withColumns({
+            "_cx": F.expr("CAST(FLOOR(x / {cs}) AS BIGINT)"
+                          .format(cs=csl)),
+            "_cy": F.expr("CAST(FLOOR(y / {cs}) AS BIGINT)"
+                          .format(cs=csl))})
+        d2 = ((F.col("x") - F.col("_rx"))
+              * (F.col("x") - F.col("_rx"))
+              + (F.col("y") - F.col("_ry"))
+              * (F.col("y") - F.col("_ry")))
+        # every eps-pair appears exactly once per direction (the left
+        # point owns one cell); persisted — the pair table feeds the
+        # core count, the core graph and the border argmin
+        pairs = (left.join(right, ["_cx", "_cy"])
+                 .where((d2 <= eps * eps)
+                        & (F.col("_rid") != F.col("_pid")))
+                 .select("_pid", "_rid", d2.alias("_d2"))
+                 .persist())
+        cnt = (pairs.groupBy("_pid")
+               .agg((F.count(F.lit(1)) + 1).alias("_nn")))
+        core = (cnt.filter(F.col("_nn") >= min_points)
+                .select("_pid"))
+        # min_points == 1: every point is core even with no neighbor
+        if min_points == 1:
+            core = pts.select("_pid")
+        core = core.persist()
+        cc = (pairs
+              .join(core, "_pid", "left_semi")
+              .join(core.select(F.col("_pid").alias("_rid")), "_rid",
+                    "left_semi")
+              .select(F.least("_pid", "_rid").alias("_lo"),
+                      F.greatest("_pid", "_rid").alias("_hi"))
+              .distinct())
+        labels = DedupClusters._star_labels(cc, max_iter)
+        core_lab = (core.join(
+            labels.select(F.col("_id").alias("_pid"), "_lbl"),
+            "_pid", "left")
+            .select("_pid",
+                    F.coalesce("_lbl", "_pid").alias("_clu"),
+                    F.lit(True).alias("_isc")))
+        # border points: nearest core neighbor's cluster (one argmin)
+        brd = (pairs
+               .join(core.select(F.col("_pid").alias("_rid")), "_rid",
+                     "left_semi")
+               .join(core, "_pid", "left_anti")
+               .groupBy("_pid")
+               .agg(F.min(F.struct(F.col("_d2").alias("d2"),
+                                   F.col("_rid").alias("rid")))
+                    .alias("_b"))
+               .select("_pid", F.col("_b.rid").alias("_bcore")))
+        brd_lab = (brd.join(
+            core_lab.select(F.col("_pid").alias("_bcore"),
+                            F.col("_clu")), "_bcore")
+            .select("_pid", "_clu", F.lit(False).alias("_isc")))
+        lab = core_lab.unionByName(brd_lab)
+        return (df.join(lab.withColumnRenamed("_pid", idc), idc,
+                        "left")
+                .select(*df.columns,
+                        F.col("_clu").alias("cluster_id"),
+                        F.coalesce(F.col("_isc"), F.lit(False))
+                        .alias("is_core")))

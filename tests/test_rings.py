@@ -887,3 +887,68 @@ def test_sample_points_in_polygons(spark):
     with pytest.raises(ValueError, match="collide"):
         SamplePointsInPolygons(DataFrameSource(
             df.withColumn("px", F.lit(0.0)), index_column="fid"))
+
+
+def test_cluster_dbscan_two_blobs_border_noise(spark):
+    """Round 11: ClusterDBSCAN — two dense blobs label by their
+    smallest core id, a non-core point within eps of a core attaches
+    to the nearest core's cluster, border points do NOT chain, and
+    isolated points are noise (NULL cluster)."""
+    from dask_geomodeling_spark.geometry.spatial_join import (
+        ClusterDBSCAN)
+    pts = ([{"id": 1, "x": 0.0, "y": 0.0},
+            {"id": 2, "x": 1.0, "y": 0.0},
+            {"id": 3, "x": 0.0, "y": 1.0},
+            {"id": 6, "x": 1.0, "y": 1.0},
+            {"id": 4, "x": 2.2, "y": 0.0},   # nbrs {2, 5}: border
+            {"id": 5, "x": 3.4, "y": 0.0},   # near border 4 only
+            {"id": 20, "x": 5.0, "y": 5.0}]  # isolated noise
+           + [{"id": 10 + i, "x": 10.0 + (i % 2), "y": 10.0 + i // 2}
+              for i in range(4)])
+    src = LiteralGeometrySource(pts)
+    blk = ClusterDBSCAN(src, eps=1.5, min_points=4)
+    got = {r["id"]: (r["cluster_id"], r["is_core"])
+           for r in blk.plan(spark).collect()}
+    assert got[1] == (1, True)
+    assert got[2] == (1, True)
+    assert got[3] == (1, True)
+    assert got[6] == (1, True)
+    assert got[4] == (1, False)        # border
+    assert got[5] == (None, False)     # border of a border = noise
+    assert got[20] == (None, False)
+    for i in range(4):
+        assert got[10 + i] == (10, True)
+
+
+def test_cluster_dbscan_min_points_one_and_clash(spark):
+    """min_points=1 makes every point a core singleton; output-column
+    collision raises."""
+    import pytest
+
+    from dask_geomodeling_spark.geometry.spatial_join import (
+        ClusterDBSCAN)
+    pts = [{"id": 1, "x": 0.0, "y": 0.0},
+           {"id": 2, "x": 100.0, "y": 0.0}]
+    src = LiteralGeometrySource(pts)
+    got = {r["id"]: (r["cluster_id"], r["is_core"])
+           for r in ClusterDBSCAN(src, eps=1.0, min_points=1)
+           .plan(spark).collect()}
+    assert got == {1: (1, True), 2: (2, True)}
+    bad = LiteralGeometrySource(
+        [{"id": 1, "x": 0.0, "y": 0.0, "cluster_id": 9}])
+    with pytest.raises(ValueError, match="collide"):
+        ClusterDBSCAN(bad, eps=1.0, min_points=1)
+
+
+def test_cluster_dbscan_bridge_merges_via_core_chain(spark):
+    """Core points chain: a line of cores spaced under eps forms ONE
+    cluster even though the ends are far apart (density
+    connectivity, the defining DBSCAN property)."""
+    from dask_geomodeling_spark.geometry.spatial_join import (
+        ClusterDBSCAN)
+    pts = [{"id": i, "x": float(i), "y": 0.0} for i in range(8)]
+    src = LiteralGeometrySource(pts)
+    got = {r["id"]: (r["cluster_id"], r["is_core"])
+           for r in ClusterDBSCAN(src, eps=1.1, min_points=2)
+           .plan(spark).collect()}
+    assert all(v == (0, True) for v in got.values()), got
