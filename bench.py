@@ -102,7 +102,8 @@ def main():
                   "rolling_event_aggregate",
                   "sample_points_in_polygons",
                   # round-11 additions
-                  "stream_order", "dbscan_clusters"):
+                  "stream_order", "dbscan_clusters",
+                  "incremental_dedup"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

@@ -1307,6 +1307,86 @@ def minhash_lsh(spark, sf_dir):
                       ).plan(spark)
 
 
+def _incremental_oracle(num_perm=8, bands=4, n=2):
+    from dask_geomodeling_spark.pipeline.dedup import _perm_constants
+    perms = _perm_constants(num_perm)
+    sig_cols = ",\n  ".join(
+        "list_min(list_transform(sh, x -> ({a} * x + {b}) % 2147483647)) "
+        "AS s{i}".format(a=a, b=b, i=i) for i, (a, b) in enumerate(perms))
+    rpb = num_perm // bands
+    band_preds = " OR ".join(
+        "(" + " AND ".join(
+            "a.s{j} = b.s{j}".format(j=bb * rpb + r) for r in range(rpb))
+        + ")" for bb in range(bands))
+    return """
+WITH src AS (
+  SELECT doc_id, text, 0 AS side FROM documents WHERE doc_id % 5 <> 0
+  UNION ALL
+  SELECT d.doc_id, n.text, 1 AS side
+  FROM documents d JOIN documents n ON n.doc_id = d.doc_id + 1
+  WHERE d.doc_id % 5 = 0),
+docs AS (
+  SELECT doc_id, side,
+         string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM src),
+th AS (SELECT doc_id, side, list_transform(w, t -> {poly}) AS h
+       FROM docs),
+hs AS (SELECT doc_id, side,
+  list_distinct([
+    list_reduce(list_prepend(CAST(0 AS BIGINT), h[i:i+{nm1}]),
+                (acc, x) -> (acc * 8191 + x) % 2147483647)
+    FOR i IN range(1, greatest(len(h) - {n} + 1, 1) + 1)]) AS sh
+  FROM th),
+sigs AS (SELECT doc_id, side, sh, {sigs} FROM hs),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a JOIN sigs b
+  ON a.side = 0 AND b.side = 1 AND a.doc_id <> b.doc_id
+     AND ({preds}))
+SELECT c.id_a, c.id_b,
+       CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+       / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+           AS jaccard
+FROM cand c
+JOIN sigs x ON x.doc_id = c.id_a AND x.side = 0
+JOIN sigs y ON y.doc_id = c.id_b AND y.side = 1
+""".format(poly=_DD_POLY.format(col="t", base=257), n=n, nm1=n - 1,
+           sigs=sig_cols, preds=band_preds)
+
+
+@demo("incremental_dedup", oracle=_incremental_oracle())
+def incremental_dedup(spark, sf_dir):
+    """Incremental dedup against a SAVED fingerprint table (round 11
+    — the CommonCrawl snapshot-over-snapshot shape): batch 1
+    (doc_id % 5 ≠ 0) persists its MinHash signature table via
+    FingerprintTableSink; batch 2 (doc_id % 5 = 0, each text a
+    planted copy of its doc_id+1 batch-1 neighbor) LSH-joins the
+    saved table with ``MinHashLSH(against=url)`` — the corpus is
+    never re-fingerprinted.  The oracle replays BOTH stages (the full
+    sig pipeline on each side, then the cross-batch band join)."""
+    import tempfile
+
+    from dask_geomodeling_spark.pipeline.dedup import (
+        FingerprintTableSink, MinHashLSH)
+    docs = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "documents")), spark).select("doc_id",
+                                                        "text")
+    b1 = DataFrameSource(docs.where("doc_id % 5 != 0"),
+                         index_column="doc_id")
+    url = tempfile.mkdtemp(prefix="dgs_fps_") + "/fps"
+    FingerprintTableSink(b1, url, num_perm=8, bands=4,
+                         shingle_size=2, hash_fn="poly").write(spark)
+    nxt = docs.select((F.col("doc_id") - 1).alias("doc_id"),
+                      F.col("text"))
+    b2 = DataFrameSource(
+        docs.where("doc_id % 5 = 0").select("doc_id").join(nxt,
+                                                           "doc_id"),
+        index_column="doc_id")
+    return MinHashLSH(b2, num_perm=8, bands=4, shingle_size=2,
+                      verify=True, hash_fn="poly",
+                      against=url).plan(spark)
+
+
 def _simhash_oracle(max_hamming=3):
     h62 = ("({h1} * CAST(2147483647 AS BIGINT) + {h2})"
            .format(h1=_DD_POLY.format(col="t", base=257),
@@ -11324,6 +11404,7 @@ GATE_ANCHORS = [
     # round-11 new operators
     "stream_order",
     "dbscan_clusters",
+    "incremental_dedup",
 ]
 
 

@@ -21,7 +21,8 @@ from dask_geomodeling_spark.geometry.base import BaseSingle
 __all__ = ["ExactDedup", "MinHashLSH", "SimHash", "NgramJaccard",
            "EmbeddingDedup", "SemDedup", "DedupClusters",
            "ClusterRepresentative", "FuzzyDedup", "WinnowingFingerprint",
-           "ngram_regex_expr", "RepeatedSpans", "RemoveRepeatedSpans"]
+           "ngram_regex_expr", "RepeatedSpans", "RemoveRepeatedSpans",
+           "FingerprintTableSink"]
 
 # 31-bit Mersenne prime: (a*h + b) stays < 2^62 under ANSI overflow checks
 MERSENNE = (1 << 31) - 1
@@ -178,17 +179,29 @@ class MinHashLSH(BaseSingle):
 
     Output: ``id_a``, ``id_b`` (id_a < id_b) distinct candidate pairs,
     with ``jaccard`` when ``verify=True``.
+
+    ``against=<url>`` (round 11 — the production CommonCrawl-snapshot
+    shape): instead of the self-join, the source rows (the NEW batch)
+    LSH-join the SAVED signature table a :class:`FingerprintTableSink`
+    wrote at ``url`` — the corpus is never re-fingerprinted or even
+    re-read beyond its (narrow) signature table.  Output then is
+    ``id_a`` = saved-corpus id, ``id_b`` = new-batch id (self-pairs on
+    a shared id space are dropped); ``num_perm``/``bands``/
+    ``shingle_size``/``hash_fn`` must match the sink's (a mismatched
+    ``num_perm`` fails fast on the saved schema).  The
+    StreamingNearDup stream-static pattern, batch form.
     """
 
     def __init__(self, source, text_column="text", id_column="doc_id",
                  num_perm=32, bands=8, shingle_size=3, verify=True,
-                 threshold=0.0, hash_fn="xxhash64"):
+                 threshold=0.0, hash_fn="xxhash64", against=None):
         if num_perm % bands != 0:
             raise ValueError("num_perm must be divisible by bands")
         if hash_fn not in ("xxhash64", "poly"):
             raise ValueError("hash_fn must be 'xxhash64' or 'poly'")
         super().__init__(source, text_column, id_column, num_perm, bands,
-                         shingle_size, verify, float(threshold), hash_fn)
+                         shingle_size, verify, float(threshold), hash_fn,
+                         None if against is None else str(against))
 
     @property
     def columns(self):
@@ -197,7 +210,7 @@ class MinHashLSH(BaseSingle):
 
     def _signatures(self, ctx):
         (_, text_column, id_column, num_perm, bands, shingle_size,
-         _, _, hash_fn) = self.args
+         _, _, hash_fn) = self.args[:9]
         df = self.source._build(ctx)
         if hash_fn == "xxhash64":
             # regex gram build (ngram_regex_expr): identical shingle
@@ -238,23 +251,74 @@ class MinHashLSH(BaseSingle):
                          F.col("_hashes").alias("_shingles"),
                          *sig_cols), num_perm, bands
 
+    @staticmethod
+    def _band_structs(num_perm, bands):
+        """Band bucket keys: the raw signature slice per band (no
+        re-hash — collision-free and engine-independent)."""
+        rows_per_band = num_perm // bands
+        out = []
+        for b in range(bands):
+            cols = [F.col("_s{}".format(b * rows_per_band + r))
+                    for r in range(rows_per_band)]
+            out.append(F.struct(F.lit(b).alias("band"),
+                                F.array(*cols).alias("sig")))
+        return out
+
+    def _build_against(self, ctx, url):
+        """Incremental mode: the new batch's buckets probe the saved
+        signature table's buckets — ONE equi-join on the (band, slice)
+        key; the corpus text is never touched."""
+        _, _, _, num_perm, bands = self.args[:5]
+        sigs, _, _ = self._signatures(ctx)
+        sigs = sigs.persist()
+        saved = ctx.spark.read.parquet(url)
+        want = {"_id", "_shingles"} | {
+            "_s{}".format(i) for i in range(num_perm)}
+        if not want <= set(saved.columns) \
+                or "_s{}".format(num_perm) in saved.columns:
+            raise ValueError(
+                "fingerprint table at {} does not match num_perm={} "
+                "(columns: {})".format(url, num_perm,
+                                       sorted(saved.columns)))
+        bs = self._band_structs(num_perm, bands)
+        new_b = sigs.select(
+            F.col("_id").alias("id_b"),
+            F.explode(F.array(*bs)).alias("_bb"))
+        old_b = saved.select(
+            F.col("_id").alias("id_a"),
+            F.explode(F.array(*bs)).alias("_ba"))
+        pairs = (old_b.join(new_b,
+                            (old_b["_ba"] == new_b["_bb"])
+                            & (old_b["id_a"] != new_b["id_b"]))
+                 .select("id_a", "id_b").distinct())
+        if not self.args[6]:
+            return pairs
+        sh_a = saved.select(F.col("_id").alias("id_a"),
+                            F.col("_shingles").alias("_sh_a"))
+        sh_b = sigs.select(F.col("_id").alias("id_b"),
+                           F.col("_shingles").alias("_sh_b"))
+        pairs = pairs.join(sh_a, "id_a").join(sh_b, "id_b")
+        inter = F.size(F.array_intersect("_sh_a", "_sh_b")) \
+            .cast("double")
+        union = (F.size("_sh_a") + F.size("_sh_b")
+                 - F.size(F.array_intersect("_sh_a", "_sh_b")))
+        out = pairs.select("id_a", "id_b",
+                           (inter / union).alias("jaccard"))
+        if self.args[7] > 0:
+            out = out.filter(F.col("jaccard") >= self.args[7])
+        return out
+
     def _build(self, ctx):
+        against = self.args[9] if len(self.args) > 9 else None
+        if against is not None:
+            return self._build_against(ctx, against)
         sigs, num_perm, bands = self._signatures(ctx)
         # the signature table feeds the band join twice and the verify
         # join twice — persist it (MEMORY_AND_DISK) instead of
         # recomputing the shingle+hash scan per use; at 100 TB this is
         # the standard "materialize the signature table" step
         sigs = sigs.persist()
-        rows_per_band = num_perm // bands
-        band_structs = []
-        for b in range(bands):
-            cols = [F.col("_s{}".format(b * rows_per_band + r))
-                    for r in range(rows_per_band)]
-            # the bucket key is the raw signature slice (no re-hash):
-            # collision-free and engine-independent
-            band_structs.append(F.struct(
-                F.lit(b).alias("band"),
-                F.array(*cols).alias("sig")))
+        band_structs = self._band_structs(num_perm, bands)
         # the bucket join carries only (id, band-key); the (wide) shingle
         # arrays are joined back AFTER pair dedup — smaller shuffles
         buckets = sigs.select(
@@ -282,6 +346,59 @@ class MinHashLSH(BaseSingle):
         if self.args[7] > 0:
             out = out.filter(F.col("jaccard") >= self.args[7])
         return out
+
+
+class FingerprintTableSink(BaseSingle):
+    """Materialize a corpus's MinHash SIGNATURE TABLE for incremental
+    dedup (round 11): one narrow row per document — ``_id``,
+    ``_shingles`` (the distinct shingle hashes, for exact-Jaccard
+    verification) and ``_s0.._s{num_perm-1}`` — written as parquet at
+    ``url``.  ``MinHashLSH(new_batch, against=url, ...)`` then
+    LSH-joins a NEW batch against the saved table WITHOUT
+    re-fingerprinting (or re-reading) the corpus: the production
+    snapshot-over-snapshot CommonCrawl shape, where each monthly crawl
+    dedups against everything already ingested and then appends its
+    own signatures.
+
+    The signature pipeline is exactly :meth:`MinHashLSH._signatures`
+    (same permutation constants, same band slicing), so saved and
+    fresh signatures are bit-identical for identical text.  Use
+    ``mode="append"`` to grow the table batch over batch.
+    """
+
+    def __init__(self, source, url, text_column="text",
+                 id_column="doc_id", num_perm=32, bands=8,
+                 shingle_size=3, hash_fn="xxhash64"):
+        if not isinstance(url, str):
+            raise TypeError("url must be a string")
+        if num_perm % bands != 0:
+            raise ValueError("num_perm must be divisible by bands")
+        super().__init__(source, url, text_column, id_column,
+                         int(num_perm), int(bands), int(shingle_size),
+                         hash_fn)
+
+    @property
+    def columns(self):
+        _, _, _, _, num_perm = self.args[:5]
+        return {"_id", "_shingles"} | {
+            "_s{}".format(i) for i in range(num_perm)}
+
+    def _lsh(self):
+        (source, _, text_column, id_column, num_perm, bands,
+         shingle_size, hash_fn) = self.args
+        return MinHashLSH(source, text_column, id_column, num_perm,
+                          bands, shingle_size, verify=False,
+                          hash_fn=hash_fn)
+
+    def _build(self, ctx):
+        sigs, _, _ = self._lsh()._signatures(ctx)
+        return sigs
+
+    def write(self, spark=None, mode="overwrite", **request):
+        df = self.plan(spark, **request)
+        url = self.args[1]
+        df.write.mode(mode).format("parquet").save(url)
+        return url
 
 
 class SimHash(BaseSingle):

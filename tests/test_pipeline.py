@@ -1382,3 +1382,53 @@ def test_winnowing_fingerprint(spark):
     with pytest.raises(ValueError, match="collide"):
         WinnowingFingerprint(DataFrameSource(
             df.withColumn("fp", df.doc_id), index_column="doc_id"))
+
+
+def test_incremental_dedup_against_saved_fingerprints(spark, tmp_path):
+    """Round 11: FingerprintTableSink persists batch-1's signature
+    table; MinHashLSH(against=url) LSH-joins batch 2 against it
+    WITHOUT re-fingerprinting — planted batch-1 duplicates are found
+    (jaccard 1.0), batch-2-internal duplicates are NOT (no self-join
+    in against mode), and a num_perm mismatch fails fast."""
+    url = str(tmp_path / "fps")
+    batch1 = LiteralGeometrySource([
+        {"doc_id": 1, "text": "the quick brown fox jumps over the dog"},
+        {"doc_id": 2, "text": "a completely different first batch doc"},
+        {"doc_id": 3, "text": "spark window functions shuffle data"},
+    ])
+    sink = dedup.FingerprintTableSink(
+        batch1, url, num_perm=8, bands=4, shingle_size=2,
+        hash_fn="poly")
+    assert sink.write(spark) == url
+    batch2 = LiteralGeometrySource([
+        # planted: identical to batch-1 doc 1
+        {"doc_id": 10, "text":
+         "the quick brown fox jumps over the dog"},
+        # batch-2-internal pair: identical to each other, NOT batch 1
+        {"doc_id": 11, "text": "november zulu internal duplicate pair"},
+        {"doc_id": 12, "text": "november zulu internal duplicate pair"},
+    ])
+    pairs = dedup.MinHashLSH(
+        batch2, num_perm=8, bands=4, shingle_size=2, hash_fn="poly",
+        against=url).plan(spark).collect()
+    found = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert (1, 10) in found and found[(1, 10)] == 1.0
+    assert all(a in (1, 2, 3) for a, _ in found), found
+    assert all(b in (10, 11, 12) for _, b in found), found
+    # append mode grows the table: batch 2's own signatures ingest,
+    # and a batch-3 copy of doc 11 now collides with it
+    dedup.FingerprintTableSink(
+        batch2, url, num_perm=8, bands=4, shingle_size=2,
+        hash_fn="poly").write(spark, mode="append")
+    batch3 = LiteralGeometrySource([
+        {"doc_id": 20, "text": "november zulu internal duplicate pair"},
+    ])
+    pairs3 = dedup.MinHashLSH(
+        batch3, num_perm=8, bands=4, shingle_size=2, hash_fn="poly",
+        against=url).plan(spark).collect()
+    got3 = {(r.id_a, r.id_b) for r in pairs3}
+    assert got3 == {(11, 20), (12, 20)}
+    with pytest.raises(ValueError, match="num_perm"):
+        dedup.MinHashLSH(batch3, num_perm=16, bands=4,
+                         shingle_size=2, hash_fn="poly",
+                         against=url).plan(spark).collect()
