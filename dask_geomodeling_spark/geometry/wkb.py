@@ -140,7 +140,11 @@ def _pack_polygon_body(rings):
 def encode_wkb(fields):
     """Typed-field dict → little-endian WKB bytes.  Precedence mirrors
     the operators: ``rings`` (sign-regrouped into polygons) >
-    ``vertices`` (single-ring polygon) > bbox (box polygon) > point."""
+    ``vertices`` (single-ring polygon) > point > bbox (box polygon).
+    Point outranks bbox (round-11 property-test fix): ``decode_wkb``
+    itself emits x/y WITH the derived bbox for a point, so bbox-first
+    re-encoded decoded points as degenerate box polygons —
+    ``encode ∘ decode`` must be the identity on its own output."""
     rings = fields.get("rings")
     if rings:
         polys, current = [], None
@@ -161,13 +165,13 @@ def encode_wkb(fields):
     if verts:
         return b"\x01" + struct.pack("<I", 3) + _pack_polygon_body(
             [list(verts)])
+    if fields.get("x") is not None:
+        return b"\x01" + struct.pack("<Idd", 1, fields["x"], fields["y"])
     if fields.get("xmin") is not None:
         x1, y1 = fields["xmin"], fields["ymin"]
         x2, y2 = fields["xmax"], fields["ymax"]
         box = [[x1, y1], [x2, y1], [x2, y2], [x1, y2]]
         return b"\x01" + struct.pack("<I", 3) + _pack_polygon_body([box])
-    if fields.get("x") is not None:
-        return b"\x01" + struct.pack("<Idd", 1, fields["x"], fields["y"])
     return None
 
 
@@ -359,6 +363,15 @@ class EncodeWKT(BaseSingle):
                        "transform(path, p -> concat("
                        "CAST(p[0] AS STRING), ' ', "
                        "CAST(p[1] AS STRING))), ', '), ')')")))
+        # point OUTRANKS bbox (round-11 property-test fix, the
+        # encode_wkb rule): ParseWKT emits x/y WITH the derived bbox
+        # for a POINT row, so bbox-first turned encode∘parse∘encode
+        # into a degenerate one-point POLYGON instead of a fixpoint
+        if {"x", "y"} <= cols:
+            parts.append(F.when(
+                F.col("x").isNotNull(),
+                F.expr("concat('POINT (', CAST(x AS STRING), ' ', "
+                       "CAST(y AS STRING), ')')")))
         if {"xmin", "ymin", "xmax", "ymax"} <= cols:
             s = "CAST({} AS STRING)"
             box = ("concat('POLYGON ((', {x1}, ' ', {y1}, ', ', "
@@ -368,11 +381,6 @@ class EncodeWKT(BaseSingle):
                             x2=s.format("xmax"), y2=s.format("ymax"))
             parts.append(F.when(F.col("xmin").isNotNull(),
                                 F.expr(box)))
-        if {"x", "y"} <= cols:
-            parts.append(F.when(
-                F.col("x").isNotNull(),
-                F.expr("concat('POINT (', CAST(x AS STRING), ' ', "
-                       "CAST(y AS STRING), ')')")))
         if not parts:
             raise ValueError("EncodeWKT needs geometry columns")
         wkt = F.coalesce(*parts) if len(parts) > 1 else parts[0]

@@ -202,3 +202,24 @@ def test_parse_wkt_column(spark):
     assert r3b[3] == r3
     with pytest.raises(ValueError, match="already exist"):
         ParseWKT(blk, "wkt")
+
+
+def test_point_reencodes_as_point_not_box(spark):
+    """Round-11 property-test regression (pinned explicitly —
+    hypothesis seeds rotate): decode_wkb emits x/y WITH the derived
+    bbox for a POINT, so point must outrank bbox in both codecs or
+    encode∘decode turns points into degenerate box polygons."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.geometry.wkb import (EncodeWKT,
+                                                     ParseWKT,
+                                                     decode_wkb,
+                                                     encode_wkb)
+    buf = encode_wkb({"x": 0.0, "y": 0.0})
+    assert encode_wkb(decode_wkb(buf)) == buf
+    assert buf[1:5] == b"\x01\x00\x00\x00"  # stays a POINT
+    df = spark.createDataFrame([(1, "POINT (0.0 0.0)")],
+                               "id bigint, wkt string")
+    out = EncodeWKT(ParseWKT(DataFrameSource(df, index_column="id"),
+                             column="wkt"), column_name="wkt2")
+    row = out.plan(spark).collect()[0]
+    assert row["wkt2"] == "POINT (0.0 0.0)"
