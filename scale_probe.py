@@ -338,6 +338,150 @@ def probe_aggregate_raster(spark, n):
     return out.count()
 
 
+_SENT = ("concat('the ', concat_ws(' ', transform(sequence(1, 9), "
+         "i -> conv(pmod(xxhash64(_seed * {m} + i), 1632959) + 46656, "
+         "10, 36))), '.')")
+
+
+def build_crawl_docs(r):
+    """HTML + URL crawl records for the composed-chain probe: 50% of
+    docs on ONE hot host (UrlNormalize host skew), 10% sharing ONE
+    exact URL AND text (the hot dedup key); text passes C4 + Gopher
+    (3 terminal sentences, 30 words of length 3-4, a stopword)."""
+    base = r.select(
+        F.col("id").alias("doc_id"),
+        F.expr("CASE WHEN pmod(id, 10) = 0 THEN CAST(7 AS BIGINT) "
+               "ELSE id END").alias("_seed"))
+    s1, s2, s3 = (_SENT.format(m=m) for m in (131, 137, 139))
+    return base.select(
+        "doc_id",
+        F.expr("concat('<html><body><h1>D</h1><p>', {s1}, '</p><p>', "
+               "{s2}, ' ', {s3}, '</p></body></html>')"
+               .format(s1=s1, s2=s2, s3=s3)).alias("html"),
+        F.expr("CASE WHEN pmod(doc_id, 10) = 0 "
+               "THEN 'https://hot.example.com/dup/' "
+               "WHEN pmod(doc_id, 2) = 0 THEN concat("
+               "'https://hot.example.com/p/', CAST(doc_id AS STRING)) "
+               "ELSE concat('https://h', "
+               "CAST(pmod(doc_id, 5000) AS STRING), '.net/p/', "
+               "CAST(doc_id AS STRING)) END").alias("url"))
+
+
+def probe_crawl_prep(spark, n):
+    """The END-TO-END crawl chain (HtmlExtract → C4Filter →
+    GopherQuality → UrlDedup) — single ops are probed elsewhere; this
+    measures the composed persist/localCheckpoint interactions under
+    data growth with a planted hot host + hot dedup key."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.curate import (C4Filter,
+                                                        GopherQuality,
+                                                        HtmlExtract,
+                                                        UrlDedup)
+    docs = read_input(spark, gen_parquet(spark, "crawl", n,
+                                         build_crawl_docs))
+    h = HtmlExtract(DataFrameSource(docs, index_column="doc_id"),
+                    column="html")
+    hdf = h.plan(spark).localCheckpoint(eager=False)
+    c = C4Filter(DataFrameSource(hdf, index_column="doc_id"),
+                 column="text_extracted")
+    g = GopherQuality(c, column="text_clean", min_words=10,
+                      min_stop_hits=1, ngram_metrics=False)
+    kept = g.plan(spark).filter(F.col("c4_keep")
+                                & F.col("gopher_pass"))
+    dd = UrlDedup(DataFrameSource(kept, index_column="doc_id"),
+                  url_column="url", text_column="text_clean")
+    out = dd.plan(spark).select("url_norm", "n_dups", "doc_id")
+    materialize(out)
+    return out.count()
+
+
+def build_lang_docs(r):
+    # the hot language holds 50% of the corpus; text as build_docs
+    return (r.select(
+        F.col("id").alias("doc_id"),
+        F.col("id").alias("_seed"),
+        F.expr("CASE WHEN pmod(id, 2) = 0 THEN 'hot' "
+               "ELSE concat('l', pmod(id, 4)) END").alias("lang"))
+        .select("doc_id", "lang", F.expr(_WORDS).alias("text")))
+
+
+def probe_corpus_prep_ccnet(spark, n):
+    """KN fit → grouped windowless NTILE → TemperatureMix, composed —
+    the demo chain at growing n with a planted hot language."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.lm import CCNetBuckets
+    from dask_geomodeling_spark.pipeline.sample import TemperatureMix
+    docs = read_input(spark, gen_parquet(spark, "langdocs", n,
+                                         build_lang_docs))
+    cb = CCNetBuckets(DataFrameSource(docs, index_column="doc_id"),
+                      by="lang").plan(spark)
+    surv = (cb.where(F.col("bucket").isin("head", "middle"))
+            .select("doc_id", "lang")
+            .localCheckpoint(eager=False))
+    out = TemperatureMix(
+        DataFrameSource(surv, index_column="doc_id"), alpha=0.3,
+        category_column="lang").plan(spark).select("doc_id", "lang")
+    materialize(out)
+    return out.count()
+
+
+def build_cluster_points(field, hot_side):
+    def build(r):
+        # 30% of points in ONE dense square (the hot cluster,
+        # constant density ~4/unit² → every point core, one giant
+        # component); the rest uniform at ~0.04/unit²
+        return r.select(
+            F.col("id").alias("pid"),
+            F.expr("CASE WHEN pmod(id, 10) < 3 THEN "
+                   "CAST(pmod(xxhash64(id * 2 + 1), {h}) AS DOUBLE) "
+                   "/ 4.0D ELSE "
+                   "CAST(pmod(xxhash64(id * 2 + 1), {f}) AS DOUBLE) "
+                   "END".format(h=4 * hot_side, f=field)).alias("x"),
+            F.expr("CASE WHEN pmod(id, 10) < 3 THEN "
+                   "CAST(pmod(xxhash64(id * 2), {h}) AS DOUBLE) "
+                   "/ 4.0D ELSE "
+                   "CAST(pmod(xxhash64(id * 2), {f}) AS DOUBLE) "
+                   "END".format(h=4 * hot_side, f=field)).alias("y"))
+    return build
+
+
+def probe_dbscan_clusters(spark, n):
+    """ClusterDBSCAN with a planted HOT CLUSTER: 30% of points form
+    one giant eps-connected core component (constant density, so pair
+    counts stay linear and what scales is the star-round labeling
+    past the 64k driver short-circuit)."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.geometry.spatial_join import (
+        ClusterDBSCAN)
+    field = int(4 * math.sqrt(n))
+    hot_side = max(int(math.sqrt(0.075 * n)), 4)
+    pts = read_input(spark, gen_parquet(
+        spark, "cpts_{}".format(field), n,
+        build_cluster_points(field, hot_side)))
+    out = ClusterDBSCAN(DataFrameSource(pts, index_column="pid"),
+                        eps=1.0, min_points=4).plan(spark)
+    materialize(out)
+    return out.count()
+
+
+def probe_stream_order(spark, n):
+    """Strahler orders on the ramp DEM past the driver short-circuit:
+    the k-loop's junction-weighted Euler rankings (orders 1-3 on the
+    ramp) are what scales — rounds grow with log n, never river
+    length."""
+    from dask_geomodeling_spark.raster.hydrology import (
+        FlowDirection, StreamOrder)
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    side = int(math.sqrt(n))
+    cells = read_input(spark, gen_parquet(
+        spark, "dem", side * side, build_ramp_dem(side)))
+    out = StreamOrder(
+        FlowDirection(DataFrameRasterSource(cells))).plan(spark)
+    materialize(out)
+    return out.count()
+
+
 PROBES = {
     # name -> (probe fn, 1x size, scale override or None)
     "minhash_lsh": (probe_minhash_lsh, 50_000, None),
@@ -359,6 +503,13 @@ PROBES = {
                                   30_000, None),
     "aggregate_raster": (probe_aggregate_raster, 600_000, None),
     "flow_accumulation": (probe_flow_accumulation, 250_000, None),
+    # round-11: composed chains (verdict #4) + the round's new ops
+    "crawl_prep": (probe_crawl_prep, 100_000, None),
+    "corpus_prep_ccnet": (probe_corpus_prep_ccnet, 100_000, None),
+    "dbscan_clusters": (probe_dbscan_clusters, 100_000, None),
+    # stream_order runs (1 + orders) Euler rankings per leg — n1 just
+    # past the 64k-edge short-circuit keeps the probe in minutes
+    "stream_order": (probe_stream_order, 80_000, None),
 }
 
 
