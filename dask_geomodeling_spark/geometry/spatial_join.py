@@ -580,7 +580,16 @@ class ClusterDBSCAN(GeometryBlock):
             core_lab.select(F.col("_pid").alias("_bcore"),
                             F.col("_clu")), "_bcore")
             .select("_pid", "_clu", F.lit(False).alias("_isc")))
-        lab = core_lab.unionByName(brd_lab)
+        # materialize the NARROW label table eagerly, then free the
+        # (data-sized) pair and core caches — otherwise every plan()
+        # leaves an O(k·n) pair table in executor storage for the
+        # session lifetime (round-11 review fix); the returned plan
+        # only joins the source onto the checkpointed labels
+        from dask_geomodeling_spark.config import strip_plan_stats
+        lab = strip_plan_stats(
+            core_lab.unionByName(brd_lab).localCheckpoint())
+        pairs.unpersist()
+        core.unpersist()
         return (df.join(lab.withColumnRenamed("_pid", idc), idc,
                         "left")
                 .select(*df.columns,

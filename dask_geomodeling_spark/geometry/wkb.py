@@ -165,7 +165,10 @@ def encode_wkb(fields):
     if verts:
         return b"\x01" + struct.pack("<I", 3) + _pack_polygon_body(
             [list(verts)])
-    if fields.get("x") is not None:
+    # BOTH coordinates must be set (round-11 review): a stray x with a
+    # NULL y next to a real bbox must fall through to the box branch —
+    # the SQL twin EncodeWKT's concat-NULL/coalesce does exactly that
+    if fields.get("x") is not None and fields.get("y") is not None:
         return b"\x01" + struct.pack("<Idd", 1, fields["x"], fields["y"])
     if fields.get("xmin") is not None:
         x1, y1 = fields["xmin"], fields["ymin"]

@@ -268,7 +268,8 @@ class MinHashLSH(BaseSingle):
         """Incremental mode: the new batch's buckets probe the saved
         signature table's buckets — ONE equi-join on the (band, slice)
         key; the corpus text is never touched."""
-        _, _, _, num_perm, bands = self.args[:5]
+        (_, _, _, num_perm, bands, shingle_size, _, _,
+         hash_fn) = self.args[:9]
         sigs, _, _ = self._signatures(ctx)
         sigs = sigs.persist()
         saved = ctx.spark.read.parquet(url)
@@ -280,6 +281,16 @@ class MinHashLSH(BaseSingle):
                 "fingerprint table at {} does not match num_perm={} "
                 "(columns: {})".format(url, num_perm,
                                        sorted(saved.columns)))
+        # the meta table catches what the column check cannot:
+        # hash_fn / shingle_size / band mismatches leave the schema
+        # identical but put the two sides in different hash spaces
+        meta = FingerprintTableSink.read_meta(ctx.spark, url)
+        mine = (num_perm, bands, shingle_size, hash_fn)
+        if meta is not None and tuple(meta) != mine:
+            raise ValueError(
+                "fingerprint table at {} was written with (num_perm, "
+                "bands, shingle_size, hash_fn)={} — this MinHashLSH "
+                "has {}".format(url, tuple(meta), mine))
         bs = self._band_structs(num_perm, bands)
         new_b = sigs.select(
             F.col("_id").alias("id_b"),
@@ -364,6 +375,14 @@ class FingerprintTableSink(BaseSingle):
     (same permutation constants, same band slicing), so saved and
     fresh signatures are bit-identical for identical text.  Use
     ``mode="append"`` to grow the table batch over batch.
+
+    A one-row META table at ``<url>_meta`` records (num_perm, bands,
+    shingle_size, hash_fn); appends and ``against=`` reads validate
+    against it and FAIL FAST on any mismatch (round-11 review fix —
+    column sets are identical across ``hash_fn``/``shingle_size``
+    choices, so without the meta a mismatched append would silently
+    put two incompatible hash spaces in one table and duplicates
+    against the older batch would never be found).
     """
 
     def __init__(self, source, url, text_column="text",
@@ -394,10 +413,37 @@ class FingerprintTableSink(BaseSingle):
         sigs, _, _ = self._lsh()._signatures(ctx)
         return sigs
 
+    @staticmethod
+    def read_meta(spark, url):
+        """The saved (num_perm, bands, shingle_size, hash_fn) tuple,
+        or None for tables written before the meta convention."""
+        try:
+            row = spark.read.parquet(url + "_meta").collect()[0]
+        except Exception:
+            return None
+        return (row["num_perm"], row["bands"], row["shingle_size"],
+                row["hash_fn"])
+
     def write(self, spark=None, mode="overwrite", **request):
         df = self.plan(spark, **request)
         url = self.args[1]
+        _, _, _, _, num_perm, bands, shingle_size, hash_fn = self.args
+        mine = (num_perm, bands, shingle_size, hash_fn)
+        spark = df.sparkSession
+        if mode == "append":
+            saved = self.read_meta(spark, url)
+            if saved is not None and tuple(saved) != mine:
+                raise ValueError(
+                    "fingerprint table at {} was written with "
+                    "(num_perm, bands, shingle_size, hash_fn)={} — "
+                    "this sink has {}; appending would mix "
+                    "incompatible hash spaces".format(url, tuple(saved),
+                                                      mine))
         df.write.mode(mode).format("parquet").save(url)
+        spark.createDataFrame(
+            [mine], "num_perm int, bands int, shingle_size int, "
+            "hash_fn string").write.mode("overwrite") \
+            .format("parquet").save(url + "_meta")
         return url
 
 
@@ -946,6 +992,16 @@ class DedupClusters(Block):
             und, und_cnt = new_und, new_cnt
             if stable:
                 break
+        else:
+            # round-11 review fix (the SieveFilter-iterate rule):
+            # falling out of the loop means the star graph was STILL
+            # CHANGING — labels computed from a partially-contracted
+            # edge set can split one real component into several ids.
+            # Fail loudly; O(log² n) convergence means exhaustion is a
+            # pathological graph or a too-small max_iter, never normal.
+            raise ValueError(
+                "star labeling did not converge in {} rounds — raise "
+                "max_iter".format(max_iter))
         labels = (und.select(F.col("_lo").alias("_id"),
                              F.col("_hi").alias("_nb")).union(
             und.select(F.col("_hi").alias("_id"),

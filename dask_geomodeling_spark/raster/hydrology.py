@@ -85,6 +85,39 @@ def _flow_graph(ctx, store, op_name):
     return nodes, tindex, edges
 
 
+def _driver_forest(rows, op_name):
+    """Shared driver-side forest walk (round-11 review refactor — this
+    scaffolding existed three times with only the per-node fold
+    differing): collected edge rows → ``(parent, children,
+    post_orders)`` where ``post_orders`` is one post-order node list
+    per root (process them REVERSED for leaf-to-root folds).  Fails
+    fast on cycles: a revisit during any walk, or a node unreachable
+    from every root (in a functional graph that IS a cycle)."""
+    parent = {r["_c"]: r["_p"] for r in rows}
+    children = {}
+    for c, p in parent.items():
+        children.setdefault(p, []).append(c)
+    seen = set()
+    post_orders = []
+    for root in set(parent.values()) - set(parent):
+        stack, post = [root], []
+        while stack:
+            v = stack.pop()
+            if v in seen:
+                raise ValueError(
+                    "{}: direction raster contains a cycle"
+                    .format(op_name))
+            seen.add(v)
+            post.append(v)
+            stack.extend(children.get(v, ()))
+        post_orders.append(post)
+    involved = set(parent) | set(children)
+    if involved - seen:
+        raise ValueError(
+            "{}: direction raster contains a cycle".format(op_name))
+    return parent, children, post_orders
+
+
 def _rank_doubling(cur, key, max_iter, op_name, zero):
     """Generic pointer-doubling accumulation: ``cur`` carries
     ``(key, _ptr, _r)`` with the invariant
@@ -290,10 +323,8 @@ class FlowAccumulation(BaseSingle):
     def _driver_weighted(spark, edges, nodes_w):
         """Exact upstream weight sums on the driver for small graphs."""
         rows = edges.collect()
-        parent = {r["_c"]: r["_p"] for r in rows}
-        children = {}
-        for c, p in parent.items():
-            children.setdefault(p, []).append(c)
+        _, children, post_orders = _driver_forest(
+            rows, "FlowAccumulation")
         # weights only for nodes on an edge (≤ 2·threshold rows) —
         # semi-join, never an isin literal list
         ids = (edges.select(F.col("_c").alias("_id"))
@@ -303,31 +334,10 @@ class FlowAccumulation(BaseSingle):
               nodes_w.join(ids, "_id", "left_semi")
               .select("_id", "_wt").collect()}
         acc = {}
-
-        def total(u):
-            stack, order, seen = [u], [], set()
-            while stack:
-                v = stack.pop()
-                if v in seen:
-                    raise ValueError(
-                        "FlowAccumulation: direction raster contains "
-                        "a cycle")
-                seen.add(v)
-                order.append(v)
-                stack.extend(children.get(v, ()))
-            for v in reversed(order):
+        for post in post_orders:
+            for v in reversed(post):
                 acc[v] = wt.get(v, 0.0) + sum(
                     acc[w] for w in children.get(v, ()))
-
-        roots = set(parent.values()) - set(parent)
-        for r in roots:
-            total(r)
-        involved = set(parent) | set(children)
-        if involved - set(acc):
-            # unreachable-from-any-root nodes in a functional graph
-            # ARE a cycle (round-10 review: mirror _driver_counts)
-            raise ValueError(
-                "FlowAccumulation: direction raster contains a cycle")
         out = [(int(k), float(v - wt.get(k, 0.0)))
                for k, v in acc.items() if v != wt.get(k, 0.0)]
         return spark.createDataFrame(
@@ -338,37 +348,12 @@ class FlowAccumulation(BaseSingle):
     def _driver_counts(spark, edges):
         """Exact subtree sizes on the driver for small graphs."""
         rows = edges.collect()
-        parent = {r["_c"]: r["_p"] for r in rows}
-        children = {}
-        for c, p in parent.items():
-            children.setdefault(p, []).append(c)
+        _, children, post_orders = _driver_forest(
+            rows, "FlowAccumulation")
         acc = {}
-
-        def size(u):
-            # iterative post-order (forests can be deep chains)
-            stack, order, seen = [u], [], set()
-            while stack:
-                v = stack.pop()
-                if v in seen:
-                    raise ValueError(
-                        "FlowAccumulation: direction raster contains "
-                        "a cycle")
-                seen.add(v)
-                order.append(v)
-                stack.extend(children.get(v, ()))
-            for v in reversed(order):
+        for post in post_orders:
+            for v in reversed(post):
                 acc[v] = 1 + sum(acc[w] for w in children.get(v, ()))
-            return acc[u]
-
-        roots = set(parent.values()) - set(parent)
-        for r in roots:
-            size(r)
-        involved = set(parent) | set(children)
-        if involved - set(acc):
-            # a functional graph whose nodes are unreachable from any
-            # root is exactly a cycle (every node there HAS a parent)
-            raise ValueError(
-                "FlowAccumulation: direction raster contains a cycle")
         out = [(int(k), float(v - 1)) for k, v in acc.items()
                if v > 1]
         return spark.createDataFrame(
@@ -734,23 +719,9 @@ class StreamOrder(BaseSingle):
     def _driver_orders(spark, edges, max_order):
         """Exact Strahler by iterative post-order on the driver."""
         rows = edges.collect()
-        parent = {r["_c"]: r["_p"] for r in rows}
-        children = {}
-        for c, p in parent.items():
-            children.setdefault(p, []).append(c)
+        _, children, post_orders = _driver_forest(rows, "StreamOrder")
         order = {}
-
-        def strahler(root):
-            stack, post, seen = [root], [], set()
-            while stack:
-                v = stack.pop()
-                if v in seen:
-                    raise ValueError(
-                        "StreamOrder: direction raster contains a "
-                        "cycle")
-                seen.add(v)
-                post.append(v)
-                stack.extend(children.get(v, ()))
+        for post in post_orders:
             for v in reversed(post):
                 kids = children.get(v, ())
                 if not kids:
@@ -759,16 +730,6 @@ class StreamOrder(BaseSingle):
                 mx = max(order[c] for c in kids)
                 ties = sum(1 for c in kids if order[c] == mx)
                 order[v] = mx + (1 if ties >= 2 else 0)
-
-        roots = set(parent.values()) - set(parent)
-        for r in roots:
-            strahler(r)
-        involved = set(parent) | set(children)
-        if involved - set(order):
-            # unreachable-from-any-root nodes in a functional graph
-            # ARE a cycle (the FlowAccumulation invariant)
-            raise ValueError(
-                "StreamOrder: direction raster contains a cycle")
         got = max(order.values(), default=1)
         if got > max_order:
             raise ValueError(
@@ -815,12 +776,19 @@ class StreamOrder(BaseSingle):
             for k in range(1, max_order + 1):
                 active = (st.filter(F.col("_ord") == k)
                           .select(F.col("_id").alias("_c")))
+                # persist + count: the junction set feeds the
+                # emptiness check, the ranking weights AND the T-set
+                # union — without this the semi-join + groupBy over
+                # the edge table executes three times per order level
+                # (round-11 review fix)
                 jk = (edges.join(active, "_c", "left_semi")
                       .groupBy("_p")
                       .agg(F.count(F.lit(1)).alias("_nk"))
                       .filter(F.col("_nk") >= 2)
-                      .select("_p"))
-                if jk.limit(1).count() == 0:
+                      .select("_p")
+                      .persist())
+                if jk.count() == 0:
+                    jk.unpersist()
                     return st.filter(F.col("_ord") > 1) \
                         .select("_id", "_ord")
                 # junction-indicator weights on the tour: _re − _rx
@@ -858,6 +826,7 @@ class StreamOrder(BaseSingle):
                     rank._jdf.rdd().unpersist(False)
                 except Exception:
                     pass
+                jk.unpersist()
             raise ValueError(
                 "StreamOrder: order exceeds max_order {} — raise "
                 "max_order (Strahler order is bounded by "

@@ -1432,3 +1432,14 @@ def test_incremental_dedup_against_saved_fingerprints(spark, tmp_path):
         dedup.MinHashLSH(batch3, num_perm=16, bands=4,
                          shingle_size=2, hash_fn="poly",
                          against=url).plan(spark).collect()
+    # round-11 review: hash_fn / shingle_size mismatches leave the
+    # COLUMN SET identical — the meta table must fail them fast on
+    # both the append side and the against side
+    with pytest.raises(ValueError, match="hash spaces"):
+        dedup.FingerprintTableSink(
+            batch2, url, num_perm=8, bands=4, shingle_size=2,
+            hash_fn="xxhash64").write(spark, mode="append")
+    with pytest.raises(ValueError, match="written with"):
+        dedup.MinHashLSH(batch3, num_perm=8, bands=4,
+                         shingle_size=3, hash_fn="poly",
+                         against=url).plan(spark).collect()
