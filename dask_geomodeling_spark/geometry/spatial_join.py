@@ -538,7 +538,9 @@ class ClusterDBSCAN(GeometryBlock):
               * (F.col("y") - F.col("_ry")))
         # every eps-pair appears exactly once per direction (the left
         # point owns one cell); persisted — the pair table feeds the
-        # core count, the core graph and the border argmin
+        # core count, the core graph and the border argmin; the
+        # finally frees both caches even when the star labeling
+        # raises (round-11 second-pass review)
         pairs = (left.join(right, ["_cx", "_cy"])
                  .where((d2 <= eps * eps)
                         & (F.col("_rid") != F.col("_pid")))
@@ -552,44 +554,47 @@ class ClusterDBSCAN(GeometryBlock):
         if min_points == 1:
             core = pts.select("_pid")
         core = core.persist()
-        cc = (pairs
-              .join(core, "_pid", "left_semi")
-              .join(core.select(F.col("_pid").alias("_rid")), "_rid",
-                    "left_semi")
-              .select(F.least("_pid", "_rid").alias("_lo"),
-                      F.greatest("_pid", "_rid").alias("_hi"))
-              .distinct())
-        labels = DedupClusters._star_labels(cc, max_iter)
-        core_lab = (core.join(
-            labels.select(F.col("_id").alias("_pid"), "_lbl"),
-            "_pid", "left")
-            .select("_pid",
-                    F.coalesce("_lbl", "_pid").alias("_clu"),
-                    F.lit(True).alias("_isc")))
-        # border points: nearest core neighbor's cluster (one argmin)
-        brd = (pairs
-               .join(core.select(F.col("_pid").alias("_rid")), "_rid",
-                     "left_semi")
-               .join(core, "_pid", "left_anti")
-               .groupBy("_pid")
-               .agg(F.min(F.struct(F.col("_d2").alias("d2"),
-                                   F.col("_rid").alias("rid")))
-                    .alias("_b"))
-               .select("_pid", F.col("_b.rid").alias("_bcore")))
-        brd_lab = (brd.join(
-            core_lab.select(F.col("_pid").alias("_bcore"),
-                            F.col("_clu")), "_bcore")
-            .select("_pid", "_clu", F.lit(False).alias("_isc")))
-        # materialize the NARROW label table eagerly, then free the
-        # (data-sized) pair and core caches — otherwise every plan()
-        # leaves an O(k·n) pair table in executor storage for the
-        # session lifetime (round-11 review fix); the returned plan
-        # only joins the source onto the checkpointed labels
-        from dask_geomodeling_spark.config import strip_plan_stats
-        lab = strip_plan_stats(
-            core_lab.unionByName(brd_lab).localCheckpoint())
-        pairs.unpersist()
-        core.unpersist()
+        try:
+            cc = (pairs
+                  .join(core, "_pid", "left_semi")
+                  .join(core.select(F.col("_pid").alias("_rid")),
+                        "_rid", "left_semi")
+                  .select(F.least("_pid", "_rid").alias("_lo"),
+                          F.greatest("_pid", "_rid").alias("_hi"))
+                  .distinct())
+            labels = DedupClusters._star_labels(cc, max_iter)
+            core_lab = (core.join(
+                labels.select(F.col("_id").alias("_pid"), "_lbl"),
+                "_pid", "left")
+                .select("_pid",
+                        F.coalesce("_lbl", "_pid").alias("_clu"),
+                        F.lit(True).alias("_isc")))
+            # border points: nearest core's cluster (one argmin)
+            brd = (pairs
+                   .join(core.select(F.col("_pid").alias("_rid")),
+                         "_rid", "left_semi")
+                   .join(core, "_pid", "left_anti")
+                   .groupBy("_pid")
+                   .agg(F.min(F.struct(F.col("_d2").alias("d2"),
+                                       F.col("_rid").alias("rid")))
+                        .alias("_b"))
+                   .select("_pid", F.col("_b.rid").alias("_bcore")))
+            brd_lab = (brd.join(
+                core_lab.select(F.col("_pid").alias("_bcore"),
+                                F.col("_clu")), "_bcore")
+                .select("_pid", "_clu", F.lit(False).alias("_isc")))
+            # materialize the NARROW label table eagerly, then free
+            # the (data-sized) pair and core caches — otherwise every
+            # plan() leaves an O(k·n) pair table in executor storage
+            # for the session lifetime (round-11 review fix); the
+            # returned plan only joins the source onto the
+            # checkpointed labels
+            from dask_geomodeling_spark.config import strip_plan_stats
+            lab = strip_plan_stats(
+                core_lab.unionByName(brd_lab).localCheckpoint())
+        finally:
+            pairs.unpersist()
+            core.unpersist()
         return (df.join(lab.withColumnRenamed("_pid", idc), idc,
                         "left")
                 .select(*df.columns,

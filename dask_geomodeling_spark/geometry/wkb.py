@@ -170,7 +170,11 @@ def encode_wkb(fields):
     # the SQL twin EncodeWKT's concat-NULL/coalesce does exactly that
     if fields.get("x") is not None and fields.get("y") is not None:
         return b"\x01" + struct.pack("<Idd", 1, fields["x"], fields["y"])
-    if fields.get("xmin") is not None:
+    if all(fields.get(k) is not None
+           for k in ("xmin", "ymin", "xmax", "ymax")):
+        # ALL four corners required (round-11 second-pass review): a
+        # partial bbox falls through to None exactly like EncodeWKT's
+        # concat-NULL/coalesce, instead of crashing struct.pack
         x1, y1 = fields["xmin"], fields["ymin"]
         x2, y2 = fields["xmax"], fields["ymax"]
         box = [[x1, y1], [x2, y1], [x2, y2], [x1, y2]]

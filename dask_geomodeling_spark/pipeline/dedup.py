@@ -282,15 +282,21 @@ class MinHashLSH(BaseSingle):
                 "(columns: {})".format(url, num_perm,
                                        sorted(saved.columns)))
         # the meta table catches what the column check cannot:
-        # hash_fn / shingle_size / band mismatches leave the schema
-        # identical but put the two sides in different hash spaces
+        # hash_fn / shingle_size mismatches leave the schema identical
+        # but put the two sides in different hash spaces.  bands is
+        # deliberately NOT validated — banding re-slices the raw
+        # signature columns reader-side on BOTH join sides, so probing
+        # a 8-band table with 4 bands is legal recall tuning
         meta = FingerprintTableSink.read_meta(ctx.spark, url)
-        mine = (num_perm, bands, shingle_size, hash_fn)
-        if meta is not None and tuple(meta) != mine:
+        if meta is not None and \
+                (meta[0], meta[2], meta[3]) != (num_perm, shingle_size,
+                                                hash_fn):
             raise ValueError(
                 "fingerprint table at {} was written with (num_perm, "
                 "bands, shingle_size, hash_fn)={} — this MinHashLSH "
-                "has {}".format(url, tuple(meta), mine))
+                "has ({}, {}, {}, {})".format(
+                    url, tuple(meta), num_perm, bands, shingle_size,
+                    hash_fn))
         bs = self._band_structs(num_perm, bands)
         new_b = sigs.select(
             F.col("_id").alias("id_b"),
@@ -416,15 +422,40 @@ class FingerprintTableSink(BaseSingle):
     @staticmethod
     def read_meta(spark, url):
         """The saved (num_perm, bands, shingle_size, hash_fn) tuple,
-        or None for tables written before the meta convention."""
+        or None when the meta table does not EXIST (tables written
+        before the meta convention).  Only the missing-path
+        AnalysisException maps to None — a transient read error must
+        propagate, not silently disable the hash-space guard
+        (round-11 second-pass review)."""
+        from pyspark.errors import AnalysisException
         try:
-            row = spark.read.parquet(url + "_meta").collect()[0]
-        except Exception:
+            rows = spark.read.parquet(url + "_meta").collect()
+        except AnalysisException:
             return None
+        if not rows:
+            return None
+        row = rows[0]
         return (row["num_perm"], row["bands"], row["shingle_size"],
                 row["hash_fn"])
 
+    @staticmethod
+    def _exists(spark, url):
+        from pyspark.errors import AnalysisException
+        try:
+            spark.read.parquet(url).schema
+            return True
+        except AnalysisException:
+            return False
+
     def write(self, spark=None, mode="overwrite", **request):
+        """Write the signature table.  Only ``overwrite`` and
+        ``append`` are supported — modes whose data write can
+        silently no-op (``ignore``) would let the meta stamp certify
+        parameters the table does not have."""
+        if mode not in ("overwrite", "append"):
+            raise ValueError(
+                "mode must be 'overwrite' or 'append', got {!r}"
+                .format(mode))
         df = self.plan(spark, **request)
         url = self.args[1]
         _, _, _, _, num_perm, bands, shingle_size, hash_fn = self.args
@@ -432,13 +463,27 @@ class FingerprintTableSink(BaseSingle):
         spark = df.sparkSession
         if mode == "append":
             saved = self.read_meta(spark, url)
-            if saved is not None and tuple(saved) != mine:
+            if saved is not None:
+                # bands is reader-side re-slicing of the raw
+                # signature columns — probing or appending with a
+                # different band count is legal; only the hash-space
+                # parameters must match
+                if (saved[0], saved[2], saved[3]) != \
+                        (num_perm, shingle_size, hash_fn):
+                    raise ValueError(
+                        "fingerprint table at {} was written with "
+                        "(num_perm, bands, shingle_size, hash_fn)={} "
+                        "— this sink has {}; appending would mix "
+                        "incompatible hash spaces"
+                        .format(url, tuple(saved), mine))
+            elif self._exists(spark, url):
+                # a pre-meta legacy table: refuse to certify the
+                # whole (possibly mixed) table with THIS batch's
+                # parameters (round-11 second-pass review)
                 raise ValueError(
-                    "fingerprint table at {} was written with "
-                    "(num_perm, bands, shingle_size, hash_fn)={} — "
-                    "this sink has {}; appending would mix "
-                    "incompatible hash spaces".format(url, tuple(saved),
-                                                      mine))
+                    "fingerprint table at {} has no meta table — "
+                    "cannot verify its parameters before appending; "
+                    "rewrite it with mode='overwrite'".format(url))
         df.write.mode(mode).format("parquet").save(url)
         spark.createDataFrame(
             [mine], "num_perm int, bands int, shingle_size int, "

@@ -787,46 +787,56 @@ class StreamOrder(BaseSingle):
                       .filter(F.col("_nk") >= 2)
                       .select("_p")
                       .persist())
-                if jk.count() == 0:
+                # jk frees in the finally (round-11 second-pass
+                # review: a mid-ranking non-convergence raise must not
+                # leak the persisted junction table); everything that
+                # consumes jk — the ranking AND the eager st
+                # checkpoint — happens inside the try
+                rank = None
+                try:
+                    if jk.count() == 0:
+                        return st.filter(F.col("_ord") > 1) \
+                            .select("_id", "_ord")
+                    # junction-indicator weights on the tour:
+                    # _re − _rx counts J_k members among v's PROPER
+                    # descendants
+                    ewt = jk.select((F.col("_p") * 2).alias("_s2"),
+                                    F.lit(1.0).alias("_swt"))
+                    init = (tour.join(ewt, tour["_s"] == ewt["_s2"],
+                                      "left")
+                            .select("_e", F.col("_s").alias("_ptr"),
+                                    F.coalesce(F.col("_swt"),
+                                               F.lit(0.0))
+                                    .alias("_r")))
+                    rank = _rank_doubling(init, "_e", max_iter,
+                                          "StreamOrder", F.lit(0.0))
+                    nxt = (FlowAccumulation._rank_decode(rank)
+                           .filter(F.col("_re") > F.col("_rx"))
+                           .select("_id")
+                           .unionByName(jk.select(F.col("_p")
+                                                  .alias("_id")))
+                           .distinct())
+                    prev = st
+                    st = strip_plan_stats(
+                        (st.join(nxt.withColumn("_b", F.lit(1.0)),
+                                 "_id", "left")
+                         .select("_id", (F.col("_ord")
+                                         + F.coalesce(F.col("_b"),
+                                                      F.lit(0.0)))
+                                 .alias("_ord"))
+                         .repartition(par, F.col("_id"))
+                         .localCheckpoint()))
+                    try:
+                        prev._jdf.rdd().unpersist(False)
+                    except Exception:
+                        pass
+                finally:
+                    if rank is not None:
+                        try:
+                            rank._jdf.rdd().unpersist(False)
+                        except Exception:
+                            pass
                     jk.unpersist()
-                    return st.filter(F.col("_ord") > 1) \
-                        .select("_id", "_ord")
-                # junction-indicator weights on the tour: _re − _rx
-                # counts J_k members among v's PROPER descendants
-                ewt = jk.select((F.col("_p") * 2).alias("_s2"),
-                                F.lit(1.0).alias("_swt"))
-                init = (tour.join(ewt, tour["_s"] == ewt["_s2"],
-                                  "left")
-                        .select("_e", F.col("_s").alias("_ptr"),
-                                F.coalesce(F.col("_swt"), F.lit(0.0))
-                                .alias("_r")))
-                rank = _rank_doubling(init, "_e", max_iter,
-                                      "StreamOrder", F.lit(0.0))
-                nxt = (FlowAccumulation._rank_decode(rank)
-                       .filter(F.col("_re") > F.col("_rx"))
-                       .select("_id")
-                       .unionByName(jk.select(F.col("_p")
-                                              .alias("_id")))
-                       .distinct())
-                prev = st
-                st = strip_plan_stats(
-                    (st.join(nxt.withColumn("_b", F.lit(1.0)), "_id",
-                             "left")
-                     .select("_id", (F.col("_ord")
-                                     + F.coalesce(F.col("_b"),
-                                                  F.lit(0.0)))
-                             .alias("_ord"))
-                     .repartition(par, F.col("_id"))
-                     .localCheckpoint()))
-                try:
-                    prev._jdf.rdd().unpersist(False)
-                except Exception:
-                    pass
-                try:
-                    rank._jdf.rdd().unpersist(False)
-                except Exception:
-                    pass
-                jk.unpersist()
             raise ValueError(
                 "StreamOrder: order exceeds max_order {} — raise "
                 "max_order (Strahler order is bounded by "

@@ -1443,3 +1443,35 @@ def test_incremental_dedup_against_saved_fingerprints(spark, tmp_path):
         dedup.MinHashLSH(batch3, num_perm=8, bands=4,
                          shingle_size=3, hash_fn="poly",
                          against=url).plan(spark).collect()
+
+
+def test_fingerprint_meta_second_pass_rules(spark, tmp_path):
+    """Round-11 second-pass review: bands differences are legal
+    (reader-side re-slicing), silently-no-op write modes are rejected,
+    and appending to a meta-less legacy table refuses to certify it."""
+    url = str(tmp_path / "fps2")
+    b1 = LiteralGeometrySource(
+        [{"doc_id": 1, "text": "alpha beta gamma delta"}])
+    sink = dedup.FingerprintTableSink(
+        b1, url, num_perm=8, bands=4, shingle_size=2, hash_fn="poly")
+    sink.write(spark)
+    # coarser-band probe and append: allowed (same hash space)
+    dedup.FingerprintTableSink(
+        b1, url, num_perm=8, bands=2, shingle_size=2,
+        hash_fn="poly").write(spark, mode="append")
+    out = dedup.MinHashLSH(
+        LiteralGeometrySource(
+            [{"doc_id": 9, "text": "alpha beta gamma delta"}]),
+        num_perm=8, bands=2, shingle_size=2, hash_fn="poly",
+        against=url).plan(spark).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(1, 9)}
+    with pytest.raises(ValueError, match="overwrite.*append|mode"):
+        sink.write(spark, mode="ignore")
+    # legacy table without meta: append refuses to certify it
+    legacy = str(tmp_path / "legacy")
+    sink2 = dedup.FingerprintTableSink(
+        b1, legacy, num_perm=8, bands=4, shingle_size=2,
+        hash_fn="poly")
+    sink2.plan(spark).write.parquet(legacy)  # data only, no meta
+    with pytest.raises(ValueError, match="no meta"):
+        sink2.write(spark, mode="append")

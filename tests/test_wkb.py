@@ -223,3 +223,16 @@ def test_point_reencodes_as_point_not_box(spark):
                              column="wkt"), column_name="wkt2")
     row = out.plan(spark).collect()[0]
     assert row["wkt2"] == "POINT (0.0 0.0)"
+
+
+def test_encode_wkb_partial_geometry_falls_through(spark):
+    """Round-11 second-pass review: a stray x with NULL y must fall
+    through to the bbox branch (matching EncodeWKT); a partial bbox
+    falls through to None instead of crashing struct.pack."""
+    from dask_geomodeling_spark.geometry.wkb import encode_wkb
+    box = encode_wkb({"x": 1.0, "y": None, "xmin": 0.0, "ymin": 0.0,
+                      "xmax": 2.0, "ymax": 2.0})
+    assert box is not None and box[1:5] == b"\x03\x00\x00\x00"
+    assert encode_wkb({"xmin": 1.0, "ymin": None, "xmax": 2.0,
+                       "ymax": 2.0}) is None
+    assert encode_wkb({"x": 1.0, "y": None}) is None
