@@ -859,3 +859,58 @@ def test_sieve_filter_scatters_small_side(spark):
     blob = "\n".join(subtree)
     # the size filter lives UNDER the explode -> small side scatters
     assert "_sz" in blob and "< 3" in blob, blob
+
+
+def test_dbscan_no_cartesian_pairs_freed(spark):
+    """Round 11: ClusterDBSCAN's pair generation is ONE cell equi-join
+    (the 9-row offsets literal is the only nested-loop join) and the
+    returned plan joins the source onto the CHECKPOINTED label table —
+    the data-sized pair/core caches are freed during _build, not
+    retained for the session."""
+    from dask_geomodeling_spark import demos
+    df = demos.QUERIES["dbscan_clusters"](spark, SF_DIR)
+    plan = plan_of(df, "simple")
+    assert "CartesianProduct" not in plan
+    # the output plan reads the checkpointed labels (Scan ExistingRDD),
+    # not a re-derivation of the pair join
+    assert "ExistingRDD" in plan
+    # the pair/core caches freed during _build: rebuilding must not
+    # accumulate persisted RDDs beyond the one label checkpoint each
+    from dask_geomodeling_spark import demos as _d
+    jsc = spark.sparkContext._jsc.sc()
+    before = len(jsc.getRDDStorageInfo())
+    _d.QUERIES["dbscan_clusters"](spark, SF_DIR)
+    after = len(jsc.getRDDStorageInfo())
+    assert after - before <= 1, (before, after)
+
+
+def test_incremental_dedup_reads_saved_table_not_corpus(spark, tmp_path):
+    """Round 11: MinHashLSH(against=url) must scan the SAVED signature
+    parquet, and the corpus document text must appear in NO scan — the
+    whole point is never re-fingerprinting the corpus."""
+    from dask_geomodeling_spark.geometry.sources import (
+        LiteralGeometrySource)
+    from dask_geomodeling_spark.pipeline.dedup import (
+        FingerprintTableSink, MinHashLSH)
+    url = str(tmp_path / "fp_pin")
+    corpus = LiteralGeometrySource(
+        [{"doc_id": 1, "text": "alpha beta gamma delta"}])
+    FingerprintTableSink(corpus, url, num_perm=8, bands=4,
+                         shingle_size=2, hash_fn="poly").write(spark)
+    batch = LiteralGeometrySource(
+        [{"doc_id": 9, "text": "alpha beta gamma delta"}])
+    df = MinHashLSH(batch, num_perm=8, bands=4, shingle_size=2,
+                    hash_fn="poly", against=url).plan(spark)
+    plan = plan_of(df, "formatted")
+    assert "fp_pin" in plan           # the saved table is scanned
+    assert "CartesianProduct" not in plan
+
+
+def test_stream_order_joins_stay_keyed(spark):
+    """Round 11: the StreamOrder demo plan (driver short-circuit at
+    this size) contains no cartesian product and its flow-graph joins
+    are keyed equi-joins."""
+    from dask_geomodeling_spark import demos
+    df = demos.QUERIES["stream_order"](spark, SF_DIR)
+    plan = plan_of(df, "simple")
+    assert "CartesianProduct" not in plan
