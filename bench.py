@@ -103,7 +103,7 @@ def main():
                   "sample_points_in_polygons",
                   # round-11 additions
                   "stream_order", "dbscan_clusters",
-                  "incremental_dedup"):
+                  "incremental_dedup", "hyperloglog"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

@@ -10385,6 +10385,66 @@ def bpe_tokenize(spark, sf_dir):
         "n_tokens")
 
 
+def _hll_oracle(column="l_partkey", table="lineitem", p=10):
+    from dask_geomodeling_spark.pipeline.text import (HyperLogLog,
+                                                      _hll_alpha)
+    m = 1 << p
+    (a1, b1, c1), (a2, b2, c2) = HyperLogLog._MIX1, HyperLogLog._MIX2
+    a_lit = repr(_hll_alpha(m) * m * m * float(2 ** 32))
+    poly1 = _DD_POLY.format(col="v", base=257)
+    poly2 = _DD_POLY.format(col="v", base=131)
+    return """
+WITH vals AS (SELECT DISTINCT CAST({col} AS VARCHAR) AS v
+              FROM {table} WHERE {col} IS NOT NULL),
+h AS (SELECT {p1} AS h1, {p2} AS h2 FROM vals),
+g0 AS (SELECT (h1 * {a1} + h2 * {b1} + {c1}) % 2147483647 AS g1,
+              (h1 * {a2} + h2 * {b2} + {c2}) % 2147483647 AS g2
+       FROM h),
+gA AS (SELECT (g1*g1 + 40503) % 2147483647 AS g1,
+              (g2*g2 + 40503) % 2147483647 AS g2 FROM g0),
+gB AS (SELECT (g1*g1 + 914231) % 2147483647 AS g1,
+              (g2*g2 + 914231) % 2147483647 AS g2 FROM gA),
+rr AS (SELECT g1 % {m} AS reg,
+              CASE WHEN g2 = 0 THEN 32
+                   ELSE 32 - length(bin(g2)) END AS rho FROM gB),
+mx AS (SELECT reg, MAX(rho) AS mx FROM rr GROUP BY reg),
+st AS (SELECT COUNT(*) AS used,
+              COALESCE(SUM(CAST(1 AS BIGINT) << (32 - mx)), 0) AS su
+       FROM mx),
+f AS (SELECT su + ({m} - used) * (CAST(1 AS BIGINT) << 32) AS S,
+             {m} - used AS V FROM st)
+SELECT ROUND(CASE WHEN {A} / S <= 2.5 * {m} AND V > 0
+                  THEN {m} * ln({m} / CAST(V AS DOUBLE))
+                  WHEN {A} / S > 2147483648.0 / 30.0
+                  THEN -2147483648.0 * ln(1.0 - ({A} / S)
+                                          / 2147483648.0)
+                  ELSE {A} / S END, 4) AS n_distinct_est,
+       CAST({m} AS BIGINT) AS n_registers,
+       CAST(V AS BIGINT) AS v_zero,
+       CAST(S AS BIGINT) AS s_scaled
+FROM f
+""".format(col=column, table=table, p1=poly1, p2=poly2, a1=a1, b1=b1,
+           c1=c1, a2=a2, b2=b2, c2=c2, m=m, A=a_lit)
+
+
+@demo("hyperloglog", oracle=_hll_oracle())
+def hyperloglog(spark, sf_dir):
+    """HyperLogLog (round 11): engine-exact distinct-count sketch of
+    lineitem.l_partkey — two Mersenne poly hashes → affine mix → two
+    quadratic scrambling rounds (all integer arithmetic < 2⁶²), 2¹⁰
+    registers aggregated by MAX, the indicator sum kept as an exact
+    scaled BIGINT so the oracle compares integers, ONE double division
+    + the paper's range corrections for the estimate.  The 100 TB
+    cardinality-planning primitive: map-side hashing, one ≤1024-key
+    groupBy, one single-row aggregate."""
+    from dask_geomodeling_spark.pipeline.text import HyperLogLog
+    li = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "lineitem")), spark)
+    src = DataFrameSource(li.select("l_orderkey", "l_partkey"),
+                          index_column="l_orderkey")
+    return HyperLogLog(src, "l_partkey", precision=10).plan(spark)
+
+
 @demo("corpus_stats", oracle="""
 WITH t AS (SELECT source,
     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -11405,6 +11465,7 @@ GATE_ANCHORS = [
     "stream_order",
     "dbscan_clusters",
     "incremental_dedup",
+    "hyperloglog",
 ]
 
 

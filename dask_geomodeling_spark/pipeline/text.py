@@ -16,7 +16,7 @@ from dask_geomodeling_spark.geometry.base import BaseSingle
 __all__ = ["TokenCount", "BPETokenCount", "BPETokenize", "BPETrain",
            "QualityScore", "LanguageID", "Fingerprint", "TFIDF",
            "ChunkText", "CorpusStats", "BM25Score", "NgramNovelty",
-           "ReadabilityScore", "TextNormalize"]
+           "ReadabilityScore", "TextNormalize", "HyperLogLog"]
 
 # tiny per-language stopword marker sets for the n-gram/stopword heuristic
 _LANG_MARKERS = {
@@ -892,3 +892,129 @@ class BM25Score(BaseSingle):
             F.round(F.expr(" + ".join(parts)), 6).alias("score"),
             F.expr(matched).cast("bigint").alias("matched")]
         return scored.select(*out_cols)
+
+
+def _hll_alpha(m):
+    """The standard HLL bias constants (Flajolet et al. 2007)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+class HyperLogLog(BaseSingle):
+    """ENGINE-EXACT HyperLogLog distinct-count sketch of a column
+    (round 11) — the cardinality estimate a 100 TB curation pipeline
+    sizes its dedup/shuffle plans with ("how many distinct URLs /
+    hosts / shingles"), as one map-side pass + one tiny aggregation.
+
+    Spark's built-in ``approx_count_distinct`` (HLL++) and DuckDB's
+    sketch disagree engine-to-engine; this block's hash and register
+    math are pure ANSI integer arithmetic, so every engine computes
+    the IDENTICAL estimate and the oracle can replay it bit-for-bit.
+    Polynomial string hashes have NO avalanche (base 257 ≡ 1 mod 256
+    makes their low byte a digit sum, and their magnitude tracks
+    string length — both fatal for register/leading-zero statistics),
+    so each row's two poly hashes pass through two independent
+    Mersenne ``(a·h₁ + b·h₂ + c) mod M`` mixes, which are
+    equidistributed over [0, M) (every product < 2⁶², ANSI-safe):
+
+    - register = ``mix₁ mod m`` (m = 2^precision); ``rho`` = leading
+      zeros of the 31-bit word ``mix₂`` + 1;
+    - registers aggregate with MAX (duplicates collapse for free —
+      mergeability is the whole point of the sketch: union = per-
+      register max, pinned by a pytest);
+    - the indicator sum Σ 2^(−M_j) is kept EXACT as the scaled BIGINT
+      ``S = Σ 2^(32 − M_j)`` (≤ m·2³², no float-order sensitivity);
+      the estimate does ONE double division ``α·m²·2³² / S``, with
+      the standard small-range (linear counting) and large-range
+      (31-bit word saturation) corrections of the original paper.
+
+    Output: one row — ``n_distinct_est`` (round 4), ``n_registers``,
+    ``v_zero`` (empty registers), ``s_scaled`` (the exact integer
+    sum, so the oracle comparison is integer-robust).  NULLs don't
+    count.  Plan shape: map-side hashing, one ``groupBy(register)``
+    over ≤ m keys, one single-row aggregate — nothing data-sized
+    moves.  The 31-bit rho word saturates near 2³¹ distinct values
+    (the classic 32-bit-HLL bound, large-range-corrected); shard by a
+    key (host, language) for beyond-10⁹ cardinalities.
+    """
+
+    _M = 2147483647
+    #: the two affine mixes: (a·h1 + b·h2 + c) mod M
+    _MIX1 = (1597334677, 2246822519, 11)
+    _MIX2 = (2246822519, 1103515245, 17)
+
+    def __init__(self, source, column, precision=10):
+        p = int(precision)
+        if not 4 <= p <= 16:
+            raise ValueError("precision must be in [4, 16]")
+        super().__init__(source, str(column), p)
+
+    @property
+    def columns(self):
+        return {"n_distinct_est", "n_registers", "v_zero", "s_scaled"}
+
+    def _build(self, ctx):
+        from dask_geomodeling_spark.pipeline.dedup import poly_hash_expr
+        _, column, p = self.args
+        m = 1 << p
+        M = self._M
+        alpha = _hll_alpha(m)
+        a_lit = alpha * m * m * float(2 ** 32)
+        df = self.source._build(ctx)
+        v = "CAST(`{c}` AS STRING)".format(c=column)
+        h1 = poly_hash_expr(v, base=257)
+        h2 = poly_hash_expr(v, base=131)
+        (a1, b1, c1), (a2, b2, c2) = self._MIX1, self._MIX2
+        # affine mix, then TWO quadratic rounds x ← (x² + c) mod M:
+        # the affine step alone is an LCG over structured inputs
+        # (consecutive-integer strings step h1/h2 by 1), which clumps
+        # registers; squaring is non-linear and every product stays
+        # < 2⁶² (ANSI-safe).  Shared step-for-step with the oracle.
+        rows = (df.filter(F.col(column).isNotNull())
+                .select(F.expr(h1).alias("_h1"),
+                        F.expr(h2).alias("_h2"))
+                .select(F.expr(
+                    "pmod(_h1 * {a} + _h2 * {b} + {c}, {M})"
+                    .format(a=a1, b=b1, c=c1, M=M)).alias("_g1"),
+                    F.expr(
+                    "pmod(_h1 * {a} + _h2 * {b} + {c}, {M})"
+                    .format(a=a2, b=b2, c=c2, M=M)).alias("_g2")))
+        for q in (40503, 914231):
+            rows = rows.select(
+                F.expr("pmod(_g1 * _g1 + {q}, {M})"
+                       .format(q=q, M=M)).alias("_g1"),
+                F.expr("pmod(_g2 * _g2 + {q}, {M})"
+                       .format(q=q, M=M)).alias("_g2"))
+        rows = rows.select(
+            F.pmod(F.col("_g1"), F.lit(m)).alias("_reg"),
+            F.expr("IF(_g2 = 0, 32, 32 - length(bin(_g2)))")
+            .alias("_rho"))
+        regs = rows.groupBy("_reg").agg(F.max("_rho").alias("_mx"))
+        agg = regs.agg(
+            F.count(F.lit(1)).alias("_used"),
+            F.coalesce(F.sum(F.expr(
+                "shiftleft(CAST(1 AS BIGINT), 32 - _mx)")),
+                F.lit(0)).alias("_su"))
+        s = (F.col("_su")
+             + (F.lit(m) - F.col("_used"))
+             * F.lit(1 << 32).cast("bigint"))
+        vz = (F.lit(m) - F.col("_used")).cast("bigint")
+        e_raw = F.lit(a_lit) / s.cast("double")
+        two31 = float(2 ** 31)
+        est = F.when((e_raw <= 2.5 * m) & (vz > 0),
+                     F.lit(float(m)) * F.log(F.lit(float(m))
+                                             / vz.cast("double"))) \
+               .when(e_raw > two31 / 30.0,
+                     -F.lit(two31) * F.log(F.lit(1.0)
+                                           - e_raw / F.lit(two31))) \
+               .otherwise(e_raw)
+        return agg.select(
+            F.round(est, 4).alias("n_distinct_est"),
+            F.lit(m).cast("bigint").alias("n_registers"),
+            vz.alias("v_zero"),
+            s.cast("bigint").alias("s_scaled"))

@@ -1475,3 +1475,92 @@ def test_fingerprint_meta_second_pass_rules(spark, tmp_path):
     sink2.plan(spark).write.parquet(legacy)  # data only, no meta
     with pytest.raises(ValueError, match="no meta"):
         sink2.write(spark, mode="append")
+
+
+def _hll_model(values, p):
+    """Pure-python replay of the HyperLogLog arithmetic."""
+    import math
+    M = 2147483647
+    m = 1 << p
+
+    def poly(s, base):
+        h = 0
+        for ch in s:
+            h = (h * base + ord(ch)) % M
+        return h
+
+    regs = {}
+    for v in values:
+        s = str(v)
+        h1, h2 = poly(s, 257), poly(s, 131)
+        g1 = (h1 * 1597334677 + h2 * 2246822519 + 11) % M
+        g2 = (h1 * 2246822519 + h2 * 1103515245 + 17) % M
+        for q in (40503, 914231):
+            g1 = (g1 * g1 + q) % M
+            g2 = (g2 * g2 + q) % M
+        reg = g1 % m
+        rho = 32 if g2 == 0 else 32 - g2.bit_length()
+        regs[reg] = max(regs.get(reg, 0), rho)
+    S = sum(1 << (32 - mx) for mx in regs.values()) \
+        + (m - len(regs)) * (1 << 32)
+    V = m - len(regs)
+    if m == 16:
+        alpha = 0.673
+    elif m == 32:
+        alpha = 0.697
+    elif m == 64:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m * float(2 ** 32) / S
+    if e <= 2.5 * m and V > 0:
+        e = m * math.log(m / float(V))
+    elif e > 2.0 ** 31 / 30.0:
+        e = -(2.0 ** 31) * math.log(1.0 - e / 2.0 ** 31)
+    return round(e, 4), V, S
+
+
+def test_hyperloglog_matches_model_and_accuracy(spark):
+    """Round 11: HyperLogLog is bit-identical to the pure-python
+    model (registers, scaled sum, estimate) and lands within ~4 sigma
+    of the truth on 2000 distinct values at p=10."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.text import HyperLogLog
+    from pyspark.sql import functions as F
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 2000).alias("v"))
+    src = DataFrameSource(df, index_column="doc_id")
+    row = HyperLogLog(src, "v", precision=10).plan(spark).collect()[0]
+    est, vz, s = _hll_model([i % 2000 for i in range(5000)], 10)
+    assert row["s_scaled"] == s
+    assert row["v_zero"] == vz
+    assert row["n_distinct_est"] == est
+    assert abs(row["n_distinct_est"] - 2000) < 2000 * 0.14
+
+
+def test_hyperloglog_mergeable_and_duplicate_blind(spark):
+    """The sketch of A union B equals the sketch of A+B concatenated
+    (register max is the merge), and duplicates never change it."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.text import HyperLogLog
+    from pyspark.sql import functions as F
+
+    def sk(df):
+        src = DataFrameSource(df.withColumn(
+            "doc_id", F.col("v")), index_column="doc_id")
+        return HyperLogLog(src, "v", precision=8) \
+            .plan(spark).collect()[0]
+
+    a = spark.range(500).select(F.col("id").alias("v"))
+    b = spark.range(300, 900).select(F.col("id").alias("v"))
+    both = a.unionAll(b)                       # overlapping multiset
+    dup3 = both.unionAll(both).unionAll(both)  # duplicates
+    u = sk(both)
+    assert sk(dup3) == u
+    # true distinct of the union is 900
+    assert abs(u["n_distinct_est"] - 900) < 900 * 0.25
+    with __import__("pytest").raises(ValueError, match="precision"):
+        from dask_geomodeling_spark.pipeline.text import (
+            HyperLogLog as H)
+        H(DataFrameSource(a.withColumn("doc_id", F.col("v")),
+                          index_column="doc_id"), "v", precision=3)
