@@ -10385,7 +10385,8 @@ def bpe_tokenize(spark, sf_dir):
         "n_tokens")
 
 
-def _hll_oracle(column="l_partkey", table="lineitem", p=10):
+def _hll_oracle(column="l_partkey", table="lineitem", p=10,
+                by="l_returnflag"):
     from dask_geomodeling_spark.pipeline.text import (HyperLogLog,
                                                       _hll_alpha)
     m = 1 << p
@@ -10394,26 +10395,28 @@ def _hll_oracle(column="l_partkey", table="lineitem", p=10):
     poly1 = _DD_POLY.format(col="v", base=257)
     poly2 = _DD_POLY.format(col="v", base=131)
     return """
-WITH vals AS (SELECT DISTINCT CAST({col} AS VARCHAR) AS v
+WITH vals AS (SELECT DISTINCT {by} AS grp, CAST({col} AS VARCHAR) AS v
               FROM {table} WHERE {col} IS NOT NULL),
-h AS (SELECT {p1} AS h1, {p2} AS h2 FROM vals),
-g0 AS (SELECT (h1 * {a1} + h2 * {b1} + {c1}) % 2147483647 AS g1,
+h AS (SELECT grp, {p1} AS h1, {p2} AS h2 FROM vals),
+g0 AS (SELECT grp,
+              (h1 * {a1} + h2 * {b1} + {c1}) % 2147483647 AS g1,
               (h1 * {a2} + h2 * {b2} + {c2}) % 2147483647 AS g2
        FROM h),
-gA AS (SELECT (g1*g1 + 40503) % 2147483647 AS g1,
+gA AS (SELECT grp, (g1*g1 + 40503) % 2147483647 AS g1,
               (g2*g2 + 40503) % 2147483647 AS g2 FROM g0),
-gB AS (SELECT (g1*g1 + 914231) % 2147483647 AS g1,
+gB AS (SELECT grp, (g1*g1 + 914231) % 2147483647 AS g1,
               (g2*g2 + 914231) % 2147483647 AS g2 FROM gA),
-rr AS (SELECT g1 % {m} AS reg,
+rr AS (SELECT grp, g1 % {m} AS reg,
               CASE WHEN g2 = 0 THEN 32
                    ELSE 32 - length(bin(g2)) END AS rho FROM gB),
-mx AS (SELECT reg, MAX(rho) AS mx FROM rr GROUP BY reg),
-st AS (SELECT COUNT(*) AS used,
+mx AS (SELECT grp, reg, MAX(rho) AS mx FROM rr GROUP BY grp, reg),
+st AS (SELECT grp, COUNT(*) AS used,
               COALESCE(SUM(CAST(1 AS BIGINT) << (32 - mx)), 0) AS su
-       FROM mx),
-f AS (SELECT su + ({m} - used) * (CAST(1 AS BIGINT) << 32) AS S,
+       FROM mx GROUP BY grp),
+f AS (SELECT grp, su + ({m} - used) * (CAST(1 AS BIGINT) << 32) AS S,
              {m} - used AS V FROM st)
-SELECT ROUND(CASE WHEN {A} / S <= 2.5 * {m} AND V > 0
+SELECT grp AS {by},
+       ROUND(CASE WHEN {A} / S <= 2.5 * {m} AND V > 0
                   THEN {m} * ln({m} / CAST(V AS DOUBLE))
                   WHEN {A} / S > 2147483648.0 / 30.0
                   THEN -2147483648.0 * ln(1.0 - ({A} / S)
@@ -10424,25 +10427,30 @@ SELECT ROUND(CASE WHEN {A} / S <= 2.5 * {m} AND V > 0
        CAST(S AS BIGINT) AS s_scaled
 FROM f
 """.format(col=column, table=table, p1=poly1, p2=poly2, a1=a1, b1=b1,
-           c1=c1, a2=a2, b2=b2, c2=c2, m=m, A=a_lit)
+           c1=c1, a2=a2, b2=b2, c2=c2, m=m, A=a_lit, by=by)
 
 
 @demo("hyperloglog", oracle=_hll_oracle())
 def hyperloglog(spark, sf_dir):
-    """HyperLogLog (round 11): engine-exact distinct-count sketch of
-    lineitem.l_partkey — two Mersenne poly hashes → affine mix → two
+    """HyperLogLog (round 11): engine-exact distinct-count sketch —
+    distinct l_partkey PER l_returnflag (the grouped ``by=`` mode;
+    the ungrouped path is pinned bit-exact against a pure-python
+    model in pytest).  Two Mersenne poly hashes → affine mix → two
     quadratic scrambling rounds (all integer arithmetic < 2⁶²), 2¹⁰
-    registers aggregated by MAX, the indicator sum kept as an exact
-    scaled BIGINT so the oracle compares integers, ONE double division
-    + the paper's range corrections for the estimate.  The 100 TB
-    cardinality-planning primitive: map-side hashing, one ≤1024-key
-    groupBy, one single-row aggregate."""
+    registers per group aggregated by MAX on the uniform (group,
+    register) key, the indicator sum kept as an exact scaled BIGINT
+    so the oracle compares integers, ONE double division + the
+    paper's range corrections.  The 100 TB cardinality-planning
+    primitive: map-side hashing, one groups·1024-key groupBy, one
+    row per group."""
     from dask_geomodeling_spark.pipeline.text import HyperLogLog
     li = ensure_min_partitions(read_nanos_parquet(
         spark, _pq(sf_dir, "lineitem")), spark)
-    src = DataFrameSource(li.select("l_orderkey", "l_partkey"),
-                          index_column="l_orderkey")
-    return HyperLogLog(src, "l_partkey", precision=10).plan(spark)
+    src = DataFrameSource(
+        li.select("l_orderkey", "l_partkey", "l_returnflag"),
+        index_column="l_orderkey")
+    return HyperLogLog(src, "l_partkey", precision=10,
+                       by="l_returnflag").plan(spark)
 
 
 @demo("corpus_stats", oracle="""

@@ -941,6 +941,11 @@ class HyperLogLog(BaseSingle):
     moves.  The 31-bit rho word saturates near 2³¹ distinct values
     (the classic 32-bit-HLL bound, large-range-corrected); shard by a
     key (host, language) for beyond-10⁹ cardinalities.
+
+    ``by=<column>`` computes one sketch row PER GROUP ("distinct URLs
+    per host") — registers key on the uniform (group, register)
+    composite, so state is bounded by ``groups · m``, never the data;
+    a hot group spreads over its m register keys.
     """
 
     _M = 2147483647
@@ -948,19 +953,24 @@ class HyperLogLog(BaseSingle):
     _MIX1 = (1597334677, 2246822519, 11)
     _MIX2 = (2246822519, 1103515245, 17)
 
-    def __init__(self, source, column, precision=10):
+    def __init__(self, source, column, precision=10, by=None):
         p = int(precision)
         if not 4 <= p <= 16:
             raise ValueError("precision must be in [4, 16]")
-        super().__init__(source, str(column), p)
+        super().__init__(source, str(column), p,
+                         None if by is None else str(by))
 
     @property
     def columns(self):
-        return {"n_distinct_est", "n_registers", "v_zero", "s_scaled"}
+        out = {"n_distinct_est", "n_registers", "v_zero", "s_scaled"}
+        by = self.args[3] if len(self.args) > 3 else None
+        return out | ({by} if by else set())
 
     def _build(self, ctx):
         from dask_geomodeling_spark.pipeline.dedup import poly_hash_expr
-        _, column, p = self.args
+        _, column, p = self.args[:3]
+        by = self.args[3] if len(self.args) > 3 else None
+        grp = [by] if by else []
         m = 1 << p
         M = self._M
         alpha = _hll_alpha(m)
@@ -976,9 +986,9 @@ class HyperLogLog(BaseSingle):
         # registers; squaring is non-linear and every product stays
         # < 2⁶² (ANSI-safe).  Shared step-for-step with the oracle.
         rows = (df.filter(F.col(column).isNotNull())
-                .select(F.expr(h1).alias("_h1"),
+                .select(*grp, F.expr(h1).alias("_h1"),
                         F.expr(h2).alias("_h2"))
-                .select(F.expr(
+                .select(*grp, F.expr(
                     "pmod(_h1 * {a} + _h2 * {b} + {c}, {M})"
                     .format(a=a1, b=b1, c=c1, M=M)).alias("_g1"),
                     F.expr(
@@ -986,16 +996,22 @@ class HyperLogLog(BaseSingle):
                     .format(a=a2, b=b2, c=c2, M=M)).alias("_g2")))
         for q in (40503, 914231):
             rows = rows.select(
+                *grp,
                 F.expr("pmod(_g1 * _g1 + {q}, {M})"
                        .format(q=q, M=M)).alias("_g1"),
                 F.expr("pmod(_g2 * _g2 + {q}, {M})"
                        .format(q=q, M=M)).alias("_g2"))
         rows = rows.select(
+            *grp,
             F.pmod(F.col("_g1"), F.lit(m)).alias("_reg"),
             F.expr("IF(_g2 = 0, 32, 32 - length(bin(_g2)))")
             .alias("_rho"))
-        regs = rows.groupBy("_reg").agg(F.max("_rho").alias("_mx"))
-        agg = regs.agg(
+        # per-group mode ("distinct URLs per host"): registers key on
+        # (group, register) — a uniform composite key, then ONE row
+        # per group aggregates the sketch; group count bounds state,
+        # never the data
+        regs = rows.groupBy(*grp, "_reg")             .agg(F.max("_rho").alias("_mx"))
+        agg = regs.groupBy(*grp).agg(
             F.count(F.lit(1)).alias("_used"),
             F.coalesce(F.sum(F.expr(
                 "shiftleft(CAST(1 AS BIGINT), 32 - _mx)")),
@@ -1014,6 +1030,7 @@ class HyperLogLog(BaseSingle):
                                            - e_raw / F.lit(two31))) \
                .otherwise(e_raw)
         return agg.select(
+            *grp,
             F.round(est, 4).alias("n_distinct_est"),
             F.lit(m).cast("bigint").alias("n_registers"),
             vz.alias("v_zero"),

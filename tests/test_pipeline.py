@@ -1564,3 +1564,23 @@ def test_hyperloglog_mergeable_and_duplicate_blind(spark):
             HyperLogLog as H)
         H(DataFrameSource(a.withColumn("doc_id", F.col("v")),
                           index_column="doc_id"), "v", precision=3)
+
+
+def test_hyperloglog_by_group_matches_per_group_model(spark):
+    """by=<col> gives one sketch per group, each bit-identical to the
+    pure-python model over that group's values."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.text import HyperLogLog
+    from pyspark.sql import functions as F
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 700).alias("v"))
+    src = DataFrameSource(df, index_column="doc_id")
+    got = {r["g"]: (r["n_distinct_est"], r["v_zero"], r["s_scaled"])
+           for r in HyperLogLog(src, "v", precision=8, by="g")
+           .plan(spark).collect()}
+    for g in ("0", "1", "2"):
+        vals = [i % 700 for i in range(3000) if i % 3 == int(g)]
+        est, vz, s = _hll_model(vals, 8)
+        assert got[g] == (est, vz, s), (g, got[g], (est, vz, s))
