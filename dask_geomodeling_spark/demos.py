@@ -11456,45 +11456,55 @@ def dsir_score_saved(spark, sf_dir):
 # reasoning a gate exists to replace): every query registered this
 # round (registry minus _gate_roster.PRIOR_REGISTRY) is an anchor, no
 # exceptions — pinned by tests/test_core.py::test_gate_anchor_policy.
+# Round-12 (verdict #1): every r11 anchor is driver-green in
+# CORRECTNESS_r11 and rotates back into the pool.
 GATE_ANCHORS = [
     "q1_pricing_summary",           # flagship
     "json_graph_roundtrip",         # serialization contract
-    # the three r10 ops the rotation never reached (r10 verdict #2)
-    "rolling_event_aggregate",
-    "sample_points_in_polygons",
-    "raster_warp_median",
-    # round-11 VALUE change: the UrlNormalize trailing-slash rule now
-    # strips ALL slashes (idempotence fix) — re-anchor the op and both
-    # chains whose oracles changed with it
-    "url_normalize",
-    "url_dedup",
-    "crawl_prep",
-    # round-11 new operators
-    "stream_order",
-    "dbscan_clusters",
-    "incremental_dedup",
-    "hyperloglog",
 ]
 
 
-def _infer_round():
+def _driver_history():
+    """name -> latest round number with ANY driver CORRECTNESS row,
+    derived from the checked-in CORRECTNESS_r*.json artifacts (the
+    same repo-state-only source ``_infer_round`` used).  Queries the
+    driver has NEVER gated are absent (treated as round 0)."""
     import glob
+    import json
     import re
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    rounds = []
+    last = {}
     for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)\.json$", f)
-        if m:
-            rounds.append(int(m.group(1)))
-    return (max(rounds) + 1) if rounds else 1
+        if not m:
+            continue
+        r = int(m.group(1))
+        try:
+            with open(f) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name in rows:
+            last[name] = max(last.get(name, 0), r)
+    return last
 
 
 def _rotating_gate(registry):
+    """Round-12 (verdict #1): the rotating slots are filled
+    NEVER-DRIVER-CHECKED-FIRST, then by staleness of the last driver
+    row, then by name — instead of plain round-robin.  68 registry
+    queries had no driver CORRECTNESS row ever after 11 rounds of
+    round-robin; this ordering gives all of them driver rows within
+    ceil(68/k) rounds, and once everything has a row the staleness key
+    degenerates into a natural round-robin (this round's gated queries
+    drop to the back as soon as the driver commits the artifact).
+    Deterministic from the repo state alone, like the rotation it
+    replaces."""
     pool = [n for n in sorted(registry) if n not in GATE_ANCHORS]
     k = 50 - len(GATE_ANCHORS)
-    start = ((_infer_round() - 1) * k) % len(pool)
-    return GATE_ANCHORS + [pool[(start + i) % len(pool)]
-                           for i in range(k)]
+    last = _driver_history()
+    pool.sort(key=lambda n: (last.get(n, 0), n))
+    return GATE_ANCHORS + pool[:k]
 
 
 GATE_ORDER = _rotating_gate(QUERIES)

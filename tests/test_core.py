@@ -240,3 +240,27 @@ def test_gate_anchor_policy():
         entry = latest[name]
         assert entry.get("err") is None and entry.get("rows_match"), (
             name, entry)
+
+
+def test_gate_rotation_never_checked_first():
+    """Round 12 (verdict #1): the rotating gate slots are filled
+    never-driver-checked-first, then stalest-first, then by name —
+    derived from the checked-in CORRECTNESS_r*.json artifacts, the
+    same repo-state-only inference the old round-robin used.  Pins
+    (a) the ordering key, and (b) that while ANY registry query lacks
+    a driver row, the rotating slots contain no already-checked query
+    ahead of a never-checked one."""
+    from dask_geomodeling_spark import demos
+
+    last = demos._driver_history()
+    pool = [n for n in sorted(demos.QUERIES) if n not in demos.GATE_ANCHORS]
+    rotating = [n for n in demos.GATE_ORDER
+                if n not in demos.GATE_ANCHORS]
+    k = len(rotating)
+    expected = sorted(pool, key=lambda n: (last.get(n, 0), n))[:k]
+    assert rotating == expected
+    never = [n for n in pool if n not in last]
+    if never:
+        # never-checked queries fill slots before any checked query
+        assert set(never[:k]) <= set(rotating), (
+            sorted(set(never[:k]) - set(rotating)))
