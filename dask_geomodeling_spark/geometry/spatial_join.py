@@ -472,6 +472,15 @@ class ClusterDBSCAN(GeometryBlock):
     density cost; at 100 TB pick eps against the data density (the
     same contract PostGIS ships with), and AQE's skew-join handles
     hot cells.
+
+    Cache lifecycle: each ``plan()`` eagerly checkpoints ONE narrow
+    (id, cluster_id, is_core) label table that the returned plan
+    reads — the data-sized pair/core caches are freed before plan()
+    returns.  The checkpoint itself must outlive the returned plan,
+    so callers re-planning the same block many times in one session
+    accumulate one narrow checkpoint per superseded plan; unpersist
+    superseded results (or reuse the returned DataFrame) in
+    long-lived sessions.
     """
 
     def __init__(self, source, eps, min_points, id_column=None,

@@ -271,7 +271,15 @@ class MinHashLSH(BaseSingle):
         (_, _, _, num_perm, bands, shingle_size, _, _,
          hash_fn) = self.args[:9]
         sigs, _, _ = self._signatures(ctx)
-        sigs = sigs.persist()
+        # NOT persisted (round-12 persist-lifecycle fix): sigs appears
+        # twice in the DAG (band probe + verify shingles), so the NEW
+        # batch is scanned twice per materialization — the batch is
+        # the small side of the production asymmetry (a snapshot
+        # probing a 10×+ saved corpus table), and a second pruned scan
+        # of it beats leaking one data-sized cache per plan() call
+        # that the operator can never free.  Executor storage after
+        # plan() is EMPTY (pinned by
+        # tests/test_explain_plans.py::test_against_lsh_leaves_no_storage).
         saved = ctx.spark.read.parquet(url)
         want = {"_id", "_shingles"} | {
             "_s{}".format(i) for i in range(num_perm)}
@@ -333,7 +341,13 @@ class MinHashLSH(BaseSingle):
         # the signature table feeds the band join twice and the verify
         # join twice — persist it (MEMORY_AND_DISK) instead of
         # recomputing the shingle+hash scan per use; at 100 TB this is
-        # the standard "materialize the signature table" step
+        # the standard "materialize the signature table" step.
+        # DOCUMENTED session-lifetime cache (SURVEY §6 rule 9): the
+        # returned plan references this frame in four places, so the
+        # operator cannot free it; callers running many corpus-mode
+        # builds in one session should checkpoint+unpersist the
+        # superseded result, or use FingerprintTableSink to make the
+        # materialization explicit and disk-backed.
         sigs = sigs.persist()
         band_structs = self._band_structs(num_perm, bands)
         # the bucket join carries only (id, band-key); the (wide) shingle
@@ -484,10 +498,24 @@ class FingerprintTableSink(BaseSingle):
                     "fingerprint table at {} has no meta table — "
                     "cannot verify its parameters before appending; "
                     "rewrite it with mode='overwrite'".format(url))
+        meta_schema = ("num_perm int, bands int, shingle_size int, "
+                       "hash_fn string")
+        if mode == "overwrite" and self._exists(spark, url + "_meta"):
+            # invalidate the OLD meta before rewriting the data
+            # (round-12 advice fix): if the data rewrite below changes
+            # the hash-space parameters and then the final meta write
+            # fails, a surviving old meta would certify the WRONG hash
+            # space and later appends / against= probes would validate
+            # against it — the exact silent-mixed-hash-space failure
+            # the meta table exists to prevent.  An EMPTY meta reads
+            # as None, so a partial failure always leaves the table
+            # meta-less, which the append path refuses fail-safe.
+            spark.createDataFrame([], meta_schema).write \
+                .mode("overwrite").format("parquet") \
+                .save(url + "_meta")
         df.write.mode(mode).format("parquet").save(url)
         spark.createDataFrame(
-            [mine], "num_perm int, bands int, shingle_size int, "
-            "hash_fn string").write.mode("overwrite") \
+            [mine], meta_schema).write.mode("overwrite") \
             .format("parquet").save(url + "_meta")
         return url
 

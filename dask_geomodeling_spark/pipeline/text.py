@@ -817,8 +817,10 @@ class BM25Score(BaseSingle):
     term list, so per-document term frequencies are map-side HOF
     filters — no explode, no (doc, token) shuffle; the corpus
     statistics (N, avgdl, per-term df) reduce to ONE single-row
-    aggregation broadcast back over the scan.  Two passes over the
-    documents, zero keyed shuffles.
+    aggregation collected driver-side (a handful of scalars, the
+    model-fit convention) and substituted as literals over the scan.
+    Two passes over the documents, zero keyed shuffles, zero executor
+    storage retained after plan() (round-12 persist-lifecycle fix).
 
     Output: source columns plus ``score`` (rounded to 6) and
     ``matched`` (query terms present).  Scoring every document against
@@ -861,18 +863,31 @@ class BM25Score(BaseSingle):
             base = base.withColumn(
                 "_tf{}".format(i),
                 F.expr("size(filter(_w, x -> x = '{}'))".format(t)))
-        # base feeds the stats aggregation AND the scoring projection —
-        # persist it so the document scan + per-term HOF lambdas run
-        # once, not twice (round-11 advice fix; the WinnowingFingerprint
-        # k-gram-table convention)
-        base = base.drop("_w").persist()
+        # base feeds the stats aggregation AND the scoring projection.
+        # The corpus-level stats are a SINGLE row of scalars (N, avgdl,
+        # one df per query term) — collect them driver-side, the same
+        # "fits collect k×dim scalars only" convention as the KMeans/PQ
+        # fits, and substitute them as literals.  Round-12 persist-
+        # lifecycle fix: the r11 version persisted the data-sized tf
+        # table to make the scan run once, but that cache could never
+        # be freed by the operator and accumulated per plan() call for
+        # the session lifetime.  Two pruned scans + zero executor
+        # storage is the 100 TB-shaped trade (the docstring's "two
+        # passes" contract).
+        base = base.drop("_w")
         aggs = [F.count(F.lit(1)).alias("_n"),
                 F.avg("_dl").alias("_avgdl")]
         for i in range(len(terms)):
             aggs.append(F.sum((F.col("_tf{}".format(i)) > 0)
                               .cast("bigint")).alias("_df{}".format(i)))
-        stats = base.agg(*aggs)
-        scored = base.crossJoin(F.broadcast(stats))
+        srow = base.agg(*aggs).collect()[0]
+        stats_cols = [F.lit(srow["_n"]).cast("bigint").alias("_n"),
+                      F.lit(srow["_avgdl"]).cast("double")
+                      .alias("_avgdl")]
+        stats_cols += [F.lit(srow["_df{}".format(i)]).cast("bigint")
+                       .alias("_df{}".format(i))
+                       for i in range(len(terms))]
+        scored = base.select("*", *stats_cols)
         parts = []
         for i in range(len(terms)):
             tf = "_tf{}".format(i)

@@ -906,6 +906,44 @@ def test_incremental_dedup_reads_saved_table_not_corpus(spark, tmp_path):
     assert "CartesianProduct" not in plan
 
 
+def test_bm25_leaves_no_storage(spark):
+    """Round 12 (persist-lifecycle convergence): BM25Score collects
+    its single row of corpus stats driver-side — no persisted tf
+    table, so building + materializing the plan leaves executor
+    storage exactly where it was."""
+    from dask_geomodeling_spark import demos
+    jsc = spark.sparkContext._jsc.sc()
+    before = len(jsc.getRDDStorageInfo())
+    demos.QUERIES["bm25_score"](spark, SF_DIR).collect()
+    after = len(jsc.getRDDStorageInfo())
+    assert after == before, (before, after)
+
+
+def test_against_lsh_leaves_no_storage(spark, tmp_path):
+    """Round 12 (persist-lifecycle convergence): MinHashLSH(against=)
+    no longer persists the new batch's signature table — the plan is
+    fully lazy (the batch is scanned twice in the DAG, the small side
+    of the production asymmetry) and materializing it leaves executor
+    storage exactly where it was."""
+    from dask_geomodeling_spark.geometry.sources import (
+        LiteralGeometrySource)
+    from dask_geomodeling_spark.pipeline.dedup import (
+        FingerprintTableSink, MinHashLSH)
+    url = str(tmp_path / "fp_storage")
+    corpus = LiteralGeometrySource(
+        [{"doc_id": 1, "text": "alpha beta gamma delta"}])
+    FingerprintTableSink(corpus, url, num_perm=8, bands=4,
+                         shingle_size=2, hash_fn="poly").write(spark)
+    batch = LiteralGeometrySource(
+        [{"doc_id": 9, "text": "alpha beta gamma delta"}])
+    jsc = spark.sparkContext._jsc.sc()
+    before = len(jsc.getRDDStorageInfo())
+    MinHashLSH(batch, num_perm=8, bands=4, shingle_size=2,
+               hash_fn="poly", against=url).plan(spark).collect()
+    after = len(jsc.getRDDStorageInfo())
+    assert after == before, (before, after)
+
+
 def test_stream_order_joins_stay_keyed(spark):
     """Round 11: the StreamOrder demo plan (driver short-circuit at
     this size) contains no cartesian product and its flow-graph joins
