@@ -20,9 +20,27 @@ import sys
 import time
 
 
+def _calibration_sec():
+    """Fixed deterministic CPU-bound loop (pure python, no Spark) —
+    a one-number machine-speed factor recorded beside the timings so
+    round-over-round comparisons can normalize out host noise (round-12
+    verdict #8; the r11 close ran on a ~2.2x slower host and proving
+    it took an interleaved A/B).  Min-of-3 to shed scheduler jitter."""
+    best = None
+    for _ in range(3):
+        t0 = time.monotonic()
+        acc = 0
+        for i in range(2_000_000):
+            acc = (acc * 1103515245 + i) % 2147483647
+        dt = time.monotonic() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 4)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+    calibration = _calibration_sec()
 
     from dask_geomodeling_spark.config import get_spark
     spark = get_spark()
@@ -146,6 +164,7 @@ def main():
         "queries": timings,
         "sf": sf,
         "warmup": "sf0.001 shape warmup + min-of-2 same-JVM runs",
+        "calibration_sec": calibration,
     }))
 
 
