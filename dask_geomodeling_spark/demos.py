@@ -11422,6 +11422,76 @@ def dsir_score_saved(spark, sf_dir):
                      num_buckets=10007).plan(spark)
 
 
+# ring construction shared by the round-12 validity demos: per
+# customer, wp = 1 + key%5 and hp = 1 + (3*key)%7 size the quad at
+# (key%10, (key*3)%10); EVEN keys trace a valid CCW rectangle, ODD
+# keys trace the classic BOWTIE vertex order (two opposite corners
+# swapped) whose even-odd interior is two triangles of total area
+# wp*hp/2
+_VALID_QUAD = (
+    "CASE WHEN c_custkey % 2 = 0 THEN "
+    "array(array(array(bx, by), array(bx + wp, by), "
+    "array(bx + wp, by + hp), array(bx, by + hp))) "
+    "ELSE array(array(array(bx, by), array(bx + wp, by + hp), "
+    "array(bx + wp, by), array(bx, by + hp))) END")
+
+
+def _validity_base(spark, sf_dir):
+    customer = ensure_min_partitions(
+        read_nanos_parquet(spark, _pq(sf_dir, "customer")), spark)
+    return customer.select(
+        "c_custkey",
+        F.expr("CAST(c_custkey % 10 AS DOUBLE)").alias("bx"),
+        F.expr("CAST((c_custkey * 3) % 10 AS DOUBLE)").alias("by"),
+        F.expr("CAST(1 + c_custkey % 5 AS DOUBLE)").alias("wp"),
+        F.expr("CAST(1 + (c_custkey * 3) % 7 AS DOUBLE)").alias("hp")
+    ).withColumn("rings", F.expr(_VALID_QUAD)).drop("bx", "by")
+
+
+@demo("is_valid", oracle="""
+SELECT c_custkey, c_custkey % 2 = 0 AS valid
+FROM customer
+""")
+def is_valid(spark, sf_dir):
+    """IsValid flag (PostGIS ST_IsValid; the reference inherits
+    validity through fiona+GEOS upstream of every Block).  Per
+    customer: even keys carry a valid rectangle, odd keys the bowtie
+    vertex order — the oracle re-derives the flag closed-form from
+    the parity."""
+    from dask_geomodeling_spark.geometry.constructive import IsValid
+    base = _validity_base(spark, sf_dir).drop("wp", "hp")
+    blk = IsValid(DataFrameSource(base, index_column="c_custkey"))
+    return blk.plan(spark).select("c_custkey", "valid")
+
+
+@demo("make_valid", oracle="""
+SELECT c_custkey,
+       CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 2 END AS n_rings,
+       ROUND(CASE WHEN c_custkey % 2 = 0
+                  THEN (1 + c_custkey % 5) * (1 + (c_custkey * 3) % 7)
+                  ELSE (1 + c_custkey % 5) * (1 + (c_custkey * 3) % 7)
+                       / 2.0 END, 6) AS area
+FROM customer
+""")
+def make_valid(spark, sf_dir):
+    """Even-odd validity repair (GEOS MakeValid linework / buffer(0);
+    the reference repairs implicitly through shapely on read).  Per
+    customer: even keys carry a valid wp x hp rectangle (unchanged,
+    1 ring, area wp*hp), odd keys the bowtie vertex order whose
+    even-odd interior the kernel re-stitches into TWO triangles of
+    closed-form total area wp*hp/2 — the verdict's two-triangles
+    oracle, re-derived per row."""
+    from dask_geomodeling_spark.geometry.constructive import MakeValid
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        rings_area_expr)
+    base = _validity_base(spark, sf_dir).drop("wp", "hp")
+    blk = MakeValid(DataFrameSource(base, index_column="c_custkey"))
+    return (blk.plan(spark)
+            .select("c_custkey",
+                    F.expr("size(rings)").alias("n_rings"),
+                    F.round(rings_area_expr("rings"), 6).alias("area")))
+
+
 # --------------------------------------------------------------------------
 # driver-gate ordering: the correctness harness verifies the FIRST 50
 # registered queries, so the first 50 must span SURVEY §2 breadth-first —
@@ -11461,6 +11531,9 @@ def dsir_score_saved(spark, sf_dir):
 GATE_ANCHORS = [
     "q1_pricing_summary",           # flagship
     "json_graph_roundtrip",         # serialization contract
+    # round-12 new operators
+    "is_valid",
+    "make_valid",
 ]
 
 

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from dask_geomodeling_spark.geometry.base import BaseSingle
 
 __all__ = ["Buffer", "Simplify", "Centroid", "ConvexHull",
-           "SamplePointsInPolygons"]
+           "SamplePointsInPolygons", "IsValid", "MakeValid"]
 
 
 def _buffer_ring_sql(r, dist, n):
@@ -1451,3 +1451,124 @@ class SamplePointsInPolygons(BaseSingle):
                         .alias("point_id"),
                         F.col("_pt.cpx").alias("px"),
                         F.col("_pt.cpy").alias("py")))
+
+
+class IsValid(BaseSingle):
+    """Flag polygon validity per feature (PostGIS ``ST_IsValid``; the
+    reference never needs it because fiona+GEOS repair geometry
+    upstream of every Block — reference geometry/sources.py reads
+    through shapely, which validates on construction).  Adds a boolean
+    ``valid`` column.
+
+    Semantics (polyclip.rings_is_valid, documented there): valid iff
+    every ring is simple (no crossings, no within-ring vertex
+    revisits, no degenerate rings) and no edge crosses, T-touches, or
+    overlaps another — cross-ring VERTEX touches are allowed
+    (OGC-valid, and MakeValid's own output shape for a bowtie).
+    Slightly stricter than OGC at T-touches (flagged invalid;
+    MakeValid re-stitches them even-odd-equivalently).
+    Per-row precedence mirrors Area: ``rings`` > ``vertices``;
+    point / box / path rows are always valid; NULL geometry -> NULL.
+
+    Plan shape: one Arrow-batched mapInPandas over the ring rows
+    (bounded per-feature vertex counts — the kernel is O(E^2) in one
+    feature's edges, never data-sized); point/box frames short-circuit
+    to a literal, no Python stage at all."""
+
+    def __init__(self, source, column="valid"):
+        if column in source.columns:
+            raise ValueError(
+                "column {!r} collides with IsValid's output; rename "
+                "upstream".format(column))
+        super().__init__(source, str(column))
+
+    @property
+    def columns(self):
+        return set(self.source.columns) | {self.args[1]}
+
+    def _build(self, ctx):
+        from dask_geomodeling_spark.config import ensure_min_partitions
+        from dask_geomodeling_spark.geometry.polyclip import (
+            map_rings_to_scalar, rings_is_valid)
+        df = self.source._build(ctx)
+        out_col = self.args[1]
+        cols = set(df.columns)
+        if not ({"rings", "vertices"} & cols):
+            # points / boxes / paths carry no ring topology to break
+            return df.withColumn(out_col, F.lit(True))
+        if "rings" in cols and "vertices" in cols:
+            geom = F.expr("CASE WHEN rings IS NOT NULL THEN rings "
+                          "WHEN vertices IS NOT NULL "
+                          "THEN array(vertices) END")
+        elif "rings" in cols:
+            geom = F.col("rings")
+        else:
+            geom = F.expr("CASE WHEN vertices IS NOT NULL "
+                          "THEN array(vertices) END")
+        df = df.withColumn("_iv_g", geom)
+        df = map_rings_to_scalar(
+            ensure_min_partitions(df, ctx.spark), "_iv_g",
+            lambda g: None if g is None else rings_is_valid(g),
+            out_col)
+        return df.drop("_iv_g")
+
+
+class MakeValid(BaseSingle):
+    """Repair invalid polygon geometry per feature (PostGIS
+    ``ST_MakeValid`` / GEOS MakeValid linework method; the reference
+    inherits this implicitly through shapely/GEOS on file read — wild
+    shapefiles and hand-drawn GeoJSON carry bowties and self-touches
+    constantly, and every ring consumer in this engine assumes
+    orientation-normalized non-self-intersecting rings).
+
+    Valid rows pass through UNCHANGED (GEOS's no-op contract).
+    Invalid rows are re-stitched by the arrangement kernel
+    (polyclip.polygon_make_valid): even-odd semantics are preserved
+    exactly — a bowtie quad becomes its two triangles, a figure-eight
+    splits at the pinch, zero-area parts drop (regularization).
+    Repaired geometry lands in ``rings`` (CCW outers, CW holes);
+    a ``vertices``-only frame gains a ``rings`` column (the repair of
+    a self-intersecting single ring is generally MULTI-ring) and its
+    ``vertices`` column tracks the first repaired ring, NULL when the
+    repair is multi-part — the Buffer ring-promotion convention.
+    Rows whose repair is empty (fully degenerate) get NULL geometry.
+
+    Plan shape: one Arrow-batched mapInPandas over ring rows (the
+    Simplify 'dp' / Buffer kernel contract); point/box frames are
+    returned untouched with no Python stage."""
+
+    @property
+    def columns(self):
+        cols = set(self.source.columns)
+        if "vertices" in cols:
+            cols.add("rings")
+        return cols
+
+    def _build(self, ctx):
+        from dask_geomodeling_spark.config import ensure_min_partitions
+        from dask_geomodeling_spark.geometry.polyclip import (
+            map_rings_unary, polygon_make_valid)
+        df = self.source._build(ctx)
+        cols = set(df.columns)
+        if not ({"rings", "vertices"} & cols):
+            return df
+        if "vertices" in cols and "rings" not in cols:
+            df = df.withColumn(
+                "rings", F.expr("CASE WHEN vertices IS NOT NULL "
+                                "THEN array(vertices) END"))
+        elif "vertices" in cols:
+            df = df.withColumn(
+                "rings", F.expr("CASE WHEN rings IS NULL AND vertices "
+                                "IS NOT NULL THEN array(vertices) "
+                                "ELSE rings END"))
+        df = map_rings_unary(
+            ensure_min_partitions(df, ctx.spark), "rings",
+            lambda g: None if g is None else polygon_make_valid(g))
+        if "vertices" in cols:
+            # single-ring view tracks the repair; multi-part repairs
+            # cannot be expressed as one ring -> NULL
+            df = df.withColumn(
+                "vertices",
+                F.when(F.expr("size(rings) = 1"),
+                       F.try_element_at(F.col("rings"), F.lit(1))))
+        return df

@@ -42,6 +42,18 @@ to ``extent * 1e-12``; side points sit ``extent * 1e-9`` off the
 boundary.  Slivers thinner than ~1e-9 of the feature extent may
 resolve to either side; exact shared edges and vertex-on-edge cases
 are handled exactly (they are grid points after quantization).
+
+VALID-INPUT CONTRACT (round 12): every consumer of the ``rings``
+column — this kernel, area/centroid/containment folds, clip,
+rasterize, spatial join — assumes orientation-normalized rings whose
+boundary satisfies ``rings_is_valid`` (the engine's sources normalize
+winding on read, but cannot repair crossings).  Self-intersecting
+input silently yields even-odd-rule results; wild data (hand-drawn
+GeoJSON, legacy shapefiles) should be routed through the OPTIONAL
+repair step ``constructive.MakeValid`` (kernel:
+``polygon_make_valid``) first, with ``constructive.IsValid`` as the
+flag-only diagnostic — the GEOS repair the reference inherits
+implicitly through fiona/shapely upstream of every Block.
 """
 
 from __future__ import annotations
@@ -51,8 +63,9 @@ import math
 __all__ = ["polygon_boolean", "polygon_union_all",
            "polygon_intersection", "polygon_difference",
            "polygon_union", "polygon_symmetric_difference",
+           "polygon_make_valid", "rings_is_valid",
            "rings_signed_area", "map_rings_binary", "map_rings_unary",
-           "rings_literal_sql", "RINGS_TYPE"]
+           "map_rings_to_scalar", "rings_literal_sql", "RINGS_TYPE"]
 
 #: the engine's flat ring-list column type
 RINGS_TYPE = "array<array<array<double>>>"
@@ -136,7 +149,15 @@ def _split_all(segs, q):
             len2 = math.hypot(d2x, d2y)
             denom = d1x * d2y - d1y * d2x
             ex, ey = cx - ax, cy - ay
-            if abs(denom) > 1e-12 * len1 * len2:
+            # segments SHARING a (quantized) endpoint cannot cross
+            # anywhere else unless collinear-overlapping: two straight
+            # segments meet in at most one point.  Skipping the
+            # crossing solve for them is exact AND avoids the
+            # catastrophic-cancellation crossing a nearly-collinear
+            # joint otherwise fabricates ~1e-5 off the shared node
+            # (round-12 fix, found by the make_valid area property)
+            shared = segs[i][0] in segs[j] or segs[i][1] in segs[j]
+            if not shared and abs(denom) > 1e-12 * len1 * len2:
                 t = (ex * d2y - ey * d2x) / denom
                 s = (ex * d1y - ey * d1x) / denom
                 slack = 1e-12
@@ -147,10 +168,15 @@ def _split_all(segs, q):
                     marks[i].append((min(max(t, 0.0), 1.0), pt))
                     marks[j].append((min(max(s, 0.0), 1.0), pt))
                 continue
-            # near-parallel: collinear overlap splits at projected
-            # endpoints (the endpoints themselves are already grid
-            # points, so both segments share them exactly)
-            if abs(ex * d1y - ey * d1x) > 2.0 * q * max(len1, 1e-300):
+            # near-parallel or shared-endpoint: collinear overlap
+            # splits at projected endpoints (the endpoints themselves
+            # are already grid points, so both segments share them
+            # exactly).  BOTH of j's endpoints must sit on i's line —
+            # the shared-endpoint route would otherwise send
+            # non-collinear joints here and project off-line points
+            if abs(ex * d1y - ey * d1x) > 2.0 * q * max(len1, 1e-300) \
+                    or abs((dx_ - ax) * d1y - (dy_ - ay) * d1x) \
+                    > 2.0 * q * max(len1, 1e-300):
                 continue
             l1sq = d1x * d1x + d1y * d1y
             l2sq = d2x * d2x + d2y * d2y
@@ -445,6 +471,114 @@ def polygon_union_all(polys):
     return polygon_boolean(polys, any)
 
 
+def rings_is_valid(rings):
+    """Validity predicate for a flat even-odd ring list (round 12).
+
+    Valid iff (a) EVERY RING IS SIMPLE: >= 3 distinct vertices after
+    quantization, non-degenerate area, and no vertex revisited within
+    the ring (a figure-eight pinch makes shoelace area diverge from
+    even-odd area — the one self-touch that actually breaks the
+    kernel consumers); and (b) THE ARRANGEMENT IS SIMPLE: no edge
+    crosses, T-touches, or overlaps another edge (the segment
+    arrangement introduces no new nodes and collapses no duplicate
+    edges).  DIFFERENT rings MAY share vertices (a hole touching its
+    shell at a shell vertex, two parts of a multipolygon meeting at a
+    corner — OGC-valid, and ``polygon_make_valid``'s own output shape
+    for a repaired bowtie).  Slightly STRICTER than OGC at T-touches:
+    a hole vertex lying in the INTERIOR of a shell edge is OGC-valid
+    but flagged here (the arrangement splits that edge); MakeValid
+    re-stitches it even-odd-equivalently.  Ring WINDING is never
+    checked: even-odd semantics are orientation-independent.
+    Empty/None is valid (matches GEOS on empty geometry)."""
+    if not rings:
+        return True
+    polys = [rings]
+    ext = _extent(polys)
+    q = ext * 1e-12
+    segs = []
+    for ring in rings:
+        pts = [(_quantize(float(p[0]), q), _quantize(float(p[1]), q))
+               for p in ring or ()]
+        clean = []
+        for p in pts:
+            if not clean or clean[-1] != p:
+                clean.append(p)
+        if len(clean) > 1 and clean[0] == clean[-1]:
+            clean.pop()
+        if len(clean) < 3:
+            return False  # degenerate ring
+        if len(set(clean)) != len(clean):
+            return False  # vertex revisited within the ring (pinch)
+        area = rings_signed_area([clean])
+        perim = sum(
+            math.hypot(clean[(i + 1) % len(clean)][0] - clean[i][0],
+                       clean[(i + 1) % len(clean)][1] - clean[i][1])
+            for i in range(len(clean)))
+        if abs(area) <= q * perim:  # the _stitch degeneracy threshold
+            return False  # zero-area (collinear / spike) ring
+        for i in range(len(clean)):
+            segs.append((clean[i], clean[(i + 1) % len(clean)]))
+    # any crossing / T-touch splits a segment (pieces > segs); any
+    # duplicate edge collapses in the dedup (pieces < segs); shared
+    # ENDPOINTS add no pieces, so cross-ring vertex touches pass
+    return len(_split_all(segs, q)) == len(segs)
+
+
+def _split_pinched(rings):
+    """Split rings that revisit a vertex into simple sub-loops
+    (classic loop extraction on a closed walk).  The stitcher's
+    sharpest-left-turn rule can traverse a degree-4 pinch node as ONE
+    ring visiting it twice — even-odd-identical, but it breaks the
+    per-ring simplicity contract (and shoelace-vs-even-odd area when
+    lobe windings differ).  Splitting at the revisit partitions the
+    walk's edge multiset, so signed area and orientation are
+    conserved per sub-loop."""
+    out = []
+    for ring in rings:
+        index = {}
+        cur = []
+        for p in ring:
+            key = (p[0], p[1])
+            if key in index:
+                i = index[key]
+                loop = cur[i:]
+                if len(loop) >= 3:
+                    out.append(loop)
+                for qpt in cur[i:]:
+                    index.pop((qpt[0], qpt[1]), None)
+                cur = cur[:i]
+            index[key] = len(cur)
+            cur.append([float(p[0]), float(p[1])])
+        if len(cur) >= 3:
+            out.append(cur)
+    return out
+
+
+def polygon_make_valid(rings):
+    """Even-odd validity repair of a flat ring list (round 12) — the
+    GEOS ``MakeValid`` (linework method) / ``buffer(0)`` analogue the
+    reference inherits implicitly through shapely/GEOS on file read
+    (wild shapefiles and hand-drawn GeoJSON carry bowties and
+    self-touches constantly; reference sources repair them upstream
+    via fiona+GEOS before any Block sees them).
+
+    Valid input is returned UNCHANGED (coordinates, order, winding —
+    GEOS MakeValid's no-op contract).  Invalid input runs the identity
+    boolean through the arrangement kernel: split every boundary
+    segment at every self-intersection, classify each sub-segment by
+    even-odd inside-ness of its two side points, keep boundary edges
+    interior-on-left, stitch into simple orientation-normalized rings
+    (CCW outers, CW holes).  The result covers exactly the even-odd
+    interior of the input — a bowtie quad becomes its two triangles,
+    a figure-eight splits at the pinch — and degenerate zero-area
+    parts are dropped (regularization)."""
+    if not rings:
+        return []
+    if rings_is_valid(rings):
+        return [[list(map(float, p)) for p in r] for r in rings]
+    return _split_pinched(polygon_boolean([rings], lambda f: f[0]))
+
+
 # --------------------------------------------------------------------------
 # Spark plumbing: Arrow-batched mapInPandas with the JSON geometry
 # contract (the Simplify 'dp' pattern, constructive.py:258 — this
@@ -517,6 +651,45 @@ def map_rings_binary(df, col_a, col_b, fn, out_type=RINGS_TYPE):
 def map_rings_unary(df, col, fn, out_type=RINGS_TYPE):
     """Per-row ``col = fn(col)``."""
     return _map_rings(df, [col], fn, col, out_type)
+
+
+def map_rings_to_scalar(df, col, fn, out_col, out_type="boolean"):
+    """Per-row SCALAR ``out_col = fn(parsed col)`` (e.g. a validity
+    flag) — the ``_map_rings`` staging contract (every nested-array
+    column crosses the Arrow boundary as JSON text and is restored
+    after), but the kernel's return value lands directly in a new
+    scalar column instead of replacing a ring column."""
+    from pyspark.sql import functions as F
+    all_types = {f.name: f.dataType.simpleString()
+                 for f in df.schema.fields}
+    stage = list(dict.fromkeys(
+        [col] + [c for c, t in all_types.items()
+                 if "array<array" in t]))
+    types = {}
+    staged = df
+    for c in stage:
+        types[c] = all_types[c]
+        staged = staged.withColumn(c, F.to_json(F.col(c)))
+    # copy before .add — StructType.add mutates in place, and mutating
+    # the DataFrame's own schema object desyncs it from the JVM plan
+    from pyspark.sql.types import StructType
+    out_schema = StructType(list(staged.schema.fields)).add(
+        out_col, out_type)
+
+    def gen(batches):
+        import json
+        for pdf in batches:
+            out = []
+            for g in pdf[col]:
+                out.append(fn(None if g is None else json.loads(g)))
+            pdf = pdf.copy()
+            pdf[out_col] = out
+            yield pdf
+
+    out = staged.mapInPandas(gen, schema=out_schema)
+    for c in stage:
+        out = out.withColumn(c, F.from_json(F.col(c), types[c]))
+    return out
 
 
 def rings_literal_sql(rings):

@@ -968,3 +968,124 @@ def test_spatial_join_within_holes_and_paths(spark):
                       DataFrameSource(R, index_column="rid"),
                       cell_size=8.0, predicate="within")
     assert sorted(r["lid"] for r in sjp.plan(spark).collect()) == [1]
+
+
+# --------------------------------------------------------------------------
+# round 12: validity predicate + even-odd repair
+# --------------------------------------------------------------------------
+
+def test_rings_is_valid_cases():
+    """The predicate's contract, case by case (polyclip.rings_is_valid
+    docstring): per-ring simplicity + arrangement simplicity, with
+    cross-ring VERTEX touches allowed and T-touches flagged."""
+    from dask_geomodeling_spark.geometry.polyclip import rings_is_valid
+    assert rings_is_valid([]) and rings_is_valid(None)
+    assert rings_is_valid([[[0.0, 0.0], [4.0, 0.0], [4.0, 3.0],
+                            [0.0, 3.0]]])
+    # CW winding is NOT invalid (even-odd is orientation-free)
+    assert rings_is_valid([[[0.0, 0.0], [0.0, 3.0], [4.0, 3.0],
+                            [4.0, 0.0]]])
+    # bowtie (edge crossing)
+    assert not rings_is_valid([[[0, 0], [2, 2], [2, 0], [0, 2]]])
+    # figure-eight (within-ring vertex revisit)
+    assert not rings_is_valid(
+        [[[0, 0], [1, 1], [2, 0], [2, 2], [1, 1], [0, 2]]])
+    # degenerate / zero-area rings
+    assert not rings_is_valid([[[0, 0], [1, 1]]])
+    assert not rings_is_valid([[[0, 0], [1, 0], [2, 0]]])
+    # shell + hole: valid; hole touching shell AT A VERTEX: still valid
+    shell = [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]]
+    assert rings_is_valid([shell, [[2, 2], [2, 4], [4, 4], [4, 2]]])
+    assert rings_is_valid([shell, [[0, 0], [2, 4], [4, 2]]])
+    # hole vertex in the INTERIOR of a shell edge (T-touch): flagged
+    assert not rings_is_valid([shell, [[5, 0], [7, 4], [3, 4]]])
+    # hole crossing the shell
+    assert not rings_is_valid([shell, [[8, 8], [12, 8], [12, 12],
+                                       [8, 12]]])
+    # duplicate ring (edge overlap)
+    sq = [[0, 0], [2, 0], [2, 2], [0, 2]]
+    assert not rings_is_valid([sq, sq])
+
+
+def test_make_valid_bowtie_two_triangles():
+    """The verdict's closed-form case: the bowtie quad's even-odd
+    interior is two triangles of known area; valid input passes
+    through UNCHANGED (coordinates, order, winding)."""
+    from dask_geomodeling_spark.geometry.polyclip import (
+        polygon_make_valid, rings_is_valid, rings_signed_area)
+    rep = polygon_make_valid([[[0, 0], [2, 2], [2, 0], [0, 2]]])
+    assert len(rep) == 2
+    areas = sorted(round(rings_signed_area([r]), 9) for r in rep)
+    assert areas == [1.0, 1.0]  # both CCW outers
+    assert rings_is_valid(rep)
+    tri = [[[0.0, 0.0], [4.0, 0.0], [0.0, 3.0]]]
+    assert polygon_make_valid(tri) == tri
+    # valid CW input keeps its winding (GEOS no-op contract)
+    cw = [[[0.0, 0.0], [0.0, 3.0], [4.0, 3.0], [4.0, 0.0]]]
+    assert polygon_make_valid(cw) == cw
+
+
+def test_make_valid_output_always_valid_and_idempotent():
+    """MakeValid's self-consistency contract: the repair is valid
+    under rings_is_valid and a fixed point of itself — incl. the
+    pinch cases the stitcher traverses as one ring (T-touch, fig-8)
+    and overlapping holes whose even-odd parity flips back inside."""
+    from dask_geomodeling_spark.geometry.polyclip import (
+        polygon_make_valid, rings_is_valid, rings_signed_area)
+    shell = [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]]
+    cases = {
+        "fig8": ([[[0, 0], [1, 1], [2, 0], [2, 2], [1, 1], [0, 2]]],
+                 2.0),
+        "t_touch": ([shell, [[5, 0], [7, 4], [3, 4]]], 92.0),
+        "overlapping_holes": (
+            [shell, [[2, 2], [2, 6], [6, 6], [6, 2]],
+             [[4, 4], [4, 8], [8, 8], [8, 4]]], 76.0),
+        "duplicate_ring": ([[[0, 0], [2, 0], [2, 2], [0, 2]]] * 2,
+                           0.0),
+    }
+    for name, (g, want_area) in cases.items():
+        rep = polygon_make_valid(g)
+        assert rings_is_valid(rep), name
+        assert polygon_make_valid(rep) == rep, name
+        assert abs(rings_signed_area(rep) - want_area) < 1e-9, (
+            name, rings_signed_area(rep))
+
+
+def test_is_valid_make_valid_blocks(spark):
+    """Block plumbing: IsValid adds the flag (NULL geometry -> NULL;
+    point frames short-circuit to true), MakeValid repairs rings and
+    tracks the single-ring vertices view."""
+    from dask_geomodeling_spark.geometry.constructive import (
+        IsValid, MakeValid)
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    S = "array<array<array<double>>>"
+    df = spark.createDataFrame(
+        [(1, [[[0.0, 0.0], [2.0, 2.0], [2.0, 0.0], [0.0, 2.0]]]),
+         (2, [[[0.0, 0.0], [4.0, 0.0], [4.0, 3.0], [0.0, 3.0]]]),
+         (3, None)],
+        "fid bigint, rings " + S)
+    src = DataFrameSource(df, index_column="fid")
+    got = {r["fid"]: r["valid"]
+           for r in IsValid(src).plan(spark).collect()}
+    assert got == {1: False, 2: True, 3: None}
+    rep = {r["fid"]: r["rings"]
+           for r in MakeValid(src).plan(spark).collect()}
+    assert len(rep[1]) == 2 and len(rep[2]) == 1 and rep[3] is None
+    # vertices-only frame: repair promotes to rings; multi-part
+    # repair NULLs the single-ring view, single-part tracks it
+    V = "array<array<double>>"
+    dfv = spark.createDataFrame(
+        [(1, [[0.0, 0.0], [2.0, 2.0], [2.0, 0.0], [0.0, 2.0]]),
+         (2, [[0.0, 0.0], [4.0, 0.0], [4.0, 3.0], [0.0, 3.0]])],
+        "fid bigint, vertices " + V)
+    out = {r["fid"]: r for r in MakeValid(
+        DataFrameSource(dfv, index_column="fid"))
+        .plan(spark).collect()}
+    assert len(out[1]["rings"]) == 2 and out[1]["vertices"] is None
+    assert out[2]["vertices"] == out[2]["rings"][0]
+    # point frame: IsValid is a pure literal (no Python stage)
+    dfp = spark.createDataFrame([(1, 0.5, 0.5)],
+                                "fid bigint, x double, y double")
+    rows = IsValid(DataFrameSource(dfp, index_column="fid")) \
+        .plan(spark).collect()
+    assert rows[0]["valid"] is True
