@@ -11422,6 +11422,84 @@ def dsir_score_saved(spark, sf_dir):
                      num_buckets=10007).plan(spark)
 
 
+def _kll_oracle(k=256, by="l_returnflag"):
+    from dask_geomodeling_spark.pipeline.text import KLLQuantile
+    M = KLLQuantile._M
+    a, b, c = KLLQuantile._MIX
+    q1, q2 = KLLQuantile._QROUNDS
+    p1 = _DD_POLY.format(col="vs", base=257)
+    p2 = _DD_POLY.format(col="ids", base=131)
+    qcols = "\n".join(
+        "       , MAX(CASE WHEN rk = GREATEST(1, CAST(CEIL({q} * nk) "
+        "AS INT)) THEN val END) AS {n}".format(q=repr(q),
+                                               n=KLLQuantile._qname(q))
+        for q in (0.25, 0.5, 0.75, 0.9, 0.99))
+    return """
+WITH vals AS (SELECT {by} AS grp,
+                     CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS VARCHAR)
+                       AS vs,
+                     CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)
+                       AS ids,
+                     CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS DOUBLE)
+                       AS val
+              FROM lineitem WHERE l_extendedprice IS NOT NULL),
+h AS (SELECT grp, val, {p1} AS h1, {p2} AS h2 FROM vals),
+g0 AS (SELECT grp, val,
+              (h1 * {a} + h2 * {b} + {c}) % {M} AS g FROM h),
+gA AS (SELECT grp, val, (g*g + {q1}) % {M} AS g FROM g0),
+gB AS (SELECT grp, val, (g*g + {q2}) % {M} AS g FROM gA),
+tzt AS (SELECT grp, val, g,
+               CASE WHEN g = 0 THEN 31
+                    ELSE length(bin(g & -g)) - 1 END AS tz FROM gB),
+cnt AS (SELECT grp, tz, COUNT(*) AS cnt FROM tzt GROUP BY 1, 2),
+lv AS (SELECT grp, l, SUM(cnt) AS al
+       FROM cnt, (SELECT unnest(generate_series(0, 31)) AS l) ls
+       WHERE tz >= l GROUP BY 1, 2),
+thr AS (SELECT grp,
+               COALESCE(MIN(CASE WHEN al <= {k} THEN l END), 31)
+                 AS l0 FROM lv GROUP BY 1),
+nr AS (SELECT grp, COUNT(*) AS n_rows FROM vals GROUP BY 1),
+kept AS (SELECT t.grp, val, g, l0, n_rows,
+                ROW_NUMBER() OVER (PARTITION BY t.grp
+                                   ORDER BY val, g) AS rk,
+                COUNT(*) OVER (PARTITION BY t.grp) AS nk
+         FROM tzt t JOIN thr USING (grp) JOIN nr USING (grp)
+         WHERE tz >= l0)
+SELECT grp AS {by},
+       MAX(n_rows) AS n_rows,
+       CAST(MAX(l0) AS INT) AS level,
+       COUNT(*) AS n_kept,
+       CAST(COUNT(*) * (CAST(1 AS BIGINT) << MAX(l0)) AS BIGINT)
+         AS w_total,
+       CAST(SUM(g) % {M} AS BIGINT) AS s_check
+{qcols}
+FROM kept GROUP BY grp
+""".format(by=by, p1=p1, p2=p2, a=a, b=b, c=c, M=M, q1=q1, q2=q2,
+           k=k, qcols=qcols)
+
+
+@demo("kll_quantile", oracle=_kll_oracle())
+def kll_quantile(spark, sf_dir):
+    """KLLQuantile (round 12): engine-exact mergeable quantile sketch
+    — p25/p50/p75/p90/p99 of the (bigint-cast) l_extendedprice PER
+    l_returnflag, k=256.  Per-row level = trailing zeros of the
+    Mersenne-mixed (value, id) hash; adaptive threshold from a 32-key
+    map-side count; kept rows <= k per group; the oracle replays the
+    whole state integer-exactly (s_check fingerprints the kept SET).
+    The scan-shaped alternative to a full-column percentile shuffle;
+    mergeability and the error-vs-exact bound are pinned in pytest."""
+    from dask_geomodeling_spark.pipeline.text import KLLQuantile
+    li = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "lineitem")), spark)
+    base = li.select(
+        F.expr("l_orderkey * 8 + l_linenumber").alias("uid"),
+        F.expr("CAST(FLOOR(l_extendedprice) AS BIGINT)").alias("price"),
+        "l_returnflag")
+    src = DataFrameSource(base, index_column="uid")
+    return KLLQuantile(src, "price", k=256, id_column="uid",
+                       by="l_returnflag").plan(spark)
+
+
 # ring construction shared by the round-12 validity demos: per
 # customer, wp = 1 + key%5 and hp = 1 + (3*key)%7 size the quad at
 # (key%10, (key*3)%10); EVEN keys trace a valid CCW rectangle, ODD
@@ -11534,6 +11612,7 @@ GATE_ANCHORS = [
     # round-12 new operators
     "is_valid",
     "make_valid",
+    "kll_quantile",
 ]
 
 

@@ -16,7 +16,8 @@ from dask_geomodeling_spark.geometry.base import BaseSingle
 __all__ = ["TokenCount", "BPETokenCount", "BPETokenize", "BPETrain",
            "QualityScore", "LanguageID", "Fingerprint", "TFIDF",
            "ChunkText", "CorpusStats", "BM25Score", "NgramNovelty",
-           "ReadabilityScore", "TextNormalize", "HyperLogLog"]
+           "ReadabilityScore", "TextNormalize", "HyperLogLog",
+           "KLLQuantile"]
 
 # tiny per-language stopword marker sets for the n-gram/stopword heuristic
 _LANG_MARKERS = {
@@ -1050,3 +1051,162 @@ class HyperLogLog(BaseSingle):
             F.lit(m).cast("bigint").alias("n_registers"),
             vz.alias("v_zero"),
             s.cast("bigint").alias("s_scaled"))
+
+
+class KLLQuantile(BaseSingle):
+    """ENGINE-EXACT mergeable quantile sketch (round 12) —
+    HyperLogLog's sibling for the other pipeline-planning question:
+    "what is the p50 / p99 doc length, dup-cluster size, host count"
+    at 100 TB, WITHOUT a full shuffle of the column (exact
+    percentiles sort/shuffle everything; this is the scan-shaped
+    answer).
+
+    Design: a KLL-STYLE level hierarchy where the compactor's random
+    coin is replaced by PER-ROW HASH BITS — NOT the coin-flip
+    Karnin-Lang-Liberty stream algorithm, deliberately: coin-flip KLL
+    is stream-ORDER-dependent, so no SQL oracle (or second engine)
+    could ever replay its state.  Here each row's level is the count
+    of trailing zero bits of a Mersenne-mixed hash of (value, id)
+    (P(level >= l) = 2^-l — exactly a row that survived l KLL
+    compactions), the sketch keeps every row at or above an ADAPTIVE
+    threshold level l0 = min l with |{rows: level >= l}| <= k, and
+    each kept row represents 2^l0 originals.  The state is a pure
+    function of the (value, id) multiset: deterministic, order- and
+    partitioning-independent, and replayed bit-for-bit by the DuckDB
+    oracle.  Classic mergeable-summaries sampling (Gibbons &
+    Tirthapura distinct/threshold sampling family): raising the
+    threshold IS the deterministic compaction, and
+    ``merge(sketch(A), sketch(B)) == sketch(A ∪ B)`` EXACTLY —
+    l0(A∪B) >= max(l0(A), l0(B)) and every union-kept row was kept in
+    its part (pinned by the mergeability pytest, like HLL's).
+
+    Rank error is the threshold-sampling bound ~ n/sqrt(k) per
+    quantile (k=1024 -> ~3%), checked against exact percentiles in
+    pytest.  Level uses a 31-bit word, so rows beyond ~k*2^31 degrade
+    gracefully (threshold clamps at 31, kept may exceed k) — shard by
+    a key first, the HLL convention.
+
+    Output: ONE row (or one per ``by=`` group) — ``n_rows`` (exact),
+    ``level`` (l0), ``n_kept``, ``w_total = n_kept * 2^level``,
+    ``s_check`` (sum of kept hash words mod M — an integer-exact
+    fingerprint of the kept SET, so the oracle comparison certifies
+    the full sketch state, not just the estimates), and one ``p<q>``
+    column per requested quantile (the kept value at rank
+    ``ceil(q * n_kept)`` in (value, hash) order — deterministic ties).
+
+    Plan shape: TWO pruned scans (the BM25 contract — the threshold
+    is a global aggregate over per-level row counts, inherently a
+    second pass), zero data-sized shuffles: pass 1 is a map-side
+    groupBy over <= groups*32 level keys; pass 2 filters to <= k rows
+    per group and runs one bounded window over them.  Nothing
+    data-sized ever crosses the wire; no executor storage retained.
+    """
+
+    _M = 2147483647
+    _MIX = (1597334677, 2246822519, 11)
+    _QROUNDS = (40503, 914231)
+
+    def __init__(self, source, column, k=1024,
+                 quantiles=(0.25, 0.5, 0.75, 0.9, 0.99),
+                 id_column=None, by=None):
+        k = int(k)
+        if k < 16:
+            raise ValueError("k must be >= 16")
+        qs = tuple(float(q) for q in quantiles)
+        if not qs or any(not 0.0 < q < 1.0 for q in qs):
+            raise ValueError("quantiles must lie in (0, 1)")
+        if len(set(self._qname(q) for q in qs)) != len(qs):
+            raise ValueError("quantiles collide after p<q> naming")
+        if id_column is None:
+            id_column = source.index_column
+        super().__init__(source, str(column), k, qs, str(id_column),
+                         None if by is None else str(by))
+
+    @staticmethod
+    def _qname(q):
+        s = ("%g" % (q * 100)).replace(".", "_")
+        return "p{}".format(s)
+
+    @property
+    def columns(self):
+        _, _, _, qs, _, by = self.args
+        out = {"n_rows", "level", "n_kept", "w_total", "s_check"}
+        out |= {self._qname(q) for q in qs}
+        return out | ({by} if by else set())
+
+    @classmethod
+    def _hash_sql(cls, val_sql, id_sql):
+        """Shared-arithmetic 31-bit hash word: two Mersenne poly
+        hashes -> affine mix -> two quadratic scrambling rounds (the
+        HyperLogLog pipeline; every product < 2^62, ANSI-safe)."""
+        from dask_geomodeling_spark.pipeline.dedup import poly_hash_expr
+        a, b, c = cls._MIX
+        g = ("pmod({h1} * {a} + {h2} * {b} + {c}, {M})".format(
+            h1=poly_hash_expr(val_sql, base=257),
+            h2=poly_hash_expr(id_sql, base=131),
+            a=a, b=b, c=c, M=cls._M))
+        for qr in cls._QROUNDS:
+            g = ("pmod(({g}) * ({g}) + {q}, {M})"
+                 .format(g="_gk", q=qr, M=cls._M)
+                 .replace("_gk", g))
+        return g
+
+    def _build(self, ctx):
+        _, column, k, qs, idc, by = self.args
+        grp = [by] if by else []
+        M = self._M
+        df = self.source._build(ctx)
+        v = "CAST(`{c}` AS STRING)".format(c=column)
+        i = "CAST(`{c}` AS STRING)".format(c=idc)
+        rows = (df.filter(F.col(column).isNotNull())
+                .select(*grp,
+                        F.col(column).cast("double").alias("_v"),
+                        F.expr(self._hash_sql(v, i)).alias("_g")))
+        # two scrambling rounds are already inside _hash_sql; level =
+        # trailing zeros of the 31-bit word (P(level >= l) = 2^-l)
+        rows = rows.withColumn(
+            "_tz", F.expr("CASE WHEN _g = 0 THEN 31 "
+                          "ELSE length(bin(_g & -_g)) - 1 END"))
+        # pass 1: per-level row counts — a <= groups*32-key map-side
+        # aggregation, the only shuffle of the sketch
+        cnts = rows.groupBy(*grp, "_tz").agg(
+            F.count(F.lit(1)).alias("_cnt"))
+        levels = ctx.spark.range(1).select(
+            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("_l"))
+        atleast = (cnts.join(F.broadcast(levels),
+                             F.col("_tz") >= F.col("_l"))
+                   .groupBy(*grp, "_l")
+                   .agg(F.sum("_cnt").alias("_al")))
+        thr = atleast.groupBy(*grp).agg(
+            F.coalesce(
+                F.min(F.when(F.col("_al") <= k, F.col("_l"))),
+                F.lit(31)).alias("_l0"))
+        nrows = cnts.groupBy(*grp).agg(F.sum("_cnt").alias("n_rows"))
+        if grp:
+            thr = thr.join(nrows, grp)
+            kept = rows.join(F.broadcast(thr), grp)
+        else:
+            thr = thr.crossJoin(F.broadcast(nrows))
+            kept = rows.crossJoin(F.broadcast(thr))
+        kept = kept.filter(F.col("_tz") >= F.col("_l0"))
+        # pass 2 output: <= k rows per group; the window is bounded by
+        # construction (never data-sized)
+        from pyspark.sql import Window
+        w = Window.partitionBy(*grp).orderBy("_v", "_g")
+        kept = kept.withColumn("_rk", F.row_number().over(w)) \
+                   .withColumn("_nk", F.count(F.lit(1)).over(
+                       Window.partitionBy(*grp)))
+        aggs = [F.first("n_rows").alias("n_rows"),
+                F.first("_l0").cast("int").alias("level"),
+                F.count(F.lit(1)).alias("n_kept"),
+                F.expr("shiftleft(count(1), int(first(_l0)))")
+                .cast("bigint").alias("w_total"),
+                F.expr("pmod(sum(_g), {M})".format(M=M))
+                .cast("bigint").alias("s_check")]
+        for q in qs:
+            aggs.append(F.max(F.when(
+                F.col("_rk") == F.greatest(
+                    F.lit(1),
+                    F.ceil(F.lit(q) * F.col("_nk")).cast("int")),
+                F.col("_v"))).alias(self._qname(q)))
+        return kept.groupBy(*grp).agg(*aggs)

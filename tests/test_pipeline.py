@@ -1584,3 +1584,118 @@ def test_hyperloglog_by_group_matches_per_group_model(spark):
         vals = [i % 700 for i in range(3000) if i % 3 == int(g)]
         est, vz, s = _hll_model(vals, 8)
         assert got[g] == (est, vz, s), (g, got[g], (est, vz, s))
+
+
+def _kll_model(pairs, k):
+    """Pure-python replay of the KLLQuantile arithmetic.  ``pairs`` =
+    [(value, id)].  Returns the full sketch state: (n_rows, level,
+    kept set of (value, g), tz-count vector)."""
+    M = 2147483647
+
+    def poly(s, base):
+        h = 0
+        for ch in s:
+            h = (h * base + ord(ch)) % M
+        return h
+
+    tz_counts = {}
+    items = []
+    for v, i in pairs:
+        g = (poly(str(v), 257) * 1597334677
+             + poly(str(i), 131) * 2246822519 + 11) % M
+        for q in (40503, 914231):
+            g = (g * g + q) % M
+        tz = 31 if g == 0 else (g & -g).bit_length() - 1
+        tz_counts[tz] = tz_counts.get(tz, 0) + 1
+        items.append((float(v), g, tz))
+    l0 = next((l for l in range(32)
+               if sum(c for t, c in tz_counts.items() if t >= l) <= k),
+              31)
+    kept = sorted((v, g) for v, g, tz in items if tz >= l0)
+    return len(pairs), l0, kept, tz_counts
+
+
+def _kll_model_merge(a, b, k):
+    """Merge two model sketches: sum tz counts, recompute threshold,
+    re-filter the union of kept items — the deterministic compaction."""
+    na, l0a, kept_a, tza = a
+    nb, l0b, kept_b, tzb = b
+    tz = dict(tza)
+    for t, c in tzb.items():
+        tz[t] = tz.get(t, 0) + c
+    l0 = next((l for l in range(32)
+               if sum(c for t, c in tz.items() if t >= l) <= k), 31)
+    assert l0 >= max(l0a, l0b)
+    kept = sorted((v, g) for v, g in kept_a + kept_b
+                  if (31 if g == 0 else (g & -g).bit_length() - 1)
+                  >= l0)
+    return na + nb, l0, kept, tz
+
+
+def test_kll_quantile_matches_model_bit_exact(spark):
+    """Round 12: KLLQuantile is bit-identical to the pure-python model
+    — level, kept count, s_check (the kept-SET fingerprint) and every
+    quantile estimate."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.text import KLLQuantile
+    from pyspark.sql import functions as F
+    n, k = 5000, 128
+    df = spark.range(n).select(
+        F.col("id"), ((F.col("id") * 37) % 977).alias("v"))
+    src = DataFrameSource(df, index_column="id")
+    row = KLLQuantile(src, "v", k=k, id_column="id") \
+        .plan(spark).collect()[0]
+    pairs = [((i * 37) % 977, i) for i in range(n)]
+    n_rows, l0, kept, _ = _kll_model(pairs, k)
+    assert row["n_rows"] == n_rows
+    assert row["level"] == l0
+    assert row["n_kept"] == len(kept)
+    assert row["w_total"] == len(kept) * (1 << l0)
+    assert row["s_check"] == sum(g for _, g in kept) % 2147483647
+    import math
+    for q in (0.25, 0.5, 0.75, 0.9, 0.99):
+        want = kept[max(1, math.ceil(q * len(kept))) - 1][0]
+        name = "p" + ("%g" % (q * 100)).replace(".", "_")
+        assert row[name] == want, (q, row[name], want)
+
+
+def test_kll_quantile_mergeable():
+    """merge(sketch(A), sketch(B)) == sketch(A + B) EXACTLY — the
+    union's threshold dominates the parts', and every union-kept item
+    was kept in its part, so re-filtering the union of kept sets is
+    the whole merge (the HLL register-max analogue)."""
+    A = [((i * 13) % 501, i) for i in range(3000)]
+    B = [((i * 29) % 733, 10_000 + i) for i in range(4000)]
+    k = 64
+    merged = _kll_model_merge(_kll_model(A, k), _kll_model(B, k), k)
+    direct = _kll_model(A + B, k)
+    assert merged == direct
+    # order/partition independence: shuffled input, same sketch
+    import random
+    rng = random.Random(7)
+    AB = A + B
+    rng.shuffle(AB)
+    assert _kll_model(AB, k) == direct
+
+
+def test_kll_quantile_error_vs_exact_percentile(spark):
+    """Empirical rank-error pin on fixed hashes: every estimated
+    quantile of 20000 uniform values lands within 4*n/sqrt(k) ranks
+    of the exact percentile (the threshold-sampling bound)."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.text import KLLQuantile
+    from pyspark.sql import functions as F
+    import math
+    n, k = 20000, 1024
+    df = spark.range(n).select(F.col("id"),
+                               (F.col("id") % 1000).alias("v"))
+    src = DataFrameSource(df, index_column="id")
+    row = KLLQuantile(src, "v", k=k, id_column="id") \
+        .plan(spark).collect()[0]
+    bound = 4 * n / math.sqrt(k)
+    for q in (0.25, 0.5, 0.75, 0.9, 0.99):
+        name = "p" + ("%g" % (q * 100)).replace(".", "_")
+        est = row[name]
+        # exact rank of the estimate among v = id % 1000 (20 each)
+        exact_rank = est * 20 + 10
+        assert abs(exact_rank - q * n) <= bound, (q, est)
