@@ -11422,6 +11422,39 @@ def dsir_score_saved(spark, sf_dir):
                      num_buckets=10007).plan(spark)
 
 
+@demo("cost_distance", oracle="""
+SELECT TIMESTAMP '2024-01-01' AS time,
+       a.n_nationkey AS y, b.n_nationkey AS x,
+       CAST(b.n_nationkey + 1 AS DOUBLE) AS value,
+       CAST(b.n_nationkey * (b.n_nationkey + 2) AS DOUBLE) / 2
+         AS cost_distance
+FROM nation a CROSS JOIN nation b
+""")
+def cost_distance(spark, sf_dir):
+    """CostDistance (round 12) on the ramp cost(x) = x + 1 with the
+    x = 0 column as sources: the optimal path to (y, x) is the
+    straight horizontal run (any vertical/diagonal detour adds cost),
+    so cost_distance = sum of (c_i + c_{i+1})/2 = x(x+2)/2 —
+    closed-form, and every partial sum is a half-integer, so the
+    float comparison is EXACT.  Driver-Dijkstra short-circuit at this
+    size; the distributed Bellman-Ford rounds are pinned equal in
+    pytest and probed at 10x."""
+    from dask_geomodeling_spark.raster.hydrology import CostDistance
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    nation = read_nanos_parquet(spark, _pq(sf_dir, "nation"))
+    a = nation.select(F.col("n_nationkey").alias("y"))
+    b = nation.select(F.col("n_nationkey").alias("x"))
+    grid = (a.crossJoin(b)
+            .select(F.expr("TIMESTAMP '2024-01-01'").alias("time"),
+                    "y", "x",
+                    F.expr("CAST(x + 1 AS DOUBLE)").alias("value")))
+    srcs = grid.filter("x = 0") \
+        .select("time", "y", "x", F.lit(1.0).alias("value"))
+    return CostDistance(DataFrameRasterSource(grid),
+                        DataFrameRasterSource(srcs)).plan(spark)
+
+
 def _kll_oracle(k=256, by="l_returnflag"):
     from dask_geomodeling_spark.pipeline.text import KLLQuantile
     M = KLLQuantile._M
@@ -11613,6 +11646,7 @@ GATE_ANCHORS = [
     "is_valid",
     "make_valid",
     "kll_quantile",
+    "cost_distance",
 ]
 
 

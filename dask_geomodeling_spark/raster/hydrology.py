@@ -25,10 +25,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from dask_geomodeling_spark.raster.base import BaseSingle
+from dask_geomodeling_spark.raster.base import (BaseSingle,
+                                                RasterBlock)
 
 __all__ = ["FlowDirection", "FlowAccumulation",
-           "FlowLength", "Watershed", "StreamOrder"]
+           "FlowLength", "Watershed", "StreamOrder", "CostDistance"]
 
 # ESRI/GDAL D8 codes, row-index convention (y grows "south"/downward):
 #   E=1, SE=2, S=4, SW=8, W=16, NW=32, N=64, NE=128
@@ -843,3 +844,184 @@ class StreamOrder(BaseSingle):
                 "log2(#headwaters) + 1)".format(max_order))
         finally:
             tour.unpersist()
+
+
+class CostDistance(RasterBlock):
+    """Weighted least-cost distance from source cells over a cost
+    raster (round 12) — the ESRI ``CostDistance`` analogue that
+    completes the terrain suite beside the D8 family.  No reference
+    analogue: the reference's users run it through
+    GDAL/ArcGIS upstream; here a DEM-to-accessibility pipeline stays
+    inside the engine.
+
+    Semantics (ESRI): moving between 8-connected cells a -> b costs
+    ``dist(a, b) * (cost_a + cost_b) / 2`` (dist = 1 orthogonal,
+    sqrt(2) diagonal); a cell's cost distance is the minimum
+    accumulated cost over all paths from any SOURCE cell (distance 0
+    at sources).  ``cost`` cells that are NULL or <= 0 are barriers.
+    ``sources`` is a raster whose non-NULL cells seed the search (a
+    source on a barrier cell seeds nothing).  Output: ``time, y, x,
+    value`` (the cost raster) + ``cost_distance`` (NULL = barrier or
+    unreachable).  The fixpoint is min-over-paths of a left-to-right
+    double sum — order- and partitioning-independent, so the result
+    is deterministic on any engine.
+
+    Execution (the hydrology loop machinery): cells pack to BIGINT
+    ids (components.packed_cells), the 8-neighbor edge set is one
+    offsets-literal scatter + one equi-join (never data x data), and
+    distances run FRONTIER Bellman-Ford rounds — each round relaxes
+    only edges out of cells improved last round (converged-row
+    bypass), one groupBy-min per round, ``strip_plan_stats``
+    checkpoint discipline with per-round block freeing (the
+    Watershed/_rank_doubling guards).  Rounds needed = hop count of
+    the hop-minimal optimal path; the default bound is
+    ``2 * (height + width) + 8`` (grid-diameter scale) with a
+    FAIL-FAST raise — a labyrinthine cost field that forces longer
+    optimal paths needs an explicit ``max_iter``.  Edge sets at or
+    below ``driver_threshold`` short-circuit to an exact driver
+    Dijkstra (the DedupClusters precedent)."""
+
+    DRIVER_THRESHOLD = 65536
+
+    def __init__(self, cost, sources, max_iter=None,
+                 driver_threshold=None):
+        for blk in (cost, sources):
+            if not isinstance(blk, RasterBlock):
+                raise TypeError(
+                    "'{}' object is not allowed".format(type(blk)))
+        if max_iter is not None and int(max_iter) < 1:
+            raise ValueError("max_iter must be >= 1")
+        super().__init__(cost, sources,
+                         None if max_iter is None else int(max_iter),
+                         None if driver_threshold is None
+                         else int(driver_threshold))
+
+    @property
+    def columns(self):
+        return {"time", "y", "x", "value", "cost_distance"}
+
+    def _build(self, ctx):
+        cost_blk, src_blk, max_iter, thr = self.args
+        if thr is None:
+            thr = self.DRIVER_THRESHOLD
+        spark = ctx.spark
+        from dask_geomodeling_spark.raster.components import (
+            packed_cells)
+        nodes, _ = packed_cells(ctx, cost_blk._build(ctx),
+                                "CostDistance", headroom=1)
+        trav = nodes.filter(F.col("value") > 0)
+        offs = F.broadcast(spark.createDataFrame(
+            [(dy, dx, float(dy * dy + dx * dx) ** 0.5)
+             for dy, dx, _ in D8_CODES],
+            schema="dy bigint, dx bigint, dist double"))
+        tgt = (trav.crossJoin(offs)
+               .select("time",
+                       F.col("_id").alias("_a"),
+                       F.col("value").alias("_ca"),
+                       (F.col("y") + F.col("dy")).alias("y"),
+                       (F.col("x") + F.col("dx")).alias("x"),
+                       "dist"))
+        edges = (tgt.join(trav.select("time", "y", "x",
+                                      F.col("_id").alias("_b"),
+                                      F.col("value").alias("_cb")),
+                          ["time", "y", "x"])
+                 .select("_a", "_b",
+                         (F.col("dist") * (F.col("_ca") + F.col("_cb"))
+                          / 2.0).alias("_w")))
+        src_cells = (src_blk._build(ctx)
+                     .filter(F.col("value").isNotNull())
+                     .select("time", "y", "x"))
+        seeds = (trav.join(src_cells, ["time", "y", "x"], "left_semi")
+                 .select("_id", F.lit(0.0).alias("_d")))
+        from pyspark import StorageLevel
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            if edges.count() <= thr:
+                dists = self._driver_dijkstra(spark, seeds, edges)
+            else:
+                if max_iter is None:
+                    b = nodes.select("_dy", "_dx").first()
+                    max_iter = 2 * int(b["_dy"] + b["_dx"]) + 8 \
+                        if b is not None else 8
+                dists = self._bf_rounds(seeds, edges, max_iter)
+        finally:
+            edges.unpersist()
+        return (nodes.join(dists, "_id", "left")
+                .select("time", "y", "x", "value",
+                        F.col("_d").alias("cost_distance")))
+
+    @staticmethod
+    def _driver_dijkstra(spark, seeds, edges):
+        import heapq
+        from collections import defaultdict
+        adj = defaultdict(list)
+        for r in edges.collect():
+            adj[r["_a"]].append((r["_b"], r["_w"]))
+        dist = {}
+        heap = [(0.0, r["_id"]) for r in seeds.collect()]
+        heapq.heapify(heap)
+        while heap:
+            d, u = heapq.heappop(heap)
+            if u in dist:
+                continue
+            dist[u] = d
+            for v, w in adj[u]:
+                if v not in dist:
+                    heapq.heappush(heap, (d + w, v))
+        out = [(int(k), float(v)) for k, v in dist.items()]
+        schema = "_id bigint, _d double"
+        return spark.createDataFrame(out, schema) if out else \
+            spark.createDataFrame([], schema)
+
+    @staticmethod
+    def _bf_rounds(seeds, edges, max_rounds):
+        """Frontier Bellman-Ford: relax only out of last round's
+        improved cells; per-round user-numbered repartition +
+        localCheckpoint + previous-block freeing (the Watershed
+        loop guards)."""
+        from dask_geomodeling_spark.config import strip_plan_stats
+        spark = seeds.sparkSession
+        par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        cur = strip_plan_stats(
+            seeds.repartition(par, F.col("_id")).localCheckpoint())
+        frontier = cur
+        for _ in range(max_rounds):
+            cand = (frontier.join(edges,
+                                  frontier["_id"] == edges["_a"])
+                    .select(F.col("_b").alias("_id"),
+                            (F.col("_d") + F.col("_w")).alias("_dn"))
+                    .groupBy("_id").agg(F.min("_dn").alias("_dn")))
+            upd = strip_plan_stats(
+                (cand.join(cur.select("_id",
+                                      F.col("_d").alias("_dc")),
+                           "_id", "left")
+                 .filter(F.col("_dc").isNull()
+                         | (F.col("_dn") < F.col("_dc")))
+                 .select("_id", F.col("_dn").alias("_d"))
+                 .repartition(par, F.col("_id"))
+                 .localCheckpoint()))
+            if frontier is not cur:
+                try:
+                    frontier._jdf.rdd().unpersist(False)
+                except Exception:
+                    pass
+            if upd.limit(1).count() == 0:
+                return cur
+            new = strip_plan_stats(
+                (cur.join(upd.select("_id",
+                                     F.col("_d").alias("_du")),
+                          "_id", "full")
+                 .select("_id",
+                         F.coalesce("_du", "_d").alias("_d"))
+                 .repartition(par, F.col("_id"))
+                 .localCheckpoint()))
+            try:
+                cur._jdf.rdd().unpersist(False)
+            except Exception:
+                pass
+            cur = new
+            frontier = upd
+        raise ValueError(
+            "CostDistance: not converged within {} rounds — the cost "
+            "field forces optimal paths longer than the grid-diameter "
+            "bound; pass an explicit max_iter".format(max_rounds))

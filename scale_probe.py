@@ -482,6 +482,83 @@ def probe_stream_order(spark, n):
     return out.count()
 
 
+def build_batch_docs(r):
+    """Incremental batch: ids offset into a fresh space; each doc's
+    text seed maps back into the SAVED corpus's seed space (orig =
+    id*7), so ~10% of batch docs hit a planted 17-doc anchor cluster
+    (the hot bands) and the rest exact-match one saved doc — the
+    snapshot-over-snapshot overlap shape."""
+    return (r.select(
+        (F.col("id") + 2_000_000_000).alias("doc_id"),
+        F.expr("id * 7").alias("_orig"))
+        .select("doc_id",
+                F.expr("CASE WHEN pmod(_orig, 10) = 0 "
+                       "THEN _orig - pmod(_orig, 170) "
+                       "ELSE _orig END").alias("_seed"))
+        .select("doc_id", F.expr(_WORDS).alias("text")))
+
+
+def probe_incremental_dedup(spark, n):
+    """MinHashLSH(against=saved): the saved table holds n docs, the
+    new batch n/10 — the production asymmetry (a snapshot probing a
+    10x corpus).  The fingerprint table is built ONCE per n (cached
+    like the parquet inputs); the timed leg is the band-bucket probe
+    join + verify only — the corpus text is never re-read."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.dedup import (
+        FingerprintTableSink, MinHashLSH)
+    docs_path = gen_parquet(spark, "docs", n, build_docs)
+    fp_path = os.path.join(TMP, "fp_{}".format(n))
+    if not os.path.exists(os.path.join(fp_path + "_meta")):
+        docs = read_input(spark, docs_path)
+        FingerprintTableSink(
+            DataFrameSource(docs, index_column="doc_id"), fp_path,
+            num_perm=32, bands=8, shingle_size=3).write(spark)
+    batch = read_input(spark, gen_parquet(
+        spark, "batch", n // 10, build_batch_docs))
+    blk = MinHashLSH(DataFrameSource(batch, index_column="doc_id"),
+                     num_perm=32, bands=8, shingle_size=3,
+                     verify=True, threshold=0.5, against=fp_path)
+    out = blk.plan(spark)
+    materialize(out)
+    return out.count()
+
+
+def probe_hyperloglog_by(spark, n):
+    """HyperLogLog(by=source) with the planted 50%-hot host: the
+    (group, register) composite key must spread the hot group over
+    its 2^p register keys instead of funneling half the corpus into
+    one reducer."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.text import HyperLogLog
+    docs = read_input(spark, gen_parquet(spark, "docs", n, build_docs))
+    out = HyperLogLog(DataFrameSource(docs, index_column="doc_id"),
+                      "text", precision=10, by="source").plan(spark)
+    materialize(out)
+    return out.count()
+
+
+def probe_cost_distance(spark, n):
+    """Frontier Bellman-Ford past the 64k-edge driver short-circuit
+    (edges ~ 8n).  Sources every 16 cells in both axes — the
+    many-facility production shape — so the optimal-path hop count
+    (= round count) stays ~constant while per-round work scales with
+    n: the honest linear axis.  A single far corner source would
+    instead scale ROUNDS with grid diameter (documented in the
+    docstring as the max_iter contract)."""
+    from dask_geomodeling_spark.raster.hydrology import CostDistance
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    side = int(math.sqrt(n))
+    cells = read_input(spark, gen_parquet(
+        spark, "dem", side * side, build_ramp_dem(side)))
+    srcs = cells.filter("pmod(y, 16) = 0 AND pmod(x, 16) = 0")
+    out = CostDistance(DataFrameRasterSource(cells),
+                       DataFrameRasterSource(srcs)).plan(spark)
+    materialize(out)
+    return out.count()
+
+
 PROBES = {
     # name -> (probe fn, 1x size, scale override or None)
     "minhash_lsh": (probe_minhash_lsh, 50_000, None),
@@ -510,6 +587,11 @@ PROBES = {
     # stream_order runs (1 + orders) Euler rankings per leg — n1 just
     # past the 64k-edge short-circuit keeps the probe in minutes
     "stream_order": (probe_stream_order, 80_000, None),
+    # round-12: the incremental production asymmetry, the per-group
+    # sketch under a 50%-hot group, and the new BF distance rounds
+    "incremental_dedup": (probe_incremental_dedup, 100_000, None),
+    "hyperloglog_by": (probe_hyperloglog_by, 500_000, None),
+    "cost_distance": (probe_cost_distance, 80_000, None),
 }
 
 

@@ -800,3 +800,68 @@ def test_make_valid_two_ring_even_odd(a, b):
         assert abs(got - want) < 1e-6 * max(1.0, abs(want)), (
             a, b, got, want)
     assert rings_is_valid(rep), (a, b)
+
+
+_D8 = ((0, 1, 1), (1, 1, 2), (1, 0, 4), (1, -1, 8),
+       (0, -1, 16), (-1, -1, 32), (-1, 0, 64), (-1, 1, 128))
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.data())
+def test_hydrology_euler_equals_driver(spark_prop, data):
+    """Round-12 verdict property: on random acyclic flow forests, the
+    DISTRIBUTED path (Euler-tour list ranking / pointer doubling /
+    junction-weighted rankings, forced via driver_threshold=0) is
+    row-identical to the exact DRIVER traversal for the whole
+    hydrology family — FlowAccumulation (plain and weighted),
+    FlowLength, Watershed, StreamOrder.
+
+    Forests are generated acyclic BY CONSTRUCTION: each cell draws a
+    random D8 offset (or pit) and keeps the edge only if a random
+    priority permutation strictly decreases along it — chains,
+    junctions, multi-root forests and pits all arise."""
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.raster.hydrology import (
+        FlowAccumulation, FlowLength, StreamOrder, Watershed)
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    n = 5
+    prio = data.draw(st.permutations(list(range(n * n))))
+    offs = data.draw(st.lists(st.integers(0, 8), min_size=n * n,
+                              max_size=n * n))
+    rows = []
+    for y in range(n):
+        for x in range(n):
+            i = y * n + x
+            code = 0
+            if offs[i] < 8:
+                dy, dx, c = _D8[offs[i]]
+                ny, nx = y + dy, x + dx
+                if 0 <= ny < n and 0 <= nx < n \
+                        and prio[ny * n + nx] < prio[i]:
+                    code = c
+            rows.append((y, x, float(code)))
+    grid = spark_prop.createDataFrame(
+        rows, "y bigint, x bigint, value double").select(
+        F.expr("TIMESTAMP '2024-01-01'").alias("time"),
+        "y", "x", "value")
+    src = DataFrameRasterSource(grid)
+    wts = DataFrameRasterSource(grid.withColumn(
+        "value", (F.col("y") * 3 + F.col("x") + 1).cast("double")))
+    builders = {
+        "accumulation": lambda thr: FlowAccumulation(
+            src, driver_threshold=thr),
+        "accumulation_weighted": lambda thr: FlowAccumulation(
+            src, driver_threshold=thr, weights=wts),
+        "length": lambda thr: FlowLength(src, driver_threshold=thr),
+        "watershed": lambda thr: Watershed(src, driver_threshold=thr),
+        "stream_order": lambda thr: StreamOrder(
+            src, driver_threshold=thr),
+    }
+    for name, mk in builders.items():
+        via_driver = sorted(
+            map(tuple, mk(10 ** 9).plan(spark_prop).collect()))
+        via_euler = sorted(
+            map(tuple, mk(0).plan(spark_prop).collect()))
+        assert via_driver == via_euler, (name, offs, prio)

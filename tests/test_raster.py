@@ -1433,3 +1433,82 @@ def test_stream_order_cycle_fails_fast(spark):
     with pytest.raises(Exception, match="cycle|converge"):
         StreamOrder(src, driver_threshold=0,
                     max_iter=8).plan(spark).collect()
+
+
+def _cd_grid(spark, n=12, cost_expr="CAST(x + 1 AS DOUBLE)"):
+    from pyspark.sql import functions as F
+    a = spark.range(n).select(F.col("id").alias("y"))
+    b = spark.range(n).select(F.col("id").alias("x"))
+    return (a.crossJoin(b)
+            .select(F.expr("TIMESTAMP '2024-01-01'").alias("time"),
+                    "y", "x", F.expr(cost_expr).alias("value")))
+
+
+def test_cost_distance_ramp_and_paths_agree(spark):
+    """Round 12: CostDistance on the ramp cost(x)=x+1 from the x=0
+    column is exactly x(x+2)/2 (half-integer sums — float-exact), on
+    BOTH execution paths (driver Dijkstra and the distributed frontier
+    Bellman-Ford rounds)."""
+    from pyspark.sql import functions as F
+    from dask_geomodeling_spark.raster.hydrology import CostDistance
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    grid = _cd_grid(spark)
+    srcs = grid.filter("x = 0").select(
+        "time", "y", "x", F.lit(1.0).alias("value"))
+    for thr in (None, 0):
+        rows = CostDistance(DataFrameRasterSource(grid),
+                            DataFrameRasterSource(srcs),
+                            driver_threshold=thr) \
+            .plan(spark).collect()
+        assert len(rows) == 144
+        for r in rows:
+            assert r["cost_distance"] == r["x"] * (r["x"] + 2) / 2.0
+
+
+def test_cost_distance_barriers_and_unreachable(spark):
+    """Cells with cost <= 0 or NULL are barriers (NULL output); cells
+    cut off by a barrier wall are unreachable (NULL); diagonal steps
+    cost sqrt(2) times the average — a gap in the wall routes around
+    it."""
+    from pyspark.sql import functions as F
+    from dask_geomodeling_spark.raster.hydrology import CostDistance
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    # uniform cost 1, wall at x=5 except a gap at y=0
+    grid = _cd_grid(spark, n=10, cost_expr="CAST(1 AS DOUBLE)") \
+        .withColumn("value", F.expr(
+            "CASE WHEN x = 5 AND y != 0 THEN CAST(0 AS DOUBLE) "
+            "ELSE value END"))
+    srcs = grid.filter("x = 0 AND y = 3").select(
+        "time", "y", "x", F.lit(1.0).alias("value"))
+    rows = {(r["y"], r["x"]): r["cost_distance"]
+            for r in CostDistance(DataFrameRasterSource(grid),
+                                  DataFrameRasterSource(srcs))
+            .plan(spark).collect()}
+    assert rows[(3, 5)] is None          # wall cell
+    # same row behind the wall: the straight 9-run is blocked; the
+    # only way through is the y=0 gap — octile geodesic to (0,5)
+    # plus octile geodesic onward = 6*sqrt(2) + 3, strictly longer
+    # than the unobstructed 9.0
+    assert rows[(3, 9)] is not None and rows[(3, 9)] > 9.0
+    want = 6 * 2 ** 0.5 + 3
+    assert abs(rows[(3, 9)] - want) < 1e-9
+
+
+def test_cost_distance_fail_fast_round_bound(spark):
+    """The iterative path raises (not silently wrong) when max_iter
+    rounds don't reach the fixpoint."""
+    import pytest
+    from pyspark.sql import functions as F
+    from dask_geomodeling_spark.raster.hydrology import CostDistance
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    grid = _cd_grid(spark, n=10, cost_expr="CAST(1 AS DOUBLE)")
+    srcs = grid.filter("x = 0 AND y = 0").select(
+        "time", "y", "x", F.lit(1.0).alias("value"))
+    blk = CostDistance(DataFrameRasterSource(grid),
+                       DataFrameRasterSource(srcs),
+                       max_iter=2, driver_threshold=0)
+    with pytest.raises(ValueError, match="not converged"):
+        blk.plan(spark).collect()
