@@ -11455,6 +11455,56 @@ def cost_distance(spark, sf_dir):
                         DataFrameRasterSource(srcs)).plan(spark)
 
 
+@demo("cost_allocation", oracle="""
+SELECT TIMESTAMP '2024-01-01' AS time,
+       a.n_nationkey AS y, b.n_nationkey AS x,
+       CASE WHEN b.n_nationkey = 12 THEN 0.0 ELSE 1.0 END AS value,
+       CASE WHEN b.n_nationkey = 12 THEN NULL
+            WHEN b.n_nationkey < 12 THEN ROUND(
+              sqrt(2) * LEAST(a.n_nationkey, b.n_nationkey)
+              + GREATEST(a.n_nationkey, b.n_nationkey)
+              - LEAST(a.n_nationkey, b.n_nationkey), 6)
+            ELSE ROUND(
+              sqrt(2) * LEAST(24 - a.n_nationkey, 24 - b.n_nationkey)
+              + GREATEST(24 - a.n_nationkey, 24 - b.n_nationkey)
+              - LEAST(24 - a.n_nationkey, 24 - b.n_nationkey), 6)
+            END AS cost_distance,
+       CASE WHEN b.n_nationkey = 12 THEN NULL
+            WHEN b.n_nationkey < 12 THEN 10.0 ELSE 20.0 END
+         AS allocation
+FROM nation a CROSS JOIN nation b
+""")
+def cost_allocation(spark, sf_dir):
+    """CostAllocation (round 12): uniform cost 1 with a barrier wall
+    at x = 12 splitting the grid into two regions, source value 10 at
+    (0,0) and 20 at (24,24) — each region allocates wholly to its own
+    source (no cross-wall ties, so the float comparison is safe), and
+    cost_distance is the octile metric to that source, re-derived
+    closed-form (rounded to 6: optimal paths interleave diagonal and
+    straight steps in any order, so the accumulated float sum may
+    differ from the closed form by ~1e-14)."""
+    from dask_geomodeling_spark.raster.hydrology import CostAllocation
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    nation = read_nanos_parquet(spark, _pq(sf_dir, "nation"))
+    a = nation.select(F.col("n_nationkey").alias("y"))
+    b = nation.select(F.col("n_nationkey").alias("x"))
+    grid = (a.crossJoin(b)
+            .select(F.expr("TIMESTAMP '2024-01-01'").alias("time"),
+                    "y", "x",
+                    F.expr("CASE WHEN x = 12 THEN CAST(0 AS DOUBLE) "
+                           "ELSE CAST(1 AS DOUBLE) END")
+                    .alias("value")))
+    srcs = grid.filter("(y = 0 AND x = 0) OR (y = 24 AND x = 24)") \
+        .select("time", "y", "x",
+                F.expr("CASE WHEN x = 0 THEN CAST(10 AS DOUBLE) "
+                       "ELSE CAST(20 AS DOUBLE) END").alias("value"))
+    out = CostAllocation(DataFrameRasterSource(grid),
+                         DataFrameRasterSource(srcs)).plan(spark)
+    return out.withColumn("cost_distance",
+                          F.round("cost_distance", 6))
+
+
 def _kll_oracle(k=256, by="l_returnflag"):
     from dask_geomodeling_spark.pipeline.text import KLLQuantile
     M = KLLQuantile._M
@@ -11647,6 +11697,7 @@ GATE_ANCHORS = [
     "make_valid",
     "kll_quantile",
     "cost_distance",
+    "cost_allocation",
 ]
 
 

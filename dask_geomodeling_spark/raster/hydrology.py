@@ -29,7 +29,8 @@ from dask_geomodeling_spark.raster.base import (BaseSingle,
                                                 RasterBlock)
 
 __all__ = ["FlowDirection", "FlowAccumulation",
-           "FlowLength", "Watershed", "StreamOrder", "CostDistance"]
+           "FlowLength", "Watershed", "StreamOrder", "CostDistance",
+           "CostAllocation"]
 
 # ESRI/GDAL D8 codes, row-index convention (y grows "south"/downward):
 #   E=1, SE=2, S=4, SW=8, W=16, NW=32, N=64, NE=128
@@ -901,6 +902,15 @@ class CostDistance(RasterBlock):
         return {"time", "y", "x", "value", "cost_distance"}
 
     def _build(self, ctx):
+        return (self._solve(ctx)
+                .select("time", "y", "x", "value",
+                        F.col("_d").alias("cost_distance")))
+
+    def _solve(self, ctx):
+        """Shared cost-flood solver (CostDistance / CostAllocation):
+        returns the cost cells joined with the settled ``(_d, _lab)``
+        state — minimal accumulated cost and the label of the source
+        that provides it (NULL = barrier / unreachable)."""
         cost_blk, src_blk, max_iter, thr = self.args
         if thr is None:
             thr = self.DRIVER_THRESHOLD
@@ -930,9 +940,14 @@ class CostDistance(RasterBlock):
                           / 2.0).alias("_w")))
         src_cells = (src_blk._build(ctx)
                      .filter(F.col("value").isNotNull())
-                     .select("time", "y", "x"))
-        seeds = (trav.join(src_cells, ["time", "y", "x"], "left_semi")
-                 .select("_id", F.lit(0.0).alias("_d")))
+                     .select("time", "y", "x",
+                             F.col("value").alias("_lab")))
+        # state is ALWAYS the lexicographic (distance, source-label)
+        # pair: CostDistance ignores the label, CostAllocation emits
+        # it — distance ties resolve to the smallest source label,
+        # deterministically on both execution paths
+        seeds = (trav.join(src_cells, ["time", "y", "x"])
+                 .select("_id", F.lit(0.0).alias("_d"), "_lab"))
         from pyspark import StorageLevel
         edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
         try:
@@ -946,9 +961,7 @@ class CostDistance(RasterBlock):
                 dists = self._bf_rounds(seeds, edges, max_iter)
         finally:
             edges.unpersist()
-        return (nodes.join(dists, "_id", "left")
-                .select("time", "y", "x", "value",
-                        F.col("_d").alias("cost_distance")))
+        return nodes.join(dists, "_id", "left")
 
     @staticmethod
     def _driver_dijkstra(spark, seeds, edges):
@@ -957,19 +970,22 @@ class CostDistance(RasterBlock):
         adj = defaultdict(list)
         for r in edges.collect():
             adj[r["_a"]].append((r["_b"], r["_w"]))
+        # heap orders by (distance, label): a distance tie settles
+        # with the smallest source label — same rule as the BF path
         dist = {}
-        heap = [(0.0, r["_id"]) for r in seeds.collect()]
+        heap = [(0.0, r["_lab"], r["_id"]) for r in seeds.collect()]
         heapq.heapify(heap)
         while heap:
-            d, u = heapq.heappop(heap)
+            d, lab, u = heapq.heappop(heap)
             if u in dist:
                 continue
-            dist[u] = d
+            dist[u] = (d, lab)
             for v, w in adj[u]:
                 if v not in dist:
-                    heapq.heappush(heap, (d + w, v))
-        out = [(int(k), float(v)) for k, v in dist.items()]
-        schema = "_id bigint, _d double"
+                    heapq.heappush(heap, (d + w, lab, v))
+        out = [(int(k), float(d), float(lab))
+               for k, (d, lab) in dist.items()]
+        schema = "_id bigint, _d double, _lab double"
         return spark.createDataFrame(out, schema) if out else \
             spark.createDataFrame([], schema)
 
@@ -986,18 +1002,27 @@ class CostDistance(RasterBlock):
             seeds.repartition(par, F.col("_id")).localCheckpoint())
         frontier = cur
         for _ in range(max_rounds):
+            # candidate state per reached neighbor: lexicographic min
+            # of (distance, label) — distance ties keep the smallest
+            # source label, mirroring the Dijkstra heap order
             cand = (frontier.join(edges,
                                   frontier["_id"] == edges["_a"])
                     .select(F.col("_b").alias("_id"),
-                            (F.col("_d") + F.col("_w")).alias("_dn"))
-                    .groupBy("_id").agg(F.min("_dn").alias("_dn")))
+                            F.struct(
+                                (F.col("_d") + F.col("_w"))
+                                .alias("_d"),
+                                F.col("_lab").alias("_lab"))
+                            .alias("_sn"))
+                    .groupBy("_id").agg(F.min("_sn").alias("_sn")))
             upd = strip_plan_stats(
-                (cand.join(cur.select("_id",
-                                      F.col("_d").alias("_dc")),
-                           "_id", "left")
-                 .filter(F.col("_dc").isNull()
-                         | (F.col("_dn") < F.col("_dc")))
-                 .select("_id", F.col("_dn").alias("_d"))
+                (cand.join(cur.select(
+                    "_id", F.struct(F.col("_d").alias("_d"),
+                                    F.col("_lab").alias("_lab"))
+                    .alias("_sc")), "_id", "left")
+                 .filter(F.col("_sc").isNull()
+                         | (F.col("_sn") < F.col("_sc")))
+                 .select("_id", F.col("_sn._d").alias("_d"),
+                         F.col("_sn._lab").alias("_lab"))
                  .repartition(par, F.col("_id"))
                  .localCheckpoint()))
             if frontier is not cur:
@@ -1009,10 +1034,12 @@ class CostDistance(RasterBlock):
                 return cur
             new = strip_plan_stats(
                 (cur.join(upd.select("_id",
-                                     F.col("_d").alias("_du")),
+                                     F.col("_d").alias("_du"),
+                                     F.col("_lab").alias("_labu")),
                           "_id", "full")
                  .select("_id",
-                         F.coalesce("_du", "_d").alias("_d"))
+                         F.coalesce("_du", "_d").alias("_d"),
+                         F.coalesce("_labu", "_lab").alias("_lab"))
                  .repartition(par, F.col("_id"))
                  .localCheckpoint()))
             try:
@@ -1025,3 +1052,29 @@ class CostDistance(RasterBlock):
             "CostDistance: not converged within {} rounds — the cost "
             "field forces optimal paths longer than the grid-diameter "
             "bound; pass an explicit max_iter".format(max_rounds))
+
+
+class CostAllocation(CostDistance):
+    """Cost allocation: every cell gets the VALUE of the source that
+    is nearest in least-cost terms (round 12) — the ESRI
+    ``CostAllocation`` companion of :class:`CostDistance`, the
+    "which facility serves this cell" layer.  Same solver, same cost
+    semantics, same execution paths; the settled state is the
+    lexicographic (distance, source-label) pair, so a distance tie
+    deterministically allocates to the SMALLEST source value on both
+    the driver-Dijkstra and the distributed Bellman-Ford path.
+
+    Output: ``time, y, x, value`` (the cost raster) +
+    ``cost_distance`` + ``allocation`` (the winning source raster's
+    value; NULL = barrier or unreachable)."""
+
+    @property
+    def columns(self):
+        return {"time", "y", "x", "value", "cost_distance",
+                "allocation"}
+
+    def _build(self, ctx):
+        return (self._solve(ctx)
+                .select("time", "y", "x", "value",
+                        F.col("_d").alias("cost_distance"),
+                        F.col("_lab").alias("allocation")))

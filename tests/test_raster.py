@@ -1512,3 +1512,36 @@ def test_cost_distance_fail_fast_round_bound(spark):
                        max_iter=2, driver_threshold=0)
     with pytest.raises(ValueError, match="not converged"):
         blk.plan(spark).collect()
+
+
+def test_cost_allocation_tie_break_and_paths_agree(spark):
+    """Round 12: CostAllocation labels each cell with the value of
+    its least-cost source; an EXACT distance tie allocates to the
+    smallest source value, identically on both execution paths."""
+    from pyspark.sql import functions as F
+    from dask_geomodeling_spark.raster.hydrology import CostAllocation
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    # 1x9 strip, uniform cost, sources value 30 at x=0 and 10 at x=8:
+    # cell x=4 is an exact tie (d=4.0 both ways) -> label 10
+    grid = _cd_grid(spark, n=1, cost_expr="CAST(1 AS DOUBLE)")
+    grid = (spark.range(9).select(
+        F.expr("TIMESTAMP '2024-01-01'").alias("time"),
+        F.lit(0).cast("bigint").alias("y"),
+        F.col("id").alias("x"), F.lit(1.0).alias("value")))
+    srcs = grid.filter("x = 0 OR x = 8").select(
+        "time", "y", "x",
+        F.expr("CASE WHEN x = 0 THEN CAST(30 AS DOUBLE) "
+               "ELSE CAST(10 AS DOUBLE) END").alias("value"))
+    for thr in (None, 0):
+        rows = {r["x"]: (r["cost_distance"], r["allocation"])
+                for r in CostAllocation(
+                    DataFrameRasterSource(grid),
+                    DataFrameRasterSource(srcs),
+                    driver_threshold=thr).plan(spark).collect()}
+        assert rows[0] == (0.0, 30.0)
+        assert rows[8] == (0.0, 10.0)
+        assert rows[2] == (2.0, 30.0)
+        assert rows[6] == (2.0, 10.0)
+        # exact tie at the midpoint: smallest label wins
+        assert rows[4] == (4.0, 10.0)
