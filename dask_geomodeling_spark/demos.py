@@ -11455,6 +11455,32 @@ def cost_distance(spark, sf_dir):
                         DataFrameRasterSource(srcs)).plan(spark)
 
 
+@demo("sniff_image_meta", oracle="""
+SELECT doc_id,
+       CASE doc_id % 5 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
+            WHEN 2 THEN 'bmp' WHEN 3 THEN 'gif' ELSE 'jpeg' END
+         AS img_format,
+       CAST(1 + doc_id % 7 AS BIGINT) AS img_width,
+       CAST(1 + (doc_id * 3) % 5 AS BIGINT) AS img_height
+FROM documents
+""")
+def sniff_image_meta(spark, sf_dir):
+    """SniffImageMeta (round 12): image format + dimensions from the
+    binary HEADER in pure column math — PNG IHDR (big-endian), BMP
+    info header (little-endian two's-complement), GIF screen
+    descriptor, P6 ASCII header, and a bounded in-SQL fold over
+    JPEG's variable-length segment chain to the SOFn frame.  The
+    zoo generator rotates all five REAL formats per doc_id with
+    closed-form dimensions, so the oracle never touches bytes.  The
+    100 TB point: size/format filters push before any Python decode
+    stage (JVM-only plan pinned in pytest)."""
+    from dask_geomodeling_spark.pipeline.multimodal import (
+        SniffImageMeta, SyntheticImageZoo)
+    block = SniffImageMeta(SyntheticImageZoo(documents_src(sf_dir)))
+    return block.plan(spark).select(
+        "doc_id", "img_format", "img_width", "img_height")
+
+
 @demo("cost_allocation", oracle="""
 SELECT TIMESTAMP '2024-01-01' AS time,
        a.n_nationkey AS y, b.n_nationkey AS x,
@@ -11698,6 +11724,7 @@ GATE_ANCHORS = [
     "kll_quantile",
     "cost_distance",
     "cost_allocation",
+    "sniff_image_meta",
 ]
 
 

@@ -21,7 +21,8 @@ from dask_geomodeling_spark.geometry.base import BaseSingle
 
 __all__ = ["AttachBinaryMetadata", "ExtractImageFeatures", "FrameSample",
            "ResizeImage", "SyntheticPPM", "SyntheticPNG", "MEDIA_SCHEMA",
-           "SyntheticWAV", "ExtractAudioFeatures"]
+           "SyntheticWAV", "ExtractAudioFeatures", "SyntheticImageZoo",
+           "SniffImageMeta"]
 
 #: canonical multimodal column bundle
 MEDIA_SCHEMA = T.StructType([
@@ -587,3 +588,216 @@ class ExtractAudioFeatures(BaseSingle):
                 yield pdf
 
         return df.mapInPandas(extract, schema=schema)
+
+
+def _encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal BITMAPINFOHEADER 24-bit BMP (rows not padded correctly
+    for decode purposes — header-accurate, which is what the sniffing
+    path consumes; the _decode_bmp codec keeps its own strict files)."""
+    row = width * 3
+    pad = (4 - row % 4) % 4
+    body = b"".join(
+        rgb[y * row:(y + 1) * row] + b"\x00" * pad
+        for y in range(height - 1, -1, -1))
+    size = 54 + len(body)
+    import struct
+    return (b"BM" + struct.pack("<IHHI", size, 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24,
+                          0, len(body), 2835, 2835, 0, 0) + body)
+
+
+def _encode_gif(width: int, height: int) -> bytes:
+    """Header-only GIF89a (logical screen descriptor + trailer)."""
+    import struct
+    return (b"GIF89a" + struct.pack("<HH", width, height)
+            + b"\x00\x00\x00" + b"\x3b")
+
+
+def _encode_jpeg_header(width: int, height: int) -> bytes:
+    """Structurally valid JPEG prefix: SOI, an APP0 and a COM segment
+    (so the sniffer must actually WALK the variable-length segment
+    chain), SOF0 with the dimensions, EOI."""
+    import struct
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    com = b"\xff\xfe" + struct.pack(">H", 10) + b"synthetic"[:8]
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", height, width)
+            + b"\x01\x11\x00")
+    return b"\xff\xd8" + app0 + com + sof0 + b"\xff\xd9"
+
+
+class SyntheticImageZoo(BaseSingle):
+    """Per-row rotating-format image generator (round 12): row ``id``
+    carries a ``fmt = id % 5`` image — 0=P6 PPM, 1=PNG, 2=BMP, 3=GIF,
+    4=JPEG(header) — of width ``1 + id % 7`` and height
+    ``1 + (id * 3) % 5``; every payload is a REAL header in its
+    format, so :class:`SniffImageMeta` has to dispatch per row.
+    Closed-form dimensions keep the oracle binary-free."""
+
+    def __init__(self, source, id_column="doc_id"):
+        super().__init__(source, id_column)
+
+    @property
+    def columns(self):
+        return set(self.source.columns) | {"payload"}
+
+    def _build(self, ctx):
+        df = self.source._build(ctx)
+        id_column = self.args[1]
+        schema = T.StructType(
+            list(df.schema.fields)
+            + [T.StructField("payload", T.BinaryType())])
+
+        def one(i):
+            i = int(i)
+            w, h = 1 + i % 7, 1 + (i * 3) % 5
+            fmt = i % 5
+            rgb = bytes((i * 37 + k * 11) % 256
+                        for k in range(w * h * 3))
+            if fmt == 0:
+                return _encode_ppm(w, h, rgb)
+            if fmt == 1:
+                return _encode_png(w, h, rgb)
+            if fmt == 2:
+                return _encode_bmp(w, h, rgb)
+            if fmt == 3:
+                return _encode_gif(w, h)
+            return _encode_jpeg_header(w, h)
+
+        def gen(batches):
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["payload"] = [one(i) for i in pdf[id_column]]
+                yield pdf
+
+        return df.mapInPandas(gen, schema=schema)
+
+
+def _be_sql(p, pos, n):
+    """SQL text: big-endian unsigned int of n bytes at 1-based pos."""
+    return "conv(hex(substring({p}, {pos}, {n})), 16, 10)".format(
+        p=p, pos=pos, n=n)
+
+
+def _le16_sql(p, pos):
+    return ("({b0} + 256 * {b1})".format(
+        b0=_be_sql(p, pos, 1), b1=_be_sql(p, pos + 1, 1)))
+
+
+def _le32_sql(p, pos):
+    return ("({b0} + 256 * ({b1} + 256 * ({b2} + 256 * {b3})))"
+            .format(b0=_be_sql(p, pos, 1), b1=_be_sql(p, pos + 1, 1),
+                    b2=_be_sql(p, pos + 2, 1),
+                    b3=_be_sql(p, pos + 3, 1)))
+
+
+#: JPEG SOFn markers that carry frame dimensions (C0-CF minus the
+#: non-frame C4/C8/CC)
+_JPEG_SOF = (192, 193, 194, 195, 197, 198, 199, 201, 202, 203,
+             205, 206, 207)
+
+
+def jpeg_dims_sql(p, max_segments=64):
+    """SQL text: struct('w', 'h') from a JPEG's segment chain — a
+    BOUNDED fold over at most ``max_segments`` variable-length
+    segments (each step either finds a SOFn frame header or skips
+    marker + payload via the big-endian length field).  Pure integer
+    arithmetic; whole-stage codegen, no Python."""
+    marker = _be_sql(p, "s.off + 1", 1)
+    seglen = _be_sql(p, "s.off + 2", 2)
+    h = _be_sql(p, "s.off + 5", 2)
+    w = _be_sql(p, "s.off + 7", 2)
+    sof = ", ".join(str(m) for m in _JPEG_SOF)
+    return (
+        "aggregate(sequence(1, {n}), "
+        "named_struct('off', CAST(3 AS BIGINT), "
+        "'w', CAST(NULL AS BIGINT), 'h', CAST(NULL AS BIGINT)), "
+        "(s, i) -> CASE "
+        "WHEN s.w IS NOT NULL OR s.off + 8 > octet_length({p}) THEN s "
+        "WHEN {first} != 255 THEN named_struct("
+        "'off', CAST(octet_length({p}) AS BIGINT), 'w', s.w, 'h', s.h) "
+        "WHEN {marker} IN ({sof}) THEN named_struct('off', s.off, "
+        "'w', {w}, 'h', {h}) "
+        "ELSE named_struct('off', s.off + 2 + {seglen}, "
+        "'w', s.w, 'h', s.h) END, "
+        "s -> named_struct('w', s.w, 'h', s.h))"
+    ).format(n=max_segments, p=p, marker=marker, seglen=seglen,
+             w=w, h=h, first=_be_sql(p, "s.off", 1), sof=sof)
+
+
+class SniffImageMeta(BaseSingle):
+    """Image format + dimensions from the binary HEADER — PURE column
+    math, no Python, no decode (round 12).  The 100 TB point: size /
+    format filters ("drop icons under 64px", "JPEG only") must push
+    BEFORE any Arrow-batched decode stage ever sees the payload; a
+    sniffer that round-trips bytes through Python defeats that.
+
+    Detects P6 PPM (ASCII header regexp), PNG (IHDR big-endian), BMP
+    (BITMAPINFOHEADER little-endian, top-down negatives folded by
+    abs), GIF87a/89a (logical screen little-endian) and JPEG (a
+    bounded in-SQL fold over the variable-length segment chain to the
+    SOFn frame header — ``jpeg_dims_sql``).  Unknown/short payloads
+    yield NULLs.  Adds ``img_format``, ``img_width``, ``img_height``."""
+
+    def __init__(self, source, column="payload"):
+        clash = {"img_format", "img_width", "img_height"} \
+            & set(source.columns)
+        if clash:
+            raise ValueError(
+                "column(s) {} collide with SniffImageMeta's output"
+                .format(sorted(clash)))
+        super().__init__(source, str(column))
+
+    @property
+    def columns(self):
+        return set(self.source.columns) | {"img_format", "img_width",
+                                           "img_height"}
+
+    def _build(self, ctx):
+        df = self.source._build(ctx)
+        p = "`{}`".format(self.args[1])
+        pfx = "hex(substring({p}, 1, 8))".format(p=p)
+        fmt = (
+            "CASE WHEN {p} IS NULL THEN NULL "
+            "WHEN {pfx} LIKE '89504E470D0A1A0A%' THEN 'png' "
+            "WHEN {pfx} LIKE '474946383761%' "
+            "OR {pfx} LIKE '474946383961%' THEN 'gif' "
+            "WHEN {pfx} LIKE '424D%' THEN 'bmp' "
+            "WHEN {pfx} LIKE 'FFD8%' THEN 'jpeg' "
+            "WHEN {pfx} LIKE '5036%' THEN 'ppm' "
+            "END").format(p=p, pfx=pfx)
+        ppm_hdr = ("CAST(substring({p}, 1, 32) AS STRING)"
+                   .format(p=p))
+        jpeg = jpeg_dims_sql(p)
+        w = ("CASE img_format "
+             "WHEN 'png' THEN {png_w} "
+             "WHEN 'gif' THEN {gif_w} "
+             "WHEN 'bmp' THEN abs({bmp_w}) "
+             "WHEN 'jpeg' THEN ({jpeg}).w "
+             "WHEN 'ppm' THEN CAST(regexp_extract({ppm}, "
+             "'^P6\\\\s+(\\\\d+)\\\\s+(\\\\d+)', 1) AS BIGINT) "
+             "END").format(png_w=_be_sql(p, 17, 4),
+                           gif_w=_le16_sql(p, 7),
+                           bmp_w=_le32_sql(p, 19),
+                           jpeg=jpeg, ppm=ppm_hdr)
+        # BMP little-endian i32 height: reassemble LE, then
+        # two's-complement (negative = top-down row order; abs folds)
+        bmp_h_le = ("({le} - CASE WHEN {msb} >= 128 "
+                    "THEN 4294967296 ELSE 0 END)"
+                    .format(le=_le32_sql(p, 23),
+                            msb=_be_sql(p, 26, 1)))
+        h = ("CASE img_format "
+             "WHEN 'png' THEN {png_h} "
+             "WHEN 'gif' THEN {gif_h} "
+             "WHEN 'bmp' THEN abs({bmp_h}) "
+             "WHEN 'jpeg' THEN ({jpeg}).h "
+             "WHEN 'ppm' THEN CAST(regexp_extract({ppm}, "
+             "'^P6\\\\s+(\\\\d+)\\\\s+(\\\\d+)', 2) AS BIGINT) "
+             "END").format(png_h=_be_sql(p, 21, 4),
+                           gif_h=_le16_sql(p, 9),
+                           bmp_h=bmp_h_le, jpeg=jpeg, ppm=ppm_hdr)
+        return (df.withColumn("img_format", F.expr(fmt))
+                .withColumn("img_width",
+                            F.expr(w).cast("bigint"))
+                .withColumn("img_height",
+                            F.expr(h).cast("bigint")))

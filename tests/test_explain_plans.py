@@ -952,3 +952,24 @@ def test_stream_order_joins_stay_keyed(spark):
     df = demos.QUERIES["stream_order"](spark, SF_DIR)
     plan = plan_of(df, "simple")
     assert "CartesianProduct" not in plan
+
+
+def test_sniff_image_meta_is_jvm_only(spark, tmp_path):
+    """Round 12: SniffImageMeta must add format/width/height with NO
+    Python stage — the whole point is that size/format filters push
+    before any Arrow-batched decode ever sees the payload."""
+    from pyspark.sql import functions as F
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.multimodal import (
+        SniffImageMeta, SyntheticImageZoo)
+    path = str(tmp_path / "zoo")
+    df = spark.range(20).select(F.col("id").alias("doc_id"))
+    SyntheticImageZoo(DataFrameSource(df, index_column="doc_id")) \
+        .plan(spark).write.parquet(path)
+    src = DataFrameSource(spark.read.parquet(path),
+                          index_column="doc_id")
+    out = SniffImageMeta(src).plan(spark)
+    plan = plan_of(out, "formatted")
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    rows = out.filter("img_width >= 4").collect()
+    assert rows and all(r["img_width"] >= 4 for r in rows)
