@@ -10386,7 +10386,8 @@ def bpe_tokenize(spark, sf_dir):
 
 
 def _hll_oracle(column="l_partkey", table="lineitem", p=10,
-                by="l_returnflag"):
+                by="l_returnflag", by_name=None):
+    by_name = by_name or by
     from dask_geomodeling_spark.pipeline.text import (HyperLogLog,
                                                       _hll_alpha)
     m = 1 << p
@@ -10415,7 +10416,7 @@ st AS (SELECT grp, COUNT(*) AS used,
        FROM mx GROUP BY grp),
 f AS (SELECT grp, su + ({m} - used) * (CAST(1 AS BIGINT) << 32) AS S,
              {m} - used AS V FROM st)
-SELECT grp AS {by},
+SELECT grp AS {by_name},
        ROUND(CASE WHEN {A} / S <= 2.5 * {m} AND V > 0
                   THEN {m} * ln({m} / CAST(V AS DOUBLE))
                   WHEN {A} / S > 2147483648.0 / 30.0
@@ -10427,7 +10428,8 @@ SELECT grp AS {by},
        CAST(S AS BIGINT) AS s_scaled
 FROM f
 """.format(col=column, table=table, p1=poly1, p2=poly2, a1=a1, b1=b1,
-           c1=c1, a2=a2, b2=b2, c2=c2, m=m, A=a_lit, by=by)
+           c1=c1, a2=a2, b2=b2, c2=c2, m=m, A=a_lit, by=by,
+           by_name=by_name)
 
 
 @demo("hyperloglog", oracle=_hll_oracle())
@@ -11455,6 +11457,24 @@ def cost_distance(spark, sf_dir):
                         DataFrameRasterSource(srcs)).plan(spark)
 
 
+@demo("streaming_hyperloglog", oracle=_hll_oracle(
+    column="user_id", table="events", p=6,
+    by="CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP)",
+    by_name="window_start"))
+def streaming_hyperloglog(spark, sf_dir):
+    """StreamingHyperLogLog (round 12): windowed engine-exact distinct
+    users per hour — the BATCH parity of the Structured Streaming
+    plan (one windowed aggregation of 2^p conditional register maxes;
+    chained stateful aggregations are illegal on streams).  Registers
+    bit-shared with the batch HyperLogLog; stream==batch emission is
+    pinned in tests/test_streaming.py."""
+    from dask_geomodeling_spark.streaming.events import (
+        EventSource, StreamingHyperLogLog)
+    src = EventSource(_pq(sf_dir, "events"))
+    return StreamingHyperLogLog(src, "user_id", frequency="1 hour",
+                                precision=6).plan(spark)
+
+
 @demo("sniff_image_meta", oracle="""
 SELECT doc_id,
        CASE doc_id % 5 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
@@ -11725,6 +11745,7 @@ GATE_ANCHORS = [
     "cost_distance",
     "cost_allocation",
     "sniff_image_meta",
+    "streaming_hyperloglog",
 ]
 
 

@@ -982,29 +982,29 @@ class HyperLogLog(BaseSingle):
         by = self.args[3] if len(self.args) > 3 else None
         return out | ({by} if by else set())
 
-    def _build(self, ctx):
+    @classmethod
+    def reg_rho(cls, df, column, p, keep=()):
+        """(register, rho) rows for the non-NULL values of ``column``
+        — the shared hash pipeline (also the streaming block's
+        map-side stage, streaming.events.StreamingHyperLogLog).
+        ``keep`` columns pass through untouched.
+
+        Affine mix, then TWO quadratic rounds x ← (x² + c) mod M: the
+        affine step alone is an LCG over structured inputs
+        (consecutive-integer strings step h1/h2 by 1), which clumps
+        registers; squaring is non-linear and every product stays
+        < 2⁶² (ANSI-safe).  Shared step-for-step with the oracle."""
         from dask_geomodeling_spark.pipeline.dedup import poly_hash_expr
-        _, column, p = self.args[:3]
-        by = self.args[3] if len(self.args) > 3 else None
-        grp = [by] if by else []
         m = 1 << p
-        M = self._M
-        alpha = _hll_alpha(m)
-        a_lit = alpha * m * m * float(2 ** 32)
-        df = self.source._build(ctx)
+        M = cls._M
         v = "CAST(`{c}` AS STRING)".format(c=column)
         h1 = poly_hash_expr(v, base=257)
         h2 = poly_hash_expr(v, base=131)
-        (a1, b1, c1), (a2, b2, c2) = self._MIX1, self._MIX2
-        # affine mix, then TWO quadratic rounds x ← (x² + c) mod M:
-        # the affine step alone is an LCG over structured inputs
-        # (consecutive-integer strings step h1/h2 by 1), which clumps
-        # registers; squaring is non-linear and every product stays
-        # < 2⁶² (ANSI-safe).  Shared step-for-step with the oracle.
+        (a1, b1, c1), (a2, b2, c2) = cls._MIX1, cls._MIX2
         rows = (df.filter(F.col(column).isNotNull())
-                .select(*grp, F.expr(h1).alias("_h1"),
+                .select(*keep, F.expr(h1).alias("_h1"),
                         F.expr(h2).alias("_h2"))
-                .select(*grp, F.expr(
+                .select(*keep, F.expr(
                     "pmod(_h1 * {a} + _h2 * {b} + {c}, {M})"
                     .format(a=a1, b=b1, c=c1, M=M)).alias("_g1"),
                     F.expr(
@@ -1012,16 +1012,26 @@ class HyperLogLog(BaseSingle):
                     .format(a=a2, b=b2, c=c2, M=M)).alias("_g2")))
         for q in (40503, 914231):
             rows = rows.select(
-                *grp,
+                *keep,
                 F.expr("pmod(_g1 * _g1 + {q}, {M})"
                        .format(q=q, M=M)).alias("_g1"),
                 F.expr("pmod(_g2 * _g2 + {q}, {M})"
                        .format(q=q, M=M)).alias("_g2"))
-        rows = rows.select(
-            *grp,
+        return rows.select(
+            *keep,
             F.pmod(F.col("_g1"), F.lit(m)).alias("_reg"),
             F.expr("IF(_g2 = 0, 32, 32 - length(bin(_g2)))")
             .alias("_rho"))
+
+    def _build(self, ctx):
+        _, column, p = self.args[:3]
+        by = self.args[3] if len(self.args) > 3 else None
+        grp = [by] if by else []
+        m = 1 << p
+        alpha = _hll_alpha(m)
+        a_lit = alpha * m * m * float(2 ** 32)
+        df = self.source._build(ctx)
+        rows = self.reg_rho(df, column, p, keep=grp)
         # per-group mode ("distinct URLs per host"): registers key on
         # (group, register) — a uniform composite key, then ONE row
         # per group aggregates the sketch; group count bounds state,

@@ -17,7 +17,7 @@ from dask_geomodeling_spark.functions import statistic_expr
 
 __all__ = ["EventSource", "EventAggregate", "SessionizeEvents",
            "StreamingDedup", "IntervalJoin", "AsofJoin",
-           "RollingEventAggregate"]
+           "RollingEventAggregate", "StreamingHyperLogLog"]
 
 
 class EventSource(Block):
@@ -454,3 +454,94 @@ def _parse_interval_seconds(interval):
     n = int(m.group(1))
     return n * {"second": 1, "minute": 60, "hour": 3600,
                 "day": 86400}[m.group(2)]
+
+
+class StreamingHyperLogLog(Block):
+    """Windowed ENGINE-EXACT HyperLogLog distinct counts over an event
+    stream (round 12) — "distinct users per hour" at any throughput
+    with state bounded by 2^p integers per (window, group), never the
+    events.  The batch plan is the identical expression tree, so
+    stream==batch parity is the oracle check (the EventAggregate
+    convention), and the register math is bit-shared with
+    :class:`pipeline.text.HyperLogLog` (``reg_rho``), so the estimate
+    matches the batch sketch and the DuckDB replay exactly.
+
+    Streaming constraint that shapes the plan: Structured Streaming
+    forbids CHAINED stateful aggregations, so the batch block's
+    groupBy(register).max -> groupBy().agg two-step collapses into
+    ONE windowed aggregation with 2^p conditional MAX expressions
+    (register i's max rho).  That caps ``precision`` at 8 (256
+    aggregate columns — compile- and state-bounded); monitoring-grade
+    error at p=8 is ~6.5%, p=6 ~13%.  The estimate + the paper's
+    small/large-range corrections are a post-aggregation projection.
+
+    Output: ``window_start``, ``by``-columns, ``n_distinct_est``,
+    ``n_registers``, ``v_zero``, ``s_scaled`` (the exact scaled
+    integer sum — integer-robust comparisons, like the batch block).
+    """
+
+    def __init__(self, source, column, frequency="1 hour",
+                 precision=6, by=None, time_column="ts"):
+        if not isinstance(source, Block):
+            raise TypeError("'{}' object is not allowed".format(type(source)))
+        p = int(precision)
+        if not 4 <= p <= 8:
+            raise ValueError(
+                "precision must be in [4, 8] (2^p aggregate "
+                "expressions — one streaming aggregation)")
+        super().__init__(source, str(column), str(frequency), p,
+                         None if by is None else str(by),
+                         str(time_column))
+
+    def _build(self, ctx):
+        from dask_geomodeling_spark.pipeline.text import (HyperLogLog,
+                                                          _hll_alpha)
+        source, column, frequency, p, by, time_column = self.args
+        grp = [by] if by else []
+        m = 1 << p
+        a_lit = _hll_alpha(m) * m * m * float(2 ** 32)
+        df = source._build(ctx)
+        rows = HyperLogLog.reg_rho(df, column, p,
+                                   keep=grp + [time_column])
+        win = F.window(time_column, frequency)
+        # ONE aggregation: per-register conditional max (the
+        # streaming-legal collapse of the batch two-step)
+        aggs = [F.max(F.when(F.col("_reg") == i, F.col("_rho")))
+                .alias("_m{}".format(i)) for i in range(m)]
+        g = rows.groupBy(win.alias("_w"), *grp).agg(*aggs)
+        s_terms = " + ".join(
+            "CASE WHEN _m{i} IS NULL THEN {emp} ELSE "
+            "shiftleft(CAST(1 AS BIGINT), 32 - _m{i}) END"
+            .format(i=i, emp=1 << 32) for i in range(m))
+        v_terms = " + ".join(
+            "IF(_m{i} IS NULL, 1, 0)".format(i=i) for i in range(m))
+        g = (g.withColumn("_s", F.expr(s_terms).cast("bigint"))
+             .withColumn("_vz", F.expr(v_terms).cast("bigint")))
+        e_raw = F.lit(a_lit) / F.col("_s").cast("double")
+        two31 = float(2 ** 31)
+        est = F.when((e_raw <= 2.5 * m) & (F.col("_vz") > 0),
+                     F.lit(float(m)) * F.log(
+                         F.lit(float(m)) / F.col("_vz").cast("double"))) \
+               .when(e_raw > two31 / 30.0,
+                     -F.lit(two31) * F.log(F.lit(1.0)
+                                           - e_raw / F.lit(two31))) \
+               .otherwise(e_raw)
+        return g.select(
+            F.col("_w.start").alias("window_start"), *grp,
+            F.round(est, 4).alias("n_distinct_est"),
+            F.lit(m).cast("bigint").alias("n_registers"),
+            F.col("_vz").alias("v_zero"),
+            F.col("_s").alias("s_scaled"))
+
+    def start(self, spark=None, path=None, checkpoint=None,
+              available_now=False, **request):
+        """Run as a streaming query writing to parquet (complete-mode
+        sink is not needed: append with watermark set upstream)."""
+        df = self.plan(spark, **request)
+        if not df.isStreaming:
+            raise ValueError("source is not streaming")
+        writer = (df.writeStream.outputMode("append")
+                  .option("checkpointLocation", checkpoint))
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start(path)

@@ -601,3 +601,56 @@ def test_rolling_event_aggregate(spark):
         RollingEventAggregate(src, "1 hour", statistic="median")
     with pytest.raises(ValueError, match="interval"):
         RollingEventAggregate(src, "soon")
+
+
+def test_streaming_hll_matches_batch_and_batch_sketch(spark, tmp_path):
+    """Round 12: StreamingHyperLogLog over readStream (availableNow)
+    emits exactly the batch rows for every watermark-closed window,
+    and its batch-mode registers agree with the ungrouped batch
+    HyperLogLog on the same window's rows (shared reg_rho math)."""
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.text import HyperLogLog
+    from dask_geomodeling_spark.streaming.events import (
+        EventSource, StreamingHyperLogLog)
+    url = SF_DIR + "/events.parquet"
+    batch = StreamingHyperLogLog(EventSource(url), "user_id",
+                                 frequency="1 hour", precision=6)
+    batch_rows = {r["window_start"]: (r["s_scaled"], r["v_zero"],
+                                      r["n_distinct_est"])
+                  for r in batch.plan(spark).collect()}
+    assert batch_rows
+
+    restaged = str(tmp_path / "events")
+    EventSource(url).plan(spark).write.parquet(restaged)
+    stream = StreamingHyperLogLog(
+        EventSource(restaged, streaming=True, watermark="10 minutes"),
+        "user_id", frequency="1 hour", precision=6)
+    out = str(tmp_path / "out")
+    q = stream.start(spark, path=out,
+                     checkpoint=str(tmp_path / "ckpt"),
+                     available_now=True)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).collect()
+    assert got
+    for r in got:
+        assert batch_rows[r["window_start"]] == (
+            r["s_scaled"], r["v_zero"], r["n_distinct_est"])
+    emitted = {r["window_start"] for r in got}
+    missing = set(batch_rows) - emitted
+    if missing:
+        assert missing == {max(batch_rows)}
+
+    # cross-check one window against the batch HyperLogLog sketch
+    win = sorted(batch_rows)[0]
+    ev = EventSource(url).plan(spark)
+    one = ev.filter(
+        (ev["ts"] >= win)
+        & (ev["ts"] < F.lit(win) + F.expr("INTERVAL 1 HOUR")))
+    row = HyperLogLog(
+        DataFrameSource(one.select("event_id", "user_id"),
+                        index_column="event_id"),
+        "user_id", precision=6).plan(spark).collect()[0]
+    assert (row["s_scaled"], row["v_zero"], row["n_distinct_est"]) \
+        == batch_rows[win]
