@@ -11457,6 +11457,62 @@ def cost_distance(spark, sf_dir):
                         DataFrameRasterSource(srcs)).plan(spark)
 
 
+@demo("geodesic_measures", oracle="""
+WITH q AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 340 AS DOUBLE) - 170.0 AS lon0,
+         CAST((c_custkey * 7) % 140 AS DOUBLE) - 70.0 AS lat0,
+         0.5 + CAST(c_custkey % 4 AS DOUBLE) * 0.5 AS w,
+         0.5 + CAST((c_custkey * 3) % 4 AS DOUBLE) * 0.5 AS h
+  FROM customer
+)
+SELECT c_custkey,
+       ROUND(6371008.8 * 6371008.8 * radians(w)
+             * (sin(radians(lat0 + h)) - sin(radians(lat0)))
+             / 1e6, 3) AS area_km2,
+       ROUND((2.0 * 6371008.8
+              * (asin(cos(radians(lat0)) * sin(radians(w) / 2.0))
+                 + asin(cos(radians(lat0 + h))
+                        * sin(radians(w) / 2.0)))
+              + 2.0 * 6371008.8 * radians(h)) / 1e3, 3) AS perim_km
+FROM q
+""")
+def geodesic_measures(spark, sf_dir):
+    """GeodesicArea + GeodesicLength (round 12): spherical area and
+    great-circle perimeter of lon/lat rectangles (PostGIS
+    ST_Area/ST_Length(geography) analogues; the reference reaches
+    geodesic measures through pyproj.Geod upstream).  The oracle
+    collapses the edge folds closed-form: a lon/lat rectangle's
+    spherical area is R²·Δλ·(sin φ₂ − sin φ₁) and its constant-lat
+    edges are 2R·asin(cos φ·sin(Δλ/2)); rounded km/km² swallow the
+    fold-order and libm ulps."""
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        GeodesicArea, GeodesicLength)
+    customer = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "customer")), spark)
+    q = customer.select(
+        "c_custkey",
+        (F.expr("CAST(c_custkey % 340 AS DOUBLE)") - 170.0)
+        .alias("lon0"),
+        (F.expr("CAST((c_custkey * 7) % 140 AS DOUBLE)") - 70.0)
+        .alias("lat0"),
+        (F.expr("0.5 + CAST(c_custkey % 4 AS DOUBLE) * 0.5"))
+        .alias("w"),
+        (F.expr("0.5 + CAST((c_custkey * 3) % 4 AS DOUBLE) * 0.5"))
+        .alias("h"))
+    rect = ("array(array(array(lon0, lat0), array(lon0 + w, lat0), "
+            "array(lon0 + w, lat0 + h), array(lon0, lat0 + h)))")
+    src = DataFrameSource(
+        q.select("c_custkey", F.expr(rect).alias("rings")),
+        index_column="c_custkey")
+    blk = src.set("area_km2", GeodesicArea(src)) \
+             .set("perim_km", GeodesicLength(src))
+    return blk.plan(spark).select(
+        "c_custkey",
+        F.round(F.col("area_km2") / 1e6, 3).alias("area_km2"),
+        F.round(F.col("perim_km") / 1e3, 3).alias("perim_km"))
+
+
 @demo("streaming_hyperloglog", oracle=_hll_oracle(
     column="user_id", table="events", p=6,
     by="CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP)",
@@ -11746,6 +11802,7 @@ GATE_ANCHORS = [
     "cost_allocation",
     "sniff_image_meta",
     "streaming_hyperloglog",
+    "geodesic_measures",
 ]
 
 

@@ -15,7 +15,8 @@ from pyspark.sql import functions as F
 from dask_geomodeling_spark.core.blocks import Block
 from dask_geomodeling_spark.geometry.base import GeometryBlock, SeriesBlock
 
-__all__ = ["Area", "Length", "point_in_polygon_expr", "shoelace_expr",
+__all__ = ["Area", "Length", "GeodesicArea", "GeodesicLength",
+           "point_in_polygon_expr", "shoelace_expr",
            "clip_ring_box_expr", "clip_rings_box_cols_expr",
            "perimeter_expr", "centroid_expr",
            "rings_area_expr", "point_in_rings_expr",
@@ -598,3 +599,144 @@ class HausdorffDistance(Block):
             ab=_directed_hausdorff_sql("_ha", "_hb", closed_b),
             ba=_directed_hausdorff_sql("_hb", "_ha", closed_a))
         return j.select(idc, F.expr(h).alias("hausdorff"))
+
+
+#: authalic mean Earth radius (meters) — the sphere whose area equals
+#: the WGS84 ellipsoid's; the turf.js/geographiclib convention
+EARTH_RADIUS_M = 6371008.8
+
+
+def geodesic_ring_sum_sql(ring_sql):
+    """SQL text: the spherical Green's-theorem trapezoid sum of one
+    lon/lat ring — ``Σ_edges radians(λ2−λ1)·(2 + sin φ1 + sin φ2)``
+    (signed: reversing the ring negates it, so holes subtract under
+    the orientation contract).  Multiply by R²/2 for area."""
+    edges = _edges_sql(ring_sql).format(
+        expr="radians(b[0] - a[0]) * (2.0D + sin(radians(a[1])) "
+             "+ sin(radians(b[1])))")
+    return ("aggregate({e}, cast(0.0 as double), (acc, v) -> acc + v)"
+            .format(e=edges))
+
+
+def geodesic_rings_area_expr(rings_col="rings"):
+    """Spherical area (m²) of a flat lon/lat ring list."""
+    total = ("aggregate({c}, cast(0.0 as double), (acc, r) -> acc + {s})"
+             .format(c=rings_col, s=geodesic_ring_sum_sql("r")))
+    return (F.abs(F.expr(total))
+            * (EARTH_RADIUS_M * EARTH_RADIUS_M / 2.0))
+
+
+def _haversine_edge_sql():
+    """Per-edge haversine distance (meters) between lon/lat pairs
+    ``a``/``b`` — the zip_with lambda body."""
+    return ("2.0D * {R!r} * asin(least(1.0D, sqrt("
+            "pow(sin(radians(b[1] - a[1]) / 2.0D), 2) "
+            "+ cos(radians(a[1])) * cos(radians(b[1])) "
+            "* pow(sin(radians(b[0] - a[0]) / 2.0D), 2))))"
+            ).format(R=EARTH_RADIUS_M)
+
+
+def geodesic_path_length_expr(path_col="path"):
+    """Great-circle polyline length (m): haversine per edge, open
+    chain (no closing edge)."""
+    return F.expr(
+        "aggregate(zip_with(slice({c}, 1, size({c}) - 1), "
+        "slice({c}, 2, size({c}) - 1), (a, b) -> {h}), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+        .format(c=path_col, h=_haversine_edge_sql()))
+
+
+def geodesic_perimeter_expr(verts_col="vertices"):
+    """Great-circle ring perimeter (m): haversine per wrapped edge."""
+    edges = _edges_sql(verts_col).format(expr=_haversine_edge_sql())
+    return F.expr(
+        "aggregate({e}, cast(0.0 as double), (acc, v) -> acc + v)"
+        .format(e=edges))
+
+
+def geodesic_rings_perimeter_expr(rings_col="rings"):
+    return F.expr(
+        "aggregate({c}, cast(0.0 as double), (acc, r) -> acc + {p})"
+        .format(c=rings_col,
+                p="aggregate({e}, cast(0.0 as double), "
+                  "(acc2, v2) -> acc2 + v2)".format(
+                      e=_edges_sql("r").format(
+                          expr=_haversine_edge_sql()))))
+
+
+class GeodesicArea(SeriesBlock):
+    """Spherical polygon area in m² of LON/LAT geometry — the PostGIS
+    ``ST_Area(geography)`` analogue on the authalic sphere
+    (R = 6371008.8 m); the reference reaches geodesic measures through
+    pyproj.Geod upstream of its Blocks.  Green's-theorem spherical
+    trapezoid sum per ring (signed — holes subtract through the
+    orientation contract), pure column math shared verbatim with SQL
+    oracles.  Accuracy vs the true ellipsoidal (Karney) area: the
+    authalic-sphere error is < 0.4% at mid latitudes (the documented
+    sphere-vs-ellipsoid bound); edges are treated as small — geodesic
+    and rhumb edge interpretations agree to O(edge²).  Antimeridian-
+    crossing edges are UNSUPPORTED (same contract as the planar
+    kernel's bbox math).  Precedence: rings > vertices; others NULL."""
+
+    def __init__(self, source):
+        if not isinstance(source, GeometryBlock):
+            raise TypeError("'{}' object is not allowed".format(type(source)))
+        super().__init__(source)
+
+    def _root(self):
+        return self.args[0]
+
+    def _column(self, df):
+        cols = set(df.columns)
+        expr = None
+        if "rings" in cols:
+            expr = F.when(F.col("rings").isNotNull(),
+                          geodesic_rings_area_expr())
+        if "vertices" in cols:
+            one = geodesic_rings_area_expr("array(vertices)")
+            expr = (F.when(F.col("vertices").isNotNull(), one)
+                    if expr is None else
+                    expr.when(F.col("vertices").isNotNull(), one))
+        if expr is None:
+            raise ValueError(
+                "GeodesicArea requires ring geometry columns")
+        return expr
+
+
+class GeodesicLength(SeriesBlock):
+    """Great-circle length/perimeter in meters of LON/LAT geometry —
+    the PostGIS ``ST_Length(geography)`` analogue: haversine per edge
+    on the authalic sphere, summed.  Precedence: path (open chain) >
+    rings (all-ring perimeter) > vertices (single ring); points 0."""
+
+    def __init__(self, source):
+        if not isinstance(source, GeometryBlock):
+            raise TypeError("'{}' object is not allowed".format(type(source)))
+        super().__init__(source)
+
+    def _root(self):
+        return self.args[0]
+
+    def _column(self, df):
+        cols = set(df.columns)
+        expr = None
+        if "path" in cols:
+            expr = F.when(F.col("path").isNotNull(),
+                          geodesic_path_length_expr())
+        if "rings" in cols:
+            w = geodesic_rings_perimeter_expr()
+            expr = (F.when(F.col("rings").isNotNull(), w)
+                    if expr is None else
+                    expr.when(F.col("rings").isNotNull(), w))
+        if "vertices" in cols:
+            w = geodesic_perimeter_expr()
+            expr = (F.when(F.col("vertices").isNotNull(), w)
+                    if expr is None else
+                    expr.when(F.col("vertices").isNotNull(), w))
+        if expr is None:
+            if {"x", "y"} <= cols:
+                return F.lit(0.0)
+            raise ValueError(
+                "GeodesicLength requires path or ring geometry")
+        return expr.otherwise(F.lit(0.0)) if {"x", "y"} <= cols \
+            else expr

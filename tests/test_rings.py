@@ -952,3 +952,41 @@ def test_cluster_dbscan_bridge_merges_via_core_chain(spark):
            for r in ClusterDBSCAN(src, eps=1.1, min_points=2)
            .plan(spark).collect()}
     assert all(v == (0, True) for v in got.values()), got
+
+
+def test_geodesic_area_and_length(spark):
+    """Round 12: GeodesicArea/GeodesicLength — spherical measures of
+    lon/lat geometry.  A 1x1-degree equatorial quad's area is
+    R^2 * rad(1) * sin(rad(1)) (~12364 km^2); holes subtract through
+    the winding contract; a 90-degree equatorial path is a quarter
+    meridian... equator arc = R * pi/2."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        EARTH_RADIUS_M, GeodesicArea, GeodesicLength)
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    R = EARTH_RADIUS_M
+    S = "array<array<array<double>>>"
+    outer = [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]]
+    hole = [[0.2, 0.2], [0.2, 0.4], [0.4, 0.4], [0.4, 0.2]]  # CW
+    df = spark.createDataFrame(
+        [(1, [outer]), (2, [outer, hole])], "fid bigint, rings " + S)
+    src = DataFrameSource(df, index_column="fid")
+    got = {r["fid"]: r["a"] for r in
+           src.set("a", GeodesicArea(src)).plan(spark)
+           .select("fid", "a").collect()}
+    want_outer = R * R * math.radians(1.0) * math.sin(math.radians(1))
+    assert abs(got[1] - want_outer) < 1e-3
+    want_hole = R * R * math.radians(0.2) * (
+        math.sin(math.radians(0.4)) - math.sin(math.radians(0.2)))
+    assert abs(got[2] - (want_outer - want_hole)) < 1e-3
+    # path length: 90 degrees along the equator = R * pi/2
+    dfp = spark.createDataFrame(
+        [(1, [[0.0, 0.0], [90.0, 0.0]])],
+        "fid bigint, path array<array<double>>")
+    srcp = DataFrameSource(dfp, index_column="fid")
+    lng = srcp.set("l", GeodesicLength(srcp)).plan(spark) \
+        .collect()[0]["l"]
+    assert abs(lng - R * math.pi / 2) < 1e-3
