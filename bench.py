@@ -121,7 +121,13 @@ def main():
                   "sample_points_in_polygons",
                   # round-11 additions
                   "stream_order", "dbscan_clusters",
-                  "incremental_dedup", "hyperloglog"):
+                  "incremental_dedup", "hyperloglog",
+                  # round-12 additions
+                  "make_valid", "is_valid", "kll_quantile",
+                  "cost_distance", "cost_allocation",
+                  "sniff_image_meta", "streaming_hyperloglog",
+                  "geodesic_measures", "bloom_filter",
+                  "bloom_probe"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

@@ -11457,6 +11457,111 @@ def cost_distance(spark, sf_dir):
                         DataFrameRasterSource(srcs)).plan(spark)
 
 
+def _bloom_pos_sql(vcol, bits, j):
+    """DuckDB text: bit position j of a value column (the BloomFilter
+    Mersenne mix, replayed)."""
+    from dask_geomodeling_spark.pipeline.text import BloomFilter
+    a, b, c = BloomFilter._HASHES[j]
+    h1 = _DD_POLY.format(col=vcol, base=257)
+    h2 = _DD_POLY.format(col=vcol, base=131)
+    g = "(({h1}) * {a} + ({h2}) * {b} + {c}) % 2147483647".format(
+        h1=h1, h2=h2, a=a, b=b, c=c)
+    for q in (40503, 914231):
+        g = "(({g}) * ({g}) + {q}) % 2147483647".format(g=g, q=q)
+    return "(({g}) % {m})".format(g=g, m=bits)
+
+
+def _bloom_filter_oracle(bits=4096, k=3):
+    sel = "\nUNION ALL\n".join(
+        "SELECT {p} AS pos FROM vals".format(
+            p=_bloom_pos_sql("v", bits, j)) for j in range(k))
+    return """
+WITH vals AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS v
+              FROM customer WHERE c_mktsegment = 'BUILDING'),
+pos AS ({sel})
+SELECT CAST(pos // 64 AS BIGINT) AS word_idx,
+       CAST(bit_or(CASE WHEN pos % 64 = 63
+                        THEN CAST(-9223372036854775808 AS BIGINT)
+                        ELSE CAST(1 AS BIGINT)
+                             << CAST(pos % 64 AS INT) END)
+            AS BIGINT) AS word
+FROM pos GROUP BY 1
+""".format(sel=sel)
+
+
+@demo("bloom_filter", oracle=_bloom_filter_oracle())
+def bloom_filter(spark, sf_dir):
+    """BloomFilter (round 12): engine-exact membership sketch — the
+    third mergeable planning sketch beside HyperLogLog and
+    KLLQuantile.  BUILDING-segment customer keys hashed through the
+    shared Mersenne mix into a 4096-bit bitset, one row per non-zero
+    64-bit word; the oracle replays the bitset integer-exactly.
+    Map-side hashing + one <=64-key bit_or groupBy."""
+    from dask_geomodeling_spark.pipeline.text import BloomFilter
+    customer = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "customer")), spark)
+    src = DataFrameSource(
+        customer.filter("c_mktsegment = 'BUILDING'")
+        .select("c_custkey"), index_column="c_custkey")
+    return BloomFilter(src, "c_custkey", bits=4096, hashes=3) \
+        .plan(spark)
+
+
+def _bloom_probe_oracle(bits=4096, k=3):
+    fsel = "\nUNION ALL\n".join(
+        "SELECT {p} AS pos FROM fvals".format(
+            p=_bloom_pos_sql("v", bits, j)) for j in range(k))
+    checks = " AND ".join(
+        "(COALESCE((SELECT w.word FROM words w WHERE w.word_idx = "
+        "({p}) // 64), 0) & (CASE WHEN ({p}) % 64 = 63 "
+        "THEN CAST(-9223372036854775808 AS BIGINT) "
+        "ELSE CAST(1 AS BIGINT) << CAST(({p}) % 64 AS INT) END)) "
+        "!= 0".format(
+            p=_bloom_pos_sql("v", bits, j)) for j in range(k))
+    return """
+WITH fvals AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS v
+               FROM customer WHERE c_mktsegment = 'BUILDING'),
+fpos AS ({fsel}),
+words AS (SELECT pos // 64 AS word_idx,
+                 bit_or(CASE WHEN pos % 64 = 63
+                             THEN CAST(-9223372036854775808 AS BIGINT)
+                             ELSE CAST(1 AS BIGINT)
+                                  << CAST(pos % 64 AS INT) END)
+                   AS word
+          FROM fpos GROUP BY 1),
+probe AS (SELECT o_orderkey, CAST(o_custkey AS VARCHAR) AS v
+          FROM orders)
+SELECT o_orderkey, {checks} AS maybe_member
+FROM probe
+""".format(fsel=fsel, checks=checks)
+
+
+@demo("bloom_probe", oracle=_bloom_probe_oracle())
+def bloom_probe(spark, sf_dir):
+    """BloomProbe (round 12): every order's customer key tested
+    against the BUILDING-customer Bloom sketch — the map-side
+    blocklist/decontamination prune (no join: the <=64 words embed as
+    a literal array).  TRUE may be a false positive (here
+    4096 bits / 3 hashes over ~300 keys -> ~1e-3), FALSE is definite;
+    the oracle replays bitset AND probe, so even the false positives
+    match exactly."""
+    from dask_geomodeling_spark.pipeline.text import BloomProbe
+    customer = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "customer")), spark)
+    orders = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "orders")), spark)
+    fsrc = DataFrameSource(
+        customer.filter("c_mktsegment = 'BUILDING'")
+        .select("c_custkey"), index_column="c_custkey")
+    src = DataFrameSource(
+        orders.select("o_orderkey", "o_custkey"),
+        index_column="o_orderkey")
+    blk = BloomProbe(src, "o_custkey", fsrc, "c_custkey",
+                     bits=4096, hashes=3)
+    return blk.plan(spark).select("o_orderkey", "maybe_member")
+
+
+
 @demo("geodesic_measures", oracle="""
 WITH q AS (
   SELECT c_custkey,
@@ -11803,6 +11908,8 @@ GATE_ANCHORS = [
     "sniff_image_meta",
     "streaming_hyperloglog",
     "geodesic_measures",
+    "bloom_filter",
+    "bloom_probe",
 ]
 
 

@@ -17,7 +17,7 @@ __all__ = ["TokenCount", "BPETokenCount", "BPETokenize", "BPETrain",
            "QualityScore", "LanguageID", "Fingerprint", "TFIDF",
            "ChunkText", "CorpusStats", "BM25Score", "NgramNovelty",
            "ReadabilityScore", "TextNormalize", "HyperLogLog",
-           "KLLQuantile"]
+           "KLLQuantile", "BloomFilter", "BloomProbe"]
 
 # tiny per-language stopword marker sets for the n-gram/stopword heuristic
 _LANG_MARKERS = {
@@ -1220,3 +1220,141 @@ class KLLQuantile(BaseSingle):
                     F.ceil(F.lit(q) * F.col("_nk")).cast("int")),
                 F.col("_v"))).alias(self._qname(q)))
         return kept.groupBy(*grp).agg(*aggs)
+
+
+class BloomFilter(BaseSingle):
+    """ENGINE-EXACT Bloom membership sketch of a column (round 12) —
+    the third mergeable planning sketch beside :class:`HyperLogLog`
+    (distinct counts) and :class:`KLLQuantile` (quantiles): "is this
+    URL / host / doc hash in the blocklist / previous snapshot /
+    eval set", answered from a bounded bitset instead of a shuffle
+    against the full key set.
+
+    The sketch is ``bits`` bits stored as ``bits/64`` BIGINT words —
+    one output row per NON-ZERO word (``word_idx``, ``word``), plus
+    every engine recomputes it identically: each value's k bit
+    positions come from the HyperLogLog Mersenne mix pipeline
+    (``reg_rho``'s constants) with per-hash affine constants, so the
+    DuckDB oracle replays the exact bitset.  Merge/union = per-word
+    ``bit_or`` (the register-max analogue, pytest-pinned); no false
+    negatives ever; false-positive rate ~ (1 − e^(−k·n/m))^k.
+
+    Plan shape: map-side hashing, one groupBy over <= bits/64 word
+    keys with ``bit_or`` partial aggregation — nothing data-sized
+    moves.  Probe with :class:`BloomProbe` (collects the <= bits/64
+    words driver-side — model-sized — and tests membership as pure
+    column math over the literal array)."""
+
+    _M = 2147483647
+    #: per-hash affine mix constants (a, b, c): position_j =
+    #: (a·h1 + b·h2 + c) mod M, then two quadratic rounds, mod bits
+    _HASHES = ((1597334677, 2246822519, 11),
+               (2246822519, 1103515245, 17),
+               (1103515245, 1597334677, 29),
+               (1542857, 2654435761, 47))
+
+    def __init__(self, source, column, bits=65536, hashes=4):
+        b = int(bits)
+        if b < 64 or b % 64 != 0 or b > (1 << 22):
+            raise ValueError("bits must be a multiple of 64 in "
+                             "[64, 2^22]")
+        k = int(hashes)
+        if not 1 <= k <= len(self._HASHES):
+            raise ValueError("hashes must be in [1, {}]"
+                             .format(len(self._HASHES)))
+        super().__init__(source, str(column), b, k)
+
+    @property
+    def columns(self):
+        return {"word_idx", "word"}
+
+    @classmethod
+    def _positions(cls, df, column, bits, k):
+        """(one row per value-hash) bit positions — shared with
+        BloomProbe so build and probe can never drift."""
+        from dask_geomodeling_spark.pipeline.dedup import poly_hash_expr
+        M = cls._M
+        v = "CAST(`{c}` AS STRING)".format(c=column)
+        h1 = poly_hash_expr(v, base=257)
+        h2 = poly_hash_expr(v, base=131)
+        rows = (df.filter(F.col(column).isNotNull())
+                .select("*", F.expr(h1).alias("_h1"),
+                        F.expr(h2).alias("_h2")))
+        pos = []
+        for a, b, c in cls._HASHES[:k]:
+            g = ("pmod(_h1 * {a} + _h2 * {b} + {c}, {M})"
+                 .format(a=a, b=b, c=c, M=M))
+            for q in (40503, 914231):
+                g = "pmod(({g}) * ({g}) + {q}, {M})".format(
+                    g="_gb", q=q, M=M).replace("_gb", g)
+            pos.append("pmod({g}, {m})".format(g=g, m=bits))
+        return rows, pos
+
+    def _build(self, ctx):
+        _, column, bits, k = self.args
+        df = self.source._build(ctx)
+        rows, pos = self._positions(df, column, bits, k)
+        hits = rows.select(
+            F.explode(F.array(*[F.expr(p).cast("bigint")
+                                for p in pos])).alias("_pos"))
+        return (hits
+                .select(F.expr("_pos div 64").alias("word_idx"),
+                        F.expr("shiftleft(CAST(1 AS BIGINT), "
+                               "CAST(pmod(_pos, 64) AS INT))")
+                        .alias("_b"))
+                .groupBy("word_idx")
+                .agg(F.expr("bit_or(_b)").alias("word"))
+                .orderBy("word_idx"))
+
+
+class BloomProbe(BaseSingle):
+    """Test a column against a :class:`BloomFilter` sketch (round 12):
+    adds boolean ``maybe_member`` — TRUE may be a false positive
+    (rate set by the filter's bits/hashes), FALSE is definite.  The
+    filter's non-zero words (<= bits/64 BIGINTs — model-sized) are
+    collected driver-side and embedded as a literal array; the probe
+    itself is pure column math over the scan, so a blocklist /
+    decontamination pre-filter runs map-side with NO join — the
+    classic 100 TB semi-join prune.  ``filter_source`` is the block
+    whose ``column`` values were inserted; bits/hashes must be given
+    identically (the positions helper is shared, so build and probe
+    cannot drift)."""
+
+    def __init__(self, source, column, filter_source, filter_column,
+                 bits=65536, hashes=4, flag="maybe_member"):
+        if flag in source.columns:
+            raise ValueError(
+                "column {!r} collides with BloomProbe's output"
+                .format(flag))
+        BloomFilter(filter_source, filter_column, bits, hashes)  # validate
+        super().__init__(source, str(column), filter_source,
+                         str(filter_column), int(bits), int(hashes),
+                         str(flag))
+
+    @property
+    def columns(self):
+        return set(self.source.columns) | {self.args[6]}
+
+    def _build(self, ctx):
+        (_, column, fsrc, fcol, bits, k, flag) = self.args
+        words_rows = BloomFilter(fsrc, fcol, bits, k) \
+            ._build(ctx).collect()
+        dense = [0] * (bits // 64)
+        for r in words_rows:
+            dense[int(r["word_idx"])] = int(r["word"])
+        arr = "array({})".format(", ".join(
+            "CAST({} AS BIGINT)".format(w) for w in dense))
+        df = self.source._build(ctx)
+        rows, pos = BloomFilter._positions(df, column, bits, k)
+        checks = " AND ".join(
+            "(element_at(_bf, CAST(({p}) div 64 AS INT) + 1) & "
+            "shiftleft(CAST(1 AS BIGINT), "
+            "CAST(pmod({p}, 64) AS INT))) != 0".format(p=p)
+            for p in pos)
+        out = (rows.withColumn("_bf", F.expr(arr))
+               .withColumn(flag, F.expr(checks))
+               .drop("_bf", "_h1", "_h2"))
+        # NULL values: no membership claim
+        return out.unionByName(
+            df.filter(F.col(column).isNull())
+            .withColumn(flag, F.lit(None).cast("boolean")))

@@ -1699,3 +1699,86 @@ def test_kll_quantile_error_vs_exact_percentile(spark):
         # exact rank of the estimate among v = id % 1000 (20 each)
         exact_rank = est * 20 + 10
         assert abs(exact_rank - q * n) <= bound, (q, est)
+
+
+def _bloom_model(values, bits, k):
+    """Pure-python replay of the BloomFilter bitset."""
+    from dask_geomodeling_spark.pipeline.text import BloomFilter
+    M = 2147483647
+
+    def poly(s, base):
+        h = 0
+        for ch in s:
+            h = (h * base + ord(ch)) % M
+        return h
+
+    words = {}
+    for v in values:
+        s = str(v)
+        h1, h2 = poly(s, 257), poly(s, 131)
+        for a, b, c in BloomFilter._HASHES[:k]:
+            g = (h1 * a + h2 * b + c) % M
+            for q in (40503, 914231):
+                g = (g * g + q) % M
+            pos = g % bits
+            words[pos // 64] = words.get(pos // 64, 0) \
+                | (1 << (pos % 64))
+    return words
+
+
+def test_bloom_filter_matches_model_and_merges(spark):
+    """Round 12: the BloomFilter word table is bit-identical to the
+    pure-python model, and union = per-word bit_or (the register-max
+    analogue): bloom(A) | bloom(B) == bloom(A + B)."""
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.text import BloomFilter
+    bits, k = 1024, 3
+    A = list(range(0, 300))
+    B = list(range(200, 500))
+
+    def sketch(vals):
+        df = spark.createDataFrame([(v,) for v in vals], "v bigint")
+        blk = BloomFilter(DataFrameSource(
+            df.select(F.col("v").alias("id"), "v"),
+            index_column="id"), "v", bits=bits, hashes=k)
+        return {r["word_idx"]: r["word"]
+                for r in blk.plan(spark).collect()}
+
+    got = sketch(A)
+    # word values land in signed BIGINT; compare against the model
+    # two's-complement folded
+    want = {w: v - (1 << 64) if v >= (1 << 63) else v
+            for w, v in _bloom_model(A, bits, k).items()}
+    assert got == want
+    merged = {}
+    for part in (sketch(A), sketch(B)):
+        for w, v in part.items():
+            merged[w] = merged.get(w, 0) | v
+    assert merged == sketch(A + B)
+
+
+def test_bloom_probe_no_false_negatives(spark):
+    """Members are ALWAYS flagged (no false negatives); non-members
+    flag at a small rate; NULL probes flag NULL."""
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.text import BloomProbe
+    members = spark.createDataFrame(
+        [(i,) for i in range(500)], "v bigint")
+    fsrc = DataFrameSource(
+        members.select(F.col("v").alias("id"), "v"),
+        index_column="id")
+    probes = spark.createDataFrame(
+        [(i, i if i < 500 else (None if i == 999 else i + 10_000))
+         for i in range(1000)], "id bigint, v bigint")
+    src = DataFrameSource(probes, index_column="id")
+    rows = {r["id"]: r["maybe_member"]
+            for r in BloomProbe(src, "v", fsrc, "v", bits=16384,
+                                hashes=4).plan(spark).collect()}
+    assert all(rows[i] is True for i in range(500))
+    assert rows[999] is None
+    fp = sum(1 for i in range(500, 999) if rows[i])
+    assert fp <= 25, fp   # ~1e-3 expected at 16384/4/500
