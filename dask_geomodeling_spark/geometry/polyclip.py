@@ -127,10 +127,15 @@ def _collect_segments(polys, q):
     return segs
 
 
-def _split_all(segs, q):
-    """Split every segment at every pairwise intersection.  Crossing
-    points are computed once per pair and SHARED, so node coordinates
-    match exactly.  Returns deduplicated undirected sub-segments."""
+def _split_marks(segs, q):
+    """Per-segment split markers from every pairwise intersection —
+    the arrangement core shared by ``_split_all`` (which stitches the
+    marks into sub-segments) and ``rings_is_valid`` (which inspects
+    them directly: ANY strictly-interior mark means an edge was
+    crossed, T-touched, or partially overlapped).  Crossing points
+    are computed once per pair and SHARED, so node coordinates match
+    exactly.  Returns ``marks``: one ``[(t, point), ...]`` list per
+    segment, endpoints included."""
     n = len(segs)
     # per segment: list of (t, point) split markers incl. endpoints
     marks = [[(0.0, s[0]), (1.0, s[1])] for s in segs]
@@ -165,6 +170,19 @@ def _split_all(segs, q):
                     px = _quantize(ax + t * d1x, q)
                     py = _quantize(ay + t * d1y, q)
                     pt = (px, py)
+                    # a crossing that lands ON a vertex must REUSE
+                    # that vertex's exact coordinates: the computed
+                    # point can quantize to the NEIGHBORING grid cell
+                    # (round-12 review/property fix — the split node
+                    # then exists under two representations, the
+                    # stitch walk dead-ends, and a whole ring is
+                    # silently dropped)
+                    for cand in (segs[i][0], segs[i][1],
+                                 segs[j][0], segs[j][1]):
+                        if abs(px - cand[0]) <= 2.0 * q \
+                                and abs(py - cand[1]) <= 2.0 * q:
+                            pt = cand
+                            break
                     marks[i].append((min(max(t, 0.0), 1.0), pt))
                     marks[j].append((min(max(s, 0.0), 1.0), pt))
                 continue
@@ -190,8 +208,15 @@ def _split_all(segs, q):
                     s = ((px - cx) * d2x + (py - cy) * d2y) / l2sq
                     if 1e-12 < s < 1 - 1e-12:
                         marks[j].append((s, (px, py)))
+    return marks
+
+
+def _split_all(segs, q):
+    """Split every segment at every pairwise intersection (the
+    ``_split_marks`` arrangement).  Returns deduplicated undirected
+    sub-segments."""
     out = {}
-    for mk in marks:
+    for mk in _split_marks(segs, q):
         mk.sort(key=lambda m: m[0])
         for (t0, p0), (t1, p1) in zip(mk, mk[1:]):
             if p0 != p1:
@@ -518,10 +543,25 @@ def rings_is_valid(rings):
             return False  # zero-area (collinear / spike) ring
         for i in range(len(clean)):
             segs.append((clean[i], clean[(i + 1) % len(clean)]))
-    # any crossing / T-touch splits a segment (pieces > segs); any
-    # duplicate edge collapses in the dedup (pieces < segs); shared
-    # ENDPOINTS add no pieces, so cross-ring vertex touches pass
-    return len(_split_all(segs, q)) == len(segs)
+    # STRUCTURAL arrangement check (round-12 review fix: the earlier
+    # piece-COUNT equality admitted compensating pairs — an edge
+    # overlap that splits another edge exactly once cancels the +1
+    # split against the -1 duplicate collapse and read as valid):
+    # (a) any exact duplicate undirected segment is an overlap;
+    # (b) any strictly-interior split mark means an edge was crossed,
+    #     T-touched, or partially overlapped.  Shared ENDPOINTS mark
+    #     only t=0/1, so cross-ring vertex touches still pass.
+    seen = set()
+    for a, b in segs:
+        key = (a, b) if a <= b else (b, a)
+        if key in seen:
+            return False
+        seen.add(key)
+    for mk in _split_marks(segs, q):
+        for t, p in mk:
+            if 0.0 < t < 1.0 and p != mk[0][1] and p != mk[1][1]:
+                return False
+    return True
 
 
 def _split_pinched(rings):

@@ -440,14 +440,24 @@ class FingerprintTableSink(BaseSingle):
         before the meta convention).  Only the missing-path
         AnalysisException maps to None — a transient read error must
         propagate, not silently disable the hash-space guard
-        (round-11 second-pass review)."""
+        (round-11 second-pass review).  An EMPTY meta table is
+        neither: it is the deliberate tombstone a param-changing
+        ``mode='overwrite'`` writes before rewriting the data, so a
+        crash mid-rewrite must FAIL both appends and ``against=``
+        probes instead of reading as a guard-free legacy table
+        (round-12 review fix — the legacy allowance would otherwise
+        silently probe a half-rewritten hash space)."""
         from pyspark.errors import AnalysisException
         try:
             rows = spark.read.parquet(url + "_meta").collect()
         except AnalysisException:
             return None
         if not rows:
-            return None
+            raise ValueError(
+                "fingerprint table at {} has an EMPTY meta table — a "
+                "param-changing overwrite was interrupted before the "
+                "data rewrite finished; rewrite the table with "
+                "mode='overwrite'".format(url))
         row = rows[0]
         return (row["num_perm"], row["bands"], row["shingle_size"],
                 row["hash_fn"])

@@ -920,10 +920,9 @@ class CostDistance(RasterBlock):
         nodes, _ = packed_cells(ctx, cost_blk._build(ctx),
                                 "CostDistance", headroom=1)
         trav = nodes.filter(F.col("value") > 0)
-        offs = F.broadcast(spark.createDataFrame(
-            [(dy, dx, float(dy * dy + dx * dx) ** 0.5)
-             for dy, dx, _ in D8_CODES],
-            schema="dy bigint, dx bigint, dist double"))
+        # the flow family's D8 offsets/step-length literal, reused so
+        # the neighbor set and distance convention exist ONCE
+        offs = _codes_df(spark).select("dy", "dx", "dist")
         tgt = (trav.crossJoin(offs)
                .select("time",
                        F.col("_id").alias("_a"),
@@ -1001,7 +1000,12 @@ class CostDistance(RasterBlock):
         cur = strip_plan_stats(
             seeds.repartition(par, F.col("_id")).localCheckpoint())
         frontier = cur
-        for _ in range(max_rounds):
+        # max_rounds + 1: convergence is only OBSERVABLE via an empty
+        # update round, so H-hop optimal paths need H update rounds
+        # plus one detection round — "max_iter = hop count" is the
+        # documented contract (round-12 review fix: the off-by-one
+        # raised a spurious not-converged on exactly-H-hop fields)
+        for _ in range(max_rounds + 1):
             # candidate state per reached neighbor: lexicographic min
             # of (distance, label) — distance ties keep the smallest
             # source label, mirroring the Dijkstra heap order

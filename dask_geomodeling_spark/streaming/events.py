@@ -20,6 +20,20 @@ __all__ = ["EventSource", "EventAggregate", "SessionizeEvents",
            "RollingEventAggregate", "StreamingHyperLogLog"]
 
 
+def _start_parquet_stream(df, path, checkpoint, available_now):
+    """Shared streaming-sink scaffolding (EventAggregate /
+    StreamingHyperLogLog): append-mode parquet writer with a
+    checkpoint, optionally drained with availableNow (the
+    batch-backfill trigger)."""
+    if not df.isStreaming:
+        raise ValueError("source is not streaming")
+    writer = (df.writeStream.outputMode("append")
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(path)
+
+
 class EventSource(Block):
     """Event stream source: parquet path (batch) or a readStream when
     ``streaming=True`` — same schema, same downstream plan."""
@@ -87,14 +101,8 @@ class EventAggregate(Block):
         """Run as a streaming query writing to parquet (scale path).
         ``available_now=True`` drains everything currently available and
         stops — the batch-backfill trigger."""
-        df = self.plan(spark, **request)
-        if not df.isStreaming:
-            raise ValueError("source is not streaming")
-        writer = (df.writeStream.outputMode("append")
-                  .option("checkpointLocation", checkpoint))
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        return writer.start(path)
+        return _start_parquet_stream(self.plan(spark, **request),
+                                     path, checkpoint, available_now)
 
 
 class SessionizeEvents(Block):
@@ -535,13 +543,7 @@ class StreamingHyperLogLog(Block):
 
     def start(self, spark=None, path=None, checkpoint=None,
               available_now=False, **request):
-        """Run as a streaming query writing to parquet (complete-mode
-        sink is not needed: append with watermark set upstream)."""
-        df = self.plan(spark, **request)
-        if not df.isStreaming:
-            raise ValueError("source is not streaming")
-        writer = (df.writeStream.outputMode("append")
-                  .option("checkpointLocation", checkpoint))
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        return writer.start(path)
+        """Run as a streaming query writing to parquet (append mode
+        with the watermark set upstream)."""
+        return _start_parquet_stream(self.plan(spark, **request),
+                                     path, checkpoint, available_now)

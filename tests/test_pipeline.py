@@ -1782,3 +1782,40 @@ def test_bloom_probe_no_false_negatives(spark):
     assert rows[999] is None
     fp = sum(1 for i in range(500, 999) if rows[i])
     assert fp <= 25, fp   # ~1e-3 expected at 16384/4/500
+
+
+def test_fingerprint_empty_meta_tombstone_fails_fast(spark, tmp_path):
+    """Round-12 review fix: an EMPTY meta table is the deliberate
+    tombstone a param-changing overwrite writes before rewriting the
+    data — a crash in that window must fail BOTH appends and
+    against= probes, not read as a guard-free legacy table."""
+    import pytest
+
+    from dask_geomodeling_spark.geometry.sources import (
+        LiteralGeometrySource)
+    from dask_geomodeling_spark.pipeline.dedup import (
+        FingerprintTableSink, MinHashLSH)
+    url = str(tmp_path / "fp_tomb")
+    corpus = LiteralGeometrySource(
+        [{"doc_id": 1, "text": "alpha beta gamma delta"}])
+    sink = FingerprintTableSink(corpus, url, num_perm=8, bands=4,
+                                shingle_size=2, hash_fn="poly")
+    sink.write(spark)
+    # simulate the crash window: tombstone written, data rewrite lost
+    spark.createDataFrame(
+        [], "num_perm int, bands int, shingle_size int, "
+            "hash_fn string").write.mode("overwrite") \
+        .format("parquet").save(url + "_meta")
+    batch = LiteralGeometrySource(
+        [{"doc_id": 9, "text": "alpha beta gamma delta"}])
+    probe = MinHashLSH(batch, num_perm=8, bands=4, shingle_size=2,
+                       hash_fn="poly", against=url)
+    with pytest.raises(ValueError, match="EMPTY meta"):
+        probe.plan(spark).collect()
+    with pytest.raises(ValueError, match="EMPTY meta"):
+        sink.write(spark, mode="append")
+    # a fresh overwrite repairs the table end-to-end
+    sink.write(spark, mode="overwrite")
+    assert FingerprintTableSink.read_meta(spark, url) == \
+        (8, 4, 2, "poly")
+    assert probe.plan(spark).count() >= 1

@@ -1089,3 +1089,31 @@ def test_is_valid_make_valid_blocks(spark):
     rows = IsValid(DataFrameSource(dfp, index_column="fid")) \
         .plan(spark).collect()
     assert rows[0]["valid"] is True
+
+
+def test_make_valid_partial_edge_overlap_and_vertex_crossing():
+    """Round-12 review + property falsifiers, pinned as explicit
+    regressions: (a) a ring sharing a PARTIAL edge with the shell is
+    INVALID (the old piece-COUNT check let the +1 split cancel the
+    -1 duplicate collapse) and repairs to the even-odd area; (b) an
+    edge crossing another ring's VERTEX must snap the split node to
+    the vertex's exact coordinates — the quantized crossing point can
+    land in the neighboring grid cell, forking the node and silently
+    dropping a whole ring from the stitch."""
+    from dask_geomodeling_spark.geometry.polyclip import (
+        polygon_make_valid, rings_is_valid, rings_signed_area)
+    # (a) partial-edge overlap: shell 4x4, triangle reusing half of
+    # the shell's bottom edge — even-odd = 16 - 2 = 14
+    g = [[[0, 0], [4, 0], [4, 4], [0, 4]], [[0, 0], [2, 0], [2, 2]]]
+    assert not rings_is_valid(g)
+    rep = polygon_make_valid(g)
+    assert abs(rings_signed_area(rep) - 14.0) < 1e-9
+    assert rings_is_valid(rep) and polygon_make_valid(rep) == rep
+    # (b) hypothesis falsifier: quad whose edge passes exactly
+    # through its own vertex (collinear spike) + a disjoint small
+    # ring; the repair must keep BOTH regions (area 1.5 + 0.25)
+    a = [[1.5, 0.0], [1.5, 0.5], [1.5, 1.0], [2.0, 0.0]]
+    b = [[6.5, 0.0], [9.5, 3.0], [5.0, 7.5], [10.0, 2.5]]
+    rep = polygon_make_valid([a, b])
+    assert abs(rings_signed_area(rep) - 1.75) < 1e-9
+    assert rings_is_valid(rep) and polygon_make_valid(rep) == rep
