@@ -538,6 +538,21 @@ def probe_hyperloglog_by(spark, n):
     return out.count()
 
 
+def probe_kll_quantile(spark, n):
+    """KLLQuantile(by=source) with the planted 50%-hot host: pass 1
+    is a (groups x 32)-key map-side count, pass 2 keeps <= k rows per
+    group — the hot group's extra rows must stay map-side, never
+    funnel one reducer."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.text import KLLQuantile
+    docs = read_input(spark, gen_parquet(spark, "docs", n, build_docs))
+    out = KLLQuantile(DataFrameSource(docs, index_column="doc_id"),
+                      "n_chars", k=256, id_column="doc_id",
+                      by="source").plan(spark)
+    materialize(out)
+    return out.count()
+
+
 def probe_cost_distance(spark, n):
     """Frontier Bellman-Ford past the 64k-edge driver short-circuit
     (edges ~ 8n).  Sources every 16 cells in both axes — the
@@ -592,6 +607,7 @@ PROBES = {
     "incremental_dedup": (probe_incremental_dedup, 100_000, None),
     "hyperloglog_by": (probe_hyperloglog_by, 500_000, None),
     "cost_distance": (probe_cost_distance, 80_000, None),
+    "kll_quantile": (probe_kll_quantile, 500_000, None),
 }
 
 

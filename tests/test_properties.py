@@ -865,3 +865,67 @@ def test_hydrology_euler_equals_driver(spark_prop, data):
         via_euler = sorted(
             map(tuple, mk(0).plan(spark_prop).collect()))
         assert via_driver == via_euler, (name, offs, prio)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 50), st.integers(0, 10**6)),
+                min_size=1, max_size=200, unique_by=lambda t: t[1]),
+       st.integers(4, 6))
+def test_kll_sketch_pure_function_of_multiset(pairs, logk):
+    """Round 12: the KLL-style sketch state is a pure function of the
+    (value, id) multiset — order/partition independent — its kept set
+    is exactly the threshold rule, and merge == direct on random
+    splits (the model the Spark block is pinned bit-exact against)."""
+    from tests.test_pipeline import _kll_model, _kll_model_merge
+    k = 1 << logk
+    n, l0, kept, tz = _kll_model(pairs, k)
+    assert n == len(pairs)
+    assert len(kept) <= k or l0 == 31
+    # threshold rule: kept = everything at level >= l0, nothing below
+    assert l0 == next(
+        (l for l in range(32)
+         if sum(c for t, c in tz.items() if t >= l) <= k), 31)
+    # random split merge == direct
+    cut = len(pairs) // 2
+    merged = _kll_model_merge(_kll_model(pairs[:cut], k),
+                              _kll_model(pairs[cut:], k), k)
+    assert merged == _kll_model(pairs, k)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.integers(0, 10**9), min_size=1, max_size=300),
+       st.lists(st.integers(0, 10**9), min_size=0, max_size=100),
+       st.integers(1, 4))
+def test_bloom_model_never_false_negative_and_merges(members, others,
+                                                     k):
+    """Round 12: the Bloom bitset never misses a member (every
+    inserted value's k bits are set), and union is per-word OR on
+    random splits."""
+    from tests.test_pipeline import _bloom_model
+    from dask_geomodeling_spark.pipeline.text import BloomFilter
+    bits = 2048
+    words = _bloom_model(members, bits, k)
+    M = 2147483647
+
+    def poly(s, base):
+        h = 0
+        for ch in s:
+            h = (h * base + ord(ch)) % M
+        return h
+
+    for v in members:
+        s = str(v)
+        h1, h2 = poly(s, 257), poly(s, 131)
+        for a, b, c in BloomFilter._HASHES[:k]:
+            g = (h1 * a + h2 * b + c) % M
+            for q in (40503, 914231):
+                g = (g * g + q) % M
+            pos = g % bits
+            assert words.get(pos // 64, 0) & (1 << (pos % 64))
+    cut = len(members) // 2
+    wa = _bloom_model(members[:cut], bits, k)
+    wb = _bloom_model(members[cut:], bits, k)
+    merged = dict(wa)
+    for w, v in wb.items():
+        merged[w] = merged.get(w, 0) | v
+    assert merged == words
