@@ -973,3 +973,47 @@ def test_sniff_image_meta_is_jvm_only(spark, tmp_path):
     assert "InPandas" not in plan and "EvalPython" not in plan
     rows = out.filter("img_width >= 4").collect()
     assert rows and all(r["img_width"] >= 4 for r in rows)
+
+
+def test_cost_distance_joins_stay_keyed(spark):
+    """Round 12: the cost-flood demo plan (driver short-circuit at
+    this size) has no cartesian product — the 8-offset scatter is a
+    broadcast literal and every graph join is a keyed equi-join."""
+    from dask_geomodeling_spark import demos
+    plan = plan_of(demos.QUERIES["cost_distance"](spark, SF_DIR),
+                   "simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_probe_has_no_join(spark):
+    """Round 12: BloomProbe is the NO-JOIN blocklist prune — the
+    bitset words embed as a literal array, so the probe plan contains
+    no join at all and no Python stage."""
+    from dask_geomodeling_spark import demos
+    plan = plan_of(demos.QUERIES["bloom_probe"](spark, SF_DIR),
+                   "simple")
+    assert "Join" not in plan
+    assert "InPandas" not in plan and "EvalPython" not in plan
+
+
+def test_kll_quantile_partial_aggregates_and_prunes(spark):
+    """Round 12: KLLQuantile's level counts partial-aggregate
+    map-side (partial + final HashAggregate) and the lineitem scan
+    reads only the four needed columns."""
+    from dask_geomodeling_spark import demos
+    df = demos.QUERIES["kll_quantile"](spark, SF_DIR)
+    plan = plan_of(df, "simple")
+    assert plan.count("HashAggregate") >= 2
+    fplan = plan_of(df, "formatted")
+    scan = fplan[fplan.index("ReadSchema"):].splitlines()[0]
+    assert "l_extendedprice" in scan and "l_comment" not in scan
+
+
+def test_streaming_hll_single_aggregation(spark):
+    """Round 12: StreamingHyperLogLog collapses to ONE aggregation
+    (2^p conditional maxes) — the streaming-legal shape; exactly one
+    partial+final pair, no second keyed shuffle."""
+    from dask_geomodeling_spark import demos
+    plan = plan_of(demos.QUERIES["streaming_hyperloglog"](
+        spark, SF_DIR), "simple")
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
