@@ -139,6 +139,47 @@ def _split_marks(segs, q):
     n = len(segs)
     # per segment: list of (t, point) split markers incl. endpoints
     marks = [[(0.0, s[0]), (1.0, s[1])] for s in segs]
+    # GLOBAL node registry (round-12 second-pass review fix): a
+    # computed crossing must reuse the exact coordinates of ANY
+    # coincident node — a vertex of any segment, or an earlier
+    # crossing of a different pair — not just the crossing pair's own
+    # endpoints.  Quantization alone can put the same geometric node
+    # in two neighboring grid cells (pair A snaps to a vertex, pair B
+    # keeps the raw cell), which forks the node, collapses the
+    # identical connector sub-segments in the dedup, and silently
+    # drops rings from the stitch.  Registry keyed by grid cell;
+    # lookups scan the +-2-cell neighborhood; first registration wins
+    # per cell (deterministic: endpoints first, then crossings in
+    # pair order).
+    registry = {}
+
+    def _cell(px, py):
+        return (round(px / q), round(py / q))
+
+    for s in segs:
+        for p in s:
+            registry.setdefault(_cell(p[0], p[1]), p)
+
+    def _canonical(px, py):
+        cx, cy = _cell(px, py)
+        best = None
+        best_d = None
+        for ddx in (-2, -1, 0, 1, 2):
+            for ddy in (-2, -1, 0, 1, 2):
+                cand = registry.get((cx + ddx, cy + ddy))
+                if cand is None:
+                    continue
+                if abs(cand[0] - px) <= 2.0 * q \
+                        and abs(cand[1] - py) <= 2.0 * q:
+                    d = abs(cand[0] - px) + abs(cand[1] - py)
+                    if best_d is None or d < best_d:
+                        best, best_d = cand, d
+        if best is not None:
+            return best
+        pt = (px, py)
+        registry.setdefault((cx, cy), pt)
+        return pt
+
     for i in range(n):
         (ax, ay), (bx, by) = segs[i]
         d1x, d1y = bx - ax, by - ay
@@ -167,22 +208,8 @@ def _split_marks(segs, q):
                 s = (ex * d1y - ey * d1x) / denom
                 slack = 1e-12
                 if -slack <= t <= 1 + slack and -slack <= s <= 1 + slack:
-                    px = _quantize(ax + t * d1x, q)
-                    py = _quantize(ay + t * d1y, q)
-                    pt = (px, py)
-                    # a crossing that lands ON a vertex must REUSE
-                    # that vertex's exact coordinates: the computed
-                    # point can quantize to the NEIGHBORING grid cell
-                    # (round-12 review/property fix — the split node
-                    # then exists under two representations, the
-                    # stitch walk dead-ends, and a whole ring is
-                    # silently dropped)
-                    for cand in (segs[i][0], segs[i][1],
-                                 segs[j][0], segs[j][1]):
-                        if abs(px - cand[0]) <= 2.0 * q \
-                                and abs(py - cand[1]) <= 2.0 * q:
-                            pt = cand
-                            break
+                    pt = _canonical(_quantize(ax + t * d1x, q),
+                                    _quantize(ay + t * d1y, q))
                     marks[i].append((min(max(t, 0.0), 1.0), pt))
                     marks[j].append((min(max(s, 0.0), 1.0), pt))
                 continue

@@ -517,9 +517,10 @@ class FingerprintTableSink(BaseSingle):
             # fails, a surviving old meta would certify the WRONG hash
             # space and later appends / against= probes would validate
             # against it — the exact silent-mixed-hash-space failure
-            # the meta table exists to prevent.  An EMPTY meta reads
-            # as None, so a partial failure always leaves the table
-            # meta-less, which the append path refuses fail-safe.
+            # the meta table exists to prevent.  An EMPTY meta is the
+            # interrupted-overwrite TOMBSTONE: read_meta raises on it,
+            # so a partial failure fails BOTH appends and against=
+            # probes until a fresh overwrite completes.
             spark.createDataFrame([], meta_schema).write \
                 .mode("overwrite").format("parquet") \
                 .save(url + "_meta")

@@ -1586,50 +1586,12 @@ def test_hyperloglog_by_group_matches_per_group_model(spark):
         assert got[g] == (est, vz, s), (g, got[g], (est, vz, s))
 
 
-def _kll_model(pairs, k):
-    """Pure-python replay of the KLLQuantile arithmetic.  ``pairs`` =
-    [(value, id)].  Returns the full sketch state: (n_rows, level,
-    kept set of (value, g), tz-count vector)."""
-    M = 2147483647
-
-    def poly(s, base):
-        h = 0
-        for ch in s:
-            h = (h * base + ord(ch)) % M
-        return h
-
-    tz_counts = {}
-    items = []
-    for v, i in pairs:
-        g = (poly(str(v), 257) * 1597334677
-             + poly(str(i), 131) * 2246822519 + 11) % M
-        for q in (40503, 914231):
-            g = (g * g + q) % M
-        tz = 31 if g == 0 else (g & -g).bit_length() - 1
-        tz_counts[tz] = tz_counts.get(tz, 0) + 1
-        items.append((float(v), g, tz))
-    l0 = next((l for l in range(32)
-               if sum(c for t, c in tz_counts.items() if t >= l) <= k),
-              31)
-    kept = sorted((v, g) for v, g, tz in items if tz >= l0)
-    return len(pairs), l0, kept, tz_counts
-
-
-def _kll_model_merge(a, b, k):
-    """Merge two model sketches: sum tz counts, recompute threshold,
-    re-filter the union of kept items — the deterministic compaction."""
-    na, l0a, kept_a, tza = a
-    nb, l0b, kept_b, tzb = b
-    tz = dict(tza)
-    for t, c in tzb.items():
-        tz[t] = tz.get(t, 0) + c
-    l0 = next((l for l in range(32)
-               if sum(c for t, c in tz.items() if t >= l) <= k), 31)
-    assert l0 >= max(l0a, l0b)
-    kept = sorted((v, g) for v, g in kept_a + kept_b
-                  if (31 if g == 0 else (g & -g).bit_length() - 1)
-                  >= l0)
-    return na + nb, l0, kept, tz
+# shared pure-python sketch replays (also used by the hypothesis
+# properties) live in tests/sketch_models.py
+from sketch_models import bloom_model as _bloom_model  # noqa: E402
+from sketch_models import kll_model as _kll_model  # noqa: E402
+from sketch_models import (  # noqa: E402
+    kll_model_merge as _kll_model_merge)
 
 
 def test_kll_quantile_matches_model_bit_exact(spark):
@@ -1699,31 +1661,6 @@ def test_kll_quantile_error_vs_exact_percentile(spark):
         # exact rank of the estimate among v = id % 1000 (20 each)
         exact_rank = est * 20 + 10
         assert abs(exact_rank - q * n) <= bound, (q, est)
-
-
-def _bloom_model(values, bits, k):
-    """Pure-python replay of the BloomFilter bitset."""
-    from dask_geomodeling_spark.pipeline.text import BloomFilter
-    M = 2147483647
-
-    def poly(s, base):
-        h = 0
-        for ch in s:
-            h = (h * base + ord(ch)) % M
-        return h
-
-    words = {}
-    for v in values:
-        s = str(v)
-        h1, h2 = poly(s, 257), poly(s, 131)
-        for a, b, c in BloomFilter._HASHES[:k]:
-            g = (h1 * a + h2 * b + c) % M
-            for q in (40503, 914231):
-                g = (g * g + q) % M
-            pos = g % bits
-            words[pos // 64] = words.get(pos // 64, 0) \
-                | (1 << (pos % 64))
-    return words
 
 
 def test_bloom_filter_matches_model_and_merges(spark):

@@ -1117,3 +1117,12 @@ def test_make_valid_partial_edge_overlap_and_vertex_crossing():
     rep = polygon_make_valid([a, b])
     assert abs(rings_signed_area(rep) - 1.75) < 1e-9
     assert rings_is_valid(rep) and polygon_make_valid(rep) == rep
+    # (c) second-pass review falsifier: a bowtie SELF-crossing that
+    # coincides with ANOTHER ring's vertex — the snap must consult a
+    # GLOBAL node registry, not just the crossing pair's endpoints,
+    # or the node forks into two grid cells and rings drop
+    g = [[[0, 0], [4, 4], [4, 0], [0, 4]],
+         [[2, 2], [6, 2], [6, 6], [2, 6]]]
+    rep = polygon_make_valid(g)
+    assert abs(rings_signed_area(rep) - 20.0) < 1e-6
+    assert rings_is_valid(rep) and polygon_make_valid(rep) == rep

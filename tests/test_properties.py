@@ -872,39 +872,15 @@ def test_hydrology_euler_equals_driver(spark_prop, data):
                 min_size=1, max_size=200, unique_by=lambda t: t[1]),
        st.integers(4, 6))
 def test_kll_sketch_pure_function_of_multiset(pairs, logk):
-    """Round 12: the KLL-style sketch state is a pure function of the
-    (value, id) multiset — order/partition independent — its kept set
-    is exactly the threshold rule, and merge == direct on random
-    splits (the model the Spark block is pinned bit-exact against)."""
-    from tests.test_pipeline import _kll_model, _kll_model_merge
+    """Round 12: the KLL-style sketch state equals an INDEPENDENT
+    inline replay of the hash/threshold arithmetic (the bit-parity
+    convention — the expectation is derived from the raw pairs here,
+    not from the model's own internals), is order/partition
+    independent, and merge == direct on random splits."""
+    from sketch_models import kll_model, kll_model_merge
     k = 1 << logk
-    n, l0, kept, tz = _kll_model(pairs, k)
-    assert n == len(pairs)
-    assert len(kept) <= k or l0 == 31
-    # threshold rule: kept = everything at level >= l0, nothing below
-    assert l0 == next(
-        (l for l in range(32)
-         if sum(c for t, c in tz.items() if t >= l) <= k), 31)
-    # random split merge == direct
-    cut = len(pairs) // 2
-    merged = _kll_model_merge(_kll_model(pairs[:cut], k),
-                              _kll_model(pairs[cut:], k), k)
-    assert merged == _kll_model(pairs, k)
-
-
-@settings(max_examples=15, deadline=None)
-@given(st.lists(st.integers(0, 10**9), min_size=1, max_size=300),
-       st.lists(st.integers(0, 10**9), min_size=0, max_size=100),
-       st.integers(1, 4))
-def test_bloom_model_never_false_negative_and_merges(members, others,
-                                                     k):
-    """Round 12: the Bloom bitset never misses a member (every
-    inserted value's k bits are set), and union is per-word OR on
-    random splits."""
-    from tests.test_pipeline import _bloom_model
-    from dask_geomodeling_spark.pipeline.text import BloomFilter
-    bits = 2048
-    words = _bloom_model(members, bits, k)
+    n, l0, kept, tz = kll_model(pairs, k)
+    # independent replay: hash every pair from scratch in the test
     M = 2147483647
 
     def poly(s, base):
@@ -913,19 +889,64 @@ def test_bloom_model_never_false_negative_and_merges(members, others,
             h = (h * base + ord(ch)) % M
         return h
 
+    items = []
+    for v, i in pairs:
+        g = (poly(str(v), 257) * 1597334677
+             + poly(str(i), 131) * 2246822519 + 11) % M
+        for q in (40503, 914231):
+            g = (g * g + q) % M
+        items.append((float(v), g,
+                      31 if g == 0 else (g & -g).bit_length() - 1))
+    want_l0 = 31
+    for l in range(32):
+        if sum(1 for _, _, t in items if t >= l) <= k:
+            want_l0 = l
+            break
+    assert n == len(pairs)
+    assert l0 == want_l0
+    assert kept == sorted((v, g) for v, g, t in items if t >= l0)
+    assert len(kept) <= k or l0 == 31
+    # random split merge == direct
+    cut = len(pairs) // 2
+    merged = kll_model_merge(kll_model(pairs[:cut], k),
+                             kll_model(pairs[cut:], k), k)
+    assert merged == kll_model(pairs, k)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.integers(0, 10**9), min_size=1, max_size=300),
+       st.lists(st.integers(0, 10**9), min_size=0, max_size=100),
+       st.integers(1, 4))
+def test_bloom_model_never_false_negative_and_merges(members, others,
+                                                     k):
+    """Round 12: the Bloom bitset never misses a member; union is
+    per-word OR on random splits; and membership flags are MONOTONE
+    under union — a probe value flagged by a part sketch is flagged
+    by the merged sketch (no false negatives can appear by merging),
+    while values absent from the merged sketch's bits are definite
+    negatives."""
+    from sketch_models import bloom_model, bloom_positions
+    bits = 2048
+
+    def flagged(words, v):
+        return all(words.get(p // 64, 0) & (1 << (p % 64))
+                   for p in bloom_positions(v, bits, k))
+
+    words = bloom_model(members, bits, k)
     for v in members:
-        s = str(v)
-        h1, h2 = poly(s, 257), poly(s, 131)
-        for a, b, c in BloomFilter._HASHES[:k]:
-            g = (h1 * a + h2 * b + c) % M
-            for q in (40503, 914231):
-                g = (g * g + q) % M
-            pos = g % bits
-            assert words.get(pos // 64, 0) & (1 << (pos % 64))
+        assert flagged(words, v)
     cut = len(members) // 2
-    wa = _bloom_model(members[:cut], bits, k)
-    wb = _bloom_model(members[cut:], bits, k)
+    wa = bloom_model(members[:cut], bits, k)
+    wb = bloom_model(members[cut:], bits, k)
     merged = dict(wa)
     for w, v in wb.items():
         merged[w] = merged.get(w, 0) | v
     assert merged == words
+    member_set = set(members)
+    for v in others:
+        # monotone: part-flagged implies merged-flagged
+        if flagged(wa, v) or flagged(wb, v):
+            assert flagged(words, v)
+        # definite negative: unflagged values are truly non-members
+        if not flagged(words, v):
+            assert v not in member_set
