@@ -160,17 +160,25 @@ def _split_marks(segs, q):
         for p in s:
             registry.setdefault(_cell(p[0], p[1]), p)
 
+    # snap window: 8q — the crossing of two lines whose endpoints
+    # were each perturbed by quantization (<= q/2) moves by a few q
+    # times a geometry factor, so a 2q window missed vertex-coincident
+    # crossings by a hair (round-12 kernel-hunt fix); 8e-12 of the
+    # extent stays far below the documented 1e-9-extent sliver
+    # tolerance, so no genuine nodes can merge
+    snap = 8.0 * q
+
     def _canonical(px, py):
         cx, cy = _cell(px, py)
         best = None
         best_d = None
-        for ddx in (-2, -1, 0, 1, 2):
-            for ddy in (-2, -1, 0, 1, 2):
+        for ddx in range(-9, 10):
+            for ddy in range(-9, 10):
                 cand = registry.get((cx + ddx, cy + ddy))
                 if cand is None:
                     continue
-                if abs(cand[0] - px) <= 2.0 * q \
-                        and abs(cand[1] - py) <= 2.0 * q:
+                if abs(cand[0] - px) <= snap \
+                        and abs(cand[1] - py) <= snap:
                     d = abs(cand[0] - px) + abs(cand[1] - py)
                     if best_d is None or d < best_d:
                         best, best_d = cand, d
@@ -206,8 +214,15 @@ def _split_marks(segs, q):
             if not shared and abs(denom) > 1e-12 * len1 * len2:
                 t = (ex * d2y - ey * d2x) / denom
                 s = (ex * d1y - ey * d1x) / denom
-                slack = 1e-12
-                if -slack <= t <= 1 + slack and -slack <= s <= 1 + slack:
+                # COORDINATE-based slack (round-12 kernel-hunt fix):
+                # a crossing that coincides with a vertex computes a
+                # parameter a few q/len beyond [0, 1]; a fixed 1e-12
+                # parameter slack accepted it on one segment of the
+                # pair and rejected it on the other, splitting only
+                # one side of the node
+                sl_t = snap / max(len1, 1e-300)
+                sl_s = snap / max(len2, 1e-300)
+                if -sl_t <= t <= 1 + sl_t and -sl_s <= s <= 1 + sl_s:
                     pt = _canonical(_quantize(ax + t * d1x, q),
                                     _quantize(ay + t * d1y, q))
                     marks[i].append((min(max(t, 0.0), 1.0), pt))

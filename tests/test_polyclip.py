@@ -1126,3 +1126,14 @@ def test_make_valid_partial_edge_overlap_and_vertex_crossing():
     rep = polygon_make_valid(g)
     assert abs(rings_signed_area(rep) - 20.0) < 1e-6
     assert rings_is_valid(rep) and polygon_make_valid(rep) == rep
+    # (d) kernel-hunt falsifier (pre-existing since round 8): a
+    # 5-gon whose vertex (4, 2.5) lies exactly ON its own non-adjacent
+    # edge — the crossing parameter lands a few q/len beyond [0, 1],
+    # so a fixed 1e-12 parameter slack split only ONE side of the
+    # node and the repair lost a 1.25-area lobe (1.0 instead of the
+    # even-odd 2.25); coordinate-based slack + the 8q snap window fix
+    # it
+    g = [[[2.0, 3.5], [2.0, 4.5], [6.5, 0.0], [3.0, 4.5], [4.0, 2.5]]]
+    rep = polygon_make_valid(g)
+    assert abs(rings_signed_area(rep) - 2.25) < 1e-6
+    assert rings_is_valid(rep) and polygon_make_valid(rep) == rep
