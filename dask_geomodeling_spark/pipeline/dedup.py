@@ -48,7 +48,14 @@ def ngram_regex_expr(column, n, distinct=True):
     word of the corpus)."""
     norm = F.regexp_replace(F.trim(F.lower(F.col(column))), r"\s+", " ")
     pat = r"(?:(?<=^)|(?<= ))(?=((?:\S+ ){%d}\S+))" % (int(n) - 1)
-    grams = F.when(F.size(F.split(norm, " ")) < int(n), F.array(norm)) \
+    # the short-doc branch must also catch EMPTY docs at n=1:
+    # split('', ' ') has size 1 (not < 1), and the regex matches
+    # nothing, so empty documents silently shingled to [] at n=1 but
+    # to [''] at n>=2 — inconsistent across n AND diverging from the
+    # oracle convention (two empty docs are jaccard-1.0 duplicates);
+    # round-12 randomized-hunt fix
+    grams = F.when((F.size(F.split(norm, " ")) < int(n))
+                   | (norm == ""), F.array(norm)) \
         .otherwise(F.regexp_extract_all(norm, F.lit(pat), 1))
     return F.array_distinct(grams) if distinct else grams
 

@@ -1756,3 +1756,33 @@ def test_fingerprint_empty_meta_tombstone_fails_fast(spark, tmp_path):
     assert FingerprintTableSink.read_meta(spark, url) == \
         (8, 4, 2, "poly")
     assert probe.plan(spark).count() >= 1
+
+
+def test_ngram_shingles_empty_doc_consistent_across_n(spark):
+    """Round-12 randomized-hunt fix: an EMPTY document shingles to
+    the singleton [''] at EVERY n (split('', ' ') has size 1, so the
+    short-doc branch never fired at n=1 and empty docs got [] there
+    but [''] at n>=2) — two empty docs are jaccard-1.0 duplicates
+    regardless of n, matching the oracle convention."""
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.dedup import (NgramJaccard,
+                                                       ngram_regex_expr)
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "cat dog")],
+        "doc_id bigint, text string")
+    rows = df.select("doc_id",
+                     *[ngram_regex_expr("text", n).alias(f"g{n}")
+                       for n in (1, 2, 3)]).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    for n in (1, 2, 3):
+        assert by_id[1][f"g{n}"] == [""], (n, by_id[1][f"g{n}"])
+        assert by_id[2][f"g{n}"] == [""], n
+    assert by_id[3]["g1"] == ["cat", "dog"]
+    pairs = {(min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"])):
+             r["jaccard"]
+             for r in NgramJaccard(
+                 DataFrameSource(df, index_column="doc_id"),
+                 n=1, threshold=0.5).plan(spark).collect()}
+    assert pairs == {(1, 2): 1.0}
