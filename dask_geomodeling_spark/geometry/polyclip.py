@@ -148,9 +148,9 @@ def _split_marks(segs, q):
     # keeps the raw cell), which forks the node, collapses the
     # identical connector sub-segments in the dedup, and silently
     # drops rings from the stitch.  Registry keyed by grid cell;
-    # lookups scan the +-2-cell neighborhood; first registration wins
-    # per cell (deterministic: endpoints first, then crossings in
-    # pair order).
+    # lookups scan the cell neighborhood covering the snap window;
+    # first registration wins per cell (deterministic: endpoints
+    # first, then crossings in pair order).
     registry = {}
 
     def _cell(px, py):
@@ -167,13 +167,27 @@ def _split_marks(segs, q):
     # extent stays far below the documented 1e-9-extent sliver
     # tolerance, so no genuine nodes can merge
     snap = 8.0 * q
+    reach = int(snap / q) + 1  # cell search radius covering the window
 
-    def _canonical(px, py):
+    def _canonical(px, py, prefer=()):
+        # the crossing pair's OWN endpoints take priority (round-12
+        # third-pass fix): a crossing clamped to t=0/1 must land on
+        # that segment's endpoint, or the endpoint mark and the
+        # crossing mark fabricate a spur sub-segment lying on no
+        # input edge, and the stitcher dead-ends on it
+        for cand in prefer:
+            if abs(cand[0] - px) <= snap \
+                    and abs(cand[1] - py) <= snap:
+                return cand
         cx, cy = _cell(px, py)
+        exact = registry.get((cx, cy))
+        if exact is not None and abs(exact[0] - px) <= snap \
+                and abs(exact[1] - py) <= snap:
+            return exact  # common case: same-cell hit, no ring scan
         best = None
         best_d = None
-        for ddx in range(-9, 10):
-            for ddy in range(-9, 10):
+        for ddx in range(-reach, reach + 1):
+            for ddy in range(-reach, reach + 1):
                 cand = registry.get((cx + ddx, cy + ddy))
                 if cand is None:
                     continue
@@ -192,12 +206,18 @@ def _split_marks(segs, q):
         (ax, ay), (bx, by) = segs[i]
         d1x, d1y = bx - ax, by - ay
         len1 = math.hypot(d1x, d1y)
+        sl_t = snap / max(len1, 1e-300)
         for j in range(i + 1, n):
             (cx, cy), (dx_, dy_) = segs[j]
-            # bbox reject
-            if (min(ax, bx) > max(cx, dx_) or max(ax, bx) < min(cx, dx_)
-                    or min(ay, by) > max(cy, dy_)
-                    or max(ay, by) < min(cy, dy_)):
+            # bbox reject WITH the snap margin (round-12 third-pass
+            # fix): a zero-slack reject would gate the widened
+            # crossing tolerance — a vertex-coincident crossing whose
+            # segment falls a few q short of the other edge has
+            # disjoint bboxes yet must still split both sides
+            if (min(ax, bx) - snap > max(cx, dx_)
+                    or max(ax, bx) + snap < min(cx, dx_)
+                    or min(ay, by) - snap > max(cy, dy_)
+                    or max(ay, by) + snap < min(cy, dy_)):
                 continue
             d2x, d2y = dx_ - cx, dy_ - cy
             len2 = math.hypot(d2x, d2y)
@@ -219,12 +239,13 @@ def _split_marks(segs, q):
                 # parameter a few q/len beyond [0, 1]; a fixed 1e-12
                 # parameter slack accepted it on one segment of the
                 # pair and rejected it on the other, splitting only
-                # one side of the node
-                sl_t = snap / max(len1, 1e-300)
+                # one side of the node.  sl_t is hoisted to the i loop.
                 sl_s = snap / max(len2, 1e-300)
                 if -sl_t <= t <= 1 + sl_t and -sl_s <= s <= 1 + sl_s:
                     pt = _canonical(_quantize(ax + t * d1x, q),
-                                    _quantize(ay + t * d1y, q))
+                                    _quantize(ay + t * d1y, q),
+                                    prefer=(segs[i][0], segs[i][1],
+                                            segs[j][0], segs[j][1]))
                     marks[i].append((min(max(t, 0.0), 1.0), pt))
                     marks[j].append((min(max(s, 0.0), 1.0), pt))
                 continue

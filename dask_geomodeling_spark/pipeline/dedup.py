@@ -403,6 +403,15 @@ class FingerprintTableSink(BaseSingle):
     fresh signatures are bit-identical for identical text.  Use
     ``mode="append"`` to grow the table batch over batch.
 
+    COMPAT NOTE (round 12): the n-gram builder's empty-document
+    convention changed — EMPTY documents now shingle to [''] at every
+    shingle_size (previously [] at shingle_size=1 only), so a table
+    written BEFORE this change with ``shingle_size=1`` stores empty
+    docs under the old sentinel signature and will not bucket them
+    against post-change empties.  Rewrite such tables with
+    ``mode='overwrite'`` (tables at shingle_size >= 2, and all tables
+    without empty documents, are unaffected).
+
     A one-row META table at ``<url>_meta`` records (num_perm, bands,
     shingle_size, hash_fn); appends and ``against=`` reads validate
     against it and FAIL FAST on any mismatch (round-11 review fix —
