@@ -723,7 +723,15 @@ def register_projected_crs(code, kind, *, lat0=0.0, lon0=0.0, lat1=None,
     rectified grid angle, default ``alpha``).  ``helmert=(tx, ty, tz,
     rx", ry", rz", ppm)`` wraps the projection in a WGS84→datum
     7-parameter shift (position-vector convention) for grids whose
-    datum is not WGS84-coincident (OSGB36, the Bessel grids)."""
+    datum is not WGS84-coincident (OSGB36, the Bessel grids).
+
+    Accuracy envelope (measured by a randomized forward∘inverse hunt
+    over 20 random registrations x 8 points per family, round 12):
+    within ±3° of the projection center/meridian every family
+    round-trips below 5 mm; tmerc's truncated inverse series grows to
+    ~2.5 cm at ±6° from the central meridian — use the proper zone
+    (UTM zones are ±3°) or a neighboring registration for wider
+    extents."""
     code = str(code).upper()
     if kind in ("lcc", "albers"):
         if lat1 is None:
