@@ -3,8 +3,8 @@
 The reference reads any fiona/OGR container (GeometryFileSource,
 geometry/sources.py:18); the cloud-native equivalent ships features as
 parquet with a WKB ``binary`` geometry column (the GeoParquet layout).
-WKB Point / Polygon / MultiPolygon (2-D, either byte order, optional
-EWKB SRID header) is pure-spec parseable — no GDAL — so the codec here
+WKB Point / LineString / Polygon / MultiPolygon (2-D, either byte
+order, optional EWKB SRID header) is pure-spec parseable — no GDAL — so the codec here
 is plain ``struct`` arithmetic run as an **Arrow-batched mapInPandas**,
 the same contract as the multimodal codecs (pipeline/multimodal.py):
 Python executes at batch granularity only, never per row via a scalar
@@ -49,6 +49,7 @@ _GEOM_SCHEMA = [
     ("xmax", T.DoubleType()), ("ymax", T.DoubleType()),
     ("vertices", T.ArrayType(T.ArrayType(T.DoubleType()))),
     ("rings", T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType())))),
+    ("path", T.ArrayType(T.ArrayType(T.DoubleType()))),
 ]
 _GEOM_FIELDS = tuple(n for n, _ in _GEOM_SCHEMA)
 
@@ -85,6 +86,19 @@ def _read_geometry(buf, pos):
             ring, pos = _read_ring(buf, pos, fmt)
             rings.append(ring)
         return "polygon", rings, pos
+    if typ == 2:
+        # LINESTRING (round-12 codec-hunt addition): an open point
+        # chain, no closure convention — lands in the ``path`` column
+        (npts,) = struct.unpack_from(fmt + "I", buf, pos)
+        pos += 4
+        pts = []
+        for _ in range(npts):
+            x, y = struct.unpack_from(fmt + "2d", buf, pos)
+            pts.append([x, y])
+            pos += 16
+        if len(pts) < 2:
+            raise ValueError("WKB LINESTRING with fewer than 2 points")
+        return "linestring", pts, pos
     if typ == 6:
         (npolys,) = struct.unpack_from(fmt + "I", buf, pos)
         pos += 4
@@ -97,9 +111,9 @@ def _read_geometry(buf, pos):
             polys.append(payload)
         return "multipolygon", polys, pos
     raise NotImplementedError(
-        "WKB geometry type {} unsupported (Point/Polygon/MultiPolygon "
-        "2-D only; Z/M and other types need GDAL — reference "
-        "geometry/sources.py:18)".format(typ))
+        "WKB geometry type {} unsupported (Point/LineString/Polygon/"
+        "MultiPolygon 2-D only; Z/M and other types need GDAL — "
+        "reference geometry/sources.py:18)".format(typ))
 
 
 def decode_wkb(buf):
@@ -112,6 +126,13 @@ def decode_wkb(buf):
     if kind == "point":
         x, y = payload
         out.update(x=x, y=y, xmin=x, ymin=y, xmax=x, ymax=y)
+        return out
+    if kind == "linestring":
+        out.update(path=payload,
+                   xmin=min(p[0] for p in payload),
+                   ymin=min(p[1] for p in payload),
+                   xmax=max(p[0] for p in payload),
+                   ymax=max(p[1] for p in payload))
         return out
     polygons = [payload] if kind == "polygon" else payload
     rings = []
@@ -139,8 +160,9 @@ def _pack_polygon_body(rings):
 
 def encode_wkb(fields):
     """Typed-field dict → little-endian WKB bytes.  Precedence mirrors
-    the operators: ``rings`` (sign-regrouped into polygons) >
-    ``vertices`` (single-ring polygon) > point > bbox (box polygon).
+    the operators (EncodeWKT's order): ``rings`` (sign-regrouped into
+    polygons) > ``vertices`` (single-ring polygon) > ``path``
+    (LINESTRING, round 12) > point > bbox (box polygon).
     Point outranks bbox (round-11 property-test fix): ``decode_wkb``
     itself emits x/y WITH the derived bbox for a point, so bbox-first
     re-encoded decoded points as degenerate box polygons —
@@ -165,6 +187,14 @@ def encode_wkb(fields):
     if verts:
         return b"\x01" + struct.pack("<I", 3) + _pack_polygon_body(
             [list(verts)])
+    path = fields.get("path")
+    if path:
+        # LINESTRING (round-12): open chain, no closure — matches
+        # EncodeWKT's rings > vertices > path > point > bbox order
+        flat = [c for pnt in path for c in pnt]
+        return (b"\x01" + struct.pack("<I", 2)
+                + struct.pack("<I", len(path))
+                + struct.pack("<{}d".format(len(flat)), *flat))
     # BOTH coordinates must be set (round-11 review): a stray x with a
     # NULL y next to a real bbox must fall through to the box branch —
     # the SQL twin EncodeWKT's concat-NULL/coalesce does exactly that
@@ -234,7 +264,7 @@ def encode_wkb_frame(df, column="wkb"):
                 fields = {}
                 for c in present:
                     v = pdf[c].iloc[i]
-                    if c in ("vertices", "rings"):
+                    if c in ("vertices", "rings", "path"):
                         v = _tolist(v)
                     elif v is not None and v != v:  # NaN → NULL
                         v = None

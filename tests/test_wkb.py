@@ -47,7 +47,30 @@ def test_big_endian_and_ewkb_srid_decode():
 
 def test_unsupported_type_raises():
     with pytest.raises(NotImplementedError):
-        decode_wkb(b"\x01" + struct.pack("<I", 2))  # LineString
+        decode_wkb(b"\x01" + struct.pack("<I", 7))  # GeometryCollection
+
+
+def test_linestring_roundtrip():
+    """Round 12 (codec hunt): WKB LINESTRING decodes to the ``path``
+    column with a derived bbox, and a path encodes back byte-for-byte
+    (open chain, no closure, EncodeWKT's precedence slot)."""
+    path = [[1.0, 2.0], [3.0, 4.5], [5.0, -1.0]]
+    buf = (b"\x01" + struct.pack("<I", 2) + struct.pack("<I", 3)
+           + struct.pack("<6d", 1.0, 2.0, 3.0, 4.5, 5.0, -1.0))
+    out = decode_wkb(buf)
+    assert out["path"] == path and out["rings"] is None
+    assert (out["xmin"], out["ymin"], out["xmax"], out["ymax"]) == \
+        (1.0, -1.0, 5.0, 4.5)
+    fields = dict.fromkeys(out)
+    fields["path"] = path
+    assert bytes(encode_wkb(fields)) == buf
+    # big-endian reads too
+    be = (b"\x00" + struct.pack(">I", 2) + struct.pack(">I", 2)
+          + struct.pack(">4d", 0.0, 0.0, 1.0, 1.0))
+    assert decode_wkb(be)["path"] == [[0.0, 0.0], [1.0, 1.0]]
+    with pytest.raises(ValueError):
+        decode_wkb(b"\x01" + struct.pack("<I", 2)
+                   + struct.pack("<I", 1) + struct.pack("<2d", 0, 0))
 
 
 def test_null_passthrough():
