@@ -1494,8 +1494,25 @@ class IsValid(BaseSingle):
         out_col = self.args[1]
         cols = set(df.columns)
         if not ({"rings", "vertices"} & cols):
-            # points / boxes / paths carry no ring topology to break
-            return df.withColumn(out_col, F.lit(True))
+            # points / boxes / paths carry no ring topology to break —
+            # but the docstring's "NULL geometry -> NULL" contract
+            # still applies (round-13 ADVICE fix: the literal True
+            # used to cover rows with NULL x/y/bbox/path too)
+            present = []
+            if {"x", "y"} <= cols:
+                present.append("(x IS NOT NULL AND y IS NOT NULL)")
+            if {"xmin", "ymin", "xmax", "ymax"} <= cols:
+                present.append(
+                    "(xmin IS NOT NULL AND ymin IS NOT NULL AND "
+                    "xmax IS NOT NULL AND ymax IS NOT NULL)")
+            if "path" in cols:
+                present.append("path IS NOT NULL")
+            if not present:
+                return df.withColumn(
+                    out_col, F.lit(None).cast("boolean"))
+            return df.withColumn(out_col, F.expr(
+                "CASE WHEN {} THEN TRUE END".format(
+                    " OR ".join(present))))
         if "rings" in cols and "vertices" in cols:
             geom = F.expr("CASE WHEN rings IS NOT NULL THEN rings "
                           "WHEN vertices IS NOT NULL "

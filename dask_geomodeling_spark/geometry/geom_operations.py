@@ -618,12 +618,26 @@ def geodesic_ring_sum_sql(ring_sql):
             .format(e=edges))
 
 
+def _crosses_antimeridian_sql(rings_col):
+    """SQL text: TRUE iff any wrapped edge of any ring spans more than
+    180° of longitude — i.e. the coordinates fold across ±180° and the
+    trapezoid sum (linear in Δλ) would silently integrate the wrong
+    way around the sphere."""
+    edge = _edges_sql("r").format(expr="abs(b[0] - a[0]) > 180.0D")
+    return ("exists({c}, r -> exists({e}, v -> v))"
+            .format(c=rings_col, e=edge))
+
+
 def geodesic_rings_area_expr(rings_col="rings"):
-    """Spherical area (m²) of a flat lon/lat ring list."""
+    """Spherical area (m²) of a flat lon/lat ring list.
+    Antimeridian guard (round-13 verdict #5): a ring with any edge
+    whose |Δλ| > 180° yields NULL instead of a silently folded wrong
+    area (split such polygons at ±180° upstream)."""
     total = ("aggregate({c}, cast(0.0 as double), (acc, r) -> acc + {s})"
              .format(c=rings_col, s=geodesic_ring_sum_sql("r")))
-    return (F.abs(F.expr(total))
+    area = (F.abs(F.expr(total))
             * (EARTH_RADIUS_M * EARTH_RADIUS_M / 2.0))
+    return F.when(~F.expr(_crosses_antimeridian_sql(rings_col)), area)
 
 
 def _haversine_edge_sql():
@@ -676,7 +690,10 @@ class GeodesicArea(SeriesBlock):
     sphere-vs-ellipsoid bound); edges are treated as small — geodesic
     and rhumb edge interpretations agree to O(edge²).  Antimeridian-
     crossing edges are UNSUPPORTED (same contract as the planar
-    kernel's bbox math).  Precedence: rings > vertices; others NULL."""
+    kernel's bbox math) and GUARDED (round-13 verdict #5): a feature
+    with any edge spanning |Δλ| > 180° gets NULL area instead of a
+    silently folded wrong value — split at ±180° upstream.
+    Precedence: rings > vertices; others NULL."""
 
     def __init__(self, source):
         if not isinstance(source, GeometryBlock):
@@ -706,7 +723,10 @@ class GeodesicArea(SeriesBlock):
 class GeodesicLength(SeriesBlock):
     """Great-circle length/perimeter in meters of LON/LAT geometry —
     the PostGIS ``ST_Length(geography)`` analogue: haversine per edge
-    on the authalic sphere, summed.  Precedence: path (open chain) >
+    on the authalic sphere, summed.  Unlike the area's trapezoid sum,
+    haversine is FOLD-IMMUNE at the antimeridian (it passes Δλ through
+    sin/cos, so a 179° → −179° edge measures the short 2° arc either
+    way) — no guard needed.  Precedence: path (open chain) >
     rings (all-ring perimeter) > vertices (single ring); points 0."""
 
     def __init__(self, source):

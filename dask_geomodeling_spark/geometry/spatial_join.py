@@ -597,7 +597,12 @@ class ClusterDBSCAN(GeometryBlock):
             # plan() leaves an O(k·n) pair table in executor storage
             # for the session lifetime (round-11 review fix); the
             # returned plan only joins the source onto the
-            # checkpointed labels
+            # checkpointed labels.  NOTE for repeated-plan() callers:
+            # this narrow checkpoint must outlive the returned plan,
+            # so each superseded plan() of the same block leaves one
+            # (id, cluster_id, is_core)-sized RDD behind — unpersist
+            # superseded results or reuse the returned DataFrame in
+            # long-lived sessions (class docstring, round-13 note)
             from dask_geomodeling_spark.config import strip_plan_stats
             lab = strip_plan_stats(
                 core_lab.unionByName(brd_lab).localCheckpoint())

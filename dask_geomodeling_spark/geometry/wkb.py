@@ -188,9 +188,12 @@ def encode_wkb(fields):
         return b"\x01" + struct.pack("<I", 3) + _pack_polygon_body(
             [list(verts)])
     path = fields.get("path")
-    if path:
+    if path and len(path) >= 2:
         # LINESTRING (round-12): open chain, no closure — matches
-        # EncodeWKT's rings > vertices > path > point > bbox order
+        # EncodeWKT's rings > vertices > path > point > bbox order.
+        # A degenerate < 2-point path falls through to point/bbox
+        # (round-13 ADVICE fix: _read_geometry rejects sub-2-point
+        # LINESTRINGs, so emitting one broke encode∘decode)
         flat = [c for pnt in path for c in pnt]
         return (b"\x01" + struct.pack("<I", 2)
                 + struct.pack("<I", len(path))

@@ -716,6 +716,13 @@ def jpeg_dims_sql(p, max_segments=64):
         "WHEN s.w IS NOT NULL OR s.off + 8 > octet_length({p}) THEN s "
         "WHEN {first} != 255 THEN named_struct("
         "'off', CAST(octet_length({p}) AS BIGINT), 'w', s.w, 'h', s.h) "
+        # repeated 0xFF are legal fill bytes before a marker
+        # (ITU T.81 B.1.1.2) — step over them one at a time instead
+        # of mis-reading the second 0xFF as a marker id (round-13
+        # ADVICE fix); each fill byte consumes one step of the
+        # bounded budget, which is the documented trade
+        "WHEN {marker} = 255 THEN named_struct("
+        "'off', s.off + 1, 'w', s.w, 'h', s.h) "
         "WHEN {marker} IN ({sof}) THEN named_struct('off', s.off, "
         "'w', {w}, 'h', {h}) "
         "ELSE named_struct('off', s.off + 2 + {seglen}, "
@@ -733,11 +740,14 @@ class SniffImageMeta(BaseSingle):
     sniffer that round-trips bytes through Python defeats that.
 
     Detects P6 PPM (ASCII header regexp), PNG (IHDR big-endian), BMP
-    (BITMAPINFOHEADER little-endian, top-down negatives folded by
-    abs), GIF87a/89a (logical screen little-endian) and JPEG (a
-    bounded in-SQL fold over the variable-length segment chain to the
-    SOFn frame header — ``jpeg_dims_sql``).  Unknown/short payloads
-    yield NULLs.  Adds ``img_format``, ``img_width``, ``img_height``."""
+    (BITMAPINFOHEADER-family little-endian, top-down negatives folded
+    by abs; legacy BITMAPCOREHEADER layouts detected via the
+    info-header size field and reported as NULL dims), GIF87a/89a
+    (logical screen little-endian) and JPEG (a bounded in-SQL fold
+    over the variable-length segment chain to the SOFn frame header —
+    ``jpeg_dims_sql``; 0xFF fill bytes before markers are stepped
+    over).  Unknown/short payloads yield NULLs.  Adds ``img_format``,
+    ``img_width``, ``img_height``."""
 
     def __init__(self, source, column="payload"):
         clash = {"img_format", "img_width", "img_height"} \
@@ -769,15 +779,24 @@ class SniffImageMeta(BaseSingle):
         ppm_hdr = ("CAST(substring({p}, 1, 32) AS STRING)"
                    .format(p=p))
         jpeg = jpeg_dims_sql(p)
+        # the dimension layout below (i32 at 19/23) is the
+        # BITMAPINFOHEADER family only — legacy BITMAPCOREHEADER
+        # (size 12, u16 dims) matches the 'BM' signature but decodes
+        # to garbage there, so gate on the info-header size field
+        # (round-13 ADVICE fix): unknown layouts -> NULL dims, the
+        # documented behavior
+        bmp_ok = ("{hs} IN (40, 52, 56, 64, 108, 124)"
+                  .format(hs=_le32_sql(p, 15)))
         w = ("CASE img_format "
              "WHEN 'png' THEN {png_w} "
              "WHEN 'gif' THEN {gif_w} "
-             "WHEN 'bmp' THEN abs({bmp_w}) "
+             "WHEN 'bmp' THEN IF({bmp_ok}, abs({bmp_w}), NULL) "
              "WHEN 'jpeg' THEN ({jpeg}).w "
              "WHEN 'ppm' THEN CAST(regexp_extract({ppm}, "
              "'^P6\\\\s+(\\\\d+)\\\\s+(\\\\d+)', 1) AS BIGINT) "
              "END").format(png_w=_be_sql(p, 17, 4),
                            gif_w=_le16_sql(p, 7),
+                           bmp_ok=bmp_ok,
                            bmp_w=_le32_sql(p, 19),
                            jpeg=jpeg, ppm=ppm_hdr)
         # BMP little-endian i32 height: reassemble LE, then
@@ -789,12 +808,13 @@ class SniffImageMeta(BaseSingle):
         h = ("CASE img_format "
              "WHEN 'png' THEN {png_h} "
              "WHEN 'gif' THEN {gif_h} "
-             "WHEN 'bmp' THEN abs({bmp_h}) "
+             "WHEN 'bmp' THEN IF({bmp_ok}, abs({bmp_h}), NULL) "
              "WHEN 'jpeg' THEN ({jpeg}).h "
              "WHEN 'ppm' THEN CAST(regexp_extract({ppm}, "
              "'^P6\\\\s+(\\\\d+)\\\\s+(\\\\d+)', 2) AS BIGINT) "
              "END").format(png_h=_be_sql(p, 21, 4),
                            gif_h=_le16_sql(p, 9),
+                           bmp_ok=bmp_ok,
                            bmp_h=bmp_h_le, jpeg=jpeg, ppm=ppm_hdr)
         return (df.withColumn("img_format", F.expr(fmt))
                 .withColumn("img_width",

@@ -826,7 +826,13 @@ class BM25Score(BaseSingle):
     Output: source columns plus ``score`` (rounded to 6) and
     ``matched`` (query terms present).  Scoring every document against
     MANY queries is a different shape — explode the query SET and use
-    ``TFIDF``'s (doc, token) table instead."""
+    ``TFIDF``'s (doc, token) table instead.
+
+    NOTE: collecting the stats row makes ``plan()`` EAGER — building
+    or explaining a BM25 plan runs one Spark job over the corpus (the
+    deliberate round-12 trade for zero retained executor storage).
+    An empty corpus raises ValueError at plan() time (round-13 ADVICE
+    fix) rather than scoring everything NULL off a NULL avgdl."""
 
     def __init__(self, source, query, k1=1.2, b=0.75, column="text",
                  id_column=None):
@@ -882,6 +888,11 @@ class BM25Score(BaseSingle):
             aggs.append(F.sum((F.col("_tf{}".format(i)) > 0)
                               .cast("bigint")).alias("_df{}".format(i)))
         srow = base.agg(*aggs).collect()[0]
+        if not srow["_n"]:
+            raise ValueError(
+                "BM25Score: the corpus is empty — avgdl is undefined "
+                "and every score would be NULL; check the source "
+                "filters upstream")
         stats_cols = [F.lit(srow["_n"]).cast("bigint").alias("_n"),
                       F.lit(srow["_avgdl"]).cast("double")
                       .alias("_avgdl")]
@@ -1318,7 +1329,15 @@ class BloomProbe(BaseSingle):
     classic 100 TB semi-join prune.  ``filter_source`` is the block
     whose ``column`` values were inserted; bits/hashes must be given
     identically (the positions helper is shared, so build and probe
-    cannot drift)."""
+    cannot drift).
+
+    Type contract (round-13 ADVICE fix): hashing goes through
+    ``CAST(col AS STRING)``, so the probe column's type must RENDER
+    identically to the filter column's — a BIGINT filter probed with
+    a DOUBLE column ('1' vs '1.0') would yield systematic false
+    negatives, silently breaking the no-false-negatives guarantee.
+    ``plan()`` therefore raises TypeError when the two columns'
+    Spark types differ; cast one side explicitly to opt in."""
 
     def __init__(self, source, column, filter_source, filter_column,
                  bits=65536, hashes=4, flag="maybe_member"):
@@ -1337,6 +1356,18 @@ class BloomProbe(BaseSingle):
 
     def _build(self, ctx):
         (_, column, fsrc, fcol, bits, k, flag) = self.args
+        # fail BEFORE the filter-building job: a type mismatch means
+        # CAST-AS-STRING renders differ and FALSE answers would lie
+        ptype = self.source._build(ctx).schema[column].dataType
+        ftype = fsrc._build(ctx).schema[fcol].dataType
+        if ptype != ftype:
+            raise TypeError(
+                "BloomProbe column {!r} is {} but the filter column "
+                "{!r} is {}: values hash through CAST(col AS STRING), "
+                "so mismatched types produce systematic false "
+                "negatives; cast one side explicitly".format(
+                    column, ptype.simpleString(), fcol,
+                    ftype.simpleString()))
         words_rows = BloomFilter(fsrc, fcol, bits, k) \
             ._build(ctx).collect()
         dense = [0] * (bits // 64)

@@ -1786,3 +1786,84 @@ def test_ngram_shingles_empty_doc_consistent_across_n(spark):
                  DataFrameSource(df, index_column="doc_id"),
                  n=1, threshold=0.5).plan(spark).collect()}
     assert pairs == {(1, 2): 1.0}
+
+
+def test_bloom_probe_type_mismatch_raises(spark):
+    """Round-13 ADVICE fix: hashing goes through CAST(col AS STRING),
+    so a bigint filter probed with a double column ('1' vs '1.0')
+    would yield systematic false negatives — plan() must refuse the
+    mismatch instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.text import BloomProbe
+    members = spark.createDataFrame([(i,) for i in range(8)],
+                                    "v bigint")
+    fsrc = DataFrameSource(
+        members.select(F.col("v").alias("id"), "v"), index_column="id")
+    probes = spark.createDataFrame(
+        [(i, float(i)) for i in range(8)], "id bigint, v double")
+    src = DataFrameSource(probes, index_column="id")
+    with pytest.raises(TypeError, match="false\\s+negatives"):
+        BloomProbe(src, "v", fsrc, "v", bits=4096, hashes=2) \
+            .plan(spark)
+    # same types still work
+    ok = DataFrameSource(
+        probes.select("id", F.col("v").cast("bigint").alias("v")),
+        index_column="id")
+    rows = BloomProbe(ok, "v", fsrc, "v", bits=4096, hashes=2) \
+        .plan(spark).collect()
+    assert all(r["maybe_member"] for r in rows)
+
+
+def test_bm25_empty_corpus_raises(spark):
+    """Round-13 ADVICE fix: an empty corpus has no avgdl — plan()
+    raises instead of scoring everything NULL."""
+    import pytest
+
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.text import BM25Score
+    df = spark.createDataFrame([], "doc_id bigint, text string")
+    blk = BM25Score(DataFrameSource(df, index_column="doc_id"),
+                    "cat", column="text")
+    with pytest.raises(ValueError, match="empty"):
+        blk.plan(spark)
+
+
+def test_sniff_image_meta_adversarial_headers(spark):
+    """Round-13 ADVICE fix: a legacy BITMAPCOREHEADER (12-byte info
+    header, u16 dims) matches the 'BM' signature but must report NULL
+    dims, not garbage; JPEG 0xFF fill bytes before a marker are legal
+    padding the segment walk must step over."""
+    import struct
+
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.multimodal import (
+        SniffImageMeta, _encode_jpeg_header)
+
+    # OS/2 BITMAPCOREHEADER: 'BM', file header, size=12, u16 w=5 h=3
+    core = (b"BM" + struct.pack("<IHHI", 26, 0, 0, 26)
+            + struct.pack("<IHHHH", 12, 5, 3, 1, 24))
+    # modern header still parses
+    modern = (b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, 7, 4, 1, 24,
+                            0, 0, 2835, 2835, 0, 0))
+    # JPEG with fill bytes: inject 0xFF padding before the SOF marker
+    plain = _encode_jpeg_header(6, 2)
+    sof_at = plain.index(b"\xff\xc0")
+    filled = plain[:sof_at] + b"\xff\xff\xff" + plain[sof_at:]
+    df = spark.createDataFrame(
+        [(1, bytearray(core)), (2, bytearray(modern)),
+         (3, bytearray(filled))],
+        "doc_id bigint, payload binary")
+    rows = {r["doc_id"]: r for r in SniffImageMeta(
+        DataFrameSource(df, index_column="doc_id"))
+        .plan(spark).collect()}
+    assert rows[1]["img_format"] == "bmp"
+    assert rows[1]["img_width"] is None
+    assert rows[1]["img_height"] is None
+    assert (rows[2]["img_format"], rows[2]["img_width"],
+            rows[2]["img_height"]) == ("bmp", 7, 4)
+    assert (rows[3]["img_format"], rows[3]["img_width"],
+            rows[3]["img_height"]) == ("jpeg", 6, 2)

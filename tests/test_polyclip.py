@@ -1137,3 +1137,33 @@ def test_make_valid_partial_edge_overlap_and_vertex_crossing():
     rep = polygon_make_valid(g)
     assert abs(rings_signed_area(rep) - 2.25) < 1e-6
     assert rings_is_valid(rep) and polygon_make_valid(rep) == rep
+
+
+def test_is_valid_null_geometry_on_scalar_frames(spark):
+    """Round-13 ADVICE fix: point/box/path frames honor the 'NULL
+    geometry -> NULL' contract — the short-circuit literal True only
+    covers rows that actually carry geometry."""
+    from dask_geomodeling_spark.geometry.constructive import IsValid
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    dfp = spark.createDataFrame(
+        [(1, 0.5, 0.5), (2, None, 0.5), (3, None, None)],
+        "fid bigint, x double, y double")
+    got = {r["fid"]: r["valid"] for r in IsValid(
+        DataFrameSource(dfp, index_column="fid")).plan(spark)
+        .collect()}
+    assert got == {1: True, 2: None, 3: None}
+    dfb = spark.createDataFrame(
+        [(1, 0.0, 0.0, 1.0, 1.0), (2, 0.0, 0.0, None, 1.0)],
+        "fid bigint, xmin double, ymin double, xmax double, "
+        "ymax double")
+    got = {r["fid"]: r["valid"] for r in IsValid(
+        DataFrameSource(dfb, index_column="fid")).plan(spark)
+        .collect()}
+    assert got == {1: True, 2: None}
+    dfl = spark.createDataFrame(
+        [(1, [[0.0, 0.0], [1.0, 1.0]]), (2, None)],
+        "fid bigint, path array<array<double>>")
+    got = {r["fid"]: r["valid"] for r in IsValid(
+        DataFrameSource(dfl, index_column="fid")).plan(spark)
+        .collect()}
+    assert got == {1: True, 2: None}

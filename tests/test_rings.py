@@ -990,3 +990,35 @@ def test_geodesic_area_and_length(spark):
     lng = srcp.set("l", GeodesicLength(srcp)).plan(spark) \
         .collect()[0]["l"]
     assert abs(lng - R * math.pi / 2) < 1e-3
+
+
+def test_geodesic_area_antimeridian_guard(spark):
+    """Round-13 verdict #5: a ring with any edge spanning |dlon| >
+    180 degrees (an antimeridian fold) yields NULL area instead of a
+    silently wrong value; GeodesicLength stays finite because
+    haversine is fold-immune (measures the short arc either way)."""
+    import math
+
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        EARTH_RADIUS_M, GeodesicArea, GeodesicLength)
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    S = "array<array<array<double>>>"
+    crossing = [[179.0, 0.0], [-179.0, 0.0], [-179.0, 1.0],
+                [179.0, 1.0]]
+    safe = [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]]
+    df = spark.createDataFrame(
+        [(1, [crossing]), (2, [safe])], "fid bigint, rings " + S)
+    src = DataFrameSource(df, index_column="fid")
+    got = {r["fid"]: r["a"] for r in
+           src.set("a", GeodesicArea(src)).plan(spark)
+           .select("fid", "a").collect()}
+    assert got[1] is None
+    assert got[2] is not None and got[2] > 0
+    # length: the 179 -> -179 edge measures the 2-degree short arc
+    dfp = spark.createDataFrame(
+        [(1, [[179.0, 0.0], [-179.0, 0.0]])],
+        "fid bigint, path array<array<double>>")
+    srcp = DataFrameSource(dfp, index_column="fid")
+    lng = srcp.set("l", GeodesicLength(srcp)).plan(spark) \
+        .collect()[0]["l"]
+    assert abs(lng - EARTH_RADIUS_M * math.radians(2.0)) < 1e-3

@@ -259,3 +259,18 @@ def test_encode_wkb_partial_geometry_falls_through(spark):
     assert encode_wkb({"xmin": 1.0, "ymin": None, "xmax": 2.0,
                        "ymax": 2.0}) is None
     assert encode_wkb({"x": 1.0, "y": None}) is None
+
+
+def test_encode_wkb_degenerate_path_falls_through():
+    """Round-13 ADVICE fix: _read_geometry rejects sub-2-point
+    LINESTRINGs, so encode_wkb must never emit one — a 1-point path
+    falls through to point/bbox/None like other degenerate cases,
+    keeping encode -> decode total."""
+    from dask_geomodeling_spark.geometry.wkb import (decode_wkb,
+                                                     encode_wkb)
+    assert encode_wkb({"path": [[1.0, 2.0]]}) is None
+    buf = encode_wkb({"path": [[1.0, 2.0]], "x": 1.0, "y": 2.0})
+    d = decode_wkb(buf)
+    assert (d["x"], d["y"]) == (1.0, 2.0) and d.get("path") is None
+    two = encode_wkb({"path": [[1.0, 2.0], [3.0, 4.0]]})
+    assert decode_wkb(two)["path"] == [[1.0, 2.0], [3.0, 4.0]]
