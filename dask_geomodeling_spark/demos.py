@@ -11562,6 +11562,93 @@ def bloom_probe(spark, sf_dir):
 
 
 
+def _cms_pos_sql(vcol, width, j):
+    """DuckDB text: CM position of hash row j for a value column —
+    the BloomFilter Mersenne position pipeline (shared constants),
+    replayed mod width."""
+    return _bloom_pos_sql(vcol, width, j)
+
+
+def _cms_counters_cte(width, d):
+    """DuckDB CTE text (expects a ``vals(v)`` CTE): the CM sketch's
+    non-zero counters, integer-exact."""
+    sel = "\nUNION ALL\n".join(
+        "SELECT CAST({j} AS INTEGER) AS row_idx, "
+        "CAST({p} AS BIGINT) AS pos_idx FROM vals".format(
+            j=j, p=_cms_pos_sql("v", width, j)) for j in range(d))
+    return ("cpos AS ({sel}),\n"
+            "counters AS (SELECT row_idx, pos_idx, "
+            "COUNT(*) AS counter FROM cpos GROUP BY 1, 2)"
+            .format(sel=sel))
+
+
+def _cms_oracle(width=512, d=3):
+    return """
+WITH vals AS (SELECT CAST(o_custkey AS VARCHAR) AS v FROM orders),
+{cte}
+SELECT row_idx, pos_idx, counter FROM counters
+""".format(cte=_cms_counters_cte(width, d))
+
+
+@demo("count_min_sketch", oracle=_cms_oracle())
+def count_min_sketch(spark, sf_dir):
+    """CountMinSketch (round 13, verdict #3): the FOURTH mergeable
+    planning sketch — HLL counts distinct, KLL quantiles, Bloom
+    membership, CMS answers FREQUENCY ("which keys dominate").
+    Every order's customer key increments depth=3 counters through
+    the shared Bloom position pipeline; output is the full sketch
+    state (row_idx, pos_idx, counter), integer-exact and merged by
+    plain counter SUM.  One groupBy over <= 3*512 uniform keys —
+    nothing data-sized moves."""
+    from dask_geomodeling_spark.pipeline.text import CountMinSketch
+    orders = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "orders")), spark)
+    src = DataFrameSource(orders.select("o_orderkey", "o_custkey"),
+                          index_column="o_orderkey")
+    return CountMinSketch(src, "o_custkey", depth=3, width=512) \
+        .plan(spark)
+
+
+def _heavy_hitters_oracle(width=512, d=3, k=10):
+    joins = "\nUNION ALL\n".join(
+        "SELECT v_orig, CAST({j} AS INTEGER) AS row_idx, "
+        "CAST({p} AS BIGINT) AS pos_idx FROM cand".format(
+            j=j, p=_cms_pos_sql("v", width, j)) for j in range(d))
+    return """
+WITH vals AS (SELECT CAST(o_custkey AS VARCHAR) AS v FROM orders),
+{cte},
+cand AS (SELECT DISTINCT o_custkey AS v_orig,
+                CAST(o_custkey AS VARCHAR) AS v FROM orders),
+cpos2 AS ({joins}),
+est AS (SELECT v_orig, MIN(counter) AS est_count
+        FROM cpos2 JOIN counters USING (row_idx, pos_idx)
+        GROUP BY v_orig)
+SELECT v_orig AS o_custkey, est_count,
+       CAST(ROW_NUMBER() OVER (ORDER BY est_count DESC, v_orig)
+            AS INTEGER) AS rank
+FROM est ORDER BY est_count DESC, v_orig LIMIT {k}
+""".format(cte=_cms_counters_cte(width, d), joins=joins, k=k)
+
+
+@demo("heavy_hitters", oracle=_heavy_hitters_oracle())
+def heavy_hitters(spark, sf_dir):
+    """HeavyHitters (round 13, verdict #3): deterministic top-10
+    customers by CM-sketch frequency estimate over orders — counts
+    come from the SKETCH (min over 3 counters, always >= truth; the
+    ~1000 distinct keys over width 512 collide, and the oracle
+    replays those collisions exactly), ties broken by value.  The
+    sketch collects driver-side (model-sized) and embeds as literal
+    arrays, so the per-candidate estimate is pure column math — no
+    join; candidates are one DISTINCT; top-k is orderBy+limit."""
+    from dask_geomodeling_spark.pipeline.text import HeavyHitters
+    orders = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "orders")), spark)
+    src = DataFrameSource(orders.select("o_orderkey", "o_custkey"),
+                          index_column="o_orderkey")
+    return HeavyHitters(src, "o_custkey", k=10, depth=3, width=512) \
+        .plan(spark)
+
+
 @demo("geodesic_measures", oracle="""
 WITH q AS (
   SELECT c_custkey,
@@ -11896,20 +11983,16 @@ def make_valid(spark, sf_dir):
 # exceptions — pinned by tests/test_core.py::test_gate_anchor_policy.
 # Round-12 (verdict #1): every r11 anchor is driver-green in
 # CORRECTNESS_r11 and rotates back into the pool.
+# Round-13 (verdict #1): every r12 anchor is driver-green in
+# CORRECTNESS_r12 and rotates back into the pool; new-op anchors are
+# capped well under 8 so the 30 remaining never-driver-checked
+# queries all fit the rotating slots this round.
 GATE_ANCHORS = [
     "q1_pricing_summary",           # flagship
     "json_graph_roundtrip",         # serialization contract
-    # round-12 new operators
-    "is_valid",
-    "make_valid",
-    "kll_quantile",
-    "cost_distance",
-    "cost_allocation",
-    "sniff_image_meta",
-    "streaming_hyperloglog",
-    "geodesic_measures",
-    "bloom_filter",
-    "bloom_probe",
+    # round-13 new operators
+    "count_min_sketch",
+    "heavy_hitters",
 ]
 
 

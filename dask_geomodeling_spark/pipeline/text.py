@@ -1389,3 +1389,181 @@ class BloomProbe(BaseSingle):
         return out.unionByName(
             df.filter(F.col(column).isNull())
             .withColumn(flag, F.lit(None).cast("boolean")))
+
+
+class CountMinSketch(BaseSingle):
+    """ENGINE-EXACT Count-Min frequency sketch of a column (round 13)
+    — the FOURTH mergeable planning sketch: HyperLogLog answers "how
+    many distinct", KLLQuantile "what is the p99", BloomFilter "is it
+    a member", and this answers "how often does each value occur" —
+    the heavy-hitters / hot-key question a 100 TB pipeline asks before
+    choosing salting, broadcast thresholds, or blocklist candidates
+    ("which hosts/URLs/shingles dominate"), from bounded state.
+
+    Cormode & Muthukrishnan's CM sketch is naturally order-independent
+    integer arithmetic, so (unlike coin-flip KLL) it is engine-exact
+    as published: ``depth`` hash rows × ``width`` counters; every
+    value increments counter ``(j, pos_j(v))`` for each row j, where
+    ``pos_j`` is the shared :class:`BloomFilter` position pipeline
+    (two Mersenne poly hashes → per-row affine mix → two quadratic
+    rounds → mod width), so build, probe, and the DuckDB oracle can
+    never drift.  Point estimate = min over the d counters (always
+    >= the true count; error <= e·n/width with prob 1 − e^−depth).
+
+    Output: one row per NON-ZERO counter — (``row_idx``, ``pos_idx``,
+    ``counter``) — the full sketch state, integer-exact.  Merge/union
+    = per-(row, pos) SUM (counters are additive — pytest-pinned like
+    HLL's register max and Bloom's bit_or).  NULLs don't count.
+
+    Plan shape: map-side hashing, ONE groupBy over <= depth·width
+    uniform keys with partial (map-side) count aggregation — nothing
+    data-sized moves.  ``by=<column>`` keeps one sketch per group on
+    (group, row, pos) composite keys: state is bounded by
+    groups·depth·width and a hot group spreads over its width keys."""
+
+    def __init__(self, source, column, depth=4, width=1024, by=None):
+        d, w = int(depth), int(width)
+        if not 1 <= d <= len(BloomFilter._HASHES):
+            raise ValueError("depth must be in [1, {}]"
+                             .format(len(BloomFilter._HASHES)))
+        if not 2 <= w <= (1 << 22):
+            raise ValueError("width must be in [2, 2^22]")
+        super().__init__(source, str(column), d, w,
+                         None if by is None else str(by))
+
+    @property
+    def columns(self):
+        by = self.args[4]
+        return ({"row_idx", "pos_idx", "counter"}
+                | ({by} if by else set()))
+
+    def _build(self, ctx):
+        _, column, d, w, by = self.args
+        grp = [by] if by else []
+        df = self.source._build(ctx)
+        rows, pos = BloomFilter._positions(df, column, w, d)
+        hits = rows.select(
+            *grp,
+            F.explode(F.array(*[
+                F.struct(F.lit(j).cast("int").alias("r"),
+                         F.expr(p).cast("bigint").alias("p"))
+                for j, p in enumerate(pos)])).alias("_rp"))
+        return (hits.groupBy(*grp,
+                             F.col("_rp.r").alias("row_idx"),
+                             F.col("_rp.p").alias("pos_idx"))
+                .agg(F.count(F.lit(1)).alias("counter"))
+                .orderBy(*grp, "row_idx", "pos_idx"))
+
+
+class HeavyHitters(BaseSingle):
+    """Deterministic top-k frequent values via a
+    :class:`CountMinSketch` (round 13) — "which hosts/URLs dominate",
+    answered with counts read from the SKETCH, never an exact global
+    count: adds ``est_count`` (the min-over-depth CM estimate, always
+    >= the true count) and ``rank`` (1..k, ties broken by value — the
+    (estimate, value) struct-max order, fully deterministic).
+
+    ``sketch_source`` (default: ``source``) is the block whose
+    ``sketch_column`` (default: ``column``) values were counted — the
+    production shape builds the sketch ONCE over all shards/days
+    (merge = counter sum) and ranks today's candidates against it
+    without rescanning history.
+
+    Plan shape: the sketch is one <= depth·width-key groupBy; its
+    counters collect driver-side (model-sized) and embed as literal
+    arrays, so the per-candidate estimate is PURE column math — no
+    join.  Candidate enumeration is one DISTINCT over the probe
+    column (map-side combinable; bounded by the column's distinct
+    count, the one honest shuffle here — the sketch bounds the
+    COUNTING memory, not the candidate set); top-k is orderBy+limit
+    (per-partition top-k, driver merge), then one <= k-row window
+    assigns ranks.  ``by=<column>`` ranks per group: estimates come
+    from a broadcast join against the grouped sketch (groups·d·w
+    rows) and the rank window partitions by group over distinct
+    candidates."""
+
+    def __init__(self, source, column, k=10, depth=4, width=1024,
+                 sketch_source=None, sketch_column=None, by=None):
+        k = int(k)
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        if sketch_source is None:
+            sketch_source = source
+            if sketch_column is None:
+                sketch_column = column
+        elif sketch_column is None:
+            raise ValueError(
+                "sketch_column is required with an explicit "
+                "sketch_source")
+        # validates depth/width
+        CountMinSketch(sketch_source, sketch_column, depth, width, by)
+        super().__init__(source, str(column), k, int(depth),
+                         int(width), sketch_source, str(sketch_column),
+                         None if by is None else str(by))
+
+    @property
+    def columns(self):
+        _, column, _, _, _, _, _, by = self.args
+        return ({column, "est_count", "rank"}
+                | ({by} if by else set()))
+
+    def _build(self, ctx):
+        from pyspark.sql import Window
+        (_, column, k, d, w, ssrc, scol, by) = self.args
+        grp = [by] if by else []
+        df = self.source._build(ctx)
+        cand = (df.filter(F.col(column).isNotNull())
+                .select(*grp, column).distinct())
+        cand, pos = BloomFilter._positions(cand, column, w, d)
+        if by:
+            # grouped sketch: broadcast join (groups·d·w rows)
+            sk = CountMinSketch(ssrc, scol, d, w, by)._build(ctx)
+            ests = []
+            for j, p in enumerate(pos):
+                cj = (cand.select(*grp, column,
+                                  F.expr(p).cast("bigint")
+                                  .alias("pos_idx"))
+                      .withColumn("row_idx", F.lit(j).cast("int")))
+                ests.append(cj.join(
+                    F.broadcast(sk), [by, "row_idx", "pos_idx"])
+                    .select(*grp, column,
+                            F.col("counter").alias("_e")))
+            est = ests[0]
+            for e in ests[1:]:
+                est = est.unionByName(e)
+            est = est.groupBy(*grp, column).agg(
+                F.min("_e").alias("est_count"))
+        else:
+            # global sketch: literal arrays, pure column math, NO join
+            counters = CountMinSketch(ssrc, scol, d, w) \
+                ._build(ctx).collect()
+            dense = [[0] * w for _ in range(d)]
+            for r in counters:
+                dense[int(r["row_idx"])][int(r["pos_idx"])] = \
+                    int(r["counter"])
+            mins = "least({})".format(", ".join(
+                "element_at(_cm{j}, CAST(({p}) AS INT) + 1)".format(
+                    j=j, p=p) for j, p in enumerate(pos)))
+            est = cand
+            for j in range(d):
+                est = est.withColumn("_cm{}".format(j), F.expr(
+                    "array({})".format(", ".join(
+                        "CAST({} AS BIGINT)".format(c)
+                        for c in dense[j]))))
+            est = (est.withColumn("est_count", F.expr(mins))
+                   .select(column, "est_count"))
+        # rank: per-partition top-k + driver merge (TakeOrdered shape
+        # in the global case), then ONE bounded window over <= k rows
+        # per group — never a data-sized global window
+        order = [F.desc("est_count"), F.asc(column)]
+        if by:
+            pre = Window.partitionBy(by).orderBy(*order)
+            top = (est.withColumn("rank", F.row_number().over(pre))
+                   .filter(F.col("rank") <= k))
+            return top.select(*grp, column, "est_count",
+                              F.col("rank").cast("int").alias("rank"))
+        top = est.orderBy(*order).limit(k)
+        wdw = Window.orderBy(*order)
+        return (top.withColumn(
+            "rank", F.row_number().over(wdw).cast("int"))
+            .select(column, "est_count", "rank"))

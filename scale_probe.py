@@ -574,6 +574,22 @@ def probe_cost_distance(spark, n):
     return out.count()
 
 
+def probe_heavy_hitters(spark, n):
+    """HeavyHitters over the planted 50%-hot host: the sketch is one
+    <= depth*width-key groupBy (the hot host spreads over its depth
+    positions map-side — counters are partial-aggregated), the
+    candidate DISTINCT is bounded by ~5k hosts, and the top-k is
+    orderBy+limit.  Nothing data-sized shuffles."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.text import HeavyHitters
+    docs = read_input(spark, gen_parquet(spark, "docs", n, build_docs))
+    out = HeavyHitters(DataFrameSource(docs, index_column="doc_id"),
+                       "source", k=20, depth=4, width=2048) \
+        .plan(spark)
+    materialize(out)
+    return out.count()
+
+
 PROBES = {
     # name -> (probe fn, 1x size, scale override or None)
     "minhash_lsh": (probe_minhash_lsh, 50_000, None),
@@ -608,6 +624,8 @@ PROBES = {
     "hyperloglog_by": (probe_hyperloglog_by, 500_000, None),
     "cost_distance": (probe_cost_distance, 80_000, None),
     "kll_quantile": (probe_kll_quantile, 500_000, None),
+    # round-13: the frequency sketch under the 50%-hot host
+    "heavy_hitters": (probe_heavy_hitters, 500_000, None),
 }
 
 

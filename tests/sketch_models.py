@@ -72,3 +72,19 @@ def bloom_model(values, bits, k):
             words[pos // 64] = words.get(pos // 64, 0) \
                 | (1 << (pos % 64))
     return words
+
+
+def cms_model(values, width, depth):
+    """Replay of the CountMinSketch counters: {(row_idx, pos): count}
+    — positions shared with the Bloom pipeline by construction."""
+    counters = {}
+    for v in values:
+        for j, pos in enumerate(bloom_positions(v, width, depth)):
+            counters[(j, pos)] = counters.get((j, pos), 0) + 1
+    return counters
+
+
+def cms_estimate(counters, value, width, depth):
+    """Point query: min over the depth counters (0 when untouched)."""
+    return min(counters.get((j, pos), 0) for j, pos in
+               enumerate(bloom_positions(value, width, depth)))

@@ -1867,3 +1867,84 @@ def test_sniff_image_meta_adversarial_headers(spark):
             rows[2]["img_height"]) == ("bmp", 7, 4)
     assert (rows[3]["img_format"], rows[3]["img_width"],
             rows[3]["img_height"]) == ("jpeg", 6, 2)
+
+
+def test_count_min_sketch_model_parity_and_merge(spark):
+    """Round 13: the CM sketch state matches the pure-python model
+    bit-for-bit, merge == per-(row,pos) counter sum (the additive
+    analogue of HLL's register max / Bloom's bit_or), and the point
+    estimate never underestimates."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.text import CountMinSketch
+    from sketch_models import cms_estimate, cms_model
+    vals = [["u%d" % (i % 17), "host%d" % (i % 5)][i % 2]
+            for i in range(400)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id bigint, v string")
+    src = DataFrameSource(df, index_column="id")
+    got = {(r["row_idx"], r["pos_idx"]): r["counter"]
+           for r in CountMinSketch(src, "v", depth=3, width=128)
+           .plan(spark).collect()}
+    model = cms_model(vals, 128, 3)
+    assert got == model
+    # merge == sketch of the union, exactly
+    A = DataFrameSource(df.filter("id < 150"), index_column="id")
+    B = DataFrameSource(df.filter("id >= 150"), index_column="id")
+    ca = {(r["row_idx"], r["pos_idx"]): r["counter"]
+          for r in CountMinSketch(A, "v", 3, 128).plan(spark)
+          .collect()}
+    cb = {(r["row_idx"], r["pos_idx"]): r["counter"]
+          for r in CountMinSketch(B, "v", 3, 128).plan(spark)
+          .collect()}
+    merged = dict(ca)
+    for k, c in cb.items():
+        merged[k] = merged.get(k, 0) + c
+    assert merged == got
+    # estimates dominate true counts (CMS one-sided error)
+    from collections import Counter
+    true = Counter(vals)
+    for v, n in true.items():
+        assert cms_estimate(model, v, 128, 3) >= n
+
+
+def test_heavy_hitters_deterministic_topk(spark):
+    """Round 13: top-k by (estimate desc, value asc) — deterministic
+    ties; by= ranks per group; the sketch may come from a DIFFERENT
+    (historical) source than the ranked candidates."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.text import HeavyHitters
+    rows = []
+    rid = 0
+    for v, n in (("a", 50), ("b", 30), ("c", 30), ("d", 10)):
+        for _ in range(n):
+            rows.append((rid, v)); rid += 1
+    df = spark.createDataFrame(rows, "id bigint, v string")
+    src = DataFrameSource(df, index_column="id")
+    hh = HeavyHitters(src, "v", k=3, depth=4, width=512) \
+        .plan(spark).collect()
+    got = [(r["v"], r["rank"]) for r in
+           sorted(hh, key=lambda r: r["rank"])]
+    # b and c tie at 30 (width 512 >> 4 values: no collisions) —
+    # value ascending breaks it
+    assert got == [("a", 1), ("b", 2), ("c", 3)]
+    assert {r["v"]: r["est_count"] for r in hh} == \
+        {"a": 50, "b": 30, "c": 30}
+    # sketch from history, candidates from today
+    today = DataFrameSource(
+        spark.createDataFrame([(1, "b"), (2, "d")], "id bigint, "
+                              "v string"), index_column="id")
+    hh2 = HeavyHitters(today, "v", k=2, depth=4, width=512,
+                       sketch_source=src, sketch_column="v") \
+        .plan(spark).collect()
+    assert [(r["v"], r["est_count"]) for r in
+            sorted(hh2, key=lambda r: r["rank"])] == \
+        [("b", 30), ("d", 10)]
+    # by= mode: per-group rank windows
+    dfg = spark.createDataFrame(
+        [(i, "g%d" % (i % 2), "v%d" % (i % 3)) for i in range(60)],
+        "id bigint, grp string, v string")
+    hg = HeavyHitters(DataFrameSource(dfg, index_column="id"),
+                      "v", k=1, depth=3, width=128, by="grp") \
+        .plan(spark).collect()
+    assert sorted((r["grp"], r["rank"]) for r in hg) == \
+        [("g0", 1), ("g1", 1)]
