@@ -11649,6 +11649,46 @@ def heavy_hitters(spark, sf_dir):
         .plan(spark)
 
 
+@demo("viewshed", oracle="""
+SELECT TIMESTAMP '2024-01-01' AS time,
+       a.n_nationkey AS y, b.n_nationkey AS x,
+       CAST(CASE WHEN greatest(abs(a.n_nationkey - 12),
+                               abs(b.n_nationkey - 12)) <= 5
+                 THEN 1 ELSE 0 END AS DOUBLE) AS value
+FROM nation a CROSS JOIN nation b
+WHERE greatest(abs(a.n_nationkey - 12),
+               abs(b.n_nationkey - 12)) <= 10
+""")
+def viewshed(spark, sf_dir):
+    """Viewshed (round 13, verdict #4): R2 line-of-sight over a flat
+    25x25 DEM with a square RING WALL of height 10 at Chebyshev
+    distance 5 from the observer at (12, 12), eye height 1.5, radius
+    10.  The visibility boundary is closed-form: every ray's step-5
+    cell IS a wall cell (the dominant-axis step count equals the
+    Chebyshev distance), ground slopes before it are negative and
+    increasing (visible), the wall is positive (visible), everything
+    beyond is negative again and stays below the wall's running max
+    (hidden) — so value = 1 iff Chebyshev <= 5, 0 out to the radius.
+    Observer scatter over the 8R^2 ray literal + one equi-join onto
+    the DEM; per-(observer, ray) bounded windows, never data x data."""
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    from dask_geomodeling_spark.raster.spatial import Viewshed
+    nation = read_nanos_parquet(spark, _pq(sf_dir, "nation"))
+    a = nation.select(F.col("n_nationkey").alias("y"))
+    b = nation.select(F.col("n_nationkey").alias("x"))
+    grid = (a.crossJoin(b)
+            .select(F.expr("TIMESTAMP '2024-01-01'").alias("time"),
+                    "y", "x",
+                    F.expr("CAST(CASE WHEN greatest(abs(y - 12), "
+                           "abs(x - 12)) = 5 THEN 10 ELSE 0 END "
+                           "AS DOUBLE)").alias("value")))
+    obs = grid.filter("y = 12 AND x = 12") \
+        .select("time", "y", "x", F.lit(1.5).alias("value"))
+    return Viewshed(DataFrameRasterSource(grid),
+                    DataFrameRasterSource(obs), radius=10).plan(spark)
+
+
 @demo("geodesic_measures", oracle="""
 WITH q AS (
   SELECT c_custkey,
@@ -11993,6 +12033,7 @@ GATE_ANCHORS = [
     # round-13 new operators
     "count_min_sketch",
     "heavy_hitters",
+    "viewshed",
 ]
 
 

@@ -688,3 +688,140 @@ class IDWInterpolate(BaseSingle):
         return (interp.join(exact.select("time", "y", "x"),
                             ["time", "y", "x"], "left_anti")
                 .unionByName(exact))
+
+
+def _ray_offsets(radius):
+    """The R2 ray-step table: one ray per boundary cell of the
+    Chebyshev square of ``radius`` (8·radius rays), sampled at
+    ``radius`` steps each — step i of ray (dx, dy) lands on cell
+    offset ``(floor(i·dx/R + ½), floor(i·dy/R + ½))``.  COVERAGE IS
+    TOTAL: for any cell (a, b) with max(|a|, |b|) = m in [1, R], the
+    ray toward (sign(a)·R, round(b·R/m)) (or its transpose) samples
+    exactly (a, b) at step m, because the rounding error
+    |m·dy/R − b| ≤ m/(2R) < ½ for m < R (= at m = R hits the
+    boundary cell itself).  Dominant-axis coordinates are distinct
+    per step, so a ray never revisits a cell.  Returns rows
+    ``(dy, dx, step, py, px, dist)`` with dist = √(px² + py²) —
+    pure integer in, one sqrt out, replayed verbatim by SQL oracles."""
+    import math as _math
+    R = int(radius)
+    rows = []
+    for dy in range(-R, R + 1):
+        for dx in range(-R, R + 1):
+            if max(abs(dy), abs(dx)) != R:
+                continue
+            for i in range(1, R + 1):
+                px = _math.floor(i * dx / R + 0.5)
+                py = _math.floor(i * dy / R + 0.5)
+                rows.append((dy, dx, i, py, px,
+                             _math.sqrt(px * px + py * py)))
+    return rows
+
+
+class Viewshed(BaseSingle):
+    """Line-of-sight visibility over a DEM (ESRI ``Viewshed`` /
+    GRASS ``r.viewshed`` analogue; round 13, verdict #4 — completes
+    the terrain suite beside the D8 family and the cost surface).
+    No reference analogue: the reference's users run it through
+    GDAL/ArcGIS upstream.
+
+    Semantics (the classic R2 sweep): every cell within Chebyshev
+    ``radius`` of an observer is scored along the sampled ray from
+    the observer to its boundary cell — a cell is visible from an
+    observer iff its elevation angle (``(z + target_height −
+    z_obs − h_obs) / (dist · cell_size)``, tan-monotonic) is >= the
+    running maximum over the ray's PRECEDING steps (grazing counts
+    visible; the first step always is).  A cell covered by several
+    rays is visible if ANY of them says so (R2's optimistic
+    convention).  ``observers`` is a raster whose non-NULL cells
+    place observers, value = eye height ABOVE the DEM there;
+    observers standing on cells missing from the DEM see nothing.
+    DEM gaps along a ray are TRANSPARENT (the window skips them).
+    Output: ``time, y, x, value`` — the NUMBER of observers that see
+    each in-range cell (0 = in range of some observer but hidden,
+    the ESRI observer-count convention; an observer always sees its
+    own cell).  R2 is sampled, not exact R3: cells are judged along
+    ONE ray family, the documented approximation every production
+    viewshed ships (chosen here over per-cell supercover because the
+    sampled row set is closed-form, so SQL oracles replay it).
+
+    Plan shape (100 TB): observers scatter over the 8·radius²
+    ray-step LITERAL (one broadcast crossJoin — the RasterProximity
+    pattern, bounded by the radius, NEVER data×data); ONE equi-join
+    onto the DEM cells; the running max is a window keyed per
+    (observer, ray) and bounded by ``radius`` rows — never global,
+    never data-sized; two bounded groupBys fold rays and observers.
+    Cost = |observers| · 8·radius² scattered rows, linear in the
+    observer count with an explicit, documented radius bound."""
+
+    def __init__(self, store, observers, radius=32,
+                 target_height=0.0, cell_size=1.0):
+        if not isinstance(observers, RasterBlock):
+            raise TypeError(
+                "'{}' object is not allowed".format(type(observers)))
+        r = int(radius)
+        if not 1 <= r <= 128:
+            raise ValueError(
+                "radius must be in [1, 128] cells (the ray-step "
+                "literal is 8·radius² rows; tile a wider sweep)")
+        if not float(cell_size) > 0:
+            raise ValueError("cell_size must be > 0")
+        super().__init__(store, observers, r, float(target_height),
+                         float(cell_size))
+
+    @property
+    def columns(self):
+        return {"time", "y", "x", "value"}
+
+    def _build(self, ctx):
+        from pyspark.sql import Window
+        _, obs_blk, R, th, cs = self.args
+        spark = ctx.spark
+        dem = (self.store._build(ctx)
+               .filter(F.col("value").isNotNull())
+               .select("time", "y", "x",
+                       F.col("value").cast("double").alias("_z")))
+        # observer eye level = DEM elevation + the observer raster's
+        # height value (observers off the DEM drop here)
+        obs = (obs_blk._build(ctx)
+               .filter(F.col("value").isNotNull())
+               .select("time",
+                       F.col("y").alias("_oy"),
+                       F.col("x").alias("_ox"),
+                       F.col("value").cast("double").alias("_h"))
+               .join(dem.select("time",
+                                F.col("y").alias("_oy"),
+                                F.col("x").alias("_ox"),
+                                F.col("_z").alias("_zg")),
+                     ["time", "_oy", "_ox"])
+               .select("time", "_oy", "_ox",
+                       (F.col("_zg") + F.col("_h")).alias("_zo")))
+        rays = F.broadcast(spark.createDataFrame(
+            _ray_offsets(R),
+            schema="_rdy bigint, _rdx bigint, _step bigint, "
+                   "_py bigint, _px bigint, _dist double"))
+        steps = (obs.crossJoin(rays)
+                 .select("time", "_oy", "_ox", "_zo",
+                         "_rdy", "_rdx", "_step", "_dist",
+                         (F.col("_oy") + F.col("_py")).alias("y"),
+                         (F.col("_ox") + F.col("_px")).alias("x"))
+                 .join(dem, ["time", "y", "x"])
+                 .withColumn("_slope",
+                             (F.col("_z") + F.lit(th) - F.col("_zo"))
+                             / (F.col("_dist") * F.lit(cs))))
+        w = (Window.partitionBy("time", "_oy", "_ox", "_rdy", "_rdx")
+             .orderBy("_step")
+             .rowsBetween(Window.unboundedPreceding, -1))
+        vis = steps.withColumn(
+            "_vis", F.coalesce(F.col("_slope") >= F.max("_slope")
+                               .over(w), F.lit(True)))
+        per_obs = (vis.groupBy("time", "_oy", "_ox", "y", "x")
+                   .agg(F.max("_vis").alias("_v"))
+                   .unionByName(
+                       obs.select("time", "_oy", "_ox",
+                                  F.col("_oy").alias("y"),
+                                  F.col("_ox").alias("x"),
+                                  F.lit(True).alias("_v"))))
+        return (per_obs.groupBy("time", "y", "x")
+                .agg(F.sum(F.col("_v").cast("bigint"))
+                     .cast("double").alias("value")))

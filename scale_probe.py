@@ -574,6 +574,34 @@ def probe_cost_distance(spark, n):
     return out.count()
 
 
+def probe_viewshed(spark, n):
+    """Viewshed at radius 16 with one observer per ~2000 cells on a
+    bumpy DEM: scatter rows = observers * 8 * 16^2 = ~n — the sweep
+    must stay linear in the observer count (per-ray windows are
+    bounded by the radius; the DEM lookup is one equi-join)."""
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    from dask_geomodeling_spark.raster.spatial import Viewshed
+    side = int(math.sqrt(n))
+
+    def build(r):
+        return r.select(
+            F.expr("TIMESTAMP '2024-01-01'").alias("time"),
+            F.expr("id div {}".format(side)).alias("y"),
+            F.expr("pmod(id, {})".format(side)).alias("x"),
+            F.expr("CAST(pmod(id * 2654435761, 97) AS DOUBLE) / 10")
+            .alias("value"))
+    cells = read_input(spark, gen_parquet(
+        spark, "vsdem", side * side, build))
+    dem = DataFrameRasterSource(cells)
+    obs = DataFrameRasterSource(
+        cells.filter("pmod(y, 45) = 7 AND pmod(x, 45) = 7")
+        .select("time", "y", "x", F.lit(1.5).alias("value")))
+    out = Viewshed(dem, obs, radius=16).plan(spark)
+    materialize(out)
+    return out.count()
+
+
 def probe_heavy_hitters(spark, n):
     """HeavyHitters over the planted 50%-hot host: the sketch is one
     <= depth*width-key groupBy (the hot host spreads over its depth
@@ -624,8 +652,10 @@ PROBES = {
     "hyperloglog_by": (probe_hyperloglog_by, 500_000, None),
     "cost_distance": (probe_cost_distance, 80_000, None),
     "kll_quantile": (probe_kll_quantile, 500_000, None),
-    # round-13: the frequency sketch under the 50%-hot host
+    # round-13: the frequency sketch under the 50%-hot host + the
+    # R2 viewshed sweep (scatter linear in observers)
     "heavy_hitters": (probe_heavy_hitters, 500_000, None),
+    "viewshed": (probe_viewshed, 250_000, None),
 }
 
 

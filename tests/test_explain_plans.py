@@ -1017,3 +1017,23 @@ def test_streaming_hll_single_aggregation(spark):
     plan = plan_of(demos.QUERIES["streaming_hyperloglog"](
         spark, SF_DIR), "simple")
     assert plan.count("Exchange") == 1, plan.count("Exchange")
+
+
+def test_viewshed_rays_never_cross_join_data(spark):
+    """Round 13 (verdict #4): the ray scatter is a broadcast against
+    the 8R^2 LITERAL step table and the DEM lookup is an equi-join —
+    no CartesianProduct anywhere, and every BroadcastNestedLoopJoin
+    (the literal scatter) sits on a LocalTableScan, never two scans
+    of data."""
+    from dask_geomodeling_spark import demos
+    df = demos.QUERIES["viewshed"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    # the one sanctioned nested-loop join is observer x ray-literal;
+    # the literal table surfaces as a driver-local scan
+    # (LocalTableScan or Scan ExistingRDD), never a second parquet
+    if "BroadcastNestedLoopJoin" in plan:
+        assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+    # the running max is keyed per (observer, ray) — an unkeyed
+    # window over the full scatter would serialize the whole sweep
+    assert "windowspecdefinition(_oy" in plan
