@@ -10727,9 +10727,10 @@ m0 AS (SELECT doc_id, w,
    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
        AS char_sum,
    CAST(length(t2) - length(replace(t2, '#', '')) AS BIGINT)
-     + CAST((length(t2) - length(replace(t2, '...', ''))) / 3 AS BIGINT)
+       AS hashes,
+   CAST((length(t2) - length(replace(t2, '...', ''))) / 3 AS BIGINT)
      + CAST(length(t2) - length(replace(t2, '…', '')) AS BIGINT)
-       AS symbols,
+       AS ellipses_sym,
    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT)
        AS alpha,
    CAST(len(list_intersect(list_distinct(w), [{stops}])) AS BIGINT)
@@ -10765,7 +10766,9 @@ mm AS (SELECT doc_id, {pivots} FROM pn GROUP BY doc_id),
 mx AS (SELECT m0.doc_id, m0.n_words,
    CASE WHEN n_words > 0 THEN char_sum / CAST(n_words AS DOUBLE)
         ELSE 0.0 END AS mean_word_len,
-   CASE WHEN n_words > 0 THEN symbols / CAST(n_words AS DOUBLE)
+   CASE WHEN n_words > 0
+        THEN greatest(hashes / CAST(n_words AS DOUBLE),
+                      ellipses_sym / CAST(n_words AS DOUBLE))
         ELSE 0.0 END AS symbol_word_ratio,
    CASE WHEN n_lines > 0 THEN bullets / CAST(n_lines AS DOUBLE)
         ELSE 0.0 END AS bullet_line_frac,
@@ -10829,30 +10832,33 @@ _C4_WRAP_DUCK = (
 
 
 def _c4_oracle():
-    from dask_geomodeling_spark.pipeline.curate import C4_BANNED_PHRASES
+    from dask_geomodeling_spark.pipeline.curate import C4_LINE_BANNED
     banned = " OR ".join(
         "contains(lower(x), '{}')".format(p.replace("'", "''"))
-        for p in C4_BANNED_PHRASES)
+        for p in C4_LINE_BANNED)
     return """
 WITH d0 AS (SELECT doc_id,
                    string_split_regex(trim(lower(text)), '\\s+') AS w0
             FROM documents),
 inj AS (SELECT doc_id, {wrap} AS t2 FROM d0),
-base AS (SELECT doc_id,
+base AS (SELECT doc_id, t2,
                 list_transform(string_split(t2, chr(10)),
                                x -> trim(x)) AS lines
          FROM inj),
 kept AS (SELECT doc_id, lines,
-  list_filter(lines, x ->
+  CASE WHEN contains(lower(t2), 'lorem ipsum')
+         OR contains(t2, '{{') THEN []
+  ELSE list_filter(lines, x ->
       (ends_with(x, '.') OR ends_with(x, '!') OR ends_with(x, '?')
-       OR ends_with(x, '"') OR ends_with(x, chr(39)))
+       OR ends_with(x, '"'))
+      AND NOT ends_with(x, '...')
       AND len(string_split_regex(x, '\\s+')) >= 5
-      AND NOT ({banned})) AS kl
+      AND NOT ({banned})) END AS kl
  FROM base),
 j AS (SELECT doc_id,
              CAST(len(lines) AS BIGINT) AS n_lines,
              CAST(len(kl) AS BIGINT) AS n_lines_kept,
-             array_to_string(kl, chr(10)) AS text_clean
+             COALESCE(array_to_string(kl, chr(10)), '') AS text_clean
       FROM kept)
 SELECT doc_id, n_lines, n_lines_kept,
        CAST(length(regexp_replace(text_clean, '[^.!?]', '', 'g'))
@@ -11048,10 +11054,10 @@ _CRAWL_HTML_DUCK = (
 
 def _crawl_prep_oracle():
     from dask_geomodeling_spark.pipeline.curate import (
-        C4_BANNED_PHRASES, GOPHER_STOPWORDS)
+        C4_LINE_BANNED, GOPHER_STOPWORDS)
     banned = " OR ".join(
         "contains(lower(x), '{}')".format(p.replace("'", "''"))
-        for p in C4_BANNED_PHRASES)
+        for p in C4_LINE_BANNED)
     return """
 WITH d0 AS (SELECT doc_id, source,
                    string_split_regex(trim(lower(text)), '\\s+') AS w0
@@ -11078,16 +11084,19 @@ ex AS (SELECT doc_id, url,
  FROM ex0),
 kept AS (SELECT doc_id, url,
    list_transform(string_split(t2, chr(10)), x -> trim(x)) AS lines,
-   list_filter(list_transform(string_split(t2, chr(10)), x -> trim(x)),
+   CASE WHEN contains(lower(t2), 'lorem ipsum')
+          OR contains(t2, '{{') THEN []
+   ELSE list_filter(list_transform(string_split(t2, chr(10)),
+                                   x -> trim(x)),
        x -> (ends_with(x, '.') OR ends_with(x, '!')
-             OR ends_with(x, '?') OR ends_with(x, '"')
-             OR ends_with(x, chr(39)))
+             OR ends_with(x, '?') OR ends_with(x, '"'))
+            AND NOT ends_with(x, '...')
             AND len(string_split_regex(x, '\\s+')) >= 5
-            AND NOT ({banned})) AS kl
+            AND NOT ({banned})) END AS kl
  FROM ex),
 cl AS (SELECT doc_id, url,
    CAST(len(kl) AS BIGINT) AS n_lines_kept,
-   array_to_string(kl, chr(10)) AS tc
+   COALESCE(array_to_string(kl, chr(10)), '') AS tc
  FROM kept),
 gw AS (SELECT doc_id, url, n_lines_kept, tc,
    string_split_regex(trim(lower(tc)), '\\s+') AS w,
@@ -11100,11 +11109,14 @@ gm AS (SELECT doc_id, url, n_lines_kept, tc,
         THEN list_sum(list_transform(w, x -> length(x)))
              / CAST(len(w) AS DOUBLE) ELSE 0.0 END AS mwl,
    CASE WHEN len(w) > 0 AND length(trim(tc)) <> 0
-        THEN (CAST(length(tc) - length(replace(tc, '#', '')) AS BIGINT)
-            + CAST((length(tc) - length(replace(tc, '...', ''))) / 3
-                   AS BIGINT)
-            + CAST(length(tc) - length(replace(tc, '…', '')) AS BIGINT))
-             / CAST(len(w) AS DOUBLE) ELSE 0.0 END AS swr,
+        THEN greatest(
+            CAST(length(tc) - length(replace(tc, '#', '')) AS BIGINT)
+             / CAST(len(w) AS DOUBLE),
+            (CAST((length(tc) - length(replace(tc, '...', ''))) / 3
+                  AS BIGINT)
+             + CAST(length(tc) - length(replace(tc, '…', ''))
+                    AS BIGINT)) / CAST(len(w) AS DOUBLE))
+        ELSE 0.0 END AS swr,
    CASE WHEN len(w) > 0 AND length(trim(tc)) <> 0
         THEN len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
              / CAST(len(w) AS DOUBLE) ELSE 0.0 END AS awf,

@@ -83,8 +83,11 @@ class GopherQuality(BaseSingle):
 
     - words: ``\\s+`` split of the lowercased trimmed text; lines:
       ``\\n`` split with per-line trim.
-    - ``symbol_word_ratio``: occurrences of ``#`` and ellipsis
-      (``...`` / ``…``) divided by the word count.
+    - ``symbol_word_ratio``: the MAX of the hash (``#``) ratio and
+      the ellipsis (``...`` / ``…``) ratio over the word count —
+      A1.1 filters on "either the hash symbol or the ellipsis", i.e.
+      each symbol's ratio separately (round-13 paper-intent hunt
+      fix; the combined sum over-filtered).
     - ``dup_line_frac``: 1 − distinct/total over trimmed lines;
       ``dup_line_char_frac``: character mass of the occurrences
       beyond each line's first, over total line characters.
@@ -155,12 +158,20 @@ class GopherQuality(BaseSingle):
         df = df.withColumn(
             "mean_word_len",
             F.when(nn > 0, char_sum / nn.cast("double")).otherwise(0.0))
-        symbols = _count_occurrences(c, "#")
-        for e in _ELLIPSES:
-            symbols = symbols + _count_occurrences(c, e)
+        # A1.1 checks "the hash symbol or the ellipsis" as TWO
+        # separate ratios (DataTrove/NeMo read it the same way) —
+        # the round-13 paper-intent hunt falsified the old combined
+        # sum, which filtered docs with e.g. 0.07 + 0.07: the metric
+        # is the MAX of the two ratios, so `<= 0.1` == both pass
+        hashes = _count_occurrences(c, "#")
+        ell = _count_occurrences(c, _ELLIPSES[0])
+        for e in _ELLIPSES[1:]:
+            ell = ell + _count_occurrences(c, e)
         df = df.withColumn(
             "symbol_word_ratio",
-            F.when(nn > 0, symbols / nn.cast("double")).otherwise(0.0))
+            F.when(nn > 0, F.greatest(hashes / nn.cast("double"),
+                                      ell / nn.cast("double")))
+            .otherwise(0.0))
         alpha = F.size(F.expr(
             "filter(_w, x -> x rlike '[a-z]')")).cast("bigint")
         df = df.withColumn(
@@ -331,29 +342,53 @@ class GopherQuality(BaseSingle):
                        *["_st{}".format(n) for n in ns])
 
 
-#: C4's banned phrases (case-insensitive substring match per line)
-C4_BANNED_PHRASES = ("lorem ipsum", "javascript", "cookie policy",
-                     "privacy policy", "terms of use",
-                     "uses cookies", "{")
+#: C4's LINE-level banned substrings (case-insensitive; canonical
+#: tensorflow_datasets c4_utils: the javascript warning line + the
+#: six policy-boilerplate strings — round-13 paper-intent hunt fix:
+#: "use of cookies" / "use cookies" were missing, and "lorem ipsum" /
+#: "{" belong to the PAGE rule below, not here)
+C4_LINE_BANNED = ("javascript", "terms of use", "privacy policy",
+                  "cookie policy", "uses cookies", "use of cookies",
+                  "use cookies")
 
-#: terminal punctuation a kept line must end with
-C4_TERMINALS = (".", "!", "?", "\"", "'")
+#: C4's PAGE-level banned substrings: one hit anywhere drops the
+#: whole document (c4_utils.clean_page returns early)
+C4_PAGE_BANNED = ("lorem ipsum", "{")
+
+#: terminal punctuation a kept line must end with (c4_utils
+#: _END_MARKS — the apostrophe is NOT one; round-13 hunt fix), and
+#: a line ending with the ellipsis is dropped even though '.' ends it
+C4_TERMINALS = (".", "!", "?", "\"")
 
 
 class C4Filter(BaseSingle):
-    """C4 line/document cleaning (Raffel et al. 2020 §2.2).
+    """C4 line/document cleaning — the CANONICAL tensorflow_datasets
+    ``c4_utils.clean_page`` rules (the code that built C4; the Raffel
+    et al. 2020 §2.2 prose swaps the 5-words/3-sentences constants,
+    the code is 5 words per line + 3 sentences per page).  Round-13
+    paper-intent hunt re-derived every rule from c4_utils.
 
     Line rules (a line survives iff ALL hold):
 
-    - ends with terminal punctuation (``. ! ? " '``);
+    - ends with terminal punctuation (``. ! ? "`` — the apostrophe
+      is NOT a terminal) and does NOT end with the ellipsis ``...``;
     - has at least ``min_words_per_line`` (default 5) words;
-    - contains none of the banned phrases (case-insensitive):
-      "lorem ipsum", "javascript", cookie/privacy/terms boilerplate,
-      or a curly brace.
+    - contains none of the LINE-banned substrings
+      (case-insensitive): "javascript" or the six policy strings
+      (terms of use / privacy policy / cookie policy / uses cookies /
+      use of cookies / use cookies).
 
-    Document rule: ``c4_keep`` iff the cleaned text has at least
-    ``min_sentences`` (default 3) sentence terminators (``.!?``) and
-    at least one line survived.
+    Page rules: a document containing "lorem ipsum"
+    (case-insensitive) or a curly bracket ``{`` ANYWHERE is dropped
+    outright (``text_clean`` empties, ``c4_keep`` false — c4_utils
+    returns early before line cleaning).  The published bad-words
+    list filter is list-dependent and out of scope (compose a
+    ``Classify``/``rlike`` filter upstream).
+
+    Document rule: ``c4_keep`` iff the page rules pass, at least one
+    line survived, and the cleaned text has at least
+    ``min_sentences`` (default 3) sentence terminators (``.!?`` —
+    the bounded stand-in for c4_utils' nltk sentence tokenizer).
 
     Adds ``text_clean`` (surviving lines re-joined with ``\\n``),
     ``n_lines``, ``n_lines_kept``, ``n_sentences``, ``c4_keep``.
@@ -382,11 +417,17 @@ class C4Filter(BaseSingle):
             t.replace("'", "\\'")) for t in C4_TERMINALS)
         banned = " or ".join(
             "contains(lower(x), '{}')".format(p)
-            for p in C4_BANNED_PHRASES)
+            for p in C4_LINE_BANNED)
         keep = ("filter(_lines, x -> ({term}) and "
+                "not endswith(x, '...') and "
                 "size(split(x, '\\\\s+')) >= {mw} and not ({banned}))"
                 .format(term=term, mw=min_wpl, banned=banned))
-        df = df.withColumn("_kept", F.expr(keep))
+        page_ok = ~(
+            F.contains(F.lower(F.col(column)), F.lit(C4_PAGE_BANNED[0]))
+            | F.contains(F.col(column), F.lit(C4_PAGE_BANNED[1])))
+        df = df.withColumn(
+            "_kept", F.when(page_ok, F.expr(keep))
+            .otherwise(F.expr("cast(array() as array<string>)")))
         df = df.withColumn("n_lines", F.size("_lines").cast("bigint")) \
                .withColumn("n_lines_kept",
                            F.size("_kept").cast("bigint")) \

@@ -60,16 +60,43 @@ def test_c4_line_rules(spark):
     text = ("this line has five good words.\n"
             "no terminal punctuation here at all\n"
             "short line.\n"
-            "a curly brace { appears in this line.\n"
             "mentions javascript so it is dropped.\n"
+            "our privacy policy is described right here.\n"
+            "we use cookies to track your session today.\n"
+            "a story that trails off and never ends...\n"
+            "this one ends on an apostrophe not a mark'\n"
             "one more proper sentence right here!\n"
             "and a third full sentence to keep?")
     src = _src(spark, [(1, text)], "doc_id bigint, text string")
     row = C4Filter(src).plan(spark).collect()[0]
-    assert row["n_lines"] == 7
+    assert row["n_lines"] == 10
     assert row["n_lines_kept"] == 3
     assert row["c4_keep"]
     assert "javascript" not in row["text_clean"]
+    assert "cookies" not in row["text_clean"]
+    assert "..." not in row["text_clean"]
+    assert "apostrophe" not in row["text_clean"]
+
+
+def test_c4_page_rules(spark):
+    """Round-13 paper-intent hunt fix: 'lorem ipsum' and the curly
+    bracket are PAGE-level removals in the canonical c4_utils — one
+    hit anywhere empties the page, even when every other line is
+    clean."""
+    from dask_geomodeling_spark.pipeline.curate import C4Filter
+    good = ("a first proper sentence lives right here.\n"
+            "a second proper sentence follows it closely.\n"
+            "and a third full sentence to keep it all?")
+    for bad in ("function f() { return 1; }",
+                "Lorem Ipsum dolor sit amet placeholder."):
+        src = _src(spark, [(1, good + "\n" + bad), (2, good)],
+                   "doc_id bigint, text string")
+        rows = {r["doc_id"]: r
+                for r in C4Filter(src).plan(spark).collect()}
+        assert rows[1]["n_lines_kept"] == 0, bad
+        assert rows[1]["text_clean"] == ""
+        assert not rows[1]["c4_keep"]
+        assert rows[2]["c4_keep"]
 
 
 def test_c4_doc_rule_min_sentences(spark):
@@ -185,3 +212,35 @@ def test_bpe_tokenize_rejects_separator(spark):
     src = _src(spark, [(1, "x")], "doc_id bigint, text string")
     with _pytest.raises(ValueError, match="separator"):
         BPETokenize(src, [("a", "b")], ["a", "\x1fb"])
+
+
+def test_gopher_symbol_ratios_checked_separately(spark):
+    """Round-13 paper-intent hunt fix: A1.1 filters on 'either the
+    hash symbol or the ellipsis' — each symbol's ratio separately.
+    A doc with hash ratio 0.07 and ellipsis ratio 0.07 passes (the
+    old combined 0.14 wrongly failed it); 0.12 of either alone still
+    fails."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.curate import GopherQuality
+    base = ("the cat and the dog have gone to the market of this "
+            "town that they like with great joy and ate apples "
+            "bananas pears plums because the weather of the region "
+            "was fine and the sellers that came with carts have "
+            "been kind to the visitors of the town and they sang")
+    n = len(base.split())          # 55 words >= 50
+    # hashes last so the single line doesn't END with an ellipsis
+    # (that would trip the unrelated ellipsis-line rule)
+    both = base + " " + "... " * 4 + "# " * 4    # each ratio ~0.067
+    hashes = base + " " + "# " * 8                # hash ~0.127 of 63
+    df = spark.createDataFrame(
+        [(1, both), (2, hashes), (3, base)],
+        "doc_id bigint, text string")
+    rows = {r["doc_id"]: r for r in GopherQuality(
+        DataFrameSource(df, index_column="doc_id"),
+        ngram_metrics=False).plan(spark).collect()}
+    assert n >= 50
+    assert rows[3]["gopher_pass"] is True
+    assert rows[1]["symbol_word_ratio"] <= 0.1
+    assert rows[1]["gopher_pass"] is True   # separate ratios pass
+    assert rows[2]["symbol_word_ratio"] > 0.1
+    assert rows[2]["gopher_pass"] is False
