@@ -10993,9 +10993,30 @@ _HTML_INJECT_DUCK = (
     "<script>var x=1;</script></body></html>')")
 
 
-_HTML_BLOCK_RE_DUCK = ("(?i)</?(p|div|h[1-6]|li|tr|ul|ol|table"
-                       "|blockquote|section|article)\\b[^>]*>"
-                       "|<br\\b[^>]*>")
+def _duck_re(pat):
+    """Escape a python regex for a DuckDB single-quoted literal."""
+    return pat.replace("'", "''")
+
+
+def _html_tag_res_duck():
+    """The HtmlExtract regex chain, shared verbatim from curate.py so
+    oracle and implementation can never drift (round-13 hunt fix:
+    quote-aware tag bodies, (?i) script/style, bogus comments,
+    name-anchored strip)."""
+    from dask_geomodeling_spark.pipeline.curate import (_BLOCK_BREAK_RE,
+                                                        _TAG_BODY)
+    return {
+        "script": _duck_re(
+            r"(?i)<script\b" + _TAG_BODY + r">.*?</script[^>]*>"),
+        "style": _duck_re(
+            r"(?i)<style\b" + _TAG_BODY + r">.*?</style[^>]*>"),
+        "bogus": _duck_re(r"<[!?][^>]*>"),
+        "blocks": _duck_re(_BLOCK_BREAK_RE),
+        "strip": _duck_re(r"</?[A-Za-z]" + _TAG_BODY + ">"),
+    }
+
+
+_HTML_RES_DUCK = _html_tag_res_duck()
 
 @demo("html_extract", oracle="""
 WITH inj AS (SELECT doc_id, {inj} AS html FROM documents),
@@ -11003,13 +11024,14 @@ s AS (SELECT doc_id,
    CAST(len(regexp_extract_all(html, '<[A-Za-z/!][^>]*>')) AS BIGINT)
        AS n_tags,
    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-       regexp_replace(regexp_replace(html,
+       regexp_replace(regexp_replace(regexp_replace(html,
        '\\s+', ' ', 'g'),
-       '<script\\b[^>]*>.*?</script>', ' ', 'g'),
-       '<style\\b[^>]*>.*?</style>', ' ', 'g'),
+       '{script}', ' ', 'g'),
+       '{style}', ' ', 'g'),
        '<!--.*?-->', ' ', 'g'),
+       '{bogus}', ' ', 'g'),
        '{blocks}', chr(10), 'g'),
-       '<[^>]+>', ' ', 'g') AS t
+       '{strip}', ' ', 'g') AS t
  FROM inj)
 SELECT doc_id, n_tags,
    regexp_replace(regexp_replace(regexp_replace(
@@ -11020,7 +11042,7 @@ SELECT doc_id, n_tags,
        '\\s*\\n\\s*', chr(10), 'g'),
        '^\\s+|\\s+$', '', 'g') AS text_extracted
 FROM s
-""".format(inj=_HTML_INJECT_DUCK, blocks=_HTML_BLOCK_RE_DUCK))
+""".format(inj=_HTML_INJECT_DUCK, **_HTML_RES_DUCK))
 def html_extract(spark, sf_dir):
     """HtmlExtract: tag/entity stripping for raw-HTML crawl records —
     pure regex projection, no shuffle."""
@@ -11065,13 +11087,14 @@ WITH d0 AS (SELECT doc_id, source,
 raw AS (SELECT doc_id, source, {html} AS html, {url} AS url FROM d0),
 ex0 AS (SELECT doc_id, url,
    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-       regexp_replace(regexp_replace(html,
+       regexp_replace(regexp_replace(regexp_replace(html,
        '\\s+', ' ', 'g'),
-       '<script\\b[^>]*>.*?</script>', ' ', 'g'),
-       '<style\\b[^>]*>.*?</style>', ' ', 'g'),
+       '{script}', ' ', 'g'),
+       '{style}', ' ', 'g'),
        '<!--.*?-->', ' ', 'g'),
+       '{bogus}', ' ', 'g'),
        '{blocks}', chr(10), 'g'),
-       '<[^>]+>', ' ', 'g') AS t0
+       '{strip}', ' ', 'g') AS t0
  FROM raw),
 ex AS (SELECT doc_id, url,
    regexp_replace(regexp_replace(regexp_replace(
@@ -11186,9 +11209,9 @@ SELECT url_norm, CAST(COUNT(*) AS BIGINT) AS n_dups,
 FROM normed GROUP BY url_norm
 """.format(html=_CRAWL_HTML_DUCK, url=_URL_INJECT_DUCK.replace(
         "doc_id % 25", "doc_id % 40"),
-        blocks=_HTML_BLOCK_RE_DUCK, banned=banned,
+        banned=banned,
         stops=",".join("'{}'".format(s) for s in GOPHER_STOPWORDS),
-        re=_URL_RE_DUCK)
+        re=_URL_RE_DUCK, **_HTML_RES_DUCK)
 
 
 @demo("crawl_prep", oracle=_crawl_prep_oracle())

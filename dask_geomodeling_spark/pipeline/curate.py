@@ -551,21 +551,37 @@ _ENTITIES = (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
              ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&"))
 
 
+#: tag body that steps over QUOTED attribute values — '<p title="a >
+#: b">' must strip whole, not leak 'b">' into the text (round-13
+#: adversarial-HTML hunt fix); linear RE2-safe alternation
+_TAG_BODY = "[^>\"']*(?:\"[^\"]*\"[^>\"']*|'[^']*'[^>\"']*)*"
+
+
 #: block-level tags (opening or closing, and <br>) that become line
 #: breaks — the trafilatura-style block-boundary contract that makes
 #: line-granular downstream rules (C4Filter, LineDedup) work on
 #: extracted text
 _BLOCK_BREAK_RE = (r"(?i)</?(p|div|h[1-6]|li|tr|ul|ol|table|blockquote"
-                   r"|section|article)\b[^>]*>|<br\b[^>]*>")
+                   r"|section|article)\b" + _TAG_BODY
+                   + r">|(?i)<br\b" + _TAG_BODY + ">")
 
 
 class HtmlExtract(BaseSingle):
     """Extract text from raw HTML: drop ``<script>``/``<style>``
-    blocks and comments, turn block tags (``<p>``, ``<div>``,
-    headings, list/table rows, ``<br>``) into NEWLINES, strip the
-    remaining tags, decode the common entities, collapse whitespace
-    (source newlines are insignificant in HTML and collapse to
-    spaces; only block boundaries produce ``\\n``).
+    blocks (case-insensitive) and comments (real ``<!-- -->`` plus
+    the HTML5 bogus-comment forms ``<!…>``/``<?…>`` that doctypes,
+    CDATA sections and PHP tags tokenize as), turn block tags
+    (``<p>``, ``<div>``, headings, list/table rows, ``<br>``) into
+    NEWLINES, strip the remaining NAME-ANCHORED tags (a bare ``<`` in
+    prose stays visible; quoted attribute values may contain ``>``),
+    decode the common entities, collapse whitespace (source newlines
+    are insignificant in HTML and collapse to spaces; only block
+    boundaries produce ``\\n``).  Hardened against adversarial
+    real-world HTML by the round-13 hunt (tools/hunts/hunt_html.py)
+    against a python html.parser reference; the one documented
+    divergence left: a tag left UNCLOSED at end-of-input stays as
+    literal text (the spec drops it) — harmless trailing noise on
+    truncated payloads.
 
     Adds ``text_extracted`` and ``n_tags`` (tag count before the
     strip).  Pure regex projection — no shuffle; pairs with
@@ -600,12 +616,24 @@ class HtmlExtract(BaseSingle):
             "n_tags",
             F.size(F.regexp_extract_all(
                 c, F.lit(r"<[A-Za-z/!][^>]*>"), 0)).cast("bigint"))
+        # round-13 adversarial-HTML hunt fixes: (?i) on script/style
+        # (an uppercase <SCRIPT> payload leaked into the text),
+        # quote-aware tag bodies (_TAG_BODY), a bogus-comment rule for
+        # <!doctype>/<![CDATA[…>/<?…> (the HTML5 tokenizer consumes
+        # them to the first '>'), and a NAME-ANCHORED generic strip so
+        # a bare '<' in prose ("a < b") stays visible instead of
+        # swallowing text to the next '>'
         t = F.regexp_replace(c, r"\s+", " ")
-        t = F.regexp_replace(t, r"<script\b[^>]*>.*?</script>", " ")
-        t = F.regexp_replace(t, r"<style\b[^>]*>.*?</style>", " ")
+        t = F.regexp_replace(
+            t, r"(?i)<script\b" + _TAG_BODY + r">.*?</script[^>]*>",
+            " ")
+        t = F.regexp_replace(
+            t, r"(?i)<style\b" + _TAG_BODY + r">.*?</style[^>]*>",
+            " ")
         t = F.regexp_replace(t, r"<!--.*?-->", " ")
+        t = F.regexp_replace(t, r"<[!?][^>]*>", " ")
         t = F.regexp_replace(t, _BLOCK_BREAK_RE, "\n")
-        t = F.regexp_replace(t, r"<[^>]+>", " ")
+        t = F.regexp_replace(t, r"</?[A-Za-z]" + _TAG_BODY + ">", " ")
         for ent, rep in _ENTITIES:
             t = F.replace(t, F.lit(ent), F.lit(rep))
         t = F.regexp_replace(t, r"[^\S\n]+", " ")

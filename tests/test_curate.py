@@ -244,3 +244,30 @@ def test_gopher_symbol_ratios_checked_separately(spark):
     assert rows[1]["gopher_pass"] is True   # separate ratios pass
     assert rows[2]["symbol_word_ratio"] > 0.1
     assert rows[2]["gopher_pass"] is False
+
+
+def test_html_extract_adversarial(spark):
+    """Round-13 adversarial-HTML hunt fixes, pinned: quoted '>' in
+    attributes strips whole, uppercase <SCRIPT> payloads drop, a bare
+    '<' in prose stays visible, bogus comments (<!doctype>, CDATA,
+    <?php?>) are consumed to the first '>', and &amp;lt; decodes
+    exactly once."""
+    from dask_geomodeling_spark.pipeline.curate import HtmlExtract
+    cases = [
+        (1, '<p title="a > b">text after</p> tail', "text after\ntail"),
+        (2, "<P>Upper <SCRIPT>var x = 1;</SCRIPT>case</P>",
+         "Upper case"),
+        (3, "a < b and c > d stay", "a < b and c > d stay"),
+        (4, "before <![CDATA[ secret ]]> after", "before after"),
+        (5, "<!DOCTYPE html><p>body text</p>", "body text"),
+        (6, "five &amp;lt; six", "five &lt; six"),
+        (7, "<script>s = \"</div>\";</script> shown", "shown"),
+    ]
+    df = spark.createDataFrame([(i, h) for i, h, _ in cases],
+                               "doc_id bigint, html string")
+    rows = {r["doc_id"]: r["text_extracted"] for r in HtmlExtract(
+        _src(spark, [(i, h) for i, h, _ in cases],
+             "doc_id bigint, html string"), column="html")
+        .plan(spark).collect()}
+    for i, _, want in cases:
+        assert rows[i] == want, (i, rows[i], want)
