@@ -332,17 +332,32 @@ def _closed(ring):
     return list(ring) + [list(ring[0])]
 
 
+def _x(v):
+    """Escape a text value for XML content (round-13 adversarial-XML
+    hunt fix: a name/property containing ``& < >`` used to splice in
+    raw and produce a MALFORMED document the reader then drops)."""
+    from xml.sax.saxutils import escape
+    return escape(str(v))
+
+
+def _xa(v):
+    """Escape an attribute value (also quotes)."""
+    from xml.sax.saxutils import quoteattr
+    return quoteattr(str(v))
+
+
 def write_kml(path, rows, props):
     """Write a KML Document of Placemarks (Point or Polygon+holes;
-    properties as ExtendedData/Data)."""
+    properties as ExtendedData/Data).  Text values XML-escape."""
     out = ['<?xml version="1.0" encoding="UTF-8"?>',
            '<kml xmlns="http://www.opengis.net/kml/2.2"><Document>']
     for row in rows:
         out.append("<Placemark>")
         if row.get("name") is not None:
-            out.append("<name>{}</name>".format(row["name"]))
-        data = ["<Data name=\"{}\"><value>{}</value></Data>".format(
-            p, row[p]) for p in props if row.get(p) is not None]
+            out.append("<name>{}</name>".format(_x(row["name"])))
+        data = ["<Data name={}><value>{}</value></Data>".format(
+            _xa(p), _x(row[p])) for p in props
+            if row.get(p) is not None]
         if data:
             out.append("<ExtendedData>{}</ExtendedData>".format(
                 "".join(data)))
@@ -374,7 +389,8 @@ def write_kml(path, rows, props):
 def write_gml(path, rows, props, feature_tag="feature",
               geometry_tag="geometry"):
     """Write a GML FeatureCollection in the simple-features profile the
-    reader consumes (gml:featureMember / gml:Polygon / gml:posList)."""
+    reader consumes (gml:featureMember / gml:Polygon / gml:posList).
+    Property values XML-escape."""
     out = ['<?xml version="1.0" encoding="UTF-8"?>',
            '<gml:FeatureCollection '
            'xmlns:gml="http://www.opengis.net/gml">']
@@ -382,7 +398,7 @@ def write_gml(path, rows, props, feature_tag="feature",
         out.append("<gml:featureMember><{}>".format(feature_tag))
         for p in props:
             if row.get(p) is not None:
-                out.append("<{0}>{1}</{0}>".format(p, row[p]))
+                out.append("<{0}>{1}</{0}>".format(p, _x(row[p])))
         rings = _rings_of(row)
         if rings is not None:
             def poslist(r):

@@ -79,12 +79,17 @@ class WarcSource(GeometryBlock):
     def _build(self, ctx):
         url, warc_type, _ = self.args
         raw = ctx.spark.read.option("lineSep", _MAGIC).text(url)
-        rec = raw.filter(F.col("value").contains("WARC-Type:"))
+        # case-insensitive: ISO 28500 field names are (round-13 hunt)
+        rec = raw.filter(F.col("value").rlike("(?i)WARC-Type:"))
         headers = F.substring_index(F.col("value"), "\r\n\r\n", 1)
 
         def hdr(name):
-            return F.regexp_extract(headers,
-                                    name + r":[ \t]*([^\r\n]*)", 1)
+            # line-anchored + case-insensitive (round-13 byte-level
+            # hunt fix): an unanchored match let a junk suffix header
+            # ("X-WARC-Date: …") poison the real value, and ISO 28500
+            # field names are case-insensitive
+            return F.regexp_extract(
+                headers, r"(?mi)^" + name + r":[ \t]*([^\r\n]*)", 1)
 
         pos = F.locate("\r\n\r\n", F.col("value"))
         payload = F.when(pos > 0, F.col("value").substr(

@@ -77,3 +77,30 @@ def test_request_filters_and_limit(spark, tmp_path):
     assert src.plan(
         spark, filters={"uri__startswith": "http://a/1"}).count() == 11
     assert src.plan(spark, limit=5).count() == 5
+
+
+def test_warc_header_parsing_anchored_and_case_insensitive(spark,
+                                                           tmp_path):
+    """Round-13 byte-level hunt fixes, pinned: a junk suffix header
+    (X-WARC-Date:) must not poison the real WARC-Date, and ISO 28500
+    field names parse case-insensitively."""
+    from dask_geomodeling_spark.pipeline.warc import WarcSource
+    shard = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "X-WARC-Date: 1999-09-09T09:09:09Z\r\n"
+        "WARC-Target-URI: http://ex/1\r\n"
+        "WARC-Date: 2024-01-02T03:04:05Z\r\n"
+        "Content-Length: 5\r\n\r\nhello\r\n\r\n"
+        "WARC/1.0\r\n"
+        "warc-type: conversion\r\n"
+        "warc-target-uri: http://ex/2\r\n"
+        "content-length: 4\r\n\r\ncase\r\n\r\n")
+    p = tmp_path / "shard.wet"
+    p.write_bytes(shard.encode("utf-8"))
+    rows = {r["uri"]: r for r in WarcSource(str(p)).plan(spark)
+            .collect()}
+    assert str(rows["http://ex/1"]["date"]) == "2024-01-02 03:04:05"
+    assert rows["http://ex/2"]["text"] == "case"
+    assert rows["http://ex/2"]["content_length"] == 4
+    assert rows["http://ex/2"]["warc_type"] == "conversion"

@@ -91,3 +91,27 @@ def test_compat_kml_gml(spark, tmp_path):
     assert isinstance(g, GMLGeometrySource)
     assert k.plan(spark).collect()[0]["x"] == 1.0
     assert g.plan(spark).collect()[0]["y"] == 2.0
+
+
+def test_writers_escape_xml_text(spark, tmp_path):
+    """Round-13 adversarial-XML hunt fix, pinned: names/properties
+    containing & < > must escape — the raw splice produced MALFORMED
+    documents the reader then silently dropped."""
+    import xml.etree.ElementTree as ET
+
+    from dask_geomodeling_spark.geometry.xmlformats import (
+        GMLGeometrySource, KMLGeometrySource, write_gml, write_kml)
+    rows = [{"name": "a & b <c>", "x": 1.5, "y": 2.5}]
+    kp = str(tmp_path / "esc.kml")
+    write_kml(kp, rows, [])
+    ET.parse(kp)  # well-formed
+    got = KMLGeometrySource(kp).plan(spark).collect()
+    assert len(got) == 1 and got[0]["name"] == "a & b <c>"
+    assert (got[0]["x"], got[0]["y"]) == (1.5, 2.5)
+    gp = str(tmp_path / "esc.gml")
+    write_gml(gp, [{"fid": 1, "label": "x < y & z", "x": 3.0,
+                    "y": 4.0}], ["fid", "label"])
+    ET.parse(gp)
+    grow = GMLGeometrySource(gp).plan(spark).collect()[0]
+    assert grow["label"] == "x < y & z"
+    assert (grow["x"], grow["y"]) == (3.0, 4.0)
