@@ -11013,6 +11013,7 @@ def _html_tag_res_duck():
         "bogus": _duck_re(r"<[!?][^>]*>"),
         "blocks": _duck_re(_BLOCK_BREAK_RE),
         "strip": _duck_re(r"</?[A-Za-z]" + _TAG_BODY + ">"),
+        "strip2": _duck_re(r"</?[A-Za-z][^>]*>"),
     }
 
 
@@ -11024,14 +11025,16 @@ s AS (SELECT doc_id,
    CAST(len(regexp_extract_all(html, '<[A-Za-z/!][^>]*>')) AS BIGINT)
        AS n_tags,
    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-       regexp_replace(regexp_replace(regexp_replace(html,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       html,
        '\\s+', ' ', 'g'),
        '{script}', ' ', 'g'),
        '{style}', ' ', 'g'),
        '<!--.*?-->', ' ', 'g'),
        '{bogus}', ' ', 'g'),
        '{blocks}', chr(10), 'g'),
-       '{strip}', ' ', 'g') AS t
+       '{strip}', ' ', 'g'),
+       '{strip2}', ' ', 'g') AS t
  FROM inj)
 SELECT doc_id, n_tags,
    regexp_replace(regexp_replace(regexp_replace(
@@ -11087,14 +11090,16 @@ WITH d0 AS (SELECT doc_id, source,
 raw AS (SELECT doc_id, source, {html} AS html, {url} AS url FROM d0),
 ex0 AS (SELECT doc_id, url,
    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-       regexp_replace(regexp_replace(regexp_replace(html,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       html,
        '\\s+', ' ', 'g'),
        '{script}', ' ', 'g'),
        '{style}', ' ', 'g'),
        '<!--.*?-->', ' ', 'g'),
        '{bogus}', ' ', 'g'),
        '{blocks}', chr(10), 'g'),
-       '{strip}', ' ', 'g') AS t0
+       '{strip}', ' ', 'g'),
+       '{strip2}', ' ', 'g') AS t0
  FROM raw),
 ex AS (SELECT doc_id, url,
    regexp_replace(regexp_replace(regexp_replace(

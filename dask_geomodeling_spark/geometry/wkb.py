@@ -397,8 +397,12 @@ class EncodeWKT(BaseSingle):
                 F.col("vertices").isNotNull(),
                 F.expr(rings_wkt_sql("array(vertices)"))))
         if "path" in cols:
+            # >= 2 points, the encode_wkb rule (round-13 review fix:
+            # the repo's own parsers reject a 1-point LINESTRING, so
+            # a degenerate path must fall through to point/bbox here
+            # too or engine-written WKT could not re-ingest)
             parts.append(F.when(
-                F.col("path").isNotNull(),
+                F.col("path").isNotNull() & (F.size("path") >= 2),
                 F.expr("concat('LINESTRING (', array_join("
                        "transform(path, p -> concat("
                        "CAST(p[0] AS STRING), ' ', "

@@ -346,6 +346,20 @@ def _xa(v):
     return quoteattr(str(v))
 
 
+def _ncname(name, what):
+    """Element NAMES cannot be escaped, only validated — a property
+    column named 'pop density' (legal in a DataFrame) would emit a
+    malformed document the reader silently drops (round-13 review
+    fix): restrict to the pragmatic NCName subset."""
+    import re
+    if not re.fullmatch(r"[A-Za-z_][\w.\-]*", str(name)):
+        raise ValueError(
+            "{} {!r} is not a valid XML element name; rename the "
+            "column (letters/digits/_/./- starting with a letter "
+            "or _)".format(what, name))
+    return name
+
+
 def write_kml(path, rows, props):
     """Write a KML Document of Placemarks (Point or Polygon+holes;
     properties as ExtendedData/Data).  Text values XML-escape."""
@@ -391,6 +405,10 @@ def write_gml(path, rows, props, feature_tag="feature",
     """Write a GML FeatureCollection in the simple-features profile the
     reader consumes (gml:featureMember / gml:Polygon / gml:posList).
     Property values XML-escape."""
+    _ncname(feature_tag, "feature_tag")
+    _ncname(geometry_tag, "geometry_tag")
+    for p in props:
+        _ncname(p, "property")
     out = ['<?xml version="1.0" encoding="UTF-8"?>',
            '<gml:FeatureCollection '
            'xmlns:gml="http://www.opengis.net/gml">']

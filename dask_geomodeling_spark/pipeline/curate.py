@@ -634,6 +634,12 @@ class HtmlExtract(BaseSingle):
         t = F.regexp_replace(t, r"<[!?][^>]*>", " ")
         t = F.regexp_replace(t, _BLOCK_BREAK_RE, "\n")
         t = F.regexp_replace(t, r"</?[A-Za-z]" + _TAG_BODY + ">", " ")
+        # fallback for MALFORMED tags the quote-aware body can't
+        # match — an UNPAIRED quote in an unquoted attribute value
+        # ("<p class=don't>") — which would otherwise leak raw markup
+        # (round-13 review fix); only leftovers reach here, so the
+        # first-'>' cut cannot break well-formed quoted attributes
+        t = F.regexp_replace(t, r"</?[A-Za-z][^>]*>", " ")
         for ent, rep in _ENTITIES:
             t = F.replace(t, F.lit(ent), F.lit(rep))
         t = F.regexp_replace(t, r"[^\S\n]+", " ")

@@ -1301,10 +1301,13 @@ class BloomFilter(BaseSingle):
             pos.append("pmod({g}, {m})".format(g=g, m=bits))
         return rows, pos
 
-    def _build(self, ctx):
-        _, column, bits, k = self.args
-        df = self.source._build(ctx)
-        rows, pos = self._positions(df, column, bits, k)
+    @classmethod
+    def _sketch(cls, df, column, bits, k):
+        """Bitset words from an ALREADY-BUILT frame — split out so
+        BloomProbe can build its filter source exactly once (round-13
+        review fix: _build is not memoized, and an eager upstream
+        block would otherwise run its Spark job twice)."""
+        rows, pos = cls._positions(df, column, bits, k)
         hits = rows.select(
             F.explode(F.array(*[F.expr(p).cast("bigint")
                                 for p in pos])).alias("_pos"))
@@ -1316,6 +1319,32 @@ class BloomFilter(BaseSingle):
                 .groupBy("word_idx")
                 .agg(F.expr("bit_or(_b)").alias("word"))
                 .orderBy("word_idx"))
+
+    def _build(self, ctx):
+        _, column, bits, k = self.args
+        return self._sketch(self.source._build(ctx), column, bits, k)
+
+
+def _check_hash_render_parity(op, pcol, ptype, fcol, ftype):
+    """Hash pipelines go through ``CAST(col AS STRING)`` — two
+    columns agree iff their types RENDER identically.  Integral
+    widths (byte/short/int/long) all render the same, so they form
+    one class (round-13 review fix: raw DataType equality rejected
+    previously-correct int-vs-bigint pipelines); everything else
+    must match exactly."""
+    from pyspark.sql import types as T
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    if isinstance(ptype, integral) and isinstance(ftype, integral):
+        return
+    if ptype == ftype:
+        return
+    raise TypeError(
+        "{} column {!r} is {} but the sketch/filter column {!r} is "
+        "{}: values hash through CAST(col AS STRING), so types whose "
+        "renders differ ('1' vs '1.0') produce systematic false "
+        "negatives; cast one side explicitly".format(
+            op, pcol, ptype.simpleString(), fcol,
+            ftype.simpleString()))
 
 
 class BloomProbe(BaseSingle):
@@ -1356,26 +1385,21 @@ class BloomProbe(BaseSingle):
 
     def _build(self, ctx):
         (_, column, fsrc, fcol, bits, k, flag) = self.args
-        # fail BEFORE the filter-building job: a type mismatch means
-        # CAST-AS-STRING renders differ and FALSE answers would lie
-        ptype = self.source._build(ctx).schema[column].dataType
-        ftype = fsrc._build(ctx).schema[fcol].dataType
-        if ptype != ftype:
-            raise TypeError(
-                "BloomProbe column {!r} is {} but the filter column "
-                "{!r} is {}: values hash through CAST(col AS STRING), "
-                "so mismatched types produce systematic false "
-                "negatives; cast one side explicitly".format(
-                    column, ptype.simpleString(), fcol,
-                    ftype.simpleString()))
-        words_rows = BloomFilter(fsrc, fcol, bits, k) \
-            ._build(ctx).collect()
+        # build each source exactly ONCE (round-13 review fix: an
+        # eager upstream block — BM25Score, ClusterDBSCAN, another
+        # probe — would run its Spark job twice otherwise); fail
+        # BEFORE the filter-building job on a render mismatch
+        df = self.source._build(ctx)
+        fdf = fsrc._build(ctx)
+        _check_hash_render_parity(
+            "BloomProbe", column, df.schema[column].dataType,
+            fcol, fdf.schema[fcol].dataType)
+        words_rows = BloomFilter._sketch(fdf, fcol, bits, k).collect()
         dense = [0] * (bits // 64)
         for r in words_rows:
             dense[int(r["word_idx"])] = int(r["word"])
         arr = "array({})".format(", ".join(
             "CAST({} AS BIGINT)".format(w) for w in dense))
-        df = self.source._build(ctx)
         rows, pos = BloomFilter._positions(df, column, bits, k)
         checks = " AND ".join(
             "(element_at(_bf, CAST(({p}) div 64 AS INT) + 1) & "
@@ -1437,10 +1461,12 @@ class CountMinSketch(BaseSingle):
         return ({"row_idx", "pos_idx", "counter"}
                 | ({by} if by else set()))
 
-    def _build(self, ctx):
-        _, column, d, w, by = self.args
+    @classmethod
+    def _sketch(cls, df, column, d, w, by=None):
+        """Counters from an ALREADY-BUILT frame (the BloomFilter
+        _sketch convention, so HeavyHitters builds each source
+        exactly once)."""
         grp = [by] if by else []
-        df = self.source._build(ctx)
         rows, pos = BloomFilter._positions(df, column, w, d)
         hits = rows.select(
             *grp,
@@ -1453,6 +1479,10 @@ class CountMinSketch(BaseSingle):
                              F.col("_rp.p").alias("pos_idx"))
                 .agg(F.count(F.lit(1)).alias("counter"))
                 .orderBy(*grp, "row_idx", "pos_idx"))
+
+    def _build(self, ctx):
+        _, column, d, w, by = self.args
+        return self._sketch(self.source._build(ctx), column, d, w, by)
 
 
 class HeavyHitters(BaseSingle):
@@ -1467,12 +1497,20 @@ class HeavyHitters(BaseSingle):
     ``sketch_column`` (default: ``column``) values were counted — the
     production shape builds the sketch ONCE over all shards/days
     (merge = counter sum) and ranks today's candidates against it
-    without rescanning history.
+    without rescanning history.  A candidate the sketch never
+    counted estimates 0 (it can still rank when k exceeds the
+    counted candidates); the candidate and sketch columns must
+    render identically under CAST-AS-STRING (the BloomProbe type
+    contract — ``plan()`` raises TypeError otherwise, integral
+    widths exempt).
 
     Plan shape: the sketch is one <= depth·width-key groupBy; its
     counters collect driver-side (model-sized) and embed as literal
     arrays, so the per-candidate estimate is PURE column math — no
-    join.  Candidate enumeration is one DISTINCT over the probe
+    join (above depth·width = 65536 cells the literal SQL text would
+    be megabytes, so the estimate switches to the same broadcast
+    join the ``by=`` mode uses).  Candidate enumeration is one
+    DISTINCT over the probe
     column (map-side combinable; bounded by the column's distinct
     count, the one honest shuffle here — the sketch bounds the
     COUNTING memory, not the candidate set); top-k is orderBy+limit
@@ -1507,27 +1545,46 @@ class HeavyHitters(BaseSingle):
         return ({column, "est_count", "rank"}
                 | ({by} if by else set()))
 
+    #: above this depth·width the global literal-array readout would
+    #: render megabytes of SQL text — switch to the broadcast join
+    _LITERAL_CELLS = 65536
+
     def _build(self, ctx):
         from pyspark.sql import Window
         (_, column, k, d, w, ssrc, scol, by) = self.args
         grp = [by] if by else []
         df = self.source._build(ctx)
+        # build the sketch source exactly once; same-block reuse
+        fdf = df if ssrc is self.args[0] else ssrc._build(ctx)
+        # the candidate and sketch columns hash through CAST-AS-STRING
+        # (round-13 review fix: the BloomProbe guard applies here too —
+        # a double probe against a bigint history sketch would read
+        # untouched counters and return est_count 0 for everything)
+        _check_hash_render_parity(
+            "HeavyHitters", column, df.schema[column].dataType,
+            scol, fdf.schema[scol].dataType)
         cand = (df.filter(F.col(column).isNotNull())
                 .select(*grp, column).distinct())
         cand, pos = BloomFilter._positions(cand, column, w, d)
-        if by:
-            # grouped sketch: broadcast join (groups·d·w rows)
-            sk = CountMinSketch(ssrc, scol, d, w, by)._build(ctx)
+        if by or d * w > self._LITERAL_CELLS:
+            # broadcast join against the (groups·)d·w counter rows —
+            # LEFT join: a candidate the sketch never counted (the
+            # sketch_source=history production shape) estimates 0,
+            # exactly like the literal path (round-13 review fix: the
+            # old inner join dropped it, or min'd over a subset)
+            sk = CountMinSketch._sketch(fdf, scol, d, w, by)
+            keys = ([by] if by else []) + ["row_idx", "pos_idx"]
             ests = []
             for j, p in enumerate(pos):
                 cj = (cand.select(*grp, column,
                                   F.expr(p).cast("bigint")
                                   .alias("pos_idx"))
                       .withColumn("row_idx", F.lit(j).cast("int")))
-                ests.append(cj.join(
-                    F.broadcast(sk), [by, "row_idx", "pos_idx"])
-                    .select(*grp, column,
-                            F.col("counter").alias("_e")))
+                ests.append(cj.join(F.broadcast(sk), keys, "left")
+                            .select(*grp, column,
+                                    F.coalesce(F.col("counter"),
+                                               F.lit(0).cast("bigint"))
+                                    .alias("_e")))
             est = ests[0]
             for e in ests[1:]:
                 est = est.unionByName(e)
@@ -1535,8 +1592,8 @@ class HeavyHitters(BaseSingle):
                 F.min("_e").alias("est_count"))
         else:
             # global sketch: literal arrays, pure column math, NO join
-            counters = CountMinSketch(ssrc, scol, d, w) \
-                ._build(ctx).collect()
+            counters = CountMinSketch._sketch(fdf, scol, d, w) \
+                .collect()
             dense = [[0] * w for _ in range(d)]
             for r in counters:
                 dense[int(r["row_idx"])][int(r["pos_idx"])] = \

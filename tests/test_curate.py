@@ -271,3 +271,18 @@ def test_html_extract_adversarial(spark):
         .plan(spark).collect()}
     for i, _, want in cases:
         assert rows[i] == want, (i, rows[i], want)
+
+
+def test_html_extract_unpaired_quote_tag(spark):
+    """Round-13 review fix: a malformed tag with an UNPAIRED quote in
+    an unquoted attribute value still strips (fallback pass) instead
+    of leaking raw markup into the corpus."""
+    from dask_geomodeling_spark.pipeline.curate import HtmlExtract
+    rows = HtmlExtract(
+        _src(spark, [(1, "<p class=don't>five good words here.</p>"),
+                     (2, '<a title="x> link text</a> tail')],
+             "doc_id bigint, html string"), column="html") \
+        .plan(spark).collect()
+    got = {r["doc_id"]: r["text_extracted"] for r in rows}
+    assert "<" not in got[1] and "five good words here." in got[1]
+    assert "<" not in got[2]

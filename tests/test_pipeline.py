@@ -1948,3 +1948,69 @@ def test_heavy_hitters_deterministic_topk(spark):
         .plan(spark).collect()
     assert sorted((r["grp"], r["rank"]) for r in hg) == \
         [("g0", 1), ("g1", 1)]
+
+
+def test_heavy_hitters_unseen_candidate_and_type_guard(spark):
+    """Round-13 review fixes: a candidate the sketch never counted
+    estimates 0 (left join) in BOTH the join and literal paths; the
+    CAST-AS-STRING type contract guards HeavyHitters too; integral
+    widths (int vs bigint) are exempt; forcing the join path gives
+    literal-identical results."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.text import HeavyHitters
+    hist = DataFrameSource(
+        spark.createDataFrame([(i, "h%d" % (i % 3)) for i in range(30)],
+                              "id bigint, v string"), index_column="id")
+    today = DataFrameSource(
+        spark.createDataFrame([(1, "h0"), (2, "brand-new")],
+                              "id bigint, v string"), index_column="id")
+    # literal path
+    lit_rows = HeavyHitters(today, "v", k=5, depth=3, width=256,
+                            sketch_source=hist, sketch_column="v") \
+        .plan(spark).collect()
+    got = {r["v"]: r["est_count"] for r in lit_rows}
+    assert got["h0"] == 10 and got["brand-new"] == 0
+    # join path (forced): identical output
+    class Forced(HeavyHitters):
+        _LITERAL_CELLS = 1
+    join_rows = Forced(today, "v", k=5, depth=3, width=256,
+                       sketch_source=hist, sketch_column="v") \
+        .plan(spark).collect()
+    assert sorted((r["v"], r["est_count"], r["rank"])
+                  for r in join_rows) == \
+        sorted((r["v"], r["est_count"], r["rank"]) for r in lit_rows)
+    # per-group join path: unseen candidate still estimates 0
+    histg = DataFrameSource(
+        spark.createDataFrame(
+            [(i, "g", "h%d" % (i % 3)) for i in range(30)],
+            "id bigint, grp string, v string"), index_column="id")
+    todayg = DataFrameSource(
+        spark.createDataFrame([(1, "g", "brand-new")],
+                              "id bigint, grp string, v string"),
+        index_column="id")
+    hg = HeavyHitters(todayg, "v", k=2, depth=3, width=256, by="grp",
+                      sketch_source=histg, sketch_column="v") \
+        .plan(spark).collect()
+    assert [(r["v"], r["est_count"]) for r in hg] == [("brand-new", 0)]
+    # type guard: double probe vs string sketch raises
+    bad = DataFrameSource(
+        spark.createDataFrame([(1, 2.5)], "id bigint, v double"),
+        index_column="id")
+    with pytest.raises(TypeError, match="false\\s+negatives"):
+        HeavyHitters(bad, "v", k=2, depth=2, width=64,
+                     sketch_source=hist, sketch_column="v").plan(spark)
+    # integral widths exempt (round-13 review: int vs bigint is the
+    # same CAST-AS-STRING render)
+    ints = DataFrameSource(
+        spark.createDataFrame([(1, 7)], "id bigint, v int"),
+        index_column="id")
+    longs = DataFrameSource(
+        spark.createDataFrame([(i, 7) for i in range(4)],
+                              "id bigint, v bigint"), index_column="id")
+    ok = HeavyHitters(ints, "v", k=1, depth=2, width=64,
+                      sketch_source=longs, sketch_column="v") \
+        .plan(spark).collect()
+    assert [(r["v"], r["est_count"]) for r in ok] == [(7, 4)]

@@ -274,3 +274,19 @@ def test_encode_wkb_degenerate_path_falls_through():
     assert (d["x"], d["y"]) == (1.0, 2.0) and d.get("path") is None
     two = encode_wkb({"path": [[1.0, 2.0], [3.0, 4.0]]})
     assert decode_wkb(two)["path"] == [[1.0, 2.0], [3.0, 4.0]]
+
+
+def test_encode_wkt_degenerate_path_falls_through(spark):
+    """Round-13 review fix: EncodeWKT mirrors encode_wkb — a 1-point
+    path is not a legal LINESTRING (the engine's own parsers reject
+    it), so it falls through to the point representation."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.geometry.wkb import EncodeWKT
+    df = spark.createDataFrame(
+        [(1, [[1.0, 2.0]], 1.0, 2.0),
+         (2, [[1.0, 2.0], [3.0, 4.0]], 1.0, 2.0)],
+        "fid bigint, path array<array<double>>, x double, y double")
+    rows = {r["fid"]: r["wkt"] for r in EncodeWKT(
+        DataFrameSource(df, index_column="fid")).plan(spark).collect()}
+    assert rows[1] == "POINT (1.0 2.0)"
+    assert rows[2] == "LINESTRING (1.0 2.0, 3.0 4.0)"

@@ -115,3 +115,15 @@ def test_writers_escape_xml_text(spark, tmp_path):
     grow = GMLGeometrySource(gp).plan(spark).collect()[0]
     assert grow["label"] == "x < y & z"
     assert (grow["x"], grow["y"]) == (3.0, 4.0)
+
+
+def test_write_gml_rejects_bad_element_names(tmp_path):
+    """Round-13 review fix: element names can't be escaped — a
+    property column named 'pop density' must raise, not emit a
+    malformed document."""
+    import pytest
+
+    from dask_geomodeling_spark.geometry.xmlformats import write_gml
+    rows = [{"fid": 1, "pop density": 2, "x": 1.0, "y": 2.0}]
+    with pytest.raises(ValueError, match="element name"):
+        write_gml(str(tmp_path / "bad.gml"), rows, ["pop density"])

@@ -140,6 +140,9 @@ def fixtures():
 rng = random.Random(1306)
 VOCAB = (list(STOPS) + ["cat", "dog", "apple", "market", "x1", "#",
                         "...", "banana", "going", "extraordinary"])
+docs = list(fixtures())
+# long multi-line random docs with varied line lengths (round-13
+# review fix: these used to append to a throwaway fixtures() list)
 for t in range(60):
     words = [rng.choice(VOCAB) for _ in range(rng.randint(0, 160))]
     lines = []
@@ -148,8 +151,8 @@ for t in range(60):
         k = rng.randint(1, 12)
         lines.append(" ".join(words[i:i + k]))
         i += k
-    fixtures().append(("rand", "\n".join(lines)))  # noqa
-docs = fixtures() + [
+    docs.append(("randlong%d" % t, "\n".join(lines)))
+docs += [
     ("rand%d" % t,
      "\n".join(" ".join(rng.choice(VOCAB)
                         for _ in range(rng.randint(1, 9)))
