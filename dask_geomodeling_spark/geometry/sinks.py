@@ -233,6 +233,16 @@ class GeometryFileSink(BaseSingle):
             import os
             import shutil
 
+            if extension == "gml":
+                # validate element names DRIVER-SIDE, before the
+                # destructive rmtree below — otherwise a bad column
+                # name would wipe existing output and then fail in
+                # every executor task (round-13 review fix)
+                from dask_geomodeling_spark.geometry.xmlformats \
+                    import _ncname
+                for c in df.columns:
+                    if c not in _FEATURE_GEOM_KEYS:
+                        _ncname(c, "property")
             if os.path.isdir(url):
                 if mode == "overwrite":
                     shutil.rmtree(url)

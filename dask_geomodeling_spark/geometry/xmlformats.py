@@ -350,13 +350,16 @@ def _ncname(name, what):
     """Element NAMES cannot be escaped, only validated — a property
     column named 'pop density' (legal in a DataFrame) would emit a
     malformed document the reader silently drops (round-13 review
-    fix): restrict to the pragmatic NCName subset."""
+    fix): restrict to the pragmatic QName subset (one optional
+    namespace colon, e.g. ``ogr:feature`` — the shape external GML
+    commonly uses and the reader round-trips)."""
     import re
-    if not re.fullmatch(r"[A-Za-z_][\w.\-]*", str(name)):
+    part = r"[A-Za-z_][\w.\-]*"
+    if not re.fullmatch("{p}(:{p})?".format(p=part), str(name)):
         raise ValueError(
             "{} {!r} is not a valid XML element name; rename the "
             "column (letters/digits/_/./- starting with a letter "
-            "or _)".format(what, name))
+            "or _, at most one namespace colon)".format(what, name))
     return name
 
 

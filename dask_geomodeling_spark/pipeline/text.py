@@ -1554,8 +1554,13 @@ class HeavyHitters(BaseSingle):
         (_, column, k, d, w, ssrc, scol, by) = self.args
         grp = [by] if by else []
         df = self.source._build(ctx)
-        # build the sketch source exactly once; same-block reuse
-        fdf = df if ssrc is self.args[0] else ssrc._build(ctx)
+        # build the sketch source exactly once; same-block reuse is
+        # by TOKEN, the graph-identity convention (round-13 review
+        # fix: identity alone missed an equal-token block built
+        # separately over an eager upstream)
+        same = (ssrc is self.args[0]
+                or ssrc.token == self.args[0].token)
+        fdf = df if same else ssrc._build(ctx)
         # the candidate and sketch columns hash through CAST-AS-STRING
         # (round-13 review fix: the BloomProbe guard applies here too —
         # a double probe against a bigint history sketch would read
@@ -1573,16 +1578,29 @@ class HeavyHitters(BaseSingle):
             # exactly like the literal path (round-13 review fix: the
             # old inner join dropped it, or min'd over a subset)
             sk = CountMinSketch._sketch(fdf, scol, d, w, by)
-            keys = ([by] if by else []) + ["row_idx", "pos_idx"]
             ests = []
             for j, p in enumerate(pos):
                 cj = (cand.select(*grp, column,
                                   F.expr(p).cast("bigint")
                                   .alias("pos_idx"))
                       .withColumn("row_idx", F.lit(j).cast("int")))
-                ests.append(cj.join(F.broadcast(sk), keys, "left")
-                            .select(*grp, column,
-                                    F.coalesce(F.col("counter"),
+                skr = (sk.withColumnRenamed("row_idx", "_sr")
+                       .withColumnRenamed("pos_idx", "_sp"))
+                if by:
+                    skr = skr.withColumnRenamed(by, "_sg")
+                skj = F.broadcast(skr)
+                cond = ((cj["row_idx"] == skj["_sr"])
+                        & (cj["pos_idx"] == skj["_sp"]))
+                if by:
+                    # NULL-SAFE on the group key (round-13 review
+                    # fix): groupBy keeps a NULL group but a plain
+                    # equi-join never matches it, which reported a
+                    # confident est_count 0 for NULL-group candidates
+                    cond = cond & cj[by].eqNullSafe(skj["_sg"])
+                ests.append(cj.join(skj, cond, "left")
+                            .select(*[cj[g] for g in grp],
+                                    cj[column],
+                                    F.coalesce(skj["counter"],
                                                F.lit(0).cast("bigint"))
                                     .alias("_e")))
             est = ests[0]

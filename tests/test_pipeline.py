@@ -2014,3 +2014,21 @@ def test_heavy_hitters_unseen_candidate_and_type_guard(spark):
                       sketch_source=longs, sketch_column="v") \
         .plan(spark).collect()
     assert [(r["v"], r["est_count"]) for r in ok] == [(7, 4)]
+
+
+def test_heavy_hitters_null_group_counts(spark):
+    """Round-13 review pass 2: groupBy keeps a NULL group, so the
+    by= join must be NULL-SAFE — NULL-group candidates get their real
+    counts, not a confident 0."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.text import HeavyHitters
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, None, "a"), (3, None, "a"),
+         (4, "g", "b")],
+        "id bigint, grp string, v string")
+    rows = HeavyHitters(DataFrameSource(df, index_column="id"),
+                        "v", k=2, depth=3, width=128, by="grp") \
+        .plan(spark).collect()
+    got = {(r["grp"], r["v"]): r["est_count"] for r in rows}
+    assert got[(None, "a")] == 3
+    assert got[("g", "b")] == 1

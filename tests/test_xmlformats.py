@@ -127,3 +127,33 @@ def test_write_gml_rejects_bad_element_names(tmp_path):
     rows = [{"fid": 1, "pop density": 2, "x": 1.0, "y": 2.0}]
     with pytest.raises(ValueError, match="element name"):
         write_gml(str(tmp_path / "bad.gml"), rows, ["pop density"])
+
+
+def test_write_gml_allows_qnames_and_sink_fails_fast(spark, tmp_path):
+    """Round-13 review pass 2: one namespace colon is a legal element
+    name (ogr:feature — the reader round-trips it), and the GML file
+    SINK validates property names driver-side BEFORE wiping existing
+    output."""
+    import os
+
+    import pytest
+
+    from dask_geomodeling_spark.geometry.sinks import GeometryFileSink
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.geometry.xmlformats import write_gml
+    p = str(tmp_path / "ns.gml")
+    write_gml(p, [{"fid": 1, "x": 1.0, "y": 2.0}], ["fid"],
+              feature_tag="ogr:feature")
+    assert os.path.exists(p)
+    out = str(tmp_path / "sinkout")
+    os.makedirs(out)
+    marker = os.path.join(out, "keep.gml")
+    open(marker, "w").write("x")
+    df = spark.createDataFrame([(1, 1.0, 2.0, "v")],
+                               "fid bigint, x double, y double, "
+                               "`pop density` string")
+    sink = GeometryFileSink(
+        DataFrameSource(df, index_column="fid"), out, extension="gml")
+    with pytest.raises(ValueError, match="element name"):
+        sink.write(spark)
+    assert os.path.exists(marker)  # failed BEFORE the rmtree

@@ -68,6 +68,11 @@ FIXTURES = [
     ("br-breaks", "line one<br/>line two<br >line three"),
     ("table", "<table><tr><td>c1</td><td>c2</td></tr></table>"),
     ("comment-dashes", "x <!-- a - b -- c --> y"),
+    # review-pass-2 check: '<'+letter with an unpaired quote IS
+    # tag-shaped per HTML5 — the parser strips it, and so do we
+    ("prose-unpaired-quote",
+     "we find a<b isn't significant>0.05 in all runs"),
+    ("unquoted-attr-quote", "<p class=don't>five good words.</p>"),
 ]
 
 PIECES = ["<p>The cat sat.</p>", "plain words", "<br>",
