@@ -233,26 +233,19 @@ class GeometryFileSink(BaseSingle):
             import os
             import shutil
 
-            if extension == "gml":
-                # validate element names DRIVER-SIDE, before the
-                # destructive rmtree below — otherwise a bad column
-                # name would wipe existing output and then fail in
-                # every executor task (round-13 review fix)
-                from dask_geomodeling_spark.geometry.xmlformats \
-                    import _ncname
-                for c in df.columns:
-                    if c not in _FEATURE_GEOM_KEYS:
-                        _ncname(c, "property")
-            if os.path.isdir(url):
-                if mode == "overwrite":
-                    shutil.rmtree(url)
-                elif mode != "append":
-                    raise IOError("'{}' exists (mode={})".format(url,
-                                                                 mode))
-            os.makedirs(url, exist_ok=True)
+            # ALL driver-side spec/name validation runs BEFORE the
+            # destructive rmtree below — a bad column name (gml
+            # element names, shp's 11-char dbf collisions) must fail
+            # fast, not wipe existing output and then die in executor
+            # tasks (round-13 review fixes, passes 2 + 3)
             props = [c for c in df.columns
                      if c not in _FEATURE_GEOM_KEYS]
             schema = df.schema
+            if extension == "gml":
+                from dask_geomodeling_spark.geometry.xmlformats \
+                    import _ncname
+                for c in props:
+                    _ncname(c, "property")
             if extension == "shp":
                 spec = _dbf_spec(schema, props)
                 rename = {old: new for new, old in
@@ -262,6 +255,13 @@ class GeometryFileSink(BaseSingle):
                 spec = (_gpkg_spec(schema, props)
                         if extension == "gpkg" else props)
                 rename = {}
+            if os.path.isdir(url):
+                if mode == "overwrite":
+                    shutil.rmtree(url)
+                elif mode != "append":
+                    raise IOError("'{}' exists (mode={})".format(url,
+                                                                 mode))
+            os.makedirs(url, exist_ok=True)
             prefix = (len([n for n in os.listdir(url)]) + 1
                       if mode == "append" else 0)
 

@@ -355,12 +355,27 @@ def _ncname(name, what):
     commonly uses and the reader round-trips)."""
     import re
     part = r"[A-Za-z_][\w.\-]*"
-    if not re.fullmatch("{p}(:{p})?".format(p=part), str(name)):
+    if not re.fullmatch("{p}(:{p})?".format(p=part), str(name)) \
+            or str(name).split(":")[0] in ("xmlns", "xml"):
         raise ValueError(
             "{} {!r} is not a valid XML element name; rename the "
             "column (letters/digits/_/./- starting with a letter "
-            "or _, at most one namespace colon)".format(what, name))
+            "or _, at most one namespace colon, no reserved "
+            "xml/xmlns prefix)".format(what, name))
     return name
+
+
+def _xmlns_decls(names):
+    """xmlns declarations for every non-gml prefix used in element
+    names — a prefixed element without a bound prefix is rejected by
+    every namespace-aware parser (round-13 review pass 3, verified
+    with ElementTree).  The URI is synthetic; our reader matches
+    names literally, and external consumers only need the binding to
+    exist."""
+    prefixes = sorted({str(n).split(":")[0] for n in names
+                       if ":" in str(n)} - {"gml"})
+    return "".join(' xmlns:{0}="urn:x-{0}"'.format(p)
+                   for p in prefixes)
 
 
 def write_kml(path, rows, props):
@@ -412,9 +427,10 @@ def write_gml(path, rows, props, feature_tag="feature",
     _ncname(geometry_tag, "geometry_tag")
     for p in props:
         _ncname(p, "property")
+    decls = _xmlns_decls([feature_tag, geometry_tag] + list(props))
     out = ['<?xml version="1.0" encoding="UTF-8"?>',
            '<gml:FeatureCollection '
-           'xmlns:gml="http://www.opengis.net/gml">']
+           'xmlns:gml="http://www.opengis.net/gml"{}>'.format(decls)]
     for row in rows:
         out.append("<gml:featureMember><{}>".format(feature_tag))
         for p in props:

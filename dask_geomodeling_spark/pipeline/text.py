@@ -1578,25 +1578,38 @@ class HeavyHitters(BaseSingle):
             # exactly like the literal path (round-13 review fix: the
             # old inner join dropped it, or min'd over a subset)
             sk = CountMinSketch._sketch(fdf, scol, d, w, by)
+
+            def fresh(name, taken):
+                # rename targets must not collide with the sketch's
+                # own columns — a by= column literally named '_sr'
+                # broke the join (round-13 review pass 3)
+                while name in taken:
+                    name = "_" + name
+                return name
+
+            taken = set(sk.columns) | {column}
+            nr = fresh("_sr", taken)
+            np_ = fresh("_sp", taken | {nr})
+            ng = fresh("_sg", taken | {nr, np_})
+            skr = (sk.withColumnRenamed("row_idx", nr)
+                   .withColumnRenamed("pos_idx", np_))
+            if by:
+                skr = skr.withColumnRenamed(by, ng)
+            skj = F.broadcast(skr)  # loop-invariant: built once
             ests = []
             for j, p in enumerate(pos):
                 cj = (cand.select(*grp, column,
                                   F.expr(p).cast("bigint")
                                   .alias("pos_idx"))
                       .withColumn("row_idx", F.lit(j).cast("int")))
-                skr = (sk.withColumnRenamed("row_idx", "_sr")
-                       .withColumnRenamed("pos_idx", "_sp"))
-                if by:
-                    skr = skr.withColumnRenamed(by, "_sg")
-                skj = F.broadcast(skr)
-                cond = ((cj["row_idx"] == skj["_sr"])
-                        & (cj["pos_idx"] == skj["_sp"]))
+                cond = ((cj["row_idx"] == skj[nr])
+                        & (cj["pos_idx"] == skj[np_]))
                 if by:
                     # NULL-SAFE on the group key (round-13 review
                     # fix): groupBy keeps a NULL group but a plain
                     # equi-join never matches it, which reported a
                     # confident est_count 0 for NULL-group candidates
-                    cond = cond & cj[by].eqNullSafe(skj["_sg"])
+                    cond = cond & cj[by].eqNullSafe(skj[ng])
                 ests.append(cj.join(skj, cond, "left")
                             .select(*[cj[g] for g in grp],
                                     cj[column],

@@ -220,3 +220,27 @@ def test_geojsonseq_roundtrip_and_merge(spark):
                 f.write("\x1e" + line)
     assert FileGeometrySource(rs, format="geojsonseq", id_field="fid",
                               schema=schema).plan(spark).count() == 30
+
+
+def test_shp_sink_dbf_collision_fails_before_rmtree(spark, tmp_path):
+    """Round-13 review pass 3: the shp sink's 11-char dbf name
+    collision must fail BEFORE the destructive overwrite rmtree."""
+    import os
+
+    import pytest
+
+    from dask_geomodeling_spark.geometry.sinks import GeometryFileSink
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    out = str(tmp_path / "shpout")
+    os.makedirs(out)
+    marker = os.path.join(out, "keep.bin")
+    open(marker, "w").write("x")
+    df = spark.createDataFrame(
+        [(1, 1.0, 2.0, "a", "b")],
+        "fid bigint, x double, y double, "
+        "temperature_a string, temperature_b string")
+    sink = GeometryFileSink(
+        DataFrameSource(df, index_column="fid"), out, extension="shp")
+    with pytest.raises(ValueError):
+        sink.write(spark)
+    assert os.path.exists(marker)

@@ -2032,3 +2032,18 @@ def test_heavy_hitters_null_group_counts(spark):
     got = {(r["grp"], r["v"]): r["est_count"] for r in rows}
     assert got[(None, "a")] == 3
     assert got[("g", "b")] == 1
+
+
+def test_heavy_hitters_by_column_named_sr(spark):
+    """Round-13 review pass 3: a by= column literally named '_sr'
+    must not collide with the join's internal rename targets."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.text import HeavyHitters
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 2), "v%d" % (i % 3)) for i in range(30)],
+        "id bigint, _sr string, v string")
+    rows = HeavyHitters(DataFrameSource(df, index_column="id"),
+                        "v", k=1, depth=2, width=64, by="_sr") \
+        .plan(spark).collect()
+    assert sorted((r["_sr"], r["rank"]) for r in rows) == \
+        [("g0", 1), ("g1", 1)]

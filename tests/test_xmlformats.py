@@ -141,10 +141,24 @@ def test_write_gml_allows_qnames_and_sink_fails_fast(spark, tmp_path):
     from dask_geomodeling_spark.geometry.sinks import GeometryFileSink
     from dask_geomodeling_spark.geometry.sources import DataFrameSource
     from dask_geomodeling_spark.geometry.xmlformats import write_gml
+    import xml.etree.ElementTree as ET
+
+    from dask_geomodeling_spark.geometry.xmlformats import (
+        GMLGeometrySource)
     p = str(tmp_path / "ns.gml")
     write_gml(p, [{"fid": 1, "x": 1.0, "y": 2.0}], ["fid"],
               feature_tag="ogr:feature")
-    assert os.path.exists(p)
+    ET.parse(p)  # prefix is DECLARED (review pass 3: unbound
+    # prefixes made every namespace-aware parser reject the file)
+    back = GMLGeometrySource(p, feature_tag="ogr:feature") \
+        .plan(spark).collect()
+    assert len(back) == 1 and (back[0]["x"], back[0]["y"]) == (1.0,
+                                                               2.0)
+    # reserved prefixes stay rejected
+    import pytest as _pt
+    with _pt.raises(ValueError, match="element name"):
+        write_gml(str(tmp_path / "x.gml"), [{"fid": 1}],
+                  ["xmlns:foo"])
     out = str(tmp_path / "sinkout")
     os.makedirs(out)
     marker = os.path.join(out, "keep.gml")
