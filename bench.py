@@ -127,7 +127,9 @@ def main():
                   "cost_distance", "cost_allocation",
                   "sniff_image_meta", "streaming_hyperloglog",
                   "geodesic_measures", "bloom_filter",
-                  "bloom_probe"):
+                  "bloom_probe",
+                  # round-13 additions
+                  "count_min_sketch", "heavy_hitters", "viewshed"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

@@ -17,7 +17,8 @@ __all__ = ["TokenCount", "BPETokenCount", "BPETokenize", "BPETrain",
            "QualityScore", "LanguageID", "Fingerprint", "TFIDF",
            "ChunkText", "CorpusStats", "BM25Score", "NgramNovelty",
            "ReadabilityScore", "TextNormalize", "HyperLogLog",
-           "KLLQuantile", "BloomFilter", "BloomProbe"]
+           "KLLQuantile", "BloomFilter", "BloomProbe",
+           "CountMinSketch", "HeavyHitters"]
 
 # tiny per-language stopword marker sets for the n-gram/stopword heuristic
 _LANG_MARKERS = {

@@ -18,7 +18,7 @@ from dask_geomodeling_spark.raster.base import BaseSingle, RasterBlock
 __all__ = ["Dilate", "MovingMax", "Smooth", "HillShade", "Slope",
            "Aspect", "TRI", "TPI", "Roughness", "Place",
            "Curvature", "RasterProximity", "RasterAllocation",
-           "FocalStatistic", "IDWInterpolate"]
+           "FocalStatistic", "IDWInterpolate", "Viewshed"]
 
 
 def _offsets_df(spark, offsets):
