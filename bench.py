@@ -129,7 +129,8 @@ def main():
                   "geodesic_measures", "bloom_filter",
                   "bloom_probe",
                   # round-13 additions
-                  "count_min_sketch", "heavy_hitters", "viewshed"):
+                  "count_min_sketch", "heavy_hitters", "viewshed",
+                  "streaming_count_min"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

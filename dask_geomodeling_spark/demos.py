@@ -11729,6 +11729,39 @@ def viewshed(spark, sf_dir):
                     DataFrameRasterSource(obs), radius=10).plan(spark)
 
 
+def _streaming_cms_oracle(width=512, d=3):
+    sel = "\nUNION ALL\n".join(
+        "SELECT window_start, CAST({j} AS INTEGER) AS row_idx, "
+        "CAST({p} AS BIGINT) AS pos_idx FROM vals".format(
+            j=j, p=_cms_pos_sql("v", width, j)) for j in range(d))
+    return """
+WITH vals AS (SELECT CAST(user_id AS VARCHAR) AS v,
+                     CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP)
+                       AS window_start
+              FROM events),
+cpos AS ({sel})
+SELECT window_start, row_idx, pos_idx,
+       COUNT(*) AS counter
+FROM cpos GROUP BY 1, 2, 3
+""".format(sel=sel)
+
+
+@demo("streaming_count_min", oracle=_streaming_cms_oracle())
+def streaming_count_min(spark, sf_dir):
+    """StreamingCountMin (round 13): hourly engine-exact frequency
+    sketches of event user ids — the BATCH parity of the Structured
+    Streaming plan (the CM groupBy-count is already ONE streaming-
+    legal stateful aggregation, unlike HLL's collapsed maxes).
+    Counters bit-shared with the batch CountMinSketch; windows merge
+    by counter SUM; stream==batch emission pinned in
+    tests/test_streaming.py."""
+    from dask_geomodeling_spark.streaming.events import (
+        EventSource, StreamingCountMin)
+    src = EventSource(_pq(sf_dir, "events"))
+    return StreamingCountMin(src, "user_id", frequency="1 hour",
+                             depth=3, width=512).plan(spark)
+
+
 @demo("geodesic_measures", oracle="""
 WITH q AS (
   SELECT c_custkey,
@@ -12074,6 +12107,7 @@ GATE_ANCHORS = [
     "count_min_sketch",
     "heavy_hitters",
     "viewshed",
+    "streaming_count_min",
 ]
 
 

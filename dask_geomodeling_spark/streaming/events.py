@@ -17,7 +17,8 @@ from dask_geomodeling_spark.functions import statistic_expr
 
 __all__ = ["EventSource", "EventAggregate", "SessionizeEvents",
            "StreamingDedup", "IntervalJoin", "AsofJoin",
-           "RollingEventAggregate", "StreamingHyperLogLog"]
+           "RollingEventAggregate", "StreamingHyperLogLog",
+           "StreamingCountMin"]
 
 
 def _start_parquet_stream(df, path, checkpoint, available_now):
@@ -540,6 +541,74 @@ class StreamingHyperLogLog(Block):
             F.lit(m).cast("bigint").alias("n_registers"),
             F.col("_vz").alias("v_zero"),
             F.col("_s").alias("s_scaled"))
+
+    def start(self, spark=None, path=None, checkpoint=None,
+              available_now=False, **request):
+        """Run as a streaming query writing to parquet (append mode
+        with the watermark set upstream)."""
+        return _start_parquet_stream(self.plan(spark, **request),
+                                     path, checkpoint, available_now)
+
+
+class StreamingCountMin(Block):
+    """Windowed ENGINE-EXACT Count-Min frequency sketch over an event
+    stream (round 13) — "which users/hosts dominate each hour" with
+    state bounded by depth·width counters per (window, group), never
+    the events: the streaming member of the sketch family beside
+    :class:`StreamingHyperLogLog`, bit-shared with the batch
+    :class:`pipeline.text.CountMinSketch` (the same BloomFilter
+    Mersenne position pipeline), so windows merge with plain counter
+    SUM and a DuckDB oracle replays the state integer-exactly.
+
+    Unlike HLL (whose batch two-step had to collapse into conditional
+    maxes), the CM sketch's ONE groupBy-count IS already a single
+    streaming-legal stateful aggregation, so ``depth``/``width`` keep
+    the batch block's full ranges.  The deterministic heavy-hitters
+    READOUT (top-k needs a second aggregation + sort) stays a batch/
+    downstream step — run :class:`pipeline.text.HeavyHitters` over
+    the emitted windows, or merge windows by counter sum first.
+
+    Output: ``window_start``, ``by``-columns, ``row_idx``,
+    ``pos_idx``, ``counter`` — one row per NON-ZERO counter per
+    watermark-closed window; stream==batch emission is pinned in
+    tests/test_streaming.py (the EventAggregate convention)."""
+
+    def __init__(self, source, column, frequency="1 hour", depth=3,
+                 width=1024, by=None, time_column="ts"):
+        if not isinstance(source, Block):
+            raise TypeError("'{}' object is not allowed".format(type(source)))
+        from dask_geomodeling_spark.pipeline.text import BloomFilter
+        d, w = int(depth), int(width)
+        # the batch CountMinSketch's validation contract, verbatim
+        if not 1 <= d <= len(BloomFilter._HASHES):
+            raise ValueError("depth must be in [1, {}]"
+                             .format(len(BloomFilter._HASHES)))
+        if not 2 <= w <= (1 << 22):
+            raise ValueError("width must be in [2, 2^22]")
+        super().__init__(source, str(column), str(frequency), d, w,
+                         None if by is None else str(by),
+                         str(time_column))
+
+    def _build(self, ctx):
+        from dask_geomodeling_spark.pipeline.text import BloomFilter
+        source, column, frequency, d, w, by, time_column = self.args
+        grp = [by] if by else []
+        df = source._build(ctx)
+        rows, pos = BloomFilter._positions(df, column, w, d)
+        hits = rows.select(
+            F.window(time_column, frequency).alias("_w"), *grp,
+            F.explode(F.array(*[
+                F.struct(F.lit(j).cast("int").alias("r"),
+                         F.expr(p).cast("bigint").alias("p"))
+                for j, p in enumerate(pos)])).alias("_rp"))
+        # ONE stateful aggregation — streaming-legal in append mode
+        # with the source's watermark; no sort (illegal on streams)
+        return (hits.groupBy("_w", *grp,
+                             F.col("_rp.r").alias("row_idx"),
+                             F.col("_rp.p").alias("pos_idx"))
+                .agg(F.count(F.lit(1)).alias("counter"))
+                .select(F.col("_w.start").alias("window_start"),
+                        *grp, "row_idx", "pos_idx", "counter"))
 
     def start(self, spark=None, path=None, checkpoint=None,
               available_now=False, **request):

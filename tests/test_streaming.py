@@ -654,3 +654,59 @@ def test_streaming_hll_matches_batch_and_batch_sketch(spark, tmp_path):
         "user_id", precision=6).plan(spark).collect()[0]
     assert (row["s_scaled"], row["v_zero"], row["n_distinct_est"]) \
         == batch_rows[win]
+
+
+def test_streaming_count_min_matches_batch_and_batch_sketch(
+        spark, tmp_path):
+    """Round 13: StreamingCountMin over readStream (availableNow)
+    emits exactly the batch rows for every watermark-closed window,
+    and each window's counters equal the batch CountMinSketch over
+    that window's rows (shared Bloom position pipeline) — so windows
+    merge by counter SUM into the whole-range sketch."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.text import CountMinSketch
+    from dask_geomodeling_spark.streaming.events import (
+        EventSource, StreamingCountMin)
+    url = SF_DIR + "/events.parquet"
+    batch = StreamingCountMin(EventSource(url), "user_id",
+                              frequency="1 hour", depth=3, width=128)
+    batch_rows = {(r["window_start"], r["row_idx"], r["pos_idx"]):
+                  r["counter"] for r in batch.plan(spark).collect()}
+    assert batch_rows
+
+    restaged = str(tmp_path / "events")
+    EventSource(url).plan(spark).write.parquet(restaged)
+    stream = StreamingCountMin(
+        EventSource(restaged, streaming=True, watermark="10 minutes"),
+        "user_id", frequency="1 hour", depth=3, width=128)
+    out = str(tmp_path / "out")
+    q = stream.start(spark, path=out,
+                     checkpoint=str(tmp_path / "ckpt"),
+                     available_now=True)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).collect()
+    assert got
+    for r in got:
+        key = (r["window_start"], r["row_idx"], r["pos_idx"])
+        assert batch_rows[key] == r["counter"], key
+    emitted = {r["window_start"] for r in got}
+    missing = {k[0] for k in batch_rows} - emitted
+    if missing:
+        assert missing == {max(k[0] for k in batch_rows)}
+
+    # windows merge by SUM into the whole-range batch sketch
+    merged = defaultdict(int)
+    for (w, j, p), c in batch_rows.items():
+        merged[(j, p)] += c
+    ev = EventSource(url).plan(spark)
+    whole = {(r["row_idx"], r["pos_idx"]): r["counter"]
+             for r in CountMinSketch(
+                 DataFrameSource(ev.select("event_id", "user_id"),
+                                 index_column="event_id"),
+                 "user_id", depth=3, width=128)
+             .plan(spark).collect()}
+    assert dict(merged) == whole
