@@ -6,6 +6,15 @@ here run in BOTH modes: given a batch frame they produce the identical
 windowed aggregation (that batch-parity is what the correctness gate
 checks); given a streaming frame (``spark.readStream``) the same plan
 runs incrementally with late-data handling.
+
+Late-data contract (measured, tools/hunts/hunt_streaming.py — the
+Spark guide's "best-effort" bound made precise): batch N's watermark
+is the max event time over batches < N minus the delay; a window is
+evicted+emitted at the END of the first batch whose watermark passes
+its end, so a too-late row can STILL be absorbed if it arrives in
+that eviction batch itself — only rows arriving after it are
+guaranteed dropped.  Inclusion within the watermark and at-most-once
+append emission are the hard guarantees.
 """
 
 from __future__ import annotations
