@@ -745,6 +745,12 @@ class Viewshed(BaseSingle):
     viewshed ships (chosen here over per-cell supercover because the
     sampled row set is closed-form, so SQL oracles replay it).
 
+    ``earth_curvature=True`` applies the ESRI correction: a target at
+    ground distance d sits ``d²·(1 − refractivity)/(2·R_earth)``
+    meters below the observer's tangent plane (``refractivity=0.13``,
+    the standard atmospheric bend-back) — the horizon effect for
+    long-range sweeps; DEM values and ``cell_size`` must be METERS.
+
     Plan shape (100 TB): observers scatter over the 8·radius²
     ray-step LITERAL (one broadcast crossJoin — the RasterProximity
     pattern, bounded by the radius, NEVER data×data); ONE equi-join
@@ -755,7 +761,8 @@ class Viewshed(BaseSingle):
     observer count with an explicit, documented radius bound."""
 
     def __init__(self, store, observers, radius=32,
-                 target_height=0.0, cell_size=1.0):
+                 target_height=0.0, cell_size=1.0,
+                 earth_curvature=False, refractivity=0.13):
         if not isinstance(observers, RasterBlock):
             raise TypeError(
                 "'{}' object is not allowed".format(type(observers)))
@@ -766,8 +773,11 @@ class Viewshed(BaseSingle):
                 "literal is 8·radius² rows; tile a wider sweep)")
         if not float(cell_size) > 0:
             raise ValueError("cell_size must be > 0")
+        if not 0.0 <= float(refractivity) < 1.0:
+            raise ValueError("refractivity must be in [0, 1)")
         super().__init__(store, observers, r, float(target_height),
-                         float(cell_size))
+                         float(cell_size), bool(earth_curvature),
+                         float(refractivity))
 
     @property
     def columns(self):
@@ -775,7 +785,7 @@ class Viewshed(BaseSingle):
 
     def _build(self, ctx):
         from pyspark.sql import Window
-        _, obs_blk, R, th, cs = self.args
+        _, obs_blk, R, th, cs, curve, refr = self.args
         spark = ctx.spark
         dem = (self.store._build(ctx)
                .filter(F.col("value").isNotNull())
@@ -805,10 +815,21 @@ class Viewshed(BaseSingle):
                          "_rdy", "_rdx", "_step", "_dist",
                          (F.col("_oy") + F.col("_py")).alias("y"),
                          (F.col("_ox") + F.col("_px")).alias("x"))
-                 .join(dem, ["time", "y", "x"])
-                 .withColumn("_slope",
-                             (F.col("_z") + F.lit(th) - F.col("_zo"))
-                             / (F.col("_dist") * F.lit(cs))))
+                 .join(dem, ["time", "y", "x"]))
+        z_eff = F.col("_z") + F.lit(th)
+        if curve:
+            # ESRI curvature correction: the target drops below the
+            # observer's tangent plane by d²(1−refractivity)/(2R_earth)
+            # meters (refraction bends the sightline back ~13%); DEM
+            # z and cell_size must be METERS for this to mean anything
+            from dask_geomodeling_spark.geometry.geom_operations \
+                import EARTH_RADIUS_M
+            dm = F.col("_dist") * F.lit(cs)
+            z_eff = z_eff - dm * dm * F.lit(
+                (1.0 - refr) / (2.0 * EARTH_RADIUS_M))
+        steps = steps.withColumn(
+            "_slope", (z_eff - F.col("_zo"))
+            / (F.col("_dist") * F.lit(cs)))
         w = (Window.partitionBy("time", "_oy", "_ox", "_rdy", "_rdx")
              .orderBy("_step")
              .rowsBetween(Window.unboundedPreceding, -1))

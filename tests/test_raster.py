@@ -1637,3 +1637,59 @@ def test_viewshed_random_dem_matches_model(spark):
         for k, v in vis.items():
             want[k] = want.get(k, 0.0) + (1.0 if v else 0.0)
     assert got == want
+
+
+def test_viewshed_earth_curvature_horizon(spark):
+    """Round 13 (post-close): earth_curvature=True produces the
+    horizon effect on flat ground — slope(d) = −h/d − d·(1−k)/(2R)
+    peaks at d* = sqrt(2Rh/(1−k)), so cells beyond the tangent point
+    go hidden; verified against a per-cell python replay AND the
+    closed-form boundary.  With curvature off, flat ground is visible
+    to the full radius."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dask_geomodeling_spark.geometry.geom_operations import (
+        EARTH_RADIUS_M)
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    from dask_geomodeling_spark.raster.spatial import (Viewshed,
+                                                       _ray_offsets)
+    R, cs, h, k = 100, 1000.0, 100.0, 0.13   # 1 km cells, 100 m eye
+    n = R + 1
+    dem = spark.createDataFrame(
+        [(0, x, 0.0) for x in range(n)],
+        "y bigint, x bigint, value double") \
+        .select(F.expr("TIMESTAMP '2024-01-01'").alias("time"),
+                "y", "x", "value")
+    obs = spark.createDataFrame([(0, 0, h)],
+                                "y bigint, x bigint, value double") \
+        .select(F.expr("TIMESTAMP '2024-01-01'").alias("time"),
+                "y", "x", "value")
+    got = {r["x"]: r["value"] for r in Viewshed(
+        DataFrameRasterSource(dem), DataFrameRasterSource(obs),
+        radius=R, cell_size=cs, earth_curvature=True,
+        refractivity=k).plan(spark).filter("y = 0 AND x >= 0")
+        .collect()}
+    # python replay along the +x axis ray (dominant-axis steps are
+    # exactly x = 1..R on this strip)
+    vis, mx = {0: 1.0}, None
+    for x in range(1, R + 1):
+        d = x * cs
+        s = (0.0 - d * d * (1.0 - k) / (2.0 * EARTH_RADIUS_M) - h) / d
+        v = mx is None or s >= mx
+        mx = s if mx is None else max(mx, s)
+        vis[x] = 1.0 if v else 0.0
+    assert got == vis
+    # closed-form tangent point: visible out to ~d*, hidden beyond
+    dstar = math.sqrt(2.0 * EARTH_RADIUS_M * h / (1.0 - k)) / cs
+    boundary = max(x for x in vis if vis[x] == 1.0)
+    assert abs(boundary - dstar) <= 1.0
+    assert vis[R] == 0.0
+    # curvature off: flat ground visible to the full radius
+    flat = {r["x"]: r["value"] for r in Viewshed(
+        DataFrameRasterSource(dem), DataFrameRasterSource(obs),
+        radius=R, cell_size=cs).plan(spark)
+        .filter("y = 0 AND x >= 0").collect()}
+    assert all(v == 1.0 for v in flat.values())
