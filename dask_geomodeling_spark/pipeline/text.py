@@ -1122,6 +1122,14 @@ class KLLQuantile(BaseSingle):
     groupBy over <= groups*32 level keys; pass 2 filters to <= k rows
     per group and runs one bounded window over them.  Nothing
     data-sized ever crosses the wire; no executor storage retained.
+
+    No streaming variant exists, deliberately (round-13 note — HLL
+    and CMS both have one): the sketch's state is the kept VALUE set,
+    not a fixed-width register/counter vector, so it cannot collapse
+    into one windowed aggregation of conditional columns, and the
+    threshold pass would chain a second stateful aggregation —
+    illegal under Structured Streaming.  Window the events and run
+    the batch sketch per closed window instead.
     """
 
     _M = 2147483647

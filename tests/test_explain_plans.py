@@ -1037,3 +1037,14 @@ def test_viewshed_rays_never_cross_join_data(spark):
     # the running max is keyed per (observer, ray) — an unkeyed
     # window over the full scatter would serialize the whole sweep
     assert "windowspecdefinition(_oy" in plan
+
+
+def test_heavy_hitters_global_path_has_no_join(spark):
+    """Round 13: the global HeavyHitters estimate embeds the collected
+    sketch as literal arrays — pure column math over the candidate
+    DISTINCT, no join node anywhere in the plan (the by=/large-width
+    path is the sanctioned broadcast join instead)."""
+    from dask_geomodeling_spark import demos
+    df = demos.QUERIES["heavy_hitters"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Join" not in plan, plan[:2000]
