@@ -130,7 +130,7 @@ def main():
                   "bloom_probe",
                   # round-13 additions
                   "count_min_sketch", "heavy_hitters", "viewshed",
-                  "streaming_count_min"):
+                  "streaming_count_min", "weighted_sample"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

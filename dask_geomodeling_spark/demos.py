@@ -11762,6 +11762,36 @@ def streaming_count_min(spark, sf_dir):
                              depth=3, width=512).plan(spark)
 
 
+@demo("weighted_sample", oracle="""
+WITH keyed AS (
+  SELECT o_orderkey, o_totalprice,
+         ln(((o_orderkey * 2654435761) % 2147483647 + 1)
+            / 2147483648.0) / o_totalprice AS k
+  FROM orders WHERE o_totalprice > 0)
+SELECT o_orderkey, o_totalprice,
+       CAST(ROW_NUMBER() OVER (ORDER BY k DESC, o_orderkey)
+            AS BIGINT) AS sample_rank
+FROM keyed ORDER BY k DESC, o_orderkey LIMIT 100
+""")
+def weighted_sample(spark, sf_dir):
+    """WeightedSample (round 13): Efraimidis-Spirakis A-ES weighted
+    sampling without replacement — 100 orders drawn with inclusion
+    probability proportional to o_totalprice, deterministically (u
+    from the split-hash arithmetic, no RNG), so the oracle replays
+    the exact sample.  Key math is map-side; the top-n is Spark's
+    TakeOrdered (per-partition top-n + driver merge, no global
+    sort)."""
+    from dask_geomodeling_spark.pipeline.sample import WeightedSample
+    orders = ensure_min_partitions(read_nanos_parquet(
+        spark, _pq(sf_dir, "orders")), spark)
+    src = DataFrameSource(
+        orders.select("o_orderkey", "o_totalprice"),
+        index_column="o_orderkey")
+    return WeightedSample(src, "o_totalprice", n=100) \
+        .plan(spark).select("o_orderkey", "o_totalprice",
+                            "sample_rank")
+
+
 @demo("geodesic_measures", oracle="""
 WITH q AS (
   SELECT c_custkey,
@@ -12108,6 +12138,7 @@ GATE_ANCHORS = [
     "heavy_hitters",
     "viewshed",
     "streaming_count_min",
+    "weighted_sample",
 ]
 
 

@@ -21,7 +21,8 @@ from dask_geomodeling_spark.core.blocks import Block
 from dask_geomodeling_spark.geometry.base import BaseSingle
 
 __all__ = ["HashSplit", "PackSequences", "StratifiedSample",
-           "SourceMix", "TemperatureMix", "ConcatCorpora"]
+           "SourceMix", "TemperatureMix", "ConcatCorpora",
+           "WeightedSample"]
 
 # split-hash constants: any odd multiplier modulo 2^31-1 works; these
 # are fixed so the split is part of the dataset's identity
@@ -450,3 +451,66 @@ class PerGroupLimit(BaseSingle):
         return (df.withColumn("group_rank",
                               F.row_number().over(w).cast("bigint"))
                 .filter(F.col("group_rank") <= n))
+
+
+class WeightedSample(BaseSingle):
+    """Deterministic weighted sampling WITHOUT replacement (round 13)
+    — the Efraimidis-Spirakis A-ES one-pass top-k: each row draws
+    ``u ∈ (0, 1)`` and the ``n`` largest ``u^(1/w)`` win, which
+    yields inclusion probabilities proportional to the weights (the
+    published reservoir algorithm, distributed for free because the
+    criterion is a per-row KEY).  Completes the sampling family:
+    HashSplit = stable splits, StratifiedSample = per-stratum counts,
+    WeightedSample = global importance sampling (the "sample the
+    corpus by quality score / domain weight" step of data mixing).
+
+    ``u`` comes from the SPLIT-hash arithmetic, not an RNG:
+    ``u = ((id·PRIME) mod M + 1) / (M + 1)`` — so every engine,
+    rerun, and parallelism level draws the IDENTICAL sample, and the
+    DuckDB oracle replays it.  The key compares as ``ln(u)/w``
+    (monotone in ``u^(1/w)``, cheaper and flatter numerically);
+    rows with NULL or non-positive weight never sample.
+
+    Plan shape: pure map-side key math + ``orderBy(key).limit(n)`` —
+    Spark's TakeOrdered (per-partition top-n, driver merge of n
+    rows; no global sort shuffle) — then one ≤ n-row window assigns
+    ``sample_rank``.  Ties (identical key) break by ascending id.
+
+    Output: source columns + ``sample_rank`` (1-based).
+    """
+
+    _PRIME = 2654435761
+    _MOD = (1 << 31) - 1
+
+    def __init__(self, source, weight_column, n=100, id_column=None):
+        if id_column is None:
+            id_column = source.index_column
+        if int(n) < 1:
+            raise ValueError("n must be >= 1")
+        if "sample_rank" in source.columns:
+            raise ValueError("column 'sample_rank' collides with "
+                             "WeightedSample's output")
+        super().__init__(source, str(weight_column), int(n),
+                         str(id_column))
+
+    @property
+    def columns(self):
+        return set(self.source.columns) | {"sample_rank"}
+
+    def _build(self, ctx):
+        from pyspark.sql import Window
+        _, wcol, n, idc = self.args
+        df = self.source._build(ctx)
+        w = F.col(wcol).cast("double")
+        u = ((F.pmod(F.col(idc).cast("bigint") * self._PRIME,
+                     F.lit(self._MOD)) + 1).cast("double")
+             / float(self._MOD + 1))
+        key = F.log(u) / w
+        top = (df.filter(w.isNotNull() & (w > 0))
+               .withColumn("_wk", key)
+               .orderBy(F.col("_wk").desc(), F.col(idc).asc())
+               .limit(n))
+        rk = Window.orderBy(F.col("_wk").desc(), F.col(idc).asc())
+        return (top.withColumn("sample_rank",
+                               F.row_number().over(rk).cast("bigint"))
+                .drop("_wk"))

@@ -2047,3 +2047,43 @@ def test_heavy_hitters_by_column_named_sr(spark):
         .plan(spark).collect()
     assert sorted((r["_sr"], r["rank"]) for r in rows) == \
         [("g0", 1), ("g1", 1)]
+
+
+def test_weighted_sample_model_and_determinism(spark):
+    """Round 13: WeightedSample replays a pure-python A-ES model
+    bit-for-bit (hash-derived u, key = ln(u)/w, ties by id), is
+    invariant to partitioning, never samples non-positive weights,
+    and empirically skews toward heavy weights."""
+    import math
+
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.text import CountMinSketch  # noqa: F401 (session warm)
+    from dask_geomodeling_spark.pipeline.sample import WeightedSample
+    M = (1 << 31) - 1
+    rows = [(i, float(1 + (i % 7)) if i % 11 else None)
+            for i in range(1, 400)]
+    rows += [(1000, 0.0), (1001, -2.0)]   # never sampled
+    df = spark.createDataFrame(rows, "id bigint, w double")
+    got = [(r["id"], r["sample_rank"]) for r in
+           WeightedSample(DataFrameSource(df, index_column="id"),
+                          "w", n=25).plan(spark)
+           .orderBy("sample_rank").collect()]
+    keyed = sorted(
+        ((math.log(((i * 2654435761) % M + 1) / float(M + 1)) / w, -i)
+         for i, w in rows if w is not None and w > 0),
+        reverse=True)[:25]
+    want = [(-ni, rk + 1) for rk, (_k, ni) in enumerate(keyed)]
+    assert got == want
+    assert all(i not in (1000, 1001) for i, _ in got)
+    # partitioning invariance
+    got2 = [(r["id"], r["sample_rank"]) for r in
+            WeightedSample(
+                DataFrameSource(df.repartition(13), index_column="id"),
+                "w", n=25).plan(spark).orderBy("sample_rank").collect()]
+    assert got2 == got
+    # weight skew: mean weight of the sample beats the corpus mean
+    ws = {i: w for i, w in rows if w}
+    samp_mean = sum(ws[i] for i, _ in got) / len(got)
+    corp_mean = (sum(w for w in ws.values() if w > 0)
+                 / sum(1 for w in ws.values() if w > 0))
+    assert samp_mean > corp_mean
