@@ -11738,7 +11738,7 @@ def _streaming_cms_oracle(width=512, d=3):
 WITH vals AS (SELECT CAST(user_id AS VARCHAR) AS v,
                      CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP)
                        AS window_start
-              FROM events),
+              FROM events WHERE user_id IS NOT NULL),
 cpos AS ({sel})
 SELECT window_start, row_idx, pos_idx,
        COUNT(*) AS counter
@@ -11765,7 +11765,8 @@ def streaming_count_min(spark, sf_dir):
 @demo("weighted_sample", oracle="""
 WITH keyed AS (
   SELECT o_orderkey, o_totalprice,
-         ln(((o_orderkey * 2654435761) % 2147483647 + 1)
+         ln((((o_orderkey % 2147483647) * 2654435761)
+             % 2147483647 + 1)
             / 2147483648.0) / o_totalprice AS k
   FROM orders WHERE o_totalprice > 0)
 SELECT o_orderkey, o_totalprice,

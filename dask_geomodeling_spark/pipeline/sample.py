@@ -25,8 +25,12 @@ __all__ = ["HashSplit", "PackSequences", "StratifiedSample",
            "WeightedSample"]
 
 # split-hash constants: any odd multiplier modulo 2^31-1 works; these
-# are fixed so the split is part of the dataset's identity
-_SPLIT_PRIME = 2654435761
+# are fixed so the split is part of the dataset's identity — ONE
+# definition each (round-13 review: three drifting copies invited a
+# silent sample change)
+_HASH_PRIME = 2654435761
+_HASH_MOD = (1 << 31) - 1
+_SPLIT_PRIME = _HASH_PRIME
 _SPLIT_MOD = 10000
 
 
@@ -92,8 +96,8 @@ class StratifiedSample(BaseSingle):
     Output: source columns + ``sample_rank`` (1-based within stratum).
     """
 
-    _PRIME = 2654435761
-    _MOD = (1 << 31) - 1
+    _PRIME = _HASH_PRIME
+    _MOD = _HASH_MOD
 
     def __init__(self, source, strata, n=100, id_column=None, salt=16):
         if id_column is None:
@@ -479,8 +483,8 @@ class WeightedSample(BaseSingle):
     Output: source columns + ``sample_rank`` (1-based).
     """
 
-    _PRIME = 2654435761
-    _MOD = (1 << 31) - 1
+    _PRIME = _HASH_PRIME
+    _MOD = _HASH_MOD
 
     def __init__(self, source, weight_column, n=100, id_column=None):
         if id_column is None:
@@ -499,18 +503,38 @@ class WeightedSample(BaseSingle):
 
     def _build(self, ctx):
         from pyspark.sql import Window
+        from pyspark.sql import types as T
         _, wcol, n, idc = self.args
         df = self.source._build(ctx)
+        # the hash needs an INTEGRAL id: a string id would cast to
+        # all-NULL keys and silently degrade to first-n-by-id
+        # (round-13 review fix) — refuse instead
+        idt = df.schema[idc].dataType
+        if not isinstance(idt, (T.ByteType, T.ShortType,
+                                T.IntegerType, T.LongType)):
+            raise TypeError(
+                "WeightedSample id column {!r} is {} — the "
+                "deterministic hash needs an integral id; derive one "
+                "(e.g. xxhash64) upstream".format(
+                    idc, idt.simpleString()))
         w = F.col(wcol).cast("double")
-        u = ((F.pmod(F.col(idc).cast("bigint") * self._PRIME,
+        # reduce the id mod M BEFORE multiplying: (M-1)*PRIME < 2^63,
+        # so the product never overflows and every engine computes
+        # the identical u even for snowflake-scale ids (round-13
+        # review fix; the raw id*PRIME wrapped past ~3.47e9)
+        u = ((F.pmod(F.pmod(F.col(idc).cast("bigint"),
+                            F.lit(self._MOD)) * self._PRIME,
                      F.lit(self._MOD)) + 1).cast("double")
              / float(self._MOD + 1))
         key = F.log(u) / w
+        kc = "_wk"
+        while kc in df.columns:   # never clobber a source column
+            kc = "_" + kc
         top = (df.filter(w.isNotNull() & (w > 0))
-               .withColumn("_wk", key)
-               .orderBy(F.col("_wk").desc(), F.col(idc).asc())
+               .withColumn(kc, key)
+               .orderBy(F.col(kc).desc(), F.col(idc).asc())
                .limit(n))
-        rk = Window.orderBy(F.col("_wk").desc(), F.col(idc).asc())
+        rk = Window.orderBy(F.col(kc).desc(), F.col(idc).asc())
         return (top.withColumn("sample_rank",
                                F.row_number().over(rk).cast("bigint"))
-                .drop("_wk"))
+                .drop(kc))

@@ -1454,13 +1454,20 @@ class CountMinSketch(BaseSingle):
     (group, row, pos) composite keys: state is bounded by
     groups·depth·width and a hot group spreads over its width keys."""
 
-    def __init__(self, source, column, depth=4, width=1024, by=None):
+    @classmethod
+    def _validate(cls, depth, width):
+        """The depth/width contract, shared with StreamingCountMin
+        (round-13 review fix: one definition, no drift)."""
         d, w = int(depth), int(width)
         if not 1 <= d <= len(BloomFilter._HASHES):
             raise ValueError("depth must be in [1, {}]"
                              .format(len(BloomFilter._HASHES)))
         if not 2 <= w <= (1 << 22):
             raise ValueError("width must be in [2, 2^22]")
+        return d, w
+
+    def __init__(self, source, column, depth=4, width=1024, by=None):
+        d, w = self._validate(depth, width)
         super().__init__(source, str(column), d, w,
                          None if by is None else str(by))
 
@@ -1471,23 +1478,34 @@ class CountMinSketch(BaseSingle):
                 | ({by} if by else set()))
 
     @classmethod
-    def _sketch(cls, df, column, d, w, by=None):
+    def _sketch(cls, df, column, d, w, by=None, extra_grp=(),
+                sort=True):
         """Counters from an ALREADY-BUILT frame (the BloomFilter
         _sketch convention, so HeavyHitters builds each source
-        exactly once)."""
+        exactly once).  ``extra_grp`` prepends extra grouping
+        expressions as (expr, name) pairs and ``sort=False`` skips
+        the final orderBy — together they let StreamingCountMin run
+        THE SAME counter pipeline grouped by an event-time window
+        (sorting is illegal on streams), so batch and stream can
+        never drift (round-13 review fix: the streaming block used
+        to carry a copy)."""
         grp = [by] if by else []
         rows, pos = BloomFilter._positions(df, column, w, d)
+        pre = [e.alias(n) for e, n in extra_grp]
+        pre_names = [n for _, n in extra_grp]
         hits = rows.select(
-            *grp,
+            *pre, *grp,
             F.explode(F.array(*[
                 F.struct(F.lit(j).cast("int").alias("r"),
                          F.expr(p).cast("bigint").alias("p"))
                 for j, p in enumerate(pos)])).alias("_rp"))
-        return (hits.groupBy(*grp,
-                             F.col("_rp.r").alias("row_idx"),
-                             F.col("_rp.p").alias("pos_idx"))
-                .agg(F.count(F.lit(1)).alias("counter"))
-                .orderBy(*grp, "row_idx", "pos_idx"))
+        out = (hits.groupBy(*pre_names, *grp,
+                            F.col("_rp.r").alias("row_idx"),
+                            F.col("_rp.p").alias("pos_idx"))
+               .agg(F.count(F.lit(1)).alias("counter")))
+        if sort:
+            out = out.orderBy(*pre_names, *grp, "row_idx", "pos_idx")
+        return out
 
     def _build(self, ctx):
         _, column, d, w, by = self.args

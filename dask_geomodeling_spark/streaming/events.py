@@ -586,38 +586,29 @@ class StreamingCountMin(Block):
                  width=1024, by=None, time_column="ts"):
         if not isinstance(source, Block):
             raise TypeError("'{}' object is not allowed".format(type(source)))
-        from dask_geomodeling_spark.pipeline.text import BloomFilter
-        d, w = int(depth), int(width)
-        # the batch CountMinSketch's validation contract, verbatim
-        if not 1 <= d <= len(BloomFilter._HASHES):
-            raise ValueError("depth must be in [1, {}]"
-                             .format(len(BloomFilter._HASHES)))
-        if not 2 <= w <= (1 << 22):
-            raise ValueError("width must be in [2, 2^22]")
+        # the batch block's shared validation — one definition, no
+        # drift (round-13 review fix replacing a copied check)
+        from dask_geomodeling_spark.pipeline.text import CountMinSketch
+        d, w = CountMinSketch._validate(depth, width)
         super().__init__(source, str(column), str(frequency), d, w,
                          None if by is None else str(by),
                          str(time_column))
 
     def _build(self, ctx):
-        from dask_geomodeling_spark.pipeline.text import BloomFilter
+        from dask_geomodeling_spark.pipeline.text import CountMinSketch
         source, column, frequency, d, w, by, time_column = self.args
         grp = [by] if by else []
         df = source._build(ctx)
-        rows, pos = BloomFilter._positions(df, column, w, d)
-        hits = rows.select(
-            F.window(time_column, frequency).alias("_w"), *grp,
-            F.explode(F.array(*[
-                F.struct(F.lit(j).cast("int").alias("r"),
-                         F.expr(p).cast("bigint").alias("p"))
-                for j, p in enumerate(pos)])).alias("_rp"))
-        # ONE stateful aggregation — streaming-legal in append mode
-        # with the source's watermark; no sort (illegal on streams)
-        return (hits.groupBy("_w", *grp,
-                             F.col("_rp.r").alias("row_idx"),
-                             F.col("_rp.p").alias("pos_idx"))
-                .agg(F.count(F.lit(1)).alias("counter"))
-                .select(F.col("_w.start").alias("window_start"),
-                        *grp, "row_idx", "pos_idx", "counter"))
+        # the BATCH sketch pipeline, grouped by the event-time window
+        # (ONE stateful aggregation — streaming-legal in append mode
+        # with the source's watermark; sort skipped, illegal on
+        # streams): bit-shared by construction
+        out = CountMinSketch._sketch(
+            df, column, d, w, by,
+            extra_grp=[(F.window(time_column, frequency), "_w")],
+            sort=False)
+        return out.select(F.col("_w.start").alias("window_start"),
+                          *grp, "row_idx", "pos_idx", "counter")
 
     def start(self, spark=None, path=None, checkpoint=None,
               available_now=False, **request):

@@ -57,10 +57,13 @@ SCHEMA = "event_id bigint, ts timestamp, event_type string, value double"
 #     watermark 10:30 -> INCLUDED), plus a fresh row at 13:00
 #     -> after f2, watermark = 12:00; windows [10,11) and [11,12)
 #     close and emit
-# f3: very late row at 10:10 (end 11:00 <= watermark 12:00 ->
-#     DROPPED), plus fresh 14:30 advancing the watermark to 13:30,
-#     closing [13,14)? end 14:00 > 13:30 -> no; [12,13) empty
-# f4: fresh 16:00 -> watermark 15:00, closes [13,14)
+# f3: late row at 10:10 — watermark 12:00 has passed end 11:00,
+#     but b2 IS the eviction batch for [10,11), so the row is still
+#     ABSORBED (the measured best-effort contract); fresh 14:30
+#     advances the watermark to 13:30
+# f4: the 10:15 row arrives AFTER [10,11)'s eviction batch and is
+#     the guaranteed DROP; fresh 16:00 -> watermark 15:00 closes
+#     [13,14) and [14,15)
 # wm(N) = max ts of batches < N, minus 1h:
 # b0: wm 1970; b1: wm 10:30; b2: wm 12:00 -> [10,11) and [11,12)
 # evict at END of b2, so b2's late 10:10 row is still ABSORBED
