@@ -40,6 +40,18 @@ D8_CODES = (
 )
 
 
+# the diagonal step length — a module constant so the driver walk and
+# the distributed plan use the IDENTICAL correctly-rounded double
+_SQRT2 = 2.0 ** 0.5
+
+# weighted-accumulation quantum: weights quantize once to this type
+# and every sum (driver walk AND pointer doubling) is exact in it —
+# the cross-path determinism contract (§6-11).  29 integer digits of
+# headroom: 2^16 driver-threshold edges of any double-sized weight
+# can never overflow the accumulator
+_WT_DECIMAL = "decimal(38,9)"
+
+
 def _codes_df(spark):
     rows = [(dy, dx, code, float(dy * dy + dx * dx) ** 0.5)
             for dy, dx, code in D8_CODES]
@@ -120,14 +132,22 @@ def _driver_forest(rows, op_name):
     return parent, children, post_orders
 
 
-def _rank_doubling(cur, key, max_iter, op_name, zero):
+def _rank_doubling(cur, key, max_iter, op_name, zeros):
     """Generic pointer-doubling accumulation: ``cur`` carries
-    ``(key, _ptr, _r)`` with the invariant
-    ``total(u) = _r(u) + total(_ptr(u))``, ``total(NULL) = 0``; each
-    round does ``_r += _r[_ptr]; _ptr = _ptr[_ptr]`` (one self-join +
+    ``(key, _ptr, <accs>)`` with the invariant
+    ``total(u) = acc(u) + total(_ptr(u))``, ``total(NULL) = 0`` for
+    each accumulator column; each round does
+    ``acc += acc[_ptr]; _ptr = _ptr[_ptr]`` (one self-join +
     localCheckpoint), converging in ⌈log₂ chain-length⌉ rounds.
     Shared by the Euler list ranking, FlowLength and the weighted
     accumulation so the loop exists once (round-10 review refactor).
+
+    ``zeros`` maps each accumulator column name to its zero literal.
+    Accumulator types MUST be exactly associative — BIGINT counts or
+    DECIMAL sums, never raw DOUBLE: the doubling order differs from
+    any sequential walk, so a float accumulator drifts by ulps
+    between the distributed and driver paths (§6-11; the round-13
+    verdict falsified exactly this on FlowLength).
 
     Every round repartitions by the key with a USER-NUMBERED count
     before checkpointing: the rank rows are ~24 bytes, so AQE's
@@ -137,6 +157,7 @@ def _rank_doubling(cur, key, max_iter, op_name, zero):
     measured 10×+ wall-clock difference at 2.5M cells)."""
     from dask_geomodeling_spark.config import strip_plan_stats
     spark = cur.sparkSession
+    accs = list(zeros)
     par = int(spark.conf.get("spark.sql.shuffle.partitions"))
     cur = strip_plan_stats(
         cur.repartition(par, F.col(key)).localCheckpoint())
@@ -146,7 +167,7 @@ def _rank_doubling(cur, key, max_iter, op_name, zero):
             break
         jump = cur.select(F.col(key).alias("_ptr"),
                           F.col("_ptr").alias("_p2"),
-                          F.col("_r").alias("_r2"))
+                          *[F.col(a).alias(a + "2") for a in accs])
         # ONLY still-active rows enter the join: converged rows have
         # a NULL pointer, and NULL join keys all hash to one shuffle
         # partition — their count DOUBLES per round as the list
@@ -163,8 +184,9 @@ def _rank_doubling(cur, key, max_iter, op_name, zero):
             (active.join(jump, "_ptr", "left")
              .select(key,
                      F.col("_p2").alias("_ptr"),
-                     (F.col("_r") + F.coalesce(F.col("_r2"), zero))
-                     .alias("_r"))
+                     *[(F.col(a) + F.coalesce(F.col(a + "2"),
+                                              zeros[a])).alias(a)
+                       for a in accs])
              .unionByName(done)
              .repartition(par, F.col(key))
              .localCheckpoint()))
@@ -290,7 +312,12 @@ class FlowAccumulation(BaseSingle):
         if weights is not None:
             # ESRI weight-raster accumulation: upstream SUM of the
             # weight raster instead of upstream cell count; missing
-            # or NULL weight cells contribute 0
+            # or NULL weight cells contribute 0.  Weights quantize
+            # ONCE to DECIMAL(38,9) here — both the driver walk and
+            # the pointer doubling then sum the SAME exact values, so
+            # the two paths agree bit-for-bit regardless of summation
+            # order (§6-11; the round-13 verdict falsified raw-DOUBLE
+            # doubling on fractional weights)
             wts = (weights._build(ctx)
                    .filter(F.col("value").isNotNull())
                    .select("time", "y", "x",
@@ -298,7 +325,7 @@ class FlowAccumulation(BaseSingle):
             nodes_w = (nodes.join(wts, ["time", "y", "x"], "left")
                        .select("time", "y", "x", "_id",
                                F.coalesce("_wt", F.lit(0.0))
-                               .alias("_wt")))
+                               .cast(_WT_DECIMAL).alias("_wt")))
         n_edges = edges.count()
         if n_edges <= driver_threshold:
             if weights is None:
@@ -323,7 +350,21 @@ class FlowAccumulation(BaseSingle):
 
     @staticmethod
     def _driver_weighted(spark, edges, nodes_w):
-        """Exact upstream weight sums on the driver for small graphs."""
+        """Exact upstream weight sums on the driver for small graphs.
+
+        ``nodes_w._wt`` arrives pre-quantized to DECIMAL(38,9); the
+        walk sums the scale-9 UNSCALED integers (python ints — exact
+        at any magnitude, no Decimal-context rounding), then converts
+        to double once per node via ``Decimal.scaleb`` — the identical
+        correctly-rounded value Spark's DECIMAL→DOUBLE cast produces
+        on the distributed path."""
+        from decimal import Context, Decimal
+
+        # 60 digits: scaleb must NEVER round (the default context's
+        # 28 would); sums of ≤ 2^16 DECIMAL(38,9) values stay ≤ 43
+        # digits, float(Decimal) itself is context-independent and
+        # correctly rounded
+        ctx = Context(prec=60)
         rows = edges.collect()
         _, children, post_orders = _driver_forest(
             rows, "FlowAccumulation")
@@ -332,16 +373,18 @@ class FlowAccumulation(BaseSingle):
         ids = (edges.select(F.col("_c").alias("_id"))
                .unionByName(edges.select(F.col("_p").alias("_id")))
                .distinct())
-        wt = {r["_id"]: r["_wt"] for r in
+        wt = {r["_id"]: int(r["_wt"].scaleb(9, context=ctx)) for r in
               nodes_w.join(ids, "_id", "left_semi")
               .select("_id", "_wt").collect()}
         acc = {}
         for post in post_orders:
             for v in reversed(post):
-                acc[v] = wt.get(v, 0.0) + sum(
+                acc[v] = wt.get(v, 0) + sum(
                     acc[w] for w in children.get(v, ()))
-        out = [(int(k), float(v - wt.get(k, 0.0)))
-               for k, v in acc.items() if v != wt.get(k, 0.0)]
+        out = [(int(k),
+                float(Decimal(v - wt.get(k, 0)).scaleb(-9,
+                                                       context=ctx)))
+               for k, v in acc.items() if v != wt.get(k, 0)]
         return spark.createDataFrame(
             out, "_id bigint, _acc double") if out else \
             spark.createDataFrame([], "_id bigint, _acc double")
@@ -417,7 +460,7 @@ class FlowAccumulation(BaseSingle):
                 "_e", F.col("_s").alias("_ptr"),
                 F.when(F.col("_s").isNull(), F.lit(0))
                 .otherwise(F.lit(1)).cast("bigint").alias("_r")),
-            "_e", max_iter, "FlowAccumulation", F.lit(0))
+            "_e", max_iter, "FlowAccumulation", {"_r": F.lit(0)})
         return (cls._rank_decode(rank)
                 .select("_id",
                         F.expr("(_re - _rx - 1) div 2")
@@ -432,16 +475,19 @@ class FlowAccumulation(BaseSingle):
         count adjustment needed.  The tour builds from the PERSISTED
         nodes frame (it only needs _id); the weight join is read
         exactly once, for the element-weight lookup (round-10
-        review)."""
+        review).  Weights are DECIMAL(38,9) end to end — the doubling
+        sums exactly, so partition order and round structure cannot
+        perturb the result; ONE cast to double at the very end."""
+        zero = F.lit(0).cast(_WT_DECIMAL)
         tour = cls._euler_tour(nodes, edges)
         ewt = nodes_w.select((F.col("_id") * 2).alias("_s2"),
                              F.col("_wt").alias("_swt"))
         init = (tour.join(ewt, tour["_s"] == ewt["_s2"], "left")
                 .select("_e", F.col("_s").alias("_ptr"),
-                        F.coalesce(F.col("_swt"), F.lit(0.0))
-                        .alias("_r")))
+                        F.coalesce(F.col("_swt"), zero)
+                        .cast(_WT_DECIMAL).alias("_r")))
         rank = _rank_doubling(init, "_e", max_iter,
-                              "FlowAccumulation", F.lit(0.0))
+                              "FlowAccumulation", {"_r": zero})
         return (cls._rank_decode(rank)
                 .select("_id", (F.col("_re") - F.col("_rx"))
                         .cast("double").alias("_acc")))
@@ -456,11 +502,17 @@ class FlowLength(BaseSingle):
     ``store`` is a D8 direction raster (``FlowDirection`` codes).
     Pits and off-grid drains have length 0.
 
-    Execution: weighted pointer doubling on the flow forest —
-    ``(ptr, d) ← (ptr[ptr], d + d[ptr])`` per round, each round one
+    Execution: pointer doubling on the flow forest — each round one
     self-join on the packed BIGINT key, converging in ⌈log₂ depth⌉
     rounds regardless of river length; ≤ ``driver_threshold`` edges
-    short-circuit to an exact memoized driver walk."""
+    short-circuit to an exact memoized driver walk.
+
+    Every path length is exactly ``a·1 + b·√2`` — BOTH paths carry
+    the (straight, diagonal) BIGINT step counts (exact under any
+    summation order) and compute ``a + b·√2`` in double ONCE at the
+    end, so the distributed and driver paths agree bit-for-bit
+    (§6-11; the round-13 verdict falsified the previous raw-DOUBLE
+    ``d + d[ptr]`` doubling by 1 ulp against the driver walk)."""
 
     DRIVER_THRESHOLD = 65536
 
@@ -480,10 +532,12 @@ class FlowLength(BaseSingle):
                                             "FlowLength")
         if edges.count() <= driver_threshold:
             rows = edges.collect()
-            nxt = {r["_c"]: (r["_p"], r["_w"]) for r in rows}
+            # (parent, diagonal?) — step counts stay integers so the
+            # walk order can't perturb the float result (§6-11)
+            nxt = {r["_c"]: (r["_p"], r["_w"] != 1.0) for r in rows}
             memo = {}
 
-            def length(u):
+            def steps(u):
                 path, on_path = [], set()
                 while u in nxt and u not in memo:
                     if u in on_path:
@@ -493,14 +547,18 @@ class FlowLength(BaseSingle):
                     path.append(u)
                     on_path.add(u)
                     u = nxt[u][0]
-                base = memo.get(u, 0.0)
+                a, b = memo.get(u, (0, 0))
                 for v in reversed(path):
-                    base = memo[v] = base + nxt[v][1]
-                return base
+                    if nxt[v][1]:
+                        b += 1
+                    else:
+                        a += 1
+                    memo[v] = (a, b)
 
             for u in nxt:
-                length(u)
-            out = [(int(k), float(v)) for k, v in memo.items()]
+                steps(u)
+            out = [(int(k), float(a) + float(b) * _SQRT2)
+                   for k, (a, b) in memo.items()]
             lens = spark.createDataFrame(
                 out, "_id bigint, _len double") if out else \
                 spark.createDataFrame([], "_id bigint, _len double")
@@ -514,12 +572,24 @@ class FlowLength(BaseSingle):
 
     @staticmethod
     def _double_lengths(edges, max_iter):
+        one = F.lit(1).cast("bigint")
+        nil = F.lit(0).cast("bigint")
         cur = _rank_doubling(
             edges.select(F.col("_c").alias("_id"),
                          F.col("_p").alias("_ptr"),
-                         F.col("_w").alias("_r")),
-            "_id", max_iter, "FlowLength", F.lit(0.0))
-        return cur.select("_id", F.col("_r").alias("_len"))
+                         F.when(F.col("_w") == 1.0, one)
+                         .otherwise(nil).alias("_ra"),
+                         F.when(F.col("_w") == 1.0, nil)
+                         .otherwise(one).alias("_rb")),
+            "_id", max_iter, "FlowLength",
+            {"_ra": F.lit(0), "_rb": F.lit(0)})
+        # a + b·√2 computed once, in the same op order as the driver
+        # walk's python expression — bit-identical across paths
+        return cur.select(
+            "_id",
+            (F.col("_ra").cast("double")
+             + F.col("_rb").cast("double") * F.lit(_SQRT2))
+            .alias("_len"))
 
 
 class Watershed(BaseSingle):
@@ -763,8 +833,8 @@ class StreamOrder(BaseSingle):
         gate = _rank_doubling(
             edges.select(F.col("_c").alias("_id"),
                          F.col("_p").alias("_ptr"),
-                         F.lit(0.0).alias("_r")),
-            "_id", max_iter, "StreamOrder", F.lit(0.0))
+                         F.lit(0).cast("bigint").alias("_r")),
+            "_id", max_iter, "StreamOrder", {"_r": F.lit(0)})
         try:
             gate._jdf.rdd().unpersist(False)
         except Exception:
@@ -803,15 +873,17 @@ class StreamOrder(BaseSingle):
                     # _re − _rx counts J_k members among v's PROPER
                     # descendants
                     ewt = jk.select((F.col("_p") * 2).alias("_s2"),
-                                    F.lit(1.0).alias("_swt"))
+                                    F.lit(1).cast("bigint")
+                                    .alias("_swt"))
                     init = (tour.join(ewt, tour["_s"] == ewt["_s2"],
                                       "left")
                             .select("_e", F.col("_s").alias("_ptr"),
                                     F.coalesce(F.col("_swt"),
-                                               F.lit(0.0))
+                                               F.lit(0).cast("bigint"))
                                     .alias("_r")))
                     rank = _rank_doubling(init, "_e", max_iter,
-                                          "StreamOrder", F.lit(0.0))
+                                          "StreamOrder",
+                                          {"_r": F.lit(0)})
                     nxt = (FlowAccumulation._rank_decode(rank)
                            .filter(F.col("_re") > F.col("_rx"))
                            .select("_id")

@@ -847,8 +847,13 @@ def test_hydrology_euler_equals_driver(spark_prop, data):
         F.expr("TIMESTAMP '2024-01-01'").alias("time"),
         "y", "x", "value")
     src = DataFrameRasterSource(grid)
+    # FRACTIONAL weights (×0.1 — inexact in binary): integer-valued
+    # doubles sum exactly under ANY association and masked the r13
+    # FlowAccumulation(weights=…) reassociation hole; fractional ones
+    # drift unless both paths sum the same DECIMAL quanta (§6-11)
     wts = DataFrameRasterSource(grid.withColumn(
-        "value", (F.col("y") * 3 + F.col("x") + 1).cast("double")))
+        "value",
+        ((F.col("y") * 3 + F.col("x") + 1) * 0.1).cast("double")))
     builders = {
         "accumulation": lambda thr: FlowAccumulation(
             src, driver_threshold=thr),
