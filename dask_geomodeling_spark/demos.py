@@ -11781,7 +11781,9 @@ def weighted_sample(spark, sf_dir):
     from the split-hash arithmetic, no RNG), so the oracle replays
     the exact sample.  Key math is map-side; the top-n is Spark's
     TakeOrdered (per-partition top-n + driver merge, no global
-    sort)."""
+    sort).  The operator excludes NULL/NaN/non-positive weights;
+    o_totalprice is never NULL or NaN here, so the oracle's
+    ``o_totalprice > 0`` replays the full three-way exclusion."""
     from dask_geomodeling_spark.pipeline.sample import WeightedSample
     orders = ensure_min_partitions(read_nanos_parquet(
         spark, _pq(sf_dir, "orders")), spark)

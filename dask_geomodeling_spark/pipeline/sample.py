@@ -473,12 +473,20 @@ class WeightedSample(BaseSingle):
     rerun, and parallelism level draws the IDENTICAL sample, and the
     DuckDB oracle replays it.  The key compares as ``ln(u)/w``
     (monotone in ``u^(1/w)``, cheaper and flatter numerically);
-    rows with NULL or non-positive weight never sample.
+    rows with NULL, NaN or non-positive weight never sample (NaN is
+    excluded EXPLICITLY: Spark orders NaN above every number, so
+    ``w > 0`` alone would pass it and ``ln(u)/NaN = NaN`` would then
+    claim the top of the descending sort — the r13 ADVICE hole; any
+    oracle replay must mirror the same three-way exclusion).
 
     Plan shape: pure map-side key math + ``orderBy(key).limit(n)`` —
     Spark's TakeOrdered (per-partition top-n, driver merge of n
     rows; no global sort shuffle) — then one ≤ n-row window assigns
-    ``sample_rank``.  Ties (identical key) break by ascending id.
+    ``sample_rank``.  Ties (identical key) break by ascending id —
+    which makes ``id_column`` values REQUIRED-unique (the
+    StratifiedSample salt contract): duplicate ids share a (key, id)
+    pair, so which duplicate wins at the ``n`` boundary and their
+    relative ``sample_rank`` would be run-dependent.
 
     Output: source columns + ``sample_rank`` (1-based).
     """
@@ -530,7 +538,7 @@ class WeightedSample(BaseSingle):
         kc = "_wk"
         while kc in df.columns:   # never clobber a source column
             kc = "_" + kc
-        top = (df.filter(w.isNotNull() & (w > 0))
+        top = (df.filter(w.isNotNull() & ~F.isnan(w) & (w > 0))
                .withColumn(kc, key)
                .orderBy(F.col(kc).desc(), F.col(idc).asc())
                .limit(n))

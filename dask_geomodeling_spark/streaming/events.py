@@ -582,8 +582,13 @@ class StreamingCountMin(Block):
     watermark-closed window; stream==batch emission is pinned in
     tests/test_streaming.py (the EventAggregate convention)."""
 
-    def __init__(self, source, column, frequency="1 hour", depth=3,
+    def __init__(self, source, column, frequency="1 hour", depth=4,
                  width=1024, by=None, time_column="ts"):
+        # depth default MUST match CountMinSketch's (4): the merge
+        # contract is plain counter SUM across stream and batch, so
+        # two default-constructed sketches of different depth would
+        # misalign rows and corrupt min-over-depth estimates (r13
+        # ADVICE fix — the streaming default was 3)
         if not isinstance(source, Block):
             raise TypeError("'{}' object is not allowed".format(type(source)))
         # the batch block's shared validation — one definition, no

@@ -2062,7 +2062,11 @@ def test_weighted_sample_model_and_determinism(spark):
     M = (1 << 31) - 1
     rows = [(i, float(1 + (i % 7)) if i % 11 else None)
             for i in range(1, 400)]
-    rows += [(1000, 0.0), (1001, -2.0)]   # never sampled
+    # never sampled — including NaN, which Spark sorts ABOVE every
+    # number, so `w > 0` alone passes it and ln(u)/NaN = NaN then
+    # claims the TOP of the descending key sort (r14 / r13-ADVICE
+    # regression: NaN-weight rows silently owned the sample)
+    rows += [(1000, 0.0), (1001, -2.0), (1002, float("nan"))]
     df = spark.createDataFrame(rows, "id bigint, w double")
     got = [(r["id"], r["sample_rank"]) for r in
            WeightedSample(DataFrameSource(df, index_column="id"),
@@ -2070,11 +2074,12 @@ def test_weighted_sample_model_and_determinism(spark):
            .orderBy("sample_rank").collect()]
     keyed = sorted(
         ((math.log(((i * 2654435761) % M + 1) / float(M + 1)) / w, -i)
-         for i, w in rows if w is not None and w > 0),
+         for i, w in rows
+         if w is not None and not math.isnan(w) and w > 0),
         reverse=True)[:25]
     want = [(-ni, rk + 1) for rk, (_k, ni) in enumerate(keyed)]
     assert got == want
-    assert all(i not in (1000, 1001) for i, _ in got)
+    assert all(i not in (1000, 1001, 1002) for i, _ in got)
     # partitioning invariance
     got2 = [(r["id"], r["sample_rank"]) for r in
             WeightedSample(

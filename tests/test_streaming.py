@@ -656,6 +656,22 @@ def test_streaming_hll_matches_batch_and_batch_sketch(spark, tmp_path):
         == batch_rows[win]
 
 
+def test_count_min_defaults_aligned():
+    """Round 14 (r13 ADVICE): the stream/batch merge contract is
+    plain counter SUM, so two DEFAULT-constructed sketches must agree
+    on shape — the streaming default silently disagreed (3 vs 4),
+    misaligning rows on merge.  Pin the defaults equal."""
+    import inspect
+
+    from dask_geomodeling_spark.pipeline.text import CountMinSketch
+    from dask_geomodeling_spark.streaming.events import (
+        StreamingCountMin)
+    b = inspect.signature(CountMinSketch.__init__).parameters
+    s = inspect.signature(StreamingCountMin.__init__).parameters
+    assert b["depth"].default == s["depth"].default == 4
+    assert b["width"].default == s["width"].default
+
+
 def test_streaming_count_min_matches_batch_and_batch_sketch(
         spark, tmp_path):
     """Round 13: StreamingCountMin over readStream (availableNow)
