@@ -765,6 +765,105 @@ def raster_temporal_timezone(spark, sf_dir):
                              timezone="America/New_York").plan(spark)
 
 
+@demo("raster_temporal_month", oracle="""
+WITH grid AS ({grid})
+SELECT timezone('UTC', timezone('America/New_York',
+           date_trunc('month', timezone('America/New_York',
+                                        timezone('UTC', time))))) AS time,
+       y, x, MAX(value) AS value
+FROM grid
+GROUP BY 1, y, x
+""".format(grid=EVENT_GRID_SQL))
+def raster_temporal_month(spark, sf_dir):
+    """TemporalAggregate('M') (round 14, r13 verdict #2): CALENDAR
+    month buckets via add_months arithmetic — not a fixed window()
+    duration — split at LOCAL midnight of the 1st (America/New_York),
+    labels converted back to UTC.  The January-2024 events straddle
+    the local month boundary (Jan 1 04:59 UTC is still December in
+    New York), so the zone actually changes the binning.  Reference
+    resamples these non-fixed frequencies through pandas
+    (raster/temporal.py:272-318)."""
+    from dask_geomodeling_spark.raster.temporal import TemporalAggregate
+    return TemporalAggregate(event_grid(spark, sf_dir), "M", "max",
+                             timezone="America/New_York").plan(spark)
+
+
+@demo("raster_temporal_quarter", oracle="""
+WITH grid AS ({grid})
+SELECT date_trunc('quarter', time) + INTERVAL 3 MONTH AS time,
+       y, x, MAX(value) AS value
+FROM grid
+GROUP BY 1, y, x
+""".format(grid=_grid_sql()))
+def raster_temporal_quarter(spark, sf_dir):
+    """TemporalAggregate('3M', label='right') (round 14): the
+    month-multiplier path — 3-month bins anchor at the epoch
+    (1970-01), which coincides with calendar quarters, so DuckDB's
+    date_trunc('quarter') replays the binning; label='right' stamps
+    the NEXT bin start.  Runs on the 7-year monthly lineitem grid
+    (~28 quarters per cell)."""
+    from dask_geomodeling_spark.raster.temporal import TemporalAggregate
+    return TemporalAggregate(lineitem_grid(spark, sf_dir), "3M", "max",
+                             label="right").plan(spark)
+
+
+@demo("raster_temporal_year", oracle="""
+WITH grid AS ({grid})
+SELECT date_trunc('year', time - INTERVAL 1 MICROSECOND) AS time,
+       y, x, CAST(COUNT(value) AS DOUBLE) AS value
+FROM grid
+GROUP BY 1, y, x
+""".format(grid=_grid_sql()))
+def raster_temporal_year(spark, sf_dir):
+    """TemporalAggregate('Y', closed='right') (round 14): calendar
+    years, right-closed — a band stamped exactly at Jan 1 00:00
+    belongs to the PREVIOUS year (the 1-microsecond shift, Spark's
+    timestamp resolution, mirrored literally in the oracle).  The
+    monthly lineitem grid has ~12 Jan-1-midnight bands, so the
+    boundary rule is load-bearing."""
+    from dask_geomodeling_spark.raster.temporal import TemporalAggregate
+    return TemporalAggregate(lineitem_grid(spark, sf_dir), "Y", "count",
+                             closed="right").plan(spark) \
+        .withColumn("value", F.col("value").cast("double"))
+
+
+@demo("raster_temporal_anchored_week", oracle="""
+WITH grid AS ({grid})
+SELECT date_trunc('week', time) AS time, y, x, MAX(value) AS value
+FROM grid
+GROUP BY 1, y, x
+""".format(grid=EVENT_GRID_SQL))
+def raster_temporal_anchored_week(spark, sf_dir):
+    """TemporalAggregate('W-MON') (round 14): anchored weeks —
+    7-day bins whose edges fall on Monday 00:00 (epoch-day
+    arithmetic; 1970-01-01 was a Thursday), unlike the fixed-duration
+    'W' whose window() bins anchor at the epoch itself.  DuckDB's
+    ISO date_trunc('week') starts Monday, replaying the bins
+    exactly."""
+    from dask_geomodeling_spark.raster.temporal import TemporalAggregate
+    return TemporalAggregate(event_grid(spark, sf_dir), "W-MON",
+                             "max").plan(spark)
+
+
+@demo("raster_cumulative_quarter", oracle="""
+WITH grid AS ({grid})
+SELECT time, y, x,
+       SUM(value) OVER (PARTITION BY y, x, date_trunc('quarter', time)
+                        ORDER BY time
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS value
+FROM grid
+""".format(grid=_grid_sql()))
+def raster_cumulative_quarter(spark, sf_dir):
+    """Cumulative(frequency='Q') (round 14): per-cell running sum that
+    RESTARTS each calendar quarter — "rain since the start of the
+    quarter".  Cell values are integer-valued doubles (decimal
+    quantity sums), so the running double sums are engine-exact."""
+    from dask_geomodeling_spark.raster.temporal import Cumulative
+    return Cumulative(lineitem_grid(spark, sf_dir), "sum",
+                      frequency="Q").plan(spark)
+
+
 @demo("raster_cumulative", oracle="""
 WITH grid AS ({grid})
 SELECT time, y, x,
@@ -12136,12 +12235,12 @@ def make_valid(spark, sf_dir):
 GATE_ANCHORS = [
     "q1_pricing_summary",           # flagship
     "json_graph_roundtrip",         # serialization contract
-    # round-13 new operators
-    "count_min_sketch",
-    "heavy_hitters",
-    "viewshed",
-    "streaming_count_min",
-    "weighted_sample",
+    # round-14 new operators (calendar frequencies, r13 verdict #2)
+    "raster_temporal_month",
+    "raster_temporal_quarter",
+    "raster_temporal_year",
+    "raster_temporal_anchored_week",
+    "raster_cumulative_quarter",
 ]
 
 

@@ -32,11 +32,49 @@ _UNIT = {
     "w": "weeks", "week": "weeks",
 }
 
+# calendar (non-fixed) aliases — case-SENSITIVE like pandas, so the
+# month family never collides with minutes.  'M'/'ME'/'MS' all bin by
+# calendar month, 'Q*' by quarter (3 months), 'Y*'/'A*' by year
+# (12 months); 'W-MON'..'W-SUN' are weeks whose edges fall on the
+# anchor weekday at midnight.  Bins are produced by date arithmetic
+# (add_months / epoch-day math), NOT a fixed window() duration.
+_CAL_RE = re.compile(
+    r"^(\d*)\s*(MS|ME|M|QS|QE|Q|YS|YE|Y|AS|A"
+    r"|W-(?:MON|TUE|WED|THU|FRI|SAT|SUN))$")
+_CAL_MONTHS = {"M": 1, "MS": 1, "ME": 1, "Q": 3, "QS": 3, "QE": 3,
+               "Y": 12, "YS": 12, "YE": 12, "A": 12, "AS": 12}
+# Monday=0 … Sunday=6; 1970-01-01 (epoch day 0) was a Thursday (3)
+_WEEK_ANCHOR = {"MON": 0, "TUE": 1, "WED": 2, "THU": 3,
+                "FRI": 4, "SAT": 5, "SUN": 6}
+
 
 def normalize_frequency(frequency):
-    """pandas offset alias ('5T', 'H', '2D', ...) → Spark window duration
-    ('5 minutes', '1 hours', '2 days')."""
-    m = _FREQ_RE.match(frequency.strip())
+    """pandas offset alias → canonical frequency token.
+
+    Fixed-duration aliases ('5T', 'H', '2D', 'W', …) normalize to a
+    Spark window duration ('5 minutes', '1 hours', '2 days').
+    CALENDAR aliases — months 'M', quarters 'Q', years 'Y'/'A'
+    (optional S/E suffix accepted; binning is identical), anchored
+    weeks 'W-MON'…'W-SUN', each with an optional multiplier ('3M') —
+    normalize to a ``CAL:`` token handled by date arithmetic at build
+    time (reference raster/temporal.py:298-318 resamples through
+    pandas for exactly these non-fixed frequencies).
+
+    Calendar conventions (documented divergence from bare pandas
+    'M'): bins are LEFT-labeled by their calendar start by default —
+    'M' means pandas 'MS' semantics — and multipliers anchor at the
+    epoch (1970-01); ``label='right'`` labels by the next bin start.
+    Anchored weeks run [anchor 00:00, next anchor 00:00) local time.
+    """
+    s = frequency.strip()
+    m = _CAL_RE.match(s)
+    if m:
+        n = int(m.group(1) or 1)
+        unit = m.group(2)
+        if unit.startswith("W-"):
+            return "CAL:{}W:{}".format(n, unit[2:])
+        return "CAL:{}M".format(n * _CAL_MONTHS[unit])
+    m = _FREQ_RE.match(s)
     if not m:
         raise ValueError(
             "Unsupported frequency '{}'".format(frequency))
@@ -46,6 +84,40 @@ def normalize_frequency(frequency):
         raise ValueError(
             "Unsupported frequency unit '{}'".format(m.group(2)))
     return "{} {}".format(n, unit)
+
+
+def _calendar_window(t, token):
+    """``CAL:`` token → (start, end) timestamp columns for the bin of
+    local wall-clock instant ``t``.
+
+    Months: bucket = floor(months-since-1970 / n)·n via ``pmod`` (sign
+    -safe for pre-epoch times) + ``add_months`` — leap years and month
+    lengths come from the JVM calendar, never a fixed duration.
+    Anchored weeks: epoch-day arithmetic (1970-01-01 = Thursday), bins
+    of 7n days starting on the anchor weekday.  Timestamps construct
+    via ``timestamp_seconds(unix_date·86400)`` — session-timezone
+    independent (the surrounding code handles zones explicitly)."""
+    body = token[4:]
+    epoch = F.lit("1970-01-01").cast("date")
+
+    def ts(datecol):
+        return F.timestamp_seconds(
+            F.unix_date(datecol).cast("bigint") * 86400)
+
+    if body.endswith("M"):
+        n = int(body[:-1])
+        ms = ((F.year(t) - 1970) * 12 + F.month(t) - 1).cast("int")
+        b = (ms - F.pmod(ms, F.lit(n))).cast("int")
+        return (ts(F.add_months(epoch, b)),
+                ts(F.add_months(epoch, b + n)))
+    nw, anchor = body.split("W:")
+    per = 7 * int(nw)
+    # first anchor weekday at/after the epoch: Thursday=3
+    off = (_WEEK_ANCHOR[anchor] - 3) % 7
+    days = F.unix_date(F.to_date(t)).cast("int")
+    sd = days - F.pmod(days - F.lit(off), F.lit(per))
+    return (ts(F.date_add(epoch, sd)),
+            ts(F.date_add(epoch, sd + per)))
 
 
 class Snap(RasterBlock):
@@ -143,8 +215,13 @@ class TemporalAggregate(BaseSingle):
 
     frequency None → one statistic over the whole period per cell, stamped
     at the end of the raster period.  Otherwise cells group by
-    ``window(time, frequency)``; ``label`` picks the left (default) or
-    right window edge.  ``closed='right'`` makes intervals right-closed
+    ``window(time, frequency)`` for fixed durations, or by calendar
+    date arithmetic for non-fixed frequencies — months 'M', quarters
+    'Q', years 'Y', anchored weeks 'W-MON' (round 14; the reference
+    resamples ANY pandas alias through ``series.resample``, reference
+    raster/temporal.py:272-318 — "monthly rainfall sum" is the
+    day-one request this unblocks).  ``label`` picks the left
+    (default) or right window edge.  ``closed='right'`` makes intervals right-closed
     ``(start, end]`` (pandas resample semantics, reference
     raster/temporal.py:480): implemented by shifting times back one
     microsecond (Spark's finest timestamp resolution) before the
@@ -204,7 +281,13 @@ class TemporalAggregate(BaseSingle):
             # (start, end]: boundary instants shift into the earlier
             # left-closed bucket; 1 us = Spark timestamp resolution
             t = F.timestamp_micros(F.unix_micros(t) - 1)
-        win = F.window(t, self.frequency)
+        if self.frequency.startswith("CAL:"):
+            # calendar bins (months/anchored weeks): date arithmetic,
+            # same closed/label/timezone contract as the fixed path
+            start, end = _calendar_window(t, self.frequency)
+            win = F.struct(start.alias("start"), end.alias("end"))
+        else:
+            win = F.window(t, self.frequency)
         label = F.col("_w.end") if label_side == "right" else \
             F.col("_w.start")
         if timezone and timezone != "UTC":
@@ -224,8 +307,11 @@ class TemporalSum(TemporalAggregate):
 class Cumulative(BaseSingle):
     """Running statistic over time per cell (reference:
     raster/temporal.py:775); ``frequency`` restarts the accumulation each
-    period.  A per-cell ordered window — partitioned by (y, x, period), so
-    it scales with the grid."""
+    period — fixed durations AND calendar frequencies ('M', 'Q', 'Y',
+    'W-MON', round 14), with ``timezone`` deciding where the period
+    boundary falls (local calendar months restart at local midnight of
+    the 1st).  A per-cell ordered window — partitioned by
+    (y, x, period), so it scales with the grid."""
 
     STATISTICS = ("sum", "count")
 
@@ -249,7 +335,18 @@ class Cumulative(BaseSingle):
         df = self.store._build(ctx)
         keys = ["y", "x"]
         if self.frequency is not None:
-            df = df.withColumn("_w", F.window("time", self.frequency))
+            timezone = self.args[3]
+            t = F.col("time")
+            if timezone and timezone != "UTC":
+                # period boundaries on LOCAL wall-clock time — the
+                # TemporalAggregate contract (round 14: previously the
+                # timezone argument was accepted but silently unused)
+                t = F.from_utc_timestamp(t, timezone)
+            if self.frequency.startswith("CAL:"):
+                start, _ = _calendar_window(t, self.frequency)
+                df = df.withColumn("_w", start)
+            else:
+                df = df.withColumn("_w", F.window(t, self.frequency))
             keys = keys + ["_w"]
         w = (Window.partitionBy(*keys).orderBy("time")
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))

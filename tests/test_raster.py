@@ -99,6 +99,109 @@ def test_temporal_aggregate(spark):
     assert got == {(datetime(2024, 1, 1, 2), 0, 0): 8.0 / 3}
 
 
+def test_temporal_calendar_frequencies(spark):
+    """Round 14 (r13 verdict #2): calendar frequencies — months,
+    multipliers, years, anchored weeks — bucket by date arithmetic,
+    honoring closed/label like the fixed path."""
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    rows = [(datetime(2023, m, d), 0, 0, float(m * 100 + d))
+            for m in (1, 2, 3, 4, 7, 12) for d in (1, 15)]
+    df = spark.createDataFrame(
+        rows, "time timestamp, y bigint, x bigint, value double")
+    src = DataFrameRasterSource(df)
+    # monthly count: two bands per month
+    got = cells(spark, temporal.TemporalAggregate(src, "M", "count"))
+    assert got == {(datetime(2023, m, 1), 0, 0): 2
+                   for m in (1, 2, 3, 4, 7, 12)}
+    # quarter == '3M' (epoch-anchored multiples align with quarters);
+    # label='right' stamps the next bucket start
+    got = cells(spark, temporal.TemporalAggregate(
+        src, "Q", "count", label="right"))
+    assert got == {(datetime(2023, 4, 1), 0, 0): 6,
+                   (datetime(2023, 7, 1), 0, 0): 2,
+                   (datetime(2023, 10, 1), 0, 0): 2,
+                   (datetime(2024, 1, 1), 0, 0): 2}
+    assert cells(spark, temporal.TemporalAggregate(
+        src, "3M", "count", label="right")) == got
+    # closed='right': the Jan-1-midnight band drops to the PREVIOUS
+    # year
+    got = cells(spark, temporal.TemporalAggregate(
+        src, "Y", "count", closed="right"))
+    assert got == {(datetime(2022, 1, 1), 0, 0): 1,
+                   (datetime(2023, 1, 1), 0, 0): 11}
+    # anchored week: 2023-01-01 was a Sunday -> W-SUN bucket starts
+    # there; W-MON starts the 2nd
+    got = cells(spark, temporal.TemporalAggregate(
+        src, "W-SUN", "count"))
+    assert got[(datetime(2023, 1, 1), 0, 0)] == 1
+    got = cells(spark, temporal.TemporalAggregate(
+        src, "W-MON", "count"))
+    assert got[(datetime(2022, 12, 26), 0, 0)] == 1
+    # unknown aliases still fail fast
+    import pytest
+    with pytest.raises(ValueError, match="Unsupported frequency"):
+        temporal.TemporalAggregate(src, "B", "sum")
+
+
+def test_temporal_calendar_dst_boundary(spark):
+    """Round 14 DST pin: America/New_York springs forward on
+    2024-03-10 — month bins must split at LOCAL midnight on both
+    sides of the transition, labels must convert back through the
+    LABEL's own UTC offset (EST before, EDT after), and an anchored
+    week spanning the transition is 167 hours long, not 168."""
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    rows = [
+        # 2024-03-01 04:59 UTC = Feb 29 23:59 EST -> February bin
+        (datetime(2024, 3, 1, 4, 59), 0, 0, 1.0),
+        # 2024-03-01 05:00 UTC = Mar 1 00:00 EST -> March bin
+        (datetime(2024, 3, 1, 5, 0), 0, 0, 2.0),
+        # 2024-04-01 03:59 UTC = Mar 31 23:59 EDT -> still March
+        (datetime(2024, 4, 1, 3, 59), 0, 0, 4.0),
+        # 2024-04-01 04:00 UTC = Apr 1 00:00 EDT -> April bin
+        (datetime(2024, 4, 1, 4, 0), 0, 0, 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "time timestamp, y bigint, x bigint, value double")
+    src = DataFrameRasterSource(df)
+    got = cells(spark, temporal.TemporalAggregate(
+        src, "M", "sum", timezone="America/New_York"))
+    # labels: Feb 1 00:00 EST = 05:00 UTC, Mar 1 00:00 EST = 05:00
+    # UTC, Apr 1 00:00 EDT = 04:00 UTC (the label's OWN offset)
+    assert got == {(datetime(2024, 2, 1, 5), 0, 0): 1.0,
+                   (datetime(2024, 3, 1, 5), 0, 0): 6.0,
+                   (datetime(2024, 4, 1, 4), 0, 0): 8.0}
+    # anchored week over the spring-forward Sunday (Mar 10): the
+    # W-MON bin [Mar 4 00:00 EST, Mar 11 00:00 EDT) is 167 h of UTC
+    wk = [
+        # 2024-03-04 04:59 UTC = Mar 3 23:59 EST -> PREVIOUS week
+        (datetime(2024, 3, 4, 4, 59), 0, 0, 1.0),
+        # 2024-03-04 05:00 UTC = Mar 4 00:00 EST -> the DST week
+        (datetime(2024, 3, 4, 5, 0), 0, 0, 2.0),
+        # 2024-03-11 03:59 UTC = Mar 10 23:59 EDT -> still that week
+        (datetime(2024, 3, 11, 3, 59), 0, 0, 4.0),
+        # 2024-03-11 04:00 UTC = Mar 11 00:00 EDT -> next week
+        (datetime(2024, 3, 11, 4, 0), 0, 0, 8.0),
+    ]
+    dfw = spark.createDataFrame(
+        wk, "time timestamp, y bigint, x bigint, value double")
+    got = cells(spark, temporal.TemporalAggregate(
+        DataFrameRasterSource(dfw), "W-MON", "sum",
+        timezone="America/New_York"))
+    assert got == {(datetime(2024, 2, 26, 5), 0, 0): 1.0,
+                   (datetime(2024, 3, 4, 5), 0, 0): 6.0,
+                   (datetime(2024, 3, 11, 4), 0, 0): 8.0}
+    # Cumulative now honors the timezone for its period restarts too
+    got = {k: v for k, v in cells(spark, temporal.Cumulative(
+        src, "sum", frequency="M",
+        timezone="America/New_York")).items()}
+    assert got == {(datetime(2024, 3, 1, 4, 59), 0, 0): 1.0,
+                   (datetime(2024, 3, 1, 5, 0), 0, 0): 2.0,
+                   (datetime(2024, 4, 1, 3, 59), 0, 0): 6.0,
+                   (datetime(2024, 4, 1, 4, 0), 0, 0): 8.0}
+
+
 def test_temporal_shift_snap(spark):
     src = MemorySource([[[1.0]], [[2.0]]],
                        time_first=datetime(2024, 1, 1),
