@@ -160,6 +160,155 @@ class TableRasterSource(RasterBlock):
             ctx.request)
 
 
+def _lzw_decode(data, early=1):
+    """TIFF LZW (Compression=5, TIFF6 §13): MSB-first variable-width
+    codes, 9→12 bits, ClearCode=256, EOI=257, with the spec's "early
+    change" — the DECODER widens one table entry sooner than vanilla
+    LZW (at 511/1023/2047 entries instead of 512/1024/2048;
+    ``early=0`` selects the vanilla schedule, kept as the fallback
+    for writers of the other historical camp — the spec's off-by-one
+    made both exist in the wild).  Pure python, like the
+    zlib/PNG/WAV codecs: LZW is the de-facto default of wild GeoTIFFs
+    (most public DEM/landcover products), so real ingest hits it
+    immediately (r13 verdict #3; reference reads it through GDAL,
+    reference raster/sources.py:396)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    bitpos, nbits = 0, len(data) * 8
+    table = []
+    width = 9
+    prev = None
+    while bitpos + width <= nbits:
+        b0 = bitpos >> 3
+        chunk = int.from_bytes(data[b0:b0 + 4].ljust(4, b"\0"), "big")
+        code = (chunk >> (32 - (bitpos & 7) - width)) \
+            & ((1 << width) - 1)
+        bitpos += width
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if not table:
+            raise ValueError("LZW stream must start with ClearCode")
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):   # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream (code {} with table "
+                             "size {})".format(code, len(table)))
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) - early and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _lzw_encode(data):
+    """TIFF LZW encoder (the test/fixture inverse of ``_lzw_decode``).
+
+    Width schedule: the encoder's table is always ONE entry ahead of
+    the decoder's at the same stream position (the decoder cannot
+    build the entry for the code it just read until the next code
+    arrives), so the encoder widens at 512/1024/2048 entries — one
+    above the decoder's 511/1023/2047 — and resets with a ClearCode
+    when the 12-bit table fills."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nacc = 0
+
+    def emit(code, width):
+        nonlocal acc, nacc
+        acc = (acc << width) | code
+        nacc += width
+        while nacc >= 8:
+            nacc -= 8
+            out.append((acc >> nacc) & 0xFF)
+
+    table = {bytes([i]): i for i in range(256)}
+    nxt, width = 258, 9
+    emit(CLEAR, width)
+    run = b""
+    for byte in data:
+        cand = run + bytes([byte])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        table[cand] = nxt
+        nxt += 1
+        if nxt == (1 << width):   # one above the decoder's threshold
+            if width < 12:
+                width += 1
+            else:
+                emit(CLEAR, width)
+                table = {bytes([i]): i for i in range(256)}
+                nxt, width = 258, 9
+        run = bytes([byte])
+    if run:
+        emit(table[run], width)
+    emit(EOI, width)
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data):
+    """TIFF PackBits (Compression=32773): run-length bytes — n in
+    0..127 copies n+1 literals, n in -127..-1 repeats the next byte
+    1−n times, -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i] - 256 if data[i] > 127 else data[i]
+        i += 1
+        if n >= 0:
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n != -128:
+            out += data[i:i + 1] * (1 - n)
+            i += 1
+    return bytes(out)
+
+
+def _packbits_encode(data):
+    """PackBits encoder (fixture inverse): maximal runs ≥ 3 become
+    repeats, everything else literal spans ≤ 128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit = 0   # start of the pending literal span
+
+    def flush(upto):
+        s = lit
+        while s < upto:
+            k = min(128, upto - s)
+            out.append(k - 1)
+            out.extend(data[s:s + k])
+            s += k
+
+    while i < n:
+        j = i
+        while j + 1 < n and data[j + 1] == data[i] and j - i < 127:
+            j += 1
+        if j - i + 1 >= 3:
+            flush(i)
+            out.append(256 - (j - i))   # two's-complement 1−runlen
+            out.append(data[i])
+            i = j + 1
+            lit = i
+        else:
+            i += 1
+    flush(n)
+    return bytes(out)
+
+
 def _parse_geotiff(content):
     """Pure-python parse of a single-band GeoTIFF (reference
     RasterFileSource reads GDAL rasters, raster/sources.py:396 — no
@@ -171,11 +320,12 @@ def _parse_geotiff(content):
 
     Supported: byte order II/MM, BitsPerSample 8/16/32/64 with
     SampleFormat uint/int/float, STRIP (278/273/279) and TILE
-    (322/323/324/325) organizations, Compression 1 (none) and
+    (322/323/324/325) organizations, Compression 1 (none),
     8/32946 (zlib deflate — the same stdlib dependency the PNG codec
-    uses), horizontal-differencing Predictor 2 for integer samples,
-    SamplesPerPixel 1.  Anything else raises NotImplementedError with
-    the offending tag."""
+    uses), 5 (LZW — the wild-TIFF default, round 14) and 32773
+    (PackBits), horizontal-differencing Predictor 2 for integer
+    samples, SamplesPerPixel 1.  Anything else raises
+    NotImplementedError with the offending tag."""
     import struct
     import zlib
 
@@ -200,10 +350,10 @@ def _parse_geotiff(content):
             tags[tag] = content[voff:voff + cnt].split(b"\0")[0].decode()
     width, height = int(tags[256][0]), int(tags[257][0])
     comp = int(tags.get(259, [1])[0])
-    if comp not in (1, 8, 32946):
+    if comp not in (1, 5, 8, 32946, 32773):
         raise NotImplementedError(
-            "compression {} not supported (1=none, 8/32946=deflate)"
-            .format(comp))
+            "compression {} not supported (1=none, 5=lzw, "
+            "8/32946=deflate, 32773=packbits)".format(comp))
     if tags.get(277, [1])[0] != 1:
         raise NotImplementedError("multi-sample TIFF not supported")
     predictor = int(tags.get(317, [1])[0])
@@ -223,9 +373,25 @@ def _parse_geotiff(content):
         raise NotImplementedError(
             "predictor {} not supported".format(predictor))
 
+    need = struct.calcsize(fmt)
+
     def block_samples(off, cnt, n):
         raw = content[int(off):int(off) + int(cnt)]
-        if comp != 1:
+        if comp == 5:
+            try:
+                dec = _lzw_decode(raw)
+                if len(dec) < n * need:
+                    raise ValueError("short LZW block")
+            except ValueError:
+                # the historical other-camp width schedule (the TIFF6
+                # spec's off-by-one spawned both): a wrong schedule
+                # desyncs the bit stream, which surfaces as an
+                # out-of-range code or a wrong byte count — retry once
+                dec = _lzw_decode(raw, early=0)
+            raw = dec
+        elif comp == 32773:
+            raw = _packbits_decode(raw)
+        elif comp != 1:
             raw = zlib.decompress(raw)
         return list(struct.unpack_from(bo + str(n) + fmt, raw, 0))
 
@@ -285,16 +451,28 @@ def write_geotiff(path, width, height, values, bo="<",
     """Minimal single-band float32 GeoTIFF writer — the inverse of
     ``_parse_geotiff`` for fixtures and small exports (reference
     writes rasters via GDAL).  ``geo=True`` stamps a ModelPixelScale
-    of (0.5, 0.25) at tiepoint (10, 20); ``compression='deflate'``
-    zlib-compresses every block (tag 259 = 8); ``tile=(tw, th)``
-    writes a TILE organization (tags 322–325, edge tiles zero-padded)
-    instead of one strip."""
+    of (0.5, 0.25) at tiepoint (10, 20); ``compression`` is
+    'deflate' (tag 259 = 8), 'lzw' (5) or 'packbits' (32773);
+    ``tile=(tw, th)`` writes a TILE organization (tags 322–325, edge
+    tiles zero-padded) instead of one strip."""
     import struct
     import zlib
 
+    _COMP_TAG = {None: 1, "deflate": 8, "lzw": 5, "packbits": 32773}
+    if compression not in _COMP_TAG:
+        raise ValueError(
+            "compression must be one of {}".format(sorted(
+                k for k in _COMP_TAG if k)))
+
     def pack_block(vals):
         blob = struct.pack(bo + str(len(vals)) + "f", *vals)
-        return zlib.compress(blob) if compression == "deflate" else blob
+        if compression == "deflate":
+            return zlib.compress(blob)
+        if compression == "lzw":
+            return _lzw_encode(blob)
+        if compression == "packbits":
+            return _packbits_encode(blob)
+        return blob
 
     if tile:
         tw, th = int(tile[0]), int(tile[1])
@@ -333,7 +511,7 @@ def write_geotiff(path, width, height, values, bo="<",
     add(256, 3, 1, width, True)
     add(257, 3, 1, height, True)
     add(258, 3, 1, 32, True)
-    add(259, 3, 1, 8 if compression == "deflate" else 1, True)
+    add(259, 3, 1, _COMP_TAG[compression], True)
     add(262, 3, 1, 1, True)
     add(277, 3, 1, 1, True)
     add(339, 3, 1, 3, True)
@@ -393,7 +571,8 @@ def write_geotiff(path, width, height, values, bo="<",
 
 
 class GeoTIFFRasterSource(RasterBlock):
-    """Cell table from GeoTIFF files — uncompressed or zlib-deflate,
+    """Cell table from GeoTIFF files — uncompressed, zlib-deflate,
+    LZW or PackBits,
     strip- or tile-organized (reference: RasterFileSource,
     raster/sources.py:396, which delegates to GDAL).
 

@@ -571,6 +571,103 @@ def test_geotiff_deflate_and_tiled_roundtrip():
         assert gt == (10.0, 0.5, 20.0, 0.25)
 
 
+def test_geotiff_lzw_and_packbits_roundtrip():
+    """Round 14 (r13 verdict #3): LZW (compression=5, the wild-TIFF
+    default) and PackBits (32773) decode through the same strip/tile
+    path; the width schedule is pinned by values that force the
+    LZW table across the 9→10-bit boundary."""
+    import os
+    import random
+    import tempfile
+    from dask_geomodeling_spark.raster.sources import (_parse_geotiff,
+                                                       write_geotiff)
+    random.seed(7)
+    # 64x40 floats with high byte entropy: the float32 blob is ~10 KB,
+    # well past the 511-entry width change
+    vals = [round(random.uniform(-1000, 1000), 3)
+            for _ in range(64 * 40)]
+    import struct as _s
+    vals = [_s.unpack("<f", _s.pack("<f", v))[0] for v in vals]
+    d = tempfile.mkdtemp()
+    for i, kw in enumerate([
+            dict(compression="lzw"),
+            dict(compression="lzw", tile=(16, 8)),
+            dict(compression="lzw", tile=(12, 7)),     # ragged edges
+            dict(compression="lzw", bo=">"),
+            dict(compression="packbits"),
+            dict(compression="packbits", tile=(12, 7))]):
+        p = os.path.join(d, "t%d.tif" % i)
+        write_geotiff(p, 64, 40, vals, nodata=-9999.0, **kw)
+        w, h, got, nodata, gt = _parse_geotiff(open(p, "rb").read())
+        assert (w, h, nodata) == (64, 40, -9999.0), kw
+        assert got == vals, kw
+
+
+def test_geotiff_lzw_other_camp_fallback():
+    """The TIFF6 spec's early-change off-by-one spawned two encoder
+    camps; a stream written with the VANILLA width schedule (bump one
+    entry later) must still decode via the length-checked fallback."""
+    import random
+    import struct
+
+    from dask_geomodeling_spark.raster.sources import (_lzw_decode,
+                                                       _packbits_decode)
+
+    def vanilla_encode(data):
+        CLEAR, EOI = 256, 257
+        out = bytearray()
+        acc = nacc = 0
+
+        def emit(code, width):
+            nonlocal acc, nacc
+            acc = (acc << width) | code
+            nacc += width
+            while nacc >= 8:
+                nacc -= 8
+                out.append((acc >> nacc) & 0xFF)
+
+        table = {bytes([i]): i for i in range(256)}
+        nxt, width = 258, 9
+        emit(CLEAR, width)
+        run = b""
+        for byte in data:
+            cand = run + bytes([byte])
+            if cand in table:
+                run = cand
+                continue
+            emit(table[run], width)
+            table[cand] = nxt
+            nxt += 1
+            # vanilla: one entry LATER than the TIFF schedule
+            if nxt == (1 << width) + 1:
+                if width < 12:
+                    width += 1
+                else:
+                    emit(CLEAR, width)
+                    table = {bytes([i]): i for i in range(256)}
+                    nxt, width = 258, 9
+            run = bytes([byte])
+        if run:
+            emit(table[run], width)
+        emit(EOI, width)
+        if nacc:
+            out.append((acc << (8 - nacc)) & 0xFF)
+        return bytes(out)
+
+    random.seed(11)
+    blob = bytes(random.randrange(256) for _ in range(6000))
+    enc = vanilla_encode(blob)
+    # the TIFF schedule desyncs on this stream; early=0 decodes it
+    try:
+        wrong = _lzw_decode(enc)
+    except ValueError:
+        wrong = None
+    assert wrong != blob
+    assert _lzw_decode(enc, early=0) == blob
+    # packbits: -128 is a no-op, -1 repeats the next byte twice
+    assert _packbits_decode(bytes([0, 65, 128, 255, 66])) == b"ABB"
+
+
 def test_warp_datum_crs_staged(spark):
     """A datum-shifted native CRS (EPSG:27700) warps without the
     substituted mega-expression: the staged grid matches the textual
