@@ -46,10 +46,13 @@ _SQRT2 = 2.0 ** 0.5
 
 # weighted-accumulation quantum: weights quantize once to this type
 # and every sum (driver walk AND pointer doubling) is exact in it —
-# the cross-path determinism contract (§6-11).  29 integer digits of
-# headroom: 2^16 driver-threshold edges of any double-sized weight
-# can never overflow the accumulator
-_WT_DECIMAL = "decimal(38,9)"
+# the cross-path determinism contract (§6-11).  Precision 28 (the
+# house decimal(28,x) convention), NOT 38: a (38,9)+(38,9) add
+# overflows the 38-digit cap and Spark's precision-loss adjustment
+# then SHRINKS the scale one digit per doubling round (9→8→…→the
+# 6 floor — the r14 hunt falsified exactly this); (28,9) adds stay
+# (29,9), cast back losslessly.  19 integer digits of headroom.
+_WT_DECIMAL = "decimal(28,9)"
 
 
 def _codes_df(spark):
@@ -161,6 +164,12 @@ def _rank_doubling(cur, key, max_iter, op_name, zeros):
     par = int(spark.conf.get("spark.sql.shuffle.partitions"))
     cur = strip_plan_stats(
         cur.repartition(par, F.col(key)).localCheckpoint())
+    # pin each accumulator's type across rounds: Spark widens (and,
+    # past the 38-digit cap, precision-loss-SHRINKS) decimal add
+    # results, which would silently walk a (38,9) sum down to scale 6
+    # over the rounds (r14 hunt falsifier) — the cast is lossless for
+    # in-range sums and a no-op for BIGINT
+    types = {a: cur.schema[a].dataType for a in accs}
     for _ in range(max_iter):
         if cur.filter(F.col("_ptr").isNotNull()
                       ).limit(1).count() == 0:
@@ -185,8 +194,8 @@ def _rank_doubling(cur, key, max_iter, op_name, zeros):
              .select(key,
                      F.col("_p2").alias("_ptr"),
                      *[(F.col(a) + F.coalesce(F.col(a + "2"),
-                                              zeros[a])).alias(a)
-                       for a in accs])
+                                              zeros[a]))
+                       .cast(types[a]).alias(a) for a in accs])
              .unionByName(done)
              .repartition(par, F.col(key))
              .localCheckpoint()))
@@ -313,7 +322,7 @@ class FlowAccumulation(BaseSingle):
             # ESRI weight-raster accumulation: upstream SUM of the
             # weight raster instead of upstream cell count; missing
             # or NULL weight cells contribute 0.  Weights quantize
-            # ONCE to DECIMAL(38,9) here — both the driver walk and
+            # ONCE to DECIMAL(28,9) here — both the driver walk and
             # the pointer doubling then sum the SAME exact values, so
             # the two paths agree bit-for-bit regardless of summation
             # order (§6-11; the round-13 verdict falsified raw-DOUBLE
@@ -352,7 +361,7 @@ class FlowAccumulation(BaseSingle):
     def _driver_weighted(spark, edges, nodes_w):
         """Exact upstream weight sums on the driver for small graphs.
 
-        ``nodes_w._wt`` arrives pre-quantized to DECIMAL(38,9); the
+        ``nodes_w._wt`` arrives pre-quantized to DECIMAL(28,9); the
         walk sums the scale-9 UNSCALED integers (python ints — exact
         at any magnitude, no Decimal-context rounding), then converts
         to double once per node via ``Decimal.scaleb`` — the identical
@@ -361,7 +370,7 @@ class FlowAccumulation(BaseSingle):
         from decimal import Context, Decimal
 
         # 60 digits: scaleb must NEVER round (the default context's
-        # 28 would); sums of ≤ 2^16 DECIMAL(38,9) values stay ≤ 43
+        # 28 would); sums of ≤ 2^16 DECIMAL(28,9) values stay ≤ 33
         # digits, float(Decimal) itself is context-independent and
         # correctly rounded
         ctx = Context(prec=60)
@@ -475,7 +484,7 @@ class FlowAccumulation(BaseSingle):
         count adjustment needed.  The tour builds from the PERSISTED
         nodes frame (it only needs _id); the weight join is read
         exactly once, for the element-weight lookup (round-10
-        review).  Weights are DECIMAL(38,9) end to end — the doubling
+        review).  Weights are DECIMAL(28,9) end to end — the doubling
         sums exactly, so partition order and round structure cannot
         perturb the result; ONE cast to double at the very end."""
         zero = F.lit(0).cast(_WT_DECIMAL)

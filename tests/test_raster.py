@@ -1347,7 +1347,7 @@ def test_flow_paths_bit_determinism(spark):
     ``(1 + √2) + √2`` but the doubling summed ``(√2 + √2) + 1`` —
     1 ulp apart (3.82842712474619 vs 3.8284271247461903).  Both paths
     now carry BIGINT step counts and emit ``a + b·√2`` once; weighted
-    accumulation sums DECIMAL(38,9) quanta on both paths."""
+    accumulation sums DECIMAL(28,9) quanta on both paths."""
     import datetime
     import math
 
@@ -1372,9 +1372,14 @@ def test_flow_paths_bit_determinism(spark):
     got = {(r[1], r[2]): r[3] for r in via["euler"]}
     # the falsifier cell: one float expression, identical on both paths
     assert got[(2, 3)] == float(1) + float(2) * math.sqrt(2.0)
-    # weighted accumulation with FRACTIONAL (binary-inexact) weights
+    # weighted accumulation with FULL-SCALE fractional weights:
+    # (k/3) quantizes to 9 significant decimals (0.333333333…), so
+    # any accumulator that silently drops below scale 9 — Spark's
+    # decimal precision-loss adjustment walked a (38,9) sum down to
+    # scale 6 across doubling rounds, the r14 hunt falsifier —
+    # diverges from the driver walk here
     wts = DataFrameRasterSource(df.withColumn(
-        "value", (F.col("y") * 0.3 + F.col("x") * 0.1 + 0.7)))
+        "value", ((F.col("y") * 3 + F.col("x") + 1) / 3.0)))
     via = {}
     for name, thr in (("driver", 10 ** 9), ("euler", 0)):
         via[name] = sorted(map(tuple, FlowAccumulation(
@@ -1382,9 +1387,9 @@ def test_flow_paths_bit_determinism(spark):
             .plan(spark).collect()))
     assert via["driver"] == via["euler"]
     acc = {(r[1], r[2]): r[3] for r in via["euler"]}
-    # upstream of (0,0): weights of (0,1), (1,2), (2,3)
-    assert abs(acc[(0, 0)] - ((0.1 + 0.7) + (0.3 + 0.2 + 0.7)
-                              + (0.6 + 0.3 + 0.7))) < 1e-8
+    # upstream of (0,0): weights k/3 of (0,1)->2/3, (1,2)->6/3,
+    # (2,3)->10/3
+    assert abs(acc[(0, 0)] - (2 + 6 + 10) / 3.0) < 1e-8
 
 
 def test_warp_cubic_reproduces_linear(spark):
