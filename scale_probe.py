@@ -138,6 +138,62 @@ def build_squares(side_expr, field, key="fid"):
 # ---------------------------------------------------------------- probes
 # each probe: (spark, n) -> row count of the materialized result
 
+def build_stop_docs(r):
+    """Stopword-dense corpus — the PPJoin stress shape (r13 verdict
+    #6): HALF of every doc's 24 tokens draw from EIGHT ultra-common
+    words, so the n-grams containing them are shared corpus-wide and
+    a naive gram join would blow up k² on each; 10% of docs are
+    near-dups of a per-170-block anchor so real ≥0.5 matches exist."""
+    stop = ("element_at(array('the','of','and','to','in','a','is',"
+            "'it'), cast(pmod(xxhash64(_seed * 37 + i), 8) + 1 "
+            "as int))")
+    word = "conv(pmod(xxhash64(_seed * 131 + i), 46655) + 1, 10, 36)"
+    tok = "IF(pmod(xxhash64(_seed * 17 + i), 2) = 0, {}, {})".format(
+        stop, word)
+    text = ("concat_ws(' ', transform(sequence(1, 24), i -> {}))"
+            .format(tok))
+    return (r.select(
+        F.col("id").alias("doc_id"),
+        F.expr("CASE WHEN pmod(id, 10) = 0 THEN id - pmod(id, 170) "
+               "ELSE id END").alias("_seed"))
+        .select("doc_id", F.expr(text).alias("text")))
+
+
+def probe_ngram_jaccard(spark, n):
+    """Exact PPJoin n-gram Jaccard on the stopword-dense corpus: the
+    rarest-first global gram ordering keeps stopword grams OUT of the
+    prefixes, so candidates stay bounded even though half the corpus
+    shares half its grams."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.dedup import NgramJaccard
+    docs = read_input(spark, gen_parquet(spark, "stopdocs", n,
+                                         build_stop_docs))
+    out = NgramJaccard(DataFrameSource(docs, index_column="doc_id"),
+                       n=3, threshold=0.5).plan(spark)
+    materialize(out)
+    return out.count()
+
+
+def probe_cluster_representative(spark, n):
+    """The heavy composed dedup chain (the most expensive bench
+    query's upstream): MinHashLSH → star-round DedupClusters →
+    ClusterRepresentative, on the planted hot-dup-cluster corpus.
+    The op itself is one join + one max_by agg; the probe shows the
+    CHAIN stays linear-ish."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.dedup import (
+        ClusterRepresentative, DedupClusters, MinHashLSH)
+    docs_df = read_input(spark, gen_parquet(spark, "docs", n,
+                                            build_docs))
+    docs = DataFrameSource(docs_df, index_column="doc_id")
+    pairs = MinHashLSH(docs, num_perm=32, bands=8, verify=True,
+                       threshold=0.5)
+    clusters = DedupClusters(docs, pairs, algorithm="star")
+    out = ClusterRepresentative(docs, clusters, "n_chars").plan(spark)
+    materialize(out)
+    return out.count()
+
+
 def probe_minhash_lsh(spark, n):
     from dask_geomodeling_spark.geometry.sources import DataFrameSource
     from dask_geomodeling_spark.pipeline.dedup import MinHashLSH
@@ -656,6 +712,11 @@ PROBES = {
     # R2 viewshed sweep (scatter linear in observers)
     "heavy_hitters": (probe_heavy_hitters, 500_000, None),
     "viewshed": (probe_viewshed, 250_000, None),
+    # round-14: the PPJoin stopword stress + the heavy composed
+    # dedup chain (r13 verdict #6 watch items)
+    "ngram_jaccard": (probe_ngram_jaccard, 20_000, None),
+    "cluster_representative": (probe_cluster_representative,
+                               50_000, None),
 }
 
 
