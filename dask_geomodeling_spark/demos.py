@@ -3465,6 +3465,44 @@ def geotiff_lzw(spark, sf_dir):
     return src.plan(spark).select("time", "y", "x", "value")
 
 
+@demo("geotiff_multisample", oracle="""
+SELECT CAST('1970-01-01' AS TIMESTAMP) AS time, y, x,
+       CASE WHEN (1000 + y * 16 + x) % 11 = 0 THEN NULL
+            ELSE CAST(1000 + y * 16 + x AS DOUBLE) END AS value
+FROM (SELECT unnest(range(0, 8)) AS y),
+     (SELECT unnest(range(0, 16)) AS x)
+""")
+def geotiff_multisample(spark, sf_dir):
+    """Multi-sample (RGB) GeoTIFF ingestion (round 14): band 1 of a
+    3-sample file selected via ``sample=``, one file CHUNKY
+    (PlanarConfiguration=1, LZW) and one PLANAR (=2, deflate) — both
+    decode to the identical band, deduplicated by the closed-form
+    oracle shape (band value = 1000 + y*16 + x, every 11th cell
+    nodata)."""
+    import os
+    import tempfile
+
+    from dask_geomodeling_spark.raster.sources import (
+        GeoTIFFRasterSource, write_geotiff)
+    d = tempfile.mkdtemp(prefix="dgs_geotiff_ms_")
+    w, h, s = 16, 8, 3
+    vals = []
+    for y in range(h):
+        for x in range(w):
+            for j in range(s):
+                v = j * 1000 + y * 16 + x
+                vals.append(-9999.0 if v % 11 == 0 else float(v))
+    write_geotiff(os.path.join(d, "chunky.tif"), w, h, vals,
+                  samples=s, planar=1, compression="lzw",
+                  nodata=-9999.0)
+    write_geotiff(os.path.join(d, "planar.tif"), w, h, vals,
+                  samples=s, planar=2, compression="deflate",
+                  nodata=-9999.0)
+    src = GeoTIFFRasterSource(d + "/*.tif", sample=1)
+    return (src.plan(spark)
+            .select("time", "y", "x", "value").distinct())
+
+
 @demo("polygon_area", oracle="""
 WITH v(id, i, x, y) AS (VALUES
   (CAST(1 AS BIGINT), 0, 0.0, 0.0), (1, 1, 4.0, 0.0), (1, 2, 0.0, 3.0),
@@ -12275,6 +12313,7 @@ GATE_ANCHORS = [
     "json_graph_roundtrip",         # serialization contract
     # round-14 new operators (r13 verdict #2/#3)
     "geotiff_lzw",
+    "geotiff_multisample",
     "raster_temporal_month",
     "raster_temporal_quarter",
     "raster_temporal_year",

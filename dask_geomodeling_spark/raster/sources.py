@@ -309,8 +309,8 @@ def _packbits_encode(data):
     return bytes(out)
 
 
-def _parse_geotiff(content):
-    """Pure-python parse of a single-band GeoTIFF (reference
+def _parse_geotiff(content, sample=0):
+    """Pure-python parse of one band of a GeoTIFF (reference
     RasterFileSource reads GDAL rasters, raster/sources.py:396 — no
     GDAL here, so the TIFF layout is parsed directly).  Returns
     (width, height, values, nodata, geotransform) where values is a
@@ -324,7 +324,10 @@ def _parse_geotiff(content):
     8/32946 (zlib deflate — the same stdlib dependency the PNG codec
     uses), 5 (LZW — the wild-TIFF default, round 14) and 32773
     (PackBits), horizontal-differencing Predictor 2 for integer
-    samples, SamplesPerPixel 1.  Anything else raises
+    samples, and MULTI-sample files (RGB imagery, round 14) in both
+    chunky (PlanarConfiguration=1, samples interleaved per pixel) and
+    planar (=2, one block run per sample) layouts — ``sample``
+    selects the 0-based band.  Anything else raises
     NotImplementedError with the offending tag."""
     import struct
     import zlib
@@ -354,11 +357,29 @@ def _parse_geotiff(content):
         raise NotImplementedError(
             "compression {} not supported (1=none, 5=lzw, "
             "8/32946=deflate, 32773=packbits)".format(comp))
-    if tags.get(277, [1])[0] != 1:
-        raise NotImplementedError("multi-sample TIFF not supported")
+    spp = int(tags.get(277, [1])[0])
+    planar = int(tags.get(284, [1])[0])
+    if not 0 <= int(sample) < spp:
+        raise ValueError(
+            "sample {} out of range: file has {} sample(s) per pixel"
+            .format(sample, spp))
+    sample = int(sample)
+    if planar not in (1, 2):
+        raise NotImplementedError(
+            "PlanarConfiguration {} not supported".format(planar))
+    # per-pixel stride of the selected sample inside a decoded block:
+    # chunky interleaves all samples, planar stores one sample per
+    # block run so each block is effectively single-sample
+    stride = spp if planar == 1 else 1
     predictor = int(tags.get(317, [1])[0])
-    bits = int(tags.get(258, [8])[0])
-    sfmt = int(tags.get(339, [1])[0])  # 1 uint, 2 int, 3 float
+    allbits = tags.get(258, [8])
+    allfmt = tags.get(339, [1] * len(allbits))
+    if len(set(allbits)) != 1 or len(set(allfmt)) != 1:
+        raise NotImplementedError(
+            "per-sample BitsPerSample/SampleFormat mixes not "
+            "supported: {} / {}".format(allbits, allfmt))
+    bits = int(allbits[0])
+    sfmt = int(allfmt[0])  # 1 uint, 2 int, 3 float
     fmt = {(8, 1): "B", (8, 2): "b", (16, 1): "H", (16, 2): "h",
            (32, 1): "I", (32, 2): "i", (32, 3): "f",
            (64, 3): "d"}.get((bits, sfmt))
@@ -375,12 +396,16 @@ def _parse_geotiff(content):
 
     need = struct.calcsize(fmt)
 
-    def block_samples(off, cnt, n):
+    def block_samples(off, cnt, n, row_w):
+        """Decode one block (``n`` pixels, ``row_w`` pixels per row)
+        and return the selected sample's values — chunky blocks hold
+        n·spp interleaved samples, predictor-2 deltas integrate per
+        row against the SAME channel one pixel left (stride = spp)."""
         raw = content[int(off):int(off) + int(cnt)]
         if comp == 5:
             try:
                 dec = _lzw_decode(raw)
-                if len(dec) < n * need:
+                if len(dec) < n * stride * need:
                     raise ValueError("short LZW block")
             except ValueError:
                 # the historical other-camp width schedule (the TIFF6
@@ -393,16 +418,15 @@ def _parse_geotiff(content):
             raw = _packbits_decode(raw)
         elif comp != 1:
             raw = zlib.decompress(raw)
-        return list(struct.unpack_from(bo + str(n) + fmt, raw, 0))
-
-    def undiff(vals, row_w):
-        # Predictor 2: each sample stores the delta to its left
-        # neighbor; integrate per row (modular in the sample width)
-        mask = (1 << bits) - 1
-        for r0 in range(0, len(vals), row_w):
-            for k in range(r0 + 1, min(r0 + row_w, len(vals))):
-                vals[k] = (vals[k] + vals[k - 1]) & mask
-        return vals
+        vals = list(struct.unpack_from(
+            bo + str(n * stride) + fmt, raw, 0))
+        if predictor == 2:
+            mask = (1 << bits) - 1
+            rw = row_w * stride
+            for r0 in range(0, len(vals), rw):
+                for k in range(r0 + stride, min(r0 + rw, len(vals))):
+                    vals[k] = (vals[k] + vals[k - stride]) & mask
+        return vals[sample::stride] if stride > 1 else vals
 
     values = [0.0] * (width * height)
     if 322 in tags or 324 in tags:
@@ -410,10 +434,13 @@ def _parse_geotiff(content):
         th = int(tags[323][0])
         offsets, counts = tags[324], tags[325]
         across = (width + tw - 1) // tw
+        if planar == 2:
+            # planar: one full tile run per sample, sample-major
+            per = len(offsets) // spp
+            offsets = offsets[sample * per:(sample + 1) * per]
+            counts = counts[sample * per:(sample + 1) * per]
         for t, (toff, tcnt) in enumerate(zip(offsets, counts)):
-            vals = block_samples(toff, tcnt, tw * th)
-            if predictor == 2:
-                vals = undiff(vals, tw)
+            vals = block_samples(toff, tcnt, tw * th, tw)
             ty, tx = (t // across) * th, (t % across) * tw
             for r in range(min(th, height - ty)):
                 row = vals[r * tw:r * tw + min(tw, width - tx)]
@@ -422,12 +449,15 @@ def _parse_geotiff(content):
     else:
         rows_per_strip = int(tags.get(278, [height])[0])
         offsets, counts = tags[273], tags[279]
+        if planar == 2:
+            # planar: one full strip run per sample, sample-major
+            per = len(offsets) // spp
+            offsets = offsets[sample * per:(sample + 1) * per]
+            counts = counts[sample * per:(sample + 1) * per]
         pos = 0
         for s, (soff, scnt) in enumerate(zip(offsets, counts)):
             n_rows = min(rows_per_strip, height - s * rows_per_strip)
-            vals = block_samples(soff, scnt, n_rows * width)
-            if predictor == 2:
-                vals = undiff(vals, width)
+            vals = block_samples(soff, scnt, n_rows * width, width)
             values[pos:pos + len(vals)] = vals
             pos += len(vals)
     nodata = None
@@ -447,14 +477,18 @@ def _parse_geotiff(content):
 
 
 def write_geotiff(path, width, height, values, bo="<",
-                  nodata=None, geo=True, compression=None, tile=None):
-    """Minimal single-band float32 GeoTIFF writer — the inverse of
+                  nodata=None, geo=True, compression=None, tile=None,
+                  samples=1, planar=1):
+    """Minimal float32 GeoTIFF writer — the inverse of
     ``_parse_geotiff`` for fixtures and small exports (reference
     writes rasters via GDAL).  ``geo=True`` stamps a ModelPixelScale
     of (0.5, 0.25) at tiepoint (10, 20); ``compression`` is
     'deflate' (tag 259 = 8), 'lzw' (5) or 'packbits' (32773);
     ``tile=(tw, th)`` writes a TILE organization (tags 322–325, edge
-    tiles zero-padded) instead of one strip."""
+    tiles zero-padded) instead of one strip.  ``samples > 1`` writes
+    a multi-sample file from pixel-interleaved ``values`` (length
+    w·h·samples): ``planar=1`` chunky (interleaved blocks) or
+    ``planar=2`` one strip per sample (strip organization only)."""
     import struct
     import zlib
 
@@ -474,6 +508,11 @@ def write_geotiff(path, width, height, values, bo="<",
             return _packbits_encode(blob)
         return blob
 
+    spp = int(samples)
+    if len(values) != width * height * spp:
+        raise ValueError("values must hold width*height*samples floats")
+    if spp > 1 and planar == 2 and tile:
+        raise ValueError("planar=2 fixtures are strip-organized only")
     if tile:
         tw, th = int(tile[0]), int(tile[1])
         across = (width + tw - 1) // tw
@@ -485,9 +524,15 @@ def write_geotiff(path, width, height, values, bo="<",
             for r in range(th):
                 for c in range(tw):
                     y, x = ty + r, tx + c
-                    tv.append(values[y * width + x]
-                              if y < height and x < width else 0.0)
+                    if y < height and x < width:
+                        base = (y * width + x) * spp
+                        tv.extend(values[base:base + spp])
+                    else:
+                        tv.extend([0.0] * spp)
             blocks.append(pack_block(tv))
+    elif spp > 1 and planar == 2:
+        # one strip per sample plane, sample-major offsets
+        blocks = [pack_block(values[j::spp]) for j in range(spp)]
     else:
         blocks = [pack_block(values)]
 
@@ -495,7 +540,8 @@ def write_geotiff(path, width, height, values, bo="<",
     extra = b""
     n_base = (10 + (3 if geo else 0)
               + (1 if nodata is not None else 0)
-              + (1 if tile else 0))  # 4 tile tags replace 3 strip tags
+              + (1 if tile else 0)   # 4 tile tags replace 3 strip tags
+              + (1 if spp > 1 else 0))   # PlanarConfiguration
     ifd_size = 2 + n_base * 12 + 4
     data_start = 8 + ifd_size
 
@@ -510,11 +556,20 @@ def write_geotiff(path, width, height, values, bo="<",
 
     add(256, 3, 1, width, True)
     add(257, 3, 1, height, True)
-    add(258, 3, 1, 32, True)
     add(259, 3, 1, _COMP_TAG[compression], True)
     add(262, 3, 1, 1, True)
-    add(277, 3, 1, 1, True)
-    add(339, 3, 1, 3, True)
+    add(277, 3, 1, spp, True)
+    if spp > 1:
+        # per-sample BitsPerSample/SampleFormat arrays (TIFF requires
+        # cnt = SamplesPerPixel) + the PlanarConfiguration tag
+        add(258, 3, spp,
+            offset_of(struct.pack(bo + str(spp) + "H", *([32] * spp))))
+        add(339, 3, spp,
+            offset_of(struct.pack(bo + str(spp) + "H", *([3] * spp))))
+        add(284, 3, 1, planar, True)
+    else:
+        add(258, 3, 1, 32, True)
+        add(339, 3, 1, 3, True)
     if geo:
         scale = struct.pack(bo + "3d", 0.5, 0.25, 0.0)
         add(33550, 12, 3, offset_of(scale))
@@ -550,9 +605,24 @@ def write_geotiff(path, width, height, values, bo="<",
             add(325, 4, k, cnt_off)
     else:
         add(278, 3, 1, height, True)
-        blocks_start = data_start + len(extra)
-        add(273, 4, 1, blocks_start, True)
-        add(279, 4, 1, counts[0], True)
+        if k == 1:
+            blocks_start = data_start + len(extra)
+            add(273, 4, 1, blocks_start, True)
+            add(279, 4, 1, counts[0], True)
+        else:
+            # planar=2: one strip per sample, sample-major arrays
+            arr_off = data_start + len(extra)
+            blocks_start = arr_off + 8 * k
+            offs = []
+            pos = blocks_start
+            for c in counts:
+                offs.append(pos)
+                pos += c
+            extra += struct.pack(bo + str(k) + "I", *offs)
+            cnt_off = data_start + len(extra)
+            extra += struct.pack(bo + str(k) + "I", *counts)
+            add(273, 4, k, arr_off)
+            add(279, 4, k, cnt_off)
     entries.sort(key=lambda e: e[0])
     out = (b"II" if bo == "<" else b"MM")
     out += struct.pack(bo + "HI", 42, 8)
@@ -583,15 +653,18 @@ class GeoTIFFRasterSource(RasterBlock):
     ``(time, y, x, value)`` with nodata as NULL.  ``time`` comes from
     ``time_first`` (+ ``time_delta`` * sorted-file-index when given).
     With georeferencing tags present, ``wx``/``wy`` carry the model-space
-    center coordinates of each pixel.
+    center coordinates of each pixel.  ``sample`` selects the 0-based
+    band of multi-sample (RGB) files — chunky or planar layout
+    (round 14).
     """
 
-    def __init__(self, url, time_first=EPOCH, time_delta=None):
-        super().__init__(url, time_first, time_delta)
+    def __init__(self, url, time_first=EPOCH, time_delta=None,
+                 sample=0):
+        super().__init__(url, time_first, time_delta, int(sample))
 
     def _build(self, ctx):
         from pyspark.sql import types as T
-        url, time_first, time_delta = self.args
+        url, time_first, time_delta, sample = self.args
         files = (ctx.spark.read.format("binaryFile").load(url)
                  .select("path", "content"))
         schema = T.StructType([
@@ -607,7 +680,8 @@ class GeoTIFFRasterSource(RasterBlock):
             import pandas as pd
             for pdf in batches:
                 for path, content in zip(pdf["path"], pdf["content"]):
-                    w, h, vals, nodata, gt = _parse_geotiff(bytes(content))
+                    w, h, vals, nodata, gt = _parse_geotiff(
+                        bytes(content), sample=sample)
                     ys = [i // w for i in range(w * h)]
                     xs = [i % w for i in range(w * h)]
                     if gt is not None:

@@ -603,6 +603,84 @@ def test_geotiff_lzw_and_packbits_roundtrip():
         assert got == vals, kw
 
 
+def test_geotiff_multisample_chunky_planar():
+    """Round 14: multi-sample (RGB) TIFFs — chunky (interleaved) and
+    planar (block run per sample) layouts, each band selectable, all
+    codecs, tiled chunky with ragged edges."""
+    import os
+    import tempfile
+    from dask_geomodeling_spark.raster.sources import (_parse_geotiff,
+                                                       write_geotiff)
+    w, h, s = 10, 6, 3
+    # pixel-interleaved values: band j of pixel (y, x) = j*1000+y*16+x
+    vals = [float(j * 1000 + y * 16 + x)
+            for y in range(h) for x in range(w) for j in range(s)]
+    d = tempfile.mkdtemp()
+    cases = [dict(planar=1),
+             dict(planar=2),
+             dict(planar=1, compression="lzw"),
+             dict(planar=2, compression="deflate"),
+             dict(planar=1, compression="packbits", tile=(4, 3)),
+             dict(planar=1, tile=(3, 4))]
+    for i, kw in enumerate(cases):
+        p = os.path.join(d, "m%d.tif" % i)
+        write_geotiff(p, w, h, vals, samples=s, **kw)
+        blob = open(p, "rb").read()
+        for j in range(s):
+            ww, hh, got, _nd, _gt = _parse_geotiff(blob, sample=j)
+            want = [float(j * 1000 + y * 16 + x)
+                    for y in range(h) for x in range(w)]
+            assert (ww, hh) == (w, h) and got == want, (kw, j)
+    import pytest
+    with pytest.raises(ValueError, match="out of range"):
+        _parse_geotiff(blob, sample=3)
+
+
+def test_geotiff_predictor2_horizontal_differencing():
+    """Round 14: Predictor=2 integration — single-band and CHUNKY
+    multi-sample (deltas run against the same channel one pixel
+    left, stride = SamplesPerPixel), on a hand-built uint8 TIFF."""
+    import struct
+
+    from dask_geomodeling_spark.raster.sources import _parse_geotiff
+
+    def build(width, height, spp, pixel_bytes):
+        bo = "<"
+        entries = []
+
+        def add(tag, typ, cnt, val):
+            entries.append(struct.pack(bo + "HHI", tag, typ, cnt)
+                           + (struct.pack(bo + "HH", val, 0)
+                              if typ == 3 else
+                              struct.pack(bo + "I", val)))
+        n = 9
+        data_off = 8 + 2 + n * 12 + 4
+        add(256, 3, 1, width)
+        add(257, 3, 1, height)
+        add(258, 3, 1, 8)            # uint8 (cnt 1 tolerated)
+        add(259, 3, 1, 1)
+        add(273, 4, 1, data_off)
+        add(277, 3, 1, spp)
+        add(278, 3, 1, height)
+        add(279, 4, 1, len(pixel_bytes))
+        add(317, 3, 1, 2)            # horizontal differencing
+        out = b"II" + struct.pack(bo + "HI", 42, 8)
+        out += struct.pack(bo + "H", n) + b"".join(entries)
+        out += struct.pack(bo + "I", 0) + bytes(pixel_bytes)
+        return out
+
+    # single band 4x2: rows [5, +1, +2, -1] and [10, +0, +250, +6]
+    blob = build(4, 2, 1, [5, 1, 2, 255, 10, 0, 250, 6])
+    _, _, got, _, _ = _parse_geotiff(blob)
+    assert got == [5.0, 6.0, 8.0, 7.0, 10.0, 10.0, 4.0, 10.0]  # mod 256
+    # chunky 2-sample 3x1: channels integrate independently
+    blob = build(3, 1, 2, [5, 100, 1, 2, 3, 254])
+    _, _, a, _, _ = _parse_geotiff(blob, sample=0)
+    _, _, b, _, _ = _parse_geotiff(blob, sample=1)
+    assert a == [5.0, 6.0, 9.0]
+    assert b == [100.0, 102.0, 100.0]  # 100, +2, -2
+
+
 def test_geotiff_lzw_other_camp_fallback():
     """The TIFF6 spec's early-change off-by-one spawned two encoder
     camps; a stream written with the VANILLA width schedule (bump one
