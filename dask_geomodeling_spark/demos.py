@@ -845,6 +845,26 @@ def raster_temporal_anchored_week(spark, sf_dir):
                              "max").plan(spark)
 
 
+@demo("raster_temporal_business_day", oracle="""
+WITH grid AS ({grid})
+SELECT CASE dayofweek(time)
+         WHEN 0 THEN date_trunc('day', time) - INTERVAL 2 DAY
+         WHEN 6 THEN date_trunc('day', time) - INTERVAL 1 DAY
+         ELSE date_trunc('day', time) END AS time,
+       y, x, MAX(value) AS value
+FROM grid
+GROUP BY 1, y, x
+""".format(grid=EVENT_GRID_SQL))
+def raster_temporal_business_day(spark, sf_dir):
+    """TemporalAggregate('B') (round 14): business-day bins — weekend
+    instants roll back into Friday's bin (the pandas 'B' resample
+    convention), so a Friday bin spans Fri 00:00 → Mon 00:00.
+    January 2024 has four full weekends in the events table."""
+    from dask_geomodeling_spark.raster.temporal import TemporalAggregate
+    return TemporalAggregate(event_grid(spark, sf_dir), "B",
+                             "max").plan(spark)
+
+
 @demo("raster_cumulative_quarter", oracle="""
 WITH grid AS ({grid})
 SELECT time, y, x,
@@ -12318,6 +12338,7 @@ GATE_ANCHORS = [
     "raster_temporal_quarter",
     "raster_temporal_year",
     "raster_temporal_anchored_week",
+    "raster_temporal_business_day",
     "raster_cumulative_quarter",
 ]
 

@@ -39,7 +39,7 @@ _UNIT = {
 # anchor weekday at midnight.  Bins are produced by date arithmetic
 # (add_months / epoch-day math), NOT a fixed window() duration.
 _CAL_RE = re.compile(
-    r"^(\d*)\s*(MS|ME|M|QS|QE|Q|YS|YE|Y|AS|A"
+    r"^(\d*)\s*(MS|ME|M|QS|QE|Q|YS|YE|Y|AS|A|B"
     r"|W-(?:MON|TUE|WED|THU|FRI|SAT|SUN))$")
 _CAL_MONTHS = {"M": 1, "MS": 1, "ME": 1, "Q": 3, "QS": 3, "QE": 3,
                "Y": 12, "YS": 12, "YE": 12, "A": 12, "AS": 12}
@@ -55,7 +55,8 @@ def normalize_frequency(frequency):
     Spark window duration ('5 minutes', '1 hours', '2 days').
     CALENDAR aliases — months 'M', quarters 'Q', years 'Y'/'A'
     (optional S/E suffix accepted; binning is identical), anchored
-    weeks 'W-MON'…'W-SUN', each with an optional multiplier ('3M') —
+    weeks 'W-MON'…'W-SUN', each with an optional multiplier ('3M'),
+    and business days 'B' (weekend instants bin to Friday) —
     normalize to a ``CAL:`` token handled by date arithmetic at build
     time (reference raster/temporal.py:298-318 resamples through
     pandas for exactly these non-fixed frequencies).
@@ -71,6 +72,17 @@ def normalize_frequency(frequency):
     if m:
         n = int(m.group(1) or 1)
         unit = m.group(2)
+        if unit == "B":
+            # business days: a Friday bin spans Fri 00:00 → Mon
+            # 00:00 (weekend instants belong to Friday — the pandas
+            # 'B' resample convention); multiples have no anchored
+            # pandas meaning, so refuse them
+            if n != 1:
+                raise ValueError(
+                    "Unsupported frequency '{}': business-day "
+                    "multiples have no calendar anchor".format(
+                        frequency))
+            return "CAL:1B"
         if unit.startswith("W-"):
             return "CAL:{}W:{}".format(n, unit[2:])
         return "CAL:{}M".format(n * _CAL_MONTHS[unit])
@@ -110,6 +122,16 @@ def _calendar_window(t, token):
         b = (ms - F.pmod(ms, F.lit(n))).cast("int")
         return (ts(F.add_months(epoch, b)),
                 ts(F.add_months(epoch, b + n)))
+    if body == "1B":
+        # weekday index Mon=0 from epoch days (1970-01-01 = Thursday);
+        # Sat/Sun roll back to Friday, the bin then runs to the next
+        # business day (Fri → +3, else +1)
+        days = F.unix_date(F.to_date(t)).cast("int")
+        dow = F.pmod(days + 3, F.lit(7))
+        sd = days - F.when(dow >= 5, dow - 4).otherwise(F.lit(0))
+        sdow = F.pmod(sd + 3, F.lit(7))
+        ed = sd + F.when(sdow == 4, F.lit(3)).otherwise(F.lit(1))
+        return (ts(F.date_add(epoch, sd)), ts(F.date_add(epoch, ed)))
     nw, anchor = body.split("W:")
     per = 7 * int(nw)
     # first anchor weekday at/after the epoch: Thursday=3

@@ -194,6 +194,38 @@ def probe_cluster_representative(spark, n):
     return out.count()
 
 
+def build_hot_month_cells(r):
+    """Temporal cell table with planted time skew: 50% of all rows
+    land in ONE month (2024-01) of a 4-year span, on a 256x256 grid."""
+    return r.select(
+        F.expr("CASE WHEN pmod(id, 2) = 0 "
+               "THEN timestamp'2024-01-01' + make_interval("
+               "0, 0, 0, 0, 0, 0, pmod(id, 2678400)) "
+               "ELSE timestamp'2022-01-01' + make_interval("
+               "0, 0, 0, 0, 0, 0, pmod(id * 37, 126230400)) END")
+        .alias("time"),
+        F.pmod(F.col("id"), F.lit(256)).alias("y"),
+        F.pmod(F.col("id") * 13, F.lit(256)).alias("x"),
+        (F.col("id") % 1000 / 7.0).alias("value"))
+
+
+def probe_temporal_calendar(spark, n):
+    """TemporalAggregate('M', tz) under the 50%-hot month (round 14):
+    calendar bins are pure column date arithmetic feeding the same
+    (window, y, x) groupBy as the fixed path — the hot month
+    partial-aggregates map-side across its cells, nothing beyond the
+    grouped agg shuffles."""
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    from dask_geomodeling_spark.raster.temporal import TemporalAggregate
+    cells = read_input(spark, gen_parquet(spark, "hotmonth", n,
+                                          build_hot_month_cells))
+    out = TemporalAggregate(DataFrameRasterSource(cells), "M", "sum",
+                            timezone="America/New_York").plan(spark)
+    materialize(out)
+    return out.count()
+
+
 def probe_minhash_lsh(spark, n):
     from dask_geomodeling_spark.geometry.sources import DataFrameSource
     from dask_geomodeling_spark.pipeline.dedup import MinHashLSH
@@ -717,6 +749,7 @@ PROBES = {
     "ngram_jaccard": (probe_ngram_jaccard, 20_000, None),
     "cluster_representative": (probe_cluster_representative,
                                50_000, None),
+    "temporal_calendar": (probe_temporal_calendar, 2_000_000, None),
 }
 
 

@@ -138,10 +138,24 @@ def test_temporal_calendar_frequencies(spark):
     got = cells(spark, temporal.TemporalAggregate(
         src, "W-MON", "count"))
     assert got[(datetime(2022, 12, 26), 0, 0)] == 1
-    # unknown aliases still fail fast
+    # business days: weekend instants roll back to Friday (2023-01-01
+    # was a Sunday -> Fri Dec 30; Jan 15 Sunday -> Fri Jan 13; Feb 1
+    # Wednesday stays)
+    got = cells(spark, temporal.TemporalAggregate(src, "B", "count"))
+    assert got[(datetime(2022, 12, 30), 0, 0)] == 1
+    assert got[(datetime(2023, 1, 13), 0, 0)] == 1
+    assert got[(datetime(2023, 2, 1), 0, 0)] == 1
+    # label='right' on a Friday bin lands on MONDAY (the next
+    # business day), not Saturday
+    got = cells(spark, temporal.TemporalAggregate(
+        src, "B", "count", label="right"))
+    assert got[(datetime(2023, 1, 2), 0, 0)] == 1    # Dec 30 bin
+    # unknown aliases and business-day multiples still fail fast
     import pytest
     with pytest.raises(ValueError, match="Unsupported frequency"):
-        temporal.TemporalAggregate(src, "B", "sum")
+        temporal.TemporalAggregate(src, "BM", "sum")
+    with pytest.raises(ValueError, match="no calendar anchor"):
+        temporal.TemporalAggregate(src, "2B", "sum")
 
 
 def test_temporal_calendar_dst_boundary(spark):
