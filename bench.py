@@ -130,7 +130,14 @@ def main():
                   "bloom_probe",
                   # round-13 additions
                   "count_min_sketch", "heavy_hitters", "viewshed",
-                  "streaming_count_min", "weighted_sample"):
+                  "streaming_count_min", "weighted_sample",
+                  # round-14 additions
+                  "raster_temporal_month", "raster_temporal_quarter",
+                  "raster_temporal_year",
+                  "raster_temporal_anchored_week",
+                  "raster_temporal_business_day",
+                  "raster_cumulative_quarter", "geotiff_lzw",
+                  "geotiff_multisample"):
         if extra in demos.QUERIES:
             headline.append(extra)
 

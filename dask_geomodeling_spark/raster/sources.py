@@ -194,6 +194,14 @@ def _lzw_decode(data, early=1):
         if not table:
             raise ValueError("LZW stream must start with ClearCode")
         if prev is None:
+            if code >= len(table):
+                # garbage right after a CLEAR — e.g. a desynced read
+                # of the other width schedule; must be ValueError so
+                # the caller's schedule fallback can engage (r14
+                # review: this path raised IndexError)
+                raise ValueError(
+                    "corrupt LZW stream (code {} directly after "
+                    "clear)".format(code))
             entry = table[code]
         elif code < len(table):
             entry = table[code]
@@ -413,6 +421,11 @@ def _parse_geotiff(content, sample=0):
                 # desyncs the bit stream, which surfaces as an
                 # out-of-range code or a wrong byte count — retry once
                 dec = _lzw_decode(raw, early=0)
+                if len(dec) < n * stride * need:
+                    raise ValueError(
+                        "LZW block decodes short under both width "
+                        "schedules ({} < {} bytes)".format(
+                            len(dec), n * stride * need))
             raw = dec
         elif comp == 32773:
             raw = _packbits_decode(raw)
@@ -561,11 +574,19 @@ def write_geotiff(path, width, height, values, bo="<",
     add(277, 3, 1, spp, True)
     if spp > 1:
         # per-sample BitsPerSample/SampleFormat arrays (TIFF requires
-        # cnt = SamplesPerPixel) + the PlanarConfiguration tag
-        add(258, 3, spp,
-            offset_of(struct.pack(bo + str(spp) + "H", *([32] * spp))))
-        add(339, 3, spp,
-            offset_of(struct.pack(bo + str(spp) + "H", *([3] * spp))))
+        # cnt = SamplesPerPixel) + the PlanarConfiguration tag.
+        # TWO shorts are exactly 4 bytes and MUST be stored inline —
+        # a reader treats any value field that fits as the data
+        # itself, so an offset there is misread (r14 review: spp=2
+        # files were unreadable)
+        bits_blob = struct.pack(bo + str(spp) + "H", *([32] * spp))
+        fmt_blob = struct.pack(bo + str(spp) + "H", *([3] * spp))
+        if len(bits_blob) <= 4:
+            add(258, 3, spp, bits_blob, True)
+            add(339, 3, spp, fmt_blob, True)
+        else:
+            add(258, 3, spp, offset_of(bits_blob))
+            add(339, 3, spp, offset_of(fmt_blob))
         add(284, 3, 1, planar, True)
     else:
         add(258, 3, 1, 32, True)
@@ -583,53 +604,41 @@ def write_geotiff(path, width, height, values, bo="<",
     # reserve the offset/count arrays in `extra` BEFORE computing block
     # positions (arrays live out-of-line when k > 1)
     counts = [len(b) for b in blocks]
+
+    def add_block_tags(off_tag, cnt_tag):
+        """Offset/count tags for the block list — inline when a single
+        block, else two out-of-line LONG arrays reserved ahead of the
+        blocks (shared by the strip and tile organizations)."""
+        if k == 1:
+            add(off_tag, 4, 1, data_start + len(extra), True)
+            add(cnt_tag, 4, 1, counts[0], True)
+            return
+        arr_off = data_start + len(extra)
+        offs, pos = [], arr_off + 8 * k
+        for c in counts:
+            offs.append(pos)
+            pos += c
+        offset_of(struct.pack(bo + str(k) + "I", *offs))
+        cnt_off = offset_of(struct.pack(bo + str(k) + "I", *counts))
+        add(off_tag, 4, k, arr_off)
+        add(cnt_tag, 4, k, cnt_off)
+
     if tile:
         add(322, 3, 1, tw, True)
         add(323, 3, 1, th, True)
-        if k == 1:
-            blocks_start = data_start + len(extra)
-            add(324, 4, 1, blocks_start, True)
-            add(325, 4, 1, counts[0], True)
-        else:
-            arr_off = data_start + len(extra)
-            blocks_start = arr_off + 8 * k
-            offs = []
-            pos = blocks_start
-            for c in counts:
-                offs.append(pos)
-                pos += c
-            extra += struct.pack(bo + str(k) + "I", *offs)
-            cnt_off = data_start + len(extra)
-            extra += struct.pack(bo + str(k) + "I", *counts)
-            add(324, 4, k, arr_off)
-            add(325, 4, k, cnt_off)
+        add_block_tags(324, 325)
     else:
         add(278, 3, 1, height, True)
-        if k == 1:
-            blocks_start = data_start + len(extra)
-            add(273, 4, 1, blocks_start, True)
-            add(279, 4, 1, counts[0], True)
-        else:
-            # planar=2: one strip per sample, sample-major arrays
-            arr_off = data_start + len(extra)
-            blocks_start = arr_off + 8 * k
-            offs = []
-            pos = blocks_start
-            for c in counts:
-                offs.append(pos)
-                pos += c
-            extra += struct.pack(bo + str(k) + "I", *offs)
-            cnt_off = data_start + len(extra)
-            extra += struct.pack(bo + str(k) + "I", *counts)
-            add(273, 4, k, arr_off)
-            add(279, 4, k, cnt_off)
+        add_block_tags(273, 279)
     entries.sort(key=lambda e: e[0])
     out = (b"II" if bo == "<" else b"MM")
     out += struct.pack(bo + "HI", 42, 8)
     out += struct.pack(bo + "H", len(entries))
     for tag, typ, cnt, val, *rest in entries:
         out += struct.pack(bo + "HHI", tag, typ, cnt)
-        if typ == 3 and rest and rest[0]:
+        if isinstance(val, bytes):       # pre-packed inline value
+            out += val.ljust(4, b"\0")
+        elif typ == 3 and rest and rest[0]:
             out += struct.pack(bo + "HH", val, 0)
         else:
             out += struct.pack(bo + "I", val)

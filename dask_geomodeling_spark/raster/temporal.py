@@ -71,6 +71,10 @@ def normalize_frequency(frequency):
     m = _CAL_RE.match(s)
     if m:
         n = int(m.group(1) or 1)
+        if n < 1:   # '0M' would reach pmod(_, 0) at run time
+            raise ValueError(
+                "Unsupported frequency '{}': multiplier must be >= 1"
+                .format(frequency))
         unit = m.group(2)
         if unit == "B":
             # business days: a Friday bin spans Fri 00:00 → Mon
@@ -91,6 +95,10 @@ def normalize_frequency(frequency):
         raise ValueError(
             "Unsupported frequency '{}'".format(frequency))
     n = int(m.group(1) or 1)
+    if n < 1:
+        raise ValueError(
+            "Unsupported frequency '{}': multiplier must be >= 1"
+            .format(frequency))
     unit = _UNIT.get(m.group(2).lower())
     if unit is None:
         raise ValueError(
@@ -106,11 +114,24 @@ def _calendar_window(t, token):
     -safe for pre-epoch times) + ``add_months`` — leap years and month
     lengths come from the JVM calendar, never a fixed duration.
     Anchored weeks: epoch-day arithmetic (1970-01-01 = Thursday), bins
-    of 7n days starting on the anchor weekday.  Timestamps construct
-    via ``timestamp_seconds(unix_date·86400)`` — session-timezone
-    independent (the surrounding code handles zones explicitly)."""
+    of 7n days starting on the anchor weekday.
+
+    SESSION-timezone independent end to end (the r14 review caught
+    ``F.year``/``F.to_date`` ON TIMESTAMPS rendering through
+    ``spark.sql.session.timeZone``, which would silently shift the
+    binning on an externally configured non-UTC session): epoch DAYS
+    come from floor-division of the raw ``unix_micros`` instant, and
+    every calendar extraction happens on DATE values (pure civil
+    arithmetic, no zone), exactly mirroring the fixed-duration
+    ``window()`` path's UTC-micros behavior."""
     body = token[4:]
     epoch = F.lit("1970-01-01").cast("date")
+    # floor(micros / day) via pmod (sign-safe pre-1970); the division
+    # of exact day-multiples is exact in double for any int64 micros
+    day_us = F.lit(86400000000)
+    um = F.unix_micros(t)
+    days = ((um - F.pmod(um, day_us)) / day_us).cast("int")
+    d = F.date_add(epoch, days)
 
     def ts(datecol):
         return F.timestamp_seconds(
@@ -118,7 +139,7 @@ def _calendar_window(t, token):
 
     if body.endswith("M"):
         n = int(body[:-1])
-        ms = ((F.year(t) - 1970) * 12 + F.month(t) - 1).cast("int")
+        ms = ((F.year(d) - 1970) * 12 + F.month(d) - 1).cast("int")
         b = (ms - F.pmod(ms, F.lit(n))).cast("int")
         return (ts(F.add_months(epoch, b)),
                 ts(F.add_months(epoch, b + n)))
@@ -126,7 +147,6 @@ def _calendar_window(t, token):
         # weekday index Mon=0 from epoch days (1970-01-01 = Thursday);
         # Sat/Sun roll back to Friday, the bin then runs to the next
         # business day (Fri → +3, else +1)
-        days = F.unix_date(F.to_date(t)).cast("int")
         dow = F.pmod(days + 3, F.lit(7))
         sd = days - F.when(dow >= 5, dow - 4).otherwise(F.lit(0))
         sdow = F.pmod(sd + 3, F.lit(7))
@@ -136,7 +156,6 @@ def _calendar_window(t, token):
     per = 7 * int(nw)
     # first anchor weekday at/after the epoch: Thursday=3
     off = (_WEEK_ANCHOR[anchor] - 3) % 7
-    days = F.unix_date(F.to_date(t)).cast("int")
     sd = days - F.pmod(days - F.lit(off), F.lit(per))
     return (ts(F.date_add(epoch, sd)),
             ts(F.date_add(epoch, sd + per)))

@@ -156,6 +156,12 @@ def test_temporal_calendar_frequencies(spark):
         temporal.TemporalAggregate(src, "BM", "sum")
     with pytest.raises(ValueError, match="no calendar anchor"):
         temporal.TemporalAggregate(src, "2B", "sum")
+    # a zero multiplier fails at CONSTRUCTION, not as a runtime
+    # ANSI divide-by-zero in pmod (r14 review)
+    with pytest.raises(ValueError, match="multiplier"):
+        temporal.TemporalAggregate(src, "0M", "sum")
+    with pytest.raises(ValueError, match="multiplier"):
+        temporal.TemporalAggregate(src, "0D", "sum")
 
 
 def test_temporal_calendar_dst_boundary(spark):
@@ -214,6 +220,19 @@ def test_temporal_calendar_dst_boundary(spark):
                    (datetime(2024, 3, 1, 5, 0), 0, 0): 2.0,
                    (datetime(2024, 4, 1, 3, 59), 0, 0): 6.0,
                    (datetime(2024, 4, 1, 4, 0), 0, 0): 8.0}
+    # calendar binning is SESSION-timezone independent (r14 review:
+    # year/month/to_date on TIMESTAMPS render through
+    # spark.sql.session.timeZone — extractions must run on dates
+    # derived from raw epoch micros instead)
+    utc_bins = cells(spark, temporal.TemporalAggregate(
+        src, "M", "sum", timezone="America/New_York"))
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        tokyo_bins = cells(spark, temporal.TemporalAggregate(
+            src, "M", "sum", timezone="America/New_York"))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert tokyo_bins == utc_bins
 
 
 def test_temporal_shift_snap(spark):
@@ -648,6 +667,19 @@ def test_geotiff_multisample_chunky_planar():
     import pytest
     with pytest.raises(ValueError, match="out of range"):
         _parse_geotiff(blob, sample=3)
+    # spp=2: the per-sample SHORT arrays are exactly 4 bytes and MUST
+    # store inline (r14 review: the offset form made spp=2 files
+    # unreadable by any spec-compliant reader, including ours)
+    vals2 = [float(j * 50 + y * 16 + x)
+             for y in range(h) for x in range(w) for j in range(2)]
+    for planar in (1, 2):
+        p = os.path.join(d, "two%d.tif" % planar)
+        write_geotiff(p, w, h, vals2, samples=2, planar=planar)
+        blob2 = open(p, "rb").read()
+        for j in range(2):
+            _, _, got, _, _ = _parse_geotiff(blob2, sample=j)
+            assert got == [float(j * 50 + y * 16 + x)
+                           for y in range(h) for x in range(w)]
 
 
 def test_geotiff_predictor2_horizontal_differencing():
