@@ -118,6 +118,30 @@ def set_spark(spark):
     _spark = spark
 
 
+def utc_epoch_days(t):
+    """Column: UTC calendar day count of timestamp ``t`` —
+    SESSION-timezone independent (``F.to_date``/``F.year`` on
+    timestamps render through ``spark.sql.session.timeZone``, so an
+    externally configured non-UTC session silently shifts them; the
+    r14 review found this in calendar binning AND the date-partition
+    write/read pair).  floor(micros/day) via ``pmod`` is sign-safe
+    pre-1970, and the division of exact day-multiples is exact in
+    double for any int64 micros."""
+    from pyspark.sql import functions as F
+    day_us = F.lit(86400000000)
+    um = F.unix_micros(t)
+    return ((um - F.pmod(um, day_us)) / day_us).cast("int")
+
+
+def utc_date(t):
+    """Column: the UTC calendar DATE of timestamp ``t`` (the
+    session-timezone-independent ``to_date``) — see
+    :func:`utc_epoch_days`."""
+    from pyspark.sql import functions as F
+    return F.date_add(F.lit("1970-01-01").cast("date"),
+                      utc_epoch_days(t))
+
+
 def strip_plan_stats(df):
     """Re-root a (materialized, e.g. localCheckpoint-ed) DataFrame on
     its own RDD with FRESH default statistics — round-10 discovery:

@@ -36,7 +36,12 @@ class RasterFileSink(BaseSingle):
         df = self.plan(spark, **request)
         writer = df.sortWithinPartitions("y", "x").write.mode(mode)
         if self.args[2]:
-            df2 = df.withColumn("date", F.to_date("time"))
+            # UTC calendar date, session-timezone independent — a
+            # non-UTC writer session would otherwise shift rows into
+            # neighboring date partitions and a UTC reader's pruning
+            # would silently drop them (r14 review)
+            from dask_geomodeling_spark.config import utc_date
+            df2 = df.withColumn("date", utc_date(F.col("time")))
             writer = (df2.sortWithinPartitions("y", "x")
                       .write.mode(mode).partitionBy("date"))
         writer.parquet(self.args[1])

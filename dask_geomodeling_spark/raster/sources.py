@@ -128,10 +128,21 @@ class RasterParquetSource(RasterBlock):
         # row groups
         if "date" in df.columns:
             start, stop = ctx.request.get("start"), ctx.request.get("stop")
+
+            def req_date(v):
+                # the request bound's UTC calendar date, computed
+                # DRIVER-side — F.to_date(lit(ts)) renders through the
+                # session timezone and would prune the wrong partition
+                # on a non-UTC session (r14 review; the sink's date
+                # column is UTC-derived)
+                if isinstance(v, str):
+                    return datetime.fromisoformat(v).date()
+                return v.date() if isinstance(v, datetime) else v
+
             if start is not None:
-                df = df.filter(F.col("date") >= F.to_date(F.lit(start)))
+                df = df.filter(F.col("date") >= F.lit(req_date(start)))
             if stop is not None:
-                df = df.filter(F.col("date") <= F.to_date(F.lit(stop)))
+                df = df.filter(F.col("date") <= F.lit(req_date(stop)))
         return apply_raster_request(df.select("time", "y", "x", "value"),
                                     ctx.request)
 

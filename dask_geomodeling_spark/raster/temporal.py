@@ -67,14 +67,20 @@ def normalize_frequency(frequency):
     epoch (1970-01); ``label='right'`` labels by the next bin start.
     Anchored weeks run [anchor 00:00, next anchor 00:00) local time.
     """
-    s = frequency.strip()
-    m = _CAL_RE.match(s)
-    if m:
+    def multiplier(m):
+        # '0M'/'0D' would reach pmod(_, 0) / a zero window at run
+        # time — fail at construction like every other bad alias
         n = int(m.group(1) or 1)
-        if n < 1:   # '0M' would reach pmod(_, 0) at run time
+        if n < 1:
             raise ValueError(
                 "Unsupported frequency '{}': multiplier must be >= 1"
                 .format(frequency))
+        return n
+
+    s = frequency.strip()
+    m = _CAL_RE.match(s)
+    if m:
+        n = multiplier(m)
         unit = m.group(2)
         if unit == "B":
             # business days: a Friday bin spans Fri 00:00 → Mon
@@ -94,11 +100,7 @@ def normalize_frequency(frequency):
     if not m:
         raise ValueError(
             "Unsupported frequency '{}'".format(frequency))
-    n = int(m.group(1) or 1)
-    if n < 1:
-        raise ValueError(
-            "Unsupported frequency '{}': multiplier must be >= 1"
-            .format(frequency))
+    n = multiplier(m)
     unit = _UNIT.get(m.group(2).lower())
     if unit is None:
         raise ValueError(
@@ -124,13 +126,10 @@ def _calendar_window(t, token):
     every calendar extraction happens on DATE values (pure civil
     arithmetic, no zone), exactly mirroring the fixed-duration
     ``window()`` path's UTC-micros behavior."""
+    from dask_geomodeling_spark.config import utc_epoch_days
     body = token[4:]
     epoch = F.lit("1970-01-01").cast("date")
-    # floor(micros / day) via pmod (sign-safe pre-1970); the division
-    # of exact day-multiples is exact in double for any int64 micros
-    day_us = F.lit(86400000000)
-    um = F.unix_micros(t)
-    days = ((um - F.pmod(um, day_us)) / day_us).cast("int")
+    days = utc_epoch_days(t)
     d = F.date_add(epoch, days)
 
     def ts(datecol):

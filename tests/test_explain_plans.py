@@ -130,6 +130,37 @@ def test_date_partition_pruning(spark, tmp_path):
     assert sorted(r["value"] for r in df.collect()) == [3.0, 4.0, 5.0]
 
 
+def test_date_partition_session_tz_independent(spark, tmp_path):
+    """Round 14 review: the date partition column and the pruning
+    predicate must both derive from UTC calendar days — a non-UTC
+    WRITER session previously shifted rows into neighboring date
+    directories (F.to_date renders through session.timeZone) and a
+    UTC reader's pruning then silently dropped them."""
+    import datetime
+
+    from dask_geomodeling_spark.raster.sinks import RasterFileSink
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource, RasterParquetSource)
+    rows = [(datetime.datetime(2024, 3, 1, 20, 0), 0, 0, 1.0),
+            (datetime.datetime(2024, 3, 2, 2, 0), 0, 1, 2.0)]
+    cells = spark.createDataFrame(
+        rows, "time timestamp, y bigint, x bigint, value double")
+    url = str(tmp_path / "tzraster")
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        RasterFileSink(DataFrameRasterSource(cells), url).write(spark)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved)
+    # Tokyo rendering would have put the 20:00 UTC row in
+    # date=2024-03-02; the UTC reader's stop=Mar 1 23:00 prune must
+    # still return it
+    got = RasterParquetSource(url).plan(
+        spark, start=datetime.datetime(2024, 3, 1),
+        stop=datetime.datetime(2024, 3, 1, 23)).collect()
+    assert [(r["y"], r["x"], r["value"]) for r in got] == [(0, 0, 1.0)]
+
+
 def test_aggregate_raster_broadcasts_features(spark):
     from dask_geomodeling_spark import demos
     plan = plan_of(demos.QUERIES["aggregate_raster"](spark, SF_DIR),

@@ -226,12 +226,13 @@ def test_temporal_calendar_dst_boundary(spark):
     # derived from raw epoch micros instead)
     utc_bins = cells(spark, temporal.TemporalAggregate(
         src, "M", "sum", timezone="America/New_York"))
+    saved_tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
     try:
         tokyo_bins = cells(spark, temporal.TemporalAggregate(
             src, "M", "sum", timezone="America/New_York"))
     finally:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.session.timeZone", saved_tz)
     assert tokyo_bins == utc_bins
 
 
