@@ -69,10 +69,17 @@ def apply_feature_request(df, request, time_column=None):
 
     start, stop = request.get("start"), request.get("stop")
     if time_column and (start or stop):
+        # UTC-instant literals, session-timezone independent (r14
+        # review; same contract as apply_raster_request)
+        from dask_geomodeling_spark.utils import request_instant_us
         if start:
-            df = df.filter(F.col(time_column) >= F.lit(start))
+            df = df.filter(F.col(time_column)
+                           >= F.timestamp_micros(
+                               F.lit(request_instant_us(start))))
         if stop:
-            df = df.filter(F.col(time_column) <= F.lit(stop))
+            df = df.filter(F.col(time_column)
+                           <= F.timestamp_micros(
+                               F.lit(request_instant_us(stop))))
 
     geometry = request.get("geometry")  # (xmin, ymin, xmax, ymax) bbox
     if isinstance(geometry, str):

@@ -56,10 +56,19 @@ def apply_raster_request(df, request):
                 df = df.filter(F.pmod(F.col("y") - F.lit(int(y1)),
                                       F.lit(sy)) == 0)
     start, stop = request.get("start"), request.get("stop")
+    # bounds become UTC-instant literals via timestamp_micros — a
+    # naive-datetime/string F.lit renders through the session
+    # timezone, silently shifting the filter on a non-UTC session
+    # (r14 review; naive bounds are UTC by the dt_to_ms convention)
+    from dask_geomodeling_spark.utils import request_instant_us
     if start is not None:
-        df = df.filter(F.col("time") >= F.lit(start))
+        df = df.filter(F.col("time")
+                       >= F.timestamp_micros(
+                           F.lit(request_instant_us(start))))
     if stop is not None:
-        df = df.filter(F.col("time") <= F.lit(stop))
+        df = df.filter(F.col("time")
+                       <= F.timestamp_micros(
+                           F.lit(request_instant_us(stop))))
     return df
 
 

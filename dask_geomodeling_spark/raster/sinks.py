@@ -34,16 +34,21 @@ class RasterFileSink(BaseSingle):
 
     def write(self, spark=None, mode="overwrite", **request):
         df = self.plan(spark, **request)
-        writer = df.sortWithinPartitions("y", "x").write.mode(mode)
         if self.args[2]:
             # UTC calendar date, session-timezone independent — a
             # non-UTC writer session would otherwise shift rows into
             # neighboring date partitions and a UTC reader's pruning
-            # would silently drop them (r14 review)
+            # would silently drop them (r14 review).  NOTE for
+            # pre-existing layouts written by a NON-UTC session under
+            # older engine versions: their directories carry
+            # session-local dates and must be rewritten (one
+            # read-all + write) before UTC pruning reads them.
             from dask_geomodeling_spark.config import utc_date
-            df2 = df.withColumn("date", utc_date(F.col("time")))
-            writer = (df2.sortWithinPartitions("y", "x")
+            writer = (df.withColumn("date", utc_date(F.col("time")))
+                      .sortWithinPartitions("y", "x")
                       .write.mode(mode).partitionBy("date"))
+        else:
+            writer = df.sortWithinPartitions("y", "x").write.mode(mode)
         writer.parquet(self.args[1])
         return self.args[1]
 

@@ -131,13 +131,19 @@ class RasterParquetSource(RasterBlock):
 
             def req_date(v):
                 # the request bound's UTC calendar date, computed
-                # DRIVER-side — F.to_date(lit(ts)) renders through the
-                # session timezone and would prune the wrong partition
-                # on a non-UTC session (r14 review; the sink's date
-                # column is UTC-derived)
-                if isinstance(v, str):
-                    return datetime.fromisoformat(v).date()
-                return v.date() if isinstance(v, datetime) else v
+                # DRIVER-side from the SAME UTC instant the time
+                # filter uses — F.to_date(lit(ts)) renders through
+                # the session timezone and would prune the wrong
+                # partition on a non-UTC session, and a local .date()
+                # on an AWARE bound picks the local day (both r14
+                # review; the sink's date column is UTC-derived)
+                from datetime import date, timedelta
+
+                from dask_geomodeling_spark.utils import (
+                    request_instant_us)
+                us = request_instant_us(v)
+                return date(1970, 1, 1) + timedelta(
+                    days=us // 86400000000)
 
             if start is not None:
                 df = df.filter(F.col("date") >= F.lit(req_date(start)))

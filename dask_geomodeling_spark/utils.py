@@ -396,6 +396,30 @@ def dt_to_ms(dt):
     return int(dt.timestamp() * 1000)
 
 
+def request_instant_us(v):
+    """Request time bound → epoch MICROseconds, ONE interpretation
+    for every accepted form (r14 review: a naive-datetime literal
+    renders through ``spark.sql.session.timeZone`` while the date
+    prune assumed UTC — half-fixed tz hazards are worse than none):
+    naive datetimes are UTC (the ``dt_to_ms`` convention), aware
+    datetimes are honored, ISO strings parse then follow the same
+    rules, plain dates are UTC midnight.  Exact integer arithmetic
+    (timedelta division), no float timestamps."""
+    if isinstance(v, str):
+        v = datetime.datetime.fromisoformat(v)
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        epoch = datetime.datetime(1970, 1, 1,
+                                  tzinfo=datetime.timezone.utc)
+        return (v - epoch) // datetime.timedelta(microseconds=1)
+    if isinstance(v, datetime.date):
+        return ((v - datetime.date(1970, 1, 1)).days
+                * 86400000000)
+    raise TypeError(
+        "'{}' is not a valid time bound".format(type(v)))
+
+
 def filter_none(lst):
     """Drop the Nones (reference: utils.py:925)."""
     return [x for x in lst if x is not None]

@@ -584,6 +584,37 @@ def test_time_mode_collect_is_bounded(spark):
     assert meta["meta"] == [None] * 4
 
 
+def test_time_request_bounds_one_utc_interpretation(spark):
+    """Round 14 review: request time bounds get ONE interpretation —
+    naive = UTC (the dt_to_ms convention), aware honored, ISO strings
+    parsed the same way — and the filter literal is built from raw
+    UTC micros, so a non-UTC session timezone cannot shift it."""
+    from datetime import datetime, timedelta, timezone
+    from dask_geomodeling_spark.raster.sources import MemorySource
+    bands = [[[float(b)]] for b in range(10)]
+    src = MemorySource(bands, time_first=datetime(2000, 1, 1),
+                       time_delta=timedelta(hours=1))
+    want = [datetime(2000, 1, 1, 3) + timedelta(hours=k)
+            for k in range(3)]
+    # aware bound: 12:00 +09:00 == 03:00 UTC
+    got = src.get_data(
+        spark, mode="time",
+        start=datetime(2000, 1, 1, 12,
+                       tzinfo=timezone(timedelta(hours=9))),
+        stop=datetime(2000, 1, 1, 5))
+    assert got["time"] == want
+    # string bound + hostile session timezone: still UTC semantics
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        got = src.get_data(spark, mode="time",
+                           start="2000-01-01 03:00:00",
+                           stop="2000-01-01T05:00:00+00:00")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved)
+    assert got["time"] == want
+
+
 def test_geotiff_deflate_and_tiled_roundtrip():
     import os
     import tempfile
