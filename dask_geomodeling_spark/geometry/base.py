@@ -69,17 +69,45 @@ def apply_feature_request(df, request, time_column=None):
 
     start, stop = request.get("start"), request.get("stop")
     if time_column and (start or stop):
-        # UTC-instant literals, session-timezone independent (r14
-        # review; same contract as apply_raster_request)
+        # UTC-instant bounds rendered in the COLUMN's own type, so
+        # the predicate stays pushdown-able and session-timezone
+        # independent (r14 review: a timestamp literal against a
+        # DATE/STRING column moves a session-tz cast onto the column
+        # side — wrong boundaries AND no PushedFilters).  DATE
+        # columns compare in date space with exact ceil/floor;
+        # STRING columns compare lexicographically against the
+        # zero-padded ISO rendering (the documented string-time
+        # contract); timestamps get the raw-micros literal.
+        import datetime as _dt
+
+        from pyspark.sql import types as T
+
         from dask_geomodeling_spark.utils import request_instant_us
+        DAY_US = 86400000000
+        dtype = df.schema[time_column].dataType
+        c = F.col(time_column)
+
+        def bound(v, is_start):
+            us = request_instant_us(v)
+            if isinstance(dtype, T.DateType):
+                days, rem = divmod(us, DAY_US)
+                if is_start and rem:
+                    days += 1   # midnight(d) < bound → first day OUT
+                return F.lit(_dt.date(1970, 1, 1)
+                             + _dt.timedelta(days=days))
+            if isinstance(dtype, T.StringType):
+                iso = (_dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+                       + _dt.timedelta(microseconds=us))
+                s = iso.strftime("%Y-%m-%d %H:%M:%S")
+                if iso.microsecond:
+                    s += ".{:06d}".format(iso.microsecond)
+                return F.lit(s)
+            return F.timestamp_micros(F.lit(us))
+
         if start:
-            df = df.filter(F.col(time_column)
-                           >= F.timestamp_micros(
-                               F.lit(request_instant_us(start))))
+            df = df.filter(c >= bound(start, True))
         if stop:
-            df = df.filter(F.col(time_column)
-                           <= F.timestamp_micros(
-                               F.lit(request_instant_us(stop))))
+            df = df.filter(c <= bound(stop, False))
 
     geometry = request.get("geometry")  # (xmin, ymin, xmax, ymax) bbox
     if isinstance(geometry, str):

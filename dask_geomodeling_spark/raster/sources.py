@@ -15,6 +15,7 @@ from datetime import datetime, timedelta
 
 from pyspark.sql import functions as F
 
+from dask_geomodeling_spark.utils import dt_to_ms
 from dask_geomodeling_spark.raster.base import (EPOCH, RasterBlock,
                                                 apply_raster_request)
 
@@ -93,9 +94,17 @@ class MemorySource(RasterBlock):
         return self.args[4]
 
     def _build(self, ctx):
+        from datetime import timezone
         data, nodata, t0, dt = self.args[:4]
         if not isinstance(data[0][0], list):
             data = [data]  # (h, w) -> (1, h, w)
+        # naive band times are UTC (the engine-wide dt_to_ms
+        # convention) — attach tzinfo BEFORE createDataFrame: pyspark
+        # converts naive datetimes through the driver OS timezone
+        # (time.mktime), so on a non-UTC host the stored instants
+        # would shift against the UTC request bounds (r14 review)
+        if t0.tzinfo is None:
+            t0 = t0.replace(tzinfo=timezone.utc)
         rows = []
         for band, grid in enumerate(data):
             t = t0 + (dt * band if dt else timedelta(0))
@@ -129,26 +138,19 @@ class RasterParquetSource(RasterBlock):
         if "date" in df.columns:
             start, stop = ctx.request.get("start"), ctx.request.get("stop")
 
-            def req_date(v):
-                # the request bound's UTC calendar date, computed
-                # DRIVER-side from the SAME UTC instant the time
-                # filter uses — F.to_date(lit(ts)) renders through
-                # the session timezone and would prune the wrong
-                # partition on a non-UTC session, and a local .date()
-                # on an AWARE bound picks the local day (both r14
-                # review; the sink's date column is UTC-derived)
-                from datetime import date, timedelta
-
-                from dask_geomodeling_spark.utils import (
-                    request_instant_us)
-                us = request_instant_us(v)
-                return date(1970, 1, 1) + timedelta(
-                    days=us // 86400000000)
-
+            # prune bounds are the UTC calendar dates of the SAME
+            # instants the time filter uses — F.to_date(lit(ts))
+            # renders through the session timezone and would prune
+            # the wrong partition on a non-UTC session, and a local
+            # .date() on an AWARE bound picks the local day (both
+            # r14 review; the sink's date column is UTC-derived)
+            from dask_geomodeling_spark.utils import request_utc_date
             if start is not None:
-                df = df.filter(F.col("date") >= F.lit(req_date(start)))
+                df = df.filter(
+                    F.col("date") >= F.lit(request_utc_date(start)))
             if stop is not None:
-                df = df.filter(F.col("date") <= F.lit(req_date(stop)))
+                df = df.filter(
+                    F.col("date") <= F.lit(request_utc_date(stop)))
         return apply_raster_request(df.select("time", "y", "x", "value"),
                                     ctx.request)
 
@@ -731,10 +733,11 @@ class GeoTIFFRasterSource(RasterBlock):
                    .withColumn("_band", F.row_number().over(
                        Window.orderBy("path")) - 1))
             cells = cells.join(F.broadcast(idx), "path")
-            t = (F.lit(time_first).cast("timestamp").cast("double")
-                 + F.col("_band") * F.lit(time_delta.total_seconds())) \
-                .cast("timestamp")
+            t = F.timestamp_micros(
+                F.lit(dt_to_ms(time_first) * 1000)
+                + F.col("_band")
+                * F.lit(int(time_delta.total_seconds() * 1000000)))
         else:
-            t = F.lit(time_first).cast("timestamp")
+            t = F.timestamp_micros(F.lit(dt_to_ms(time_first) * 1000))
         out = cells.select(t.alias("time"), "y", "x", "value", "wx", "wy")
         return apply_raster_request(out, ctx.request)

@@ -420,6 +420,15 @@ def request_instant_us(v):
         "'{}' is not a valid time bound".format(type(v)))
 
 
+def request_utc_date(v):
+    """Request time bound → its UTC calendar date (the floor of
+    :func:`request_instant_us` to epoch days) — the driver-side
+    counterpart of ``config.utc_date`` for partition-prune bounds."""
+    us = request_instant_us(v)
+    return (datetime.date(1970, 1, 1)
+            + datetime.timedelta(days=us // 86400000000))
+
+
 def filter_none(lst):
     """Drop the Nones (reference: utils.py:925)."""
     return [x for x in lst if x is not None]

@@ -584,6 +584,83 @@ def test_time_mode_collect_is_bounded(spark):
     assert meta["meta"] == [None] * 4
 
 
+def test_memory_source_naive_times_are_utc_any_os_tz(spark):
+    """Round 14 review: pyspark converts NAIVE datetimes through the
+    driver OS timezone (time.mktime), so MemorySource band times must
+    be made UTC-aware before createDataFrame or the stored instants
+    shift against the UTC request bounds on a non-UTC host."""
+    import os
+    import time as _time
+    from datetime import datetime, timedelta
+    from dask_geomodeling_spark.raster.sources import MemorySource
+    bands = [[[float(b)]] for b in range(6)]
+    saved = os.environ.get("TZ")
+    os.environ["TZ"] = "Asia/Tokyo"
+    _time.tzset()
+    try:
+        src = MemorySource(bands, time_first=datetime(2000, 1, 1),
+                           time_delta=timedelta(hours=1))
+        got = src.get_data(spark, mode="time",
+                           start=datetime(2000, 1, 1, 2),
+                           stop=datetime(2000, 1, 1, 4))
+        # collected naive datetimes render in the CURRENT os tz
+        # (pyspark fromInternal) — compare INSTANTS: mktime here uses
+        # the same Tokyo tz, recovering the absolute epoch seconds
+        instants = [_time.mktime(t.timetuple()) for t in got["time"]]
+    finally:
+        if saved is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = saved
+        _time.tzset()
+    # before the fix, the Tokyo driver stored the bands 9 h early and
+    # the UTC bounds selected the WRONG bands (or none) — the right
+    # three instants prove storage and filtering agree on UTC
+    from datetime import timezone
+    want = [(datetime(2000, 1, 1, 2, tzinfo=timezone.utc)
+             + timedelta(hours=k)).timestamp() for k in range(3)]
+    assert instants == want
+
+
+def test_feature_time_bounds_typed_columns(spark):
+    """Round 14 review: feature-plane time bounds render in the time
+    COLUMN's own type — DATE columns compare in date space with exact
+    ceil/floor (pushdown-able, no session-tz cast on the column),
+    STRING columns lexicographically against the ISO rendering."""
+    from datetime import date, datetime
+
+    from dask_geomodeling_spark.geometry.base import (
+        apply_feature_request)
+    ddf = spark.createDataFrame(
+        [(i, date(1995, 1, i)) for i in range(1, 9)],
+        "id bigint, t date")
+    # start mid-day Jan 2 -> first INCLUDED date is Jan 3 (ceil);
+    # stop mid-day Jan 6 -> last included date is Jan 6 (floor)
+    got = sorted(r["id"] for r in apply_feature_request(
+        ddf, {"start": datetime(1995, 1, 2, 12),
+              "stop": datetime(1995, 1, 6, 12)},
+        time_column="t").collect())
+    assert got == [3, 4, 5, 6]
+    # exact-midnight start INCLUDES that date
+    got = sorted(r["id"] for r in apply_feature_request(
+        ddf, {"start": datetime(1995, 1, 2)},
+        time_column="t").collect())
+    assert got == [2, 3, 4, 5, 6, 7, 8]
+    sdf = spark.createDataFrame(
+        [(i, "1995-01-0{} 06:00:00".format(i)) for i in range(1, 9)],
+        "id bigint, t string")
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        got = sorted(r["id"] for r in apply_feature_request(
+            sdf, {"start": "1995-01-02 06:00:00",
+                  "stop": datetime(1995, 1, 5, 6)},
+            time_column="t").collect())
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved)
+    assert got == [2, 3, 4, 5]
+
+
 def test_time_request_bounds_one_utc_interpretation(spark):
     """Round 14 review: request time bounds get ONE interpretation —
     naive = UTC (the dt_to_ms convention), aware honored, ISO strings
