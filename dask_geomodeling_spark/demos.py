@@ -3523,6 +3523,45 @@ def geotiff_multisample(spark, sf_dir):
             .select("time", "y", "x", "value").distinct())
 
 
+@demo("geotiff_multipage", oracle="""
+SELECT CAST('1970-01-01' AS TIMESTAMP)
+           + INTERVAL 1 HOUR * band AS time,
+       y, x, CAST(band * 500 + y * 16 + x AS DOUBLE) AS value
+FROM (SELECT unnest(range(0, 6)) AS band),
+     (SELECT unnest(range(0, 8)) AS y),
+     (SELECT unnest(range(0, 16)) AS x)
+""")
+def geotiff_multipage(spark, sf_dir):
+    """Multi-page + BigTIFF ingestion (round 14): one CLASSIC file
+    holding three chained IFD pages and one BIGTIFF (version 43,
+    8-byte offsets, LONG8 strip tags) holding three more — every
+    (file, page) pair becomes a time band in sorted order, the GDAL
+    time-stack layout.  Closed-form cell formula, so the oracle
+    re-derives the six bands without reading TIFF."""
+    import os
+    import tempfile
+    from datetime import timedelta
+
+    from dask_geomodeling_spark.raster.sources import (
+        GeoTIFFRasterSource, write_geotiff_pages)
+    d = tempfile.mkdtemp(prefix="dgs_geotiff_mp_")
+    w, h = 16, 8
+
+    def page(band):
+        return [float(band * 500 + y * 16 + x)
+                for y in range(h) for x in range(w)]
+
+    # sorted paths: a.tif (classic, bands 0-2) < b.tif (BigTIFF, 3-5)
+    write_geotiff_pages(os.path.join(d, "a.tif"), w, h,
+                        [page(b) for b in range(3)])
+    write_geotiff_pages(os.path.join(d, "b.tif"), w, h,
+                        [page(b) for b in range(3, 6)],
+                        bigtiff=True)
+    src = GeoTIFFRasterSource(d + "/*.tif",
+                              time_delta=timedelta(hours=1))
+    return src.plan(spark).select("time", "y", "x", "value")
+
+
 @demo("polygon_area", oracle="""
 WITH v(id, i, x, y) AS (VALUES
   (CAST(1 AS BIGINT), 0, 0.0, 0.0), (1, 1, 4.0, 0.0), (1, 2, 0.0, 3.0),
@@ -12334,6 +12373,7 @@ GATE_ANCHORS = [
     # round-14 new operators (r13 verdict #2/#3)
     "geotiff_lzw",
     "geotiff_multisample",
+    "geotiff_multipage",
     "raster_temporal_month",
     "raster_temporal_quarter",
     "raster_temporal_year",

@@ -21,7 +21,7 @@ from dask_geomodeling_spark.raster.base import (EPOCH, RasterBlock,
 
 __all__ = ["MemorySource", "RasterParquetSource", "TableRasterSource",
            "DataFrameRasterSource", "GeoTIFFRasterSource",
-           "write_geotiff"]
+           "write_geotiff", "write_geotiff_pages"]
 
 
 class DataFrameRasterSource(RasterBlock):
@@ -336,7 +336,180 @@ def _packbits_encode(data):
     return bytes(out)
 
 
-def _parse_geotiff(content, sample=0):
+def write_geotiff_pages(path, width, height, pages, bo="<",
+                        nodata=None, geo=True, bigtiff=False):
+    """Multi-page (Big)TIFF fixture writer (round 14): ``pages`` is a
+    list of per-page row-major float lists (single sample,
+    uncompressed, one strip per page); each page becomes one chained
+    IFD.  ``bigtiff=True`` writes version 43 with 8-byte offsets and
+    LONG8 strip tags — the inverse of the BigTIFF branch of
+    ``_tiff_ifds`` for roundtrip oracles (real >4 GB rasters ship as
+    BigTIFF; GDAL time stacks ship as page chains)."""
+    import struct
+
+    n_pix = width * height
+    for pv in pages:
+        if len(pv) != n_pix:
+            raise ValueError("each page must hold width*height floats")
+    big = bool(bigtiff)
+    out = bytearray()
+    out += (b"II" if bo == "<" else b"MM")
+    if big:
+        out += struct.pack(bo + "HHH", 43, 8, 0)
+        out += struct.pack(bo + "Q", 16)
+        ent, head, tail, inline_max = 20, 8, 8, 8
+    else:
+        out += struct.pack(bo + "HI", 42, 8)
+        ent, head, tail, inline_max = 12, 2, 4, 4
+
+    def pack_entry(tag, typ, cnt, val):
+        if big:
+            e = struct.pack(bo + "HHQ", tag, typ, cnt)
+        else:
+            e = struct.pack(bo + "HHI", tag, typ, cnt)
+        # the value/offset field: SHORT/LONG inline (zero-padded),
+        # LONG8 and out-of-line offsets as full-width integers
+        w8 = 8 if big else 4
+        if isinstance(val, bytes):   # pre-packed inline payload
+            v = val
+        elif typ == 3 and cnt == 1:
+            v = struct.pack(bo + "H", val)
+        elif typ == 16:
+            v = struct.pack(bo + "Q", val)
+        elif typ in (4, 2, 12) or (typ == 3 and cnt > 1):
+            # LONG value or an out-of-line offset field
+            v = struct.pack(bo + ("Q" if big else "I"), val)
+        else:
+            raise ValueError((tag, typ))
+        return e + v.ljust(w8, b"\0")
+
+    ifd_off = 16 if big else 8
+    strip_typ = 16 if big else 4
+    for p, pv in enumerate(pages):
+        n_tags = 10 + (3 if geo else 0) + (1 if nodata is not None
+                                           else 0)
+        ifd_size = head + n_tags * ent + tail
+        extra = b""
+        extras_off = ifd_off + ifd_size
+
+        def out_of_line(blob):
+            nonlocal extra
+            off = extras_off + len(extra)
+            extra += blob
+            return off
+
+        entries = [
+            (256, 3, 1, width), (257, 3, 1, height),
+            (258, 3, 1, 32), (259, 3, 1, 1), (262, 3, 1, 1),
+            (277, 3, 1, 1), (278, 3, 1, height), (339, 3, 1, 3)]
+        if geo:
+            entries.append((33550, 12, 3, out_of_line(
+                struct.pack(bo + "3d", 0.5, 0.25, 0.0))))
+            entries.append((33922, 12, 6, out_of_line(
+                struct.pack(bo + "6d", 0.0, 0.0, 0.0, 10.0, 20.0,
+                            0.0))))
+            geok = struct.pack(bo + "4H", 1, 1, 0, 0)
+            # 8 bytes: inline under BigTIFF, out-of-line classically
+            entries.append((34735, 3, 4,
+                            geok if big else out_of_line(geok)))
+        if nodata is not None:
+            s = str(nodata).encode() + b"\0"
+            entries.append((42113, 2, len(s),
+                            s if len(s) <= inline_max
+                            else out_of_line(s)))
+        strip_off = extras_off + len(extra)
+        blob = struct.pack(bo + str(n_pix) + "f", *pv)
+        entries.append((273, strip_typ, 1, strip_off))
+        entries.append((279, strip_typ, 1, len(blob)))
+        entries.sort(key=lambda e: e[0])
+        next_ifd = 0 if p == len(pages) - 1 else strip_off + len(blob)
+        if big:
+            out += struct.pack(bo + "Q", len(entries))
+        else:
+            out += struct.pack(bo + "H", len(entries))
+        for e in entries:
+            out += pack_entry(*e)
+        out += struct.pack(bo + ("Q" if big else "I"), next_ifd)
+        out += extra + blob
+        ifd_off = next_ifd
+    with open(path, "wb") as f:
+        f.write(out)
+
+
+def _tiff_header(content):
+    """TIFF/BigTIFF header → (byte order, bigtiff?, first IFD
+    offset).  BigTIFF (version 43, round 14): 8-byte offsets
+    throughout — the format wild >4 GB rasters actually ship in."""
+    import struct
+
+    bo = {b"II": "<", b"MM": ">"}.get(content[:2])
+    if bo is None:
+        raise ValueError("not a TIFF")
+    version = struct.unpack_from(bo + "H", content, 2)[0]
+    if version == 42:
+        return bo, False, struct.unpack_from(bo + "I", content, 4)[0]
+    if version == 43:
+        osz, pad = struct.unpack_from(bo + "HH", content, 4)
+        if osz != 8 or pad != 0:
+            raise NotImplementedError(
+                "BigTIFF offset size {} not supported".format(osz))
+        return bo, True, struct.unpack_from(bo + "Q", content, 8)[0]
+    raise ValueError("not a TIFF")
+
+
+def _tiff_ifds(content):
+    """Yield one ``(tags, next_ifd_offset)`` dict per IFD page, in
+    chain order — classic (12-byte entries, 4-byte inline values) and
+    BigTIFF (20-byte entries, 8-byte inline values, LONG8/SLONG8
+    types) share this walk."""
+    import struct
+
+    bo, big, ifd_off = _tiff_header(content)
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8,
+                 16: 8, 17: 8}
+    fmts = {1: "B", 3: "H", 4: "I", 11: "f", 12: "d",
+            16: "Q", 17: "q"}
+    ent_size, inline_max = (20, 8) if big else (12, 4)
+    cnt_fmt = "Q" if big else "I"   # entry count field: LONG8 / LONG
+    off_fmt = "Q" if big else "I"
+    head = 8 if big else 2
+    while ifd_off:
+        if big:
+            (n_entries,) = struct.unpack_from(bo + "Q", content,
+                                              ifd_off)
+        else:
+            (n_entries,) = struct.unpack_from(bo + "H", content,
+                                              ifd_off)
+        tags = {}
+        for i in range(int(n_entries)):
+            off = ifd_off + head + i * ent_size
+            tag, typ = struct.unpack_from(bo + "HH", content, off)
+            (cnt,) = struct.unpack_from(bo + cnt_fmt, content,
+                                        off + 4)
+            cnt = int(cnt)
+            size = type_size.get(typ, 1) * cnt
+            vpos = off + (12 if big else 8)
+            voff = vpos if size <= inline_max else \
+                struct.unpack_from(bo + off_fmt, content, vpos)[0]
+            fmt = fmts.get(typ)
+            if fmt:
+                tags[tag] = list(struct.unpack_from(
+                    bo + str(cnt) + fmt, content, voff))
+            elif typ == 2:  # ascii
+                tags[tag] = content[voff:voff + cnt] \
+                    .split(b"\0")[0].decode()
+        nxt_pos = ifd_off + head + int(n_entries) * ent_size
+        (ifd_off,) = struct.unpack_from(bo + off_fmt, content,
+                                        nxt_pos)
+        yield bo, tags
+
+
+def _tiff_page_count(content):
+    """Number of IFD pages in a (Big)TIFF."""
+    return sum(1 for _ in _tiff_ifds(content))
+
+
+def _parse_geotiff(content, sample=0, page=0):
     """Pure-python parse of one band of a GeoTIFF (reference
     RasterFileSource reads GDAL rasters, raster/sources.py:396 — no
     GDAL here, so the TIFF layout is parsed directly).  Returns
@@ -345,39 +518,32 @@ def _parse_geotiff(content, sample=0):
     pixel_w, y_origin, pixel_h) from the ModelTiepoint/ModelPixelScale
     GeoTIFF tags (None when absent).
 
-    Supported: byte order II/MM, BitsPerSample 8/16/32/64 with
-    SampleFormat uint/int/float, STRIP (278/273/279) and TILE
-    (322/323/324/325) organizations, Compression 1 (none),
-    8/32946 (zlib deflate — the same stdlib dependency the PNG codec
-    uses), 5 (LZW — the wild-TIFF default, round 14) and 32773
-    (PackBits), horizontal-differencing Predictor 2 for integer
-    samples, and MULTI-sample files (RGB imagery, round 14) in both
-    chunky (PlanarConfiguration=1, samples interleaved per pixel) and
-    planar (=2, one block run per sample) layouts — ``sample``
-    selects the 0-based band.  Anything else raises
-    NotImplementedError with the offending tag."""
+    Supported: byte order II/MM, classic AND BigTIFF (version 43,
+    8-byte offsets — the wild >4 GB raster format; round 14),
+    BitsPerSample 8/16/32/64 with SampleFormat uint/int/float, STRIP
+    (278/273/279) and TILE (322/323/324/325) organizations,
+    Compression 1 (none), 8/32946 (zlib deflate — the same stdlib
+    dependency the PNG codec uses), 5 (LZW — the wild-TIFF default,
+    round 14) and 32773 (PackBits), horizontal-differencing
+    Predictor 2 for integer samples, MULTI-sample files (RGB imagery,
+    round 14) in both chunky (PlanarConfiguration=1, samples
+    interleaved per pixel) and planar (=2, one block run per sample)
+    layouts — ``sample`` selects the 0-based band — and MULTI-page
+    files (``page`` selects the 0-based IFD; GDAL time stacks ship as
+    page chains).  Anything else raises NotImplementedError with the
+    offending tag."""
     import struct
     import zlib
 
-    bo = {b"II": "<", b"MM": ">"}.get(content[:2])
-    if bo is None or struct.unpack_from(bo + "H", content, 2)[0] != 42:
-        raise ValueError("not a TIFF")
-    (ifd_off,) = struct.unpack_from(bo + "I", content, 4)
-    (n_entries,) = struct.unpack_from(bo + "H", content, ifd_off)
-    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8}
-    tags = {}
-    for i in range(n_entries):
-        off = ifd_off + 2 + i * 12
-        tag, typ, cnt = struct.unpack_from(bo + "HHI", content, off)
-        size = type_size.get(typ, 1) * cnt
-        voff = off + 8 if size <= 4 else \
-            struct.unpack_from(bo + "I", content, off + 8)[0]
-        fmt = {1: "B", 3: "H", 4: "I", 11: "f", 12: "d"}.get(typ)
-        if fmt:
-            tags[tag] = list(struct.unpack_from(bo + str(cnt) + fmt,
-                                                content, voff))
-        elif typ == 2:  # ascii
-            tags[tag] = content[voff:voff + cnt].split(b"\0")[0].decode()
+    bo = tags = None
+    k = -1
+    for k, (bo, tags) in enumerate(_tiff_ifds(content)):
+        if k == int(page):
+            break
+    else:
+        raise ValueError(
+            "page {} out of range: file has {} page(s)".format(
+                page, k + 1))
     width, height = int(tags[256][0]), int(tags[257][0])
     comp = int(tags.get(259, [1])[0])
     if comp not in (1, 5, 8, 32946, 32773):
@@ -679,11 +845,14 @@ class GeoTIFFRasterSource(RasterBlock):
     for raster tiles), an Arrow-batched ``mapInPandas`` runs the
     pure-python TIFF parse per file, and each pixel becomes a cell row
     ``(time, y, x, value)`` with nodata as NULL.  ``time`` comes from
-    ``time_first`` (+ ``time_delta`` * sorted-file-index when given).
-    With georeferencing tags present, ``wx``/``wy`` carry the model-space
-    center coordinates of each pixel.  ``sample`` selects the 0-based
-    band of multi-sample (RGB) files — chunky or planar layout
-    (round 14).
+    ``time_first`` (+ ``time_delta`` * sorted-band-index when given;
+    bands are ALL (file, page) pairs ordered by (path, page) — a
+    multi-page file contributes one band per IFD, the GDAL time-stack
+    layout, round 14).  With georeferencing tags present,
+    ``wx``/``wy`` carry the model-space center coordinates of each
+    pixel.  ``sample`` selects the 0-based band of multi-sample (RGB)
+    files — chunky or planar layout (round 14).  BigTIFF (version 43)
+    files read transparently.
     """
 
     def __init__(self, url, time_first=EPOCH, time_delta=None,
@@ -697,6 +866,7 @@ class GeoTIFFRasterSource(RasterBlock):
                  .select("path", "content"))
         schema = T.StructType([
             T.StructField("path", T.StringType()),
+            T.StructField("page", T.LongType()),
             T.StructField("y", T.LongType()),
             T.StructField("x", T.LongType()),
             T.StructField("value", T.DoubleType()),
@@ -708,31 +878,48 @@ class GeoTIFFRasterSource(RasterBlock):
             import pandas as pd
             for pdf in batches:
                 for path, content in zip(pdf["path"], pdf["content"]):
-                    w, h, vals, nodata, gt = _parse_geotiff(
-                        bytes(content), sample=sample)
-                    ys = [i // w for i in range(w * h)]
-                    xs = [i % w for i in range(w * h)]
-                    if gt is not None:
-                        x0, sx, y0, sy = gt
-                        wxs = [x0 + (c + 0.5) * sx for c in xs]
-                        wys = [y0 - (r + 0.5) * sy for r in ys]
-                    else:
-                        wxs = wys = [None] * (w * h)
-                    if nodata is not None:
-                        vals = [None if v == nodata else v for v in vals]
-                    yield pd.DataFrame({"path": path, "y": ys, "x": xs,
-                                        "value": vals, "wx": wxs,
-                                        "wy": wys})
+                    blob = bytes(content)
+                    for page in range(_tiff_page_count(blob)):
+                        w, h, vals, nodata, gt = _parse_geotiff(
+                            blob, sample=sample, page=page)
+                        ys = [i // w for i in range(w * h)]
+                        xs = [i % w for i in range(w * h)]
+                        if gt is not None:
+                            x0, sx, y0, sy = gt
+                            wxs = [x0 + (c + 0.5) * sx for c in xs]
+                            wys = [y0 - (r + 0.5) * sy for r in ys]
+                        else:
+                            wxs = wys = [None] * (w * h)
+                        if nodata is not None:
+                            vals = [None if v == nodata else v
+                                    for v in vals]
+                        yield pd.DataFrame(
+                            {"path": path, "page": page, "y": ys,
+                             "x": xs, "value": vals, "wx": wxs,
+                             "wy": wys})
 
         cells = files.mapInPandas(parse, schema=schema)
         if time_delta is not None:
-            # stable per-file band index by sorted path (tiny dimension:
-            # one row per FILE) broadcast onto the cells
+            # stable band index by sorted (path, page) — a tiny
+            # dimension (one row per file PAGE) from a HEADER-only
+            # IFD-chain walk (no pixel decode, so the full parse
+            # still runs exactly once), broadcast onto the cells
             from pyspark.sql import Window
-            idx = (files.select("path").distinct()
-                   .withColumn("_band", F.row_number().over(
-                       Window.orderBy("path")) - 1))
-            cells = cells.join(F.broadcast(idx), "path")
+
+            def count_pages(batches):
+                import pandas as pd
+                for pdf in batches:
+                    for path, content in zip(pdf["path"],
+                                             pdf["content"]):
+                        n = _tiff_page_count(bytes(content))
+                        yield pd.DataFrame({"path": path,
+                                            "page": list(range(n))})
+
+            idx = (files.mapInPandas(
+                count_pages, schema="path string, page long")
+                .withColumn("_band", F.row_number().over(
+                    Window.orderBy("path", "page")) - 1))
+            cells = cells.join(F.broadcast(idx), ["path", "page"])
             t = F.timestamp_micros(
                 F.lit(dt_to_ms(time_first) * 1000)
                 + F.col("_band")

@@ -836,6 +836,37 @@ def test_geotiff_predictor2_horizontal_differencing():
     assert b == [100.0, 102.0, 100.0]  # 100, +2, -2
 
 
+def test_geotiff_multipage_and_bigtiff():
+    """Round 14: multi-page IFD chains and BigTIFF (version 43,
+    8-byte offsets, LONG8 tags) roundtrip page-exactly in both byte
+    orders; out-of-range pages fail fast."""
+    import os
+    import tempfile
+
+    import pytest
+
+    from dask_geomodeling_spark.raster.sources import (
+        _parse_geotiff, _tiff_page_count, write_geotiff_pages)
+    d = tempfile.mkdtemp()
+    w, h = 9, 4
+    pages = [[float(p * 77 + i) for i in range(w * h)]
+             for p in range(5)]
+    for big in (False, True):
+        for bo in ("<", ">"):
+            p = os.path.join(d, "m.tif")
+            write_geotiff_pages(p, w, h, pages, bo=bo,
+                                nodata=-9999.0, bigtiff=big)
+            blob = open(p, "rb").read()
+            assert _tiff_page_count(blob) == 5, (big, bo)
+            for k in range(5):
+                ww, hh, got, nd, gt = _parse_geotiff(blob, page=k)
+                assert (ww, hh, nd) == (w, h, -9999.0), (big, bo, k)
+                assert got == pages[k], (big, bo, k)
+                assert gt == (10.0, 0.5, 20.0, 0.25)
+            with pytest.raises(ValueError, match="out of range"):
+                _parse_geotiff(blob, page=5)
+
+
 def test_geotiff_lzw_other_camp_fallback():
     """The TIFF6 spec's early-change off-by-one spawned two encoder
     camps; a stream written with the VANILLA width schedule (bump one
