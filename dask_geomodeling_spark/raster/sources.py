@@ -337,20 +337,32 @@ def _packbits_encode(data):
 
 
 def write_geotiff_pages(path, width, height, pages, bo="<",
-                        nodata=None, geo=True, bigtiff=False):
+                        nodata=None, geo=True, bigtiff=False,
+                        subfile_types=None):
     """Multi-page (Big)TIFF fixture writer (round 14): ``pages`` is a
     list of per-page row-major float lists (single sample,
     uncompressed, one strip per page); each page becomes one chained
     IFD.  ``bigtiff=True`` writes version 43 with 8-byte offsets and
     LONG8 strip tags — the inverse of the BigTIFF branch of
     ``_tiff_ifds`` for roundtrip oracles (real >4 GB rasters ship as
-    BigTIFF; GDAL time stacks ship as page chains)."""
+    BigTIFF; GDAL time stacks ship as page chains).
+    ``subfile_types`` optionally stamps NewSubfileType (tag 254) per
+    page — 1 = reduced-resolution overview, 4 = mask — to fixture the
+    cloud-optimized-GeoTIFF internal pages readers must skip.
+
+    Deliberately DISJOINT in scope from :func:`write_geotiff` (codec/
+    tile/multi-sample single-page coverage) — the two fixture writers
+    each pin one axis of the parser; merging them would couple every
+    codec test to the page-chain layout."""
     import struct
 
     n_pix = width * height
     for pv in pages:
         if len(pv) != n_pix:
             raise ValueError("each page must hold width*height floats")
+    subs = list(subfile_types or [0] * len(pages))
+    if len(subs) != len(pages):
+        raise ValueError("subfile_types must match pages")
     big = bool(bigtiff)
     out = bytearray()
     out += (b"II" if bo == "<" else b"MM")
@@ -386,8 +398,9 @@ def write_geotiff_pages(path, width, height, pages, bo="<",
     ifd_off = 16 if big else 8
     strip_typ = 16 if big else 4
     for p, pv in enumerate(pages):
-        n_tags = 10 + (3 if geo else 0) + (1 if nodata is not None
-                                           else 0)
+        n_tags = (10 + (3 if geo else 0)
+                  + (1 if nodata is not None else 0)
+                  + (1 if subs[p] else 0))
         ifd_size = head + n_tags * ent + tail
         extra = b""
         extras_off = ifd_off + ifd_size
@@ -402,6 +415,8 @@ def write_geotiff_pages(path, width, height, pages, bo="<",
             (256, 3, 1, width), (257, 3, 1, height),
             (258, 3, 1, 32), (259, 3, 1, 1), (262, 3, 1, 1),
             (277, 3, 1, 1), (278, 3, 1, height), (339, 3, 1, 3)]
+        if subs[p]:
+            entries.append((254, 4, 1, subs[p]))
         if geo:
             entries.append((33550, 12, 3, out_of_line(
                 struct.pack(bo + "3d", 0.5, 0.25, 0.0))))
@@ -457,11 +472,19 @@ def _tiff_header(content):
     raise ValueError("not a TIFF")
 
 
-def _tiff_ifds(content):
-    """Yield one ``(tags, next_ifd_offset)`` dict per IFD page, in
+def _tiff_ifds(content, skip_subfiles=True, count_only=False):
+    """Yield one ``(bo, tags)`` pair per FULL-RESOLUTION IFD page, in
     chain order — classic (12-byte entries, 4-byte inline values) and
     BigTIFF (20-byte entries, 8-byte inline values, LONG8/SLONG8
-    types) share this walk."""
+    types) share this walk.
+
+    ``skip_subfiles`` drops IFDs whose NewSubfileType (tag 254) marks
+    a reduced-resolution overview (bit 0x1) or transparency mask
+    (0x4) — the internal pages every cloud-optimized GeoTIFF carries,
+    which must NOT become time bands (r14 review).  ``count_only``
+    decodes nothing but tag 254 per page (the band-count walk stays
+    O(pages)).  A corrupt next-IFD pointer that revisits an offset
+    raises ValueError instead of looping forever (r14 review)."""
     import struct
 
     bo, big, ifd_off = _tiff_header(content)
@@ -473,7 +496,13 @@ def _tiff_ifds(content):
     cnt_fmt = "Q" if big else "I"   # entry count field: LONG8 / LONG
     off_fmt = "Q" if big else "I"
     head = 8 if big else 2
+    seen = set()
     while ifd_off:
+        if ifd_off in seen:
+            raise ValueError(
+                "corrupt TIFF: IFD chain revisits offset {}".format(
+                    ifd_off))
+        seen.add(ifd_off)
         if big:
             (n_entries,) = struct.unpack_from(bo + "Q", content,
                                               ifd_off)
@@ -484,6 +513,8 @@ def _tiff_ifds(content):
         for i in range(int(n_entries)):
             off = ifd_off + head + i * ent_size
             tag, typ = struct.unpack_from(bo + "HH", content, off)
+            if count_only and tag != 254:
+                continue
             (cnt,) = struct.unpack_from(bo + cnt_fmt, content,
                                         off + 4)
             cnt = int(cnt)
@@ -501,12 +532,16 @@ def _tiff_ifds(content):
         nxt_pos = ifd_off + head + int(n_entries) * ent_size
         (ifd_off,) = struct.unpack_from(bo + off_fmt, content,
                                         nxt_pos)
+        sub = int(tags.get(254, [0])[0])
+        if skip_subfiles and (sub & 0x1 or sub & 0x4):
+            continue
         yield bo, tags
 
 
 def _tiff_page_count(content):
-    """Number of IFD pages in a (Big)TIFF."""
-    return sum(1 for _ in _tiff_ifds(content))
+    """Number of full-resolution IFD pages in a (Big)TIFF (overview/
+    mask sub-IFDs excluded; tag-254-only decode per page)."""
+    return sum(1 for _ in _tiff_ifds(content, count_only=True))
 
 
 def _parse_geotiff(content, sample=0, page=0):
@@ -529,21 +564,26 @@ def _parse_geotiff(content, sample=0, page=0):
     round 14) in both chunky (PlanarConfiguration=1, samples
     interleaved per pixel) and planar (=2, one block run per sample)
     layouts — ``sample`` selects the 0-based band — and MULTI-page
-    files (``page`` selects the 0-based IFD; GDAL time stacks ship as
+    files (``page`` selects the 0-based FULL-RESOLUTION IFD;
+    overview/mask sub-IFDs are invisible; GDAL time stacks ship as
     page chains).  Anything else raises NotImplementedError with the
     offending tag."""
-    import struct
-    import zlib
-
-    bo = tags = None
     k = -1
     for k, (bo, tags) in enumerate(_tiff_ifds(content)):
         if k == int(page):
-            break
-    else:
-        raise ValueError(
-            "page {} out of range: file has {} page(s)".format(
-                page, k + 1))
+            return _decode_tiff_page(content, bo, tags, sample)
+    raise ValueError(
+        "page {} out of range: file has {} page(s)".format(
+            page, k + 1))
+
+
+def _decode_tiff_page(content, bo, tags, sample=0):
+    """Pixel decode of ONE pre-parsed IFD (the per-page work of
+    ``_parse_geotiff``, split out so multi-page readers walk the IFD
+    chain exactly once — r14 review: page-indexed re-parsing was
+    O(pages²) in tag decodes)."""
+    import struct
+    import zlib
     width, height = int(tags[256][0]), int(tags[257][0])
     comp = int(tags.get(259, [1])[0])
     if comp not in (1, 5, 8, 32946, 32773):
@@ -847,8 +887,12 @@ class GeoTIFFRasterSource(RasterBlock):
     ``(time, y, x, value)`` with nodata as NULL.  ``time`` comes from
     ``time_first`` (+ ``time_delta`` * sorted-band-index when given;
     bands are ALL (file, page) pairs ordered by (path, page) — a
-    multi-page file contributes one band per IFD, the GDAL time-stack
-    layout, round 14).  With georeferencing tags present,
+    multi-page file contributes one band per FULL-RESOLUTION IFD,
+    the GDAL time-stack layout; cloud-optimized-GeoTIFF overview and
+    mask sub-IFDs are skipped, round 14).  Without ``time_delta``
+    there is no time axis to place extra pages on, so only page 0 of
+    each file reads (the pre-multipage contract).  With
+    georeferencing tags present,
     ``wx``/``wy`` carry the model-space center coordinates of each
     pixel.  ``sample`` selects the 0-based band of multi-sample (RGB)
     files — chunky or planar layout (round 14).  BigTIFF (version 43)
@@ -874,14 +918,24 @@ class GeoTIFFRasterSource(RasterBlock):
             T.StructField("wy", T.DoubleType()),
         ])
 
+        multipage = time_delta is not None
+
         def parse(batches):
             import pandas as pd
             for pdf in batches:
                 for path, content in zip(pdf["path"], pdf["content"]):
                     blob = bytes(content)
-                    for page in range(_tiff_page_count(blob)):
-                        w, h, vals, nodata, gt = _parse_geotiff(
-                            blob, sample=sample, page=page)
+                    # ONE IFD-chain walk per file (r14 review); with
+                    # no time_delta there is no time axis to place
+                    # extra pages on, so only page 0 reads — the
+                    # pre-multipage contract (extra pages would
+                    # otherwise stamp conflicting duplicate cells)
+                    for page, (bo, tags) in enumerate(
+                            _tiff_ifds(blob)):
+                        if page and not multipage:
+                            break
+                        w, h, vals, nodata, gt = _decode_tiff_page(
+                            blob, bo, tags, sample)
                         ys = [i // w for i in range(w * h)]
                         xs = [i % w for i in range(w * h)]
                         if gt is not None:
@@ -901,9 +955,12 @@ class GeoTIFFRasterSource(RasterBlock):
         cells = files.mapInPandas(parse, schema=schema)
         if time_delta is not None:
             # stable band index by sorted (path, page) — a tiny
-            # dimension (one row per file PAGE) from a HEADER-only
-            # IFD-chain walk (no pixel decode, so the full parse
-            # still runs exactly once), broadcast onto the cells
+            # dimension (one row per file PAGE) from a tag-254-only
+            # IFD-chain walk.  COST NOTE: this is a second pass over
+            # the file BYTES (binaryFile has no partial reads; IFDs
+            # may sit anywhere, commonly at the end) — negligible CPU
+            # but real I/O on huge files; the parquet RasterFileSink
+            # layout remains the scale path (§6 rule 10)
             from pyspark.sql import Window
 
             def count_pages(batches):

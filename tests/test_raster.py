@@ -865,6 +865,50 @@ def test_geotiff_multipage_and_bigtiff():
                 assert gt == (10.0, 0.5, 20.0, 0.25)
             with pytest.raises(ValueError, match="out of range"):
                 _parse_geotiff(blob, page=5)
+    # COG-style internal overview/mask sub-IFDs (NewSubfileType 1/4)
+    # are invisible to page indexing and the page count (r14 review:
+    # they'd otherwise become bogus time bands)
+    p = os.path.join(d, "cog.tif")
+    write_geotiff_pages(p, w, h, pages, subfile_types=[0, 1, 4, 0, 1])
+    blob = open(p, "rb").read()
+    assert _tiff_page_count(blob) == 2
+    assert _parse_geotiff(blob, page=0)[2] == pages[0]
+    assert _parse_geotiff(blob, page=1)[2] == pages[3]
+    # a corrupt next-IFD pointer that loops back raises instead of
+    # spinning forever (r14 review)
+    import struct as _s
+    p = os.path.join(d, "loop.tif")
+    write_geotiff_pages(p, w, h, pages[:1])   # classic little-endian
+    looped = bytearray(open(p, "rb").read())
+    # classic LE: first IFD at 8; patch ITS next pointer back to 8
+    (n,) = _s.unpack_from("<H", looped, 8)
+    _s.pack_into("<I", looped, 8 + 2 + n * 12, 8)
+    with pytest.raises(ValueError, match="revisits"):
+        _tiff_page_count(bytes(looped))
+
+
+def test_geotiff_multipage_source_semantics(spark, tmp_path):
+    """Round 14 review: without time_delta only page 0 of each file
+    reads (no time axis for extra pages — they would stamp
+    conflicting duplicate cells); with time_delta every full-res
+    (file, page) pair is one band."""
+    from datetime import timedelta
+
+    from dask_geomodeling_spark.raster.sources import (
+        GeoTIFFRasterSource, write_geotiff_pages)
+    w, h = 4, 3
+    pages = [[float(p * 10 + i) for i in range(w * h)]
+             for p in range(3)]
+    write_geotiff_pages(str(tmp_path / "a.tif"), w, h, pages)
+    rows = GeoTIFFRasterSource(str(tmp_path / "a.tif")) \
+        .plan(spark).collect()
+    assert len(rows) == w * h
+    assert {r["value"] for r in rows} == set(pages[0])
+    rows = GeoTIFFRasterSource(str(tmp_path / "a.tif"),
+                               time_delta=timedelta(hours=1)) \
+        .plan(spark).collect()
+    assert len(rows) == 3 * w * h
+    assert len({r["time"] for r in rows}) == 3
 
 
 def test_geotiff_lzw_other_camp_fallback():
