@@ -137,7 +137,7 @@ def main():
                   "raster_temporal_anchored_week",
                   "raster_temporal_business_day",
                   "raster_cumulative_quarter", "geotiff_lzw",
-                  "geotiff_multisample"):
+                  "geotiff_multisample", "geotiff_multipage"):
         if extra in demos.QUERIES:
             headline.append(extra)
 
