@@ -823,8 +823,7 @@ def raster_temporal_year(spark, sf_dir):
     boundary rule is load-bearing."""
     from dask_geomodeling_spark.raster.temporal import TemporalAggregate
     return TemporalAggregate(lineitem_grid(spark, sf_dir), "Y", "count",
-                             closed="right").plan(spark) \
-        .withColumn("value", F.col("value").cast("double"))
+                             closed="right").plan(spark)
 
 
 @demo("raster_temporal_anchored_week", oracle="""

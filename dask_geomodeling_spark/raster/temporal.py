@@ -307,6 +307,11 @@ class TemporalAggregate(BaseSingle):
     def _build(self, ctx):
         df = self.store._build(ctx)
         stat = statistic_expr(self.statistic)
+        if self.statistic == "count":
+            # the raster plane's value column is DOUBLE everywhere
+            # (Warp/FocalStatistic counts already are) — don't leak a
+            # BIGINT band through the temporal family (round 14)
+            stat = stat.cast("double")
         if self.frequency is None:
             per_cell = df.groupBy("y", "x").agg(stat.alias("value"))
             end = df.agg(F.max("time").alias("time"))
@@ -390,7 +395,8 @@ class Cumulative(BaseSingle):
             keys = keys + ["_w"]
         w = (Window.partitionBy(*keys).orderBy("time")
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        agg = F.sum("value") if self.statistic == "sum" else F.count("value")
+        agg = F.sum("value") if self.statistic == "sum" else \
+            F.count("value").cast("double")   # value is DOUBLE plane-wide
         out = df.withColumn("value", agg.over(w))
         return out.select("time", "y", "x", "value")
 
