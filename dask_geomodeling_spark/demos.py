@@ -665,7 +665,7 @@ def raster_exp_log(spark, sf_dir):
 WITH a AS ({ga}), b AS ({gb}), c AS ({gc}),
 u AS (SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c)
 SELECT time, y, x, MAX(value) AS max_value, MIN(value) AS min_value,
-       COUNT(value) AS count_value
+       CAST(COUNT(value) AS DOUBLE) AS count_value
 FROM u WHERE value IS NOT NULL
 GROUP BY time, y, x
 """.format(ga=_grid_sql("R"), gb=_grid_sql("A"), gc=_grid_sql("N")))

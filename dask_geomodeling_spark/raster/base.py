@@ -24,9 +24,23 @@ from pyspark.sql import functions as F
 from dask_geomodeling_spark.core.blocks import Block
 
 __all__ = ["RasterBlock", "BaseSingle", "CELL_COLUMNS", "EPOCH",
-           "apply_raster_request", "align"]
+           "apply_raster_request", "align",
+           "raster_statistic_expr"]
 
 CELL_COLUMNS = ("time", "y", "x", "value")
+
+
+def raster_statistic_expr(statistic, col="value"):
+    """``functions.statistic_expr`` with the raster plane's value
+    contract applied: the value column is DOUBLE everywhere, so
+    ``count`` (the one integer-typed statistic) casts — one shared
+    definition for TemporalAggregate/Cumulative/reductions/Place
+    (round 14; FocalStatistic and Warp cast all statistics already).
+    The FEATURE plane's AggregateRaster keeps raw bigint counts —
+    counts are natural integers in attribute columns."""
+    from dask_geomodeling_spark.functions import statistic_expr
+    expr = statistic_expr(statistic, col)
+    return expr.cast("double") if statistic == "count" else expr
 #: band timestamp used for non-temporal rasters
 EPOCH = datetime(1970, 1, 1)
 

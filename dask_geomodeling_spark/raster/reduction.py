@@ -13,7 +13,8 @@ from pyspark.sql import functions as F
 
 from dask_geomodeling_spark.functions import check_statistic, statistic_expr
 from dask_geomodeling_spark.raster.base import (BaseSingle,
-                                                RasterBlock)
+                                                RasterBlock,
+                                                raster_statistic_expr)
 
 __all__ = ["BaseReduction", "Max", "Min", "Sum", "Count", "Mean", "Median",
            "Std", "Var", "Percentile", "reduce_rasters"]
@@ -40,7 +41,8 @@ class BaseReduction(RasterBlock):
                 block._build(ctx).select("time", "y", "x", "value"))
         return (union.filter(F.col("value").isNotNull())
                 .groupBy("time", "y", "x")
-                .agg(statistic_expr(self.statistic).alias("value")))
+                .agg(raster_statistic_expr(self.statistic)
+                     .alias("value")))
 
 
 class Max(BaseReduction):

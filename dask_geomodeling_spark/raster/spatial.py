@@ -13,7 +13,8 @@ import math
 
 from pyspark.sql import functions as F
 
-from dask_geomodeling_spark.raster.base import BaseSingle, RasterBlock
+from dask_geomodeling_spark.raster.base import (BaseSingle, RasterBlock,
+                                                raster_statistic_expr)
 
 __all__ = ["Dilate", "MovingMax", "Smooth", "HillShade", "Slope",
            "Aspect", "TRI", "TPI", "Roughness", "Place",
@@ -408,7 +409,7 @@ class Place(BaseSingle):
         elif self.statistic == "first":
             agg = F.expr("min_by(value, _prio)")
         else:
-            agg = statistic_expr(self.statistic)
+            agg = raster_statistic_expr(self.statistic)
         return (placed.groupBy("time", "y", "x").agg(agg.alias("value")))
 
 

@@ -17,7 +17,8 @@ from pyspark.sql import functions as F
 
 from dask_geomodeling_spark.functions import (parse_percentile_statistic,
                                               statistic_expr)
-from dask_geomodeling_spark.raster.base import BaseSingle, RasterBlock
+from dask_geomodeling_spark.raster.base import (BaseSingle, RasterBlock,
+                                                raster_statistic_expr)
 
 __all__ = ["Snap", "Shift", "TemporalAggregate", "TemporalSum",
            "TemporalFill",
@@ -306,12 +307,9 @@ class TemporalAggregate(BaseSingle):
 
     def _build(self, ctx):
         df = self.store._build(ctx)
-        stat = statistic_expr(self.statistic)
-        if self.statistic == "count":
-            # the raster plane's value column is DOUBLE everywhere
-            # (Warp/FocalStatistic counts already are) — don't leak a
-            # BIGINT band through the temporal family (round 14)
-            stat = stat.cast("double")
+        # raster_statistic_expr: count casts to double (the raster
+        # plane's value contract, round 14)
+        stat = raster_statistic_expr(self.statistic)
         if self.frequency is None:
             per_cell = df.groupBy("y", "x").agg(stat.alias("value"))
             end = df.agg(F.max("time").alias("time"))
@@ -396,8 +394,11 @@ class Cumulative(BaseSingle):
         w = (Window.partitionBy(*keys).orderBy("time")
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         agg = F.sum("value") if self.statistic == "sum" else \
-            F.count("value").cast("double")   # value is DOUBLE plane-wide
-        out = df.withColumn("value", agg.over(w))
+            F.count("value")
+        run = agg.over(w)
+        if self.statistic == "count":
+            run = run.cast("double")   # value is DOUBLE plane-wide
+        out = df.withColumn("value", run)
         return out.select("time", "y", "x", "value")
 
 

@@ -99,6 +99,28 @@ def test_temporal_aggregate(spark):
     assert got == {(datetime(2024, 1, 1, 2), 0, 0): 8.0 / 3}
 
 
+def test_raster_count_statistics_are_double(spark):
+    """Round 14: the raster plane's value column is DOUBLE everywhere
+    — count statistics must not leak BIGINT bands (TemporalAggregate,
+    Cumulative, reduction.Count, Place all route through
+    raster_statistic_expr)."""
+    from dask_geomodeling_spark.raster import reduction
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    rows = [(datetime(2024, 1, d), 0, 0, float(d)) for d in (1, 2, 3)]
+    df = spark.createDataFrame(
+        rows, "time timestamp, y bigint, x bigint, value double")
+    src = DataFrameRasterSource(df)
+    agg = temporal.TemporalAggregate(src, "M", "count").plan(spark)
+    assert dict(agg.dtypes)["value"] == "double"
+    cum = temporal.Cumulative(src, "count").plan(spark)
+    assert dict(cum.dtypes)["value"] == "double"
+    got = {r["time"]: r["value"] for r in cum.collect()}
+    assert got == {datetime(2024, 1, d): float(d) for d in (1, 2, 3)}
+    red = reduction.Count(src, src).plan(spark)
+    assert dict(red.dtypes)["value"] == "double"
+
+
 def test_temporal_calendar_frequencies(spark):
     """Round 14 (r13 verdict #2): calendar frequencies — months,
     multipliers, years, anchored weeks — bucket by date arithmetic,
