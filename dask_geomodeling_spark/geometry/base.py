@@ -95,19 +95,50 @@ def apply_feature_request(df, request, time_column=None):
                     days += 1   # midnight(d) < bound → first day OUT
                 return F.lit(_dt.date(1970, 1, 1)
                              + _dt.timedelta(days=days))
-            if isinstance(dtype, T.StringType):
-                iso = (_dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
-                       + _dt.timedelta(microseconds=us))
+            return F.timestamp_micros(F.lit(us))
+
+        if isinstance(dtype, T.StringType):
+            # documented string-time contract (docs/api-geometry.md
+            # and the time_column docstrings): zero-padded UTC ISO
+            # text 'YYYY-MM-DD[ HH:MM:SS[.ffffff]]'.  Common wild
+            # variants normalize before the exact compare (r15
+            # advice: the bare lexicographic compare silently
+            # misfiltered them): 'T' separators become spaces, a
+            # trailing 'Z' drops, bare dates read as midnight, and
+            # short fractions zero-pad to 6 digits (longer fractions
+            # truncate — the bounds are microsecond instants).  The
+            # normalization is not pushdown-able, so a DATE-floor/
+            # ceil predicate on the UNTOUCHED column does the
+            # scan-level pruning (dates are unaffected by every
+            # variant above).
+            norm = F.translate(c, "TZ", " ")   # T→' ', Z deleted
+            norm = F.when(F.length(norm) == 10,
+                          F.concat(norm, F.lit(" 00:00:00"))
+                          ).otherwise(norm)
+            norm = F.when(norm.contains("."),
+                          F.rpad(norm, 26, "0")).otherwise(norm)
+            _day0 = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+
+            def str_bound(us):
+                iso = _day0 + _dt.timedelta(microseconds=us)
                 s = iso.strftime("%Y-%m-%d %H:%M:%S")
                 if iso.microsecond:
                     s += ".{:06d}".format(iso.microsecond)
-                return F.lit(s)
-            return F.timestamp_micros(F.lit(us))
+                return s, iso
 
-        if start:
-            df = df.filter(c >= bound(start, True))
-        if stop:
-            df = df.filter(c <= bound(stop, False))
+            if start:
+                s, iso = str_bound(request_instant_us(start))
+                df = df.filter((c >= iso.strftime("%Y-%m-%d"))
+                               & (norm >= F.lit(s)))
+            if stop:
+                s, iso = str_bound(request_instant_us(stop))
+                nxt = (iso + _dt.timedelta(days=1)).strftime("%Y-%m-%d")
+                df = df.filter((c < nxt) & (norm <= F.lit(s)))
+        else:
+            if start:
+                df = df.filter(c >= bound(start, True))
+            if stop:
+                df = df.filter(c <= bound(stop, False))
 
     geometry = request.get("geometry")  # (xmin, ymin, xmax, ymax) bbox
     if isinstance(geometry, str):

@@ -152,7 +152,12 @@ class ParquetGeometrySource(GeometryBlock):
       id_field: index column for cross-lineage alignment (reference uses
         the GDAL feature id; default "id").
       time_column: optional event-time column the request's start/stop
-        bind to.
+        bind to.  TIMESTAMP/DATE columns compare as UTC instants; a
+        STRING column must hold zero-padded UTC ISO text
+        ``YYYY-MM-DD[ HH:MM:SS[.ffffff]]`` — 'T' separators, a
+        trailing 'Z', bare dates (read as midnight) and short
+        fractional parts are normalized before the compare; numeric
+        UTC offsets are NOT parsed.
       columns: optional projection (column pruning at the scan).
       projection: CRS the stored geometry columns are in (the
         reference reads it from the file's spatial reference).
@@ -503,7 +508,9 @@ class TableGeometrySource(GeometryBlock):
     Args:
       sql: table name or full SELECT over registered tables.
       id_field: index column.
-      time_column: optional event-time column for start/stop requests.
+      time_column: optional event-time column for start/stop requests
+        (string columns follow the zero-padded UTC ISO contract — see
+        ``ParquetGeometrySource``).
     """
 
     def __init__(self, sql, id_field="id", time_column=None,

@@ -157,7 +157,17 @@ def _rank_doubling(cur, key, max_iter, op_name, zeros):
     byte-size coalescing would shrink a 5M-element tour to ~2
     partitions and serialize all subsequent rounds onto 2 cores (the
     recurring gotcha — user-numbered repartitions survive AQE;
-    measured 10×+ wall-clock difference at 2.5M cells)."""
+    measured 10×+ wall-clock difference at 2.5M cells).
+
+    DOCUMENTED BOUND (r15 advice): the per-round ``cast(types[a])``
+    pins DECIMAL accumulators to their declared precision, and under
+    non-ANSI SQL mode an out-of-range sum becomes NULL rather than an
+    error — a weighted sum exceeding 19 integer digits (decimal(28,9))
+    would read as no-data downstream, not as a wrong number.  At 10¹⁹
+    total weight the float answer the operator is specified against
+    has lost all sub-unit precision anyway, so the decimal bound is
+    not the binding constraint; callers with astronomic weights should
+    rescale them."""
     from dask_geomodeling_spark.config import strip_plan_stats
     spark = cur.sparkSession
     accs = list(zeros)

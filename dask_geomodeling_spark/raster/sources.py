@@ -388,8 +388,16 @@ def write_geotiff_pages(path, width, height, pages, bo="<",
             v = struct.pack(bo + "H", val)
         elif typ == 16:
             v = struct.pack(bo + "Q", val)
-        elif typ in (4, 2, 12) or (typ == 3 and cnt > 1):
-            # LONG value or an out-of-line offset field
+        elif typ == 4 and cnt == 1:
+            # inline LONG DATA (e.g. tag 254): TIFF/BigTIFF
+            # left-justify inline values, so pack the 4 bytes and let
+            # the ljust below pad — a full-width '>Q' under big-endian
+            # BigTIFF right-justified the value and readers (incl. our
+            # own _tiff_ifds) correctly read 0 from the first 4 bytes,
+            # so overview/mask pages were NOT skipped (r15 advice)
+            v = struct.pack(bo + "I", val)
+        elif typ in (2, 12) or (typ == 3 and cnt > 1):
+            # out-of-line OFFSET field: full pointer width
             v = struct.pack(bo + ("Q" if big else "I"), val)
         else:
             raise ValueError((tag, typ))
@@ -644,12 +652,17 @@ def _decode_tiff_page(content, bo, tags, sample=0):
                 # the historical other-camp width schedule (the TIFF6
                 # spec's off-by-one spawned both): a wrong schedule
                 # desyncs the bit stream, which surfaces as an
-                # out-of-range code or a wrong byte count — retry once
+                # out-of-range code or a wrong byte count — retry once.
+                # The fallback demands an EXACT length (a desynced
+                # vanilla-schedule decode that happens to emit enough
+                # bytes must not be accepted silently — r15 advice;
+                # the primary path keeps >= for writers that pad the
+                # final strip to full rows_per_strip)
                 dec = _lzw_decode(raw, early=0)
-                if len(dec) < n * stride * need:
+                if len(dec) != n * stride * need:
                     raise ValueError(
-                        "LZW block decodes short under both width "
-                        "schedules ({} < {} bytes)".format(
+                        "LZW block decodes to the wrong length under "
+                        "both width schedules ({} != {} bytes)".format(
                             len(dec), n * stride * need))
             raw = dec
         elif comp == 32773:

@@ -683,6 +683,42 @@ def test_feature_time_bounds_typed_columns(spark):
     assert got == [2, 3, 4, 5]
 
 
+def test_feature_time_bounds_string_variants(spark):
+    """Round 15 advice: common wild ISO variants in a STRING time
+    column — 'T' separators, trailing 'Z', bare dates, short
+    fractions — normalize before the compare instead of silently
+    misfiltering under the lexicographic contract."""
+    from datetime import datetime
+
+    from dask_geomodeling_spark.geometry.base import (
+        apply_feature_request)
+    rows = [
+        (1, "1995-01-02T06:00:00"),     # 'T' separator
+        (2, "1995-01-03 06:00:00Z"),    # trailing Z
+        (3, "1995-01-04"),              # bare date == midnight
+        (4, "1995-01-05 06:00:00.5"),   # short fraction
+        (5, "1995-01-01 05:59:59"),     # before start
+        (6, "1995-01-06 00:00:01"),     # after stop
+    ]
+    sdf = spark.createDataFrame(rows, "id bigint, t string")
+    got = sorted(r["id"] for r in apply_feature_request(
+        sdf, {"start": datetime(1995, 1, 2, 6),
+              "stop": datetime(1995, 1, 5, 6, 0, 0, 500000)},
+        time_column="t").collect())
+    assert got == [1, 2, 3, 4]
+    # bare-date row equal to a midnight start bound is INCLUDED
+    got = sorted(r["id"] for r in apply_feature_request(
+        sdf, {"start": datetime(1995, 1, 4)},
+        time_column="t").collect())
+    assert got == [3, 4, 6]
+    # fractional bound vs non-fractional rows: 06:00:00 < 06:00:00.25
+    got = sorted(r["id"] for r in apply_feature_request(
+        sdf, {"start": datetime(1995, 1, 2, 6, 0, 0, 250000),
+              "stop": datetime(1995, 1, 5, 6, 0, 0, 250000)},
+        time_column="t").collect())
+    assert got == [2, 3]
+
+
 def test_time_request_bounds_one_utc_interpretation(spark):
     """Round 14 review: request time bounds get ONE interpretation —
     naive = UTC (the dt_to_ms convention), aware honored, ISO strings
@@ -889,13 +925,19 @@ def test_geotiff_multipage_and_bigtiff():
                 _parse_geotiff(blob, page=5)
     # COG-style internal overview/mask sub-IFDs (NewSubfileType 1/4)
     # are invisible to page indexing and the page count (r14 review:
-    # they'd otherwise become bogus time bands)
-    p = os.path.join(d, "cog.tif")
-    write_geotiff_pages(p, w, h, pages, subfile_types=[0, 1, 4, 0, 1])
-    blob = open(p, "rb").read()
-    assert _tiff_page_count(blob) == 2
-    assert _parse_geotiff(blob, page=0)[2] == pages[0]
-    assert _parse_geotiff(blob, page=1)[2] == pages[3]
+    # they'd otherwise become bogus time bands) — in BOTH byte orders
+    # and classic+BigTIFF (r15 advice: big-endian BigTIFF packed the
+    # inline LONG tag 254 right-justified, so readers saw 0 and the
+    # overview/mask pages were NOT skipped)
+    for big in (False, True):
+        for bo in ("<", ">"):
+            p = os.path.join(d, "cog.tif")
+            write_geotiff_pages(p, w, h, pages, bo=bo, bigtiff=big,
+                                subfile_types=[0, 1, 4, 0, 1])
+            blob = open(p, "rb").read()
+            assert _tiff_page_count(blob) == 2, (big, bo)
+            assert _parse_geotiff(blob, page=0)[2] == pages[0], (big, bo)
+            assert _parse_geotiff(blob, page=1)[2] == pages[3], (big, bo)
     # a corrupt next-IFD pointer that loops back raises instead of
     # spinning forever (r14 review)
     import struct as _s
