@@ -3561,6 +3561,48 @@ def geotiff_multipage(spark, sf_dir):
     return src.plan(spark).select("time", "y", "x", "value")
 
 
+@demo("geotiff_predictor3", oracle="""
+SELECT CAST('1970-01-01' AS TIMESTAMP)
+           + INTERVAL 1 HOUR * band AS time,
+       y, x,
+       CASE WHEN (band * 1000 + y * 16 + x) % 13 = 0 THEN NULL
+            ELSE CAST(band * 1000 + y * 16 + x AS DOUBLE) + 0.5
+       END AS value
+FROM (SELECT unnest(range(0, 3)) AS band),
+     (SELECT unnest(range(0, 8)) AS y),
+     (SELECT unnest(range(0, 16)) AS x)
+""")
+def geotiff_predictor3(spark, sf_dir):
+    """Floating-point-predictor GeoTIFF ingestion (round 15, r14
+    verdict #1): Predictor=3 (TIFF TechNote 3 — MSB byte planes +
+    per-lane delta) is what GDAL stamps by default on LZW/deflate
+    float DEMs, so compressed wild float GeoTIFFs hit it immediately
+    (reference ingests via gdal.Open, raster/sources.py:68).  Band 0
+    LZW strips, band 1 deflate 6x5 ragged tiles, band 2 big-endian
+    LZW — all Predictor=3; closed-form cell formula (+0.5 keeps the
+    floats non-integral, float32-exact), so the oracle re-derives the
+    grid without reading TIFF."""
+    import os
+    import tempfile
+    from datetime import timedelta
+
+    from dask_geomodeling_spark.raster.sources import (
+        GeoTIFFRasterSource, write_geotiff)
+    d = tempfile.mkdtemp(prefix="dgs_geotiff_p3_")
+    layouts = [dict(compression="lzw", predictor=3),
+               dict(compression="deflate", predictor=3, tile=(6, 5)),
+               dict(compression="lzw", predictor=3, bo=">")]
+    for band, kw in enumerate(layouts):
+        vals = [float(band * 1000 + y * 16 + x) + 0.5
+                if (band * 1000 + y * 16 + x) % 13 else -9999.0
+                for y in range(8) for x in range(16)]
+        write_geotiff(os.path.join(d, "band{}.tif".format(band)),
+                      16, 8, vals, nodata=-9999.0, **kw)
+    src = GeoTIFFRasterSource(d + "/*.tif",
+                              time_delta=timedelta(hours=1))
+    return src.plan(spark).select("time", "y", "x", "value")
+
+
 @demo("polygon_area", oracle="""
 WITH v(id, i, x, y) AS (VALUES
   (CAST(1 AS BIGINT), 0, 0.0, 0.0), (1, 1, 4.0, 0.0), (1, 2, 0.0, 3.0),

@@ -1,8 +1,9 @@
-"""TIFF codec/layout hunt (round 14): randomized roundtrips through
-write_geotiff → _parse_geotiff across the full grid of
+"""TIFF codec/layout hunt (round 14, +predictor 3 round 15):
+randomized roundtrips through write_geotiff → _parse_geotiff across
+the full grid of
 {none, deflate, lzw, packbits} × {strip, square tiles, ragged tiles}
-× {1, 2, 3, 5 samples} × {chunky, planar} × {little, big endian} at
-random sizes — byte-exact float recovery per band; plus adversarial
+× {1, 2, 3, 5 samples} × {chunky, planar} × {little, big endian}
+× {no predictor, floating-point predictor 3} at random sizes — byte-exact float recovery per band; plus adversarial
 LZW payloads (long runs, tiny alphabets, width-boundary-crossing
 sizes) decoded against the encoder and the other-camp fallback."""
 import os
@@ -31,6 +32,7 @@ for trial in range(60):
     if planar == 1 and rng.random() < 0.5:
         tile = (rng.randint(1, w + 2), rng.randint(1, h + 2))
     bo = rng.choice(["<", ">"])
+    predictor = rng.choice([None, None, 3])
     # float32-exact values, mixed magnitudes + runs (packbits food)
     vals = []
     for i in range(w * h * spp):
@@ -41,7 +43,7 @@ for trial in range(60):
                 "<f", struct.pack("<f", rng.uniform(-1e4, 1e4)))[0])
     p = os.path.join(d, "t%d.tif" % trial)
     write_geotiff(p, w, h, vals, bo=bo, samples=spp, planar=planar,
-                  compression=comp, tile=tile)
+                  compression=comp, tile=tile, predictor=predictor)
     blob = open(p, "rb").read()
     for j in range(spp):
         _, _, got, _, _ = _parse_geotiff(blob, sample=j)
@@ -51,7 +53,7 @@ for trial in range(60):
             fails += 1
             print("ROUNDTRIP FAIL", trial, dict(
                 w=w, h=h, spp=spp, comp=comp, planar=planar,
-                tile=tile, bo=bo, band=j))
+                tile=tile, bo=bo, band=j, predictor=predictor))
             break
 
 # adversarial LZW: sizes that land table growth exactly on the
