@@ -1079,3 +1079,28 @@ def test_heavy_hitters_global_path_has_no_join(spark):
     df = demos.QUERIES["heavy_hitters"](spark, SF_DIR)
     plan = plan_of(df)
     assert "Join" not in plan, plan[:2000]
+
+
+def test_geotiff_multipage_single_content_scan(spark, tmp_path):
+    """Round 15 (r14 verdict design note #1): the multi-page band
+    dimension must not cost a second full byte pass — the page-count
+    side selects only ``path`` (binaryFile prunes the content read)
+    and seeks through the IFD chain, so exactly ONE scan in the plan
+    reads the ``content`` column, and no unpartitioned data-sized
+    Window ranks the bands."""
+    from datetime import timedelta
+
+    from dask_geomodeling_spark.raster.sources import (
+        GeoTIFFRasterSource, write_geotiff_pages)
+    w, h = 4, 3
+    pages = [[float(p * 10 + i) for i in range(w * h)]
+             for p in range(3)]
+    write_geotiff_pages(str(tmp_path / "a.tif"), w, h, pages)
+    df = GeoTIFFRasterSource(str(tmp_path / "a.tif"),
+                             time_delta=timedelta(hours=1)).plan(spark)
+    plan = plan_of(df)
+    content_scans = [ln for ln in plan.splitlines()
+                     if "ReadSchema" in ln and "content" in ln]
+    assert len(content_scans) == 1, plan
+    assert "Window" not in plan, plan
+    assert df.count() == 3 * w * h

@@ -964,7 +964,8 @@ def test_geotiff_multipage_and_bigtiff():
     import pytest
 
     from dask_geomodeling_spark.raster.sources import (
-        _parse_geotiff, _tiff_page_count, write_geotiff_pages)
+        _open_seekable, _parse_geotiff, _tiff_page_count,
+        _tiff_page_count_seek, write_geotiff_pages)
     d = tempfile.mkdtemp()
     w, h = 9, 4
     pages = [[float(p * 77 + i) for i in range(w * h)]
@@ -976,6 +977,13 @@ def test_geotiff_multipage_and_bigtiff():
                                 nodata=-9999.0, bigtiff=big)
             blob = open(p, "rb").read()
             assert _tiff_page_count(blob) == 5, (big, bo)
+            # the seek-based partial-read walk agrees with the
+            # full-bytes walk (r15: the band-count pass no longer
+            # re-reads whole files)
+            with _open_seekable(p) as f:
+                assert _tiff_page_count_seek(f) == 5, (big, bo)
+            with _open_seekable("file:" + p) as f:
+                assert _tiff_page_count_seek(f) == 5, (big, bo)
             for k in range(5):
                 ww, hh, got, nd, gt = _parse_geotiff(blob, page=k)
                 assert (ww, hh, nd) == (w, h, -9999.0), (big, bo, k)
@@ -996,6 +1004,8 @@ def test_geotiff_multipage_and_bigtiff():
                                 subfile_types=[0, 1, 4, 0, 1])
             blob = open(p, "rb").read()
             assert _tiff_page_count(blob) == 2, (big, bo)
+            with _open_seekable(p) as f:
+                assert _tiff_page_count_seek(f) == 2, (big, bo)
             assert _parse_geotiff(blob, page=0)[2] == pages[0], (big, bo)
             assert _parse_geotiff(blob, page=1)[2] == pages[3], (big, bo)
     # a corrupt next-IFD pointer that loops back raises instead of
@@ -1009,6 +1019,10 @@ def test_geotiff_multipage_and_bigtiff():
     _s.pack_into("<I", looped, 8 + 2 + n * 12, 8)
     with pytest.raises(ValueError, match="revisits"):
         _tiff_page_count(bytes(looped))
+    open(p, "wb").write(bytes(looped))
+    with _open_seekable(p) as f:
+        with pytest.raises(ValueError, match="revisits"):
+            _tiff_page_count_seek(f)
 
 
 def test_geotiff_multipage_source_semantics(spark, tmp_path):
