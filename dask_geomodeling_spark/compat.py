@@ -183,8 +183,11 @@ def MemorySource(data, no_data_value=None, projection="EPSG:4326",
 def RasterFileSource(url, time_first=0, time_delta=300000):
     """Reference signature (raster/sources.py): ``(url, time_first,
     time_delta)`` in epoch/interval milliseconds.  ``.tif``/``.tiff``
-    routes to the pure-python GeoTIFF strip reader; anything else is
+    routes to the pure-python GeoTIFF reader, ``.nc``/``.cdf`` to the
+    classic-NetCDF reader (its CF time axis wins over the synthetic
+    one when present — GDAL behaves the same way); anything else is
     read as a cell-table parquet dataset."""
+    from dask_geomodeling_spark.raster.netcdf import NetCDFRasterSource
     from dask_geomodeling_spark.raster.sources import (
         GeoTIFFRasterSource, RasterParquetSource)
     first = _ms_to_datetime(time_first, datetime.datetime(1970, 1, 1))
@@ -192,4 +195,7 @@ def RasterFileSource(url, time_first=0, time_delta=300000):
     if url.lower().endswith((".tif", ".tiff", ".geotiff")):
         return GeoTIFFRasterSource(url, time_first=first,
                                    time_delta=delta)
+    if url.lower().endswith((".nc", ".cdf", ".nc3")):
+        return NetCDFRasterSource(url, time_first=first,
+                                  time_delta=delta)
     return RasterParquetSource(url)

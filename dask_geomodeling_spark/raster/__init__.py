@@ -5,6 +5,7 @@ from dask_geomodeling_spark.raster.spatial import *  # noqa
 from dask_geomodeling_spark.raster.temporal import *  # noqa
 from dask_geomodeling_spark.raster.misc import *  # noqa
 from dask_geomodeling_spark.raster.sources import *  # noqa
+from dask_geomodeling_spark.raster.netcdf import NetCDFRasterSource  # noqa
 from dask_geomodeling_spark.raster.parallelize import *  # noqa
 from dask_geomodeling_spark.raster import reduction  # noqa
 from dask_geomodeling_spark.raster.sinks import RasterFileSink  # noqa
