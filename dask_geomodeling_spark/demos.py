@@ -3322,6 +3322,86 @@ def reproject_etrs_utm(spark, sf_dir):
                               6.0, 6.0, 47.0, 8.0)
 
 
+@demo("reproject_stateplane", oracle=_projext_oracle(
+    "EPSG:2263", -74.5, 2.0, 40.4, 1.2))
+def reproject_stateplane(spark, sf_dir):
+    """US State Plane in US survey FEET (NAD83 / New York Long
+    Island, EPSG:2263 — the first wall a migrating US user hits;
+    round 15, r14 verdict #3): the code comes straight from the
+    BUNDLED public EPSG parameter table (geometry/epsg_table.py,
+    auto-registered through register_crs_from_proj4), and the new
+    ``+units=us-ft`` axis-unit wrapper scales the closed-form LCC
+    output by 3937/1200 exactly as PROJ does (false origin applied in
+    meters, whole output divided by to_meter).  The central meridian
+    maps to exactly 984250.00 ftUS (pytest); roundtrip closure
+    sub-mm."""
+    return _projext_roundtrip(spark, sf_dir, "EPSG:2263",
+                              -74.5, 2.0, 40.4, 1.2)
+
+
+@demo("reproject_stateplane_tm", oracle=_projext_oracle(
+    "EPSG:2236", -82.0, 1.8, 24.6, 3.0))
+def reproject_stateplane_tm(spark, sf_dir):
+    """Transverse-Mercator state plane in ftUS (NAD83 / Florida East,
+    EPSG:2236, k0 = 0.99994117647… = 1 − 1/17000): the TM family
+    through the same bundled-table + unit-wrapper path as the LCC
+    zones — state planes in both projection families are now a table
+    lookup."""
+    return _projext_roundtrip(spark, sf_dir, "EPSG:2236",
+                              -82.0, 1.8, 24.6, 3.0)
+
+
+@demo("reproject_nad83_utm", oracle=_projext_oracle(
+    "EPSG:26917", -83.0, 5.0, 35.0, 8.0))
+def reproject_nad83_utm(spark, sf_dir):
+    """UTM-on-datum from the bundled table (NAD83 / UTM zone 17N,
+    EPSG:26917 — zones 1-23 all bundled): agrees with the built-in
+    WGS84 EPSG:32617 closed form to 0.1 mm (NAD83 ≈ WGS84, GRS80 vs
+    WGS84 ellipsoids differ in the 8th digit — pytest pins the
+    cross-check), so every 269xx/258xx/283xx/78xx zone is now a
+    lookup, not a registration the user must hand-author."""
+    return _projext_roundtrip(spark, sf_dir, "EPSG:26917",
+                              -83.0, 5.0, 35.0, 8.0)
+
+
+@demo("reproject_nztm", oracle=_projext_oracle(
+    "EPSG:2193", 168.0, 10.0, -46.5, 12.0))
+def reproject_nztm(spark, sf_dir):
+    """NZGD2000 / New Zealand Transverse Mercator (EPSG:2193, from
+    the bundled table): a southern-hemisphere national TM grid with a
+    10,000 km false northing; forward maps (173E, 0S) to exactly
+    (1600000, 10000000) (pytest), roundtrip closure sub-mm across the
+    whole country span."""
+    return _projext_roundtrip(spark, sf_dir, "EPSG:2193",
+                              168.0, 10.0, -46.5, 12.0)
+
+
+@demo("reproject_gauss_kruger", oracle=_projext_staged_oracle(
+    "EPSG:31467", 7.5, 3.0, 48.0, 5.0, res_decimals=5))
+def reproject_gauss_kruger(spark, sf_dir):
+    """DHDN / 3-degree Gauss-Krüger zone 3 (EPSG:31467, from the
+    bundled table — the legacy German cadastral grid): Bessel 1841
+    with the published 7-parameter DHDN shift through the staged
+    datum path (zones 2-5 all bundled).  Roundtrip closure ~7 cm —
+    the linearized-Molodensky misclosure for a ~600 m translation,
+    inside the grid-file-free Helmert accuracy class; quantized at
+    1e-5° like the other datum demos."""
+    return _projext_roundtrip(spark, sf_dir, "EPSG:31467",
+                              7.5, 3.0, 48.0, 5.0, res_decimals=5)
+
+
+@demo("reproject_belgian", oracle=_projext_staged_oracle(
+    "EPSG:31370", 2.6, 3.4, 49.6, 1.9, res_decimals=5))
+def reproject_belgian(spark, sf_dir):
+    """Belge 1972 / Belgian Lambert 72 (EPSG:31370, from the bundled
+    table): an LCC whose latitude of origin is the POLE (lat_0 = 90 —
+    ρ₀ = 0 exercises the conic formulas' polar edge) on International
+    1924 with the full 7-parameter NGI shift.  Staged datum oracle,
+    1e-5-quantized closure."""
+    return _projext_roundtrip(spark, sf_dir, "EPSG:31370",
+                              2.6, 3.4, 49.6, 1.9, res_decimals=5)
+
+
 @demo("reproject_polar", oracle=_projext_oracle(
     "EPSG:3413", -170.0, 340.0, 62.0, 26.0))
 def reproject_polar(spark, sf_dir):

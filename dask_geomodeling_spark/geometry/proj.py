@@ -289,6 +289,28 @@ def _point_sql(src_crs, dst_crs, x_sql, y_sql):
             .format(y_sql, r))
 
 
+def _nearest_supported(code, k=6):
+    """The ``k`` numerically nearest supported EPSG codes to an
+    unsupported one — the error-message hint (round 15): a user
+    holding an unknown state-plane/grid code usually wants a sibling
+    zone that IS bundled."""
+    import re
+
+    from dask_geomodeling_spark.geometry.epsg_table import EPSG_PROJ4
+    from dask_geomodeling_spark.geometry.proj_ext import _REGISTRY
+    known = set(EPSG_PROJ4) | set(_REGISTRY) | set(
+        c for pair in _SUPPORTED for c in pair)
+    m = re.match(r"^EPSG:(\d+)$", str(code).upper())
+    if not m:
+        return sorted(known)[:k]
+    n = int(m.group(1))
+
+    def num(c):
+        mm = re.match(r"^EPSG:(\d+)$", c)
+        return int(mm.group(1)) if mm else 10 ** 9
+    return sorted(known, key=lambda c: (abs(num(c) - n), c))[:k]
+
+
 def validate_crs_pair(src_crs, dst_crs):
     """Raise NotImplementedError unless the pair has a closed form —
     direct, or composed through EPSG:4326 (both legs must exist)."""
@@ -297,14 +319,22 @@ def validate_crs_pair(src_crs, dst_crs):
         return src_crs, dst_crs
     if _direct_pair(src_crs, _WGS) and _direct_pair(_WGS, dst_crs):
         return src_crs, dst_crs
+    unknown = [c for c in (src_crs, dst_crs)
+               if c != _WGS and not _direct_pair(c, _WGS)
+               and not _direct_pair(_WGS, c)]
+    hints = "; ".join(
+        "nearest supported to {}: {}".format(
+            c, ", ".join(_nearest_supported(c))) for c in unknown)
     raise NotImplementedError(
         "supported natively: EPSG:4326 <-> EPSG:3857/4087/28992, "
         "UTM EPSG:326xx/327xx, the registered conic/azimuthal grids "
-        "(2154/3978/5070/3035/3413/3976 built in), plus any pair of "
-        "those composed through EPSG:4326; other LCC/Albers/"
-        "stereographic/LAEA CRS register at runtime via proj_ext."
-        "register_projected_crs(...); anything else needs pyproj/GDAL "
-        "(reference: utils.get_transform_func)")
+        "plus the bundled EPSG table (state-plane NAD83, European/"
+        "ANZ national grids, UTM-on-datum — geometry/epsg_table.py), "
+        "any pair composed through EPSG:4326.  {}  Other LCC/Albers/"
+        "stereographic/LAEA/TM/omerc/Krovak CRS register at runtime "
+        "via proj_ext.register_crs_from_proj4('<code>', '<+proj "
+        "string>'); anything else needs pyproj/GDAL (reference: "
+        "utils.get_transform_func)".format(hints))
 
 
 def point_transform_sql(src_crs, dst_crs, x_sql, y_sql):

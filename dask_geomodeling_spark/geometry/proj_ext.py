@@ -42,6 +42,8 @@ ELLIPSOIDS = {
     "clarke1866": (6378206.4, None),  # defined via b below
     "intl1924": (6378388.0, 1.0 / 297.0),
     "airy1830": (6377563.396, 1.0 / 299.3249646),
+    # modified Airy (Ireland): a scaled by the OSI factor, same 1/f
+    "airy_mod": (6377340.189, 1.0 / 299.3249646),
     "bessel1841": (6377397.155, 1.0 / 299.1528128),
 }
 
@@ -705,6 +707,44 @@ class _Datum:
         return lon3, lat3
 
 
+class _Unit:
+    """Axis-unit wrapper (``+units=`` / ``+to_meter=``, round 15):
+    grids whose published axes are in feet (every US state-plane ftUS
+    code).  PROJ semantics: the false easting/northing apply in
+    METERS, then the whole output divides by ``to_meter`` — so the
+    scale wraps the complete metric projection, forward dividing and
+    inverse multiplying.  Datum staging passes through: ``inner``
+    re-wraps the datum's inner projection so ``_transform_stages``
+    still splits shift and projection into separate plan stages."""
+
+    def __init__(self, base, to_meter):
+        self.base = base
+        self.to_meter = float(to_meter)
+
+    @property
+    def inner(self):
+        inner = getattr(self.base, "inner", None)
+        if inner is None:
+            return None
+        return _Unit(inner, self.to_meter)
+
+    def __getattr__(self, name):
+        # the datum-staging attributes (_shift/fwd/inv/src/dst) and
+        # anything else forward to the wrapped projection
+        return getattr(self.base, name)
+
+    def forward(self, lat, lon):
+        x, y = self.base.forward(lat, lon)
+        k = repr(1.0 / self.to_meter)
+        return ("(({}) * {})".format(x, k),
+                "(({}) * {})".format(y, k))
+
+    def inverse(self, x, y):
+        m = repr(self.to_meter)
+        return self.base.inverse("(({}) * {})".format(x, m),
+                                 "(({}) * {})".format(y, m))
+
+
 _REGISTRY = {}
 
 _KINDS = {"lcc": _Lcc, "albers": _Albers, "stereographic": _PolarStereo,
@@ -716,7 +756,7 @@ def register_projected_crs(code, kind, *, lat0=0.0, lon0=0.0, lat1=None,
                            lat2=None, lat_ts=None, x0=0.0, y0=0.0,
                            k0=1.0, alpha=None, gamma=None,
                            ellipsoid="WGS84", south=False,
-                           helmert=None):
+                           helmert=None, to_meter=None):
     """Register a projected CRS of a supported family so the engine's
     closed-form SQL machinery (Reproject, raster warp, request
     projection) covers it — parameters straight off the EPSG/proj
@@ -767,19 +807,35 @@ def register_projected_crs(code, kind, *, lat0=0.0, lon0=0.0, lat1=None,
         raise ValueError("unknown projection kind {!r}".format(kind))
     if helmert is not None:
         proj = _Datum(proj, helmert, ellipsoid)
+    if to_meter is not None and float(to_meter) != 1.0:
+        proj = _Unit(proj, to_meter)
     _REGISTRY[code] = proj
     return proj
 
 
 def projected_crs(code):
-    """The registered projection for ``code``, or None."""
-    return _REGISTRY.get(str(code).upper())
+    """The registered projection for ``code``, or None.  Codes absent
+    from the runtime registry fall back to the BUNDLED public EPSG
+    parameter table (epsg_table.py, round 15) and auto-register on
+    first use through the proj4 path — the high-traffic state-plane/
+    national-grid codes work out of the box, exactly like the
+    reference's get_sr accepts any EPSG input (reference
+    utils.py:397)."""
+    code = str(code).upper()
+    proj = _REGISTRY.get(code)
+    if proj is None:
+        from dask_geomodeling_spark.geometry.epsg_table import (
+            EPSG_PROJ4)
+        p4 = EPSG_PROJ4.get(code)
+        if p4 is not None:
+            proj = register_crs_from_proj4(code, p4)
+    return proj
 
 
 #: +ellps= name → ELLIPSOIDS key
 _PROJ4_ELLPS = {"WGS84": "WGS84", "GRS80": "GRS80", "airy": "airy1830",
-                "bessel": "bessel1841", "intl": "intl1924",
-                "clrk66": "clarke1866"}
+                "mod_airy": "airy_mod", "bessel": "bessel1841",
+                "intl": "intl1924", "clrk66": "clarke1866"}
 
 #: +proj= name → registry kind
 _PROJ4_KINDS = {"lcc": "lcc", "aea": "albers", "stere": "stereographic",
@@ -854,7 +910,18 @@ def register_crs_from_proj4(code, proj4):
     if "towgs84" in params:
         vals = [float(v) for v in str(params["towgs84"]).split(",")]
         vals += [0.0] * (7 - len(vals))
-        kw["helmert"] = tuple(-v for v in vals)
+        if any(vals):
+            kw["helmert"] = tuple(-v for v in vals)
+    if "to_meter" in params:
+        kw["to_meter"] = float(params["to_meter"])
+    elif "units" in params and params["units"] is not True:
+        unit = str(params["units"])
+        to_m = {"m": 1.0, "us-ft": 1200.0 / 3937.0,
+                "ft": 0.3048}.get(unit)
+        if to_m is None:
+            raise NotImplementedError(
+                "+units={} not supported (m, ft, us-ft)".format(unit))
+        kw["to_meter"] = to_m
     return register_projected_crs(code, _PROJ4_KINDS[proj], **kw)
 
 

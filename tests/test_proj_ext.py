@@ -127,7 +127,8 @@ def test_registration_validation():
 
 
 def test_unsupported_crs_still_raises():
-    with pytest.raises(NotImplementedError, match="register_projected"):
+    with pytest.raises(NotImplementedError,
+                       match="register_crs_from_proj4"):
         validate_crs_pair("EPSG:4326", "EPSG:27200")
 
 
@@ -325,3 +326,147 @@ def test_clrk66_towgs84_registration(spark):
     lon, lat = _ev(spark, projected_crs("TEST:NAD27LCC").inverse(
         _lit(x), _lit(y)))
     assert abs(lon + 75.0) < 1e-6 and abs(lat - 35.0) < 1e-6
+
+
+# ---- round 15: the bundled EPSG parameter table + axis units ----------
+
+def test_epsg_table_autoregistration():
+    """High-traffic codes resolve via the bundled table on first use;
+    genuinely unknown codes still return None."""
+    from dask_geomodeling_spark.geometry.epsg_table import EPSG_PROJ4
+    assert len(EPSG_PROJ4) >= 100
+    assert projected_crs("EPSG:26985") is not None   # Maryland SP
+    assert projected_crs("EPSG:3006") is not None    # SWEREF99 TM
+    assert projected_crs("EPSG:99999") is None
+
+
+def test_stateplane_ftus_central_meridian(spark):
+    """EPSG:2263 (NY Long Island ftUS): the central meridian at the
+    latitude of origin maps to EXACTLY the published false origin in
+    US survey feet — FE 984250.00 ftUS (= 300000.0000000001 m x
+    3937/1200), FN 0 — pinning both the LCC parameters and the
+    +units=us-ft wrapper's PROJ semantics."""
+    p = projected_crs("EPSG:2263")
+    x, y = _ev(spark, p.forward(
+        _lit(40.0 + 10.0 / 60.0), _lit(-74.0)))
+    assert abs(x - 984250.0) < 1e-4, x
+    assert abs(y - 0.0) < 1e-4, y
+    # 100 m north along the CM is ~328.08 ftUS of northing (to the
+    # ~0.1% LCC scale distortion below the standard parallels)
+    x2, y2 = _ev(spark, p.forward(
+        _lit(40.0 + 10.0 / 60.0 + 100.0 / 111132.95), _lit(-74.0)))
+    assert abs((y2 - y) - 100.0 * 3937.0 / 1200.0) < 0.5
+
+
+def test_stateplane_tm_ftus_florida(spark):
+    """EPSG:2236 (Florida East, TM ftUS): CM at lat_0 maps to the
+    published FE 656166.667 ftUS; roundtrip closes sub-mm."""
+    p = projected_crs("EPSG:2236")
+    lat0 = 24.0 + 20.0 / 60.0
+    x, y = _ev(spark, p.forward(_lit(lat0), _lit(-81.0)))
+    assert abs(x - 656166.667) < 2e-3, x
+    assert abs(y) < 1e-4
+    lon, lat = _ev(spark, p.inverse(_lit(x + 1000.0), _lit(y + 2000.0)))
+    x3, y3 = _ev(spark, p.forward(_lit(lat), _lit(lon)))
+    assert abs(x3 - (x + 1000.0)) < 1e-3
+    assert abs(y3 - (y + 2000.0)) < 1e-3
+
+
+def test_nad83_utm_matches_builtin_wgs84_utm(spark):
+    """EPSG:26917 (bundled NAD83 / UTM 17N) vs the built-in WGS84
+    EPSG:32617 closed form: < 0.5 mm everywhere sampled (GRS80 vs
+    WGS84 differ in the 8th ellipsoid digit)."""
+    from dask_geomodeling_spark.geometry.proj import utm_sql
+    p = projected_crs("EPSG:26917")
+    for lon, lat in ((-81.0, 40.0), (-79.3, 35.2), (-83.5, 44.8)):
+        x1, y1 = _ev(spark, p.forward(_lit(lat), _lit(lon)))
+        x2, y2 = _ev(spark, utm_sql(_lit(lat), _lit(lon), 17))
+        assert abs(x1 - x2) < 5e-4 and abs(y1 - y2) < 5e-4, (lon, lat)
+
+
+def test_nztm_false_origin(spark):
+    """EPSG:2193 (NZTM2000): (173E, 0) maps to exactly
+    (1600000, 10000000)."""
+    p = projected_crs("EPSG:2193")
+    x, y = _ev(spark, p.forward(_lit(0.0), _lit(173.0)))
+    assert abs(x - 1600000.0) < 1e-6 and abs(y - 10000000.0) < 1e-6
+
+
+def test_sweref_northing_vs_numeric_meridian_arc(spark):
+    """Independent cross-check (no shared series): SWEREF99 TM
+    northing ON the central meridian equals k0 x the meridian arc
+    length M(lat), numerically integrated with Simpson's rule on
+    GRS80 — agreement < 1 mm at three latitudes."""
+    p = projected_crs("EPSG:3006")
+    a, invf = 6378137.0, 298.257222101
+    f = 1.0 / invf
+    e2 = f * (2.0 - f)
+
+    def meridian_arc(lat_deg, n=20000):
+        import math
+        phi = math.radians(lat_deg)
+        h = phi / n
+
+        def integrand(t):
+            return (a * (1.0 - e2)
+                    / (1.0 - e2 * math.sin(t) ** 2) ** 1.5)
+        s = integrand(0.0) + integrand(phi)
+        for i in range(1, n):
+            s += integrand(i * h) * (4 if i % 2 else 2)
+        return s * h / 3.0
+
+    for lat in (55.0, 60.0, 67.5):
+        x, y = _ev(spark, p.forward(_lit(lat), _lit(15.0)))
+        assert abs(x - 500000.0) < 1e-6
+        assert abs(y - 0.9996 * meridian_arc(lat)) < 1e-3, lat
+
+
+def test_belgian_polar_origin_lcc(spark):
+    """EPSG:31370 (Belgian Lambert 72): lat_0 = 90 puts rho0 at 0 —
+    the conic's polar edge; forward of Brussels lands in the
+    published coordinate neighbourhood (~149-160 km E, ~160-175 km N)
+    and the roundtrip closes under the datum-class bound."""
+    from dask_geomodeling_spark.geometry.proj import (
+        _transform_stages)
+
+    def ev_stages(stages, x, y):
+        for st in stages:
+            x, y = _ev(spark, st(_lit(x), _lit(y)))
+        return x, y
+
+    bx, by = ev_stages(_transform_stages("EPSG:4326", "EPSG:31370"),
+                       4.3517, 50.8466)   # Brussels Grand-Place
+    assert 148000 < bx < 152000 and 166000 < by < 172000, (bx, by)
+    lon, lat = ev_stages(_transform_stages("EPSG:31370", "EPSG:4326"),
+                         bx, by)
+    assert abs(lon - 4.3517) * 111320 < 0.2
+    assert abs(lat - 50.8466) * 111320 < 0.2
+
+
+def test_unit_wrapper_roundtrip_scale(spark):
+    """The _Unit wrapper scales the WHOLE metric output (PROJ
+    +units semantics): a ftUS grid's easting is 3937/1200 x the
+    same grid registered in meters."""
+    from dask_geomodeling_spark.geometry.proj_ext import (
+        register_crs_from_proj4)
+    base = ("+proj=lcc +lat_0=40 +lon_0=-74 +lat_1=41 +lat_2=40.5 "
+            "+x_0=300000 +y_0=100000 +ellps=GRS80")
+    pm = register_crs_from_proj4("TEST:UNITM", base)
+    pf = register_crs_from_proj4("TEST:UNITF", base + " +units=us-ft")
+    xm, ym = _ev(spark, pm.forward(_lit(40.7), _lit(-73.5)))
+    xf, yf = _ev(spark, pf.forward(_lit(40.7), _lit(-73.5)))
+    k = 3937.0 / 1200.0
+    assert abs(xf - xm * k) < 1e-6 and abs(yf - ym * k) < 1e-6
+    lon, lat = _ev(spark, pf.inverse(_lit(xf), _lit(yf)))
+    assert abs(lon + 73.5) < 1e-9 and abs(lat - 40.7) < 1e-9
+
+
+def test_unknown_code_error_names_nearest_options():
+    """The unsupported-CRS error now lists the numerically nearest
+    bundled codes — a user with an unlisted state-plane code sees the
+    sibling zones."""
+    with pytest.raises(NotImplementedError) as ei:
+        validate_crs_pair("EPSG:4326", "EPSG:2264")  # NC ftUS, unlisted
+    msg = str(ei.value)
+    assert "nearest supported to EPSG:2264" in msg
+    assert "EPSG:2263" in msg
