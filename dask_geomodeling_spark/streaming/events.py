@@ -30,6 +30,42 @@ __all__ = ["EventSource", "EventAggregate", "SessionizeEvents",
            "StreamingCountMin"]
 
 
+def _time_grouping(df, time_column, frequency, calendar_watermark):
+    """Shared event-time grouping for the windowed streaming blocks
+    (round 15): fixed Spark durations group by ``window()``; the
+    calendar aliases the raster temporal family understands ('M', 'Q',
+    'Y', 'W-MON'…, 'B') group by a DATE-BUCKET column computed with
+    the same epoch-day math (streaming-legal pure column arithmetic).
+    Returns ``(frame, group_cols, windowed)`` — ``windowed`` names the
+    struct alias when a fixed ``window()`` was used (callers select
+    ``_w.start``), else the frame already carries ``window_start``.
+
+    Streaming calendar bins watermark the BIN END (a grouping key), so
+    a bin's state evicts exactly when the watermark passes its end —
+    Spark forbids redefining an upstream watermark, so the source must
+    arrive unwatermarked (``EventSource(watermark=None)``)."""
+    from dask_geomodeling_spark.raster.temporal import (
+        _calendar_window, normalize_frequency)
+    try:
+        token = normalize_frequency(frequency)
+    except ValueError:
+        token = None
+    if token is not None and token.startswith("CAL:"):
+        start, end = _calendar_window(F.col(time_column), token)
+        out = (df.withColumn("window_start", start)
+               .withColumn("_bin_end", end))
+        if out.isStreaming:
+            if "EventTimeWatermark" in out._jdf.queryExecution() \
+                    .analyzed().toString():
+                raise ValueError(
+                    "calendar frequencies watermark the bin end; "
+                    "construct the streaming EventSource with "
+                    "watermark=None (calendar_watermark takes over)")
+            out = out.withWatermark("_bin_end", calendar_watermark)
+        return out, ["window_start", "_bin_end"], None
+    return df, [F.window(time_column, frequency).alias("_w")], "_w"
+
+
 def _start_parquet_stream(df, path, checkpoint, available_now):
     """Shared streaming-sink scaffolding (EventAggregate /
     StreamingHyperLogLog): append-mode parquet writer with a
@@ -79,6 +115,12 @@ class EventSource(Block):
                     time_column,
                     F.timestamp_micros(F.expr(
                         "`{c}` div 1000".format(c=time_column))))
+            # watermark=None: leave the stream unwatermarked so a
+            # downstream operator can define it on ITS event-time
+            # column (Spark forbids redefinition; the calendar
+            # EventAggregate watermarks the bin END — round 15)
+            if watermark is None:
+                return df
             return df.withWatermark(time_column, watermark)
         return read_nanos_parquet(ctx.spark, url, time_column)
 
@@ -87,24 +129,39 @@ class EventAggregate(Block):
     """Windowed event aggregation — event-time window + keys + statistic.
     On a stream this is an incremental stateful aggregation with
     watermark-bounded state; on a batch frame it is the same groupBy
-    (batch parity = the oracle check)."""
+    (batch parity = the oracle check).
+
+    ``frequency`` takes Spark window durations ("1 hour") AND, since
+    round 15, the CALENDAR aliases the raster temporal family
+    understands ('M'/'Q'/'Y', anchored weeks 'W-MON'…, 'B' — pandas
+    offset strings): calendar bins are a date-bucket GROUPING COLUMN
+    (the same epoch-day math as ``raster.temporal``, which is pure
+    column arithmetic and therefore streaming-legal), not a fixed
+    ``window()`` duration.  On a stream the bin END carries the
+    watermark (``calendar_watermark``), so a month's state evicts
+    exactly when the source watermark passes the month end — the
+    contract fixed windows get from ``window()``, with the variable
+    bin length absorbed by the end column."""
 
     def __init__(self, source, frequency="1 hour", keys=("event_type",),
-                 value_column="value", statistic="sum"):
+                 value_column="value", statistic="sum",
+                 calendar_watermark="10 minutes"):
         if not isinstance(source, Block):
             raise TypeError("'{}' object is not allowed".format(type(source)))
         super().__init__(source, frequency, list(keys), value_column,
-                         statistic)
+                         statistic, calendar_watermark)
 
     def _build(self, ctx):
-        source, frequency, keys, value_column, statistic = self.args
+        (source, frequency, keys, value_column, statistic,
+         calendar_watermark) = self.args
         df = source._build(ctx)
-        win = F.window("ts", frequency)
         agg = statistic_expr(statistic, value_column)
-        return (df.groupBy(win.alias("_w"), *keys)
-                .agg(agg.alias("value"))
-                .select(F.col("_w.start").alias("window_start"), *keys,
-                        "value"))
+        out, group_cols, windowed = _time_grouping(
+            df, "ts", frequency, calendar_watermark)
+        g = out.groupBy(*group_cols, *keys).agg(agg.alias("value"))
+        start = (F.col("_w.start") if windowed
+                 else F.col("window_start"))
+        return g.select(start.alias("window_start"), *keys, "value")
 
     def start(self, spark=None, path=None, checkpoint=None,
               available_now=False, **request):
@@ -521,12 +578,15 @@ class StreamingHyperLogLog(Block):
         df = source._build(ctx)
         rows = HyperLogLog.reg_rho(df, column, p,
                                    keep=grp + [time_column])
-        win = F.window(time_column, frequency)
+        # fixed window() duration OR a calendar date-bucket column
+        # ('M'/'Q'/'W-MON'/… — round 15; see _time_grouping)
+        rows, group_cols, windowed = _time_grouping(
+            rows, time_column, frequency, "10 minutes")
         # ONE aggregation: per-register conditional max (the
         # streaming-legal collapse of the batch two-step)
         aggs = [F.max(F.when(F.col("_reg") == i, F.col("_rho")))
                 .alias("_m{}".format(i)) for i in range(m)]
-        g = rows.groupBy(win.alias("_w"), *grp).agg(*aggs)
+        g = rows.groupBy(*group_cols, *grp).agg(*aggs)
         s_terms = " + ".join(
             "CASE WHEN _m{i} IS NULL THEN {emp} ELSE "
             "shiftleft(CAST(1 AS BIGINT), 32 - _m{i}) END"
@@ -545,7 +605,8 @@ class StreamingHyperLogLog(Block):
                                            - e_raw / F.lit(two31))) \
                .otherwise(e_raw)
         return g.select(
-            F.col("_w.start").alias("window_start"), *grp,
+            (F.col("_w.start") if windowed else F.col("window_start"))
+            .alias("window_start"), *grp,
             F.round(est, 4).alias("n_distinct_est"),
             F.lit(m).cast("bigint").alias("n_registers"),
             F.col("_vz").alias("v_zero"),
@@ -607,12 +668,19 @@ class StreamingCountMin(Block):
         # the BATCH sketch pipeline, grouped by the event-time window
         # (ONE stateful aggregation — streaming-legal in append mode
         # with the source's watermark; sort skipped, illegal on
-        # streams): bit-shared by construction
+        # streams): bit-shared by construction.  Calendar aliases bin
+        # by the date-bucket columns instead (round 15).
+        df, group_cols, windowed = _time_grouping(
+            df, time_column, frequency, "10 minutes")
+        if windowed:
+            extra = [(F.window(time_column, frequency), "_w")]
+            start = F.col("_w.start")
+        else:
+            extra = [(F.col(c), c) for c in group_cols]
+            start = F.col("window_start")
         out = CountMinSketch._sketch(
-            df, column, d, w, by,
-            extra_grp=[(F.window(time_column, frequency), "_w")],
-            sort=False)
-        return out.select(F.col("_w.start").alias("window_start"),
+            df, column, d, w, by, extra_grp=extra, sort=False)
+        return out.select(start.alias("window_start"),
                           *grp, "row_idx", "pos_idx", "counter")
 
     def start(self, spark=None, path=None, checkpoint=None,
