@@ -184,7 +184,7 @@ def RasterFileSource(url, time_first=0, time_delta=300000):
     """Reference signature (raster/sources.py): ``(url, time_first,
     time_delta)`` in epoch/interval milliseconds.  ``.tif``/``.tiff``
     routes to the pure-python GeoTIFF reader, ``.nc``/``.cdf`` to the
-    classic-NetCDF reader (its CF time axis wins over the synthetic
+    classic-NetCDF reader, ``.asc``/``.agr`` to the AAIGrid reader (its CF time axis wins over the synthetic
     one when present — GDAL behaves the same way); anything else is
     read as a cell-table parquet dataset."""
     from dask_geomodeling_spark.raster.netcdf import NetCDFRasterSource
@@ -198,4 +198,9 @@ def RasterFileSource(url, time_first=0, time_delta=300000):
     if url.lower().endswith((".nc", ".cdf", ".nc3")):
         return NetCDFRasterSource(url, time_first=first,
                                   time_delta=delta)
+    if url.lower().endswith((".asc", ".agr")):
+        from dask_geomodeling_spark.raster.aaigrid import (
+            AAIGridRasterSource)
+        return AAIGridRasterSource(url, time_first=first,
+                                   time_delta=delta)
     return RasterParquetSource(url)

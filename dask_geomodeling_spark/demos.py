@@ -1949,41 +1949,82 @@ def event_aggregate(spark, sf_dir):
                           "max").plan(spark)
 
 
-@demo("streaming_event_month", oracle="""
-SELECT CAST(DATE_TRUNC('month', ts) AS TIMESTAMP) AS window_start,
+@demo("streaming_event_calendar", oracle="""
+SELECT 'M' AS grain,
+       CAST(DATE_TRUNC('month', ts) AS TIMESTAMP) AS window_start,
        event_type, MAX(value) AS value
-FROM events GROUP BY 1, 2
-""")
-def streaming_event_month(spark, sf_dir):
-    """Calendar-frequency event aggregation (round 15, r14 verdict
-    #6): EventAggregate('M') bins by CALENDAR month through the same
-    epoch-day date-bucket math as the raster temporal family — a
-    grouping column, not a fixed window() duration, so the identical
-    plan is streaming-legal (the bin end carries the watermark; the
-    stream==batch parity pytest drains it with availableNow).  The
-    oracle is DuckDB's own date_trunc month."""
-    from dask_geomodeling_spark.streaming.events import (EventAggregate,
-                                                         EventSource)
-    src = EventSource(_pq(sf_dir, "events"))
-    return EventAggregate(src, "M", ["event_type"], "value",
-                          "max").plan(spark)
-
-
-@demo("streaming_event_quarter", oracle="""
-SELECT CAST(DATE_TRUNC('quarter', ts) AS TIMESTAMP) AS window_start,
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'Q' AS grain,
+       CAST(DATE_TRUNC('quarter', ts) AS TIMESTAMP) AS window_start,
        event_type, CAST(COUNT(value) AS DOUBLE) AS value
-FROM events GROUP BY 1, 2
+FROM events GROUP BY 2, 3
 """)
-def streaming_event_quarter(spark, sf_dir):
-    """Quarterly calendar aggregation over the event stream plane —
-    EventAggregate('Q') with a count statistic (emitted as DOUBLE,
-    the engine-wide statistic value contract)."""
+def streaming_event_calendar(spark, sf_dir):
+    """Calendar-frequency event aggregation (round 15, r14 verdict
+    #6): EventAggregate('M'/'Q') bins by CALENDAR month/quarter
+    through the same epoch-day date-bucket math as the raster
+    temporal family — a grouping column, not a fixed window()
+    duration, so the identical plan is streaming-legal (the bin end
+    carries the watermark; the stream==batch parity pytest drains an
+    anchored-week run with availableNow).  One query covers both
+    grains (month max + quarter count-as-double, the statistic value
+    contract); the oracle is DuckDB's own date_trunc."""
     from dask_geomodeling_spark.streaming.events import (EventAggregate,
                                                          EventSource)
     src = EventSource(_pq(sf_dir, "events"))
-    out = EventAggregate(src, "Q", ["event_type"], "value",
-                         "count").plan(spark)
-    return out.withColumn("value", F.col("value").cast("double"))
+    month = (EventAggregate(src, "M", ["event_type"], "value", "max")
+             .plan(spark).select(F.lit("M").alias("grain"),
+                                 "window_start", "event_type",
+                                 "value"))
+    quarter = (EventAggregate(src, "Q", ["event_type"], "value",
+                              "count")
+               .plan(spark).select(
+                   F.lit("Q").alias("grain"), "window_start",
+                   "event_type", F.col("value").cast("double")
+                   .alias("value")))
+    return month.unionByName(quarter)
+
+
+@demo("aaigrid_source", oracle="""
+SELECT CAST('1970-01-01' AS TIMESTAMP)
+           + INTERVAL 1 HOUR * band AS time,
+       y, x,
+       CASE WHEN (band * 500 + y * 12 + x) % 9 = 0 THEN NULL
+            ELSE CAST(band * 500 + y * 12 + x AS DOUBLE) END AS value,
+       100.0 + (x + 0.5) * 2.0 AS wx,
+       200.0 + (6 - y - 0.5) * 2.0 AS wy
+FROM (SELECT unnest(range(0, 2)) AS band),
+     (SELECT unnest(range(0, 6)) AS y),
+     (SELECT unnest(range(0, 12)) AS x)
+""")
+def aaigrid_source(spark, sf_dir):
+    """Arc/Info ASCII Grid ingestion (round 15 — the next container
+    off the reference's GDAL list after NetCDF, raster/sources.py:68):
+    two ``.asc`` files (one xllcorner header, one xllcenter flavor —
+    same grid) become two time bands with the header NODATA as NULL
+    and cell-center world coordinates; closed-form cell formula so the
+    oracle re-derives grid, nodata mask and geotransform without
+    reading AAIGrid."""
+    import os
+    import tempfile
+    from datetime import timedelta
+
+    from dask_geomodeling_spark.raster.aaigrid import (
+        AAIGridRasterSource, write_aaigrid)
+    d = tempfile.mkdtemp(prefix="dgs_aaigrid_")
+    w, h = 12, 6
+    for band, center in ((0, False), (1, True)):
+        vals = [float(band * 500 + y * 12 + x)
+                if (band * 500 + y * 12 + x) % 9 else -9999.0
+                for y in range(h) for x in range(w)]
+        write_aaigrid(os.path.join(d, "b{}.asc".format(band)), w, h,
+                      vals, xllcorner=100.0, yllcorner=200.0,
+                      cellsize=2.0, nodata=-9999.0, center=center)
+    src = AAIGridRasterSource(d + "/*.asc",
+                              time_delta=timedelta(hours=1))
+    return src.plan(spark).select("time", "y", "x", "value",
+                                  "wx", "wy")
 
 
 @demo("rolling_event_aggregate", oracle="""
@@ -12577,19 +12618,23 @@ def make_valid(spark, sf_dir):
 # CORRECTNESS_r12 and rotates back into the pool; new-op anchors are
 # capped well under 8 so the 30 remaining never-driver-checked
 # queries all fit the rotating slots this round.
+# Round-15: every r14 anchor is driver-green in CORRECTNESS_r14 and
+# rotates back into the pool; the 10 round-15 new queries are the
+# anchors (the mechanical rule), exactly at the 12-slot cap.
 GATE_ANCHORS = [
     "q1_pricing_summary",           # flagship
     "json_graph_roundtrip",         # serialization contract
-    # round-14 new operators (r13 verdict #2/#3)
-    "geotiff_lzw",
-    "geotiff_multisample",
-    "geotiff_multipage",
-    "raster_temporal_month",
-    "raster_temporal_quarter",
-    "raster_temporal_year",
-    "raster_temporal_anchored_week",
-    "raster_temporal_business_day",
-    "raster_cumulative_quarter",
+    # round-15 new operators (r14 verdict #1/#2/#3/#6)
+    "geotiff_predictor3",
+    "netcdf_source",
+    "reproject_stateplane",
+    "reproject_stateplane_tm",
+    "reproject_nad83_utm",
+    "reproject_nztm",
+    "reproject_gauss_kruger",
+    "reproject_belgian",
+    "streaming_event_calendar",
+    "aaigrid_source",
 ]
 
 

@@ -6,6 +6,7 @@ from dask_geomodeling_spark.raster.temporal import *  # noqa
 from dask_geomodeling_spark.raster.misc import *  # noqa
 from dask_geomodeling_spark.raster.sources import *  # noqa
 from dask_geomodeling_spark.raster.netcdf import NetCDFRasterSource  # noqa
+from dask_geomodeling_spark.raster.aaigrid import AAIGridRasterSource  # noqa
 from dask_geomodeling_spark.raster.parallelize import *  # noqa
 from dask_geomodeling_spark.raster import reduction  # noqa
 from dask_geomodeling_spark.raster.sinks import RasterFileSink  # noqa

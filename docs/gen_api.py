@@ -45,6 +45,8 @@ PLANES = {
     "raster": [
         "dask_geomodeling_spark.raster.base",
         "dask_geomodeling_spark.raster.sources",
+        "dask_geomodeling_spark.raster.netcdf",
+        "dask_geomodeling_spark.raster.aaigrid",
         "dask_geomodeling_spark.raster.sinks",
         "dask_geomodeling_spark.raster.elemwise",
         "dask_geomodeling_spark.raster.combine",
