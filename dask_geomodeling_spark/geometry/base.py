@@ -111,19 +111,25 @@ def apply_feature_request(df, request, time_column=None):
             # ceil predicate on the UNTOUCHED column does the
             # scan-level pruning (dates are unaffected by every
             # variant above).
+            # BOTH sides normalize to the fixed 26-char
+            # 'YYYY-MM-DD HH:MM:SS.ffffff' form — comparing a padded
+            # value against an unpadded bound (or vice versa) breaks
+            # equality at the bound for explicit zero fractions
+            # ('…00.000000' vs '…00' — r15 review)
             norm = F.translate(c, "TZ", " ")   # T→' ', Z deleted
             norm = F.when(F.length(norm) == 10,
                           F.concat(norm, F.lit(" 00:00:00"))
                           ).otherwise(norm)
             norm = F.when(norm.contains("."),
-                          F.rpad(norm, 26, "0")).otherwise(norm)
+                          F.rpad(norm, 26, "0")
+                          ).otherwise(F.concat(norm,
+                                               F.lit(".000000")))
             _day0 = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
 
             def str_bound(us):
                 iso = _day0 + _dt.timedelta(microseconds=us)
                 s = iso.strftime("%Y-%m-%d %H:%M:%S")
-                if iso.microsecond:
-                    s += ".{:06d}".format(iso.microsecond)
+                s += ".{:06d}".format(iso.microsecond)
                 return s, iso
 
             if start:

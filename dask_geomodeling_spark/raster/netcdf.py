@@ -231,6 +231,19 @@ def cf_time_to_us(values, units):
             "minutes/hours/days; calendar months/years are not fixed "
             "intervals)".format(interval))
     instant = instant.replace("T", " ").replace("Z", "").strip()
+    # udunits allows a trailing numeric UTC offset on the reference
+    # instant ('seconds since 1992-10-8 15:15:42.5 -6:00' is the CF
+    # document's own example) — parse and subtract it (r15 review)
+    off_us = 0
+    m_off = re.search(
+        r"\s([+-])(\d{1,2})(?::?(\d{2}))?$", instant)
+    if m_off:
+        sign = -1 if m_off.group(1) == "-" else 1
+        off_us = sign * (int(m_off.group(2)) * 3600
+                         + int(m_off.group(3) or 0) * 60) * 1000000
+        instant = instant[:m_off.start()].strip()
+    # (strptime is lenient about unpadded fields, so the wild
+    # '1992-10-8' shape parses as-is)
     for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S",
                 "%Y-%m-%d %H:%M", "%Y-%m-%d"):
         try:
@@ -242,10 +255,33 @@ def cf_time_to_us(values, units):
         raise ValueError(
             "unsupported CF reference instant {!r}".format(instant))
     epoch = epoch.replace(tzinfo=timezone.utc)
-    base_us = int(epoch.timestamp() * 1000000)
+    base_us = int(epoch.timestamp() * 1000000) - off_us
     mult = _CF_MULT[interval]
     return [base_us + int(round(float(v) * mult * 1000000))
             for v in values]
+
+
+def _pick_grid_variable(dim_names, variables, variable):
+    """The CF grid variable to decode: explicit name, or the
+    non-coordinate numeric variable with the most dimensions (ties:
+    declaration order) — shared by the decoder and the band-count
+    header walk so both always pick the SAME variable."""
+    if variable is None:
+        best = None
+        for nm, v in variables.items():
+            if nm in dim_names or v["nc_type"] == 2:
+                continue
+            nd = len(v["dims"])
+            if nd >= 2 and (best is None
+                            or nd > len(variables[best]["dims"])):
+                best = nm
+        if best is None:
+            raise ValueError("no 2-D+ data variable found")
+        return best
+    if variable not in variables:
+        raise ValueError("variable {!r} not in file (has: {})".format(
+            variable, sorted(variables)))
+    return variable
 
 
 def decode_netcdf_grid(content, variable=None):
@@ -262,21 +298,7 @@ def decode_netcdf_grid(content, variable=None):
     — the CF order — and an optional leading dim is time."""
     dims, _, variables, numrecs = parse_netcdf(content)
     dim_names = [d[0] for d in dims]
-    if variable is None:
-        best = None
-        for nm, v in variables.items():
-            if nm in dim_names or v["nc_type"] == 2:
-                continue
-            nd = len(v["dims"])
-            if nd >= 2 and (best is None
-                            or nd > len(variables[best]["dims"])):
-                best = nm
-        if best is None:
-            raise ValueError("no 2-D+ data variable found")
-        variable = best
-    if variable not in variables:
-        raise ValueError("variable {!r} not in file (has: {})".format(
-            variable, sorted(variables)))
+    variable = _pick_grid_variable(dim_names, variables, variable)
     v = variables[variable]
     if len(v["dims"]) not in (2, 3):
         raise ValueError(
@@ -296,9 +318,11 @@ def decode_netcdf_grid(content, variable=None):
     fill = att1("_FillValue", att1("missing_value"))
     scale = att1("scale_factor")
     offset = att1("add_offset")
+    fill_nan = fill is not None and fill != fill   # NaN _FillValue
     vals = []
     for x in raw:
-        if fill is not None and x == fill:
+        if fill is not None and (x == fill
+                                 or (fill_nan and x != x)):
             vals.append(None)
         elif scale is not None or offset is not None:
             vals.append(float(x) * float(scale if scale is not None
@@ -326,6 +350,45 @@ def decode_netcdf_grid(content, variable=None):
     xs = [float(x) for x in xcv["read"]()] if xcv else None
     ys = [float(y) for y in ycv["read"]()] if ycv else None
     return times_us, h, w, bands, xs, ys
+
+
+def netcdf_band_meta(f, variable=None):
+    """``(n_bands, has_time_axis)`` of a classic NetCDF from a
+    SEEKABLE file object, reading only the header (progressively
+    doubled reads — the header precedes all data by construction), so
+    the multi-file fallback band index costs O(header) per file, not
+    a second full byte pass (the GeoTIFF page-count convention)."""
+    import struct
+
+    size = 1 << 16
+    while True:
+        f.seek(0)
+        blob = f.read(size)
+        try:
+            if len(blob) >= 8 and blob[:3] == b"CDF" and int.from_bytes(
+                    blob[4:8], "big") == _STREAMING:
+                # STREAMING numrecs derives from the FILE length —
+                # needs the whole byte string (rare)
+                f.seek(0)
+                blob = f.read()
+            dims, _, variables, numrecs = parse_netcdf(blob)
+            break
+        except (ValueError, IndexError, struct.error):
+            if len(blob) < size:
+                raise
+            size <<= 3
+    dim_names = [d[0] for d in dims]
+    nm = _pick_grid_variable(dim_names, variables, variable)
+    v = variables[nm]
+    n_bands = v["shape"][0] if len(v["dims"]) == 3 else 1
+    has_axis = False
+    if len(v["dims"]) == 3:
+        tnm = dim_names[v["dims"][0]]
+        tv = variables.get(tnm)
+        has_axis = bool(tv and tv["dims"] == [v["dims"][0]]
+                        and tv["nc_type"] != 2
+                        and tv["atts"].get("units"))
+    return n_bands, has_axis
 
 
 def write_netcdf(path, width, height, bands, version=1,
@@ -393,7 +456,11 @@ def write_netcdf(path, width, height, bands, version=1,
         datts["add_offset"] = (6, [float(offset)])
     # variables: (name, dimids, atts, nc_type, per-record elem count)
     vars_ = [
-        ("time", [0], {"units": (2, time_units)}, 6, 1),
+        # time_units=None omits the CF units attribute — fixtures the
+        # no-axis fallback (global band index) path
+        ("time", [0],
+         {} if time_units is None else {"units": (2, time_units)},
+         6, 1),
         ("y", [1], {}, 6, height),
         ("x", [2], {}, 6, width),
         (var_name, [0, 1, 2], datts, nc_type, width * height),
@@ -486,11 +553,14 @@ class NetCDFRasterSource(RasterBlock):
     Same Spark shape as ``GeoTIFFRasterSource``: ``binaryFile`` lists
     and reads one task per file, Arrow-batched ``mapInPandas`` runs
     the pure-python classic-format parse, every element becomes a cell
-    row with ``_FillValue``/``missing_value`` as NULL and CF
-    ``scale_factor``/``add_offset`` unpacking applied.  Band times
-    come from the file's own CF time axis (``units: <interval> since
-    <instant>``); files without one fall back to ``time_first`` (+
-    ``time_delta`` × band).  1-D coordinate variables surface as
+    row with ``_FillValue``/``missing_value`` as NULL (NaN fills
+    handled) and CF ``scale_factor``/``add_offset`` unpacking
+    applied.  Band times come from the file's own CF time axis
+    (``units: <interval> since <instant>``, optional numeric UTC
+    offset honored); files without one fall back to ``time_first`` +
+    ``time_delta`` × a GLOBAL band index over (path, band) sorted —
+    the GeoTIFF/AAIGrid multi-file convention, built from a
+    header-only seek pass.  1-D coordinate variables surface as
     ``wx``/``wy``.  NetCDF-4/HDF5 refuses with a clear re-export
     hint (documented boundary)."""
 
@@ -508,6 +578,8 @@ class NetCDFRasterSource(RasterBlock):
         files = (ctx.spark.read.format("binaryFile").load(url)
                  .select("path", "content"))
         schema = T.StructType([
+            T.StructField("path", T.StringType()),
+            T.StructField("band", T.LongType()),
             T.StructField("time", T.TimestampType()),
             T.StructField("y", T.LongType()),
             T.StructField("x", T.LongType()),
@@ -520,7 +592,7 @@ class NetCDFRasterSource(RasterBlock):
             import pandas as pd
 
             for pdf in batches:
-                for content in pdf["content"]:
+                for path, content in zip(pdf["path"], pdf["content"]):
                     times_us, h, w, bands, xs, ys = decode_netcdf_grid(
                         bytes(content), variable)
                     yy = [i // w for i in range(w * h)]
@@ -530,12 +602,72 @@ class NetCDFRasterSource(RasterBlock):
                     wys = ([ys[r] for r in yy] if ys
                            else [None] * (w * h))
                     for k, band in enumerate(bands):
-                        us = (times_us[k] if times_us is not None
-                              else t0_us + k * delta_us)
-                        t = pd.Timestamp(us, unit="us", tz="UTC")
+                        t = (pd.Timestamp(times_us[k], unit="us",
+                                          tz="UTC")
+                             if times_us is not None else pd.NaT)
                         yield pd.DataFrame(
-                            {"time": t, "y": yy, "x": xx,
-                             "value": band, "wx": wxs, "wy": wys})
+                            {"path": path, "band": k, "time": t,
+                             "y": yy, "x": xx, "value": band,
+                             "wx": wxs, "wy": wys})
 
         cells = files.mapInPandas(parse, schema=schema)
-        return apply_raster_request(cells, ctx.request)
+        # files WITHOUT a CF time axis fall back to time_first +
+        # time_delta × a GLOBAL band index over (path, band) sorted —
+        # a per-file index would collide timestamps across files (r15
+        # review; the GeoTIFF/AAIGrid convention).  The index builds
+        # from a header-only seek pass (netcdf_band_meta) when the
+        # scheme allows partial reads, else from the content.
+        from urllib.parse import urlparse
+
+        from dask_geomodeling_spark.functions.ranking import (
+            global_row_number)
+        from dask_geomodeling_spark.raster.sources import (
+            _SEEKABLE_SCHEMES, _open_seekable)
+
+        def count_bands_seek(batches):
+            import pandas as pd
+            for pdf in batches:
+                out_p, out_b = [], []
+                for path in pdf["path"]:
+                    fobj = _open_seekable(path)
+                    try:
+                        n, has_axis = netcdf_band_meta(fobj, variable)
+                    finally:
+                        fobj.close()
+                    if not has_axis:
+                        out_p += [path] * n
+                        out_b += list(range(n))
+                yield pd.DataFrame({"path": out_p, "band": out_b})
+
+        def count_bands_content(batches):
+            import io
+
+            import pandas as pd
+            for pdf in batches:
+                out_p, out_b = [], []
+                for path, content in zip(pdf["path"],
+                                         pdf["content"]):
+                    n, has_axis = netcdf_band_meta(
+                        io.BytesIO(bytes(content)), variable)
+                    if not has_axis:
+                        out_p += [path] * n
+                        out_b += list(range(n))
+                yield pd.DataFrame({"path": out_p, "band": out_b})
+
+        if urlparse(str(url)).scheme in _SEEKABLE_SCHEMES:
+            dim = files.select("path").mapInPandas(
+                count_bands_seek, schema="path string, band long")
+        else:
+            dim = files.mapInPandas(
+                count_bands_content, schema="path string, band long")
+        idx, _ = global_row_number(dim, ["path", "band"], out="_rn")
+        idx = idx.withColumn("_gband", F.col("_rn") - 1).drop("_rn")
+        cells = cells.join(F.broadcast(idx), ["path", "band"], "left")
+        t = F.coalesce(
+            F.col("time"),
+            F.timestamp_micros(F.lit(t0_us)
+                               + F.col("_gband")
+                               * F.lit(delta_us)))
+        out = cells.select(t.alias("time"), "y", "x", "value",
+                           "wx", "wy")
+        return apply_raster_request(out, ctx.request)

@@ -641,20 +641,33 @@ def _tiff_page_count_seek(f):
     return pages
 
 
+#: URI schemes the seek-based partial-read pass handles: local paths
+#: plus the object stores pyarrow.fs recognizes (s3a/s3n translate to
+#: pyarrow's s3).  Anything else (wasbs/abfs/dbfs/viewfs/custom Hadoop
+#: FS, or stores whose credentials live only in Spark's Hadoop conf)
+#: falls back to the content-based count pass in the caller — pyarrow
+#: would reject the URI or miss the credentials (r15 review).
+_SEEKABLE_SCHEMES = ("", "file", "s3", "s3a", "s3n", "gs", "gcs",
+                     "hdfs")
+
+
 def _open_seekable(path):
     """Open a binaryFile-style path/URI for seekable reads: local
-    paths (bare or ``file:`` URIs) through plain ``open``; any other
-    scheme (hdfs/s3/…) through ``pyarrow.fs`` — both support
-    ``seek``/``read``, which is all ``_tiff_page_count_seek``
-    needs."""
+    paths (bare or ``file:`` URIs) through plain ``open``; s3/gs/hdfs
+    through ``pyarrow.fs`` (``s3a``/``s3n`` translate to pyarrow's
+    ``s3``) — both support ``seek``/``read``, which is all the
+    partial-read header walks need."""
     from urllib.parse import unquote, urlparse
-    parsed = urlparse(str(path))
+    p = str(path)
+    parsed = urlparse(p)
     if parsed.scheme in ("", "file"):
-        local = unquote(parsed.path) if parsed.scheme else str(path)
+        local = unquote(parsed.path) if parsed.scheme else p
         return open(local, "rb")
+    if parsed.scheme in ("s3a", "s3n"):
+        p = "s3" + p[len(parsed.scheme):]
     import pyarrow.fs as pafs
-    fs, p = pafs.FileSystem.from_uri(str(path))
-    return fs.open_input_file(p)
+    fs, rel = pafs.FileSystem.from_uri(p)
+    return fs.open_input_file(rel)
 
 
 def _parse_geotiff(content, sample=0, page=0):
@@ -762,17 +775,20 @@ def _decode_tiff_page(content, bo, tags, sample=0):
                 # spec's off-by-one spawned both): a wrong schedule
                 # desyncs the bit stream, which surfaces as an
                 # out-of-range code or a wrong byte count — retry once.
-                # The fallback demands an EXACT length (a desynced
-                # vanilla-schedule decode that happens to emit enough
-                # bytes must not be accepted silently — r15 advice;
-                # the primary path keeps >= for writers that pad the
-                # final strip to full rows_per_strip)
+                # The fallback demands the exact length OR a whole
+                # number of extra ROWS (a writer may pad the final
+                # strip to full rows_per_strip); any other length is
+                # a desynced decode that must not be accepted
+                # silently (r15 advice + review)
                 dec = _lzw_decode(raw, early=0)
-                if len(dec) != n * stride * need:
+                needed = n * stride * need
+                row_bytes = row_w * stride * need
+                if (len(dec) < needed
+                        or (len(dec) - needed) % row_bytes):
                     raise ValueError(
                         "LZW block decodes to the wrong length under "
-                        "both width schedules ({} != {} bytes)".format(
-                            len(dec), n * stride * need))
+                        "both width schedules ({} vs {} bytes)".format(
+                            len(dec), needed))
             raw = dec
         elif comp == 32773:
             raw = _packbits_decode(raw)
@@ -1128,8 +1144,29 @@ class GeoTIFFRasterSource(RasterBlock):
                     yield pd.DataFrame({"path": out_path,
                                         "page": out_page})
 
-            pages = files.select("path").mapInPandas(
-                count_pages, schema="path string, page long")
+            from urllib.parse import urlparse
+            if urlparse(str(url)).scheme in _SEEKABLE_SCHEMES:
+                pages = files.select("path").mapInPandas(
+                    count_pages, schema="path string, page long")
+            else:
+                # scheme outside pyarrow's reach (wasbs/abfs/dbfs/…):
+                # fall back to counting from the binaryFile content —
+                # a second full byte pass, but it inherits Spark's
+                # Hadoop credentials and works on ANY Spark-readable
+                # store (r15 review)
+                def count_pages_content(batches):
+                    import pandas as pd
+                    for pdf in batches:
+                        for path, content in zip(pdf["path"],
+                                                 pdf["content"]):
+                            n = _tiff_page_count(bytes(content))
+                            yield pd.DataFrame(
+                                {"path": path,
+                                 "page": list(range(n))})
+
+                pages = files.mapInPandas(
+                    count_pages_content,
+                    schema="path string, page long")
             idx, _ = global_row_number(pages, ["path", "page"],
                                        out="_rn")
             idx = idx.withColumn(

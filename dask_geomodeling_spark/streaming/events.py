@@ -36,14 +36,17 @@ def _time_grouping(df, time_column, frequency, calendar_watermark):
     calendar aliases the raster temporal family understands ('M', 'Q',
     'Y', 'W-MON'…, 'B') group by a DATE-BUCKET column computed with
     the same epoch-day math (streaming-legal pure column arithmetic).
-    Returns ``(frame, group_cols, windowed)`` — ``windowed`` names the
-    struct alias when a fixed ``window()`` was used (callers select
-    ``_w.start``), else the frame already carries ``window_start``.
 
     Streaming calendar bins watermark the BIN END (a grouping key), so
     a bin's state evicts exactly when the watermark passes its end —
     Spark forbids redefining an upstream watermark, so the source must
-    arrive unwatermarked (``EventSource(watermark=None)``)."""
+    arrive unwatermarked (``EventSource(watermark=None)``).
+
+    Returns ``(frame, group_cols, duration)`` — ``duration`` is the
+    resolved Spark window duration for the fixed path (pandas aliases
+    like '5T'/'H'/'2D' normalize before reaching ``window()`` — r15
+    review: the raw alias crashed Spark's interval parser), or None
+    for the calendar path."""
     from dask_geomodeling_spark.raster.temporal import (
         _calendar_window, normalize_frequency)
     try:
@@ -63,7 +66,8 @@ def _time_grouping(df, time_column, frequency, calendar_watermark):
                     "watermark=None (calendar_watermark takes over)")
             out = out.withWatermark("_bin_end", calendar_watermark)
         return out, ["window_start", "_bin_end"], None
-    return df, [F.window(time_column, frequency).alias("_w")], "_w"
+    dur = token if token is not None else frequency
+    return df, [F.window(time_column, dur).alias("_w")], dur
 
 
 def _start_parquet_stream(df, path, checkpoint, available_now):
@@ -156,10 +160,10 @@ class EventAggregate(Block):
          calendar_watermark) = self.args
         df = source._build(ctx)
         agg = statistic_expr(statistic, value_column)
-        out, group_cols, windowed = _time_grouping(
+        out, group_cols, duration = _time_grouping(
             df, "ts", frequency, calendar_watermark)
         g = out.groupBy(*group_cols, *keys).agg(agg.alias("value"))
-        start = (F.col("_w.start") if windowed
+        start = (F.col("_w.start") if duration
                  else F.col("window_start"))
         return g.select(start.alias("window_start"), *keys, "value")
 
@@ -556,7 +560,8 @@ class StreamingHyperLogLog(Block):
     """
 
     def __init__(self, source, column, frequency="1 hour",
-                 precision=6, by=None, time_column="ts"):
+                 precision=6, by=None, time_column="ts",
+                 calendar_watermark="10 minutes"):
         if not isinstance(source, Block):
             raise TypeError("'{}' object is not allowed".format(type(source)))
         p = int(precision)
@@ -566,12 +571,13 @@ class StreamingHyperLogLog(Block):
                 "expressions — one streaming aggregation)")
         super().__init__(source, str(column), str(frequency), p,
                          None if by is None else str(by),
-                         str(time_column))
+                         str(time_column), str(calendar_watermark))
 
     def _build(self, ctx):
         from dask_geomodeling_spark.pipeline.text import (HyperLogLog,
                                                           _hll_alpha)
-        source, column, frequency, p, by, time_column = self.args
+        (source, column, frequency, p, by, time_column,
+         calendar_watermark) = self.args
         grp = [by] if by else []
         m = 1 << p
         a_lit = _hll_alpha(m) * m * m * float(2 ** 32)
@@ -580,8 +586,8 @@ class StreamingHyperLogLog(Block):
                                    keep=grp + [time_column])
         # fixed window() duration OR a calendar date-bucket column
         # ('M'/'Q'/'W-MON'/… — round 15; see _time_grouping)
-        rows, group_cols, windowed = _time_grouping(
-            rows, time_column, frequency, "10 minutes")
+        rows, group_cols, duration = _time_grouping(
+            rows, time_column, frequency, calendar_watermark)
         # ONE aggregation: per-register conditional max (the
         # streaming-legal collapse of the batch two-step)
         aggs = [F.max(F.when(F.col("_reg") == i, F.col("_rho")))
@@ -605,7 +611,7 @@ class StreamingHyperLogLog(Block):
                                            - e_raw / F.lit(two31))) \
                .otherwise(e_raw)
         return g.select(
-            (F.col("_w.start") if windowed else F.col("window_start"))
+            (F.col("_w.start") if duration else F.col("window_start"))
             .alias("window_start"), *grp,
             F.round(est, 4).alias("n_distinct_est"),
             F.lit(m).cast("bigint").alias("n_registers"),
@@ -644,7 +650,8 @@ class StreamingCountMin(Block):
     tests/test_streaming.py (the EventAggregate convention)."""
 
     def __init__(self, source, column, frequency="1 hour", depth=4,
-                 width=1024, by=None, time_column="ts"):
+                 width=1024, by=None, time_column="ts",
+                 calendar_watermark="10 minutes"):
         # depth default MUST match CountMinSketch's (4): the merge
         # contract is plain counter SUM across stream and batch, so
         # two default-constructed sketches of different depth would
@@ -658,11 +665,12 @@ class StreamingCountMin(Block):
         d, w = CountMinSketch._validate(depth, width)
         super().__init__(source, str(column), str(frequency), d, w,
                          None if by is None else str(by),
-                         str(time_column))
+                         str(time_column), str(calendar_watermark))
 
     def _build(self, ctx):
         from dask_geomodeling_spark.pipeline.text import CountMinSketch
-        source, column, frequency, d, w, by, time_column = self.args
+        (source, column, frequency, d, w, by, time_column,
+         calendar_watermark) = self.args
         grp = [by] if by else []
         df = source._build(ctx)
         # the BATCH sketch pipeline, grouped by the event-time window
@@ -670,10 +678,10 @@ class StreamingCountMin(Block):
         # with the source's watermark; sort skipped, illegal on
         # streams): bit-shared by construction.  Calendar aliases bin
         # by the date-bucket columns instead (round 15).
-        df, group_cols, windowed = _time_grouping(
-            df, time_column, frequency, "10 minutes")
-        if windowed:
-            extra = [(F.window(time_column, frequency), "_w")]
+        df, group_cols, duration = _time_grouping(
+            df, time_column, frequency, calendar_watermark)
+        if duration:
+            extra = [(F.window(time_column, duration), "_w")]
             start = F.col("_w.start")
         else:
             extra = [(F.col(c), c) for c in group_cols]

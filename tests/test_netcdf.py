@@ -135,3 +135,65 @@ def test_netcdf_compat_routing(spark, tmp_path):
                         p, 0, 3600000]}
     block = construct(graph, "source")
     assert block.plan(spark).count() == 8
+
+
+def test_netcdf_nan_fill_and_offset_instants(tmp_path):
+    """r15 review: NaN _FillValue matches via isnan (xarray's float
+    default), and CF reference instants with numeric UTC offsets
+    (the CF document's own udunits example) parse."""
+    import math
+
+    from dask_geomodeling_spark.raster.netcdf import (cf_time_to_us,
+                                                      decode_netcdf_grid,
+                                                      write_netcdf)
+    nan = float("nan")
+    vals = [1.0, nan, 3.0, 4.0, nan, 6.0]
+    p = str(tmp_path / "n.nc")
+    write_netcdf(p, 3, 2, [vals], nc_type=6, fill=nan)
+    _, _, _, got, _, _ = decode_netcdf_grid(open(p, "rb").read())
+    assert got[0] == [1.0, None, 3.0, 4.0, None, 6.0]
+    import datetime
+    utc = datetime.timezone.utc
+    want = int(datetime.datetime(1992, 10, 8, 21, 15, 42, 500000,
+                                 tzinfo=utc).timestamp() * 1e6)
+    got_us = cf_time_to_us(
+        [0.0], "seconds since 1992-10-8 15:15:42.5 -6:00")[0]
+    assert got_us == want
+    assert not math.isnan(got_us)
+
+
+def test_netcdf_band_meta_and_global_fallback(spark, tmp_path):
+    """r15 review: files WITHOUT a CF time axis get a GLOBAL band
+    index over (path, band) — two axis-less files must not collide on
+    identical timestamps; netcdf_band_meta reads only the header."""
+    from datetime import timedelta
+
+    from dask_geomodeling_spark.raster.netcdf import (
+        NetCDFRasterSource, netcdf_band_meta, write_netcdf)
+    from dask_geomodeling_spark.raster.sources import _open_seekable
+    w, h = 4, 2
+    for name, nt in (("a.nc", 2), ("b.nc", 3)):
+        write_netcdf(str(tmp_path / name), w, h,
+                     [[float(k * 10 + i) for i in range(w * h)]
+                      for k in range(nt)],
+                     time_units=None)   # no CF axis
+    with _open_seekable(str(tmp_path / "b.nc")) as f:
+        assert netcdf_band_meta(f) == (3, False)
+    rows = NetCDFRasterSource(
+        str(tmp_path) + "/*.nc",
+        time_delta=timedelta(hours=1)).plan(spark).collect()
+    assert len(rows) == 5 * w * h
+    times = sorted({r["time"] for r in rows})
+    assert len(times) == 5   # 2 + 3 distinct bands, no collisions
+    # a.nc bands come first (sorted path), each band 1 h apart
+    hours = [t.hour + 24 * (t.day - 1) for t in times]
+    assert hours == [0, 1, 2, 3, 4]
+    # mixed case: one file WITH an axis keeps its own times
+    write_netcdf(str(tmp_path / "c.nc"), w, h,
+                 [[9.0] * (w * h)], time_vals=[100.0])
+    rows = NetCDFRasterSource(
+        str(tmp_path) + "/*.nc",
+        time_delta=timedelta(hours=1)).plan(spark).collect()
+    assert len({r["time"] for r in rows}) == 6
+    assert any(r["time"].hour == 4 and r["time"].day == 5
+               for r in rows)   # 100 h from the axis

@@ -699,24 +699,31 @@ def test_feature_time_bounds_string_variants(spark):
         (4, "1995-01-05 06:00:00.5"),   # short fraction
         (5, "1995-01-01 05:59:59"),     # before start
         (6, "1995-01-06 00:00:01"),     # after stop
+        (7, "1995-01-05 06:00:00.000000"),  # explicit zero fraction
     ]
     sdf = spark.createDataFrame(rows, "id bigint, t string")
     got = sorted(r["id"] for r in apply_feature_request(
         sdf, {"start": datetime(1995, 1, 2, 6),
               "stop": datetime(1995, 1, 5, 6, 0, 0, 500000)},
         time_column="t").collect())
-    assert got == [1, 2, 3, 4]
+    assert got == [1, 2, 3, 4, 7]
+    # explicit zero fraction at an exactly-equal stop instant stays
+    # INCLUDED (r15 review: padded value vs unpadded bound broke this)
+    got = sorted(r["id"] for r in apply_feature_request(
+        sdf, {"stop": datetime(1995, 1, 5, 6)},
+        time_column="t").collect())
+    assert 7 in got and 4 not in got
     # bare-date row equal to a midnight start bound is INCLUDED
     got = sorted(r["id"] for r in apply_feature_request(
         sdf, {"start": datetime(1995, 1, 4)},
         time_column="t").collect())
-    assert got == [3, 4, 6]
+    assert got == [3, 4, 6, 7]
     # fractional bound vs non-fractional rows: 06:00:00 < 06:00:00.25
     got = sorted(r["id"] for r in apply_feature_request(
         sdf, {"start": datetime(1995, 1, 2, 6, 0, 0, 250000),
               "stop": datetime(1995, 1, 5, 6, 0, 0, 250000)},
         time_column="t").collect())
-    assert got == [2, 3]
+    assert got == [2, 3, 7]
 
 
 def test_time_request_bounds_one_utc_interpretation(spark):

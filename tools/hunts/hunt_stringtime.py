@@ -40,7 +40,8 @@ def render(inst, style):
     if style == "date":       # bare date == midnight of that day
         return inst.strftime("%Y-%m-%d")
     s = inst.strftime("%Y-%m-%d %H:%M:%S")
-    if style == "frac" and inst.microsecond:
+    if style == "frac":
+        # incl. EXPLICIT ZERO fractions (r15 review falsifier class)
         digits = rng.randint(1, 6)
         frac = "{:06d}".format(inst.microsecond)[:digits]
         s += "." + frac
@@ -56,11 +57,10 @@ def model_instant(s):
     t = s.replace("T", " ").rstrip("Z")
     if len(t) == 10:
         t += " 00:00:00"
+    frac = t.split(".")[1] if "." in t else "0"
     return datetime.datetime.strptime(
         t.split(".")[0], "%Y-%m-%d %H:%M:%S").replace(tzinfo=UTC) \
-        + datetime.timedelta(
-            microseconds=int(("{:<06s}".format(t.split(".")[1])
-                              if "." in t else "0")[:6].ljust(6, "0")))
+        + datetime.timedelta(microseconds=int(frac.ljust(6, "0")[:6]))
 
 
 # ---- 1. feature plane, STRING column -------------------------------
@@ -74,6 +74,8 @@ for trial in range(20):
                                 microsecond=0)
         if style != "frac":
             inst = inst.replace(microsecond=0)
+        elif rng.random() < 0.3:
+            inst = inst.replace(microsecond=0)   # zero fraction
         rows.append((i, render(inst, style)))
     sdf = spark.createDataFrame(rows, "id bigint, t string")
     start = rand_instant().replace(
