@@ -1198,25 +1198,46 @@ class KLLQuantile(BaseSingle):
             "_tz", F.expr("CASE WHEN _g = 0 THEN 31 "
                           "ELSE length(bin(_g & -_g)) - 1 END"))
         # pass 1: per-level row counts — a <= groups*32-key map-side
-        # aggregation, the only shuffle of the sketch
-        cnts = rows.groupBy(*grp, "_tz").agg(
-            F.count(F.lit(1)).alias("_cnt"))
-        levels = ctx.spark.range(1).select(
-            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("_l"))
-        atleast = (cnts.join(F.broadcast(levels),
-                             F.col("_tz") >= F.col("_l"))
-                   .groupBy(*grp, "_l")
-                   .agg(F.sum("_cnt").alias("_al")))
-        thr = atleast.groupBy(*grp).agg(
-            F.coalesce(
-                F.min(F.when(F.col("_al") <= k, F.col("_l"))),
-                F.lit(31)).alias("_l0"))
-        nrows = cnts.groupBy(*grp).agg(F.sum("_cnt").alias("n_rows"))
+        # aggregation, the only shuffle of the sketch.  The count table
+        # is BOUNDED (<= groups*32 rows), so it collects driver-side
+        # (the k×dim-model-collect class: BM25 stats, HeavyHitters
+        # sketch) and the threshold/n_rows derivation replays the
+        # former atleast/thr/min SQL integer-exactly in Python —
+        # r15 optimization: the thr/nrows DataFrame subtrees each
+        # re-executed the scan + Mersenne hash chain, so the plan
+        # scanned (and hashed) the source THREE times; now exactly the
+        # two documented passes remain (guide §2.4: remove duplicate
+        # subtree passes; §5: bounded driver work only).
+        cnts = (rows.groupBy(*grp, "_tz")
+                .agg(F.count(F.lit(1)).alias("_cnt")).collect())
+        by_grp = {}
+        for r in cnts:
+            key = r[by] if by else None
+            by_grp.setdefault(key, {})[r["_tz"]] = r["_cnt"]
+        thr_rows = []
+        for key, tzc in by_grp.items():
+            n_rows = sum(tzc.values())
+            max_tz = max(tzc)
+            l0 = 31
+            for lvl in range(0, max_tz + 1):
+                # identical to the former SQL: only levels with at
+                # least one row at-or-above them ever had an _al row,
+                # so levels beyond max_tz never enter the min
+                al = sum(c for tz, c in tzc.items() if tz >= lvl)
+                if al <= k:
+                    l0 = lvl
+                    break
+            thr_rows.append((key, l0, n_rows))
+        import pyspark.sql.types as T
+        fields = ([df.schema[by]] if by else []) + [
+            T.StructField("_l0", T.IntegerType(), False),
+            T.StructField("n_rows", T.LongType(), False)]
+        thr = ctx.spark.createDataFrame(
+            [r if by else r[1:] for r in thr_rows],
+            T.StructType(fields))
         if grp:
-            thr = thr.join(nrows, grp)
             kept = rows.join(F.broadcast(thr), grp)
         else:
-            thr = thr.crossJoin(F.broadcast(nrows))
             kept = rows.crossJoin(F.broadcast(thr))
         kept = kept.filter(F.col("_tz") >= F.col("_l0"))
         # pass 2 output: <= k rows per group; the window is bounded by

@@ -280,43 +280,247 @@ class SieveFilter(BaseSingle):
     def _build(self, ctx):
         _, threshold, connectivity, iterate, max_rounds = self.args
         frame = self.store._build(ctx)
+        # bounded driver short-circuit for BOTH modes (see
+        # DRIVER_CELL_THRESHOLD): one count/NaN probe decides; the
+        # driver mirror is pinned bit-identical to the distributed
+        # plans by the two *_matches_driver pytests
+        base = (frame.select("time", "y", "x", "value")
+                .filter(F.col("value").isNotNull()))
+        stats = base.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.isnan("value").cast("int")).alias("_nan")
+        ).collect()[0]
+        if (stats["_n"] <= SieveFilter.DRIVER_CELL_THRESHOLD
+                and not stats["_nan"]):
+            return self._driver_fixpoint(
+                ctx, base, threshold, connectivity,
+                max_rounds if iterate else 1,
+                uphill=bool(iterate), converge=bool(iterate))
         if not iterate:
             return self._merge_pass(ctx, frame, threshold,
                                     connectivity)
-        # fixpoint: re-label + re-merge until the values stop changing
-        # (with the uphill rule, value-stability == no merges left).
-        # Eager by necessity (the DedupClusters short-circuit
-        # precedent): each round materializes ONCE via localCheckpoint
-        # — convergence is then a cheap join of two MATERIALIZED
-        # frames, not a second execution of the pass (round-10 review
-        # fix) — and the round's internally persisted label frames
-        # unpersist before the next round starts.
+        return self._iterate_fixpoint(ctx, frame, threshold,
+                                      connectivity, max_rounds)
+
+    #: cell count at or below which the iterate fixpoint runs as an
+    #: exact driver-side loop (the DedupClusters STAR_DRIVER_THRESHOLD
+    #: / hydrology driver_threshold precedent): each distributed round
+    #: costs 4 scheduling barriers (label, size, merge, convergence),
+    #: so a tiny raster pays ~seconds of per-job floor for ~1 MB of
+    #: data; anything larger keeps the distributed rounds.  NaN cell
+    #: values force the distributed path (Spark treats NaN = NaN as
+    #: TRUE in joins, Python does not — the driver mirror would
+    #: diverge).
+    DRIVER_CELL_THRESHOLD = 65536
+
+    @classmethod
+    def _driver_fixpoint(cls, ctx, base, threshold, connectivity,
+                         max_rounds, uphill=True, converge=True):
+        """Exact driver-side mirror of the merge pass: same
+        (size, decoded-string-key) tie order, same ``max_rounds``
+        contract — bit-identical to the distributed loop (pinned by
+        test_sieve_iterate_distributed_matches_driver /
+        test_sieve_single_pass_distributed_matches_driver).
+        ``uphill=False, converge=False`` is the one-wave
+        ``iterate=False`` semantics (merge into the largest neighbor's
+        ORIGINAL value, no fixpoint, no exhaustion error)."""
+        rows = base.select("time", F.expr("unix_micros(time)")
+                           .alias("_us"), "y", "x", "value").collect()
+        cells = {}
+        times = {}
+        for r in rows:
+            cells[(r["_us"], r["y"], r["x"])] = r["value"]
+            times[r["_us"]] = r["time"]
+        offs = [(0, 1), (1, 0)]
+        if connectivity == 8:
+            offs += [(1, 1), (1, -1)]
+        both = offs + [(-dy, -dx) for dy, dx in offs]
+        for _ in range(max_rounds):
+            parent = {}
+
+            def find(a):
+                root = a
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(a, a) != a:
+                    parent[a], a = root, parent[a]
+                return root
+
+            for key, v in cells.items():
+                us, y, x = key
+                for dy, dx in offs:
+                    nb = (us, y + dy, x + dx)
+                    if nb in cells and cells[nb] == v:
+                        ra, rb = find(key), find(nb)
+                        if ra != rb:
+                            parent[max(ra, rb)] = min(ra, rb)
+            comp = {key: find(key) for key in cells}
+            size = {}
+            canon = {}
+            for key, c in comp.items():
+                size[c] = size.get(c, 0) + 1
+                if c not in canon or key < canon[c]:
+                    canon[c] = key
+            ck = {c: "{}:{}:{}".format(*canon[c]) for c in canon}
+            best = {}
+            for key, v in cells.items():
+                us, y, x = key
+                c = comp[key]
+                if size[c] >= threshold:
+                    continue
+                for dy, dx in both:
+                    nb = (us, y + dy, x + dx)
+                    if nb not in cells:
+                        continue
+                    cn = comp[nb]
+                    if cn == c:
+                        continue
+                    # uphill rule (iterate mode only): a strictly
+                    # dominating neighbor absorbs
+                    if uphill and not (size[cn] > size[c]
+                                       or (size[cn] == size[c]
+                                           and ck[cn] < ck[c])):
+                        continue
+                    cand = ((-size[cn], ck[cn]), cells[nb])
+                    if c not in best or cand[0] < best[c][0]:
+                        best[c] = cand
+            if not best:
+                break
+            for key in cells:
+                w = best.get(comp[key])
+                if w is not None:
+                    cells[key] = w[1]
+            if not converge:
+                break
+        else:
+            if converge:
+                raise ValueError(
+                    "SieveFilter(iterate=True): did not converge in "
+                    "{} rounds — raise max_rounds (the loop is "
+                    "bounded by the region-graph diameter)"
+                    .format(max_rounds))
+        out = [(times[us], y, x, v)
+               for (us, y, x), v in sorted(cells.items())]
+        return ctx.spark.createDataFrame(out, base.schema)
+
+    @staticmethod
+    def _iterate_fixpoint(ctx, frame, threshold, connectivity,
+                          max_rounds):
+        """Fixpoint merge loop — r15 optimization (guide §2.4: remove
+        repeated passes): the cell SET and its coordinate adjacency
+        never change across merge rounds (only ``value`` does), so the
+        packed-key node table and the adjacent-cell pair table build
+        ONCE, outside the loop; each round then re-derives same-value
+        component edges / sizes / the uphill merge winner from the
+        static pair table and the current values alone.  The previous
+        shape re-packed the coordinates, re-joined the neighbor
+        offsets and re-decoded every label string EVERY round — ~40
+        Spark jobs per round at the bench SF; this shape runs ~10.
+
+        Semantics are bit-identical to iterating ``_merge_pass``
+        (uphill rule, largest-neighbor/smallest-string-key tie order —
+        the tie comparator still uses the DECODED component string
+        key, packed ids order differently) — convergence ==
+        no merge candidate left, same ``max_rounds`` contract."""
         from dask_geomodeling_spark.config import strip_plan_stats
+        from dask_geomodeling_spark.pipeline.dedup import DedupClusters
+
+        nodes, tindex = packed_cells(ctx, frame, "SieveFilter")
+        offsets = [(0, 1), (1, 0)]
+        if connectivity == 8:
+            offsets += [(1, 1), (1, -1)]
+        b = nodes.select(F.col("time").alias("_tb"),
+                         F.col("y").alias("_yb"),
+                         F.col("x").alias("_xb"),
+                         F.col("_id").alias("_idb"))
+        und = None
+        for dy, dx in offsets:
+            e = (nodes.join(
+                b,
+                (F.col("time") == F.col("_tb"))
+                & (F.col("_yb") == F.col("y") + dy)
+                & (F.col("_xb") == F.col("x") + dx))
+                .select(F.col("_id").alias("_ida"), "_idb"))
+            und = e if und is None else und.unionByName(e)
+        und = und.persist()
+        # both directions of the undirected pair table: a small
+        # region's member cell may sit at either end
+        undb = und.unionByName(
+            und.select(F.col("_idb").alias("_ida"),
+                       F.col("_ida").alias("_idb")))
+        # static decode metadata — ONE driver row, baked as literals
+        # (a per-round broadcast would re-execute every consumer)
+        mrow = nodes.select("_ymin", "_xmin", "_dy", "_dx") \
+                    .limit(1).collect()
+        if not mrow:
+            return frame.select("time", "y", "x", "value") \
+                        .filter(F.col("value").isNotNull())
+        meta_lits = {k: F.lit(mrow[0][k]).cast("bigint")
+                     for k in ("_ymin", "_xmin", "_dy", "_dx")}
         cur = strip_plan_stats(
-            frame.select("time", "y", "x", "value")
-            .filter(F.col("value").isNotNull())
+            nodes.select("time", "y", "x", "_id", "value")
             .localCheckpoint())
         for _ in range(max_rounds):
-            scratch = []
-            nxt = strip_plan_stats(self._merge_pass(
-                ctx, cur, threshold, connectivity, uphill=True,
-                scratch=scratch).localCheckpoint())
-            changed = (nxt.join(
-                cur.select("time", "y", "x",
-                           F.col("value").alias("_ov")),
-                ["time", "y", "x"])
-                .filter(F.col("value") != F.col("_ov"))
-                .limit(1).count())
-            for df in scratch:
-                df.unpersist()
-            try:
-                # free the previous round's checkpoint blocks (the
-                # hydrology _rank_doubling lesson: retained raster-
-                # sized checkpoints accumulate across rounds)
-                cur._jdf.rdd().unpersist(False)
-            except Exception:
-                pass
-            cur = nxt
+            va = cur.select(F.col("_id").alias("_ida"),
+                            F.col("value").alias("_va"))
+            vb = cur.select(F.col("_id").alias("_idb"),
+                            F.col("value").alias("_vb"))
+            adj = und.join(va, "_ida").join(vb, "_idb")
+            edges = (adj.filter(F.col("_va") == F.col("_vb"))
+                     .select(F.least("_ida", "_idb").alias("_lo"),
+                             F.greatest("_ida", "_idb").alias("_hi")))
+            labels = DedupClusters._star_labels(edges, 20)
+            lab = (cur.select("_id", "value")
+                   .join(labels, "_id", "left")
+                   .withColumn("_l", F.coalesce("_lbl", "_id"))
+                   .select("_id", "value", "_l"))
+            sizes = (lab.groupBy("_l")
+                     .agg(F.count(F.lit(1)).cast("bigint")
+                          .alias("_sz")))
+            for k, v in meta_lits.items():
+                sizes = sizes.withColumn(k, v)
+            sizes = decode_labels(sizes, tindex, ["_l", "_sz"], "_ck")
+            # ONE materialization per round of the (cell, label, size,
+            # string-key) table — ca/cb/nxt below all read this
+            # checkpoint instead of re-executing the label join
+            labj = strip_plan_stats(
+                lab.join(sizes, "_l").localCheckpoint())
+            ca = labj.select(F.col("_id").alias("_ida"),
+                             F.col("_l").alias("_la"),
+                             F.col("_sz").alias("_sza"),
+                             F.col("_ck").alias("_cka"))
+            cb = labj.select(F.col("_id").alias("_idb"),
+                             F.col("_l").alias("_lb"),
+                             F.col("_sz").alias("_szb"),
+                             F.col("_ck").alias("_ckb"),
+                             F.col("value").alias("_nv"))
+            touch = (undb.join(ca, "_ida").join(cb, "_idb")
+                     .filter(F.col("_la") != F.col("_lb"))
+                     .filter(F.col("_sza") < threshold)
+                     # uphill rule (identical to _merge_pass): only a
+                     # strictly dominating neighbor absorbs
+                     .filter((F.col("_szb") > F.col("_sza"))
+                             | ((F.col("_szb") == F.col("_sza"))
+                                & (F.col("_ckb") < F.col("_cka")))))
+            rep = (touch.groupBy(F.col("_la").alias("_l"))
+                   .agg(F.expr("min_by(struct(_nv AS value), "
+                               "struct(-_szb, _ckb))").alias("_w"))
+                   .select("_l", F.col("_w.value").alias("_newv")))
+            nxt = strip_plan_stats(
+                cur.drop("value")
+                .join(labj.select("_id", "value", "_l"), "_id")
+                .join(rep, "_l", "left")
+                .select("time", "y", "x", "_id",
+                        F.coalesce("_newv", "value").alias("value"),
+                        F.col("_newv").isNotNull().alias("_chg"))
+                .localCheckpoint())
+            changed = nxt.filter("_chg").limit(1).count()
+            for old in (cur, labj):
+                try:
+                    old._jdf.rdd().unpersist(False)
+                except Exception:
+                    pass
+            cur = nxt.drop("_chg")
             if changed == 0:
                 break
         else:
@@ -329,4 +533,6 @@ class SieveFilter(BaseSingle):
                 "SieveFilter(iterate=True): did not converge in {} "
                 "rounds — raise max_rounds (the loop is bounded by "
                 "the region-graph diameter)".format(max_rounds))
-        return cur
+        und.unpersist()
+        nodes.unpersist()
+        return cur.select("time", "y", "x", "value")

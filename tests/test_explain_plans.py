@@ -857,17 +857,20 @@ def test_geojsonseq_scan_is_line_splittable(spark):
     assert df.count() == 50
 
 
-def test_sieve_filter_scatters_small_side(spark):
+def test_sieve_filter_scatters_small_side(spark, monkeypatch):
     """Round 10 (verdict #3): SieveFilter's neighbor scatter explodes
     the SMALL-region frame, not the full cell table — the plan's only
     cross join (the broadcast offsets explode) must sit ABOVE the
     ``_sz < threshold`` filter, so the exploded side is the despeckle
-    set and the big frame shuffles exactly once on (time, y, x)."""
+    set and the big frame shuffles exactly once on (time, y, x).
+    (r15: the bounded driver short-circuit is disabled here so the
+    DISTRIBUTED plan — the at-scale path — is what gets pinned.)"""
     import datetime
 
     from dask_geomodeling_spark.raster.components import SieveFilter
     from dask_geomodeling_spark.raster.sources import (
         DataFrameRasterSource)
+    monkeypatch.setattr(SieveFilter, "DRIVER_CELL_THRESHOLD", -1)
     t = datetime.datetime(2024, 1, 1)
     cells = ([(t, 0, xx, 0.0) for xx in range(6)]
              + [(t, 1, 2, 5.0), (t, 1, 3, 5.0)]

@@ -1898,6 +1898,68 @@ def test_sieve_filter_iterate_mutual_small_pair(spark):
     assert len(got) == 4 and set(got.values()) == {1.0}, got
 
 
+def test_sieve_iterate_distributed_matches_driver(spark, monkeypatch):
+    """r15 optimization pin: the iterate fixpoint's driver
+    short-circuit (DRIVER_CELL_THRESHOLD) and the distributed
+    round loop are the SAME algorithm — bit-identical values on a
+    fixture with a speck cascade, an equal-size tie pair, and two
+    time slices."""
+    import datetime
+
+    from dask_geomodeling_spark.raster.components import SieveFilter
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 1, 2)
+    cells = (
+        # t0: chain 1-cell(7) -> 3-cell(8) -> background 0
+        [(t0, 0, 0, 7.0), (t0, 0, 1, 8.0), (t0, 1, 0, 8.0),
+         (t0, 1, 1, 8.0)]
+        + [(t0, y, x, 0.0) for y in range(5) for x in range(5)
+           if not (y <= 1 and x <= 1)]
+        # t1: mutual small pair (uphill tie toward smaller key)
+        + [(t1, 0, 0, 1.0), (t1, 0, 1, 1.0),
+           (t1, 0, 2, 2.0), (t1, 0, 3, 2.0)])
+    df = spark.createDataFrame(
+        cells, "time timestamp, y bigint, x bigint, value double")
+    blk = SieveFilter(DataFrameRasterSource(df), threshold=4,
+                      iterate=True, max_rounds=8)
+    drv = {(r["time"], r["y"], r["x"]): r["value"]
+           for r in blk.plan(spark).collect()}
+    monkeypatch.setattr(SieveFilter, "DRIVER_CELL_THRESHOLD", -1)
+    dist = {(r["time"], r["y"], r["x"]): r["value"]
+            for r in blk.plan(spark).collect()}
+    assert drv == dist
+
+
+def test_sieve_single_pass_distributed_matches_driver(spark,
+                                                      monkeypatch):
+    """r15 optimization pin: the one-wave ``iterate=False`` driver
+    short-circuit (uphill OFF, merges take the neighbor's ORIGINAL
+    value) matches the distributed ``_merge_pass`` bit-identically —
+    including the speck-into-small-neighbor case."""
+    import datetime
+
+    from dask_geomodeling_spark.raster.components import SieveFilter
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    t = datetime.datetime(2024, 1, 1)
+    cells = [(t, 0, 0, 1.0), (t, 0, 1, 2.0), (t, 0, 2, 2.0),
+             (t, 0, 3, 3.0), (t, 0, 4, 3.0), (t, 0, 5, 3.0),
+             (t, 0, 6, 3.0),
+             (t, 2, 0, 4.0), (t, 2, 1, 4.0),
+             (t, 2, 2, 5.0), (t, 2, 3, 5.0)]
+    df = spark.createDataFrame(
+        cells, "time timestamp, y bigint, x bigint, value double")
+    blk = SieveFilter(DataFrameRasterSource(df), threshold=4)
+    drv = {(r["time"], r["y"], r["x"]): r["value"]
+           for r in blk.plan(spark).collect()}
+    monkeypatch.setattr(SieveFilter, "DRIVER_CELL_THRESHOLD", -1)
+    dist = {(r["time"], r["y"], r["x"]): r["value"]
+            for r in blk.plan(spark).collect()}
+    assert drv == dist
+
+
 def test_watershed_even_cycle_fails_fast(spark):
     """Round-10 review fix: lab <- lab[lab] on a 2-cycle reaches a
     period-2 orbit that LOOKS converged — the post-convergence root
