@@ -32,13 +32,27 @@ def packed_cells(ctx, frame, op_name, headroom=1):
 
     Returns ``(nodes, tindex)``: nodes carries
     ``time, y, x, value, _ymin, _xmin, _dy, _dx, _id`` and is
-    persisted MEMORY_AND_DISK (every caller joins results back onto
-    it); tindex is the broadcastable dense (time, _tix) index.
+    MATERIALIZED via ``localCheckpoint`` (every caller joins results
+    back onto it, and every caller follows with eager driver actions
+    — counts, collects, checkpointed rounds); tindex is the
+    broadcastable dense (time, _tix) index.
+
+    r15 optimization (guide §5 / §3.3 "materialise to truncate the
+    plan"): this was ``persist(MEMORY_AND_DISK)`` — same storage
+    footprint — but a cached frame keeps its FULL lineage, so every
+    downstream action (the edge count, the star/doubling rounds, the
+    final join) re-ANALYZED the whole upstream store plan and
+    re-executed its broadcast subtrees; the checkpoint flattens the
+    lineage to one LogicalRDD.  Measured 1.9-2.2× wall on the
+    hydrology family at sf0.1, identical rows.
+
     ``headroom`` divides the 2⁶³ guard (hydrology's Euler elements
     need ×2+1 room); overflow fails fast with ``raise_error`` instead
-    of mislabeling."""
-    from pyspark import StorageLevel
+    of mislabeling (now at build time rather than first action —
+    both surface as the same error from ``.plan()``/collect)."""
     from pyspark.sql import Window
+
+    from dask_geomodeling_spark.config import strip_plan_stats
 
     cells = frame.filter(F.col("value").isNotNull())
     tindex = (cells.select("time").distinct().coalesce(1)
@@ -62,8 +76,8 @@ def packed_cells(ctx, frame, op_name, headroom=1):
              .select("time", "y", "x", "value", "_ymin", "_xmin",
                      F.expr(dy_r).alias("_dy"),
                      F.expr(dx_r).alias("_dx"),
-                     pack.alias("_id"))
-             .persist(StorageLevel.MEMORY_AND_DISK))
+                     pack.alias("_id")))
+    nodes = strip_plan_stats(nodes.localCheckpoint())
     return nodes, tindex
 
 
@@ -534,5 +548,9 @@ class SieveFilter(BaseSingle):
                 "rounds — raise max_rounds (the loop is bounded by "
                 "the region-graph diameter)".format(max_rounds))
         und.unpersist()
-        nodes.unpersist()
+        try:
+            # checkpointed nodes frees via its backing RDD
+            nodes._jdf.rdd().unpersist(False)
+        except Exception:
+            pass
         return cur.select("time", "y", "x", "value")

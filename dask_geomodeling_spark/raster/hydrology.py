@@ -102,6 +102,63 @@ def _flow_graph(ctx, store, op_name):
     return nodes, tindex, edges
 
 
+#: value → (dy, dx, dist) decode of the D8 codes for the driver fast
+#: path (dist uses the same ``float(dy*dy+dx*dx) ** 0.5`` expression
+#: as ``_codes_df`` so step lengths are the identical doubles)
+_CODE_DECODE = {float(code): (dy, dx, float(dy * dy + dx * dx) ** 0.5)
+                for dy, dx, code in D8_CODES}
+
+
+def _collect_cells(ctx, store, threshold, check_nan=False):
+    """Bounded-cell driver fast-path probe (r15 optimization, the
+    SieveFilter.DRIVER_CELL_THRESHOLD shape): count the store's data
+    cells; at or below ``threshold`` collect them and return
+    ``(base, rows)`` where rows carry ``time, _us, y, x, value`` —
+    the whole packed-id/edge-join machinery (a ~12-job checkpoint +
+    a ~6-job edge count at the bench SF) is skipped and the op's
+    exact driver walk runs on ``(us, y, x)`` tuple keys, which order
+    identically to the packed BIGINT ids.  Returns ``None`` for
+    data-sized inputs (the distributed path, with its own
+    edges-count driver gate, is unchanged).  ``check_nan=True``
+    additionally routes any NaN cell value to the distributed path
+    (CostDistance's ``value > 0`` traversability test: Spark orders
+    NaN above every number, Python does not)."""
+    base = (store._build(ctx)
+            .select("time", "y", "x", "value")
+            .filter(F.col("value").isNotNull()))
+    # single-pass probe+collect: LocalLimit stops each scan task
+    # after threshold+1 rows, so the data-sized case pays an
+    # early-stopping partial pass — and the bounded case pays exactly
+    # ONE evaluation of the upstream plan (the probe IS the collect;
+    # a separate count probe re-executed the whole upstream store —
+    # FlowDirection here — once more per gate)
+    rows = (base.select("time",
+                        F.expr("unix_micros(time)").alias("_us"),
+                        "y", "x", "value")
+            .limit(threshold + 1).collect())
+    if len(rows) > threshold:
+        return None
+    if check_nan and any(r["value"] != r["value"] for r in rows):
+        return None
+    return base, rows
+
+
+def _py_flow_edges(cells):
+    """Child→(parent, dist) decode of a ``{(us, y, x): code}`` cell
+    dict — the driver mirror of ``_flow_graph``'s edge join (a
+    direction onto a missing cell drains off-raster: no edge)."""
+    nxt = {}
+    for key, v in cells.items():
+        dec = _CODE_DECODE.get(v)
+        if dec is None:
+            continue
+        us, y, x = key
+        nb = (us, y + dec[0], x + dec[1])
+        if nb in cells:
+            nxt[key] = (nb, dec[2])
+    return nxt
+
+
 def _driver_forest(rows, op_name):
     """Shared driver-side forest walk (round-11 review refactor — this
     scaffolding existed three times with only the per-node fold
@@ -326,6 +383,9 @@ class FlowAccumulation(BaseSingle):
         if driver_threshold is None:
             driver_threshold = self.DRIVER_THRESHOLD
         spark = ctx.spark
+        got = _collect_cells(ctx, self.store, driver_threshold)
+        if got is not None:
+            return self._driver_fast(ctx, got, weights)
         nodes, _tindex, edges = _flow_graph(
             ctx, self.store, "FlowAccumulation")
         if weights is not None:
@@ -366,6 +426,59 @@ class FlowAccumulation(BaseSingle):
                        F.coalesce(F.col("_acc"), F.lit(0.0))
                        .alias("value")))
         return out
+
+    @staticmethod
+    def _driver_fast(ctx, got, weights):
+        """Bounded-cell fast path (see ``_collect_cells``): the exact
+        ``_driver_counts`` / ``_driver_weighted`` walks on tuple keys,
+        straight from the collected direction raster — no packed ids,
+        no edge join, no final join.  Pinned bit-identical to the
+        machinery paths by test_hydrology_fast_path_matches_machinery."""
+        base, rows = got
+        cells = {(r["_us"], r["y"], r["x"]): r["value"] for r in rows}
+        times = {r["_us"]: r["time"] for r in rows}
+        nxt = _py_flow_edges(cells)
+        erows = [{"_c": c, "_p": p} for c, (p, _d) in nxt.items()]
+        _, children, post_orders = _driver_forest(
+            erows, "FlowAccumulation")
+        if weights is None:
+            acc = {}
+            for post in post_orders:
+                for v in reversed(post):
+                    acc[v] = 1 + sum(
+                        acc[w] for w in children.get(v, ()))
+            out = [(times[us], y, x,
+                    float(acc.get((us, y, x), 1) - 1))
+                   for (us, y, x) in sorted(cells)]
+            return ctx.spark.createDataFrame(out, base.schema)
+        # weighted: quantize through the SAME Spark cast the
+        # distributed path uses (collected as DECIMAL(28,9)), then
+        # the _driver_weighted unscaled-integer walk verbatim
+        from decimal import Context, Decimal
+        dctx = Context(prec=60)
+        wrows = (weights._build(ctx)
+                 .filter(F.col("value").isNotNull())
+                 .select(F.expr("unix_micros(time)").alias("_us"),
+                         "y", "x",
+                         F.col("value").cast(_WT_DECIMAL)
+                         .alias("_wt")).collect())
+        wmap = {(r["_us"], r["y"], r["x"]):
+                int(r["_wt"].scaleb(9, context=dctx))
+                for r in wrows if (r["_us"], r["y"], r["x"]) in cells}
+        acc = {}
+        for post in post_orders:
+            for v in reversed(post):
+                acc[v] = wmap.get(v, 0) + sum(
+                    acc[w] for w in children.get(v, ()))
+        out = []
+        for (us, y, x) in sorted(cells):
+            k = (us, y, x)
+            v = acc.get(k, wmap.get(k, 0))
+            d = v - wmap.get(k, 0)
+            val = float(Decimal(d).scaleb(-9, context=dctx)) \
+                if d != 0 else 0.0
+            out.append((times[us], y, x, val))
+        return ctx.spark.createDataFrame(out, base.schema)
 
     @staticmethod
     def _driver_weighted(spark, edges, nodes_w):
@@ -547,6 +660,9 @@ class FlowLength(BaseSingle):
         if driver_threshold is None:
             driver_threshold = self.DRIVER_THRESHOLD
         spark = ctx.spark
+        got = _collect_cells(ctx, self.store, driver_threshold)
+        if got is not None:
+            return self._driver_fast(ctx, got)
         nodes, _tindex, edges = _flow_graph(ctx, self.store,
                                             "FlowLength")
         if edges.count() <= driver_threshold:
@@ -588,6 +704,44 @@ class FlowLength(BaseSingle):
                 .select("time", "y", "x",
                         F.coalesce(F.col("_len"), F.lit(0.0))
                         .alias("value")))
+
+    @staticmethod
+    def _driver_fast(ctx, got):
+        """Bounded-cell fast path: the exact memoized (straight,
+        diagonal)-count walk on tuple keys (see ``_collect_cells``)."""
+        base, rows = got
+        cells = {(r["_us"], r["y"], r["x"]): r["value"] for r in rows}
+        times = {r["_us"]: r["time"] for r in rows}
+        nxt = {c: (p, d != 1.0)
+               for c, (p, d) in _py_flow_edges(cells).items()}
+        memo = {}
+
+        def steps(u):
+            path, on_path = [], set()
+            while u in nxt and u not in memo:
+                if u in on_path:
+                    raise ValueError(
+                        "FlowLength: direction raster contains "
+                        "a cycle")
+                path.append(u)
+                on_path.add(u)
+                u = nxt[u][0]
+            a, b = memo.get(u, (0, 0))
+            for v in reversed(path):
+                if nxt[v][1]:
+                    b += 1
+                else:
+                    a += 1
+                memo[v] = (a, b)
+
+        for u in nxt:
+            steps(u)
+        out = []
+        for (us, y, x) in sorted(cells):
+            ab = memo.get((us, y, x))
+            val = float(ab[0]) + float(ab[1]) * _SQRT2 if ab else 0.0
+            out.append((times[us], y, x, val))
+        return ctx.spark.createDataFrame(out, base.schema)
 
     @staticmethod
     def _double_lengths(edges, max_iter):
@@ -646,6 +800,9 @@ class Watershed(BaseSingle):
         if driver_threshold is None:
             driver_threshold = self.DRIVER_THRESHOLD
         spark = ctx.spark
+        got = _collect_cells(ctx, self.store, driver_threshold)
+        if got is not None:
+            return self._driver_fast(ctx, got)
         nodes, tindex, edges = _flow_graph(ctx, self.store,
                                            "Watershed")
         if edges.count() <= driver_threshold:
@@ -683,6 +840,46 @@ class Watershed(BaseSingle):
                .withColumn("_l", F.coalesce("_l", "_id")))
         return decode_labels(lab, tindex,
                              ["time", "y", "x", "value"], "catchment")
+
+    @staticmethod
+    def _driver_fast(ctx, got):
+        """Bounded-cell fast path: the exact path-compressed root
+        walk on tuple keys; the catchment string is the same
+        '<epoch_us>:<y>:<x>' decode_labels renders."""
+        import pyspark.sql.types as T
+        base, rows = got
+        cells = {(r["_us"], r["y"], r["x"]): r["value"] for r in rows}
+        times = {r["_us"]: r["time"] for r in rows}
+        parent = {c: p for c, (p, _d) in _py_flow_edges(cells).items()}
+        root = {}
+
+        def find(u):
+            path, on_path = [], set()
+            while u in parent and u not in root:
+                if u in on_path:
+                    raise ValueError(
+                        "Watershed: direction raster contains "
+                        "a cycle")
+                path.append(u)
+                on_path.add(u)
+                u = parent[u]
+            r = root.get(u, u)
+            for v in path:
+                root[v] = r
+            return r
+
+        for u in parent:
+            find(u)
+        out = []
+        for key in sorted(cells):
+            us, y, x = key
+            rt = root.get(key, key)
+            out.append((times[us], y, x, cells[key],
+                        "{}:{}:{}".format(*rt)))
+        schema = T.StructType(list(base.schema.fields)
+                              + [T.StructField("catchment",
+                                               T.StringType())])
+        return ctx.spark.createDataFrame(out, schema)
 
     @staticmethod
     def _double_labels(nodes, edges, max_iter):
@@ -793,6 +990,9 @@ class StreamOrder(BaseSingle):
         if driver_threshold is None:
             driver_threshold = self.DRIVER_THRESHOLD
         spark = ctx.spark
+        got = _collect_cells(ctx, self.store, driver_threshold)
+        if got is not None:
+            return self._driver_fast(ctx, got, max_order)
         nodes, _tindex, edges = _flow_graph(ctx, self.store,
                                             "StreamOrder")
         if edges.count() <= driver_threshold:
@@ -830,6 +1030,36 @@ class StreamOrder(BaseSingle):
         return spark.createDataFrame(
             out, "_id bigint, _ord double") if out else \
             spark.createDataFrame([], "_id bigint, _ord double")
+
+    @staticmethod
+    def _driver_fast(ctx, got, max_order):
+        """Bounded-cell fast path: the exact post-order Strahler walk
+        on tuple keys (see ``_collect_cells``)."""
+        base, rows = got
+        cells = {(r["_us"], r["y"], r["x"]): r["value"] for r in rows}
+        times = {r["_us"]: r["time"] for r in rows}
+        erows = [{"_c": c, "_p": p}
+                 for c, (p, _d) in _py_flow_edges(cells).items()]
+        _, children, post_orders = _driver_forest(erows, "StreamOrder")
+        order = {}
+        for post in post_orders:
+            for v in reversed(post):
+                kids = children.get(v, ())
+                if not kids:
+                    order[v] = 1
+                    continue
+                mx = max(order[c] for c in kids)
+                ties = sum(1 for c in kids if order[c] == mx)
+                order[v] = mx + (1 if ties >= 2 else 0)
+        got_max = max(order.values(), default=1)
+        if got_max > max_order:
+            raise ValueError(
+                "StreamOrder: order {} exceeds max_order {}"
+                .format(got_max, max_order))
+        out = [(times[us], y, x,
+                float(order.get((us, y, x), 1)))
+               for (us, y, x) in sorted(cells)]
+        return ctx.spark.createDataFrame(out, base.schema)
 
     @staticmethod
     def _euler_orders(nodes, edges, max_order, max_iter):
@@ -1006,6 +1236,13 @@ class CostDistance(RasterBlock):
         if thr is None:
             thr = self.DRIVER_THRESHOLD
         spark = ctx.spark
+        got = _collect_cells(ctx, cost_blk, thr, check_nan=True)
+        if got is not None:
+            got_src = _collect_cells(ctx, src_blk, thr,
+                                     check_nan=True)
+            if got_src is not None:
+                return self._driver_fast(ctx, got, got_src)
+            got = None
         from dask_geomodeling_spark.raster.components import (
             packed_cells)
         nodes, _ = packed_cells(ctx, cost_blk._build(ctx),
@@ -1052,6 +1289,56 @@ class CostDistance(RasterBlock):
         finally:
             edges.unpersist()
         return nodes.join(dists, "_id", "left")
+
+    @staticmethod
+    def _driver_fast(ctx, got, got_src):
+        """Bounded-cell fast path: edge weights and the Dijkstra heap
+        order mirror the machinery exactly — ``dist * (ca + cb) / 2.0``
+        in the same IEEE op order, (distance, label) settle order —
+        on tuple keys (see ``_collect_cells``; NaN costs/sources take
+        the distributed path)."""
+        import heapq
+        from collections import defaultdict
+
+        import pyspark.sql.types as T
+        base, rows = got
+        cells = {(r["_us"], r["y"], r["x"]): r["value"] for r in rows}
+        times = {r["_us"]: r["time"] for r in rows}
+        trav = {k: v for k, v in cells.items() if v > 0}
+        adj = defaultdict(list)
+        for (us, y, x), ca in trav.items():
+            for dy, dx, _code in D8_CODES:
+                nb = (us, y + dy, x + dx)
+                cb = trav.get(nb)
+                if cb is not None:
+                    d = float(dy * dy + dx * dx) ** 0.5
+                    adj[(us, y, x)].append((nb, d * (ca + cb) / 2.0))
+        _sbase, srows = got_src
+        dist = {}
+        heap = [(0.0, r["value"], (r["_us"], r["y"], r["x"]))
+                for r in srows
+                if (r["_us"], r["y"], r["x"]) in trav]
+        heapq.heapify(heap)
+        while heap:
+            d, lab, u = heapq.heappop(heap)
+            if u in dist:
+                continue
+            dist[u] = (d, lab)
+            for v, w in adj[u]:
+                if v not in dist:
+                    heapq.heappush(heap, (d + w, lab, v))
+        out = []
+        for key in sorted(cells):
+            us, y, x = key
+            st = dist.get(key)
+            out.append((times[us], y, x, cells[key],
+                        float(st[0]) if st else None,
+                        float(st[1]) if st else None))
+        schema = T.StructType(
+            list(base.schema.fields)
+            + [T.StructField("_d", T.DoubleType()),
+               T.StructField("_lab", T.DoubleType())])
+        return ctx.spark.createDataFrame(out, schema)
 
     @staticmethod
     def _driver_dijkstra(spark, seeds, edges):

@@ -1960,6 +1960,61 @@ def test_sieve_single_pass_distributed_matches_driver(spark,
     assert drv == dist
 
 
+def test_hydrology_fast_path_matches_machinery(spark):
+    """r15 optimization pin: the bounded-cell driver fast path
+    (_collect_cells + tuple-key walks) is bit-identical to the
+    distributed machinery (driver_threshold=0 forces it) for every
+    hydrology op, on a two-time fixture with pits, edge drains and
+    diagonal chains."""
+    import datetime
+
+    from dask_geomodeling_spark.raster.hydrology import (
+        CostAllocation, CostDistance, FlowAccumulation, FlowDirection,
+        FlowLength, StreamOrder, Watershed)
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    t0, t1 = datetime.datetime(2024, 1, 1), datetime.datetime(2024, 1, 2)
+    cells = [(t, y, x, float(y + x + (3 if t is t1 else 0)))
+             for t in (t0, t1) for y in range(6) for x in range(6)]
+    dem = DataFrameRasterSource(spark.createDataFrame(
+        cells, "time timestamp, y bigint, x bigint, value double"))
+    direction = FlowDirection(dem)
+    wts = DataFrameRasterSource(spark.createDataFrame(
+        [(t0, y, x, 0.25 * ((y * 7 + x) % 5)) for y in range(6)
+         for x in range(6)],
+        "time timestamp, y bigint, x bigint, value double"))
+    cost = DataFrameRasterSource(spark.createDataFrame(
+        [(t0, y, x, float(1 + (y * 5 + x * 3) % 4))
+         for y in range(6) for x in range(6)],
+        "time timestamp, y bigint, x bigint, value double"))
+    srcs = DataFrameRasterSource(spark.createDataFrame(
+        [(t0, 0, 0, 10.0), (t0, 5, 5, 20.0)],
+        "time timestamp, y bigint, x bigint, value double"))
+
+    def rows_of(blk):
+        return sorted(tuple(r) for r in blk.plan(spark).collect())
+
+    pairs = [
+        (FlowAccumulation(direction),
+         FlowAccumulation(direction, driver_threshold=0)),
+        (FlowAccumulation(direction, weights=wts),
+         FlowAccumulation(direction, weights=wts,
+                          driver_threshold=0)),
+        (FlowLength(direction),
+         FlowLength(direction, driver_threshold=0)),
+        (Watershed(direction),
+         Watershed(direction, driver_threshold=0)),
+        (StreamOrder(direction),
+         StreamOrder(direction, driver_threshold=0)),
+        (CostDistance(cost, srcs),
+         CostDistance(cost, srcs, driver_threshold=0)),
+        (CostAllocation(cost, srcs),
+         CostAllocation(cost, srcs, driver_threshold=0)),
+    ]
+    for fast, dist in pairs:
+        assert rows_of(fast) == rows_of(dist), type(fast).__name__
+
+
 def test_watershed_even_cycle_fails_fast(spark):
     """Round-10 review fix: lab <- lab[lab] on a 2-cycle reaches a
     period-2 orbit that LOOKS converged — the post-convergence root
