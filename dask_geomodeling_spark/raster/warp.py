@@ -402,29 +402,42 @@ class Warp(BaseSingle):
 
     @staticmethod
     def _corner_agg(joined, n, guard=False):
+        # SQL-text expressions instead of nested Column objects (r15
+        # optimization, guide §1.2 "per-task work" applied to the
+        # DRIVER: the 16-tap cubic build made ~4.5k py4j roundtrips
+        # constructing 32 pivot Columns + the fold chains — ~1.0s of
+        # plan-build wall at the bench; the text form is ~50 calls
+        # for the identical analyzed expressions: same CASE WHEN
+        # pivots, same left-fold double sums in the same IEEE order).
         pivots = []
         for k in range(n):
-            pivots.append(F.max(F.when(F.col("_k") == k,
-                                       F.col("value").cast("double")))
-                          .alias("_v{}".format(k)))
-            pivots.append(F.max(F.when(F.col("_k") == k, F.col("_w")))
-                          .alias("_w{}".format(k)))
+            pivots.append(F.expr(
+                "max(CASE WHEN _k = {k} THEN CAST(value AS DOUBLE) "
+                "END)".format(k=k)).alias("_v{}".format(k)))
+            pivots.append(F.expr(
+                "max(CASE WHEN _k = {k} THEN _w END)".format(k=k))
+                .alias("_w{}".format(k)))
         agg = joined.groupBy("time", "_j", "_i").agg(*pivots)
-        num = F.lit(0.0)
-        den = F.lit(0.0)
+        num = "CAST(0.0 AS DOUBLE)"
+        den = "CAST(0.0 AS DOUBLE)"
         for k in range(n):
-            vk, wk = F.col("_v{}".format(k)), F.col("_w{}".format(k))
-            num = num + F.coalesce(wk * vk, F.lit(0.0))
-            den = den + F.coalesce(
-                F.when(vk.isNotNull(), wk), F.lit(0.0))
+            num = ("({num} + coalesce((_w{k} * _v{k}), "
+                   "CAST(0.0 AS DOUBLE)))".format(num=num, k=k))
+            den = ("({den} + coalesce(CASE WHEN _v{k} IS NOT NULL "
+                   "THEN _w{k} END, CAST(0.0 AS DOUBLE)))"
+                   .format(den=den, k=k))
         # bilinear weights are non-negative (den > 0 iff any corner
         # present, the original filter); the cubic kernel has negative
         # lobes, so a nearly-all-missing window could renormalize
         # explosively — guard=True uses |den| > 1e-6 instead.  Either
         # way both engines evaluate the identical sum, so the
         # identical cutoff keeps them in lockstep.
-        keep = F.abs(den) > 1e-6 if guard else den > 0
-        return (agg.where(keep)
+        keep = ("abs({den}) > CAST(1e-6 AS DOUBLE)".format(den=den)
+                if guard else
+                "{den} > CAST(0.0 AS DOUBLE)".format(den=den))
+        return (agg.where(F.expr(keep))
                 .select("time", F.col("_j").alias("y"),
                         F.col("_i").alias("x"),
-                        (num / den).alias("value")))
+                        F.expr("({num} / {den})".format(num=num,
+                                                        den=den))
+                        .alias("value")))

@@ -42,11 +42,14 @@ def _jobs_between(fn):
 
 
 def t(name, n=2, sf_dir=None):
-    """min-of-n noop-sink seconds + job count of one bench run."""
+    """min-of-n build+noop seconds (bench.py's exact timed span) +
+    job count."""
     best, jobs = None, None
     for _ in range(n):
-        df = demos.QUERIES[name](spark, sf_dir or SF_DIR)
-        _, dt, j = _jobs_between(lambda: _run_noop(df))
+        def run():
+            df = demos.QUERIES[name](spark, sf_dir or SF_DIR)
+            _run_noop(df)
+        _, dt, j = _jobs_between(run)
         if best is None or dt < best:
             best, jobs = dt, j
     print("{:30s} {:6.3f}s  jobs={}".format(name, best, jobs))
