@@ -483,8 +483,10 @@ class ClusterDBSCAN(GeometryBlock):
     long-lived sessions.
     """
 
+    DRIVER_THRESHOLD = 20000
+
     def __init__(self, source, eps, min_points, id_column=None,
-                 max_iter=20):
+                 max_iter=20, driver_threshold=None):
         if not isinstance(source, GeometryBlock):
             raise TypeError("source must be a GeometryBlock")
         e = float(eps)
@@ -500,7 +502,9 @@ class ClusterDBSCAN(GeometryBlock):
                 "column(s) {} collide with ClusterDBSCAN's output; "
                 "rename upstream".format(sorted(clash)))
         super().__init__(source, e, int(min_points), str(id_column),
-                         int(max_iter))
+                         int(max_iter),
+                         None if driver_threshold is None
+                         else int(driver_threshold))
 
     @property
     def source(self):
@@ -516,10 +520,50 @@ class ClusterDBSCAN(GeometryBlock):
 
     def _build(self, ctx):
         from dask_geomodeling_spark.pipeline.dedup import DedupClusters
-        _, eps, min_points, idc, max_iter = self.args
+        _, eps, min_points, idc, max_iter, driver_threshold = self.args
+        if driver_threshold is None:
+            driver_threshold = self.DRIVER_THRESHOLD
         df = self.source._build(ctx)
         if not {"x", "y"} <= set(df.columns):
             raise ValueError("ClusterDBSCAN needs point x/y columns")
+        # r15 optimization (guide §2.6): the grid-join/star machinery
+        # costs ~30 Spark jobs of pure scheduling floor on small point
+        # sets.  Single-pass probe+collect (the _collect_cells rule:
+        # LocalLimit early-stops the scan for data-sized inputs); at
+        # or below the threshold an exact driver mirror of the SAME
+        # pair/core/star/argmin semantics replaces the machinery.
+        # Guards keep the distributed path wherever Python and Spark
+        # comparison semantics could diverge: NULL/NaN coordinates
+        # (FLOOR(NULL) join-drops; Spark orders NaN above numbers),
+        # NULL or duplicate ids (the mirror keys by id).
+        probe = (df.select(F.col(idc).alias("_pid"), "x", "y")
+                 .limit(driver_threshold + 1).collect())
+        bounded = len(probe) <= driver_threshold
+        if bounded:
+            seen = set()
+            for r in probe:
+                pid, x, y = r["_pid"], r["x"], r["y"]
+                if (pid is None or x is None or y is None
+                        or x != x or y != y or pid in seen):
+                    bounded = False
+                    break
+                seen.add(pid)
+        if bounded:
+            import pyspark.sql.types as T
+            t = df.schema[idc].dataType
+            schema = T.StructType([
+                T.StructField("_pid", t),
+                T.StructField("_clu", t),
+                T.StructField("_isc", T.BooleanType())])
+            lab = F.broadcast(ctx.spark.createDataFrame(
+                sorted(self._driver_labels(probe, eps, min_points)),
+                schema))
+            return (df.join(lab.withColumnRenamed("_pid", idc), idc,
+                            "left")
+                    .select(*df.columns,
+                            F.col("_clu").alias("cluster_id"),
+                            F.coalesce(F.col("_isc"), F.lit(False))
+                            .alias("is_core")))
         csl = "CAST({!r} AS DOUBLE)".format(eps)
         offs = ctx.spark.createDataFrame(
             [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
@@ -615,3 +659,82 @@ class ClusterDBSCAN(GeometryBlock):
                         F.col("_clu").alias("cluster_id"),
                         F.coalesce(F.col("_isc"), F.lit(False))
                         .alias("is_core")))
+
+    @staticmethod
+    def _driver_labels(rows, eps, min_points):
+        """Exact driver mirror of the distributed path: eps-grid
+        neighbor search (a pair is a candidate iff the cells differ
+        by at most 1 per axis — the same 3x3 scatter the join keys
+        on), ``(x-rx)**2 + (y-ry)**2`` in the distributed IEEE op
+        order, neighbor-count cores, union-find over core-core
+        adjacency labeled by the smallest core id (what the star
+        rounds + driver union-find converge to), and border argmin
+        over ``(d2, rid)`` (the struct-min tie order).  Returns
+        ``(pid, cluster_id, is_core)`` for core and border points
+        only — noise stays absent, exactly like the distributed
+        label table.  Pinned distributed-vs-driver by
+        test_cluster_dbscan_driver_matches_machinery."""
+        import math
+        pts = [(r["_pid"], r["x"], r["y"]) for r in rows]
+        grid = {}
+        for i, (_, x, y) in enumerate(pts):
+            grid.setdefault(
+                (math.floor(x / eps), math.floor(y / eps)),
+                []).append(i)
+        e2 = eps * eps
+        nbrs = [[] for _ in pts]
+        for (cx, cy), idxs in grid.items():
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    other = grid.get((cx + dx, cy + dy))
+                    if not other:
+                        continue
+                    for i in idxs:
+                        _, x, y = pts[i]
+                        for j in other:
+                            if j == i:
+                                continue
+                            rid, rx, ry = pts[j]
+                            d2 = ((x - rx) * (x - rx)
+                                  + (y - ry) * (y - ry))
+                            if d2 <= e2:
+                                nbrs[i].append((d2, rid))
+        core = [min_points == 1 or len(nb) + 1 >= min_points
+                for nb in nbrs]
+        core_by_id = {pts[i][0]: core[i] for i in range(len(pts))}
+        parent = {}
+
+        def find(a):
+            root = a
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(a, a) != a:
+                parent[a], a = root, parent[a]
+            return root
+
+        for i, (pid, _, _) in enumerate(pts):
+            if not core[i]:
+                continue
+            for _d2, rid in nbrs[i]:
+                if core_by_id[rid]:
+                    ra, rb = find(pid), find(rid)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        mins = {}
+        for i, (pid, _, _) in enumerate(pts):
+            if core[i]:
+                rt = find(pid)
+                mins[rt] = min(mins.get(rt, pid), pid)
+        out = []
+        for i, (pid, _, _) in enumerate(pts):
+            if core[i]:
+                out.append((pid, mins[find(pid)], True))
+                continue
+            best = None
+            for d2, rid in nbrs[i]:
+                if core_by_id[rid] and (best is None
+                                        or (d2, rid) < best):
+                    best = (d2, rid)
+            if best is not None:
+                out.append((pid, mins[find(best[1])], False))
+        return out

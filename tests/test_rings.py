@@ -954,6 +954,39 @@ def test_cluster_dbscan_bridge_merges_via_core_chain(spark):
     assert all(v == (0, True) for v in got.values()), got
 
 
+def test_cluster_dbscan_driver_matches_machinery(spark):
+    """r15 optimization pin: the bounded driver mirror (the default
+    path for small point sets) is exactly identical to the
+    distributed grid-join/star machinery (driver_threshold=0 forces
+    it) on fixtures covering blobs, borders with tie-breaks, chains,
+    noise and min_points=1 singletons."""
+    from dask_geomodeling_spark.geometry.spatial_join import (
+        ClusterDBSCAN)
+    blobs = ([{"id": 1, "x": 0.0, "y": 0.0},
+              {"id": 2, "x": 1.0, "y": 0.0},
+              {"id": 3, "x": 0.0, "y": 1.0},
+              {"id": 6, "x": 1.0, "y": 1.0},
+              {"id": 4, "x": 2.2, "y": 0.0},
+              {"id": 5, "x": 3.4, "y": 0.0},
+              {"id": 7, "x": 2.2, "y": 2.0},   # border tie distance
+              {"id": 20, "x": 5.0, "y": 5.0}]
+             + [{"id": 10 + i, "x": 10.0 + (i % 2), "y": 10.0 + i // 2}
+                for i in range(4)])
+    chain = [{"id": i, "x": float(i), "y": 0.0} for i in range(8)]
+    cases = [(blobs, dict(eps=1.5, min_points=4)),
+             (blobs, dict(eps=1.5, min_points=1)),
+             (chain, dict(eps=1.1, min_points=2)),
+             (chain, dict(eps=0.9, min_points=2))]
+    for pts, kw in cases:
+        src = LiteralGeometrySource(pts)
+        fast = sorted(tuple(r) for r in ClusterDBSCAN(src, **kw)
+                      .plan(spark).collect())
+        slow = sorted(tuple(r) for r in
+                      ClusterDBSCAN(src, driver_threshold=0, **kw)
+                      .plan(spark).collect())
+        assert fast == slow, (kw, fast, slow)
+
+
 def test_geodesic_area_and_length(spark):
     """Round 12: GeodesicArea/GeodesicLength — spherical measures of
     lon/lat geometry.  A 1x1-degree equatorial quad's area is
