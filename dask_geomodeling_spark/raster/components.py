@@ -25,31 +25,36 @@ __all__ = ["RasterComponents", "SieveFilter", "packed_cells",
            "decode_labels"]
 
 
-def packed_cells(ctx, frame, op_name, headroom=1):
+def packed_cells(ctx, frame, op_name, headroom=1,
+                 materialize="persist"):
     """Pack a ``time, y, x, value`` cell frame's coordinates into ONE
     BIGINT key (dense time index × y-extent × x-extent — shared by
     RasterComponents and the hydrology family, round-10 extraction).
 
     Returns ``(nodes, tindex)``: nodes carries
-    ``time, y, x, value, _ymin, _xmin, _dy, _dx, _id`` and is
-    MATERIALIZED via ``localCheckpoint`` (every caller joins results
-    back onto it, and every caller follows with eager driver actions
-    — counts, collects, checkpointed rounds); tindex is the
+    ``time, y, x, value, _ymin, _xmin, _dy, _dx, _id``; tindex is the
     broadcastable dense (time, _tix) index.
 
-    r15 optimization (guide §5 / §3.3 "materialise to truncate the
-    plan"): this was ``persist(MEMORY_AND_DISK)`` — same storage
-    footprint — but a cached frame keeps its FULL lineage, so every
-    downstream action (the edge count, the star/doubling rounds, the
-    final join) re-ANALYZED the whole upstream store plan and
-    re-executed its broadcast subtrees; the checkpoint flattens the
-    lineage to one LogicalRDD.  Measured 1.9-2.2× wall on the
-    hydrology family at sf0.1, identical rows.
+    ``materialize`` picks the reuse strategy, per caller and per
+    MEASUREMENT (r15, guide §1/§5):
+
+    - ``"persist"`` (default): lazy MEMORY_AND_DISK cache, full
+      lineage and statistics kept.  The RasterComponents star rounds
+      plan joins against nodes' statistics; switching them to an
+      eager stats-stripped checkpoint ADDED jobs and wall
+      (raster_components 13 → 21 jobs, raster_polygonize 20 → 26 —
+      the r15 A/B profile), so they keep the cache.
+    - ``"checkpoint"``: eager ``localCheckpoint`` + fresh default
+      stats.  A cached frame re-ANALYZES the whole upstream store
+      plan and re-executes its broadcast subtrees on every downstream
+      action; the hydrology family's edge count + doubling rounds +
+      final join paid that repeatedly, and the flattened LogicalRDD
+      measured 1.9-2.2× wall at sf0.1 with identical rows.
 
     ``headroom`` divides the 2⁶³ guard (hydrology's Euler elements
     need ×2+1 room); overflow fails fast with ``raise_error`` instead
-    of mislabeling (now at build time rather than first action —
-    both surface as the same error from ``.plan()``/collect)."""
+    of mislabeling."""
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     from dask_geomodeling_spark.config import strip_plan_stats
@@ -77,7 +82,10 @@ def packed_cells(ctx, frame, op_name, headroom=1):
                      F.expr(dy_r).alias("_dy"),
                      F.expr(dx_r).alias("_dx"),
                      pack.alias("_id")))
-    nodes = strip_plan_stats(nodes.localCheckpoint())
+    if materialize == "checkpoint":
+        nodes = strip_plan_stats(nodes.localCheckpoint())
+    else:
+        nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
     return nodes, tindex
 
 
@@ -548,9 +556,5 @@ class SieveFilter(BaseSingle):
                 "rounds — raise max_rounds (the loop is bounded by "
                 "the region-graph diameter)".format(max_rounds))
         und.unpersist()
-        try:
-            # checkpointed nodes frees via its backing RDD
-            nodes._jdf.rdd().unpersist(False)
-        except Exception:
-            pass
+        nodes.unpersist()
         return cur.select("time", "y", "x", "value")

@@ -83,7 +83,7 @@ def _flow_graph(ctx, store, op_name):
     # refactor — ONE packing/decoding implementation shared with
     # RasterComponents so label formats cannot drift)
     nodes, tindex = packed_cells(ctx, store._build(ctx), op_name,
-                                 headroom=2)
+                                 headroom=2, materialize="checkpoint")
     codes = _codes_df(ctx.spark).select(
         F.col("code").cast("double").alias("value"), "dy", "dx",
         "dist")
@@ -1246,7 +1246,8 @@ class CostDistance(RasterBlock):
         from dask_geomodeling_spark.raster.components import (
             packed_cells)
         nodes, _ = packed_cells(ctx, cost_blk._build(ctx),
-                                "CostDistance", headroom=1)
+                                "CostDistance", headroom=1,
+                                materialize="checkpoint")
         trav = nodes.filter(F.col("value") > 0)
         # the flow family's D8 offsets/step-length literal, reused so
         # the neighbor set and distance convention exist ONCE
