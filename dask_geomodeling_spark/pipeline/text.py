@@ -1235,6 +1235,38 @@ class KLLQuantile(BaseSingle):
         thr = ctx.spark.createDataFrame(
             [r if by else r[1:] for r in thr_rows],
             T.StructType(fields))
+        # r15 optimization (guide §2.2 shuffle fewer bytes / §1.3):
+        # the _tz >= _l0 column-vs-column filter sits ABOVE the
+        # broadcast join, so it could never push below an upstream
+        # exchange — pass 2 hashed the full input once below the
+        # exchange (Catalyst's inferred isnotnull probe) and AGAIN
+        # above it.  The thresholds are already collected, so inline
+        # them as a LITERAL predicate: it pushes to the scan side and
+        # reduces pass 2 to <= groups*k rows before the shuffle and
+        # the join.  Semantics are identical to the join+filter that
+        # still follows (the join drops NULL group keys; the literal
+        # when-chain yields NULL there, which the filter drops too);
+        # a float-NaN group key keeps the old path (Spark join
+        # equality matches NaN = NaN, `==` does not).
+        have_nan_key = any(isinstance(key, float) and key != key
+                           for key, _, _ in thr_rows)
+        if not have_nan_key:
+            if grp:
+                lvl = None
+                for key, l0, _n in thr_rows:
+                    if key is None:
+                        continue
+                    if lvl is None:
+                        lvl = F.when(F.col(by) == F.lit(key),
+                                     F.lit(l0))
+                    else:
+                        lvl = lvl.when(F.col(by) == F.lit(key),
+                                       F.lit(l0))
+                if lvl is not None:
+                    rows = rows.filter(F.col("_tz") >= lvl)
+            elif thr_rows:
+                rows = rows.filter(
+                    F.col("_tz") >= F.lit(thr_rows[0][1]))
         if grp:
             kept = rows.join(F.broadcast(thr), grp)
         else:
