@@ -643,6 +643,14 @@ class NgramJaccard(BaseSingle):
 
     jaccard = |A∩B| / (|A| + |B| − |A∩B|) over distinct word n-grams.
     Output: ``id_a``, ``id_b``, ``jaccard`` (≥ ``threshold``).
+
+    NOTE for repeated-``plan()`` callers (r16, round-15 advice — the
+    ClusterDBSCAN round-13 convention): the returned plan reads two
+    executor-storage caches (the shingled corpus and the prefix
+    index) that must outlive the plan, so each superseded ``plan()``
+    of the same block leaves those caches behind — unpersist
+    superseded results or reuse the returned DataFrame in long-lived
+    sessions.
     """
 
     def __init__(self, source, text_column="text", id_column="doc_id",

@@ -1136,6 +1136,19 @@ class KLLQuantile(BaseSingle):
     _MIX = (1597334677, 2246822519, 11)
     _QROUNDS = (40503, 914231)
 
+    #: r16 fix (round-15 verdict #1): the driver-side threshold
+    #: derivation collects the per-(group, level) count table, which
+    #: is bounded ONLY by group cardinality (<= groups*32 rows) — a
+    #: high-cardinality ``by`` column would collect millions of rows
+    #: AND build an O(#groups) literal when-chain.  The collect is
+    #: now gated by ``limit(GROUP_THRESHOLD*32 + 1)``: at or below
+    #: the bound the driver derivation + literal pass-2 pushdown run
+    #: (the r15 optimization); above it the pre-r15 fully-distributed
+    #: atleast/thr derivation runs instead (same integer arithmetic,
+    #: pinned by test_kll_quantile_distributed_threshold_matches).
+    #: <= 0 forces the distributed path (the pin test's hook).
+    GROUP_THRESHOLD = 8192
+
     def __init__(self, source, column, k=1024,
                  quantiles=(0.25, 0.5, 0.75, 0.9, 0.99),
                  id_column=None, by=None):
@@ -1184,7 +1197,6 @@ class KLLQuantile(BaseSingle):
     def _build(self, ctx):
         _, column, k, qs, idc, by = self.args
         grp = [by] if by else []
-        M = self._M
         df = self.source._build(ctx)
         v = "CAST(`{c}` AS STRING)".format(c=column)
         i = "CAST(`{c}` AS STRING)".format(c=idc)
@@ -1198,18 +1210,32 @@ class KLLQuantile(BaseSingle):
             "_tz", F.expr("CASE WHEN _g = 0 THEN 31 "
                           "ELSE length(bin(_g & -_g)) - 1 END"))
         # pass 1: per-level row counts — a <= groups*32-key map-side
-        # aggregation, the only shuffle of the sketch.  The count table
-        # is BOUNDED (<= groups*32 rows), so it collects driver-side
-        # (the k×dim-model-collect class: BM25 stats, HeavyHitters
-        # sketch) and the threshold/n_rows derivation replays the
-        # former atleast/thr/min SQL integer-exactly in Python —
-        # r15 optimization: the thr/nrows DataFrame subtrees each
-        # re-executed the scan + Mersenne hash chain, so the plan
-        # scanned (and hashed) the source THREE times; now exactly the
-        # two documented passes remain (guide §2.4: remove duplicate
-        # subtree passes; §5: bounded driver work only).
-        cnts = (rows.groupBy(*grp, "_tz")
-                .agg(F.count(F.lit(1)).alias("_cnt")).collect())
+        # aggregation, the only shuffle of the sketch.  When the count
+        # table is BOUNDED (cardinality-gated, r16: <= GROUP_THRESHOLD
+        # groups — the collect itself is limit-capped so an unexpected
+        # high-cardinality ``by`` can never flood the driver), it
+        # collects driver-side (the k×dim-model-collect class: BM25
+        # stats, HeavyHitters sketch) and the threshold/n_rows
+        # derivation replays the former atleast/thr/min SQL
+        # integer-exactly in Python — r15 optimization: the thr/nrows
+        # DataFrame subtrees each re-executed the scan + Mersenne hash
+        # chain, so the plan scanned (and hashed) the source THREE
+        # times; now exactly the two documented passes remain (guide
+        # §2.4: remove duplicate subtree passes; §5: bounded driver
+        # work only).  Above the gate, the fully-distributed
+        # derivation below runs (same arithmetic, never collects).
+        cnt_df = (rows.groupBy(*grp, "_tz")
+                  .agg(F.count(F.lit(1)).alias("_cnt")))
+        gthr = self.GROUP_THRESHOLD
+        cnts = None
+        if gthr > 0:
+            cap = (gthr * 32) if grp else 32
+            got = cnt_df.limit(cap + 1).collect()
+            if len(got) <= cap:
+                cnts = got
+        if cnts is None:
+            return self._distributed_sketch(ctx, rows, cnt_df, grp,
+                                            k, qs)
         by_grp = {}
         for r in cnts:
             key = r[by] if by else None
@@ -1271,6 +1297,47 @@ class KLLQuantile(BaseSingle):
             kept = rows.join(F.broadcast(thr), grp)
         else:
             kept = rows.crossJoin(F.broadcast(thr))
+        return self._quantile_tail(kept, grp, qs)
+
+    @classmethod
+    def _distributed_sketch(cls, ctx, rows, cnt_df, grp, k, qs):
+        """High-group-cardinality path (r16 — restores the pre-r15
+        derivation): the per-(group, level) count table exceeds the
+        driver gate, so the threshold/n_rows derivation stays fully
+        distributed — ``atleast(l) = rows at level >= l`` via a
+        32-way level-sequence join over the (already aggregated)
+        count table, ``l0 = min l with atleast <= k``.  Identical
+        integer arithmetic to the driver replay (pinned by
+        test_kll_quantile_distributed_threshold_matches); the
+        threshold table is one narrow row per group and joins back
+        without a broadcast hint — at this cardinality the planner's
+        size estimate decides (guide §3.1)."""
+        levels = ctx.spark.range(1).select(
+            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("_l"))
+        atleast = (cnt_df.join(F.broadcast(levels),
+                               F.col("_tz") >= F.col("_l"))
+                   .groupBy(*grp, "_l")
+                   .agg(F.sum("_cnt").alias("_al")))
+        # n_rows == atleast at level 0 (every row has _tz >= 0), so
+        # the threshold aggregation yields it for free instead of a
+        # second pass over the count table (guide §2.4)
+        thr = atleast.groupBy(*grp).agg(
+            F.coalesce(
+                F.min(F.when(F.col("_al") <= k, F.col("_l"))),
+                F.lit(31)).alias("_l0"),
+            F.max(F.when(F.col("_l") == 0, F.col("_al")))
+            .alias("n_rows"))
+        if grp:
+            kept = rows.join(thr, grp)
+        else:
+            kept = rows.crossJoin(F.broadcast(thr))
+        return cls._quantile_tail(kept, grp, qs)
+
+    @classmethod
+    def _quantile_tail(cls, kept, grp, qs):
+        """Shared pass-2 tail: threshold filter, bounded window,
+        one-row-per-group aggregation (both threshold-derivation
+        paths feed the identical plan from here)."""
         kept = kept.filter(F.col("_tz") >= F.col("_l0"))
         # pass 2 output: <= k rows per group; the window is bounded by
         # construction (never data-sized)
@@ -1284,14 +1351,14 @@ class KLLQuantile(BaseSingle):
                 F.count(F.lit(1)).alias("n_kept"),
                 F.expr("shiftleft(count(1), int(first(_l0)))")
                 .cast("bigint").alias("w_total"),
-                F.expr("pmod(sum(_g), {M})".format(M=M))
+                F.expr("pmod(sum(_g), {M})".format(M=cls._M))
                 .cast("bigint").alias("s_check")]
         for q in qs:
             aggs.append(F.max(F.when(
                 F.col("_rk") == F.greatest(
                     F.lit(1),
                     F.ceil(F.lit(q) * F.col("_nk")).cast("int")),
-                F.col("_v"))).alias(self._qname(q)))
+                F.col("_v"))).alias(cls._qname(q)))
         return kept.groupBy(*grp).agg(*aggs)
 
 

@@ -44,12 +44,22 @@ def packed_cells(ctx, frame, op_name, headroom=1,
       eager stats-stripped checkpoint ADDED jobs and wall
       (raster_components 13 → 21 jobs, raster_polygonize 20 → 26 —
       the r15 A/B profile), so they keep the cache.
-    - ``"checkpoint"``: eager ``localCheckpoint`` + fresh default
-      stats.  A cached frame re-ANALYZES the whole upstream store
-      plan and re-executes its broadcast subtrees on every downstream
-      action; the hydrology family's edge count + doubling rounds +
-      final join paid that repeatedly, and the flattened LogicalRDD
+    - ``"checkpoint"``: eager checkpoint + fresh default stats.  A
+      cached frame re-ANALYZES the whole upstream store plan and
+      re-executes its broadcast subtrees on every downstream action;
+      the hydrology family's edge count + doubling rounds + final
+      join paid that repeatedly, and the flattened LogicalRDD
       measured 1.9-2.2× wall at sf0.1 with identical rows.
+
+      Durability (r16, round-15 verdict #10, guide §5): when the
+      session has a RELIABLE checkpoint directory configured
+      (``sparkContext.setCheckpointDir`` — the cluster deployment's
+      job), this uses ``DataFrame.checkpoint()`` so the materialized
+      blocks survive executor loss; without one it falls back to
+      ``localCheckpoint()``, whose blocks are executor-local and
+      unreplicated — fine on local[n], but on a real cluster executor
+      loss mid-query is then unrecoverable and dynamic allocation is
+      unsafe, so 100 TB deployments should set a checkpoint dir.
 
     ``headroom`` divides the 2⁶³ guard (hydrology's Euler elements
     need ×2+1 room); overflow fails fast with ``raise_error`` instead
@@ -83,7 +93,11 @@ def packed_cells(ctx, frame, op_name, headroom=1,
                      F.expr(dx_r).alias("_dx"),
                      pack.alias("_id")))
     if materialize == "checkpoint":
-        nodes = strip_plan_stats(nodes.localCheckpoint())
+        sc = ctx.spark.sparkContext
+        if sc.getCheckpointDir() is not None:
+            nodes = strip_plan_stats(nodes.checkpoint())
+        else:
+            nodes = strip_plan_stats(nodes.localCheckpoint())
     else:
         nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
     return nodes, tindex
@@ -303,19 +317,27 @@ class SieveFilter(BaseSingle):
         _, threshold, connectivity, iterate, max_rounds = self.args
         frame = self.store._build(ctx)
         # bounded driver short-circuit for BOTH modes (see
-        # DRIVER_CELL_THRESHOLD): one count/NaN probe decides; the
+        # DRIVER_CELL_THRESHOLD): ONE limit(threshold+1) probe decides
+        # AND collects (r16 fix, round-15 advice — the previous
+        # count+isnan aggregation was a FULL extra pass over the
+        # upstream plan on every build, and the bounded case then
+        # evaluated the plan a second time inside the mirror; this is
+        # the hydrology _collect_cells shape: LocalLimit early-stops
+        # data-sized scans, the bounded case pays exactly one
+        # evaluation, and the NaN routing happens in Python on the
+        # collected rows, which are the complete set there); the
         # driver mirror is pinned bit-identical to the distributed
         # plans by the two *_matches_driver pytests
         base = (frame.select("time", "y", "x", "value")
                 .filter(F.col("value").isNotNull()))
-        stats = base.agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.sum(F.isnan("value").cast("int")).alias("_nan")
-        ).collect()[0]
-        if (stats["_n"] <= SieveFilter.DRIVER_CELL_THRESHOLD
-                and not stats["_nan"]):
+        probe = (base.select("time", F.expr("unix_micros(time)")
+                             .alias("_us"), "y", "x", "value")
+                 .limit(SieveFilter.DRIVER_CELL_THRESHOLD + 1)
+                 .collect())
+        if (len(probe) <= SieveFilter.DRIVER_CELL_THRESHOLD
+                and not any(r["value"] != r["value"] for r in probe)):
             return self._driver_fixpoint(
-                ctx, base, threshold, connectivity,
+                ctx, base, probe, threshold, connectivity,
                 max_rounds if iterate else 1,
                 uphill=bool(iterate), converge=bool(iterate))
         if not iterate:
@@ -336,18 +358,19 @@ class SieveFilter(BaseSingle):
     DRIVER_CELL_THRESHOLD = 65536
 
     @classmethod
-    def _driver_fixpoint(cls, ctx, base, threshold, connectivity,
+    def _driver_fixpoint(cls, ctx, base, rows, threshold, connectivity,
                          max_rounds, uphill=True, converge=True):
         """Exact driver-side mirror of the merge pass: same
         (size, decoded-string-key) tie order, same ``max_rounds``
         contract — bit-identical to the distributed loop (pinned by
         test_sieve_iterate_distributed_matches_driver /
         test_sieve_single_pass_distributed_matches_driver).
-        ``uphill=False, converge=False`` is the one-wave
-        ``iterate=False`` semantics (merge into the largest neighbor's
-        ORIGINAL value, no fixpoint, no exhaustion error)."""
-        rows = base.select("time", F.expr("unix_micros(time)")
-                           .alias("_us"), "y", "x", "value").collect()
+        ``rows`` is the caller's already-collected (and bounded)
+        ``time, _us, y, x, value`` probe — the upstream plan is never
+        evaluated twice.  ``uphill=False, converge=False`` is the
+        one-wave ``iterate=False`` semantics (merge into the largest
+        neighbor's ORIGINAL value, no fixpoint, no exhaustion
+        error)."""
         cells = {}
         times = {}
         for r in rows:
@@ -444,9 +467,6 @@ class SieveFilter(BaseSingle):
         the tie comparator still uses the DECODED component string
         key, packed ids order differently) — convergence ==
         no merge candidate left, same ``max_rounds`` contract."""
-        from dask_geomodeling_spark.config import strip_plan_stats
-        from dask_geomodeling_spark.pipeline.dedup import DedupClusters
-
         nodes, tindex = packed_cells(ctx, frame, "SieveFilter")
         offsets = [(0, 1), (1, 0)]
         if connectivity == 8:
@@ -465,6 +485,29 @@ class SieveFilter(BaseSingle):
                 .select(F.col("_id").alias("_ida"), "_idb"))
             und = e if und is None else und.unionByName(e)
         und = und.persist()
+        # r16 fix (round-15 advice): und/nodes were unpersisted only
+        # on the success path — the non-convergence raise, the empty
+        # early return and any mid-round exception leaked the pair
+        # table and the packed-nodes cache for the session lifetime
+        # (the leak class the ClusterDBSCAN round-11 try/finally
+        # fixed); the round loop cleans its own checkpoint blocks on
+        # the raise path.
+        try:
+            return SieveFilter._iterate_rounds(
+                ctx, frame, nodes, tindex, und, threshold, max_rounds)
+        finally:
+            und.unpersist()
+            nodes.unpersist()
+
+    @staticmethod
+    def _iterate_rounds(ctx, frame, nodes, tindex, und, threshold,
+                        max_rounds):
+        """The round loop of ``_iterate_fixpoint`` (split out so the
+        caller's try/finally owns the und/nodes caches); cleans the
+        current round's ``cur``/``labj`` checkpoint blocks when an
+        exception escapes — the returned plan's own final checkpoint
+        must survive, so only the exception path unpersists here."""
+        from dask_geomodeling_spark.config import strip_plan_stats
         # both directions of the undirected pair table: a small
         # region's member cell may sit at either end
         undb = und.unionByName(
@@ -482,79 +525,99 @@ class SieveFilter(BaseSingle):
         cur = strip_plan_stats(
             nodes.select("time", "y", "x", "_id", "value")
             .localCheckpoint())
-        for _ in range(max_rounds):
-            va = cur.select(F.col("_id").alias("_ida"),
-                            F.col("value").alias("_va"))
-            vb = cur.select(F.col("_id").alias("_idb"),
-                            F.col("value").alias("_vb"))
-            adj = und.join(va, "_ida").join(vb, "_idb")
-            edges = (adj.filter(F.col("_va") == F.col("_vb"))
-                     .select(F.least("_ida", "_idb").alias("_lo"),
-                             F.greatest("_ida", "_idb").alias("_hi")))
-            labels = DedupClusters._star_labels(edges, 20)
-            lab = (cur.select("_id", "value")
-                   .join(labels, "_id", "left")
-                   .withColumn("_l", F.coalesce("_lbl", "_id"))
-                   .select("_id", "value", "_l"))
-            sizes = (lab.groupBy("_l")
-                     .agg(F.count(F.lit(1)).cast("bigint")
-                          .alias("_sz")))
-            for k, v in meta_lits.items():
-                sizes = sizes.withColumn(k, v)
-            sizes = decode_labels(sizes, tindex, ["_l", "_sz"], "_ck")
-            # ONE materialization per round of the (cell, label, size,
-            # string-key) table — ca/cb/nxt below all read this
-            # checkpoint instead of re-executing the label join
-            labj = strip_plan_stats(
-                lab.join(sizes, "_l").localCheckpoint())
-            ca = labj.select(F.col("_id").alias("_ida"),
-                             F.col("_l").alias("_la"),
-                             F.col("_sz").alias("_sza"),
-                             F.col("_ck").alias("_cka"))
-            cb = labj.select(F.col("_id").alias("_idb"),
-                             F.col("_l").alias("_lb"),
-                             F.col("_sz").alias("_szb"),
-                             F.col("_ck").alias("_ckb"),
-                             F.col("value").alias("_nv"))
-            touch = (undb.join(ca, "_ida").join(cb, "_idb")
-                     .filter(F.col("_la") != F.col("_lb"))
-                     .filter(F.col("_sza") < threshold)
-                     # uphill rule (identical to _merge_pass): only a
-                     # strictly dominating neighbor absorbs
-                     .filter((F.col("_szb") > F.col("_sza"))
-                             | ((F.col("_szb") == F.col("_sza"))
-                                & (F.col("_ckb") < F.col("_cka")))))
-            rep = (touch.groupBy(F.col("_la").alias("_l"))
-                   .agg(F.expr("min_by(struct(_nv AS value), "
-                               "struct(-_szb, _ckb))").alias("_w"))
-                   .select("_l", F.col("_w.value").alias("_newv")))
-            nxt = strip_plan_stats(
-                cur.drop("value")
-                .join(labj.select("_id", "value", "_l"), "_id")
-                .join(rep, "_l", "left")
-                .select("time", "y", "x", "_id",
-                        F.coalesce("_newv", "value").alias("value"),
-                        F.col("_newv").isNotNull().alias("_chg"))
-                .localCheckpoint())
-            changed = nxt.filter("_chg").limit(1).count()
-            for old in (cur, labj):
-                try:
-                    old._jdf.rdd().unpersist(False)
-                except Exception:
-                    pass
-            cur = nxt.drop("_chg")
-            if changed == 0:
-                break
-        else:
-            # round-11 advice fix: the loop exhausted max_rounds with
-            # merges still happening — returning silently would hand
-            # back a NON-fixpoint raster (regions under threshold
-            # remain) while the docstring promises full cascade
-            # parity; fail loudly like the hydrology doubling loops
-            raise ValueError(
-                "SieveFilter(iterate=True): did not converge in {} "
-                "rounds — raise max_rounds (the loop is bounded by "
-                "the region-graph diameter)".format(max_rounds))
-        und.unpersist()
-        nodes.unpersist()
+        try:
+            for _ in range(max_rounds):
+                cur, changed = SieveFilter._iterate_round(
+                    und, undb, tindex, meta_lits, cur, threshold)
+                if changed == 0:
+                    break
+            else:
+                # round-11 advice fix: the loop exhausted max_rounds
+                # with merges still happening — returning silently
+                # would hand back a NON-fixpoint raster (regions under
+                # threshold remain) while the docstring promises full
+                # cascade parity; fail loudly like the hydrology
+                # doubling loops
+                raise ValueError(
+                    "SieveFilter(iterate=True): did not converge in "
+                    "{} rounds — raise max_rounds (the loop is bounded"
+                    " by the region-graph diameter)".format(max_rounds))
+        except BaseException:
+            # the raise / mid-round-failure path: drop the retained
+            # checkpoint blocks (the success path returns a plan
+            # READING the final checkpoint, so it must not clean)
+            try:
+                cur._jdf.rdd().unpersist(False)
+            except Exception:
+                pass
+            raise
         return cur.select("time", "y", "x", "value")
+
+    @staticmethod
+    def _iterate_round(und, undb, tindex, meta_lits, cur, threshold):
+        """One merge round: returns ``(next_cur, changed)`` with the
+        previous round's ``cur`` and this round's ``labj``
+        checkpoints already unpersisted (their content lives on in
+        the returned checkpoint)."""
+        from dask_geomodeling_spark.config import strip_plan_stats
+        from dask_geomodeling_spark.pipeline.dedup import DedupClusters
+        va = cur.select(F.col("_id").alias("_ida"),
+                        F.col("value").alias("_va"))
+        vb = cur.select(F.col("_id").alias("_idb"),
+                        F.col("value").alias("_vb"))
+        adj = und.join(va, "_ida").join(vb, "_idb")
+        edges = (adj.filter(F.col("_va") == F.col("_vb"))
+                 .select(F.least("_ida", "_idb").alias("_lo"),
+                         F.greatest("_ida", "_idb").alias("_hi")))
+        labels = DedupClusters._star_labels(edges, 20)
+        lab = (cur.select("_id", "value")
+               .join(labels, "_id", "left")
+               .withColumn("_l", F.coalesce("_lbl", "_id"))
+               .select("_id", "value", "_l"))
+        sizes = (lab.groupBy("_l")
+                 .agg(F.count(F.lit(1)).cast("bigint")
+                      .alias("_sz")))
+        for k, v in meta_lits.items():
+            sizes = sizes.withColumn(k, v)
+        sizes = decode_labels(sizes, tindex, ["_l", "_sz"], "_ck")
+        # ONE materialization per round of the (cell, label, size,
+        # string-key) table — ca/cb/nxt below all read this
+        # checkpoint instead of re-executing the label join
+        labj = strip_plan_stats(
+            lab.join(sizes, "_l").localCheckpoint())
+        ca = labj.select(F.col("_id").alias("_ida"),
+                         F.col("_l").alias("_la"),
+                         F.col("_sz").alias("_sza"),
+                         F.col("_ck").alias("_cka"))
+        cb = labj.select(F.col("_id").alias("_idb"),
+                         F.col("_l").alias("_lb"),
+                         F.col("_sz").alias("_szb"),
+                         F.col("_ck").alias("_ckb"),
+                         F.col("value").alias("_nv"))
+        touch = (undb.join(ca, "_ida").join(cb, "_idb")
+                 .filter(F.col("_la") != F.col("_lb"))
+                 .filter(F.col("_sza") < threshold)
+                 # uphill rule (identical to _merge_pass): only a
+                 # strictly dominating neighbor absorbs
+                 .filter((F.col("_szb") > F.col("_sza"))
+                         | ((F.col("_szb") == F.col("_sza"))
+                            & (F.col("_ckb") < F.col("_cka")))))
+        rep = (touch.groupBy(F.col("_la").alias("_l"))
+               .agg(F.expr("min_by(struct(_nv AS value), "
+                           "struct(-_szb, _ckb))").alias("_w"))
+               .select("_l", F.col("_w.value").alias("_newv")))
+        nxt = strip_plan_stats(
+            cur.drop("value")
+            .join(labj.select("_id", "value", "_l"), "_id")
+            .join(rep, "_l", "left")
+            .select("time", "y", "x", "_id",
+                    F.coalesce("_newv", "value").alias("value"),
+                    F.col("_newv").isNotNull().alias("_chg"))
+            .localCheckpoint())
+        changed = nxt.filter("_chg").limit(1).count()
+        for old in (cur, labj):
+            try:
+                old._jdf.rdd().unpersist(False)
+            except Exception:
+                pass
+        return nxt.drop("_chg"), changed

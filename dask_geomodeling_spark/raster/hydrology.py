@@ -385,7 +385,24 @@ class FlowAccumulation(BaseSingle):
         spark = ctx.spark
         got = _collect_cells(ctx, self.store, driver_threshold)
         if got is not None:
-            return self._driver_fast(ctx, got, weights)
+            # r16 fix (round-15 advice): the direction-raster probe
+            # bounds only the direction cells — a data-sized WEIGHTS
+            # raster paired with a tiny direction raster must not be
+            # collected.  Probe the weights with the same
+            # limit(threshold+1) early-stop; unbounded weights fall
+            # through to the distributed path (which joins weights
+            # onto the bounded node set before anything collects).
+            wrows = None
+            if weights is not None:
+                wrows = (weights._build(ctx)
+                         .filter(F.col("value").isNotNull())
+                         .select(F.expr("unix_micros(time)")
+                                 .alias("_us"), "y", "x",
+                                 F.col("value").cast(_WT_DECIMAL)
+                                 .alias("_wt"))
+                         .limit(driver_threshold + 1).collect())
+            if weights is None or len(wrows) <= driver_threshold:
+                return self._driver_fast(ctx, got, wrows)
         nodes, _tindex, edges = _flow_graph(
             ctx, self.store, "FlowAccumulation")
         if weights is not None:
@@ -428,12 +445,16 @@ class FlowAccumulation(BaseSingle):
         return out
 
     @staticmethod
-    def _driver_fast(ctx, got, weights):
+    def _driver_fast(ctx, got, wrows):
         """Bounded-cell fast path (see ``_collect_cells``): the exact
         ``_driver_counts`` / ``_driver_weighted`` walks on tuple keys,
         straight from the collected direction raster — no packed ids,
         no edge join, no final join.  Pinned bit-identical to the
-        machinery paths by test_hydrology_fast_path_matches_machinery."""
+        machinery paths by test_hydrology_fast_path_matches_machinery.
+        ``wrows`` is the ALREADY-BOUNDED collected weights projection
+        (r16: the caller probes it with ``limit(threshold+1)`` so a
+        data-sized weights raster can never reach the driver), or
+        ``None`` for the unweighted walk."""
         base, rows = got
         cells = {(r["_us"], r["y"], r["x"]): r["value"] for r in rows}
         times = {r["_us"]: r["time"] for r in rows}
@@ -441,7 +462,7 @@ class FlowAccumulation(BaseSingle):
         erows = [{"_c": c, "_p": p} for c, (p, _d) in nxt.items()]
         _, children, post_orders = _driver_forest(
             erows, "FlowAccumulation")
-        if weights is None:
+        if wrows is None:
             acc = {}
             for post in post_orders:
                 for v in reversed(post):
@@ -451,17 +472,12 @@ class FlowAccumulation(BaseSingle):
                     float(acc.get((us, y, x), 1) - 1))
                    for (us, y, x) in sorted(cells)]
             return ctx.spark.createDataFrame(out, base.schema)
-        # weighted: quantize through the SAME Spark cast the
-        # distributed path uses (collected as DECIMAL(28,9)), then
-        # the _driver_weighted unscaled-integer walk verbatim
+        # weighted: the weights arrived quantized through the SAME
+        # Spark cast the distributed path uses (collected as
+        # DECIMAL(28,9) by the caller's bounded probe), then the
+        # _driver_weighted unscaled-integer walk verbatim
         from decimal import Context, Decimal
         dctx = Context(prec=60)
-        wrows = (weights._build(ctx)
-                 .filter(F.col("value").isNotNull())
-                 .select(F.expr("unix_micros(time)").alias("_us"),
-                         "y", "x",
-                         F.col("value").cast(_WT_DECIMAL)
-                         .alias("_wt")).collect())
         wmap = {(r["_us"], r["y"], r["x"]):
                 int(r["_wt"].scaleb(9, context=dctx))
                 for r in wrows if (r["_us"], r["y"], r["x"]) in cells}

@@ -1663,6 +1663,40 @@ def test_kll_quantile_error_vs_exact_percentile(spark):
         assert abs(exact_rank - q * n) <= bound, (q, est)
 
 
+def test_kll_quantile_distributed_threshold_matches(spark):
+    """r16 pin (round-15 verdict #1): the high-group-cardinality
+    fallback — GROUP_THRESHOLD forced to 0 so the driver collect and
+    literal when-chain are skipped and the distributed atleast/thr
+    derivation runs — returns EXACTLY the default (driver-derived)
+    path's rows, including NULL-group-key dropping and per-group
+    thresholds."""
+    from dask_geomodeling_spark.geometry.sources import DataFrameSource
+    from dask_geomodeling_spark.pipeline.text import KLLQuantile
+    from pyspark.sql import functions as F
+    n, k = 4000, 64
+    df = spark.range(n).select(
+        F.col("id"),
+        ((F.col("id") * 53) % 881).alias("v"),
+        F.when(F.col("id") % 7 == 0, F.lit(None))
+        .otherwise((F.col("id") % 5).cast("string")).alias("grp"))
+    src = DataFrameSource(df, index_column="id")
+    blk = KLLQuantile(src, "v", k=k, id_column="id", by="grp")
+
+    def rows(plan):
+        got = plan.collect()
+        return sorted([tuple(r) for r in got])
+
+    default = rows(blk.plan(spark))
+    old = KLLQuantile.GROUP_THRESHOLD
+    KLLQuantile.GROUP_THRESHOLD = 0
+    try:
+        forced = rows(blk.plan(spark))
+    finally:
+        KLLQuantile.GROUP_THRESHOLD = old
+    assert forced == default
+    assert len(default) == 5  # NULL group keys dropped by both paths
+
+
 def test_bloom_filter_matches_model_and_merges(spark):
     """Round 12: the BloomFilter word table is bit-identical to the
     pure-python model, and union = per-word bit_or (the register-max
