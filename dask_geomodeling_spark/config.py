@@ -37,6 +37,19 @@ DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # r16 (guide §2.2): size post-shuffle partitions by BYTES (the
+    # advisory target) instead of padding them out to the core count —
+    # Spark's own recommendation for busy clusters, and the
+    # scale-adaptive choice: tiny aggregation outputs coalesce to one
+    # task instead of core-count near-empty tasks, while data-sized
+    # shuffles keep byte-sized partitions at any scale.  CPU-heavy
+    # small-by-bytes Python kernel stages are explicitly protected by
+    # user-numbered repartitions (polyclip.kernel_parallelism /
+    # config.ensure_min_partitions), which AQE never coalesces.
+    # Interleaved A/B over 12 representative queries (tools/ab_conf.py):
+    # neutral-to-better everywhere, up to 35% median improvement
+    # (corpus_prep_kn 5.09 -> 3.31 s), no regression beyond host noise.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     # Arrow for all pandas-UDF exchange
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # sized for local test SFs; a real cluster overrides via spark-submit
