@@ -159,9 +159,83 @@ class RasterComponents(BaseSingle):
     def columns(self):
         return {"time", "y", "x", "value", "component"}
 
+    #: cell count at or below which labeling runs as an exact
+    #: driver-side union-find (r16, round-15 verdict "next" #6 — the
+    #: SieveFilter / hydrology DRIVER_CELL_THRESHOLD precedent): the
+    #: star rounds cost ~4 scheduling barriers per round on ~1 MB of
+    #: cells at bench SFs, and RasterPolygonize inherits the whole
+    #: chain.  The mirror is bit-identical to the distributed path
+    #: (same min-(time,y,x) canonical member, same NULL drop, same
+    #: '<epoch_us>:<y>:<x>' label) and is pinned by
+    #: test_components_distributed_matches_driver; NaN cell values
+    #: force the distributed path (Spark joins match NaN = NaN,
+    #: Python does not).  <= 0 forces the distributed path.
+    DRIVER_CELL_THRESHOLD = 65536
+
     def _build(self, ctx):
         _, conn, max_iter = self.args
-        return self._label(ctx, self.store._build(ctx), conn, max_iter)
+        frame = self.store._build(ctx)
+        thr = RasterComponents.DRIVER_CELL_THRESHOLD
+        if thr > 0:
+            base = (frame.select("time", "y", "x", "value")
+                    .filter(F.col("value").isNotNull()))
+            probe = (base.select(
+                "time", F.expr("unix_micros(time)").alias("_us"),
+                "y", "x", "value")
+                .limit(thr + 1).collect())
+            if (len(probe) <= thr
+                    and not any(r["value"] != r["value"]
+                                for r in probe)):
+                return self._driver_label(ctx, base, probe, conn)
+        return self._label(ctx, frame, conn, max_iter)
+
+    @classmethod
+    def _driver_label(cls, ctx, base, rows, conn):
+        """Exact driver-side mirror of the distributed labeling:
+        union-find over the collected (bounded) cell set, canonical
+        label = the component's minimum (time, y, x) member — the
+        same total order the packed-BIGINT min realizes — rendered
+        as '<epoch_us>:<y>:<x>'.  ``rows`` is the caller's
+        already-collected probe, so the upstream plan is evaluated
+        exactly once (the SieveFilter probe contract)."""
+        import pyspark.sql.types as T
+        cells = {}
+        times = {}
+        for r in rows:
+            cells[(r["_us"], r["y"], r["x"])] = r["value"]
+            times[r["_us"]] = r["time"]
+        offs = [(0, 1), (1, 0)]
+        if conn == 8:
+            offs += [(1, 1), (1, -1)]
+        parent = {}
+
+        def find(a):
+            root = a
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(a, a) != a:
+                parent[a], a = root, parent[a]
+            return root
+
+        for key, v in cells.items():
+            us, y, x = key
+            for dy, dx in offs:
+                nb = (us, y + dy, x + dx)
+                if nb in cells and cells[nb] == v:
+                    ra, rb = find(key), find(nb)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        canon = {}
+        for key in cells:
+            c = find(key)
+            if c not in canon or key < canon[c]:
+                canon[c] = key
+        out = [(times[us], y, x, v,
+                "{}:{}:{}".format(*canon[find((us, y, x))]))
+               for (us, y, x), v in sorted(cells.items())]
+        schema = T.StructType(list(base.schema.fields)).add(
+            "component", T.StringType(), False)
+        return ctx.spark.createDataFrame(out, schema)
 
     @staticmethod
     def _label(ctx, frame, conn, max_iter=20, scratch=None):

@@ -1221,6 +1221,55 @@ def test_raster_components_labels_regions(spark):
     assert out[(1, 1)] != out[(0, 0)]
 
 
+def test_components_distributed_matches_driver(spark, monkeypatch):
+    """r16 optimization pin: the bounded driver union-find mirror of
+    RasterComponents is bit-identical to the distributed star-round
+    labeling — same canonical min-(time,y,x) member, same
+    '<epoch_us>:<y>:<x>' label string, same schema — on a two-time
+    fixture with 4- and 8-connectivity, isolated cells, negative
+    coordinates and a diagonal touch."""
+    import datetime
+
+    from dask_geomodeling_spark.raster.components import (
+        RasterComponents)
+    from dask_geomodeling_spark.raster.sources import (
+        DataFrameRasterSource)
+    t1 = datetime.datetime(2024, 1, 1)
+    t2 = datetime.datetime(2024, 1, 2)
+    cells = [
+        (t1, -1, -2, 1.0), (t1, -1, -1, 1.0), (t1, 0, -1, 1.0),
+        (t1, 0, 0, 2.0), (t1, 1, 1, 2.0),      # diagonal touch
+        (t1, 3, 3, 5.0),                        # isolated
+        (t2, 0, 0, 1.0), (t2, 0, 1, 1.0), (t2, 1, 0, 3.0),
+    ]
+    df = spark.createDataFrame(
+        cells, "time timestamp, y bigint, x bigint, value double")
+    for conn in (4, 8):
+        blk = RasterComponents(DataFrameRasterSource(df),
+                               connectivity=conn)
+        drv_df = blk.plan(spark)
+        drv = sorted(map(tuple, drv_df.collect()))
+        monkeypatch.setattr(RasterComponents,
+                            "DRIVER_CELL_THRESHOLD", -1)
+        dist_df = blk.plan(spark)
+        dist = sorted(map(tuple, dist_df.collect()))
+        monkeypatch.setattr(RasterComponents,
+                            "DRIVER_CELL_THRESHOLD", 65536)
+        assert drv == dist
+        assert [(f.name, f.dataType) for f in drv_df.schema.fields] \
+            == [(f.name, f.dataType) for f in dist_df.schema.fields]
+    # NaN cell values must route to the distributed path (Spark joins
+    # match NaN = NaN; the Python mirror would not)
+    nan_cells = cells + [(t1, 5, 5, float("nan")),
+                         (t1, 5, 6, float("nan"))]
+    ndf = spark.createDataFrame(
+        nan_cells, "time timestamp, y bigint, x bigint, value double")
+    out = {(r["time"], r["y"], r["x"]): r["component"]
+           for r in RasterComponents(DataFrameRasterSource(ndf))
+           .plan(spark).collect()}
+    assert out[(t1, 5, 5)] == out[(t1, 5, 6)]  # NaN = NaN join match
+
+
 def test_contour_on_ramp(spark):
     """Plane z = x, level 2.5: every 2x2 block spanning x=2..3 emits
     one vertical segment at x = 2.5; no other block emits."""
