@@ -169,26 +169,45 @@ class KneserNeyPerplexity(BaseSingle):
         ).select(id_column, F.col("_b.w1").alias("w1"),
                  F.col("_b.w2").alias("w2")) \
             .persist(StorageLevel.MEMORY_AND_DISK)
+        # r16 (guide §2.1/§2.4): every model table is EXACTLY derivable
+        # from the bigram-TYPE count table — ctxt's occurrence count is
+        # sum(_c2) per w1, its distinct-continuation count is the row
+        # count per w1 (c_bi has one row per (w1, w2) type), cont's
+        # distinct-context count is the row count per w2, and the
+        # bigram-type total is c_bi's row count.  Previously ctxt /
+        # cont / types each re-aggregated the DATA-sized bigram stream
+        # and the scoring side joined the three tables one by one
+        # (three more data-sized shuffles); now one persisted c_bi
+        # feeds three MODEL-sized aggregations, they merge into one
+        # model table keyed (w1, w2), and the occurrence stream joins
+        # it ONCE.  Data-sized shuffles: ~7 -> 3 (type count, scoring
+        # join, per-doc aggregation); identical integer arithmetic.
+        # no persist on c_bi: its exchange subtree is byte-identical
+        # across the three derived aggregations and the model join, so
+        # Spark's ReusedExchange dedupes the data-sized shuffle within
+        # the one query; a cache here would only add storage traffic
         c_bi = (bigrams.groupBy("w1", "w2")
                 .agg(F.count(F.lit(1)).alias("_c2")))
-        # context table: occurrence count + distinct continuations
-        ctxt = (bigrams.groupBy("w1")
-                .agg(F.count(F.lit(1)).alias("_c1"),
-                     F.countDistinct("w2").alias("_n1f")))
-        # continuation table: distinct preceding contexts per w2
-        cont = (bigrams.groupBy("w2")
-                .agg(F.countDistinct("w1").alias("_n1b")))
-        types = (bigrams.select("w1", "w2").distinct()
-                 .agg(F.count(F.lit(1)).alias("_t")))
+        ctxt = (c_bi.groupBy("w1")
+                .agg(F.sum("_c2").alias("_c1"),
+                     F.count(F.lit(1)).alias("_n1f")))
+        cont = (c_bi.groupBy("w2")
+                .agg(F.count(F.lit(1)).alias("_n1b")))
+        types = c_bi.agg(F.count(F.lit(1)).alias("_t"))
+        model = (c_bi.join(ctxt, ["w1"])
+                 .join(cont, ["w2"])
+                 .crossJoin(F.broadcast(types)))
         pcont = F.col("_n1b") / F.col("_t")
         p = (F.greatest(F.col("_c2") - F.lit(d), F.lit(0.0))
              / F.col("_c1")
              + F.lit(d) * F.col("_n1f") / F.col("_c1") * pcont)
+        # the left join's unseen-pair branch is unreachable here (the
+        # scoring stream IS the fit stream, so every pair is in c_bi);
+        # kept verbatim so the expression tree — and any future
+        # score-foreign-corpus refactor — stays byte-compatible for
+        # the seen branch
         scored = (bigrams
-                  .join(c_bi, ["w1", "w2"], "left")
-                  .join(ctxt, ["w1"], "left")
-                  .join(cont, ["w2"], "left")
-                  .crossJoin(F.broadcast(types))
+                  .join(model, ["w1", "w2"], "left")
                   .select(id_column,
                           F.when(F.col("_c1").isNotNull(), p)
                           .otherwise(F.coalesce(pcont, F.lit(0.0)))
