@@ -218,9 +218,14 @@ class Overlay(GeometryBlock):
         gr = SpatialJoin._ring_expr(set(own_cols), "_g0")
 
         def erase_grouped(frame, grouped):
-            df = frame.join(grouped, idc, "left")
-            df = kernel_parallelism(df.withColumn("_g", gr), spark)
-            df = map_rings_binary(df, "_g", "_others", _erase_rings)
+            df = frame.join(grouped, idc, "left").withColumn("_g", gr)
+            if "rings" in df.columns:
+                # 'rings' is rebuilt from _g after the kernel — don't
+                # ship the original through Python too (guide §4.1)
+                df = df.drop("rings")
+            df = kernel_parallelism(df, spark)
+            df = map_rings_binary(df, "_g", "_others", _erase_rings,
+                                  drop_b=True)
             return (df.withColumn("rings", F.col("_g"))
                     .drop("_g", "_others"))
 
@@ -312,7 +317,7 @@ class Overlay(GeometryBlock):
                             .alias("_others")))
         erased = map_rings_binary(
             kernel_parallelism(hot_grouped, spark), "_g", "_others",
-            _erase_rings)
+            _erase_rings, drop_b=True)
         hot_rings = (erased.groupBy(idc)
                      .agg(F.expr(
                          "nullif(flatten(array_sort("
@@ -339,10 +344,14 @@ class Overlay(GeometryBlock):
             # polyline left layer: clip / erase through the open-chain
             # kernel; each surviving maximal sub-chain becomes one row
             # ('piece', 'path') — zero-length touches vanish
+            # the original 'path' column is rebuilt from the kernel
+            # output after the stage — don't ship it through Python
+            # (guide §4.1); _rr is consumed by the kernel and dropped
+            # in Python so it never crosses the return hop
             if how == "intersection":
                 out = map_rings_binary(
-                    kernel_parallelism(pairs, ctx.spark), "_lr",
-                    "_rr", _pair_clip_path)
+                    kernel_parallelism(pairs.drop("path"), ctx.spark),
+                    "_lr", "_rr", _pair_clip_path, drop_b=True)
                 keep = [c for c in out.columns
                         if c not in ("_lr", "_rr", "path")]
                 return out.select(
@@ -353,17 +362,22 @@ class Overlay(GeometryBlock):
                             .alias("_others")))
             df = L.join(grouped, idc, "left")
             df = kernel_parallelism(
-                df.withColumn("_g", F.col("path")), ctx.spark)
-            df = map_rings_binary(df, "_g", "_others", _erase_path)
+                df.withColumn("_g", F.col("path")).drop("path"),
+                ctx.spark)
+            df = map_rings_binary(df, "_g", "_others", _erase_path,
+                                  drop_b=True)
             keep = [c for c in df.columns
                     if c not in ("_g", "_others", "path")]
             return df.select(
                 *keep, F.posexplode("_g").alias("piece", "path")
             ).withColumn("piece", F.col("piece").cast("bigint"))
         if how == "intersection":
+            # 'rings' is replaced by the kernel output below — drop
+            # the original before the Python stage (guide §4.1)
+            pre = pairs.drop("rings") if "rings" in L.columns else pairs
             out = map_rings_binary(
-                kernel_parallelism(pairs, ctx.spark), "_lr", "_rr",
-                _pair_intersection)
+                kernel_parallelism(pre, ctx.spark), "_lr", "_rr",
+                _pair_intersection, drop_b=True)
             return (out.withColumn("rings", F.col("_lr"))
                     .drop("_lr", "_rr"))
         if how == "difference":
@@ -406,9 +420,11 @@ class Overlay(GeometryBlock):
                 *rcols, "rings")
             out = out.unionByName(rres)
         if how in ("union", "identity"):
+            pre = (pairs.drop("rings") if "rings" in L.columns
+                   else pairs)
             inter = map_rings_binary(
-                kernel_parallelism(pairs, ctx.spark), "_lr", "_rr",
-                _pair_intersection)
+                kernel_parallelism(pre, ctx.spark), "_lr", "_rr",
+                _pair_intersection, drop_b=True)
             inter = (inter.withColumn("rings", F.col("_lr"))
                      .select(skey("B:", idc, ridc), *lattr, *rcols,
                              "rings"))

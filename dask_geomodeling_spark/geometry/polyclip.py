@@ -704,13 +704,19 @@ def kernel_parallelism(df, spark):
     return df.repartition(spark.sparkContext.defaultParallelism)
 
 
-def _map_rings(df, cols, fn, out_col, out_type):
+def _map_rings(df, cols, fn, out_col, out_type, drop=()):
     """Run ``fn(*parsed_cols) -> rings-or-None`` per row.  ``cols`` are
     nested-array columns staged as JSON text across the Arrow boundary;
     the result replaces ``out_col`` (cast to ``out_type``); the other
     columns are restored to their original types.  EVERY nested-array
     column of the frame is staged (not just ``cols``) — deep nullable
-    list columns cannot cross this container's Arrow boundary at all."""
+    list columns cannot cross this container's Arrow boundary at all.
+
+    ``drop`` (r16, guide §4.1: ship only what the function needs)
+    names input columns the kernel consumes but the CALLER discards
+    afterwards — they are dropped from the batches IN PYTHON, so
+    their (often geometry-sized) JSON text never crosses the
+    Python→JVM return hop and is never re-parsed by from_json."""
     from pyspark.sql import functions as F
     all_types = {f.name: f.dataType.simpleString()
                  for f in df.schema.fields}
@@ -722,6 +728,11 @@ def _map_rings(df, cols, fn, out_col, out_type):
     for c in stage:
         types[c] = all_types[c]
         staged = staged.withColumn(c, F.to_json(F.col(c)))
+    drop = [c for c in drop
+            if c in staged.columns and c != out_col]
+    from pyspark.sql.types import StructType
+    out_schema = StructType([f for f in staged.schema.fields
+                             if f.name not in drop])
 
     def gen(batches):
         import json
@@ -736,19 +747,27 @@ def _map_rings(df, cols, fn, out_col, out_type):
                 out.append(None if not res else json.dumps(res))
             pdf = pdf.copy()
             pdf[out_col] = pd.Series(out, dtype="object")
+            if drop:
+                pdf = pdf.drop(columns=drop)
             yield pdf
 
-    out = staged.mapInPandas(gen, schema=staged.schema)
+    out = staged.mapInPandas(gen, schema=out_schema)
     for c in stage:
+        if c in drop:
+            continue
         typ = out_type if c == out_col else types[c]
         out = out.withColumn(c, F.from_json(F.col(c), typ))
     return out
 
 
-def map_rings_binary(df, col_a, col_b, fn, out_type=RINGS_TYPE):
+def map_rings_binary(df, col_a, col_b, fn, out_type=RINGS_TYPE,
+                     drop_b=False):
     """Per-row ``col_a = fn(col_a, col_b)`` (both nested-array ring
-    columns).  ``col_b`` survives with its original type."""
-    return _map_rings(df, [col_a, col_b], fn, col_a, out_type)
+    columns).  ``col_b`` survives with its original type unless
+    ``drop_b`` — for callers that discard it right after the kernel,
+    dropping it in Python saves the return-hop bytes (guide §4.1)."""
+    return _map_rings(df, [col_a, col_b], fn, col_a, out_type,
+                      drop=[col_b] if drop_b else ())
 
 
 def map_rings_unary(df, col, fn, out_type=RINGS_TYPE):
