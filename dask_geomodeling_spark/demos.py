@@ -12588,6 +12588,87 @@ def make_valid(spark, sf_dir):
 # registration order and is exercised by the full oracle sweep
 # (tests/test_oracle_parity.py covers ALL of them).
 # --------------------------------------------------------------------------
+# Forced-distributed lanes (round 16, r15 verdict "next" #2): the
+# bounded driver mirrors (sieve, hydrology, dbscan, components, KLL's
+# threshold derivation, the star rounds) take the driver path at every
+# SF the bench and oracle run, so the distributed superstep code was
+# correctness-pinned (forced-threshold pytests) but PERFORMANCE-
+# INVISIBLE — a regression there would not move any number.  These
+# lanes re-run the same queries with the thresholds forced to the
+# distributed path: same results (same oracles — the mirrors are
+# bit-identical by construction), distributed plans measured every
+# round.  Additions only; no existing bench entry changed.
+# --------------------------------------------------------------------------
+
+
+def _dist_lane(base, setters):
+    """Run ``QUERIES[base]`` with the listed (cls, attr) thresholds
+    forced to the distributed path for the duration of the BUILD (the
+    probes run at build time; the returned plan stays distributed)."""
+    def run(spark, sf_dir):
+        saved = [(cls, attr, getattr(cls, attr))
+                 for cls, attr in setters()]
+        try:
+            for cls, attr, _ in saved:
+                setattr(cls, attr, -1 if attr != "GROUP_THRESHOLD"
+                        else 0)
+            return QUERIES[base](spark, sf_dir)
+        finally:
+            for cls, attr, old in saved:
+                setattr(cls, attr, old)
+    return run
+
+
+def _sieve_setters():
+    from dask_geomodeling_spark.raster.components import (
+        RasterComponents, SieveFilter)
+    return [(SieveFilter, "DRIVER_CELL_THRESHOLD"),
+            (RasterComponents, "DRIVER_CELL_THRESHOLD")]
+
+
+def _components_setters():
+    from dask_geomodeling_spark.raster.components import RasterComponents
+    return [(RasterComponents, "DRIVER_CELL_THRESHOLD")]
+
+
+def _hydrology_setters():
+    from dask_geomodeling_spark.raster.hydrology import FlowAccumulation
+    return [(FlowAccumulation, "DRIVER_THRESHOLD")]
+
+
+def _dbscan_setters():
+    from dask_geomodeling_spark.geometry.spatial_join import ClusterDBSCAN
+    from dask_geomodeling_spark.pipeline.dedup import DedupClusters
+    return [(ClusterDBSCAN, "DRIVER_THRESHOLD"),
+            (DedupClusters, "STAR_DRIVER_THRESHOLD")]
+
+
+def _kll_setters():
+    from dask_geomodeling_spark.pipeline.text import KLLQuantile
+    return [(KLLQuantile, "GROUP_THRESHOLD")]
+
+
+def _star_setters():
+    from dask_geomodeling_spark.pipeline.dedup import DedupClusters
+    return [(DedupClusters, "STAR_DRIVER_THRESHOLD")]
+
+
+demo("sieve_filter_dist", oracle=ORACLES["sieve_filter"])(
+    _dist_lane("sieve_filter", _sieve_setters))
+demo("raster_components_dist", oracle=ORACLES["raster_components"])(
+    _dist_lane("raster_components", _components_setters))
+demo("flow_accumulation_dist", oracle=ORACLES["flow_accumulation"])(
+    _dist_lane("flow_accumulation", _hydrology_setters))
+demo("dbscan_clusters_dist", oracle=ORACLES["dbscan_clusters"])(
+    _dist_lane("dbscan_clusters", _dbscan_setters))
+demo("kll_quantile_dist", oracle=ORACLES["kll_quantile"])(
+    _dist_lane("kll_quantile", _kll_setters))
+demo("cluster_representative_dist",
+     oracle=ORACLES["cluster_representative"])(
+    _dist_lane("cluster_representative", _star_setters))
+
+
+# --------------------------------------------------------------------------
 
 # ROTATING gate slots (round-8, verdict #9): 164 of ~215 queries only
 # ever got their green signal from judge sweeps because the 50 driver
@@ -12621,20 +12702,19 @@ def make_valid(spark, sf_dir):
 # Round-15: every r14 anchor is driver-green in CORRECTNESS_r14 and
 # rotates back into the pool; the 10 round-15 new queries are the
 # anchors (the mechanical rule), exactly at the 12-slot cap.
+# Round-16: every r15 anchor is driver-green in CORRECTNESS_r15 and
+# rotates back into the pool; the anchors are the six forced-
+# distributed lanes registered this round (the mechanical rule).
 GATE_ANCHORS = [
     "q1_pricing_summary",           # flagship
     "json_graph_roundtrip",         # serialization contract
-    # round-15 new operators (r14 verdict #1/#2/#3/#6)
-    "geotiff_predictor3",
-    "netcdf_source",
-    "reproject_stateplane",
-    "reproject_stateplane_tm",
-    "reproject_nad83_utm",
-    "reproject_nztm",
-    "reproject_gauss_kruger",
-    "reproject_belgian",
-    "streaming_event_calendar",
-    "aaigrid_source",
+    # round-16 forced-distributed lanes (r15 verdict "next" #2)
+    "sieve_filter_dist",
+    "raster_components_dist",
+    "flow_accumulation_dist",
+    "dbscan_clusters_dist",
+    "kll_quantile_dist",
+    "cluster_representative_dist",
 ]
 
 
