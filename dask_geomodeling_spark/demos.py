@@ -6100,7 +6100,8 @@ def cluster_representative(spark, sf_dir):
     # star + the <=64k-edge driver short-circuit: near-dup pair graphs
     # are tiny relative to the corpus, and label propagation's
     # per-round scheduling floor dominates at bench SFs
-    clusters = DedupClusters(docs, pairs, algorithm="star")
+    clusters = DedupClusters(docs, pairs, algorithm="star",
+                             ids_unique=True, pairs_canonical=True)
     rep = ClusterRepresentative(docs, clusters, "n_chars")
     return rep.plan(spark).select("cluster_id", "doc_id", "n_chars",
                                   "n_members")
@@ -7888,7 +7889,8 @@ def dedup_clusters(spark, sf_dir):
                                                        NgramJaccard)
     docs = documents_src(sf_dir)
     pairs = NgramJaccard(docs, n=3, threshold=0.5)
-    return DedupClusters(docs, pairs).plan(spark)
+    return DedupClusters(docs, pairs, ids_unique=True,
+                         pairs_canonical=True).plan(spark)
 
 
 @demo("concat_corpora", oracle="""
@@ -7951,7 +7953,9 @@ def dedup_clusters_star(spark, sf_dir):
                                                        NgramJaccard)
     docs = documents_src(sf_dir)
     pairs = NgramJaccard(docs, n=3, threshold=0.5)
-    return DedupClusters(docs, pairs, algorithm="star").plan(spark)
+    return DedupClusters(docs, pairs, algorithm="star",
+                         ids_unique=True,
+                         pairs_canonical=True).plan(spark)
 
 
 @demo("hash_split", oracle="""
@@ -8977,7 +8981,8 @@ def corpus_prep(spark, sf_dir):
         raw.filter(F.col("doc_id") % 97 == 0), index_column="doc_id")
     decon = Decontaminate(train, holdout, n=6).plan(spark)
     clusters = DedupClusters(
-        docs, NgramJaccard(docs, n=3, threshold=0.5)).plan(spark)
+        docs, NgramJaccard(docs, n=3, threshold=0.5),
+        ids_unique=True, pairs_canonical=True).plan(spark)
     bucket = F.pmod(F.col("doc_id") * 2654435761, F.lit(10000))
     split = (F.when(bucket < 9000, "train")
              .when(bucket < 9500, "val").otherwise("test"))

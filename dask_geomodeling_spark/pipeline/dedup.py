@@ -1008,10 +1008,19 @@ class DedupClusters(Block):
       pairs: block producing near-dup pairs with ``id_a``/``id_b``.
       max_iter: round bound.
       algorithm: "label" | "star".
+      ids_unique: r16 (guide §2.4 — "a distinct on data that is
+        already unique"): declare the source id column unique so the
+        node table skips its data-sized ``distinct()`` shuffle.  Only
+        set when the contract holds (e.g. the id IS the corpus
+        primary key); duplicate ids would then duplicate output rows.
+      pairs_canonical: declare the pair block emits one row per pair
+        with ``id_a < id_b`` (NgramJaccard / MinHashLSH do), so the
+        undirected edge canonicalization skips its ``distinct()``.
     """
 
     def __init__(self, source, pairs, id_column=None, max_iter=10,
-                 algorithm="label"):
+                 algorithm="label", ids_unique=False,
+                 pairs_canonical=False):
         if not isinstance(source, Block) or not isinstance(pairs, Block):
             raise TypeError("source/pairs must be Blocks")
         if algorithm not in ("label", "star"):
@@ -1019,7 +1028,8 @@ class DedupClusters(Block):
         if id_column is None:
             id_column = source.index_column
         super().__init__(source, pairs, id_column, int(max_iter),
-                         algorithm)
+                         algorithm, bool(ids_unique),
+                         bool(pairs_canonical))
 
     @property
     def columns(self):
@@ -1137,14 +1147,23 @@ class DedupClusters(Block):
         return labels
 
     def _build(self, ctx):
-        source, pairs, id_column, max_iter, algorithm = self.args
-        nodes = (source._build(ctx)
-                 .select(F.col(id_column).alias("_id")).distinct())
+        (source, pairs, id_column, max_iter, algorithm, ids_unique,
+         pairs_canonical) = self.args
+        nodes = source._build(ctx).select(
+            F.col(id_column).alias("_id"))
+        if not ids_unique:
+            nodes = nodes.distinct()
         p = pairs._build(ctx).select("id_a", "id_b")
         if algorithm == "star":
-            und = (p.select(F.least("id_a", "id_b").alias("_lo"),
-                            F.greatest("id_a", "id_b").alias("_hi"))
-                   .filter(F.col("_lo") != F.col("_hi")).distinct())
+            if pairs_canonical:
+                und = (p.select(F.col("id_a").alias("_lo"),
+                                F.col("id_b").alias("_hi"))
+                       .filter(F.col("_lo") != F.col("_hi")))
+            else:
+                und = (p.select(F.least("id_a", "id_b").alias("_lo"),
+                                F.greatest("id_a", "id_b").alias("_hi"))
+                       .filter(F.col("_lo") != F.col("_hi"))
+                       .distinct())
             got = self._star_labels(und, max_iter)
             labels = (nodes.join(got, "_id", "left")
                       .select("_id", F.coalesce("_lbl", "_id")
@@ -1156,8 +1175,12 @@ class DedupClusters(Block):
         edges = (p.select(F.col("id_a").alias("_src"),
                           F.col("id_b").alias("_dst"))
                  .union(p.select(F.col("id_b").alias("_src"),
-                                 F.col("id_a").alias("_dst")))
-                 .distinct().persist())
+                                 F.col("id_a").alias("_dst"))))
+        if not pairs_canonical:
+            # canonical pairs (one row per pair, id_a < id_b) make the
+            # two directed halves disjoint and unique already
+            edges = edges.distinct()
+        edges = edges.persist()
         labels = nodes.select("_id", F.col("_id").alias("_lbl")).persist()
         for _ in range(max_iter):
             prop = (edges.join(labels.withColumnRenamed("_id", "_dst"),
